@@ -1,0 +1,344 @@
+package graft
+
+import graft.api.{FeatureStore, RepoConfig}
+import graft.core._
+import graft.online.{InMemoryOnlineStore, Materializer}
+import graft.transform.Transforms
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.time.Duration
+
+/** The operator catalog behind [[SparkEntry.queries]]: one named query per
+  * implemented operator from SURVEY.md §2, paired (in [[oracles]]) with
+  * ANSI SQL the driver replays in DuckDB over the same parquet tables.
+  *
+  * Oracle-parity conventions (see TESTDATA.md; events.ts is parquet
+  * timestamp[ns] which Spark truncates to µs while DuckDB keeps ns — so
+  * every oracle casts ts to µs TIMESTAMP before comparing/ordering):
+  *   - fp aggregates are rounded on both sides (bitwise-stable),
+  *   - all computed columns carry identical aliases on both sides,
+  *   - ties are pinned with explicit secondary sort keys.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Events as a registered time-series source (ns → µs normalization via
+    * [[graft.sources.SourceReader.NanosColumnsOption]]). */
+  private def eventsSource(dir: String): SparkSource =
+    SparkSource("events_src", s"$dir/events.parquet", timestampField = "ts",
+      options = Map(graft.sources.SourceReader.NanosColumnsOption -> "ts"))
+
+  // ---------------------------------------------------------------- §2.3/2.4
+  /** A1/F4 flagship: hourly per-user event stats (reference
+    * `chicago_taxi_trips_hourly_gold.ipynb:78-88`). */
+  def hourlyAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), Transforms.hourBucket(col("ts")).as("event_timestamp"))
+      .agg(
+        round(avg("value"), 4).as("avg_value"),
+        round(sum("value"), 4).as("sum_value"),
+        round(min("value"), 4).as("min_value"),
+        round(max("value"), 4).as("max_value"),
+        count(lit(1)).as("n_events"))
+
+  val hourlyAggSql: String =
+    """SELECT user_id,
+      |       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS event_timestamp,
+      |       round(avg(value), 4) AS avg_value,
+      |       round(sum(value), 4) AS sum_value,
+      |       round(min(value), 4) AS min_value,
+      |       round(max(value), 4) AS max_value,
+      |       count(*) AS n_events
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- §2.2
+  /** P1/P5/P6/P7: projection + conjunctive filters, pushed to the scan. */
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1997-12-31 00:00:00"))
+        && col("l_discount") > 0.05 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+
+  val filterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+      |  AND l_discount > 0.05 AND l_returnflag = 'R'""".stripMargin
+
+  // ---------------------------------------------------------------- §2.6
+  /** Multi-way equi join + agg: revenue per nation (J-family; broadcast
+    * of the small dims is Catalyst/AQE's choice, verified in BenchSpec). */
+  def joinAgg(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    val nation = t(s, dir, "nation")
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  val joinAggSql: String =
+    """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- §2.2
+  /** P8/P9/P10/P11: CASE WHEN recode + coalesce + cast + literal
+    * (reference `chicago_weather_silver.py:20-30`,
+    * `chicago_weather_hourly_fs.py:36-37`). */
+  def caseWhen(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      Transforms.recode(col("event_type"),
+        Map("purchase" -> "conversion", "signup" -> "conversion", "error" -> "bad"),
+        lit("other")).as("category"),
+      Transforms.nullDefault(nullif(col("event_type"), lit("error")), "unknown")
+        .as("filled_type"),
+      floor(col("value")).cast("long").as("value_floor"),
+      lit("graft").as("tag"))
+
+  val caseWhenSql: String =
+    """SELECT event_id,
+      |       CASE WHEN event_type IN ('purchase','signup') THEN 'conversion'
+      |            WHEN event_type = 'error' THEN 'bad'
+      |            ELSE 'other' END AS category,
+      |       coalesce(nullif(event_type, 'error'), 'unknown') AS filled_type,
+      |       CAST(floor(value) AS BIGINT) AS value_floor,
+      |       'graft' AS tag
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- §2.5
+  /** W1: latest-row ranking — ROW_NUMBER over (key ORDER BY ts DESC) = 1
+    * (reference `CASE.MD:452-463`). Tie-pinned by unique event_id. */
+  def windowLatest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts").as("event_timestamp"),
+        col("event_type"), col("value"))
+  }
+
+  val windowLatestSql: String =
+    """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS event_timestamp,
+      |       event_type, value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- §2.6/2.8
+  /** M4/J1-J4: the point-in-time join, end-to-end through the
+    * FeatureStore facade (registry resolve → PIT retrieval). Entity grid:
+    * every user × four weekly cut-off timestamps; features from `events`
+    * with a 7-day TTL.
+    */
+  val pitCutoffs: Seq[String] =
+    Seq("2024-01-08 00:00:00", "2024-01-15 00:00:00",
+      "2024-01-22 00:00:00", "2024-01-29 00:00:00")
+
+  def pitFeatureStore(s: SparkSession, dir: String): FeatureStore = {
+    val fs = new FeatureStore(s, RepoConfig("graft_demo"), new InMemoryRegistry)
+    fs.applyObjects(Seq(
+      Entity("user", Seq("user_id"), ValueType.INT64),
+      FeatureView(
+        name = "events_fv",
+        entities = Seq("user"),
+        features = Seq(Feature("value", org.apache.spark.sql.types.DoubleType),
+          Feature("event_type", org.apache.spark.sql.types.StringType)),
+        source = eventsSource(dir),
+        ttl = Some(Duration.ofDays(7)))))
+    fs
+  }
+
+  def pitEntityGrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events").select(col("user_id")).distinct()
+      .crossJoin(pitCutoffs.toDF("cutoff")
+        .select(to_timestamp(col("cutoff")).as("event_timestamp")))
+  }
+
+  def pitJoin(s: SparkSession, dir: String): DataFrame =
+    pitFeatureStore(s, dir)
+      .getHistoricalFeatures(
+        pitEntityGrid(s, dir),
+        Seq("events_fv:value", "events_fv:event_type"))
+      .toDf
+
+  val pitJoinSql: String =
+    """WITH entity AS (
+      |  SELECT user_id, event_timestamp
+      |  FROM (SELECT DISTINCT user_id FROM events)
+      |  CROSS JOIN (VALUES (TIMESTAMP '2024-01-08 00:00:00'),
+      |                     (TIMESTAMP '2024-01-15 00:00:00'),
+      |                     (TIMESTAMP '2024-01-22 00:00:00'),
+      |                     (TIMESTAMP '2024-01-29 00:00:00')) g(event_timestamp)
+      |), ranked AS (
+      |  SELECT e.user_id, e.event_timestamp, f.value, f.event_type,
+      |         row_number() OVER (
+      |           PARTITION BY e.user_id, e.event_timestamp
+      |           ORDER BY CAST(f.ts AS TIMESTAMP) DESC, f.value DESC,
+      |                    f.event_type DESC) AS rn
+      |  FROM entity e
+      |  JOIN events f
+      |    ON f.user_id = e.user_id
+      |   AND CAST(f.ts AS TIMESTAMP) <= e.event_timestamp
+      |   AND CAST(f.ts AS TIMESTAMP) >= e.event_timestamp - INTERVAL 7 DAY
+      |), cleaned AS (SELECT * FROM ranked WHERE rn = 1)
+      |SELECT e.user_id, e.event_timestamp,
+      |       c.value AS events_fv__value,
+      |       c.event_type AS events_fv__event_type
+      |FROM entity e
+      |LEFT JOIN cleaned c
+      |  ON c.user_id = e.user_id AND c.event_timestamp = e.event_timestamp""".stripMargin
+
+  // ---------------------------------------------------------------- §2.8 M5
+  /** A7/M5: materialization's latest-per-key reduction (argmax by
+    * (ts, features) struct — same engine as the PIT join). */
+  def materializeLatest(s: SparkSession, dir: String): DataFrame = {
+    val fv = FeatureView(
+      name = "events_fv",
+      entities = Seq("user"),
+      features = Seq(Feature("value", org.apache.spark.sql.types.DoubleType),
+        Feature("event_type", org.apache.spark.sql.types.StringType)),
+      source = eventsSource(dir))
+    Materializer.materialize(
+      s, new InMemoryOnlineStore, fv, Seq("user_id"),
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-31 23:59:59"))
+  }
+
+  val materializeLatestSql: String =
+    """SELECT user_id, CAST(ts AS TIMESTAMP) AS event_timestamp, value, event_type
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY CAST(ts AS TIMESTAMP) DESC, value DESC, event_type DESC) AS rn
+      |      FROM events
+      |      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+      |        AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-31 23:59:59')
+      |WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- §2.4
+  /** A5/A6: distinct / dropDuplicates. */
+  def distinctPairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("user_id"), col("event_type")).distinct()
+
+  val distinctPairsSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
+  /** A2: collect_set, order-normalized for comparability. */
+  def collectSet(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+        countDistinct(col("event_type")).as("n_types"))
+
+  val collectSetSql: String =
+    """SELECT user_id,
+      |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+      |       count(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- §2.2
+  /** P13: JSON parse of the props payload with a declared schema. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k_value",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      .groupBy(col("user_id"))
+      .agg(sum("k_value").as("sum_k"), count(lit(1)).as("n"))
+
+  val jsonExtractSql: String =
+    """SELECT user_id,
+      |       sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER)) AS sum_k,
+      |       count(*) AS n
+      |FROM events GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- §2.2
+  /** P12-family generator: explode tokens, global term frequencies. */
+  def explodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+
+  val explodeTokensSql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY token""".stripMargin
+
+  // ---------------------------------------------------------------- §2.7
+  /** O1/O2: global sort + limit with pinned tiebreak. */
+  def topN(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val topNSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- §2.3
+  /** F5-F8: surrogate key minting — concat of key + epoch of hour bucket
+    * (reference `chicago_weather_hourly_fs.py:45-53`). */
+  def surrogateKey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        concat_ws("_", col("user_id").cast("string"),
+          unix_timestamp(Transforms.hourBucket(col("ts"))).cast("string"))
+          .as("read_id"),
+        col("event_id"))
+
+  val surrogateKeySql: String =
+    """SELECT CAST(user_id AS VARCHAR) || '_' ||
+      |       CAST(CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |            AS VARCHAR) AS read_id,
+      |       event_id
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- catalogs
+  val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_hourly_agg" -> hourlyAgg _,
+    "q02_filter_project" -> filterProject _,
+    "q03_join_agg" -> joinAgg _,
+    "q04_case_when" -> caseWhen _,
+    "q05_window_latest" -> windowLatest _,
+    "q06_pit_join" -> pitJoin _,
+    "q07_materialize_latest" -> materializeLatest _,
+    "q08_distinct" -> distinctPairs _,
+    "q09_collect_set" -> collectSet _,
+    "q10_json_extract" -> jsonExtract _,
+    "q11_explode_tokens" -> explodeTokens _,
+    "q12_topn" -> topN _,
+    "q13_surrogate_key" -> surrogateKey _)
+
+  val relationalOracles: Map[String, String] = Map(
+    "q01_hourly_agg" -> hourlyAggSql,
+    "q02_filter_project" -> filterProjectSql,
+    "q03_join_agg" -> joinAggSql,
+    "q04_case_when" -> caseWhenSql,
+    "q05_window_latest" -> windowLatestSql,
+    "q06_pit_join" -> pitJoinSql,
+    "q07_materialize_latest" -> materializeLatestSql,
+    "q08_distinct" -> distinctPairsSql,
+    "q09_collect_set" -> collectSetSql,
+    "q10_json_extract" -> jsonExtractSql,
+    "q11_explode_tokens" -> explodeTokensSql,
+    "q12_topn" -> topNSql,
+    "q13_surrogate_key" -> surrogateKeySql)
+}

@@ -1,0 +1,76 @@
+package graft.examples
+
+import graft.api.{FeatureStore, RepoConfig}
+import graft.core._
+import graft.online.InMemoryOnlineStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end example of the feature-store loop on sf0.001 — the rebuild
+  * of the reference's flagship flow (`explore_features.ipynb` cells 2-9):
+  * register → get_historical_features → materialize → get_online_features.
+  *
+  * Run: `sbt "runMain graft.examples.FullLoop"`.
+  */
+object FullLoop {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val registryPath = java.nio.file.Files
+      .createTempDirectory("graft_registry").resolve("registry.json")
+    val fs = new FeatureStore(
+      spark,
+      RepoConfig("graft_demo", Some(registryPath.toString)),
+      new FileRegistry(registryPath),
+      new InMemoryOnlineStore)
+
+    // 1. register (M2)
+    fs.applyObjects(Seq(
+      Entity("user", Seq("user_id"), ValueType.INT64),
+      FeatureView(
+        name = "events_fv",
+        entities = Seq("user"),
+        features = Seq(
+          Feature("value", org.apache.spark.sql.types.DoubleType),
+          Feature("event_type", org.apache.spark.sql.types.StringType)),
+        source = SparkSource("events_src", s"$dir/events.parquet",
+          timestampField = "ts",
+          options = Map(graft.sources.SourceReader.NanosColumnsOption -> "ts")),
+        ttl = Some(java.time.Duration.ofDays(7)))))
+    println(s"registered: ${fs.listFeatureViews().map(_.name)} / ${fs.listEntities().map(_.name)}")
+
+    // 2. historical PIT retrieval (M4)
+    import spark.implicits._
+    val entityDf = Seq(
+      (3L, "2024-01-15 00:00:00"),
+      (7L, "2024-01-15 00:00:00"),
+      (3L, "2024-01-29 00:00:00")
+    ).toDF("user_id", "cutoff")
+      .select(col("user_id"), to_timestamp(col("cutoff")).as("event_timestamp"))
+    val job = fs.getHistoricalFeatures(entityDf,
+      Seq("events_fv:value", "events_fv:event_type"))
+    job.toDf.show(false)
+
+    // 3. materialize latest vectors to the online store (M5)
+    fs.materialize(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-31 23:59:59"),
+      Seq("events_fv"))
+
+    // 4. online lookup (M6) — no Spark job
+    val online = fs.getOnlineFeatures(
+      Seq(Map("user_id" -> 3L), Map("user_id" -> 7L)),
+      Seq("events_fv:value", "events_fv:event_type"))
+    online.foreach(println)
+
+    spark.stop()
+  }
+}

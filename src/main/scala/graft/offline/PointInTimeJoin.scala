@@ -1,0 +1,141 @@
+package graft.offline
+
+import graft.core.{Feature, FeatureView}
+import graft.sources.SourceReader
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Point-in-time-correct (as-of) historical retrieval — the defining
+  * operator of the system (reference `CASE.MD:337-501`, the Feast
+  * spark-offline-store generated SQL, executed at
+  * `Untitled.ipynb:682-868`).
+  *
+  * Semantics reproduced from the reference SQL:
+  *   - J1 base join: feature rows with `feature.ts <= entity.ts`, equi on
+  *     join keys, plus TTL lower bound `feature.ts >= entity.ts - ttl`
+  *     when ttl > 0 (`CASE.MD:385-386,407-422`);
+  *   - global upper-bound pre-filter `WHERE ts <= max(entity.ts)` pushed
+  *     into the feature scan (`CASE.MD:394-405`) so parquet row-group
+  *     stats / partition pruning bound the read;
+  *   - A6 entity dedup (`GROUP BY join_key, ts`, `CASE.MD:365-375`);
+  *   - A7 + W1 latest-row selection: MAX(created) dedup then
+  *     `ROW_NUMBER() OVER (... ORDER BY event_ts DESC, created DESC)`
+  *     (`CASE.MD:424-463`);
+  *   - J4 final per-view LEFT JOIN that null-pads entities with no
+  *     eligible feature rows (`CASE.MD:486-501`).
+  *
+  * Spark-first redesign (NOT a translation): the reference needs a
+  * synthetic `entity_row_unique_id` plus a dedup GROUP BY, a window, and
+  * two self-joins because it composes SQL text. Natively we collapse
+  * A7+W1+J2+J3 into ONE aggregation: `max(struct(event_ts, created_ts,
+  * feature...))` keyed by (view join keys, entity_ts). Struct ordering is
+  * lexicographic, so the max IS the argmax by (event_ts DESC, created
+  * DESC) — and any residual tie resolves deterministically on the feature
+  * values themselves (pinning the nondeterminism called out in SURVEY
+  * §7.4.1). Per view this costs exactly one shuffle for the join and one
+  * for the agg (both keyed on the join keys, so AQE can reuse the
+  * exchange), versus the reference's join + window + two more joins. No
+  * pandas round-trip, no task-closure shipping of the entity df (the
+  * reference's 4247 KiB closures, SURVEY §4 last row): the entity df
+  * stays a distributed DataFrame end-to-end, and at 1000-executor scale
+  * the per-view fold keeps every boundary a keyed exchange.
+  */
+object PointInTimeJoin {
+
+  /** One retrieval unit: a view, the features wanted from it, and its
+    * registry-resolved entity join keys.
+    */
+  final case class ViewRequest(
+      view: FeatureView,
+      features: Seq[Feature],
+      joinKeys: Seq[String])
+
+  def retrieve(
+      spark: SparkSession,
+      entityDf: DataFrame,
+      requests: Seq[ViewRequest],
+      entityTsCol: String = "event_timestamp",
+      fullFeatureNames: Boolean = true,
+      prefilterByEntityRange: Boolean = true): DataFrame = {
+
+    require(entityDf.columns.contains(entityTsCol),
+      s"entity dataframe lacks timestamp column '$entityTsCol'")
+
+    // Driver-side scalar bounds for scan pruning (one tiny agg job, the
+    // same trick as the reference's interpolated '<max entity ts>' literal,
+    // CASE.MD:403). Skippable for purely lazy plans.
+    lazy val (minEntityTs, maxEntityTs) = {
+      val row = entityDf.agg(
+        min(col(entityTsCol)).cast("timestamp"),
+        max(col(entityTsCol)).cast("timestamp")).head()
+      (row.getTimestamp(0), row.getTimestamp(1))
+    }
+
+    requests.foldLeft(entityDf) { case (acc, ViewRequest(fv, feats, joinKeys)) =>
+      joinKeys.foreach { k =>
+        require(entityDf.columns.contains(k),
+          s"entity dataframe lacks join key '$k' required by view '${fv.name}'")
+      }
+      val tsField = fv.source.timestampField
+      val createdOpt = fv.source.createdTimestampColumn
+
+      // Feature-side scan: read only join keys + time columns + requested
+      // features (column pruning reaches the parquet scan).
+      val featCols = (joinKeys ++ Seq(tsField) ++ createdOpt ++ feats.map(_.name)).distinct
+      var feat = SourceReader.read(spark, fv.source)
+        .select(featCols.map(col): _*)
+
+      if (prefilterByEntityRange) {
+        feat = feat.filter(col(tsField) <= lit(maxEntityTs))
+        fv.ttl.foreach { ttl =>
+          feat = feat.filter(
+            col(tsField) >= lit(new java.sql.Timestamp(
+              minEntityTs.getTime - ttl.toMillis)))
+        }
+      }
+
+      // Disambiguate: prefix every feature-side column.
+      val p = "__graft_f_"
+      val featP = feat.select(feat.columns.map(c => col(c).as(p + c)): _*)
+
+      // A6: entity keyspace dedup — the PIT result depends only on
+      // (join keys, entity_ts), so aggregate over that compact keyspace,
+      // not the full entity df.
+      val keySpace = entityDf
+        .select((joinKeys :+ entityTsCol).distinct.map(col): _*)
+        .distinct()
+
+      // J1: equi join on keys with the as-of range as residual predicate.
+      val equi = joinKeys.map(k => featP(p + k) === keySpace(k))
+      val asOf = featP(p + tsField) <= keySpace(entityTsCol)
+      val ttlBound = fv.ttl.map { ttl =>
+        featP(p + tsField) >=
+          keySpace(entityTsCol) - expr(s"INTERVAL ${ttl.getSeconds} SECOND")
+      }
+      val cond = (equi :+ asOf) ++ ttlBound
+      val joined = featP.join(keySpace, cond.reduce(_ && _), "inner")
+
+      // A7+W1+J2+J3 in one argmax: max of (event_ts, created_ts, features)
+      // struct == latest eligible row per (join keys, entity_ts).
+      val orderCols =
+        Seq(featP(p + tsField).as("__ts")) ++
+          createdOpt.map(c => featP(p + c).as("__created")) ++
+          feats.zipWithIndex.map { case (f, i) => featP(p + f.name).as(s"__v$i") }
+      val best = joined
+        .groupBy((joinKeys.map(keySpace(_)) :+ keySpace(entityTsCol)): _*)
+        .agg(max(struct(orderCols: _*)).as("__best"))
+
+      def outName(f: Feature): String =
+        if (fullFeatureNames) s"${fv.name}__${f.name}" else f.name
+      val cleaned = best.select(
+        (joinKeys :+ entityTsCol).map(col) ++
+          feats.zipWithIndex.map { case (f, i) =>
+            col(s"__best.__v$i").as(outName(f))
+          }: _*)
+
+      // J4: null-padding LEFT JOIN back onto the (possibly wider,
+      // possibly duplicated) entity df.
+      acc.join(cleaned, (joinKeys :+ entityTsCol).distinct, "left")
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.online
+
+import graft.core.FeatureView
+import graft.sources.SourceReader
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** `fs.materialize(start, end, views)` — compute the latest feature value
+  * per entity key within `[start, end]` and push vectors to the online
+  * store (reference M5, `chicago_taxi_trips_hourly_gold.ipynb:474-478`).
+  *
+  * Latest-per-key uses the same single-shuffle argmax-by-struct as the
+  * PIT join (instead of the reference's window + filter): `max(struct(ts,
+  * created, features...))` grouped by join keys. The range filter lands
+  * on the scan so partition/row-group pruning applies.
+  */
+object Materializer {
+
+  /** @return the materialized latest-vector DataFrame (keys, event ts,
+    *         features) — also written to `store`.
+    */
+  def materialize(
+      spark: SparkSession,
+      store: OnlineStore,
+      view: FeatureView,
+      joinKeys: Seq[String],
+      start: Timestamp,
+      end: Timestamp): DataFrame = {
+
+    val tsField = view.source.timestampField
+    val createdOpt = view.source.createdTimestampColumn
+    val featNames = view.featureNames
+
+    val cols = (joinKeys ++ Seq(tsField) ++ createdOpt ++ featNames).distinct
+    val inRange = SourceReader.read(spark, view.source)
+      .select(cols.map(col): _*)
+      .filter(col(tsField) >= lit(start) && col(tsField) <= lit(end))
+
+    val orderCols =
+      Seq(col(tsField).as("__ts")) ++
+        createdOpt.map(c => col(c).as("__created")) ++
+        featNames.zipWithIndex.map { case (f, i) => col(f).as(s"__v$i") }
+
+    val latest =
+      if (joinKeys.isEmpty)
+        inRange.agg(max(struct(orderCols: _*)).as("__best"))
+      else
+        inRange.groupBy(joinKeys.map(col): _*)
+          .agg(max(struct(orderCols: _*)).as("__best"))
+
+    val out = latest.select(
+      joinKeys.map(col) ++
+        Seq(col("__best.__ts").as("event_timestamp")) ++
+        featNames.zipWithIndex.map { case (f, i) => col(s"__best.__v$i").as(f) }: _*)
+
+    store.write(view.name, joinKeys, out)
+    out
+  }
+}

@@ -1,0 +1,109 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable feature-engineering operators reproducing the reference's
+  * bronze→silver→gold pipelines as composable `DataFrame => DataFrame`
+  * stages (SURVEY §2.2-2.4, §2.9; reference pipelines at
+  * `chicago_taxi_trips_silver.ipynb`, `chicago_taxi_trips_hourly_gold
+  * .ipynb`, `chicago_weather_silver.py`, `chicago_weather_hourly_fs.py`).
+  *
+  * Everything is built-in `functions._` — codegen'd, no UDFs — so each
+  * stage stays inside WholeStageCodegen and Catalyst can push filters /
+  * prune columns across stage boundaries.
+  */
+object Transforms {
+
+  /** F4: truncate-to-hour — the event_timestamp bucketing idiom behind
+    * every hourly feature (`chicago_taxi_trips_hourly_gold.ipynb:73-77`).
+    * The reference uses `date_format(ts, "yyyy-MM-dd HH:00:00")` (a
+    * string); we keep TimestampType (`date_trunc`) per SURVEY §7.4.2 and
+    * normalize strings at the boundary instead.
+    */
+  def hourBucket(ts: Column): Column = date_trunc("hour", ts)
+
+  /** F4 string-parity variant for pipelines that need the reference's
+    * exact `"yyyy-MM-dd HH:00:00"` string key. */
+  def hourBucketString(ts: Column): Column =
+    date_format(ts, "yyyy-MM-dd HH:00:00")
+
+  /** P8: conditional recode (CASE WHEN) — precipitation code → label
+    * (`chicago_weather_silver.py:23-27`). */
+  def recode(c: Column, mapping: Map[String, String], default: Column): Column =
+    mapping.foldLeft(Option.empty[Column]) { case (acc, (from, to)) =>
+      Some(acc.fold(when(c === from, to))(_.when(c === from, to)))
+    }.fold(default)(_.otherwise(default))
+
+  /** P9: null default (`chicago_weather_hourly_fs.py:36-37`). */
+  def nullDefault(c: Column, default: Any): Column = coalesce(c, lit(default))
+
+  /** U1: priority collapse of a precipitation set — "snow" > "rain" >
+    * "no" (`chicago_weather_hourly_fs.py:22-29`). The reference uses a
+    * Python UDF; pure expressions keep it codegen'd (SURVEY §2.9).
+    */
+  def precipitationPriority(set: Column): Column =
+    when(array_contains(set, "snow"), "snow")
+      .when(array_contains(set, "rain"), "rain")
+      .otherwise("no")
+
+  /** P12: dynamic map flatten — schema-on-read pivot of a
+    * `Map(String,String)` column into top-level columns
+    * (`chicago_taxi_trips_silver.ipynb:38-47`). Requires one driver-side
+    * key-discovery job (two-pass, as in the reference); at scale bound it
+    * with `keySampleFraction` so discovery reads a sample, not the full
+    * table (SURVEY §7.4.6).
+    */
+  def flattenMapColumn(
+      df: DataFrame,
+      mapCol: String,
+      keep: Seq[String] = Seq.empty,
+      keySampleFraction: Double = 1.0): DataFrame = {
+    val base = if (keySampleFraction < 1.0) df.sample(keySampleFraction) else df
+    val keys = base
+      .select(explode(map_keys(col(mapCol))).as("key"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .sorted
+    val projected = keys.map(k => col(mapCol).getItem(k).as(k))
+    df.select(keep.map(col) ++ projected: _*)
+  }
+
+  /** P13: JSON parse with declared schema
+    * (`chicago_weather_bronze.py:17-36,42-45`). */
+  def parseJson(c: Column, schema: org.apache.spark.sql.types.StructType): Column =
+    from_json(c, schema)
+
+  /** A1-pattern: hourly stats per key — the flagship gold feature query
+    * (`chicago_taxi_trips_hourly_gold.ipynb:78-88`): groupBy(keys, hour)
+    * with avg/sum/count. Aggregations are hash aggs with map-side partial
+    * aggregation; one keyed shuffle.
+    */
+  def hourlyStats(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy((keyCols.map(col) :+ hourBucket(col(tsCol)).as("event_timestamp")): _*)
+      .agg(
+        avg(col(valueCol)).as(s"avg_$valueCol"),
+        sum(col(valueCol)).as(s"sum_$valueCol"),
+        min(col(valueCol)).as(s"min_$valueCol"),
+        max(col(valueCol)).as(s"max_$valueCol"),
+        count(lit(1)).as("n_events"))
+
+  /** S2/S3 write discipline: repartition by the write-partition column
+    * immediately before a partitioned write so each task owns whole
+    * output partitions (small-files control, `ingest_taxy.py:72-75`).
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCol: String,
+      mode: String = "overwrite"): Unit =
+    df.repartition(col(partitionCol))
+      .write.mode(mode)
+      .partitionBy(partitionCol)
+      .parquet(path)
+}
