@@ -1,0 +1,61 @@
+package graft.core
+
+import org.apache.spark.sql.types.{DoubleType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.time.Duration
+
+/** Registry round-trip + idempotent apply + metadata stamping
+  * (reference M2/M3, `CASE.MD:180-185,234-240,276-279`).
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  private val entity = Entity("driver", Seq("taxi_id"), ValueType.STRING)
+  private val view = FeatureView(
+    "taxi_hourly", Seq("driver"),
+    Seq(Feature("avg_fare", DoubleType), Feature("flag", StringType)),
+    SparkSource("gold", "/tmp/gold", "parquet", "event_timestamp", Some("created")),
+    Some(Duration.ofSeconds(172800)))
+
+  test("file registry persists and reloads definitions faithfully") {
+    val path = Files.createTempDirectory("reg").resolve("registry.json")
+    val reg = new FileRegistry(path)
+    reg.applyEntity(entity)
+    reg.applyFeatureView(view)
+    val reloaded = new FileRegistry(path) // fresh instance, re-reads file
+    assert(reloaded.getEntity("driver") === Some(entity))
+    assert(reloaded.getFeatureView("taxi_hourly") === Some(view))
+    assert(reloaded.listDataSources() === Seq(view.source))
+  }
+
+  test("apply is idempotent and preserves created while bumping lastUpdated") {
+    val path = Files.createTempDirectory("reg").resolve("registry.json")
+    val reg = new FileRegistry(path)
+    reg.applyEntity(entity)
+    val m1 = reg.meta("entity", "driver").get
+    Thread.sleep(5)
+    reg.applyEntity(entity.copy(description = "updated"))
+    val m2 = reg.meta("entity", "driver").get
+    assert(reg.listEntities().size === 1)
+    assert(reg.getEntity("driver").get.description === "updated")
+    assert(m2.created === m1.created)
+    assert(m2.lastUpdated >= m1.lastUpdated)
+  }
+
+  test("resolve groups refs by view and validates names") {
+    val reg = new InMemoryRegistry
+    reg.applyEntity(entity)
+    reg.applyFeatureView(view)
+    val resolved = reg.resolve(Seq("taxi_hourly:avg_fare", "taxi_hourly:flag"))
+    assert(resolved.map { case (fv, fs) => (fv.name, fs.map(_.name)) } ===
+      Seq(("taxi_hourly", Seq("avg_fare", "flag"))))
+    intercept[NoSuchElementException](reg.resolve(Seq("nope:x")))
+    intercept[NoSuchElementException](reg.resolve(Seq("taxi_hourly:nope")))
+    intercept[IllegalArgumentException](reg.resolve(Seq("malformed")))
+  }
+
+  test("entity default join key falls back to entity name") {
+    assert(Entity("user_id", ValueType.INT64).resolvedJoinKeys === Seq("user_id"))
+  }
+}

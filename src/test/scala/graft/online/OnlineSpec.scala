@@ -1,0 +1,76 @@
+package graft.online
+
+import graft.SparkSpec
+import graft.api.{FeatureStore, RepoConfig}
+import graft.core._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Materialize → online lookup loop (reference M5/M6), for both the
+  * in-memory and parquet-backed stores.
+  */
+class OnlineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val featPath: String = {
+    val dir = Files.createTempDirectory("graft_online").toString + "/f"
+    Seq(
+      ("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-05 00:00:00", 5.0),   // latest in range for a
+      ("a", "2024-02-01 00:00:00", 99.0),  // outside range
+      ("b", "2024-01-03 00:00:00", 3.0)
+    ).toDF("key", "s", "value")
+      .select(col("key"), to_timestamp(col("s")).as("event_ts"), col("value"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def fixture(store: OnlineStore): FeatureStore = {
+    val fs = new FeatureStore(spark, RepoConfig("t"), new InMemoryRegistry, store)
+    fs.applyObjects(Seq(
+      Entity("key", Seq("key"), ValueType.STRING),
+      FeatureView("fv", Seq("key"), Seq(Feature("value", DoubleType)),
+        SparkSource("s", featPath, timestampField = "event_ts"))))
+    fs.materialize(
+      Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-01-31 00:00:00"), Seq("fv"))
+    fs
+  }
+
+  private def lookupValue(fs: FeatureStore, key: String): Option[Any] =
+    fs.getOnlineFeatures(Seq(Map("key" -> key)), Seq("fv:value"))
+      .head.get("fv__value").filter(_ != null)
+
+  test("in-memory store serves latest-in-range vectors") {
+    val fs = fixture(new InMemoryOnlineStore)
+    assert(lookupValue(fs, "a") === Some(5.0))
+    assert(lookupValue(fs, "b") === Some(3.0))
+    assert(lookupValue(fs, "zz") === None)
+  }
+
+  test("parquet store round-trips through disk") {
+    val root = Files.createTempDirectory("graft_kv").toString
+    val fs = fixture(new ParquetOnlineStore(spark, root))
+    assert(lookupValue(fs, "a") === Some(5.0))
+    // fresh store instance reloads from disk
+    val fs2 = new FeatureStore(spark, RepoConfig("t"), new InMemoryRegistry,
+      new ParquetOnlineStore(spark, root))
+    fs2.applyObjects(Seq(
+      Entity("key", Seq("key"), ValueType.STRING),
+      FeatureView("fv", Seq("key"), Seq(Feature("value", DoubleType)),
+        SparkSource("s", featPath, timestampField = "event_ts"))))
+    assert(lookupValue(fs2, "b") === Some(3.0))
+  }
+
+  test("materialize re-run overwrites with newer window (upsert)") {
+    val store = new InMemoryOnlineStore
+    val fs = fixture(store)
+    fs.materialize(
+      Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-03-01 00:00:00"), Seq("fv"))
+    assert(lookupValue(fs, "a") === Some(99.0))
+  }
+}

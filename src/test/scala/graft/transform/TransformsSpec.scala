@@ -1,0 +1,71 @@
+package graft.transform
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the feature-engineering transforms (SURVEY §2.2-2.4). */
+class TransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hourBucket truncates to hour, hourBucketString matches reference format") {
+    val df = Seq("2024-03-05 17:42:31").toDF("s")
+      .select(to_timestamp(col("s")).as("ts"))
+    val r = df.select(
+      Transforms.hourBucket(col("ts")).cast("string"),
+      Transforms.hourBucketString(col("ts"))).head()
+    assert(r.getString(0) === "2024-03-05 17:00:00")
+    assert(r.getString(1) === "2024-03-05 17:00:00")
+  }
+
+  test("recode maps known codes and falls through to default") {
+    val df = Seq("0", "60", "70", "99").toDF("code")
+    val got = df.select(Transforms.recode(col("code"),
+      Map("0" -> "no", "60" -> "rain", "70" -> "snow"), lit("unknown")).as("t"))
+      .as[String].collect().toSeq
+    assert(got === Seq("no", "rain", "snow", "unknown"))
+  }
+
+  test("precipitationPriority collapses with snow > rain > no") {
+    val df = Seq(
+      Seq("no", "rain", "snow"), Seq("rain", "no"), Seq("no"), Seq.empty[String]
+    ).toDF("set")
+    val got = df.select(Transforms.precipitationPriority(col("set")).as("p"))
+      .as[String].collect().toSeq
+    assert(got === Seq("snow", "rain", "no", "no"))
+  }
+
+  test("flattenMapColumn pivots dynamic keys into columns") {
+    val df = Seq(
+      ("r1", Map("a" -> "1", "b" -> "2")),
+      ("r2", Map("b" -> "3", "c" -> "4"))
+    ).toDF("id", "body")
+    val flat = Transforms.flattenMapColumn(df, "body", keep = Seq("id"))
+    assert(flat.columns.toSeq === Seq("id", "a", "b", "c"))
+    val r2 = flat.filter(col("id") === "r2").head()
+    assert(r2.getString(1) === null && r2.getString(2) === "3" && r2.getString(3) === "4")
+  }
+
+  test("hourlyStats aggregates per key per hour") {
+    val df = Seq(
+      (1L, "2024-01-01 10:15:00", 10.0),
+      (1L, "2024-01-01 10:45:00", 30.0),
+      (1L, "2024-01-01 11:05:00", 5.0)
+    ).toDF("k", "s", "v").select(col("k"), to_timestamp(col("s")).as("ts"), col("v"))
+    val got = Transforms.hourlyStats(df, Seq("k"), "ts", "v")
+      .orderBy("event_timestamp")
+      .select("avg_v", "sum_v", "min_v", "max_v", "n_events")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got === Seq((20.0, 40.0, 10.0, 30.0, 2L), (5.0, 5.0, 5.0, 5.0, 1L)))
+  }
+
+  test("writePartitioned lays out hive-style partitions") {
+    val out = java.nio.file.Files.createTempDirectory("wp").toString + "/t"
+    val df = Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("created", "v")
+    Transforms.writePartitioned(df, out, "created")
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("created="))
+    assert(dirs.toSet === Set("created=2024-01-01", "created=2024-01-02"))
+    val back = spark.read.parquet(out)
+    assert(back.count() === 2)
+  }
+}
