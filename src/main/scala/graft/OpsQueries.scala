@@ -1,0 +1,305 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operator catalog (dedup, similarity search,
+  * text analysis, multimodal) — the scale extensions beyond the
+  * reference's own operators (build brief; SURVEY §7.1 module 9).
+  *
+  * Oracle-parity notes on top of [[Queries]]' conventions:
+  *   - DuckDB `regexp_replace` is first-match-only without the 'g' flag;
+  *   - DuckDB `sum(INTEGER)` → HUGEINT and integer arithmetic → BIGINT,
+  *     so Spark-side int counts are cast to long and DuckDB HUGEINTs to
+  *     BIGINT;
+  *   - all md5-based hashing (fingerprints, minhash, simhash16 bits) is
+  *     identical hex text in both engines.
+  */
+object OpsQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // ------------------------------------------------------------ text stats
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+      round(TextAnalysis.avgTokenLength(col("text")), 4).as("avg_token_len"),
+      round(TextAnalysis.stopwordRatio(col("text")), 4).as("stop_ratio"),
+      round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  val textStatsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         regexp_split_to_array(trim(text), '\s+') AS toks,
+      |         CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nchr,
+      |         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS npunct
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(toks) AS BIGINT) AS n_tokens,
+      |       CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_bpe,
+      |       round(nchr / len(toks), 4) AS avg_token_len,
+      |       round(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','in','to','it'], x))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
+      |       round(npunct / length(text), 4) AS punct_ratio,
+      |       round(0.5 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','in','to','it'], x))) AS DOUBLE) / len(toks))
+      |             + 0.05 * least(nchr / len(toks), 10.0)
+      |             - 0.3 * (npunct / length(text)), 4) AS quality
+      |FROM t""".stripMargin
+
+  // ------------------------------------------------------------ language id
+  def langId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      col("lang").as("lang_label"))
+
+  val langIdSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, text,
+      |         regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents), c AS (
+      |  SELECT doc_id, lang, text,
+      |         len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS c_en,
+      |         len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS c_de,
+      |         len(list_filter(toks, x -> list_contains(['el','los','y','en','que'], x))) AS c_es,
+      |         len(list_filter(toks, x -> list_contains(['le','la','les','et','une'], x))) AS c_fr
+      |  FROM t)
+      |SELECT doc_id,
+      |       CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      |            WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+      |            WHEN c_de > 0 AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+      |            WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
+      |            WHEN c_fr > 0 THEN 'fr'
+      |            ELSE 'unknown' END AS lang_pred,
+      |       lang AS lang_label
+      |FROM c""".stripMargin
+
+  // ------------------------------------------------------------ exact dedup
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDuplicates(docs(s, dir), "doc_id", "text")
+
+  val exactDedupSql: String =
+    """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+      |       min(doc_id) AS keeper_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------ minhash LSH
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
+
+  val minhashLshSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+      |    FROM toks WHERE len(t) >= 3)),
+      |mh AS (
+      |  SELECT doc_id,
+      |         min(md5('0' || s)) AS mh0, min(md5('1' || s)) AS mh1,
+      |         min(md5('2' || s)) AS mh2, min(md5('3' || s)) AS mh3,
+      |         min(md5('4' || s)) AS mh4, min(md5('5' || s)) AS mh5,
+      |         min(md5('6' || s)) AS mh6, min(md5('7' || s)) AS mh7
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS bh FROM mh
+      |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+      |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+      |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh)
+      |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |FROM bands x JOIN bands y
+      |  ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.doc_id < y.doc_id""".stripMargin
+
+  // ------------------------------------------------------------ n-gram jaccard
+  /** Exact 3-gram Jaccard on source-blocked pairs (the verification stage
+    * after LSH candidate generation; blocked so it never goes quadratic).
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val a = d.select(col("source"), col("doc_id").as("a"))
+    val b = d.select(col("source"), col("doc_id").as("b"))
+    val pairs = a.join(b, "source").filter(col("a") < col("b")).select("a", "b")
+    Dedup.ngramJaccard(pairs, Dedup.shingleSet(d, "doc_id", "text"), "doc_id")
+  }
+
+  val ngramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+      |    FROM toks WHERE len(t) >= 3)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT d1.doc_id AS a, d2.doc_id AS b
+      |  FROM documents d1 JOIN documents d2
+      |    ON d1.source = d2.source AND d1.doc_id < d2.doc_id),
+      |common AS (
+      |  SELECT p.a, p.b, count(*) AS n_common
+      |  FROM pairs p
+      |  JOIN sh sa ON sa.doc_id = p.a
+      |  JOIN sh sb ON sb.doc_id = p.b AND sb.s = sa.s
+      |  GROUP BY p.a, p.b)
+      |SELECT p.a, p.b,
+      |       CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+      |       za.sz AS sz_a, zb.sz AS sz_b,
+      |       round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+      |             / (za.sz + zb.sz - coalesce(c.n_common, 0)), 6) AS jaccard
+      |FROM pairs p
+      |LEFT JOIN common c ON c.a = p.a AND c.b = p.b
+      |JOIN sizes za ON za.doc_id = p.a
+      |JOIN sizes zb ON zb.doc_id = p.b""".stripMargin
+
+  // ------------------------------------------------------------ simhash
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash16(docs(s, dir), "doc_id", "text")
+
+  val simhashSql: String = {
+    val hexHigh = "('8','9','a','b','c','d','e','f')"
+    val sums = (0 until 16).map { b =>
+      s"sum(CASE WHEN substr(h, ${b + 1}, 1) IN $hexHigh THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n         ")
+    val sig = (0 until 16).map { b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk
+       |  FROM documents),
+       |h AS (SELECT doc_id, md5(tk) AS h FROM tok),
+       |sums AS (
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash16 FROM sums""".stripMargin
+  }
+
+  // ------------------------------------------------------------ knn brute force
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  val knnBruteSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 20),
+      |c AS (
+      |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+      |  FROM q JOIN c ON query_id <> neighbor_id)
+      |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |      FROM scored)
+      |WHERE rank <= 5""".stripMargin
+
+  // ------------------------------------------------------------ embedding dedup
+  def embeddingDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.blockedCosinePairs(emb(s, dir), "vec_id", "embedding", "label", 0.15)
+
+  val embeddingDedupSql: String =
+    """SELECT a.label AS block, a.vec_id AS a, b.vec_id AS b,
+      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                   CAST(b.embedding AS DOUBLE[])), 6) > 0.15""".stripMargin
+
+  // ------------------------------------------------------------ multimodal
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaFromDocuments(docs(s, dir)).select(
+      col("media_id"),
+      octet_length(col("media")).cast("long").as("n_bytes"),
+      col("format"),
+      col("width").cast("long").as("width"),
+      col("height").cast("long").as("height"),
+      col("n_frames").cast("long").as("n_frames"))
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id AS media_id,
+      |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |       (['jpeg','png','wav'])[(doc_id % 3 + 1)] AS format,
+      |       CAST(octet_length(CAST(text AS BLOB)) % 640 + 32 AS BIGINT) AS width,
+      |       CAST(octet_length(CAST(text AS BLOB)) % 480 + 24 AS BIGINT) AS height,
+      |       CAST(octet_length(CAST(text AS BLOB)) % 16 + 1 AS BIGINT) AS n_frames
+      |FROM documents""".stripMargin
+
+  /** Frame sampling: md5 of each sampled frame's bytes (text is ASCII, so
+    * DuckDB's substr-of-text hashes the same bytes).
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docs(s, dir)))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(col("frame")).as("frame_md5"))
+
+  val frameSampleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, text,
+      |         octet_length(CAST(text AS BLOB)) AS nb,
+      |         octet_length(CAST(text AS BLOB)) % 16 + 1 AS n_frames
+      |  FROM documents)
+      |SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+      |       md5(substr(text, CAST(i * (nb // n_frames) + 1 AS INTEGER),
+      |                  CAST(nb // n_frames AS INTEGER))) AS frame_md5
+      |FROM m, unnest(range(0, n_frames)) AS u(i)""".stripMargin
+
+  /** mapPartitions feature extraction (decode stub) — no SQL oracle; the
+    * driver records a rows-only check and DedupSimilaritySpec pins the
+    * values.
+    */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(
+      s, Multimodal.mediaFromDocuments(docs(s, dir)))
+    feats.toDF()
+  }
+
+  /** IVF approximate KNN — no SQL oracle (recall pinned vs brute force in
+    * DedupSimilaritySpec).
+    */
+  def ivfKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, numCentroids = 16, nprobe = 4)
+  }
+
+  // ------------------------------------------------------------ catalogs
+  val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_text_stats" -> textStats _,
+    "q15_lang_id" -> langId _,
+    "q16_exact_dedup" -> exactDedup _,
+    "q17_minhash_lsh" -> minhashLsh _,
+    "q18_ngram_jaccard" -> ngramJaccard _,
+    "q19_simhash" -> simhash _,
+    "q20_knn_brute" -> knnBrute _,
+    "q21_embedding_dedup" -> embeddingDedup _,
+    "q22_multimodal_meta" -> multimodalMeta _,
+    "q23_frame_sample" -> frameSample _,
+    "q24_media_features" -> mediaFeatures _,
+    "q25_ivf_knn" -> ivfKnn _)
+
+  val opsOracles: Map[String, String] = Map(
+    "q14_text_stats" -> textStatsSql,
+    "q15_lang_id" -> langIdSql,
+    "q16_exact_dedup" -> exactDedupSql,
+    "q17_minhash_lsh" -> minhashLshSql,
+    "q18_ngram_jaccard" -> ngramJaccardSql,
+    "q19_simhash" -> simhashSql,
+    "q20_knn_brute" -> knnBruteSql,
+    "q21_embedding_dedup" -> embeddingDedupSql,
+    "q22_multimodal_meta" -> multimodalMetaSql,
+    "q23_frame_sample" -> frameSampleSql)
+}

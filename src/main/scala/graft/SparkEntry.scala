@@ -9,12 +9,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.pitJoin(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * training-data-pipeline extensions (dedup/similarity/text/multimodal).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.relational
+    Queries.relational ++ OpsQueries.ops
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.relationalOracles
+    Queries.relationalOracles ++ OpsQueries.opsOracles
 }

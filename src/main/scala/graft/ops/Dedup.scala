@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design (100 TB posture): every stage is a keyed shuffle —
+  * shingles explode locally, signatures reduce with map-side partial
+  * aggregation, candidate generation joins on band hash (only docs
+  * sharing a bucket ever meet), and Jaccard verification runs only on
+  * blocked/candidate pairs, never all-pairs. Hashes are md5-based so the
+  * DuckDB oracle reproduces signatures exactly.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------- exact
+  /** Exact dedup: group by normalized-text fingerprint; keeper = min id.
+    * One hash shuffle on the fingerprint (reference A7-analogue for
+    * documents).
+    */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  // -------------------------------------------------------------- shingles
+  /** Word n-gram shingles of the whitespace tokens; docs with fewer than
+    * `n` tokens produce no shingles.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+  }
+
+  /** (id, shingle) exploded + deduped per doc — the set representation
+    * Jaccard/MinHash are defined over.
+    */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  // -------------------------------------------------------------- minhash
+  /** MinHash signature: for each of `numHashes` seeds, the minimum of
+    * `md5(seed || shingle)` over the doc's shingle set. String-min of md5
+    * hex is a valid uniform min-hash and is engine-portable. One shuffle
+    * (groupBy id) with map-side partial min.
+    */
+  def minhashSignatures(
+      shingleSet: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
+    val aggs = (0 until numHashes).map { k =>
+      min(md5(concat(lit(k.toString), col("shingle")))).as(s"mh$k")
+    }
+    shingleSet.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: group `rowsPerBand` consecutive minhashes, hash each
+    * band → (id, band_idx, band_hash) rows. Docs sharing any band hash
+    * are candidate near-duplicates.
+    */
+  def lshBands(
+      signatures: DataFrame, idCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), md5(concat(cols: _*)).as("band_hash"))
+    }
+    signatures.select(col(idCol), explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** Candidate pairs: self-join on (band_idx, band_hash), `a < b`,
+    * distinct. The join key is the band hash, so only same-bucket docs
+    * shuffle together — the core of LSH's sub-quadratic scaling.
+    */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col(idCol).as("a"), col("band_idx"), col("band_hash"))
+    val b = bands.select(col(idCol).as("b"), col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: text → shingle set → signatures
+    * → bands → candidate pairs.
+    */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    candidatePairs(
+      lshBands(
+        minhashSignatures(shingleSet(df, idCol, textCol, shingleN), idCol, numHashes),
+        idCol, numHashes, rowsPerBand),
+      idCol)
+
+  // -------------------------------------------------------------- jaccard
+  /** Exact n-gram Jaccard for a given set of pairs (blocked upstream —
+    * never call on an unblocked cross product at scale). `pairs` has
+    * columns (a, b); result adds intersection/union sizes and the
+    * similarity.
+    */
+  def ngramJaccard(
+      pairs: DataFrame, shingleSet: DataFrame, idCol: String): DataFrame = {
+    val sizes = shingleSet.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val sa = shingleSet.select(col(idCol).as("a"), col("shingle"))
+    val sb = shingleSet.select(col(idCol).as("b"), col("shingle"))
+    val common = pairs
+      .join(sa, "a").join(sb, Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(common, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sz_a")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("sz_b")), "b")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")), 6))
+      .select("a", "b", "n_common", "sz_a", "sz_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------- simhash
+  /** 16-bit SimHash from md5 hex digits: bit b of a token's hash is
+    * (hex digit b >= '8'); the doc bit is the sign of the token-count
+    * weighted sum. Engine-portable; the 64-bit production variant is the
+    * custom codegen expression [[graft.functions.SimHash64]].
+    */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (0 until 16).map { b =>
+      sum(when(substring(col("h"), b + 1, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 16).map { b =>
+      when(col(s"s$b") > 0, math.pow(2, b).toLong).otherwise(0L)
+    }.reduce(_ + _)
+    sums.select(col(idCol), sig.as("simhash16"))
+  }
+}

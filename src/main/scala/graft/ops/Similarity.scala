@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, an IVF-bucketed
+  * variant as the scale path, and embedding-cosine near-dup pairs.
+  *
+  * All math runs in double after an explicit cast (the float32 values
+  * are exact in double, so both engines see identical operands) as a
+  * sequential left fold — `zip_with` + `aggregate` — which keeps results
+  * reproducible and inside WholeStageCodegen.
+  *
+  * Scale notes: brute force is O(Q×N) — fine when the query set is small
+  * and broadcastable, the pattern used here; IVF assigns vectors to their
+  * nearest of C fixed centroids so a probe touches nprobe/C of the data;
+  * both shuffle only on compact keys (query id / centroid id).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm (sqrt of self-dot). */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Precompute (id, vector-as-double, norm) — norms are computed once
+    * per row, not once per pair.
+    */
+  def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), asDouble(col(vecCol)).as("__vec"))
+      .withColumn("__norm", norm(col("__vec")))
+
+  /** Exact brute-force cosine top-k: for every query row, the k corpus
+    * rows with highest cosine (ties pinned by neighbor id). The query
+    * side is broadcast — the corpus streams by once, no all-pairs
+    * shuffle. Self-matches (same id) are excluded.
+    *
+    * @return (query_id, neighbor_id, rank, cosine rounded to 6dp)
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = withNorm(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("__vec").as("cv"), col("__norm").as("cn"))
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("__vec").as("qv"), col("__norm").as("qn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
+    * cluster/label/LSH bucket): pairs (a < b) in the same block with
+    * cosine above `threshold`. The join key is the block — never
+    * all-pairs.
+    */
+  def blockedCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val n = withNorm(df, idCol, vecCol)
+      .join(df.select(col(idCol), col(blockCol)), idCol)
+    val a = n.select(col(blockCol).as("block"), col(idCol).as("a"),
+      col("__vec").as("va"), col("__norm").as("na"))
+    val b = n.select(col(blockCol).as("block"), col(idCol).as("b"),
+      col("__vec").as("vb"), col("__norm").as("nb"))
+    a.join(b, "block")
+      .filter(col("a") < col("b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") > threshold)
+      .select(col("block"), col("a"), col("b"), col("cos"))
+  }
+
+  /** IVF (inverted-file) approximate top-k. Centroids are the first
+    * `numCentroids` corpus vectors by id — a deterministic training stub
+    * standing in for k-means (swap in MLlib KMeans on a real corpus).
+    * Every vector is assigned to its nearest centroid (one broadcast
+    * pass); a query scans only its `nprobe` nearest centroid buckets.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = withNorm(
+      corpus.orderBy(col(idCol)).limit(numCentroids), idCol, vecCol)
+      .select(col(idCol).as("centroid_id"), col("__vec").as("centv"),
+        col("__norm").as("centn"))
+
+    def nearestCentroids(df: DataFrame, side: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(s"${side}_id"))
+        .orderBy(col("simc").desc, col("centroid_id").asc)
+      df.join(broadcast(cents), expr("true"))
+        .withColumn("simc",
+          dot(col("__vec"), col("centv")) / (col("__norm") * col("centn")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("centv", "centn", "simc", "crank")
+    }
+
+    val assigned = nearestCentroids(
+      withNorm(corpus, idCol, vecCol).withColumnRenamed(idCol, "corpus_id"),
+      "corpus", 1)
+      .select(col("centroid_id"), col("corpus_id").as("neighbor_id"),
+        col("__vec").as("cv"), col("__norm").as("cn"))
+    val probed = nearestCentroids(
+      withNorm(queries, idCol, vecCol).withColumnRenamed(idCol, "query_id"),
+      "query", nprobe)
+      .select(col("centroid_id"), col("query_id"), col("__vec").as("qv"),
+        col("__norm").as("qn"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probed.join(assigned, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting (whitespace + BPE-ish regex), quality
+  * scoring, language ID (marker-token heuristic), and document
+  * fingerprinting. All pure `functions._` expressions — codegen'd,
+  * shuffle-free per row, embarrassingly parallel at 100 TB.
+  *
+  * Determinism note: quality components avoid transcendentals so the
+  * DuckDB oracle reproduces results bitwise (double +,*,/ are IEEE-exact
+  * in both engines given identical operand order).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens; empty/blank text → empty array (not [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and symbol runs each
+    * count as one token (GPT-2-style pre-tokenizer shape, simplified to a
+    * regex portable across Java regex and RE2).
+    */
+  val BpePattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** English stopword markers used for quality scoring. */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "is", "in", "to", "it")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** Characters excluding spaces. */
+  def charCount(text: Column): Column = length(regexp_replace(text, " ", ""))
+
+  /** Punctuation (non-alphanumeric, non-space) character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+
+  /** Mean token length in characters (0 for empty docs). */
+  def avgTokenLength(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(charCount(text).cast("double") / n)
+  }
+
+  /** Stopword ratio over whitespace tokens (0 for empty docs). */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(countIn(tokens(text), StopwordsEn).cast("double") / n)
+  }
+
+  /** Punctuation ratio over characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(punctCount(text).cast("double") / length(text))
+
+  /** Composite quality score in ~[0,1]: rewards stopword presence and
+    * moderate word length, penalizes punctuation soup. Linear on purpose
+    * (oracle bitwise parity — no exp/log).
+    */
+  def qualityScore(text: Column): Column =
+    round(
+      lit(0.5) * stopwordRatio(text)
+        + lit(0.05) * least(avgTokenLength(text), lit(10.0))
+        - lit(0.3) * punctRatio(text),
+      4)
+
+  /** Marker-token sets per language for the n-gram/stopword language-ID
+    * heuristic. CJK script presence short-circuits to zh.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "y", "en", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "une"))
+
+  /** Heuristic language ID: CJK regexp → zh; otherwise the marker set
+    * with the highest hit count wins, ties broken in [[LangMarkers]]
+    * order; no hits → "unknown".
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = LangMarkers.map { case (lang, markers) =>
+      lang -> countIn(toks, markers)
+    }
+    val hasCjk = text.rlike("[\\u4e00-\\u9fff]")
+    val ordered = counts.zipWithIndex.map { case ((lang, c), i) =>
+      val laterCounts = counts.drop(i + 1).map(_._2)
+      val geAllLater = laterCounts.foldLeft(c > 0) { (acc, o) => acc && c >= o }
+      (lang, geAllLater)
+    }
+    ordered.foldLeft(when(hasCjk, "zh")) { case (acc, (lang, cond)) =>
+      acc.when(cond, lang)
+    }.otherwise("unknown")
+  }
+
+  /** Exact-dup fingerprint: md5 of the whitespace-normalized, lowercased
+    * text. Portable across engines (md5 hex).
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

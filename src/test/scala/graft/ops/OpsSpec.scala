@@ -1,0 +1,164 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.{SimHash64, functions => gf}
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / text / multimodal operator specs, including
+  * planted near-duplicates (the synthetic corpus has none) and recall of
+  * the approximate paths against exact baselines.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(sf0001)
+  private object Tables {
+    def load(dir: String) = graft.Tables.load(spark, dir, "documents")
+  }
+
+  test("exact dedup finds planted copies and keeps min id") {
+    val base = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "  alpha   beta gamma "), // whitespace-normalized copy of 1
+      (3L, "something else entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactDuplicates(base, "doc_id", "text")
+      .orderBy("keeper_id")
+      .select("keeper_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH surfaces planted near-duplicates") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val t2 = t1.replace("today", "tomorrow") // one-token change → near dup
+    val t3 = "completely different content with no overlap whatsoever in shingles at all"
+    val df = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard is 1.0 for identical docs and 0 for disjoint") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val got = Dedup.ngramJaccard(pairs, Dedup.shingleSet(df, "doc_id", "text"), "doc_id")
+      .orderBy("b").select("jaccard").as[Double].collect().toSeq
+    assert(got === Seq(1.0, 0.0))
+  }
+
+  test("simhash16 of near-identical docs is close in hamming distance") {
+    val t1 = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val t2 = t1 + " extra"
+    val df = Seq((1L, t1), (2L, t2), (3L, "wholly other words entirely"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.simhash16(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) <= 3)
+    assert(ham(sig(1L), sig(3L)) > 3)
+  }
+
+  test("simhash64 expression: interpreted == codegen, near-dup property holds") {
+    val t1 = (1 to 80).map(i => s"w$i").mkString(" ")
+    val t2 = t1 + " tail"
+    val df = Seq((1L, t1), (2L, t2), (3L, "all different everything other"))
+      .toDF("id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val sig = df.select(col("id"), gf.simhash64(toks).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(SimHash64.hamming(sig(1L), sig(2L)) <= 6)
+    assert(SimHash64.hamming(sig(1L), sig(3L)) > 10)
+    // SQL registration path (forces a separate plan; both must agree)
+    gf.registerAll(spark)
+    df.createOrReplaceTempView("sh_docs")
+    val viaSql = spark.sql(
+      "SELECT id, simhash64(split(trim(text), '\\\\s+')) s FROM sh_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql === sig)
+  }
+
+  test("rolling_hash matches a driver-side reference implementation") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    val inputs = Seq("", "a", "abc", "hello world", "ünïcødé £ 中文")
+    val got = inputs.toDF("s").select(gf.rolling_hash(col("s")))
+      .as[Long].collect().toSeq
+    assert(got === inputs.map(ref))
+    // null-safety
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(gf.rolling_hash(col("s"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("brute-force KNN: neighbors are genuinely top-k (spot-check vs local compute)") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val topk = Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") === 0), "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    // local recompute
+    val all = e.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val q = all.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSeq
+    assert(topk.map(_.getLong(1)).toSeq === want)
+  }
+
+  test("IVF KNN recall@5 >= 0.6 vs brute force on the fixture") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(e, queries, "vec_id", "embedding", 5,
+      numCentroids = 16, nprobe = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
+  test("multimodal feature extraction preserves ids and emits normalized histograms") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length === docs.count())
+    feats.take(20).foreach { f =>
+      assert(f.features.length === 8)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3, s"histogram not normalized: ${f.media_id}")
+    }
+    // deterministic: known bytes → known histogram
+    val h = Multimodal.fakeDecode("aaaa".getBytes) // 'a'=97 → bin 3
+    assert(h(3) === 1.0f && h.sum === 1.0f)
+  }
+
+  test("frame sampling emits n_frames frames covering the blob prefix") {
+    val media = Multimodal.mediaFromDocuments(docs.limit(10))
+    val frames = Multimodal.sampleFrames(media)
+    val counts = frames.groupBy("media_id").count()
+      .join(media.select(col("media_id"), col("n_frames").cast("long").as("nf")), "media_id")
+    assert(counts.filter(col("count") =!= col("nf")).count() === 0)
+  }
+
+  test("language id obeys marker priority and CJK short-circuit") {
+    val df = Seq(
+      (1L, "the cat and the dog"),        // en
+      (2L, "der hund und die katze ist"), // de
+      (3L, "el perro y los gatos"),       // es
+      (4L, "le chat et la souris une"),   // fr
+      (5L, "对酒当歌 人生几何"),            // zh via CJK
+      (6L, "zzz qqq www")                 // unknown
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr",
+      5L -> "zh", 6L -> "unknown"))
+  }
+}
