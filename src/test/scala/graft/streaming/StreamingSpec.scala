@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+import java.nio.file.Files
+
+/** Structured Streaming specs: file-source → windowed gold with
+  * watermark, parquet sink round-trip, and custom mapGroupsWithState.
+  * Memory sink + processAllAvailable make the streams synchronous.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDrop(dir: String, rows: Seq[(Long, String, Double)]): Unit =
+    rows.toDF("user_id", "s", "value")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"), col("value"))
+      .write.mode("append").parquet(dir)
+
+  test("streaming hourly window stats over file drops") {
+    val src = Files.createTempDirectory("stream_src").toString
+    writeDrop(src, Seq(
+      (1L, "2024-01-01 10:05:00", 10.0),
+      (1L, "2024-01-01 10:35:00", 30.0),
+      (1L, "2024-01-01 11:10:00", 7.0)))
+
+    val schema = spark.read.parquet(src).schema
+    val stream = StreamingIngest.readStream(spark, src, schema)
+    val agg = StreamingIngest.hourlyWindowStats(stream, "user_id", "ts", "value")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly_out")
+        .orderBy("event_timestamp")
+        .select("avg_value", "sum_value", "n_events")
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(got === Seq((20.0, 40.0, 2L), (7.0, 7.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming parquet sink appends across micro-batches") {
+    val src = Files.createTempDirectory("stream_src2").toString
+    val out = Files.createTempDirectory("stream_out").toString + "/t"
+    val chk = Files.createTempDirectory("stream_chk").toString
+    writeDrop(src, Seq((1L, "2024-01-01 10:05:00", 1.0)))
+
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingIngest.toParquetSink(
+      StreamingIngest.readStream(spark, src, schema), out, chk).start()
+    try {
+      q.processAllAvailable()
+      writeDrop(src, Seq((2L, "2024-01-01 11:00:00", 2.0))) // late drop arrives
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 2)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-key session state") {
+    val src = Files.createTempDirectory("stream_src3").toString
+    writeDrop(src, Seq(
+      (1L, "2024-01-01 10:00:00", 5.0),
+      (1L, "2024-01-01 10:01:00", 7.0),
+      (2L, "2024-01-01 10:02:00", 1.0)))
+    val schema = spark.read.parquet(src).schema
+    val stream = StreamingIngest.readStream(spark, src, schema)
+    val sessions = StreamingIngest.sessionize(spark, stream,
+      GroupStateTimeout.NoTimeout)
+    val q = sessions.writeStream.outputMode("update")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions_out")
+        .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === Set((1L, 2L, 12.0), (2L, 1L, 1.0)))
+    } finally q.stop()
+  }
+}
