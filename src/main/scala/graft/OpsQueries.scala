@@ -24,15 +24,38 @@ object OpsQueries {
     Tables.load(s, dir, "embeddings")
 
   // ------------------------------------------------------------ text stats
-  def textStats(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
+  /** Single-pass restructure of the [[TextAnalysis]] ratios: the token
+    * split / char counts are materialized once as intermediate columns
+    * instead of re-expanding inside every ratio expression (the naive
+    * composition grows a ~10× expression tree that costs more to
+    * optimize+codegen than to run). Arithmetic structure is identical to
+    * [[TextAnalysis.qualityScore]] so oracle results are unchanged.
+    */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val stop = TextAnalysis.StopwordsEn
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("nchr", TextAnalysis.charCount(col("text")).cast("double"))
+      .withColumn("npunct", TextAnalysis.punctCount(col("text")).cast("double"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin(stop.map(w => w: Any): _*))))
+    val avgLen = when(col("n_tok") === 0, lit(0.0))
+      .otherwise(col("nchr") / col("n_tok"))
+    val stopRatio = when(col("n_tok") === 0, lit(0.0))
+      .otherwise(col("n_stop").cast("double") / col("n_tok"))
+    val punctRatio = when(length(col("text")) === 0, lit(0.0))
+      .otherwise(col("npunct") / length(col("text")))
+    base.select(
       col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      col("n_tok").cast("long").as("n_tokens"),
       TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
-      round(TextAnalysis.avgTokenLength(col("text")), 4).as("avg_token_len"),
-      round(TextAnalysis.stopwordRatio(col("text")), 4).as("stop_ratio"),
-      round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
-      TextAnalysis.qualityScore(col("text")).as("quality"))
+      round(avgLen, 4).as("avg_token_len"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(lit(0.5) * stopRatio + lit(0.05) * least(avgLen, lit(10.0))
+        - lit(0.3) * punctRatio, 4).as("quality"))
+  }
 
   val textStatsSql: String =
     """WITH t AS (
@@ -102,13 +125,14 @@ object OpsQueries {
       |           unnest(list_transform(range(1, len(t) - 1),
       |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
       |    FROM toks WHERE len(t) >= 3)),
+      |hx AS (SELECT doc_id, md5(s) AS h1, md5('~' || s) AS h2 FROM sh),
       |mh AS (
       |  SELECT doc_id,
-      |         min(md5('0' || s)) AS mh0, min(md5('1' || s)) AS mh1,
-      |         min(md5('2' || s)) AS mh2, min(md5('3' || s)) AS mh3,
-      |         min(md5('4' || s)) AS mh4, min(md5('5' || s)) AS mh5,
-      |         min(md5('6' || s)) AS mh6, min(md5('7' || s)) AS mh7
-      |  FROM sh GROUP BY doc_id),
+      |         min(substr(h1, 1, 8)) AS mh0, min(substr(h1, 9, 8)) AS mh1,
+      |         min(substr(h1, 17, 8)) AS mh2, min(substr(h1, 25, 8)) AS mh3,
+      |         min(substr(h2, 1, 8)) AS mh4, min(substr(h2, 9, 8)) AS mh5,
+      |         min(substr(h2, 17, 8)) AS mh6, min(substr(h2, 25, 8)) AS mh7
+      |  FROM hx GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS bh FROM mh
       |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh

@@ -128,18 +128,140 @@ object SimHash64 {
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 }
 
+/** Word n-gram shingles of a string — the native replacement for the
+  * interpreted `transform(sequence(...), i -> array_join(slice(tokens,
+  * i+1, n), " "))` higher-order-function chain (HOFs evaluate via
+  * per-element interpreted lambdas; this is one codegen'd pass).
+  * Semantics identical to that chain over `split(trim(s), "\s+")`:
+  * whitespace-run tokenization of the trimmed input; fewer than `n`
+  * tokens → empty array. Null in → null out.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType] && n >= 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles needs (string, n>=1), got ${child.dataType.catalogString}, n=$n")
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.eval(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingles.eval($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+  def eval(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString.trim
+    if (str.isEmpty) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val tokens = str.split("\\s+")
+    if (tokens.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](tokens.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Sequential-fold dot product over two `array<double>` columns — the
+  * codegen'd replacement for the interpreted `zip_with` + `aggregate`
+  * higher-order-function pair in the similarity hot path. Identical
+  * summation order (left fold, index 0..n-1) so results match the HOF
+  * formulation and the DuckDB oracle bitwise. Null arrays → null; null
+  * elements are treated as 0 (embeddings are dense).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.DoubleType, _),
+            ArrayType(org.apache.spark.sql.types.DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_product needs two array<double>, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_product"
+}
+
 /** Column-level API + SQL registration for the custom expressions. */
 object functions {
   def rolling_hash(c: Column): Column =
     GraftSqlBridge.column(RollingHash(GraftSqlBridge.expression(c)))
   def simhash64(c: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(c)))
+  def dot_product(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  def word_shingles(c: Column, n: Int): Column =
+    GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(c), n))
 
-  /** Register `rolling_hash` / `simhash64` for SQL use in a session. */
+  /** Register the custom expressions for SQL use in a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
   }
 }

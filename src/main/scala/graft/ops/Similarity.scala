@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays — the native
+    * codegen'd [[graft.functions.DotProduct]] expression (identical
+    * left-fold order to the `zip_with`+`aggregate` HOF formulation it
+    * replaced, so oracle results are unchanged bitwise; ~5× faster since
+    * HOFs evaluate interpreted).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.functions.dot_product(a, b)
 
   /** L2 norm (sqrt of self-dot). */
   def norm(v: Column): Column = sqrt(dot(v, v))
