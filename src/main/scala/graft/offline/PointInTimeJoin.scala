@@ -80,19 +80,17 @@ object PointInTimeJoin {
       val createdOpt = fv.source.createdTimestampColumn
 
       // Feature-side scan: read only join keys + time columns + requested
-      // features (column pruning reaches the parquet scan).
+      // features (column pruning reaches the parquet scan); the entity
+      // time range lands inside the read so it pushes to PushedFilters
+      // even for raw-nanosecond sources (see SourceReader.read bounds).
       val featCols = (joinKeys ++ Seq(tsField) ++ createdOpt ++ feats.map(_.name)).distinct
-      var feat = SourceReader.read(spark, fv.source)
+      val upper = if (prefilterByEntityRange) Some(maxEntityTs) else None
+      val lower =
+        if (prefilterByEntityRange)
+          fv.ttl.map(ttl => new java.sql.Timestamp(minEntityTs.getTime - ttl.toMillis))
+        else None
+      val feat = SourceReader.read(spark, fv.source, lower, upper)
         .select(featCols.map(col): _*)
-
-      if (prefilterByEntityRange) {
-        feat = feat.filter(col(tsField) <= lit(maxEntityTs))
-        fv.ttl.foreach { ttl =>
-          feat = feat.filter(
-            col(tsField) >= lit(new java.sql.Timestamp(
-              minEntityTs.getTime - ttl.toMillis)))
-        }
-      }
 
       // Disambiguate: prefix every feature-side column.
       val p = "__graft_f_"

@@ -34,9 +34,8 @@ object Materializer {
     val featNames = view.featureNames
 
     val cols = (joinKeys ++ Seq(tsField) ++ createdOpt ++ featNames).distinct
-    val inRange = SourceReader.read(spark, view.source)
+    val inRange = SourceReader.read(spark, view.source, Some(start), Some(end))
       .select(cols.map(col): _*)
-      .filter(col(tsField) >= lit(start) && col(tsField) <= lit(end))
 
     val orderCols =
       Seq(col(tsField).as("__ts")) ++

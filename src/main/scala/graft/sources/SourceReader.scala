@@ -25,7 +25,26 @@ object SourceReader {
     */
   val NanosColumnsOption = "graft.nanosColumns"
 
-  def read(spark: SparkSession, src: SparkSource): DataFrame = {
+  def read(spark: SparkSession, src: SparkSource): DataFrame =
+    read(spark, src, None, None)
+
+  /** Read with optional bounds on the source's `timestamp_field`.
+    *
+    * Bounds MUST be applied here, not as a post-read `.filter`, when the
+    * timestamp column is a raw-nanosecond long (TIMESTAMP(NANOS)
+    * parquet): the ns→µs normalization is a projection, and a filter on
+    * the computed column cannot push down to the parquet scan — so the
+    * bound is translated to an equivalent predicate on the raw ns column
+    * (`ts_µs <= U  ⇔  ts_ns < (U+1µs)·1000`) and lands in
+    * `PushedFilters`, where row-group stats / partition pruning see it.
+    * For ordinary timestamp columns the filter pushes down as-is.
+    */
+  def read(
+      spark: SparkSession,
+      src: SparkSource,
+      tsLowerBound: Option[java.sql.Timestamp],
+      tsUpperBound: Option[java.sql.Timestamp]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val reader = spark.read.options(src.options - NanosColumnsOption)
     val raw = src.fileFormat.toLowerCase match {
       case "parquet" => reader.parquet(src.path)
@@ -33,10 +52,23 @@ object SourceReader {
       case "json"    => reader.json(src.path)
       case other     => reader.format(other).load(src.path)
     }
-    val df = src.options.get(NanosColumnsOption) match {
-      case Some(cols) => graft.Tables.nanosToTimestamp(raw, cols.split(",").toSeq)
-      case None       => raw
+    val nanosCols = src.options.get(NanosColumnsOption)
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+    val tsIsRawNanos = nanosCols.contains(src.timestampField) &&
+      raw.columns.contains(src.timestampField) &&
+      raw.schema(src.timestampField).dataType ==
+        org.apache.spark.sql.types.LongType
+    val bounded0 = tsUpperBound.fold(raw) { u =>
+      if (tsIsRawNanos) raw.filter(col(src.timestampField) < lit((micros(u) + 1) * 1000L))
+      else raw.filter(col(src.timestampField) <= lit(u))
     }
+    val bounded = tsLowerBound.fold(bounded0) { l =>
+      if (tsIsRawNanos) bounded0.filter(col(src.timestampField) >= lit(micros(l) * 1000L))
+      else bounded0.filter(col(src.timestampField) >= lit(l))
+    }
+    val df = graft.Tables.nanosToTimestamp(bounded, nanosCols)
     require(df.columns.contains(src.timestampField),
       s"source '${src.name}' at ${src.path} lacks timestamp_field '${src.timestampField}'")
     src.createdTimestampColumn.foreach { c =>

@@ -96,14 +96,20 @@ object Transforms {
   /** S2/S3 write discipline: repartition by the write-partition column
     * immediately before a partitioned write so each task owns whole
     * output partitions (small-files control, `ingest_taxy.py:72-75`).
+    * With `dynamic=true` an overwrite replaces ONLY the partitions
+    * present in `df` (the reference's
+    * `partitionOverwriteMode=dynamic`, `ingest_taxy.py:62`).
     */
   def writePartitioned(
       df: DataFrame,
       path: String,
       partitionCol: String,
-      mode: String = "overwrite"): Unit =
-    df.repartition(col(partitionCol))
+      mode: String = "overwrite",
+      dynamic: Boolean = false): Unit = {
+    val w = df.repartition(col(partitionCol))
       .write.mode(mode)
       .partitionBy(partitionCol)
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
       .parquet(path)
+  }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the 100 TB posture checks (SURVEY §4):
+  * filters and column pruning must reach the parquet scan, small dims
+  * must broadcast, the PIT join must stay an equi-join (not a nested
+  * loop), and dynamic partition overwrite must only touch written
+  * partitions. These lock in plan shape so a regression that silently
+  * de-optimizes (e.g. a filter stops pushing down) fails CI, not a
+  * production run.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filter+project pushes predicates and prunes columns at the scan") {
+    val p = plan(Queries.filterProject(spark, sf0001))
+    assert(p.contains("PushedFilters"), "no pushdown section in scan")
+    assert(p.contains("l_returnflag"), p)
+    // pruned read schema: none of the untouched wide columns
+    assert(!p.contains("l_comment") && !p.contains("l_tax"),
+      s"scan reads unneeded columns:\n$p")
+  }
+
+  test("join_agg broadcasts the small dimension tables") {
+    val p = plan(Queries.joinAgg(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("PIT join plans as shuffled/broadcast equi-join with range residual, not nested loop") {
+    val p = plan(Queries.pitJoin(spark, sf0001))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"PIT join must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"PIT join degenerated:\n$p")
+  }
+
+  test("PIT join pushes the entity-range prefilter into the feature scan") {
+    val p = plan(Queries.pitJoin(spark, sf0001))
+    // the entity-range bound lands as a pushed filter on the raw ns
+    // column of the events scan (LessThan on the long, see SourceReader)
+    assert(p.contains("LessThan(ts,") || p.contains("LessThanOrEqual(ts,"),
+      s"entity-range prefilter not pushed to scan:\n$p")
+  }
+
+  test("hourly agg has exactly one exchange (partial -> final hash agg)") {
+    val p = plan(Queries.hourlyAgg(spark, sf0001))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"too many shuffles for a single groupBy:\n$p")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("whole-stage codegen covers the scan->project pipeline of scalar queries") {
+    // formatted mode marks codegen stages with a leading '*'
+    val p = plan(Queries.caseWhen(spark, sf0001))
+    assert(p.contains("* Project"), s"no codegen span:\n$p")
+  }
+
+  test("custom expressions live inside codegen stages (no interpreted fallback)") {
+    val df = Tables.load(spark, sf0001, "documents")
+      .select(graft.functions.functions.rolling_hash(col("text")).as("h"))
+    val p = plan(df)
+    assert(p.contains("* Project"), s"rolling_hash fell out of codegen:\n$p")
+  }
+
+  test("dynamic partition overwrite replaces only written partitions") {
+    val out = java.nio.file.Files.createTempDirectory("dyn").toString + "/t"
+    val day1 = Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("created", "v")
+    graft.transform.Transforms.writePartitioned(day1, out, "created")
+    // dynamic overwrite of only day 2 with new value
+    val day2 = Seq(("2024-01-02", 99)).toDF("created", "v")
+    graft.transform.Transforms.writePartitioned(day2, out, "created", dynamic = true)
+    // partition column reads back as an inferred DATE; normalize
+    val got = spark.read.parquet(out)
+      .select(col("created").cast("string"), col("v")).orderBy("created")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got === Seq(("2024-01-01", 1), ("2024-01-02", 99)))
+  }
+
+  test("knn broadcast: query side is broadcast, corpus streams") {
+    val p = plan(OpsQueries.knnBrute(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$p")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.SparkSource
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** SourceReader format coverage (S4 parquet / S6 csv / json; S5 avro is
+  * format-passthrough and needs the external spark-avro jar, asserted as
+  * a clean failure) + timestamp-field validation + extensions session.
+  */
+class SourceReaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = Files.createTempDirectory("src_fmt").toString
+  private lazy val base = Seq(
+    ("a", "2024-01-01 10:00:00", 1.5),
+    ("b", "2024-01-02 11:00:00", 2.5)
+  ).toDF("key", "event_ts", "value")
+    .select(col("key"), to_timestamp(col("event_ts")).as("event_ts"), col("value"))
+
+  test("parquet source reads with schema") {
+    base.write.mode("overwrite").parquet(s"$dir/p")
+    val df = SourceReader.read(spark,
+      SparkSource("p", s"$dir/p", "parquet", "event_ts"))
+    assert(df.count() === 2)
+    assert(df.schema("event_ts").dataType.typeName === "timestamp")
+  }
+
+  test("csv source reads with header (reference S6 idiom)") {
+    base.withColumn("event_ts", col("event_ts").cast("string"))
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+    val df = SourceReader.read(spark,
+      SparkSource("c", s"$dir/c", "csv", "event_ts"))
+    assert(df.count() === 2)
+    assert(df.columns.toSeq === Seq("key", "event_ts", "value"))
+  }
+
+  test("json source reads") {
+    base.write.mode("overwrite").json(s"$dir/j")
+    val df = SourceReader.read(spark,
+      SparkSource("j", s"$dir/j", "json", "event_ts"))
+    assert(df.count() === 2)
+  }
+
+  test("missing timestamp_field fails eagerly with a named error") {
+    base.write.mode("overwrite").parquet(s"$dir/p2")
+    val e = intercept[IllegalArgumentException] {
+      SourceReader.read(spark, SparkSource("p2", s"$dir/p2", "parquet", "nope"))
+    }
+    assert(e.getMessage.contains("timestamp_field 'nope'"))
+  }
+
+  test("missing created_timestamp_column fails eagerly") {
+    base.write.mode("overwrite").parquet(s"$dir/p3")
+    val e = intercept[IllegalArgumentException] {
+      SourceReader.read(spark,
+        SparkSource("p3", s"$dir/p3", "parquet", "event_ts", Some("missing_created")))
+    }
+    assert(e.getMessage.contains("created_timestamp_column"))
+  }
+
+  test("avro passthrough fails cleanly without the spark-avro module") {
+    base.write.mode("overwrite").parquet(s"$dir/p4")
+    intercept[Throwable] {
+      SourceReader.read(spark, SparkSource("a", s"$dir/p4", "avro", "event_ts"))
+    }
+  }
+
+  test("GraftExtensions registers custom SQL functions") {
+    // simulate an extensions-enabled session via direct injection
+    graft.functions.functions.registerAll(spark)
+    val got = spark.sql("SELECT rolling_hash('abc') AS h, " +
+      "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(got.getLong(0) === "abc".getBytes("UTF-8")
+      .foldLeft(0L)((h, b) => h * 31L + (b & 0xffL)))
+    assert(got.getDouble(1) === 11.0)
+  }
+}
