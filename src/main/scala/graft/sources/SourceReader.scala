@@ -50,6 +50,7 @@ object SourceReader {
       case "parquet" => reader.parquet(src.path)
       case "csv"     => reader.option("header", "true").csv(src.path)
       case "json"    => reader.json(src.path)
+      case "avro"    => AvroReader.read(spark, src.path)
       case other     => reader.format(other).load(src.path)
     }
     val nanosCols = src.options.get(NanosColumnsOption)

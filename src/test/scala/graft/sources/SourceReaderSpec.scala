@@ -61,11 +61,32 @@ class SourceReaderSpec extends SparkSpec {
     assert(e.getMessage.contains("created_timestamp_column"))
   }
 
-  test("avro passthrough fails cleanly without the spark-avro module") {
-    base.write.mode("overwrite").parquet(s"$dir/p4")
-    intercept[Throwable] {
-      SourceReader.read(spark, SparkSource("a", s"$dir/p4", "avro", "event_ts"))
-    }
+  test("avro capture files read via the built-in AvroReader (S5)") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericDatumWriter, GenericRecordBuilder}
+    val schema: Schema = SchemaBuilder.record("Capture").fields()
+      .requiredString("event_ts")
+      .requiredString("body")
+      .optionalDouble("temp")
+      .endRecord()
+    val avroDir = new java.io.File(s"$dir/avro"); avroDir.mkdirs()
+    val w = new DataFileWriter(new GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, new java.io.File(avroDir, "part-0.avro"))
+    w.append(new GenericRecordBuilder(schema)
+      .set("event_ts", "2024-01-01 10:00:00").set("body", "{\"x\":1}")
+      .set("temp", 21.5).build())
+    w.append(new GenericRecordBuilder(schema)
+      .set("event_ts", "2024-01-01 11:00:00").set("body", "{\"x\":2}")
+      .set("temp", null).build())
+    w.close()
+    val df = SourceReader.read(spark,
+      SparkSource("cap", s"$dir/avro/*.avro", "avro", "event_ts"))
+    assert(df.columns.toSeq === Seq("event_ts", "body", "temp"))
+    assert(df.count() === 2)
+    val rows = df.orderBy("event_ts").collect()
+    assert(rows(0).getDouble(2) === 21.5)
+    assert(rows(1).isNullAt(2))
   }
 
   test("GraftExtensions registers custom SQL functions") {
