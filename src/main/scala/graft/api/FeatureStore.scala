@@ -72,7 +72,8 @@ final class FeatureStore(
   def getHistoricalFeatures(
       entityDf: DataFrame,
       features: Seq[String],
-      fullFeatureNames: Boolean = true): RetrievalJob = {
+      fullFeatureNames: Boolean = true,
+      cacheEntity: Boolean = true): RetrievalJob = {
     val resolved = registry.resolve(features)
     val requests = resolved.map { case (fv, feats) =>
       PointInTimeJoin.ViewRequest(fv, feats, resolveJoinKeys(fv))
@@ -80,7 +81,8 @@ final class FeatureStore(
     new RetrievalJob(PointInTimeJoin.retrieve(
       spark, entityDf, requests,
       entityTsCol = config.entityTimestampColumn,
-      fullFeatureNames = fullFeatureNames))
+      fullFeatureNames = fullFeatureNames,
+      cacheEntity = cacheEntity))
   }
 
   /** M5: latest-per-key within [start, end] → online store. */

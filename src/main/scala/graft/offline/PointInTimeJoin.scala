@@ -52,14 +52,25 @@ object PointInTimeJoin {
 
   def retrieve(
       spark: SparkSession,
-      entityDf: DataFrame,
+      entityDf0: DataFrame,
       requests: Seq[ViewRequest],
       entityTsCol: String = "event_timestamp",
       fullFeatureNames: Boolean = true,
-      prefilterByEntityRange: Boolean = true): DataFrame = {
+      prefilterByEntityRange: Boolean = true,
+      cacheEntity: Boolean = false): DataFrame = {
 
-    require(entityDf.columns.contains(entityTsCol),
+    require(entityDf0.columns.contains(entityTsCol),
       s"entity dataframe lacks timestamp column '$entityTsCol'")
+
+    // The entity df is consumed 2×V+1 times (per-view keyspace, final
+    // left joins, min/max bounds). For non-trivial entity inputs,
+    // persisting avoids recomputing its lineage for every pass — the
+    // distributed analogue of the reference materializing the entity df
+    // as a temp view (without its driver round-trip).
+    val entityDf =
+      if (cacheEntity)
+        entityDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else entityDf0
 
     // Driver-side scalar bounds for scan pruning (one tiny agg job, the
     // same trick as the reference's interpolated '<max entity ts>' literal,

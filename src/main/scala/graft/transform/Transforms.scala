@@ -112,4 +112,22 @@ object Transforms {
     (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
       .parquet(path)
   }
+
+  /** Bucketed catalog table: pre-shuffles data into `numBuckets` by
+    * `bucketCols` at write time so subsequent equi-joins/aggregations on
+    * those keys skip their exchange entirely (verified in PlanSpec).
+    * The 100 TB pattern for fact tables joined repeatedly on the same
+    * key: pay the shuffle once at ingest, never again.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

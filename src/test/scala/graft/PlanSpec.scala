@@ -81,6 +81,37 @@ class PlanSpec extends SparkSpec {
     assert(got === Seq(("2024-01-01", 1), ("2024-01-02", 99)))
   }
 
+  test("bucketed tables join without an exchange") {
+    import graft.transform.Transforms
+    Seq("ev_bucketed_a", "ev_bucketed_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val ev = Tables.load(spark, sf0001, "events")
+      .select("event_id", "user_id", "value")
+    Transforms.writeBucketed(ev, "ev_bucketed_a", Seq("user_id"), 4)
+    Transforms.writeBucketed(ev.withColumnRenamed("value", "value2")
+      .drop("event_id"), "ev_bucketed_b", Seq("user_id"), 4)
+    // disable auto-broadcast so the join exercises the bucketed SMJ path
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("ev_bucketed_a")
+        .join(spark.table("ev_bucketed_b"), "user_id")
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange"),
+        s"co-bucketed join should not shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("knn broadcast: query side is broadcast, corpus streams") {
     val p = plan(OpsQueries.knnBrute(spark, sf0001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -1,0 +1,48 @@
+package graft.transform
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Salted aggregation/join equivalence: results must match the unsalted
+  * formulation exactly (salting only changes the shuffle layout).
+  */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val skewed = {
+    // hot key "h" carries 10k rows, tail keys 10 each
+    val hot = (1 to 10000).map(i => ("h", i.toDouble))
+    val tail = (1 to 50).flatMap(k => (1 to 10).map(i => (s"k$k", i.toDouble)))
+    (hot ++ tail).toDF("k", "v").repartition(8)
+  }
+
+  test("saltedAggregate equals plain groupBy") {
+    val plain = skewed.groupBy("k")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedAggregate(skewed, Seq("k"), numSalts = 16,
+      partial = Seq(sum("v").as("s"), count(lit(1)).as("c")),
+      merge = Seq(sum("s").as("sum_v"), sum("c").as("n")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted === plain)
+  }
+
+  test("saltedJoin equals plain join") {
+    val dim = (Seq("h") ++ (1 to 50).map(k => s"k$k")).zipWithIndex
+      .map { case (k, i) => (k, s"name$i") }.toDF("k", "name")
+    val plain = skewed.join(dim, "k")
+      .groupBy("name").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = Skew.saltedJoin(skewed, dim, "k", numSalts = 8)
+      .groupBy("name").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted === plain)
+  }
+
+  test("saltedJoin left join preserves unmatched fact rows") {
+    val dim = Seq(("h", "hot")).toDF("k", "name")
+    val out = Skew.saltedJoin(skewed, dim, "k", numSalts = 4, joinType = "left")
+    assert(out.count() === skewed.count())
+    assert(out.filter(col("name").isNull).count() === 500) // 50 tail keys x 10
+  }
+}
