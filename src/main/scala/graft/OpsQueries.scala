@@ -3,6 +3,7 @@ package graft
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Rounding.pround
 
 /** Training-data-pipeline operator catalog (dedup, similarity search,
   * text analysis, multimodal) — the scale extensions beyond the
@@ -50,10 +51,10 @@ object OpsQueries {
       col("doc_id"),
       col("n_tok").cast("long").as("n_tokens"),
       TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
-      round(avgLen, 4).as("avg_token_len"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(punctRatio, 4).as("punct_ratio"),
-      round(lit(0.5) * stopRatio + lit(0.05) * least(avgLen, lit(10.0))
+      pround(avgLen, 4).as("avg_token_len"),
+      pround(stopRatio, 4).as("stop_ratio"),
+      pround(punctRatio, 4).as("punct_ratio"),
+      pround(lit(0.5) * stopRatio + lit(0.05) * least(avgLen, lit(10.0))
         - lit(0.3) * punctRatio, 4).as("quality"))
   }
 
@@ -67,12 +68,12 @@ object OpsQueries {
       |SELECT doc_id,
       |       CAST(len(toks) AS BIGINT) AS n_tokens,
       |       CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_bpe,
-      |       round(nchr / len(toks), 4) AS avg_token_len,
-      |       round(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','in','to','it'], x))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
-      |       round(npunct / length(text), 4) AS punct_ratio,
-      |       round(0.5 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','in','to','it'], x))) AS DOUBLE) / len(toks))
+      |       floor((nchr / len(toks)) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+      |       floor((CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','in','to','it'], x))) AS DOUBLE) / len(toks)) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+      |       floor((npunct / length(text)) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+      |       floor((0.5 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','in','to','it'], x))) AS DOUBLE) / len(toks))
       |             + 0.05 * least(nchr / len(toks), 10.0)
-      |             - 0.3 * (npunct / length(text)), 4) AS quality
+      |             - 0.3 * (npunct / length(text))) * 10000.0 + 0.5) / 10000.0 AS quality
       |FROM t""".stripMargin
 
   // ------------------------------------------------------------ language id
@@ -177,8 +178,8 @@ object OpsQueries {
       |SELECT p.a, p.b,
       |       CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
       |       za.sz AS sz_a, zb.sz AS sz_b,
-      |       round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
-      |             / (za.sz + zb.sz - coalesce(c.n_common, 0)), 6) AS jaccard
+      |       floor((CAST(coalesce(c.n_common, 0) AS DOUBLE)
+      |             / (za.sz + zb.sz - coalesce(c.n_common, 0))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
       |FROM pairs p
       |LEFT JOIN common c ON c.a = p.a AND c.b = p.b
       |JOIN sizes za ON za.doc_id = p.a
@@ -224,7 +225,7 @@ object OpsQueries {
       |scored AS (
       |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
       |  FROM q JOIN c ON query_id <> neighbor_id)
-      |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+      |SELECT query_id, neighbor_id, rank, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       |        ORDER BY cos DESC, neighbor_id ASC) AS rank
       |      FROM scored)
@@ -236,12 +237,12 @@ object OpsQueries {
 
   val embeddingDedupSql: String =
     """SELECT a.label AS block, a.vec_id AS a, b.vec_id AS b,
-      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-      |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      |       floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(b.embedding AS DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS cos
       |FROM embeddings a JOIN embeddings b
       |  ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-      |                                   CAST(b.embedding AS DOUBLE[])), 6) > 0.15""".stripMargin
+      |WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                   CAST(b.embedding AS DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 > 0.15""".stripMargin
 
   // ------------------------------------------------------------ multimodal
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =

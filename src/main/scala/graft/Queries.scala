@@ -6,6 +6,7 @@ import graft.online.{InMemoryOnlineStore, Materializer}
 import graft.transform.Transforms
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Rounding.{pround, proundSql}
 
 import java.time.Duration
 
@@ -38,19 +39,19 @@ object Queries {
     t(s, dir, "events")
       .groupBy(col("user_id"), Transforms.hourBucket(col("ts")).as("event_timestamp"))
       .agg(
-        round(avg("value"), 4).as("avg_value"),
-        round(sum("value"), 4).as("sum_value"),
-        round(min("value"), 4).as("min_value"),
-        round(max("value"), 4).as("max_value"),
+        pround(avg("value"), 4).as("avg_value"),
+        pround(sum("value"), 4).as("sum_value"),
+        pround(min("value"), 4).as("min_value"),
+        pround(max("value"), 4).as("max_value"),
         count(lit(1)).as("n_events"))
 
   val hourlyAggSql: String =
     """SELECT user_id,
       |       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS event_timestamp,
-      |       round(avg(value), 4) AS avg_value,
-      |       round(sum(value), 4) AS sum_value,
-      |       round(min(value), 4) AS min_value,
-      |       round(max(value), 4) AS max_value,
+      |       floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+      |       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_value,
+      |       floor(min(value) * 10000.0 + 0.5) / 10000.0 AS min_value,
+      |       floor(max(value) * 10000.0 + 0.5) / 10000.0 AS max_value,
       |       count(*) AS n_events
       |FROM events GROUP BY 1, 2""".stripMargin
 
@@ -81,12 +82,12 @@ object Queries {
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        round(sum("o_totalprice"), 2).as("revenue"),
+        pround(sum("o_totalprice"), 2).as("revenue"),
         count(lit(1)).as("n_orders"))
   }
 
   val joinAggSql: String =
-    """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+    """SELECT n_name, floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue, count(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey

@@ -136,7 +136,7 @@ object Dedup {
       .join(sizes.select(col(idCol).as("a"), col("sz").as("sz_a")), "a")
       .join(sizes.select(col(idCol).as("b"), col("sz").as("sz_b")), "b")
       .withColumn("jaccard",
-        round(col("n_common").cast("double") /
+        graft.util.Rounding.pround(col("n_common").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_common")), 6))
       .select("a", "b", "n_common", "sz_a", "sz_b", "jaccard")
   }

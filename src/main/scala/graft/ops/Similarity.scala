@@ -66,7 +66,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cosine"))
+        graft.util.Rounding.pround(col("cos"), 6).as("cosine"))
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
@@ -85,7 +85,8 @@ object Similarity {
       col("__vec").as("vb"), col("__norm").as("nb"))
     a.join(b, "block")
       .filter(col("a") < col("b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cos", graft.util.Rounding.pround(
+        dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") > threshold)
       .select(col("block"), col("a"), col("b"), col("cos"))
   }
@@ -135,6 +136,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cosine"))
+        graft.util.Rounding.pround(col("cos"), 6).as("cosine"))
   }
 }
