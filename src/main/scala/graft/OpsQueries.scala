@@ -301,6 +301,15 @@ object OpsQueries {
       k = 5, numCentroids = 16, nprobe = 4)
   }
 
+  /** RP-LSH approximate KNN — no SQL oracle (recall pinned vs brute
+    * force in OpsSpec).
+    */
+  def rpLshKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.rpLshTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, numBits = 6, probeHamming = 1)
+  }
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -314,7 +323,8 @@ object OpsQueries {
     "q22_multimodal_meta" -> multimodalMeta _,
     "q23_frame_sample" -> frameSample _,
     "q24_media_features" -> mediaFeatures _,
-    "q25_ivf_knn" -> ivfKnn _)
+    "q25_ivf_knn" -> ivfKnn _,
+    "q26_rplsh_knn" -> rpLshKnn _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,

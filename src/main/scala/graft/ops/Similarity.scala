@@ -138,4 +138,59 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         graft.util.Rounding.pround(col("cos"), 6).as("cosine"))
   }
+
+  // ---------------------------------------------------------------- rp-lsh
+  /** Random-hyperplane LSH bucket signature: bit i of the signature is
+    * `sign(v · h_i)` for `numBits` fixed hyperplanes generated from
+    * `seed` (deterministic — the same plane set on every call/engine).
+    * Cosine-similar vectors collide with probability
+    * `(1 - θ/π)^numBits`.
+    */
+  def rpSignature(vec: Column, dim: Int, numBits: Int = 8, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(numBits)(Array.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit(_)): _*)
+      when(dot(vec, planeCol) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** RP-LSH approximate top-k: corpus vectors bucket by signature; each
+    * query probes its own bucket plus all buckets within Hamming
+    * distance `probeHamming` (multi-probe — signature bits near the
+    * decision boundary are the likeliest to differ). The probe fan-out
+    * is a compact int join key, so the shuffle is (queries × probes) ×
+    * bucket contents, never all-pairs.
+    */
+  def rpLshTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, numBits: Int = 6, probeHamming: Int = 1, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = corpus.select(col(vecCol)).head().getSeq[Any](0).size
+
+    val c = withNorm(corpus, idCol, vecCol)
+      .withColumn("bucket", rpSignature(col("__vec"), dim, numBits, seed))
+      .select(col(idCol).as("neighbor_id"), col("bucket"),
+        col("__vec").as("cv"), col("__norm").as("cn"))
+
+    // probe set: signature XOR masks with popcount <= probeHamming
+    val masks = (0 until (1 << numBits))
+      .filter(m => Integer.bitCount(m) <= probeHamming)
+    val q = withNorm(queries, idCol, vecCol)
+      .withColumn("sig", rpSignature(col("__vec"), dim, numBits, seed))
+      .withColumn("mask", explode(array(masks.map(lit(_)): _*)))
+      .withColumn("bucket", expr("int(sig ^ mask)"))
+      .select(col(idCol).as("query_id"), col("bucket"),
+        col("__vec").as("qv"), col("__norm").as("qn"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.join(c, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        graft.util.Rounding.pround(col("cos"), 6).as("cosine"))
+  }
 }

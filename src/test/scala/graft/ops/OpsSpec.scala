@@ -161,4 +161,24 @@ class OpsSpec extends SparkSpec {
     assert(got === Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr",
       5L -> "zh", 6L -> "unknown"))
   }
+
+  test("RP-LSH KNN recall@5 >= 0.5 vs brute force and signatures are deterministic") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.rpLshTopK(e, queries, "vec_id", "embedding", 5,
+      numBits = 6, probeHamming = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"RP-LSH recall $recall too low")
+    // determinism: same seed -> same buckets
+    val s1 = e.select(Similarity.rpSignature(col("embedding").cast("array<double>"), 64).as("s"))
+      .collect().map(_.getInt(0)).toSeq
+    val s2 = e.select(Similarity.rpSignature(col("embedding").cast("array<double>"), 64).as("s"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(s1 === s2)
+  }
 }
