@@ -62,6 +62,15 @@ object PointInTimeJoin {
     require(entityDf0.columns.contains(entityTsCol),
       s"entity dataframe lacks timestamp column '$entityTsCol'")
 
+    // The reference mixes string- and timestamp-typed event timestamps
+    // (SURVEY §7.4.2); normalize string entity timestamps at the boundary
+    // so the as-of comparisons are always typed.
+    val entityDf1 =
+      if (entityDf0.schema(entityTsCol).dataType ==
+        org.apache.spark.sql.types.StringType)
+        entityDf0.withColumn(entityTsCol, to_timestamp(col(entityTsCol)))
+      else entityDf0
+
     // The entity df is consumed 2×V+1 times (per-view keyspace, final
     // left joins, min/max bounds). For non-trivial entity inputs,
     // persisting avoids recomputing its lineage for every pass — the
@@ -69,8 +78,8 @@ object PointInTimeJoin {
     // as a temp view (without its driver round-trip).
     val entityDf =
       if (cacheEntity)
-        entityDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else entityDf0
+        entityDf1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else entityDf1
 
     // Driver-side scalar bounds for scan pruning (one tiny agg job, the
     // same trick as the reference's interpolated '<max entity ts>' literal,

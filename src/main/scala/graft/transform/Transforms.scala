@@ -113,6 +113,29 @@ object Transforms {
       .parquet(path)
   }
 
+  /** Small-files compaction: rewrite a parquet table into
+    * ~`targetFileSizeMB` files. Long-running partitioned appends (S2
+    * ingest) accumulate small files that throttle scan parallelism
+    * bookkeeping at scale; periodic compaction restores healthy file
+    * sizes. Returns the file count after compaction.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileSizeMB: Int = 128): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, (bytes / (targetFileSizeMB.toLong << 20)).toInt)
+    val df = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + "__compacting"
+    df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    nFiles
+  }
+
   /** Bucketed catalog table: pre-shuffles data into `numBuckets` by
     * `bucketCols` at write time so subsequent equi-joins/aggregations on
     * those keys skip their exchange entirely (verified in PlanSpec).

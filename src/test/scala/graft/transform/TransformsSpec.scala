@@ -68,4 +68,35 @@ class TransformsSpec extends SparkSpec {
     val back = spark.read.parquet(out)
     assert(back.count() === 2)
   }
+
+  test("compact rewrites many small files into few") {
+    val out = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"
+    (1 to 20).map(i => (i, s"row$i")).toDF("id", "s")
+      .repartition(20).write.parquet(out)
+    val before = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 10)
+    val n = Transforms.compact(spark, out, targetFileSizeMB = 128)
+    val after = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after === n && after <= 2)
+    assert(spark.read.parquet(out).count() === 20)
+  }
+
+  test("PIT retrieval accepts string-typed entity timestamps") {
+    val featDir = java.nio.file.Files.createTempDirectory("strts").toString + "/f"
+    Seq(("a", "2024-01-01 00:00:00", 1.0), ("a", "2024-01-03 00:00:00", 3.0))
+      .toDF("key", "ts", "v")
+      .select(col("key"), to_timestamp(col("ts")).as("ts"), col("v"))
+      .write.parquet(featDir)
+    val fs = new graft.api.FeatureStore(spark,
+      graft.api.RepoConfig("t"), new graft.core.InMemoryRegistry)
+    fs.applyObjects(Seq(
+      graft.core.Entity("key", Seq("key"), graft.core.ValueType.STRING),
+      graft.core.FeatureView("fv", Seq("key"),
+        Seq(graft.core.Feature("v", org.apache.spark.sql.types.DoubleType)),
+        graft.core.SparkSource("s", featDir, timestampField = "ts"))))
+    // entity ts is a plain STRING column
+    val ent = Seq(("a", "2024-01-02 00:00:00")).toDF("key", "event_timestamp")
+    val out = fs.getHistoricalFeatures(ent, Seq("fv:v")).toDf
+    assert(out.select("fv__v").as[Double].collect().toSeq === Seq(1.0))
+  }
 }
