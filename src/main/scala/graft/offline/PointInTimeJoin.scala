@@ -83,11 +83,21 @@ object PointInTimeJoin {
 
     // Driver-side scalar bounds for scan pruning (one tiny agg job, the
     // same trick as the reference's interpolated '<max entity ts>' literal,
-    // CASE.MD:403). Skippable for purely lazy plans.
+    // CASE.MD:403). Skippable for purely lazy plans. Doubles as the
+    // guard against unparseable string timestamps: to_timestamp maps bad
+    // strings to null, which would otherwise silently null-pad features.
     lazy val (minEntityTs, maxEntityTs) = {
       val row = entityDf.agg(
         min(col(entityTsCol)).cast("timestamp"),
-        max(col(entityTsCol)).cast("timestamp")).head()
+        max(col(entityTsCol)).cast("timestamp"),
+        count(col(entityTsCol)),
+        count(lit(1))).head()
+      val (nonNull, total) = (row.getLong(2), row.getLong(3))
+      require(total > 0, "entity dataframe is empty")
+      require(nonNull == total,
+        s"entity timestamp column '$entityTsCol' has ${total - nonNull} " +
+          "null/unparseable values (string timestamps must be " +
+          "'yyyy-MM-dd HH:mm:ss'-parseable)")
       (row.getTimestamp(0), row.getTimestamp(1))
     }
 

@@ -114,25 +114,52 @@ object Transforms {
   }
 
   /** Small-files compaction: rewrite a parquet table into
-    * ~`targetFileSizeMB` files. Long-running partitioned appends (S2
-    * ingest) accumulate small files that throttle scan parallelism
-    * bookkeeping at scale; periodic compaction restores healthy file
-    * sizes. Returns the file count after compaction.
+    * ~`targetFileSizeMB` files. Long-running appends (S2 ingest)
+    * accumulate small files that throttle scan parallelism bookkeeping
+    * at scale; periodic compaction restores healthy file sizes. Returns
+    * the shuffle partition count used for the rewrite.
+    *
+    * Hive-partitioned tables must pass their `partitionCols` so the
+    * layout is preserved (a flat rewrite would permanently lose
+    * partition pruning and collide with later dynamic appends); calling
+    * without them on a partitioned path fails fast.
+    *
+    * Concurrency: single-writer only. The swap is rename-old → rename-new
+    * → delete-old (each checked), which narrows but does not eliminate
+    * the non-atomic window — coordinate with writers, as with any
+    * in-place parquet rewrite (a table format with a manifest is the
+    * real fix at scale).
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      targetFileSizeMB: Int = 128): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(path)
+      targetFileSizeMB: Int = 128,
+      partitionCols: Seq[String] = Seq.empty): Int = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (partitionCols.isEmpty) {
+      val partitionDirs = fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.contains("="))
+      require(partitionDirs.isEmpty,
+        s"$path is hive-partitioned (${partitionDirs.take(3).mkString(", ")}…); " +
+          "pass partitionCols to preserve the layout")
+    }
     val bytes = fs.getContentSummary(p).getLength
-    val nFiles = math.max(1, (bytes / (targetFileSizeMB.toLong << 20)).toInt)
+    val target = targetFileSizeMB.toLong << 20
+    val nFiles = math.max(1, ((bytes + target - 1) / target).toInt)
     val df = spark.read.parquet(path)
-    val tmp = path.stripSuffix("/") + "__compacting"
-    df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    val tmp = new Path(path.stripSuffix("/") + "__compacting")
+    val old = new Path(path.stripSuffix("/") + "__precompact")
+    val writer = df.repartition(nFiles).write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp.toString)
+    require(fs.rename(p, old), s"compact: failed to move $p aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // restore
+      throw new java.io.IOException(s"compact: failed to swap in $tmp, restored original")
+    }
+    fs.delete(old, true)
     nFiles
   }
 

@@ -99,4 +99,38 @@ class TransformsSpec extends SparkSpec {
     val out = fs.getHistoricalFeatures(ent, Seq("fv:v")).toDf
     assert(out.select("fv__v").as[Double].collect().toSeq === Seq(1.0))
   }
+
+  test("compact refuses partitioned tables without partitionCols, preserves layout with them") {
+    val out = java.nio.file.Files.createTempDirectory("cmp2").toString + "/t"
+    val df = (1 to 20).map(i => (s"2024-01-0${i % 2 + 1}", i)).toDF("created", "v")
+    Transforms.writePartitioned(df, out, "created")
+    val e = intercept[IllegalArgumentException](Transforms.compact(spark, out))
+    assert(e.getMessage.contains("hive-partitioned"))
+    Transforms.compact(spark, out, partitionCols = Seq("created"))
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("created="))
+    assert(dirs.toSet === Set("created=2024-01-01", "created=2024-01-02"))
+    assert(spark.read.parquet(out).count() === 20)
+  }
+
+  test("PIT retrieval fails fast on unparseable entity timestamp strings") {
+    val featDir = java.nio.file.Files.createTempDirectory("badts").toString + "/f"
+    Seq(("a", "2024-01-01 00:00:00", 1.0)).toDF("key", "ts", "v")
+      .select(col("key"), to_timestamp(col("ts")).as("ts"), col("v"))
+      .write.parquet(featDir)
+    val fs = new graft.api.FeatureStore(spark,
+      graft.api.RepoConfig("t"), new graft.core.InMemoryRegistry)
+    fs.applyObjects(Seq(
+      graft.core.Entity("key", Seq("key"), graft.core.ValueType.STRING),
+      graft.core.FeatureView("fv", Seq("key"),
+        Seq(graft.core.Feature("v", org.apache.spark.sql.types.DoubleType)),
+        graft.core.SparkSource("s", featDir, timestampField = "ts"))))
+    val ent = Seq(("a", "01/02/2024")).toDF("key", "event_timestamp")
+    // ANSI mode (Spark 4 default) throws SparkDateTimeException at parse;
+    // with ANSI off, the null-count guard raises IllegalArgumentException.
+    val e = intercept[Exception] {
+      fs.getHistoricalFeatures(ent, Seq("fv:v")).toDf.count()
+    }
+    assert(e.getClass.getSimpleName == "SparkDateTimeException"
+      || e.getMessage.contains("null/unparseable"))
+  }
 }
