@@ -1,0 +1,68 @@
+package graft.pipelines
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composed training-data curation pipeline — the end-to-end shape a
+  * 100 TB pretraining-data job takes, built entirely from the graft
+  * operator set:
+  *
+  *  1. annotate: token counts, quality score, language ID (row-local,
+  *     codegen'd — no shuffle);
+  *  2. filter: quality/length/language gates (pushed ahead of every
+  *     shuffle that follows);
+  *  3. exact dedup: one fingerprint shuffle, keep min-id doc;
+  *  4. near dedup: MinHash-LSH candidates → n-gram Jaccard verification
+  *     → drop the higher id of each confirmed pair (union-find-free
+  *     approximation that is exact for pairwise clusters; transitive
+  *     chains may need another sweep at scale).
+  *
+  * Stage order matters at scale: the cheap row-local gates run first so
+  * the shuffling stages (3, 4) see only surviving rows.
+  */
+object TrainingDataPipeline {
+
+  final case class Config(
+      minQuality: Double = 0.05,
+      minTokens: Long = 10,
+      keepLangs: Seq[String] = Seq("en"),
+      jaccardThreshold: Double = 0.8,
+      shingleN: Int = 3)
+
+  /** Stage 1+2: annotate and gate (no shuffle). */
+  def annotateAndFilter(docs: DataFrame, cfg: Config): DataFrame =
+    docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .filter(col("n_tokens") >= cfg.minTokens
+        && col("quality") >= cfg.minQuality
+        && col("lang_pred").isin(cfg.keepLangs.map(l => l: Any): _*))
+
+  /** Stage 3: exact dedup — keep the minimum doc_id per fingerprint. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String): DataFrame = {
+    val keepers = Dedup.exactDuplicates(docs, idCol, "text")
+      .select(col("keeper_id").as(idCol))
+    docs.join(keepers, idCol) // inner join on keeper ids = keep one per group
+  }
+
+  /** Stage 4: near dedup — LSH candidates, Jaccard-verify, drop the
+    * higher id of each confirmed near-dup pair.
+    */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, cfg: Config): DataFrame = {
+    val candidates = Dedup.minhashLshPairs(docs, idCol, "text", cfg.shingleN)
+    val verified = Dedup.ngramJaccard(
+      candidates, Dedup.shingleSet(docs, idCol, "text", cfg.shingleN), idCol)
+      .filter(col("jaccard") >= cfg.jaccardThreshold)
+    val losers = verified.select(col("b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** The full curation chain. */
+  def curate(docs: DataFrame, idCol: String = "doc_id",
+      cfg: Config = Config()): DataFrame =
+    dropNearDuplicates(
+      dropExactDuplicates(annotateAndFilter(docs, cfg), idCol),
+      idCol, cfg)
+}
