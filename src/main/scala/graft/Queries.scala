@@ -205,6 +205,47 @@ object Queries {
       |LEFT JOIN cleaned c
       |  ON c.user_id = e.user_id AND c.event_timestamp = e.event_timestamp""".stripMargin
 
+  /** Dense PIT: one entity row per event (self as-of enrichment, the
+    * realistic retrieval shape — every training example asks for features
+    * at its own timestamp). 100k entity rows at sf0.1 with a 3-day TTL —
+    * the PIT stress query for the bench.
+    */
+  def pitDense(s: SparkSession, dir: String): DataFrame = {
+    val fs = new FeatureStore(s, RepoConfig("graft_demo"), new InMemoryRegistry)
+    fs.applyObjects(Seq(
+      Entity("user", Seq("user_id"), ValueType.INT64),
+      FeatureView(
+        name = "events_fv",
+        entities = Seq("user"),
+        features = Seq(Feature("value", org.apache.spark.sql.types.DoubleType)),
+        source = eventsSource(dir),
+        ttl = Some(Duration.ofDays(3)))))
+    val entity = t(s, dir, "events")
+      .select(col("user_id"), col("ts").as("event_timestamp"))
+      .distinct()
+    fs.getHistoricalFeatures(entity, Seq("events_fv:value")).toDf
+  }
+
+  val pitDenseSql: String =
+    """WITH entity AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS event_timestamp
+      |  FROM events),
+      |ranked AS (
+      |  SELECT e.user_id, e.event_timestamp, f.value,
+      |         row_number() OVER (
+      |           PARTITION BY e.user_id, e.event_timestamp
+      |           ORDER BY CAST(f.ts AS TIMESTAMP) DESC, f.value DESC) AS rn
+      |  FROM entity e
+      |  JOIN events f
+      |    ON f.user_id = e.user_id
+      |   AND CAST(f.ts AS TIMESTAMP) <= e.event_timestamp
+      |   AND CAST(f.ts AS TIMESTAMP) >= e.event_timestamp - INTERVAL 3 DAY
+      |), cleaned AS (SELECT * FROM ranked WHERE rn = 1)
+      |SELECT e.user_id, e.event_timestamp, c.value AS events_fv__value
+      |FROM entity e
+      |LEFT JOIN cleaned c
+      |  ON c.user_id = e.user_id AND c.event_timestamp = e.event_timestamp""".stripMargin
+
   // ---------------------------------------------------------------- §2.8 M5
   /** A7/M5: materialization's latest-per-key reduction (argmax by
     * (ts, features) struct — same engine as the PIT join). */
@@ -320,6 +361,7 @@ object Queries {
     "q04_case_when" -> caseWhen _,
     "q05_window_latest" -> windowLatest _,
     "q06_pit_join" -> pitJoin _,
+    "q06b_pit_dense" -> pitDense _,
     "q07_materialize_latest" -> materializeLatest _,
     "q08_distinct" -> distinctPairs _,
     "q09_collect_set" -> collectSet _,
@@ -335,6 +377,7 @@ object Queries {
     "q04_case_when" -> caseWhenSql,
     "q05_window_latest" -> windowLatestSql,
     "q06_pit_join" -> pitJoinSql,
+    "q06b_pit_dense" -> pitDenseSql,
     "q07_materialize_latest" -> materializeLatestSql,
     "q08_distinct" -> distinctPairsSql,
     "q09_collect_set" -> collectSetSql,
