@@ -310,6 +310,19 @@ object OpsQueries {
       k = 5, numBits = 6, probeHamming = 1)
   }
 
+  /** Document fingerprints via the custom codegen expressions
+    * (rolling_hash + simhash64) — 64-bit overflow arithmetic isn't
+    * DuckDB-expressible, so this is a rows-only entry; OpsSpec pins the
+    * values against driver-side reference implementations.
+    */
+  def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{functions => gf}
+    docs(s, dir).select(
+      col("doc_id"),
+      gf.rolling_hash(col("text")).as("rolling_hash"),
+      gf.simhash64(TextAnalysis.tokens(col("text"))).as("simhash64"))
+  }
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -324,7 +337,8 @@ object OpsQueries {
     "q23_frame_sample" -> frameSample _,
     "q24_media_features" -> mediaFeatures _,
     "q25_ivf_knn" -> ivfKnn _,
-    "q26_rplsh_knn" -> rpLshKnn _)
+    "q26_rplsh_knn" -> rpLshKnn _,
+    "q27_fingerprints" -> fingerprints _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
