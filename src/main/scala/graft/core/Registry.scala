@@ -99,6 +99,68 @@ final class FileRegistry(val path: Path) extends Registry {
   def meta(kind: String, name: String): Option[Meta] = load().meta.get(s"$kind/$name")
 }
 
+/** Registry on any Hadoop filesystem (hdfs://, abfss://, s3a://, …) —
+  * the cluster-ready analogue of the reference's `registry.db` blob on
+  * ADLS (`station_reads_hourly_fs/feature_store.yaml:1-5`). Same JSON
+  * document format as [[FileRegistry]]; writes go to a temp path then
+  * rename (atomic on HDFS/ABFS directories-as-objects semantics
+  * permitting; last-writer-wins like the reference).
+  */
+final class HadoopRegistry(
+    pathStr: String,
+    hadoopConf: org.apache.hadoop.conf.Configuration) extends Registry {
+  import FileRegistry._
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  def this(spark: org.apache.spark.sql.SparkSession, path: String) =
+    this(path, spark.sparkContext.hadoopConfiguration)
+
+  private val path = new Path(pathStr)
+  private def fs: FileSystem = path.getFileSystem(hadoopConf)
+
+  private def load(): State = {
+    val f = fs
+    if (f.exists(path)) {
+      val in = f.open(path)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+        fromJson(new String(bytes.toByteArray, "UTF-8"))
+      } finally in.close()
+    } else State(Map.empty, Map.empty, Map.empty)
+  }
+
+  private def save(s: State): Unit = {
+    val f = fs
+    val tmp = new Path(pathStr + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(toJson(s).getBytes("UTF-8")) finally out.close()
+    if (f.exists(path)) f.delete(path, false)
+    require(f.rename(tmp, path), s"registry write failed: rename $tmp -> $path")
+  }
+
+  override def applyEntity(e: Entity): Unit = synchronized {
+    val s = load()
+    val now = java.time.Instant.now.toString
+    val meta = s.meta.getOrElse("entity/" + e.name, Meta(now, now)).copy(lastUpdated = now)
+    save(s.copy(entities = s.entities + (e.name -> e),
+      meta = s.meta + (("entity/" + e.name) -> meta)))
+  }
+
+  override def applyFeatureView(fv: FeatureView): Unit = synchronized {
+    val s = load()
+    val now = java.time.Instant.now.toString
+    val meta = s.meta.getOrElse("fv/" + fv.name, Meta(now, now)).copy(lastUpdated = now)
+    save(s.copy(views = s.views + (fv.name -> fv),
+      meta = s.meta + (("fv/" + fv.name) -> meta)))
+  }
+
+  override def getEntity(name: String): Option[Entity] = load().entities.get(name)
+  override def getFeatureView(name: String): Option[FeatureView] = load().views.get(name)
+  override def listEntities(): Seq[Entity] = load().entities.values.toSeq.sortBy(_.name)
+  override def listFeatureViews(): Seq[FeatureView] = load().views.values.toSeq.sortBy(_.name)
+}
+
 object FileRegistry {
   final case class Meta(created: String, lastUpdated: String)
   final case class State(

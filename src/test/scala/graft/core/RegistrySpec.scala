@@ -58,4 +58,16 @@ class RegistrySpec extends AnyFunSuite {
   test("entity default join key falls back to entity name") {
     assert(Entity("user_id", ValueType.INT64).resolvedJoinKeys === Seq("user_id"))
   }
+
+  test("hadoop-fs registry round-trips on a local FS URI") {
+    val path = java.nio.file.Files.createTempDirectory("hreg").toString + "/registry.json"
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reg = new HadoopRegistry(path, conf)
+    reg.applyEntity(entity)
+    reg.applyFeatureView(view)
+    val reloaded = new HadoopRegistry(path, conf)
+    assert(reloaded.getEntity("driver") === Some(entity))
+    assert(reloaded.getFeatureView("taxi_hourly") === Some(view))
+    assert(reloaded.listFeatureViews().map(_.name) === Seq("taxi_hourly"))
+  }
 }
