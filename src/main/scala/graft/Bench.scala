@@ -20,10 +20,18 @@ object Bench {
       try graft.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // Per query: one untimed warm-up, then median of 3 timed runs —
+    // single-run timings at this scale swing ±6x run-to-run (JIT, GC,
+    // page cache), which made round-over-round deltas meaningless.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val runs = Seq.fill(3)(once()).sorted
+      name -> runs(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -283,31 +283,103 @@ object OpsQueries {
       |FROM m, unnest(range(0, n_frames)) AS u(i)""".stripMargin
 
   /** mapPartitions feature extraction (decode stub) — no SQL oracle; the
-    * driver records a rows-only check and DedupSimilaritySpec pins the
-    * values.
+    * driver records a rows-only check and OpsSpec pins the values. The 8
+    * histogram bins are projected to scalar double columns: the driver's
+    * rows-only check sorts every column, and an `array<float>` cell is
+    * unsortable in pandas (unhashable numpy.ndarray).
     */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val feats = Multimodal.extractFeatures(
       s, Multimodal.mediaFromDocuments(docs(s, dir)))
-    feats.toDF()
+    feats.toDF().select(
+      col("media_id") +: col("format") +: col("n_bytes") +:
+        (0 until 8).map(i =>
+          col("features").getItem(i).cast("double").as(s"f$i")): _*)
   }
 
-  /** IVF approximate KNN — no SQL oracle (recall pinned vs brute force in
-    * DedupSimilaritySpec).
+  /** IVF approximate KNN. The whole approximation is deterministic
+    * (fixed first-N centroids, id-pinned ties), so the oracle replays it
+    * exactly in SQL — a hard hash gate, not just a recall spec.
     */
   def ivfKnn(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
       k = 5, numCentroids = 16, nprobe = 4)
+      .withColumn("rank", col("rank").cast("long"))
   }
 
-  /** RP-LSH approximate KNN — no SQL oracle (recall pinned vs brute
-    * force in OpsSpec).
+  val ivfKnnSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |cents AS (SELECT vec_id AS centroid_id, vec AS centv FROM v ORDER BY vec_id LIMIT 16),
+      |assigned AS (
+      |  SELECT centroid_id, vec_id AS neighbor_id, vec AS cv FROM (
+      |    SELECT ct.centroid_id, x.vec_id, x.vec,
+      |           row_number() OVER (PARTITION BY x.vec_id
+      |             ORDER BY list_cosine_similarity(x.vec, ct.centv) DESC,
+      |                      ct.centroid_id ASC) AS rn
+      |    FROM v x CROSS JOIN cents ct)
+      |  WHERE rn = 1),
+      |probed AS (
+      |  SELECT centroid_id, query_id, qv FROM (
+      |    SELECT ct.centroid_id, q.vec_id AS query_id, q.vec AS qv,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY list_cosine_similarity(q.vec, ct.centv) DESC,
+      |                      ct.centroid_id ASC) AS rn
+      |    FROM v q CROSS JOIN cents ct WHERE q.vec_id < 20)
+      |  WHERE rn <= 4),
+      |scored AS (
+      |  SELECT p.query_id, a.neighbor_id, list_cosine_similarity(p.qv, a.cv) AS cos
+      |  FROM probed p JOIN assigned a ON a.centroid_id = p.centroid_id
+      |  WHERE p.query_id <> a.neighbor_id)
+      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+      |       floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+      |WHERE rank <= 5""".stripMargin
+
+  /** Embedding dimension of the test fixture (TESTDATA embeddings table);
+    * also the length of the literal hyperplanes inlined into the q26
+    * oracle, so the SQL replica and the Spark plan hash identically.
+    */
+  val EmbeddingDim = 64
+
+  /** RP-LSH approximate KNN. Deterministic (seeded hyperplanes), so the
+    * oracle reproduces the buckets from the same plane values inlined as
+    * SQL literals — a hard hash gate.
     */
   def rpLshKnn(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.rpLshTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
-      k = 5, numBits = 6, probeHamming = 1)
+      k = 5, dim = EmbeddingDim, numBits = 6, probeHamming = 1)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  val rpLshKnnSql: String = {
+    // Same planes as Similarity.rpSignature(seed=42): shortest-roundtrip
+    // double rendering parses back to the identical binary64 in DuckDB.
+    val planes = Similarity.rpPlanes(EmbeddingDim, 6, 42L)
+    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(vec, $arr) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n           + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, vec,
+       |         $sigExpr AS bucket
+       |  FROM v),
+       |c AS (SELECT vec_id AS neighbor_id, vec AS cv, bucket FROM sig),
+       |q AS (SELECT s.vec_id AS query_id, s.vec AS qv, xor(s.bucket, m.m) AS bucket
+       |      FROM sig s, (VALUES (0),(1),(2),(4),(8),(16),(32)) m(m)
+       |      WHERE s.vec_id < 20),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id, list_cosine_similarity(q.qv, c.cv) AS cos
+       |  FROM q JOIN c ON c.bucket = q.bucket
+       |  WHERE q.query_id <> c.neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |       floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+       |WHERE rank <= 5""".stripMargin
   }
 
   /** Document fingerprints via the custom codegen expressions
@@ -350,5 +422,7 @@ object OpsQueries {
     "q20_knn_brute" -> knnBruteSql,
     "q21_embedding_dedup" -> embeddingDedupSql,
     "q22_multimodal_meta" -> multimodalMetaSql,
-    "q23_frame_sample" -> frameSampleSql)
+    "q23_frame_sample" -> frameSampleSql,
+    "q25_ivf_knn" -> ivfKnnSql,
+    "q26_rplsh_knn" -> rpLshKnnSql)
 }

@@ -303,9 +303,11 @@ object Queries {
       .groupBy(col("user_id"))
       .agg(sum("k_value").as("sum_k"), count(lit(1)).as("n"))
 
+  // DuckDB sum(INTEGER) yields HUGEINT — cast back to BIGINT to match
+  // Spark's sum(INT) → BIGINT (the CLAUDE.md type-parity rule).
   val jsonExtractSql: String =
     """SELECT user_id,
-      |       sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER)) AS sum_k,
+      |       CAST(sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
       |       count(*) AS n
       |FROM events GROUP BY user_id""".stripMargin
 

@@ -53,7 +53,15 @@ object Multimodal {
       (octet_length(col("text").cast("binary")) % 640 + 32).cast("int").as("width"),
       (octet_length(col("text").cast("binary")) % 480 + 24).cast("int").as("height"),
       (octet_length(col("text").cast("binary")) % 16 + 1).cast("int").as("n_frames"))
-      .repartition(col("media_id"))
+
+  /** Opt-in blob spreading for INGEST time: repartition by media id so
+    * large blobs spread evenly before a write. Deliberately not part of
+    * [[mediaFromDocuments]] — an unconditional repartition there would
+    * full-shuffle the media bytes on every read, even for metadata-only
+    * projections (q22/q23) that never touch the blob.
+    */
+  def spreadBlobs(media: DataFrame): DataFrame =
+    media.repartition(col("media_id"))
 
   /** STUB — deterministic fake decode: a real implementation calls the
     * image/audio codec here (bytes → pixel/sample array). The fake folds

@@ -146,13 +146,20 @@ object Similarity {
     * Cosine-similar vectors collide with probability
     * `(1 - θ/π)^numBits`.
     */
-  def rpSignature(vec: Column, dim: Int, numBits: Int = 8, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(numBits)(Array.fill(dim)(rnd.nextGaussian()))
-    planes.zipWithIndex.map { case (plane, i) =>
+  def rpSignature(vec: Column, dim: Int, numBits: Int = 8, seed: Long = 42L): Column =
+    rpPlanes(dim, numBits, seed).zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(lit(_)): _*)
       when(dot(vec, planeCol) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** The fixed hyperplane set behind [[rpSignature]] — exposed so an
+    * external oracle (e.g. the DuckDB replica in
+    * [[graft.OpsQueries.rpLshKnnSql]]) can reproduce the exact same
+    * signatures from the literal plane values.
+    */
+  def rpPlanes(dim: Int, numBits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
   /** RP-LSH approximate top-k: corpus vectors bucket by signature; each
@@ -164,9 +171,9 @@ object Similarity {
     */
   def rpLshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, numBits: Int = 6, probeHamming: Int = 1, seed: Long = 42L): DataFrame = {
+      k: Int, dim: Int, numBits: Int = 6, probeHamming: Int = 1,
+      seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dim = corpus.select(col(vecCol)).head().getSeq[Any](0).size
 
     val c = withNorm(corpus, idCol, vecCol)
       .withColumn("bucket", rpSignature(col("__vec"), dim, numBits, seed))

@@ -169,7 +169,7 @@ class OpsSpec extends SparkSpec {
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.rpLshTopK(e, queries, "vec_id", "embedding", 5,
-      numBits = 6, probeHamming = 2)
+      dim = 64, numBits = 6, probeHamming = 2)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
