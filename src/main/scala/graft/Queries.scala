@@ -355,6 +355,84 @@ object Queries {
       |       event_id
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- §2.9
+  /** A2+U1+F5/F6 chained — the full weather-gold shape (reference
+    * `chicago_weather_hourly_fs.py:22-53`): keyed hourly agg with a
+    * collect_set, priority collapse of the set, and the surrogate
+    * read_id minted from the hour bucket's epoch. Runs on the events
+    * fixture with event_type recoded to the precipitation labels.
+    */
+  def weatherGoldChain(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"),
+        Transforms.recode(col("event_type"),
+          Map("purchase" -> "rain", "error" -> "snow"), lit("no")).as("ptype"))
+      .groupBy(col("user_id"), Transforms.hourBucket(col("ts")).as("event_timestamp"))
+      .agg(
+        pround(avg("value"), 4).as("avg_value"),
+        collect_set(col("ptype")).as("pset"),
+        pround(sum("value"), 4).as("total_value"))
+      .select(
+        col("user_id"), col("event_timestamp"), col("avg_value"),
+        Transforms.precipitationPriority(col("pset")).as("precipitation"),
+        col("total_value"),
+        concat_ws("_", col("user_id").cast("string"),
+          unix_timestamp(col("event_timestamp")).cast("string")).as("read_id"))
+
+  val weatherGoldChainSql: String =
+    """SELECT user_id,
+      |       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS event_timestamp,
+      |       floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+      |       CASE WHEN bool_or(event_type = 'error') THEN 'snow'
+      |            WHEN bool_or(event_type = 'purchase') THEN 'rain'
+      |            ELSE 'no' END AS precipitation,
+      |       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS total_value,
+      |       CAST(user_id AS VARCHAR) || '_' ||
+      |       CAST(CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |            AS VARCHAR) AS read_id
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- §2.2
+  /** P12: dynamic map flatten — schema-on-read pivot of the props JSON
+    * parsed as map<string,string> into top-level columns (reference
+    * `chicago_taxi_trips_silver.ipynb:38-47`). One driver-side
+    * key-discovery pass, then a pure projection.
+    */
+  def mapFlatten(s: SparkSession, dir: String): DataFrame =
+    Transforms.flattenMapColumn(
+      t(s, dir, "events").select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)).as("props_map")),
+      "props_map", keep = Seq("event_id"))
+
+  val mapFlattenSql: String =
+    """SELECT event_id, json_extract_string(props, '$.k') AS k FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- §2.1
+  /** S6: CSV-with-header round-trip through the registry-described scan —
+    * write a projection of events as CSV, read it back via
+    * [[graft.sources.SourceReader]] (`fileFormat = "csv"`, reference
+    * `trip_stats_fv.ipynb:165`), aggregate. Casts are explicit because a
+    * header-only CSV read is untyped.
+    */
+  def csvRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_csv_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getPath
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").as("event_timestamp"))
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    graft.sources.SourceReader
+      .read(s, SparkSource("events_csv", tmp, fileFormat = "csv"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id").cast("long")).as("sum_user"))
+  }
+
+  val csvRoundTripSql: String =
+    """SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_user
+      |FROM events GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -370,7 +448,10 @@ object Queries {
     "q10_json_extract" -> jsonExtract _,
     "q11_explode_tokens" -> explodeTokens _,
     "q12_topn" -> topN _,
-    "q13_surrogate_key" -> surrogateKey _)
+    "q13_surrogate_key" -> surrogateKey _,
+    "q28_weather_gold" -> weatherGoldChain _,
+    "q29_map_flatten" -> mapFlatten _,
+    "q30_csv_roundtrip" -> csvRoundTrip _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -386,5 +467,8 @@ object Queries {
     "q10_json_extract" -> jsonExtractSql,
     "q11_explode_tokens" -> explodeTokensSql,
     "q12_topn" -> topNSql,
-    "q13_surrogate_key" -> surrogateKeySql)
+    "q13_surrogate_key" -> surrogateKeySql,
+    "q28_weather_gold" -> weatherGoldChainSql,
+    "q29_map_flatten" -> mapFlattenSql,
+    "q30_csv_roundtrip" -> csvRoundTripSql)
 }
