@@ -39,8 +39,7 @@ object OpsQueries {
       .withColumn("n_tok", size(col("toks")))
       .withColumn("nchr", TextAnalysis.charCount(col("text")).cast("double"))
       .withColumn("npunct", TextAnalysis.punctCount(col("text")).cast("double"))
-      .withColumn("n_stop",
-        size(filter(col("toks"), t => t.isin(stop.map(w => w: Any): _*))))
+      .withColumn("n_stop", TextAnalysis.countIn(col("toks"), stop))
     val avgLen = when(col("n_tok") === 0, lit(0.0))
       .otherwise(col("nchr") / col("n_tok"))
     val stopRatio = when(col("n_tok") === 0, lit(0.0))

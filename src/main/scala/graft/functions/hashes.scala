@@ -254,6 +254,10 @@ object functions {
       DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
   def word_shingles(c: Column, n: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(c), n))
+  def normalized_md5(c: Column): Column =
+    GraftSqlBridge.column(NormalizedMd5(GraftSqlBridge.expression(c)))
+  def count_in_set(c: Column, words: Seq[String]): Column =
+    GraftSqlBridge.column(CountInSet(GraftSqlBridge.expression(c), words))
 
   /** Register the custom expressions for SQL use in a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

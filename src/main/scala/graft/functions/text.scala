@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen text expressions for the dedup/quality hot paths — single-pass
+  * replacements for regex chains and interpreted higher-order-function
+  * lambdas (the two per-row cost centers the bench flagged in q14-q17).
+  */
+
+/** `md5(lower(regexp_replace(trim(text), "\s+", " ")))` in ONE byte-level
+  * pass plus one digest — no regex engine, no three intermediate strings.
+  * Byte-exact with the composed formulation (verified in FunctionsSpec):
+  * space-only trim (Spark `trim` semantics), ASCII `\s` run collapse
+  * (Java regex `\s` = space, \t, \n, \x0B, \f, \r — multi-byte UTF-8
+  * sequences all have the high bit set, so a byte scan can't false-match),
+  * then `UTF8String.toLowerCase` (the exact `lower()` implementation)
+  * before hashing. Null in → null out.
+  */
+case class NormalizedMd5(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"normalized_md5 needs a string input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizedMd5.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NormalizedMd5.eval($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizedMd5 =
+    copy(child = newChild)
+  override def prettyName: String = "normalized_md5"
+}
+
+object NormalizedMd5 {
+  private def isAsciiWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  def eval(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    // Spark trim(): leading/trailing 0x20 only.
+    var start = 0
+    var end = bytes.length
+    while (start < end && bytes(start) == 0x20) start += 1
+    while (end > start && bytes(end - 1) == 0x20) end -= 1
+    // regexp_replace(_, "\s+", " "): collapse ASCII whitespace runs.
+    val out = new Array[Byte](end - start)
+    var n = 0
+    var i = start
+    var inWs = false
+    while (i < end) {
+      val b = bytes(i)
+      if (isAsciiWs(b)) {
+        if (!inWs) { out(n) = 0x20; n += 1 }
+        inWs = true
+      } else {
+        out(n) = b; n += 1
+        inWs = false
+      }
+      i += 1
+    }
+    val lowered = UTF8String.fromBytes(out, 0, n).toLowerCase
+    UTF8String.fromString(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(lowered.getBytes))
+  }
+}
+
+/** Count of `array<string>` elements contained in a fixed word set — the
+  * codegen replacement for `size(filter(toks, t => t.isin(words)))`,
+  * whose lambda evaluates interpreted per element. Multiplicity-counting
+  * (duplicates count), null elements skipped, null array → null. The set
+  * is hashed once per operator, not per row.
+  */
+case class CountInSet(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"count_in_set needs array<string>, got ${other.catalogString}")
+    }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = CountInSet.build(words)
+
+  override def nullSafeEval(input: Any): Any =
+    CountInSet.eval(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CountInSet.eval($c, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
+    copy(child = newChild)
+  override def prettyName: String = "count_in_set"
+}
+
+object CountInSet {
+  def build(words: Seq[String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  def eval(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    var cnt = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+}

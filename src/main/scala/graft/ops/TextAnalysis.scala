@@ -34,8 +34,13 @@ object TextAnalysis {
   /** English stopword markers used for quality scoring. */
   val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "is", "in", "to", "it")
 
-  private def countIn(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+  /** Marker-token count via the codegen [[graft.functions.CountInSet]]
+    * expression (a `size(filter(toks, isin))` HOF lambda evaluates
+    * interpreted per element — the repo's banned-in-hot-path pattern).
+    * Multiplicity-counting, identical to the HOF formulation.
+    */
+  def countIn(toks: Column, words: Seq[String]): Column =
+    graft.functions.functions.count_in_set(toks, words)
 
   /** Characters excluding spaces. */
   def charCount(text: Column): Column = length(regexp_replace(text, " ", ""))
@@ -67,7 +72,7 @@ object TextAnalysis {
     * (oracle bitwise parity — no exp/log).
     */
   def qualityScore(text: Column): Column =
-    round(
+    graft.util.Rounding.pround(
       lit(0.5) * stopwordRatio(text)
         + lit(0.05) * least(avgTokenLength(text), lit(10.0))
         - lit(0.3) * punctRatio(text),
@@ -103,8 +108,11 @@ object TextAnalysis {
   }
 
   /** Exact-dup fingerprint: md5 of the whitespace-normalized, lowercased
-    * text. Portable across engines (md5 hex).
+    * text. Portable across engines (md5 hex). Computed by the single-pass
+    * codegen [[graft.functions.NormalizedMd5]] — byte-identical to
+    * `md5(lower(regexp_replace(trim(text), "\s+", " ")))` (FunctionsSpec)
+    * without three regex/string materializations per row.
     */
   def fingerprintMd5(text: Column): Column =
-    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+    graft.functions.functions.normalized_md5(text)
 }
