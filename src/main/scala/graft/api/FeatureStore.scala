@@ -23,13 +23,20 @@ final case class RepoConfig(
   * `.to_spark_df()` / `.query`): nothing executes until an action runs on
   * [[toDf]].
   */
-final class RetrievalJob(df: => DataFrame) {
+final class RetrievalJob(df: => DataFrame, cleanup: () => Unit = () => ()) {
   lazy val toDf: DataFrame = df
   /** Physical-plan dump, the moral equivalent of the reference's
     * `hist.query` SQL text (`Untitled.ipynb:868`). */
   def explainString(mode: String = "formatted"): String =
     toDf.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+  /** Release resources held for this retrieval (the cached entity
+    * DataFrame) — call after the terminal action on [[toDf]]. Without it
+    * a long session doing many retrievals accumulates cached blocks.
+    * Idempotent; the plan stays runnable afterwards (recomputed, not
+    * cached).
+    */
+  def release(): Unit = cleanup()
 }
 
 /** The user-facing facade wiring registry + offline PIT retrieval +
@@ -78,11 +85,21 @@ final class FeatureStore(
     val requests = resolved.map { case (fv, feats) =>
       PointInTimeJoin.ViewRequest(fv, feats, resolveJoinKeys(fv))
     }
-    new RetrievalJob(PointInTimeJoin.retrieve(
-      spark, entityDf, requests,
-      entityTsCol = config.entityTimestampColumn,
-      fullFeatureNames = fullFeatureNames,
-      cacheEntity = cacheEntity))
+    // The facade owns the entity cache so RetrievalJob.release() can
+    // unpersist it — PointInTimeJoin itself never persists (its
+    // cacheEntity stays false), avoiding blocks that outlive the
+    // retrieval.
+    val persisted =
+      if (cacheEntity)
+        Some(entityDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else None
+    new RetrievalJob(
+      PointInTimeJoin.retrieve(
+        spark, persisted.getOrElse(entityDf), requests,
+        entityTsCol = config.entityTimestampColumn,
+        fullFeatureNames = fullFeatureNames,
+        cacheEntity = false),
+      () => persisted.foreach(_.unpersist(false)))
   }
 
   /** M5: latest-per-key within [start, end] → online store. */
@@ -108,8 +125,13 @@ final class FeatureStore(
         val vector = onlineStore.get(fv.name, keyValues)
         feats.map { f =>
           val raw = vector.flatMap(_.get(f.name)).orNull
+          // Narrow ONLY declared-FLOAT features: a DoubleType feature
+          // must serve at full precision (anything else is silent
+          // online/offline skew).
           val v = raw match {
-            case d: java.lang.Double => java.lang.Double.valueOf(d.floatValue.toDouble)
+            case d: java.lang.Double
+                if f.dtype == org.apache.spark.sql.types.FloatType =>
+              java.lang.Double.valueOf(d.floatValue.toDouble)
             case other => other
           }
           s"${fv.name}__${f.name}" -> v

@@ -116,27 +116,55 @@ final class HadoopRegistry(
     this(path, spark.sparkContext.hadoopConfiguration)
 
   private val path = new Path(pathStr)
+  private val tmpPath = new Path(pathStr + ".tmp")
   private def fs: FileSystem = path.getFileSystem(hadoopConf)
 
+  /** Read the registry document. A concurrent [[save]] may transiently
+    * leave the final path missing (FileContext rename-OVERWRITE is
+    * atomic on HDFS but delete+rename on some FSes, e.g. local) — in
+    * that window the `.tmp` file exists, so "final missing but tmp
+    * present" means write-in-progress: retry rather than silently
+    * returning an empty registry (which would let the next apply rewrite
+    * the registry from empty and drop every definition).
+    */
   private def load(): State = {
     val f = fs
-    if (f.exists(path)) {
-      val in = f.open(path)
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
-        fromJson(new String(bytes.toByteArray, "UTF-8"))
-      } finally in.close()
-    } else State(Map.empty, Map.empty, Map.empty)
+    var attempts = 0
+    while (attempts < 2000) {
+      if (f.exists(path)) {
+        try {
+          val in = f.open(path)
+          try {
+            val bytes = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+            return fromJson(new String(bytes.toByteArray, "UTF-8"))
+          } finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException => () // vanished mid-swap; retry
+        }
+      } else if (!f.exists(tmpPath) && !f.exists(path)) {
+        // neither final nor in-progress temp: genuinely empty (the
+        // re-check of the final path closes the tmp→final rename race)
+        return State(Map.empty, Map.empty, Map.empty)
+      }
+      attempts += 1
+      Thread.sleep(1)
+    }
+    throw new java.io.IOException(
+      s"registry at $path unreadable after $attempts attempts (stale .tmp from a crashed writer?)")
   }
 
   private def save(s: State): Unit = {
     val f = fs
-    val tmp = new Path(pathStr + ".tmp")
-    val out = f.create(tmp, true)
+    val out = f.create(tmpPath, true)
     try out.write(toJson(s).getBytes("UTF-8")) finally out.close()
-    if (f.exists(path)) f.delete(path, false)
-    require(f.rename(tmp, path), s"registry write failed: rename $tmp -> $path")
+    // Replace via FileContext rename-OVERWRITE (atomic on HDFS; on FSes
+    // where it degrades to delete+rename, load()'s tmp-aware retry keeps
+    // readers from ever observing an empty registry).
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.makeQualified(path).toUri, hadoopConf)
+    fc.rename(f.makeQualified(tmpPath), f.makeQualified(path),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   override def applyEntity(e: Entity): Unit = synchronized {

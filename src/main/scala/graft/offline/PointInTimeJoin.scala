@@ -75,7 +75,10 @@ object PointInTimeJoin {
     // left joins, min/max bounds). For non-trivial entity inputs,
     // persisting avoids recomputing its lineage for every pass — the
     // distributed analogue of the reference materializing the entity df
-    // as a temp view (without its driver round-trip).
+    // as a temp view (without its driver round-trip). NOTE: a caller
+    // passing cacheEntity=true owns the unpersist; the FeatureStore
+    // facade instead persists caller-side and releases via
+    // RetrievalJob.release().
     val entityDf =
       if (cacheEntity)
         entityDf1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -54,6 +54,13 @@ object Skew {
       numSalts: Int,
       joinType: String = "inner"): DataFrame = {
     require(numSalts > 1, "numSalts must be > 1")
+    // The dimension is replicated numSalts×, so any join type that can
+    // emit unmatched DIM rows (right/full outer) would emit each of them
+    // numSalts times. Only fact-preserving joins are correct here.
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+      s"saltedJoin supports inner/left-family joins only, got '$joinType' " +
+        "(right/full outer would duplicate unmatched dimension rows)")
     val saltedFact = skewed.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(numSalts)).cast("int"))
     val replicatedDim = dim.withColumn("__salt",

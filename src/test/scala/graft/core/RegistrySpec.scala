@@ -70,4 +70,28 @@ class RegistrySpec extends AnyFunSuite {
     assert(reloaded.getFeatureView("taxi_hourly") === Some(view))
     assert(reloaded.listFeatureViews().map(_.name) === Seq("taxi_hourly"))
   }
+
+  test("hadoop-fs registry save never exposes a missing/empty registry to readers") {
+    // Regression: save() used delete-then-rename, so a concurrent load()
+    // could observe no file and silently return an empty registry. With
+    // rename-OVERWRITE a reader must always see a complete document.
+    val path = java.nio.file.Files.createTempDirectory("hreg2").toString + "/registry.json"
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val writer = new HadoopRegistry(path, conf)
+    writer.applyEntity(entity)
+    val reader = new HadoopRegistry(path, conf)
+    @volatile var emptyReads = 0
+    @volatile var done = false
+    val t = new Thread(() => {
+      while (!done) if (reader.listEntities().isEmpty) emptyReads += 1
+    })
+    t.start()
+    try {
+      (1 to 50).foreach { i =>
+        writer.applyEntity(entity.copy(description = s"v$i"))
+      }
+    } finally { done = true; t.join() }
+    assert(emptyReads === 0, s"reader saw an empty registry $emptyReads times")
+    assert(writer.getEntity("driver").get.description === "v50")
+  }
 }

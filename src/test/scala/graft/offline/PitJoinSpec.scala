@@ -140,4 +140,20 @@ class PitJoinSpec extends SparkSpec {
     val out = graft.Queries.pitJoin(spark, sf0001)
     assert(out.count() === ent.count())
   }
+
+  test("release() unpersists the cached entity df (no leaked blocks)") {
+    import org.apache.spark.storage.StorageLevel
+    val ent = graft.Queries.pitEntityGrid(spark, sf0001)
+    ent.unpersist(true) // clear anything another suite leaked for this plan
+    assert(ent.storageLevel === StorageLevel.NONE)
+    val fs = graft.Queries.pitFeatureStore(spark, sf0001)
+    val job = fs.getHistoricalFeatures(ent, Seq("events_fv:value"),
+      cacheEntity = true)
+    assert(job.toDf.count() > 0)
+    assert(ent.storageLevel !== StorageLevel.NONE,
+      "expected the entity df to be cached during retrieval")
+    job.release()
+    assert(ent.storageLevel === StorageLevel.NONE,
+      "entity cache leaked after release()")
+  }
 }

@@ -73,4 +73,41 @@ class OnlineSpec extends SparkSpec {
       Timestamp.valueOf("2024-03-01 00:00:00"), Seq("fv"))
     assert(lookupValue(fs, "a") === Some(99.0))
   }
+
+  test("composite keys with separator/backslash content never collide") {
+    val store = new InMemoryOnlineStore
+    // ("ab", "c") vs ("a", "bc") concatenate identically
+    // without escaping; so do ("x\\", "y") vs ("x", "\\y"); and a null
+    // vs the literal strings "\\N" / "N".
+    val rows = Seq(
+      (Some("ab"), Some("c"), 1.0),
+      (Some("a"), Some("bc"), 2.0),
+      (Some("x\\"), Some("y"), 3.0),
+      (Some("x"), Some("\\y"), 4.0),
+      (None: Option[String], Some("z"), 5.0),
+      (Some("\\N"), Some("z"), 6.0),
+      (Some("N"), Some("z"), 7.0))
+    val df = rows.toDF("k1", "k2", "v")
+    store.write("cv", Seq("k1", "k2"), df)
+    rows.foreach { case (k1, k2, v) =>
+      assert(store.get("cv", Seq(k1.orNull, k2.orNull)).map(_("v")) === Some(v),
+        s"lookup ($k1, $k2)")
+    }
+  }
+
+  test("float32 narrowing applies only to declared-FLOAT features") {
+    val store = new InMemoryOnlineStore
+    store.write("tv", Seq("key"), Seq(("a", 10.04, 10.04)).toDF("key", "vd", "vf"))
+    val fs = new FeatureStore(spark, RepoConfig("t"), new InMemoryRegistry, store)
+    fs.applyObjects(Seq(
+      Entity("key", Seq("key"), ValueType.STRING),
+      FeatureView("tv", Seq("key"),
+        Seq(Feature("vd", DoubleType),
+          Feature("vf", org.apache.spark.sql.types.FloatType)),
+        SparkSource("s", featPath, timestampField = "event_ts"))))
+    val out = fs.getOnlineFeatures(Seq(Map("key" -> "a")), Seq("tv:vd", "tv:vf")).head
+    assert(out("tv__vd") === 10.04) // DoubleType serves full precision
+    assert(out("tv__vf") === 10.04f.toDouble) // declared FLOAT narrows
+    assert(out("tv__vd") !== out("tv__vf"))
+  }
 }

@@ -45,4 +45,12 @@ class SkewSpec extends SparkSpec {
     assert(out.count() === skewed.count())
     assert(out.filter(col("name").isNull).count() === 500) // 50 tail keys x 10
   }
+
+  test("saltedJoin rejects join types that would duplicate unmatched dim rows") {
+    val dim = Seq(("h", "hot")).toDF("k", "name")
+    Seq("right", "right_outer", "full", "full_outer", "outer").foreach { jt =>
+      intercept[IllegalArgumentException](
+        Skew.saltedJoin(skewed, dim, "k", numSalts = 4, joinType = jt))
+    }
+  }
 }
