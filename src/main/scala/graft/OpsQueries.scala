@@ -145,12 +145,16 @@ object OpsQueries {
   // ------------------------------------------------------------ n-gram jaccard
   /** Exact 3-gram Jaccard on source-blocked pairs (the verification stage
     * after LSH candidate generation; blocked so it never goes quadratic).
+    * Pair generation is a salted block self-join so a dominant block
+    * spreads over many reducers instead of melting one.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val a = d.select(col("source"), col("doc_id").as("a"))
     val b = d.select(col("source"), col("doc_id").as("b"))
-    val pairs = a.join(b, "source").filter(col("a") < col("b")).select("a", "b")
+    val pairs = graft.transform.Skew
+      .saltedBlockSelfJoin(a, b, "source", col("a"), col("b"), numSalts = 8)
+      .filter(col("a") < col("b")).select("a", "b")
     Dedup.ngramJaccard(pairs, Dedup.shingleSet(d, "doc_id", "text"), "doc_id")
   }
 

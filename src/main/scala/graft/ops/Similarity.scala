@@ -72,18 +72,24 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
     * cluster/label/LSH bucket): pairs (a < b) in the same block with
     * cosine above `threshold`. The join key is the block — never
-    * all-pairs.
+    * all-pairs — and the within-block self-join is salted
+    * ([[graft.transform.Skew.saltedBlockSelfJoin]]) so one hot block's
+    * O(B²) pair work spreads over numSalts² reducers instead of one.
     */
   def blockedCosinePairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, numSalts: Int = 8): DataFrame = {
     val n = withNorm(df, idCol, vecCol)
       .join(df.select(col(idCol), col(blockCol)), idCol)
     val a = n.select(col(blockCol).as("block"), col(idCol).as("a"),
       col("__vec").as("va"), col("__norm").as("na"))
     val b = n.select(col(blockCol).as("block"), col(idCol).as("b"),
       col("__vec").as("vb"), col("__norm").as("nb"))
-    a.join(b, "block")
+    val joined =
+      if (numSalts > 1)
+        graft.transform.Skew.saltedBlockSelfJoin(a, b, "block", col("a"), col("b"), numSalts)
+      else a.join(b, "block")
+    joined
       .filter(col("a") < col("b"))
       .withColumn("cos", graft.util.Rounding.pround(
         dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))

@@ -41,6 +41,33 @@ object Skew {
       .agg(merge.head, merge.tail: _*)
   }
 
+  /** Block-local pair generation (a self-join on a blocking key) with a
+    * hot block's quadratic work spread over `numSalts²` tasks instead of
+    * one reducer. Each side is assigned a deterministic salt from its
+    * own id and replicated over the other side's salt space, so every
+    * (a, b) pair within a block meets in exactly ONE task — results are
+    * identical to `a.join(b, blockCol)`, but a block holding 1% of a
+    * 100 TB corpus no longer lands on a single reducer. Output size is
+    * still O(B²) per block: cap block sizes upstream when B itself is
+    * unbounded. Replication cost: numSalts× each input.
+    */
+  def saltedBlockSelfJoin(
+      a: DataFrame,
+      b: DataFrame,
+      blockCol: String,
+      saltKeyA: Column,
+      saltKeyB: Column,
+      numSalts: Int): DataFrame = {
+    require(numSalts > 1, "numSalts must be > 1")
+    val aS = a
+      .withColumn("__pa", pmod(hash(saltKeyA), lit(numSalts)))
+      .withColumn("__pb", explode(sequence(lit(0), lit(numSalts - 1))))
+    val bS = b
+      .withColumn("__pb", pmod(hash(saltKeyB), lit(numSalts)))
+      .withColumn("__pa", explode(sequence(lit(0), lit(numSalts - 1))))
+    aS.join(bS, Seq(blockCol, "__pa", "__pb")).drop("__pa", "__pb")
+  }
+
   /** Salted join of a skewed fact side against a dimension: the fact
     * side gets a random salt in [0, numSalts); the dimension is
     * replicated once per salt value; the join key becomes (key, salt).

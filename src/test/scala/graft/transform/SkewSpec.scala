@@ -46,6 +46,22 @@ class SkewSpec extends SparkSpec {
     assert(out.filter(col("name").isNull).count() === 500) // 50 tail keys x 10
   }
 
+  test("saltedBlockSelfJoin emits each within-block pair exactly once") {
+    // planted skew: one hot block with 80 rows, 20 singleton blocks
+    val rows = (1 to 80).map(i => ("hot", i.toLong)) ++
+      (81 to 100).map(i => (s"b$i", i.toLong))
+    val df = rows.toDF("blk", "id")
+    val a = df.select(col("blk"), col("id").as("a"))
+    val b = df.select(col("blk"), col("id").as("b"))
+    val plain = a.join(b, "blk").filter(col("a") < col("b"))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Skew.saltedBlockSelfJoin(a, b, "blk", col("a"), col("b"), 4)
+      .filter(col("a") < col("b"))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(salted.length === salted.toSet.size, "duplicate pairs emitted")
+    assert(salted.toSet === plain)
+  }
+
   test("saltedJoin rejects join types that would duplicate unmatched dim rows") {
     val dim = Seq(("h", "hot")).toDF("k", "name")
     Seq("right", "right_outer", "full", "full_outer", "outer").foreach { jt =>
