@@ -17,7 +17,10 @@ import java.sql.Timestamp
 final case class RepoConfig(
     project: String,
     registryPath: Option[String] = None,
-    entityTimestampColumn: String = "event_timestamp")
+    entityTimestampColumn: String = "event_timestamp",
+    provider: String = "local",
+    onlineStoreType: String = "memory",
+    sparkConf: Map[String, String] = Map.empty)
 
 /** Lazy historical-retrieval handle (reference M4's `RetrievalJob` with
   * `.to_spark_df()` / `.query`): nothing executes until an action runs on
@@ -37,6 +40,71 @@ final class RetrievalJob(df: => DataFrame, cleanup: () => Unit = () => ()) {
     * cached).
     */
   def release(): Unit = cleanup()
+}
+
+object FeatureStore {
+
+  /** M1: `FeatureStore(repo_path)` — load `<repoPath>/feature_store.yaml`
+    * and wire up the registry and online store it describes (reference
+    * `feature_store.yaml:1-18`, `CASE.MD:129-141`). Mapping:
+    *
+    *   - `project` → [[RepoConfig.project]];
+    *   - `registry.path` (or the `registry: <path>` shorthand) → a
+    *     [[graft.core.HadoopRegistry]] at that URI (any Hadoop FS;
+    *     relative paths resolve against the repo dir; default
+    *     `data/registry.json`);
+    *   - `online_store.type`: `memory` → in-memory; `parquet` → a
+    *     [[graft.online.ParquetOnlineStore]] rooted at
+    *     `online_store.path`/`connection_string` (default
+    *     `data/online`); `redis` → the hermetic in-memory stand-in (no
+    *     external service in this build — implement [[graft.online.OnlineStore]]
+    *     against a real client and pass it to the constructor to go
+    *     networked; `write`/`get`/`upsert` are the full contract);
+    *   - `offline_store.type: spark` means "use the active session"
+    *     (`CASE.MD:140`) — its `spark_conf` entries are applied where
+    *     runtime-settable, and recorded in [[RepoConfig.sparkConf]]
+    *     either way (static conf like master/executor sizing belongs to
+    *     session construction, which the caller owns).
+    */
+  def fromRepo(spark: SparkSession, repoPath: String): FeatureStore = {
+    import graft.core.Yaml
+    val yamlFile = java.nio.file.Paths.get(repoPath, "feature_store.yaml")
+    val doc = Yaml.parse(java.nio.file.Files.readString(yamlFile))
+
+    def resolve(p: String): String =
+      if (new java.io.File(p).isAbsolute || p.contains("://")) p
+      else new java.io.File(repoPath, p).getPath
+
+    val project = Yaml.str(doc, "project").getOrElse("default")
+    val registryPath = resolve(
+      Yaml.str(Yaml.sub(doc, "registry"), "path")
+        .orElse(Yaml.str(doc, "registry"))
+        .getOrElse("data/registry.json"))
+    val online = Yaml.sub(doc, "online_store")
+    val onlineType = Yaml.str(online, "type").getOrElse("memory")
+    val store: OnlineStore = onlineType match {
+      case "memory" | "redis" => new InMemoryOnlineStore
+      case "parquet" => new graft.online.ParquetOnlineStore(spark,
+        resolve(Yaml.str(online, "path")
+          .orElse(Yaml.str(online, "connection_string"))
+          .getOrElse("data/online")))
+      case other => throw new IllegalArgumentException(
+        s"unsupported online_store.type '$other' (memory | parquet | redis)")
+    }
+    val sparkConf = Yaml.sub(Yaml.sub(doc, "offline_store"), "spark_conf")
+      .collect { case (k, v: String) => k -> v }
+    sparkConf.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
+    }
+    new FeatureStore(
+      spark,
+      RepoConfig(project, Some(registryPath),
+        provider = Yaml.str(doc, "provider").getOrElse("local"),
+        onlineStoreType = onlineType, sparkConf = sparkConf),
+      new graft.core.HadoopRegistry(spark, registryPath),
+      store)
+  }
 }
 
 /** The user-facing facade wiring registry + offline PIT retrieval +
