@@ -185,6 +185,79 @@ object WordShingles {
   }
 }
 
+/** Whole-document MinHash signature in ONE pass — the row-local fusion
+  * of explode(shingles) → md5 ×2 → groupBy(id).agg(min×8). Semantics are
+  * bit-identical to that pipeline (see [[graft.ops.Dedup.minhashSignatures]]
+  * and MinHashFusionSpec): per 3-word shingle, two md5 hex digests
+  * (`md5(s)`, `md5('~'+s)`) are sliced into four 8-hex-char chunks each,
+  * and the signature is the lexicographic minimum of each chunk over the
+  * doc's shingles. Returns `array<string>` of 8 chunks; docs with fewer
+  * than `n` tokens (no shingles) return null — exactly the rows the
+  * aggregation formulation dropped.
+  *
+  * Scale: this removes the minhash pipeline's widest stage — the
+  * exploded (id, shingle) bag and its groupBy shuffle — making signature
+  * computation embarrassingly parallel; only the narrow (id, band_hash)
+  * rows ever shuffle.
+  */
+case class MinHashSigs(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType] && n >= 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sigs needs (string, n>=1), got ${child.dataType.catalogString}, n=$n")
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigs.eval(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.MinHashSigs.eval($c, $n);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sigs"
+}
+
+object MinHashSigs {
+  /** Null when the doc has no shingles (fewer than n tokens). */
+  def eval(text: UTF8String, n: Int): ArrayData = {
+    val shingles = WordShingles.eval(text, n)
+    val m = shingles.numElements()
+    if (m == 0) return null
+    val mins = new Array[String](8)
+    var i = 0
+    while (i < m) {
+      val s = shingles.getUTF8String(i)
+      val bytes = s.getBytes
+      val tilde = new Array[Byte](bytes.length + 1)
+      tilde(0) = '~'
+      System.arraycopy(bytes, 0, tilde, 1, bytes.length)
+      val h1 = org.apache.commons.codec.digest.DigestUtils.md5Hex(bytes)
+      val h2 = org.apache.commons.codec.digest.DigestUtils.md5Hex(tilde)
+      var k = 0
+      while (k < 8) {
+        val src = if (k < 4) h1 else h2
+        val chunk = src.substring((k % 4) * 8, (k % 4) * 8 + 8)
+        if (mins(k) == null || chunk.compareTo(mins(k)) < 0) mins(k) = chunk
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(UTF8String.fromString(_): Any))
+  }
+}
+
 /** Sequential-fold dot product over two `array<double>` columns — the
   * codegen'd replacement for the interpreted `zip_with` + `aggregate`
   * higher-order-function pair in the similarity hot path. Identical
@@ -256,6 +329,8 @@ object functions {
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(c), n))
   def normalized_md5(c: Column): Column =
     GraftSqlBridge.column(NormalizedMd5(GraftSqlBridge.expression(c)))
+  def minhash_sigs(c: Column, n: Int): Column =
+    GraftSqlBridge.column(MinHashSigs(GraftSqlBridge.expression(c), n))
   def count_in_set(c: Column, words: Seq[String]): Column =
     GraftSqlBridge.column(CountInSet(GraftSqlBridge.expression(c), words))
 

@@ -104,15 +104,34 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** Full MinHash-LSH near-dup pipeline: text → shingle set → signatures
-    * → bands → candidate pairs.
+  /** Row-local minhash signatures via the fused codegen
+    * [[graft.functions.MinHashSigs]] expression: one pass over each doc,
+    * no exploded shingle bag, NO shuffle — the widest stage of the
+    * aggregation formulation ([[minhashSignatures]]) disappears. Output
+    * schema and values are identical (MinHashFusionSpec pins it); docs
+    * with no shingles are dropped, exactly as the groupBy dropped them.
+    */
+  def minhashSignaturesFused(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8): DataFrame = {
+    require(numHashes <= 8, "8 hash functions per 2 md5 digests supported")
+    df.select(col(idCol),
+      graft.functions.functions.minhash_sigs(col(textCol), shingleN).as("__mh"))
+      .filter(col("__mh").isNotNull)
+      .select(col(idCol) +:
+        (0 until numHashes).map(k => col("__mh").getItem(k).as(s"mh$k")): _*)
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: text → signatures (fused,
+    * row-local) → bands → candidate pairs. The only shuffles left are
+    * the narrow (id, band_hash) self-join and the final distinct.
     */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
     candidatePairs(
       lshBands(
-        minhashSignatures(shingleBag(df, idCol, textCol, shingleN), idCol, numHashes),
+        minhashSignaturesFused(df, idCol, textCol, shingleN, numHashes),
         idCol, numHashes, rowsPerBand),
       idCol)
 

@@ -112,6 +112,15 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("fused minhash signature stage is shuffle-free") {
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val p = plan(graft.ops.Dedup.minhashSignaturesFused(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"),
+      s"signature computation must be row-local (no shuffle):\n$p")
+    assert(p.contains("* Project") || p.contains("* Filter"),
+      s"minhash_sigs fell out of codegen:\n$p")
+  }
+
   test("knn broadcast: query side is broadcast, corpus streams") {
     val p = plan(OpsQueries.knnBrute(spark, sf0001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -59,6 +59,21 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("fused minhash signatures == explode+groupBy formulation") {
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val viaAgg = graft.ops.Dedup.minhashSignatures(
+      graft.ops.Dedup.shingleBag(docs, "doc_id", "text"), "doc_id")
+    val fused = graft.ops.Dedup.minhashSignaturesFused(docs, "doc_id", "text")
+    assert(fused.columns.toSeq === viaAgg.columns.toSeq)
+    assert(fused.count() === viaAgg.count())
+    assert(fused.exceptAll(viaAgg).count() === 0)
+    assert(viaAgg.exceptAll(fused).count() === 0)
+    // short docs (< n tokens) are dropped by both formulations
+    val short = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.minhashSignaturesFused(short, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("normalized_md5 and count_in_set stay inside codegen") {
     val df = Tables.load(spark, sf0001, "documents").select(
       gf.normalized_md5(col("text")).as("h"),
