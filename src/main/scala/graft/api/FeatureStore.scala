@@ -57,9 +57,10 @@ object FeatureStore {
     *     [[graft.online.ParquetOnlineStore]] rooted at
     *     `online_store.path`/`connection_string` (default
     *     `data/online`); `redis` → the hermetic in-memory stand-in (no
-    *     external service in this build — implement [[graft.online.OnlineStore]]
-    *     against a real client and pass it to the constructor to go
-    *     networked; `write`/`get`/`upsert` are the full contract);
+    *     external service in this build — implement a
+    *     [[graft.online.KVClient]] over your client library and pass
+    *     `new KVClientOnlineStore(factory)` to the constructor for the
+    *     executor-parallel networked path);
     *   - `offline_store.type: spark` means "use the active session"
     *     (`CASE.MD:140`) — its `spark_conf` entries are applied where
     *     runtime-settable, and recorded in [[RepoConfig.sparkConf]]

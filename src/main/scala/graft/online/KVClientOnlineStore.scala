@@ -1,0 +1,57 @@
+package graft.online
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Client contract for a networked KV online store (Redis, Cassandra,
+  * DynamoDB, …): one instance is opened PER PARTITION on the executors
+  * during writes (amortizing connection setup over the batch, the same
+  * reason the reference's Redis sink pipelines per connection) and one
+  * on the driver for point lookups. Implementations wrap their client
+  * library here; values are the feature vectors as name→value maps —
+  * bring your own wire encoding (the reference uses proto-serialized
+  * values in Redis, `station_reads_hourly_fs/feature_store.yaml:6-8`).
+  */
+trait KVClient extends AutoCloseable {
+  def put(key: String, vector: Map[String, Any]): Unit
+  def get(key: String): Option[Map[String, Any]]
+}
+
+/** Executor-parallel [[OnlineStore]] over any [[KVClient]]: `write`
+  * streams every partition through its own client connection via
+  * `foreachPartition` — no driver collect, no whole-table rewrite; the
+  * materialized batch flows executor→store directly, which is the only
+  * write path that holds up when a materialization window covers
+  * billions of keys. Point lookups (`get`) use a lazily opened
+  * driver-side client and never touch the cluster (M6 semantics).
+  *
+  * `clientFactory` must be serializable (it ships in the task closure);
+  * capture connection strings, not live clients.
+  *
+  * Per-key puts make the default partial-batch [[upsert]] (= [[write]])
+  * correct: keys absent from the batch keep their previous vectors.
+  */
+final class KVClientOnlineStore(clientFactory: () => KVClient)
+    extends OnlineStore with Serializable {
+
+  @transient private lazy val driverClient: KVClient = clientFactory()
+
+  private def fullKey(view: String, keyValues: Seq[Any]): String =
+    view + "/" + OnlineStore.encodeKey(keyValues)
+
+  override def write(view: String, keyColumns: Seq[String], df: DataFrame): Unit = {
+    val featureCols = df.columns.filterNot(keyColumns.contains)
+    val factory = clientFactory // avoid serializing `this`
+    df.foreachPartition { rows: Iterator[Row] =>
+      val client = factory()
+      try rows.foreach { row =>
+        val key = view + "/" + OnlineStore.encodeKey(
+          keyColumns.map(k => row.get(row.fieldIndex(k))))
+        client.put(key,
+          featureCols.map(c => c -> row.get(row.fieldIndex(c))).toMap)
+      } finally client.close()
+    }
+  }
+
+  override def get(view: String, keyValues: Seq[Any]): Option[Map[String, Any]] =
+    driverClient.get(fullKey(view, keyValues))
+}

@@ -97,20 +97,44 @@ object Similarity {
       .select(col("block"), col("a"), col("b"), col("cos"))
   }
 
-  /** IVF (inverted-file) approximate top-k. Centroids are the first
-    * `numCentroids` corpus vectors by id — a deterministic training stub
-    * standing in for k-means (swap in MLlib KMeans on a real corpus).
-    * Every vector is assigned to its nearest centroid (one broadcast
-    * pass); a query scans only its `nprobe` nearest centroid buckets.
+  /** MLlib k-means centroids for IVF, in the (centroid_id, centv, centn)
+    * shape [[ivfTopK]] consumes. Deterministic under a fixed seed. The
+    * scale path: k-means|| init + Lloyd iterations are all
+    * executor-parallel; only the k centers come back to the driver.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame, vecCol: String, k: Int,
+      seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(corpus.select(
+        array_to_vector(col(vecCol).cast("array<double>")).as("features")))
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }
+      .toDF("centroid_id", "centv")
+      .withColumn("centn", norm(col("centv")))
+  }
+
+  /** IVF (inverted-file) approximate top-k. Centroids default to the
+    * first `numCentroids` corpus vectors by id — deterministic and
+    * engine-reproducible, which is what the SQL oracle replays — or pass
+    * [[kmeansCentroids]] output via `centroids` for trained buckets
+    * (better recall at equal nprobe; pinned in OpsSpec). Every vector is
+    * assigned to its nearest centroid (one broadcast pass); a query
+    * scans only its `nprobe` nearest centroid buckets.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int, numCentroids: Int = 16, nprobe: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = withNorm(
-      corpus.orderBy(col(idCol)).limit(numCentroids), idCol, vecCol)
-      .select(col(idCol).as("centroid_id"), col("__vec").as("centv"),
-        col("__norm").as("centn"))
+    val cents = centroids.getOrElse(
+      withNorm(corpus.orderBy(col(idCol)).limit(numCentroids), idCol, vecCol)
+        .select(col(idCol).as("centroid_id"), col("__vec").as("centv"),
+          col("__norm").as("centn")))
 
     def nearestCentroids(df: DataFrame, side: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(s"${side}_id"))

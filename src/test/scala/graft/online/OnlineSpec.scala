@@ -74,6 +74,15 @@ class OnlineSpec extends SparkSpec {
     assert(lookupValue(fs, "a") === Some(99.0))
   }
 
+  test("kv-client store writes executor-parallel and serves the full loop") {
+    val fs = fixture(new KVClientOnlineStore(() => new OnlineSpec.FakeKVClient))
+    assert(lookupValue(fs, "a") === Some(5.0))
+    assert(lookupValue(fs, "b") === Some(3.0))
+    assert(lookupValue(fs, "zz") === None)
+    assert(OnlineSpec.fakeKvOpened.get() >= 2,
+      "expected one client per partition plus the driver lookup client")
+  }
+
   test("composite keys with separator/backslash content never collide") {
     val store = new InMemoryOnlineStore
     // ("ab", "c") vs ("a", "bc") concatenate identically
@@ -109,5 +118,24 @@ class OnlineSpec extends SparkSpec {
     assert(out("tv__vd") === 10.04) // DoubleType serves full precision
     assert(out("tv__vf") === 10.04f.toDouble) // declared FLOAT narrows
     assert(out("tv__vd") !== out("tv__vf"))
+  }
+}
+
+object OnlineSpec {
+  import scala.collection.concurrent.TrieMap
+  import java.util.concurrent.atomic.AtomicInteger
+
+  /** Shared-JVM stand-in for a networked KV service (local-mode executors
+    * share the test JVM, so a static map observes executor-side puts).
+    */
+  val fakeKvData: TrieMap[String, Map[String, Any]] = TrieMap.empty
+  val fakeKvOpened = new AtomicInteger(0)
+
+  final class FakeKVClient extends KVClient {
+    fakeKvOpened.incrementAndGet()
+    override def put(key: String, vector: Map[String, Any]): Unit =
+      fakeKvData.put(key, vector)
+    override def get(key: String): Option[Map[String, Any]] = fakeKvData.get(key)
+    override def close(): Unit = ()
   }
 }

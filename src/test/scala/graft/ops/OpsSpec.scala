@@ -122,6 +122,14 @@ class OpsSpec extends SparkSpec {
       numCentroids = 16, nprobe = 8)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // trained centroids must match or beat the first-N stub at equal probes
+    val trained = Similarity.ivfTopK(e, queries, "vec_id", "embedding", 5,
+      numCentroids = 16, nprobe = 8,
+      centroids = Some(Similarity.kmeansCentroids(e, "embedding", 16)))
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trainedRecall = (exact & trained).size.toDouble / exact.size
+    assert(trainedRecall >= 0.5, s"trained-IVF recall too low: $trainedRecall")
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
