@@ -433,6 +433,32 @@ object Queries {
     """SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_user
       |FROM events GROUP BY 1""".stripMargin
 
+  /** S5: Avro round-trip — write a typed projection of events as Avro
+    * container files (executor-parallel [[graft.sources.AvroWriter]],
+    * avro-core only), read back through the registry-described scan
+    * (`fileFormat = "avro"` → [[graft.sources.AvroReader]], reference
+    * `chicago_weather_bronze.py:10-12,38-40`), aggregate. Timestamps
+    * travel as long micros, the capture-envelope convention.
+    */
+  def avroRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_avro_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getPath
+    graft.sources.AvroWriter.write(
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("event_timestamp")),
+      tmp)
+    graft.sources.SourceReader
+      .read(s, SparkSource("events_avro", tmp, fileFormat = "avro"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_user"),
+        max(col("event_timestamp")).as("max_ts_us"))
+  }
+
+  val avroRoundTripSql: String =
+    """SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_user,
+      |       epoch_us(max(CAST(ts AS TIMESTAMP))) AS max_ts_us
+      |FROM events GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -451,7 +477,8 @@ object Queries {
     "q13_surrogate_key" -> surrogateKey _,
     "q28_weather_gold" -> weatherGoldChain _,
     "q29_map_flatten" -> mapFlatten _,
-    "q30_csv_roundtrip" -> csvRoundTrip _)
+    "q30_csv_roundtrip" -> csvRoundTrip _,
+    "q31_avro_roundtrip" -> avroRoundTrip _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -470,5 +497,6 @@ object Queries {
     "q13_surrogate_key" -> surrogateKeySql,
     "q28_weather_gold" -> weatherGoldChainSql,
     "q29_map_flatten" -> mapFlattenSql,
-    "q30_csv_roundtrip" -> csvRoundTripSql)
+    "q30_csv_roundtrip" -> csvRoundTripSql,
+    "q31_avro_roundtrip" -> avroRoundTripSql)
 }

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Distributed Avro file writer — the sink side of [[AvroReader]] (S5),
+  * needing only avro-core. Each partition writes its own container file
+  * through the Hadoop FS API (`part-NNNNN.avro` under `path`), so the
+  * write is executor-parallel and works against any Hadoop URI; no
+  * driver collect. Same supported shape as the reader: records of
+  * primitive fields, nullable via unions.
+  */
+object AvroWriter {
+
+  def write(df: DataFrame, path: String): Unit = {
+    val schema = toAvroSchema(df.schema, "spark_record")
+    val schemaJson = schema.toString
+    val sparkSchema = df.schema
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fsRoot = root.getFileSystem(conf.value)
+    if (fsRoot.exists(root)) fsRoot.delete(root, true)
+    fsRoot.mkdirs(root)
+
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val schema = new Schema.Parser().parse(schemaJson)
+        val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
+        val out = file.getFileSystem(conf.value).create(file, true)
+        val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        writer.create(schema, out)
+        try rows.foreach { row =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < sparkSchema.length) {
+            rec.put(sparkSchema(i).name, toAvro(row.get(i)))
+            i += 1
+          }
+          writer.append(rec)
+        } finally writer.close()
+        Iterator.single(pid)
+      }
+    }.count() // force the write
+  }
+
+  private def toAvro(v: Any): Any = v match {
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case other => other
+  }
+
+  private[sources] def toAvroSchema(s: StructType, name: String): Schema = {
+    val fields = s.fields.map { f =>
+      val base = f.dataType match {
+        case StringType  => Schema.create(Schema.Type.STRING)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case LongType    => Schema.create(Schema.Type.LONG)
+        case FloatType   => Schema.create(Schema.Type.FLOAT)
+        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case BinaryType  => Schema.create(Schema.Type.BYTES)
+        case other => throw new IllegalArgumentException(
+          s"unsupported type for avro envelope: ${other.catalogString} " +
+            "(cast timestamps to long micros and land nested data in parquet)")
+      }
+      val tpe =
+        if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+        else base
+      new Schema.Field(f.name, tpe, null, null)
+    }
+    Schema.createRecord(name, null, "graft", false, fields.toSeq.asJava)
+  }
+}
