@@ -145,11 +145,16 @@ final class FeatureStore(
     * `view__feature` when `fullFeatureNames` (Feast's
     * full_feature_names=True), else bare feature names.
     */
+  /** `coarseBucketSeconds`: opt-in pre-reduction granularity for
+    * TTL-less views (see [[PointInTimeJoin.retrieve]]) — bounds the
+    * as-of join against unbounded feature history at scale.
+    */
   def getHistoricalFeatures(
       entityDf: DataFrame,
       features: Seq[String],
       fullFeatureNames: Boolean = true,
-      cacheEntity: Boolean = true): RetrievalJob = {
+      cacheEntity: Boolean = true,
+      coarseBucketSeconds: Option[Long] = None): RetrievalJob = {
     val resolved = registry.resolve(features)
     val requests = resolved.map { case (fv, feats) =>
       PointInTimeJoin.ViewRequest(fv, feats, resolveJoinKeys(fv))
@@ -167,7 +172,8 @@ final class FeatureStore(
         spark, persisted.getOrElse(entityDf), requests,
         entityTsCol = config.entityTimestampColumn,
         fullFeatureNames = fullFeatureNames,
-        cacheEntity = false),
+        cacheEntity = false,
+        coarseBucketSeconds = coarseBucketSeconds),
       () => persisted.foreach(_.unpersist(false)))
   }
 

@@ -50,6 +50,19 @@ object PointInTimeJoin {
       features: Seq[Feature],
       joinKeys: Seq[String])
 
+  /** @param coarseBucketSeconds scale valve for TTL-less views: a view
+    *   WITHOUT a TTL has no J1 lower bound, so its pre-argmax join output
+    *   is |history per key| × |cutoffs per key| — a blow-up on
+    *   long-history keys at 100×. With a granularity g set, the feature
+    *   side is first argmax-reduced to latest-per-(key, g-bucket); a
+    *   cutoff then joins the reduced rows of FULL earlier buckets (all
+    *   eligible by construction) plus the raw rows of its own partial
+    *   bucket — max is associative, so the final argmax over that union
+    *   equals the argmax over all eligible rows (PitPropertySpec pins
+    *   equality). Join cost per key drops from O(history × cutoffs) to
+    *   O(buckets × cutoffs + bucket_width × cutoffs). Views WITH a TTL
+    *   are already bounded and skip this.
+    */
   def retrieve(
       spark: SparkSession,
       entityDf0: DataFrame,
@@ -57,7 +70,8 @@ object PointInTimeJoin {
       entityTsCol: String = "event_timestamp",
       fullFeatureNames: Boolean = true,
       prefilterByEntityRange: Boolean = true,
-      cacheEntity: Boolean = false): DataFrame = {
+      cacheEntity: Boolean = false,
+      coarseBucketSeconds: Option[Long] = None): DataFrame = {
 
     require(entityDf0.columns.contains(entityTsCol),
       s"entity dataframe lacks timestamp column '$entityTsCol'")
@@ -136,25 +150,54 @@ object PointInTimeJoin {
         .select((joinKeys :+ entityTsCol).distinct.map(col): _*)
         .distinct()
 
-      // J1: equi join on keys with the as-of range as residual predicate.
-      val equi = joinKeys.map(k => featP(p + k) === keySpace(k))
-      val asOf = featP(p + tsField) <= keySpace(entityTsCol)
-      val ttlBound = fv.ttl.map { ttl =>
-        featP(p + tsField) >=
-          keySpace(entityTsCol) - expr(s"INTERVAL ${ttl.getSeconds} SECOND")
-      }
-      val cond = (equi :+ asOf) ++ ttlBound
-      val joined = featP.join(keySpace, cond.reduce(_ && _), "inner")
-
       // A7+W1+J2+J3 in one argmax: max of (event_ts, created_ts, features)
       // struct == latest eligible row per (join keys, entity_ts).
       val orderCols =
         Seq(featP(p + tsField).as("__ts")) ++
           createdOpt.map(c => featP(p + c).as("__created")) ++
           feats.zipWithIndex.map { case (f, i) => featP(p + f.name).as(s"__v$i") }
-      val best = joined
-        .groupBy((joinKeys.map(keySpace(_)) :+ keySpace(entityTsCol)): _*)
-        .agg(max(struct(orderCols: _*)).as("__best"))
+      val outCols = joinKeys.map(keySpace(_)) :+ keySpace(entityTsCol)
+
+      // J1: equi join on keys with the as-of range as residual predicate,
+      // producing (join keys, entity_ts, candidate struct) rows.
+      val candidates: DataFrame = (fv.ttl, coarseBucketSeconds) match {
+        case (None, Some(g)) =>
+          // TTL-less scale path: pre-reduce to latest-per-(key, bucket),
+          // then full-earlier-buckets (reduced) ∪ own-partial-bucket (raw).
+          val gMicros = g * 1000000L
+          def bucketOf(c: Column): Column =
+            ((unix_micros(c) - pmod(unix_micros(c), lit(gMicros))) / lit(gMicros))
+              .cast("long")
+          val bucketed = featP.withColumn("__fb", bucketOf(featP(p + tsField)))
+          val reduced = bucketed
+            .groupBy((joinKeys.map(k => col(p + k)) :+ col("__fb")): _*)
+            .agg(max(struct(orderCols: _*)).as("__cand"))
+          val keyed = keySpace.withColumn("__eb", bucketOf(col(entityTsCol)))
+          val equiR = joinKeys.map(k => reduced(p + k) === keyed(k))
+          val full = reduced
+            .join(keyed, (equiR :+ (reduced("__fb") < keyed("__eb"))).reduce(_ && _))
+            .select(outCols :+ col("__cand"): _*)
+          val equiB = joinKeys.map(k => bucketed(p + k) === keyed(k))
+          val partial = bucketed
+            .join(keyed, (equiB :+ (bucketed("__fb") === keyed("__eb")) :+
+              (bucketed(p + tsField) <= keyed(entityTsCol))).reduce(_ && _))
+            .select(outCols :+ struct(orderCols: _*).as("__cand"): _*)
+          full.unionByName(partial)
+        case _ =>
+          val equi = joinKeys.map(k => featP(p + k) === keySpace(k))
+          val asOf = featP(p + tsField) <= keySpace(entityTsCol)
+          val ttlBound = fv.ttl.map { ttl =>
+            featP(p + tsField) >=
+              keySpace(entityTsCol) - expr(s"INTERVAL ${ttl.getSeconds} SECOND")
+          }
+          val cond = (equi :+ asOf) ++ ttlBound
+          featP.join(keySpace, cond.reduce(_ && _), "inner")
+            .select(outCols :+ struct(orderCols: _*).as("__cand"): _*)
+      }
+
+      val best = candidates
+        .groupBy((joinKeys :+ entityTsCol).map(col): _*)
+        .agg(max(col("__cand")).as("__best"))
 
       def outName(f: Feature): String =
         if (fullFeatureNames) s"${fv.name}__${f.name}" else f.name

@@ -61,11 +61,14 @@ class PitPropertySpec extends SparkSpec {
 
       val ent = entities.map { case (k, ts) => (k, t(ts)) }
         .toDF("key", "event_timestamp")
-      val got = fs.getHistoricalFeatures(ent, Seq("fv:value")).toDf
-        .select("key", "event_timestamp", "fv__value")
-        .collect()
-        .map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2))))
-        .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).toSeq).toMap
+      def run(coarse: Option[Long]) =
+        fs.getHistoricalFeatures(ent, Seq("fv:value"),
+          coarseBucketSeconds = coarse).toDf
+          .select("key", "event_timestamp", "fv__value")
+          .collect()
+          .map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2))))
+          .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).toSeq).toMap
+      val got = run(None)
 
       // brute-force oracle
       def expected(k: String, ets: Long): Option[Double] = {
@@ -81,7 +84,13 @@ class PitPropertySpec extends SparkSpec {
         val want = expected(k, ts)
         got((k, t(ts))).forall(_ == want)
       }
-      countOk && valuesOk
+      // TTL-less coarse-bucket path must match the direct path exactly
+      // (6h buckets deliberately misaligned with the hourly fixture grid)
+      val coarseOk = ttlHours.nonEmpty || {
+        val gc = run(Some(6 * 3600L))
+        gc == got
+      }
+      countOk && valuesOk && coarseOk
     }
     val result = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
