@@ -229,32 +229,84 @@ case class MinHashSigs(child: Expression, n: Int)
 }
 
 object MinHashSigs {
-  /** Null when the doc has no shingles (fewer than n tokens). */
+  // One digest per executor thread: DigestUtils would re-construct a
+  // MessageDigest per call — millions of allocations over a shingle bag.
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Unsigned lexicographic compare of 4-byte chunks — identical order
+    * to comparing their lowercase-hex encodings (each byte maps to two
+    * hex chars monotonically), so byte-level minima match the
+    * `min(substring(md5hex, …))` aggregation exactly.
+    */
+  private def lessThan(src: Array[Byte], off: Int, min: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 4) {
+      val a = src(off + i) & 0xff
+      val b = min(i) & 0xff
+      if (a != b) return a < b
+      i += 1
+    }
+    false
+  }
+
+  /** Null when the doc has no shingles (fewer than n tokens). Token
+    * bytes stream straight into the digest (no shingle strings are
+    * materialized); identical token/shingle semantics to
+    * [[WordShingles.eval]] — same trim + `\s+` split + single-space
+    * join, here as digest updates.
+    */
   def eval(text: UTF8String, n: Int): ArrayData = {
-    val shingles = WordShingles.eval(text, n)
-    val m = shingles.numElements()
-    if (m == 0) return null
-    val mins = new Array[String](8)
+    val str = text.toString.trim
+    if (str.isEmpty) return null
+    val tokens = str.split("\\s+")
+    if (tokens.length < n) return null
+    val tokBytes = new Array[Array[Byte]](tokens.length)
+    var t = 0
+    while (t < tokens.length) {
+      tokBytes(t) = tokens(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      t += 1
+    }
+    val md = md5.get()
+    val mins = new Array[Array[Byte]](8)
+    val m = tokens.length - n + 1
     var i = 0
     while (i < m) {
-      val s = shingles.getUTF8String(i)
-      val bytes = s.getBytes
-      val tilde = new Array[Byte](bytes.length + 1)
-      tilde(0) = '~'
-      System.arraycopy(bytes, 0, tilde, 1, bytes.length)
-      val h1 = org.apache.commons.codec.digest.DigestUtils.md5Hex(bytes)
-      val h2 = org.apache.commons.codec.digest.DigestUtils.md5Hex(tilde)
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(tokBytes(i + j))
+        j += 1
+      }
+      val h1 = md.digest()
+      md.reset()
+      md.update('~'.toByte)
+      j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(tokBytes(i + j))
+        j += 1
+      }
+      val h2 = md.digest()
       var k = 0
       while (k < 8) {
         val src = if (k < 4) h1 else h2
-        val chunk = src.substring((k % 4) * 8, (k % 4) * 8 + 8)
-        if (mins(k) == null || chunk.compareTo(mins(k)) < 0) mins(k) = chunk
+        val off = (k % 4) * 4
+        if (mins(k) == null || lessThan(src, off, mins(k))) {
+          val c = new Array[Byte](4)
+          System.arraycopy(src, off, c, 0, 4)
+          mins(k) = c
+        }
         k += 1
       }
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      mins.map(UTF8String.fromString(_): Any))
+      mins.map(c => UTF8String.fromString(
+        org.apache.commons.codec.binary.Hex.encodeHexString(c)): Any))
   }
 }
 
@@ -342,5 +394,7 @@ object functions {
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "normalized_md5", exprs => NormalizedMd5(exprs.head), "scala_udf")
   }
 }

@@ -15,11 +15,12 @@ import org.apache.spark.sql.types._
   * signature a libjpeg/ffmpeg-backed implementation would have. Swap
   * [[fakeDecode]] for a real codec and everything downstream holds.
   *
-  * Scale notes: media rows are large — the ingest repartitions by id so
-  * blobs spread evenly (no skewed partitions of big files), and feature
-  * extraction is `mapPartitions` so any per-partition codec init (model
-  * load, decoder context) amortizes across the batch, the same reason
-  * the PySpark equivalent uses `mapInPandas`.
+  * Scale notes: media rows are large — [[spreadBlobs]] repartitions by
+  * id at INGEST so blobs spread evenly (no skewed partitions of big
+  * files) without forcing a byte shuffle onto metadata-only readers,
+  * and feature extraction is `mapPartitions` so any per-partition codec
+  * init (model load, decoder context) amortizes across the batch, the
+  * same reason the PySpark equivalent uses `mapInPandas`.
   */
 object Multimodal {
 
