@@ -285,11 +285,13 @@ object OpsQueries {
       |                  CAST(nb // n_frames AS INTEGER))) AS frame_md5
       |FROM m, unnest(range(0, n_frames)) AS u(i)""".stripMargin
 
-  /** mapPartitions feature extraction (decode stub) — no SQL oracle; the
-    * driver records a rows-only check and OpsSpec pins the values. The 8
-    * histogram bins are projected to scalar double columns: the driver's
-    * rows-only check sorts every column, and an `array<float>` cell is
-    * unsortable in pandas (unhashable numpy.ndarray).
+  /** mapPartitions feature extraction (decode stub). The 8 histogram
+    * bins are projected to scalar double columns (an `array<float>` cell
+    * is unsortable by the driver's pandas compare), which also makes the
+    * stub fully oracle-checkable: bin membership of a UTF-8 byte is its
+    * high hex nibble, and the float32 count/total division replays
+    * exactly in DuckDB (`CAST(… AS FLOAT)`), so even the fake decode is
+    * hash-gated end to end.
     */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val feats = Multimodal.extractFeatures(
@@ -298,6 +300,34 @@ object OpsQueries {
       col("media_id") +: col("format") +: col("n_bytes") +:
         (0 until 8).map(i =>
           col("features").getItem(i).cast("double").as(s"f$i")): _*)
+  }
+
+  val mediaFeaturesSql: String = {
+    val pairs = Seq(
+      ("'0','1'", 0), ("'2','3'", 1), ("'4','5'", 2), ("'6','7'", 3),
+      ("'8','9'", 4), ("'A','B'", 5), ("'C','D'", 6), ("'E','F'", 7))
+    val sums = pairs.map { case (in, b) =>
+      s"sum(CASE WHEN hi IN ($in) THEN 1 ELSE 0 END) AS c$b"
+    }.mkString(",\n         ")
+    val fs = pairs.map { case (_, b) =>
+      s"CAST(CASE WHEN n.nb = 0 THEN CAST(0 AS FLOAT) ELSE CAST(coalesce(c$b, 0) AS FLOAT) / CAST(n.nb AS FLOAT) END AS DOUBLE) AS f$b"
+    }.mkString(",\n       ")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |         (['jpeg','png','wav'])[(doc_id % 3 + 1)] AS format,
+       |         encode(text) AS b
+       |  FROM documents),
+       |n AS (SELECT media_id, format, octet_length(b) AS nb, hex(b) AS h FROM m),
+       |bytes AS (
+       |  SELECT media_id, substring(h, CAST(2 * i + 1 AS INTEGER), 1) AS hi
+       |  FROM n, unnest(range(0, nb)) AS u(i)),
+       |counts AS (
+       |  SELECT media_id,
+       |         $sums
+       |  FROM bytes GROUP BY media_id)
+       |SELECT n.media_id, n.format, CAST(n.nb AS BIGINT) AS n_bytes,
+       |       $fs
+       |FROM n LEFT JOIN counts USING (media_id)""".stripMargin
   }
 
   /** IVF approximate KNN. The whole approximation is deterministic
@@ -426,6 +456,7 @@ object OpsQueries {
     "q21_embedding_dedup" -> embeddingDedupSql,
     "q22_multimodal_meta" -> multimodalMetaSql,
     "q23_frame_sample" -> frameSampleSql,
+    "q24_media_features" -> mediaFeaturesSql,
     "q25_ivf_knn" -> ivfKnnSql,
     "q26_rplsh_knn" -> rpLshKnnSql)
 }
