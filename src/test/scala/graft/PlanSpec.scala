@@ -112,6 +112,14 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("weather-gold chain is a single keyed shuffle with codegen around it") {
+    val p = plan(Queries.weatherGoldChain(spark, sf0001))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"chained agg should not add shuffles:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"expected hash aggregation:\n$p")
+  }
+
   test("fused minhash signature stage is shuffle-free") {
     val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
     val p = plan(graft.ops.Dedup.minhashSignaturesFused(docs, "doc_id", "text"))

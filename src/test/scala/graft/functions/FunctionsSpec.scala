@@ -20,7 +20,7 @@ class FunctionsSpec extends SparkSpec {
     "\t\t",
     "plain text",
     "  Leading And   Trailing  ",
-    "tabs\tand\nnewlines\r\nandvtff",
+    "tabs\tand\nnewlines\r\nand\u000bvt\fff",
     "MiXeD CaSe ÄÖÜ ß İstanbul ΣΊΣΥΦΟΣ",
     "中文 文本 with spaces",
     "a  b   c    d",
