@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** SparkSessionExtensions entry point: registers graft's custom
-  * Catalyst expressions (`rolling_hash`, `simhash64`, `dot_product`) as
-  * SQL functions in every session built with
-  * `.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.GraftExtensions`.
+  * Catalyst expressions (`rolling_hash`, `simhash64`, `dot_product`,
+  * `normalized_md5`, `word_shingles`, `minhash_sigs`) as SQL functions
+  * in every session built with `.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -14,11 +14,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
     def info(name: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, name)
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
     ext.injectFunction((FunctionIdentifier("rolling_hash"), info("rolling_hash"),
       (es: Seq[Expression]) => graft.functions.RollingHash(es.head)))
     ext.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
       (es: Seq[Expression]) => graft.functions.SimHash64(es.head)))
     ext.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
       (es: Seq[Expression]) => graft.functions.DotProduct(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("normalized_md5"), info("normalized_md5"),
+      (es: Seq[Expression]) => graft.functions.NormalizedMd5(es.head)))
+    ext.injectFunction((FunctionIdentifier("word_shingles"), info("word_shingles"),
+      (es: Seq[Expression]) =>
+        graft.functions.WordShingles(es.head, intLit(es(1), "word_shingles n"))))
+    ext.injectFunction((FunctionIdentifier("minhash_sigs"), info("minhash_sigs"),
+      (es: Seq[Expression]) =>
+        graft.functions.MinHashSigs(es.head, intLit(es(1), "minhash_sigs n"))))
   }
 }

@@ -396,5 +396,18 @@ object functions {
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "normalized_md5", exprs => NormalizedMd5(exprs.head), "scala_udf")
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles",
+      exprs => WordShingles(exprs.head, intLit(exprs(1), "word_shingles n")),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs",
+      exprs => MinHashSigs(exprs.head, intLit(exprs(1), "minhash_sigs n")),
+      "scala_udf")
   }
 }

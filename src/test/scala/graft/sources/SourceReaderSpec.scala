@@ -93,9 +93,24 @@ class SourceReaderSpec extends SparkSpec {
     // simulate an extensions-enabled session via direct injection
     graft.functions.functions.registerAll(spark)
     val got = spark.sql("SELECT rolling_hash('abc') AS h, " +
-      "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+      "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+      "normalized_md5('  A  b ') AS m").head()
     assert(got.getLong(0) === "abc".getBytes("UTF-8")
       .foldLeft(0L)((h, b) => h * 31L + (b & 0xffL)))
     assert(got.getDouble(1) === 11.0)
+    assert(got.getString(2) ===
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("a b"))
+  }
+
+  test("literal-arg SQL functions build and evaluate (word_shingles, minhash_sigs)") {
+    graft.functions.functions.registerAll(spark)
+    val row = spark.sql(
+      "SELECT minhash_sigs('a b c d', 3) AS mh, " +
+        "word_shingles('a b c d', 3) AS ws").head()
+    assert(row.getSeq[String](0).size === 8)
+    assert(row.getSeq[String](1) === Seq("a b c", "b c d"))
+    // non-literal n must fail loudly, not silently misparse
+    intercept[Exception](
+      spark.sql("SELECT word_shingles('a b c', CAST(rand() * 3 AS INT))").head())
   }
 }
