@@ -57,6 +57,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append mode finalizes windows at the watermark and drops late rows") {
+    val src = Files.createTempDirectory("stream_src4").toString
+    // batch 1: an on-time row plus a far-ahead row that advances the
+    // watermark (2h) past the 10:00 window's end
+    writeDrop(src, Seq(
+      (1L, "2024-01-01 10:05:00", 10.0),
+      (2L, "2024-01-01 13:30:00", 1.0)))
+    val schema = spark.read.parquet(src).schema
+    val agg = StreamingIngest.hourlyWindowStats(
+      StreamingIngest.readStream(spark, src, schema), "user_id", "ts", "value")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE row for the already-finalized 10:00 window
+      // (10:45 < watermark 11:30) plus another advancer
+      writeDrop(src, Seq(
+        (1L, "2024-01-01 10:45:00", 99.0),
+        (2L, "2024-01-01 16:00:00", 1.0)))
+      q.processAllAvailable()
+      writeDrop(src, Seq((2L, "2024-01-01 20:00:00", 1.0)))
+      q.processAllAvailable()
+      val row10 = spark.table("late_out")
+        .filter(col("event_timestamp") === to_timestamp(lit("2024-01-01 10:00:00")))
+        .collect()
+      assert(row10.length === 1, "10:00 window should be emitted exactly once")
+      assert(row10(0).getAs[Long]("n_events") === 1L, "late row must be dropped")
+      assert(row10(0).getAs[Double]("sum_value") === 10.0)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-key session state") {
     val src = Files.createTempDirectory("stream_src3").toString
     writeDrop(src, Seq(
