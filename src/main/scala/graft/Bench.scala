@@ -24,14 +24,17 @@ object Bench {
     // single-run timings at this scale swing ±6x run-to-run (JIT, GC,
     // page cache), which made round-over-round deltas meaningless.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }
       once()
-      val runs = Seq.fill(3)(once()).sorted
-      name -> runs(1)
+      val runs = Seq.fill(3)(once())
+      // any failed run reports -1: a broken query must not masquerade as
+      // a fast one
+      name -> (if (runs.exists(_.isEmpty)) -1.0
+               else runs.flatten.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -417,8 +417,10 @@ object Queries {
     * header-only CSV read is untyped.
     */
   def csvRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    // pid-scoped so concurrent JVMs (Verify vs Bench) never share a dir
     val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_csv_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getPath
+      s"graft_csv_${ProcessHandle.current.pid}_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")).getPath
     t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts").as("event_timestamp"))
@@ -442,7 +444,8 @@ object Queries {
     */
   def avroRoundTrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_avro_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getPath
+      s"graft_avro_${ProcessHandle.current.pid}_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")).getPath
     graft.sources.AvroWriter.write(
       t(s, dir, "events").select(col("event_id"), col("user_id"),
         col("event_type"), unix_micros(col("ts")).as("event_timestamp")),

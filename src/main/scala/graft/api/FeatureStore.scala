@@ -162,9 +162,12 @@ final class FeatureStore(
     // The facade owns the entity cache so RetrievalJob.release() can
     // unpersist it — PointInTimeJoin itself never persists (its
     // cacheEntity stays false), avoiding blocks that outlive the
-    // retrieval.
+    // retrieval. If the CALLER already cached this df, leave their
+    // cache alone (don't re-persist, and never unpersist it on
+    // release — that would clobber a cache we don't own).
     val persisted =
-      if (cacheEntity)
+      if (cacheEntity &&
+        entityDf.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         Some(entityDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else None
     new RetrievalJob(

@@ -130,7 +130,7 @@ final class HadoopRegistry(
   private def load(): State = {
     val f = fs
     var attempts = 0
-    while (attempts < 2000) {
+    while (attempts < 200) {
       if (f.exists(path)) {
         try {
           val in = f.open(path)
@@ -142,16 +142,28 @@ final class HadoopRegistry(
         } catch {
           case _: java.io.FileNotFoundException => () // vanished mid-swap; retry
         }
-      } else if (!f.exists(tmpPath) && !f.exists(path)) {
-        // neither final nor in-progress temp: genuinely empty (the
-        // re-check of the final path closes the tmp→final rename race)
-        return State(Map.empty, Map.empty, Map.empty)
+      } else {
+        val tmpAge =
+          try Some(System.currentTimeMillis - f.getFileStatus(tmpPath).getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None }
+        tmpAge match {
+          case None =>
+            // neither final nor in-progress temp: genuinely empty (the
+            // re-check of the final path closes the tmp→final rename race)
+            if (!f.exists(path)) return State(Map.empty, Map.empty, Map.empty)
+          case Some(age) if age > 10000 =>
+            // stale .tmp from a crashed writer, not an in-flight swap:
+            // the registry was never (re)written — treat as empty rather
+            // than making every future read spin and fail
+            return State(Map.empty, Map.empty, Map.empty)
+          case _ => () // fresh tmp: a swap is in flight, retry
+        }
       }
       attempts += 1
       Thread.sleep(1)
     }
     throw new java.io.IOException(
-      s"registry at $path unreadable after $attempts attempts (stale .tmp from a crashed writer?)")
+      s"registry at $path unreadable after $attempts attempts (writer stuck mid-swap?)")
   }
 
   private def save(s: State): Unit = {

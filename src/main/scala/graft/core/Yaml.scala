@@ -51,10 +51,15 @@ object Yaml {
     (out, i)
   }
 
-  /** Drop a trailing ` # comment` — but never inside a quoted value. */
+  /** Drop a trailing ` # comment` — but never inside a quoted value.
+    * For quoted values the comment starts after the closing quote
+    * (`path: "a#b"  # note` → `"a#b"`).
+    */
   private def stripComment(v: String): String =
-    if (v.startsWith("\"") || v.startsWith("'")) v
-    else {
+    if (v.startsWith("\"") || v.startsWith("'")) {
+      val close = v.indexOf(v.charAt(0), 1)
+      if (close > 0) v.substring(0, close + 1) else v
+    } else {
       val idx = v.indexOf(" #")
       (if (idx >= 0) v.substring(0, idx) else v).trim
     }

@@ -188,7 +188,7 @@ object WordShingles {
 /** Whole-document MinHash signature in ONE pass — the row-local fusion
   * of explode(shingles) → md5 ×2 → groupBy(id).agg(min×8). Semantics are
   * bit-identical to that pipeline (see [[graft.ops.Dedup.minhashSignatures]]
-  * and MinHashFusionSpec): per 3-word shingle, two md5 hex digests
+  * and FunctionsSpec): per 3-word shingle, two md5 hex digests
   * (`md5(s)`, `md5('~'+s)`) are sliced into four 8-hex-char chunks each,
   * and the signature is the lexicographic minimum of each chunk over the
   * doc's shingles. Returns `array<string>` of 8 chunks; docs with fewer

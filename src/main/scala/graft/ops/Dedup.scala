@@ -108,7 +108,7 @@ object Dedup {
     * [[graft.functions.MinHashSigs]] expression: one pass over each doc,
     * no exploded shingle bag, NO shuffle — the widest stage of the
     * aggregation formulation ([[minhashSignatures]]) disappears. Output
-    * schema and values are identical (MinHashFusionSpec pins it); docs
+    * schema and values are identical (FunctionsSpec pins it); docs
     * with no shingles are dropped, exactly as the groupBy dropped them.
     */
   def minhashSignaturesFused(

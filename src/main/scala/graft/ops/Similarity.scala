@@ -75,6 +75,11 @@ object Similarity {
     * all-pairs — and the within-block self-join is salted
     * ([[graft.transform.Skew.saltedBlockSelfJoin]]) so one hot block's
     * O(B²) pair work spreads over numSalts² reducers instead of one.
+    * Salting costs numSalts× input replication, which pays off exactly
+    * when block cardinality is small relative to parallelism (blocks ARE
+    * hot — a handful of labels/clusters over millions of rows, the
+    * typical near-dup shape). For many small uniform blocks pass
+    * `numSalts = 1` to skip replication.
     */
   def blockedCosinePairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,

@@ -27,6 +27,7 @@ class ConfigSpec extends SparkSpec {
         |online_store:
         |    type: redis
         |    connection_string: "host:6379,password=a#b,ssl=True"
+        |    namespace: "quoted#value" # trailing comment after quoted value
         |offline_store:
         |    type: spark # will use the active SparkSession
         |    spark_conf:
@@ -40,6 +41,9 @@ class ConfigSpec extends SparkSpec {
     assert(Yaml.str(Yaml.sub(doc, "offline_store"), "type") === Some("spark"))
     assert(Yaml.str(Yaml.sub(doc, "online_store"), "connection_string") ===
       Some("host:6379,password=a#b,ssl=True"))
+    // trailing comment after a QUOTED value is stripped, quotes removed
+    assert(Yaml.str(Yaml.sub(doc, "online_store"), "namespace") ===
+      Some("quoted#value"))
     assert(Yaml.str(Yaml.sub(Yaml.sub(doc, "offline_store"), "spark_conf"),
       "spark.master") === Some("spark://spark-master:7077"))
   }

@@ -134,6 +134,17 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("spreadBlobs spreads media rows by id without changing content") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val spread = Multimodal.spreadBlobs(media)
+    assert(spread.count() === media.count())
+    assert(spread.select("media_id").exceptAll(media.select("media_id")).count() === 0)
+    val p = spread.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("Exchange") && p.contains("hashpartitioning(media_id"),
+      s"spreadBlobs must hash-partition by media_id:\n$p")
+  }
+
   test("multimodal feature extraction preserves ids and emits normalized histograms") {
     val media = Multimodal.mediaFromDocuments(docs)
     val feats = Multimodal.extractFeatures(spark, media).collect()
