@@ -1,8 +1,7 @@
 package graft.examples
 
-import graft.api.{FeatureStore, RepoConfig}
+import graft.api.FeatureStore
 import graft.core._
-import graft.online.InMemoryOnlineStore
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -24,13 +23,20 @@ object FullLoop {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val registryPath = java.nio.file.Files
-      .createTempDirectory("graft_registry").resolve("registry.json")
-    val fs = new FeatureStore(
-      spark,
-      RepoConfig("graft_demo", Some(registryPath.toString)),
-      new FileRegistry(registryPath),
-      new InMemoryOnlineStore)
+    // M1: the loop starts the way the reference's does — a repo dir with
+    // a feature_store.yaml describing registry + online store.
+    val repo = java.nio.file.Files.createTempDirectory("graft_repo")
+    java.nio.file.Files.writeString(repo.resolve("feature_store.yaml"),
+      """project: graft_demo
+        |registry:
+        |  path: data/registry.json
+        |online_store:
+        |    type: memory
+        |offline_store:
+        |    type: spark
+        |""".stripMargin)
+    val fs = FeatureStore.fromRepo(spark, repo.toString)
+    println(s"loaded config: project=${fs.config.project} registry=${fs.config.registryPath.get}")
 
     // 1. register (M2)
     fs.applyObjects(Seq(
@@ -58,6 +64,7 @@ object FullLoop {
     val job = fs.getHistoricalFeatures(entityDf,
       Seq("events_fv:value", "events_fv:event_type"))
     job.toDf.show(false)
+    job.release() // free the entity cache after the terminal action
 
     // 3. materialize latest vectors to the online store (M5)
     fs.materialize(
