@@ -415,6 +415,65 @@ object OpsQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // ------------------------------------------------------------ packing
+  /** Sequence packing for training batches: contiguous documents (per
+    * source, in id order) are assigned to packs by cumulative token
+    * budget — pack_id = floor(tokens-before-this-doc / capacity). The
+    * standard streaming approximation of bin packing: one window pass,
+    * no shuffle beyond the per-source sort, deterministic. At 100 TB
+    * the window is per-source (bounded partitions), never global.
+    */
+  def seqPacking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 2048
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / lit(cap.toDouble))
+          .cast("long"))
+  }
+
+  val seqPackingSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents)
+      |SELECT doc_id, source, n_tok,
+      |       CAST(floor(coalesce(sum(n_tok) OVER (
+      |         PARTITION BY source ORDER BY doc_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+      |         AS BIGINT) AS pack_id
+      |FROM t""".stripMargin
+
+  // ------------------------------------------------------------ sampling
+  /** Deterministic stratified sampling with a per-source quota: rank by
+    * md5 of the id within each source (a seedless uniform order both
+    * engines reproduce), keep the top `k`. The curation primitive behind
+    * source-mix control; one keyed window, no global shuffle.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 20
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    docs(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, source, rn
+      |FROM (SELECT doc_id, source,
+      |             CAST(row_number() OVER (PARTITION BY source
+      |               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+      |               AS BIGINT) AS rn
+      |      FROM documents)
+      |WHERE rn <= 20""".stripMargin
+
   /** Document fingerprints via the custom codegen expressions
     * (rolling_hash + simhash64) — 64-bit overflow arithmetic isn't
     * DuckDB-expressible, so this is a rows-only entry; OpsSpec pins the
@@ -443,7 +502,9 @@ object OpsQueries {
     "q24_media_features" -> mediaFeatures _,
     "q25_ivf_knn" -> ivfKnn _,
     "q26_rplsh_knn" -> rpLshKnn _,
-    "q27_fingerprints" -> fingerprints _)
+    "q27_fingerprints" -> fingerprints _,
+    "q32_seq_packing" -> seqPacking _,
+    "q33_stratified_sample" -> stratifiedSample _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -458,5 +519,7 @@ object OpsQueries {
     "q23_frame_sample" -> frameSampleSql,
     "q24_media_features" -> mediaFeaturesSql,
     "q25_ivf_knn" -> ivfKnnSql,
-    "q26_rplsh_knn" -> rpLshKnnSql)
+    "q26_rplsh_knn" -> rpLshKnnSql,
+    "q32_seq_packing" -> seqPackingSql,
+    "q33_stratified_sample" -> stratifiedSampleSql)
 }

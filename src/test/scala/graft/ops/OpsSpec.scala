@@ -134,6 +134,39 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("sequence packing: per-source contiguous packs within token budget") {
+    val packed = graft.OpsQueries.seqPacking(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // pack ids start at 0 and are non-decreasing in id order
+      assert(ordered.head._4 === 0L)
+      assert(ordered.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      // definitional invariant: pack = floor(prefix-tokens / cap)
+      var prefix = 0L
+      ordered.foreach { case (_, _, nTok, pack) =>
+        assert(pack === prefix / 2048L, s"pack mismatch at prefix=$prefix")
+        prefix += nTok
+      }
+      // pack count is within one of the ideal bin count
+      assert(ordered.map(_._4).distinct.size <= prefix / 2048L + 1)
+    }
+  }
+
+  test("stratified sample: exactly min(k, group) rows per source, deterministic") {
+    val s1 = graft.OpsQueries.stratifiedSample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val s2 = graft.OpsQueries.stratifiedSample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(s1 === s2, "sampling must be deterministic across runs")
+    val groupSizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSource = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    groupSizes.foreach { case (src, n) =>
+      assert(perSource.getOrElse(src, 0) === math.min(20L, n).toInt, src)
+    }
+  }
+
   test("spreadBlobs spreads media rows by id without changing content") {
     val media = Multimodal.mediaFromDocuments(docs)
     val spread = Multimodal.spreadBlobs(media)
