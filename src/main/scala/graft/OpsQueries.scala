@@ -474,6 +474,87 @@ object OpsQueries {
       |      FROM documents)
       |WHERE rn <= 20""".stripMargin
 
+  // ------------------------------------------------------------ curation
+  /** The composed curation pipeline end to end
+    * ([[graft.pipelines.TrainingDataPipeline.curate]] with default
+    * config): annotate → quality/length/language gate → exact dedup →
+    * LSH+Jaccard near dedup. Every stage is individually hash-gated
+    * (q14/q15/q16/q17/q18); this entry gates their COMPOSITION — stage
+    * ordering, survivor joins, loser drops.
+    */
+  def curation(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.TrainingDataPipeline.curate(docs(s, dir))
+
+  val curationSql: String =
+    """WITH ann AS (
+      |  SELECT doc_id, text, lang, source, n_chars,
+      |         CAST(len(toks) AS BIGINT) AS n_tokens,
+      |         floor((0.5 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','in','to','it'], x))) AS DOUBLE) / len(toks))
+      |               + 0.05 * least(nchr / len(toks), 10.0)
+      |               - 0.3 * (npunct / length(text))) * 10000.0 + 0.5) / 10000.0 AS quality,
+      |         CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      |              WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+      |              WHEN c_de > 0 AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+      |              WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
+      |              WHEN c_fr > 0 THEN 'fr'
+      |              ELSE 'unknown' END AS lang_pred
+      |  FROM (SELECT *,
+      |               regexp_split_to_array(trim(text), '\s+') AS toks,
+      |               CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nchr,
+      |               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS npunct,
+      |               len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> list_contains(['the','a','of','and','is'], x))) AS c_en,
+      |               len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> list_contains(['der','die','das','und','ist'], x))) AS c_de,
+      |               len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> list_contains(['el','los','y','en','que'], x))) AS c_es,
+      |               len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> list_contains(['le','la','les','et','une'], x))) AS c_fr
+      |        FROM documents)),
+      |gated AS (
+      |  SELECT * FROM ann
+      |  WHERE n_tokens >= 10 AND quality >= 0.05 AND lang_pred IN ('en')),
+      |keepers AS (
+      |  SELECT min(doc_id) AS doc_id FROM gated
+      |  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))),
+      |exact AS (SELECT g.* FROM gated g JOIN keepers k USING (doc_id)),
+      |toks2 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM exact),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+      |    FROM toks2 WHERE len(t) >= 3)),
+      |hx AS (SELECT doc_id, s, md5(s) AS h1, md5('~' || s) AS h2 FROM sh),
+      |mh AS (
+      |  SELECT doc_id,
+      |         min(substr(h1, 1, 8)) AS mh0, min(substr(h1, 9, 8)) AS mh1,
+      |         min(substr(h1, 17, 8)) AS mh2, min(substr(h1, 25, 8)) AS mh3,
+      |         min(substr(h2, 1, 8)) AS mh4, min(substr(h2, 9, 8)) AS mh5,
+      |         min(substr(h2, 17, 8)) AS mh6, min(substr(h2, 25, 8)) AS mh7
+      |  FROM hx GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS bh FROM mh
+      |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+      |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+      |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |    ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT c.a, c.b, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.a
+      |  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+      |  GROUP BY c.a, c.b),
+      |losers AS (
+      |  SELECT DISTINCT c.b
+      |  FROM cand c
+      |  JOIN common cm ON cm.a = c.a AND cm.b = c.b
+      |  JOIN sizes za ON za.doc_id = c.a
+      |  JOIN sizes zb ON zb.doc_id = c.b
+      |  WHERE floor((CAST(cm.n_common AS DOUBLE) / (za.sz + zb.sz - cm.n_common)) * 1000000.0 + 0.5) / 1000000.0 >= 0.8)
+      |SELECT doc_id, text, lang, source, n_chars, n_tokens, quality, lang_pred
+      |FROM exact WHERE doc_id NOT IN (SELECT b FROM losers)""".stripMargin
+
   /** Document fingerprints via the custom codegen expressions
     * (rolling_hash + simhash64) — 64-bit overflow arithmetic isn't
     * DuckDB-expressible, so this is a rows-only entry; OpsSpec pins the
@@ -504,7 +585,8 @@ object OpsQueries {
     "q26_rplsh_knn" -> rpLshKnn _,
     "q27_fingerprints" -> fingerprints _,
     "q32_seq_packing" -> seqPacking _,
-    "q33_stratified_sample" -> stratifiedSample _)
+    "q33_stratified_sample" -> stratifiedSample _,
+    "q34_curation" -> curation _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -521,5 +603,6 @@ object OpsQueries {
     "q25_ivf_knn" -> ivfKnnSql,
     "q26_rplsh_knn" -> rpLshKnnSql,
     "q32_seq_packing" -> seqPackingSql,
-    "q33_stratified_sample" -> stratifiedSampleSql)
+    "q33_stratified_sample" -> stratifiedSampleSql,
+    "q34_curation" -> curationSql)
 }
