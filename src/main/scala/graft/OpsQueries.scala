@@ -474,6 +474,37 @@ object OpsQueries {
       |      FROM documents)
       |WHERE rn <= 20""".stripMargin
 
+  // ------------------------------------------------------------ range join
+  /** Bucketed range join ([[graft.transform.RangeJoin]]): events whose
+    * value falls inside each event type's ±10 band around its mean —
+    * an equi-join on buckets instead of the nested-loop plan a bare
+    * BETWEEN theta join gets. Aggregated per band for a compact oracle.
+    */
+  def rangeJoinBands(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val intervals = ev.groupBy(col("event_type"))
+      .agg(pround(avg("value"), 4).as("mid"))
+      .select(col("event_type").as("band_type"),
+        (col("mid") - 10.0).as("lo"), (col("mid") + 10.0).as("hi"))
+    graft.transform.RangeJoin
+      .rangeJoin(ev.select(col("event_id"), col("value")), "value",
+        intervals, "lo", "hi", bucketWidth = 5.0)
+      .groupBy(col("band_type"))
+      .agg(count(lit(1)).as("n_in_band"),
+        pround(sum("value"), 4).as("sum_in_band"))
+  }
+
+  val rangeJoinBandsSql: String =
+    """WITH iv AS (
+      |  SELECT event_type AS band_type,
+      |         floor(avg(value) * 10000.0 + 0.5) / 10000.0 - 10.0 AS lo,
+      |         floor(avg(value) * 10000.0 + 0.5) / 10000.0 + 10.0 AS hi
+      |  FROM events GROUP BY 1)
+      |SELECT band_type, count(*) AS n_in_band,
+      |       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_in_band
+      |FROM events e JOIN iv ON e.value >= iv.lo AND e.value <= iv.hi
+      |GROUP BY band_type""".stripMargin
+
   // ------------------------------------------------------------ curation
   /** The composed curation pipeline end to end
     * ([[graft.pipelines.TrainingDataPipeline.curate]] with default
@@ -586,7 +617,8 @@ object OpsQueries {
     "q27_fingerprints" -> fingerprints _,
     "q32_seq_packing" -> seqPacking _,
     "q33_stratified_sample" -> stratifiedSample _,
-    "q34_curation" -> curation _)
+    "q34_curation" -> curation _,
+    "q35_range_join" -> rangeJoinBands _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -604,5 +636,6 @@ object OpsQueries {
     "q26_rplsh_knn" -> rpLshKnnSql,
     "q32_seq_packing" -> seqPackingSql,
     "q33_stratified_sample" -> stratifiedSampleSql,
-    "q34_curation" -> curationSql)
+    "q34_curation" -> curationSql,
+    "q35_range_join" -> rangeJoinBandsSql)
 }

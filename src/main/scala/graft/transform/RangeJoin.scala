@@ -1,0 +1,87 @@
+package graft.transform
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval/range join — points against [lo, hi] intervals. Spark plans
+  * a bare theta join (`p BETWEEN lo AND hi`) as BroadcastNestedLoop or,
+  * with neither side broadcastable, a cartesian product — O(P×I). This
+  * operator buckets the domain instead: each interval explodes into the
+  * integer buckets it covers, each point maps to its single bucket, and
+  * the join becomes an EQUI join on the bucket with the range predicate
+  * as residual — the standard sub-quadratic range-join decomposition
+  * (compose-existing-ops path; no custom SparkPlan needed).
+  *
+  * Cost model: interval replication = avg(width)/bucketWidth + 1, join
+  * work = points meet only intervals in their bucket. Pick bucketWidth
+  * near the median interval width; too small inflates the interval side,
+  * too large degrades toward all-pairs within a bucket.
+  */
+object RangeJoin {
+
+  /** @param points    side with a scalar column `pointCol`
+    * @param intervals side with `loCol`/`hiCol` (inclusive bounds)
+    * @return matched rows (all columns of both sides), equi-joined on
+    *         bucket with the exact range check as residual
+    */
+  def rangeJoin(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__bucket",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val i = intervals.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    p.join(i, "__bucket")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+}
+
+/** Generic as-of (backward-looking temporal) join, the argmax pattern of
+  * [[graft.offline.PointInTimeJoin]] without the feature-store framing:
+  * for each left row, attach the single latest right row with
+  * `right.ts <= left.ts` (and `>= left.ts - ttl` when set) on matching
+  * keys; left rows with no eligible match null-pad. One keyed shuffle
+  * for the join, one for the argmax — no window over the raw join
+  * output, no self-joins.
+  */
+object AsOfJoin {
+
+  def asofJoin(
+      left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTsCol: String, rightTsCol: String,
+      ttl: Option[java.time.Duration] = None): DataFrame = {
+    require(on.nonEmpty, "as-of join needs at least one equi key")
+    val p = "__asof_r_"
+    val rightP = right.select(right.columns.map(c => col(c).as(p + c)): _*)
+    val valueCols = right.columns.filterNot(c => on.contains(c)).toSeq
+
+    // keyspace dedup: the as-of result depends only on (keys, left ts)
+    val keySpace = left.select((on :+ leftTsCol).distinct.map(col): _*).distinct()
+    val equi = on.map(k => rightP(p + k) === keySpace(k))
+    val asOf = rightP(p + rightTsCol) <= keySpace(leftTsCol)
+    val bound = ttl.map { d =>
+      rightP(p + rightTsCol) >=
+        keySpace(leftTsCol) - expr(s"INTERVAL ${d.getSeconds} SECOND")
+    }
+    val cond = (equi :+ asOf) ++ bound
+    val orderCols = rightP(p + rightTsCol).as("__ts") +:
+      valueCols.filterNot(_ == rightTsCol).zipWithIndex.map { case (c, i) =>
+        rightP(p + c).as(s"__v$i")
+      }
+    val best = rightP.join(keySpace, cond.reduce(_ && _), "inner")
+      .groupBy((on.map(keySpace(_)) :+ keySpace(leftTsCol)): _*)
+      .agg(max(struct(orderCols: _*)).as("__best"))
+    val cleaned = best.select(
+      (on :+ leftTsCol).map(col) ++
+        (col("__best.__ts").as(rightTsCol) +:
+          valueCols.filterNot(_ == rightTsCol).zipWithIndex.map { case (c, i) =>
+            col(s"__best.__v$i").as(c)
+          }): _*)
+    left.join(cleaned, (on :+ leftTsCol).distinct, "left")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.transform
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Range join and generic as-of join: result equality against the
+  * naive formulations, plus the plan-shape guarantee that motivates
+  * them (equi join, not nested loop / cartesian).
+  */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rangeJoin equals the theta join, as an equi join on buckets") {
+    val points = (1 to 200).map(i => (i.toLong, i * 0.7)).toDF("pid", "v")
+    val intervals = Seq(
+      (1L, 10.0, 25.0), (2L, 24.9, 26.1), (3L, 90.0, 140.0),
+      (4L, -5.0, 0.7), (5L, 139.3, 139.3), (6L, 200.0, 300.0))
+      .toDF("iid", "lo", "hi")
+    val theta = points.join(intervals,
+      col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = RangeJoin.rangeJoin(points, "v", intervals, "lo", "hi", 7.0)
+      .select("pid", "iid")
+    val got = bucketed.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size, "duplicate matches emitted")
+    assert(got.toSet === theta)
+    // the whole point: no nested-loop/cartesian plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = RangeJoin.rangeJoin(points, "v", intervals, "lo", "hi", 7.0)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"range join degenerated to all-pairs:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("asofJoin equals the window formulation, nulls pad missing matches") {
+    import org.apache.spark.sql.expressions.Window
+    val left = Seq(
+      ("a", "2024-01-10 00:00:00"), ("a", "2024-01-20 00:00:00"),
+      ("b", "2024-01-10 00:00:00"), ("c", "2024-01-10 00:00:00"))
+      .toDF("k", "ts").select(col("k"), to_timestamp(col("ts")).as("ts"))
+    val right = Seq(
+      ("a", "2024-01-05 00:00:00", 1.0), ("a", "2024-01-15 00:00:00", 2.0),
+      ("a", "2024-01-25 00:00:00", 3.0), ("b", "2024-01-12 00:00:00", 9.0))
+      .toDF("k", "rts", "v").select(col("k"), to_timestamp(col("rts")).as("rts"), col("v"))
+
+    val got = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "rts")
+      .select("k", "ts", "v")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString, Option(r.get(2)))).toSet
+
+    // reference: window over the raw as-of join
+    val w = Window.partitionBy(col("k"), col("ts")).orderBy(col("rts").desc)
+    val ref = left.join(right.withColumnRenamed("k", "rk"),
+      col("rk") === col("k") && col("rts") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("k", "ts", "v")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString, Option(r.get(2)))).toSet
+    assert(got === ref)
+    assert(got.exists { case (k, _, v) => k == "b" && v.isEmpty },
+      "b@01-10 has no earlier right row and must null-pad")
+    assert(got.exists { case (k, _, v) => k == "c" && v.isEmpty })
+  }
+
+  test("asofJoin ttl excludes stale matches") {
+    val left = Seq(("a", "2024-01-20 00:00:00")).toDF("k", "ts")
+      .select(col("k"), to_timestamp(col("ts")).as("ts"))
+    val right = Seq(("a", "2024-01-05 00:00:00", 1.0))
+      .toDF("k", "rts", "v").select(col("k"), to_timestamp(col("rts")).as("rts"), col("v"))
+    val fresh = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "rts",
+      ttl = Some(java.time.Duration.ofDays(30))).select("v").head()
+    assert(fresh.getDouble(0) === 1.0)
+    val stale = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "rts",
+      ttl = Some(java.time.Duration.ofDays(7))).select("v").head()
+    assert(stale.isNullAt(0), "15-day-old row must be outside the 7-day TTL")
+  }
+}
