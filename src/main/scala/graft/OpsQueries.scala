@@ -514,7 +514,8 @@ object OpsQueries {
     * ordering, survivor joins, loser drops.
     */
   def curation(s: SparkSession, dir: String): DataFrame =
-    graft.pipelines.TrainingDataPipeline.curate(docs(s, dir))
+    graft.pipelines.TrainingDataPipeline.curate(docs(s, dir),
+      persistIntermediate = true)
 
   val curationSql: String =
     """WITH ann AS (

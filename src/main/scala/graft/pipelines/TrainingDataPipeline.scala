@@ -59,10 +59,24 @@ object TrainingDataPipeline {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** The full curation chain. */
+  /** The full curation chain.
+    *
+    * @param persistIntermediate cache the exact-dedup survivors before
+    *   near-dedup. That intermediate is consumed three times (LSH
+    *   candidates, Jaccard shingle sets, final anti-join), so without
+    *   caching the annotate+gate+dedup lineage recomputes per consumer —
+    *   at 100 TB you always persist here (survivors are the narrow,
+    *   post-gate minority). The cache belongs to the session; callers
+    *   running many curations should `unpersist` the RESULT's lineage or
+    *   keep the default off.
+    */
   def curate(docs: DataFrame, idCol: String = "doc_id",
-      cfg: Config = Config()): DataFrame =
-    dropNearDuplicates(
-      dropExactDuplicates(annotateAndFilter(docs, cfg), idCol),
-      idCol, cfg)
+      cfg: Config = Config(), persistIntermediate: Boolean = false): DataFrame = {
+    val exact0 = dropExactDuplicates(annotateAndFilter(docs, cfg), idCol)
+    val exact =
+      if (persistIntermediate)
+        exact0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else exact0
+    dropNearDuplicates(exact, idCol, cfg)
+  }
 }
