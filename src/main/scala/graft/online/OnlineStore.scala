@@ -120,23 +120,28 @@ final class ParquetOnlineStore(spark: SparkSession, root: String) extends Online
     load(view).get(OnlineStore.encodeKey(keyValues))
 
   /** Whole-table store: upsert = anti-join out the updated keys from the
-    * existing table, union the fresh vectors, rewrite.
+    * existing table, union the fresh vectors, rewrite. The merge is
+    * written executor-parallel to a sibling path and swapped in (we
+    * cannot overwrite the path we are reading from mid-plan, and a
+    * driver-side collect would cap the table at driver memory).
     */
   override def upsert(view: String, keyColumns: Seq[String], df: DataFrame): Unit = {
     val p = path(view)
     val fsPath = new org.apache.hadoop.fs.Path(p)
     val hfs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (hfs.exists(fsPath)) {
-        val existing = spark.read.parquet(p)
-        existing.join(df.select(keyColumns.map(org.apache.spark.sql.functions.col): _*),
-          keyColumns, "left_anti")
-          .unionByName(df)
-      } else df
-    // materialize before overwriting the path we read from
-    val rows = merged.collect()
-    val mergedDf = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), merged.schema)
-    write(view, keyColumns, mergedDf)
+    if (!hfs.exists(fsPath)) { write(view, keyColumns, df); return }
+    val merged = spark.read.parquet(p)
+      .join(df.select(keyColumns.map(org.apache.spark.sql.functions.col): _*),
+        keyColumns, "left_anti")
+      .unionByName(df)
+    val tmp = new org.apache.hadoop.fs.Path(p + "__upsert")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    hfs.delete(fsPath, true)
+    require(hfs.rename(tmp, fsPath), s"upsert swap failed: $tmp -> $fsPath")
+    import spark.implicits._
+    keyColumns.toDF("key_column").coalesce(1)
+      .write.mode("overwrite").parquet(p + "__keys")
+    cache.remove(view)
+    keyCols.put(view, keyColumns)
   }
 }
