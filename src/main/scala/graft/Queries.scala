@@ -462,6 +462,35 @@ object Queries {
       |       epoch_us(max(CAST(ts AS TIMESTAMP))) AS max_ts_us
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- §2.3
+  /** F2/F4-string/F5/F6 chained: the reference's string-keyed time
+    * round trip (`chicago_weather_hourly_fs.py:45-53`,
+    * `chicago_taxi_trips_hourly_gold.ipynb:88`): hour bucket as the
+    * exact `"yyyy-MM-dd HH:00:00"` string, parsed back to a date with an
+    * explicit format, and re-normalized through epoch seconds
+    * (`unix_timestamp` → `from_unixtime`).
+    */
+  def timeFormats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        Transforms.hourBucketString(col("ts")).as("hb_str"),
+        // the to_date(fmt) PARSE is the operator under test; the result
+        // travels as a string (parquet date32 and DuckDB DATE reach
+        // pandas as different types)
+        date_format(
+          to_date(Transforms.hourBucketString(col("ts")), "yyyy-MM-dd HH:00:00"),
+          "yyyy-MM-dd").as("d"),
+        from_unixtime(unix_timestamp(Transforms.hourBucket(col("ts"))),
+          "yyyy-MM-dd HH:00:00").as("hb_norm"))
+      .agg(count(lit(1)).as("n"))
+
+  val timeFormatsSql: String =
+    """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hb_str,
+      |       strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS d,
+      |       strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hb_norm,
+      |       count(*) AS n
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -481,7 +510,8 @@ object Queries {
     "q28_weather_gold" -> weatherGoldChain _,
     "q29_map_flatten" -> mapFlatten _,
     "q30_csv_roundtrip" -> csvRoundTrip _,
-    "q31_avro_roundtrip" -> avroRoundTrip _)
+    "q31_avro_roundtrip" -> avroRoundTrip _,
+    "q36_time_formats" -> timeFormats _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -501,5 +531,6 @@ object Queries {
     "q28_weather_gold" -> weatherGoldChainSql,
     "q29_map_flatten" -> mapFlattenSql,
     "q30_csv_roundtrip" -> csvRoundTripSql,
-    "q31_avro_roundtrip" -> avroRoundTripSql)
+    "q31_avro_roundtrip" -> avroRoundTripSql,
+    "q36_time_formats" -> timeFormatsSql)
 }
