@@ -187,8 +187,10 @@ object PointInTimeJoin {
           val equi = joinKeys.map(k => featP(p + k) === keySpace(k))
           val asOf = featP(p + tsField) <= keySpace(entityTsCol)
           val ttlBound = fv.ttl.map { ttl =>
+            // toMillis, not getSeconds: a sub-second TTL must not
+            // silently truncate to zero
             featP(p + tsField) >=
-              keySpace(entityTsCol) - expr(s"INTERVAL ${ttl.getSeconds} SECOND")
+              keySpace(entityTsCol) - expr(s"INTERVAL ${ttl.toMillis} MILLISECOND")
           }
           val cond = (equi :+ asOf) ++ ttlBound
           featP.join(keySpace, cond.reduce(_ && _), "inner")

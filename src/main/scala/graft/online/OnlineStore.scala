@@ -95,12 +95,7 @@ final class ParquetOnlineStore(spark: SparkSession, root: String) extends Online
 
   override def write(view: String, keyColumns: Seq[String], df: DataFrame): Unit = {
     df.write.mode("overwrite").parquet(path(view))
-    // persist key column metadata alongside
-    import spark.implicits._
-    keyColumns.toDF("key_column").coalesce(1)
-      .write.mode("overwrite").parquet(path(view) + "__keys")
-    cache.remove(view)
-    keyCols.put(view, keyColumns)
+    writeKeyMeta(view, keyColumns) // key-column metadata alongside
   }
 
   private def load(view: String): Map[String, Map[String, Any]] =
@@ -123,7 +118,11 @@ final class ParquetOnlineStore(spark: SparkSession, root: String) extends Online
     * existing table, union the fresh vectors, rewrite. The merge is
     * written executor-parallel to a sibling path and swapped in (we
     * cannot overwrite the path we are reading from mid-plan, and a
-    * driver-side collect would cap the table at driver memory).
+    * driver-side collect would cap the table at driver memory). Swap
+    * order is rename-aside → rename-in → delete-aside, so a crash at
+    * any point leaves either the old or the new table at the live path
+    * — never nothing (a missing live path would make the next upsert
+    * silently rebuild the view from one micro-batch).
     */
   override def upsert(view: String, keyColumns: Seq[String], df: DataFrame): Unit = {
     val p = path(view)
@@ -135,12 +134,22 @@ final class ParquetOnlineStore(spark: SparkSession, root: String) extends Online
         keyColumns, "left_anti")
       .unionByName(df)
     val tmp = new org.apache.hadoop.fs.Path(p + "__upsert")
+    val old = new org.apache.hadoop.fs.Path(p + "__preupsert")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    hfs.delete(fsPath, true)
-    require(hfs.rename(tmp, fsPath), s"upsert swap failed: $tmp -> $fsPath")
+    if (hfs.exists(old)) hfs.delete(old, true) // leftover from a past crash
+    require(hfs.rename(fsPath, old), s"upsert: failed to move $fsPath aside")
+    if (!hfs.rename(tmp, fsPath)) {
+      hfs.rename(old, fsPath) // restore
+      throw new java.io.IOException(s"upsert swap failed: $tmp -> $fsPath, restored original")
+    }
+    hfs.delete(old, true)
+    writeKeyMeta(view, keyColumns)
+  }
+
+  private def writeKeyMeta(view: String, keyColumns: Seq[String]): Unit = {
     import spark.implicits._
     keyColumns.toDF("key_column").coalesce(1)
-      .write.mode("overwrite").parquet(p + "__keys")
+      .write.mode("overwrite").parquet(path(view) + "__keys")
     cache.remove(view)
     keyCols.put(view, keyColumns)
   }

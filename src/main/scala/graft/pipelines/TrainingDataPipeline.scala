@@ -66,9 +66,12 @@ object TrainingDataPipeline {
     *   candidates, Jaccard shingle sets, final anti-join), so without
     *   caching the annotate+gate+dedup lineage recomputes per consumer —
     *   at 100 TB you always persist here (survivors are the narrow,
-    *   post-gate minority). The cache belongs to the session; callers
-    *   running many curations should `unpersist` the RESULT's lineage or
-    *   keep the default off.
+    *   post-gate minority). Cache lifetime: one CacheManager entry per
+    *   distinct input plan per session (identical re-invocations dedup
+    *   to the same entry); curating MANY DIFFERENT inputs in one
+    *   long-lived session accumulates entries — unpersist via
+    *   `spark.sharedState.cacheManager`/`catalog.clearCache()` between
+    *   batches, or keep the default off.
     */
   def curate(docs: DataFrame, idCol: String = "doc_id",
       cfg: Config = Config(), persistIntermediate: Boolean = false): DataFrame = {

@@ -29,12 +29,21 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!points.columns.contains("__bucket") &&
+      !intervals.columns.contains("__bucket"),
+      "inputs must not carry a __bucket column (internal name)")
     val p = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
-    val i = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(col(loCol) / bucketWidth).cast("long"),
-        floor(col(hiCol) / bucketWidth).cast("long"))))
+    // inverted intervals (lo > hi) match nothing — filter them out, or
+    // sequence() would default to step -1 and explode a DESCENDING
+    // bucket list that inflates the join input before the residual
+    // filter discards it
+    val i = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(col(loCol) / bucketWidth).cast("long"),
+          floor(col(hiCol) / bucketWidth).cast("long"))))
     p.join(i, "__bucket")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
@@ -59,6 +68,12 @@ object AsOfJoin {
     val p = "__asof_r_"
     val rightP = right.select(right.columns.map(c => col(c).as(p + c)): _*)
     val valueCols = right.columns.filterNot(c => on.contains(c)).toSeq
+    // output name for the matched right timestamp: suffix it when both
+    // sides use the same column name (the common temporal-join shape)
+    // so the final using-join stays unambiguous
+    val rightTsOut =
+      if (rightTsCol == leftTsCol || on.contains(rightTsCol)) s"${rightTsCol}_right"
+      else rightTsCol
 
     // keyspace dedup: the as-of result depends only on (keys, left ts)
     val keySpace = left.select((on :+ leftTsCol).distinct.map(col): _*).distinct()
@@ -66,7 +81,7 @@ object AsOfJoin {
     val asOf = rightP(p + rightTsCol) <= keySpace(leftTsCol)
     val bound = ttl.map { d =>
       rightP(p + rightTsCol) >=
-        keySpace(leftTsCol) - expr(s"INTERVAL ${d.getSeconds} SECOND")
+        keySpace(leftTsCol) - expr(s"INTERVAL ${d.toMillis} MILLISECOND")
     }
     val cond = (equi :+ asOf) ++ bound
     val orderCols = rightP(p + rightTsCol).as("__ts") +:
@@ -78,7 +93,7 @@ object AsOfJoin {
       .agg(max(struct(orderCols: _*)).as("__best"))
     val cleaned = best.select(
       (on :+ leftTsCol).map(col) ++
-        (col("__best.__ts").as(rightTsCol) +:
+        (col("__best.__ts").as(rightTsOut) +:
           valueCols.filterNot(_ == rightTsCol).zipWithIndex.map { case (c, i) =>
             col(s"__best.__v$i").as(c)
           }): _*)

@@ -66,6 +66,27 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.exists { case (k, _, v) => k == "c" && v.isEmpty })
   }
 
+  test("asofJoin with identical timestamp names suffixes the right ts column") {
+    val left = Seq(("a", "2024-01-10 00:00:00")).toDF("k", "ts")
+      .select(col("k"), to_timestamp(col("ts")).as("ts"))
+    val right = Seq(("a", "2024-01-05 00:00:00", 1.0))
+      .toDF("k", "ts", "v").select(col("k"), to_timestamp(col("ts")).as("ts"), col("v"))
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "ts")
+    assert(out.columns.toSeq === Seq("k", "ts", "ts_right", "v"))
+    val row = out.head()
+    assert(row.getDouble(3) === 1.0)
+    assert(row.getTimestamp(1).toString === "2024-01-10 00:00:00.0")
+    assert(row.getTimestamp(2).toString === "2024-01-05 00:00:00.0")
+  }
+
+  test("rangeJoin ignores inverted intervals instead of exploding them") {
+    val points = Seq((1L, 5.0)).toDF("pid", "v")
+    val intervals = Seq((1L, 100.0, 0.0), (2L, 4.0, 6.0)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.rangeJoin(points, "v", intervals, "lo", "hi", 2.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("asofJoin ttl excludes stale matches") {
     val left = Seq(("a", "2024-01-20 00:00:00")).toDF("k", "ts")
       .select(col("k"), to_timestamp(col("ts")).as("ts"))
