@@ -59,6 +59,30 @@ object PitStrategies {
     val diff = argmax.exceptAll(window).count() + window.exceptAll(argmax).count()
     println(s"result diff rows: $diff")
     require(diff == 0, "strategies disagree!")
+
+    // TTL-less dense retrieval: direct as-of (history × cutoffs blow-up
+    // risk) vs the coarse-bucket pre-reduction (bounded).
+    def ttlLess(coarse: Option[Long]): DataFrame = {
+      import graft.core._
+      val fs = new graft.api.FeatureStore(
+        spark, graft.api.RepoConfig("demo"), new InMemoryRegistry)
+      fs.applyObjects(Seq(
+        Entity("user", Seq("user_id"), ValueType.INT64),
+        FeatureView("events_fv", Seq("user"),
+          Seq(Feature("value", org.apache.spark.sql.types.DoubleType)),
+          SparkSource("events_src", s"$dir/events.parquet",
+            timestampField = "ts",
+            options = Map(graft.sources.SourceReader.NanosColumnsOption -> "ts")))))
+      val entity = graft.Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("ts").as("event_timestamp")).distinct()
+      fs.getHistoricalFeatures(entity, Seq("events_fv:value"),
+        coarseBucketSeconds = coarse).toDf
+    }
+    val direct = time("ttl-less direct        ")(ttlLess(None))
+    val coarse = time("ttl-less coarse-bucket ")(ttlLess(Some(86400L)))
+    val cdiff = direct.exceptAll(coarse).count() + coarse.exceptAll(direct).count()
+    println(s"coarse-vs-direct diff rows: $cdiff")
+    require(cdiff == 0, "coarse path disagrees!")
     spark.stop()
   }
 }
