@@ -588,9 +588,13 @@ object OpsQueries {
       |FROM exact WHERE doc_id NOT IN (SELECT b FROM losers)""".stripMargin
 
   /** Document fingerprints via the custom codegen expressions
-    * (rolling_hash + simhash64) — 64-bit overflow arithmetic isn't
-    * DuckDB-expressible, so this is a rows-only entry; OpsSpec pins the
-    * values against driver-side reference implementations.
+    * (rolling_hash + simhash64). The mod-2⁶⁴ arithmetic IS replayable in
+    * DuckDB: HUGEINT (int128) carries the unsigned-64 domain, `%` takes
+    * the wraparound, a 2³²-split multiply avoids int128 overflow in the
+    * splitmix64 constants, and `xor`/`//`-by-power-of-two give the
+    * bitwise ops — so this entry is hash-gated like everything else
+    * (OpsSpec additionally pins against driver-side reference
+    * implementations).
     */
   def fingerprints(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{functions => gf}
@@ -598,6 +602,58 @@ object OpsQueries {
       col("doc_id"),
       gf.rolling_hash(col("text")).as("rolling_hash"),
       gf.simhash64(TextAnalysis.tokens(col("text"))).as("simhash64"))
+  }
+
+  val fingerprintsSql: String = {
+    val P64 = "CAST(18446744073709551616 AS HUGEINT)"
+    val P32 = "CAST(4294967296 AS HUGEINT)"
+    // (a*c) mod 2^64 without int128 overflow: split a at 2^32
+    def mulmod(a: String, c: BigInt): String =
+      s"(((($a) // $P32 * CAST($c AS HUGEINT)) % $P32) * $P32" +
+        s" + (($a) % $P32) * CAST($c AS HUGEINT)) % $P64"
+    // byte-level polynomial rolling hash of a hex-encoded string
+    def rollingOf(hCol: String, nbCol: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      list_transform(range(0, $nbCol),
+         |        i -> CAST(strpos('0123456789abcdef', substring($hCol, CAST(2*i+1 AS INTEGER), 1)) - 1 AS HUGEINT) * 16
+         |           + CAST(strpos('0123456789abcdef', substring($hCol, CAST(2*i+2 AS INTEGER), 1)) - 1 AS HUGEINT))),
+         |      (acc, x) -> (acc * 31 + x) % $P64)""".stripMargin
+    def toSigned(u: String): String =
+      s"CAST(CASE WHEN $u >= CAST(9223372036854775808 AS HUGEINT) THEN $u - $P64 ELSE $u END AS BIGINT)"
+    val bitSums = (0 until 64).map { b =>
+      s"sum(CASE WHEN (mh // CAST(${BigInt(1) << b} AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n         ")
+    val sig = (0 until 64).map { b =>
+      s"(CASE WHEN s$b > 0 THEN CAST(${BigInt(1) << b} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+    }.mkString("\n         + ")
+    s"""WITH doc AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS h, octet_length(encode(text)) AS nb
+       |  FROM documents),
+       |roll AS (
+       |  SELECT doc_id, ${rollingOf("h", "nb")} AS urh
+       |  FROM doc),
+       |tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk
+       |  FROM documents),
+       |tb AS (SELECT doc_id, lower(hex(encode(tk))) AS th, octet_length(encode(tk)) AS tnb FROM tok),
+       |trh AS (
+       |  SELECT doc_id, ${rollingOf("th", "tnb")} AS rh
+       |  FROM tb),
+       |m1 AS (SELECT doc_id, (rh + CAST(11400714819323198485 AS HUGEINT)) % $P64 AS z1 FROM trh),
+       |m2 AS (SELECT doc_id, ${mulmod("xor(z1, z1 // CAST(1073741824 AS HUGEINT))", BigInt("13787848793156543929"))} AS z2 FROM m1),
+       |m3 AS (SELECT doc_id, ${mulmod("xor(z2, z2 // CAST(134217728 AS HUGEINT))", BigInt("10723151780598845931"))} AS z3 FROM m2),
+       |m4 AS (SELECT doc_id, xor(z3, z3 // CAST(2147483648 AS HUGEINT)) AS mh FROM m3),
+       |bits AS (
+       |  SELECT doc_id,
+       |         $bitSums
+       |  FROM m4 GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $sig AS usig
+       |  FROM bits)
+       |SELECT r.doc_id, ${toSigned("r.urh")} AS rolling_hash,
+       |       ${toSigned("s.usig")} AS simhash64
+       |FROM roll r JOIN sigs s ON s.doc_id = r.doc_id""".stripMargin
   }
 
   // ------------------------------------------------------------ catalogs
@@ -635,6 +691,7 @@ object OpsQueries {
     "q24_media_features" -> mediaFeaturesSql,
     "q25_ivf_knn" -> ivfKnnSql,
     "q26_rplsh_knn" -> rpLshKnnSql,
+    "q27_fingerprints" -> fingerprintsSql,
     "q32_seq_packing" -> seqPackingSql,
     "q33_stratified_sample" -> stratifiedSampleSql,
     "q34_curation" -> curationSql,
