@@ -474,6 +474,56 @@ object OpsQueries {
       |      FROM documents)
       |WHERE rn <= 20""".stripMargin
 
+  // ------------------------------------------------------------ pii scrub
+  /** PII scrubbing over the corpus: match counts plus the md5 of the
+    * redacted text (compact, and still hash-gates the exact redaction
+    * output). Row-local — embarrassingly parallel at any scale.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit(TextAnalysis.EmailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"),
+        lit(TextAnalysis.PhonePattern), lit(0))).cast("long").as("n_phones"),
+      md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '${TextAnalysis.PhonePattern}')) AS BIGINT) AS n_phones,
+       |       md5(regexp_replace(regexp_replace(text, '${TextAnalysis.EmailPattern}', '[EMAIL]', 'g'),
+       |                          '${TextAnalysis.PhonePattern}', '[PHONE]', 'g')) AS redacted_md5
+       |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ repetition
+  /** Gopher-style repetition signal: duplicate-shingle ratio per doc —
+    * 1 − |distinct 3-grams| / |3-grams|. High values flag boilerplate /
+    * degenerate repetition. One keyed shuffle over the shingle bag;
+    * docs with fewer than 3 tokens have no shingles and are omitted
+    * (same convention as the minhash stages).
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingleBag(docs(s, dir), "doc_id", "text")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("shingle")).as("n_distinct"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        pround(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6)
+          .as("rep_ratio"))
+
+  val repetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |bag AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |                               i -> array_to_string(t[i:i+2], ' '))) AS s
+      |  FROM toks WHERE len(t) >= 3)
+      |SELECT doc_id, count(*) AS n_shingles, count(DISTINCT s) AS n_distinct,
+      |       floor((1.0 - CAST(count(DISTINCT s) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS rep_ratio
+      |FROM bag GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ range join
   /** Bucketed range join ([[graft.transform.RangeJoin]]): events whose
     * value falls inside each event type's ±10 band around its mean —
@@ -675,7 +725,9 @@ object OpsQueries {
     "q32_seq_packing" -> seqPacking _,
     "q33_stratified_sample" -> stratifiedSample _,
     "q34_curation" -> curation _,
-    "q35_range_join" -> rangeJoinBands _)
+    "q35_range_join" -> rangeJoinBands _,
+    "q37_pii_scrub" -> piiScrub _,
+    "q38_repetition" -> repetition _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -695,5 +747,7 @@ object OpsQueries {
     "q32_seq_packing" -> seqPackingSql,
     "q33_stratified_sample" -> stratifiedSampleSql,
     "q34_curation" -> curationSql,
-    "q35_range_join" -> rangeJoinBandsSql)
+    "q35_range_join" -> rangeJoinBandsSql,
+    "q37_pii_scrub" -> piiScrubSql,
+    "q38_repetition" -> repetitionSql)
 }

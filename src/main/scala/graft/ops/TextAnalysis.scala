@@ -107,6 +107,22 @@ object TextAnalysis {
     }.otherwise("unknown")
   }
 
+  /** PII patterns kept inside the Java-regex ∩ RE2 subset (no
+    * backrefs/lookaround) so the DuckDB oracle replays redaction
+    * byte-identically.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII scrubbing — emails then phone numbers replaced with typed
+    * placeholder tokens. Row-local, codegen'd, the standard pre-training
+    * redaction pass.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
   /** Exact-dup fingerprint: md5 of the whitespace-normalized, lowercased
     * text. Portable across engines (md5 hex). Computed by the single-pass
     * codegen [[graft.functions.NormalizedMd5]] — byte-identical to

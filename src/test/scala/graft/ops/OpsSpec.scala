@@ -134,6 +134,38 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("pii scrub redacts planted emails and phone numbers") {
+    val planted = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or 555-123-4567 today"),
+      (2L, "two mails a@b.io c@d.org and 555 987 6543 plus 555.111.2222"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val got = planted.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit(TextAnalysis.EmailPattern), lit(0))).as("ne"),
+      size(regexp_extract_all(col("text"),
+        lit(TextAnalysis.PhonePattern), lit(0))).as("np"),
+      TextAnalysis.redactPii(col("text")).as("red"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(got(0) === ((1L, 1, 1,
+      "contact [EMAIL] or [PHONE] today")))
+    assert(got(1) === ((2L, 2, 2,
+      "two mails [EMAIL] [EMAIL] and [PHONE] plus [PHONE]")))
+    assert(got(2)._4 === "no pii here at all")
+  }
+
+  test("repetition ratio is high for degenerate docs and 0 for all-unique shingles") {
+    val planted = Seq(
+      (1L, "spam spam spam spam spam spam"),  // 4 identical shingles
+      (2L, "all words here are unique now")).toDF("doc_id", "text")
+    val out = Dedup.shingleBag(planted, "doc_id", "text")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("shingle")).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((4L, 1L)))
+    assert(out(2L) === ((4L, 4L)))
+  }
+
   test("sequence packing: per-source contiguous packs within token budget") {
     val packed = graft.OpsQueries.seqPacking(spark, sf0001).collect()
       .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
