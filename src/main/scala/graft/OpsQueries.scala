@@ -15,7 +15,16 @@ import graft.util.Rounding.pround
   *     so Spark-side int counts are cast to long and DuckDB HUGEINTs to
   *     BIGINT;
   *   - all md5-based hashing (fingerprints, minhash, simhash16 bits) is
-  *     identical hex text in both engines.
+  *     identical hex text in both engines;
+  *   - FIXTURE CONTRACT: the text-processing oracles assume `documents.
+  *     text` is non-null, non-blank, and free of leading/trailing or
+  *     non-space whitespace — the engines' trim/split primitives
+  *     disagree on such edge strings (Java `split` drops trailing empty
+  *     tokens, DuckDB keeps them; Java `String.trim` strips all
+  *     chars ≤ 0x20, Spark/DuckDB `trim` strip spaces only). The
+  *     contract is enforced by OpsSpec's fixture-contract test so a
+  *     testdata regeneration that violates it fails a spec loudly
+  *     instead of silently diverging the hash gate.
   */
 object OpsQueries {
 
@@ -478,6 +487,9 @@ object OpsQueries {
   /** PII scrubbing over the corpus: match counts plus the md5 of the
     * redacted text (compact, and still hash-gates the exact redaction
     * output). Row-local — embarrassingly parallel at any scale.
+    * Honest-gate note: the synthetic corpus contains no PII, so the
+    * cross-engine regex parity is exercised structurally here (md5 of
+    * untouched text) and positively by OpsSpec's planted-PII case.
     */
   def piiScrub(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -521,7 +533,10 @@ object OpsQueries {
       |                               i -> array_to_string(t[i:i+2], ' '))) AS s
       |  FROM toks WHERE len(t) >= 3)
       |SELECT doc_id, count(*) AS n_shingles, count(DISTINCT s) AS n_distinct,
-      |       floor((1.0 - CAST(count(DISTINCT s) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS rep_ratio
+      |       """.stripMargin +
+      graft.util.Rounding.proundSql(
+        "1.0 - CAST(count(DISTINCT s) AS DOUBLE) / count(*)", 6) +
+      """ AS rep_ratio
       |FROM bag GROUP BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ range join

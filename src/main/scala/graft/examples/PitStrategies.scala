@@ -62,7 +62,7 @@ object PitStrategies {
 
     // TTL-less dense retrieval: direct as-of (history × cutoffs blow-up
     // risk) vs the coarse-bucket pre-reduction (bounded).
-    def ttlLess(coarse: Option[Long]): DataFrame = {
+    def ttlLess(coarse: Option[Long]): graft.api.RetrievalJob = {
       import graft.core._
       val fs = new graft.api.FeatureStore(
         spark, graft.api.RepoConfig("demo"), new InMemoryRegistry)
@@ -76,13 +76,17 @@ object PitStrategies {
       val entity = graft.Tables.load(spark, dir, "events")
         .select(col("user_id"), col("ts").as("event_timestamp")).distinct()
       fs.getHistoricalFeatures(entity, Seq("events_fv:value"),
-        coarseBucketSeconds = coarse).toDf
+        coarseBucketSeconds = coarse)
     }
-    val direct = time("ttl-less direct        ")(ttlLess(None))
-    val coarse = time("ttl-less coarse-bucket ")(ttlLess(Some(86400L)))
+    val directJob = ttlLess(None)
+    val coarseJob = ttlLess(Some(86400L))
+    val direct = time("ttl-less direct        ")(directJob.toDf)
+    val coarse = time("ttl-less coarse-bucket ")(coarseJob.toDf)
     val cdiff = direct.exceptAll(coarse).count() + coarse.exceptAll(direct).count()
     println(s"coarse-vs-direct diff rows: $cdiff")
     require(cdiff == 0, "coarse path disagrees!")
+    directJob.release()
+    coarseJob.release()
     spark.stop()
   }
 }

@@ -134,6 +134,24 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("fixture contract: documents.text is oracle-parity-safe") {
+    // The text oracles rely on text being non-null, non-blank, and free
+    // of leading/trailing or non-space whitespace (see OpsQueries
+    // scaladoc). Enforce it here so a regenerated fixture that breaks
+    // the contract fails loudly instead of silently diverging the gate.
+    Seq(graft.SparkSpec.session).foreach { s =>
+      Seq(sf0001, "/root/testdata/sf0.01").foreach { dir =>
+        val d = graft.Tables.load(s, dir, "documents")
+        assert(d.filter(col("text").isNull).count() === 0, s"$dir: null text")
+        assert(d.filter(trim(col("text")) === "").count() === 0, s"$dir: blank text")
+        assert(d.filter(col("text").rlike("^\\s|\\s$")).count() === 0,
+          s"$dir: leading/trailing whitespace")
+        assert(d.filter(col("text").rlike("[\\t\\n\\r\\x0b\\f]")).count() === 0,
+          s"$dir: non-space whitespace")
+      }
+    }
+  }
+
   test("pii scrub redacts planted emails and phone numbers") {
     val planted = Seq(
       (1L, "contact alice.smith+x@example.co.uk or 555-123-4567 today"),
