@@ -148,6 +148,15 @@ class OpsSpec extends SparkSpec {
           s"$dir: leading/trailing whitespace")
         assert(d.filter(col("text").rlike("[\\t\\n\\r\\x0b\\f]")).count() === 0,
           s"$dir: non-space whitespace")
+        // q29's map-flatten oracle assumes props is the single-key
+        // {"k": N} shape; q26's oracle inlines hyperplanes of length 64
+        val ev = graft.Tables.load(graft.SparkSpec.session, dir, "events")
+        assert(ev.filter(!col("props").rlike("^\\{\"k\": -?\\d+\\}$")).count() === 0,
+          s"$dir: props shape changed — q29 oracle must be regenerated")
+        val emb = graft.Tables.load(graft.SparkSpec.session, dir, "embeddings")
+        assert(emb.filter(size(col("embedding")) =!= graft.OpsQueries.EmbeddingDim)
+          .count() === 0,
+          s"$dir: embedding dim != ${graft.OpsQueries.EmbeddingDim} — q26 planes must be regenerated")
       }
     }
   }
