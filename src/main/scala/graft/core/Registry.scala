@@ -127,43 +127,78 @@ final class HadoopRegistry(
     * returning an empty registry (which would let the next apply rewrite
     * the registry from empty and drop every definition).
     */
-  private def load(): State = {
+  private def load(): State = loadInternal()._1
+
+  /** FS-clock "now": the modification time of a freshly written probe
+    * file next to the registry. Staleness must be judged on the
+    * filesystem's clock — local `System.currentTimeMillis` vs a remote
+    * FS's modtime can skew by more than the whole staleness threshold.
+    * Only called on the rare final-missing-but-tmp-present branch.
+    */
+  private def fsNow(f: FileSystem): Long = {
+    val probe = new Path(pathStr + ".probe-" + java.util.UUID.randomUUID)
+    val out = f.create(probe, true)
+    try out.write('p') finally out.close()
+    try f.getFileStatus(probe).getModificationTime
+    finally f.delete(probe, false)
+  }
+
+  /** @return (state, resolvedViaStaleTmp). The second component is true
+    * only when the state is empty *because* a stale `.tmp` from a
+    * crashed writer was found — readers may proceed, but the
+    * read-modify-write apply path must refuse to save over it (the
+    * crashed writer's registry content is unknown; rewriting from empty
+    * would silently drop every definition).
+    */
+  private def loadInternal(): (State, Boolean) = {
     val f = fs
+    val deadline = System.nanoTime + 15L * 1000 * 1000 * 1000
+    var sleepMs = 1L
     var attempts = 0
-    while (attempts < 200) {
+    while (System.nanoTime < deadline) {
       if (f.exists(path)) {
         try {
           val in = f.open(path)
           try {
             val bytes = new java.io.ByteArrayOutputStream()
             org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
-            return fromJson(new String(bytes.toByteArray, "UTF-8"))
+            return (fromJson(new String(bytes.toByteArray, "UTF-8")), false)
           } finally in.close()
         } catch {
           case _: java.io.FileNotFoundException => () // vanished mid-swap; retry
         }
       } else {
         val tmpAge =
-          try Some(System.currentTimeMillis - f.getFileStatus(tmpPath).getModificationTime)
+          try Some(fsNow(f) - f.getFileStatus(tmpPath).getModificationTime)
           catch { case _: java.io.FileNotFoundException => None }
         tmpAge match {
           case None =>
             // neither final nor in-progress temp: genuinely empty (the
             // re-check of the final path closes the tmp→final rename race)
-            if (!f.exists(path)) return State(Map.empty, Map.empty, Map.empty)
+            if (!f.exists(path)) return (State(Map.empty, Map.empty, Map.empty), false)
           case Some(age) if age > 10000 =>
             // stale .tmp from a crashed writer, not an in-flight swap:
-            // the registry was never (re)written — treat as empty rather
-            // than making every future read spin and fail
-            return State(Map.empty, Map.empty, Map.empty)
-          case _ => () // fresh tmp: a swap is in flight, retry
+            // the registry was never (re)written — readable as empty, but
+            // flagged so apply() won't rewrite the registry from empty
+            return (State(Map.empty, Map.empty, Map.empty), true)
+          case _ => () // fresh tmp: a swap is in flight, retry with backoff
         }
       }
       attempts += 1
-      Thread.sleep(1)
+      Thread.sleep(sleepMs)
+      sleepMs = math.min(sleepMs * 2, 200L)
     }
     throw new java.io.IOException(
-      s"registry at $path unreadable after $attempts attempts (writer stuck mid-swap?)")
+      s"registry at $path unreadable after $attempts attempts over 15s (writer stuck mid-swap?)")
+  }
+
+  private def loadForUpdate(): State = {
+    val (s, staleTmp) = loadInternal()
+    if (staleTmp) throw new IllegalStateException(
+      s"registry at $path has a stale in-progress write ($tmpPath); refusing a " +
+        "read-modify-write from the empty fallback state (it would drop the " +
+        "crashed writer's registry) — inspect/remove the .tmp file first")
+    s
   }
 
   private def save(s: State): Unit = {
@@ -180,7 +215,7 @@ final class HadoopRegistry(
   }
 
   override def applyEntity(e: Entity): Unit = synchronized {
-    val s = load()
+    val s = loadForUpdate()
     val now = java.time.Instant.now.toString
     val meta = s.meta.getOrElse("entity/" + e.name, Meta(now, now)).copy(lastUpdated = now)
     save(s.copy(entities = s.entities + (e.name -> e),
@@ -188,7 +223,7 @@ final class HadoopRegistry(
   }
 
   override def applyFeatureView(fv: FeatureView): Unit = synchronized {
-    val s = load()
+    val s = loadForUpdate()
     val now = java.time.Instant.now.toString
     val meta = s.meta.getOrElse("fv/" + fv.name, Meta(now, now)).copy(lastUpdated = now)
     save(s.copy(views = s.views + (fv.name -> fv),

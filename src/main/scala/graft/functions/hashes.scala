@@ -62,7 +62,7 @@ case class RollingHash(child: Expression)
   * (xxhash-style mix of the rolling hash); a document bit is set when
   * the token-weighted bit-sum is positive. The production-scale sibling
   * of [[graft.ops.Dedup.simhash16]] (which stays md5-portable for the
-  * DuckDB oracle). Interpreted + codegen paths share [[SimHash64.eval]].
+  * DuckDB oracle). Interpreted + codegen paths share [[SimHash64.evalImpl]].
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
@@ -79,11 +79,11 @@ case class SimHash64(child: Expression)
     }
 
   override def nullSafeEval(input: Any): Any =
-    SimHash64.eval(input.asInstanceOf[ArrayData])
+    SimHash64.evalImpl(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SimHash64.eval($c);")
+      s"${ev.value} = graft.functions.SimHash64.evalImpl($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -99,7 +99,10 @@ object SimHash64 {
     z ^ (z >>> 31)
   }
 
-  def eval(tokens: ArrayData): Long = {
+  // evalImpl, not eval: the case class inherits Expression.eval, which
+  // suppresses the static forwarder for a companion `eval` — the generated
+  // Java would fail Janino and silently run interpreted.
+  def evalImpl(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)
     var t = 0
     val n = tokens.numElements()
@@ -149,11 +152,11 @@ case class WordShingles(child: Expression, n: Int)
         s"word_shingles needs (string, n>=1), got ${child.dataType.catalogString}, n=$n")
 
   override def nullSafeEval(input: Any): Any =
-    WordShingles.eval(input.asInstanceOf[UTF8String], n)
+    WordShingles.evalImpl(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WordShingles.eval($c, $n);")
+      s"${ev.value} = graft.functions.WordShingles.evalImpl($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -161,7 +164,8 @@ case class WordShingles(child: Expression, n: Int)
 }
 
 object WordShingles {
-  def eval(s: UTF8String, n: Int): ArrayData = {
+  // evalImpl, not eval — see SimHash64's companion note.
+  def evalImpl(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString.trim
     if (str.isEmpty) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val tokens = str.split("\\s+")
@@ -214,12 +218,12 @@ case class MinHashSigs(child: Expression, n: Int)
         s"minhash_sigs needs (string, n>=1), got ${child.dataType.catalogString}, n=$n")
 
   override def nullSafeEval(input: Any): Any =
-    MinHashSigs.eval(input.asInstanceOf[UTF8String], n)
+    MinHashSigs.evalImpl(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |${ev.value} = graft.functions.MinHashSigs.eval($c, $n);
+         |${ev.value} = graft.functions.MinHashSigs.evalImpl($c, $n);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin)
 
@@ -255,10 +259,10 @@ object MinHashSigs {
   /** Null when the doc has no shingles (fewer than n tokens). Token
     * bytes stream straight into the digest (no shingle strings are
     * materialized); identical token/shingle semantics to
-    * [[WordShingles.eval]] — same trim + `\s+` split + single-space
-    * join, here as digest updates.
+    * [[WordShingles.evalImpl]] — same trim + `\s+` split + single-space
+    * join, here as digest updates. (evalImpl, not eval — see SimHash64.)
     */
-  def eval(text: UTF8String, n: Int): ArrayData = {
+  def evalImpl(text: UTF8String, n: Int): ArrayData = {
     val str = text.toString.trim
     if (str.isEmpty) return null
     val tokens = str.split("\\s+")

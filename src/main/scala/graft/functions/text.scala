@@ -33,11 +33,11 @@ case class NormalizedMd5(child: Expression)
         s"normalized_md5 needs a string input, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
-    NormalizedMd5.eval(input.asInstanceOf[UTF8String])
+    NormalizedMd5.evalImpl(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.NormalizedMd5.eval($c);")
+      s"${ev.value} = graft.functions.NormalizedMd5.evalImpl($c);")
 
   override protected def withNewChildInternal(newChild: Expression): NormalizedMd5 =
     copy(child = newChild)
@@ -48,7 +48,11 @@ object NormalizedMd5 {
   private def isAsciiWs(b: Byte): Boolean =
     b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
 
-  def eval(s: UTF8String): UTF8String = {
+  // Named evalImpl, NOT eval: the case class inherits Expression.eval, which
+  // suppresses scalac's static forwarder for a companion `eval` — generated
+  // Java calling graft.functions.NormalizedMd5.eval would fail Janino
+  // compilation and silently fall back to interpreted execution.
+  def evalImpl(s: UTF8String): UTF8String = {
     val bytes = s.getBytes
     // Spark trim(): leading/trailing 0x20 only.
     var start = 0
@@ -100,12 +104,12 @@ case class CountInSet(child: Expression, words: Seq[String])
   @transient private lazy val set: java.util.HashSet[UTF8String] = CountInSet.build(words)
 
   override def nullSafeEval(input: Any): Any =
-    CountInSet.eval(input.asInstanceOf[ArrayData], set)
+    CountInSet.evalImpl(input.asInstanceOf[ArrayData], set)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.CountInSet.eval($c, $setRef);")
+      s"${ev.value} = graft.functions.CountInSet.evalImpl($c, $setRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CountInSet =
@@ -120,7 +124,8 @@ object CountInSet {
     s
   }
 
-  def eval(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+  // evalImpl, not eval — see NormalizedMd5's companion note.
+  def evalImpl(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
     var cnt = 0
     var i = 0
     val n = arr.numElements()

@@ -68,12 +68,18 @@ object AsOfJoin {
     val p = "__asof_r_"
     val rightP = right.select(right.columns.map(c => col(c).as(p + c)): _*)
     val valueCols = right.columns.filterNot(c => on.contains(c)).toSeq
-    // output name for the matched right timestamp: suffix it when both
-    // sides use the same column name (the common temporal-join shape)
-    // so the final using-join stays unambiguous
-    val rightTsOut =
-      if (rightTsCol == leftTsCol || on.contains(rightTsCol)) s"${rightTsCol}_right"
-      else rightTsCol
+    // output naming: every right value column whose name collides with a
+    // left column (timestamp or otherwise) gets a `_right` suffix, so the
+    // final using-join emits no duplicate names / ambiguous references
+    val leftCols = left.columns.toSet
+    def outName(c: String): String = if (leftCols.contains(c)) s"${c}_right" else c
+    val rightTsOut = outName(rightTsCol)
+    val rightOutNames = rightTsOut +: valueCols.filterNot(_ == rightTsCol).map(outName)
+    val residual = rightOutNames.filter(leftCols.contains) ++
+      rightOutNames.diff(rightOutNames.distinct)
+    require(residual.isEmpty,
+      s"as-of join output names collide even after _right suffixing: " +
+        residual.distinct.mkString(", "))
 
     // keyspace dedup: the as-of result depends only on (keys, left ts)
     val keySpace = left.select((on :+ leftTsCol).distinct.map(col): _*).distinct()
@@ -95,7 +101,7 @@ object AsOfJoin {
       (on :+ leftTsCol).map(col) ++
         (col("__best.__ts").as(rightTsOut) +:
           valueCols.filterNot(_ == rightTsCol).zipWithIndex.map { case (c, i) =>
-            col(s"__best.__v$i").as(c)
+            col(s"__best.__v$i").as(outName(c))
           }): _*)
     left.join(cleaned, (on :+ leftTsCol).distinct, "left")
   }

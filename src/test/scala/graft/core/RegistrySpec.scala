@@ -94,4 +94,25 @@ class RegistrySpec extends AnyFunSuite {
     assert(emptyReads === 0, s"reader saw an empty registry $emptyReads times")
     assert(writer.getEntity("driver").get.description === "v50")
   }
+
+  test("hadoop-fs registry: stale .tmp reads as empty but blocks read-modify-write") {
+    // A crashed writer leaves only registry.json.tmp behind. Readers get an
+    // empty registry (the document was never published), but apply() must
+    // refuse to save from that empty fallback — rewriting would silently
+    // drop whatever the crashed writer had read.
+    val dir = java.nio.file.Files.createTempDirectory("hreg3")
+    val path = dir.toString + "/registry.json"
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val tmp = dir.resolve("registry.json.tmp")
+    java.nio.file.Files.write(tmp, "{}".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(tmp,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis - 60000))
+    val reg = new HadoopRegistry(path, conf)
+    assert(reg.listEntities() === Seq.empty)
+    intercept[IllegalStateException](reg.applyEntity(entity))
+    // once the stale tmp is cleaned up, apply works again
+    java.nio.file.Files.delete(tmp)
+    reg.applyEntity(entity)
+    assert(reg.getEntity("driver") === Some(entity))
+  }
 }

@@ -74,13 +74,36 @@ class FunctionsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq === Seq(2L))
   }
 
-  test("normalized_md5 and count_in_set stay inside codegen") {
-    val df = Tables.load(spark, sf0001, "documents").select(
-      gf.normalized_md5(col("text")).as("h"),
-      gf.count_in_set(graft.ops.TextAnalysis.tokens(col("text")),
-        graft.ops.TextAnalysis.StopwordsEn).as("c"))
-    val p = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(p.contains("* Project"), s"fell out of codegen:\n$p")
+  test("all custom expressions compile under CODEGEN_ONLY (no interpreted fallback)") {
+    // Explain output keeps its '*' markers even when Janino fails at runtime
+    // and Spark silently falls back to interpreted execution — so this test
+    // makes compilation failures fatal instead of inspecting explain text.
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val docs = Tables.load(spark, sf0001, "documents").limit(50)
+      val scalar = docs.select(
+        gf.normalized_md5(col("text")).as("h"),
+        gf.rolling_hash(col("text")).as("rh"),
+        gf.simhash64(graft.ops.TextAnalysis.tokens(col("text"))).as("sh"),
+        gf.word_shingles(col("text"), 3).as("sg"),
+        gf.minhash_sigs(col("text"), 3).as("mh"),
+        gf.count_in_set(graft.ops.TextAnalysis.tokens(col("text")),
+          graft.ops.TextAnalysis.StopwordsEn).as("c"))
+      assert(scalar.count() === 50)
+      assert(scalar.filter(col("h").isNull || col("rh").isNull).count() === 0)
+      val emb = Tables.load(spark, sf0001, "embeddings").limit(10)
+        .select(col("embedding").cast("array<double>").as("v"))
+      val dot = emb.crossJoin(broadcast(emb.select(col("v").as("v2")).limit(1)))
+        .select(gf.dot_product(col("v"), col("v2")).as("d"))
+      assert(dot.filter(col("d").isNull).count() === 0)
+    } finally {
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
   }
 }

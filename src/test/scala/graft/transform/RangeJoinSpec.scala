@@ -79,6 +79,26 @@ class RangeJoinSpec extends SparkSpec {
     assert(row.getTimestamp(2).toString === "2024-01-05 00:00:00.0")
   }
 
+  test("asofJoin suffixes every right value column that collides with a left name") {
+    val left = Seq(("a", "2024-01-10 00:00:00", 7.0)).toDF("k", "ts", "v")
+      .select(col("k"), to_timestamp(col("ts")).as("ts"), col("v"))
+    val right = Seq(("a", "2024-01-05 00:00:00", 1.0, "x"))
+      .toDF("k", "rts", "v", "w")
+      .select(col("k"), to_timestamp(col("rts")).as("rts"), col("v"), col("w"))
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "rts")
+    assert(out.columns.toSeq === Seq("k", "ts", "v", "rts", "v_right", "w"))
+    val row = out.head()
+    assert(row.getDouble(2) === 7.0, "left v must keep its name and value")
+    assert(row.getDouble(4) === 1.0, "right v must land under v_right")
+    assert(row.getString(5) === "x")
+    // selecting both by name must not throw ambiguous-reference
+    assert(out.select("v", "v_right").head().getDouble(0) === 7.0)
+    // irreconcilable collision (left already has v_right) fails fast
+    val leftBad = left.withColumn("v_right", lit(0.0))
+    intercept[IllegalArgumentException](
+      AsOfJoin.asofJoin(leftBad, right, Seq("k"), "ts", "rts"))
+  }
+
   test("rangeJoin ignores inverted intervals instead of exploding them") {
     val points = Seq((1L, 5.0)).toDF("pid", "v")
     val intervals = Seq((1L, 100.0, 0.0), (2L, 4.0, 6.0)).toDF("iid", "lo", "hi")
