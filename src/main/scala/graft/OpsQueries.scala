@@ -721,6 +721,163 @@ object OpsQueries {
        |FROM roll r JOIN sigs s ON s.doc_id = r.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ decontamination
+  /** Benchmark decontamination gate: training docs (doc_id % 25 != 0)
+    * flagged by distinct-3-gram collision with the holdout slice
+    * (doc_id % 25 == 0) — the standard n-gram test-set-leak check. The
+    * holdout gram set broadcasts; the training side never wide-shuffles.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.decontaminationOverlap(
+      d.filter(col("doc_id") % 25 =!= 0),
+      d.filter(col("doc_id") % 25 === 0),
+      "doc_id", "text")
+  }
+
+  val decontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+      |    FROM toks WHERE len(t) >= 3)),
+      |hold AS (SELECT DISTINCT s FROM sh WHERE doc_id % 25 = 0),
+      |ov AS (
+      |  SELECT sh.doc_id, count(*) AS n_overlap
+      |  FROM sh JOIN hold USING (s)
+      |  WHERE sh.doc_id % 25 <> 0
+      |  GROUP BY sh.doc_id)
+      |SELECT d.doc_id,
+      |       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |       CAST(CASE WHEN coalesce(o.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      |FROM documents d LEFT JOIN ov o USING (doc_id)
+      |WHERE d.doc_id % 25 <> 0""".stripMargin
+
+  // ------------------------------------------------------------ tf-idf
+  /** Top-3 TF-IDF terms per document, with the rational BM25-style idf
+    * (no log — both engines compute the identical binary64, so this is
+    * hash-gated like everything else).
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Corpus.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
+
+  val tfidfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT t.doc_id, t.term, t.tf,
+      |         floor((CAST(t.tf AS DOUBLE) *
+      |                ((CAST(n.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+      |                 (CAST(f.df AS DOUBLE) + 0.5))) * 1000000.0 + 0.5) / 1000000.0 AS score
+      |  FROM tf t JOIN dfreq f USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, rank, score
+      |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+      |      FROM scored)
+      |WHERE rank <= 3""".stripMargin
+
+  // ------------------------------------------------------------ dedup clusters
+  /** LSH candidate pairs → connected components: every doc that appears
+    * in a near-dup pair gets its cluster's canonical id (min doc id
+    * reachable) — the keep-one-per-cluster step that completes the
+    * pairs → clusters → survivors dedup story. The oracle replays the
+    * component computation with a recursive CTE.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text"))
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+      |    FROM toks WHERE len(t) >= 3)),
+      |hx AS (SELECT doc_id, md5(s) AS h1, md5('~' || s) AS h2 FROM sh),
+      |mh AS (
+      |  SELECT doc_id,
+      |         min(substr(h1, 1, 8)) AS mh0, min(substr(h1, 9, 8)) AS mh1,
+      |         min(substr(h1, 17, 8)) AS mh2, min(substr(h1, 25, 8)) AS mh3,
+      |         min(substr(h2, 1, 8)) AS mh4, min(substr(h2, 9, 8)) AS mh5,
+      |         min(substr(h2, 17, 8)) AS mh6, min(substr(h2, 25, 8)) AS mh7
+      |  FROM hx GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS bh FROM mh
+      |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+      |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+      |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |    ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      |nodes AS (SELECT a AS node FROM cand UNION SELECT b FROM cand),
+      |edges AS (SELECT a AS x, b AS y FROM cand UNION SELECT b, a FROM cand),
+      |walk(node, comp) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT e.y, w.comp FROM walk w JOIN edges e ON e.x = w.node)
+      |SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node""".stripMargin
+
+  // ------------------------------------------------------------ corpus profile
+  /** Per-source corpus profile: counts, token totals, language breadth,
+    * mean tokens (4dp), and discrete p50/p90 token counts (integer rank
+    * selection — interpolation-free, so the element choice is identical
+    * in both engines).
+    */
+  def corpusProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Corpus.profile(docs(s, dir), "source", "text", "lang", "doc_id")
+
+  val corpusProfileSql: String =
+    """WITH base AS (
+      |  SELECT source, doc_id, lang,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |stats AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |         count(DISTINCT lang) AS n_langs,
+      |         floor((CAST(sum(n_tok) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_tok
+      |  FROM base GROUP BY source),
+      |ranked AS (
+      |  SELECT source, n_tok,
+      |         row_number() OVER (PARTITION BY source ORDER BY n_tok ASC, doc_id ASC) AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM base),
+      |pcts AS (
+      |  SELECT source,
+      |         min(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN n_tok END) AS p50_tok,
+      |         min(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN n_tok END) AS p90_tok
+      |  FROM ranked GROUP BY source)
+      |SELECT s.source, s.n_docs, s.n_tokens, s.n_langs, s.avg_tok,
+      |       p.p50_tok, p.p90_tok
+      |FROM stats s JOIN pcts p USING (source)""".stripMargin
+
+  // ------------------------------------------------------------ hash split
+  /** Deterministic train/val/test split by md5(doc_id) first hex nibble
+    * (0-b/c-d/e-f → 75/12.5/12.5) — the reproducible no-RNG dataset
+    * split. Row-local.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Corpus.hashSplit(docs(s, dir), "doc_id")
+
+  val hashSplitSql: String =
+    """SELECT doc_id,
+      |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+      |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+      |            ELSE 'train' END AS split
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -742,7 +899,12 @@ object OpsQueries {
     "q34_curation" -> curation _,
     "q35_range_join" -> rangeJoinBands _,
     "q37_pii_scrub" -> piiScrub _,
-    "q38_repetition" -> repetition _)
+    "q38_repetition" -> repetition _,
+    "q39_decontaminate" -> decontaminate _,
+    "q40_tfidf" -> tfidf _,
+    "q41_dedup_clusters" -> dedupClusters _,
+    "q42_corpus_profile" -> corpusProfile _,
+    "q43_hash_split" -> hashSplit _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -764,5 +926,10 @@ object OpsQueries {
     "q34_curation" -> curationSql,
     "q35_range_join" -> rangeJoinBandsSql,
     "q37_pii_scrub" -> piiScrubSql,
-    "q38_repetition" -> repetitionSql)
+    "q38_repetition" -> repetitionSql,
+    "q39_decontaminate" -> decontaminateSql,
+    "q40_tfidf" -> tfidfSql,
+    "q41_dedup_clusters" -> dedupClustersSql,
+    "q42_corpus_profile" -> corpusProfileSql,
+    "q43_hash_split" -> hashSplitSql)
 }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Rounding.pround
+
+/** Corpus-level statistics and organization operators for training-data
+  * pipelines: TF-IDF term weighting, per-source profiling, and
+  * deterministic hash-based dataset splits.
+  *
+  * Oracle-parity posture (same as the rest of the catalog): no
+  * transcendentals — TF-IDF uses the rational BM25-style idf
+  * `(N - df + 0.5) / (df + 0.5)` instead of a log so both engines
+  * compute the identical binary64; percentiles are discrete (integer
+  * rank selection, zero interpolation FP); splits hash with md5 hex.
+  */
+object Corpus {
+
+  /** Top-k TF-IDF terms per document. tf = term count in the doc,
+    * idf = (N - df + 0.5) / (df + 0.5) (the BM25 idf core without the
+    * log — same ordering, rational arithmetic so the oracle replays it
+    * bitwise), score = tf * idf rounded to 6dp, ties pinned by term asc.
+    *
+    * Scale: one explode + two keyed aggs (doc-term tf, term df) + a
+    * per-doc window — every shuffle is on a compact key; the corpus-size
+    * scalar N broadcasts. The df table is term-cardinality-sized, not
+    * corpus-sized.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", pround(
+        col("tf").cast("double") *
+          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("rank"), col("score"))
+  }
+
+  /** Per-source corpus profile: doc count, total whitespace tokens,
+    * distinct languages, mean tokens per doc (4dp), and discrete p50/p90
+    * of the per-doc token count. Percentile convention: the value at
+    * 0-indexed rank `(p*(n-1)) intdiv 100` in ascending order — integer
+    * arithmetic only, so both engines select the identical element (no
+    * interpolation FP drift).
+    *
+    * Scale: one keyed agg for the scalar stats + one per-source window
+    * for the rank selection; sources are natural partitions (bounded
+    * groups), nothing global.
+    */
+  def profile(df: DataFrame, sourceCol: String, textCol: String,
+      langCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(sourceCol), col(idCol), col(langCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+    val stats = base.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      countDistinct(col(langCol)).as("n_langs"),
+      pround(sum(col("n_tok")).cast("double") / count(lit(1)), 4).as("avg_tok"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("n_tok").asc, col(idCol).asc)
+    val ranked = base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(sourceCol))))
+    val pcts = ranked.groupBy(col(sourceCol)).agg(
+      min(when(col("rn") === expr("(50 * (n - 1)) div 100") + 1, col("n_tok")))
+        .as("p50_tok"),
+      min(when(col("rn") === expr("(90 * (n - 1)) div 100") + 1, col("n_tok")))
+        .as("p90_tok"))
+    stats.join(pcts, sourceCol)
+  }
+
+  /** Deterministic train/val/test assignment by the first hex nibble of
+    * md5(id): 0-b → train (75%), c-d → val (12.5%), e-f → test (12.5%).
+    * Hash-based splits are the standard reproducible-pipeline device —
+    * stable under reruns, data growth, and partitioning, with no RNG
+    * state to ship. Row-local, embarrassingly parallel.
+    */
+  def hashSplit(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol),
+      substring(md5(col(idCol).cast("string")), 1, 1).as("h"))
+      .select(col(idCol),
+        when(col("h").isin("c", "d"), "val")
+          .when(col("h").isin("e", "f"), "test")
+          .otherwise("train").as("split"))
+}

@@ -160,6 +160,89 @@ object Dedup {
       .select("a", "b", "n_common", "sz_a", "sz_b", "jaccard")
   }
 
+  // -------------------------------------------------------------- decontamination
+  /** Benchmark decontamination: per training document, the number of its
+    * distinct word n-grams that also appear anywhere in the holdout
+    * (eval/benchmark) corpus — the n-gram-collision test-set-leak gate
+    * used by large-pretraining pipelines. Returns every training row with
+    * `n_overlap` and a 0/1 `contaminated` flag (as long — portable for
+    * the oracle compare); downstream drops or audits flagged docs.
+    *
+    * Scale: the holdout n-gram set is tiny next to the training corpus
+    * (benchmarks are small by definition) — it is deduped and BROADCAST,
+    * so training shingles never shuffle: explode, map-side hash-join
+    * against the broadcast set, partial-agg counts per doc. O(train)
+    * scan, no train-side wide shuffle.
+    */
+  def decontaminationOverlap(
+      train: DataFrame, holdout: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val holdGrams = shingleSet(holdout, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val overlap = shingleSet(train, idCol, textCol, n)
+      .join(broadcast(holdGrams), "shingle")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
+
+  // -------------------------------------------------------------- clusters
+  /** Connected components over a candidate-pair graph (columns `a`, `b`):
+    * assigns every node appearing in a pair the minimum node id reachable
+    * from it — the canonical "dedup cluster" id that turns LSH pairs into
+    * keep-one-per-cluster decisions. Returns (node, component).
+    *
+    * Algorithm: min-label propagation with pointer doubling — each round
+    * every node takes the min of its own label, its neighbors' labels,
+    * and its label's label (`comp(comp(node))`, the path-halving jump
+    * that makes long chains converge in O(log diameter) rounds instead
+    * of O(diameter)); converged when no label decreases. Each round is
+    * two equi-joins + one groupBy-min on the pair set — no driver-side
+    * data, scales with the candidate pairs, not the corpus.
+    * `localCheckpoint` truncates the growing lineage each round
+    * (iterative-DataFrame standard practice).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .union(pairs.select(col("b").as("x"), col("a").as("y")))
+      .persist()
+    var labels = edges.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("node", "x"), "x")
+        .select(col("y").as("node"), col("comp"))
+      val neighborMin = labels.union(prop)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+      // pointer doubling: follow the label one more hop (labels are node
+      // ids, so comp resolves against the same table; comp(c) <= c by
+      // construction, so least() only ever improves)
+      val next = neighborMin
+        .join(neighborMin.select(col("node").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.join(
+        labels.select(col("node"), col("comp").as("prev")), "node")
+        .filter(col("comp") < col("prev"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(graph diameter exceeds maxIter — raise it)")
+    labels
+  }
+
   // -------------------------------------------------------------- simhash
   /** 16-bit SimHash from md5 hex digits: bit b of a token's hash is
     * (hex digit b >= '8'); the doc bit is the sign of the token-count

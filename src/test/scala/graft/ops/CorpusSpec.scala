@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus organization + decontamination + cluster specs: planted cases
+  * with hand-checked expectations (the oracle gates the full-corpus
+  * runs; these pin the operator semantics on adversarial shapes).
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontamination flags docs sharing a 3-gram with the holdout, counts distinct grams") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"), // shares "alpha beta gamma"+"beta gamma delta"
+      (2L, "completely different words here"),
+      (3L, "tiny doc"), // < 3 tokens: no shingles, never contaminated
+      (4L, "alpha beta gamma alpha beta gamma") // dup grams count ONCE (distinct)
+    ).toDF("doc_id", "text")
+    val holdout = Seq(
+      (100L, "alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminationOverlap(train, holdout, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (1L, 2L, 1L), // both its 3-grams leak
+      (2L, 0L, 0L),
+      (3L, 0L, 0L),
+      (4L, 1L, 1L))) // "alpha beta gamma" appears twice but counts once (distinct)
+  }
+
+  test("connected components: min label over chains, separate components stay apart") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components converges on a long chain and rejects exhausted budgets") {
+    val chain = (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+    val got = Dedup.connectedComponents(chain)
+      .agg(countDistinct(col("comp")).as("n"), min(col("comp")).as("m"))
+      .head()
+    assert(got.getLong(0) === 1L && got.getLong(1) === 1L)
+    intercept[IllegalArgumentException](
+      Dedup.connectedComponents(chain, maxIter = 2))
+  }
+
+  test("tfidf: rare terms outrank common ones; ties break by term asc") {
+    val df = Seq(
+      (1L, "rare common common"),
+      (2L, "common common common"),
+      (3L, "common unique")
+    ).toDF("doc_id", "text")
+    val got = Corpus.tfidfTopK(df, "doc_id", "text", k = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // idf(common, df=3) = 0.5/3.5; idf(rare|unique, df=1) = 2.5/1.5
+    assert(got === Seq((1L, "rare"), (2L, "common"), (3L, "unique")))
+  }
+
+  test("profile: discrete percentiles select the exact ranked element") {
+    // token counts 1..5 in one source: p50 idx=(50*4)//100=2 -> 3rd asc = 3;
+    // p90 idx=(90*4)//100=3 -> 4th asc = 4
+    val df = Seq(
+      (1L, "a", "en", "s1"), (2L, "a b", "en", "s1"), (3L, "a b c", "de", "s1"),
+      (4L, "a b c d", "en", "s1"), (5L, "a b c d e", "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Corpus.profile(df, "source", "text", "lang", "doc_id").head()
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("n_tokens") === 15L)
+    assert(r.getAs[Long]("n_langs") === 2L)
+    assert(r.getAs[Double]("avg_tok") === 3.0)
+    assert(r.getAs[Long]("p50_tok") === 3L)
+    assert(r.getAs[Long]("p90_tok") === 4L)
+  }
+
+  test("hash split is deterministic, total, and roughly proportioned") {
+    val df = (0L until 2000L).toDF("doc_id")
+    val a = Corpus.hashSplit(df, "doc_id")
+    val counts = a.groupBy("split").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts.values.sum === 2000L)
+    // 75 / 12.5 / 12.5 within generous tolerance
+    assert(counts("train") > 1350 && counts("train") < 1650, counts.toString)
+    assert(counts("val") > 150 && counts("val") < 350, counts.toString)
+    assert(counts("test") > 150 && counts("test") < 350, counts.toString)
+    // rerun identical (no RNG state)
+    val b = Corpus.hashSplit(df, "doc_id")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+}
