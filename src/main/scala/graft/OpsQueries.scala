@@ -155,12 +155,24 @@ object OpsQueries {
   /** Exact 3-gram Jaccard on source-blocked pairs (the verification stage
     * after LSH candidate generation; blocked so it never goes quadratic).
     * Pair generation is a salted block self-join so a dominant block
-    * spreads over many reducers instead of melting one.
+    * spreads over many reducers instead of melting one — and block
+    * membership is CAPPED at [[NgramJaccardBlockCap]] docs per block
+    * (first-by-id, [[Dedup.capBlocks]]) so output volume is bounded at
+    * O(cap²) per block: salting spreads the work, but only the cap
+    * bounds it — an uncapped dominant block melts the downstream at
+    * scale regardless. (The production composition, q34, feeds LSH
+    * candidates instead of block pairs; this query is the blocked-pair
+    * shape with the same safety valve.)
     */
+  val NgramJaccardBlockCap = 100
+
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val a = d.select(col("source"), col("doc_id").as("a"))
-    val b = d.select(col("source"), col("doc_id").as("b"))
+    val capped = Dedup.capBlocks(
+      d.select(col("source"), col("doc_id")), "source", "doc_id",
+      NgramJaccardBlockCap)
+    val a = capped.select(col("source"), col("doc_id").as("a"))
+    val b = capped.select(col("source"), col("doc_id").as("b"))
     val pairs = graft.transform.Skew
       .saltedBlockSelfJoin(a, b, "source", col("a"), col("b"), numSalts = 8)
       .filter(col("a") < col("b")).select("a", "b")
@@ -177,9 +189,15 @@ object OpsQueries {
       |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
       |    FROM toks WHERE len(t) >= 3)),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |capped AS (
+      |  SELECT source, doc_id FROM (
+      |    SELECT source, doc_id,
+      |           row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+      |    FROM documents)
+      |  WHERE rn <= 100),
       |pairs AS (
       |  SELECT d1.doc_id AS a, d2.doc_id AS b
-      |  FROM documents d1 JOIN documents d2
+      |  FROM capped d1 JOIN capped d2
       |    ON d1.source = d2.source AND d1.doc_id < d2.doc_id),
       |common AS (
       |  SELECT p.a, p.b, count(*) AS n_common

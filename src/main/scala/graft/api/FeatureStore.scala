@@ -88,7 +88,9 @@ object FeatureStore {
       case "parquet" => new graft.online.ParquetOnlineStore(spark,
         resolve(Yaml.str(online, "path")
           .orElse(Yaml.str(online, "connection_string"))
-          .getOrElse("data/online")))
+          .getOrElse("data/online")),
+        maxLoadRows = Yaml.str(online, "max_load_rows")
+          .map(_.toLong).getOrElse(10_000_000L))
       case other => throw new IllegalArgumentException(
         s"unsupported online_store.type '$other' (memory | parquet | redis)")
     }

@@ -86,8 +86,15 @@ final class InMemoryOnlineStore extends OnlineStore {
 /** Parquet-backed KV: each view materializes to one parquet table under
   * `root/<view>`, loaded lazily into memory for lookups. Durable across
   * sessions without any external service.
+  *
+  * Serving loads the WHOLE view table to the driver — by design (this
+  * is the hermetic test/local-serving impl; [[KVClientOnlineStore]] is
+  * the scale path). `maxLoadRows` guards that collect: pointing this
+  * store at a billion-key view fails fast with a clear message instead
+  * of OOMing the driver.
   */
-final class ParquetOnlineStore(spark: SparkSession, root: String) extends OnlineStore {
+final class ParquetOnlineStore(spark: SparkSession, root: String,
+    maxLoadRows: Long = 10_000_000L) extends OnlineStore {
   private val cache = TrieMap.empty[String, Map[String, Map[String, Any]]]
   private val keyCols = TrieMap.empty[String, Seq[String]]
 
@@ -104,6 +111,11 @@ final class ParquetOnlineStore(spark: SparkSession, root: String) extends Online
         spark.read.parquet(path(view) + "__keys")
           .collect().map(_.getString(0)).toSeq)
       val df = spark.read.parquet(path(view))
+      val n = df.count()
+      require(n <= maxLoadRows,
+        s"ParquetOnlineStore: view '$view' has $n rows, exceeding maxLoadRows=" +
+          s"$maxLoadRows — this store collects whole views to the driver for " +
+          "serving; use KVClientOnlineStore (executor-parallel KV) for views this size")
       val featureCols = df.columns.filterNot(keys.contains)
       df.collect().map { row: Row =>
         val k = OnlineStore.encodeKey(keys.map(c => row.get(row.fieldIndex(c))))

@@ -25,9 +25,15 @@ object Corpus {
     * Scale: one explode + two keyed aggs (doc-term tf, term df) + a
     * per-doc window — every shuffle is on a compact key; the corpus-size
     * scalar N broadcasts. The df table is term-cardinality-sized, not
-    * corpus-sized.
+    * corpus-sized, so it is BROADCAST by default: term frequency is
+    * Zipfian, and a shuffle join on the raw `term` key lands "the" on a
+    * single reducer at scale. If the vocabulary outgrows the broadcast
+    * limit (web-scale corpora with noisy tokens), set
+    * `saltedVocabJoin = true` to spread the hot terms over `numSalts`
+    * reducers via [[graft.transform.Skew.saltedJoin]] instead.
     */
-  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+      saltedVocabJoin: Boolean = false, numSalts: Int = 16): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
@@ -35,7 +41,11 @@ object Corpus {
     val n = df.select(countDistinct(col(idCol)).as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(dfreq, "term")
+    val joined =
+      if (saltedVocabJoin)
+        graft.transform.Skew.saltedJoin(tf, dfreq, "term", numSalts)
+      else tf.join(broadcast(dfreq), "term")
+    joined
       .crossJoin(broadcast(n))
       .withColumn("score", pround(
         col("tf").cast("double") *

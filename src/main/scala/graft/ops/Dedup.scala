@@ -135,6 +135,35 @@ object Dedup {
         idCol, numHashes, rowsPerBand),
       idCol)
 
+  // -------------------------------------------------------------- blocking
+  /** Deterministically cap a blocking key's membership: keep only the
+    * first `cap` rows per block by ascending `idCol` (rank via a
+    * per-block window — one narrow (block, id) shuffle). Pair
+    * generation over a block is O(B²); an uncapped dominant block melts
+    * the downstream no matter how the join is salted, so bound B before
+    * the self-join. The min-id convention is engine-portable (a SQL
+    * oracle replays it with `row_number()`), and stable under reruns.
+    *
+    * `logDropped = true` runs one extra count job and warns with the
+    * number of rows truncated away — turn it on when auditing coverage;
+    * leave it off in benchmarked/production paths (the cap itself is
+    * free of extra jobs).
+    */
+  def capBlocks(df: DataFrame, blockCol: String, idCol: String, cap: Int,
+      logDropped: Boolean = false): DataFrame = {
+    require(cap > 1, "cap must be > 1 (a block of one generates no pairs)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(blockCol)).orderBy(col(idCol).asc)
+    val capped = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+    if (logDropped) {
+      val dropped = df.count() - capped.count()
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"capBlocks($blockCol, cap=$cap): dropped $dropped rows from oversized blocks")
+    }
+    capped
+  }
+
   // -------------------------------------------------------------- jaccard
   /** Exact n-gram Jaccard for a given set of pairs (blocked upstream —
     * never call on an unblocked cross product at scale). `pairs` has
@@ -202,16 +231,30 @@ object Dedup {
     * of O(diameter)); converged when no label decreases. Each round is
     * two equi-joins + one groupBy-min on the pair set — no driver-side
     * data, scales with the candidate pairs, not the corpus.
-    * `localCheckpoint` truncates the growing lineage each round
-    * (iterative-DataFrame standard practice).
+    *
+    * Lineage is truncated each round (iterative-DataFrame standard
+    * practice). By default that uses `localCheckpoint`, whose blocks
+    * live on executors — fast, but a single lost executor after round k
+    * fails the job unrecoverably (the lineage needed to recompute is
+    * gone). On a real cluster under executor churn pass
+    * `reliableCheckpointDir` (an HDFS/object-store path): rounds then
+    * checkpoint through the fault-tolerant FS via `Dataset.checkpoint`,
+    * trading per-round write cost for survivability. Each round runs
+    * two jobs — the eager checkpoint materialization and the
+    * `limit(1).count()` convergence probe (cheap: it short-circuits on
+    * the first improved label) — inherent to convergence detection.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      reliableCheckpointDir: Option[String] = None): DataFrame = {
+    reliableCheckpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (reliableCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(true)
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .union(pairs.select(col("b").as("x"), col("a").as("y")))
       .persist()
-    var labels = edges.select(col("x").as("node")).distinct()
-      .select(col("node"), col("node").as("comp"))
-      .localCheckpoint(true)
+    var labels = snap(edges.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("comp")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -222,12 +265,11 @@ object Dedup {
       // pointer doubling: follow the label one more hop (labels are node
       // ids, so comp resolves against the same table; comp(c) <= c by
       // construction, so least() only ever improves)
-      val next = neighborMin
+      val next = snap(neighborMin
         .join(neighborMin.select(col("node").as("comp"), col("comp").as("comp2")),
           Seq("comp"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+          least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp")))
       val changed = next.join(
         labels.select(col("node"), col("comp").as("prev")), "node")
         .filter(col("comp") < col("prev"))

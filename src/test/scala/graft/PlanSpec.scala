@@ -134,4 +134,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side should broadcast:\n$p")
   }
+
+  test("tfidf broadcasts the vocabulary side (no shuffle join on the Zipfian term key)") {
+    val p = plan(OpsQueries.tfidf(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"df (vocabulary) side must broadcast — a shuffle join on `term` " +
+        s"lands stopwords on one reducer at scale:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"term-key shuffle join reappeared:\n$p")
+  }
 }

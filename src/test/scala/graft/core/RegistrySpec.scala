@@ -71,6 +71,24 @@ class RegistrySpec extends AnyFunSuite {
     assert(reloaded.listFeatureViews().map(_.name) === Seq("taxi_hourly"))
   }
 
+  test("hadoop-fs registry works over a non-local URI scheme (S8)") {
+    val dir = Files.createTempDirectory("mockfs_reg")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.mockfs.impl", classOf[MockFs].getName)
+    conf.set("fs.AbstractFileSystem.mockfs.impl", classOf[MockAbstractFs].getName)
+    val uri = s"mockfs://$dir/registry.json"
+    val reg = new HadoopRegistry(uri, conf)
+    reg.applyEntity(entity)
+    reg.applyFeatureView(view)
+    val reloaded = new HadoopRegistry(uri, conf)
+    assert(reloaded.getEntity("driver") === Some(entity))
+    assert(reloaded.getFeatureView("taxi_hourly") === Some(view))
+    // the write (incl. FileContext rename-OVERWRITE) really went through
+    // the non-local scheme and landed where the URI pointed
+    assert(Files.exists(dir.resolve("registry.json")))
+    assert(!Files.exists(dir.resolve("registry.json.tmp")), "tmp not cleaned up")
+  }
+
   test("hadoop-fs registry save never exposes a missing/empty registry to readers") {
     // Regression: save() used delete-then-rename, so a concurrent load()
     // could observe no file and silently return an empty registry. With

@@ -83,6 +83,96 @@ class OnlineSpec extends SparkSpec {
       "expected one client per partition plus the driver lookup client")
   }
 
+  test("parquet store refuses to collect views beyond maxLoadRows") {
+    val root = Files.createTempDirectory("graft_kv_guard").toString
+    val small = new ParquetOnlineStore(spark, root, maxLoadRows = 3L)
+    small.write("big", Seq("k"),
+      (1 to 4).map(i => (s"k$i", i)).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException](small.get("big", Seq("k1")))
+    assert(e.getMessage.contains("exceeding maxLoadRows=3"), e.getMessage)
+    assert(e.getMessage.contains("KVClientOnlineStore"), e.getMessage)
+    // exactly at the limit it serves (fresh instance: the cache is per-store)
+    val ok = new ParquetOnlineStore(spark, root, maxLoadRows = 4L)
+    assert(ok.get("big", Seq("k2")).map(_("v")) === Some(2))
+  }
+
+  // ---------------------------------------------------------- kv integration
+  // The file-backed client stands in for a networked KV service (Redis,
+  // Cassandra): every put is an atomic replace visible to any other
+  // process, clients open per partition on the executors, and the driver
+  // client reads concurrently — the reference's materialize → Redis →
+  // lookup loop, hermetically.
+
+  test("file-backed kv: executor-parallel write across partitions, driver lookups") {
+    val dir = OnlineSpec.newKvDir()
+    val store = new KVClientOnlineStore(() => new OnlineSpec.FileKVClient(dir))
+    val df = (1 to 20).map(i => (s"k$i", i.toDouble)).toDF("key", "value")
+      .repartition(4)
+    store.write("fv", Seq("key"), df)
+    (1 to 20).foreach { i =>
+      assert(store.get("fv", Seq(s"k$i")).map(_("value")) === Some(i.toDouble))
+    }
+    assert(store.get("fv", Seq("nope")) === None)
+    // one client per partition (markers recorded at open): >= 4 opens
+    // from the write plus the lazily-opened driver client
+    assert(OnlineSpec.kvOpens(dir) >= 5,
+      s"expected per-partition clients + driver client, saw ${OnlineSpec.kvOpens(dir)}")
+  }
+
+  test("file-backed kv: partial upsert replaces touched keys, keeps the rest") {
+    val dir = OnlineSpec.newKvDir()
+    val store = new KVClientOnlineStore(() => new OnlineSpec.FileKVClient(dir))
+    store.write("fv", Seq("key"),
+      Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("key", "value"))
+    store.upsert("fv", Seq("key"),
+      Seq(("b", 20.0)).toDF("key", "value").repartition(2))
+    assert(store.get("fv", Seq("a")).map(_("value")) === Some(1.0))
+    assert(store.get("fv", Seq("b")).map(_("value")) === Some(20.0))
+    assert(store.get("fv", Seq("c")).map(_("value")) === Some(3.0))
+  }
+
+  test("file-backed kv: concurrent reader during a rewrite sees old or new, never torn") {
+    val dir = OnlineSpec.newKvDir()
+    val store = new KVClientOnlineStore(() => new OnlineSpec.FileKVClient(dir))
+    val keys = (1 to 10).map(i => s"k$i")
+    store.write("fv", Seq("key"), keys.map((_, 1.0)).toDF("key", "value"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      val c = new OnlineSpec.FileKVClient(dir)
+      while (!stop.get()) keys.foreach { k =>
+        c.get("fv/" + k).foreach(v => seen.add(v("value").asInstanceOf[Double]))
+      }
+    })
+    reader.start()
+    store.write("fv", Seq("key"), keys.map((_, 2.0)).toDF("key", "value").repartition(4))
+    stop.set(true); reader.join()
+    import scala.jdk.CollectionConverters._
+    val vals = seen.asScala.toSet
+    assert(vals.nonEmpty && vals.subsetOf(Set(1.0, 2.0)),
+      s"reader observed torn/corrupt values: $vals")
+    keys.foreach(k => assert(store.get("fv", Seq(k)).map(_("value")) === Some(2.0)))
+  }
+
+  test("file-backed kv: client failure mid-partition fails the write; completed puts persist") {
+    val dir = OnlineSpec.newKvDir()
+    val store = new KVClientOnlineStore(
+      () => new OnlineSpec.PoisonKVClient(dir, poison = "k13"))
+    val df = (1 to 20).map(i => (s"k$i", i.toDouble)).toDF("key", "value")
+      .repartition(4)
+    val e = intercept[Exception](store.write("fv", Seq("key"), df))
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("poisoned")), messages.mkString(" | "))
+    // semantics: at-least-once per-key puts — partitions that completed
+    // (and any retried prefix) are visible; per-key idempotence makes
+    // replays safe. The poisoned key itself must NOT be visible.
+    val clean = new KVClientOnlineStore(() => new OnlineSpec.FileKVClient(dir))
+    assert(clean.get("fv", Seq("k13")) === None, "poisoned put leaked")
+    val visible = (1 to 20).count(i => clean.get("fv", Seq(s"k$i")).isDefined)
+    assert(visible > 0, "no partition completed before the failure")
+  }
+
   test("composite keys with separator/backslash content never collide") {
     val store = new InMemoryOnlineStore
     // ("ab", "c") vs ("a", "bc") concatenate identically
@@ -137,5 +227,70 @@ object OnlineSpec {
       fakeKvData.put(key, vector)
     override def get(key: String): Option[Map[String, Any]] = fakeKvData.get(key)
     override def close(): Unit = ()
+  }
+
+  // ---------------------------------------------------------- file-backed kv
+  import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+
+  def newKvDir(): String = {
+    val d = JFiles.createTempDirectory("graft_filekv")
+    JFiles.createDirectories(d.resolve(".opens"))
+    d.toString
+  }
+
+  /** Client-open markers recorded by [[FileKVClient]] — one file per
+    * constructed client, so tests can assert per-partition clients.
+    */
+  def kvOpens(dir: String): Long =
+    JFiles.list(Paths.get(dir, ".opens")).count()
+
+  /** File-per-key KV standing in for a networked store: puts are
+    * write-tmp + atomic rename (readers in ANY process see the old or
+    * the new value, never a torn file — the same visibility contract a
+    * Redis SET gives), values are java-serialized vectors. The
+    * constructor takes only the directory string, so the client factory
+    * closure stays serializable for the executor-side `foreachPartition`
+    * path.
+    */
+  class FileKVClient(dir: String) extends KVClient {
+    private val root = Paths.get(dir)
+    JFiles.createFile(root.resolve(".opens")
+      .resolve(java.util.UUID.randomUUID.toString))
+
+    private def fileFor(key: String) =
+      root.resolve(java.net.URLEncoder.encode(key, "UTF-8"))
+
+    override def put(key: String, vector: Map[String, Any]): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      try oos.writeObject(vector) finally oos.close()
+      val tmp = root.resolve(java.util.UUID.randomUUID.toString + ".tmp")
+      JFiles.write(tmp, bos.toByteArray)
+      JFiles.move(tmp, fileFor(key),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    override def get(key: String): Option[Map[String, Any]] =
+      if (!JFiles.exists(fileFor(key))) None
+      else {
+        val ois = new java.io.ObjectInputStream(
+          new java.io.ByteArrayInputStream(JFiles.readAllBytes(fileFor(key))))
+        try Some(ois.readObject().asInstanceOf[Map[String, Any]])
+        finally ois.close()
+      }
+
+    override def close(): Unit = ()
+  }
+
+  /** [[FileKVClient]] that throws on the put of any key containing
+    * `poison` — simulates a connection dropping mid-partition.
+    */
+  final class PoisonKVClient(dir: String, poison: String)
+      extends FileKVClient(dir) {
+    override def put(key: String, vector: Map[String, Any]): Unit = {
+      if (key.contains(poison))
+        throw new java.io.IOException(s"poisoned put: $key")
+      super.put(key, vector)
+    }
   }
 }

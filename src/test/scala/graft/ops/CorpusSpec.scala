@@ -38,6 +38,40 @@ class CorpusSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: reliable-checkpoint mode yields identical labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val got = Dedup.connectedComponents(pairs, reliableCheckpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+    // rounds really checkpointed through the fault-tolerant dir, not
+    // executor-local blocks
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, s"no checkpoint files written under $dir")
+  }
+
+  test("capBlocks keeps the first cap rows per block by id and bounds pair fan-out") {
+    // hot block of 40 + small block of 10 under a cap of 10
+    val df = (1L to 50L).map(i => (if (i <= 40L) "hot" else "cold", i))
+      .toDF("source", "doc_id")
+    val capped = Dedup.capBlocks(df, "source", "doc_id", 10, logDropped = true)
+    val byBlock = capped.groupBy("source")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // hot truncates to its 10 smallest ids; cold (under cap) is untouched
+    assert(byBlock("hot") === ((10L, 1L, 10L)))
+    assert(byBlock("cold") === ((10L, 41L, 50L)))
+    // downstream pair volume is now bounded at cap*(cap-1)/2 per block
+    val a = capped.select(col("source"), col("doc_id").as("a"))
+    val b = capped.select(col("source"), col("doc_id").as("b"))
+    val pairsPerBlock = a.join(b, "source").filter(col("a") < col("b"))
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(pairsPerBlock.forall(_ <= 45L), pairsPerBlock.mkString(","))
+  }
+
   test("connected components converges on a long chain and rejects exhausted budgets") {
     val chain = (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
     val got = Dedup.connectedComponents(chain)

@@ -37,6 +37,16 @@ class SourceReaderSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("key", "event_ts", "value"))
   }
 
+  test("parquet source reads through a non-local URI scheme (S8)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[graft.core.MockFs].getName)
+    base.write.mode("overwrite").parquet(s"$dir/mockp")
+    val df = SourceReader.read(spark,
+      SparkSource("mockp", s"mockfs://$dir/mockp", "parquet", "event_ts"))
+    assert(df.count() === 2)
+    assert(df.schema("event_ts").dataType.typeName === "timestamp")
+  }
+
   test("json source reads") {
     base.write.mode("overwrite").json(s"$dir/j")
     val df = SourceReader.read(spark,
