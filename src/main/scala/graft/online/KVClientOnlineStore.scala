@@ -14,6 +14,15 @@ import org.apache.spark.sql.{DataFrame, Row}
 trait KVClient extends AutoCloseable {
   def put(key: String, vector: Map[String, Any]): Unit
   def get(key: String): Option[Map[String, Any]]
+
+  /** Bulk upsert of one partition's vectors. Default = per-key [[put]]s;
+    * networked implementations should override to pipeline (Redis
+    * MULTI/pipe, Cassandra batch): at billions of keys per
+    * materialization window, one round-trip PER KEY — not per batch —
+    * is what dominates the write path.
+    */
+  def putBatch(entries: Iterator[(String, Map[String, Any])]): Unit =
+    entries.foreach { case (k, v) => put(k, v) }
 }
 
 /** Executor-parallel [[OnlineStore]] over any [[KVClient]]: `write`
@@ -43,12 +52,11 @@ final class KVClientOnlineStore(clientFactory: () => KVClient)
     val factory = clientFactory // avoid serializing `this`
     df.foreachPartition { rows: Iterator[Row] =>
       val client = factory()
-      try rows.foreach { row =>
+      try client.putBatch(rows.map { row =>
         val key = view + "/" + OnlineStore.encodeKey(
           keyColumns.map(k => row.get(row.fieldIndex(k))))
-        client.put(key,
-          featureCols.map(c => c -> row.get(row.fieldIndex(c))).toMap)
-      } finally client.close()
+        key -> featureCols.map(c => c -> row.get(row.fieldIndex(c))).toMap
+      }) finally client.close()
     }
   }
 

@@ -240,9 +240,13 @@ object Dedup {
     * `reliableCheckpointDir` (an HDFS/object-store path): rounds then
     * checkpoint through the fault-tolerant FS via `Dataset.checkpoint`,
     * trading per-round write cost for survivability. Each round runs
-    * two jobs — the eager checkpoint materialization and the
-    * `limit(1).count()` convergence probe (cheap: it short-circuits on
-    * the first improved label) — inherent to convergence detection.
+    * two jobs — the eager checkpoint materialization and a convergence
+    * probe — inherent to convergence detection. The probe exploits
+    * monotonicity: every label only ever decreases (neighborMin folds
+    * the node's own label in; pointer doubling uses `least`), and the
+    * node set is fixed, so `sum(comp)` is strictly decreasing until the
+    * fixpoint — comparing one DECIMAL aggregate per round replaces a
+    * join against the previous labels.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       reliableCheckpointDir: Option[String] = None): DataFrame = {
@@ -255,8 +259,14 @@ object Dedup {
       .persist()
     var labels = snap(edges.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("comp")))
+    // DECIMAL(38,0) keeps the label sum exact far beyond long range
+    // (billions of 2^63-scale ids); null on an empty graph
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)")))
+        .head.getDecimal(0))
+    var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = prevSum.isEmpty // empty graph: nothing to propagate
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels.withColumnRenamed("node", "x"), "x")
         .select(col("y").as("node"), col("comp"))
@@ -270,12 +280,10 @@ object Dedup {
           Seq("comp"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp")))
-      val changed = next.join(
-        labels.select(col("node"), col("comp").as("prev")), "node")
-        .filter(col("comp") < col("prev"))
-        .limit(1).count()
+      val curSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = curSum == prevSum
+      prevSum = curSum
       iter += 1
     }
     edges.unpersist()

@@ -80,12 +80,20 @@ object Similarity {
     * hot — a handful of labels/clusters over millions of rows, the
     * typical near-dup shape). For many small uniform blocks pass
     * `numSalts = 1` to skip replication.
+    *
+    * Salting spreads the O(B²) pair work but does not shrink it — when
+    * block sizes are unbounded, pass `blockCap` to truncate each block
+    * to its `cap` smallest ids ([[Dedup.capBlocks]]) before pair
+    * generation, bounding output at O(cap²) per block.
     */
   def blockedCosinePairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
-      threshold: Double, numSalts: Int = 8): DataFrame = {
+      threshold: Double, numSalts: Int = 8,
+      blockCap: Option[Int] = None): DataFrame = {
+    val members = blockCap.fold(df.select(col(idCol), col(blockCol)))(cap =>
+      Dedup.capBlocks(df.select(col(idCol), col(blockCol)), blockCol, idCol, cap))
     val n = withNorm(df, idCol, vecCol)
-      .join(df.select(col(idCol), col(blockCol)), idCol)
+      .join(members, idCol)
     val a = n.select(col(blockCol).as("block"), col(idCol).as("a"),
       col("__vec").as("va"), col("__norm").as("na"))
     val b = n.select(col(blockCol).as("block"), col(idCol).as("b"),

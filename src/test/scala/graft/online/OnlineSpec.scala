@@ -119,6 +119,21 @@ class OnlineSpec extends SparkSpec {
       s"expected per-partition clients + driver client, saw ${OnlineSpec.kvOpens(dir)}")
   }
 
+  test("kv write flows through putBatch so networked clients can pipeline") {
+    val dir = OnlineSpec.newKvDir()
+    OnlineSpec.batchCalls.set(0)
+    val store = new KVClientOnlineStore(
+      () => new OnlineSpec.BatchCountingKVClient(dir))
+    val df = (1 to 12).map(i => (s"k$i", i.toDouble)).toDF("key", "value")
+      .repartition(3)
+    store.write("fv", Seq("key"), df)
+    assert(OnlineSpec.batchCalls.get() === 3,
+      s"expected one pipelined batch per partition, saw ${OnlineSpec.batchCalls.get()}")
+    (1 to 12).foreach { i =>
+      assert(store.get("fv", Seq(s"k$i")).map(_("value")) === Some(i.toDouble))
+    }
+  }
+
   test("file-backed kv: partial upsert replaces touched keys, keeps the rest") {
     val dir = OnlineSpec.newKvDir()
     val store = new KVClientOnlineStore(() => new OnlineSpec.FileKVClient(dir))
@@ -280,6 +295,20 @@ object OnlineSpec {
       }
 
     override def close(): Unit = ()
+  }
+
+  /** [[FileKVClient]] counting [[KVClient.putBatch]] invocations — pins
+    * that the executor write path hands each partition to the client as
+    * ONE batch (the hook a Redis/Cassandra client pipelines on).
+    */
+  val batchCalls = new AtomicInteger(0)
+
+  final class BatchCountingKVClient(dir: String) extends FileKVClient(dir) {
+    override def putBatch(
+        entries: Iterator[(String, Map[String, Any])]): Unit = {
+      batchCalls.incrementAndGet()
+      super.putBatch(entries)
+    }
   }
 
   /** [[FileKVClient]] that throws on the put of any key containing

@@ -150,6 +150,19 @@ class OpsSpec extends SparkSpec {
       s"recall hits moved: first-N=$firstNHits trained=$trainedHits (was 77/83)")
   }
 
+  test("blockedCosinePairs blockCap bounds pair generation per block") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), "b"), (2L, Array(0.0f, 1.0f), "b"),
+      (3L, Array(1.0f, 1.0f), "b"), (4L, Array(1.0f, 2.0f), "b"),
+      (5L, Array(2.0f, 1.0f), "b"), (6L, Array(3.0f, 1.0f), "b")
+    ).toDF("id", "vec", "block")
+    val pairs = Similarity.blockedCosinePairs(df, "id", "vec", "block",
+      threshold = -2.0, numSalts = 2, blockCap = Some(3))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the 3 smallest ids participate: C(3,2) pairs, none involving 4..6
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("fixture contract: documents.text is oracle-parity-safe") {
     // The text oracles rely on text being non-null, non-blank, and free
     // of leading/trailing or non-space whitespace (see OpsQueries
