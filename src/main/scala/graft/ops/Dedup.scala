@@ -257,8 +257,12 @@ object Dedup {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .union(pairs.select(col("b").as("x"), col("a").as("y")))
       .persist()
-    var labels = snap(edges.select(col("x").as("node")).distinct()
-      .select(col("node"), col("node").as("comp")))
+    // Seed labels at least(node, min neighbor) — exactly what round 1's
+    // propagate+min produces over the identity labeling, but as a single
+    // groupBy of the edge list with no join: one full round saved.
+    var labels = snap(edges
+      .groupBy(col("x")).agg(min(col("y")).as("__mn"))
+      .select(col("x").as("node"), least(col("x"), col("__mn")).as("comp")))
     // DECIMAL(38,0) keeps the label sum exact far beyond long range
     // (billions of 2^63-scale ids); null on an empty graph
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
