@@ -150,14 +150,30 @@ object Similarity {
           col("__norm").as("centn")))
 
     def nearestCentroids(df: DataFrame, side: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(s"${side}_id"))
-        .orderBy(col("simc").desc, col("centroid_id").asc)
-      df.join(broadcast(cents), expr("true"))
+      val scored = df.join(broadcast(cents), expr("true"))
         .withColumn("simc",
           dot(col("__vec"), col("centv")) / (col("__norm") * col("centn")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("centv", "centn", "simc", "crank")
+      if (keep == 1) {
+        // Corpus-side assignment: argmax instead of a row_number window.
+        // The window shuffles ALL id×C scored rows just to rank them;
+        // max(struct(...)) partial-aggregates map-side, so only id-many
+        // pre-reduced rows reach the exchange — the difference between
+        // shuffling 16× the corpus and 1× at 100 TB. Tie-break matches
+        // the window's (simc desc, centroid_id asc) via the negated id.
+        scored
+          .groupBy(col(s"${side}_id"))
+          .agg(max(struct(col("simc"), (-col("centroid_id")).as("negc"),
+            col("__vec"), col("__norm"))).as("__best"))
+          .select(col(s"${side}_id"), (-col("__best.negc")).as("centroid_id"),
+            col("__best.__vec").as("__vec"), col("__best.__norm").as("__norm"))
+      } else {
+        val w = Window.partitionBy(col(s"${side}_id"))
+          .orderBy(col("simc").desc, col("centroid_id").asc)
+        scored
+          .withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= keep)
+          .drop("centv", "centn", "simc", "crank")
+      }
     }
 
     val assigned = nearestCentroids(
