@@ -36,6 +36,42 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Shared top-k-per-query stanza for the ANN paths: rank scored
+    * candidate rows (columns `query_id`, `neighbor_id`, `cos`) and keep
+    * the k best per query, ties pinned by neighbor id.
+    *
+    * A plain per-query window funnels EVERY candidate row of a query
+    * through one reducer — brute force scores the whole corpus per
+    * query, so at 100 TB that is a single-task corpus scan. With
+    * `numSalts > 1` candidates first split into `numSalts` hash buckets
+    * per query, each bucket keeps its own top-k (the global top-k is a
+    * subset of the bucket winners), and only numSalts×k survivors per
+    * query reach the final ranking — output is identical (the final
+    * window re-ranks survivors under the same total order), but no
+    * reducer ever sees more than a bucket.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int, numSalts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("cos").desc, col("neighbor_id").asc)
+    val pruned =
+      if (numSalts <= 1) scored
+      else {
+        val wb = Window.partitionBy(col("query_id"), col("__bucket"))
+          .orderBy(order: _*)
+        scored
+          .withColumn("__bucket", pmod(hash(col("neighbor_id")), lit(numSalts)))
+          .withColumn("__brank", row_number().over(wb))
+          .filter(col("__brank") <= k)
+          .drop("__bucket", "__brank")
+      }
+    val w = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    pruned
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        graft.util.Rounding.pround(col("cos"), 6).as("cosine"))
+  }
+
   /** Precompute (id, vector-as-double, norm) — norms are computed once
     * per row, not once per pair.
     */
@@ -52,21 +88,14 @@ object Similarity {
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      idCol: String, vecCol: String, k: Int, numSalts: Int = 16): DataFrame = {
     val c = withNorm(corpus, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("__vec").as("cv"), col("__norm").as("cn"))
     val q = withNorm(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("__vec").as("qv"), col("__norm").as("qn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        graft.util.Rounding.pround(col("cos"), 6).as("cosine"))
+    topKPerQuery(scored, k, numSalts)
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
@@ -142,7 +171,7 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, numCentroids: Int = 16, nprobe: Int = 4,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None, numSalts: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = centroids.getOrElse(
       withNorm(corpus.orderBy(col(idCol)).limit(numCentroids), idCol, vecCol)
@@ -187,15 +216,10 @@ object Similarity {
       .select(col("centroid_id"), col("query_id"), col("__vec").as("qv"),
         col("__norm").as("qn"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    probed.join(assigned, "centroid_id")
+    val scored = probed.join(assigned, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        graft.util.Rounding.pround(col("cos"), 6).as("cosine"))
+    topKPerQuery(scored, k, numSalts)
   }
 
   // ---------------------------------------------------------------- rp-lsh
@@ -231,9 +255,7 @@ object Similarity {
   def rpLshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, numBits: Int = 6, probeHamming: Int = 1,
-      seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-
+      seed: Long = 42L, numSalts: Int = 16): DataFrame = {
     val c = withNorm(corpus, idCol, vecCol)
       .withColumn("bucket", rpSignature(col("__vec"), dim, numBits, seed))
       .select(col(idCol).as("neighbor_id"), col("bucket"),
@@ -249,14 +271,9 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("bucket"),
         col("__vec").as("qv"), col("__norm").as("qn"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    q.join(c, "bucket")
+    val scored = q.join(c, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        graft.util.Rounding.pround(col("cos"), 6).as("cosine"))
+    topKPerQuery(scored, k, numSalts)
   }
 }

@@ -150,6 +150,21 @@ class OpsSpec extends SparkSpec {
       s"recall hits moved: first-N=$firstNHits trained=$trainedHits (was 77/83)")
   }
 
+  test("salted two-phase top-k equals the single-window ranking") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    def rows(numSalts: Int) =
+      Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5, numSalts)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+    // bucket winners always contain the global winners, and the final
+    // window re-ranks under the same total order — any salt count gives
+    // the identical result set
+    assert(rows(7) === rows(1))
+    assert(rows(16) === rows(1))
+  }
+
   test("blockedCosinePairs blockCap bounds pair generation per block") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), "b"), (2L, Array(0.0f, 1.0f), "b"),
