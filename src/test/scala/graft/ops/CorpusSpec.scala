@@ -95,6 +95,22 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq((1L, "rare"), (2L, "common"), (3L, "unique")))
   }
 
+  test("tfidf: salted vocabulary join equals the broadcast join") {
+    val df = Seq(
+      (1L, "rare common common words"),
+      (2L, "common common common other"),
+      (3L, "common unique words other")
+    ).toDF("doc_id", "text")
+    val broadcastPath = Corpus.tfidfTopK(df, "doc_id", "text", k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val saltedPath = Corpus.tfidfTopK(df, "doc_id", "text", k = 2,
+      saltedVocabJoin = true, numSalts = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(saltedPath === broadcastPath)
+  }
+
   test("profile: discrete percentiles select the exact ranked element") {
     // token counts 1..5 in one source: p50 idx=(50*4)//100=2 -> 3rd asc = 3;
     // p90 idx=(90*4)//100=3 -> 4th asc = 4
