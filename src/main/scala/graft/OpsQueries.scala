@@ -482,14 +482,14 @@ object OpsQueries {
     * source-mix control; one keyed window, no global shuffle.
     */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val k = 20
-    val w = Window.partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
-    docs(s, dir)
-      .select(col("doc_id"), col("source"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    // two-phase salted top-k: a source's quota winners are ranked
+    // without funneling the whole source through one reducer
+    graft.transform.Skew.saltedTopK(
+      docs(s, dir).select(col("doc_id"), col("source")),
+      partitionCols = Seq(col("source")),
+      orderCols = Seq(md5(col("doc_id").cast("string")).asc, col("doc_id").asc),
+      saltCol = col("doc_id"),
+      k = 20, numSalts = 16)
   }
 
   val stratifiedSampleSql: String =

@@ -68,6 +68,40 @@ object Skew {
     aS.join(bS, Seq(blockCol, "__pa", "__pb")).drop("__pa", "__pb")
   }
 
+  /** Two-phase top-k per key for skewed/huge groups: rows first split
+    * into `numSalts` hash buckets per key (on `saltCol`, which must be
+    * part of the total order so bucket winners are well-defined), each
+    * bucket keeps its own top-k, then the survivors — numSalts×k per
+    * key, not the whole group — are ranked globally. The global top-k
+    * is a subset of the bucket winners and the final window applies the
+    * same total order, so the result (including the emitted `rankCol`)
+    * is identical to a single per-key window — but no reducer ever
+    * sees more than one bucket of one key.
+    */
+  def saltedTopK(
+      df: DataFrame,
+      partitionCols: Seq[Column],
+      orderCols: Seq[Column],
+      saltCol: Column,
+      k: Int,
+      numSalts: Int,
+      rankCol: String = "rn"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pruned =
+      if (numSalts <= 1) df
+      else {
+        val wb = Window
+          .partitionBy(partitionCols :+ pmod(hash(saltCol), lit(numSalts)): _*)
+          .orderBy(orderCols: _*)
+        df.withColumn("__brank", row_number().over(wb))
+          .filter(col("__brank") <= k).drop("__brank")
+      }
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    pruned
+      .withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
+  }
+
   /** Salted join of a skewed fact side against a dimension: the fact
     * side gets a random salt in [0, numSalts); the dimension is
     * replicated once per salt value; the join key becomes (key, salt).

@@ -27,6 +27,22 @@ class SkewSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("saltedTopK equals the single-window top-k, ranks included") {
+    import org.apache.spark.sql.expressions.Window
+    // v is unique within each key, so (v desc) is a total order per key
+    val order = Seq(col("v").desc)
+    val w = Window.partitionBy(col("k")).orderBy(order: _*)
+    val plain = skewed.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 7)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Double]("v"),
+        r.getAs[Long]("rn"))).toSet
+    val salted = Skew.saltedTopK(skewed, Seq(col("k")), order,
+      saltCol = col("v"), k = 7, numSalts = 8)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Double]("v"),
+        r.getAs[Long]("rn"))).toSet
+    assert(salted === plain)
+  }
+
   test("saltedJoin equals plain join") {
     val dim = (Seq("h") ++ (1 to 50).map(k => s"k$k")).zipWithIndex
       .map { case (k, i) => (k, s"name$i") }.toDF("k", "name")
