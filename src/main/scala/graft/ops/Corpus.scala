@@ -65,7 +65,11 @@ object Corpus {
     *
     * Scale: one keyed agg for the scalar stats + one per-source window
     * for the rank selection; sources are natural partitions (bounded
-    * groups), nothing global.
+    * groups), nothing global. EXACT discrete percentiles require a
+    * total order per source — if a single source outgrows a reducer,
+    * the scale valve is `approx_percentile` (t-digest, fully
+    * distributed) at the cost of the exact-element guarantee this
+    * oracle-gated version provides.
     */
   def profile(df: DataFrame, sourceCol: String, textCol: String,
       langCol: String, idCol: String): DataFrame = {
