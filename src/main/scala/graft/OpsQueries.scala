@@ -180,8 +180,8 @@ object OpsQueries {
   }
 
   val ngramJaccardSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, s FROM (
       |    SELECT doc_id,
@@ -194,7 +194,7 @@ object OpsQueries {
       |    SELECT source, doc_id,
       |           row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
       |    FROM documents)
-      |  WHERE rn <= 100),
+      |  WHERE rn <= $NgramJaccardBlockCap),
       |pairs AS (
       |  SELECT d1.doc_id AS a, d2.doc_id AS b
       |  FROM capped d1 JOIN capped d2

@@ -137,12 +137,14 @@ object Dedup {
 
   // -------------------------------------------------------------- blocking
   /** Deterministically cap a blocking key's membership: keep only the
-    * first `cap` rows per block by ascending `idCol` (rank via a
-    * per-block window — one narrow (block, id) shuffle). Pair
-    * generation over a block is O(B²); an uncapped dominant block melts
-    * the downstream no matter how the join is salted, so bound B before
-    * the self-join. The min-id convention is engine-portable (a SQL
-    * oracle replays it with `row_number()`), and stable under reruns.
+    * first `cap` rows per block by ascending `idCol` (two-phase salted
+    * ranking, [[graft.transform.Skew.saltedTopK]] — narrow (block, id)
+    * rows, no reducer sees more than one hash bucket of one block).
+    * Pair generation over a block is O(B²); an uncapped dominant block
+    * melts the downstream no matter how the join is salted, so bound B
+    * before the self-join. The min-id convention is engine-portable (a
+    * SQL oracle replays it with `row_number()`), and stable under
+    * reruns.
     *
     * `logDropped = true` runs one extra count job and warns with the
     * number of rows truncated away — turn it on when auditing coverage;
@@ -150,12 +152,15 @@ object Dedup {
     * free of extra jobs).
     */
   def capBlocks(df: DataFrame, blockCol: String, idCol: String, cap: Int,
-      logDropped: Boolean = false): DataFrame = {
+      logDropped: Boolean = false, numSalts: Int = 16): DataFrame = {
     require(cap > 1, "cap must be > 1 (a block of one generates no pairs)")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(blockCol)).orderBy(col(idCol).asc)
-    val capped = df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= cap).drop("__rn")
+    // two-phase salted ranking: a plain per-block window would funnel
+    // the dominant block through one reducer — the very hotspot the cap
+    // exists to prevent
+    val capped = graft.transform.Skew.saltedTopK(
+      df, Seq(col(blockCol)), Seq(col(idCol).asc), saltCol = col(idCol),
+      k = cap, numSalts = numSalts, rankCol = "__rn", castRankTo = None)
+      .drop("__rn")
     if (logDropped) {
       val dropped = df.count() - capped.count()
       org.slf4j.LoggerFactory.getLogger(getClass)
@@ -237,11 +242,16 @@ object Dedup {
     * live on executors — fast, but a single lost executor after round k
     * fails the job unrecoverably (the lineage needed to recompute is
     * gone). On a real cluster under executor churn pass
-    * `reliableCheckpointDir` (an HDFS/object-store path): rounds then
-    * checkpoint through the fault-tolerant FS via `Dataset.checkpoint`,
-    * trading per-round write cost for survivability. Each round runs
-    * two jobs — the eager checkpoint materialization and a convergence
-    * probe — inherent to convergence detection. The probe exploits
+    * `reliableCheckpointDir` (an HDFS/object-store path, unique per
+    * clustering run): each round's labels are then snapshotted as
+    * parquet under it and read back — fault-tolerant lineage truncation
+    * with no session-global `setCheckpointDir` mutation — and round
+    * k-1's snapshot is deleted as soon as round k lands, so the
+    * directory holds at most two label snapshots at any time. The final
+    * round's snapshot backs the RETURNED DataFrame: delete the
+    * directory only when done with the result. Each round runs two
+    * jobs — the snapshot write and a convergence probe — inherent to
+    * convergence detection. The probe exploits
     * monotonicity: every label only ever decreases (neighborMin folds
     * the node's own label in; pointer doubling uses `least`), and the
     * node set is fixed, so `sum(comp)` is strictly decreasing until the
@@ -250,10 +260,21 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       reliableCheckpointDir: Option[String] = None): DataFrame = {
-    reliableCheckpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    def snap(df: DataFrame): DataFrame =
-      if (reliableCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint(true)
+    var round = 0
+    def snap(df: DataFrame): DataFrame = reliableCheckpointDir match {
+      case None => df.localCheckpoint(true)
+      case Some(base) =>
+        val spark = df.sparkSession
+        val path = s"$base/cc-round-$round"
+        df.write.mode("overwrite").parquet(path)
+        if (round > 0) { // round k-1 is unreferenced once round k lands
+          val prev = new org.apache.hadoop.fs.Path(s"$base/cc-round-${round - 1}")
+          prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(prev, true)
+        }
+        round += 1
+        spark.read.parquet(path)
+    }
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .union(pairs.select(col("b").as("x"), col("a").as("y")))
       .persist()

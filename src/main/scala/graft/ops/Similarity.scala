@@ -50,27 +50,14 @@ object Similarity {
     * window re-ranks survivors under the same total order), but no
     * reducer ever sees more than a bucket.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int, numSalts: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val order = Seq(col("cos").desc, col("neighbor_id").asc)
-    val pruned =
-      if (numSalts <= 1) scored
-      else {
-        val wb = Window.partitionBy(col("query_id"), col("__bucket"))
-          .orderBy(order: _*)
-        scored
-          .withColumn("__bucket", pmod(hash(col("neighbor_id")), lit(numSalts)))
-          .withColumn("__brank", row_number().over(wb))
-          .filter(col("__brank") <= k)
-          .drop("__bucket", "__brank")
-      }
-    val w = Window.partitionBy(col("query_id")).orderBy(order: _*)
-    pruned
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+  private def topKPerQuery(scored: DataFrame, k: Int, numSalts: Int): DataFrame =
+    graft.transform.Skew.saltedTopK(scored,
+      partitionCols = Seq(col("query_id")),
+      orderCols = Seq(col("cos").desc, col("neighbor_id").asc),
+      saltCol = col("neighbor_id"), k = k, numSalts = numSalts,
+      rankCol = "rank", castRankTo = None)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         graft.util.Rounding.pround(col("cos"), 6).as("cosine"))
-  }
 
   /** Precompute (id, vector-as-double, norm) — norms are computed once
     * per row, not once per pair.

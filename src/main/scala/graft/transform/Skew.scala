@@ -85,20 +85,26 @@ object Skew {
       saltCol: Column,
       k: Int,
       numSalts: Int,
-      rankCol: String = "rn"): DataFrame = {
+      rankCol: String = "rn",
+      castRankTo: Option[String] = Some("long")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pruned =
       if (numSalts <= 1) df
       else {
+        // bucket as a materialized column, not a partitionBy expression —
+        // an expression there defeats the rank-limit pushdown
+        // (WindowGroupLimit), which is most of the point of the prune
         val wb = Window
-          .partitionBy(partitionCols :+ pmod(hash(saltCol), lit(numSalts)): _*)
+          .partitionBy(partitionCols :+ col("__bucket"): _*)
           .orderBy(orderCols: _*)
-        df.withColumn("__brank", row_number().over(wb))
-          .filter(col("__brank") <= k).drop("__brank")
+        df.withColumn("__bucket", pmod(hash(saltCol), lit(numSalts)))
+          .withColumn("__brank", row_number().over(wb))
+          .filter(col("__brank") <= k).drop("__bucket", "__brank")
       }
     val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    val rn = row_number().over(w)
     pruned
-      .withColumn(rankCol, row_number().over(w).cast("long"))
+      .withColumn(rankCol, castRankTo.map(rn.cast).getOrElse(rn))
       .filter(col(rankCol) <= k)
   }
 

@@ -135,6 +135,18 @@ class PlanSpec extends SparkSpec {
       s"query side should broadcast:\n$p")
   }
 
+  test("IVF corpus assignment partial-aggregates map-side (argmax, not a window)") {
+    val p = plan(OpsQueries.ivfKnn(spark, sf0001))
+    assert(p.contains("partial_max"),
+      s"corpus->centroid assignment must be a partial-aggregating argmax " +
+        s"(a window here shuffles centroid-count times the corpus):\n$p")
+    // Window operator nodes (detail-section headers; \b excludes
+    // WindowGroupLimit) — query-side multi-probe + two-phase top-k = 3;
+    // a 4th would mean the corpus assignment regressed to a window
+    val windows = """\(\d+\) Window\b""".r.findAllIn(p).length
+    assert(windows <= 3, s"unexpected extra window stages ($windows):\n$p")
+  }
+
   test("tfidf broadcasts the vocabulary side (no shuffle join on the Zipfian term key)") {
     val p = plan(OpsQueries.tfidf(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"),

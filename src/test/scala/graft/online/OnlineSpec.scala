@@ -180,12 +180,12 @@ class OnlineSpec extends SparkSpec {
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
     assert(messages.exists(_.contains("poisoned")), messages.mkString(" | "))
     // semantics: at-least-once per-key puts — partitions that completed
-    // (and any retried prefix) are visible; per-key idempotence makes
-    // replays safe. The poisoned key itself must NOT be visible.
+    // (and any retried prefix) remain visible; per-key idempotence makes
+    // replays safe. The poisoned key itself must NOT be visible. (How
+    // MANY other keys landed depends on how fast job cancellation
+    // interrupts sibling tasks — deliberately not asserted.)
     val clean = new KVClientOnlineStore(() => new OnlineSpec.FileKVClient(dir))
     assert(clean.get("fv", Seq("k13")) === None, "poisoned put leaked")
-    val visible = (1 to 20).count(i => clean.get("fv", Seq(s"k$i")).isDefined)
-    assert(visible > 0, "no partition completed before the failure")
   }
 
   test("composite keys with separator/backslash content never collide") {
