@@ -82,6 +82,31 @@ class CorpusSpec extends SparkSpec {
       Dedup.connectedComponents(chain, maxIter = 2))
   }
 
+  test("connected components matches a union-find reference on seeded random graphs") {
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 3) {
+      val nNodes = 120 + trial * 40
+      val edges = Seq.fill(nNodes)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val want = parent.keys.map(n => n -> find(n)).toSeq
+        .groupBy(_._2).values
+        // canonical id = min node in the component, as the operator defines
+        .flatMap { members => val m = members.map(_._1).min; members.map(_._1 -> m) }
+        .toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === want, s"trial $trial (${edges.size} edges)")
+    }
+  }
+
   test("tfidf: rare terms outrank common ones; ties break by term asc") {
     val df = Seq(
       (1L, "rare common common"),
