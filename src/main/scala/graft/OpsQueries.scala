@@ -896,6 +896,67 @@ object OpsQueries {
       |            ELSE 'train' END AS split
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------------------ semantic dedup
+  /** SemDeDup over the embeddings table: first-16 centroids (the
+    * deterministic stand-in the oracle replays; trained k-means is the
+    * spec-gated quality path), within-cluster cosine > 0.15 → drop the
+    * higher id of each pair. One row per vector with its cluster and
+    * keep decision.
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(emb(s, dir), "vec_id", "embedding",
+      threshold = 0.15, numCentroids = 16)
+
+  val semanticDedupSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |cents AS (SELECT vec_id AS centroid_id, vec AS centv FROM v ORDER BY vec_id LIMIT 16),
+      |assigned AS (
+      |  SELECT vec_id, centroid_id, vec FROM (
+      |    SELECT x.vec_id, ct.centroid_id, x.vec,
+      |           row_number() OVER (PARTITION BY x.vec_id
+      |             ORDER BY list_cosine_similarity(x.vec, ct.centv) DESC,
+      |                      ct.centroid_id ASC) AS rn
+      |    FROM v x CROSS JOIN cents ct)
+      |  WHERE rn = 1),
+      |losers AS (
+      |  SELECT DISTINCT b.vec_id AS vec_id
+      |  FROM assigned a JOIN assigned b
+      |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      |  WHERE floor(list_cosine_similarity(a.vec, b.vec) * 1000000.0 + 0.5) / 1000000.0 > 0.15)
+      |SELECT s.vec_id, s.centroid_id AS cluster_id,
+      |       CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM assigned s LEFT JOIN losers l ON l.vec_id = s.vec_id""".stripMargin
+
+  // ------------------------------------------------------------ unigram LM
+  /** Corpus-trained unigram-LM quality signals: per-doc token-frequency
+    * statistics against the corpus unigram model — the log-free LM
+    * quality filter. Integer counts end to end; the final divisions are
+    * identical binary64 in both engines.
+    */
+  def unigramLm(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Corpus.unigramLmScore(docs(s, dir), "doc_id", "text")
+
+  val unigramLmSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |model AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+      |tot AS (SELECT count(*) AS t FROM tok),
+      |per AS (
+      |  SELECT t.doc_id, count(*) AS n_tokens,
+      |         sum(m.c) AS sum_freq, min(m.c) AS min_freq,
+      |         sum(CASE WHEN m.c = 1 THEN 1 ELSE 0 END) AS n_hapax
+      |  FROM tok t JOIN model m USING (term)
+      |  GROUP BY t.doc_id)
+      |SELECT doc_id,
+      |       CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(sum_freq AS BIGINT) AS sum_freq,
+      |       CAST(min_freq AS BIGINT) AS min_freq,
+      |       floor((CAST(sum_freq AS DOUBLE) / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS mean_freq,
+      |       floor((CAST(n_hapax AS DOUBLE) / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS hapax_ratio,
+      |       floor((CAST(sum_freq AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(t AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 AS mean_prob
+      |FROM per CROSS JOIN tot""".stripMargin
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -922,7 +983,9 @@ object OpsQueries {
     "q40_tfidf" -> tfidf _,
     "q41_dedup_clusters" -> dedupClusters _,
     "q42_corpus_profile" -> corpusProfile _,
-    "q43_hash_split" -> hashSplit _)
+    "q43_hash_split" -> hashSplit _,
+    "q44_semantic_dedup" -> semanticDedup _,
+    "q45_unigram_lm" -> unigramLm _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -949,5 +1012,7 @@ object OpsQueries {
     "q40_tfidf" -> tfidfSql,
     "q41_dedup_clusters" -> dedupClustersSql,
     "q42_corpus_profile" -> corpusProfileSql,
-    "q43_hash_split" -> hashSplitSql)
+    "q43_hash_split" -> hashSplitSql,
+    "q44_semantic_dedup" -> semanticDedupSql,
+    "q45_unigram_lm" -> unigramLmSql)
 }

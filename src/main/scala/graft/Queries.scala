@@ -462,6 +462,113 @@ object Queries {
       |       epoch_us(max(CAST(ts AS TIMESTAMP))) AS max_ts_us
       |FROM events GROUP BY 1""".stripMargin
 
+  /** S-source: JSON-lines round-trip through the registry-described scan —
+    * write a typed projection of events as JSON (timestamps as epoch-µs
+    * longs, the capture-envelope convention shared with the Avro path),
+    * read back via [[graft.sources.SourceReader]] (`fileFormat = "json"`),
+    * aggregate. JSON numbers come back as longs, so no casts are needed
+    * beyond the envelope's own.
+    */
+  def jsonRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_json_${ProcessHandle.current.pid}_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")).getPath
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("event_timestamp"))
+      .write.mode("overwrite").json(tmp)
+    graft.sources.SourceReader
+      .read(s, SparkSource("events_json", tmp, fileFormat = "json",
+        timestampField = "event_timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_user"),
+        max(col("event_timestamp")).as("max_ts_us"))
+  }
+
+  val jsonRoundTripSql: String =
+    """SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_user,
+      |       epoch_us(max(CAST(ts AS TIMESTAMP))) AS max_ts_us
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** S-source: ORC round-trip — Spark's built-in columnar alternative to
+    * parquet, written and read back through the registry-described scan
+    * (`fileFormat = "orc"` → the generic format branch of
+    * [[graft.sources.SourceReader]]). Types survive natively, so the
+    * aggregate needs no casts; the oracle replays the same aggregate from
+    * the parquet events table (the round trip itself is the Spark-side
+    * operator under test, as with the CSV/Avro/JSON entries).
+    */
+  def orcRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_orc_${ProcessHandle.current.pid}_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")).getPath
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").as("event_timestamp"), col("value"))
+      .write.mode("overwrite").orc(tmp)
+    graft.sources.SourceReader
+      .read(s, SparkSource("events_orc", tmp, fileFormat = "orc",
+        timestampField = "event_timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_user"),
+        pround(sum(col("value")), 4).as("sum_value"))
+  }
+
+  val orcRoundTripSql: String =
+    """SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_user,
+      |       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- §2.10
+  /** Batch sessionization: split each user's event stream into sessions
+    * at inactivity gaps > 30 minutes, then aggregate per session — the
+    * batch replay of the streaming sessionizer (StreamingIngest's
+    * session windows), oracle-gated here because the batch shape is SQL-
+    * expressible. All time arithmetic is integer epoch-µs (exact in both
+    * engines); ties in `ts` are pinned by `event_id` so the running
+    * session index is deterministic.
+    *
+    * Scale: one per-user window (bounded partitions — user activity, not
+    * corpus size) for the gap flags + running sum, then a keyed agg; no
+    * global sort. A pathological single-user firehose would bound-break
+    * the window partition; the valve is pre-splitting such users by a
+    * coarse time bucket before sessionizing (same pattern as the PIT
+    * coarse-bucket valve).
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    Transforms.sessionize(
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us")),
+      keyCol = "user_id", idCol = "event_id", tsUsCol = "us",
+      gapUs = 1800L * 1000000L) // 30 min
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, event_id, us,
+      |         lag(us) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS prev
+      |  FROM e),
+      |f AS (
+      |  SELECT user_id, event_id, us,
+      |         CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM l),
+      |s AS (
+      |  SELECT user_id, us,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM f)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       count(*) AS n_events,
+      |       min(us) AS start_us,
+      |       max(us) - min(us) AS duration_us
+      |FROM s GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- §2.3
   /** F2/F4-string/F5/F6 chained: the reference's string-keyed time
     * round trip (`chicago_weather_hourly_fs.py:45-53`,
@@ -511,7 +618,10 @@ object Queries {
     "q29_map_flatten" -> mapFlatten _,
     "q30_csv_roundtrip" -> csvRoundTrip _,
     "q31_avro_roundtrip" -> avroRoundTrip _,
-    "q36_time_formats" -> timeFormats _)
+    "q36_time_formats" -> timeFormats _,
+    "q46_json_roundtrip" -> jsonRoundTrip _,
+    "q47_orc_roundtrip" -> orcRoundTrip _,
+    "q48_sessionize" -> sessionize _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -532,5 +642,8 @@ object Queries {
     "q29_map_flatten" -> mapFlattenSql,
     "q30_csv_roundtrip" -> csvRoundTripSql,
     "q31_avro_roundtrip" -> avroRoundTripSql,
-    "q36_time_formats" -> timeFormatsSql)
+    "q36_time_formats" -> timeFormatsSql,
+    "q46_json_roundtrip" -> jsonRoundTripSql,
+    "q47_orc_roundtrip" -> orcRoundTripSql,
+    "q48_sessionize" -> sessionizeSql)
 }

@@ -93,6 +93,50 @@ object Corpus {
     stats.join(pcts, sourceCol)
   }
 
+  /** Corpus-trained unigram-LM quality signals per document: train the
+    * unigram model (corpus-wide token occurrence counts) in one keyed
+    * agg, then score every document by the frequency statistics of its
+    * own tokens — the log-free core of the classic LM-perplexity data-
+    * quality filter. Low `mean_prob` / high `hapax_ratio` flags gibberish
+    * and OOV-heavy text; `min_freq` pins the rarest token.
+    *
+    * All counts are integers (exact in any aggregation order); the only
+    * FP is the final per-doc division, whose operands are identical
+    * integers in both engines — so every output is bitwise-replayable:
+    *   - `mean_freq`  = sum of corpus counts of the doc's tokens / n (6dp)
+    *   - `hapax_ratio`= fraction of tokens occurring once corpus-wide (6dp)
+    *   - `mean_prob`  = average unigram probability of the doc's tokens,
+    *     sum_freq / (n_tokens * total_corpus_tokens) (9dp — values are
+    *     O(vocab⁻¹))
+    *
+    * Scale: the model (term → count) is vocabulary-sized and BROADCAST to
+    * the token bag — the Zipfian term key never becomes a shuffle key
+    * (same posture as [[tfidfTopK]]'s df side); the per-doc agg shuffles
+    * on the uniform doc id. The corpus-total scalar cross-joins as a
+    * broadcast literal.
+    */
+  def unigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val model = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = toks.select(count(lit(1)).as("t"))
+    toks.join(broadcast(model), "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("c")).as("sum_freq"),
+        min(col("c")).as("min_freq"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("n_tokens"), col("sum_freq"), col("min_freq"),
+        pround(col("sum_freq").cast("double") / col("n_tokens"), 6)
+          .as("mean_freq"),
+        pround(col("n_hapax").cast("double") / col("n_tokens"), 6)
+          .as("hapax_ratio"),
+        pround(col("sum_freq").cast("double") /
+          (col("n_tokens").cast("double") * col("t").cast("double")), 9)
+          .as("mean_prob"))
+  }
+
   /** Deterministic train/val/test assignment by the first hex nibble of
     * md5(id): 0-b → train (75%), c-d → val (12.5%), e-f → test (12.5%).
     * Hash-based splits are the standard reproducible-pipeline device —

@@ -223,6 +223,67 @@ object Dedup {
         (coalesce(col("n_overlap"), lit(0L)) > 0).cast("long").as("contaminated"))
   }
 
+  /** Bloom-filter decontamination — the scale valve for
+    * [[decontaminationOverlap]] when the holdout n-gram set outgrows a
+    * comfortable exact-set broadcast (the exact set of a large benchmark
+    * suite can run to GBs of strings; the filter is `numBits/8` bytes
+    * regardless). Same output schema; `n_overlap` becomes an UPPER BOUND
+    * (false positives inflate it at rate ~(1-e^(-kn/m))^k) and
+    * `contaminated` a conservative superset — zero false NEGATIVES, so
+    * no leaked document ever slips through; some clean ones are
+    * over-flagged. Pair it with the exact path on the flagged subset for
+    * a two-phase exact gate at scale.
+    *
+    * Mechanics — everything stays inside built-in codegen expressions:
+    * each holdout gram sets `numHashes` bits (`xxhash64(seed, gram) mod
+    * numBits`); bit positions reduce executor-side to ≤ numBits/64
+    * (word-index, OR-mask) rows before the driver assembles the word
+    * array — the collect is bounded by the filter size, never the gram
+    * count. Training grams then probe the filter as a broadcast array
+    * literal via `element_at` + `shiftrightunsigned` — row-local,
+    * whole-stage-codegen, no join at all (the exact path's broadcast
+    * hash join disappears; probing is pure projection).
+    */
+  def decontaminationOverlapBloom(
+      train: DataFrame, holdout: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    require(numBits % 64 == 0, "numBits must be a multiple of 64")
+    require(numHashes >= 1, "need at least one hash function")
+    val numWords = numBits / 64
+    def posSql(seed: Int): String =
+      s"pmod(xxhash64($seed, shingle), ${numBits}L)"
+    // holdout grams -> bit positions -> per-word OR-reduced masks
+    val positions = shingleSet(holdout, idCol, textCol, n)
+      .select(explode(array((0 until numHashes).map(s =>
+        expr(posSql(s))): _*)).as("pos"))
+      .select(expr("pos div 64").as("word"),
+        expr("shiftleft(1L, int(pos % 64))").as("mask"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+      .collect()
+    val words = Array.ofDim[Long](numWords)
+    positions.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    // array literal: broadcast once with the plan, probed via element_at
+    // inside codegen ((w >> b) & 1 only reads the shifted-in low bit, so
+    // the arithmetic shiftright is exact here)
+    val mightContain: Column =
+      (0 until numHashes).map { s =>
+        expr(s"(shiftright(element_at(__bf, int(${posSql(s)} div 64) + 1), " +
+          s"int(${posSql(s)} % 64)) & 1L) = 1L")
+      }.reduce(_ && _)
+    val overlap = shingleSet(train, idCol, textCol, n)
+      .withColumn("__bf", typedLit(words))
+      .filter(mightContain)
+      .drop("__bf")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
+
   // -------------------------------------------------------------- clusters
   /** Connected components over a candidate-pair graph (columns `a`, `b`):
     * assigns every node appearing in a pair the minimum node id reachable

@@ -155,51 +155,66 @@ object Similarity {
     * assigned to its nearest centroid (one broadcast pass); a query
     * scans only its `nprobe` nearest centroid buckets.
     */
+  /** First-N-by-id corpus vectors as IVF centroids, in the
+    * (centroid_id, centv, centn) shape the assignment join consumes —
+    * deterministic and engine-reproducible (the SQL oracles replay it
+    * with ORDER BY + LIMIT); [[kmeansCentroids]] is the trained
+    * alternative in the same shape.
+    */
+  private[ops] def firstNCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame =
+    withNorm(corpus.orderBy(col(idCol)).limit(n), idCol, vecCol)
+      .select(col(idCol).as("centroid_id"), col("__vec").as("centv"),
+        col("__norm").as("centn"))
+
+  /** Nearest-centroid(s) assignment for a `withNorm`-shaped frame whose
+    * id column is `${side}_id`. `keep = 1` is the corpus-side bulk
+    * assignment; `keep > 1` the query-side multi-probe.
+    */
+  private[ops] def nearestCentroids(
+      df: DataFrame, cents: DataFrame, side: String, keep: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.join(broadcast(cents), expr("true"))
+      .withColumn("simc",
+        dot(col("__vec"), col("centv")) / (col("__norm") * col("centn")))
+    if (keep == 1) {
+      // Corpus-side assignment: argmax instead of a row_number window.
+      // The window shuffles ALL id×C scored rows just to rank them;
+      // max(struct(...)) partial-aggregates map-side, so only id-many
+      // pre-reduced rows reach the exchange — the difference between
+      // shuffling 16× the corpus and 1× at 100 TB. Tie-break matches
+      // the window's (simc desc, centroid_id asc) via the negated id.
+      scored
+        .groupBy(col(s"${side}_id"))
+        .agg(max(struct(col("simc"), (-col("centroid_id")).as("negc"),
+          col("__vec"), col("__norm"))).as("__best"))
+        .select(col(s"${side}_id"), (-col("__best.negc")).as("centroid_id"),
+          col("__best.__vec").as("__vec"), col("__best.__norm").as("__norm"))
+    } else {
+      val w = Window.partitionBy(col(s"${side}_id"))
+        .orderBy(col("simc").desc, col("centroid_id").asc)
+      scored
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("centv", "centn", "simc", "crank")
+    }
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, numCentroids: Int = 16, nprobe: Int = 4,
       centroids: Option[DataFrame] = None, numSalts: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = centroids.getOrElse(
-      withNorm(corpus.orderBy(col(idCol)).limit(numCentroids), idCol, vecCol)
-        .select(col(idCol).as("centroid_id"), col("__vec").as("centv"),
-          col("__norm").as("centn")))
-
-    def nearestCentroids(df: DataFrame, side: String, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(cents), expr("true"))
-        .withColumn("simc",
-          dot(col("__vec"), col("centv")) / (col("__norm") * col("centn")))
-      if (keep == 1) {
-        // Corpus-side assignment: argmax instead of a row_number window.
-        // The window shuffles ALL id×C scored rows just to rank them;
-        // max(struct(...)) partial-aggregates map-side, so only id-many
-        // pre-reduced rows reach the exchange — the difference between
-        // shuffling 16× the corpus and 1× at 100 TB. Tie-break matches
-        // the window's (simc desc, centroid_id asc) via the negated id.
-        scored
-          .groupBy(col(s"${side}_id"))
-          .agg(max(struct(col("simc"), (-col("centroid_id")).as("negc"),
-            col("__vec"), col("__norm"))).as("__best"))
-          .select(col(s"${side}_id"), (-col("__best.negc")).as("centroid_id"),
-            col("__best.__vec").as("__vec"), col("__best.__norm").as("__norm"))
-      } else {
-        val w = Window.partitionBy(col(s"${side}_id"))
-          .orderBy(col("simc").desc, col("centroid_id").asc)
-        scored
-          .withColumn("crank", row_number().over(w))
-          .filter(col("crank") <= keep)
-          .drop("centv", "centn", "simc", "crank")
-      }
-    }
+      firstNCentroids(corpus, idCol, vecCol, numCentroids))
 
     val assigned = nearestCentroids(
       withNorm(corpus, idCol, vecCol).withColumnRenamed(idCol, "corpus_id"),
-      "corpus", 1)
+      cents, "corpus", 1)
       .select(col("centroid_id"), col("corpus_id").as("neighbor_id"),
         col("__vec").as("cv"), col("__norm").as("cn"))
     val probed = nearestCentroids(
       withNorm(queries, idCol, vecCol).withColumnRenamed(idCol, "query_id"),
-      "query", nprobe)
+      cents, "query", nprobe)
       .select(col("centroid_id"), col("query_id"), col("__vec").as("qv"),
         col("__norm").as("qn"))
 
@@ -207,6 +222,71 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     topKPerQuery(scored, k, numSalts)
+  }
+
+  // ---------------------------------------------------------------- semdedup
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then drop all but
+    * one member of every within-cluster near-duplicate pair — the
+    * embedding-level analogue of MinHash dedup, catching paraphrases
+    * exact/fuzzy text hashes miss.
+    *
+    * Determinism contract (what the SQL oracle replays): centroids are
+    * the first `numCentroids` corpus vectors by id (pass
+    * [[kmeansCentroids]] for trained clusters — better partitions, spec-
+    * gated instead of oracle-gated), assignment ties pin to the lowest
+    * centroid id, pair cosines round to 6dp before the threshold
+    * compare (the [[blockedCosinePairs]] convention), and the kept
+    * representative of a duplicate pair is the lower id.
+    *
+    * Scale: assignment is one broadcast-centroids argmax pass (the
+    * corpus shuffles once, on its own id); pair generation is the salted
+    * within-cluster self-join — O(B²) per cluster, so `blockCap` bounds
+    * B for degenerate clusters; the loser set is distinct duplicate ids,
+    * joined back null-safe. No stage is all-pairs, nothing collects.
+    *
+    * @return one row per corpus vector: (id, cluster_id, kept 0/1)
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numCentroids: Int = 16,
+      centroids: Option[DataFrame] = None, numSalts: Int = 8,
+      blockCap: Option[Int] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      firstNCentroids(corpus, idCol, vecCol, numCentroids))
+    val assigned = nearestCentroids(
+      withNorm(corpus, idCol, vecCol).withColumnRenamed(idCol, "corpus_id"),
+      cents, "corpus", 1)
+      .select(col("corpus_id").as(idCol), col("centroid_id").as("cluster_id"),
+        col("__vec"), col("__norm"))
+    val members = assigned.select(col(idCol), col("cluster_id"))
+    // re-join vectors through blockedCosinePairs' own withNorm would
+    // recompute norms; feed the already-normed frame directly instead
+    val a = assigned.select(col("cluster_id").as("block"), col(idCol).as("a"),
+      col("__vec").as("va"), col("__norm").as("na"))
+    val b = assigned.select(col("cluster_id").as("block"), col(idCol).as("b"),
+      col("__vec").as("vb"), col("__norm").as("nb"))
+    val capped = blockCap.fold((a, b)) { cap =>
+      val keep = Dedup.capBlocks(
+        members.select(col(idCol), col("cluster_id")), "cluster_id", idCol, cap)
+        .select(col(idCol))
+      (a.join(keep.withColumnRenamed(idCol, "a"), "a"),
+        b.join(keep.withColumnRenamed(idCol, "b"), "b"))
+    }
+    val joined =
+      if (numSalts > 1)
+        graft.transform.Skew.saltedBlockSelfJoin(
+          capped._1, capped._2, "block", col("a"), col("b"), numSalts)
+      else capped._1.join(capped._2, "block")
+    val losers = joined
+      .filter(col("a") < col("b"))
+      .filter(graft.util.Rounding.pround(
+        dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) > threshold)
+      .select(col("b").as(idCol)).distinct()
+    members
+      .join(losers.withColumn("__lost", lit(1L)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"),
+        when(col("__lost").isNull, 1L).otherwise(0L).as("kept"))
   }
 
   // ---------------------------------------------------------------- rp-lsh

@@ -93,6 +93,32 @@ object Transforms {
         max(col(valueCol)).as(s"max_$valueCol"),
         count(lit(1)).as("n_events"))
 
+  /** Batch sessionization: assign each row a per-key running session
+    * index that increments at inactivity gaps > `gapUs` (epoch-µs
+    * integer arithmetic — exact, engine-portable). The batch analogue of
+    * the streaming session windows
+    * ([[graft.streaming.StreamingIngest.sessionize]]); rows keep their
+    * columns plus `session_id` (1-based per key). Ties in the timestamp
+    * are pinned by `idCol` so the running index is deterministic.
+    *
+    * Scale: one per-key window (bounded partitions — per-user activity,
+    * not corpus size); no global sort. A single-key firehose would
+    * overload its window partition; the valve is pre-splitting such keys
+    * on a coarse time bucket first (the PIT coarse-bucket pattern).
+    */
+  def sessionize(
+      df: DataFrame, keyCol: String, idCol: String, tsUsCol: String,
+      gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol).asc, col(idCol).asc)
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(tsUsCol), 1).over(order)
+    df.withColumn("session_id",
+      sum(when(prev.isNull.or(col(tsUsCol) - prev > gapUs), 1L)
+        .otherwise(0L)).over(run))
+  }
+
   /** S2/S3 write discipline: repartition by the write-partition column
     * immediately before a partitioned write so each task owns whole
     * output partitions (small-files control, `ingest_taxy.py:72-75`).

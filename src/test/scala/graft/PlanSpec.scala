@@ -154,4 +154,30 @@ class PlanSpec extends SparkSpec {
         s"lands stopwords on one reducer at scale:\n$p")
     assert(!p.contains("SortMergeJoin"), s"term-key shuffle join reappeared:\n$p")
   }
+
+  test("unigram LM broadcasts the model side (same Zipfian-term posture as tfidf)") {
+    val p = plan(OpsQueries.unigramLm(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary-sized unigram model must broadcast to the token bag:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"term-key shuffle join appeared:\n$p")
+  }
+
+  test("semantic dedup broadcasts centroids; no unblocked cartesian pair stage") {
+    val p = plan(OpsQueries.semanticDedup(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid assignment must broadcast the centroid set:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must stay keyed on the cluster block:\n$p")
+    assert(p.contains("partial_max"),
+      s"cluster assignment must be the partial-aggregating argmax:\n$p")
+  }
+
+  test("sessionize plans one keyed window, no global sort") {
+    val p = plan(Queries.sessionize(spark, sf0001))
+    // Sort nodes must all be partition-local (window sort within user);
+    // a global Sort (`, true` in the node args) would mean an accidental
+    // orderBy crept in
+    val globalSorts = "(?m)Sort \\[.*\\], true".r.findAllIn(p).length
+    assert(globalSorts === 0, s"global sort in sessionize plan:\n$p")
+  }
 }

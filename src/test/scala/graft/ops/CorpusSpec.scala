@@ -30,6 +30,33 @@ class CorpusSpec extends SparkSpec {
       (4L, 1L, 1L))) // "alpha beta gamma" appears twice but counts once (distinct)
   }
 
+  test("bloom decontamination: zero false negatives, equals exact at generous width") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "completely different words here"),
+      (3L, "tiny doc"),
+      (4L, "alpha beta gamma alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val holdout = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = asMap(Dedup.decontaminationOverlap(train, holdout, "doc_id", "text"))
+    // generous filter (2^20 bits for 3 grams): fp rate ~0 — bloom == exact
+    val bloom = asMap(Dedup.decontaminationOverlapBloom(train, holdout, "doc_id", "text"))
+    assert(bloom === exact)
+    // under-sized filter (64 bits, 5 hashes for 3 grams -> dense): false
+    // positives may appear, false negatives NEVER — every exact flag and
+    // count survives as a lower bound
+    val tiny = asMap(Dedup.decontaminationOverlapBloom(train, holdout, "doc_id", "text",
+      numBits = 64))
+    exact.foreach { case (id, (nOv, flag)) =>
+      val (tOv, tFlag) = tiny(id)
+      assert(tOv >= nOv, s"doc $id lost overlaps: bloom=$tOv exact=$nOv")
+      assert(tFlag >= flag, s"doc $id unflagged: bloom=$tFlag exact=$flag")
+    }
+    assert(tiny.keySet === exact.keySet)
+  }
+
   test("connected components: min label over chains, separate components stay apart") {
     // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
@@ -150,6 +177,27 @@ class CorpusSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_tok") === 3.0)
     assert(r.getAs[Long]("p50_tok") === 3L)
     assert(r.getAs[Long]("p90_tok") === 4L)
+  }
+
+  test("unigram LM score: frequency stats against the corpus model") {
+    // corpus counts: a=2, b=2, c=1; total tokens = 5
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Corpus.unigramLmScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val d1 = got(0)
+    assert(d1.getLong(1) === 3L)      // n_tokens
+    assert(d1.getLong(2) === 6L)      // sum_freq = 2+2+2
+    assert(d1.getLong(3) === 2L)      // min_freq
+    assert(d1.getDouble(4) === 2.0)   // mean_freq
+    assert(d1.getDouble(5) === 0.0)   // hapax_ratio
+    assert(d1.getDouble(6) === 0.4)   // mean_prob = 6 / (3*5)
+    val d2 = got(1)
+    assert(d2.getLong(1) === 2L)
+    assert(d2.getLong(2) === 3L)      // 2+1
+    assert(d2.getLong(3) === 1L)      // "c" is rarest
+    assert(d2.getDouble(4) === 1.5)
+    assert(d2.getDouble(5) === 0.5)   // "c" is a hapax
+    assert(d2.getDouble(6) === 0.3)   // 3 / (2*5)
   }
 
   test("hash split is deterministic, total, and roughly proportioned") {

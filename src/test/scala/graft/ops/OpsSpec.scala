@@ -178,6 +178,64 @@ class OpsSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("semanticDedup drops the higher id of near-dup pairs within clusters only") {
+    // centroids = first 2 ids: (1,0) and (0,1). Cluster 1 = {1,3,4},
+    // cluster 2 = {2,5,6}. At threshold 0.999 only the exact duplicates
+    // (4 of 1, 6 of 2) cross it; 3 and 5 are near but kept.
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.99f, 0.1f)), (4L, Array(1.0f, 0.0f)),
+      (5L, Array(0.1f, 0.99f)), (6L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.999, numCentroids = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(
+      1L -> (1L, 1L), 3L -> (1L, 1L), 4L -> (1L, 0L),
+      2L -> (2L, 1L), 5L -> (2L, 1L), 6L -> (2L, 0L)))
+    // cross-cluster exact duplicates are NOT caught (clustering is the
+    // approximation boundary, as in SemDeDup) — verify the scope contract:
+    // identical vectors in different clusters both survive
+    val split = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.0f, 1.0f))) // dup of 2; centroid set = {1, 2}
+      .toDF("vec_id", "embedding")
+    val keptSplit = Similarity.semanticDedup(split, "vec_id", "embedding",
+      threshold = 0.999, numCentroids = 2)
+      .filter(col("kept") === 1L).count()
+    assert(keptSplit === 2L) // 1 and 2 survive; 3 dropped within cluster 2
+  }
+
+  test("semanticDedup: trained k-means centroids and blockCap paths") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val firstN = Similarity.semanticDedup(e, "vec_id", "embedding",
+      threshold = 0.15, numCentroids = 16)
+    val total = e.count()
+    assert(firstN.count() === total) // one decision per vector, total
+    val trained = Similarity.semanticDedup(e, "vec_id", "embedding",
+      threshold = 0.15,
+      centroids = Some(Similarity.kmeansCentroids(e, "embedding", 16)))
+    assert(trained.count() === total)
+    // Both paths are deterministic (fixture + seeded k-means), so pin the
+    // exact drop counts — quality drift in either becomes loud. Note the
+    // counts are NOT ordered by "trained is better": duplicate discovery
+    // is scoped to within-cluster pairs, so the skewed first-N clusters
+    // (fewer, larger) examine MORE pairs and surface more drops than the
+    // balanced trained clusters — the classic SemDeDup recall-vs-pair-
+    // budget tradeoff, not a quality signal.
+    val dropsFirstN = firstN.filter(col("kept") === 0L).count()
+    val dropsTrained = trained.filter(col("kept") === 0L).count()
+    assert((dropsFirstN, dropsTrained) === ((474L, 448L)),
+      s"semanticDedup drop counts moved: first-N=$dropsFirstN trained=$dropsTrained (was 474/448)")
+    // blockCap bounds the per-cluster pair work; decisions for uncapped
+    // members are unchanged, truncated members always survive
+    val capped = Similarity.semanticDedup(e, "vec_id", "embedding",
+      threshold = 0.15, numCentroids = 16, blockCap = Some(10))
+    assert(capped.count() === total)
+    val cappedDrops = capped.filter(col("kept") === 0L).count()
+    assert(cappedDrops <= dropsFirstN)
+  }
+
   test("fixture contract: documents.text is oracle-parity-safe") {
     // The text oracles rely on text being non-null, non-blank, and free
     // of leading/trailing or non-space whitespace (see OpsQueries

@@ -59,6 +59,32 @@ class TransformsSpec extends SparkSpec {
     assert(got === Seq((20.0, 40.0, 10.0, 30.0, 2L), (5.0, 5.0, 5.0, 5.0, 1L)))
   }
 
+  test("sessionize splits on inactivity gaps per key, 1-based, tie-pinned") {
+    val gap = 1800L * 1000000L
+    val events = Seq(
+      // user 1: two sessions — gap of 3900s between rows 2 and 3
+      (1L, 10L, 0L), (1L, 11L, 100L * 1000000L),
+      (1L, 12L, 4000L * 1000000L), (1L, 13L, 4100L * 1000000L),
+      // user 2: one event, one session
+      (2L, 20L, 0L),
+      // user 3: two events at the SAME timestamp — id pins the order,
+      // zero gap keeps them in one session
+      (3L, 31L, 0L), (3L, 30L, 0L)
+    ).toDF("user_id", "event_id", "us")
+    val got = Transforms.sessionize(events, "user_id", "event_id", "us", gap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got === Map(
+      (1L, 10L) -> 1L, (1L, 11L) -> 1L, (1L, 12L) -> 2L, (1L, 13L) -> 2L,
+      (2L, 20L) -> 1L,
+      (3L, 31L) -> 1L, (3L, 30L) -> 1L))
+    // boundary: a gap of exactly gapUs does NOT split (> is strict)
+    val edge = Seq((1L, 1L, 0L), (1L, 2L, gap)).toDF("user_id", "event_id", "us")
+    val sessions = Transforms.sessionize(edge, "user_id", "event_id", "us", gap)
+      .select(max(col("session_id"))).head.getLong(0)
+    assert(sessions === 1L)
+  }
+
   test("writePartitioned lays out hive-style partitions") {
     val out = java.nio.file.Files.createTempDirectory("wp").toString + "/t"
     val df = Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("created", "v")
