@@ -598,6 +598,57 @@ object Queries {
       |       count(*) AS n
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- §2.4+
+  /** Hierarchical rollup totals — `ROLLUP(event_type, user_bucket)` gives
+    * per-(type, bucket), per-type, and grand-total rows in ONE pass
+    * (Spark expands grouping sets before the hash agg — still a single
+    * keyed shuffle with map-side partials, not three scans). The
+    * analytics staple for subtotal reports; `grouping_id` disambiguates
+    * the NULL-as-total rows from genuine NULL keys.
+    */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("user_bucket", (col("user_id") % 10).cast("long"))
+      // exact integer cents: a double sum over the GRAND TOTAL grouping
+      // set accumulates engine-order-dependent error that can straddle a
+      // rounding boundary; per-row cents are identical binary64 ops in
+      // both engines and their integer sum is order-free
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .rollup(col("event_type"), col("user_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        grouping_id().cast("long").as("gid"))
+
+  val rollupAggSql: String =
+    """SELECT event_type, user_bucket, count(*) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(grouping(event_type) * 2 + grouping(user_bucket) AS BIGINT) AS gid
+      |FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+      |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |      FROM events)
+      |GROUP BY ROLLUP (event_type, user_bucket)""".stripMargin
+
+  /** Fixed-list pivot: one row per user, one column per event type with
+    * that type's event count — the wide-format feature matrix shape,
+    * via [[Transforms.pivotFixed]] (single-shuffle conditional
+    * aggregation; see its scaladoc for why this beats the built-in
+    * two-phase `pivot` and why the value list must be declared at
+    * scale). The oracle replays the identical CASE WHEN form.
+    */
+  def pivotCounts(s: SparkSession, dir: String): DataFrame =
+    Transforms.pivotFixed(
+      t(s, dir, "events").select(col("user_id"), col("event_type")),
+      "user_id", "event_type", Seq("view", "click", "purchase", "signup", "error"))
+
+  val pivotCountsSql: String =
+    """SELECT user_id,
+      |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      |FROM events GROUP BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -621,7 +672,9 @@ object Queries {
     "q36_time_formats" -> timeFormats _,
     "q46_json_roundtrip" -> jsonRoundTrip _,
     "q47_orc_roundtrip" -> orcRoundTrip _,
-    "q48_sessionize" -> sessionize _)
+    "q48_sessionize" -> sessionize _,
+    "q49_rollup" -> rollupAgg _,
+    "q50_pivot" -> pivotCounts _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -645,5 +698,7 @@ object Queries {
     "q36_time_formats" -> timeFormatsSql,
     "q46_json_roundtrip" -> jsonRoundTripSql,
     "q47_orc_roundtrip" -> orcRoundTripSql,
-    "q48_sessionize" -> sessionizeSql)
+    "q48_sessionize" -> sessionizeSql,
+    "q49_rollup" -> rollupAggSql,
+    "q50_pivot" -> pivotCountsSql)
 }

@@ -119,6 +119,25 @@ object Transforms {
         .otherwise(0L)).over(run))
   }
 
+  /** Declared-list pivot as single-shuffle conditional aggregation: one
+    * output column per pivot value, counting (or `agg`-ing) the rows
+    * that match it. Spark's own `RelationalGroupedDataset.pivot` with an
+    * explicit value list plans TWO aggregation phases (pre-agg on
+    * (key, pivotCol), then re-agg on key) — correct, but a second
+    * shuffle; lowering directly to `sum(when(pivotCol === v, x))` keeps
+    * it to one keyed shuffle with map-side partials. (An inferred-values
+    * pivot additionally pays a full distinct scan to discover the list —
+    * never do that at scale; declare the list.)
+    */
+  def pivotFixed(
+      df: DataFrame, keyCol: String, pivotCol: String, values: Seq[String],
+      valueExpr: Column = lit(1L)): DataFrame = {
+    require(values.nonEmpty, "pivot needs at least one declared value")
+    def cell(v: String): Column =
+      sum(when(col(pivotCol) === v, valueExpr).otherwise(lit(0L))).as(v)
+    df.groupBy(col(keyCol)).agg(cell(values.head), values.tail.map(cell): _*)
+  }
+
   /** S2/S3 write discipline: repartition by the write-partition column
     * immediately before a partitioned write so each task owns whole
     * output partitions (small-files control, `ingest_taxy.py:72-75`).

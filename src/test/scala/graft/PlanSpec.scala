@@ -172,6 +172,20 @@ class PlanSpec extends SparkSpec {
       s"cluster assignment must be the partial-aggregating argmax:\n$p")
   }
 
+  test("rollup expands grouping sets into ONE keyed agg pass, pivot stays one shuffle") {
+    val pr = plan(Queries.rollupAgg(spark, sf0001))
+    assert(pr.contains("Expand"), s"rollup should expand grouping sets:\n$pr")
+    assert("Exchange".r.findAllIn(pr).length <= 2,
+      s"rollup must be one keyed shuffle (partial -> final), not one scan per set:\n$pr")
+    val pp = plan(Queries.pivotCounts(spark, sf0001))
+    assert("Exchange".r.findAllIn(pp).length <= 2,
+      s"explicit-value pivot must compile to conditional aggregation, one shuffle:\n$pp")
+    // no value-discovery pass: an inferred pivot plans a distinct scan
+    // first (formatted mode mentions each node twice: tree + details)
+    assert("Scan parquet".r.findAllIn(pp).length <= 2,
+      s"pivot re-scanned the source to discover values:\n$pp")
+  }
+
   test("sessionize plans one keyed window, no global sort") {
     val p = plan(Queries.sessionize(spark, sf0001))
     // Sort nodes must all be partition-local (window sort within user);
