@@ -896,6 +896,36 @@ object OpsQueries {
       |            ELSE 'train' END AS split
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------------------ incremental dedup
+  /** Incremental exact dedup — the daily-snapshot shape: the new batch
+    * (doc_id % 4 != 0) dedups against the fingerprint history of the
+    * already-ingested slice (doc_id % 4 == 0) plus itself; a row
+    * survives only if its fingerprint is historically unseen AND it is
+    * the batch keeper (min id).
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val known = d.filter(col("doc_id") % 4 === 0)
+      .select(graft.ops.TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+    Dedup.incrementalExactDedup(
+      d.filter(col("doc_id") % 4 =!= 0), known, "doc_id", "text")
+  }
+
+  val incrementalDedupSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+      |  FROM documents),
+      |known AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 4 = 0),
+      |batch AS (SELECT * FROM fp WHERE doc_id % 4 <> 0),
+      |keeper AS (SELECT fingerprint, min(doc_id) AS k FROM batch GROUP BY fingerprint)
+      |SELECT b.doc_id, b.fingerprint,
+      |       CAST(CASE WHEN kn.fingerprint IS NULL AND b.doc_id = kp.k
+      |            THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM batch b
+      |JOIN keeper kp USING (fingerprint)
+      |LEFT JOIN known kn USING (fingerprint)""".stripMargin
+
   // ------------------------------------------------------------ semantic dedup
   /** SemDeDup over the embeddings table: first-16 centroids (the
     * deterministic stand-in the oracle replays; trained k-means is the
@@ -985,7 +1015,8 @@ object OpsQueries {
     "q42_corpus_profile" -> corpusProfile _,
     "q43_hash_split" -> hashSplit _,
     "q44_semantic_dedup" -> semanticDedup _,
-    "q45_unigram_lm" -> unigramLm _)
+    "q45_unigram_lm" -> unigramLm _,
+    "q51_incremental_dedup" -> incrementalDedup _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1014,5 +1045,6 @@ object OpsQueries {
     "q42_corpus_profile" -> corpusProfileSql,
     "q43_hash_split" -> hashSplitSql,
     "q44_semantic_dedup" -> semanticDedupSql,
-    "q45_unigram_lm" -> unigramLmSql)
+    "q45_unigram_lm" -> unigramLmSql,
+    "q51_incremental_dedup" -> incrementalDedupSql)
 }

@@ -93,6 +93,29 @@ object Corpus {
     stats.join(pcts, sourceCol)
   }
 
+  /** The scale valve for [[profile]]: same per-source shape with the two
+    * total-order-dependent stats replaced by fully-distributed sketches —
+    * `approx_percentile` (t-digest; `accuracy` trades memory for error)
+    * for p50/p90 and `approx_count_distinct` (HyperLogLog++, ~2.3%
+    * default error) for language breadth. Use when a single source
+    * outgrows one reducer's total order (the exact path's boundary);
+    * everything else (counts, sums, mean) is identical and exact.
+    * Not oracle-gated (sketch internals are engine-specific);
+    * CorpusSpec bounds it against the exact path on the fixture.
+    */
+  def profileApprox(df: DataFrame, sourceCol: String, textCol: String,
+      langCol: String, idCol: String, accuracy: Int = 10000): DataFrame = {
+    val base = df.select(col(sourceCol), col(idCol), col(langCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+    base.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      approx_count_distinct(col(langCol)).as("n_langs"),
+      pround(sum(col("n_tok")).cast("double") / count(lit(1)), 4).as("avg_tok"),
+      percentile_approx(col("n_tok"), lit(0.5), lit(accuracy)).as("p50_tok"),
+      percentile_approx(col("n_tok"), lit(0.9), lit(accuracy)).as("p90_tok"))
+  }
+
   /** Corpus-trained unigram-LM quality signals per document: train the
     * unigram model (corpus-wide token occurrence counts) in one keyed
     * agg, then score every document by the frequency statistics of its

@@ -25,6 +25,39 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the daily-snapshot shape: dedup a NEW
+    * batch against the fingerprint history of everything already
+    * ingested, without touching the historical documents themselves.
+    * Returns every new row with its fingerprint and a 0/1 `kept` flag:
+    * kept = the fingerprint is unseen in history AND this row is the
+    * batch's keeper (min id) for it. Append `kept=1` fingerprints to the
+    * history table afterwards and the invariant (one surviving doc per
+    * fingerprint across all batches) holds forever.
+    *
+    * Scale: history is touched only as a fingerprint column (16-byte
+    * md5s, not documents); the join is keyed on the fingerprint hash —
+    * uniformly distributed by construction, no skew — and the
+    * within-batch keeper choice is one keyed argmin. At 100 TB the
+    * history fingerprint table is the thing you bucket
+    * ([[graft.transform.Transforms.writeBucketed]]) so daily runs join
+    * exchange-free.
+    */
+  def incrementalExactDedup(
+      newDocs: DataFrame, knownFingerprints: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val fp = newDocs.select(col(idCol),
+      TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
+    val keeper = fp.groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("__keeper"))
+    val known = knownFingerprints.select(col("fingerprint")).distinct()
+      .withColumn("__seen", lit(1L))
+    fp.join(keeper, "fingerprint")
+      .join(known, Seq("fingerprint"), "left")
+      .select(col(idCol), col("fingerprint"),
+        (col("__seen").isNull && col(idCol) === col("__keeper"))
+          .cast("long").as("kept"))
+  }
+
   // -------------------------------------------------------------- shingles
   /** Word n-gram shingles of the whitespace tokens; docs with fewer than
     * `n` tokens produce no shingles.
@@ -320,7 +353,36 @@ object Dedup {
     * join against the previous labels.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-      reliableCheckpointDir: Option[String] = None): DataFrame = {
+      reliableCheckpointDir: Option[String] = None,
+      smallGraphThreshold: Long = 0L): DataFrame = {
+    // Small-graph valve (opt-in): the candidate-pair graph is OUTPUT-
+    // scale (it holds near-duplicates, not the corpus), so it routinely
+    // fits the driver even when the corpus is 100 TB. Below the
+    // threshold a local union-find (O(E α(E)), one job to collect, no
+    // iteration) replaces O(log d) distributed rounds — the same
+    // economics as a broadcast join's build side, with the same explicit
+    // size bound. Default 0 keeps the distributed path authoritative.
+    if (smallGraphThreshold > 0) {
+      val cached = pairs.select(col("a"), col("b")).persist()
+      val n = cached.count()
+      if (n <= smallGraphThreshold) {
+        val spark = pairs.sparkSession
+        val edges = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
+        cached.unpersist()
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        import spark.implicits._
+        return parent.keys.toSeq.map(k => (k, find(k))).toDF("node", "comp")
+      }
+      cached.unpersist() // over threshold: fall through to the real path
+    }
     var round = 0
     def snap(df: DataFrame): DataFrame = reliableCheckpointDir match {
       case None => df.localCheckpoint(true)

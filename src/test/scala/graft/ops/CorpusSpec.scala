@@ -179,6 +179,71 @@ class CorpusSpec extends SparkSpec {
     assert(r.getAs[Long]("p90_tok") === 4L)
   }
 
+  test("incremental dedup: history suppresses, batch keeps min id per new fingerprint") {
+    import org.apache.spark.sql.functions.col
+    val newDocs = Seq(
+      (1L, "seen before"),   // fingerprint in history -> dropped
+      (2L, "brand new"),     // unseen, keeper -> kept
+      (3L, "brand new"),     // unseen but 2 is keeper -> dropped
+      (4L, "also fresh")     // unseen, keeper -> kept
+    ).toDF("doc_id", "text")
+    val history = Seq((100L, "SEEN   before")) // normalizes to same fingerprint
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+    val got = Dedup.incrementalExactDedup(newDocs, history, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+    // invariant: appending this batch's kept fingerprints to history and
+    // re-running the SAME batch keeps nothing (idempotent re-ingest)
+    val kept = Dedup.incrementalExactDedup(newDocs, history, "doc_id", "text")
+      .filter(col("kept") === 1L).select(col("fingerprint"))
+    val history2 = history.union(kept)
+    val rerun = Dedup.incrementalExactDedup(newDocs, history2, "doc_id", "text")
+      .filter(col("kept") === 1L).count()
+    assert(rerun === 0L)
+  }
+
+  test("connected components: small-graph valve equals the distributed path") {
+    val rnd = new scala.util.Random(11L)
+    val edges = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("a", "b")
+    val distributed = Dedup.connectedComponents(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val valve = Dedup.connectedComponents(df, smallGraphThreshold = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(valve === distributed)
+    // a threshold below the edge count falls through to the distributed path
+    val fallThrough = Dedup.connectedComponents(df, smallGraphThreshold = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fallThrough === distributed)
+  }
+
+  test("profileApprox matches exact profile within sketch error on the fixture") {
+    val d = graft.Tables.load(spark, sf0001, "documents")
+    val exact = Corpus.profile(d, "source", "text", "lang", "doc_id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Corpus.profileApprox(d, "source", "text", "lang", "doc_id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (src, e) =>
+      val a = approx(src)
+      // exact columns are identical
+      assert(a.getAs[Long]("n_docs") === e.getAs[Long]("n_docs"))
+      assert(a.getAs[Long]("n_tokens") === e.getAs[Long]("n_tokens"))
+      assert(a.getAs[Double]("avg_tok") === e.getAs[Double]("avg_tok"))
+      // HLL++: small cardinalities are near-exact; allow ±1
+      assert(math.abs(a.getAs[Long]("n_langs") - e.getAs[Long]("n_langs")) <= 1,
+        s"$src n_langs ${a.getAs[Long]("n_langs")} vs ${e.getAs[Long]("n_langs")}")
+      // t-digest at accuracy 10000 on small groups: within 10% of exact
+      Seq("p50_tok", "p90_tok").foreach { c =>
+        val (av, ev) = (a.getAs[Long](c).toDouble, e.getAs[Long](c).toDouble)
+        assert(math.abs(av - ev) <= math.max(1.0, 0.1 * ev),
+          s"$src $c approx $av vs exact $ev")
+      }
+    }
+  }
+
   test("unigram LM score: frequency stats against the corpus model") {
     // corpus counts: a=2, b=2, c=1; total tokens = 5
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
