@@ -521,12 +521,13 @@ object Queries {
 
   // ---------------------------------------------------------------- §2.10
   /** Batch sessionization: split each user's event stream into sessions
-    * at inactivity gaps > 30 minutes, then aggregate per session — the
-    * batch replay of the streaming sessionizer (StreamingIngest's
-    * session windows), oracle-gated here because the batch shape is SQL-
-    * expressible. All time arithmetic is integer epoch-µs (exact in both
-    * engines); ties in `ts` are pinned by `event_id` so the running
-    * session index is deterministic.
+    * at inactivity gaps ≥ 30 minutes (`session_window` semantics — the
+    * streaming twin `StreamingIngest.sessionWindows` is equivalence-
+    * pinned by StreamingSpec), then aggregate per session; oracle-gated
+    * here because the batch shape is SQL-expressible. All time
+    * arithmetic is integer epoch-µs (exact in both engines); ties in
+    * `ts` are pinned by `event_id` so the running session index is
+    * deterministic.
     *
     * Scale: one per-user window (bounded partitions — user activity, not
     * corpus size) for the gap flags + running sum, then a keyed agg; no
@@ -556,7 +557,7 @@ object Queries {
       |  FROM e),
       |f AS (
       |  SELECT user_id, event_id, us,
-      |         CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |         CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS new_s
       |  FROM l),
       |s AS (
       |  SELECT user_id, us,

@@ -52,6 +52,25 @@ object StreamingIngest {
       .format("parquet")
       .option("path", path)
 
+  /** Gap-based session windows via the built-in `session_window` — the
+    * idiomatic streaming sessionizer (state merges adjacent windows,
+    * watermark prunes closed sessions; a session spans
+    * [first, last + gap)). Works identically on a batch DataFrame, and
+    * the batch running-index formulation
+    * [[graft.transform.Transforms.sessionize]] produces the SAME session
+    * boundaries (equivalence pinned by StreamingSpec; q48 hash-gates the
+    * batch side). On a stream add `withWatermark` upstream so state is
+    * bounded by open sessions only.
+    */
+  def sessionWindows(
+      events: DataFrame, keyCol: String, tsCol: String,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sess"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("sess.start").as("session_start"),
+        col("sess.end").as("session_end"), col("n_events"))
+
   // ---------------------------------------------------------- stateful
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, total: Double, lastTs: Long)

@@ -94,12 +94,15 @@ object Transforms {
         count(lit(1)).as("n_events"))
 
   /** Batch sessionization: assign each row a per-key running session
-    * index that increments at inactivity gaps > `gapUs` (epoch-µs
-    * integer arithmetic — exact, engine-portable). The batch analogue of
-    * the streaming session windows
-    * ([[graft.streaming.StreamingIngest.sessionize]]); rows keep their
-    * columns plus `session_id` (1-based per key). Ties in the timestamp
-    * are pinned by `idCol` so the running index is deterministic.
+    * index that increments at inactivity gaps of `gapUs` or more
+    * (epoch-µs integer arithmetic — exact, engine-portable). Gap
+    * semantics match Spark's built-in `session_window` (a session spans
+    * [first, last + gap); an event exactly `gap` after the previous one
+    * starts a new session), so this is the exact batch twin of
+    * [[graft.streaming.StreamingIngest.sessionWindows]] — equivalence is
+    * spec-pinned. Rows keep their columns plus `session_id` (1-based per
+    * key). Ties in the timestamp are pinned by `idCol` so the running
+    * index is deterministic.
     *
     * Scale: one per-key window (bounded partitions — per-user activity,
     * not corpus size); no global sort. A single-key firehose would
@@ -115,7 +118,7 @@ object Transforms {
     val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col(tsUsCol), 1).over(order)
     df.withColumn("session_id",
-      sum(when(prev.isNull.or(col(tsUsCol) - prev > gapUs), 1L)
+      sum(when(prev.isNull.or(col(tsUsCol) - prev >= gapUs), 1L)
         .otherwise(0L)).over(run))
   }
 

@@ -88,6 +88,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window operator equals the batch running-index sessionizer") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    // batch formulation: running index over epoch-µs gaps
+    val batch = graft.transform.Transforms.sessionize(
+      ev.withColumn("us", unix_micros(col("ts"))),
+      "user_id", "event_id", "us", gapUs = 1800L * 1000000L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("start_us"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("start_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // built-in session_window on the same events (batch mode)
+    val windowed = StreamingIngest.sessionWindows(ev, "user_id", "ts")
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(windowed === batch,
+      s"batch-only=${(batch -- windowed).take(3)} window-only=${(windowed -- batch).take(3)}")
+  }
+
   test("mapGroupsWithState accumulates per-key session state") {
     val src = Files.createTempDirectory("stream_src3").toString
     writeDrop(src, Seq(

@@ -78,11 +78,13 @@ class TransformsSpec extends SparkSpec {
       (1L, 10L) -> 1L, (1L, 11L) -> 1L, (1L, 12L) -> 2L, (1L, 13L) -> 2L,
       (2L, 20L) -> 1L,
       (3L, 31L) -> 1L, (3L, 30L) -> 1L))
-    // boundary: a gap of exactly gapUs does NOT split (> is strict)
+    // boundary: a gap of exactly gapUs DOES split — session_window
+    // semantics ([first, last + gap) half-open), pinned so the batch and
+    // streaming sessionizers stay equivalent
     val edge = Seq((1L, 1L, 0L), (1L, 2L, gap)).toDF("user_id", "event_id", "us")
     val sessions = Transforms.sessionize(edge, "user_id", "event_id", "us", gap)
       .select(max(col("session_id"))).head.getLong(0)
-    assert(sessions === 1L)
+    assert(sessions === 2L)
   }
 
   test("writePartitioned lays out hive-style partitions") {
