@@ -511,12 +511,15 @@ object Queries {
         timestampField = "event_timestamp"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_user"),
-        pround(sum(col("value")), 4).as("sum_value"))
+        // integer cents, not pround(sum(double)): a wide double sum is
+        // aggregation-order-dependent and can straddle the rounding
+        // boundary between engines (same reasoning as rollupAgg)
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
   }
 
   val orcRoundTripSql: String =
     """SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_user,
-      |       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_value
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------- §2.10

@@ -96,8 +96,8 @@ object Corpus {
   /** The scale valve for [[profile]]: same per-source shape with the two
     * total-order-dependent stats replaced by fully-distributed sketches —
     * `approx_percentile` (t-digest; `accuracy` trades memory for error)
-    * for p50/p90 and `approx_count_distinct` (HyperLogLog++, ~2.3%
-    * default error) for language breadth. Use when a single source
+    * for p50/p90 and `approx_count_distinct` (HyperLogLog++, default
+    * relative standard deviation 0.05) for language breadth. Use when a single source
     * outgrows one reducer's total order (the exact path's boundary);
     * everything else (counts, sums, mean) is identical and exact.
     * Not oracle-gated (sketch internals are engine-specific);
@@ -142,7 +142,9 @@ object Corpus {
     val toks = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val model = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val total = toks.select(count(lit(1)).as("t"))
+    // corpus total = sum of the model's counts: a vocabulary-sized agg,
+    // not a third full tokenize-and-scan of the corpus
+    val total = model.select(sum(col("c")).as("t"))
     toks.join(broadcast(model), "term")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),

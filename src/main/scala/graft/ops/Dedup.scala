@@ -259,8 +259,8 @@ object Dedup {
   /** Bloom-filter decontamination — the scale valve for
     * [[decontaminationOverlap]] when the holdout n-gram set outgrows a
     * comfortable exact-set broadcast (the exact set of a large benchmark
-    * suite can run to GBs of strings; the filter is `numBits/8` bytes
-    * regardless). Same output schema; `n_overlap` becomes an UPPER BOUND
+    * suite can run to GBs of strings; the filter is `numBits` bytes
+    * regardless of gram count — sized by the bit budget, not the data). Same output schema; `n_overlap` becomes an UPPER BOUND
     * (false positives inflate it at rate ~(1-e^(-kn/m))^k) and
     * `contaminated` a conservative superset — zero false NEGATIVES, so
     * no leaked document ever slips through; some clean ones are
@@ -297,16 +297,19 @@ object Dedup {
       .collect()
     val words = Array.ofDim[Long](numWords)
     positions.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
-    // array literal: broadcast once with the plan, probed via element_at
-    // inside codegen ((w >> b) & 1 only reads the shifted-in low bit, so
-    // the arithmetic shiftright is exact here)
+    // Ship the filter as one boolean per bit (numBits bytes, 8x the
+    // packed words — still filter-sized, never gram-sized) so the probe
+    // is a single `element_at` per hash function: a packed-word probe
+    // needs the position subtree twice (word index + bit index), and
+    // FilterExec does NOT common-subexpression-eliminate, which would
+    // silently double the per-shingle hash cost of the hot path.
+    val bits = Array.tabulate(numBits)(i => (words(i / 64) >>> (i % 64) & 1L) == 1L)
     val mightContain: Column =
       (0 until numHashes).map { s =>
-        expr(s"(shiftright(element_at(__bf, int(${posSql(s)} div 64) + 1), " +
-          s"int(${posSql(s)} % 64)) & 1L) = 1L")
+        expr(s"element_at(__bf, int(${posSql(s)}) + 1)")
       }.reduce(_ && _)
     val overlap = shingleSet(train, idCol, textCol, n)
-      .withColumn("__bf", typedLit(words))
+      .withColumn("__bf", typedLit(bits))
       .filter(mightContain)
       .drop("__bf")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
@@ -364,15 +367,24 @@ object Dedup {
     // size bound. Default 0 keeps the distributed path authoritative.
     if (smallGraphThreshold > 0) {
       val cached = pairs.select(col("a"), col("b")).persist()
-      val n = cached.count()
+      // threshold probe bounded by the threshold itself, not the graph:
+      // an over-threshold graph must not pay a full count before falling
+      // through to the distributed path
+      val probeCap = math.min(smallGraphThreshold, Int.MaxValue - 1L).toInt
+      val n = cached.limit(probeCap + 1).count()
       if (n <= smallGraphThreshold) {
         val spark = pairs.sparkSession
         val edges = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
         cached.unpersist()
         val parent = scala.collection.mutable.Map.empty[Long, Long]
+        // iterative find (walk to root, then compress): recursion depth
+        // equals chain length, which at valve scale overflows the stack
         def find(x: Long): Long = {
-          val p = parent.getOrElseUpdate(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
+          var root = x
+          while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+          var cur = x
+          while (parent(cur) != root) { val next = parent(cur); parent(cur) = root; cur = next }
+          root
         }
         edges.foreach { case (a, b) =>
           val (ra, rb) = (find(a), find(b))

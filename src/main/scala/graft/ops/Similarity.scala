@@ -147,14 +147,6 @@ object Similarity {
       .withColumn("centn", norm(col("centv")))
   }
 
-  /** IVF (inverted-file) approximate top-k. Centroids default to the
-    * first `numCentroids` corpus vectors by id — deterministic and
-    * engine-reproducible, which is what the SQL oracle replays — or pass
-    * [[kmeansCentroids]] output via `centroids` for trained buckets
-    * (better recall at equal nprobe; pinned in OpsSpec). Every vector is
-    * assigned to its nearest centroid (one broadcast pass); a query
-    * scans only its `nprobe` nearest centroid buckets.
-    */
   /** First-N-by-id corpus vectors as IVF centroids, in the
     * (centroid_id, centv, centn) shape the assignment join consumes —
     * deterministic and engine-reproducible (the SQL oracles replay it
@@ -200,6 +192,14 @@ object Similarity {
     }
   }
 
+  /** IVF (inverted-file) approximate top-k. Centroids default to the
+    * first `numCentroids` corpus vectors by id — deterministic and
+    * engine-reproducible, which is what the SQL oracle replays — or pass
+    * [[kmeansCentroids]] output via `centroids` for trained buckets
+    * (better recall at equal nprobe; pinned in OpsSpec). Every vector is
+    * assigned to its nearest centroid (one broadcast pass); a query
+    * scans only its `nprobe` nearest centroid buckets.
+    */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, numCentroids: Int = 16, nprobe: Int = 4,
