@@ -203,6 +203,41 @@ class CorpusSpec extends SparkSpec {
     assert(rerun === 0L)
   }
 
+  test("incremental dedup over sequential batches: one survivor per fingerprint, earliest batch wins") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(31L)
+    // 60 docs over 12 distinct texts, split into 3 arrival batches
+    val docs = (1L to 60L).map(id => (id, s"text ${rnd.nextInt(12)}"))
+    val batches = docs.grouped(20).toSeq
+    var history = Seq.empty[(Long, String)] // (keeper id, text) per fingerprint
+    var historyDf = Seq.empty[String].toDF("fingerprint")
+    batches.foreach { batch =>
+      val out = Dedup.incrementalExactDedup(
+        batch.toDF("doc_id", "text"), historyDf, "doc_id", "text")
+        .filter(col("kept") === 1L)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      // reference expectation: kept = texts unseen in history, min id in batch
+      val seen = history.map(_._2).toSet
+      val want = batch.groupBy(_._2).collect {
+        case (text, rows) if !seen.contains(text) => rows.map(_._1).min
+      }.toSet
+      assert(out.map(_._1).toSet === want)
+      history ++= out.map { case (id, fp) =>
+        (id, batch.find(_._1 == id).get._2)
+      }
+      historyDf = historyDf.union(out.map(_._2).toSeq.toDF("fingerprint"))
+    }
+    // global invariant: exactly one survivor per distinct text overall
+    assert(history.map(_._2).distinct.size === history.size)
+    assert(history.map(_._2).toSet === docs.map(_._2).toSet)
+    // and each survivor is the min id of the EARLIEST batch containing its text
+    history.foreach { case (id, text) =>
+      val firstBatch = batches.find(_.exists(_._2 == text)).get
+      assert(id === firstBatch.filter(_._2 == text).map(_._1).min,
+        s"survivor $id is not the earliest-batch min for '$text'")
+    }
+  }
+
   test("connected components: small-graph valve equals the distributed path") {
     val rnd = new scala.util.Random(11L)
     val edges = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))

@@ -87,6 +87,31 @@ class TransformsSpec extends SparkSpec {
     assert(sessions === 2L)
   }
 
+  test("sessionize matches a driver-side reference on seeded random streams") {
+    val rnd = new scala.util.Random(23L)
+    val gap = 100L
+    for (trial <- 1 to 3) {
+      val events = (1L to 200L).map { id =>
+        (rnd.nextInt(5).toLong, id, rnd.nextInt(2000).toLong)
+      }
+      // reference: per user, sort by (us, id), running index with >= gap
+      val want = events.groupBy(_._1).flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e._3, e._2))
+        var sess = 0L
+        var last = Long.MinValue
+        sorted.map { case (_, id, us) =>
+          if (last == Long.MinValue || us - last >= gap) sess += 1
+          last = us
+          (u, id) -> sess
+        }
+      }
+      val got = Transforms.sessionize(
+        events.toDF("user_id", "event_id", "us"), "user_id", "event_id", "us", gap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("writePartitioned lays out hive-style partitions") {
     val out = java.nio.file.Files.createTempDirectory("wp").toString + "/t"
     val df = Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("created", "v")
