@@ -106,8 +106,8 @@ object Transforms {
     *
     * Scale: one per-key window (bounded partitions — per-user activity,
     * not corpus size); no global sort. A single-key firehose would
-    * overload its window partition; the valve is pre-splitting such keys
-    * on a coarse time bucket first (the PIT coarse-bucket pattern).
+    * overload its window partition; [[sessionizeBucketed]] is the
+    * equality-pinned valve that bounds every partition by a time bucket.
     */
   def sessionize(
       df: DataFrame, keyCol: String, idCol: String, tsUsCol: String,
@@ -120,6 +120,62 @@ object Transforms {
     df.withColumn("session_id",
       sum(when(prev.isNull.or(col(tsUsCol) - prev >= gapUs), 1L)
         .otherwise(0L)).over(run))
+  }
+
+  /** Scale valve for [[sessionize]]: identical output, but no window
+    * partition ever holds more than one time bucket of one key — the
+    * single-key-firehose case (one user producing a reducer-breaking
+    * event volume) is bounded by `bucketUs`, not by total key activity.
+    *
+    * Two phases. Phase 1 sessionizes locally within each (key, bucket)
+    * partition — valid because bucket boundaries follow the global
+    * per-key time order ((bucket, ts, id) ordering ≡ (ts, id)). Phase 2
+    * repairs the boundaries on the per-(key, bucket) SUMMARY table
+    * (first/last timestamp + local flag count — buckets-per-key rows,
+    * timespan/bucketUs, regardless of event volume): a bucket's first
+    * event starts a new session iff the previous present bucket's last
+    * event is ≥ `gapUs` away, and each bucket's running session offset
+    * is a prefix sum of flag counts over that tiny table. The summary
+    * joins back keyed on (key, bucket).
+    *
+    * Equality with the single-window formulation is property-pinned in
+    * TransformsSpec across random streams and bucket widths.
+    */
+  def sessionizeBucketed(
+      df: DataFrame, keyCol: String, idCol: String, tsUsCol: String,
+      gapUs: Long, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // exact floor division for any sign: (us - pmod(us, b)) / b
+    val bkt = ((col(tsUsCol) - pmod(col(tsUsCol), lit(bucketUs))) / bucketUs)
+      .cast("long")
+    val wLocal = Window.partitionBy(col(keyCol), col("__bkt"))
+      .orderBy(col(tsUsCol).asc, col(idCol).asc)
+    val local = df.withColumn("__bkt", bkt)
+      .withColumn("__prev", lag(col(tsUsCol), 1).over(wLocal))
+      .withColumn("__flag",
+        when(col(tsUsCol) - col("__prev") >= gapUs, 1L).otherwise(0L))
+    val summary = local.groupBy(col(keyCol), col("__bkt")).agg(
+      min(col(tsUsCol)).as("__first_us"),
+      max(col(tsUsCol)).as("__last_us"),
+      sum(col("__flag")).as("__nflags"))
+    val wBkts = Window.partitionBy(col(keyCol)).orderBy(col("__bkt").asc)
+    val repaired = summary
+      .withColumn("__prevLast", lag(col("__last_us"), 1).over(wBkts))
+      .withColumn("__bflag",
+        when(col("__prevLast").isNull
+          .or(col("__first_us") - col("__prevLast") >= gapUs), 1L)
+          .otherwise(0L))
+      .withColumn("__offset", coalesce(
+        sum(col("__bflag") + col("__nflags"))
+          .over(wBkts.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(keyCol), col("__bkt"), col("__bflag"), col("__offset"))
+    local
+      .join(repaired, Seq(keyCol, "__bkt"))
+      .withColumn("session_id", col("__offset") +
+        sum(when(col("__prev").isNull, col("__bflag")).otherwise(col("__flag")))
+          .over(wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__bkt", "__prev", "__flag", "__bflag", "__offset")
   }
 
   /** Declared-list pivot as single-shuffle conditional aggregation: one

@@ -112,6 +112,25 @@ class TransformsSpec extends SparkSpec {
     }
   }
 
+  test("sessionizeBucketed equals sessionize for any bucket width") {
+    val rnd = new scala.util.Random(41L)
+    val gap = 100L
+    val events = (1L to 300L).map { id =>
+      (rnd.nextInt(4).toLong, id, rnd.nextInt(3000).toLong)
+    }.toDF("user_id", "event_id", "us")
+    val want = Transforms.sessionize(events, "user_id", "event_id", "us", gap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // bucket narrower than, equal to, wider than the gap; and one so wide
+    // everything lands in a single bucket (degenerates to the plain form)
+    for (bucket <- Seq(7L, 100L, 640L, 1000000L)) {
+      val got = Transforms.sessionizeBucketed(
+        events, "user_id", "event_id", "us", gap, bucket)
+        .select(col("user_id"), col("event_id"), col("session_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === want, s"bucketUs=$bucket")
+    }
+  }
+
   test("writePartitioned lays out hive-style partitions") {
     val out = java.nio.file.Files.createTempDirectory("wp").toString + "/t"
     val df = Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("created", "v")
