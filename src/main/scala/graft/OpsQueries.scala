@@ -896,6 +896,34 @@ object OpsQueries {
       |            ELSE 'train' END AS split
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------------------ source mix
+  /** Source-mix sampling: per-source quotas derived from the source name
+    * ((srcN's N % 4 + 1) × 5 → 5/10/15/20 docs), members chosen by the
+    * deterministic md5 order. The pretraining-mixture-control operator
+    * over [[graft.ops.Corpus.sampleToQuotas]].
+    */
+  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val quotas = d.select(col("source")).distinct()
+      .withColumn("quota",
+        (substring(col("source"), 4, 10).cast("long") % 4 + 1) * 5)
+    graft.ops.Corpus.sampleToQuotas(d, "source", "doc_id", quotas)
+  }
+
+  val sourceMixSql: String =
+    """WITH q AS (
+      |  SELECT source,
+      |         (CAST(substr(source, 4, 10) AS BIGINT) % 4 + 1) * 5 AS quota
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |r AS (
+      |  SELECT doc_id, source,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+      |           AS BIGINT) AS rn
+      |  FROM documents)
+      |SELECT r.doc_id, r.source, r.rn
+      |FROM r JOIN q USING (source) WHERE r.rn <= q.quota""".stripMargin
+
   // ------------------------------------------------------------ incremental dedup
   /** Incremental exact dedup — the daily-snapshot shape: the new batch
     * (doc_id % 4 != 0) dedups against the fingerprint history of the
@@ -1016,7 +1044,8 @@ object OpsQueries {
     "q43_hash_split" -> hashSplit _,
     "q44_semantic_dedup" -> semanticDedup _,
     "q45_unigram_lm" -> unigramLm _,
-    "q51_incremental_dedup" -> incrementalDedup _)
+    "q51_incremental_dedup" -> incrementalDedup _,
+    "q52_source_mix" -> sourceMix _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1046,5 +1075,6 @@ object OpsQueries {
     "q43_hash_split" -> hashSplitSql,
     "q44_semantic_dedup" -> semanticDedupSql,
     "q45_unigram_lm" -> unigramLmSql,
-    "q51_incremental_dedup" -> incrementalDedupSql)
+    "q51_incremental_dedup" -> incrementalDedupSql,
+    "q52_source_mix" -> sourceMixSql)
 }

@@ -141,7 +141,7 @@ object PointInTimeJoin {
 
       // Disambiguate: prefix every feature-side column.
       val p = "__graft_f_"
-      val featP = feat.select(feat.columns.map(c => col(c).as(p + c)): _*)
+      val featP = feat.select(feat.columns.toIndexedSeq.map(c => col(c).as(p + c)): _*)
 
       // A6: entity keyspace dedup — the PIT result depends only on
       // (join keys, entity_ts), so aggregate over that compact keyspace,

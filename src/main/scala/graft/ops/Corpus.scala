@@ -162,6 +162,33 @@ object Corpus {
           .as("mean_prob"))
   }
 
+  /** Source-mix sampling — the pretraining-mixture control: keep at most
+    * `quota(source)` documents per source, chosen by the deterministic
+    * seedless uniform order md5(id) (the q33 convention — stable under
+    * reruns, data growth, and partitioning). `quotas` is a config-sized
+    * (source, quota) table.
+    *
+    * Scale: ranking is the salted two-phase top-k with k = max quota (a
+    * per-source window would funnel each whole source through one
+    * reducer); the quota table broadcasts for the final per-source
+    * cutoff. Output: (id, source, rn) with rn ≤ quota — rn is the mix
+    * order, so downstream can trim further without re-ranking.
+    */
+  def sampleToQuotas(df: DataFrame, sourceCol: String, idCol: String,
+      quotas: DataFrame, quotaCol: String = "quota",
+      numSalts: Int = 16): DataFrame = {
+    val maxQ = quotas.agg(max(col(quotaCol))).head().getLong(0)
+    require(maxQ <= Int.MaxValue, "quota exceeds rank range")
+    val ranked = graft.transform.Skew.saltedTopK(
+      df.select(col(idCol), col(sourceCol)),
+      partitionCols = Seq(col(sourceCol)),
+      orderCols = Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc),
+      saltCol = col(idCol), k = maxQ.toInt, numSalts = numSalts)
+    ranked.join(broadcast(quotas), sourceCol)
+      .filter(col("rn") <= col(quotaCol))
+      .select(col(idCol), col(sourceCol), col("rn"))
+  }
+
   /** Deterministic train/val/test assignment by the first hex nibble of
     * md5(id): 0-b → train (75%), c-d → val (12.5%), e-f → test (12.5%).
     * Hash-based splits are the standard reproducible-pipeline device —

@@ -423,7 +423,7 @@ object Dedup {
     // (billions of 2^63-scale ids); null on an empty graph
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("comp").cast("decimal(38,0)")))
-        .head.getDecimal(0))
+        .head().getDecimal(0))
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = prevSum.isEmpty // empty graph: nothing to propagate

@@ -298,7 +298,7 @@ object Similarity {
     */
   def rpSignature(vec: Column, dim: Int, numBits: Int = 8, seed: Long = 42L): Column =
     rpPlanes(dim, numBits, seed).zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit(_)): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit(_)): _*)
       when(dot(vec, planeCol) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 

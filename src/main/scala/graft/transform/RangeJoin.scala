@@ -66,7 +66,7 @@ object AsOfJoin {
       ttl: Option[java.time.Duration] = None): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equi key")
     val p = "__asof_r_"
-    val rightP = right.select(right.columns.map(c => col(c).as(p + c)): _*)
+    val rightP = right.select(right.columns.toIndexedSeq.map(c => col(c).as(p + c)): _*)
     val valueCols = right.columns.filterNot(c => on.contains(c)).toSeq
     // output naming: every right value column whose name collides with a
     // left column (timestamp or otherwise) gets a `_right` suffix, so the

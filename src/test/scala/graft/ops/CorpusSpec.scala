@@ -300,6 +300,25 @@ class CorpusSpec extends SparkSpec {
     assert(d2.getDouble(6) === 0.3)   // 3 / (2*5)
   }
 
+  test("sampleToQuotas honors per-source quotas, md5 order, and over-quota sources") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 30L).map(id => (id, if (id <= 20) "big" else "small"))
+      .toDF("doc_id", "source")
+    val quotas = Seq(("big", 4L), ("small", 100L)).toDF("source", "quota")
+    val got = Corpus.sampleToQuotas(docs, "source", "doc_id", quotas)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = got.groupBy(_._2)
+    assert(bySource("big").length === 4)      // quota enforced
+    assert(bySource("small").length === 10)   // quota above size: whole source
+    // selection = first-by-md5(id) — verify against a driver recompute
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wantBig = (1L to 20L).sortBy(id => (md5(id.toString), id)).take(4).toSet
+    assert(bySource("big").map(_._1).toSet === wantBig)
+    // rank is the within-source mix order, 1-based and dense
+    assert(bySource("big").map(_._3).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("hash split is deterministic, total, and roughly proportioned") {
     val df = (0L until 2000L).toDF("doc_id")
     val a = Corpus.hashSplit(df, "doc_id")
