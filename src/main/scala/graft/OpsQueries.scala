@@ -904,9 +904,13 @@ object OpsQueries {
     */
   def sourceMix(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // persist the config-sized quota table: sampleToQuotas consumes it
+    // twice (eager max-quota probe + broadcast join) and deriving it
+    // costs a full distinct scan of the corpus each time otherwise
     val quotas = d.select(col("source")).distinct()
       .withColumn("quota",
         (substring(col("source"), 4, 10).cast("long") % 4 + 1) * 5)
+      .persist()
     graft.ops.Corpus.sampleToQuotas(d, "source", "doc_id", quotas)
   }
 

@@ -177,14 +177,22 @@ object Corpus {
   def sampleToQuotas(df: DataFrame, sourceCol: String, idCol: String,
       quotas: DataFrame, quotaCol: String = "quota",
       numSalts: Int = 16): DataFrame = {
-    val maxQ = quotas.agg(max(col(quotaCol))).head().getLong(0)
+    require(quotaCol != "rn", "quotaCol collides with the emitted rank column")
+    // cast before reading: Int-typed quota tables are the natural caller
+    // shape; null/empty quota tables mean "keep nothing"
+    val maxQRow = quotas.agg(max(col(quotaCol).cast("long"))).head()
+    val maxQ = if (maxQRow.isNullAt(0)) 0L else maxQRow.getLong(0)
+    if (maxQ <= 0)
+      return df.select(col(idCol), col(sourceCol), lit(1L).as("rn")).limit(0)
     require(maxQ <= Int.MaxValue, "quota exceeds rank range")
     val ranked = graft.transform.Skew.saltedTopK(
       df.select(col(idCol), col(sourceCol)),
       partitionCols = Seq(col(sourceCol)),
       orderCols = Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc),
       saltCol = col(idCol), k = maxQ.toInt, numSalts = numSalts)
-    ranked.join(broadcast(quotas), sourceCol)
+    ranked.join(
+      broadcast(quotas.select(col(sourceCol),
+        col(quotaCol).cast("long").as(quotaCol))), sourceCol)
       .filter(col("rn") <= col(quotaCol))
       .select(col(idCol), col(sourceCol), col("rn"))
   }

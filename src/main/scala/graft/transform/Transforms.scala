@@ -143,18 +143,24 @@ object Transforms {
     */
   def sessionizeBucketed(
       df: DataFrame, keyCol: String, idCol: String, tsUsCol: String,
-      gapUs: Long, bucketUs: Long): DataFrame = {
+      gapUs: Long, bucketUs: Long,
+      persistIntermediate: Boolean = true): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     import org.apache.spark.sql.expressions.Window
-    // exact floor division for any sign: (us - pmod(us, b)) / b
-    val bkt = ((col(tsUsCol) - pmod(col(tsUsCol), lit(bucketUs))) / bucketUs)
-      .cast("long")
+    // exact floor division for any sign, in integer arithmetic:
+    // (us - pmod(us, b)) is a multiple of b, and `div` keeps the
+    // quotient in long domain (a double `/` would round above 2^53)
+    val bkt = expr(s"($tsUsCol - pmod($tsUsCol, ${bucketUs}L)) div ${bucketUs}L")
     val wLocal = Window.partitionBy(col(keyCol), col("__bkt"))
       .orderBy(col(tsUsCol).asc, col(idCol).asc)
-    val local = df.withColumn("__bkt", bkt)
+    // the flagged frame feeds BOTH the summary aggregation and the final
+    // join — without persistence the expensive sort+window stage runs
+    // twice (ReuseExchange dedupes only the shuffle below it)
+    val local0 = df.withColumn("__bkt", bkt)
       .withColumn("__prev", lag(col(tsUsCol), 1).over(wLocal))
       .withColumn("__flag",
         when(col(tsUsCol) - col("__prev") >= gapUs, 1L).otherwise(0L))
+    val local = if (persistIntermediate) local0.persist() else local0
     val summary = local.groupBy(col(keyCol), col("__bkt")).agg(
       min(col(tsUsCol)).as("__first_us"),
       max(col(tsUsCol)).as("__last_us"),

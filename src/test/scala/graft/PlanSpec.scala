@@ -186,6 +186,27 @@ class PlanSpec extends SparkSpec {
       s"pivot re-scanned the source to discover values:\n$pp")
   }
 
+  test("source-mix quota table broadcasts; ranking stays salted two-phase") {
+    val p = plan(OpsQueries.sourceMix(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the config-sized quota table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bucketed sessionizer windows partition on (key, bucket), no global sort") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val p = plan(graft.transform.Transforms.sessionizeBucketed(
+      ev, "user_id", "event_id", "us",
+      gapUs = 1800L * 1000000L, bucketUs = 3600L * 1000000L,
+      persistIntermediate = false))
+    assert(p.contains("__bkt"),
+      s"event windows must be bounded by the time bucket:\n$p")
+    val globalSorts = "(?m)Sort \\[.*\\], true".r.findAllIn(p).length
+    assert(globalSorts === 0, s"global sort in bucketed sessionize plan:\n$p")
+  }
+
   test("sessionize plans one keyed window, no global sort") {
     val p = plan(Queries.sessionize(spark, sf0001))
     // Sort nodes must all be partition-local (window sort within user);
