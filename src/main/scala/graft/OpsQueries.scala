@@ -357,6 +357,42 @@ object OpsQueries {
        |FROM n LEFT JOIN counts USING (media_id)""".stripMargin
   }
 
+  /** Media resize stage (q53): nearest-neighbor byte subsample to 16×8
+    * through the codec seam ([[Multimodal.resizeMedia]] — swap
+    * `fakeResize` for a real resampler and the plumbing holds). The
+    * stub's index mapping replays exactly in SQL (text is ASCII per the
+    * fixture contract, so DuckDB's substr addresses the same bytes),
+    * hash-gating even the fake path end to end like q24.
+    */
+  def mediaResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeMedia(
+      s, Multimodal.mediaFromDocuments(docs(s, dir)), tw = 16, th = 8)
+      .toDF().select(
+        col("media_id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        octet_length(col("media")).cast("long").as("n_bytes_out"),
+        md5(col("media")).as("resized_md5"))
+
+  val mediaResizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         (['jpeg','png','wav'])[(doc_id % 3 + 1)] AS format,
+      |         text, octet_length(CAST(text AS BLOB)) AS nb
+      |  FROM documents),
+      |r AS (
+      |  SELECT media_id, format, nb,
+      |         CASE WHEN nb = 0 THEN ''
+      |              ELSE array_to_string(list_transform(range(0, 128),
+      |                i -> substr(text, CAST((i * nb) // 128 + 1 AS INTEGER), 1)), '')
+      |         END AS resized
+      |  FROM m)
+      |SELECT media_id, format,
+      |       CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+      |       CAST(length(resized) AS BIGINT) AS n_bytes_out,
+      |       md5(resized) AS resized_md5
+      |FROM r""".stripMargin
+
   /** IVF approximate KNN. The whole approximation is deterministic
     * (fixed first-N centroids, id-pinned ties), so the oracle replays it
     * exactly in SQL — a hard hash gate, not just a recall spec.
@@ -1049,7 +1085,8 @@ object OpsQueries {
     "q44_semantic_dedup" -> semanticDedup _,
     "q45_unigram_lm" -> unigramLm _,
     "q51_incremental_dedup" -> incrementalDedup _,
-    "q52_source_mix" -> sourceMix _)
+    "q52_source_mix" -> sourceMix _,
+    "q53_media_resize" -> mediaResize _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1080,5 +1117,6 @@ object OpsQueries {
     "q44_semantic_dedup" -> semanticDedupSql,
     "q45_unigram_lm" -> unigramLmSql,
     "q51_incremental_dedup" -> incrementalDedupSql,
-    "q52_source_mix" -> sourceMixSql)
+    "q52_source_mix" -> sourceMixSql,
+    "q53_media_resize" -> mediaResizeSql)
 }

@@ -94,6 +94,45 @@ object Multimodal {
       }
   }
 
+  final case class ResizedMedia(
+      media_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      media: Array[Byte])
+
+  /** STUB — deterministic fake resize: a real implementation decodes and
+    * nearest-neighbor/bilinear-resamples pixels here. The fake
+    * nearest-neighbor-subsamples the BYTE STREAM to `tw*th` bytes
+    * (out(i) = bytes((i*n)/(tw*th)), integer division) — the same
+    * index mapping a 1-D nearest-neighbor resampler applies, replayable
+    * exactly by the SQL oracle.
+    */
+  def fakeResize(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val outLen = tw * th
+    if (bytes == null || bytes.isEmpty) return Array.emptyByteArray
+    val n = bytes.length.toLong
+    Array.tabulate(outLen)(i => bytes(((i.toLong * n) / outLen).toInt))
+  }
+
+  /** Resize stage over media batches: `mapPartitions` like
+    * [[extractFeatures]], so a real codec's decoder/encoder context
+    * initializes once per partition. Output metadata carries the target
+    * dimensions; blob bytes are the resized payload.
+    */
+  def resizeMedia(
+      spark: SparkSession, media: DataFrame, tw: Int, th: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    require(tw > 0 && th > 0, "target dimensions must be positive")
+    media.select("media_id", "media", "format").as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        // per-partition codec init would go here
+        it.map { case (id, bytes, fmt) =>
+          ResizedMedia(id, fmt, tw, th, fakeResize(bytes, tw, th))
+        }
+      }
+  }
+
   /** Frame sampling for "video" rows: split the blob into `n_frames`
     * chunks and emit (media_id, frame_idx, frame_bytes) — the
     * explode-shaped generator a real frame sampler produces.

@@ -352,6 +352,23 @@ class OpsSpec extends SparkSpec {
     assert(h(3) === 1.0f && h.sum === 1.0f)
   }
 
+  test("resize stage: nearest-neighbor byte subsample with target metadata") {
+    // bytes 0..9 to 2x2: out(i) = bytes((i*10)/4) -> indices 0,2,5,7
+    assert(Multimodal.fakeResize(Array.tabulate(10)(_.toByte), 2, 2).toSeq ===
+      Seq[Byte](0, 2, 5, 7))
+    // shrinking and growing both land exactly tw*th bytes; empty stays empty
+    assert(Multimodal.fakeResize(Array[Byte](7), 4, 2).toSeq ===
+      Seq.fill(8)(7.toByte))
+    assert(Multimodal.fakeResize(Array.emptyByteArray, 4, 4).isEmpty)
+    val media = Multimodal.mediaFromDocuments(
+      graft.Tables.load(spark, sf0001, "documents"))
+    val out = Multimodal.resizeMedia(spark, media, 16, 8).toDF()
+    assert(out.count() === media.count())
+    val r = out.filter(col("media_id") === 1L).head()
+    assert(r.getAs[Int]("width") === 16 && r.getAs[Int]("height") === 8)
+    assert(r.getAs[Array[Byte]]("media").length === 128)
+  }
+
   test("frame sampling emits n_frames frames covering the blob prefix") {
     val media = Multimodal.mediaFromDocuments(docs.limit(10))
     val frames = Multimodal.sampleFrames(media)
