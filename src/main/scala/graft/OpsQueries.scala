@@ -1055,6 +1055,36 @@ object OpsQueries {
       |       floor((CAST(sum_freq AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(t AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 AS mean_prob
       |FROM per CROSS JOIN tot""".stripMargin
 
+  // ------------------------------------------------------------ bigram coverage
+  /** Common-bigram coverage quality filter over
+    * [[graft.ops.Corpus.bigramCoverage]]: fraction of each doc's bigrams
+    * that fall in the corpus's 100 most frequent bigrams (count-desc,
+    * bigram-asc ties — deterministic). The oracle replays the top-K
+    * table and the per-doc join; the division is of exact integer
+    * counts, so 6dp pround is stable.
+    */
+  def bigramCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Corpus.bigramCoverage(docs(s, dir), "doc_id", "text", topK = 100)
+
+  val bigramCoverageSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t)),
+      |                               i -> array_to_string(t[i:i+1], ' '))) AS bigram
+      |  FROM toks WHERE len(t) >= 2),
+      |top AS (
+      |  SELECT bigram FROM (SELECT bigram, count(*) AS c FROM bg GROUP BY 1)
+      |  ORDER BY c DESC, bigram ASC LIMIT 100),
+      |mk AS (
+      |  SELECT b.doc_id, CASE WHEN t.bigram IS NULL THEN 0 ELSE 1 END AS hit
+      |  FROM bg b LEFT JOIN top t USING (bigram))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(hit) AS BIGINT) AS n_common,
+      |       floor((CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS coverage
+      |FROM mk GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -1086,7 +1116,8 @@ object OpsQueries {
     "q45_unigram_lm" -> unigramLm _,
     "q51_incremental_dedup" -> incrementalDedup _,
     "q52_source_mix" -> sourceMix _,
-    "q53_media_resize" -> mediaResize _)
+    "q53_media_resize" -> mediaResize _,
+    "q58_bigram_coverage" -> bigramCoverage _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1118,5 +1149,6 @@ object OpsQueries {
     "q45_unigram_lm" -> unigramLmSql,
     "q51_incremental_dedup" -> incrementalDedupSql,
     "q52_source_mix" -> sourceMixSql,
-    "q53_media_resize" -> mediaResizeSql)
+    "q53_media_resize" -> mediaResizeSql,
+    "q58_bigram_coverage" -> bigramCoverageSql)
 }

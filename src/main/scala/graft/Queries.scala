@@ -653,6 +653,225 @@ object Queries {
       |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Full-lattice cube totals — `CUBE(event_type, user_bucket)` emits all
+    * four grouping sets (detail, per-type, per-bucket, grand total) in a
+    * single pass: Spark expands the sets before the hash agg, so it is
+    * still ONE keyed shuffle with map-side partials, not four scans.
+    * Complements q49's ROLLUP (the hierarchy-only subset);
+    * `grouping_id` disambiguates NULL-as-total from genuine NULL keys.
+    * Integer-cents sums for the same reason as rollupAgg (a grand-total
+    * double sum is aggregation-order-dependent across engines).
+    */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("user_bucket", (col("user_id") % 10).cast("long"))
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .cube(col("event_type"), col("user_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        grouping_id().cast("long").as("gid"))
+
+  val cubeAggSql: String =
+    """SELECT event_type, user_bucket, count(*) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(grouping(event_type) * 2 + grouping(user_bucket) AS BIGINT) AS gid
+      |FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+      |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |      FROM events)
+      |GROUP BY CUBE (event_type, user_bucket)""".stripMargin
+
+  /** Analytic (offset) window functions — `lag` inter-arrival deltas per
+    * user: each event's gap to the previous event and absolute value
+    * change, aggregated to per-user cadence stats. The W-family's
+    * offset-function counterpart to q05's ranking window (the reference
+    * uses only ROW_NUMBER; lag/lead is the other half of the window
+    * class). Time arithmetic is integer epoch-µs and value deltas are
+    * integer cents — exact in both engines; the one division
+    * (mean gap) is of exact integers, so 4dp pround is stable. Ties in
+    * `ts` are pinned by `event_id`.
+    *
+    * Scale: one per-user window (bounded partitions — per-user activity,
+    * not corpus size) + one keyed agg; no global sort. Single-key
+    * firehoses bound-break the window partition; the valve is the same
+    * coarse-time-bucket pre-split as sessionizeBucketed.
+    */
+  def eventDeltas(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("adelta", abs(col("cents") - lag(col("cents"), 1).over(w)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap_us")).as("n_gaps"),
+        max(col("gap_us")).as("max_gap_us"),
+        pround(sum(col("gap_us")).cast("double") /
+          count(col("gap_us")).cast("double"), 4).as("avg_gap_us"),
+        sum(col("adelta")).as("sum_abs_delta_cents"))
+  }
+
+  val eventDeltasSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id,
+      |         us - lag(us) OVER w AS gap_us,
+      |         abs(cents - lag(cents) OVER w) AS adelta
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC))
+      |SELECT user_id, count(*) AS n_events,
+      |       CAST(count(gap_us) AS BIGINT) AS n_gaps,
+      |       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+      |       floor((CAST(sum(gap_us) AS DOUBLE) / CAST(count(gap_us) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_gap_us,
+      |       CAST(sum(adelta) AS BIGINT) AS sum_abs_delta_cents
+      |FROM l GROUP BY user_id""".stripMargin
+
+  /** Distribution bucketing — `NTILE(4)` order-value quartiles within
+    * each order priority, then per-(priority, quartile) counts and cent
+    * bounds: the discretize-a-feature-into-equal-frequency-bins staple.
+    * The order (o_totalprice, o_orderkey) is a total order, so bucket
+    * boundaries — and therefore every min/max — are deterministic in
+    * both engines (both implement standard NTILE: first `n mod b`
+    * buckets take the extra row).
+    *
+    * Scale: the window partitions on a LOW-cardinality key (5
+    * priorities), so each partition is corpus-sized/5 — fine at bench
+    * scale, a reducer bound at 100 TB. The scale valve is range
+    * bucketing from approx-quantile cutpoints (profileApprox's t-digest
+    * posture): row-local bucket assignment against broadcast cutpoints,
+    * trading exact equal-frequency for bounded memory.
+    */
+  def ntileBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        ntile(4).over(w).cast("long").as("tile"))
+      .groupBy(col("o_orderpriority"), col("tile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+  }
+
+  val ntileBucketsSql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |         CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+      |                             ORDER BY o_totalprice ASC, o_orderkey ASC)
+      |              AS BIGINT) AS tile
+      |  FROM orders)
+      |SELECT o_orderpriority, tile, count(*) AS n,
+      |       min(cents) AS min_cents, max(cents) AS max_cents
+      |FROM r GROUP BY 1, 2""".stripMargin
+
+  /** Per-group z-score feature scaling over the events stream via
+    * [[Transforms.zscoreNormalize]] — mean/variance derived from EXACT
+    * integer cent sums so the normalized value is bit-identical in both
+    * engines (see the helper's scaladoc for why `avg(double)` /
+    * `stddev` cannot be hash-gated). Emits one row per event with its
+    * 6dp z-score; the stats side is group-cardinality-sized and
+    * broadcast.
+    */
+  def zscoreScale(s: SparkSession, dir: String): DataFrame =
+    Transforms.zscoreNormalize(
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+      keyCols = Seq("event_type"), centsCol = "cents")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        pround(col("zscore"), 6).as("zscore"))
+
+  val zscoreScaleSql: String =
+    """WITH c AS (
+      |  SELECT event_id, event_type,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |st AS (
+      |  SELECT event_type,
+      |         CAST(count(*) AS DOUBLE) AS n_d,
+      |         CAST(sum(cents) AS DOUBLE) AS sum_d,
+      |         CAST(sum(cents * cents) AS DOUBLE) AS sumsq_d
+      |  FROM c GROUP BY event_type)
+      |SELECT c.event_id, c.event_type, c.cents,
+      |       floor(((CAST(c.cents AS DOUBLE) - sum_d / n_d)
+      |              / sqrt((sumsq_d - sum_d * sum_d / n_d) / (n_d - 1.0)))
+      |             * 1000000.0 + 0.5) / 1000000.0 AS zscore
+      |FROM c JOIN st USING (event_type)""".stripMargin
+
+  /** Opt-out purge — drop every event belonging to a blocklisted user
+    * (the GDPR-erasure / flagged-account compliance shape) via
+    * [[Transforms.purgeByKey]]'s broadcast LEFT ANTI join, then audit
+    * what remains per event type. The blocklist here is derived
+    * deterministically (user_id ≡ 0 mod 17 — the synthetic stand-in for
+    * an externally supplied opt-out registry); the operator under test
+    * is the anti-join, which no other catalog query exercises.
+    */
+  def purgeOptOut(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val optOut = ev.select(col("user_id")).filter(col("user_id") % 17 === 0)
+    Transforms.purgeByKey(ev, Seq("user_id"), optOut)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val purgeOptOutSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events e
+      |WHERE NOT EXISTS (SELECT 1 FROM events b
+      |                  WHERE b.user_id % 17 = 0 AND b.user_id = e.user_id)
+      |GROUP BY event_type""".stripMargin
+
+  /** Set operations — cohort churn: users active in the first three
+    * quarters of the time window but not the last (EXCEPT → churned),
+    * only in the last (EXCEPT → new), or in both (INTERSECT →
+    * retained). The O-family set-op classes the reference never uses
+    * (SURVEY §2.7) as a first-class cohort query. The window split point
+    * is integer-µs arithmetic on the stream's own min/max (a 1-row
+    * broadcast scalar), so the cohorts are deterministic.
+    *
+    * Scale: EXCEPT/INTERSECT plan as keyed distinct + anti/semi joins on
+    * the uniform user key — ordinary shuffles, no driver path; the
+    * bounds aggregate is a 1-row broadcast.
+    */
+  def churnSetOps(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val q3 = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(expr("mn + ((mx - mn) * 3) div 4").as("q3"))
+    val tagged = e.crossJoin(broadcast(q3))
+    val early = tagged.filter(col("us") <= col("q3")).select("user_id").distinct()
+    val late = tagged.filter(col("us") > col("q3")).select("user_id").distinct()
+    early.except(late).select(col("user_id"), lit("churned").as("status"))
+      .unionAll(late.except(early).select(col("user_id"), lit("new").as("status")))
+      .unionAll(early.intersect(late).select(col("user_id"), lit("retained").as("status")))
+  }
+
+  val churnSetOpsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |q AS (SELECT min(us) + ((max(us) - min(us)) * 3) // 4 AS q3 FROM e),
+      |early AS (SELECT DISTINCT user_id FROM e, q WHERE us <= q3),
+      |late AS (SELECT DISTINCT user_id FROM e, q WHERE us > q3)
+      |SELECT user_id, 'churned' AS status
+      |FROM (SELECT user_id FROM early EXCEPT SELECT user_id FROM late)
+      |UNION ALL
+      |SELECT user_id, 'new' AS status
+      |FROM (SELECT user_id FROM late EXCEPT SELECT user_id FROM early)
+      |UNION ALL
+      |SELECT user_id, 'retained' AS status
+      |FROM (SELECT user_id FROM early INTERSECT SELECT user_id FROM late)""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -678,7 +897,13 @@ object Queries {
     "q47_orc_roundtrip" -> orcRoundTrip _,
     "q48_sessionize" -> sessionize _,
     "q49_rollup" -> rollupAgg _,
-    "q50_pivot" -> pivotCounts _)
+    "q50_pivot" -> pivotCounts _,
+    "q54_cube" -> cubeAgg _,
+    "q55_event_deltas" -> eventDeltas _,
+    "q56_ntile" -> ntileBuckets _,
+    "q57_zscore" -> zscoreScale _,
+    "q59_purge_optout" -> purgeOptOut _,
+    "q60_churn_setops" -> churnSetOps _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -704,5 +929,11 @@ object Queries {
     "q47_orc_roundtrip" -> orcRoundTripSql,
     "q48_sessionize" -> sessionizeSql,
     "q49_rollup" -> rollupAggSql,
-    "q50_pivot" -> pivotCountsSql)
+    "q50_pivot" -> pivotCountsSql,
+    "q54_cube" -> cubeAggSql,
+    "q55_event_deltas" -> eventDeltasSql,
+    "q56_ntile" -> ntileBucketsSql,
+    "q57_zscore" -> zscoreScaleSql,
+    "q59_purge_optout" -> purgeOptOutSql,
+    "q60_churn_setops" -> churnSetOpsSql)
 }

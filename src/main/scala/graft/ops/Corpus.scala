@@ -197,6 +197,42 @@ object Corpus {
       .select(col(idCol), col(sourceCol), col("rn"))
   }
 
+  /** Common-n-gram coverage — the lightweight LM-free fluency filter:
+    * score each document by the fraction of its bigrams that fall in the
+    * corpus's `topK` most frequent bigrams (gibberish and boilerplate
+    * sit at the extremes; natural prose clusters in the middle). Bigram
+    * extraction is the single-pass codegen
+    * [[graft.functions.WordShingles]] expression (n=2) — no interpreted
+    * HOF, no per-doc re-tokenization. Docs with fewer than 2 tokens have
+    * no bigrams and are omitted (the empty-shingle convention shared
+    * with the minhash/repetition operators).
+    *
+    * Scale: the reference table is top-K-bounded by construction, built
+    * with `orderBy(count).limit(K)` (Spark plans TakeOrderedAndProject —
+    * per-partition heaps + driver merge of K×partitions rows, NO global
+    * sort shuffle) and broadcast to the bigram bag, so the Zipfian
+    * bigram key is never a shuffle key; the per-doc agg shuffles on the
+    * uniform doc id (the [[unigramLmScore]] posture).
+    */
+  def bigramCoverage(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val bg = df.select(col(idCol),
+      explode(graft.functions.functions.word_shingles(col(textCol), 2))
+        .as("bigram"))
+    val top = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bigram").asc)
+      .limit(topK)
+      .select(col("bigram"), lit(1L).as("__hit"))
+    bg.join(broadcast(top), Seq("bigram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_common"))
+      .select(col(idCol), col("n_bigrams"), col("n_common"),
+        pround(col("n_common").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("coverage"))
+  }
+
   /** Deterministic train/val/test assignment by the first hex nibble of
     * md5(id): 0-b → train (75%), c-d → val (12.5%), e-f → test (12.5%).
     * Hash-based splits are the standard reproducible-pipeline device —

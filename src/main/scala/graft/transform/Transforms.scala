@@ -203,6 +203,63 @@ object Transforms {
     df.groupBy(col(keyCol)).agg(cell(values.head), values.tail.map(cell): _*)
   }
 
+  /** Per-group z-score feature scaling from EXACT integer sums — the
+    * standard normalize-before-training transform, engineered so a
+    * second engine reproduces every output bit. `centsCol` must be an
+    * integral fixed-point quantization of the feature (e.g.
+    * `floor(value*100+0.5)`): the group's `count` / `sum(cents)` /
+    * `sum(cents²)` are then exact integers, and mean/variance/z-score
+    * derive from them through a fixed IEEE expression tree — identical
+    * binary64 in any engine (a naive `avg(double)`/`stddev(double)` is
+    * aggregation-order-dependent and NOT reproducible). Variance is the
+    * sample (n-1) convention.
+    *
+    * Scale: one keyed partial-agg shuffle for the stats; the stats table
+    * is group-cardinality-sized and broadcast back — the data side never
+    * reshuffles. Caller guarantees `sum(cents²)` fits a long (cents ≤
+    * ~3e4 supports ~10⁹ rows/group; pre-scale the quantization down for
+    * wider domains).
+    */
+  def zscoreNormalize(
+      df: DataFrame, keyCols: Seq[String], centsCol: String,
+      out: String = "zscore"): DataFrame = {
+    require(keyCols.nonEmpty, "zscoreNormalize needs at least one key column")
+    val stats = df.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).cast("double").as("__n_d"),
+      sum(col(centsCol)).cast("double").as("__sum_d"),
+      sum(col(centsCol) * col(centsCol)).cast("double").as("__sumsq_d"))
+    val mean = col("__sum_d") / col("__n_d")
+    // degenerate groups (one row, or all-equal values) have no sample
+    // variance — emit NaN instead of tripping ANSI divide-by-zero; the
+    // guards never fire on real groups, so the hash-gated expression
+    // tree for n≥2, var>0 is unchanged
+    val variance = when(col("__n_d") > 1.0,
+      (col("__sumsq_d") - col("__sum_d") * col("__sum_d") / col("__n_d")) /
+        (col("__n_d") - lit(1.0))).otherwise(lit(Double.NaN))
+    val z = when(variance > 0.0,
+      (col(centsCol).cast("double") - mean) / sqrt(variance))
+      .otherwise(lit(Double.NaN))
+    df.join(broadcast(stats), keyCols)
+      .withColumn(out, z)
+      .drop("__n_d", "__sum_d", "__sumsq_d")
+  }
+
+  /** Compliance purge / blocklist filter: drop every row whose key
+    * appears in `blocklist` (opt-out registries, GDPR erasure lists,
+    * flagged-account removal) via LEFT ANTI join. The blocklist is
+    * deduped and, when `broadcastList` (default), broadcast — the data
+    * side stays map-side with zero shuffle, the right shape for a small
+    * list against a 100 TB corpus. Set `broadcastList=false` when the
+    * blocklist itself is corpus-sized (keyed shuffle anti-join).
+    */
+  def purgeByKey(
+      df: DataFrame, keyCols: Seq[String], blocklist: DataFrame,
+      broadcastList: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "purgeByKey needs at least one key column")
+    val keys = blocklist.select(keyCols.map(col): _*).distinct()
+    df.join(if (broadcastList) broadcast(keys) else keys, keyCols, "left_anti")
+  }
+
   /** S2/S3 write discipline: repartition by the write-partition column
     * immediately before a partitioned write so each task owns whole
     * output partitions (small-files control, `ingest_taxy.py:72-75`).

@@ -215,4 +215,36 @@ class PlanSpec extends SparkSpec {
     val globalSorts = "(?m)Sort \\[.*\\], true".r.findAllIn(p).length
     assert(globalSorts === 0, s"global sort in sessionize plan:\n$p")
   }
+
+  test("zscore stats side broadcasts; the data side never reshuffles for the join") {
+    val p = plan(Queries.zscoreScale(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"group-cardinality stats table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"data side reshuffled:\n$p")
+  }
+
+  test("bigram coverage: top-K is TakeOrdered (no global sort) and broadcasts") {
+    val p = plan(OpsQueries.bigramCoverage(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan as TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the K-bounded reference table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the Zipfian bigram key must never be a shuffle-join key:\n$p")
+  }
+
+  test("opt-out purge plans a broadcast anti-join") {
+    val p = plan(Queries.purgeOptOut(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"blocklist must broadcast as LEFT ANTI:\n$p")
+  }
+
+  test("cube expands the full grouping lattice into one keyed agg pass") {
+    val p = plan(Queries.cubeAgg(spark, sf0001))
+    assert(p.contains("Expand"), s"cube must expand grouping sets:\n$p")
+    // formatted explain prints each node in the tree AND the details
+    // section — one scan node appears twice
+    assert("Scan parquet".r.findAllIn(p).length <= 2,
+      s"cube re-scanned the source per grouping set:\n$p")
+  }
 }

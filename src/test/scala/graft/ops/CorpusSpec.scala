@@ -333,4 +333,27 @@ class CorpusSpec extends SparkSpec {
     val b = Corpus.hashSplit(df, "doc_id")
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
+
+  test("bigram coverage: top-K membership ratio with deterministic ties, short docs omitted") {
+    val docs = Seq(
+      (1L, "the cat sat"),        // bigrams: "the cat", "cat sat"
+      (2L, "the cat ran"),        // "the cat", "cat ran"
+      (3L, "the cat sat down"),   // "the cat", "cat sat", "sat down"
+      (4L, "dog"),                // 1 token: no bigrams → omitted
+      (5L, "zz qq")               // "zz qq" (count 1)
+    ).toDF("doc_id", "text")
+    // corpus counts: "the cat"=3, "cat sat"=2, rest 1 → topK=2 is exactly those two
+    val got = Corpus.bigramCoverage(docs, "doc_id", "text", topK = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!got.contains(4L))
+    assert(got(1L) === ((2L, 2L, 1.0)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((3L, 2L, 0.666667)))
+    assert(got(5L) === ((1L, 0L, 0.0)))
+    // tie at the K boundary resolves bigram-ASC: with topK=3 the extra
+    // slot among the five count-1 bigrams goes to "cat ran" (lexic. min)
+    val g3 = Corpus.bigramCoverage(docs, "doc_id", "text", topK = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(g3(2L) === 2L && g3(5L) === 0L)
+  }
 }

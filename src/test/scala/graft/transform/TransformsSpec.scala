@@ -205,4 +205,38 @@ class TransformsSpec extends SparkSpec {
     assert(e.getClass.getSimpleName == "SparkDateTimeException"
       || e.getMessage.contains("null/unparseable"))
   }
+
+  test("zscoreNormalize matches a driver-side reference and is group-local") {
+    val rows = Seq(
+      ("a", 100L), ("a", 200L), ("a", 300L), ("a", 400L),
+      ("b", 10L), ("b", 20L), ("b", 60L))
+    val df = rows.toDF("g", "cents")
+    val got = Transforms.zscoreNormalize(df, Seq("g"), "cents")
+      .select(col("g"), col("cents"), col("zscore"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // sample-variance reference per group
+    def ref(xs: Seq[Long]): Map[Long, Double] = {
+      val n = xs.size.toDouble
+      val mean = xs.sum.toDouble / n
+      val variance = (xs.map(x => x.toDouble * x).sum - xs.sum.toDouble * xs.sum / n) / (n - 1.0)
+      xs.map(x => x -> (x - mean) / math.sqrt(variance)).toMap
+    }
+    for ((g, xs) <- rows.groupBy(_._1); (x, z) <- ref(xs.map(_._2))) {
+      assert(math.abs(got((g, x)) - z) < 1e-12, s"group $g value $x")
+    }
+    // a one-row group has zero sample variance → NaN zscore, never a wrong number
+    val single = Transforms.zscoreNormalize(Seq(("c", 5L)).toDF("g", "cents"),
+      Seq("g"), "cents").select("zscore").head().getDouble(0)
+    assert(single.isNaN)
+  }
+
+  test("purgeByKey drops exactly the blocklisted keys, broadcast or shuffled") {
+    val data = Seq((1L, "x"), (2L, "y"), (3L, "z"), (2L, "w")).toDF("k", "v")
+    val block = Seq(2L, 2L, 9L).toDF("k") // dupes + a key absent from data
+    for (bcast <- Seq(true, false)) {
+      val kept = Transforms.purgeByKey(data, Seq("k"), block, broadcastList = bcast)
+        .select("k").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(1L, 3L), s"broadcastList=$bcast")
+    }
+  }
 }
