@@ -71,6 +71,27 @@ object StreamingIngest {
       .select(col(keyCol), col("sess.start").as("session_start"),
         col("sess.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup with watermark-bounded state — the streaming
+    * twin of [[graft.ops.Dedup.exactDuplicates]]: exactly one arrival
+    * per key survives (PROCESSING-order first — within a micro-batch the
+    * survivor is partition-order-arbitrary, not event-time-min; pin a
+    * deterministic winner downstream with an argmax if the payload
+    * matters), and the dedup state is dropped once the event-time
+    * watermark passes, so state is bounded by keys-within-delay,
+    * independent of stream length — plain `dropDuplicates` on a stream
+    * grows state forever. Re-occurrences beyond the watermark horizon
+    * are treated as new (the documented `dropDuplicatesWithinWatermark`
+    * trade — size the delay to the source's real redelivery window).
+    * On a batch DataFrame, `dropDuplicates(keys)` is the equivalent
+    * (q16/q51 hash-gate that side).
+    */
+  def dedupWithinWatermark(
+      events: DataFrame, keyCols: Seq[String], tsCol: String,
+      delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ---------------------------------------------------------- stateful
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, total: Double, lastTs: Long)

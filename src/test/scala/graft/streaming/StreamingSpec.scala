@@ -129,4 +129,44 @@ class StreamingSpec extends SparkSpec {
       assert(got === Set((1L, 2L, 12.0), (2L, 1L, 1.0)))
     } finally q.stop()
   }
+
+  test("streaming dedup suppresses in-watermark duplicates, state expires past it") {
+    val src = Files.createTempDirectory("stream_src5").toString
+    // batch 1: user 1 plus an in-batch duplicate → one survivor
+    writeDrop(src, Seq(
+      (1L, "2024-01-01 10:00:00", 5.0),
+      (1L, "2024-01-01 10:10:00", 6.0)))
+    val schema = spark.read.parquet(src).schema
+    val deduped = StreamingIngest.dedupWithinWatermark(
+      StreamingIngest.readStream(spark, src, schema),
+      keyCols = Seq("user_id"), tsCol = "ts", delay = "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a duplicate still inside the watermark horizon
+      // (suppressed) and a watermark advancer far beyond it
+      writeDrop(src, Seq(
+        (1L, "2024-01-01 10:30:00", 7.0),
+        (2L, "2024-01-01 15:00:00", 1.0)))
+      q.processAllAvailable()
+      // batch 3: user 1 re-occurs AFTER its state aged out past the
+      // watermark (15:00 - 1h = 14:00 > 10:00+) → treated as new
+      writeDrop(src, Seq((1L, "2024-01-01 16:00:00", 9.0)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select(col("user_id"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      // exactly one of batch-1's duplicates survives (which one is
+      // partition-order-arbitrary — see the operator scaladoc); the
+      // batch-2 in-watermark duplicate (7.0) is suppressed; the
+      // post-expiry re-occurrence (9.0) is re-admitted
+      assert(got.count(_._1 == 1L) === 2,
+        s"one in-watermark survivor + one post-expiry re-admit, got $got")
+      assert(!got.contains((1L, 7.0)),
+        s"in-watermark duplicate must be suppressed: $got")
+      assert((got.contains((1L, 5.0)) || got.contains((1L, 6.0)))
+        && got.contains((1L, 9.0)) && got.contains((2L, 1.0)), s"$got")
+    } finally q.stop()
+  }
 }
