@@ -846,7 +846,13 @@ object OpsQueries {
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
-      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text"))
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text"),
+      // near-dup pair graphs are output-scale: below 4M edges (~64 MB)
+      // the driver union-find replaces O(log d) distributed rounds whose
+      // per-round scheduling dominates at this graph size; above it the
+      // distributed path takes over automatically (equality of the two
+      // paths is pinned by CorpusSpec)
+      smallGraphThreshold = 4L << 20)
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
 
   val dedupClustersSql: String =

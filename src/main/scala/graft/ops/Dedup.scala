@@ -346,9 +346,10 @@ object Dedup {
     * k-1's snapshot is deleted as soon as round k lands, so the
     * directory holds at most two label snapshots at any time. The final
     * round's snapshot backs the RETURNED DataFrame: delete the
-    * directory only when done with the result. Each round runs two
-    * jobs — the snapshot write and a convergence probe — inherent to
-    * convergence detection. The probe exploits
+    * directory only when done with the result. On the local path each
+    * round runs ONE job (the convergence probe materializes the lazy
+    * checkpoint); the reliable path adds the snapshot-write job. The
+    * probe exploits
     * monotonicity: every label only ever decreases (neighborMin folds
     * the node's own label in; pointer doubling uses `least`), and the
     * node set is fixed, so `sum(comp)` is strictly decreasing until the
@@ -397,7 +398,12 @@ object Dedup {
     }
     var round = 0
     def snap(df: DataFrame): DataFrame = reliableCheckpointDir match {
-      case None => df.localCheckpoint(true)
+      // LAZY local checkpoint: the convergence probe that always follows
+      // a snap is the materializing action, so each round runs ONE job
+      // (probe+materialize fused) instead of two — the lineage is
+      // truncated at first computation either way. (The reliable path
+      // keeps its two jobs: the parquet write IS the snapshot.)
+      case None => df.localCheckpoint(false)
       case Some(base) =>
         val spark = df.sparkSession
         val path = s"$base/cc-round-$round"
