@@ -872,6 +872,41 @@ object Queries {
       |SELECT user_id, 'retained' AS status
       |FROM (SELECT user_id FROM early INTERSECT SELECT user_id FROM late)""".stripMargin
 
+  /** FULL OUTER join — the reconciliation shape (which customers have no
+    * orders, which order keys have no customer record): both inputs are
+    * deterministically restricted so BOTH null sides occur, and the
+    * output carries presence flags plus coalesced keys. Completes the
+    * catalog's join-type matrix (inner/left/anti/semi elsewhere). A full
+    * outer join cannot broadcast (both sides must be preserved) — it
+    * plans as a sort-merge join on the uniform key, the correct 100 TB
+    * shape.
+    */
+  def fullOuterRecon(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_custkey") % 3 === 0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").isNotNull.cast("long").as("has_customer"),
+        col("o_custkey").isNotNull.cast("long").as("has_orders"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+  }
+
+  val fullOuterReconSql: String =
+    """WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
+      |ord AS (SELECT o_custkey, count(*) AS n_orders
+      |        FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey)
+      |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+      |       CAST(c_custkey IS NOT NULL AS BIGINT) AS has_customer,
+      |       CAST(o_custkey IS NOT NULL AS BIGINT) AS has_orders,
+      |       coalesce(n_orders, 0) AS n_orders
+      |FROM cust FULL OUTER JOIN ord ON c_custkey = o_custkey""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -903,7 +938,8 @@ object Queries {
     "q56_ntile" -> ntileBuckets _,
     "q57_zscore" -> zscoreScale _,
     "q59_purge_optout" -> purgeOptOut _,
-    "q60_churn_setops" -> churnSetOps _)
+    "q60_churn_setops" -> churnSetOps _,
+    "q61_full_outer" -> fullOuterRecon _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -935,5 +971,6 @@ object Queries {
     "q56_ntile" -> ntileBucketsSql,
     "q57_zscore" -> zscoreScaleSql,
     "q59_purge_optout" -> purgeOptOutSql,
-    "q60_churn_setops" -> churnSetOpsSql)
+    "q60_churn_setops" -> churnSetOpsSql,
+    "q61_full_outer" -> fullOuterReconSql)
 }

@@ -92,6 +92,25 @@ object StreamingIngest {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment — join a live entity stream against a
+    * feature snapshot (e.g. [[graft.online.Materializer]]'s
+    * latest-per-key output): the streaming counterpart of the PIT
+    * retrieval's final LEFT JOIN, null-padding entities with no
+    * features. Stream-static joins are STATELESS — no watermark, no
+    * state store. The static side's FILE LISTING IS PINNED when the
+    * streaming query starts (spec-pinned): files appended to the path
+    * later are invisible to subsequent micro-batches, and overwriting
+    * the path fails the running query with FAILED_READ_FILE. To serve
+    * refreshing features, restart the query per snapshot, read a
+    * metastore table and REFRESH TABLE it, or use a snapshot-isolated
+    * table format; at online-store scale prefer per-partition KV
+    * lookups ([[graft.online.KVClientOnlineStore]]) over a join.
+    * Broadcast the static side when it is dimension-sized.
+    */
+  def enrichWithFeatures(
+      stream: DataFrame, features: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(features, keys, "left")
+
   // ---------------------------------------------------------- stateful
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, total: Double, lastTs: Long)

@@ -169,4 +169,39 @@ class StreamingSpec extends SparkSpec {
         && got.contains((1L, 9.0)) && got.contains((2L, 1.0)), s"$got")
     } finally q.stop()
   }
+
+  test("stream-static enrichment null-pads missing keys; the snapshot is pinned at start") {
+    val src = Files.createTempDirectory("stream_src6").toString
+    val featDir = Files.createTempDirectory("stream_feat").toString + "/t"
+    Seq((1L, 0.9)).toDF("user_id", "score").write.mode("overwrite").parquet(featDir)
+    writeDrop(src, Seq(
+      (1L, "2024-01-01 10:00:00", 5.0),
+      (2L, "2024-01-01 10:01:00", 6.0))) // user 2 has no features
+    val schema = spark.read.parquet(src).schema
+    val enriched = StreamingIngest.enrichWithFeatures(
+      StreamingIngest.readStream(spark, src, schema),
+      spark.read.parquet(featDir), keys = Seq("user_id"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      // append a feature row for user 2 AFTER the query started: the
+      // static side's file listing is pinned, so the next micro-batch
+      // must still null-pad user 2 (the documented trade — restart or
+      // REFRESH TABLE to pick up new snapshots)
+      Seq((2L, 0.4)).toDF("user_id", "score")
+        .write.mode("append").parquet(featDir)
+      writeDrop(src, Seq((2L, "2024-01-01 10:05:00", 7.0)))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select(col("user_id"), col("value"), col("score"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(got === Set(
+        (1L, 5.0, Some(0.9)), // enriched
+        (2L, 6.0, None),      // null-padded: no feature row
+        (2L, 7.0, None)))     // appended file invisible to the pinned listing
+    } finally q.stop()
+  }
 }
