@@ -847,12 +847,15 @@ object OpsQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text"),
-      // near-dup pair graphs are output-scale: below 4M edges (~64 MB)
-      // the driver union-find replaces O(log d) distributed rounds whose
-      // per-round scheduling dominates at this graph size; above it the
+      // near-dup pair graphs are output-scale: below 1M edges the driver
+      // union-find replaces O(log d) distributed rounds whose per-round
+      // scheduling dominates at this graph size; above it the
       // distributed path takes over automatically (equality of the two
-      // paths is pinned by CorpusSpec)
-      smallGraphThreshold = 4L << 20)
+      // paths is pinned by CorpusSpec). Sizing is JVM-honest: a
+      // collected edge is a boxed Row (~100 B) and the parent map boxes
+      // up to 2M nodes — ~300 MB peak at the bound, safe for any real
+      // driver, not the 16 B/edge the raw longs suggest.
+      smallGraphThreshold = 1L << 20)
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
 
   val dedupClustersSql: String =

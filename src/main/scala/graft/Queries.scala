@@ -850,8 +850,13 @@ object Queries {
     val q3 = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
       .select(expr("mn + ((mx - mn) * 3) div 4").as("q3"))
     val tagged = e.crossJoin(broadcast(q3))
-    val early = tagged.filter(col("us") <= col("q3")).select("user_id").distinct()
-    val late = tagged.filter(col("us") > col("q3")).select("user_id").distinct()
+    // each cohort feeds TWO set ops below — persist so the scan +
+    // distinct shuffle runs once per cohort, not three times (the
+    // single-pass alternative — groupBy(user).agg(max(us<=q3),
+    // max(us>q3)) with a CASE — is the one-shuffle scale path, but the
+    // operators under test here are EXCEPT/INTERSECT themselves)
+    val early = tagged.filter(col("us") <= col("q3")).select("user_id").distinct().persist()
+    val late = tagged.filter(col("us") > col("q3")).select("user_id").distinct().persist()
     early.except(late).select(col("user_id"), lit("churned").as("status"))
       .unionAll(late.except(early).select(col("user_id"), lit("new").as("status")))
       .unionAll(early.intersect(late).select(col("user_id"), lit("retained").as("status")))

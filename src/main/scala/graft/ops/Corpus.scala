@@ -211,15 +211,21 @@ object Corpus {
     * with `orderBy(count).limit(K)` (Spark plans TakeOrderedAndProject —
     * per-partition heaps + driver merge of K×partitions rows, NO global
     * sort shuffle) and broadcast to the bigram bag, so the Zipfian
-    * bigram key is never a shuffle key; the per-doc agg shuffles on the
-    * uniform doc id (the [[unigramLmScore]] posture).
+    * bigram key is never a JOIN shuffle key (the counting agg does
+    * shuffle it once, but map-side partial aggregation caps any hot
+    * key's contribution at one row per task); the per-doc agg shuffles
+    * on the uniform doc id (the [[unigramLmScore]] posture). The bigram
+    * bag feeds both the top-K count and the membership join —
+    * `persistBag` (default) materializes it once instead of
+    * re-shingling the corpus per consumer.
     */
   def bigramCoverage(df: DataFrame, idCol: String, textCol: String,
-      topK: Int = 100): DataFrame = {
+      topK: Int = 100, persistBag: Boolean = true): DataFrame = {
     require(topK >= 1, "topK must be positive")
-    val bg = df.select(col(idCol),
+    val bg0 = df.select(col(idCol),
       explode(graft.functions.functions.word_shingles(col(textCol), 2))
         .as("bigram"))
+    val bg = if (persistBag) bg0.persist() else bg0
     val top = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("bigram").asc)
       .limit(topK)

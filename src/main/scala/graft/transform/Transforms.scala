@@ -214,15 +214,18 @@ object Transforms {
     * aggregation-order-dependent and NOT reproducible). Variance is the
     * sample (n-1) convention.
     *
-    * Scale: one keyed partial-agg shuffle for the stats; the stats table
-    * is group-cardinality-sized and broadcast back — the data side never
-    * reshuffles. Caller guarantees `sum(cents²)` fits a long (cents ≤
-    * ~3e4 supports ~10⁹ rows/group; pre-scale the quantization down for
-    * wider domains).
+    * Scale: one keyed partial-agg shuffle for the stats; with
+    * `broadcastStats` (default) the stats table is broadcast back so the
+    * data side never reshuffles — right while group cardinality is
+    * dimension-sized. Set it false for high-cardinality keys (per-user
+    * stats at 1e8+ groups breach the broadcast limits) to fall back to
+    * a keyed shuffle join. Caller guarantees `sum(cents²)` fits a long
+    * (cents ≤ ~3e4 supports ~10⁹ rows/group; pre-scale the quantization
+    * down for wider domains).
     */
   def zscoreNormalize(
       df: DataFrame, keyCols: Seq[String], centsCol: String,
-      out: String = "zscore"): DataFrame = {
+      out: String = "zscore", broadcastStats: Boolean = true): DataFrame = {
     require(keyCols.nonEmpty, "zscoreNormalize needs at least one key column")
     val stats = df.groupBy(keyCols.map(col): _*).agg(
       count(lit(1)).cast("double").as("__n_d"),
@@ -239,7 +242,7 @@ object Transforms {
     val z = when(variance > 0.0,
       (col(centsCol).cast("double") - mean) / sqrt(variance))
       .otherwise(lit(Double.NaN))
-    df.join(broadcast(stats), keyCols)
+    df.join(if (broadcastStats) broadcast(stats) else stats, keyCols)
       .withColumn(out, z)
       .drop("__n_d", "__sum_d", "__sumsq_d")
   }

@@ -351,7 +351,7 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L) === ((3L, 2L, 0.666667)))
     assert(got(5L) === ((1L, 0L, 0.0)))
     // tie at the K boundary resolves bigram-ASC: with topK=3 the extra
-    // slot among the five count-1 bigrams goes to "cat ran" (lexic. min)
+    // slot among the three count-1 bigrams goes to "cat ran" (lexic. min)
     val g3 = Corpus.bigramCoverage(docs, "doc_id", "text", topK = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(g3(2L) === 2L && g3(5L) === 0L)
