@@ -912,6 +912,47 @@ object Queries {
       |       coalesce(n_orders, 0) AS n_orders
       |FROM cust FULL OUTER JOIN ord ON c_custkey = o_custkey""".stripMargin
 
+  /** Sliding (hopping) time windows in BATCH — 1-hour windows every 30
+    * minutes via the built-in `window(ts, len, slide)` generator: each
+    * event lands in exactly len/slide = 2 overlapping windows (the
+    * trailing-window smoothing shape; q01's tumbling hour is the
+    * slide == len special case). Spark explodes the window set per row
+    * before the keyed agg — one shuffle, map-side partials; the oracle
+    * replays the two epoch-aligned window starts per event with a
+    * UNION ALL. Integer-cents sums (two windows share rows, so
+    * grand-total double sums would be order-dependent twice over).
+    */
+  def slidingWindowAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_cents"))
+
+  val slidingWindowAggSql: String =
+    """WITH e AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |h AS (
+      |  -- 30-min-aligned floor as a plain (tz-naive) TIMESTAMP: epoch
+      |  -- round trips via to_timestamp come back tz-aware and break the
+      |  -- gate's dtype normalization
+      |  SELECT date_trunc('hour', ts)
+      |           + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+      |                  ELSE INTERVAL 0 MINUTE END AS fl,
+      |         event_type, cents
+      |  FROM e),
+      |w AS (
+      |  SELECT fl AS window_start, event_type, cents FROM h
+      |  UNION ALL
+      |  SELECT fl - INTERVAL 30 MINUTE AS window_start, event_type, cents FROM h)
+      |SELECT window_start, event_type, count(*) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM w GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -944,7 +985,8 @@ object Queries {
     "q57_zscore" -> zscoreScale _,
     "q59_purge_optout" -> purgeOptOut _,
     "q60_churn_setops" -> churnSetOps _,
-    "q61_full_outer" -> fullOuterRecon _)
+    "q61_full_outer" -> fullOuterRecon _,
+    "q62_sliding_window" -> slidingWindowAgg _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -977,5 +1019,6 @@ object Queries {
     "q57_zscore" -> zscoreScaleSql,
     "q59_purge_optout" -> purgeOptOutSql,
     "q60_churn_setops" -> churnSetOpsSql,
-    "q61_full_outer" -> fullOuterReconSql)
+    "q61_full_outer" -> fullOuterReconSql,
+    "q62_sliding_window" -> slidingWindowAggSql)
 }
