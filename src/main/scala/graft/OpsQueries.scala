@@ -1094,6 +1094,26 @@ object OpsQueries {
       |       floor((CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS coverage
       |FROM mk GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ label centroids
+  /** Per-label mean embedding vectors via
+    * [[graft.ops.Similarity.groupCentroids]] — 640 (label, dim) rows on
+    * the 64-dim embeddings table. The oracle zips DuckDB's parallel
+    * unnest of the value array and its 0-based index range to replay
+    * posexplode, and replays the 6dp pround on the per-cell mean
+    * (bounded groups — the wide-double-sum rule's safe case).
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.groupCentroids(emb(s, dir), "label", "embedding")
+
+  val labelCentroidsSql: String =
+    """SELECT label, CAST(dim AS BIGINT) AS dim,
+      |       floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS centroid
+      |FROM (SELECT label,
+      |             unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |             unnest(range(0, len(embedding))) AS dim
+      |      FROM embeddings)
+      |GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -1126,7 +1146,8 @@ object OpsQueries {
     "q51_incremental_dedup" -> incrementalDedup _,
     "q52_source_mix" -> sourceMix _,
     "q53_media_resize" -> mediaResize _,
-    "q58_bigram_coverage" -> bigramCoverage _)
+    "q58_bigram_coverage" -> bigramCoverage _,
+    "q63_label_centroids" -> labelCentroids _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1159,5 +1180,6 @@ object OpsQueries {
     "q51_incremental_dedup" -> incrementalDedupSql,
     "q52_source_mix" -> sourceMixSql,
     "q53_media_resize" -> mediaResizeSql,
-    "q58_bigram_coverage" -> bigramCoverageSql)
+    "q58_bigram_coverage" -> bigramCoverageSql,
+    "q63_label_centroids" -> labelCentroidsSql)
 }

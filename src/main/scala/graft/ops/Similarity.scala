@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Rounding.pround
 
 /** Similarity search over embedding columns (`Array[Float]`):
   * brute-force cosine top-k as the exact baseline, an IVF-bucketed
@@ -343,4 +344,22 @@ object Similarity {
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     topKPerQuery(scored, k, numSalts)
   }
+
+  /** Per-group mean vectors ("class centroids") in long form — one row
+    * per (group, dimension): the dataset-cartography / IVF-seeding /
+    * per-class-drift primitive. Long form keeps the plan a plain
+    * posexplode → keyed agg: ONE shuffle on the uniform (group, dim)
+    * key with map-side partials, no array re-assembly (callers that
+    * need array centroids collect_list over the bounded dim range).
+    *
+    * Determinism: float→double casts are exact; the mean is a double
+    * sum whose order differs between engines, so values are pround'd —
+    * safe while groups stay bounded (the wide-double-sum rule; at
+    * ~10⁶+ rows/group switch the gate to integer fixed-point).
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String,
+      out: String = "centroid", roundDp: Int = 6): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy(col(groupCol), col("dim").cast("long").as("dim"))
+      .agg(pround(avg(col("__v").cast("double")), roundDp).as(out))
 }

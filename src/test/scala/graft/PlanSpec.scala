@@ -239,6 +239,28 @@ class PlanSpec extends SparkSpec {
       s"blocklist must broadcast as LEFT ANTI:\n$p")
   }
 
+  test("full outer join plans sort-merge (both sides preserved, no broadcast)") {
+    val p = plan(Queries.fullOuterRecon(spark, sf0001))
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"full outer must be a sort-merge join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sliding windows expand per-row then aggregate in one keyed pass") {
+    val p = plan(Queries.slidingWindowAgg(spark, sf0001))
+    assert(p.contains("Expand") || p.contains("Generate"),
+      s"sliding window must expand the per-row window set:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"more than one shuffle for a single keyed agg:\n$p")
+  }
+
+  test("label centroids: posexplode then ONE keyed agg shuffle") {
+    val p = plan(OpsQueries.labelCentroids(spark, sf0001))
+    assert(p.contains("Generate"), s"expected posexplode generator:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"more than one shuffle for explode+agg:\n$p")
+  }
+
   test("cube expands the full grouping lattice into one keyed agg pass") {
     val p = plan(Queries.cubeAgg(spark, sf0001))
     assert(p.contains("Expand"), s"cube must expand grouping sets:\n$p")

@@ -411,4 +411,16 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq
     assert(s1 === s2)
   }
+
+  test("group centroids: per-(group, dim) means against a hand fixture") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 4.0f)),
+      (1, Array(10.0f, 20.0f))).toDF("label", "embedding")
+    val got = Similarity.groupCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === Map(
+      (0, 0L) -> 2.0, (0, 1L) -> 3.0,
+      (1, 0L) -> 10.0, (1, 1L) -> 20.0))
+  }
 }
