@@ -33,5 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_sigs"), info("minhash_sigs"),
       (es: Seq[Expression]) =>
         graft.functions.MinHashSigs(es.head, intLit(es(1), "minhash_sigs n"))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"), info("nfc_normalize"),
+      (es: Seq[Expression]) => graft.functions.NfcNormalize(es.head)))
   }
 }

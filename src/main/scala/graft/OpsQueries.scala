@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Rounding.pround
@@ -1114,6 +1114,72 @@ object OpsQueries {
       |      FROM embeddings)
       |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ collocations
+  /** Bigram PMI collocation mining via [[Corpus.pmiCollocations]] —
+    * vocabulary-induction scores for a BPE-style tokenizer's merge
+    * candidates. The oracle replays the exact integer-ratio-then-ln
+    * formulation with the same double cast-and-multiply order (the
+    * helper's scaladoc has the exactness budget).
+    */
+  def pmiCollocations(s: SparkSession, dir: String): DataFrame =
+    Corpus.pmiCollocations(docs(s, dir), "text", minCount = 5)
+
+  val pmiCollocationsSql: String =
+    """WITH toks AS (
+      |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |uni AS (SELECT unnest(t) AS tok FROM toks),
+      |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+      |nu AS (SELECT count(*) AS n_uni FROM uni),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(t)),
+      |                               i -> array_to_string(t[i:i+1], ' '))) AS bigram
+      |  FROM toks WHERE len(t) >= 2),
+      |nb AS (SELECT count(*) AS n_bg FROM bg),
+      |bc AS (SELECT bigram, count(*) AS c_xy FROM bg GROUP BY 1
+      |       HAVING count(*) >= 5),
+      |sp AS (SELECT string_split(bigram, ' ')[1] AS x,
+      |              string_split(bigram, ' ')[2] AS y, c_xy FROM bc)
+      |SELECT sp.x, sp.y, sp.c_xy, ux.c AS c_x, uy.c AS c_y,
+      |       floor(ln((CAST(sp.c_xy AS DOUBLE) * CAST(nu.n_uni AS DOUBLE)
+      |                   * CAST(nu.n_uni AS DOUBLE))
+      |                / (CAST(nb.n_bg AS DOUBLE) * CAST(ux.c AS DOUBLE)
+      |                   * CAST(uy.c AS DOUBLE))) * 1000000.0 + 0.5)
+      |         / 1000000.0 AS pmi
+      |FROM sp, nu, nb, uc ux, uc uy
+      |WHERE ux.tok = sp.x AND uy.tok = sp.y""".stripMargin
+
+  // ------------------------------------------------------------ unicode nfc
+  /** Unicode NFC normalization through the [[graft.functions.NfcNormalize]]
+    * codegen expression: each document is decorated with a decomposed
+    * `e` + U+0301 pair (the synthetic corpus is pure ASCII, which is NFC
+    * by definition — the suffix makes the operator do real composition
+    * work on every row), then re-measured and fingerprinted after
+    * normalization: `norm_len = raw_len - 1` iff composition fired, and
+    * the md5 gate proves byte-level agreement with DuckDB's
+    * utf8proc-backed `nfc_normalize`. Row-local and codegen'd — no
+    * shuffle at any scale.
+    */
+  def nfcNormalizeDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 40), lit("e"), lit("\u0301"))
+          .as("decorated"))
+      .select(col("doc_id"),
+        length(col("decorated")).cast("long").as("raw_len"),
+        length(graft.functions.functions.nfc_normalize(col("decorated")))
+          .cast("long").as("norm_len"),
+        md5(graft.functions.functions.nfc_normalize(col("decorated"))
+          .cast("binary")).as("norm_md5"))
+
+  val nfcNormalizeDocsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, substring(text, 1, 40) || 'e' || chr(769) AS decorated
+      |  FROM documents)
+      |SELECT doc_id, length(decorated) AS raw_len,
+      |       length(nfc_normalize(decorated)) AS norm_len,
+      |       md5(nfc_normalize(decorated)) AS norm_md5
+      |FROM d""".stripMargin
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -1147,7 +1213,9 @@ object OpsQueries {
     "q52_source_mix" -> sourceMix _,
     "q53_media_resize" -> mediaResize _,
     "q58_bigram_coverage" -> bigramCoverage _,
-    "q63_label_centroids" -> labelCentroids _)
+    "q63_label_centroids" -> labelCentroids _,
+    "q66_pmi" -> pmiCollocations _,
+    "q67_nfc_normalize" -> nfcNormalizeDocs _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1181,5 +1249,7 @@ object OpsQueries {
     "q52_source_mix" -> sourceMixSql,
     "q53_media_resize" -> mediaResizeSql,
     "q58_bigram_coverage" -> bigramCoverageSql,
-    "q63_label_centroids" -> labelCentroidsSql)
+    "q63_label_centroids" -> labelCentroidsSql,
+    "q66_pmi" -> pmiCollocationsSql,
+    "q67_nfc_normalize" -> nfcNormalizeDocsSql)
 }

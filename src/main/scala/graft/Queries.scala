@@ -953,6 +953,126 @@ object Queries {
       |       CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM w GROUP BY 1, 2""".stripMargin
 
+  /** Exact per-group quantiles — order-total quartiles per priority via
+    * [[graft.transform.Stats.quantilesByKey]]: dyadic probabilities over
+    * integer cents make the interpolated values bit-identical in both
+    * engines regardless of interpolation spelling (see the helper's
+    * scaladoc, which also documents the `approx_percentile` valve for
+    * unbounded-cardinality columns at 100 TB).
+    */
+  def quantileStats(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Stats.quantilesByKey(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        graft.transform.Stats.cents(col("o_totalprice")).as("cents")),
+      Seq("o_orderpriority"), "cents", Seq(0.25, 0.5, 0.75))
+
+  val quantileStatsSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |       quantile_cont(cents, 0.25) AS p25,
+      |       quantile_cont(cents, 0.5)  AS p50,
+      |       quantile_cont(cents, 0.75) AS p75
+      |FROM (SELECT o_orderpriority,
+      |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |      FROM orders)
+      |GROUP BY 1""".stripMargin
+
+  /** Robust outlier screen — per-event-type median/MAD with a 3-MAD
+    * flag count via [[graft.transform.Stats.madOutliers]]. Every emitted
+    * number is an exact dyadic rational (no rounding step at all); the
+    * mean/stddev z-score counterpart is q57.
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Stats.madOutliers(
+      t(s, dir, "events").select(col("event_type"),
+        graft.transform.Stats.cents(col("value")).as("cents")),
+      Seq("event_type"), "cents", k = 3)
+
+  val madOutliersSql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, quantile_cont(cents, 0.5) AS med
+      |  FROM c GROUP BY 1),
+      |d AS (
+      |  SELECT c.event_type, abs(CAST(cents AS DOUBLE) - med) AS dev, med
+      |  FROM c JOIN m USING (event_type)),
+      |md AS (
+      |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      |  FROM d GROUP BY 1)
+      |SELECT d.event_type, count(*) AS n, min(d.med) AS med,
+      |       min(md.mad) AS mad,
+      |       CAST(sum(CASE WHEN d.dev > md.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_outliers
+      |FROM d JOIN md USING (event_type)
+      |GROUP BY 1""".stripMargin
+
+  /** Equal-width distribution histogram — 16 buckets over order totals
+    * via [[graft.transform.Stats.histogramFixedWidth]]: pure-integer
+    * bucket arithmetic against a 1-row broadcast bounds frame; the
+    * equal-FREQUENCY counterpart is q56's NTILE.
+    */
+  def histogramBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Stats.histogramFixedWidth(
+      t(s, dir, "orders").select(
+        graft.transform.Stats.cents(col("o_totalprice")).as("cents")),
+      "cents", nBuckets = 16)
+
+  val histogramBucketsSql: String =
+    """WITH c AS (
+      |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c)
+      |SELECT ((cents - mn) * 16) // (mx - mn + 1) AS bucket,
+      |       count(*) AS n,
+      |       min(cents) AS lo_cents, max(cents) AS hi_cents
+      |FROM c, b GROUP BY 1""".stripMargin
+
+  /** Cross-feature dependence profile — per-returnflag Pearson
+    * correlation and OLS slope between quantity and extended price via
+    * [[graft.transform.Stats.corrByKey]]'s exact DECIMAL/HUGEINT moment
+    * sums (the built-in `corr()` accumulates partition-order-dependent
+    * double moments and cannot be hash-gated; the helper's scaladoc
+    * has the full exactness argument).
+    */
+  def corrStats(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Stats.corrByKey(
+      t(s, dir, "lineitem").select(col("l_returnflag"),
+        graft.transform.Stats.cents(col("l_quantity")).as("x"),
+        graft.transform.Stats.cents(col("l_extendedprice")).as("y")),
+      Seq("l_returnflag"), "x", "y")
+
+  val corrStatsSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+      |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |         sum(CAST(y AS HUGEINT) * y) AS syy,
+      |         sum(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM c GROUP BY 1),
+      |d AS (
+      |  SELECT l_returnflag, n,
+      |         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+      |         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+      |  FROM s)
+      |SELECT l_returnflag, n,
+      |       CASE WHEN vx > 0 AND vy > 0
+      |            THEN floor((cov / sqrt(vx * vy)) * 1000000.0 + 0.5) / 1000000.0
+      |       END AS corr,
+      |       CASE WHEN vx > 0
+      |            THEN floor((cov / vx) * 1000000.0 + 0.5) / 1000000.0
+      |       END AS slope
+      |FROM d""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -986,7 +1106,11 @@ object Queries {
     "q59_purge_optout" -> purgeOptOut _,
     "q60_churn_setops" -> churnSetOps _,
     "q61_full_outer" -> fullOuterRecon _,
-    "q62_sliding_window" -> slidingWindowAgg _)
+    "q62_sliding_window" -> slidingWindowAgg _,
+    "q64_quantiles" -> quantileStats _,
+    "q65_mad_outliers" -> madOutliers _,
+    "q68_histogram" -> histogramBuckets _,
+    "q69_corr_stats" -> corrStats _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -1020,5 +1144,9 @@ object Queries {
     "q59_purge_optout" -> purgeOptOutSql,
     "q60_churn_setops" -> churnSetOpsSql,
     "q61_full_outer" -> fullOuterReconSql,
-    "q62_sliding_window" -> slidingWindowAggSql)
+    "q62_sliding_window" -> slidingWindowAggSql,
+    "q64_quantiles" -> quantileStatsSql,
+    "q65_mad_outliers" -> madOutliersSql,
+    "q68_histogram" -> histogramBucketsSql,
+    "q69_corr_stats" -> corrStatsSql)
 }

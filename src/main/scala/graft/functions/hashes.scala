@@ -389,6 +389,8 @@ object functions {
     GraftSqlBridge.column(MinHashSigs(GraftSqlBridge.expression(c), n))
   def count_in_set(c: Column, words: Seq[String]): Column =
     GraftSqlBridge.column(CountInSet(GraftSqlBridge.expression(c), words))
+  def nfc_normalize(c: Column): Column =
+    GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(c)))
 
   /** Register the custom expressions for SQL use in a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

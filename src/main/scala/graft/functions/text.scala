@@ -136,3 +136,61 @@ object CountInSet {
     cnt
   }
 }
+
+/** Unicode NFC normalization (UAX #15 canonical composition) — Spark has
+  * no built-in for it, yet it is the mandatory first step of any text
+  * dedup/fingerprint pipeline over web text: `e` + U+0301 and the
+  * precomposed `é` must hash identically or every downstream exact-dup
+  * and minhash key silently splits. Backed by `java.text.Normalizer`
+  * (the JDK's ICU-derived implementation of the same Unicode standard
+  * DuckDB's `nfc_normalize`/utf8proc implements, so outputs agree
+  * cross-engine for any codepoint both Unicode versions cover).
+  *
+  * Codegen with an all-ASCII byte-scan fast path: ASCII is NFC by
+  * definition, so the dominant case (English web text) returns the
+  * input UTF8String untouched — no String materialization, no
+  * Normalizer call. Non-ASCII falls back to `isNormalized` (cheap
+  * quick-check pass, returns input if already composed) before paying
+  * for the rewrite. Null in → null out.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize needs a string input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.evalImpl(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcNormalize.evalImpl($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
+object NfcNormalize {
+  // evalImpl, not eval — see NormalizedMd5's companion note.
+  def evalImpl(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}

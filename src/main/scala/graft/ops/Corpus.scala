@@ -239,6 +239,62 @@ object Corpus {
           .as("coverage"))
   }
 
+  /** Bigram collocation mining by pointwise mutual information —
+    * `PMI(x,y) = ln( P(x,y) / (P(x)·P(y)) )` with `P(x,y)` estimated
+    * over the bigram bag and the marginals over the token bag: the
+    * vocabulary-induction / phrase-mining primitive (candidate merges
+    * for a BPE-style tokenizer are exactly the high-PMI pairs).
+    *
+    * The gated value is computed as the exact integer-ratio
+    * `(c_xy·N_uni·N_uni) / (N_bg·c_x·c_y)` with every operand cast to
+    * double BEFORE multiplying in a fixed left-assoc order: all
+    * products stay below 2^53 at any plausible corpus scale for the
+    * count magnitudes involved (caller-tunable `minCount` keeps the
+    * output to genuinely frequent pairs), so the division input is
+    * bit-identical cross-engine and only the final `ln` can differ —
+    * by at most 1 ulp between libm implementations, absorbed by the
+    * 6dp pround except with probability ~1e-9 per row on a
+    * minCount-bounded output (the one sanctioned transcendental in
+    * this file; see the object scaladoc).
+    *
+    * Scale: the bigram/token bags are one explode each with keyed
+    * counting aggs (map-side partials cap Zipfian hot keys at one row
+    * per task); the marginal join is on the COUNTED vocabulary table —
+    * vocab-cardinality-sized, broadcast twice (x and y side); the two
+    * corpus totals are 1-row broadcasts. Nothing corpus-sized is ever
+    * a join key.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Int = 5): DataFrame = {
+    require(minCount >= 1, "pmiCollocations needs minCount >= 1")
+    val toks = df.select(
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c")).persist()
+    try {
+      val nUni = toks.agg(count(lit(1)).as("n_uni"))
+      val bg = df.select(
+        explode(graft.functions.functions.word_shingles(col(textCol), 2))
+          .as("bigram"))
+      val nBg = bg.agg(count(lit(1)).as("n_bg"))
+      val pairs = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= minCount)
+        .select(
+          element_at(split(col("bigram"), " ", 2), 1).as("x"),
+          element_at(split(col("bigram"), " ", 2), 2).as("y"),
+          col("c_xy"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      pairs
+        .join(broadcast(uni.select(col("tok").as("x"), col("c").as("c_x"))), Seq("x"))
+        .join(broadcast(uni.select(col("tok").as("y"), col("c").as("c_y"))), Seq("y"))
+        .crossJoin(broadcast(nUni))
+        .crossJoin(broadcast(nBg))
+        .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+          pround(log(
+            (d(col("c_xy")) * d(col("n_uni")) * d(col("n_uni"))) /
+              (d(col("n_bg")) * d(col("c_x")) * d(col("c_y")))), 6).as("pmi"))
+    } finally uni.unpersist(blocking = false)
+  }
+
   /** Deterministic train/val/test assignment by the first hex nibble of
     * md5(id): 0-b → train (75%), c-d → val (12.5%), e-f → test (12.5%).
     * Hash-based splits are the standard reproducible-pipeline device —

@@ -1,0 +1,170 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust / exact statistical profiling operators over integer-cents
+  * columns — the corpus-health side of a training-data pipeline
+  * (feature distributions, outlier screens, cross-feature drift).
+  *
+  * Everything here is built to be HASH-GATEABLE against a second
+  * engine, which constrains the arithmetic (see CLAUDE.md's
+  * wide-double-sum rule):
+  *   - inputs are integer cents (exact in binary64 far past 2^31),
+  *   - exact quantiles are taken only at dyadic probabilities
+  *     (k/2^m — 0.25, 0.5, 0.75, …): the interpolation position
+  *     `(n-1)*p` then has a dyadic fractional part, so
+  *     `lo*(1-d) + hi*d` and `lo + d*(hi-lo)` both evaluate to the
+  *     same exact rational on integer inputs — the result is
+  *     bit-identical across engines REGARDLESS of which interpolation
+  *     spelling they use,
+  *   - moment sums are DECIMAL (Spark) / HUGEINT (DuckDB) — exact —
+  *     and only converted to double for the final closed-form ratio,
+  *     which both engines then evaluate with the identical IEEE op
+  *     sequence.
+  *
+  * Scale posture: exact per-group quantiles buffer each group's value
+  * multiset on one reducer (Spark's `percentile` keeps a value→count
+  * map, so memory is per-group CARDINALITY, bounded here by the cents
+  * value range, not row count). For unbounded-cardinality columns at
+  * 100 TB the valve is `approx_percentile` (t-digest, mergeable
+  * map-side) at the cost of leaving the hash gate — same trade as
+  * [[graft.ops.Corpus.profileApprox]]. Everything else below is plain
+  * keyed aggregation with map-side partials plus broadcast joins of
+  * group-cardinality-sized stats frames — no windows, no driver loops.
+  */
+object Stats {
+
+  private def centsExpr(valueCol: Column): Column =
+    floor(valueCol * 100 + 0.5).cast("long")
+
+  /** Exact interpolated quantiles per key at dyadic probabilities.
+    * Emits one row per key: `n` plus one double column per requested
+    * probability, named `p25`, `p50`, … (`p` + round(prob*100)).
+    */
+  def quantilesByKey(df: DataFrame, keyCols: Seq[String], centsCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(keyCols.nonEmpty, "quantilesByKey needs at least one key column")
+    require(probs.nonEmpty, "quantilesByKey needs at least one probability")
+    require(probs.forall(p => p > 0 && p < 1 && (p * 64).isWhole),
+      s"probabilities must be dyadic in (0,1) (k/64) for cross-engine " +
+        s"bit-exactness, got $probs")
+    val arr = probs.map(p => p.toString).mkString(", ")
+    val qs = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile($centsCol, array($arr))").as("__q"))
+    val named = probs.zipWithIndex.map { case (p, i) =>
+      element_at(col("__q"), i + 1).as(s"p${math.round(p * 100)}")
+    }
+    qs.select(keyCols.map(col) ++ (col("n") +: named): _*)
+  }
+
+  /** Median / MAD (median absolute deviation) outlier screen per key —
+    * the robust alternative to [[Transforms.zscoreNormalize]]'s
+    * mean/stddev (which a single corrupt value can drag arbitrarily;
+    * the median breaks down only past 50% contamination). Flags values
+    * with `|x - median| > k * MAD`.
+    *
+    * Exactness: median of integer cents is a multiple of 0.5,
+    * deviations are multiples of 0.5, MAD is a multiple of 0.25, and
+    * `k*MAD` is exact for integer k — so the outlier comparison and
+    * every emitted number are bit-identical cross-engine with no
+    * rounding step at all.
+    *
+    * Two aggregation passes (MAD is a quantile OF deviations from a
+    * quantile — inherently two-phase); the deviation frame is persisted
+    * so the input is scanned once, and both stats frames are
+    * group-cardinality-sized broadcasts.
+    */
+  def madOutliers(df: DataFrame, keyCols: Seq[String], centsCol: String,
+      k: Int = 3): DataFrame = {
+    require(keyCols.nonEmpty, "madOutliers needs at least one key column")
+    val keys = keyCols.map(col)
+    val med = df.groupBy(keys: _*)
+      .agg(expr(s"percentile($centsCol, 0.5)").as("med"))
+    val dev = df.join(broadcast(med), keyCols)
+      .withColumn("__dev", abs(col(centsCol).cast("double") - col("med")))
+      .persist()
+    try {
+      val mad = dev.groupBy(keys: _*)
+        .agg(expr("percentile(__dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), keyCols)
+        .groupBy(keys: _*)
+        .agg(count(lit(1)).as("n"),
+          min(col("med")).as("med"),
+          min(col("mad")).as("mad"),
+          sum((col("__dev") > col("mad") * k).cast("long")).as("n_outliers"))
+    } finally dev.unpersist(blocking = false)
+  }
+
+  /** Pearson correlation + OLS slope per key from EXACT moment sums.
+    * `xCol`/`yCol` must be long (integer cents). Sums accumulate as
+    * DECIMAL(38,0) (products of two DECIMAL(19,0) casts — exact), and
+    * the closed forms
+    * `corr = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)(n·Syy − Sy²))`,
+    * `slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)`
+    * are evaluated in double with a fixed op sequence (sqrt is
+    * IEEE-correctly-rounded, so the whole expression is reproducible;
+    * the 6dp pround absorbs the one non-deterministic step — the
+    * DECIMAL→double conversions round identically anyway).
+    *
+    * This is why the built-in `corr()` is NOT used: it accumulates
+    * running double moments whose value depends on partition order.
+    * Zero-variance groups (the ANSI DIVIDE_BY_ZERO trap) yield NULL.
+    * One keyed shuffle with map-side partials; output is
+    * group-cardinality rows.
+    */
+  def corrByKey(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "corrByKey needs at least one key column")
+    val x = col(xCol).cast("decimal(19,0)")
+    val y = col(yCol).cast("decimal(19,0)")
+    val sums = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val cov = nD * d("sxy") - d("sx") * d("sy")
+    val vx = nD * d("sxx") - d("sx") * d("sx")
+    val vy = nD * d("syy") - d("sy") * d("sy")
+    import graft.util.Rounding.pround
+    sums.select(keyCols.map(col) ++ Seq(
+      col("n"),
+      when(vx > 0 && vy > 0, pround(cov / sqrt(vx * vy), 6))
+        .otherwise(lit(null).cast("double")).as("corr"),
+      when(vx > 0, pround(cov / vx, 6))
+        .otherwise(lit(null).cast("double")).as("slope")): _*)
+  }
+
+  /** Equal-width histogram over an integer-cents column: `nBuckets`
+    * buckets spanning [min, max], bucket id assigned with PURE integer
+    * arithmetic (`(v − min) · n div (max − min + 1)`) so boundaries are
+    * exact in any engine — no float width, no edge-epsilon. Emits
+    * per-bucket count and observed lo/hi. The bounds row is a 1-row
+    * broadcast; assignment is row-local; one keyed agg on the bucket id
+    * (≤ nBuckets groups — map-side partials collapse each task's
+    * contribution to ≤ nBuckets rows, so the shuffle is trivially
+    * small at any scale).
+    */
+  def histogramFixedWidth(df: DataFrame, centsCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, "histogramFixedWidth needs at least one bucket")
+    val bounds = df.agg(min(col(centsCol)).as("__mn"), max(col(centsCol)).as("__mx"))
+    df.crossJoin(broadcast(bounds))
+      .select(
+        expr(s"(($centsCol - __mn) * $nBuckets) div (__mx - __mn + 1)")
+          .as("bucket"),
+        col(centsCol))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(centsCol)).as("lo_cents"),
+        max(col(centsCol)).as("hi_cents"))
+  }
+
+  /** Rounded-cents helper shared by the catalog queries: `floor(v*100
+    * + 0.5)` as long — the one rounding spelling that matches DuckDB's
+    * `CAST(floor(value*100+0.5) AS BIGINT)` bit-for-bit. */
+  def cents(valueCol: Column): Column = centsExpr(valueCol)
+}

@@ -269,4 +269,44 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length <= 2,
       s"cube re-scanned the source per grouping set:\n$p")
   }
+
+  test("MAD outlier screen broadcasts both group-stats frames") {
+    val p = plan(Queries.madOutliers(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"median and MAD frames must both broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the data side must never reshuffle for a stats join:\n$p")
+  }
+
+  test("histogram bounds are a 1-row broadcast; ONE keyed agg on the bucket id") {
+    val p = plan(Queries.histogramBuckets(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"bounds frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"1-row bounds must not plan a cartesian:\n$p")
+  }
+
+  test("corr moment sums are one keyed agg pass (no corr() double accumulators)") {
+    val p = plan(Queries.corrStats(spark, sf0001))
+    // partial + final hash agg around exactly one exchange, plus AQE read
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"more than one shuffle for grouped moment sums:\n$p")
+    assert(!p.toLowerCase.contains("pearson"),
+      s"must use exact decimal sums, not the built-in corr():\n$p")
+  }
+
+  test("PMI joins broadcast the vocabulary marginals (Zipfian term key never shuffle-joins)") {
+    val p = plan(OpsQueries.pmiCollocations(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"both marginal joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token-key shuffle join would hot-spot at scale:\n$p")
+  }
+
+  test("nfc_normalize stays inside whole-stage codegen") {
+    val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
+    assert(p.contains("* Project"), s"no codegen span:\n$p")
+    assert(!p.contains("Exchange"),
+      s"row-local normalization must not shuffle:\n$p")
+  }
 }

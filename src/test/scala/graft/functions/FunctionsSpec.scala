@@ -59,6 +59,36 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("nfc_normalize == java.text.Normalizer NFC (udf reference)") {
+    val nfcEdge = Seq(
+      "",
+      "plain ascii only",
+      "cafe\u0301",               // decomposed e + combining acute
+      "caf\u00e9",                // already precomposed (NFC fixpoint)
+      "e\u0327\u0301",            // stacked combining marks (cedilla+acute)
+      "A\u030Angstro\u0308m",     // ring and diaeresis from combining forms
+      "\u1100\u1161",             // Hangul jamo -> precomposed syllable
+      "\u00c4\u00d6\u00dc \u00df \u0130stanbul", // non-ASCII already NFC
+      "mixed ascii e\u0301 tail")
+    val ref = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    val litDf = nfcEdge.toDF("text")
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(concat(col("text"), lit("e\u0301")).as("text"))
+    Seq(litDf, docs).foreach { df =>
+      val bad = df.select(
+        gf.nfc_normalize(col("text")).as("fast"),
+        ref(col("text")).as("ref"))
+        .filter(!(col("fast") <=> col("ref")))
+      assert(bad.count() === 0, bad.collect().mkString("\n"))
+    }
+    // null in -> null out
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(gf.nfc_normalize(col("text")).as("v"))
+    assert(n.filter(col("v").isNull).count() === 1)
+  }
+
   test("fused minhash signatures == explode+groupBy formulation") {
     val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
     val viaAgg = graft.ops.Dedup.minhashSignatures(
@@ -91,7 +121,8 @@ class FunctionsSpec extends SparkSpec {
         gf.word_shingles(col("text"), 3).as("sg"),
         gf.minhash_sigs(col("text"), 3).as("mh"),
         gf.count_in_set(graft.ops.TextAnalysis.tokens(col("text")),
-          graft.ops.TextAnalysis.StopwordsEn).as("c"))
+          graft.ops.TextAnalysis.StopwordsEn).as("c"),
+        gf.nfc_normalize(concat(col("text"), lit("e\u0301"))).as("nfc"))
       assert(scalar.count() === 50)
       assert(scalar.filter(col("h").isNull || col("rh").isNull).count() === 0)
       val emb = Tables.load(spark, sf0001, "embeddings").limit(10)

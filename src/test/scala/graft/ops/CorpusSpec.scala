@@ -356,4 +356,22 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(g3(2L) === 2L && g3(5L) === 0L)
   }
+
+  test("PMI collocations: hand-computed scores, minCount filter, marginals") {
+    // tokens: a,b,a,b + a,b → c_a = c_b = 3, N_uni = 6
+    // bigrams: "a b","b a","a b" + "a b" → c_ab = 3, c_ba = 1, N_bg = 4
+    // PMI(a,b) = ln(3·6·6 / (4·3·3)) = ln(3); PMI(b,a) = ln(1) = 0
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val all = Corpus.pmiCollocations(docs, "text", minCount = 1)
+      .orderBy("x", "y").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(all === Seq(
+      ("a", "b", 3L, 3L, 3L, 1.098612),
+      ("b", "a", 1L, 3L, 3L, 0.0)))
+    // minCount prunes the singleton pair
+    val pruned = Corpus.pmiCollocations(docs, "text", minCount = 2)
+      .select("x", "y").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pruned === Seq(("a", "b")))
+  }
 }

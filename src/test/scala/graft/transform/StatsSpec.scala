@@ -1,0 +1,87 @@
+package graft.transform
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the exact statistical-profiling operators, checked
+  * against hand-computed values so the DuckDB gate is the SECOND
+  * independent check, not the first.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantilesByKey interpolates dyadic quantiles exactly") {
+    // n=5: positions (n-1)*p = 1.0 / 2.0 / 3.0 → exact elements
+    // n=4: positions 0.75 / 1.5 / 2.25 → interpolated dyadics
+    val df = Seq(
+      ("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("a", 50L),
+      ("b", 1L), ("b", 2L), ("b", 3L), ("b", 10L)).toDF("k", "cents")
+    val got = Stats.quantilesByKey(df, Seq("k"), "cents", Seq(0.25, 0.5, 0.75))
+      .orderBy("k").collect()
+    assert(got(0) === Row("a", 5L, 20.0, 30.0, 40.0))
+    // b: p25 = 1 + 0.75*(2-1) = 1.75; p50 = 2.5; p75 = 3 + 0.25*7 = 4.75
+    assert(got(1) === Row("b", 4L, 1.75, 2.5, 4.75))
+  }
+
+  test("quantilesByKey rejects non-dyadic probabilities") {
+    val df = Seq(("a", 1L)).toDF("k", "cents")
+    intercept[IllegalArgumentException] {
+      Stats.quantilesByKey(df, Seq("k"), "cents", Seq(0.9))
+    }
+  }
+
+  test("madOutliers flags |x - med| > k*MAD and survives MAD = 0") {
+    // group a: values 1..9 plus a 1000 outlier
+    //   med of (1..9,1000) = 5.5, devs = 4.5,3.5,...,0.5,0.5,...,994.5
+    //   mad = median(0.5..4.5 pairs + 994.5) = 2.5 → cut 7.5 → one outlier
+    // group b: all-equal values → med = 7, mad = 0 → dev > 0 flags
+    val a = (1L to 9L).map(("a", _)) :+ (("a", 1000L))
+    val b = Seq(("b", 7L), ("b", 7L), ("b", 7L), ("b", 8L))
+    val got = Stats.madOutliers((a ++ b).toDF("k", "cents"), Seq("k"), "cents", k = 3)
+      .orderBy("k").collect()
+    assert(got(0) === Row("a", 10L, 5.5, 2.5, 1L))
+    // b: med of (7,7,7,8) = 7.0, devs (0,0,0,1) → mad 0.0; dev>0 → 1 outlier
+    assert(got(1) === Row("b", 4L, 7.0, 0.0, 1L))
+  }
+
+  test("corrByKey: exact ±1 on linear data, NULL on zero variance") {
+    val lin = (1L to 100L).flatMap(i => Seq(
+      ("up", i, 3 * i + 7), ("down", i, -2 * i + 1000)))
+    val const = (1L to 10L).map(i => ("flat", 5L, i))
+    val got = Stats.corrByKey((lin ++ const).toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .orderBy("k").collect()
+    assert(got(0) === Row("down", 100L, -1.0, -2.0))
+    assert(got(1) === Row("flat", 10L, null, null))
+    assert(got(2) === Row("up", 100L, 1.0, 3.0))
+  }
+
+  test("corrByKey survives wide sums (values past 2^26, exact decimal path)") {
+    // x*y products ~ 1e14 each over 1e3 rows → sums ~ 1e17: long math in
+    // doubles would stay exact (< 2^53) but a naive int sum overflows;
+    // the decimal path must not lose or wrap anything. Slope of the
+    // noisy-free scaled line is still exactly 2.
+    val big = (1L to 1000L).map(i => ("w", i * 10000L, i * 20000L))
+    val got = Stats.corrByKey(big.toDF("k", "x", "y"), Seq("k"), "x", "y").collect()
+    assert(got(0) === Row("w", 1000L, 1.0, 2.0))
+  }
+
+  test("histogramFixedWidth covers [min,max] with integer bucket bounds") {
+    val df = (0L to 99L).map(v => Tuple1(v)).toDF("cents")
+    val got = Stats.histogramFixedWidth(df, "cents", 4).orderBy("bucket").collect()
+    assert(got.toSeq === Seq(
+      Row(0L, 25L, 0L, 24L), Row(1L, 25L, 25L, 49L),
+      Row(2L, 25L, 50L, 74L), Row(3L, 25L, 75L, 99L)))
+    // degenerate: single distinct value → everything in bucket 0
+    val one = Seq(5L, 5L, 5L).map(Tuple1(_)).toDF("cents")
+    val g1 = Stats.histogramFixedWidth(one, "cents", 8).collect()
+    assert(g1.toSeq === Seq(Row(0L, 3L, 5L, 5L)))
+  }
+
+  test("histogram bucket ids stay in [0, n) at the max value") {
+    val df = Seq(10L, 20L, 30L).map(Tuple1(_)).toDF("cents")
+    val ids = Stats.histogramFixedWidth(df, "cents", 3)
+      .select("bucket").as[Long].collect().toSet
+    assert(ids.subsetOf((0L until 3L).toSet))
+  }
+}
