@@ -111,6 +111,41 @@ object StreamingIngest {
       stream: DataFrame, features: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(features, keys, "left")
 
+  /** Stream-STREAM inner join within a bounded event-time interval —
+    * the attribution shape: each right-side event (click) joins the
+    * left-side events (impressions) of the same key that precede it by
+    * at most `within`. Both sides carry watermarks and the join
+    * condition carries BOTH the equality key and the time bound; that
+    * pair is what lets Spark's symmetric-hash join state EVICT — each
+    * side's buffered rows are dropped once the other side's watermark
+    * passes their interval, where an unbounded stream-stream join
+    * would grow state forever (the 100 TB/day death sentence).
+    * Out-of-order arrivals within the watermark still match: both
+    * sides buffer, so a late impression pairs with an already-seen
+    * click (spec-pinned).
+    *
+    * `leftTs`/`rightTs` must be distinct names and the right side must
+    * not collide with left columns (the join emits both sides; the
+    * duplicate equality key is dropped here, mirroring
+    * [[graft.transform.AsOfJoin]]'s collision posture).
+    */
+  def joinWithinInterval(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      delay: String = "1 hour", within: String = "30 minutes"): DataFrame = {
+    require(leftTs != rightTs,
+      s"rename one side's event-time column ($leftTs collides)")
+    val others = right.columns.filterNot(c => c == key || c == rightTs)
+    val clash = others.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"right value columns collide with left: $clash")
+    val l = left.withWatermark(leftTs, delay).alias("l")
+    val r = right.withWatermark(rightTs, delay).alias("r")
+    l.join(r, expr(
+        s"l.$key = r.$key AND r.$rightTs >= l.$leftTs " +
+          s"AND r.$rightTs <= l.$leftTs + INTERVAL $within"))
+      .drop(col(s"r.$key"))
+  }
+
   // ---------------------------------------------------------- stateful
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, total: Double, lastTs: Long)

@@ -204,4 +204,44 @@ class StreamingSpec extends SparkSpec {
         (2L, 7.0, None)))     // appended file invisible to the pinned listing
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches within the window, buffers out-of-order sides") {
+    val impDir = Files.createTempDirectory("stream_imp").toString
+    val clkDir = Files.createTempDirectory("stream_clk").toString
+    // impressions: u1@10:00; clicks: u1@10:10 (within 30m),
+    // u1@11:00 (outside), u2@10:05 (no impression yet)
+    writeDrop(impDir, Seq((1L, "2024-01-01 10:00:00", 1.0)))
+    writeDrop(clkDir, Seq(
+      (1L, "2024-01-01 10:10:00", 0.0),
+      (1L, "2024-01-01 11:00:00", 0.0),
+      (2L, "2024-01-01 10:05:00", 0.0)))
+    val schema = spark.read.parquet(impDir).schema
+    val imps = StreamingIngest.readStream(spark, impDir, schema)
+      .select(col("user_id"), col("ts"), col("value").as("imp_value"))
+    val clks = StreamingIngest.readStream(spark, clkDir, schema)
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val joined = StreamingIngest.joinWithinInterval(
+      imps, clks, key = "user_id", leftTs = "ts", rightTs = "click_ts",
+      delay = "1 hour", within = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_out").start()
+    try {
+      q.processAllAvailable()
+      def rows() = spark.table("attrib_out")
+        .select(col("user_id"), col("ts").cast("string"),
+          col("click_ts").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(rows() === Set(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00")))
+      // the u2 impression arrives AFTER its click was processed: both
+      // sides buffer within the watermark, so the pair still emits
+      writeDrop(impDir, Seq((2L, "2024-01-01 10:00:00", 2.0)))
+      q.processAllAvailable()
+      assert(rows() === Set(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00"),
+        (2L, "2024-01-01 10:00:00", "2024-01-01 10:05:00")))
+      // duplicate key column was dropped; both event times survive
+      assert(spark.table("attrib_out").columns.count(_ == "user_id") === 1)
+    } finally q.stop()
+  }
 }
