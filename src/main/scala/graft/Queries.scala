@@ -1073,6 +1073,81 @@ object Queries {
       |       END AS slope
       |FROM d""".stripMargin
 
+  /** Exponentially-decayed recency score — per-user EWMA over the last
+    * 8 events (newest weighted 1, then ½, ¼, …): the time-decayed
+    * engagement feature every recommender feature store ships. The
+    * decay base ½ is chosen deliberately: each term `cents · 2⁻ᵏ` is an
+    * exact dyadic (a bit-shift of an integer), and 8 terms of ≤ 2²⁶
+    * cents span ≤ 33 mantissa bits — the sum is EXACT in binary64 in
+    * any addition order, so the query hash-gates with no rounding step
+    * (a 0.9-base EWMA would be order-dependent). `power(0.5, k)` is
+    * exact in every IEEE libm for integer k.
+    *
+    * Scale: per-user ranking window (bounded partitions; firehose keys
+    * take the q55 time-bucket valve) then one keyed agg over ≤ 8 rows
+    * per user.
+    */
+  def ewmaRecency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_recent"),
+        sum(col("cents").cast("double") * pow(lit(0.5), col("rn") - 1))
+          .as("ewma_cents"))
+  }
+
+  val ewmaRecencySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, cents,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY us DESC, event_id DESC) AS rn
+      |  FROM e)
+      |SELECT user_id, count(*) AS n_recent,
+      |       sum(CAST(cents AS DOUBLE) * power(0.5, rn - 1)) AS ewma_cents
+      |FROM r WHERE rn <= 8 GROUP BY user_id""".stripMargin
+
+  /** Relative-rank window family — dense_rank / percent_rank /
+    * cume_dist per order priority: the remaining analytic-window class
+    * after q05 (row_number), q55 (lag), q56 (ntile). Both engines
+    * implement the SQL-standard definitions `(rank−1)/(n−1)` and
+    * `n_peers_≤ / n`; with a unique tiebreaker in the ORDER BY the
+    * ranks are total, and each value is a single division of exact
+    * small integers — identical binary64, no rounding step.
+    */
+  def rankFamily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("cents"),
+        dense_rank().over(w).cast("long").as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+  }
+
+  val rankFamilySql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+      |       percent_rank() OVER w AS prank,
+      |       cume_dist() OVER w AS cdist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ASC,
+      |                      o_orderkey ASC)""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -1110,7 +1185,9 @@ object Queries {
     "q64_quantiles" -> quantileStats _,
     "q65_mad_outliers" -> madOutliers _,
     "q68_histogram" -> histogramBuckets _,
-    "q69_corr_stats" -> corrStats _)
+    "q69_corr_stats" -> corrStats _,
+    "q70_ewma" -> ewmaRecency _,
+    "q71_rank_family" -> rankFamily _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -1148,5 +1225,7 @@ object Queries {
     "q64_quantiles" -> quantileStatsSql,
     "q65_mad_outliers" -> madOutliersSql,
     "q68_histogram" -> histogramBucketsSql,
-    "q69_corr_stats" -> corrStatsSql)
+    "q69_corr_stats" -> corrStatsSql,
+    "q70_ewma" -> ewmaRecencySql,
+    "q71_rank_family" -> rankFamilySql)
 }

@@ -163,6 +163,33 @@ object Stats {
         max(col(centsCol)).as("hi_cents"))
   }
 
+  /** The 100 TB valve for equal-frequency bucketing (q56's NTILE and
+    * [[quantilesByKey]]'s exact percentile both funnel a whole group
+    * through one reducer): approximate quantile cutpoints via the
+    * mergeable t-digest sketch (`approxQuantile`, map-side combinable,
+    * driver gets only `nBuckets-1` doubles), then row-LOCAL bucket
+    * assignment against the literal cutpoints — no window, no
+    * per-group reducer, bounded memory at any scale. The trade is
+    * approximate bucket boundaries (relativeError-controlled), which
+    * is why this is spec-covered rather than hash-gated — the exact
+    * forms remain the oracle surface.
+    *
+    * Assignment is a chain of `(v > cutᵢ)` increments — codegen-
+    * friendly branch-free comparisons, fine for the tens-of-buckets
+    * regime this is for (use [[histogramFixedWidth]]'s integer
+    * arithmetic for fixed-width at higher bucket counts).
+    */
+  def rangeBucketize(df: DataFrame, centsCol: String, nBuckets: Int,
+      relativeError: Double = 0.001): DataFrame = {
+    require(nBuckets >= 2, "rangeBucketize needs at least two buckets")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val cuts = df.stat.approxQuantile(centsCol, probs, relativeError)
+    val bucket = cuts.foldLeft(lit(0L)) { (acc, c) =>
+      acc + (col(centsCol) > c).cast("long")
+    }
+    df.withColumn("bucket", bucket)
+  }
+
   /** Rounded-cents helper shared by the catalog queries: `floor(v*100
     * + 0.5)` as long — the one rounding spelling that matches DuckDB's
     * `CAST(floor(value*100+0.5) AS BIGINT)` bit-for-bit. */

@@ -303,6 +303,21 @@ class PlanSpec extends SparkSpec {
       s"token-key shuffle join would hot-spot at scale:\n$p")
   }
 
+  test("ewma reuses the window's user partitioning for the final agg (ONE shuffle)") {
+    val p = plan(Queries.ewmaRecency(spark, sf0001))
+    // formatted explain prints each node name in the tree AND details
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"groupBy(user_id) must reuse the window's hashpartitioning:\n$p")
+  }
+
+  test("rank family is one partitioned window pass, no global sort") {
+    val p = plan(Queries.rankFamily(spark, sf0001))
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"more than the one window shuffle:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"partitioned window must not globally sort:\n$p")
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")

@@ -84,4 +84,17 @@ class StatsSpec extends SparkSpec {
       .select("bucket").as[Long].collect().toSet
     assert(ids.subsetOf((0L until 3L).toSet))
   }
+
+  test("rangeBucketize: near-equal-frequency buckets, monotone in the value") {
+    val df = (0L until 10000L).map(Tuple1(_)).toDF("cents")
+    val got = Stats.rangeBucketize(df, "cents", 4)
+    val sizes = got.groupBy("bucket").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === Set(0L, 1L, 2L, 3L))
+    // t-digest cutpoints at 0.1% error: each quarter within 10% of 2500
+    sizes.values.foreach(n => assert(math.abs(n - 2500L) <= 250L, sizes))
+    // monotone: bucket id never decreases as the value grows
+    val pairs = got.orderBy("cents").select("bucket").as[Long].collect()
+    assert(pairs.sliding(2).forall(p => p(0) <= p(1)))
+  }
 }
