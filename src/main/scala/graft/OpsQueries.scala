@@ -1180,6 +1180,60 @@ object OpsQueries {
       |       md5(nfc_normalize(decorated)) AS norm_md5
       |FROM d""".stripMargin
 
+  // ------------------------------------------------------------ negatives
+  /** Deterministic contrastive negative sampling via
+    * [[Similarity.negativePairs]] — 4 hash-picked negatives per anchor
+    * with their cosines; the multiplicative-hash pick (not `rand()`) is
+    * what makes the emitted cosines replayable in DuckDB.
+    */
+  def negativePairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.negativePairs(emb(s, dir), "vec_id", "embedding", k = 4)
+
+  val negativePairsSql: String =
+    """WITH nn AS (SELECT count(*) AS n_total FROM embeddings),
+      |a AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+      |      FROM embeddings),
+      |js AS (SELECT unnest(range(1, 5)) AS j),
+      |pick AS (
+      |  SELECT anchor_id, av, j,
+      |         (anchor_id * 2654435761 + j * 40503) % n_total AS raw,
+      |         n_total
+      |  FROM a, nn, js),
+      |fix AS (
+      |  SELECT anchor_id, j, av,
+      |         CASE WHEN raw = anchor_id THEN (raw + 1) % n_total
+      |              ELSE raw END AS neg_id
+      |  FROM pick),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings)
+      |SELECT anchor_id, CAST(j AS BIGINT) AS j, neg_id,
+      |       floor(list_cosine_similarity(av, nv) * 1000000.0 + 0.5)
+      |         / 1000000.0 AS cosine
+      |FROM fix JOIN c ON fix.neg_id = c.vec_id""".stripMargin
+
+  // ------------------------------------------------------------ source overlap
+  /** Pairwise source-vocabulary Jaccard via [[Corpus.sourceOverlap]] —
+    * the mixture/mirror diagnostic (190 pairs over the 20 synthetic
+    * sources). The Jaccard is one division of exact counts; no
+    * rounding step.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Corpus.sourceOverlap(docs(s, dir), "source", "text")
+
+  val sourceOverlapSql: String =
+    """WITH st AS (
+      |  SELECT DISTINCT source, tok FROM (
+      |    SELECT source,
+      |           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |    FROM documents)),
+      |sz AS (SELECT source, count(*) AS nv FROM st GROUP BY 1),
+      |iv AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_common
+      |       FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      |       GROUP BY 1, 2)
+      |SELECT s1, s2, n_common, x.nv AS n1, y.nv AS n2,
+      |       CAST(n_common AS DOUBLE)
+      |         / CAST(x.nv + y.nv - n_common AS DOUBLE) AS jaccard
+      |FROM iv JOIN sz x ON x.source = iv.s1 JOIN sz y ON y.source = iv.s2""".stripMargin
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -1215,7 +1269,9 @@ object OpsQueries {
     "q58_bigram_coverage" -> bigramCoverage _,
     "q63_label_centroids" -> labelCentroids _,
     "q66_pmi" -> pmiCollocations _,
-    "q67_nfc_normalize" -> nfcNormalizeDocs _)
+    "q67_nfc_normalize" -> nfcNormalizeDocs _,
+    "q73_negative_pairs" -> negativePairs _,
+    "q74_source_overlap" -> sourceOverlap _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1251,5 +1307,7 @@ object OpsQueries {
     "q58_bigram_coverage" -> bigramCoverageSql,
     "q63_label_centroids" -> labelCentroidsSql,
     "q66_pmi" -> pmiCollocationsSql,
-    "q67_nfc_normalize" -> nfcNormalizeDocsSql)
+    "q67_nfc_normalize" -> nfcNormalizeDocsSql,
+    "q73_negative_pairs" -> negativePairsSql,
+    "q74_source_overlap" -> sourceOverlapSql)
 }

@@ -1148,6 +1148,44 @@ object Queries {
       |             ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ASC,
       |                      o_orderkey ASC)""".stripMargin
 
+  /** Schema-evolution read — an older parquet epoch written BEFORE a
+    * column existed unions with a newer epoch under
+    * `mergeSchema=true`: the additive-evolution contract every
+    * long-lived feature table relies on (old files null-pad the new
+    * column; no rewrite). The aggregation distinguishes presence
+    * (`count(cents)`) from rows (`count(*)`), proving the nulls came
+    * from the schema merge, and the oracle replays the epoch split
+    * arithmetically from the source table. Footer merging is
+    * per-file parallel work; at real scale declare the superset
+    * schema explicitly instead of paying the merge listing
+    * (`spark.read.schema(s)`), which this same code path supports.
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    ev.filter(col("event_id") % 2 === 0).select("event_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/epoch=0")
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$tmp/epoch=1")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/epoch=0", s"$tmp/epoch=1")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("cents")).as("n_with_cents"),
+        sum(col("cents")).as("sum_cents"))
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_with_cents,
+      |       CAST(sum(CASE WHEN event_id % 2 = 1
+      |                     THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END)
+      |            AS BIGINT) AS sum_cents
+      |FROM events GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -1187,7 +1225,8 @@ object Queries {
     "q68_histogram" -> histogramBuckets _,
     "q69_corr_stats" -> corrStats _,
     "q70_ewma" -> ewmaRecency _,
-    "q71_rank_family" -> rankFamily _)
+    "q71_rank_family" -> rankFamily _,
+    "q72_schema_evolution" -> schemaEvolution _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -1227,5 +1266,6 @@ object Queries {
     "q68_histogram" -> histogramBucketsSql,
     "q69_corr_stats" -> corrStatsSql,
     "q70_ewma" -> ewmaRecencySql,
-    "q71_rank_family" -> rankFamilySql)
+    "q71_rank_family" -> rankFamilySql,
+    "q72_schema_evolution" -> schemaEvolutionSql)
 }

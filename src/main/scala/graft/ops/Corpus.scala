@@ -295,6 +295,38 @@ object Corpus {
     } finally uni.unpersist(blocking = false)
   }
 
+  /** Pairwise source-vocabulary overlap — Jaccard similarity of the
+    * distinct-token sets of every source pair: the corpus-mixture
+    * diagnostic behind dedup-across-sources and mixture-weight
+    * decisions (two mirrors of the same crawl show up as a ≈1.0 pair).
+    *
+    * One distinct pass builds the (source, token) set once (persisted —
+    * it feeds the size agg AND both join sides); the intersection
+    * self-join keys on the TOKEN, whose fan-out is bounded by the
+    * number of sources carrying it (≤ S per token, S = source count),
+    * not corpus size; the size table is S rows, broadcast twice. The
+    * Jaccard is a single division of exact counts — bit-identical
+    * cross-engine, no rounding step.
+    */
+  def sourceOverlap(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val st = df.select(col(sourceCol).as("source"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok")).distinct().persist()
+    try {
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      st.select(col("source").as("s1"), col("tok"))
+        .join(st.select(col("source").as("s2"), col("tok")), Seq("tok"))
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.select(col("source").as("s1"), col("nv").as("n1"))), Seq("s1"))
+        .join(broadcast(sizes.select(col("source").as("s2"), col("nv").as("n2"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("n_common"), col("n1"), col("n2"),
+          (col("n_common").cast("double") /
+            (col("n1") + col("n2") - col("n_common")).cast("double")).as("jaccard"))
+    } finally st.unpersist(blocking = false)
+  }
+
   /** Deterministic train/val/test assignment by the first hex nibble of
     * md5(id): 0-b → train (75%), c-d → val (12.5%), e-f → test (12.5%).
     * Hash-based splits are the standard reproducible-pipeline device —

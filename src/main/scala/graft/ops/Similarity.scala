@@ -67,6 +67,44 @@ object Similarity {
     df.select(col(idCol), asDouble(col(vecCol)).as("__vec"))
       .withColumn("__norm", norm(col("__vec")))
 
+  /** Deterministic negative sampling for contrastive training — `k`
+    * pseudo-random negatives per anchor, picked by a Knuth-style
+    * multiplicative hash over the CONTIGUOUS id space [0, N):
+    * `neg = (id·2654435761 + j·40503) mod N`, bumped by one (mod N) on
+    * self-collision. Hash-based picks are the reproducible-pipeline
+    * device (same trade as [[Corpus.hashSplit]]): stable under reruns
+    * and partitioning, no RNG state to ship, and — unlike `rand()` —
+    * replayable by a second engine, so the emitted cosine of each
+    * (anchor, negative) pair hash-gates. Requires ids 0..N−1 (true of
+    * any post-[[graft.transform.Transforms]] surrogate-keyed corpus);
+    * N itself is a 1-row broadcast.
+    *
+    * Scale: the anchor side explodes to N·k rows and joins the corpus
+    * on the UNIFORM pseudo-random neg id — an ordinary keyed shuffle
+    * with no hot key by construction (the multiplier scrambles any
+    * anchor-id skew). Nothing is driver-side.
+    */
+  def negativePairs(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4): DataFrame = {
+    require(k >= 1, "negativePairs needs k >= 1")
+    val n = df.agg(count(lit(1)).as("n_total"))
+    val anchors = df.select(col(idCol).as("anchor_id"),
+      asDouble(col(vecCol)).as("av"))
+    val cand = df.select(col(idCol).as("neg_id"),
+      asDouble(col(vecCol)).as("nv"))
+    anchors.crossJoin(broadcast(n))
+      .select(col("anchor_id"), col("av"), col("n_total"),
+        explode(array((1 to k).map(lit): _*)).as("j"))
+      .withColumn("raw",
+        (col("anchor_id") * 2654435761L + col("j") * 40503L) % col("n_total"))
+      .withColumn("neg_id",
+        when(col("raw") === col("anchor_id"),
+          (col("raw") + 1) % col("n_total")).otherwise(col("raw")))
+      .join(cand, Seq("neg_id"))
+      .select(col("anchor_id"), col("j").cast("long").as("j"), col("neg_id"),
+        pround(cosine(col("av"), col("nv")), 6).as("cosine"))
+  }
+
   /** Exact brute-force cosine top-k: for every query row, the k corpus
     * rows with highest cosine (ties pinned by neighbor id). The query
     * side is broadcast — the corpus streams by once, no all-pairs

@@ -333,6 +333,71 @@ object Transforms {
     nFiles
   }
 
+  /** MERGE-style upsert into a parquet table with no table format: the
+    * update batch unions with the current rows and the latest row per
+    * key survives (argmax on `versionCol` — the [[graft.offline.
+    * PointInTimeJoin]] fused-dedup posture, ONE keyed aggregation, no
+    * window), then the rewrite swaps in via [[compact]]'s rename
+    * dance. Version ties break toward the update batch; a STALE update
+    * (older version than the stored row) is a no-op for its key, which
+    * is what makes retried/out-of-order feature backfills idempotent.
+    * If the table does not exist yet, the batch itself is deduped and
+    * written.
+    *
+    * Scale: one uniform keyed shuffle over current ∪ updates. The full
+    * rewrite is the no-metadata trade (same caveat as [[compact]]:
+    * single-writer, near-atomic swap); when updates cluster in recent
+    * partitions, partition the table and cut the rewrite to touched
+    * partitions with [[writePartitioned]]'s dynamic overwrite — a
+    * manifest-based table format is the real fix at scale.
+    */
+  def upsertByKey(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String): Unit = {
+    require(keyCols.nonEmpty, "upsertByKey needs at least one key column")
+    require(updates.columns.contains(versionCol),
+      s"updates lack version column $versionCol")
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val valueCols = updates.columns.filterNot(keyCols.contains).toSeq
+    def latestPerKey(df: DataFrame): DataFrame = {
+      val orderCols = Seq(col(versionCol).as("__v"), col("__src").as("__s")) ++
+        valueCols.zipWithIndex.map { case (f, i) => col(f).as(s"__c$i") }
+      df.groupBy(keyCols.map(col): _*)
+        .agg(max(struct(orderCols: _*)).as("__best"))
+        .select(keyCols.map(col) ++
+          valueCols.zipWithIndex.map { case (f, i) => col(s"__best.__c$i").as(f) }: _*)
+    }
+    if (!fs.exists(p)) {
+      latestPerKey(updates.withColumn("__src", lit(1)))
+        .write.mode("overwrite").parquet(path)
+    } else {
+      val current0 = spark.read.parquet(path)
+      require(current0.columns.toSet == updates.columns.toSet,
+        s"upsert schema mismatch: table has ${current0.columns.toSeq}, " +
+          s"updates have ${updates.columns.toSeq} (a full rewrite would " +
+          "silently drop data — migrate the schema explicitly first)")
+      val current = current0.select(updates.columns.map(col): _*)
+      val merged = latestPerKey(
+        current.withColumn("__src", lit(0))
+          .unionByName(updates.withColumn("__src", lit(1))))
+      val tmp = new Path(path.stripSuffix("/") + "__upserting")
+      val old = new Path(path.stripSuffix("/") + "__preupsert")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      require(fs.rename(p, old), s"upsert: failed to move $p aside")
+      if (!fs.rename(tmp, p)) {
+        fs.rename(old, p) // restore
+        throw new java.io.IOException(
+          s"upsert: failed to swap in $tmp, restored original")
+      }
+      fs.delete(old, true)
+    }
+  }
+
   /** Bucketed catalog table: pre-shuffles data into `numBuckets` by
     * `bucketCols` at write time so subsequent equi-joins/aggregations on
     * those keys skip their exchange entirely (verified in PlanSpec).

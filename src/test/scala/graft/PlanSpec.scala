@@ -318,6 +318,20 @@ class PlanSpec extends SparkSpec {
       s"partitioned window must not globally sort:\n$p")
   }
 
+  test("negative sampling joins on the scrambled neg id, no cartesian") {
+    val p = plan(OpsQueries.negativePairs(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"N-row corpus must never cartesian:\n$p")
+    assert(p.contains("Join"), s"expected a keyed join on neg_id:\n$p")
+  }
+
+  test("source overlap broadcasts both size frames") {
+    val p = plan(OpsQueries.sourceOverlap(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"the S-row size table must broadcast twice:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")

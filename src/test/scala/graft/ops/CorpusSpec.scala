@@ -374,4 +374,18 @@ class CorpusSpec extends SparkSpec {
       .select("x", "y").collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(pruned === Seq(("a", "b")))
   }
+
+  test("source overlap: hand-computed pairwise vocabulary Jaccard") {
+    // s1 = {a,b}, s2 = {b,c}, s3 = {a,b,c}
+    val docs = Seq(
+      ("s1", "a b a"), ("s2", "b c"), ("s3", "a b"), ("s3", "c c")
+    ).toDF("source", "text")
+    val got = Corpus.sourceOverlap(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === Map(
+      ("s1", "s2") -> ((1L, 2L, 2L, 1.0 / 3.0)),   // {b} over {a,b,c}
+      ("s1", "s3") -> ((2L, 2L, 3L, 2.0 / 3.0)),   // {a,b} over {a,b,c}
+      ("s2", "s3") -> ((2L, 2L, 3L, 2.0 / 3.0))))  // {b,c} over {a,b,c}
+  }
 }

@@ -423,4 +423,27 @@ class OpsSpec extends SparkSpec {
       (0, 0L) -> 2.0, (0, 1L) -> 3.0,
       (1, 0L) -> 10.0, (1, 1L) -> 20.0))
   }
+
+  test("negative sampling: k per anchor, no self-pairs, hash formula, deterministic") {
+    import spark.implicits._
+    val n = 10L
+    val df = (0L until n).map(i =>
+      (i, Array(i.toFloat, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.negativePairs(df, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.length === (n * 2).toInt)
+    assert(got.forall { case (a, _, neg) => a != neg }, got)
+    // replay the multiplicative hash for a couple of anchors
+    def expect(a: Long, j: Long): Long = {
+      val raw = (a * 2654435761L + j * 40503L) % n
+      if (raw == a) (raw + 1) % n else raw
+    }
+    val byAnchor = got.map { case (a, j, neg) => (a, j) -> neg }.toMap
+    for (a <- Seq(0L, 3L, 9L); j <- Seq(1L, 2L))
+      assert(byAnchor((a, j)) === expect(a, j), s"anchor $a j $j")
+    // rerun is bit-identical (no RNG state)
+    val again = Similarity.negativePairs(df, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again.toSet === got.toSet)
+  }
 }

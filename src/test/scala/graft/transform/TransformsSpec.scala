@@ -239,4 +239,31 @@ class TransformsSpec extends SparkSpec {
       assert(kept.toSeq === Seq(1L, 3L), s"broadcastList=$bcast")
     }
   }
+
+  test("upsertByKey: inserts, newer-version overwrites, stale no-ops, tie prefers update") {
+    val path = java.nio.file.Files.createTempDirectory("upsert").toString + "/t"
+    def read() = spark.read.parquet(path)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // bootstrap write path: batch itself deduped by version
+    Transforms.upsertByKey(spark, path,
+      Seq((1L, 10L, "a0"), (2L, 10L, "b0"), (2L, 9L, "b_stale"))
+        .toDF("k", "ver", "v"), Seq("k"), "ver")
+    assert(read() === Map(1L -> ((10L, "a0")), 2L -> ((10L, "b0"))))
+    // merge: new key, newer version, stale version, same-version tie
+    Transforms.upsertByKey(spark, path,
+      Seq((3L, 11L, "c1"), (2L, 11L, "b1"), (1L, 9L, "a_stale"))
+        .toDF("k", "ver", "v"), Seq("k"), "ver")
+    assert(read() === Map(
+      1L -> ((10L, "a0")),  // stale update ignored
+      2L -> ((11L, "b1")),  // newer version wins
+      3L -> ((11L, "c1")))) // insert
+    Transforms.upsertByKey(spark, path,
+      Seq((1L, 10L, "a_tie")).toDF("k", "ver", "v"), Seq("k"), "ver")
+    assert(read()(1L) === ((10L, "a_tie"))) // version tie → update wins
+    // schema drift fails loudly instead of silently dropping columns
+    intercept[IllegalArgumentException] {
+      Transforms.upsertByKey(spark, path,
+        Seq((1L, 12L)).toDF("k", "ver"), Seq("k"), "ver")
+    }
+  }
 }
