@@ -1186,6 +1186,72 @@ object Queries {
       |            AS BIGINT) AS sum_cents
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Distribution-drift monitor — PSI of the value distribution per
+    * event type, first half of the stream (reference) vs second half
+    * (current), via [[graft.transform.Stats.psiByKey]]: 10
+    * reference-defined bins, Laplace smoothing, per-bin contributions
+    * plus the running `psi_cum` whose last bucket is the headline PSI
+    * (the helper's scaladoc explains why the running sum is what makes
+    * the total gate-able). The split point is integer-µs arithmetic on
+    * a 1-row broadcast, as in q60.
+    */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        graft.transform.Stats.cents(col("value")).as("cents"))
+    val mid = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(expr("mn + (mx - mn) div 2").as("mid"))
+    // both halves feed multiple psiByKey consumers — persist the split
+    // input so the events scan + split runs once (churnSetOps posture)
+    val tagged = e.crossJoin(broadcast(mid)).persist()
+    val ref = tagged.filter(col("us") <= col("mid"))
+      .select(col("event_type"), col("cents"))
+    val cur = tagged.filter(col("us") > col("mid"))
+      .select(col("event_type"), col("cents"))
+    graft.transform.Stats.psiByKey(ref, cur, Seq("event_type"), "cents", 10)
+  }
+
+  val psiDriftSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM e),
+      |ref AS (SELECT event_type, cents FROM e, m WHERE us <= mid),
+      |cur AS (SELECT event_type, cents FROM e, m WHERE us > mid),
+      |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM ref),
+      |rb AS (SELECT event_type,
+      |              least(9, greatest(0, ((cents - mn) * 10) // (mx - mn + 1))) AS bucket,
+      |              count(*) AS n_ref
+      |       FROM ref, b GROUP BY 1, 2),
+      |cb AS (SELECT event_type,
+      |              least(9, greatest(0, ((cents - mn) * 10) // (mx - mn + 1))) AS bucket,
+      |              count(*) AS n_cur
+      |       FROM cur, b GROUP BY 1, 2),
+      |rt AS (SELECT event_type, count(*) AS nt_ref FROM ref GROUP BY 1),
+      |ct AS (SELECT event_type, count(*) AS nt_cur FROM cur GROUP BY 1),
+      |grid AS (SELECT event_type, unnest(range(0, 10)) AS bucket
+      |         FROM (SELECT DISTINCT event_type FROM ref)),
+      |j AS (SELECT grid.event_type, grid.bucket,
+      |             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
+      |             nt_ref, coalesce(nt_cur, 0) AS nt_cur
+      |      FROM grid LEFT JOIN rb USING (event_type, bucket)
+      |                LEFT JOIN cb USING (event_type, bucket)
+      |                JOIN rt USING (event_type)
+      |                LEFT JOIN ct USING (event_type)),
+      |k AS (SELECT event_type, bucket, n_ref, n_cur,
+      |             (CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + 10 AS DOUBLE)
+      |              - CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + 10 AS DOUBLE))
+      |             * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + 10 AS DOUBLE))
+      |                  / (CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + 10 AS DOUBLE))) AS c
+      |      FROM j)
+      |SELECT event_type, bucket, n_ref, n_cur,
+      |       floor(c * 1000000.0 + 0.5) / 1000000.0 AS contrib,
+      |       floor(sum(c) OVER (PARTITION BY event_type ORDER BY bucket ASC
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS psi_cum
+      |FROM k""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -1226,7 +1292,8 @@ object Queries {
     "q69_corr_stats" -> corrStats _,
     "q70_ewma" -> ewmaRecency _,
     "q71_rank_family" -> rankFamily _,
-    "q72_schema_evolution" -> schemaEvolution _)
+    "q72_schema_evolution" -> schemaEvolution _,
+    "q75_psi_drift" -> psiDrift _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -1267,5 +1334,6 @@ object Queries {
     "q69_corr_stats" -> corrStatsSql,
     "q70_ewma" -> ewmaRecencySql,
     "q71_rank_family" -> rankFamilySql,
-    "q72_schema_evolution" -> schemaEvolutionSql)
+    "q72_schema_evolution" -> schemaEvolutionSql,
+    "q75_psi_drift" -> psiDriftSql)
 }

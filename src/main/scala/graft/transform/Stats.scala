@@ -190,6 +190,73 @@ object Stats {
     df.withColumn("bucket", bucket)
   }
 
+  /** Population Stability Index between a reference and a current
+    * slice, per key — THE production drift monitor for feature
+    * distributions (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * alarm). Reference data defines `nBuckets` equal-width bins (its
+    * own min/max; current values outside clamp into the edge bins —
+    * drift INTO the tails must land somewhere visible, not drop);
+    * counts are Laplace-smoothed (+1 per bin) so empty bins stay
+    * finite without an arbitrary epsilon; the per-bin contribution is
+    * `(p−q)·ln(p/q)`.
+    *
+    * Gate-ability: every probability is a single division of exact
+    * integers (identical binary64 cross-engine), `ln` is the one
+    * ±1-ulp step (absorbed by the 6dp pround on a bins×keys-bounded
+    * output), and the headline PSI is emitted as a RUNNING sum over
+    * the bucket order (`psi_cum` at the last bucket) — a window frame
+    * sums sequentially in frame order in any engine, so the
+    * association is pinned where a plain `sum()`'s grouping-order
+    * dependence would break the hash.
+    *
+    * Scale: two keyed bucket-count aggs (map-side partials; output is
+    * keys×bins rows), a keys×bins grid from the distinct-keys frame,
+    * and broadcast joins of the count/total frames. Nothing
+    * corpus-sized past the first aggregation.
+    */
+  def psiByKey(ref: DataFrame, cur: DataFrame, keyCols: Seq[String],
+      centsCol: String, nBuckets: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "psiByKey needs at least one key column")
+    require(nBuckets >= 2, "psiByKey needs at least two buckets")
+    val keys = keyCols.map(col)
+    val bounds = ref.agg(min(col(centsCol)).as("__mn"), max(col(centsCol)).as("__mx"))
+    def bucketed(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(bounds))
+        .select(keys :+
+          least(lit(nBuckets - 1L), greatest(lit(0L),
+            expr(s"(($centsCol - __mn) * $nBuckets) div (__mx - __mn + 1)")))
+            .cast("long").as("bucket"): _*)
+        .groupBy(keys :+ col("bucket"): _*)
+        .agg(count(lit(1)).as("n"))
+    val refCounts = bucketed(ref).withColumnRenamed("n", "n_ref")
+    val curCounts = bucketed(cur).withColumnRenamed("n", "n_cur")
+    val refTotals = ref.groupBy(keys: _*).agg(count(lit(1)).as("nt_ref"))
+    val curTotals = cur.groupBy(keys: _*).agg(count(lit(1)).as("nt_cur"))
+    val grid = ref.select(keys: _*).distinct()
+      .select(keys :+ explode(sequence(lit(0L), lit(nBuckets - 1L))).as("bucket"): _*)
+    val p = (col("n_ref") + 1).cast("double") /
+      (col("nt_ref") + nBuckets).cast("double")
+    val q = (col("n_cur") + 1).cast("double") /
+      (col("nt_cur") + nBuckets).cast("double")
+    val contrib = (p - q) * log(p / q)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys: _*).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    import graft.util.Rounding.pround
+    grid
+      .join(broadcast(refCounts), keyCols :+ "bucket", "left")
+      .join(broadcast(curCounts), keyCols :+ "bucket", "left")
+      .join(broadcast(refTotals), keyCols)
+      .join(broadcast(curTotals), keyCols, "left")
+      .select(keys ++ Seq(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        col("nt_ref"), coalesce(col("nt_cur"), lit(0L)).as("nt_cur")): _*)
+      .select(keys ++ Seq(col("bucket"), col("n_ref"), col("n_cur"),
+        pround(contrib, 6).as("contrib"),
+        pround(sum(contrib).over(w), 6).as("psi_cum")): _*)
+  }
+
   /** Rounded-cents helper shared by the catalog queries: `floor(v*100
     * + 0.5)` as long — the one rounding spelling that matches DuckDB's
     * `CAST(floor(value*100+0.5) AS BIGINT)` bit-for-bit. */

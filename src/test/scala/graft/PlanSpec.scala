@@ -332,6 +332,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("PSI drift: every stats-frame join broadcasts, no corpus-key shuffle join") {
+    val p = plan(Queries.psiDrift(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"bucket-count/total frames must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")

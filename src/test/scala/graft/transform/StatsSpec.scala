@@ -85,6 +85,39 @@ class StatsSpec extends SparkSpec {
     assert(ids.subsetOf((0L until 3L).toSet))
   }
 
+  test("psiByKey: zero for identical halves, hand-formula for a planted shift") {
+    def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // key a: ref == cur (0..9, one per bucket) → every contrib 0, psi 0
+    val aRef = (0L to 9L).map(("a", _))
+    // key b: ref mass at both ends, cur all at the top bucket
+    val bRef = Seq.fill(5)(("b", 0L)) ++ Seq.fill(5)(("b", 9L))
+    val bCur = Seq.fill(10)(("b", 9L))
+    val ref = (aRef ++ bRef).toDF("k", "cents")
+    val cur = (aRef ++ bCur).toDF("k", "cents")
+    val got = Stats.psiByKey(ref, cur, Seq("k"), "cents", nBuckets = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.size === 20)
+    for (bkt <- 0L to 9L) {
+      val (nr, nc, c, cum) = got(("a", bkt))
+      assert((nr, nc, c, cum) === ((1L, 1L, 0.0, 0.0)))
+    }
+    // b: smoothed p/q over nt+10 = 20: bucket 0 p=6/20 q=1/20;
+    // empty buckets 1..8 p=q=1/20 → 0; bucket 9 p=6/20 q=11/20
+    def contrib(nr: Long, nc: Long) = {
+      val p = (nr + 1).toDouble / 20.0
+      val q = (nc + 1).toDouble / 20.0
+      (p - q) * math.log(p / q)
+    }
+    val c0 = contrib(5, 0)
+    val c9 = contrib(5, 10)
+    assert(got(("b", 0L)) === ((5L, 0L, pr6(c0), pr6(c0))))
+    assert(got(("b", 5L)) === ((0L, 0L, 0.0, pr6(c0))))
+    assert(got(("b", 9L)) === ((5L, 10L, pr6(c9), pr6(c0 + c9))))
+    // the planted shift reads as severe drift on the PSI scale
+    assert(got(("b", 9L))._4 > 0.25)
+  }
+
   test("rangeBucketize: near-equal-frequency buckets, monotone in the value") {
     val df = (0L until 10000L).map(Tuple1(_)).toDF("cents")
     val got = Stats.rangeBucketize(df, "cents", 4)
