@@ -35,5 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MinHashSigs(es.head, intLit(es(1), "minhash_sigs n"))))
     ext.injectFunction((FunctionIdentifier("nfc_normalize"), info("nfc_normalize"),
       (es: Seq[Expression]) => graft.functions.NfcNormalize(es.head)))
+    ext.injectFunction((FunctionIdentifier("interleave_bits"), info("interleave_bits"),
+      (es: Seq[Expression]) => graft.functions.InterleaveBits(es(0), es(1))))
   }
 }

@@ -372,6 +372,69 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Morton (Z-order) code: interleaves the low 32 bits of two
+  * non-negative longs (a even bit positions, b odd) into one long whose
+  * linear order traverses the 2-D space as the Z space-filling curve —
+  * the multi-dimensional data-layout key ("OPTIMIZE ZORDER BY"): rows
+  * sorted by the Morton code cluster values that are close in BOTH
+  * dimensions into the same parquet row groups, so min/max pruning
+  * works for predicates on EITHER column, where a lexicographic sort
+  * only prunes its leading column. Inputs are expected pre-bucketed to
+  * ≤ 32 bits (e.g. [[graft.transform.Stats.histogramFixedWidth]]'s
+  * integer bucket arithmetic or rank-scaling); values wider than 32
+  * bits fail rather than silently truncate. Codegen'd via the standard
+  * mask-spread (5 shift-or steps per operand, no loop).
+  */
+case class InterleaveBits(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"interleave_bits needs two longs, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    InterleaveBits.evalImpl(l.asInstanceOf[Long], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.InterleaveBits.evalImpl($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): InterleaveBits =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "interleave_bits"
+}
+
+object InterleaveBits {
+  // evalImpl, not eval — see NormalizedMd5's companion note (text.scala).
+  def evalImpl(a: Long, b: Long): Long = {
+    if ((a | b) >>> 32 != 0)
+      throw new IllegalArgumentException(
+        s"interleave_bits inputs must fit in 32 bits, got $a, $b")
+    spread(a) | (spread(b) << 1)
+  }
+
+  /** Spreads the low 32 bits of x to the even bit positions of a long
+    * (the classic Morton magic-mask cascade). */
+  def spread(x: Long): Long = {
+    var v = x & 0xffffffffL
+    v = (v | (v << 16)) & 0x0000ffff0000ffffL
+    v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
+    v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+}
+
 /** Column-level API + SQL registration for the custom expressions. */
 object functions {
   def rolling_hash(c: Column): Column =
@@ -391,6 +454,9 @@ object functions {
     GraftSqlBridge.column(CountInSet(GraftSqlBridge.expression(c), words))
   def nfc_normalize(c: Column): Column =
     GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(c)))
+  def interleave_bits(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      InterleaveBits(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** Register the custom expressions for SQL use in a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

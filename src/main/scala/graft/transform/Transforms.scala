@@ -398,6 +398,44 @@ object Transforms {
     }
   }
 
+  /** Z-order layout write — the multi-dimensional pruning layout
+    * ("OPTIMIZE ZORDER BY"): each layout column is scaled to a
+    * `bits`-bit integer against its own min/max with pure-integer
+    * arithmetic (the [[graft.transform.Stats.histogramFixedWidth]]
+    * bucket form), the two scaled values Morton-interleave into a
+    * z-value via the codegen [[graft.functions.InterleaveBits]], and
+    * the data is range-partitioned + sorted by that z-value before
+    * writing. Rows close in BOTH dimensions land in the same files/row
+    * groups, so parquet min/max pruning cuts scans for predicates on
+    * EITHER column — a lexicographic sort only serves its leading
+    * column. The bounds row is a 1-row broadcast; the range partitioner
+    * samples the z-value; locality (per-file spread ≤ half the global
+    * spread on both dims) is spec-pinned, not assumed.
+    */
+  def zOrderWrite(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      numFiles: Int,
+      bits: Int = 16): Unit = {
+    require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
+    require(numFiles >= 1, "numFiles must be positive")
+    val scale = 1L << bits
+    val bounds = df.agg(
+      min(col(colA)).as("__mna"), max(col(colA)).as("__mxa"),
+      min(col(colB)).as("__mnb"), max(col(colB)).as("__mxb"))
+    def scaled(c: String, mn: String, mx: String) =
+      expr(s"(($c - $mn) * $scale) div ($mx - $mn + 1)")
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", graft.functions.functions.interleave_bits(
+        scaled(colA, "__mna", "__mxa"), scaled(colB, "__mnb", "__mxb")))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z", "__mna", "__mxa", "__mnb", "__mxb")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed catalog table: pre-shuffles data into `numBuckets` by
     * `bucketCols` at write time so subsequent equi-joins/aggregations on
     * those keys skip their exchange entirely (verified in PlanSpec).

@@ -89,6 +89,29 @@ class FunctionsSpec extends SparkSpec {
     assert(n.filter(col("v").isNull).count() === 1)
   }
 
+  test("interleave_bits == naive bit-loop Morton reference; 33-bit input throws") {
+    def naive(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 32)
+        z |= (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val rnd = new scala.util.Random(42)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0xffffffffL, 0L),
+      (0L, 0xffffffffL), (0xffffffffL, 0xffffffffL), (12345L, 67890L)) ++
+      Seq.fill(200)((rnd.nextInt(Int.MaxValue).toLong, rnd.nextInt(Int.MaxValue).toLong))
+    for ((a, b) <- cases)
+      assert(InterleaveBits.evalImpl(a, b) === naive(a, b), s"($a, $b)")
+    // the column path agrees with the kernel
+    val df = cases.toDF("a", "b")
+      .select(gf.interleave_bits(col("a"), col("b")).as("z"),
+        col("a"), col("b")).collect()
+    df.foreach(r => assert(r.getLong(0) === naive(r.getLong(1), r.getLong(2))))
+    intercept[IllegalArgumentException] {
+      InterleaveBits.evalImpl(1L << 32, 0L)
+    }
+  }
+
   test("fused minhash signatures == explode+groupBy formulation") {
     val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
     val viaAgg = graft.ops.Dedup.minhashSignatures(
@@ -122,7 +145,8 @@ class FunctionsSpec extends SparkSpec {
         gf.minhash_sigs(col("text"), 3).as("mh"),
         gf.count_in_set(graft.ops.TextAnalysis.tokens(col("text")),
           graft.ops.TextAnalysis.StopwordsEn).as("c"),
-        gf.nfc_normalize(concat(col("text"), lit("e\u0301"))).as("nfc"))
+        gf.nfc_normalize(concat(col("text"), lit("e\u0301"))).as("nfc"),
+        gf.interleave_bits(col("doc_id"), col("doc_id")).as("z"))
       assert(scalar.count() === 50)
       assert(scalar.filter(col("h").isNull || col("rh").isNull).count() === 0)
       val emb = Tables.load(spark, sf0001, "embeddings").limit(10)

@@ -266,4 +266,21 @@ class TransformsSpec extends SparkSpec {
         Seq((1L, 12L)).toDF("k", "ver"), Seq("k"), "ver")
     }
   }
+
+  test("zOrderWrite clusters both dimensions: per-file spread <= half the global") {
+    val path = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    // 64x64 grid: a lexicographic (x, y) sort into 16 files would give
+    // every file the FULL y spread; z-order must bound both
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    Transforms.zOrderWrite(grid.toDF("x", "y"), path, "x", "y", numFiles = 16)
+    val byFile = spark.read.parquet(path)
+      .select(input_file_name().as("f"), col("x"), col("y"))
+      .groupBy("f")
+      .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(byFile.length >= 8, s"expected ~16 files, got ${byFile.length}")
+    byFile.foreach { case (sx, sy) =>
+      assert(sx <= 32 && sy <= 32, s"file spread ($sx, $sy) not clustered")
+    }
+  }
 }
