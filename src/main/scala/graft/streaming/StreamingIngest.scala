@@ -128,13 +128,29 @@ object StreamingIngest {
     * not collide with left columns (the join emits both sides; the
     * duplicate equality key is dropped here, mirroring
     * [[graft.transform.AsOfJoin]]'s collision posture).
+    *
+    * `joinType = "left_outer"` gives the unconverted-impression shape:
+    * matches emit immediately, but an UNMATCHED left row can only emit
+    * (null-padded) once the watermark passes the end of its join
+    * interval — before that a matching right row could still arrive, so
+    * outer results trail the watermark by `within + delay`, typically
+    * surfacing a micro-batch later (spec-pinned). This is inherent to
+    * event-time outer joins, not an implementation lag. Note the
+    * GLOBAL watermark is the MIN across all inputs
+    * (`multipleWatermarkPolicy=min`): a quiet input pins it — and with
+    * it, every outer emission — in place; production attribution
+    * pipelines need idle-input heartbeats or a policy override
+    * (spec-pinned via the both-sides drip).
     */
   def joinWithinInterval(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      delay: String = "1 hour", within: String = "30 minutes"): DataFrame = {
+      delay: String = "1 hour", within: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     require(leftTs != rightTs,
       s"rename one side's event-time column ($leftTs collides)")
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"joinWithinInterval supports inner/left_outer, got $joinType")
     val others = right.columns.filterNot(c => c == key || c == rightTs)
     val clash = others.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"right value columns collide with left: $clash")
@@ -142,7 +158,7 @@ object StreamingIngest {
     val r = right.withWatermark(rightTs, delay).alias("r")
     l.join(r, expr(
         s"l.$key = r.$key AND r.$rightTs >= l.$leftTs " +
-          s"AND r.$rightTs <= l.$leftTs + INTERVAL $within"))
+          s"AND r.$rightTs <= l.$leftTs + INTERVAL $within"), joinType)
       .drop(col(s"r.$key"))
   }
 

@@ -244,4 +244,50 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("attrib_out").columns.count(_ == "user_id") === 1)
     } finally q.stop()
   }
+
+  test("stream-stream LEFT OUTER: matches emit now, unmatched only after the watermark closes their interval") {
+    val impDir = Files.createTempDirectory("stream_imp2").toString
+    val clkDir = Files.createTempDirectory("stream_clk2").toString
+    writeDrop(impDir, Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),   // will match
+      (2L, "2024-01-01 10:02:00", 2.0)))  // never matches
+    writeDrop(clkDir, Seq((1L, "2024-01-01 10:10:00", 0.0)))
+    val schema = spark.read.parquet(impDir).schema
+    val imps = StreamingIngest.readStream(spark, impDir, schema)
+      .select(col("user_id"), col("ts"), col("value").as("imp_value"))
+    val clks = StreamingIngest.readStream(spark, clkDir, schema)
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val joined = StreamingIngest.joinWithinInterval(
+      imps, clks, key = "user_id", leftTs = "ts", rightTs = "click_ts",
+      delay = "10 minutes", within = "30 minutes", joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_outer").start()
+    try {
+      q.processAllAvailable()
+      def rows() = spark.table("attrib_outer")
+        .select(col("user_id"),
+          col("click_ts").cast("string"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      // u1 matched immediately; u2's interval [10:02, 10:32] is still
+      // open (watermark = 10:10 - 10m), so no null row yet
+      assert(rows() === Set((1L, Some("2024-01-01 10:10:00"))))
+      // push the watermark past 10:32 with late unrelated events on
+      // BOTH inputs (the global watermark is the MIN across inputs —
+      // advancing only one side pins it); the null-padded row may
+      // trail by a micro-batch — drip and drain
+      var attempt = 0
+      while (!rows().contains((2L, None)) && attempt < 5) {
+        writeDrop(impDir, Seq(
+          (98L, s"2024-01-01 11:0$attempt:00", 0.0)))
+        writeDrop(clkDir, Seq(
+          (99L, s"2024-01-01 11:0$attempt:00", 0.0)))
+        q.processAllAvailable()
+        attempt += 1
+      }
+      assert(rows().contains((2L, None)),
+        s"unmatched impression never emitted: ${rows()}")
+      // and the match did not duplicate
+      assert(rows().count(_._1 == 1L) === 1)
+    } finally q.stop()
+  }
 }
