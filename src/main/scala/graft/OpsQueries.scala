@@ -1234,6 +1234,33 @@ object OpsQueries {
       |         / CAST(x.nv + y.nv - n_common AS DOUBLE) AS jaccard
       |FROM iv JOIN sz x ON x.source = iv.s1 JOIN sz y ON y.source = iv.s2""".stripMargin
 
+  // ------------------------------------------------------------ entropy
+  /** Per-source token entropy via [[Corpus.tokenEntropy]] — corpus
+    * diversity with the running-sum gating device (the last token's
+    * `entropy_cum` per source is the headline metric).
+    */
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame =
+    Corpus.tokenEntropy(docs(s, dir), "source", "text")
+
+  val tokenEntropySql: String =
+    """WITH c AS (
+      |  SELECT source, tok, count(*) AS n FROM (
+      |    SELECT source,
+      |           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1),
+      |k AS (SELECT source, tok, n,
+      |             -((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+      |               * ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))) AS ct
+      |      FROM c JOIN t USING (source))
+      |SELECT source, tok, n,
+      |       floor(ct * 1000000.0 + 0.5) / 1000000.0 AS contrib,
+      |       floor(sum(ct) OVER (PARTITION BY source ORDER BY tok ASC
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS entropy_cum
+      |FROM k""".stripMargin
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -1271,7 +1298,8 @@ object OpsQueries {
     "q66_pmi" -> pmiCollocations _,
     "q67_nfc_normalize" -> nfcNormalizeDocs _,
     "q73_negative_pairs" -> negativePairs _,
-    "q74_source_overlap" -> sourceOverlap _)
+    "q74_source_overlap" -> sourceOverlap _,
+    "q76_token_entropy" -> tokenEntropy _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1309,5 +1337,6 @@ object OpsQueries {
     "q66_pmi" -> pmiCollocationsSql,
     "q67_nfc_normalize" -> nfcNormalizeDocsSql,
     "q73_negative_pairs" -> negativePairsSql,
-    "q74_source_overlap" -> sourceOverlapSql)
+    "q74_source_overlap" -> sourceOverlapSql,
+    "q76_token_entropy" -> tokenEntropySql)
 }

@@ -327,6 +327,37 @@ object Corpus {
     } finally st.unpersist(blocking = false)
   }
 
+  /** Per-source token-distribution Shannon entropy — the corpus
+    * diversity metric (a crawl mirror dominated by boilerplate scores
+    * low; a balanced source approaches ln(vocab)). Emits one row per
+    * (source, token) with its probability contribution `-p·ln p` and a
+    * RUNNING entropy over the token order: the last token's
+    * `entropy_cum` is the headline number, and the window-frame
+    * association is what makes a transcendental SUM hash-gateable
+    * (same device as [[graft.transform.Stats.psiByKey]] — groupBy sums
+    * of doubles are partition-order-dependent; ordered frames are
+    * not).
+    *
+    * Scale: one keyed counting agg (map-side partials), per-source
+    * totals broadcast, and a per-source window over VOCABULARY-sized
+    * partitions — bounded by distinct tokens, not corpus rows.
+    */
+  def tokenEntropy(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val counts = df.select(col(sourceCol).as("source"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("nt"))
+    val p = col("n").cast("double") / col("nt").cast("double")
+    val contrib = -(p * log(p))
+    val w = Window.partitionBy(col("source")).orderBy(col("tok").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("tok"), col("n"),
+        pround(contrib, 6).as("contrib"),
+        pround(sum(contrib).over(w), 6).as("entropy_cum"))
+  }
+
   /** Deterministic train/val/test assignment by the first hex nibble of
     * md5(id): 0-b → train (75%), c-d → val (12.5%), e-f → test (12.5%).
     * Hash-based splits are the standard reproducible-pipeline device —

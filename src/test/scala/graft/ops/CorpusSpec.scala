@@ -375,6 +375,25 @@ class CorpusSpec extends SparkSpec {
     assert(pruned === Seq(("a", "b")))
   }
 
+  test("token entropy: hand-computed contributions and ordered running sum") {
+    def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val docs = Seq(("s1", "a a b c")).toDF("source", "text")
+    val got = Corpus.tokenEntropy(docs, "source", "text")
+      .orderBy("tok").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+    val ca = -(0.5 * math.log(0.5))
+    val cb = -(0.25 * math.log(0.25))
+    assert(got === Seq(
+      ("a", 2L, pr6(ca), pr6(ca)),
+      ("b", 1L, pr6(cb), pr6(ca + cb)),
+      ("c", 1L, pr6(cb), pr6(ca + cb + cb))))
+    // uniform distribution maximizes entropy at ln(vocab)
+    val uni = Seq(("u", "x y z w")).toDF("source", "text")
+    val h = Corpus.tokenEntropy(uni, "source", "text")
+      .orderBy(col("tok").desc).select("entropy_cum").head().getDouble(0)
+    assert(h === pr6(math.log(4.0)))
+  }
+
   test("source overlap: hand-computed pairwise vocabulary Jaccard") {
     // s1 = {a,b}, s2 = {b,c}, s3 = {a,b,c}
     val docs = Seq(
