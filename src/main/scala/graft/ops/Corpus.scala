@@ -267,32 +267,34 @@ object Corpus {
   def pmiCollocations(df: DataFrame, textCol: String,
       minCount: Int = 5): DataFrame = {
     require(minCount >= 1, "pmiCollocations needs minCount >= 1")
-    val toks = df.select(
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c")).persist()
-    try {
-      val nUni = toks.agg(count(lit(1)).as("n_uni"))
-      val bg = df.select(
-        explode(graft.functions.functions.word_shingles(col(textCol), 2))
-          .as("bigram"))
-      val nBg = bg.agg(count(lit(1)).as("n_bg"))
-      val pairs = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
-        .filter(col("c_xy") >= minCount)
-        .select(
-          element_at(split(col("bigram"), " ", 2), 1).as("x"),
-          element_at(split(col("bigram"), " ", 2), 2).as("y"),
-          col("c_xy"))
-      def d(c: org.apache.spark.sql.Column) = c.cast("double")
-      pairs
-        .join(broadcast(uni.select(col("tok").as("x"), col("c").as("c_x"))), Seq("x"))
-        .join(broadcast(uni.select(col("tok").as("y"), col("c").as("c_y"))), Seq("y"))
-        .crossJoin(broadcast(nUni))
-        .crossJoin(broadcast(nBg))
-        .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
-          pround(log(
-            (d(col("c_xy")) * d(col("n_uni")) * d(col("n_uni"))) /
-              (d(col("n_bg")) * d(col("c_x")) * d(col("c_y")))), 6).as("pmi"))
-    } finally uni.unpersist(blocking = false)
+    // both COUNTED tables (vocab-sized, not corpus-sized) are persisted
+    // with no eager unpersist — they each feed two consumers (their
+    // total + a join side) and must stay registered until the caller's
+    // action; corpus totals are sums OVER the counted tables, so each
+    // bag is exploded exactly once
+    val uc = df.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c")).persist()
+    val nUni = uc.agg(sum(col("c")).as("n_uni"))
+    val bgc = df.select(
+      explode(graft.functions.functions.word_shingles(col(textCol), 2))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy")).persist()
+    val nBg = bgc.agg(sum(col("c_xy")).as("n_bg"))
+    val pairs = bgc.filter(col("c_xy") >= minCount)
+      .select(
+        element_at(split(col("bigram"), " ", 2), 1).as("x"),
+        element_at(split(col("bigram"), " ", 2), 2).as("y"),
+        col("c_xy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    pairs
+      .join(broadcast(uc.select(col("tok").as("x"), col("c").as("c_x"))), Seq("x"))
+      .join(broadcast(uc.select(col("tok").as("y"), col("c").as("c_y"))), Seq("y"))
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBg))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        pround(log(
+          (d(col("c_xy")) * d(col("n_uni")) * d(col("n_uni"))) /
+            (d(col("n_bg")) * d(col("c_x")) * d(col("c_y")))), 6).as("pmi"))
   }
 
   /** Pairwise source-vocabulary overlap — Jaccard similarity of the
@@ -310,21 +312,22 @@ object Corpus {
     */
   def sourceOverlap(df: DataFrame, sourceCol: String,
       textCol: String): DataFrame = {
+    // persisted with no eager unpersist (three consumers — sizes and
+    // both self-join sides — must see the cache at the caller's action;
+    // CacheManager dedupes repeat invocations)
     val st = df.select(col(sourceCol).as("source"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok")).distinct().persist()
-    try {
-      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("nv"))
-      st.select(col("source").as("s1"), col("tok"))
-        .join(st.select(col("source").as("s2"), col("tok")), Seq("tok"))
-        .filter(col("s1") < col("s2"))
-        .groupBy(col("s1"), col("s2"))
-        .agg(count(lit(1)).as("n_common"))
-        .join(broadcast(sizes.select(col("source").as("s1"), col("nv").as("n1"))), Seq("s1"))
-        .join(broadcast(sizes.select(col("source").as("s2"), col("nv").as("n2"))), Seq("s2"))
-        .select(col("s1"), col("s2"), col("n_common"), col("n1"), col("n2"),
-          (col("n_common").cast("double") /
-            (col("n1") + col("n2") - col("n_common")).cast("double")).as("jaccard"))
-    } finally st.unpersist(blocking = false)
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    st.select(col("source").as("s1"), col("tok"))
+      .join(st.select(col("source").as("s2"), col("tok")), Seq("tok"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("s1"), col("nv").as("n1"))), Seq("s1"))
+      .join(broadcast(sizes.select(col("source").as("s2"), col("nv").as("n2"))), Seq("s2"))
+      .select(col("s1"), col("s2"), col("n_common"), col("n1"), col("n2"),
+        (col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")).cast("double")).as("jaccard"))
   }
 
   /** Per-source token-distribution Shannon entropy — the corpus
@@ -341,6 +344,13 @@ object Corpus {
     * Scale: one keyed counting agg (map-side partials), per-source
     * totals broadcast, and a per-source window over VOCABULARY-sized
     * partitions — bounded by distinct tokens, not corpus rows.
+    *
+    * Gate budget: the running sum accumulates the per-term 1-ulp `ln`
+    * divergence linearly along the partition, so the hash gate is
+    * sound only for bounded vocabularies (≲10⁴ terms keeps the
+    * expected boundary-straddle count ≪ 1 at 6dp). For open-ended
+    * web vocabularies, gate per-source TOTALS only, or restrict to a
+    * top-K vocabulary first (the [[tfidfTopK]] posture).
     */
   def tokenEntropy(df: DataFrame, sourceCol: String,
       textCol: String): DataFrame = {

@@ -154,6 +154,12 @@ object StreamingIngest {
     val others = right.columns.filterNot(c => c == key || c == rightTs)
     val clash = others.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"right value columns collide with left: $clash")
+    require(!left.columns.contains(rightTs),
+      s"left already has a column named $rightTs — the joined output " +
+        "would carry duplicate names")
+    require(!right.columns.contains(leftTs),
+      s"right already has a column named $leftTs — the joined output " +
+        "would carry duplicate names")
     val l = left.withWatermark(leftTs, delay).alias("l")
     val r = right.withWatermark(rightTs, delay).alias("r")
     l.join(r, expr(

@@ -73,7 +73,10 @@ object Stats {
     *
     * Two aggregation passes (MAD is a quantile OF deviations from a
     * quantile — inherently two-phase); the deviation frame is persisted
-    * so the input is scanned once, and both stats frames are
+    * so the input is scanned once across them (no eager unpersist — the
+    * frame must stay registered until the CALLER's action runs, and
+    * the CacheManager dedupes identical plans on repeat invocations,
+    * the catalog-wide pattern since q60); both stats frames are
     * group-cardinality-sized broadcasts.
     */
   def madOutliers(df: DataFrame, keyCols: Seq[String], centsCol: String,
@@ -85,16 +88,14 @@ object Stats {
     val dev = df.join(broadcast(med), keyCols)
       .withColumn("__dev", abs(col(centsCol).cast("double") - col("med")))
       .persist()
-    try {
-      val mad = dev.groupBy(keys: _*)
-        .agg(expr("percentile(__dev, 0.5)").as("mad"))
-      dev.join(broadcast(mad), keyCols)
-        .groupBy(keys: _*)
-        .agg(count(lit(1)).as("n"),
-          min(col("med")).as("med"),
-          min(col("mad")).as("mad"),
-          sum((col("__dev") > col("mad") * k).cast("long")).as("n_outliers"))
-    } finally dev.unpersist(blocking = false)
+    val mad = dev.groupBy(keys: _*)
+      .agg(expr("percentile(__dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), keyCols)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum((col("__dev") > col("mad") * k).cast("long")).as("n_outliers"))
   }
 
   /** Pearson correlation + OLS slope per key from EXACT moment sums.
