@@ -1261,6 +1261,34 @@ object OpsQueries {
       |             * 1000000.0 + 0.5) / 1000000.0 AS entropy_cum
       |FROM k""".stripMargin
 
+  // ------------------------------------------------------------ token budget
+  /** Token-budget sampling via [[Corpus.tokenBudgetSample]] — each
+    * source contributes at most half its token mass, filled in
+    * deterministic md5 order. Complements q52 (doc-count quotas) with
+    * the token-denominated budget pretraining mixtures actually use.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame =
+    Corpus.tokenBudgetSample(docs(s, dir), "source", "doc_id", "text")
+
+  val tokenBudgetSql: String =
+    """WITH tk AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |           AS n_tok,
+      |         md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |b AS (SELECT source, CAST((sum(n_tok) * 1) // 2 AS BIGINT) AS budget
+      |      FROM tk GROUP BY 1),
+      |r AS (SELECT source, doc_id, n_tok,
+      |             CAST(sum(n_tok) OVER (PARTITION BY source
+      |                                   ORDER BY h ASC, doc_id ASC
+      |                                   ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                   AND CURRENT ROW) AS BIGINT) AS cum_tok
+      |      FROM tk)
+      |SELECT source, doc_id, n_tok, cum_tok, budget
+      |FROM r JOIN b USING (source)
+      |WHERE cum_tok <= budget""".stripMargin
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -1299,7 +1327,8 @@ object OpsQueries {
     "q67_nfc_normalize" -> nfcNormalizeDocs _,
     "q73_negative_pairs" -> negativePairs _,
     "q74_source_overlap" -> sourceOverlap _,
-    "q76_token_entropy" -> tokenEntropy _)
+    "q76_token_entropy" -> tokenEntropy _,
+    "q77_token_budget" -> tokenBudget _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1338,5 +1367,6 @@ object OpsQueries {
     "q67_nfc_normalize" -> nfcNormalizeDocsSql,
     "q73_negative_pairs" -> negativePairsSql,
     "q74_source_overlap" -> sourceOverlapSql,
-    "q76_token_entropy" -> tokenEntropySql)
+    "q76_token_entropy" -> tokenEntropySql,
+    "q77_token_budget" -> tokenBudgetSql)
 }

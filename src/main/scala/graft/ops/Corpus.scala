@@ -368,6 +368,41 @@ object Corpus {
         pround(sum(contrib).over(w), 6).as("entropy_cum"))
   }
 
+  /** Token-budget sampling — keep documents, in deterministic md5
+    * order, until each source has contributed at most `num/den` of its
+    * total TOKEN mass (not doc count): the downsample-a-source-to-X%%-
+    * of-tokens mixture-control primitive ([[sampleToQuotas]] counts
+    * docs; pretraining budgets are token-denominated). The md5 order
+    * is the reproducible shuffle ([[hashSplit]]'s device), the budget
+    * is integer arithmetic on a broadcast per-source total, and the
+    * running token sum is an ordered window of exact longs — every
+    * emitted number hash-gates with no rounding step.
+    *
+    * Scale: one keyed total agg (broadcast, source-cardinality rows) +
+    * one per-source ranking window (the [[sampleToQuotas]] salted
+    * two-phase valve applies verbatim if a single source outgrows its
+    * reducer).
+    */
+  def tokenBudgetSample(df: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, num: Int = 1, den: Int = 2): DataFrame = {
+    require(num >= 1 && den >= 1 && num <= den,
+      s"budget fraction must be in (0,1], got $num/$den")
+    val toks = df.select(col(sourceCol).as("source"), col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"),
+      md5(col(idCol).cast("string")).as("h"))
+    // `div`, not `/`: Column./ on longs is DOUBLE division in Spark
+    val budgets = toks.groupBy(col("source"))
+      .agg(expr(s"(sum(n_tok) * $num) div $den").cast("long").as("budget"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("cum_tok") <= col("budget"))
+      .select(col("source"), col(idCol), col("n_tok"), col("cum_tok"),
+        col("budget"))
+  }
+
   /** Deterministic train/val/test assignment by the first hex nibble of
     * md5(id): 0-b → train (75%), c-d → val (12.5%), e-f → test (12.5%).
     * Hash-based splits are the standard reproducible-pipeline device —

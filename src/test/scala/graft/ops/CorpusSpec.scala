@@ -394,6 +394,22 @@ class CorpusSpec extends SparkSpec {
     assert(h === pr6(math.log(4.0)))
   }
 
+  test("token budget sample: strict cumulative cut in md5 order") {
+    // md5("1") < md5("2") < md5("3") (c4ca… < c81e…? no — 4 < 8, so yes)
+    // totals: 1 + 2 + 3 = 6 tokens, budget = 3 → docs 1 (cum 1) and
+    // 2 (cum 3) kept, doc 3 (cum 6) cut
+    val docs = Seq(
+      (1L, "s", "a"), (2L, "s", "b c"), (3L, "s", "d e f")
+    ).toDF("doc_id", "source", "text")
+    val got = Corpus.tokenBudgetSample(docs, "source", "doc_id", "text")
+      .orderBy("cum_tok").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq((1L, 1L, 1L, 3L), (2L, 2L, 3L, 3L)))
+    // a first doc that alone overshoots the budget empties its source
+    val fat = Seq((1L, "t", "a b c d e f g h")).toDF("doc_id", "source", "text")
+    assert(Corpus.tokenBudgetSample(fat, "source", "doc_id", "text").count() === 0)
+  }
+
   test("source overlap: hand-computed pairwise vocabulary Jaccard") {
     // s1 = {a,b}, s2 = {b,c}, s3 = {a,b,c}
     val docs = Seq(
