@@ -1258,6 +1258,77 @@ object Queries {
       |             * 1000000.0 + 0.5) / 1000000.0 AS psi_cum
       |FROM k""".stripMargin
 
+  /** Explicit GROUPING SETS — the two marginal-total sets only
+    * ((event_type), (user_bucket)), which neither ROLLUP (q49, the
+    * hierarchy prefix lattice) nor CUBE (q54, the full lattice) can
+    * express without computing extra sets: the custom-report shape.
+    * Declared through `spark.sql` over a temp view — the SQL entry
+    * point is part of the API surface (SURVEY §1.4) and GROUPING SETS
+    * has no DataFrame-side equivalent. Spark expands the declared sets
+    * into ONE keyed agg pass with map-side partials, same as
+    * cube/rollup (Expand + single Exchange, pinned in PlanSpec).
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .withColumn("user_bucket", (col("user_id") % 10).cast("long"))
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .createOrReplaceTempView("__gs_events")
+    s.sql(
+      """SELECT event_type, user_bucket, count(*) AS n,
+        |       sum(cents) AS sum_cents,
+        |       CAST(grouping(event_type) * 2 + grouping(user_bucket) AS BIGINT)
+        |         AS gid
+        |FROM __gs_events
+        |GROUP BY GROUPING SETS ((event_type), (user_bucket))""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT event_type, user_bucket, count(*) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(grouping(event_type) * 2 + grouping(user_bucket) AS BIGINT)
+      |         AS gid
+      |FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+      |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |      FROM events)
+      |GROUP BY GROUPING SETS ((event_type), (user_bucket))""".stripMargin
+
+  /** Correlated subqueries — EXISTS / NOT EXISTS / a correlated scalar
+    * subquery in one statement: customers holding at least one
+    * above-average-value order but no URGENT order, with their order
+    * count inlined as a scalar subquery. Catalyst DECORRELATES all
+    * three into joins (existence → semi/anti, scalar → aggregate +
+    * left join) — the plan must show no correlated re-execution per
+    * outer row (PlanSpec pins no nested-loop/cartesian), which is the
+    * difference between O(n+m) and O(n·m) at 100 TB.
+    */
+  def existsSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("__sq_customer")
+    t(s, dir, "orders").createOrReplaceTempView("__sq_orders")
+    s.sql(
+      """SELECT c.c_custkey,
+        |       CAST((SELECT count(*) FROM __sq_orders o
+        |             WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+        |FROM __sq_customer c
+        |WHERE EXISTS (SELECT 1 FROM __sq_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000.0)
+        |  AND NOT EXISTS (SELECT 1 FROM __sq_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin)
+  }
+
+  val existsSubquerySql: String =
+    """SELECT c.c_custkey,
+      |       CAST((SELECT count(*) FROM orders o
+      |             WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -1299,7 +1370,9 @@ object Queries {
     "q70_ewma" -> ewmaRecency _,
     "q71_rank_family" -> rankFamily _,
     "q72_schema_evolution" -> schemaEvolution _,
-    "q75_psi_drift" -> psiDrift _)
+    "q75_psi_drift" -> psiDrift _,
+    "q78_grouping_sets" -> groupingSets _,
+    "q79_exists_subquery" -> existsSubquery _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -1341,5 +1414,7 @@ object Queries {
     "q70_ewma" -> ewmaRecencySql,
     "q71_rank_family" -> rankFamilySql,
     "q72_schema_evolution" -> schemaEvolutionSql,
-    "q75_psi_drift" -> psiDriftSql)
+    "q75_psi_drift" -> psiDriftSql,
+    "q78_grouping_sets" -> groupingSetsSql,
+    "q79_exists_subquery" -> existsSubquerySql)
 }

@@ -339,6 +339,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
   }
 
+  test("grouping sets expand into ONE keyed agg pass (no per-set rescan)") {
+    val p = plan(Queries.groupingSets(spark, sf0001))
+    assert(p.contains("Expand"), s"grouping sets must expand:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length <= 2,
+      s"re-scanned the source per grouping set:\n$p")
+  }
+
+  test("correlated EXISTS/scalar subqueries decorrelate into joins") {
+    val p = plan(Queries.existsSubquery(spark, sf0001))
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"),
+      s"EXISTS must decorrelate to a semi join:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS must decorrelate to an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated subqueries must not re-execute per outer row:\n$p")
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")
