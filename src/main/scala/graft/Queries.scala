@@ -1329,6 +1329,60 @@ object Queries {
       |                  WHERE o.o_custkey = c.c_custkey
       |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin
 
+  /** Winsorized aggregation — per-type value sums after clipping at the
+    * 1/16 and 15/16 dyadic quantile fences via
+    * [[graft.transform.Stats.winsorizeByKey]]: every emitted number is
+    * an exact integer (clipped·16), order-independent at any scale.
+    */
+  def winsorize(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Stats.winsorizeByKey(
+      t(s, dir, "events").select(col("event_type"),
+        graft.transform.Stats.cents(col("value")).as("cents")),
+      Seq("event_type"), "cents")
+
+  val winsorizeSql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |f AS (SELECT event_type,
+      |             quantile_cont(cents, 0.0625) AS lo,
+      |             quantile_cont(cents, 0.9375) AS hi
+      |      FROM c GROUP BY 1)
+      |SELECT c.event_type, count(*) AS n,
+      |       CAST(sum(CASE WHEN CAST(cents AS DOUBLE) < lo THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_clipped_lo,
+      |       CAST(sum(CASE WHEN CAST(cents AS DOUBLE) > hi THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_clipped_hi,
+      |       CAST(sum(CAST(least(greatest(CAST(cents AS DOUBLE), lo), hi) * 16
+      |                     AS BIGINT)) AS BIGINT) AS sum_clipped_16ths
+      |FROM c JOIN f USING (event_type) GROUP BY 1""".stripMargin
+
+  /** Deterministic mode — most frequent cents value per event type with
+    * the smallest-value tie-break, via
+    * [[graft.transform.Stats.modeByKey]]'s windowless double-argmax
+    * (the built-in `mode()` leaves ties unspecified in both engines —
+    * ungateable; the oracle replays the same total order with a
+    * ranking window).
+    */
+  def modeValue(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Stats.modeByKey(
+      t(s, dir, "events").select(col("event_type"),
+        graft.transform.Stats.cents(col("value")).as("cents")),
+      Seq("event_type"), "cents")
+      .withColumnRenamed("mode_value", "mode_cents")
+
+  val modeValueSql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |k AS (SELECT event_type, cents, count(*) AS n FROM c GROUP BY 1, 2),
+      |r AS (SELECT event_type, cents, n,
+      |             row_number() OVER (PARTITION BY event_type
+      |                                ORDER BY n DESC, cents ASC) AS rn
+      |      FROM k)
+      |SELECT event_type, cents AS mode_cents, CAST(n AS BIGINT) AS mode_n
+      |FROM r WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -1372,7 +1426,9 @@ object Queries {
     "q72_schema_evolution" -> schemaEvolution _,
     "q75_psi_drift" -> psiDrift _,
     "q78_grouping_sets" -> groupingSets _,
-    "q79_exists_subquery" -> existsSubquery _)
+    "q79_exists_subquery" -> existsSubquery _,
+    "q80_winsorize" -> winsorize _,
+    "q81_mode" -> modeValue _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -1416,5 +1472,7 @@ object Queries {
     "q72_schema_evolution" -> schemaEvolutionSql,
     "q75_psi_drift" -> psiDriftSql,
     "q78_grouping_sets" -> groupingSetsSql,
-    "q79_exists_subquery" -> existsSubquerySql)
+    "q79_exists_subquery" -> existsSubquerySql,
+    "q80_winsorize" -> winsorizeSql,
+    "q81_mode" -> modeValueSql)
 }

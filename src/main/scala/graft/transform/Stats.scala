@@ -258,6 +258,52 @@ object Stats {
         pround(sum(contrib).over(w), 6).as("psi_cum")): _*)
   }
 
+  /** Winsorization — clip a cents column at per-key quantile bounds
+    * before aggregating, the standard tame-the-tails step ahead of
+    * mean-based features (unlike [[madOutliers]]' flag-and-drop, every
+    * row survives, pulled to the fence). The fences are DYADIC
+    * quantiles (1/16 and 15/16 by default — see [[quantilesByKey]] for
+    * why dyadic probs are bit-exact cross-engine), so each clipped
+    * value is an exact multiple of 1/16: the emitted sum is over
+    * `clipped·16` INTEGERS — exact in any aggregation order at any
+    * scale, no rounding step.
+    */
+  def winsorizeByKey(df: DataFrame, keyCols: Seq[String], centsCol: String,
+      pLo: Double = 0.0625, pHi: Double = 0.9375): DataFrame = {
+    require(pLo < pHi, s"need pLo < pHi, got $pLo >= $pHi")
+    val fences = quantilesByKey(df, keyCols, centsCol, Seq(pLo, pHi))
+      .withColumnRenamed(s"p${math.round(pLo * 100)}", "lo")
+      .withColumnRenamed(s"p${math.round(pHi * 100)}", "hi")
+      .drop("n")
+    val c = col(centsCol).cast("double")
+    val clipped = least(greatest(c, col("lo")), col("hi"))
+    df.join(broadcast(fences), keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum((c < col("lo")).cast("long")).as("n_clipped_lo"),
+        sum((c > col("hi")).cast("long")).as("n_clipped_hi"),
+        sum((clipped * 16).cast("long")).as("sum_clipped_16ths"))
+  }
+
+  /** Deterministic mode — the most frequent value per key, ties broken
+    * toward the SMALLEST value so the result is a total-order argmax
+    * rather than engine whim (DuckDB's `arg_max`/Spark's `mode` leave
+    * ties unspecified — ungateable). One keyed counting agg over
+    * (key, value) then ONE argmax agg via max(struct(n, −value)) — no
+    * window, so no distinct-value-sized reducer partition; map-side
+    * partials apply to both shuffles.
+    */
+  def modeByKey(df: DataFrame, keyCols: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupBy(keyCols.map(col) :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("n"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(col("n").as("__n"),
+        (-col(valueCol)).as("__negv"))).as("__best"))
+      .select(keyCols.map(col) ++ Seq(
+        (-col("__best.__negv")).as("mode_value"),
+        col("__best.__n").as("mode_n")): _*)
+
   /** Rounded-cents helper shared by the catalog queries: `floor(v*100
     * + 0.5)` as long — the one rounding spelling that matches DuckDB's
     * `CAST(floor(value*100+0.5) AS BIGINT)` bit-for-bit. */

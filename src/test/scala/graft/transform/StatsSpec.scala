@@ -118,6 +118,33 @@ class StatsSpec extends SparkSpec {
     assert(got(("b", 9L))._4 > 0.25)
   }
 
+  test("winsorizeByKey clips at the dyadic fences; survivors unchanged") {
+    // 17 values 0..16: p(1/16) position = 16/16 = 1 → lo = 1;
+    // p(15/16) position = 15 → hi = 15. One row below, one above.
+    // clipped sum = 1 + (1..15 unchanged) + 15 = 136; ×16 = 2176
+    val df = (0L to 16L).map(("a", _)).toDF("k", "cents")
+    val got = Stats.winsorizeByKey(df, Seq("k"), "cents").collect()
+    assert(got(0) === org.apache.spark.sql.Row("a", 17L, 1L, 1L, 2176L))
+    // interpolated fences: n=9, values 0,8,16,...,64? keep simple:
+    // 0..8 → lo position 8/16=0.5 → lo = 0.5 → only the 0 clips up
+    val df2 = (0L to 8L).map(("b", _)).toDF("k", "cents")
+    val g2 = Stats.winsorizeByKey(df2, Seq("k"), "cents").collect()
+    // lo=0.5, hi=7.5: sum = 0.5 + (1..7) + 7.5 = 36; ×16 = 576
+    assert(g2(0) === org.apache.spark.sql.Row("b", 9L, 1L, 1L, 576L))
+  }
+
+  test("modeByKey picks the most frequent value, smallest value on ties") {
+    val df = Seq(
+      ("a", 5L), ("a", 5L), ("a", 3L),            // clear winner 5
+      ("b", 9L), ("b", 2L), ("b", 9L), ("b", 2L), // tie → smaller (2)
+      ("c", -4L), ("c", -4L), ("c", 0L)           // negative mode
+    ).toDF("k", "v")
+    val got = Stats.modeByKey(df, Seq("k"), "v")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("a", 5L, 2L), ("b", 2L, 2L), ("c", -4L, 2L)))
+  }
+
   test("rangeBucketize: near-equal-frequency buckets, monotone in the value") {
     val df = (0L until 10000L).map(Tuple1(_)).toDF("cents")
     val got = Stats.rangeBucketize(df, "cents", 4)
