@@ -1383,6 +1383,50 @@ object Queries {
       |SELECT event_type, cents AS mode_cents, CAST(n AS BIGINT) AS mode_n
       |FROM r WHERE rn = 1""".stripMargin
 
+  /** Ordered conversion funnel — users whose FIRST view precedes their
+    * first click precedes their first purchase: the product-analytics
+    * staple. One conditional-aggregation pass builds each user's first
+    * occurrence per stage (the [[Transforms.pivotFixed]] single-shuffle
+    * shape — no joins between stages, no window), then integer-µs
+    * comparisons classify the user; a second tiny agg emits the funnel
+    * counts. Strictly-increasing timestamps avoid the simultaneous-
+    * event ambiguity (a tie is NOT a conversion in either engine).
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val firsts = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("us"))).as("t_view"),
+        min(when(col("event_type") === "click", col("us"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("us"))).as("t_purchase"))
+    firsts.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("t_view").isNotNull.cast("long")).as("n_view"),
+      sum((col("t_view") < col("t_click")).cast("long")).as("n_view_click"),
+      sum((col("t_view") < col("t_click")
+        && col("t_click") < col("t_purchase")).cast("long")).as("n_full_funnel"))
+  }
+
+  val funnelSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'view'
+      |                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view,
+      |         min(CASE WHEN event_type = 'click'
+      |                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_click,
+      |         min(CASE WHEN event_type = 'purchase'
+      |                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT count(*) AS n_users,
+      |       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_view,
+      |       CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_view_click,
+      |       CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      |FROM f""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -1428,7 +1472,8 @@ object Queries {
     "q78_grouping_sets" -> groupingSets _,
     "q79_exists_subquery" -> existsSubquery _,
     "q80_winsorize" -> winsorize _,
-    "q81_mode" -> modeValue _)
+    "q81_mode" -> modeValue _,
+    "q82_funnel" -> funnel _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -1474,5 +1519,6 @@ object Queries {
     "q78_grouping_sets" -> groupingSetsSql,
     "q79_exists_subquery" -> existsSubquerySql,
     "q80_winsorize" -> winsorizeSql,
-    "q81_mode" -> modeValueSql)
+    "q81_mode" -> modeValueSql,
+    "q82_funnel" -> funnelSql)
 }
