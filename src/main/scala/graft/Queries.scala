@@ -1427,6 +1427,67 @@ object Queries {
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
       |FROM f""".stripMargin
 
+  /** Retention cohort matrix — users grouped by first-activity week
+    * (the cohort), counted at each later week offset: the
+    * product-health triangle. Two keyed aggs on integer epoch-week
+    * arithmetic (distinct user-weeks, then per-user min-week broadcast
+    * back) — no windows, exact integers throughout. The user-week
+    * dedup is the only corpus-sized shuffle; the cohort join is on the
+    * uniform user key.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val uw = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week"))
+      .distinct()
+    val cohorts = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    uw.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+      |  FROM events),
+      |c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+      |SELECT cohort_week, week - cohort_week AS offset,
+      |       CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
+      |FROM uw JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Ratio-to-report — each (hour, event_type)'s share of its hour's
+    * total cents via an UNORDERED partition-wide window sum (the
+    * share-of-total report shape; q62's windows slide over TIME, this
+    * one spans a whole partition). Numerator and denominator are exact
+    * integer sums, so the single division is bit-identical
+    * cross-engine with no rounding step.
+    */
+  def shareOfHour(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = t(s, dir, "events")
+      .groupBy(Transforms.hourBucket(col("ts")).as("hour"), col("event_type"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    hourly.withColumn("hour_total",
+      sum(col("cents")).over(Window.partitionBy(col("hour"))))
+      .select(col("hour"), col("event_type"), col("cents"), col("hour_total"),
+        (col("cents").cast("double") / col("hour_total").cast("double"))
+          .as("share"))
+  }
+
+  val shareOfHourSql: String =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+      |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |           AS cents
+      |  FROM events GROUP BY 1, 2)
+      |SELECT hour, event_type, cents,
+      |       CAST(sum(cents) OVER (PARTITION BY hour) AS BIGINT) AS hour_total,
+      |       CAST(cents AS DOUBLE)
+      |         / CAST(sum(cents) OVER (PARTITION BY hour) AS DOUBLE) AS share
+      |FROM h""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -1473,7 +1534,9 @@ object Queries {
     "q79_exists_subquery" -> existsSubquery _,
     "q80_winsorize" -> winsorize _,
     "q81_mode" -> modeValue _,
-    "q82_funnel" -> funnel _)
+    "q82_funnel" -> funnel _,
+    "q83_retention" -> retentionCohorts _,
+    "q84_share_of_hour" -> shareOfHour _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -1520,5 +1583,7 @@ object Queries {
     "q79_exists_subquery" -> existsSubquerySql,
     "q80_winsorize" -> winsorizeSql,
     "q81_mode" -> modeValueSql,
-    "q82_funnel" -> funnelSql)
+    "q82_funnel" -> funnelSql,
+    "q83_retention" -> retentionCohortsSql,
+    "q84_share_of_hour" -> shareOfHourSql)
 }
