@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Fuzzy, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Rounding.pround
@@ -1289,6 +1289,26 @@ object OpsQueries {
       |FROM r JOIN b USING (source)
       |WHERE cum_tok <= budget""".stripMargin
 
+  // ------------------------------------------------------------ fuzzy match
+  /** Exact edit-distance self-join over part names via [[Fuzzy]]'s
+    * q-gram filter–verify plan. The oracle is the brute-force all-pairs
+    * levenshtein join — both engines implement the identical classic
+    * ins/del/sub=1 metric on integers, so the gate pins the filter's
+    * completeness proof (no candidate the count filter prunes was
+    * real) on real data, while FuzzySpec's property test pins it on
+    * adversarial random strings.
+    */
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    Fuzzy.editDistancePairs(
+      Tables.load(s, dir, "part").select(col("p_name")), "p_name", k = 2)
+
+  val fuzzyMatchSql: String =
+    """WITH n AS (SELECT DISTINCT p_name FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM n a JOIN n b ON a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -1328,7 +1348,8 @@ object OpsQueries {
     "q73_negative_pairs" -> negativePairs _,
     "q74_source_overlap" -> sourceOverlap _,
     "q76_token_entropy" -> tokenEntropy _,
-    "q77_token_budget" -> tokenBudget _)
+    "q77_token_budget" -> tokenBudget _,
+    "q85_fuzzy_match" -> fuzzyMatch _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1368,5 +1389,6 @@ object OpsQueries {
     "q73_negative_pairs" -> negativePairsSql,
     "q74_source_overlap" -> sourceOverlapSql,
     "q76_token_entropy" -> tokenEntropySql,
-    "q77_token_budget" -> tokenBudgetSql)
+    "q77_token_budget" -> tokenBudgetSql,
+    "q85_fuzzy_match" -> fuzzyMatchSql)
 }

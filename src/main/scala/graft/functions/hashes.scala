@@ -457,6 +457,8 @@ object functions {
   def interleave_bits(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       InterleaveBits(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  def q_grams_occ(c: Column, q: Int): Column =
+    GraftSqlBridge.column(QGramsWithOcc(GraftSqlBridge.expression(c), q))
 
   /** Register the custom expressions for SQL use in a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -485,5 +487,9 @@ object functions {
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "interleave_bits", exprs => InterleaveBits(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "q_grams_occ",
+      exprs => QGramsWithOcc(exprs.head, intLit(exprs(1), "q_grams_occ q")),
+      "scala_udf")
   }
 }

@@ -194,3 +194,64 @@ object NfcNormalize {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 }
+
+/** Occurrence-indexed character q-grams — the join key of the q-gram
+  * count filter for edit-distance joins (Gravano et al., VLDB 2001:
+  * `ed(s,t) <= k` implies the q-gram multisets share at least
+  * `max(|s|,|t|) - q + 1 - k*q` elements). Returns `array<string>`
+  * of `gram \\u0001 decimalOccurrenceIndex`: tagging the i-th
+  * occurrence of a
+  * repeated gram makes a plain equi-join count
+  * `min(mult_s(g), mult_t(g))` matches per gram — the multiset
+  * intersection — without positional bookkeeping. Grams are built over
+  * UTF-16 code units (deterministic for any input; the keys are only
+  * ever compared for equality). Strings shorter than `q` return an
+  * empty array; null in → null out.
+  *
+  * Scale: row-local and codegen'd; the expensive part of the fuzzy
+  * join is never this expansion but the gram-key shuffle it feeds
+  * (see [[graft.ops.Fuzzy]] for the skew valve).
+  */
+case class QGramsWithOcc(child: Expression, q: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType] && q >= 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"q_grams_occ needs (string, q>=1), got ${child.dataType.catalogString}, q=$q")
+
+  override def nullSafeEval(input: Any): Any =
+    QGramsWithOcc.evalImpl(input.asInstanceOf[UTF8String], q)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.QGramsWithOcc.evalImpl($c, $q);")
+
+  override protected def withNewChildInternal(newChild: Expression): QGramsWithOcc =
+    copy(child = newChild)
+  override def prettyName: String = "q_grams_occ"
+}
+
+object QGramsWithOcc {
+  // evalImpl, not eval — see NormalizedMd5's companion note.
+  def evalImpl(s: UTF8String, q: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length - q + 1
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashMap[String, Integer](n * 2)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val gram = str.substring(i, i + q)
+      val occ: Int = seen.merge(gram, 1, (a, b) => a + b) - 1
+      out(i) = UTF8String.fromString(gram + "\u0001" + occ)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -357,6 +357,19 @@ class PlanSpec extends SparkSpec {
       s"correlated subqueries must not re-execute per outer row:\n$p")
   }
 
+  test("fuzzy match: gram path is a keyed equi-join; only the alphabet-bounded short bucket loops") {
+    val p = plan(OpsQueries.fuzzyMatch(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"fuzzy join must never cartesian the corpus:\n$p")
+    // the candidate join is an equi-join on the gram key
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+      s"expected a keyed gram join:\n$p")
+    // the short bucket (len <= q*(k+1)-1 both sides) is the only
+    // nested-loop branch, and both its inputs are length-filtered
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"more than the one short-bucket loop join:\n$p")
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")

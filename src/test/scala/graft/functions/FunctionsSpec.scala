@@ -127,6 +127,32 @@ class FunctionsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("q_grams_occ == sliding-window reference with per-gram occurrence counters") {
+    def ref(s: String, q: Int): Seq[String] = {
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      (0 to s.length - q).map { i =>
+        val g = s.substring(i, i + q)
+        val occ = seen.getOrElse(g, 0)
+        seen(g) = occ + 1
+        g + "\u0001" + occ
+      }
+    }
+    val cases = edgeStrings ++ Seq("aaaa", "abab", "xy", "x")
+    for (s <- cases; q <- Seq(2, 3)) {
+      val got = QGramsWithOcc.evalImpl(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), q)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      assert(got === ref(s, q), s"input=$s q=$q")
+    }
+    // column path agrees and null propagates
+    val df = Seq(Some("abab"), None).toDF("s")
+      .select(gf.q_grams_occ(col("s"), 2).as("g"))
+    val rows = df.collect()
+    assert(rows.exists(_.isNullAt(0)))
+    assert(rows.exists(r => !r.isNullAt(0) &&
+      r.getSeq[String](0) === ref("abab", 2)))
+  }
+
   test("all custom expressions compile under CODEGEN_ONLY (no interpreted fallback)") {
     // Explain output keeps its '*' markers even when Janino fails at runtime
     // and Spark silently falls back to interpreted execution — so this test
@@ -146,7 +172,8 @@ class FunctionsSpec extends SparkSpec {
         gf.count_in_set(graft.ops.TextAnalysis.tokens(col("text")),
           graft.ops.TextAnalysis.StopwordsEn).as("c"),
         gf.nfc_normalize(concat(col("text"), lit("e\u0301"))).as("nfc"),
-        gf.interleave_bits(col("doc_id"), col("doc_id")).as("z"))
+        gf.interleave_bits(col("doc_id"), col("doc_id")).as("z"),
+        gf.q_grams_occ(col("text"), 2).as("qg"))
       assert(scalar.count() === 50)
       assert(scalar.filter(col("h").isNull || col("rh").isNull).count() === 0)
       val emb = Tables.load(spark, sf0001, "embeddings").limit(10)
