@@ -3,7 +3,7 @@ package graft
 import graft.api.{FeatureStore, RepoConfig}
 import graft.core._
 import graft.online.{InMemoryOnlineStore, Materializer}
-import graft.transform.Transforms
+import graft.transform.{Temporal, Transforms}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Rounding.{pround, proundSql}
@@ -1488,6 +1488,86 @@ object Queries {
       |         / CAST(sum(cents) OVER (PARTITION BY hour) AS DOUBLE) AS share
       |FROM h""".stripMargin
 
+  /** Gap-fill — resample each user's hourly cents onto a dense hourly
+    * grid with forward fill, via [[Temporal.gapFill]]'s segment-emit
+    * plan (one keyed window, NO grid join). The ORACLE deliberately
+    * uses the textbook formulation — generate_series grid LEFT JOIN
+    * observations + IGNORE NULLS fill window — so the gate proves the
+    * two formulations equivalent, not just self-consistent. All values
+    * are integer cents and grid timestamps step in exact hours: no
+    * rounding anywhere.
+    */
+  def gapFillHourly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("user_id"), Transforms.hourBucket(col("ts")).as("hour"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    Temporal.gapFill(hourly, "user_id", "hour", "cents", "1 hour")
+  }
+
+  val gapFillHourlySql: String =
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |           AS cents
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+      |      FROM hourly GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id,
+      |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM s),
+      |j AS (SELECT g.user_id, g.hour, h.cents
+      |      FROM grid g LEFT JOIN hourly h USING (user_id, hour))
+      |SELECT user_id, hour,
+      |       COALESCE(cents, 0) AS cents,
+      |       last_value(cents IGNORE NULLS)
+      |         OVER (PARTITION BY user_id ORDER BY hour
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS filled_cents,
+      |       CAST(cents IS NULL AS INT) AS is_gap
+      |FROM j""".stripMargin
+
+  /** SCD Type-2 versioning of each user's event_type from the raw
+    * event log via [[Temporal.scd2]] — run-length change detection,
+    * epoch-µs validity intervals, -1 open-end sentinel (a NULL BIGINT
+    * would degrade to float64 in the gate). Everything is integer
+    * arithmetic over one key partitioning.
+    */
+  def scd2Versions(s: SparkSession, dir: String): DataFrame =
+    Temporal.scd2(t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+
+  val scd2VersionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_type, us, event_id,
+      |         CASE WHEN lag(event_type) OVER
+      |                     (PARTITION BY user_id ORDER BY us, event_id)
+      |                   IS DISTINCT FROM event_type
+      |              THEN 1 ELSE 0 END AS changed
+      |  FROM e),
+      |v AS (
+      |  SELECT user_id, event_type, us,
+      |         CAST(sum(changed) OVER
+      |                (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS version
+      |  FROM m),
+      |r AS (
+      |  SELECT user_id, version, event_type,
+      |         min(us) AS valid_from_us, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM v GROUP BY 1, 2, 3)
+      |SELECT user_id, version, event_type, valid_from_us, n_events,
+      |       COALESCE(lead(valid_from_us)
+      |                  OVER (PARTITION BY user_id ORDER BY valid_from_us),
+      |                -1) AS valid_to_us,
+      |       CAST(COALESCE(lead(valid_from_us)
+      |                       OVER (PARTITION BY user_id ORDER BY valid_from_us),
+      |                     -1) = -1 AS INT) AS is_current
+      |FROM r""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -1536,7 +1616,9 @@ object Queries {
     "q81_mode" -> modeValue _,
     "q82_funnel" -> funnel _,
     "q83_retention" -> retentionCohorts _,
-    "q84_share_of_hour" -> shareOfHour _)
+    "q84_share_of_hour" -> shareOfHour _,
+    "q86_gap_fill" -> gapFillHourly _,
+    "q87_scd2" -> scd2Versions _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -1585,5 +1667,7 @@ object Queries {
     "q81_mode" -> modeValueSql,
     "q82_funnel" -> funnelSql,
     "q83_retention" -> retentionCohortsSql,
-    "q84_share_of_hour" -> shareOfHourSql)
+    "q84_share_of_hour" -> shareOfHourSql,
+    "q86_gap_fill" -> gapFillHourlySql,
+    "q87_scd2" -> scd2VersionsSql)
 }

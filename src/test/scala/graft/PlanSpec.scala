@@ -366,8 +366,27 @@ class PlanSpec extends SparkSpec {
       s"expected a keyed gram join:\n$p")
     // the short bucket (len <= q*(k+1)-1 both sides) is the only
     // nested-loop branch, and both its inputs are length-filtered
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
     assert(bnlj <= 1, s"more than the one short-bucket loop join:\n$p")
+  }
+
+  test("gap fill: segment-emit plan has no join and at most two keyed exchanges") {
+    val p = plan(Queries.gapFillHourly(spark, sf0001))
+    assert(!p.contains("Join"), s"segment emit must not grid-join:\n$p")
+    // hourly agg shuffle (user, hour) + window shuffle (user); nothing else
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 2,
+      s"gap fill must not reshuffle beyond agg+window:\n$p")
+    assert(p.contains("Generate"), s"expected the sequence explode:\n$p")
+  }
+
+  test("scd2: windows and run agg all reuse ONE key partitioning") {
+    val p = plan(Queries.scd2Versions(spark, sf0001))
+    // one exchange on user_id serves change-detect window, run groupBy
+    // (clustering on (user, version) is satisfied by user hash) and the
+    // closing lead() window
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 1,
+      s"scd2 must stay on the single user_id partitioning:\n$p")
+    assert(!p.contains("Join"))
   }
 
   test("nfc_normalize stays inside whole-stage codegen") {

@@ -1,0 +1,132 @@
+package graft.transform
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Hand-computed pins for [[Temporal.gapFill]] (segment-emit
+  * formulation vs the textbook grid-join semantics) and
+  * [[Temporal.scd2]] (run-length versioning), plus seeded random
+  * equivalence against driver-side references.
+  */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+  test("gapFill: dense grid, forward fill, gap flags — hand case") {
+    // key A observes hours 0 (v=10) and 3 (v=30); key B only hour 2 (v=7)
+    val obs = Seq((1L, ts(0), 10L), (1L, ts(3), 30L), (2L, ts(2), 7L))
+      .toDF("user_id", "hour", "cents")
+    val out = Temporal.gapFill(obs, "user_id", "hour", "cents")
+      .orderBy("user_id", "hour")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(13),
+        r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(out.toSeq === Seq(
+      (1L, "2024-01-01 00", 10L, 10L, 0),
+      (1L, "2024-01-01 01", 0L, 10L, 1),
+      (1L, "2024-01-01 02", 0L, 10L, 1),
+      (1L, "2024-01-01 03", 30L, 30L, 0),
+      (2L, "2024-01-01 02", 7L, 7L, 0)))
+  }
+
+  test("gapFill: maxCarrySteps TTL truncates long segments") {
+    val obs = Seq((1L, ts(0), 10L), (1L, ts(9), 90L)).toDF("user_id", "hour", "cents")
+    val out = Temporal.gapFill(obs, "user_id", "hour", "cents", "1 hour",
+      maxCarrySteps = 2L)
+      .orderBy("hour").collect()
+      .map(r => (r.getTimestamp(1).toString.take(13), r.getLong(3), r.getInt(4)))
+    // hour 0 carries into 1 and 2, then dark until the hour-9 observation
+    assert(out.toSeq === Seq(
+      ("2024-01-01 00", 10L, 0), ("2024-01-01 01", 10L, 1),
+      ("2024-01-01 02", 10L, 1), ("2024-01-01 09", 90L, 0)))
+    intercept[IllegalArgumentException] {
+      Temporal.gapFill(obs, "user_id", "hour", "cents", "2 hours", maxCarrySteps = 1L)
+        .collect()
+    }
+  }
+
+  test("gapFill: equals the grid-join reference on seeded random series") {
+    val rnd = new scala.util.Random(77)
+    val obs = (for {
+      k <- 1 to 12
+      hours = rnd.shuffle((0 until 40).toList).take(1 + rnd.nextInt(12)).sorted
+      h <- hours
+    } yield (k.toLong, ts(h % 24), (h * 100 + k).toLong))
+      .distinct
+    // same (key,bucket) only once
+    val byKey = obs.groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+    val df = byKey.toDF("user_id", "hour", "cents")
+    val got = Temporal.gapFill(df, "user_id", "hour", "cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    // driver reference: textbook grid + forward fill
+    val ref = byKey.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(_._2.getTime)
+      val lo = sorted.head._2.getTime
+      val hi = sorted.last._2.getTime
+      val byBucket = sorted.map(r => r._2.getTime -> r._3).toMap
+      (lo to hi by 3600000L).scanLeft((0L, 0L, false)) { case ((_, fill, _), t) =>
+        byBucket.get(t) match {
+          case Some(v) => (t, v, true)
+          case None    => (t, fill, false)
+        }
+      }.drop(1).map { case (t, fill, isObs) =>
+        (k, new Timestamp(t), if (isObs) byBucket(t) else 0L, fill, if (isObs) 0 else 1)
+      }
+    }.toSet
+    assert(got === ref)
+  }
+
+  test("scd2: run collapse, intervals, open sentinel — hand case") {
+    val ev = Seq(
+      (1L, "view", ts(0), 1L), (1L, "view", ts(1), 2L),
+      (1L, "click", ts(2), 3L), (1L, "view", ts(3), 4L),
+      (2L, "purchase", ts(5), 5L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = Temporal.scd2(ev, "user_id", "event_type", "ts", "event_id")
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+    def us(h: Int): Long = ts(h).getTime * 1000L
+    assert(out.toSeq === Seq(
+      (1L, 1L, "view", us(0), 2L, us(2), 0),
+      (1L, 2L, "click", us(2), 1L, us(3), 0),
+      (1L, 3L, "view", us(3), 1L, -1L, 1),
+      (2L, 1L, "purchase", us(5), 1L, -1L, 1)))
+  }
+
+  test("scd2: equals a driver-side fold on seeded random logs") {
+    val rnd = new scala.util.Random(99)
+    val types = Seq("a", "b", "c")
+    val ev = (1 to 400).map { i =>
+      ((rnd.nextInt(8) + 1).toLong, types(rnd.nextInt(3)), ts(rnd.nextInt(24)), i.toLong)
+    }
+    val got = Temporal.scd2(ev.toDF("user_id", "event_type", "ts", "event_id"),
+      "user_id", "event_type", "ts", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+      .toSet
+    val ref = ev.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(r => (r._3.getTime, r._4))
+      // collapse consecutive equal attrs into (attr, firstUs, count) runs
+      val runs = sorted.foldLeft(Vector.empty[(String, Long, Long)]) { (acc, r) =>
+        val us = r._3.getTime * 1000L
+        acc.lastOption match {
+          case Some((attr, from, n)) if attr == r._2 =>
+            acc.init :+ ((attr, from, n + 1))
+          case _ => acc :+ ((r._2, us, 1L))
+        }
+      }
+      runs.zipWithIndex.map { case ((attr, from, n), i) =>
+        val to = if (i + 1 < runs.length) runs(i + 1)._2 else -1L
+        (k, (i + 1).toLong, attr, from, n, to, if (to == -1L) 1 else 0)
+      }
+    }.toSet
+    assert(got === ref)
+  }
+}
