@@ -1309,6 +1309,31 @@ object OpsQueries {
       |FROM n a JOIN n b ON a.p_name < b.p_name
       |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
 
+  // ------------------------------------------------------------ inverted index
+  /** Inverted-index build over the documents table via
+    * [[Corpus.invertedIndex]] (salted two-phase posting cap — see the
+    * operator doc for the bounded-state argument). The oracle builds
+    * the same index with a plain list_sort+slice per term: at oracle
+    * scale the unbounded formulation is safe, and agreeing with it
+    * proves the salted cap drops exactly the right rows.
+    */
+  def invertedIndexQ(s: SparkSession, dir: String): DataFrame =
+    Corpus.invertedIndex(docs(s, dir), "doc_id", "text", postingCap = 32)
+      .withColumn("postings", concat_ws(",", col("postings")))
+
+  val invertedIndexSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |td AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+      |SELECT term,
+      |       CAST(count(*) AS BIGINT) AS df,
+      |       CAST(sum(tf) AS BIGINT) AS cf,
+      |       array_to_string(list_slice(list_sort(list(doc_id)), 1, 32), ',')
+      |         AS postings
+      |FROM td GROUP BY term""".stripMargin
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -1349,7 +1374,8 @@ object OpsQueries {
     "q74_source_overlap" -> sourceOverlap _,
     "q76_token_entropy" -> tokenEntropy _,
     "q77_token_budget" -> tokenBudget _,
-    "q85_fuzzy_match" -> fuzzyMatch _)
+    "q85_fuzzy_match" -> fuzzyMatch _,
+    "q89_inverted_index" -> invertedIndexQ _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1390,5 +1416,6 @@ object OpsQueries {
     "q74_source_overlap" -> sourceOverlapSql,
     "q76_token_entropy" -> tokenEntropySql,
     "q77_token_budget" -> tokenBudgetSql,
-    "q85_fuzzy_match" -> fuzzyMatchSql)
+    "q85_fuzzy_match" -> fuzzyMatchSql,
+    "q89_inverted_index" -> invertedIndexSql)
 }

@@ -1568,6 +1568,30 @@ object Queries {
       |                     -1) = -1 AS INT) AS is_current
       |FROM r""".stripMargin
 
+  /** Markov transition matrix of event types per user via
+    * [[Temporal.transitionMatrix]] — consecutive-pair counts from one
+    * keyed window, with the row-normalized next-event probability as
+    * a single exact-integer division (no rounding step needed).
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame =
+    Temporal.transitionMatrix(t(s, dir, "events"),
+      "user_id", "event_type", "ts", "event_id")
+
+  val eventTransitionsSql: String =
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |           AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+      |       CAST(n AS DOUBLE)
+      |         / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p_next
+      |FROM c""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -1618,7 +1642,8 @@ object Queries {
     "q83_retention" -> retentionCohorts _,
     "q84_share_of_hour" -> shareOfHour _,
     "q86_gap_fill" -> gapFillHourly _,
-    "q87_scd2" -> scd2Versions _)
+    "q87_scd2" -> scd2Versions _,
+    "q88_transitions" -> eventTransitions _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -1669,5 +1694,6 @@ object Queries {
     "q83_retention" -> retentionCohortsSql,
     "q84_share_of_hour" -> shareOfHourSql,
     "q86_gap_fill" -> gapFillHourlySql,
-    "q87_scd2" -> scd2VersionsSql)
+    "q87_scd2" -> scd2VersionsSql,
+    "q88_transitions" -> eventTransitionsSql)
 }

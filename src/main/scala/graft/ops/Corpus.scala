@@ -409,6 +409,40 @@ object Corpus {
     * stable under reruns, data growth, and partitioning, with no RNG
     * state to ship. Row-local, embarrassingly parallel.
     */
+  /** Inverted index over whitespace tokens: per term, document
+    * frequency, corpus frequency, and a CAPPED posting list (the
+    * `postingCap` lowest doc ids, ascending). Postings are the only
+    * unbounded-per-key state in an index build — a stopword's full
+    * list is corpus-sized — so the cap rides
+    * [[graft.transform.Skew.saltedTopK]]: a salted pre-rank bounds
+    * every window partition at `postingCap` rows before the per-term
+    * merge sees at most `numSalts * postingCap` candidates. df/cf are
+    * plain counters with map-side partial aggregation (hot terms cost
+    * one partial per task, never a fat reducer), and the final
+    * stats↔postings join is term-keyed on two already-aggregated
+    * frames. The cap is the valve: serving-size postings are what
+    * downstream retrieval consumes; full lists are a different
+    * operator (and a different storage layout) at 100 TB.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      postingCap: Int = 32, numSalts: Int = 16): DataFrame = {
+    require(postingCap >= 1, "postingCap must be positive")
+    val td = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = td.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val postings = graft.transform.Skew.saltedTopK(
+        td.select(col("term"), col("doc_id")),
+        Seq(col("term")), Seq(col("doc_id").asc),
+        saltCol = col("doc_id"), k = postingCap, numSalts = numSalts)
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    stats.join(postings, Seq("term"))
+  }
+
   def hashSplit(df: DataFrame, idCol: String): DataFrame =
     df.select(col(idCol),
       substring(md5(col(idCol).cast("string")), 1, 1).as("h"))

@@ -74,6 +74,31 @@ object Temporal {
       s"maxCarrySteps needs a unit grain like '1 hour', got '$grain'")
   }
 
+  /** First-order Markov transition matrix of an event log: counts and
+    * row-normalized probabilities of `attrCol` → next `attrCol` within
+    * each key's (tsCol, tieCol)-ordered sequence. The probability is a
+    * SINGLE division of two exact long counts — bit-identical
+    * cross-engine, no rounding step (CLAUDE.md's reproducible-ratio
+    * rule). Scale: one window pass on the key partitioning emits the
+    * consecutive pairs; everything after operates on at most
+    * |attr domain|² rows, so the share window's single-partition
+    * stage is bounded by the domain, never the corpus.
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(keyCol), col(attrCol), col(tsCol), col(tieCol))
+      .withColumn("to_type", lead(col(attrCol), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    pairs.groupBy(col(attrCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("p_next",
+        col("n").cast("double") / col("n_from").cast("double"))
+  }
+
   /** SCD Type-2 intervals from an event log: consecutive runs of equal
     * `attrCol` per key (ordered by `tsCol`, ties broken by `tieCol`)
     * become one version row with `[valid_from_us, valid_to_us)` epoch-µs

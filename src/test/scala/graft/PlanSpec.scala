@@ -389,6 +389,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"))
   }
 
+  test("transitions: one corpus window, share window bounded by the attr domain") {
+    val p = plan(Queries.eventTransitions(spark, sf0001))
+    assert(!p.contains("Join"))
+    // corpus-sized: user window shuffle + (from,to) agg; the from_type
+    // share window runs on |domain|^2 rows
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 3,
+      s"transition matrix should be window+agg+tiny-window:\n$p")
+  }
+
+  test("inverted index: salted pre-rank bounds posting windows (WindowGroupLimit)") {
+    val p = plan(OpsQueries.invertedIndexQ(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"),
+      s"the salted top-k prune must push a rank limit below the window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // stats and postings meet in a term-keyed join, never a loop join
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"loop join appeared:\n$p")
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")

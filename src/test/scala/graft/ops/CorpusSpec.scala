@@ -410,6 +410,26 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.tokenBudgetSample(fat, "source", "doc_id", "text").count() === 0)
   }
 
+  test("inverted index: df/cf multiplicity, sorted capped postings") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (5L, "a b a"), (1L, "a c"), (3L, "a"), (9L, "b b")
+    ).toDF("doc_id", "text")
+    val got = Corpus.invertedIndex(docs, "doc_id", "text",
+      postingCap = 2, numSalts = 4)
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3)))
+    // a: docs {1,3,5}, cf 4 (doc 5 has it twice), postings capped to 2 lowest
+    assert(got.toSeq === Seq(
+      ("a", 3L, 4L, Seq(1L, 3L)),
+      ("b", 2L, 3L, Seq(5L, 9L)),
+      ("c", 1L, 1L, Seq(1L))))
+    // cap >= df keeps everything
+    val full = Corpus.invertedIndex(docs, "doc_id", "text", postingCap = 10)
+      .filter(col("term") === "a").collect().head.getSeq[Long](3)
+    assert(full === Seq(1L, 3L, 5L))
+  }
+
   test("source overlap: hand-computed pairwise vocabulary Jaccard") {
     // s1 = {a,b}, s2 = {b,c}, s3 = {a,b,c}
     val docs = Seq(

@@ -99,6 +99,23 @@ class TemporalSpec extends SparkSpec {
       (2L, 1L, "purchase", us(5), 1L, -1L, 1)))
   }
 
+  test("transitionMatrix: hand-counted pairs and exact shares") {
+    val ev = Seq(
+      (1L, "view", ts(0), 1L), (1L, "click", ts(1), 2L),
+      (1L, "view", ts(2), 3L), (1L, "click", ts(3), 4L),
+      (2L, "view", ts(0), 5L), (2L, "buy", ts(1), 6L),
+      (3L, "view", ts(7), 7L)) // single event: no pair
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = Temporal.transitionMatrix(ev, "user_id", "event_type", "ts", "event_id")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // from view: ->click x2, ->buy x1 (n_from=3); from click: ->view x1
+    assert(out.toSeq === Seq(
+      ("click", "view", 1L, 1L, 1.0),
+      ("view", "buy", 1L, 3L, 1.0 / 3.0),
+      ("view", "click", 2L, 3L, 2.0 / 3.0)))
+  }
+
   test("scd2: equals a driver-side fold on seeded random logs") {
     val rnd = new scala.util.Random(99)
     val types = Seq("a", "b", "c")
