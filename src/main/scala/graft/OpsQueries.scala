@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Corpus, Dedup, Fuzzy, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Fuzzy, Graph, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Rounding.pround
@@ -1334,6 +1334,69 @@ object OpsQueries {
       |         AS postings
       |FROM td GROUP BY term""".stripMargin
 
+  // ------------------------------------------------------------ quantization
+  /** Int8 scalar quantization of the embeddings table via
+    * [[Similarity.quantizeI8]] — row-local codegen, zero shuffles. The
+    * oracle replays the identical IEEE steps with list_transform; the
+    * codes string matching bitwise for every vector pins the
+    * determinism argument in the operator doc.
+    */
+  def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeI8(emb(s, dir), "vec_id", "embedding")
+      .withColumn("codes", concat_ws(",", col("codes").cast("array<string>")))
+
+  val quantizeEmbeddingsSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |m AS (SELECT vec_id, v, greatest(list_max(v), -list_min(v)) AS maxabs
+      |      FROM e)
+      |SELECT vec_id, maxabs, maxabs / 127.0 AS scale,
+      |       CASE WHEN maxabs = 0
+      |            THEN array_to_string(list_transform(v, x -> 0), ',')
+      |            ELSE array_to_string(list_transform(v, x ->
+      |                   CAST(GREATEST(-127, LEAST(127,
+      |                     CAST(floor(x / (maxabs / 127.0) + 0.5) AS BIGINT)))
+      |                     AS INT)), ',')
+      |       END AS codes
+      |FROM m""".stripMargin
+
+  // ------------------------------------------------------------ pagerank
+  /** Fixed-point PageRank over the customer↔supplier trade graph
+    * (orders×lineitem edges, symmetrized) via
+    * [[Graph.pagerankFixedPoint]] — four exactly-replayable integer
+    * rounds; the oracle is the identical recursion as a DuckDB
+    * recursive CTE with per-iteration aggregation.
+    */
+  def pagerankTrade(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    Graph.pagerankFixedPoint(edges, iters = 4)
+  }
+
+  val pagerankTradeSql: String =
+    """WITH RECURSIVE ed0 AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |sym AS (SELECT src, dst FROM ed0 UNION SELECT dst, src FROM ed0),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+      |e AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d USING (src)),
+      |r(iter, node, rank) AS (
+      |  SELECT 0, src, CAST(1000000000 AS BIGINT) FROM deg
+      |  UNION ALL
+      |  SELECT r.iter + 1, e.dst,
+      |         CAST(1000000000 // 8 + 7 * sum(r.rank // e.deg) // 8 AS BIGINT)
+      |  FROM r JOIN e ON e.src = r.node
+      |  WHERE r.iter < 4
+      |  GROUP BY r.iter + 1, e.dst)
+      |SELECT node, d.deg, rank
+      |FROM r JOIN deg d ON d.src = r.node
+      |WHERE iter = 4""".stripMargin
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -1375,7 +1438,9 @@ object OpsQueries {
     "q76_token_entropy" -> tokenEntropy _,
     "q77_token_budget" -> tokenBudget _,
     "q85_fuzzy_match" -> fuzzyMatch _,
-    "q89_inverted_index" -> invertedIndexQ _)
+    "q89_inverted_index" -> invertedIndexQ _,
+    "q90_quantize_i8" -> quantizeEmbeddings _,
+    "q91_pagerank" -> pagerankTrade _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1417,5 +1482,7 @@ object OpsQueries {
     "q76_token_entropy" -> tokenEntropySql,
     "q77_token_budget" -> tokenBudgetSql,
     "q85_fuzzy_match" -> fuzzyMatchSql,
-    "q89_inverted_index" -> invertedIndexSql)
+    "q89_inverted_index" -> invertedIndexSql,
+    "q90_quantize_i8" -> quantizeEmbeddingsSql,
+    "q91_pagerank" -> pagerankTradeSql)
 }

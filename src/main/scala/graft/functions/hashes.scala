@@ -321,6 +321,72 @@ object MinHashSigs {
   * formulation and the DuckDB oracle bitwise. Null arrays → null; null
   * elements are treated as 0 (embeddings are dense).
   */
+/** Int8 scalar quantization of an embedding vector — the standard
+  * 4-8× vector-store compression: `scale = maxabs/127`, `code_i =
+  * clamp(floor(v_i/scale + 0.5), ±127)`. One codegen pass per row (two
+  * tight loops, no HOF lambdas); an all-zero vector quantizes to all
+  * zeros rather than dividing by zero. Deterministic and exactly
+  * replayable cross-engine: maxabs is an exact max over exact
+  * float→double casts, the scale is ONE double division, each code is
+  * one more division + floor — every step IEEE-defined with a single
+  * rounding, so DuckDB's `list_transform` replay produces identical
+  * integers (FunctionsSpec pins byte-equivalence against Spark's own
+  * transform() composition too). Null in → null out.
+  */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_i8 needs array<double>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    QuantizeI8.evalImpl(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.QuantizeI8.evalImpl($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8 =
+    copy(child = newChild)
+  override def prettyName: String = "quantize_i8"
+}
+
+object QuantizeI8 {
+  // evalImpl, not eval — see SimHash64's companion note.
+  def evalImpl(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(arr.getDouble(i))
+      if (a > maxabs) maxabs = a
+      i += 1
+    }
+    val out = new Array[Any](n)
+    if (maxabs == 0.0) {
+      java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], Integer.valueOf(0))
+    } else {
+      val scale = maxabs / 127.0
+      i = 0
+      while (i < n) {
+        val q = math.floor(arr.getDouble(i) / scale + 0.5)
+        val clamped = if (q > 127.0) 127 else if (q < -127.0) -127 else q.toInt
+        out(i) = clamped
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 case class DotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
@@ -459,6 +525,8 @@ object functions {
       InterleaveBits(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
   def q_grams_occ(c: Column, q: Int): Column =
     GraftSqlBridge.column(QGramsWithOcc(GraftSqlBridge.expression(c), q))
+  def quantize_i8(c: Column): Column =
+    GraftSqlBridge.column(QuantizeI8(GraftSqlBridge.expression(c)))
 
   /** Register the custom expressions for SQL use in a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -491,5 +559,7 @@ object functions {
       "q_grams_occ",
       exprs => QGramsWithOcc(exprs.head, intLit(exprs(1), "q_grams_occ q")),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantize_i8", exprs => QuantizeI8(exprs.head), "scala_udf")
   }
 }

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics beyond connected components (which
+  * lives with its dedup consumer in [[Dedup.connectedComponents]]):
+  * fixed-point PageRank.
+  *
+  * Exactness design: floating-point PageRank is NOT cross-engine
+  * reproducible (per-node sums accumulate in partition order), so
+  * ranks here are FIXED-POINT integers — rank mass starts at `scale`
+  * per node and every update is integer arithmetic only:
+  * `r'(v) = scale div 8 + (7 * Σ_u→v (r(u) div deg(u))) div 8`,
+  * i.e. damping 7/8 (dyadic, so the div-8 spelling is exact) and
+  * floor division for the per-edge contribution split. Integer sums
+  * are associative — partition order cannot change the result — and
+  * DuckDB replays the identical recursion with `//` (same floor
+  * semantics for the non-negative operands here) in a recursive CTE
+  * that aggregates per iteration. Overflow headroom: ranks are
+  * bounded by the total mass `n_nodes * scale`; the `7 *` step needs
+  * `7 * n * scale < 2^63`, i.e. ~1.3e18 of mass — 1e9 nodes at the
+  * default scale.
+  *
+  * Scale (100 TB posture): each of the `iters` rounds is one
+  * edges↔ranks equi-join on the source key plus one keyed agg on the
+  * destination — the canonical iterative-join shape. Edges are
+  * symmetrized, so no dangling-mass bookkeeping is needed (every node
+  * has out-degree >= 1 and receives its mirror's contribution). The
+  * valves for long runs are the same as the CC loop's: `iters` is an
+  * explicit bounded budget (diameter-scale rounds, typically < 10 for
+  * web-ish graphs), and each round's frame is `localCheckpoint`ed so
+  * the plan (and its task-retry lineage) stays one round deep instead
+  * of `iters` joins deep. A hub node's fat reducer in the destination
+  * agg is partial-aggregated map-side (plain longs sum; no per-key
+  * state beyond a counter).
+  */
+object Graph {
+
+  /** Fixed-point PageRank over the symmetric closure of `edges`
+    * (columns `src`, `dst`; any extra columns ignored). Returns
+    * (node, deg, rank) after exactly `iters` rounds.
+    *
+    * @param checkpoint localCheckpoint each round (executor-local,
+    *   lineage truncation — see the CC loop precedent); disable for
+    *   plan-shape tests.
+    */
+  def pagerankFixedPoint(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000L, checkpoint: Boolean = true): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val withDeg = sym.join(
+      sym.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+    val e = (if (checkpoint) withDeg.localCheckpoint(false) else withDeg)
+    var rank = e.select(col("src").as("node"), col("deg")).distinct()
+      .withColumn("rank", lit(scale))
+    for (_ <- 1 to iters) {
+      val next = e.join(rank.select(col("node"), col("rank")),
+          e("src") === col("node"))
+        .select(col("dst"), expr("rank div deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(scale / 8) + expr("7 * sum(contrib) div 8")).as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+      rank = if (checkpoint) next.localCheckpoint(false) else next
+    }
+    rank.join(e.select(col("src").as("node"), col("deg")).distinct(), Seq("node"))
+      .select(col("node"), col("deg"), col("rank"))
+  }
+}

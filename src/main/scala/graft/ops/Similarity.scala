@@ -37,6 +37,23 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Int8 scalar quantization of every vector — (id, maxabs, scale,
+    * codes): the compression pass a 100 TB vector store runs before
+    * indexing (4× over float32, 8× over float64; distance math then
+    * runs on SIMD-friendly int8). Row-local and codegen'd via
+    * [[graft.functions.QuantizeI8]] — embarrassingly parallel, no
+    * shuffle, stays in whole-stage codegen. `maxabs` and `scale` ride
+    * along because dequantization (`code * scale`) needs them and both
+    * are exact (max over exact casts; one IEEE division).
+    */
+  def quantizeI8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val maxabs = greatest(array_max(v), -array_min(v))
+    df.select(col(idCol), maxabs.as("maxabs"),
+      (maxabs / 127.0).as("scale"),
+      graft.functions.functions.quantize_i8(v).as("codes"))
+  }
+
   /** Shared top-k-per-query stanza for the ANN paths: rank scored
     * candidate rows (columns `query_id`, `neighbor_id`, `cos`) and keep
     * the k best per query, ties pinned by neighbor id.

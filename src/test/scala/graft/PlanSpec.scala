@@ -407,6 +407,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"loop join appeared:\n$p")
   }
 
+  test("quantize_i8 is shuffle-free and stays inside codegen") {
+    val p = plan(OpsQueries.quantizeEmbeddings(spark, sf0001))
+    assert(!p.contains("Exchange"),
+      s"quantization must be row-local:\n$p")
+    assert(p.contains("* Project"), s"quantize_i8 fell out of codegen:\n$p")
+  }
+
+  test("pagerank round is an equi-join + keyed agg, no cartesian, no loop join") {
+    // checkpoint=false so the full iterative plan is inspectable
+    val edges = Tables.load(spark, sf0001, "orders")
+      .join(Tables.load(spark, sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+    val p = plan(graft.ops.Graph.pagerankFixedPoint(edges, 2, checkpoint = false))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank joins must stay keyed:\n$p")
+    assert(p.contains("HashAggregate"), s"expected keyed destination agg:\n$p")
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")

@@ -153,6 +153,35 @@ class FunctionsSpec extends SparkSpec {
       r.getSeq[String](0) === ref("abab", 2)))
   }
 
+  test("quantize_i8 == transform() composition; zero vector and clamp edges") {
+    val maxabs = greatest(array_max(col("v")), -array_min(col("v")))
+    val scale = maxabs / lit(127.0)
+    val refCodes = when(maxabs === 0.0,
+      transform(col("v"), _ => lit(0)))
+      .otherwise(transform(col("v"), x =>
+        greatest(lit(-127), least(lit(127),
+          floor(x / scale + 0.5).cast("int")))))
+    val edge = Seq(
+      Seq(0.0, 0.0, 0.0),                  // zero vector -> zero codes
+      Seq(1.0, -1.0, 0.5),
+      Seq(1e-300, -1e-300),                // denormal-adjacent scales
+      Seq(127.0, -127.0, 126.5),
+      Seq(3.25)).toDF("v")
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+    Seq(edge, emb).foreach { df =>
+      val bad = df.select(
+        graft.functions.functions.quantize_i8(col("v")).as("fast"),
+        refCodes.as("ref"))
+        .filter(!(col("fast") <=> col("ref")))
+      assert(bad.count() === 0, bad.collect().take(3).mkString("\n"))
+    }
+    // null propagates
+    val n = Seq[Option[Seq[Double]]](None).toDF("v")
+      .select(graft.functions.functions.quantize_i8(col("v")).as("c"))
+    assert(n.filter(col("c").isNull).count() === 1)
+  }
+
   test("all custom expressions compile under CODEGEN_ONLY (no interpreted fallback)") {
     // Explain output keeps its '*' markers even when Janino fails at runtime
     // and Spark silently falls back to interpreted execution — so this test
@@ -176,6 +205,9 @@ class FunctionsSpec extends SparkSpec {
         gf.q_grams_occ(col("text"), 2).as("qg"))
       assert(scalar.count() === 50)
       assert(scalar.filter(col("h").isNull || col("rh").isNull).count() === 0)
+      val quant = Tables.load(spark, sf0001, "embeddings").limit(10)
+        .select(gf.quantize_i8(col("embedding").cast("array<double>")).as("q"))
+      assert(quant.filter(col("q").isNull).count() === 0)
       val emb = Tables.load(spark, sf0001, "embeddings").limit(10)
         .select(col("embedding").cast("array<double>").as("v"))
       val dot = emb.crossJoin(broadcast(emb.select(col("v").as("v2")).limit(1)))

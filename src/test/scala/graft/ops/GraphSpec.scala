@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Pins for [[Graph.pagerankFixedPoint]]: hand-replayed integer
+  * recursion on a known graph, mass-conservation bounds, and
+  * checkpoint-mode equivalence.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000000L
+
+  /** Driver-side replay of the exact integer recursion. */
+  private def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = (edges ++ edges.map(e => (e._2, e._1))).distinct
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var rank = deg.keys.map(_ -> S).toMap
+    for (_ <- 1 to iters) {
+      val contribs = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => rank(u) / deg(u) }.sum
+      }
+      rank = contribs.map { case (v, s) => v -> (S / 8 + 7 * s / 8) }
+    }
+    rank
+  }
+
+  test("pagerank equals the hand-replayed integer recursion (path + star)") {
+    // path 1-2-3 plus star center 10 with leaves 11,12,13
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (10L, 13L))
+    for (iters <- Seq(1, 3, 5); cp <- Seq(true, false)) {
+      val got = Graph.pagerankFixedPoint(
+          edges.toDF("src", "dst"), iters, checkpoint = cp)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === ref(edges, iters), s"iters=$iters cp=$cp")
+    }
+  }
+
+  test("pagerank: star center outranks leaves; mass stays bounded") {
+    val edges = (1L to 6L).map(l => (0L, l))
+    val got = Graph.pagerankFixedPoint(edges.toDF("src", "dst"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val center = got.find(_._1 == 0L).get
+    val leaves = got.filter(_._1 != 0L)
+    assert(center._2 === 6L) // symmetric degree
+    assert(leaves.forall(_._3 < center._3))
+    // total fixed-point mass can only leak DOWN (floor division)
+    assert(got.map(_._3).sum <= 7L * S)
+    assert(got.map(_._3).sum > 6L * S)
+  }
+
+  test("pagerank rejects a zero iteration budget") {
+    intercept[IllegalArgumentException] {
+      Graph.pagerankFixedPoint(Seq((1L, 2L)).toDF("src", "dst"), 0)
+    }
+  }
+}
