@@ -1397,6 +1397,51 @@ object OpsQueries {
       |FROM r JOIN deg d ON d.src = r.node
       |WHERE iter = 4""".stripMargin
 
+  // ------------------------------------------------------------ triangles
+  /** How many suppliers per part feed the co-supplier graph (the
+    * [[Dedup.capBlocks]] valve bounds the per-part pair fan-out). */
+  val TriangleBlockCap = 3
+
+  /** Per-node triangle counts on the co-supplier graph (suppliers
+    * sharing a part, capped per part) via [[Graph.triangleCounts]]'s
+    * degree-ordered wedge closing. The oracle counts with the naive
+    * id-ordered 3-way self-join — triangle membership is orientation
+    * invariant, so the gate proves the skew-proof rewrite lossless.
+    */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val capped = Dedup.capBlocks(ps, "l_partkey", "l_suppkey", TriangleBlockCap)
+    val a = capped.select(col("l_partkey").as("pk"), col("l_suppkey").as("src"))
+    val b = capped.select(col("l_partkey").as("pk"), col("l_suppkey").as("dst"))
+    val edges = a.join(b, Seq("pk"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    Graph.triangleCounts(edges)
+  }
+
+  val trianglesSql: String =
+    s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |capped AS (
+      |  SELECT l_partkey, l_suppkey FROM (
+      |    SELECT l_partkey, l_suppkey,
+      |           row_number() OVER (PARTITION BY l_partkey
+      |                              ORDER BY l_suppkey ASC) AS rn
+      |    FROM ps)
+      |  WHERE rn <= $TriangleBlockCap),
+      |und AS (
+      |  SELECT DISTINCT c1.l_suppkey AS a, c2.l_suppkey AS b
+      |  FROM capped c1 JOIN capped c2
+      |    ON c1.l_partkey = c2.l_partkey AND c1.l_suppkey < c2.l_suppkey),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM und e1
+      |  JOIN und e2 ON e2.a = e1.b
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |n AS (SELECT unnest([x, y, z]) AS node FROM tri)
+      |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM n GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -1440,7 +1485,8 @@ object OpsQueries {
     "q85_fuzzy_match" -> fuzzyMatch _,
     "q89_inverted_index" -> invertedIndexQ _,
     "q90_quantize_i8" -> quantizeEmbeddings _,
-    "q91_pagerank" -> pagerankTrade _)
+    "q91_pagerank" -> pagerankTrade _,
+    "q93_triangles" -> triangles _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1484,5 +1530,6 @@ object OpsQueries {
     "q85_fuzzy_match" -> fuzzyMatchSql,
     "q89_inverted_index" -> invertedIndexSql,
     "q90_quantize_i8" -> quantizeEmbeddingsSql,
-    "q91_pagerank" -> pagerankTradeSql)
+    "q91_pagerank" -> pagerankTradeSql,
+    "q93_triangles" -> trianglesSql)
 }

@@ -1592,6 +1592,34 @@ object Queries {
       |         / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p_next
       |FROM c""".stripMargin
 
+  /** Approximate distinct users per event type via
+    * [[graft.transform.Stats.linearCountDistinct]] — the bounded-state
+    * cardinality sketch next to its exact ground truth, both
+    * oracle-gated (md5 buckets replay as identical hex; the one ln per
+    * key rides the libm budget on domain-bounded rows).
+    */
+  def linearCount(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Stats.linearCountDistinct(
+      t(s, dir, "events"), Seq("event_type"), "user_id", m = 4096)
+
+  val linearCountSql: String =
+    """WITH b AS (
+      |  SELECT DISTINCT event_type,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+      |           % 4096 AS bucket
+      |  FROM events),
+      |o AS (SELECT event_type, CAST(count(*) AS BIGINT) AS occupied
+      |      FROM b GROUP BY 1),
+      |x AS (SELECT event_type,
+      |             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      |      FROM events GROUP BY 1)
+      |SELECT event_type, occupied, exact_distinct,
+      |       CASE WHEN occupied >= 4096 THEN NULL
+      |            ELSE floor((-4096.0 * ln(1 - occupied / 4096.0))
+      |                       * 1000000.0 + 0.5) / 1000000.0
+      |       END AS lc_estimate
+      |FROM o JOIN x USING (event_type)""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -1643,7 +1671,8 @@ object Queries {
     "q84_share_of_hour" -> shareOfHour _,
     "q86_gap_fill" -> gapFillHourly _,
     "q87_scd2" -> scd2Versions _,
-    "q88_transitions" -> eventTransitions _)
+    "q88_transitions" -> eventTransitions _,
+    "q92_linear_count" -> linearCount _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -1695,5 +1724,6 @@ object Queries {
     "q84_share_of_hour" -> shareOfHourSql,
     "q86_gap_fill" -> gapFillHourlySql,
     "q87_scd2" -> scd2VersionsSql,
-    "q88_transitions" -> eventTransitionsSql)
+    "q88_transitions" -> eventTransitionsSql,
+    "q92_linear_count" -> linearCountSql)
 }

@@ -68,4 +68,58 @@ object Graph {
     rank.join(e.select(col("src").as("node"), col("deg")).distinct(), Seq("node"))
       .select(col("node"), col("deg"), col("rank"))
   }
+
+  /** Per-node triangle counts via DEGREE-ORDERED wedge closing (the
+    * Cohen / Suri-Vassilvitskii MapReduce scheme): orient every
+    * undirected edge from its lower-(degree, id) endpoint to the
+    * higher one, build wedges only at each edge's low end, and close
+    * them against the oriented edge set. Orientation bounds the wedge
+    * fan-out at O(m^1.5) total (each node's out-degree is at most
+    * ~sqrt(m) under degree ordering) — the id-ordered naive plan
+    * instead explodes around high-degree hubs, which is exactly the
+    * skew that kills this operator at 100 TB.
+    *
+    * Exactness: triangle membership is orientation-INVARIANT, so the
+    * oracle can count with the naive id-ordered 3-way self-join and
+    * must land on identical per-node integers — the gate doubles as a
+    * proof that the degree-ordered rewrite is lossless. Nodes in no
+    * triangle are omitted (both formulations agree).
+    *
+    * Input: undirected edge list (`src`, `dst`); self-loops dropped,
+    * duplicates collapsed. Output: (node, n_triangles).
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient: u -> v iff (deg(u), u) < (deg(v), v)
+    val withDegs = und
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+    val oriented = withDegs.select(
+      when(col("deg_a") < col("deg_b")
+        || (col("deg_a") === col("deg_b") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v"), col("deg_a").as("du"), col("deg_b").as("dv")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("v"), col("deg_b").as("du"), col("deg_a").as("dv")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"),
+        col("e.du").as("du"), col("e.dv").as("dv"))
+    // wedges at the low endpoint, second leg strictly above the first
+    // in the same (deg, id) order so each triangle closes exactly once
+    val e1 = oriented.select(col("u"), col("v").as("w1"), col("dv").as("d1"))
+    val e2 = oriented.select(col("u"), col("v").as("w2"), col("dv").as("d2"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("d1") < col("d2")
+        || (col("d1") === col("d2") && col("w1") < col("w2")))
+    val closing = oriented.select(col("u").as("w1"), col("v").as("w2"))
+    val tris = wedges.join(closing, Seq("w1", "w2"))
+      .select(col("u"), col("w1"), col("w2"))
+    tris.select(explode(array(col("u"), col("w1"), col("w2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

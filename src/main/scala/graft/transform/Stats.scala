@@ -308,4 +308,38 @@ object Stats {
     * + 0.5)` as long — the one rounding spelling that matches DuckDB's
     * `CAST(floor(value*100+0.5) AS BIGINT)` bit-for-bit. */
   def cents(valueCol: Column): Column = centsExpr(valueCol)
+
+  /** Linear-counting distinct estimate per key (Whang et al. 1990) —
+    * the bounded-state approximate-cardinality sketch: hash each value
+    * into one of `m` md5 buckets, count occupied buckets `o`, estimate
+    * `-m·ln(1 − o/m)`. Alongside the estimate the operator emits the
+    * EXACT distinct count, which is what the oracle checks both
+    * against — at 100 TB you drop the exact column (it shuffles the
+    * full per-key value set; that is the point of the sketch) and keep
+    * the sketch path, whose shuffled state is capped at `m` rows per
+    * key no matter how many values arrive. A saturated sketch
+    * (`o = m`, estimate −∞) yields NULL rather than a junk number —
+    * size `m` well above the expected cardinality.
+    *
+    * Exactness: the bucket id is integer md5 arithmetic (identical hex
+    * text cross-engine), `o` and the exact count are integers, and the
+    * single `ln` rides CLAUDE.md's libm budget — one call per KEY
+    * (domain-bounded output rows), rounded via pround(6).
+    */
+  def linearCountDistinct(df: DataFrame, keyCols: Seq[String],
+      valueCol: String, m: Int = 4096): DataFrame = {
+    require(m >= 2, "m must be >= 2")
+    val keys = keyCols.map(col)
+    val bucket = (conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % m).as("bucket")
+    val occupied = df.select(keys :+ bucket: _*).distinct()
+      .groupBy(keys: _*).agg(count(lit(1)).as("occupied"))
+    val exact = df.groupBy(keys: _*)
+      .agg(countDistinct(col(valueCol)).as("exact_distinct"))
+    occupied.join(exact, keyCols)
+      .withColumn("lc_estimate",
+        when(col("occupied") >= m, lit(null).cast("double"))
+          .otherwise(graft.util.Rounding.pround(
+            lit(-m.toDouble) * log(lit(1.0) - col("occupied") / m.toDouble), 6)))
+  }
 }

@@ -427,6 +427,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected keyed destination agg:\n$p")
   }
 
+  test("linear count: sketch and exact branches join broadcast on the key domain") {
+    val p = plan(Queries.linearCount(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"domain-sized occupied/exact frames must broadcast-join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("triangles: wedge build and closing are keyed equi-joins, never loops") {
+    val p = plan(OpsQueries.triangles(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting must stay on keyed joins:\n$p")
+    assert(p.contains("Join"), s"expected the wedge/closing joins:\n$p")
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")

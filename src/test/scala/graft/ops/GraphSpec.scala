@@ -49,6 +49,35 @@ class GraphSpec extends SparkSpec {
     assert(got.map(_._3).sum > 6L * S)
   }
 
+  test("triangles: hand case — K4 minus an edge, plus an isolated edge") {
+    // K4 on {1,2,3,4} without edge (3,4): triangles {1,2,3} and {1,2,4};
+    // nodes 1,2 in two each, 3,4 in one each; edge (9,10) in none.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (9L, 10L))
+    val got = Graph.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("triangles: equals naive enumeration on seeded random graphs (dups/self-loops tolerated)") {
+    val rnd = new scala.util.Random(1234)
+    for (round <- 1 to 5) {
+      val n = 12 + rnd.nextInt(10)
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val got = Graph.triangleCounts(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val ref = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        Seq(x, y, z) <- nodes.combinations(3)
+        if und((x, y)) && und((y, z)) && und((x, z))
+        v <- Seq(x, y, z)
+      } ref(v) += 1
+      assert(got === ref.toMap.filter(_._2 > 0), s"round=$round")
+    }
+  }
+
   test("pagerank rejects a zero iteration budget") {
     intercept[IllegalArgumentException] {
       Graph.pagerankFixedPoint(Seq((1L, 2L)).toDF("src", "dst"), 0)

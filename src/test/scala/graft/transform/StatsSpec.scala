@@ -145,6 +145,29 @@ class StatsSpec extends SparkSpec {
     assert(got === Seq(("a", 5L, 2L), ("b", 2L, 2L), ("c", -4L, 2L)))
   }
 
+  test("linearCountDistinct: occupied/exact bookkeeping, LC formula, saturation NULL") {
+    import org.apache.spark.sql.functions.col
+    // 3 distinct values in one key, 1 in the other
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 1L), ("b", 7L))
+      .toDF("k", "v")
+    val got = Stats.linearCountDistinct(df, Seq("k"), "v", m = 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // tiny cardinality, wide sketch: no collisions expected at m=64
+    assert(got("a")._1 === 3L && got("a")._2 === 3L)
+    assert(got("b")._1 === 1L && got("b")._2 === 1L)
+    def lc(o: Long, m: Int): Double = {
+      val raw = -m.toDouble * math.log(1.0 - o.toDouble / m.toDouble)
+      math.floor(raw * 1e6 + 0.5) / 1e6
+    }
+    assert(got("a")._3 === lc(3, 64) && got("b")._3 === lc(1, 64))
+    // m=2 with 3+ distinct values saturates both buckets -> NULL estimate
+    val sat = Stats.linearCountDistinct(
+      (1L to 50L).map(("x", _)).toDF("k", "v"), Seq("k"), "v", m = 2)
+      .collect().head
+    assert(sat.getLong(1) === 2L && sat.isNullAt(3))
+  }
+
   test("rangeBucketize: near-equal-frequency buckets, monotone in the value") {
     val df = (0L until 10000L).map(Tuple1(_)).toDF("cents")
     val got = Stats.rangeBucketize(df, "cents", 4)
