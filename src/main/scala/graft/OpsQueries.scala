@@ -1397,6 +1397,45 @@ object OpsQueries {
       |FROM r JOIN deg d ON d.src = r.node
       |WHERE iter = 4""".stripMargin
 
+  // ------------------------------------------------------------ bm25
+  /** Top-3 BM25 terms per document via [[Corpus.bm25TopK]] — dyadic
+    * k1/b and the rational idf keep every score a deterministic IEEE
+    * sequence, so the (score desc, term asc) ranking replays exactly.
+    */
+  def bm25(s: SparkSession, dir: String): DataFrame =
+    Corpus.bm25TopK(docs(s, dir), "doc_id", "text", k = 3)
+
+  val bm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+      |                  AS BIGINT) AS total_dl
+      |      FROM documents),
+      |s AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+      |         floor(
+      |           ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |              / (CAST(df AS DOUBLE) + 0.5))
+      |           * ((CAST(tf.tf AS DOUBLE) * 2.25)
+      |              / (CAST(tf.tf AS DOUBLE)
+      |                 + 1.25 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+      |                     / (CAST(total_dl AS DOUBLE)
+      |                        / CAST(n_docs AS DOUBLE))))))
+      |           * 1000000.0 + 0.5) / 1000000.0 AS score
+      |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                                   ORDER BY score DESC, term ASC) AS rank
+      |      FROM s)
+      |SELECT doc_id, term, tf, dl, CAST(rank AS BIGINT) AS rank, score
+      |FROM r WHERE rank <= 3""".stripMargin
+
   // ------------------------------------------------------------ triangles
   /** How many suppliers per part feed the co-supplier graph (the
     * [[Dedup.capBlocks]] valve bounds the per-part pair fan-out). */
@@ -1486,7 +1525,8 @@ object OpsQueries {
     "q89_inverted_index" -> invertedIndexQ _,
     "q90_quantize_i8" -> quantizeEmbeddings _,
     "q91_pagerank" -> pagerankTrade _,
-    "q93_triangles" -> triangles _)
+    "q93_triangles" -> triangles _,
+    "q94_bm25" -> bm25 _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1531,5 +1571,6 @@ object OpsQueries {
     "q89_inverted_index" -> invertedIndexSql,
     "q90_quantize_i8" -> quantizeEmbeddingsSql,
     "q91_pagerank" -> pagerankTradeSql,
-    "q93_triangles" -> trianglesSql)
+    "q93_triangles" -> trianglesSql,
+    "q94_bm25" -> bm25Sql)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Rounding.pround
@@ -409,6 +409,53 @@ object Corpus {
     * stable under reruns, data growth, and partitioning, with no RNG
     * state to ship. Row-local, embarrassingly parallel.
     */
+  /** Top-k BM25 terms per document — [[tfidfTopK]]'s ranking upgraded
+    * with the two things BM25 adds: term-frequency SATURATION
+    * (`tf·(k1+1) / (tf + k1·norm)` plateaus instead of growing
+    * linearly) and document-LENGTH normalization
+    * (`norm = (1−b) + b·dl/avgdl` discounts long documents). Same idf
+    * core as tfidf: the rational `(N − df + 0.5)/(df + 0.5)` — no log,
+    * so no libm ulp budget.
+    *
+    * Exactness: k1 = 5/4 and b = 3/4 are DYADIC, so `k1+1 = 2.25`,
+    * `1−b = 0.25` and every multiplication by them is one exact-or-
+    * single-rounded IEEE op; `avgdl = Σdl/N` and `dl/avgdl` are one
+    * division each. Both engines evaluate the identical literal-folded
+    * op sequence, so scores are bit-identical and the (score desc,
+    * term asc) tie-break is deterministic — pround(6) only smooths the
+    * printed value, not the ranking.
+    *
+    * Scale posture matches tfidf: the vocabulary-sized df frame
+    * BROADCASTS (Zipfian term key must not shuffle-join), per-doc
+    * length joins tf on the uniform doc key, and the per-doc top-k
+    * window partitions on that same key.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(countDistinct(col(idCol)).as("n_docs"),
+      sum(size(TextAnalysis.tokens(col(textCol)))).cast("long").as("total_dl"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    def d(c: Column): Column = c.cast("double")
+    val idf = (d(col("n_docs")) - d(col("df")) + lit(0.5)) / (d(col("df")) + lit(0.5))
+    val avgdl = d(col("total_dl")) / d(col("n_docs"))
+    val norm = lit(0.25) + lit(0.75) * (d(col("dl")) / avgdl)
+    val sat = (d(col("tf")) * lit(2.25)) / (d(col("tf")) + lit(1.25) * norm)
+    tf.join(dl, Seq(idCol))
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", pround(idf * sat, 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("dl"), col("rank"),
+        col("score"))
+  }
+
   /** Inverted index over whitespace tokens: per term, document
     * frequency, corpus frequency, and a CAPPED posting list (the
     * `postingCap` lowest doc ids, ascending). Postings are the only

@@ -441,6 +441,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), s"expected the wedge/closing joins:\n$p")
   }
 
+  test("bm25 keeps the tfidf posture: vocabulary broadcasts, doc-key joins stay keyed") {
+    val p = plan(OpsQueries.bm25(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"df (vocabulary) side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") || !p.contains("term"),
+      s"term-key shuffle join appeared:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")

@@ -430,6 +430,37 @@ class CorpusSpec extends SparkSpec {
     assert(full === Seq(1L, 3L, 5L))
   }
 
+  test("bm25: saturation plateaus tf, length norm discounts long docs") {
+    import org.apache.spark.sql.functions.col
+    // doc 1: "x" once in 2 tokens; doc 2: "x" 5 times in 10 tokens.
+    // Plain tfidf would score doc 2's x five times doc 1's; BM25's
+    // saturation + length norm must compress that gap.
+    val docs = Seq(
+      (1L, "x y"),
+      (2L, "x x x x x z z z z z"),
+      (3L, "y z")).toDF("doc_id", "text")
+    val out = Corpus.bm25TopK(docs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(5)))).toMap
+    // hand-computed: N=3, total_dl=14, avgdl=14/3
+    def score(tf: Long, dl: Long, df: Long): Double = {
+      val idf = (3.0 - df + 0.5) / (df + 0.5)
+      val norm = 0.25 + 0.75 * (dl / (14.0 / 3.0))
+      val sat = tf * 2.25 / (tf + 1.25 * norm)
+      math.floor(idf * sat * 1e6 + 0.5) / 1e6
+    }
+    assert(out((1L, "x")) === ((1L, 2L, score(1, 2, 2))))
+    assert(out((2L, "x")) === ((5L, 10L, score(5, 10, 2))))
+    assert(out((2L, "z")) === ((5L, 10L, score(5, 10, 2))))
+    // saturation: 5x the tf at 5x the length buys < 2x the score
+    assert(out((2L, "x"))._3 < 2 * out((1L, "x"))._3)
+    // identical score for x and z in doc 2 -> tie broken by term asc
+    val ranked = Corpus.bm25TopK(docs, "doc_id", "text", k = 10)
+      .filter(col("doc_id") === 2L).orderBy(col("rank"))
+      .collect().map(_.getString(1)).toSeq
+    assert(ranked === Seq("x", "z"))
+  }
+
   test("source overlap: hand-computed pairwise vocabulary Jaccard") {
     // s1 = {a,b}, s2 = {b,c}, s3 = {a,b,c}
     val docs = Seq(
