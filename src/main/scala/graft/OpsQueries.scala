@@ -1481,6 +1481,56 @@ object OpsQueries {
       |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
       |FROM n GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------ item similarity
+  /** How many parts per customer basket feed the CF projection. */
+  val BasketCap = 6
+
+  /** Collaborative-filtering part similarity via
+    * [[Graph.cooccurrenceSimilarity]] over customer baskets
+    * (orders×lineitem). Cosines need NO rounding: integer counts,
+    * exact product, IEEE-exact sqrt, one division.
+    */
+  def itemSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    Graph.cooccurrenceSimilarity(baskets, "o_custkey", "l_partkey",
+      basketCap = BasketCap, topK = 3)
+  }
+
+  val itemSimilaritySql: String =
+    s"""WITH bk AS (
+      |  SELECT DISTINCT o_custkey, l_partkey
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |capped AS (
+      |  SELECT o_custkey, l_partkey FROM (
+      |    SELECT o_custkey, l_partkey,
+      |           row_number() OVER (PARTITION BY o_custkey
+      |                              ORDER BY l_partkey ASC) AS rn
+      |    FROM bk)
+      |  WHERE rn <= $BasketCap),
+      |ni AS (SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS n
+      |       FROM capped GROUP BY 1),
+      |p AS (
+      |  SELECT c1.l_partkey AS i, c2.l_partkey AS j,
+      |         CAST(count(*) AS BIGINT) AS n_ij
+      |  FROM capped c1 JOIN capped c2
+      |    ON c1.o_custkey = c2.o_custkey AND c1.l_partkey < c2.l_partkey
+      |  GROUP BY 1, 2),
+      |sym AS (SELECT i, j, n_ij FROM p
+      |        UNION ALL SELECT j, i, n_ij FROM p),
+      |sc AS (
+      |  SELECT s.i, s.j, s.n_ij, a.n AS n_i, b.n AS n_j,
+      |         CAST(s.n_ij AS DOUBLE)
+      |           / sqrt(CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS cos
+      |  FROM sym s JOIN ni a ON a.item = s.i JOIN ni b ON b.item = s.j),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY i
+      |                                   ORDER BY cos DESC, j ASC) AS rank
+      |      FROM sc)
+      |SELECT i, j, n_ij, n_i, n_j, CAST(rank AS BIGINT) AS rank, cos
+      |FROM r WHERE rank <= 3""".stripMargin
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -1526,7 +1576,8 @@ object OpsQueries {
     "q90_quantize_i8" -> quantizeEmbeddings _,
     "q91_pagerank" -> pagerankTrade _,
     "q93_triangles" -> triangles _,
-    "q94_bm25" -> bm25 _)
+    "q94_bm25" -> bm25 _,
+    "q95_item_similarity" -> itemSimilarity _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1572,5 +1623,6 @@ object OpsQueries {
     "q90_quantize_i8" -> quantizeEmbeddingsSql,
     "q91_pagerank" -> pagerankTradeSql,
     "q93_triangles" -> trianglesSql,
-    "q94_bm25" -> bm25Sql)
+    "q94_bm25" -> bm25Sql,
+    "q95_item_similarity" -> itemSimilaritySql)
 }

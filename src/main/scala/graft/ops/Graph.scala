@@ -69,6 +69,53 @@ object Graph {
       .select(col("node"), col("deg"), col("rank"))
   }
 
+  /** Item-item cosine similarity from a bipartite basket graph (the
+    * collaborative-filtering projection): items co-occurring in the
+    * same basket score `cos(i,j) = n_ij / sqrt(n_i · n_j)` over basket
+    * counts, and each item keeps its `topK` neighbors.
+    *
+    * Exactness: the counts are integers, their product stays exact in
+    * binary64 far past any real catalog (< 2^53), IEEE `sqrt` is an
+    * EXACT-ROUNDED operation (unlike ln/exp, both engines return the
+    * identical bits), and the final division is one more rounding — so
+    * cosines are bit-identical cross-engine with NO rounding step, and
+    * the (cos desc, neighbor asc) top-k replays deterministically.
+    *
+    * Scale: the pair explosion is quadratic in basket size — the
+    * whale-basket valve is `basketCap` via [[Dedup.capBlocks]]
+    * (deterministic lowest-item-id truncation, salted two-phase), after
+    * which pair fan-out is ≤ C(cap,2) per basket. Counts n_i are taken
+    * over the SAME capped universe so the cosine is internally
+    * consistent. The item-count frame broadcasts (item catalogs are
+    * dimension-sized); the per-item top-k window partitions on the
+    * uniform item key.
+    */
+  def cooccurrenceSimilarity(baskets: DataFrame, basketCol: String,
+      itemCol: String, basketCap: Int = 6, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = Dedup.capBlocks(
+      baskets.select(col(basketCol), col(itemCol)).distinct(),
+      basketCol, itemCol, basketCap)
+    val ni = capped.groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("n"))
+    val a = capped.select(col(basketCol).as("bk"), col(itemCol).as("i"))
+    val b = capped.select(col(basketCol).as("bk"), col(itemCol).as("j"))
+    val pairs = a.join(b, Seq("bk")).filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_ij"))
+    val sym = pairs.unionByName(
+      pairs.select(col("j").as("i"), col("i").as("j"), col("n_ij")))
+    val scored = sym
+      .join(broadcast(ni.select(col("item").as("i"), col("n").as("n_i"))), Seq("i"))
+      .join(broadcast(ni.select(col("item").as("j"), col("n").as("n_j"))), Seq("j"))
+      .withColumn("cos", col("n_ij").cast("double")
+        / sqrt(col("n_i").cast("double") * col("n_j").cast("double")))
+    val w = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("i"), col("j"), col("n_ij"), col("n_i"), col("n_j"),
+        col("rank"), col("cos"))
+  }
+
   /** Per-node triangle counts via DEGREE-ORDERED wedge closing (the
     * Cohen / Suri-Vassilvitskii MapReduce scheme): orient every
     * undirected edge from its lower-(degree, id) endpoint to the

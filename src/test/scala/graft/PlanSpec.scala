@@ -450,6 +450,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("item similarity: both item-count frames broadcast; pair join stays keyed") {
+    val p = plan(OpsQueries.itemSimilarity(spark, sf0001))
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(p).length >= 2,
+      s"the dimension-sized n_i/n_j frames must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")

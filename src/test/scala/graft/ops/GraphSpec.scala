@@ -78,6 +78,31 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("co-occurrence similarity: hand cosines, tie-break, basket cap") {
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L),
+      (30L, 2L), (30L, 3L)).toDF("bk", "item")
+    val byRank = Graph.cooccurrenceSimilarity(baskets, "bk", "item",
+      basketCap = 6, topK = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(5)) -> ((r.getLong(1), r.getDouble(6)))).toMap
+    val c12 = 2.0 / math.sqrt(2.0 * 3.0)
+    // item 2 ties between 1 and 3 at 2/sqrt(6) -> neighbor id breaks it
+    assert(byRank((2L, 1L)) === ((1L, c12)))
+    assert(byRank((2L, 2L)) === ((3L, c12)))
+    assert(byRank((1L, 1L)) === ((2L, c12)))
+    assert(byRank((1L, 2L)) === ((3L, 1.0 / math.sqrt(2.0 * 2.0))))
+    assert(byRank((3L, 1L)) === ((2L, c12)))
+    // cap=2 truncates basket 10 to items {1,2}: pair (1,3)/(2,3) lose it
+    val capped = Graph.cooccurrenceSimilarity(baskets, "bk", "item",
+      basketCap = 2, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped((1L, 2L)) === 2L)
+    assert(!capped.contains((1L, 3L)))
+    assert(capped((2L, 3L)) === 1L) // only basket 30 remains
+  }
+
   test("pagerank rejects a zero iteration budget") {
     intercept[IllegalArgumentException] {
       Graph.pagerankFixedPoint(Seq((1L, 2L)).toDF("src", "dst"), 0)
