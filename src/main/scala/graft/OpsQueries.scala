@@ -1531,6 +1531,55 @@ object OpsQueries {
       |SELECT i, j, n_ij, n_i, n_j, CAST(rank AS BIGINT) AS rank, cos
       |FROM r WHERE rank <= 3""".stripMargin
 
+  // ------------------------------------------------------------ k-core
+  /** Peeling budget for the q96 k-core (diameter-scale; the oracle
+    * always runs the full budget, Spark may early-exit on stability). */
+  val KCoreRounds = 8
+
+  /** 3-core of the co-supplier graph (same capped edges as q93) via
+    * [[Graph.kCore]] — bounded-budget iterative peeling, exactly
+    * replayed by a recursive CTE whose induced degrees are window
+    * counts over the single allowed recursive reference.
+    */
+  def kCoreQ(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val capped = Dedup.capBlocks(ps, "l_partkey", "l_suppkey", TriangleBlockCap)
+    val a = capped.select(col("l_partkey").as("pk"), col("l_suppkey").as("src"))
+    val b = capped.select(col("l_partkey").as("pk"), col("l_suppkey").as("dst"))
+    val edges = a.join(b, Seq("pk"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    Graph.kCore(edges, k = 3, rounds = KCoreRounds)
+  }
+
+  val kCoreSql: String =
+    s"""WITH RECURSIVE ps AS (
+      |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |capped AS (
+      |  SELECT l_partkey, l_suppkey FROM (
+      |    SELECT l_partkey, l_suppkey,
+      |           row_number() OVER (PARTITION BY l_partkey
+      |                              ORDER BY l_suppkey ASC) AS rn
+      |    FROM ps)
+      |  WHERE rn <= $TriangleBlockCap),
+      |und AS (
+      |  SELECT DISTINCT c1.l_suppkey AS a, c2.l_suppkey AS b
+      |  FROM capped c1 JOIN capped c2
+      |    ON c1.l_partkey = c2.l_partkey AND c1.l_suppkey < c2.l_suppkey),
+      |e(lvl, x, y) AS (
+      |  SELECT 0, x, y FROM (SELECT a AS x, b AS y FROM und
+      |                       UNION ALL SELECT b, a FROM und) s0
+      |  UNION ALL
+      |  SELECT lvl + 1, x, y FROM (
+      |    SELECT e.lvl, e.x, e.y,
+      |           count(*) OVER (PARTITION BY e.x) AS dx,
+      |           count(*) OVER (PARTITION BY e.y) AS dy
+      |    FROM e WHERE e.lvl < $KCoreRounds) t
+      |  WHERE dx >= 3 AND dy >= 3)
+      |SELECT x AS node, CAST(count(*) AS BIGINT) AS core_deg
+      |FROM e WHERE lvl = $KCoreRounds GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -1577,7 +1626,8 @@ object OpsQueries {
     "q91_pagerank" -> pagerankTrade _,
     "q93_triangles" -> triangles _,
     "q94_bm25" -> bm25 _,
-    "q95_item_similarity" -> itemSimilarity _)
+    "q95_item_similarity" -> itemSimilarity _,
+    "q96_kcore" -> kCoreQ _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1624,5 +1674,6 @@ object OpsQueries {
     "q91_pagerank" -> pagerankTradeSql,
     "q93_triangles" -> trianglesSql,
     "q94_bm25" -> bm25Sql,
-    "q95_item_similarity" -> itemSimilaritySql)
+    "q95_item_similarity" -> itemSimilaritySql,
+    "q96_kcore" -> kCoreSql)
 }

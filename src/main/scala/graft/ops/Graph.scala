@@ -69,6 +69,53 @@ object Graph {
       .select(col("node"), col("deg"), col("rank"))
   }
 
+  /** k-core decomposition by iterative peeling: drop every node whose
+    * degree in the INDUCED surviving subgraph is below `k`, recompute,
+    * repeat. Returns each surviving node with its core degree after at
+    * most `rounds` peels (with early exit once the edge set is stable
+    * — identical output to running the full budget, since peeling a
+    * fixpoint is a no-op; the oracle always runs the full budget).
+    *
+    * Exactness: peeling is pure set arithmetic on integer degrees —
+    * no ordering, no floats — so a fixed round budget replays exactly
+    * as a DuckDB recursive CTE. The induced degree needs BOTH
+    * endpoints' survival, which would reference the recursive table
+    * twice; the oracle sidesteps the single-reference restriction by
+    * computing both endpoint degrees as WINDOW counts over the one
+    * allowed scan of the directed edge list (count OVER (PARTITION BY
+    * x) == out-degree == degree, because edges are symmetrized).
+    *
+    * Scale: each round is one keyed degree agg + one keyed join —
+    * same shape and valves as the CC loop (bounded `rounds` budget,
+    * lazy local checkpoints so lineage stays one round deep; the
+    * per-round count() actions that drive early exit are the same
+    * price the CC convergence check pays).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+      checkpoint: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(rounds >= 1, "rounds must be positive")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(col("src").as("x"), col("dst").as("y"))
+    val sym0 = und.union(und.select(col("y").as("x"), col("x").as("y"))).distinct()
+    var e = if (checkpoint) sym0.localCheckpoint(false) else sym0
+    var stable = false
+    var r = 0
+    while (r < rounds && !stable) {
+      val deg = e.groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val next0 = e
+        .join(deg.select(col("x"), col("d").as("dx")), Seq("x"))
+        .join(deg.select(col("x").as("y"), col("d").as("dy")), Seq("y"))
+        .filter(col("dx") >= k && col("dy") >= k)
+        .select(col("x"), col("y"))
+      val next = if (checkpoint) next0.localCheckpoint(false) else next0
+      stable = next.count() == e.count()
+      e = next
+      r += 1
+    }
+    e.groupBy(col("x").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Item-item cosine similarity from a bipartite basket graph (the
     * collaborative-filtering projection): items co-occurring in the
     * same basket score `cos(i,j) = n_ij / sqrt(n_i · n_j)` over basket

@@ -457,6 +457,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("k-core round is a degree agg + two keyed joins, never a loop join") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val p = plan(graft.ops.Graph.kCore(edges, k = 2, rounds = 2, checkpoint = false))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"peeling must stay on keyed joins:\n$p")
+    assert(p.contains("HashAggregate"), s"expected the degree agg:\n$p")
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")

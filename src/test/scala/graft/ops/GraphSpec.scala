@@ -103,6 +103,26 @@ class GraphSpec extends SparkSpec {
     assert(capped((2L, 3L)) === 1L) // only basket 30 remains
   }
 
+  test("kCore: cascade peeling reaches the true core; budget and checkpoint modes agree") {
+    // triangle {1,2,3} braced by a tail 3-4-5: 2-core = the triangle,
+    // but the tail needs TWO peels (5 goes first, then 4) — pins that
+    // degrees are recomputed on the induced subgraph each round.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    for (cp <- Seq(true, false)) {
+      val got = Graph.kCore(edges.toDF("src", "dst"), k = 2, rounds = 8,
+        checkpoint = cp)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"cp=$cp")
+    }
+    // k above the max degree empties the core
+    assert(Graph.kCore(edges.toDF("src", "dst"), k = 5, rounds = 4).count() === 0)
+    // an exhausted budget returns the partially peeled (deterministic) set:
+    // one round only removes node 5; node 4 survives with its stale edge
+    val partial = Graph.kCore(edges.toDF("src", "dst"), k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(partial === Set(1L, 2L, 3L, 4L))
+  }
+
   test("pagerank rejects a zero iteration budget") {
     intercept[IllegalArgumentException] {
       Graph.pagerankFixedPoint(Seq((1L, 2L)).toDF("src", "dst"), 0)
