@@ -1580,6 +1580,61 @@ object OpsQueries {
       |SELECT x AS node, CAST(count(*) AS BIGINT) AS core_deg
       |FROM e WHERE lvl = $KCoreRounds GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------ feature hash
+  /** Hashed sparse bag-of-words via [[TextAnalysis.featureBucket]] /
+    * [[TextAnalysis.featureSign]] — the fixed-memory featurizer (no
+    * vocabulary state); long-form (doc, bucket, signed weight) rows.
+    */
+  def featureHash(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    toks.groupBy(col("doc_id"),
+        TextAnalysis.featureBucket(col("term"), 1024).as("bucket"))
+      .agg(sum(TextAnalysis.featureSign(col("term"))).as("weight"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  val featureHashSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents)
+      |SELECT doc_id,
+      |       ('0x' || substr(md5(term), 1, 8))::BIGINT % 1024 AS bucket,
+      |       CAST(sum(CASE WHEN ('0x' || substr(md5(term), 9, 1))::INT < 8
+      |                     THEN 1 ELSE -1 END) AS BIGINT) AS weight,
+      |       CAST(count(*) AS BIGINT) AS n_terms
+      |FROM tok GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ PPS sample
+  /** Systematic PPS sample of 10 docs per source by token mass via
+    * [[Corpus.ppsSample]] — all-integer pointer selection in md5
+    * order; complements q33 (uniform quota) and q77 (budget fill).
+    */
+  def ppsSampleQ(s: SparkSession, dir: String): DataFrame =
+    Corpus.ppsSample(docs(s, dir), "source", "doc_id",
+      TextAnalysis.tokenCount(col("text")), n = 10)
+
+  val ppsSampleSql: String =
+    """WITH tk AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |           AS wt,
+      |         md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, wt,
+      |             CAST(sum(wt) OVER (PARTITION BY source
+      |                                ORDER BY h ASC, doc_id ASC
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                AND CURRENT ROW) AS BIGINT) AS cum,
+      |             CAST(sum(wt) OVER (PARTITION BY source) AS BIGINT) AS total
+      |      FROM tk)
+      |SELECT source, doc_id, wt, cum, total,
+      |       CAST((cum * 10) // total - ((cum - wt) * 10) // total AS BIGINT)
+      |         AS n_hits
+      |FROM c
+      |WHERE (cum * 10) // total > ((cum - wt) * 10) // total""".stripMargin
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -1627,7 +1682,9 @@ object OpsQueries {
     "q93_triangles" -> triangles _,
     "q94_bm25" -> bm25 _,
     "q95_item_similarity" -> itemSimilarity _,
-    "q96_kcore" -> kCoreQ _)
+    "q96_kcore" -> kCoreQ _,
+    "q97_feature_hash" -> featureHash _,
+    "q98_pps_sample" -> ppsSampleQ _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1675,5 +1732,7 @@ object OpsQueries {
     "q93_triangles" -> trianglesSql,
     "q94_bm25" -> bm25Sql,
     "q95_item_similarity" -> itemSimilaritySql,
-    "q96_kcore" -> kCoreSql)
+    "q96_kcore" -> kCoreSql,
+    "q97_feature_hash" -> featureHashSql,
+    "q98_pps_sample" -> ppsSampleSql)
 }

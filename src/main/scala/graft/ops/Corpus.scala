@@ -490,6 +490,45 @@ object Corpus {
     stats.join(postings, Seq("term"))
   }
 
+  /** Systematic PPS sampling (probability proportional to size): order
+    * the population by md5 (the deterministic stand-in for a random
+    * shuffle), take the running weight total, and select every row
+    * whose cumulative-weight interval contains one of `n` equally
+    * spaced pointers. Selection is `(cum·n) div total >
+    * ((cum−w)·n) div total` — ALL integer arithmetic (no step
+    * fraction ever materializes; `div` matches DuckDB's `//` on the
+    * non-negative operands), so it replays exactly and the classic
+    * PPS guarantees hold: inclusion probability ∝ weight, rows
+    * heavier than total/n are always taken, and Σ n_hits = n exactly
+    * per stratum (heavy rows straddling multiple pointers are emitted
+    * once with their multiplicity in `n_hits`).
+    *
+    * Scale: one running-sum window per stratum in md5 order. A single
+    * global stratum would be a total order — the 100 TB valve is
+    * exactly the `strataCol`: sample per source/shard with per-stratum
+    * budgets so every window partition stays stratum-sized.
+    */
+  def ppsSample(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: Column, n: Int): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(strataCol))
+    val base = df.select(col(strataCol), col(idCol),
+      weightCol.cast("long").as("wt"),
+      md5(col(idCol).cast("string")).as("h"))
+    base
+      .withColumn("cum", sum(col("wt")).over(w))
+      .withColumn("total", sum(col("wt")).over(tot))
+      .withColumn("n_hits",
+        (expr(s"(cum * $n) div total") - expr(s"((cum - wt) * $n) div total"))
+          .cast("long"))
+      .filter(col("n_hits") > 0)
+      .select(col(strataCol), col(idCol), col("wt"), col("cum"),
+        col("total"), col("n_hits"))
+  }
+
   def hashSplit(df: DataFrame, idCol: String): DataFrame =
     df.select(col(idCol),
       substring(md5(col(idCol).cast("string")), 1, 1).as("h"))

@@ -129,6 +129,26 @@ object TextAnalysis {
     * `md5(lower(regexp_replace(trim(text), "\s+", " ")))` (FunctionsSpec)
     * without three regex/string materializations per row.
     */
+  /** Feature hashing (the hashing trick, Weinberger et al. 2009):
+    * project an unbounded vocabulary onto `dim` buckets with a SIGNED
+    * md5 hash, so collisions cancel in expectation instead of biasing
+    * upward. Returns the long-form sparse vector — one (bucket,
+    * weight) per distinct bucket per document after the caller's
+    * groupBy — via two pure columns: `featureBucket` (md5 hex 1-8 mod
+    * dim) and `featureSign` (+1 if md5 hex digit 9 < '8', else −1).
+    * All-integer md5 arithmetic: identical cross-engine, no vocabulary
+    * state at all — THE fixed-memory featurizer at 100 TB (a vocab
+    * dictionary is a corpus-sized broadcast that must be rebuilt per
+    * snapshot; the hash needs nothing).
+    */
+  def featureBucket(token: Column, dim: Int): Column =
+    conv(substring(md5(token), 1, 8), 16, 10).cast("long") % dim
+
+  /** Signed-hash sign: +1 / −1 from the 9th md5 hex digit. */
+  def featureSign(token: Column): Column =
+    when(conv(substring(md5(token), 9, 1), 16, 10).cast("int") < 8, lit(1L))
+      .otherwise(lit(-1L))
+
   def fingerprintMd5(text: Column): Column =
     graft.functions.functions.normalized_md5(text)
 }

@@ -465,6 +465,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected the degree agg:\n$p")
   }
 
+  test("feature hash: one keyed agg on (doc, bucket), no vocabulary join anywhere") {
+    val p = plan(OpsQueries.featureHash(spark, sf0001))
+    assert(!p.contains("Join"), s"the hashing trick must need no vocab join:\n$p")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 1,
+      s"expected a single keyed agg shuffle:\n$p")
+  }
+
+  test("pps sample: one stratum window pass, no join, no global sort") {
+    val p = plan(OpsQueries.ppsSampleQ(spark, sf0001))
+    assert(!p.contains("Join"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 1,
+      s"pps must be one stratum-keyed window shuffle:\n$p")
+    assert(!p.contains("Sort [") || !p.contains("global=true"),
+      s"no global sort — only within stratum partitions:\n$p")
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")

@@ -461,6 +461,48 @@ class CorpusSpec extends SparkSpec {
     assert(ranked === Seq("x", "z"))
   }
 
+  test("ppsSample: exactly n pointer hits per stratum; heavy rows always taken") {
+    import org.apache.spark.sql.functions.{col, length}
+    // one whale doc (wt 80) among minnows (wt 2 each): at n=4 the whale
+    // spans >= 3 pointers (80/100 of the mass) and MUST be selected
+    val docsDf = (Seq((1L, "s", "w " * 80)) ++
+      (2L to 11L).map(i => (i, "s", "a b")))
+      .toDF("doc_id", "source", "text")
+      .withColumn("text", org.apache.spark.sql.functions.trim(col("text")))
+    val out = Corpus.ppsSample(docsDf, "source", "doc_id",
+      graft.ops.TextAnalysis.tokenCount(col("text")), n = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(5)).toMap
+    assert(out.values.sum === 4L, s"pointer hits must total n: $out")
+    assert(out.contains(1L) && out(1L) >= 3L, s"whale must be hit >= 3 times: $out")
+    // n larger than rows: every positive-weight row selected, hits still sum to n
+    val all = Corpus.ppsSample(docsDf, "source", "doc_id",
+      graft.ops.TextAnalysis.tokenCount(col("text")), n = 100)
+      .collect().map(r => r.getLong(1) -> r.getLong(5)).toMap
+    assert(all.values.sum === 100L)
+    assert(all.keySet === (1L to 11L).toSet)
+  }
+
+  test("feature hash: signed buckets cancel, multiplicity counted, dim bound") {
+    import org.apache.spark.sql.functions.col
+    val toks = Seq((1L, "x x y"), (2L, "x")).toDF("doc_id", "text")
+    val out = graft.OpsQueries.ops("q97_feature_hash")(spark, sf0001)
+    val rows = out.limit(2000).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 1024))
+    // |weight| can never exceed the bucket's term count
+    assert(rows.forall(r => math.abs(r.getLong(2)) <= r.getLong(3)))
+    // same token twice -> same bucket, weight magnitude 2
+    val g = toks.select(col("doc_id"),
+      org.apache.spark.sql.functions.explode(
+        TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), TextAnalysis.featureBucket(col("term"), 1024).as("b"))
+      .agg(org.apache.spark.sql.functions.sum(
+        TextAnalysis.featureSign(col("term"))).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val xb = g.keys.filter(_._1 == 2L).head._2
+    assert(math.abs(g((1L, xb))) === 2L)
+  }
+
   test("source overlap: hand-computed pairwise vocabulary Jaccard") {
     // s1 = {a,b}, s2 = {b,c}, s3 = {a,b,c}
     val docs = Seq(
