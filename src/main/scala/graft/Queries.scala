@@ -1620,6 +1620,45 @@ object Queries {
       |       END AS lc_estimate
       |FROM o JOIN x USING (event_type)""".stripMargin
 
+  /** Pareto-frontier customers per market segment — maximize (total
+    * spend, order count) — via [[graft.transform.Skyline.skyline2D]]'s
+    * windowed rewrite; the oracle runs the naive NOT EXISTS dominance
+    * form, so the gate proves the rewrite computes the identical
+    * frontier. All-integer dimensions (spend in cents).
+    */
+  def skylineCustomers(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .as("spend_cents"),
+        count(lit(1)).as("n_orders"))
+    val pts = base.join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_custkey").as("custkey"),
+        col("spend_cents"), col("n_orders"))
+    graft.transform.Skyline.skyline2D(pts, Seq("segment"),
+      "spend_cents", "n_orders")
+  }
+
+  val skylineCustomersSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey,
+      |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS spend_cents,
+      |         CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |pts AS (
+      |  SELECT c.c_mktsegment AS segment, b.o_custkey AS custkey,
+      |         b.spend_cents, b.n_orders
+      |  FROM base b JOIN customer c ON c.c_custkey = b.o_custkey)
+      |SELECT segment, custkey, spend_cents, n_orders
+      |FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.segment = p.segment
+      |    AND q.spend_cents >= p.spend_cents AND q.n_orders >= p.n_orders
+      |    AND (q.spend_cents > p.spend_cents OR q.n_orders > p.n_orders))""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -1672,7 +1711,8 @@ object Queries {
     "q86_gap_fill" -> gapFillHourly _,
     "q87_scd2" -> scd2Versions _,
     "q88_transitions" -> eventTransitions _,
-    "q92_linear_count" -> linearCount _)
+    "q92_linear_count" -> linearCount _,
+    "q99_skyline" -> skylineCustomers _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -1725,5 +1765,6 @@ object Queries {
     "q86_gap_fill" -> gapFillHourlySql,
     "q87_scd2" -> scd2VersionsSql,
     "q88_transitions" -> eventTransitionsSql,
-    "q92_linear_count" -> linearCountSql)
+    "q92_linear_count" -> linearCountSql,
+    "q99_skyline" -> skylineCustomersSql)
 }

@@ -481,6 +481,13 @@ class PlanSpec extends SparkSpec {
       s"no global sort — only within stratum partitions:\n$p")
   }
 
+  test("skyline: windowed rewrite — frontier semi-join, no quadratic self-join") {
+    val p = plan(Queries.skylineCustomers(spark, sf0001))
+    assert(p.contains("LeftSemi"), s"expected the frontier semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the dominance anti-join must never appear:\n$p")
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")
