@@ -1635,6 +1635,43 @@ object OpsQueries {
       |FROM c
       |WHERE (cum * 10) // total > ((cum - wt) * 10) // total""".stripMargin
 
+  // ------------------------------------------------------------ binary files
+  /** Raw-file ingestion through Spark's `binaryFile` source — the
+    * entry point of every multimodal pipeline (images/audio arrive as
+    * FILES, not rows). The fixture materializes the 50 lowest-id docs
+    * as one .txt file each (driver-side, ingestion-fixture only — at
+    * scale the files already exist on the lake); the OPERATOR is the
+    * distributed read: path → id parse, byte length, and an md5 of
+    * the raw content that the oracle replays from the text column
+    * (UTF-8 bytes hash identically from file or from VARCHAR —
+    * `strlen`, not `length`, for the byte count).
+    */
+  def binaryFilesQ(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bin_${ProcessHandle.current.pid}_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    tmp.mkdirs()
+    Option(tmp.listFiles()).foreach(_.foreach(_.delete()))
+    docs(s, dir).orderBy(col("doc_id")).limit(50)
+      .select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        java.nio.file.Files.write(
+          new java.io.File(tmp, s"${r.getLong(0)}.txt").toPath,
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    s.read.format("binaryFile").load(tmp.getPath)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long").as("doc_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+  }
+
+  val binaryFilesSql: String =
+    """WITH sel AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)
+      |SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |       md5(text) AS content_md5
+      |FROM sel""".stripMargin
+
   // ------------------------------------------------------------ catalogs
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_stats" -> textStats _,
@@ -1684,7 +1721,8 @@ object OpsQueries {
     "q95_item_similarity" -> itemSimilarity _,
     "q96_kcore" -> kCoreQ _,
     "q97_feature_hash" -> featureHash _,
-    "q98_pps_sample" -> ppsSampleQ _)
+    "q98_pps_sample" -> ppsSampleQ _,
+    "q100_binary_files" -> binaryFilesQ _)
 
   val opsOracles: Map[String, String] = Map(
     "q14_text_stats" -> textStatsSql,
@@ -1734,5 +1772,6 @@ object OpsQueries {
     "q95_item_similarity" -> itemSimilaritySql,
     "q96_kcore" -> kCoreSql,
     "q97_feature_hash" -> featureHashSql,
-    "q98_pps_sample" -> ppsSampleSql)
+    "q98_pps_sample" -> ppsSampleSql,
+    "q100_binary_files" -> binaryFilesSql)
 }

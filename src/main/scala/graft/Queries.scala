@@ -1659,6 +1659,49 @@ object Queries {
       |    AND q.spend_cents >= p.spend_cents AND q.n_orders >= p.n_orders
       |    AND (q.spend_cents > p.spend_cents OR q.n_orders > p.n_orders))""".stripMargin
 
+  /** Last-touch attribution — each purchase credits the user's most
+    * recent STRICTLY-preceding click: one IGNORE NULLS window with a
+    * `ROWS ... AND 1 PRECEDING` frame (no self-match, no join). All
+    * integer µs and cents; the click→purchase latency is an exact
+    * subtraction.
+    */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("last_click_us",
+        last(when(col("event_type") === "click", col("us")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_click_us").isNotNull)
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        col("last_click_us"),
+        (col("us") - col("last_click_us")).as("latency_us"), col("cents"))
+  }
+
+  val lastTouchAttributionSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (
+      |  SELECT *,
+      |         last_value(CASE WHEN event_type = 'click' THEN us END
+      |                    IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS last_click_us
+      |  FROM e)
+      |SELECT event_id, user_id, us AS purchase_us, last_click_us,
+      |       us - last_click_us AS latency_us, cents
+      |FROM m
+      |WHERE event_type = 'purchase' AND last_click_us IS NOT NULL""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -1712,7 +1755,8 @@ object Queries {
     "q87_scd2" -> scd2Versions _,
     "q88_transitions" -> eventTransitions _,
     "q92_linear_count" -> linearCount _,
-    "q99_skyline" -> skylineCustomers _)
+    "q99_skyline" -> skylineCustomers _,
+    "q101_attribution" -> lastTouchAttribution _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -1766,5 +1810,6 @@ object Queries {
     "q87_scd2" -> scd2VersionsSql,
     "q88_transitions" -> eventTransitionsSql,
     "q92_linear_count" -> linearCountSql,
-    "q99_skyline" -> skylineCustomersSql)
+    "q99_skyline" -> skylineCustomersSql,
+    "q101_attribution" -> lastTouchAttributionSql)
 }

@@ -488,6 +488,19 @@ class PlanSpec extends SparkSpec {
       s"the dominance anti-join must never appear:\n$p")
   }
 
+  test("binary files: distributed binaryFile scan, row-local projection") {
+    val p = plan(OpsQueries.binaryFilesQ(spark, sf0001))
+    assert(p.contains("binaryFile"), s"expected the binaryFile source:\n$p")
+    assert(!p.contains("Exchange"), s"path-parse + md5 must be row-local:\n$p")
+  }
+
+  test("attribution: one user-window pass, no join") {
+    val p = plan(Queries.lastTouchAttribution(spark, sf0001))
+    assert(!p.contains("Join"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 1,
+      s"last-touch must be a single keyed window:\n$p")
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")
