@@ -46,11 +46,47 @@ object Graph {
     *   plan-shape tests.
     */
   def pagerankFixedPoint(edges: DataFrame, iters: Int,
-      scale: Long = 1000000000L, checkpoint: Boolean = true): DataFrame = {
+      scale: Long = 1000000000L, checkpoint: Boolean = true,
+      smallGraphThreshold: Long = 0L): DataFrame = {
     require(iters >= 1, "iters must be positive")
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .union(edges.select(col("dst").cast("long").as("src"),
+        col("src").cast("long").as("dst")))
       .distinct()
+    // Small-graph valve (opt-in, CC-loop economics — see
+    // Dedup.connectedComponents): below the threshold, `iters` rounds
+    // of join+agg scheduling (~0.5 s fixed cost each at local[32])
+    // collapse into one collect + a driver loop running the IDENTICAL
+    // integer recursion — GraphSpec pins mode equality. Sizing counts
+    // boxed Rows (~100 B/edge), per the CC valve's rule. Apply it ONLY
+    // to output-scale graphs (candidate pairs, per-cohort subgraphs):
+    // for a corpus-scale graph the probe itself costs a cached
+    // materialization and the fall-through pays it for nothing —
+    // measured slower on the 1.2M-edge trade graph, which is why q91
+    // leaves it off.
+    if (smallGraphThreshold > 0) {
+      val cached = sym.persist()
+      val probeCap = math.min(smallGraphThreshold, Int.MaxValue - 1L).toInt
+      val n = cached.limit(probeCap + 1).count()
+      if (n <= smallGraphThreshold) {
+        val es = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
+        cached.unpersist()
+        val deg = es.groupBy(_._1).map { case (u, g) => u -> g.length.toLong }
+        var rank = deg.keys.map(_ -> scale).toMap
+        for (_ <- 1 to iters) {
+          val contrib = scala.collection.mutable.Map.empty[Long, Long]
+            .withDefaultValue(0L)
+          es.foreach { case (u, v) => contrib(v) += rank(u) / deg(u) }
+          rank = contrib.map { case (v, s) => v -> (scale / 8 + 7 * s / 8) }.toMap
+        }
+        val spark = edges.sparkSession
+        return spark.createDataFrame(
+          rank.toSeq.map { case (node, r) => (node, deg(node), r) })
+          .toDF("node", "deg", "rank")
+      }
+      cached.unpersist()
+    }
     val withDeg = sym.join(
       sym.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
     val e = (if (checkpoint) withDeg.localCheckpoint(false) else withDeg)
@@ -92,12 +128,36 @@ object Graph {
     * price the CC convergence check pays).
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int,
-      checkpoint: Boolean = true): DataFrame = {
+      checkpoint: Boolean = true, smallGraphThreshold: Long = 0L): DataFrame = {
     require(k >= 1, "k must be positive")
     require(rounds >= 1, "rounds must be positive")
     val und = edges.filter(col("src") =!= col("dst"))
-      .select(col("src").as("x"), col("dst").as("y"))
+      .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
     val sym0 = und.union(und.select(col("y").as("x"), col("x").as("y"))).distinct()
+    // Small-graph valve — same shape and sizing rule as pagerank's.
+    if (smallGraphThreshold > 0) {
+      val cached = sym0.persist()
+      val probeCap = math.min(smallGraphThreshold, Int.MaxValue - 1L).toInt
+      val n = cached.limit(probeCap + 1).count()
+      if (n <= smallGraphThreshold) {
+        var es = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
+        cached.unpersist()
+        var r = 0
+        var stable = false
+        while (r < rounds && !stable) {
+          val deg = es.groupBy(_._1).map { case (u, g) => u -> g.length }
+          val next = es.filter { case (x, y) => deg(x) >= k && deg(y) >= k }
+          stable = next.length == es.length
+          es = next
+          r += 1
+        }
+        val spark = edges.sparkSession
+        return spark.createDataFrame(
+          es.groupBy(_._1).toSeq.map { case (u, g) => (u, g.length.toLong) })
+          .toDF("node", "core_deg")
+      }
+      cached.unpersist()
+    }
     var e = if (checkpoint) sym0.localCheckpoint(false) else sym0
     var stable = false
     var r = 0

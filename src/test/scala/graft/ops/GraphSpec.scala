@@ -33,6 +33,16 @@ class GraphSpec extends SparkSpec {
           edges.toDF("src", "dst"), iters, checkpoint = cp)
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
       assert(got === ref(edges, iters), s"iters=$iters cp=$cp")
+      // the small-graph driver valve runs the identical recursion
+      val valved = Graph.pagerankFixedPoint(
+          edges.toDF("src", "dst"), iters, smallGraphThreshold = 1000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(valved === got, s"valve mode diverged at iters=$iters")
+      // an over-threshold graph falls through to the distributed path
+      val over = Graph.pagerankFixedPoint(
+          edges.toDF("src", "dst"), iters, smallGraphThreshold = 3L)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(over === got, s"fall-through diverged at iters=$iters")
     }
   }
 
@@ -113,6 +123,13 @@ class GraphSpec extends SparkSpec {
         checkpoint = cp)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"cp=$cp")
+    }
+    // driver valve and fall-through both match the distributed result
+    for (thr <- Seq(1000L, 3L)) {
+      val valved = Graph.kCore(edges.toDF("src", "dst"), k = 2, rounds = 8,
+        smallGraphThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(valved === Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"thr=$thr")
     }
     // k above the max degree empties the core
     assert(Graph.kCore(edges.toDF("src", "dst"), k = 5, rounds = 4).count() === 0)
