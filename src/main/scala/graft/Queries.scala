@@ -1702,6 +1702,74 @@ object Queries {
       |FROM m
       |WHERE event_type = 'purchase' AND last_click_us IS NOT NULL""".stripMargin
 
+  /** CUPED A/B readout via [[graft.transform.Stats.cupedByArm]]: users
+    * hash-split into arms (md5 — replayable, unlike rand()), the
+    * experiment window is the span's second half (integer-µs midpoint
+    * broadcast), y = in-window cents, x = pre-period cents per user.
+    */
+  def cupedReadout(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events").select(col("user_id"),
+      unix_micros(col("ts")).as("us"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val cut = base.agg(
+      expr("(min(us) + max(us)) div 2").as("cut"))
+    val perUser = base.crossJoin(broadcast(cut))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("us") < col("cut"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("us") >= col("cut"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8, "A").otherwise("B"))
+    graft.transform.Stats.cupedByArm(perUser, "arm", "x", "y")
+  }
+
+  val cupedReadoutSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT (min(us) + max(us)) // 2 AS cut FROM e),
+      |u AS (
+      |  SELECT user_id,
+      |         CAST(sum(CASE WHEN us < cut THEN cents ELSE 0 END) AS BIGINT)
+      |           AS x,
+      |         CAST(sum(CASE WHEN us >= cut THEN cents ELSE 0 END) AS BIGINT)
+      |           AS y,
+      |         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+      |                     ::INT < 8
+      |              THEN 'A' ELSE 'B' END AS arm
+      |  FROM e CROSS JOIN b GROUP BY user_id),
+      |g AS (
+      |  SELECT count(*) AS n_g,
+      |         sum(CAST(x AS HUGEINT)) AS sx_g, sum(CAST(y AS HUGEINT)) AS sy_g,
+      |         sum(CAST(x AS HUGEINT) * x) AS sxx_g,
+      |         sum(CAST(x AS HUGEINT) * y) AS sxy_g
+      |  FROM u),
+      |a AS (
+      |  SELECT arm, CAST(count(*) AS BIGINT) AS n_arm,
+      |         sum(CAST(x AS HUGEINT)) AS sx_arm,
+      |         sum(CAST(y AS HUGEINT)) AS sy_arm
+      |  FROM u GROUP BY 1),
+      |d AS (
+      |  SELECT arm, n_arm,
+      |         CAST(sy_arm AS DOUBLE) / CAST(n_arm AS DOUBLE) AS mean_y,
+      |         CASE WHEN CAST(n_g AS DOUBLE) * CAST(sxx_g AS DOUBLE)
+      |                     - CAST(sx_g AS DOUBLE) * CAST(sx_g AS DOUBLE) > 0
+      |              THEN (CAST(n_g AS DOUBLE) * CAST(sxy_g AS DOUBLE)
+      |                     - CAST(sx_g AS DOUBLE) * CAST(sy_g AS DOUBLE))
+      |                   / (CAST(n_g AS DOUBLE) * CAST(sxx_g AS DOUBLE)
+      |                     - CAST(sx_g AS DOUBLE) * CAST(sx_g AS DOUBLE))
+      |              ELSE 0.0 END AS theta,
+      |         CAST(sx_arm AS DOUBLE) / CAST(n_arm AS DOUBLE)
+      |           - CAST(sx_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS dx
+      |  FROM a CROSS JOIN g)
+      |SELECT arm, n_arm,
+      |       floor(mean_y * 1000000.0 + 0.5) / 1000000.0 AS mean_y,
+      |       floor(theta * 1000000.0 + 0.5) / 1000000.0 AS theta,
+      |       floor((mean_y - theta * dx) * 1000000.0 + 0.5) / 1000000.0
+      |         AS mean_y_cuped
+      |FROM d""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -1756,7 +1824,8 @@ object Queries {
     "q88_transitions" -> eventTransitions _,
     "q92_linear_count" -> linearCount _,
     "q99_skyline" -> skylineCustomers _,
-    "q101_attribution" -> lastTouchAttribution _)
+    "q101_attribution" -> lastTouchAttribution _,
+    "q102_cuped" -> cupedReadout _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -1811,5 +1880,6 @@ object Queries {
     "q88_transitions" -> eventTransitionsSql,
     "q92_linear_count" -> linearCountSql,
     "q99_skyline" -> skylineCustomersSql,
-    "q101_attribution" -> lastTouchAttributionSql)
+    "q101_attribution" -> lastTouchAttributionSql,
+    "q102_cuped" -> cupedReadoutSql)
 }

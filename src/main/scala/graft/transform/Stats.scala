@@ -309,6 +309,47 @@ object Stats {
     * `CAST(floor(value*100+0.5) AS BIGINT)` bit-for-bit. */
   def cents(valueCol: Column): Column = centsExpr(valueCol)
 
+  /** CUPED variance reduction (Deng et al., WSDM 2013) — the A/B-test
+    * readout adjusted by a pre-experiment covariate:
+    * `ȳ_cuped(arm) = ȳ(arm) − θ·(x̄(arm) − x̄(global))` with
+    * `θ = cov(x,y)/var(x)` POOLED across arms. Same exactness spine as
+    * [[corrByKey]]: moments are DECIMAL(38,0) sums of integer
+    * covariate/metric values (↔ DuckDB HUGEINT), converted to double
+    * once; θ and each mean are single divisions, the adjustment is one
+    * multiply + two subtractions in pinned order, pround(6) at the
+    * end. Zero covariate variance → θ = 0 (no adjustment), not a
+    * division error.
+    *
+    * Scale: one keyed agg per arm + a 1-row global moment frame that
+    * cross-joins as a broadcast literal — the per-user frame never
+    * shuffles twice. Arm cardinality bounds the output.
+    */
+  def cupedByArm(df: DataFrame, armCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import graft.util.Rounding.pround
+    val x = col(xCol).cast("decimal(19,0)")
+    val y = col(yCol).cast("decimal(19,0)")
+    val g = df.agg(count(lit(1)).as("n_g"),
+      sum(x).as("sx_g"), sum(y).as("sy_g"),
+      sum(x * x).as("sxx_g"), sum(x * y).as("sxy_g"))
+    val arms = df.groupBy(col(armCol))
+      .agg(count(lit(1)).as("n_arm"),
+        sum(x).as("sx_arm"), sum(y).as("sy_arm"))
+    def d(c: String) = col(c).cast("double")
+    val nG = col("n_g").cast("double")
+    val cov = nG * d("sxy_g") - d("sx_g") * d("sy_g")
+    val vx = nG * d("sxx_g") - d("sx_g") * d("sx_g")
+    val theta = when(vx > 0, cov / vx).otherwise(lit(0.0))
+    val nA = col("n_arm").cast("double")
+    val meanY = d("sy_arm") / nA
+    val adj = theta * (d("sx_arm") / nA - d("sx_g") / nG)
+    arms.crossJoin(broadcast(g))
+      .select(col(armCol), col("n_arm"),
+        pround(meanY, 6).as("mean_y"),
+        pround(theta, 6).as("theta"),
+        pround(meanY - adj, 6).as("mean_y_cuped"))
+  }
+
   /** Linear-counting distinct estimate per key (Whang et al. 1990) —
     * the bounded-state approximate-cardinality sketch: hash each value
     * into one of `m` md5 buckets, count occupied buckets `o`, estimate

@@ -501,6 +501,15 @@ class PlanSpec extends SparkSpec {
       s"last-touch must be a single keyed window:\n$p")
   }
 
+  test("cuped: per-user frame aggregates once; global moments ride a 1-row broadcast") {
+    val p = plan(Queries.cupedReadout(spark, sf0001))
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in CUPED justifies a shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row moment/cut frames must broadcast:\n$p")
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")

@@ -168,6 +168,31 @@ class StatsSpec extends SparkSpec {
     assert(sat.getLong(1) === 2L && sat.isNullAt(3))
   }
 
+  test("cupedByArm: hand-computed theta and adjusted means; zero-variance covariate") {
+    import org.apache.spark.sql.functions.col
+    // x perfectly predicts y (y = 2x): CUPED removes ALL covariate
+    // imbalance — arms with different x means land on equal adjusted
+    // means when their y|x relationship is identical
+    val users = Seq(
+      ("A", 1L, 2L), ("A", 2L, 4L), ("B", 3L, 6L), ("B", 4L, 8L))
+      .toDF("arm", "x", "y")
+    val out = Stats.cupedByArm(users, "arm", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // pooled: n=4, sx=10, sy=20, sxx=30, sxy=60
+    // cov = 4*60-10*20 = 40, vx = 4*30-100 = 20, theta = 2
+    assert(out("A")._3 === 2.0 && out("B")._3 === 2.0)
+    assert(out("A")._2 === 3.0 && out("B")._2 === 7.0) // raw means differ
+    // adjusted: A: 3 - 2*(1.5-2.5) = 5; B: 7 - 2*(3.5-2.5) = 5
+    assert(out("A")._4 === 5.0 && out("B")._4 === 5.0)
+    // constant covariate -> theta 0, adjusted == raw
+    val flat = Seq(("A", 7L, 2L), ("A", 7L, 4L), ("B", 7L, 6L))
+      .toDF("arm", "x", "y")
+    val f = Stats.cupedByArm(flat, "arm", "x", "y")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(2), r.getDouble(4)))).toMap
+    assert(f("A")._1 === 0.0 && f("A")._2 === f("A")._3)
+  }
+
   test("rangeBucketize: near-equal-frequency buckets, monotone in the value") {
     val df = (0L until 10000L).map(Tuple1(_)).toDF("cents")
     val got = Stats.rangeBucketize(df, "cents", 4)
