@@ -1770,6 +1770,110 @@ object Queries {
       |         AS mean_y_cuped
       |FROM d""".stripMargin
 
+  /** Trailing 24h per-user feature via a RANGE window frame — the
+    * time-bounded rolling aggregate row frames can't express (events
+    * are irregular; "last 24 hours" ≠ "last N rows"). The frame bound
+    * is integer µs, sums are integer cents, and equal-timestamp rows
+    * are frame-included as a SET in both engines — fully exact.
+    * One keyed window; q62's hopping windows bucket time, this slides
+    * per event.
+    */
+  def trailingWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L - 1
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-dayUs, 0)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("trail_cents", sum(col("cents")).over(w))
+      .withColumn("trail_n", count(lit(1)).over(w))
+  }
+
+  val trailingWindowSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT event_id, user_id, us, cents,
+      |       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY us
+      |               RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS trail_cents,
+      |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+      |               RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS trail_n
+      |FROM e""".stripMargin
+
+  /** Quantile normalization — remap each group's value distribution
+    * onto the GLOBAL distribution (the batch-effect correction /
+    * cross-source feature alignment step): a value at within-group
+    * rank r (of n_g) maps to the global value at rank
+    * `(r−1)·(N−1) div (n_g−1) + 1`. The index arithmetic is ALL
+    * integer (no percent_rank double ever materializes) and the rank
+    * orders are tie-pinned, so the mapping replays exactly. Singleton
+    * groups map to the global minimum (index 0) rather than dividing
+    * by zero.
+    *
+    * Scale: one window per group + one global ranking (the global
+    * total order is the valve — at 100 TB replace the exact global
+    * rank with rangeBucketize's t-digest cutpoints, trading the exact
+    * element for a distributed sketch) + one equi-join on the dense
+    * integer index.
+    */
+  def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val wg = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents").asc, col("event_id").asc)
+    val globalRanked = base
+      .select(col("cents").as("g_cents"), col("event_id").as("g_id"))
+      .withColumn("g_rank", row_number().over(
+        Window.orderBy(col("g_cents").asc, col("g_id").asc)).cast("long"))
+      .select(col("g_rank"), col("g_cents"))
+    val n = base.agg(count(lit(1)).as("n_all"))
+    val ranked = base
+      .withColumn("r", row_number().over(wg).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .crossJoin(broadcast(n))
+      .withColumn("g_rank",
+        when(col("n_g") === 1, lit(1L)).otherwise(
+          expr("(r - 1) * (n_all - 1) div (n_g - 1)") + 1L))
+    ranked.join(globalRanked, Seq("g_rank"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("r"), col("g_rank"), col("g_cents").as("norm_cents"))
+  }
+
+  val quantileNormalizeSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (
+      |  SELECT cents AS g_cents,
+      |         CAST(row_number() OVER (ORDER BY cents ASC, event_id ASC)
+      |              AS BIGINT) AS g_rank
+      |  FROM e),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM e),
+      |r AS (
+      |  SELECT event_id, event_type, cents,
+      |         CAST(row_number() OVER (PARTITION BY event_type
+      |                                 ORDER BY cents ASC, event_id ASC)
+      |              AS BIGINT) AS r,
+      |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_g
+      |  FROM e),
+      |m AS (
+      |  SELECT r.event_id, r.event_type, r.cents, r.r,
+      |         CASE WHEN r.n_g = 1 THEN 1
+      |              ELSE (r.r - 1) * (n.n_all - 1) // (r.n_g - 1) + 1
+      |         END AS g_rank
+      |  FROM r CROSS JOIN n)
+      |SELECT m.event_id, m.event_type, m.cents, m.r,
+      |       CAST(m.g_rank AS BIGINT) AS g_rank, g.g_cents AS norm_cents
+      |FROM m JOIN g ON g.g_rank = m.g_rank""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -1825,7 +1929,9 @@ object Queries {
     "q92_linear_count" -> linearCount _,
     "q99_skyline" -> skylineCustomers _,
     "q101_attribution" -> lastTouchAttribution _,
-    "q102_cuped" -> cupedReadout _)
+    "q102_cuped" -> cupedReadout _,
+    "q103_trailing_window" -> trailingWindow _,
+    "q104_quantile_normalize" -> quantileNormalize _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -1881,5 +1987,7 @@ object Queries {
     "q92_linear_count" -> linearCountSql,
     "q99_skyline" -> skylineCustomersSql,
     "q101_attribution" -> lastTouchAttributionSql,
-    "q102_cuped" -> cupedReadoutSql)
+    "q102_cuped" -> cupedReadoutSql,
+    "q103_trailing_window" -> trailingWindowSql,
+    "q104_quantile_normalize" -> quantileNormalizeSql)
 }

@@ -510,6 +510,21 @@ class PlanSpec extends SparkSpec {
       s"the 1-row moment/cut frames must broadcast:\n$p")
   }
 
+  test("trailing window: one keyed RANGE-frame window, no join, no expansion") {
+    val p = plan(Queries.trailingWindow(spark, sf0001))
+    assert(!p.contains("Join") && !p.contains("Generate"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 1,
+      s"time-bounded rolling agg is one user-keyed window:\n$p")
+  }
+
+  test("quantile normalize: dense-index equi-join, no loop join") {
+    val p = plan(Queries.quantileNormalize(spark, sf0001))
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+      s"index join must be keyed:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row count frame may broadcast-loop:\n$p")
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")
