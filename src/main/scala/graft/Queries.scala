@@ -1874,6 +1874,115 @@ object Queries {
       |       CAST(m.g_rank AS BIGINT) AS g_rank, g.g_cents AS norm_cents
       |FROM m JOIN g ON g.g_rank = m.g_rank""".stripMargin
 
+  /** Unpivot/melt via `stack()` — the inverse of q50's pivot: a wide
+    * per-user frame (one cents column per event type) melts back to
+    * long form in one Generate, no join, no union-of-scans (the
+    * UNION ALL oracle re-reads the wide frame per type; stack emits
+    * all rows in one pass — the 100 TB difference).
+    */
+  def unpivotWide(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "view",
+          floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
+          .as("view_cents"),
+        sum(when(col("event_type") === "click",
+          floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
+          .as("click_cents"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
+          .as("purchase_cents"))
+    wide.select(col("user_id"),
+      expr("stack(3, 'view', view_cents, 'click', click_cents, " +
+        "'purchase', purchase_cents) AS (event_type, cents)"))
+  }
+
+  val unpivotWideSql: String =
+    """WITH w AS (
+      |  SELECT user_id,
+      |         CAST(sum(CASE WHEN event_type = 'view'
+      |                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |                  ELSE 0 END) AS BIGINT) AS view_cents,
+      |         CAST(sum(CASE WHEN event_type = 'click'
+      |                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |                  ELSE 0 END) AS BIGINT) AS click_cents,
+      |         CAST(sum(CASE WHEN event_type = 'purchase'
+      |                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |                  ELSE 0 END) AS BIGINT) AS purchase_cents
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, 'view' AS event_type, view_cents AS cents FROM w
+      |UNION ALL
+      |SELECT user_id, 'click', click_cents FROM w
+      |UNION ALL
+      |SELECT user_id, 'purchase', purchase_cents FROM w""".stripMargin
+
+  /** Randomized response (Warner 1965) — the local-DP collection
+    * primitive: each user reports their true per-type activity flag
+    * with probability 3/4, otherwise a fair coin, and the aggregate
+    * debiases with `(mean − 1/8) / (3/4)`. The coins are md5 hex
+    * digits of (user, type) — deterministic and replayable where
+    * rand() is not, with the same marginal frequencies (hex digit <
+    * 'c' ⇔ p = 3/4; < '8' ⇔ p = 1/2). Counts are exact integers; the
+    * mean is one division and the debias two dyadic-constant ops,
+    * pround(6) last. Everything is one keyed agg per stage — the
+    * privacy mechanism adds zero shuffle over the plain count.
+    */
+  def randomizedResponse(s: SparkSession, dir: String): DataFrame = {
+    val flags = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        max((col("event_type") === "purchase").cast("long")).as("purchase"),
+        max((col("event_type") === "click").cast("long")).as("click"))
+    val long = flags.select(col("user_id"),
+      expr("stack(2, 'purchase', purchase, 'click', click) AS (etype, flag)"))
+    val coined = long
+      .withColumn("h", md5(concat(col("user_id").cast("string"), lit(":"), col("etype"))))
+      .withColumn("truth_coin",
+        conv(substring(col("h"), 1, 1), 16, 10).cast("int") < 12)
+      .withColumn("flip_coin",
+        (conv(substring(col("h"), 2, 1), 16, 10).cast("int") < 8).cast("long"))
+      .withColumn("reported",
+        when(col("truth_coin"), col("flag")).otherwise(col("flip_coin")))
+    coined.groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("flag")).as("n_true"),
+        sum(col("reported")).as("n_reported"))
+      .withColumn("rr_estimate", graft.util.Rounding.pround(
+        (col("n_reported").cast("double") / col("n").cast("double") - lit(0.125))
+          / lit(0.75), 6))
+  }
+
+  val randomizedResponseSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS purchase,
+      |         CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS click
+      |  FROM events GROUP BY 1),
+      |l AS (
+      |  SELECT user_id, 'purchase' AS etype, purchase AS flag FROM f
+      |  UNION ALL SELECT user_id, 'click', click FROM f),
+      |c AS (
+      |  SELECT etype, flag,
+      |         md5(CAST(user_id AS VARCHAR) || ':' || etype) AS h
+      |  FROM l),
+      |r AS (
+      |  SELECT etype, flag,
+      |         CASE WHEN ('0x' || substr(h, 1, 1))::INT < 12 THEN flag
+      |              ELSE CASE WHEN ('0x' || substr(h, 2, 1))::INT < 8
+      |                        THEN 1 ELSE 0 END
+      |         END AS reported
+      |  FROM c)
+      |SELECT etype, count(*) AS n,
+      |       CAST(sum(flag) AS BIGINT) AS n_true,
+      |       CAST(sum(reported) AS BIGINT) AS n_reported,
+      |       floor(((CAST(sum(reported) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |               - 0.125) / 0.75) * 1000000.0 + 0.5) / 1000000.0
+      |         AS rr_estimate
+      |FROM r GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -1931,7 +2040,9 @@ object Queries {
     "q101_attribution" -> lastTouchAttribution _,
     "q102_cuped" -> cupedReadout _,
     "q103_trailing_window" -> trailingWindow _,
-    "q104_quantile_normalize" -> quantileNormalize _)
+    "q104_quantile_normalize" -> quantileNormalize _,
+    "q105_unpivot" -> unpivotWide _,
+    "q106_randomized_response" -> randomizedResponse _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -1989,5 +2100,7 @@ object Queries {
     "q101_attribution" -> lastTouchAttributionSql,
     "q102_cuped" -> cupedReadoutSql,
     "q103_trailing_window" -> trailingWindowSql,
-    "q104_quantile_normalize" -> quantileNormalizeSql)
+    "q104_quantile_normalize" -> quantileNormalizeSql,
+    "q105_unpivot" -> unpivotWideSql,
+    "q106_randomized_response" -> randomizedResponseSql)
 }

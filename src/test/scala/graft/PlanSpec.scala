@@ -525,6 +525,21 @@ class PlanSpec extends SparkSpec {
       s"only the 1-row count frame may broadcast-loop:\n$p")
   }
 
+  test("unpivot: stack() is ONE Generate pass, not a union of rescans") {
+    val p = plan(Queries.unpivotWide(spark, sf0001))
+    assert(p.contains("Generate") || p.contains("Expand"),
+      s"expected the stack expansion:\n$p")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length <= 1,
+      s"melt must not rescan the source per column:\n$p")
+  }
+
+  test("randomized response adds zero shuffle over the plain flag count") {
+    val p = plan(Queries.randomizedResponse(spark, sf0001))
+    assert(!p.contains("Join"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 2,
+      s"user agg + etype agg only:\n$p")
+  }
+
   test("nfc_normalize stays inside whole-stage codegen") {
     val p = plan(OpsQueries.nfcNormalizeDocs(spark, sf0001))
     assert(p.contains("* Project"), s"no codegen span:\n$p")
