@@ -9,7 +9,9 @@ object Prof {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     for (q <- Seq("q14_text_stats","q17_minhash_lsh","q18_ngram_jaccard",
-                  "q20_knn_brute","q34_curation","q41_dedup_clusters")) {
+                  "q20_knn_brute","q34_curation","q41_dedup_clusters",
+                  "q91_pagerank","q93_triangles","q95_item_similarity",
+                  "q96_kcore")) {
       for (i <- 1 to 3) {
         val t0 = System.nanoTime()
         val df = graft.SparkEntry.queries(q)(spark, dir)
