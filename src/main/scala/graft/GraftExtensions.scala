@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-/** SparkSessionExtensions entry point: registers graft's custom
-  * Catalyst expressions (`rolling_hash`, `simhash64`, `dot_product`,
-  * `normalized_md5`, `word_shingles`, `minhash_sigs`) as SQL functions
+/** SparkSessionExtensions entry point: registers ALL of graft's custom
+  * Catalyst expressions as SQL functions — the same set as
+  * `functions.registerAll` (SourceReaderSpec exercises both surfaces) —
   * in every session built with `.withExtensions(new GraftExtensions)`
   * or `spark.sql.extensions=graft.GraftExtensions`.
   */
@@ -37,5 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.NfcNormalize(es.head)))
     ext.injectFunction((FunctionIdentifier("interleave_bits"), info("interleave_bits"),
       (es: Seq[Expression]) => graft.functions.InterleaveBits(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("q_grams_occ"), info("q_grams_occ"),
+      (es: Seq[Expression]) =>
+        graft.functions.QGramsWithOcc(es.head, intLit(es(1), "q_grams_occ q"))))
+    ext.injectFunction((FunctionIdentifier("quantize_i8"), info("quantize_i8"),
+      (es: Seq[Expression]) => graft.functions.QuantizeI8(es.head)))
   }
 }

@@ -1447,17 +1447,21 @@ object OpsQueries {
     * id-ordered 3-way self-join — triangle membership is orientation
     * invariant, so the gate proves the skew-proof rewrite lossless.
     */
-  def triangles(s: SparkSession, dir: String): DataFrame = {
+  /** Shared by q93/q96: capped co-supplier edges (suppliers sharing a
+    * part; per-part fan-out bounded by [[TriangleBlockCap]]). */
+  private def coSupplierEdges(s: SparkSession, dir: String): DataFrame = {
     val ps = Tables.load(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey")).distinct()
     val capped = Dedup.capBlocks(ps, "l_partkey", "l_suppkey", TriangleBlockCap)
     val a = capped.select(col("l_partkey").as("pk"), col("l_suppkey").as("src"))
     val b = capped.select(col("l_partkey").as("pk"), col("l_suppkey").as("dst"))
-    val edges = a.join(b, Seq("pk"))
+    a.join(b, Seq("pk"))
       .filter(col("src") < col("dst"))
       .select(col("src"), col("dst")).distinct()
-    Graph.triangleCounts(edges)
   }
+
+  def triangles(s: SparkSession, dir: String): DataFrame =
+    Graph.triangleCounts(coSupplierEdges(s, dir))
 
   val trianglesSql: String =
     s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
@@ -1541,17 +1545,8 @@ object OpsQueries {
     * replayed by a recursive CTE whose induced degrees are window
     * counts over the single allowed recursive reference.
     */
-  def kCoreQ(s: SparkSession, dir: String): DataFrame = {
-    val ps = Tables.load(s, dir, "lineitem")
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val capped = Dedup.capBlocks(ps, "l_partkey", "l_suppkey", TriangleBlockCap)
-    val a = capped.select(col("l_partkey").as("pk"), col("l_suppkey").as("src"))
-    val b = capped.select(col("l_partkey").as("pk"), col("l_suppkey").as("dst"))
-    val edges = a.join(b, Seq("pk"))
-      .filter(col("src") < col("dst"))
-      .select(col("src"), col("dst")).distinct()
-    Graph.kCore(edges, k = 3, rounds = KCoreRounds)
-  }
+  def kCoreQ(s: SparkSession, dir: String): DataFrame =
+    Graph.kCore(coSupplierEdges(s, dir), k = 3, rounds = KCoreRounds)
 
   val kCoreSql: String =
     s"""WITH RECURSIVE ps AS (

@@ -1561,10 +1561,10 @@ object Queries {
       |  FROM v GROUP BY 1, 2, 3)
       |SELECT user_id, version, event_type, valid_from_us, n_events,
       |       COALESCE(lead(valid_from_us)
-      |                  OVER (PARTITION BY user_id ORDER BY valid_from_us),
+      |                  OVER (PARTITION BY user_id ORDER BY version),
       |                -1) AS valid_to_us,
       |       CAST(COALESCE(lead(valid_from_us)
-      |                       OVER (PARTITION BY user_id ORDER BY valid_from_us),
+      |                       OVER (PARTITION BY user_id ORDER BY version),
       |                     -1) = -1 AS INT) AS is_current
       |FROM r""".stripMargin
 

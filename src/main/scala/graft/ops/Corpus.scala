@@ -521,9 +521,13 @@ object Corpus {
     base
       .withColumn("cum", sum(col("wt")).over(w))
       .withColumn("total", sum(col("wt")).over(tot))
+      // when() guards the ANSI DIVIDE_BY_ZERO on a zero-mass stratum
+      // (all weights 0 after truncation): it emits no samples, it
+      // doesn't kill the query
       .withColumn("n_hits",
-        (expr(s"(cum * $n) div total") - expr(s"((cum - wt) * $n) div total"))
-          .cast("long"))
+        when(col("total") > 0,
+          expr(s"(cum * $n) div total") - expr(s"((cum - wt) * $n) div total"))
+          .otherwise(lit(0L)).cast("long"))
       .filter(col("n_hits") > 0)
       .select(col(strataCol), col(idCol), col("wt"), col("cum"),
         col("total"), col("n_hits"))

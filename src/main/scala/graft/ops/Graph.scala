@@ -159,6 +159,9 @@ object Graph {
       cached.unpersist()
     }
     var e = if (checkpoint) sym0.localCheckpoint(false) else sym0
+    // carry the cardinality across rounds: one count() per round, not
+    // two (the previous round's next.count() IS this round's e.count())
+    var eCount = e.count()
     var stable = false
     var r = 0
     while (r < rounds && !stable) {
@@ -169,7 +172,9 @@ object Graph {
         .filter(col("dx") >= k && col("dy") >= k)
         .select(col("x"), col("y"))
       val next = if (checkpoint) next0.localCheckpoint(false) else next0
-      stable = next.count() == e.count()
+      val nextCount = next.count()
+      stable = nextCount == eCount
+      eCount = nextCount
       e = next
       r += 1
     }

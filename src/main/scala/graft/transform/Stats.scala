@@ -373,11 +373,18 @@ object Stats {
     val keys = keyCols.map(col)
     val bucket = (conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
       .cast("long") % m).as("bucket")
-    val occupied = df.select(keys :+ bucket: _*).distinct()
+    // NULL values are excluded from both columns (countDistinct already
+    // skips them; without this filter md5(NULL)'s NULL bucket would
+    // count as occupied and the pair would disagree on null semantics)
+    val occupied = df.filter(col(valueCol).isNotNull)
+      .select(keys :+ bucket: _*).distinct()
       .groupBy(keys: _*).agg(count(lit(1)).as("occupied"))
     val exact = df.groupBy(keys: _*)
       .agg(countDistinct(col(valueCol)).as("exact_distinct"))
-    occupied.join(exact, keyCols)
+    // left from exact so an all-NULL key still reports (0, 0, 0.0)
+    exact.join(occupied, keyCols, "left")
+      .withColumn("occupied", coalesce(col("occupied"), lit(0L)))
+      .select((keyCols.map(col) :+ col("occupied") :+ col("exact_distinct")): _*)
       .withColumn("lc_estimate",
         when(col("occupied") >= m, lit(null).cast("double"))
           .otherwise(graft.util.Rounding.pround(

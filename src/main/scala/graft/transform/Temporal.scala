@@ -120,7 +120,11 @@ object Temporal {
       .withColumn("version", sum(col("changed")).over(wRun))
     val runs = marked.groupBy(col(keyCol), col("version"), col(attrCol))
       .agg(min(col("us")).as("valid_from_us"), count(lit(1)).as("n_events"))
-    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("valid_from_us"))
+    // close over VERSION order, not valid_from_us: two consecutive runs
+    // can open at the same microsecond (tieCol-separated events), and
+    // version is strictly increasing along the true run order while
+    // equal valid_from_us ties are nondeterministic
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("version"))
     runs
       .withColumn("valid_to_us",
         coalesce(lead(col("valid_from_us"), 1).over(wNext), lit(-1L)))

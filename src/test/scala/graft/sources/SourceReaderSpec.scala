@@ -110,6 +110,14 @@ class SourceReaderSpec extends SparkSpec {
     assert(got.getDouble(1) === 11.0)
     assert(got.getString(2) ===
       org.apache.commons.codec.digest.DigestUtils.md5Hex("a b"))
+    // round-7 additions reach SQL through the same surface
+    val more = spark.sql("SELECT q_grams_occ('abab', 2) AS g, " +
+      "quantize_i8(array(1.0d, -1.0d)) AS q").head()
+    assert(more.getSeq[String](0).size === 3)
+    assert(more.getSeq[Int](1) === Seq(127, -127))
+    // the extensions injector itself covers the full set without error
+    new graft.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
   test("literal-arg SQL functions build and evaluate (word_shingles, minhash_sigs)") {
