@@ -116,6 +116,22 @@ class TemporalSpec extends SparkSpec {
       ("view", "click", 2L, 3L, 2.0 / 3.0)))
   }
 
+  test("scd2: consecutive runs opening at the SAME microsecond close deterministically") {
+    // attr flips between two events at an identical timestamp (tie
+    // broken by event_id): version order must drive the closing lead,
+    // not valid_from_us (equal for both runs)
+    val ev = Seq(
+      (1L, "a", ts(0), 1L), (1L, "b", ts(0), 2L), (1L, "b", ts(1), 3L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = Temporal.scd2(ev, "user_id", "event_type", "ts", "event_id")
+      .orderBy("version").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(5), r.getInt(6)))
+    val t0 = ts(0).getTime * 1000L
+    assert(out.toSeq === Seq(
+      (1L, "a", t0, t0, 0),   // closed AT its own open instant by run 2
+      (2L, "b", t0, -1L, 1))) // the true open version
+  }
+
   test("scd2: equals a driver-side fold on seeded random logs") {
     val rnd = new scala.util.Random(99)
     val types = Seq("a", "b", "c")
