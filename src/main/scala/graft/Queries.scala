@@ -1983,6 +1983,65 @@ object Queries {
       |         AS rr_estimate
       |FROM r GROUP BY 1""".stripMargin
 
+  /** CDC snapshot diff ([[graft.transform.Cdc.snapshotDiff]]): the old
+    * snapshot drops orderkeys ≡2 (mod 5), the new snapshot drops ≡3
+    * (mod 7) and rewrites status (≡0 mod 11) and priority (≡0 mod 13)
+    * — so the diff must emit I/D/U rows with exact changed-column
+    * lists and swallow everything untouched. One PK-keyed full-outer
+    * join; comparison is null-safe and row-local. The partition-digest
+    * pruned variant (the <1%-changed fast path) is spec-pinned equal
+    * to this full diff in CdcSpec.
+    */
+  def snapshotDiffOrders(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val oldSnap = orders.filter(col("o_orderkey") % 5 =!= 2)
+    val newSnap = orders.filter(col("o_orderkey") % 7 =!= 3)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 11 === 0, lit("R")).otherwise(col("o_orderstatus")))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 13 === 0, lit("9-RECHECK"))
+          .otherwise(col("o_orderpriority")))
+    graft.transform.Cdc.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+  }
+
+  val snapshotDiffOrdersSql: String =
+    """WITH oldv AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |         o_orderpriority
+      |  FROM orders WHERE o_orderkey % 5 <> 2),
+      |newv AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN 'R'
+      |              ELSE o_orderstatus END AS o_orderstatus,
+      |         o_totalprice,
+      |         CASE WHEN o_orderkey % 13 = 0 THEN '9-RECHECK'
+      |              ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 7 <> 3),
+      |j AS (
+      |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      |         CASE WHEN o.o_orderkey IS NULL THEN 'I'
+      |              WHEN n.o_orderkey IS NULL THEN 'D'
+      |              WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey)
+      |                OR NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+      |                OR NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+      |                OR NOT (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+      |              THEN 'U' END AS change_type,
+      |         CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+      |              THEN concat_ws(',',
+      |                CASE WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey)
+      |                     THEN 'o_custkey' END,
+      |                CASE WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+      |                     THEN 'o_orderstatus' END,
+      |                CASE WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+      |                     THEN 'o_totalprice' END,
+      |                CASE WHEN NOT (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+      |                     THEN 'o_orderpriority' END) END AS changed_cols
+      |  FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
+      |SELECT o_orderkey, change_type,
+      |       CASE WHEN change_type = 'U' THEN changed_cols END AS changed_cols
+      |FROM j WHERE change_type IS NOT NULL""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -2042,7 +2101,8 @@ object Queries {
     "q103_trailing_window" -> trailingWindow _,
     "q104_quantile_normalize" -> quantileNormalize _,
     "q105_unpivot" -> unpivotWide _,
-    "q106_randomized_response" -> randomizedResponse _)
+    "q106_randomized_response" -> randomizedResponse _,
+    "q107_snapshot_diff" -> snapshotDiffOrders _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -2102,5 +2162,6 @@ object Queries {
     "q103_trailing_window" -> trailingWindowSql,
     "q104_quantile_normalize" -> quantileNormalizeSql,
     "q105_unpivot" -> unpivotWideSql,
-    "q106_randomized_response" -> randomizedResponseSql)
+    "q106_randomized_response" -> randomizedResponseSql,
+    "q107_snapshot_diff" -> snapshotDiffOrdersSql)
 }

@@ -1,0 +1,111 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture between two snapshots of a keyed table: which
+  * rows were inserted, deleted, or updated — and for updates, exactly
+  * which columns changed. The everyday consumers are incremental
+  * materialization (re-push only changed feature vectors to the online
+  * store), registry drift audits, and backfill validation (diff a
+  * recomputed partition against what is already published).
+  *
+  * Reference behavior surveyed from the ingest/publish notebooks
+  * (`infra/on-prem/workspace-dev/fs-hadoop/chicago_taxi_trips_silver
+  * .ipynb`, full-recompute overwrite) — the reference recomputes and
+  * overwrites whole tables; the diff operator is what makes that
+  * incremental at scale.
+  *
+  * Scale posture: ONE primary-key-keyed full-outer join — both
+  * snapshots bucketed by the key make it exchange-free; the
+  * changed-column detection is row-local expression work inside the
+  * join's codegen stage, and unchanged rows are dropped before
+  * anything downstream sees them. For the common production case
+  * (<1% of a 100 TB table's partitions changed between snapshots) use
+  * [[prunedSnapshotDiff]]: per-partition order-independent digests
+  * (two cheap aggregate scans) prune the row-level diff to only the
+  * partitions whose digest differs.
+  *
+  * Exactness: column comparison is null-safe (`<=>`), so NULL→value
+  * and value→NULL transitions are real updates and NULL==NULL is not;
+  * `changed_cols` lists compare-columns in their declared order —
+  * deterministic output, no engine-dependent set ordering.
+  */
+object Cdc {
+
+  /** Row-level diff of `newDf` against `oldDf` on `keyCols` (primary
+    * key; must be non-null on both sides). Emits ONLY changed rows:
+    * `change_type` ∈ I (inserted), D (deleted), U (updated), plus
+    * `changed_cols` — the comma-joined `compareCols` (declared order)
+    * whose values differ under null-safe equality; NULL for I/D.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty)
+    val cols = keyCols ++ compareCols
+    val o = oldDf.select(cols.map(c => col(c).as(s"_old_$c")): _*)
+    val n = newDf.select(cols.map(c => col(c).as(s"_new_$c")): _*)
+    val cond = keyCols.map(k => col(s"_old_$k") === col(s"_new_$k"))
+      .reduce(_ && _)
+    val oldPresent = col(s"_old_${keyCols.head}").isNotNull
+    val newPresent = col(s"_new_${keyCols.head}").isNotNull
+    def differs(c: String): Column = !(col(s"_old_$c") <=> col(s"_new_$c"))
+    val changeType = when(!oldPresent, lit("I"))
+      .when(!newPresent, lit("D"))
+      .when(compareCols.map(differs).reduce(_ || _), lit("U"))
+    val changedCols = when(changeType === "U",
+      concat_ws(",", compareCols.map(c => when(differs(c), lit(c))): _*))
+    o.join(n, cond, "full_outer")
+      .filter(changeType.isNotNull)
+      .select(
+        keyCols.map(k => coalesce(col(s"_old_$k"), col(s"_new_$k")).as(k)) ++
+          Seq(changeType.as("change_type"), changedCols.as("changed_cols")): _*)
+  }
+
+  /** Per-partition content digest: row count plus a commutative XOR of
+    * per-row 64-bit hashes over `hashCols`. XOR is order- and
+    * partitioning-independent, so two snapshots of identical content
+    * digest identically no matter how rows are laid out; any single
+    * row change flips the digest (xxhash64 collisions aside — pair a
+    * digest-pruned diff with the row-level join on the surviving
+    * partitions, never trust the digest alone for equality of what it
+    * selects). Map-side partial aggregation reduces each scan task to
+    * one (partition, digest) row — the shuffle is partition-count
+    * sized, not data-sized.
+    */
+  def partitionDigests(df: DataFrame, partitionCols: Seq[String],
+      hashCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty && hashCols.nonEmpty)
+    df.groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"bit_xor(xxhash64(${hashCols.mkString(", ")}))").as("digest"))
+  }
+
+  /** The scale valve for [[snapshotDiff]]: digest both snapshots per
+    * `partitionCols`, keep only partitions whose (count, digest)
+    * differ — or exist on one side only — and run the row-level diff
+    * on those partitions alone. With parquet partitioned by
+    * `partitionCols`, the semi-joins prune at the scan (partition
+    * pruning), so a 100 TB table with 0.5% changed partitions reads
+    * ~0.5% of its bytes twice plus two digest passes. Result is
+    * identical to the unpruned diff (CdcSpec pins equality on seeded
+    * random snapshots).
+    */
+  def prunedSnapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      partitionCols: Seq[String], keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val hashCols = (keyCols ++ compareCols).distinct
+    val od = partitionDigests(oldDf, partitionCols, hashCols)
+      .withColumnsRenamed(Map("n_rows" -> "_old_n", "digest" -> "_old_d"))
+    val nd = partitionDigests(newDf, partitionCols, hashCols)
+      .withColumnsRenamed(Map("n_rows" -> "_new_n", "digest" -> "_new_d"))
+    val changed = od.join(nd, partitionCols, "full_outer")
+      .filter(!(col("_old_n") <=> col("_new_n")) ||
+        !(col("_old_d") <=> col("_new_d")))
+      .select(partitionCols.map(col): _*)
+    snapshotDiff(
+      oldDf.join(broadcast(changed), partitionCols, "left_semi"),
+      newDf.join(broadcast(changed), partitionCols, "left_semi"),
+      keyCols, compareCols)
+  }
+}

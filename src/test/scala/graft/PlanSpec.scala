@@ -546,4 +546,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"row-local normalization must not shuffle:\n$p")
   }
+
+  test("snapshot diff: ONE PK-keyed full-outer join, row-local change detection") {
+    val p = plan(Queries.snapshotDiffOrders(spark, sf0001))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"diff must be a keyed join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    assert("""Join""".r.findAllIn(p).toSeq.nonEmpty &&
+      """\(\d+\) \w*Join""".r.findAllIn(p).length == 1,
+      s"exactly one join in the diff:\n$p")
+  }
 }

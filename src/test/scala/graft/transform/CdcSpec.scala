@@ -1,0 +1,90 @@
+package graft.transform
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keyCols = Seq("id")
+  private val cmpCols = Seq("a", "b")
+
+  test("snapshotDiff: hand-computed I/D/U with exact changed-column lists") {
+    val oldDf = Seq(
+      (1L, "x", 10),            // unchanged
+      (2L, "x", 20),            // b changes
+      (3L, "y", 30),            // a and b change
+      (4L, "z", 40)             // deleted
+    ).toDF("id", "a", "b")
+    val newDf = Seq(
+      (1L, "x", 10),
+      (2L, "x", 21),
+      (3L, "q", 31),
+      (5L, "w", 50)             // inserted
+    ).toDF("id", "a", "b")
+    val out = Cdc.snapshotDiff(oldDf, newDf, keyCols, cmpCols)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(out.toSeq === Seq(
+      (2L, "U", Some("b")),
+      (3L, "U", Some("a,b")),
+      (4L, "D", None),
+      (5L, "I", None)))
+  }
+
+  test("snapshotDiff: NULL transitions are updates, NULL==NULL is not") {
+    val oldDf = Seq((1L, Some("x")), (2L, None: Option[String]),
+      (3L, None: Option[String])).toDF("id", "a")
+    val newDf = Seq((1L, None: Option[String]), (2L, Some("y")),
+      (3L, None: Option[String])).toDF("id", "a")
+    val out = Cdc.snapshotDiff(oldDf, newDf, keyCols, Seq("a"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq === Seq((1L, "U", "a"), (2L, "U", "a")))
+  }
+
+  test("partitionDigests: row order and layout never change the digest; any row does") {
+    val base = Seq((0, 1L, "x", 10), (0, 2L, "y", 20), (1, 3L, "z", 30))
+      .toDF("p", "id", "a", "b")
+    val shuffled = base.orderBy(col("b").desc).repartition(7)
+    val d1 = Cdc.partitionDigests(base, Seq("p"), Seq("id", "a", "b"))
+      .orderBy("p").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val d2 = Cdc.partitionDigests(shuffled, Seq("p"), Seq("id", "a", "b"))
+      .orderBy("p").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(d1.toSeq === d2.toSeq)
+    val edited = Seq((0, 1L, "x", 11), (0, 2L, "y", 20), (1, 3L, "z", 30))
+      .toDF("p", "id", "a", "b")
+    val d3 = Cdc.partitionDigests(edited, Seq("p"), Seq("id", "a", "b"))
+      .orderBy("p").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(d3(0) !== d1(0), "edited partition must change digest")
+    assert(d3(1) === d1(1), "untouched partition must keep its digest")
+  }
+
+  test("prunedSnapshotDiff equals the full diff on seeded random snapshots") {
+    val rnd = new scala.util.Random(7)
+    def snap(edit: Boolean) = (1 to 400).flatMap { id =>
+      val keep = if (edit) rnd.nextInt(10) != 0 else true
+      if (!keep) None
+      else {
+        val a = if (edit && rnd.nextInt(5) == 0) "mut" else s"v${id % 13}"
+        Some((id % 8, id.toLong, a, id % 31))
+      }
+    }.toDF("p", "id", "a", "b")
+    val oldDf = (1 to 400).map(id => (id % 8, id.toLong, s"v${id % 13}", id % 31))
+      .toDF("p", "id", "a", "b")
+    val newDf = snap(edit = true)
+    val full = Cdc.snapshotDiff(oldDf, newDf, Seq("id"), Seq("a", "b"))
+      .orderBy("id").collect().map(_.toSeq)
+    val pruned = Cdc.prunedSnapshotDiff(oldDf, newDf, Seq("p"), Seq("id"),
+      Seq("a", "b")).orderBy("id").collect().map(_.toSeq)
+    assert(full.nonEmpty && full.toSeq === pruned.toSeq)
+  }
+
+  test("prunedSnapshotDiff: partitions only on one side survive pruning") {
+    val oldDf = Seq((0, 1L, "x"), (1, 2L, "y")).toDF("p", "id", "a")
+    val newDf = Seq((0, 1L, "x"), (2, 3L, "z")).toDF("p", "id", "a")
+    val out = Cdc.prunedSnapshotDiff(oldDf, newDf, Seq("p"), Seq("id"), Seq("a"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((2L, "D"), (3L, "I")))
+  }
+}

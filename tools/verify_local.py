@@ -35,8 +35,11 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = set(sys.argv[3:])  # optional: restrict to named queries
     failures = 0
     for name in sorted(oracle):
+        if only and name not in only:
+            continue
         d = f"{out_dir}/{name}"
         if not os.path.isdir(d):
             print(f"FAIL {name}: no spark output dir"); failures += 1; continue
