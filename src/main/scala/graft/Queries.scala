@@ -2042,6 +2042,107 @@ object Queries {
       |       CASE WHEN change_type = 'U' THEN changed_cols END AS changed_cols
       |FROM j WHERE change_type IS NOT NULL""".stripMargin
 
+  /** Exact ROC AUC per cohort ([[graft.transform.Stats.aucByKey]]):
+    * score = per-user click-value cents (integer), label = heavy
+    * purchaser (≥14 purchase events), cohort = user_id mod 3. The
+    * Mann-Whitney u2 numerator and both class counts are exact longs;
+    * `auc` is their single IEEE division — no rounding column at all.
+    */
+  def aucCohorts(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click",
+          graft.transform.Stats.cents(col("value"))).otherwise(lit(0L)))
+          .as("score"),
+        (sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14)
+          .cast("long").as("label"))
+      .withColumn("cohort", col("user_id") % 3)
+    graft.transform.Stats.aucByKey(users, Seq("cohort"), "score", "label")
+  }
+
+  val aucCohortsSql: String =
+    """WITH u AS (
+      |  SELECT user_id, CAST(user_id % 3 AS BIGINT) AS cohort,
+      |         CAST(sum(CASE WHEN event_type = 'click'
+      |                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |                  ELSE 0 END) AS BIGINT) AS score,
+      |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+      |                       ELSE 0 END) >= 14
+      |              THEN 1 ELSE 0 END AS label
+      |  FROM events GROUP BY 1),
+      |s AS (
+      |  SELECT cohort, score, count(*) AS n_at,
+      |         CAST(sum(label) AS BIGINT) AS pos_at
+      |  FROM u GROUP BY 1, 2),
+      |s2 AS (
+      |  SELECT cohort, score, pos_at, n_at - pos_at AS neg_at,
+      |         coalesce(CAST(sum(n_at - pos_at) OVER (
+      |           PARTITION BY cohort ORDER BY score
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS BIGINT), 0) AS neg_below
+      |  FROM s)
+      |SELECT cohort,
+      |       CAST(sum(pos_at) AS BIGINT) AS n_pos,
+      |       CAST(sum(neg_at) AS BIGINT) AS n_neg,
+      |       CAST(sum(2 * pos_at * neg_below + pos_at * neg_at) AS BIGINT)
+      |         AS u2,
+      |       CASE WHEN sum(pos_at) > 0 AND sum(neg_at) > 0 THEN
+      |         CAST(CAST(sum(2 * pos_at * neg_below + pos_at * neg_at)
+      |              AS BIGINT) AS DOUBLE)
+      |         / CAST(2 * CAST(sum(pos_at) AS BIGINT)
+      |                * CAST(sum(neg_at) AS BIGINT) AS DOUBLE) END AS auc
+      |FROM s2 GROUP BY 1""".stripMargin
+
+  /** Chi-squared feature screen ([[graft.transform.Stats
+    * .chi2Features]]): binary behavior flags (heavy clicker / error
+    * prone / heavy viewer, thresholded at the ~median 14) against the
+    * heavy-purchaser label. Counts are exact; χ² is assembled in
+    * DECIMAL(38,0) ↔ HUGEINT and emitted as one division — the
+    * filter-method feature-selection readout, bit-stable cross-engine.
+    */
+  def chi2Screen(s: SparkSession, dir: String): DataFrame = {
+    def cnt(et: String) =
+      sum(when(col("event_type") === et, 1L).otherwise(0L))
+    val users = t(s, dir, "events").groupBy(col("user_id"))
+      .agg((cnt("click") >= 14).cast("long").as("f_click_heavy"),
+        (cnt("error") >= 14).cast("long").as("f_error_prone"),
+        (cnt("view") >= 14).cast("long").as("f_view_heavy"),
+        (cnt("purchase") >= 14).cast("long").as("label"))
+    graft.transform.Stats.chi2Features(users,
+      Seq("f_click_heavy", "f_error_prone", "f_view_heavy"), "label")
+  }
+
+  val chi2ScreenSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS f_click_heavy,
+      |         CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS f_error_prone,
+      |         CASE WHEN sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS f_view_heavy,
+      |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS label
+      |  FROM events GROUP BY 1),
+      |l AS (
+      |  SELECT label, 'f_click_heavy' AS feature, f_click_heavy AS f FROM u
+      |  UNION ALL SELECT label, 'f_error_prone', f_error_prone FROM u
+      |  UNION ALL SELECT label, 'f_view_heavy', f_view_heavy FROM u),
+      |c AS (
+      |  SELECT feature,
+      |         CAST(sum(f * label) AS BIGINT) AS a,
+      |         CAST(sum(f * (1 - label)) AS BIGINT) AS b,
+      |         CAST(sum((1 - f) * label) AS BIGINT) AS c,
+      |         CAST(sum((1 - f) * (1 - label)) AS BIGINT) AS d
+      |  FROM l GROUP BY 1)
+      |SELECT feature, a, b, c, d,
+      |       CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) <> 0 THEN
+      |         CAST(CAST(a + b + c + d AS HUGEINT)
+      |              * (CAST(a AS HUGEINT) * CAST(d AS HUGEINT)
+      |                 - CAST(b AS HUGEINT) * CAST(c AS HUGEINT))
+      |              * (CAST(a AS HUGEINT) * CAST(d AS HUGEINT)
+      |                 - CAST(b AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE)
+      |         / CAST(CAST(a + b AS HUGEINT) * CAST(c + d AS HUGEINT)
+      |                * CAST(a + c AS HUGEINT) * CAST(b + d AS HUGEINT)
+      |           AS DOUBLE) END AS chi2
+      |FROM c""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -2102,7 +2203,9 @@ object Queries {
     "q104_quantile_normalize" -> quantileNormalize _,
     "q105_unpivot" -> unpivotWide _,
     "q106_randomized_response" -> randomizedResponse _,
-    "q107_snapshot_diff" -> snapshotDiffOrders _)
+    "q107_snapshot_diff" -> snapshotDiffOrders _,
+    "q108_auc" -> aucCohorts _,
+    "q109_chi2_screen" -> chi2Screen _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -2163,5 +2266,7 @@ object Queries {
     "q104_quantile_normalize" -> quantileNormalizeSql,
     "q105_unpivot" -> unpivotWideSql,
     "q106_randomized_response" -> randomizedResponseSql,
-    "q107_snapshot_diff" -> snapshotDiffOrdersSql)
+    "q107_snapshot_diff" -> snapshotDiffOrdersSql,
+    "q108_auc" -> aucCohortsSql,
+    "q109_chi2_screen" -> chi2ScreenSql)
 }

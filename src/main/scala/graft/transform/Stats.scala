@@ -390,4 +390,89 @@ object Stats {
           .otherwise(graft.util.Rounding.pround(
             lit(-m.toDouble) * log(lit(1.0) - col("occupied") / m.toDouble), 6)))
   }
+
+  /** Exact ROC AUC per key from an INTEGER score column — the
+    * Mann-Whitney rank-sum readout for model / ranking evaluation.
+    * Ties use the standard mid-rank convention via the pair identity
+    * `2U = Σ_s (2·pos(s)·negBelow(s) + pos(s)·neg(s))`: every term is
+    * an exact long (pos/neg counts per distinct score, a running sum
+    * of negatives strictly below), so `u2 = 2U` is exact and
+    * `auc = u2 / (2·n_pos·n_neg)` is ONE IEEE division of exactly
+    * represented integers — bit-identical in any engine, no rounding
+    * step needed (requires 2·n_pos·n_neg < 2^53; at 2^53 pairs you
+    * are past the point of an exact AUC anyway). Keys with no
+    * positives or no negatives yield NULL.
+    *
+    * Scale: one keyed agg on (key, score) — map-side partials collapse
+    * duplicate scores per task — then one per-key window over DISTINCT
+    * scores and a final agg that reuses the same partitioning. State
+    * is bounded by distinct scores per key; if an integer score is
+    * genuinely unbounded-cardinality (raw µs latencies), pre-bucket it
+    * ([[rangeBucketize]] / [[histogramFixedWidth]]'s integer buckets)
+    * for a binned AUC with fixed state — the standard large-scale
+    * trade.
+    */
+  def aucByKey(df: DataFrame, keyCols: Seq[String], scoreCol: String,
+      labelCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "aucByKey needs at least one key column")
+    val keys = keyCols.map(col)
+    val byScore = df
+      .groupBy(keys :+ col(scoreCol).cast("long").as("score"): _*)
+      .agg(count(lit(1)).as("n_at"),
+        sum(col(labelCol).cast("long")).as("pos_at"))
+      .withColumn("neg_at", col("n_at") - col("pos_at"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("score").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withBelow = byScore
+      .withColumn("neg_below", coalesce(sum(col("neg_at")).over(w), lit(0L)))
+    withBelow.groupBy(keys: _*)
+      .agg(sum(col("pos_at")).as("n_pos"),
+        sum(col("neg_at")).as("n_neg"),
+        sum(lit(2L) * col("pos_at") * col("neg_below") +
+          col("pos_at") * col("neg_at")).as("u2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double")))
+  }
+
+  /** Chi-squared (2×2) feature screen: for each binary feature column
+    * vs a binary label, the contingency counts a/b/c/d and the test
+    * statistic `χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))` — the
+    * classic filter-method feature-selection score. Input is ONE row
+    * per entity with the feature flags and label (build it with a
+    * keyed agg upstream); the operator stacks the declared feature
+    * columns and runs one agg per feature on a feature-count-bounded
+    * key — two narrow shuffles total, output rows = |features|.
+    *
+    * Exactness ([[corrByKey]]'s DECIMAL discipline): counts are exact
+    * longs; `N·(ad−bc)²` can exceed int64 (≈3·10²¹ at 20k entities) so
+    * both numerator and denominator are assembled in DECIMAL(38,0) ↔
+    * DuckDB HUGEINT, each converted to double with one correct
+    * rounding, then ONE division — reproducible bitwise, no pround.
+    * Degenerate margins (a constant feature or label) yield NULL.
+    */
+  def chi2Features(entityDf: DataFrame, featureCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "chi2Features needs feature columns")
+    val stackArgs = featureCols
+      .map(f => s"'$f', cast($f as long)").mkString(", ")
+    val long = entityDf.select(col(labelCol).cast("long").as("label"),
+      expr(s"stack(${featureCols.size}, $stackArgs) AS (feature, f)"))
+    val counts = long.groupBy(col("feature")).agg(
+      sum(col("f") * col("label")).as("a"),
+      sum(col("f") * (lit(1L) - col("label"))).as("b"),
+      sum((lit(1L) - col("f")) * col("label")).as("c"),
+      sum((lit(1L) - col("f")) * (lit(1L) - col("label"))).as("d"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val n = dec(col("a") + col("b") + col("c") + col("d"))
+    val det = dec(col("a")) * dec(col("d")) - dec(col("b")) * dec(col("c"))
+    val num = (n * det * det).cast("decimal(38,0)")
+    val den = (dec(col("a") + col("b")) * dec(col("c") + col("d")) *
+      dec(col("a") + col("c")) * dec(col("b") + col("d"))).cast("decimal(38,0)")
+    counts.withColumn("chi2",
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double")))
+  }
 }

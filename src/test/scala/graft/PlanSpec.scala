@@ -547,6 +547,20 @@ class PlanSpec extends SparkSpec {
       s"row-local normalization must not shuffle:\n$p")
   }
 
+  test("auc: joinless — user agg, score agg, cohort window, final agg reuses partitioning") {
+    val p = plan(Queries.aucCohorts(spark, sf0001))
+    assert(!p.contains("Join"), s"AUC needs no join:\n$p")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 3,
+      s"user agg + score agg + cohort window (final agg reuses):\n$p")
+  }
+
+  test("chi2 screen: stack is one Generate; two keyed aggs, no join") {
+    val p = plan(Queries.chi2Screen(spark, sf0001))
+    assert(!p.contains("Join"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 2,
+      s"user agg + feature agg only:\n$p")
+  }
+
   test("snapshot diff: ONE PK-keyed full-outer join, row-local change detection") {
     val p = plan(Queries.snapshotDiffOrders(spark, sf0001))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),

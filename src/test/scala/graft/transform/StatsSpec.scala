@@ -205,4 +205,55 @@ class StatsSpec extends SparkSpec {
     val pairs = got.orderBy("cents").select("bucket").as[Long].collect()
     assert(pairs.sliding(2).forall(p => p(0) <= p(1)))
   }
+
+  test("aucByKey: mid-rank ties, perfect separation, degenerate class NULL") {
+    // key 1: pos scores {1,3}, neg {1,2} — pairs: (1,1) tie=0.5,
+    // (1,2) lose=0, (3,1) win, (3,2) win -> U=2.5, u2=5, auc=0.625
+    // key 2: perfect separation -> auc=1.0
+    // key 3: no negatives -> auc NULL
+    val df = Seq(
+      (1, 1L, 1L), (1, 3L, 1L), (1, 1L, 0L), (1, 2L, 0L),
+      (2, 10L, 1L), (2, 11L, 1L), (2, 1L, 0L), (2, 2L, 0L),
+      (3, 5L, 1L), (3, 6L, 1L)).toDF("k", "score", "label")
+    val got = Stats.aucByKey(df, Seq("k"), "score", "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1) === ((2L, 2L, 5L, Some(0.625))))
+    assert(got(2) === ((2L, 2L, 8L, Some(1.0))))
+    assert(got(3) === ((2L, 0L, 0L, None)))
+  }
+
+  test("aucByKey equals the quadratic pair count on seeded random scores") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 300).map { i =>
+      (i % 2, rnd.nextInt(20).toLong, if (rnd.nextInt(3) == 0) 1L else 0L)
+    }
+    val df = rows.toDF("k", "score", "label")
+    val got = Stats.aucByKey(df, Seq("k"), "score", "label")
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    for (k <- Seq(0, 1)) {
+      val pos = rows.filter(r => r._1 == k && r._3 == 1L).map(_._2)
+      val neg = rows.filter(r => r._1 == k && r._3 == 0L).map(_._2)
+      val wins = (for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      assert(got(k) === wins / (pos.size.toDouble * neg.size))
+    }
+  }
+
+  test("chi2Features: hand-computed 2x2 statistic; constant feature NULL") {
+    // a=20 b=10 c=5 d=15: N=50, det=250, chi2 = 50*250^2/(30*20*25*25)
+    //                                         = 3125000/375000 = 8.3333...
+    val rows =
+      Seq.fill(20)((1L, 1L, 1L)) ++ Seq.fill(10)((1L, 0L, 1L)) ++
+        Seq.fill(5)((0L, 1L, 1L)) ++ Seq.fill(15)((0L, 0L, 1L))
+    val df = rows.toDF("f_x", "label", "f_const")
+    val got = Stats.chi2Features(df, Seq("f_x", "f_const"), "label")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("f_x") === ((20L, 10L, 5L, 15L, Some(3125000.0 / 375000.0))))
+    // f_const = 1 everywhere: c = d = 0 margin -> NULL
+    assert(got("f_const")._5 === None)
+  }
 }
