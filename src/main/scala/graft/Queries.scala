@@ -2143,6 +2143,106 @@ object Queries {
       |           AS DOUBLE) END AS chi2
       |FROM c""".stripMargin
 
+  /** Linear interpolation of each user's hourly cents series
+    * ([[Temporal.interpolateLinear]]) — the continuous-signal sibling
+    * of q86's forward fill. The operator runs the segment-emit plan
+    * (one key window, no grid, no join); the ORACLE deliberately runs
+    * the textbook dense-grid LEFT JOIN + bracketing-window
+    * formulation, so the hash gate doubles as a machine-checked proof
+    * that the rewrite is lossless (CLAUDE.md's naive-oracle rule).
+    * Interpolated cells are floor-toward-lower-endpoint fixed-point:
+    * pure integer cents/µs arithmetic in both engines.
+    */
+  def interpolateHourly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("user_id"), Transforms.hourBucket(col("ts")).as("hour"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    Temporal.interpolateLinear(hourly, "user_id", "hour", "cents", "1 hour")
+  }
+
+  val interpolateHourlySql: String =
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |           AS cents
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+      |      FROM hourly GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id,
+      |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM s),
+      |j AS (SELECT g.user_id, g.hour, h.cents
+      |      FROM grid g LEFT JOIN hourly h USING (user_id, hour)),
+      |f AS (
+      |  SELECT user_id, hour, cents,
+      |         last_value(CASE WHEN cents IS NOT NULL THEN hour END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY hour
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0h,
+      |         last_value(cents IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY hour
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+      |         first_value(CASE WHEN cents IS NOT NULL THEN hour END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY hour
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS t1h,
+      |         first_value(cents IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY hour
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS v1
+      |  FROM j)
+      |SELECT user_id, hour,
+      |       CASE WHEN cents IS NOT NULL THEN cents
+      |            WHEN v1 >= v0 THEN
+      |              v0 + ((v1 - v0) * (epoch_us(hour) - epoch_us(t0h)))
+      |                   // (epoch_us(t1h) - epoch_us(t0h))
+      |            ELSE
+      |              v1 + ((v0 - v1) * (epoch_us(t1h) - epoch_us(hour)))
+      |                   // (epoch_us(t1h) - epoch_us(t0h))
+      |       END AS interp_cents,
+      |       CAST(cents IS NULL AS INT) AS is_interp
+      |FROM f""".stripMargin
+
+  /** Purged + embargoed K-fold time split over the event log
+    * ([[Temporal.purgedTimeFolds]]): K=5 contiguous validation blocks,
+    * 6-hour embargo after each block excluded from training — the
+    * leakage-safe cross-validation layout for time-series feature
+    * models. Every boundary and count is non-negative integer µs
+    * arithmetic (`div` ↔ `//`), so the five rows gate exactly.
+    */
+  def purgedFolds(s: SparkSession, dir: String): DataFrame =
+    Temporal.purgedTimeFolds(t(s, dir, "events"), "ts", 5, 21600000000L)
+
+  val purgedFoldsSql: String =
+    """WITH b AS (
+      |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS mn,
+      |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx,
+      |         count(*) AS n_total
+      |  FROM events),
+      |b2 AS (SELECT mn, mx, n_total, mx - mn + 1 AS span FROM b),
+      |e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+      |folds AS (
+      |  SELECT unnest(range(0, 5)) AS fold, mn, mx, span, n_total FROM b2),
+      |fb AS (
+      |  SELECT fold, n_total,
+      |         mn + (fold * span + 4) // 5 AS val_start_us,
+      |         mn + ((fold + 1) * span + 4) // 5 AS val_end_us
+      |  FROM folds),
+      |va AS (
+      |  SELECT ((t - mn) * 5) // span AS fold, count(*) AS n_val
+      |  FROM e, b2 GROUP BY 1),
+      |em AS (
+      |  SELECT fb.fold, count(*) AS n_embargo
+      |  FROM e JOIN fb ON e.t >= fb.val_end_us
+      |                AND e.t < fb.val_end_us + 21600000000
+      |  GROUP BY 1)
+      |SELECT fb.fold, fb.val_start_us, fb.val_end_us,
+      |       CAST(coalesce(va.n_val, 0) AS BIGINT) AS n_val,
+      |       CAST(coalesce(em.n_embargo, 0) AS BIGINT) AS n_embargo,
+      |       CAST(fb.n_total - coalesce(va.n_val, 0)
+      |            - coalesce(em.n_embargo, 0) AS BIGINT) AS n_train
+      |FROM fb
+      |LEFT JOIN va ON fb.fold = va.fold
+      |LEFT JOIN em ON fb.fold = em.fold""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -2205,7 +2305,9 @@ object Queries {
     "q106_randomized_response" -> randomizedResponse _,
     "q107_snapshot_diff" -> snapshotDiffOrders _,
     "q108_auc" -> aucCohorts _,
-    "q109_chi2_screen" -> chi2Screen _)
+    "q109_chi2_screen" -> chi2Screen _,
+    "q110_interpolate" -> interpolateHourly _,
+    "q111_purged_folds" -> purgedFolds _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -2268,5 +2370,7 @@ object Queries {
     "q106_randomized_response" -> randomizedResponseSql,
     "q107_snapshot_diff" -> snapshotDiffOrdersSql,
     "q108_auc" -> aucCohortsSql,
-    "q109_chi2_screen" -> chi2ScreenSql)
+    "q109_chi2_screen" -> chi2ScreenSql,
+    "q110_interpolate" -> interpolateHourlySql,
+    "q111_purged_folds" -> purgedFoldsSql)
 }

@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Integer `div` over computed columns (the registry's IntegralDivide
+    * — same operator the `a div b` SQL spelling resolves to; DuckDB's
+    * `//` matches it for non-negative operands, the only way this file
+    * ever calls it).
+    */
+  private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+
   /** Dense per-key grid at `grain` (a Spark interval literal string
     * like "1 hour") between each key's first and last observed bucket,
     * with observation values carried forward across unobserved cells.
@@ -129,5 +136,137 @@ object Temporal {
       .withColumn("valid_to_us",
         coalesce(lead(col("valid_from_us"), 1).over(wNext), lit(-1L)))
       .withColumn("is_current", (col("valid_to_us") === -1L).cast("int"))
+  }
+
+  /** Linear interpolation onto a dense grid — [[gapFill]]'s sibling
+    * for continuous signals (sensor readings, prices, utilization):
+    * unobserved cells get the straight line between the bracketing
+    * observations instead of a carried copy. Same segment-emit plan:
+    * ONE key-partitioned lead() window hands each observation its
+    * successor (bucket, value), and the pair emits its own grid cells
+    * `[bucket, next_bucket)` — no grid frame, no join, nothing after
+    * the single key shuffle. The trailing observation emits only
+    * itself (no extrapolation past the data).
+    *
+    * Exactness (the fixed-point interpolation recipe): values are
+    * integer cents, positions integer µs, and the interpolated cell is
+    * `v0 + ((v1−v0)·(h−t0)) div (t1−t0)` — but spelled from whichever
+    * endpoint makes the numerator NON-negative (`v1 ≥ v0` rises from
+    * v0, falls mirror from v1 with the distance complemented), because
+    * Spark's `div` and DuckDB's `//` only agree on floor semantics for
+    * non-negative operands (CLAUDE.md). Both spellings are the same
+    * rational rounded toward the segment's lower-valued endpoint, so
+    * the gate is pure-integer. Cents·µs products need
+    * max_cents·segment_µs < 2⁶³ — holds for any sane signal (10⁶
+    * cents over a century is 4·10¹⁷).
+    *
+    * Valve: `maxSpanSteps` — segments longer than that many grain
+    * steps emit ONLY their opening observation (an interpolated value
+    * bridging a week-long sensor outage is fabricated data, and an
+    * unbounded segment is also the one way this operator's output
+    * outgrows its input); TemporalSpec pins that the valve only ever
+    * REMOVES synthesized cells, never changes surviving values.
+    */
+  def interpolateLinear(observed: DataFrame, keyCol: String,
+      bucketCol: String, centsCol: String, grain: String = "1 hour",
+      maxSpanSteps: Long = 0L): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val stepUs = maxSpanSteps // steps valve evaluated on µs distance below
+    val base = observed
+      .select(col(keyCol), col(bucketCol), col(centsCol))
+      .withColumn("next_bucket", lead(col(bucketCol), 1).over(w))
+      .withColumn("next_cents", lead(col(centsCol), 1).over(w))
+      .withColumn("seg_end",
+        coalesce(col("next_bucket") - expr(s"INTERVAL $grain"), col(bucketCol)))
+    val gated =
+      if (maxSpanSteps <= 0L) base
+      else base.withColumn("seg_end",
+        when(col("next_bucket").isNull, col(bucketCol))
+          .when(col("next_bucket") - expr(s"INTERVAL $stepUs ${grainUnit(grain)}")
+            > col(bucketCol), col(bucketCol))
+          .otherwise(col("seg_end")))
+    val t0 = unix_micros(col(bucketCol))
+    val t1 = unix_micros(col("next_bucket"))
+    val h = unix_micros(col("grid_bucket"))
+    val rise = col(centsCol) +
+      idiv(((col("next_cents") - col(centsCol)) * (h - t0)).cast("long"),
+        t1 - t0)
+    val fall = col("next_cents") +
+      idiv(((col(centsCol) - col("next_cents")) * (t1 - h)).cast("long"),
+        t1 - t0)
+    gated
+      .select(col(keyCol), col(bucketCol), col(centsCol),
+        col("next_bucket"), col("next_cents"),
+        explode(expr(s"sequence($bucketCol, seg_end, INTERVAL $grain)"))
+          .as("grid_bucket"))
+      .select(col(keyCol), col("grid_bucket").as(bucketCol),
+        when(col("grid_bucket") === col(bucketCol), col(centsCol))
+          .when(col("next_cents") >= col(centsCol), rise)
+          .otherwise(fall)
+          .cast("long").as(s"interp_$centsCol"),
+        (col("grid_bucket") =!= col(bucketCol)).cast("int").as("is_interp"))
+  }
+
+  /** Leakage-safe K-fold split for time-series models (purged /
+    * embargoed cross-validation, de Prado 2018): the span
+    * [min_ts, max_ts] divides into K contiguous validation blocks;
+    * for each fold, training additionally drops the EMBARGO window —
+    * the `embargoUs` microseconds immediately after the validation
+    * block — so features computed from post-block rows (which overlap
+    * the block through lags/windows) can't leak the validation answer
+    * into training. Emits one row per fold: the block's µs bounds and
+    * the val/embargo/train row counts.
+    *
+    * Exactness: fold of an event is `((t−mn)·K) div span` with
+    * `span = mx−mn+1` (the +1 pins max into fold K−1); the block
+    * boundary is the inverse image `end_f = mn + ceil((f+1)·span/K)`
+    * spelled `(x + K − 1) div K` — all non-negative integer µs, so
+    * both engines assign every row identically and the counts gate
+    * exactly.
+    *
+    * Scale: ONE pass computes fold assignments row-locally against the
+    * broadcast 1-row bounds frame and aggregates counts map-side (≤ K
+    * groups); the embargo counts join rows to the K-row fold frame on
+    * a range predicate — a broadcast loop over K rows per event, i.e.
+    * O(K) comparisons per row and output bounded by the embargo hits.
+    * Nothing global, no window, no sort.
+    */
+  def purgedTimeFolds(df: DataFrame, tsCol: String, k: Int,
+      embargoUs: Long): DataFrame = {
+    require(k >= 2, "purgedTimeFolds needs k >= 2")
+    require(embargoUs >= 0, "embargo must be non-negative")
+    val us = unix_micros(col(tsCol))
+    val bounds = df.agg(min(us).as("mn"), max(us).as("mx"))
+      .withColumn("span", col("mx") - col("mn") + 1L)
+    val assigned = df.select(us.as("t"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("fold", idiv((col("t") - col("mn")) * k, col("span")))
+    val valCounts = assigned.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_val"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    val folds = bounds.select(
+      expr(s"explode(sequence(cast(0 as bigint), cast(${k - 1} as bigint)))")
+        .as("fold"),
+      col("mn"), col("mx"), col("span"))
+      .withColumn("val_start_us",
+        col("mn") + idiv(col("fold") * col("span") + (k - 1), lit(k.toLong)))
+      .withColumn("val_end_us",
+        col("mn") + idiv((col("fold") + 1L) * col("span") + (k - 1),
+          lit(k.toLong)))
+    val embargo = assigned.join(broadcast(folds.select(
+        col("fold").as("e_fold"), col("val_end_us"))),
+        col("t") >= col("val_end_us") &&
+          col("t") < col("val_end_us") + embargoUs)
+      .groupBy(col("e_fold").as("fold"))
+      .agg(count(lit(1)).as("n_embargo"))
+    folds
+      .join(valCounts, Seq("fold"), "left")
+      .join(embargo, Seq("fold"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("fold"), col("val_start_us"), col("val_end_us"),
+        coalesce(col("n_val"), lit(0L)).as("n_val"),
+        coalesce(col("n_embargo"), lit(0L)).as("n_embargo"),
+        (col("n_total") - coalesce(col("n_val"), lit(0L))
+          - coalesce(col("n_embargo"), lit(0L))).as("n_train"))
   }
 }

@@ -561,6 +561,21 @@ class PlanSpec extends SparkSpec {
       s"user agg + feature agg only:\n$p")
   }
 
+  test("interpolate: segment-emit — no join, no grid frame, two keyed exchanges max") {
+    val p = plan(Queries.interpolateHourly(spark, sf0001))
+    assert(!p.contains("Join"), s"segment emit must not join a grid:\n$p")
+    assert(p.contains("Generate"), s"expected the sequence explode:\n$p")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 2,
+      s"hourly agg + one key window only:\n$p")
+  }
+
+  test("purged folds: bounds/fold frames broadcast; no shuffle join, no sort") {
+    val p = plan(Queries.purgedFolds(spark, sf0001))
+    assert(!p.contains("SortMergeJoin"),
+      s"K-row frames must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("snapshot diff: ONE PK-keyed full-outer join, row-local change detection") {
     val p = plan(Queries.snapshotDiffOrders(spark, sf0001))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),

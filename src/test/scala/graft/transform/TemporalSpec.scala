@@ -132,6 +132,110 @@ class TemporalSpec extends SparkSpec {
       (2L, "b", t0, -1L, 1))) // the true open version
   }
 
+  test("interpolateLinear: rising, falling, and non-multiple segments — hand case") {
+    // rise 100->400 over 3h: 200, 300; fall 400->100 next 3h (mirror
+    // spelling): 300, 200; non-multiple 0->3 over 2h: floor(1.5)=1
+    val obs = Seq(
+      (1L, ts(0), 100L), (1L, ts(3), 400L), (1L, ts(6), 100L),
+      (2L, ts(0), 0L), (2L, ts(2), 3L))
+      .toDF("user_id", "hour", "cents")
+    val out = Temporal.interpolateLinear(obs, "user_id", "hour", "cents")
+      .orderBy("user_id", "hour").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(13),
+        r.getLong(2), r.getInt(3)))
+    assert(out.toSeq === Seq(
+      (1L, "2024-01-01 00", 100L, 0),
+      (1L, "2024-01-01 01", 200L, 1),
+      (1L, "2024-01-01 02", 300L, 1),
+      (1L, "2024-01-01 03", 400L, 0),
+      (1L, "2024-01-01 04", 300L, 1),
+      (1L, "2024-01-01 05", 200L, 1),
+      (1L, "2024-01-01 06", 100L, 0),
+      (2L, "2024-01-01 00", 0L, 0),
+      (2L, "2024-01-01 01", 1L, 1),
+      (2L, "2024-01-01 02", 3L, 0)))
+  }
+
+  test("interpolateLinear: maxSpanSteps valve only removes synthesized cells") {
+    val obs = Seq((1L, ts(0), 10L), (1L, ts(2), 30L), (1L, ts(8), 90L))
+      .toDF("user_id", "hour", "cents")
+    val full = Temporal.interpolateLinear(obs, "user_id", "hour", "cents")
+      .collect().map(r => (r.getTimestamp(1).toString.take(13), r.getLong(2))).toMap
+    val gated = Temporal.interpolateLinear(obs, "user_id", "hour", "cents",
+      maxSpanSteps = 3L)
+      .collect().map(r => (r.getTimestamp(1).toString.take(13), r.getLong(2), r.getInt(3)))
+    // the 0->2h segment (2 steps) survives interpolated; the 2->8h
+    // segment (6 steps > 3) collapses to its opening observation
+    assert(gated.map(_._1).sorted.toSeq === Seq(
+      "2024-01-01 00", "2024-01-01 01", "2024-01-01 02", "2024-01-01 08"))
+    gated.foreach { case (h, v, _) => assert(full(h) === v, h) }
+  }
+
+  test("interpolateLinear equals a driver-side bracket interpolation on seeded data") {
+    val rnd = new scala.util.Random(17)
+    val obs = (1 to 4).flatMap { k =>
+      (0 until 40).filter(_ => rnd.nextInt(3) == 0)
+        .map(h => (k.toLong, ts(h), rnd.nextInt(1000).toLong))
+    }
+    val df = obs.toDF("user_id", "hour", "cents")
+    val got = Temporal.interpolateLinear(df, "user_id", "hour", "cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val want = obs.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+      val pts = rows.map(r => (r._2.getTime, r._3)).sortBy(_._1)
+      pts.sliding(2).toSeq.flatMap {
+        case Seq((t0, v0), (t1, v1)) =>
+          (t0 until t1 by 3600000L).map { h =>
+            val v =
+              if (h == t0) v0
+              else if (v1 >= v0) v0 + ((v1 - v0) * (h - t0)) / (t1 - t0)
+              else v1 + ((v0 - v1) * (t1 - h)) / (t1 - t0)
+            (k, h, v)
+          }
+        case Seq((t0, v0)) => Seq((k, t0, v0))
+      } :+ ((k, pts.last._1, pts.last._2))
+    }.distinct.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === want)
+  }
+
+  test("purgedTimeFolds: hand-computed blocks, embargo, and train counts") {
+    // 10 points at µs 0..9, k=2, embargo 2µs: span=10, end_0=5, end_1=10
+    // fold0: t 0-4 (5 val), embargo [5,7) = 2, train = 10-5-2 = 3
+    // fold1: t 5-9 (5 val), embargo [10,12) = 0, train = 5
+    val viaMicros = (0L until 10L).map(Tuple1(_)).toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"))
+    val out = Temporal.purgedTimeFolds(viaMicros, "ts", 2, 2L)
+      .orderBy("fold").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 5L, 5L, 2L, 3L),
+      (1L, 5L, 10L, 5L, 0L, 5L)))
+  }
+
+  test("purgedTimeFolds: every row lands in exactly one fold; counts are consistent") {
+    val rnd = new scala.util.Random(23)
+    val us = (1 to 500).map(_ => rnd.nextInt(1000000).toLong)
+    val df = us.map(Tuple1(_)).toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"))
+    val out = Temporal.purgedTimeFolds(df, "ts", 5, 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.map(_._4).sum === 500L, "val counts partition the data")
+    out.foreach { case (_, s, e, nv, ne, nt) =>
+      assert(us.count(t => t >= s && t < e) === nv)
+      assert(us.count(t => t >= e && t < e + 10000L) === ne)
+      assert(nt === 500L - nv - ne)
+    }
+    // blocks tile the span without overlap
+    val sorted = out.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, _, e0, _, _, _), (_, s1, _, _, _, _)) => assert(e0 === s1)
+      case _ => ()
+    }
+  }
+
   test("scd2: equals a driver-side fold on seeded random logs") {
     val rnd = new scala.util.Random(99)
     val types = Seq("a", "b", "c")
