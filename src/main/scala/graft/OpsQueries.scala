@@ -1668,7 +1668,120 @@ object OpsQueries {
       |FROM sel""".stripMargin
 
   // ------------------------------------------------------------ catalogs
+  // ------------------------------------------------------------ quality audit
+  /** Declarative expectation suite over lineitem
+    * ([[graft.ops.Quality.audit]]): four row-local rules fused into ONE
+    * scan/agg, a composite-key uniqueness rule (one keyed agg), and a
+    * referential-integrity rule against a deliberately thinned orders
+    * dimension (broadcast anti join) so the violation counts are
+    * non-trivial. Counts are exact longs.
+    */
+  def qualityAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ordersDim = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 =!= 0)
+    graft.ops.Quality.audit(li, Seq(
+      graft.ops.Quality.NotNull("l_partkey"),
+      graft.ops.Quality.InRangeCents("l_quantity", 100L, 2500L),
+      graft.ops.Quality.AcceptedValues("l_linestatus", Seq("F")),
+      graft.ops.Quality.Check("discount_le_10pct",
+        floor(col("l_discount") * 100 + 0.5).cast("long") <= 10L),
+      graft.ops.Quality.UniqueKey(Seq("l_orderkey", "l_linenumber")),
+      graft.ops.Quality.RefIntegrity("l_orderkey", ordersDim, "o_orderkey")))
+  }
+
+  val qualityAuditSql: String =
+    """SELECT 'not_null:l_partkey' AS rule, count(*) AS n_checked,
+      |       CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_violations
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'range:l_quantity', count(*),
+      |       CAST(sum(CASE WHEN l_quantity IS NOT NULL
+      |                      AND (CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) < 100
+      |                           OR CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) > 2500)
+      |                THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'accepted:l_linestatus', count(*),
+      |       CAST(sum(CASE WHEN l_linestatus IS NOT NULL
+      |                      AND l_linestatus NOT IN ('F')
+      |                THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'check:discount_le_10pct', count(*),
+      |       CAST(sum(CASE WHEN NOT coalesce(
+      |                  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) <= 10,
+      |                  FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'unique:l_orderkey+l_linenumber',
+      |       CAST(sum(c) AS BIGINT), CAST(sum(c - 1) AS BIGINT)
+      |FROM (SELECT count(*) AS c FROM lineitem
+      |      GROUP BY l_orderkey, l_linenumber)
+      |UNION ALL
+      |SELECT 'ref:l_orderkey',
+      |       (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+      |       (SELECT count(*) FROM lineitem l
+      |        WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+      |          SELECT 1 FROM orders o
+      |          WHERE o.o_orderkey % 3 <> 0
+      |            AND o.o_orderkey = l.l_orderkey))""".stripMargin
+
+  // ------------------------------------------------------------ prefix jaccard
+  /** Exact Jaccard ≥ 0.8 self-join over trigram shingle sets
+    * ([[Fuzzy.jaccardPrefixJoin]]) — the deterministic complement of
+    * q17's LSH: prefix filtering on the df-ascending element order
+    * guarantees no missed pair, and the emitted jaccard is one IEEE
+    * division of exact longs (no rounding column). The oracle replays
+    * the identical algorithm; FuzzySpec pins equality with the
+    * brute-force all-pairs join on a fixture, which is the
+    * losslessness proof of the prefix pruning.
+    */
+  def jaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    Fuzzy.jaccardPrefixJoin(
+      Dedup.shingleSet(docs(s, dir), "doc_id", "text"), "doc_id", "shingle")
+
+  val jaccardPrefixSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+      |    FROM toks WHERE len(t) >= 3)),
+      |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+      |ordered AS (
+      |  SELECT h.doc_id, h.s,
+      |         count(*) OVER (PARTITION BY h.doc_id) AS n,
+      |         row_number() OVER (PARTITION BY h.doc_id
+      |                            ORDER BY d.df, h.s) AS pos
+      |  FROM sh h JOIN dfreq d USING (s)),
+      |prefix AS (
+      |  SELECT doc_id, s, n FROM ordered
+      |  WHERE pos <= n - (4 * n + 4) // 5 + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         a.n AS n_a, b.n AS n_b
+      |  FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  WHERE 5 * a.n >= 4 * b.n AND 5 * b.n >= 4 * a.n),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, c.n_a, c.n_b, count(*) AS inter
+      |  FROM cand c
+      |  JOIN sh ta ON ta.doc_id = c.id_a
+      |  JOIN sh tb ON tb.doc_id = c.id_b AND tb.s = ta.s
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |       CAST(inter AS BIGINT) AS inter,
+      |       CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)
+      |         AS jaccard
+      |FROM inter WHERE 9 * inter >= 4 * (n_a + n_b)""".stripMargin
+
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_quality_audit" -> qualityAudit _,
+    "q113_jaccard_prefix" -> jaccardPrefix _,
     "q14_text_stats" -> textStats _,
     "q15_lang_id" -> langId _,
     "q16_exact_dedup" -> exactDedup _,
@@ -1720,6 +1833,8 @@ object OpsQueries {
     "q100_binary_files" -> binaryFilesQ _)
 
   val opsOracles: Map[String, String] = Map(
+    "q112_quality_audit" -> qualityAuditSql,
+    "q113_jaccard_prefix" -> jaccardPrefixSql,
     "q14_text_stats" -> textStatsSql,
     "q15_lang_id" -> langIdSql,
     "q16_exact_dedup" -> exactDedupSql,

@@ -115,4 +115,78 @@ object Fuzzy {
       .filter(col("dist") <= k)
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
   }
+
+  /** EXACT Jaccard-threshold set-similarity self-join via prefix
+    * filtering (SSJoin, Chaudhuri et al. ICDE 2006; PPJoin, Xiao et
+    * al. WWW 2008) — the deterministic sibling of the MinHash+LSH path
+    * (q17): same all-pairs-above-τ semantics, no probability of a
+    * missed pair. Input is the set representation (one row per
+    * (id, element), pre-deduped — [[Dedup.shingleSet]] for documents).
+    *
+    * Completeness argument: order every set's elements by GLOBAL
+    * document frequency ascending (rarest first, ties by element).
+    * If `J(A,B) ≥ τ = tNum/tDen` then `|A∩B| ≥ ceil(τ·|A|)`, so at
+    * most `|A| − ceil(τ·|A|)` of A's elements are outside the
+    * intersection and A's first `|A| − ceil(τ·|A|) + 1` elements
+    * (its PREFIX) must contain an intersection element; same for B;
+    * and the prefix-filtering lemma gives a SHARED element in the two
+    * prefixes. Candidates therefore come from an equi-join of prefixes
+    * only — the rarest elements of each set, which is what keeps the
+    * join fan-out far below the full inverted index (the hot tokens
+    * every document shares sort LAST and never enter a prefix unless
+    * a set is nearly all-hot). `ceil(τ·n)` is `(tNum·n + tDen − 1)
+    * div tDen` — integer, engine-exact.
+    *
+    * Verify is a keyed equi-join of candidate pairs back to the two
+    * element lists, counting `|A∩B|`; the final filter
+    * `(tNum+tDen)·inter ≥ tNum·(n_a+n_b)` is the threshold cleared of
+    * division, and the emitted `jaccard = inter/(n_a+n_b−inter)` is
+    * ONE IEEE division of exact longs — hash-gates with no rounding.
+    *
+    * Scale: sizes and prefix positions come from ONE id-partitioned
+    * window (no size join); the df table is vocabulary-sized and
+    * BROADCAST (Zipfian element key must not shuffle-join — same rule
+    * as TF-IDF; `saltedDfJoin` is the web-scale-vocabulary valve). If
+    * a corpus is so self-similar that even prefixes go hot (tiny
+    * vocabulary, near-identical sets), the exact join's output is
+    * itself quadratic — that is the signal to fall back to
+    * [[Dedup.minhashLshPairs]] + clustering rather than enumerate it.
+    */
+  def jaccardPrefixJoin(sets: DataFrame, idCol: String, elemCol: String,
+      tNum: Int = 4, tDen: Int = 5, saltedDfJoin: Boolean = false,
+      numSalts: Int = 16): DataFrame = {
+    require(tNum > 0 && tDen > tNum, "threshold must be in (0,1)")
+    val dfreq = sets.groupBy(col(elemCol)).agg(count(lit(1)).as("__df"))
+    val joined =
+      if (saltedDfJoin)
+        graft.transform.Skew.saltedJoin(sets, dfreq, elemCol, numSalts)
+      else sets.join(broadcast(dfreq), elemCol)
+    val wId = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val ordered = joined
+      .withColumn("__n", count(lit(1)).over(wId))
+      .withColumn("__pos", row_number().over(
+        wId.orderBy(col("__df").asc, col(elemCol).asc)))
+    val prefix = ordered.filter(col("__pos") <=
+      col("__n") - call_function("div",
+        col("__n") * tNum + (tDen - 1), lit(tDen.toLong)) + 1)
+      .select(col(idCol), col(elemCol), col("__n"))
+    val cand = prefix.select(col(idCol).as("id_a"), col(elemCol),
+        col("__n").as("n_a"))
+      .join(prefix.select(col(idCol).as("id_b"), col(elemCol),
+        col("__n").as("n_b")), Seq(elemCol))
+      .filter(col("id_a") < col("id_b") &&
+        col("n_a") * tDen >= col("n_b") * tNum &&
+        col("n_b") * tDen >= col("n_a") * tNum)
+      .select("id_a", "id_b", "n_a", "n_b").distinct()
+    val inter = cand
+      .join(sets.select(col(idCol).as("id_a"), col(elemCol)), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col(elemCol)),
+        Seq("id_b", elemCol))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .filter(col("inter") * (tNum + tDen) >= (col("n_a") + col("n_b")) * tNum)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+  }
 }

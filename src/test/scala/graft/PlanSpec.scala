@@ -576,6 +576,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("quality audit: row-local rules fuse into one scan; RI anti-join broadcasts") {
+    val p = plan(OpsQueries.qualityAudit(spark, sf0001))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"dimension keys must broadcast into the anti join:\n$p")
+    // 4 row-local rules fuse into ONE lineitem scan; unique adds one,
+    // RI adds two (checked + anti) plus the orders dim = 5 total. A
+    // rule-at-a-time plan would be 8+.
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length <= 5,
+      s"rule-at-a-time rescans detected:\n$p")
+  }
+
+  test("jaccard prefix join: df frame broadcasts; candidate/verify joins stay keyed") {
+    val p = plan(OpsQueries.jaccardPrefix(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"df (vocabulary) join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"prefix join must stay an equi-join:\n$p")
+  }
+
   test("snapshot diff: ONE PK-keyed full-outer join, row-local change detection") {
     val p = plan(Queries.snapshotDiffOrders(spark, sf0001))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),

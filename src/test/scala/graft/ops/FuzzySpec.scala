@@ -89,6 +89,56 @@ class FuzzySpec extends SparkSpec {
     }
   }
 
+  test("jaccardPrefixJoin: hand case — threshold boundary and exact jaccard") {
+    // pairwise: A-B J=4/6 out, A-C J=5/6 in, A-D J=5/7 out,
+    // B-C J=4/7 out, B-D J=4/8 out, C-D J=6/7 in
+    val sets = (Seq("a","b","c","d","e").map(("A", _)) ++
+      Seq("a","b","c","d","f").map(("B", _)) ++
+      Seq("a","b","c","d","e","x").map(("C", _)) ++
+      Seq("a","b","c","d","e","x","y").map(("D", _))).toDF("id", "elem")
+    val out = Fuzzy.jaccardPrefixJoin(sets, "id", "elem")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4),
+        r.getDouble(5)))
+    assert(out.toSeq.sortBy(t => (t._1, t._2)) === Seq(
+      ("A", "C", 5L, 5.0 / 6.0),
+      ("C", "D", 6L, 6.0 / 7.0)))
+  }
+
+  test("jaccardPrefixJoin equals brute-force all-pairs on seeded random sets") {
+    val rnd = new scala.util.Random(41)
+    val universe = ('a' to 'z').map(_.toString)
+    val setsMap = (1 to 60).map { i =>
+      val sz = 5 + rnd.nextInt(15)
+      f"d$i%03d" -> rnd.shuffle(universe).take(sz).toSet
+    }.toMap
+    val sets = setsMap.toSeq.flatMap { case (id, es) => es.map((id, _)) }
+      .toDF("id", "elem")
+    val got = Fuzzy.jaccardPrefixJoin(sets, "id", "elem", 4, 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ids = setsMap.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      a = setsMap(ids(i)); b = setsMap(ids(j))
+      inter = (a & b).size
+      if inter * 9 >= 4 * (a.size + b.size)
+    } yield (ids(i), ids(j)) ->
+      ((a.size.toLong, b.size.toLong, inter.toLong))).toMap
+    assert(got === want, s"got ${got.size} want ${want.size} pairs")
+  }
+
+  test("jaccardPrefixJoin: salted df-join valve gives identical pairs") {
+    val sets = (Seq("a","b","c","d","e","x").map(("C", _)) ++
+      Seq("a","b","c","d","e","x","y").map(("D", _)) ++
+      Seq("p","q","r").map(("E", _))).toDF("id", "elem")
+    val plain = Fuzzy.jaccardPrefixJoin(sets, "id", "elem")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val salted = Fuzzy.jaccardPrefixJoin(sets, "id", "elem",
+      saltedDfJoin = true, numSalts = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(plain.toSeq === salted.toSeq && plain.nonEmpty)
+  }
+
   test("catalog query returns the 24 known pairs at sf0.001-scale fixture") {
     val out = OpsQueriesAccess.fuzzy(spark, sf0001)
     val rows = out.collect()

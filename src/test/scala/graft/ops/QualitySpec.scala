@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("audit: hand-computed violation counts per rule kind") {
+    val df = Seq(
+      (Some(1L), 10.0, "F", 1L, 1),
+      (Some(2L), 99.0, "O", 3L, 1),   // range viol (9900 > 2500), accepted viol
+      (None, 5.0, "F", 1L, 2),        // null viol
+      (Some(4L), -1.0, "F", 2L, 1),   // range viol (-100 < 100)
+      (Some(9L), 20.0, "F", 9L, 1)    // fk 9 missing from dim
+    ).toDF("fk", "qty", "status", "k1", "k2")
+    val dfDup = df.union(df.limit(1)) // duplicate first row's (k1,k2)=(1,1)
+    val dim = Seq(1L, 2L, 4L).toDF("k")
+    val out = Quality.audit(dfDup, Seq(
+      Quality.NotNull("fk"),
+      Quality.InRangeCents("qty", 100L, 2500L),
+      Quality.AcceptedValues("status", Seq("F")),
+      Quality.Check("k2_positive", col("k2") > 0),
+      Quality.UniqueKey(Seq("k1", "k2")),
+      Quality.RefIntegrity("fk", dim, "k")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("not_null:fk") === ((6L, 1L)))
+    assert(out("range:qty") === ((6L, 2L)))
+    assert(out("accepted:status") === ((6L, 1L)))
+    assert(out("check:k2_positive") === ((6L, 0L)))
+    // 6 rows, 5 distinct (k1,k2) pairs -> 1 extra row in a dup group
+    assert(out("unique:k1+k2") === ((6L, 1L)))
+    // non-null fks: 1,2,9,4,1 (5 checked); 9 missing from dim
+    assert(out("ref:fk") === ((5L, 1L)))
+  }
+
+  test("audit: NULL predicate in a Check counts as a violation") {
+    val df = Seq((Some(1), 1), (None, 2), (Some(-1), 3)).toDF("v", "id")
+    val out = Quality.audit(df, Seq(Quality.Check("v_pos", col("v") > 0)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("check:v_pos", 3L, 2L)))
+  }
+
+  test("audit: NULLs are not range/accepted violations (pair with NotNull)") {
+    val df = Seq((None: Option[Double], None: Option[String]),
+      (Some(5.0), Some("F"))).toDF("qty", "status")
+    val out = Quality.audit(df, Seq(
+      Quality.InRangeCents("qty", 100L, 2500L),
+      Quality.AcceptedValues("status", Seq("F"))))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("range:qty") === 0L)
+    assert(out("accepted:status") === 0L)
+  }
+
+  test("audit: keyed (non-broadcast) referential integrity gives identical counts") {
+    val df = Seq(1L, 2L, 9L).toDF("fk")
+    val dim = Seq(1L, 2L).toDF("k")
+    val b = Quality.audit(df, Seq(Quality.RefIntegrity("fk", dim, "k")))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val s = Quality.audit(df, Seq(Quality.RefIntegrity("fk", dim, "k")),
+      broadcastDim = false)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(b.toSeq === s.toSeq && b.head === ((3L, 1L)))
+  }
+}
