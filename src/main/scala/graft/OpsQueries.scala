@@ -1779,9 +1779,46 @@ object OpsQueries {
       |         AS jaccard
       |FROM inter WHERE 9 * inter >= 4 * (n_a + n_b)""".stripMargin
 
+  // ------------------------------------------------------------ cms hitters
+  /** Count-min-sketch heavy hitters over the corpus tokens
+    * ([[Corpus.cmsHeavyHitters]]): the fixed-memory (4×256 counters)
+    * frequency summary, read out against the exact top-20 so the gate
+    * checks counters, estimates, and the one-sided `est ≥ true`
+    * guarantee in one result. Deterministic md5 bucketing — the oracle
+    * replays the entire grid.
+    */
+  def cmsHitters(s: SparkSession, dir: String): DataFrame =
+    Corpus.cmsHeavyHitters(docs(s, dir), "text")
+
+  val cmsHittersSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |rs AS (SELECT unnest(range(0, 4)) AS r),
+      |rb AS (
+      |  SELECT token, r,
+      |         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 4))::BIGINT
+      |           % 256 AS bucket
+      |  FROM toks, rs),
+      |sketch AS (SELECT r, bucket, count(*) AS c FROM rb GROUP BY 1, 2),
+      |exact AS (SELECT token, count(*) AS true_cnt FROM toks GROUP BY 1),
+      |topk AS (SELECT token, true_cnt FROM exact
+      |         ORDER BY true_cnt DESC, token ASC LIMIT 20),
+      |probes AS (
+      |  SELECT t.token, t.true_cnt, r,
+      |         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || t.token), 1, 4))::BIGINT
+      |           % 256 AS bucket
+      |  FROM topk t, rs)
+      |SELECT p.token, CAST(p.true_cnt AS BIGINT) AS true_cnt,
+      |       CAST(min(s.c) AS BIGINT) AS cms_est,
+      |       CAST(min(s.c) - p.true_cnt AS BIGINT) AS overcount
+      |FROM probes p JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+      |GROUP BY p.token, p.true_cnt""".stripMargin
+
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_quality_audit" -> qualityAudit _,
     "q113_jaccard_prefix" -> jaccardPrefix _,
+    "q114_cms_hitters" -> cmsHitters _,
     "q14_text_stats" -> textStats _,
     "q15_lang_id" -> langId _,
     "q16_exact_dedup" -> exactDedup _,
@@ -1835,6 +1872,7 @@ object OpsQueries {
   val opsOracles: Map[String, String] = Map(
     "q112_quality_audit" -> qualityAuditSql,
     "q113_jaccard_prefix" -> jaccardPrefixSql,
+    "q114_cms_hitters" -> cmsHittersSql,
     "q14_text_stats" -> textStatsSql,
     "q15_lang_id" -> langIdSql,
     "q16_exact_dedup" -> exactDedupSql,

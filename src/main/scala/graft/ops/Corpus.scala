@@ -540,4 +540,53 @@ object Corpus {
         when(col("h").isin("c", "d"), "val")
           .when(col("h").isin("e", "f"), "test")
           .otherwise("train").as("split"))
+
+  /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    * token frequencies summarized in a `depth × width` counter grid —
+    * each occurrence increments one md5-derived bucket per row, a
+    * token's estimate is the MIN over its `depth` counters, and the
+    * error is ONE-SIDED (`est ≥ true` always; overshoot ≤ e·N/width
+    * with probability 1 − 2^−depth). The readout joins the sketch
+    * against the exact top-k tokens so the gate checks both the
+    * counters and the estimates; at 100 TB you drop the exact branch —
+    * that is the point of the sketch — and feed candidates from any
+    * cheap source (yesterday's top-k, a per-partition local top-k).
+    *
+    * Scale: the sketch aggregation's state is depth·width counters PER
+    * TASK (map-side partials) no matter how large the vocabulary —
+    * the shuffle moves ≤ depth·width rows per task, the final state is
+    * depth·width rows total. The ×depth row expansion happens before
+    * the partial agg and never leaves the task. Everything is exact
+    * integer md5 arithmetic — deterministic, so the DuckDB oracle
+    * replays the full grid bitwise.
+    */
+  def cmsHeavyHitters(df: DataFrame, textCol: String, depth: Int = 4,
+      width: Int = 256, k: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2 && k >= 1)
+    def bucket(r: Int, token: Column): Column =
+      conv(substring(md5(concat(lit(r.toString), lit(":"), token)), 1, 4),
+        16, 10).cast("long") % width
+    val toks = df.select(
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val sketch = toks
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r.toLong).as("r"), bucket(r, col("token")).as("bucket"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val topk = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("token").asc)
+      .limit(k)
+    val probes = topk.select(col("token"), col("true_cnt"),
+      explode(array((0 until depth).map(r =>
+        struct(lit(r.toLong).as("r"), bucket(r, col("token")).as("bucket"))): _*))
+        .as("rb"))
+      .select(col("token"), col("true_cnt"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    broadcast(probes).join(sketch, Seq("r", "bucket"))
+      .groupBy(col("token"), col("true_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("true_cnt"))
+  }
 }

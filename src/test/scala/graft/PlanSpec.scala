@@ -596,6 +596,14 @@ class PlanSpec extends SparkSpec {
       s"prefix join must stay an equi-join:\n$p")
   }
 
+  test("cms hitters: probe frame broadcasts onto the 1024-row sketch; top-k is TakeOrdered") {
+    val p = plan(OpsQueries.cmsHitters(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"probes must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"exact top-k must not globally sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("snapshot diff: ONE PK-keyed full-outer join, row-local change detection") {
     val p = plan(Queries.snapshotDiffOrders(spark, sf0001))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),

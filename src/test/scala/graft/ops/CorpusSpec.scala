@@ -503,6 +503,41 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(g((1L, xb))) === 2L)
   }
 
+  test("cmsHeavyHitters: exact counts when collision-free, overcount 0") {
+    val df = Seq("aa bb aa", "cc aa bb").toDF("text")
+    val got = Corpus.cmsHeavyHitters(df, "text", depth = 2, width = 512, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("aa", 3L, 3L, 0L), ("bb", 2L, 2L, 0L), ("cc", 1L, 1L, 0L)))
+  }
+
+  test("cmsHeavyHitters: forced collisions stay one-sided (est >= true), min over rows") {
+    // width=2: every token collides with roughly half the vocabulary;
+    // est must equal the sum of colliding true counts per row, min'd
+    // across rows — and never undercount
+    val df = Seq("a b c d e a b c", "f g h a a b").toDF("text")
+    val got = Corpus.cmsHeavyHitters(df, "text", depth = 3, width = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (tok, t, est) => assert(est >= t, tok) }
+    // replicate the bucket assignment to check one estimate exactly
+    def bucket(r: Int, tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$r:$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16) % 2
+    }
+    val counts = Map("a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 1L,
+      "e" -> 1L, "f" -> 1L, "g" -> 1L, "h" -> 1L)
+    val expect = counts.map { case (tok, _) =>
+      tok -> (0 until 3).map { r =>
+        counts.collect { case (t2, c2) if bucket(r, t2) == bucket(r, tok) => c2 }.sum
+      }.min
+    }
+    got.foreach { case (tok, _, est) => assert(est === expect(tok), tok) }
+  }
+
   test("source overlap: hand-computed pairwise vocabulary Jaccard") {
     // s1 = {a,b}, s2 = {b,c}, s3 = {a,b,c}
     val docs = Seq(
