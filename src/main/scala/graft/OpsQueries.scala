@@ -1815,10 +1815,85 @@ object OpsQueries {
       |FROM probes p JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
       |GROUP BY p.token, p.true_cnt""".stripMargin
 
+  // ------------------------------------------------------------ chunking
+  /** Token-window chunking of the corpus
+    * ([[TextAnalysis.chunkDocuments]], 16-token chunks overlapping by
+    * 4): the RAG/embedding-pipeline reshape. Entirely row-local (no
+    * shuffle); chunk counts and slices are pure integer arithmetic and
+    * both engines clamp the final partial window identically.
+    */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text")
+
+  val chunkDocsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+      |c AS (SELECT doc_id, t, n,
+      |             greatest(1, (n - 4 + 11) // 12) AS nc FROM n),
+      |g AS (SELECT doc_id, t, n, unnest(range(0, nc)) AS chunk_id FROM c)
+      |SELECT doc_id, chunk_id,
+      |       least(16, n - chunk_id * 12) AS chunk_tokens,
+      |       array_to_string(t[chunk_id * 12 + 1 : chunk_id * 12 + 16], ' ')
+      |         AS chunk_text
+      |FROM g""".stripMargin
+
+  // ------------------------------------------------------------ rrf fusion
+  /** Reciprocal-rank fusion ([[graft.transform.Ranking.rrfFuse]]) of
+    * two incomparable user rankers — purchase spend and click count —
+    * into a fused top-25. Contributions are single IEEE divisions
+    * summed in declared order; the oracle spells the identical fold,
+    * so the doubles gate bitwise with no rounding column.
+    */
+  def rrfUsers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.load(s, dir, "events").groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
+          .as("spend"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"))
+    val bySpend = u.select(col("user_id"), row_number().over(
+      Window.orderBy(col("spend").desc, col("user_id").asc)).as("rank"))
+    val byClicks = u.select(col("user_id"), row_number().over(
+      Window.orderBy(col("clicks").desc, col("user_id").asc)).as("rank"))
+    graft.transform.Ranking.rrfFuse(
+      Seq("spend" -> bySpend, "clicks" -> byClicks), "user_id", "rank")
+  }
+
+  val rrfUsersSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CAST(sum(CASE WHEN event_type = 'purchase'
+      |                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |                  ELSE 0 END) AS BIGINT) AS spend,
+      |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS clicks
+      |  FROM events GROUP BY 1),
+      |r1 AS (SELECT user_id, row_number() OVER
+      |         (ORDER BY spend DESC, user_id ASC) AS rank_spend FROM u),
+      |r2 AS (SELECT user_id, row_number() OVER
+      |         (ORDER BY clicks DESC, user_id ASC) AS rank_clicks FROM u),
+      |f AS (
+      |  SELECT coalesce(r1.user_id, r2.user_id) AS user_id,
+      |         CAST(rank_spend AS BIGINT) AS rank_spend,
+      |         CAST(rank_clicks AS BIGINT) AS rank_clicks,
+      |         coalesce(CAST(1 AS DOUBLE) / CAST(60 + rank_spend AS DOUBLE),
+      |                  CAST(0 AS DOUBLE))
+      |         + coalesce(CAST(1 AS DOUBLE) / CAST(60 + rank_clicks AS DOUBLE),
+      |                    CAST(0 AS DOUBLE)) AS rrf_score
+      |  FROM r1 FULL OUTER JOIN r2 ON r1.user_id = r2.user_id)
+      |SELECT user_id, rank_spend, rank_clicks, rrf_score
+      |FROM f ORDER BY rrf_score DESC, user_id ASC LIMIT 25""".stripMargin
+
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_quality_audit" -> qualityAudit _,
     "q113_jaccard_prefix" -> jaccardPrefix _,
     "q114_cms_hitters" -> cmsHitters _,
+    "q115_chunking" -> chunkDocs _,
+    "q116_rrf_fusion" -> rrfUsers _,
     "q14_text_stats" -> textStats _,
     "q15_lang_id" -> langId _,
     "q16_exact_dedup" -> exactDedup _,
@@ -1873,6 +1948,8 @@ object OpsQueries {
     "q112_quality_audit" -> qualityAuditSql,
     "q113_jaccard_prefix" -> jaccardPrefixSql,
     "q114_cms_hitters" -> cmsHittersSql,
+    "q115_chunking" -> chunkDocsSql,
+    "q116_rrf_fusion" -> rrfUsersSql,
     "q14_text_stats" -> textStatsSql,
     "q15_lang_id" -> langIdSql,
     "q16_exact_dedup" -> exactDedupSql,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -151,4 +151,43 @@ object TextAnalysis {
 
   def fingerprintMd5(text: Column): Column =
     graft.functions.functions.normalized_md5(text)
+
+  /** Token-window document chunking — the RAG/embedding-pipeline
+    * reshape: split each document into `chunkTokens`-token windows
+    * overlapping by `overlap` tokens (stride = chunkTokens − overlap),
+    * so every token appears in ≥1 chunk and chunk boundaries never cut
+    * more than `overlap` tokens of context. Emits (id, chunk_id,
+    * chunk_tokens, chunk_text); documents shorter than one stride
+    * still yield exactly one chunk.
+    *
+    * Exactness: chunk count is `max(1, ceil((n − overlap)/stride))` in
+    * pure integer arithmetic; chunk text is a 1-based array slice
+    * (both engines clamp the final partial window) joined with single
+    * spaces — byte-identical output, no float anywhere.
+    *
+    * Scale: entirely row-local — tokenize, count, explode the chunk
+    * index range, slice. No shuffle at all; output is input-linear
+    * (≤ n/stride + 1 chunks per doc). The chunk-count column is
+    * materialized in a SEPARATE select before the explode —
+    * `explode(sequence(...))` cannot consume a lateral alias from the
+    * same projection (CLAUDE.md).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 16, overlap: Int = 4): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      "need chunkTokens > overlap >= 0")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .withColumn("__nc",
+        greatest(lit(1L), expr(s"(__n - $overlap + ${stride - 1}) div $stride")))
+      .select(col(idCol), col("__t"), col("__n"),
+        explode(expr("sequence(cast(0 as bigint), __nc - 1)")).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        least(lit(chunkTokens.toLong), col("__n") - col("chunk_id") * stride)
+          .as("chunk_tokens"),
+        concat_ws(" ", slice(col("__t"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunkTokens)))
+          .as("chunk_text"))
+  }
 }

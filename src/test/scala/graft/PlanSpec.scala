@@ -604,6 +604,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("chunking is fully row-local: no exchange, one Generate, codegen project") {
+    val p = plan(OpsQueries.chunkDocs(spark, sf0001))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate") && p.contains("* Project"), p)
+  }
+
+  test("rrf fusion: final cut is TakeOrdered, id join stays keyed") {
+    val p = plan(OpsQueries.rrfUsers(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("snapshot diff: ONE PK-keyed full-outer join, row-local change detection") {
     val p = plan(Queries.snapshotDiffOrders(spark, sf0001))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),

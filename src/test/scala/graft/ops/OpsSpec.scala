@@ -446,4 +446,38 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(again.toSet === got.toSet)
   }
+
+  test("chunkDocuments: overlapping windows, clamped tail, short-doc floor") {
+    val words20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words20), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+      chunkTokens = 16, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(t => (t._1, t._2))
+    // doc 1: ceil((20-4)/12) = 2 chunks; chunk 1 starts at token 13
+    assert(out.length === 3)
+    assert(out(0) === ((1L, 0L, 16L, (1 to 16).map(i => s"w$i").mkString(" "))))
+    assert(out(1) === ((1L, 1L, 8L, (13 to 20).map(i => s"w$i").mkString(" "))))
+    assert(out(2) === ((2L, 0L, 3L, "a b c")))
+  }
+
+  test("chunkDocuments: every token covered; adjacent chunks overlap by `overlap`") {
+    val rnd = new scala.util.Random(13)
+    val docs = (1 to 30).map(i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(60))).map(j => s"t$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(df, "doc_id", "text", 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val cs = chunks(id).sortBy(_._2).map(_._3.split(" "))
+      assert(cs.flatten.toSet === toks.toSet, s"doc $id coverage")
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(a.takeRight(4).sameElements(b.take(4))
+          || b.length < 4, s"doc $id overlap")
+        case _ => ()
+      }
+    }
+  }
 }
