@@ -2243,6 +2243,45 @@ object Queries {
       |LEFT JOIN va ON fb.fold = va.fold
       |LEFT JOIN em ON fb.fold = em.fold""".stripMargin
 
+  /** Calibration readout ([[graft.transform.Stats.calibrationBins]]):
+    * the q108 score/label pair binned into 10 equal-width score bins
+    * with per-bin mean score and observed heavy-purchaser rate — the
+    * reliability diagram next to AUC's ranking test. Integer bin
+    * assignment, exact counts, two single divisions per bin.
+    */
+  def calibrationReadout(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click",
+          graft.transform.Stats.cents(col("value"))).otherwise(lit(0L)))
+          .as("score"),
+        (sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14)
+          .cast("long").as("label"))
+    graft.transform.Stats.calibrationBins(users, "score", "label")
+  }
+
+  val calibrationReadoutSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CAST(sum(CASE WHEN event_type = 'click'
+      |                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |                  ELSE 0 END) AS BIGINT) AS score,
+      |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+      |                       ELSE 0 END) >= 14
+      |              THEN 1 ELSE 0 END AS label
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT min(score) AS mn, max(score) AS mx FROM u),
+      |a AS (SELECT ((score - mn) * 10) // (mx - mn + 1) AS bin, score, label
+      |      FROM u, b)
+      |SELECT bin, count(*) AS n,
+      |       CAST(sum(label) AS BIGINT) AS n_pos,
+      |       CAST(sum(score) AS BIGINT) AS score_sum,
+      |       CAST(CAST(sum(score) AS BIGINT) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS mean_score,
+      |       CAST(CAST(sum(label) AS BIGINT) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS pos_rate
+      |FROM a GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -2307,7 +2346,8 @@ object Queries {
     "q108_auc" -> aucCohorts _,
     "q109_chi2_screen" -> chi2Screen _,
     "q110_interpolate" -> interpolateHourly _,
-    "q111_purged_folds" -> purgedFolds _)
+    "q111_purged_folds" -> purgedFolds _,
+    "q117_calibration" -> calibrationReadout _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -2372,5 +2412,6 @@ object Queries {
     "q108_auc" -> aucCohortsSql,
     "q109_chi2_screen" -> chi2ScreenSql,
     "q110_interpolate" -> interpolateHourlySql,
-    "q111_purged_folds" -> purgedFoldsSql)
+    "q111_purged_folds" -> purgedFoldsSql,
+    "q117_calibration" -> calibrationReadoutSql)
 }

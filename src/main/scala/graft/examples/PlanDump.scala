@@ -7,7 +7,8 @@ object PlanDump {
       .config("spark.ui.enabled","false")
       .config("spark.sql.legacy.parquet.nanosAsLong","true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.Queries.pitJoin(spark, "/root/testdata/sf0.01")
+    val name = args.headOption.getOrElse("q06_pit_join")
+    val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
     println(df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     spark.stop()

@@ -152,10 +152,21 @@ object Fuzzy {
     * itself quadratic — that is the signal to fall back to
     * [[Dedup.minhashLshPairs]] + clustering rather than enumerate it.
     */
-  def jaccardPrefixJoin(sets: DataFrame, idCol: String, elemCol: String,
+  def jaccardPrefixJoin(sets0: DataFrame, idCol: String, elemCol: String,
       tNum: Int = 4, tDen: Int = 5, saltedDfJoin: Boolean = false,
-      numSalts: Int = 16): DataFrame = {
+      numSalts: Int = 16, reuseSets: Boolean = true): DataFrame = {
     require(tNum > 0 && tDen > tNum, "threshold must be in (0,1)")
+    // the set frame feeds FOUR subtrees (df counts, the ordering
+    // window, and both verify joins); Spark reuses neither scans nor
+    // exchanges across differently-pruned copies, so materialize it
+    // once (measured 12 parquet scans + 6 explodes -> 2 + 1 on the
+    // document fixture). At 100 TB pass `reuseSets = false` and hand
+    // in a set table already written to storage (bucketed by id) —
+    // executor memory is the wrong home for a corpus-sized frame.
+    val sets =
+      if (reuseSets) sets0.select(col(idCol), col(elemCol)).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sets0
     val dfreq = sets.groupBy(col(elemCol)).agg(count(lit(1)).as("__df"))
     val joined =
       if (saltedDfJoin)

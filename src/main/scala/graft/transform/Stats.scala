@@ -437,6 +437,39 @@ object Stats {
             (lit(2L) * col("n_pos") * col("n_neg")).cast("double")))
   }
 
+  /** Reliability-diagram calibration bins — [[aucByKey]]'s companion
+    * model-eval readout: AUC checks RANKING, this checks whether the
+    * score's magnitude means what it claims (do entities in the
+    * 0.8-score bin convert 80% of the time?). Scores are integer
+    * cents bucketed into `nBins` equal-width bins with
+    * [[histogramFixedWidth]]'s pure-integer assignment against a
+    * broadcast 1-row bounds frame; per bin the row count, positive
+    * count, mean score and observed positive rate — each emitted
+    * value is either an exact long or ONE IEEE division of two exact
+    * longs, so the readout gates bitwise with no rounding column.
+    * One keyed agg on the bin id (≤ nBins groups, map-side partials);
+    * nothing global, no window.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "calibrationBins needs at least 2 bins")
+    val bounds = df.agg(min(col(scoreCol)).as("__mn"),
+      max(col(scoreCol)).as("__mx"))
+    df.select(col(scoreCol).cast("long").as("score"),
+        col(labelCol).cast("long").as("label"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        expr(s"((score - __mn) * $nBins) div (__mx - __mn + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("label")).as("n_pos"),
+        sum(col("score")).as("score_sum"))
+      .withColumn("mean_score",
+        col("score_sum").cast("double") / col("n").cast("double"))
+      .withColumn("pos_rate",
+        col("n_pos").cast("double") / col("n").cast("double"))
+  }
+
   /** Chi-squared (2×2) feature screen: for each binary feature column
     * vs a binary label, the contingency counts a/b/c/d and the test
     * statistic `χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))` — the

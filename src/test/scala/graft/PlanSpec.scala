@@ -617,6 +617,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("calibration: bounds ride a 1-row broadcast; one keyed agg on the bin id") {
+    val p = plan(Queries.calibrationReadout(spark, sf0001))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"only the 1-row bounds frame may broadcast-loop:\n$p")
+    // user agg + bin agg on the main path, user agg + 1-row reduce on
+    // the bounds path (two-pass min/max is inherent) = 4 exchanges
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 4,
+      s"more shuffles than the two-pass layout needs:\n$p")
+  }
+
   test("snapshot diff: ONE PK-keyed full-outer join, row-local change detection") {
     val p = plan(Queries.snapshotDiffOrders(spark, sf0001))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),

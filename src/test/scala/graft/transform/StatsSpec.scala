@@ -241,6 +241,29 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("calibrationBins: hand-computed bins, exact means and rates") {
+    // scores 0..9 with labels = score >= 5, 2 bins over [0,9]:
+    // bin 0 = scores 0..4 (n=5, pos=0, mean=2), bin 1 = 5..9 (pos=5, mean=7)
+    val df = (0L to 9L).map(s => (s, if (s >= 5) 1L else 0L))
+      .toDF("score", "label")
+    val got = Stats.calibrationBins(df, "score", "label", nBins = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0L, 5L, 0L, 10L, 2.0, 0.0),
+      (1L, 5L, 5L, 35L, 7.0, 1.0)))
+  }
+
+  test("calibrationBins: max score lands in the last bin; bins partition rows") {
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 500).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(2).toLong))
+      .toDF("score", "label")
+    val got = Stats.calibrationBins(df, "score", "label", nBins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).sum === 500L)
+    assert(got.map(_._1).forall(b => b >= 0 && b < 10))
+  }
+
   test("chi2Features: hand-computed 2x2 statistic; constant feature NULL") {
     // a=20 b=10 c=5 d=15: N=50, det=250, chi2 = 50*250^2/(30*20*25*25)
     //                                         = 3125000/375000 = 8.3333...
