@@ -1888,7 +1888,55 @@ object OpsQueries {
       |SELECT user_id, rank_spend, rank_clicks, rrf_score
       |FROM f ORDER BY rrf_score DESC, user_id ASC LIMIT 25""".stripMargin
 
+  // ------------------------------------------------------------ hll distinct
+  /** HyperLogLog-style shingle-vocabulary estimate per source
+    * ([[graft.transform.Stats.hllDistinct]], m=64): the log-log-state
+    * sketch regime beyond q92's linear counting — registers keep only
+    * a max-rho per md5 bucket, yet estimate cardinalities far beyond
+    * m. The harmonic sum is EXACT (dyadic 2^−rho terms spanning 18
+    * bits — associative in any order), so estimate and registers gate
+    * bitwise against the exact distinct count that rides along.
+    */
+  def hllShingles(s: SparkSession, dir: String): DataFrame = {
+    val bag = docs(s, dir).select(col("source"),
+      explode(Dedup.shingles(col("text"))).as("shingle"))
+    graft.transform.Stats.hllDistinct(bag, Seq("source"), "shingle")
+  }
+
+  val hllShinglesSql: String =
+    """WITH toks AS (
+      |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT source,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |                               i -> array_to_string(t[i:i+2], ' '))) AS v
+      |  FROM toks WHERE len(t) >= 3),
+      |hx AS (SELECT source, v, md5(v) AS h FROM sh),
+      |rb AS (
+      |  SELECT source,
+      |         ('0x' || substr(h, 1, 4))::BIGINT % 64 AS bucket,
+      |         CASE WHEN ('0x' || substr(h, 5, 4))::BIGINT = 0 THEN 17
+      |              ELSE 17 - length(bin(('0x' || substr(h, 5, 4))::BIGINT))
+      |         END AS rho
+      |  FROM hx),
+      |reg AS (SELECT source, bucket, max(rho) AS r FROM rb GROUP BY 1, 2),
+      |sk AS (
+      |  SELECT source, count(*) AS occupied,
+      |         sum(power(CAST(2 AS DOUBLE), -r)) AS harm_occ
+      |  FROM reg GROUP BY 1),
+      |ex AS (SELECT source, count(DISTINCT v) AS exact_distinct
+      |       FROM sh GROUP BY 1)
+      |SELECT e.source,
+      |       CAST(s.occupied AS BIGINT) AS occupied,
+      |       CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+      |       s.harm_occ + CAST(64 - s.occupied AS DOUBLE) AS harmonic_sum,
+      |       CAST(0.709 AS DOUBLE) * 64 * 64
+      |         / (s.harm_occ + CAST(64 - s.occupied AS DOUBLE)) AS hll_estimate
+      |FROM ex e JOIN sk s ON e.source = s.source""".stripMargin
+
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_hll_distinct" -> hllShingles _,
     "q112_quality_audit" -> qualityAudit _,
     "q113_jaccard_prefix" -> jaccardPrefix _,
     "q114_cms_hitters" -> cmsHitters _,
@@ -1945,6 +1993,7 @@ object OpsQueries {
     "q100_binary_files" -> binaryFilesQ _)
 
   val opsOracles: Map[String, String] = Map(
+    "q118_hll_distinct" -> hllShinglesSql,
     "q112_quality_audit" -> qualityAuditSql,
     "q113_jaccard_prefix" -> jaccardPrefixSql,
     "q114_cms_hitters" -> cmsHittersSql,

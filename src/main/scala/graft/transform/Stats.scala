@@ -437,6 +437,72 @@ object Stats {
             (lit(2L) * col("n_pos") * col("n_neg")).cast("double")))
   }
 
+  /** Flajolet–Martin / HyperLogLog-style distinct sketch per key —
+    * the LOG-LOG state regime beyond [[linearCountDistinct]]: LC needs
+    * a bucket per expected distinct value (m ≳ cardinality), HLL's m
+    * registers of ~5 bits each estimate cardinalities orders of
+    * magnitude beyond m. Value → md5; hex digits 1-? pick one of `m`
+    * registers, and the register keeps the MAX of
+    * `rho = 1 + zeros` — the 1-based position of the first set bit in
+    * a 16-bit md5-derived probe word, spelled `17 − length(bin(v))`
+    * (both engines' `bin()` of a positive integer is the minimal
+    * binary string; no log2 near-power-of-two ulp hazard). Estimate:
+    * `alpha_m · m² / Σ 2^−rho` with empty registers contributing 2⁰.
+    *
+    * Exactness: every 2^−rho is an exact dyadic double
+    * (`power(2.0, −k)` is exact for integer k — CLAUDE.md) spanning
+    * 2⁰..2⁻¹⁷, so the 64-term harmonic sum is EXACT in any
+    * aggregation order — the one FP sum in this file that is safely
+    * associative; the estimate is then one multiply by the
+    * alpha·m² literal and one division, bit-identical cross-engine,
+    * no rounding column. The EXACT distinct count rides along for the
+    * gate (and is what you drop at 100 TB — register state is m rows
+    * per key no matter how many values arrive, and MAX is the ideal
+    * map-side partial).
+    *
+    * Bias note: the raw estimate is emitted without HLL's small-range
+    * (linear-counting) or large-range corrections — [[
+    * linearCountDistinct]] IS the small-range correction in this
+    * catalog; pick by expected regime.
+    */
+  def hllDistinct(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      m: Int = 64): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    require(m <= 65536, "m beyond the 4-digit bucket slice")
+    // the standard HLL bias constants (Flajolet et al. 2007)
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1 + 1.079 / m)
+    }
+    val alphaM2 = alpha * m * m
+    val keys = keyCols.map(col)
+    val h = md5(col(valueCol).cast("string"))
+    val bucket = conv(substring(h, 1, 4), 16, 10).cast("long") % m
+    val probe = conv(substring(h, 5, 4), 16, 10).cast("long")
+    val rho = when(probe === 0L, lit(17L))
+      .otherwise(lit(17L) - length(bin(probe)))
+    val registers = df.filter(col(valueCol).isNotNull)
+      .select(keys :+ bucket.as("bucket") :+ rho.as("rho"): _*)
+      .groupBy(keys :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("r"))
+    val sketch = registers.groupBy(keys: _*)
+      .agg(count(lit(1)).as("occupied"),
+        sum(pow(lit(2.0), -col("r"))).as("harmonic_occ"))
+      .withColumn("harmonic_sum",
+        col("harmonic_occ") + (lit(m.toLong) - col("occupied")).cast("double"))
+      .withColumn("hll_estimate", lit(alphaM2) / col("harmonic_sum"))
+    val exact = df.groupBy(keys: _*)
+      .agg(countDistinct(col(valueCol)).as("exact_distinct"))
+    exact.join(sketch, keyCols, "left")
+      .select(keys ++ Seq(
+        coalesce(col("occupied"), lit(0L)).as("occupied"),
+        col("exact_distinct"),
+        coalesce(col("harmonic_sum"), lit(m.toDouble)).as("harmonic_sum"),
+        col("hll_estimate")): _*)
+  }
+
   /** Reliability-diagram calibration bins — [[aucByKey]]'s companion
     * model-eval readout: AUC checks RANKING, this checks whether the
     * score's magnitude means what it claims (do entities in the

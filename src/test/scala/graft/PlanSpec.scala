@@ -627,6 +627,13 @@ class PlanSpec extends SparkSpec {
       s"more shuffles than the two-pass layout needs:\n$p")
   }
 
+  test("hll distinct: register state is m rows/key; sketch-exact join broadcasts") {
+    val p = plan(OpsQueries.hllShingles(spark, sf0001))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"key-domain frames must broadcast:\n$p")
+  }
+
   test("snapshot diff: ONE PK-keyed full-outer join, row-local change detection") {
     val p = plan(Queries.snapshotDiffOrders(spark, sf0001))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),

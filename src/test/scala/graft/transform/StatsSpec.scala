@@ -264,6 +264,40 @@ class StatsSpec extends SparkSpec {
     assert(got.map(_._1).forall(b => b >= 0 && b < 10))
   }
 
+  test("hllDistinct: driver-replicated registers, exact harmonic sum, multiplicity-invariant") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val values = (1 to 200).map(i => s"v$i")
+    val df = (values ++ values.take(50)) // duplicates must not move registers
+      .map(v => ("k", v)).toDF("key", "v")
+    val got = Stats.hllDistinct(df, Seq("key"), "v", m = 64).collect().head
+    // replicate the sketch on the driver
+    val regs = values.groupBy { v =>
+      java.lang.Long.parseLong(md5hex(v).substring(0, 4), 16) % 64
+    }.map { case (b, vs) =>
+      b -> vs.map { v =>
+        val probe = java.lang.Long.parseLong(md5hex(v).substring(4, 8), 16)
+        if (probe == 0L) 17L
+        else 17L - java.lang.Long.toBinaryString(probe).length
+      }.max
+    }
+    val harmonic = regs.values.map(r => math.pow(2.0, -r)).sum +
+      (64 - regs.size).toDouble
+    assert(got.getLong(1) === regs.size.toLong)         // occupied
+    assert(got.getLong(2) === 200L)                     // exact_distinct
+    assert(got.getDouble(3) === harmonic)               // exact dyadic sum
+    assert(got.getDouble(4) === 0.709 * 64 * 64 / harmonic)
+  }
+
+  test("hllDistinct: estimate lands inside the ~1.04/sqrt(m) error envelope") {
+    val df = (1 to 5000).map(i => ("k", s"value_$i")).toDF("key", "v")
+    val got = Stats.hllDistinct(df, Seq("key"), "v", m = 256).collect().head
+    val est = got.getDouble(4)
+    assert(math.abs(est - 5000) / 5000.0 < 0.25,
+      s"estimate $est too far from 5000") // 3.8 sigma at m=256
+  }
+
   test("chi2Features: hand-computed 2x2 statistic; constant feature NULL") {
     // a=20 b=10 c=5 d=15: N=50, det=250, chi2 = 50*250^2/(30*20*25*25)
     //                                         = 3125000/375000 = 8.3333...
