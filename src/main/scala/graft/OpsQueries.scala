@@ -1935,8 +1935,55 @@ object OpsQueries {
       |         / (s.harm_occ + CAST(64 - s.occupied AS DOUBLE)) AS hll_estimate
       |FROM ex e JOIN sk s ON e.source = s.source""".stripMargin
 
+  // ------------------------------------------------------------ temperature mix
+  /** α=1/2 temperature mixture ([[Corpus.temperatureQuotas]] +
+    * [[Corpus.sampleToQuotas]]): a 400-document budget split across
+    * sources ∝ √(token mass) and drawn in md5 order. Floor-pointer
+    * quotas over the ordered weight running sum guarantee
+    * Σ quota = 400 exactly; every arithmetic step is spelled
+    * identically in the oracle, so the sample gates bitwise.
+    */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val quotas = Corpus.temperatureQuotas(d, "source", "text", totalN = 400)
+    Corpus.sampleToQuotas(d, "source", "doc_id", quotas, "quota")
+  }
+
+  val temperatureMixSql: String =
+    """WITH m AS (
+      |  SELECT source,
+      |         CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+      |              AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT source, n_tokens,
+      |             sqrt(CAST(n_tokens AS DOUBLE)) AS wt FROM m),
+      |c AS (
+      |  SELECT source, wt,
+      |         sum(wt) OVER (ORDER BY source
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM w),
+      |t AS (
+      |  SELECT source, cum, max(cum) OVER () AS total_w,
+      |         coalesce(lag(cum) OVER (ORDER BY source),
+      |                  CAST(0 AS DOUBLE)) AS prev
+      |  FROM c),
+      |q AS (
+      |  SELECT source,
+      |         CAST(floor(cum / total_w * 400)
+      |              - floor(prev / total_w * 400) AS BIGINT) AS quota
+      |  FROM t),
+      |r AS (
+      |  SELECT doc_id, source,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+      |           AS BIGINT) AS rn
+      |  FROM documents)
+      |SELECT r.doc_id, r.source, r.rn
+      |FROM r JOIN q USING (source) WHERE r.rn <= q.quota""".stripMargin
+
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_hll_distinct" -> hllShingles _,
+    "q119_temperature_mix" -> temperatureMix _,
     "q112_quality_audit" -> qualityAudit _,
     "q113_jaccard_prefix" -> jaccardPrefix _,
     "q114_cms_hitters" -> cmsHitters _,
@@ -1994,6 +2041,7 @@ object OpsQueries {
 
   val opsOracles: Map[String, String] = Map(
     "q118_hll_distinct" -> hllShinglesSql,
+    "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,
     "q113_jaccard_prefix" -> jaccardPrefixSql,
     "q114_cms_hitters" -> cmsHittersSql,

@@ -2282,6 +2282,69 @@ object Queries {
       |         / CAST(count(*) AS DOUBLE) AS pos_rate
       |FROM a GROUP BY 1""".stripMargin
 
+  /** Strict time-windowed funnel: first view → first click within ONE
+    * HOUR of that view → first purchase within one hour of that click
+    * (q82 counts unconstrained stage order; real product funnels
+    * expire). Three chained window expressions on ONE user
+    * partitioning — each stage's anchor is the previous stage's
+    * window result, so the whole funnel is a single exchange, no
+    * joins, all integer µs comparisons; the 1-row readout counts
+    * non-null stage timestamps. The ORACLE computes each stage with
+    * the textbook aggregate + join-back formulation, so the gate
+    * proves the window-chain rewrite.
+    */
+  def windowedFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val hourUs = 3600000000L
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("us") >= col("t_view") &&
+          col("us") < col("t_view") + hourUs, col("us"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("us") >= col("t_click") &&
+          col("us") < col("t_click") + hourUs, col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t_view")).as("tv"), max(col("t_click")).as("tc"),
+        max(col("t_purchase")).as("tp"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("tv")).as("n_view"),
+        count(col("tc")).as("n_click_1h"),
+        count(col("tp")).as("n_purchase_1h"))
+  }
+
+  val windowedFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'view' THEN us END) AS t_view
+      |  FROM e GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.us) AS t_click
+      |  FROM e JOIN u USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.us >= u.t_view
+      |    AND e.us < u.t_view + 3600000000
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.us) AS t_purchase
+      |  FROM e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.us >= c.t_click
+      |    AND e.us < c.t_click + 3600000000
+      |  GROUP BY 1)
+      |SELECT (SELECT count(*) FROM u) AS n_users,
+      |       (SELECT count(t_view) FROM u) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click_1h,
+      |       (SELECT count(*) FROM p) AS n_purchase_1h""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -2347,7 +2410,8 @@ object Queries {
     "q109_chi2_screen" -> chi2Screen _,
     "q110_interpolate" -> interpolateHourly _,
     "q111_purged_folds" -> purgedFolds _,
-    "q117_calibration" -> calibrationReadout _)
+    "q117_calibration" -> calibrationReadout _,
+    "q120_windowed_funnel" -> windowedFunnel _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -2413,5 +2477,6 @@ object Queries {
     "q109_chi2_screen" -> chi2ScreenSql,
     "q110_interpolate" -> interpolateHourlySql,
     "q111_purged_folds" -> purgedFoldsSql,
-    "q117_calibration" -> calibrationReadoutSql)
+    "q117_calibration" -> calibrationReadoutSql,
+    "q120_windowed_funnel" -> windowedFunnelSql)
 }

@@ -541,6 +541,48 @@ object Corpus {
           .when(col("h").isin("e", "f"), "test")
           .otherwise("train").as("split"))
 
+  /** Temperature-weighted mixture quotas — the multilingual/multi-source
+    * pretraining rebalance (mT5 / XLM-R's α-sampling at the standard
+    * α = 1/2): source s's share of a `totalN`-document budget is
+    * proportional to √(token mass) instead of raw mass, lifting
+    * low-resource sources without letting them dominate. Compose with
+    * [[sampleToQuotas]] to draw the documents.
+    *
+    * Exactness: √ of an integer is ONE correctly-rounded IEEE op in
+    * both engines (this is why α is fixed at 1/2 — arbitrary α needs
+    * libm pow, which CLAUDE.md only budgets on bounded outputs); the
+    * weight running sum is an ORDERED window sum (sequential, frame
+    * order — the psi_cum rule), the grand total is max(cum) (order-
+    * insensitive), and quotas are differences of floors of identically
+    * spelled expressions, so Σ quota = totalN EXACTLY and every row
+    * gates bitwise. The source domain is bounded, so the single-
+    * partition window stage holds |sources| rows, never the corpus.
+    */
+  def temperatureQuotas(df: DataFrame, sourceCol: String, textCol: String,
+      totalN: Int): DataFrame = {
+    require(totalN > 0, "totalN must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col(sourceCol))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy()
+    df.groupBy(col(sourceCol))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+        .as("n_tokens"))
+      .withColumn("weight", sqrt(col("n_tokens").cast("double")))
+      .withColumn("cum", sum(col("weight")).over(run))
+      .withColumn("prev", coalesce(lag(col("cum"), 1).over(ord),
+        lit(0.0)))
+      .withColumn("total_w", max(col("cum")).over(full))
+      // pointer spelling: (cum / total) * N, NOT (cum * N) / total —
+      // x/x is EXACTLY 1.0 in IEEE, so the last pointer is exactly N
+      // and the telescoping sum of quotas hits the budget; the other
+      // association double-rounds (W*N then /W) and can land at N−1
+      .withColumn("quota",
+        (floor(col("cum") / col("total_w") * totalN)
+          - floor(col("prev") / col("total_w") * totalN)).cast("long"))
+      .select(col(sourceCol), col("n_tokens"), col("weight"), col("quota"))
+  }
+
   /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
     * token frequencies summarized in a `depth × width` counter grid —
     * each occurrence increments one md5-derived bucket per row, a

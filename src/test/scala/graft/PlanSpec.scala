@@ -634,6 +634,19 @@ class PlanSpec extends SparkSpec {
       s"key-domain frames must broadcast:\n$p")
   }
 
+  test("temperature mix: quota frame broadcasts onto the ranked sample") {
+    val p = plan(OpsQueries.temperatureMix(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"quotas must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("windowed funnel: three chained stage windows on ONE user exchange, no join") {
+    val p = plan(Queries.windowedFunnel(spark, sf0001))
+    assert(!p.contains("Join"), s"funnel stages must not join back:\n$p")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 2,
+      s"one user partitioning + the 1-row readout:\n$p")
+  }
+
   test("snapshot diff: ONE PK-keyed full-outer join, row-local change detection") {
     val p = plan(Queries.snapshotDiffOrders(spark, sf0001))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),

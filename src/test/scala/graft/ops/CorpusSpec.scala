@@ -538,6 +538,31 @@ class CorpusSpec extends SparkSpec {
     got.foreach { case (tok, _, est) => assert(est === expect(tok), tok) }
   }
 
+  test("temperatureQuotas: hand case — sqrt weights, floor pointers, exact budget") {
+    // masses 16 / 64 -> weights 4 / 8, W = 12, N = 12:
+    // a: floor(4*12/12)=4; b: floor(12*12/12)-4 = 8
+    val docs = Seq(
+      ("a", (1 to 16).map(_ => "w").mkString(" ")),
+      ("b", (1 to 64).map(_ => "w").mkString(" "))).toDF("source", "text")
+    val got = Corpus.temperatureQuotas(docs, "source", "text", totalN = 12)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq === Seq(("a", 16L, 4.0, 4L), ("b", 64L, 8.0, 8L)))
+  }
+
+  test("temperatureQuotas: quotas are non-negative and sum EXACTLY to the budget") {
+    val rnd = new scala.util.Random(3)
+    val docs = (1 to 200).map(i =>
+      (s"s${i % 17}", (1 to (1 + rnd.nextInt(50))).map(_ => "t").mkString(" ")))
+      .toDF("source", "text")
+    for (n <- Seq(7, 100, 999)) {
+      val q = Corpus.temperatureQuotas(docs, "source", "text", totalN = n)
+        .collect().map(_.getLong(3))
+      assert(q.forall(_ >= 0L))
+      assert(q.sum === n.toLong, s"budget $n")
+    }
+  }
+
   test("source overlap: hand-computed pairwise vocabulary Jaccard") {
     // s1 = {a,b}, s2 = {b,c}, s3 = {a,b,c}
     val docs = Seq(

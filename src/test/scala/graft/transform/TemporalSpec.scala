@@ -236,6 +236,26 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("windowedFunnel: stage windows expire — hand case via a temp events table") {
+    // u1 full funnel in-window; u2 click too late; u3 no view;
+    // u4 click ok, purchase 65min after click (out)
+    val mins = (m: Int) => new Timestamp(m * 60000L)
+    val ev = Seq(
+      (1L, 1L, "view", mins(0)), (2L, 1L, "click", mins(30)),
+      (3L, 1L, "purchase", mins(80)),
+      (4L, 2L, "view", mins(0)), (5L, 2L, "click", mins(90)),
+      (6L, 3L, "click", mins(0)),
+      (7L, 4L, "view", mins(0)), (8L, 4L, "click", mins(10)),
+      (9L, 4L, "purchase", mins(75)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.Queries.windowedFunnel(spark, dir).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+      === ((4L, 3L, 2L, 1L)))
+  }
+
   test("scd2: equals a driver-side fold on seeded random logs") {
     val rnd = new scala.util.Random(99)
     val types = Seq("a", "b", "c")
