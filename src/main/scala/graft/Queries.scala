@@ -2345,6 +2345,100 @@ object Queries {
       |       (SELECT count(*) FROM c) AS n_click_1h,
       |       (SELECT count(*) FROM p) AS n_purchase_1h""".stripMargin
 
+  /** Two-sample KS drift test ([[graft.transform.Stats.ksTestByKey]]):
+    * view-value vs click-value cents distributions per user cohort.
+    * The statistic is cleared of division — `d_num` is a max of exact
+    * long cross-products — and `ks_d` is one IEEE division.
+    */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("event_type").isin("view", "click"))
+      .select((col("user_id") % 4).as("cohort"),
+        graft.transform.Stats.cents(col("value")).as("v"),
+        when(col("event_type") === "view", 1L).otherwise(2L).as("grp"))
+    graft.transform.Stats.ksTestByKey(e, Seq("cohort"), "v", "grp")
+  }
+
+  val ksDriftSql: String =
+    """WITH e AS (
+      |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |         CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS grp
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |b AS (
+      |  SELECT cohort, v,
+      |         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |         CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM e GROUP BY 1, 2),
+      |w AS (
+      |  SELECT cohort,
+      |         CAST(sum(c1) OVER (PARTITION BY cohort ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS cum1,
+      |         CAST(sum(c2) OVER (PARTITION BY cohort ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS cum2,
+      |         CAST(sum(c1) OVER (PARTITION BY cohort) AS BIGINT) AS n1,
+      |         CAST(sum(c2) OVER (PARTITION BY cohort) AS BIGINT) AS n2
+      |  FROM b),
+      |agg AS (
+      |  SELECT cohort, CAST(max(n1) AS BIGINT) AS n1,
+      |         CAST(max(n2) AS BIGINT) AS n2,
+      |         CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num
+      |  FROM w GROUP BY 1)
+      |SELECT cohort, n1, n2, d_num,
+      |       CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |         CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) END AS ks_d
+      |FROM agg""".stripMargin
+
+  /** Spearman rank correlation ([[graft.transform.Stats
+    * .spearmanByKey]]) of quantity vs extended price per return flag —
+    * the monotone-association reading next to q69's Pearson on the
+    * same frame. Mid-rank ties via the doubled-rank integers; moments
+    * in DECIMAL/HUGEINT; the only FP is the final closed form.
+    */
+  def spearmanStats(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      graft.transform.Stats.cents(col("l_quantity")).as("x"),
+      graft.transform.Stats.cents(col("l_extendedprice")).as("y"))
+    graft.transform.Stats.spearmanByKey(li, Seq("l_returnflag"), "x", "y")
+  }
+
+  val spearmanStatsSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+      |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag,
+      |         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY x)
+      |           + count(*) OVER (PARTITION BY l_returnflag, x) - 1 AS rx2,
+      |         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY y)
+      |           + count(*) OVER (PARTITION BY l_returnflag, y) - 1 AS ry2
+      |  FROM c),
+      |s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |         sum(CAST(rx2 AS HUGEINT)) AS sx, sum(CAST(ry2 AS HUGEINT)) AS sy,
+      |         sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+      |         sum(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+      |         sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+      |  FROM r GROUP BY 1),
+      |d AS (
+      |  SELECT l_returnflag, n,
+      |         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+      |         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+      |  FROM s)
+      |SELECT l_returnflag, n,
+      |       CASE WHEN vx > 0 AND vy > 0
+      |            THEN floor((cov / sqrt(vx * vy)) * 1000000.0 + 0.5) / 1000000.0
+      |       END AS spearman
+      |FROM d""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -2411,7 +2505,9 @@ object Queries {
     "q110_interpolate" -> interpolateHourly _,
     "q111_purged_folds" -> purgedFolds _,
     "q117_calibration" -> calibrationReadout _,
-    "q120_windowed_funnel" -> windowedFunnel _)
+    "q120_windowed_funnel" -> windowedFunnel _,
+    "q121_ks_test" -> ksDrift _,
+    "q122_spearman" -> spearmanStats _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -2478,5 +2574,7 @@ object Queries {
     "q110_interpolate" -> interpolateHourlySql,
     "q111_purged_folds" -> purgedFoldsSql,
     "q117_calibration" -> calibrationReadoutSql,
-    "q120_windowed_funnel" -> windowedFunnelSql)
+    "q120_windowed_funnel" -> windowedFunnelSql,
+    "q121_ks_test" -> ksDriftSql,
+    "q122_spearman" -> spearmanStatsSql)
 }

@@ -503,6 +503,88 @@ object Stats {
         col("hll_estimate")): _*)
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic per key — the
+    * distribution-drift test beside [[psiByKey]]: PSI needs reference
+    * bins, KS compares the raw empirical CDFs and its statistic
+    * `D = max |F₁(v) − F₂(v)|` is binning-free. Cleared of division:
+    * `d_num = max |cum₁(v)·n₂ − cum₂(v)·n₁|` over the merged value
+    * order — every term an exact long — and the emitted
+    * `d = d_num/(n₁·n₂)` is ONE IEEE division, so the readout gates
+    * bitwise with no rounding column (requires n₁·n₂ < 2⁶³ alongside
+    * cum·n products — fine through ~10⁹-row groups).
+    *
+    * Scale: one keyed agg on (key, value) collapses duplicates
+    * map-side, one per-key window over DISTINCT values accumulates
+    * both CDFs (the group totals ride the same window, full-frame —
+    * integer sums, order-insensitive), one final keyed max. State is
+    * distinct values per key — same valve as [[aucByKey]]: pre-bucket
+    * ([[rangeBucketize]]) an unbounded-cardinality value for a binned
+    * D with fixed state.
+    */
+  def ksTestByKey(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      grpCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "ksTestByKey needs at least one key column")
+    val keys = keyCols.map(col)
+    val byValue = df
+      .groupBy(keys :+ col(valueCol).cast("long").as("v"): _*)
+      .agg(sum(when(col(grpCol) === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(grpCol) === 2, 1L).otherwise(0L)).as("c2"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    byValue
+      .withColumn("cum1", sum(col("c1")).over(wOrd))
+      .withColumn("cum2", sum(col("c2")).over(wOrd))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .groupBy(keys: _*)
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+          .as("d_num"))
+      .withColumn("ks_d",
+        when(col("n1") > 0 && col("n2") > 0,
+          col("d_num").cast("double") / (col("n1") * col("n2")).cast("double")))
+  }
+
+  /** Spearman rank correlation per key — the robust, monotone-
+    * association complement to [[corrByKey]]'s Pearson: correlate the
+    * mid-rank-tied RANKS instead of the values. Ranks are exact
+    * integers via `2·avgrank = 2·minrank + ties − 1` (the [[aucByKey]]
+    * doubling trick — the ×2 cancels in the correlation), and the
+    * correlation itself reuses [[corrByKey]]'s DECIMAL(38,0) ↔ HUGEINT
+    * moment sums, so the only FP is the final closed form (pround 6).
+    * Built-in `corr()` on ranks would be partition-order-dependent;
+    * this is not.
+    *
+    * Scale: two rank windows + a tie-count window on ONE key
+    * partitioning, then the single moment-sum agg. Per-key state is
+    * the key's row count (a total order per key — the same boundary
+    * as every exact-rank operator here; [[rangeBucketize]] is the
+    * valve).
+    */
+  def spearmanByKey(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "spearmanByKey needs at least one key column")
+    val keys = keyCols.map(col)
+    val wX = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col(xCol).asc)
+    val wY = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col(yCol).asc)
+    val wTieX = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys :+ col(xCol): _*)
+    val wTieY = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys :+ col(yCol): _*)
+    val ranked = df
+      .withColumn("rx2",
+        lit(2L) * rank().over(wX) + count(lit(1)).over(wTieX) - 1L)
+      .withColumn("ry2",
+        lit(2L) * rank().over(wY) + count(lit(1)).over(wTieY) - 1L)
+    corrByKey(ranked, keyCols, "rx2", "ry2")
+      .withColumnRenamed("corr", "spearman")
+      .drop("slope")
+  }
+
   /** Reliability-diagram calibration bins — [[aucByKey]]'s companion
     * model-eval readout: AUC checks RANKING, this checks whether the
     * score's magnitude means what it claims (do entities in the

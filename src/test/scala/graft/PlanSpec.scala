@@ -647,6 +647,20 @@ class PlanSpec extends SparkSpec {
       s"one user partitioning + the 1-row readout:\n$p")
   }
 
+  test("ks test: joinless — value agg, cohort CDF window, final max reuses partitioning") {
+    val p = plan(Queries.ksDrift(spark, sf0001))
+    assert(!p.contains("Join"), s"KS needs no join:\n$p")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 2,
+      s"(cohort,v) agg + cohort window only:\n$p")
+  }
+
+  test("spearman: rank/tie windows and the moment agg stay on key partitionings, no join") {
+    val p = plan(Queries.spearmanStats(spark, sf0001))
+    assert(!p.contains("Join"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 4,
+      s"two rank + two tie windows max:\n$p")
+  }
+
   test("snapshot diff: ONE PK-keyed full-outer join, row-local change detection") {
     val p = plan(Queries.snapshotDiffOrders(spark, sf0001))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),

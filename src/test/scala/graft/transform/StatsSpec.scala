@@ -298,6 +298,64 @@ class StatsSpec extends SparkSpec {
       s"estimate $est too far from 5000") // 3.8 sigma at m=256
   }
 
+  test("ksTestByKey: hand case, identical samples, driver-replicated D") {
+    // k=1: grp1={1,2}, grp2={2,3} -> D = 0.5 (d_num 2 of n1*n2 4)
+    // k=2: identical samples -> D = 0
+    val df = Seq((1, 1L, 1L), (1, 2L, 1L), (1, 2L, 2L), (1, 3L, 2L),
+      (2, 5L, 1L), (2, 7L, 1L), (2, 5L, 2L), (2, 7L, 2L))
+      .toDF("k", "v", "grp")
+    val got = Stats.ksTestByKey(df, Seq("k"), "v", "grp")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1) === ((2L, 2L, 2L, 0.5)))
+    assert(got(2) === ((2L, 2L, 0L, 0.0)))
+    // driver replication on seeded data
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map(_ =>
+      (0, rnd.nextInt(30).toLong, 1L + rnd.nextInt(2)))
+    val big = Stats.ksTestByKey(rows.toDF("k", "v", "grp"), Seq("k"), "v", "grp")
+      .collect().head
+    val s1 = rows.filter(_._3 == 1L).map(_._2)
+    val s2 = rows.filter(_._3 == 2L).map(_._2)
+    val dNum = (0L to 30L).map { v =>
+      math.abs(s1.count(_ <= v).toLong * s2.size - s2.count(_ <= v).toLong * s1.size)
+    }.max
+    assert(big.getLong(3) === dNum)
+    assert(big.getDouble(4) === dNum.toDouble / (s1.size.toLong * s2.size))
+  }
+
+  test("spearmanByKey: monotone nonlinear = 1, reversed = -1, matches rank Pearson") {
+    val mono = (1L to 50L).map(i => ("m", i, i * i))
+    val rev = (1L to 50L).map(i => ("r", i, -i))
+    val df = (mono ++ rev).toDF("k", "x", "y")
+    val got = Stats.spearmanByKey(df, Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("m") === 1.0)   // Pearson of x,x^2 would be < 1
+    assert(got("r") === -1.0)
+    // ties: driver-computed Pearson of mid-ranks
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 300).map(_ => ("t", rnd.nextInt(10).toLong,
+      rnd.nextInt(10).toLong))
+    val sp = Stats.spearmanByKey(rows.toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .collect().head.getDouble(2)
+    def midRanks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val lo = sorted.indexOf(v) + 1
+        val cnt = sorted.count(_ == v)
+        v -> (lo + (cnt - 1) / 2.0)
+      }.toMap
+    }
+    val rx = midRanks(rows.map(_._2)); val ry = midRanks(rows.map(_._3))
+    val xs = rows.map(r => rx(r._2)); val ys = rows.map(r => ry(r._3))
+    val n = xs.size
+    val cov = n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
+    val vx = n * xs.map(a => a * a).sum - xs.sum * xs.sum
+    val vy = n * ys.map(a => a * a).sum - ys.sum * ys.sum
+    val want = cov / math.sqrt(vx * vy)
+    assert(math.abs(sp - want) < 1e-6)
+  }
+
   test("chi2Features: hand-computed 2x2 statistic; constant feature NULL") {
     // a=20 b=10 c=5 d=15: N=50, det=250, chi2 = 50*250^2/(30*20*25*25)
     //                                         = 3125000/375000 = 8.3333...
