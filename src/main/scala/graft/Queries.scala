@@ -1807,31 +1807,40 @@ object Queries {
   /** Quantile normalization — remap each group's value distribution
     * onto the GLOBAL distribution (the batch-effect correction /
     * cross-source feature alignment step): a value at within-group
-    * rank r (of n_g) maps to the global value at rank
-    * `(r−1)·(N−1) div (n_g−1) + 1`. The index arithmetic is ALL
-    * integer (no percent_rank double ever materializes) and the rank
-    * orders are tie-pinned, so the mapping replays exactly. Singleton
-    * groups map to the global minimum (index 0) rather than dividing
-    * by zero.
+    * rank r (of n_g) targets global rank
+    * `k = (r−1)·(N−1) div (n_g−1) + 1`, then snaps to its quantile
+    * slot's representative — the global value at rank
+    * `rq = (⌊(k−1)·B/N⌋)·N div B + 1` with `B = 1024` slots. The
+    * index arithmetic is ALL integer (no percent_rank double ever
+    * materializes), so the mapping replays exactly. Singleton groups
+    * map to the global minimum rather than dividing by zero.
     *
-    * Scale: one window per group + one global ranking (the global
-    * total order is the valve — at 100 TB replace the exact global
-    * rank with rangeBucketize's t-digest cutpoints, trading the exact
-    * element for a distributed sketch) + one equi-join on the dense
-    * integer index.
+    * DEFAULT plan has NO unpartitioned window: per-group ranks use
+    * group-partitioned windows; the slot→value lookup is built from
+    * [[graft.transform.Stats.exactRankIntervals]] (distinct-value
+    * histogram with two-level cumulative counts — keyed aggs,
+    * broadcast joins, bucket-partitioned windows only), joined to the
+    * B-row slot frame, then broadcast onto the rows. The r7-era exact
+    * global `row_number()` rank survives as the `exact = true` opt-in
+    * for moderate-cardinality frames; `nSlots = N` provably recovers
+    * it (`q = k−1`, `rq = k` — pinned in StatsSpec), so the
+    * bucketized operator is a strict generalization.
+    *
+    * Oracle: spelled with the NAIVE global `row_number()` ranking, so
+    * the hash gate doubles as a machine-checked proof that the
+    * windowless interval construction loses nothing.
     */
-  def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
+  def quantileNormalize(s: SparkSession, dir: String): DataFrame =
+    quantileNormalizeImpl(s, dir, nSlots = 1024, exact = false)
+
+  def quantileNormalizeImpl(s: SparkSession, dir: String, nSlots: Int,
+      exact: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = t(s, dir, "events")
       .select(col("event_id"), col("event_type"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
     val wg = Window.partitionBy(col("event_type"))
       .orderBy(col("cents").asc, col("event_id").asc)
-    val globalRanked = base
-      .select(col("cents").as("g_cents"), col("event_id").as("g_id"))
-      .withColumn("g_rank", row_number().over(
-        Window.orderBy(col("g_cents").asc, col("g_id").asc)).cast("long"))
-      .select(col("g_rank"), col("g_cents"))
     val n = base.agg(count(lit(1)).as("n_all"))
     val ranked = base
       .withColumn("r", row_number().over(wg).cast("long"))
@@ -1841,9 +1850,30 @@ object Queries {
       .withColumn("g_rank",
         when(col("n_g") === 1, lit(1L)).otherwise(
           expr("(r - 1) * (n_all - 1) div (n_g - 1)") + 1L))
-    ranked.join(globalRanked, Seq("g_rank"))
-      .select(col("event_id"), col("event_type"), col("cents"),
-        col("r"), col("g_rank"), col("g_cents").as("norm_cents"))
+    if (exact) {
+      val globalRanked = base
+        .select(col("cents").as("g_cents"), col("event_id").as("g_id"))
+        .withColumn("g_rank", row_number().over(
+          Window.orderBy(col("g_cents").asc, col("g_id").asc)).cast("long"))
+        .select(col("g_rank"), col("g_cents"))
+      ranked.join(globalRanked, Seq("g_rank"))
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("r"), col("g_rank"), col("g_cents").as("norm_cents"))
+    } else {
+      val intervals = graft.transform.Stats.exactRankIntervals(base, "cents")
+      val slots = s.range(nSlots).toDF("qslot")
+        .crossJoin(broadcast(n))
+        .select(col("qslot"),
+          (expr(s"qslot * n_all div $nSlots") + 1L).as("rq"))
+      val rep = intervals.join(broadcast(slots),
+          col("rq") >= col("lo") && col("rq") <= col("hi"))
+        .select(col("qslot"), col("v").as("norm_cents"))
+      ranked
+        .withColumn("qslot", expr(s"(g_rank - 1) * $nSlots div n_all"))
+        .join(broadcast(rep), Seq("qslot"))
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("r"), col("g_rank"), col("norm_cents"))
+    }
   }
 
   val quantileNormalizeSql: String =
@@ -1865,14 +1895,18 @@ object Queries {
       |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_g
       |  FROM e),
       |m AS (
-      |  SELECT r.event_id, r.event_type, r.cents, r.r,
+      |  SELECT r.event_id, r.event_type, r.cents, r.r, n.n_all,
       |         CASE WHEN r.n_g = 1 THEN 1
       |              ELSE (r.r - 1) * (n.n_all - 1) // (r.n_g - 1) + 1
       |         END AS g_rank
-      |  FROM r CROSS JOIN n)
-      |SELECT m.event_id, m.event_type, m.cents, m.r,
-      |       CAST(m.g_rank AS BIGINT) AS g_rank, g.g_cents AS norm_cents
-      |FROM m JOIN g ON g.g_rank = m.g_rank""".stripMargin
+      |  FROM r CROSS JOIN n),
+      |q AS (
+      |  SELECT m.*,
+      |         ((m.g_rank - 1) * 1024 // m.n_all) * m.n_all // 1024 + 1 AS rq
+      |  FROM m)
+      |SELECT q.event_id, q.event_type, q.cents, q.r,
+      |       CAST(q.g_rank AS BIGINT) AS g_rank, g.g_cents AS norm_cents
+      |FROM q JOIN g ON g.g_rank = q.rq""".stripMargin
 
   /** Unpivot/melt via `stack()` — the inverse of q50's pivot: a wide
     * per-user frame (one cents column per event type) melts back to

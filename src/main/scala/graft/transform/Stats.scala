@@ -656,4 +656,55 @@ object Stats {
       when(den === 0, lit(null).cast("double"))
         .otherwise(num.cast("double") / den.cast("double")))
   }
+
+  /** Exact GLOBAL-rank intervals for every distinct value of an
+    * integer column, with NO unpartitioned window anywhere in the
+    * plan: value `v` occupies global ascending ranks `[lo, hi]` under
+    * any total order that sorts by value (tie-break order only
+    * permutes rows WITHIN a value's interval, never across values).
+    *
+    * Two-level plan, every stage domain-scale rather than row-scale:
+    *   1. distinct-value histogram — one keyed agg with map-side
+    *      partials (state per task ≤ value-domain cardinality);
+    *   2. fixed-width integer bucketing of the value DOMAIN
+    *      ([[histogramFixedWidth]]'s `(v−mn)·B div (mx−mn+1)`
+    *      arithmetic — exact in any engine);
+    *   3. per-bucket totals, prefix-summed via a broadcast non-equi
+    *      self-join over the ≤`nBuckets`-row bucket frame (≤ B² pair
+    *      evaluations of trivially small frames — NOT row-scale);
+    *   4. in-bucket running sum on a window PARTITIONED by bucket.
+    *
+    * Every shuffle is keyed, every join broadcast, every window
+    * partitioned; intermediate frame sizes depend on the distinct-
+    * value domain (bounded for cents-quantized measures), not on row
+    * count — the single-reducer global sort that
+    * `row_number().over(Window.orderBy(...))` plans is gone. For a
+    * genuinely unbounded value domain the valve is quantizing the
+    * value first ([[rangeBucketize]] / coarser cents), which bounds
+    * stage-1 state by construction.
+    */
+  def exactRankIntervals(df: DataFrame, centsCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, "exactRankIntervals needs at least one bucket")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(centsCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = df.agg(min(col(centsCol)).cast("long").as("__mn"),
+      max(col(centsCol)).cast("long").as("__mx"))
+    val hb = hist.crossJoin(broadcast(bounds))
+      .select(col("v"), col("cnt"),
+        expr(s"(v - __mn) * $nBuckets div (__mx - __mn + 1)").as("bkt"))
+    val totals = hb.groupBy(col("bkt")).agg(sum(col("cnt")).as("bn"))
+    val before = totals.as("a")
+      .join(broadcast(totals.as("b")), col("b.bkt") < col("a.bkt"), "left")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.bn")), lit(0L)).as("cum0"))
+    val wb = Window.partitionBy(col("bkt")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hb.join(broadcast(before), Seq("bkt"))
+      .withColumn("run", sum(col("cnt")).over(wb))
+      .select(col("v"),
+        (col("cum0") + col("run") - col("cnt") + 1L).as("lo"),
+        (col("cum0") + col("run")).as("hi"))
+  }
 }

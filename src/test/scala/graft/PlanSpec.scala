@@ -17,6 +17,15 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  /** Count windows with an EMPTY partition spec — the single-reducer
+    * global sort that kills plans at 100×. In formatted explain an
+    * unpartitioned spec starts with an order clause (`col ASC/DESC …`)
+    * or, if also unordered, directly with `specifiedwindowframe`;
+    * partitioned specs start with a bare partition column. */
+  private def unpartitionedWindows(p: String): Int =
+    """windowspecdefinition\([^,()]*\s(?:ASC|DESC)""".r.findAllIn(p).length +
+      """windowspecdefinition\(specifiedwindowframe""".r.findAllIn(p).length
+
   test("filter+project pushes predicates and prunes columns at the scan") {
     val p = plan(Queries.filterProject(spark, sf0001))
     assert(p.contains("PushedFilters"), "no pushdown section in scan")
@@ -517,12 +526,18 @@ class PlanSpec extends SparkSpec {
       s"time-bounded rolling agg is one user-keyed window:\n$p")
   }
 
-  test("quantile normalize: dense-index equi-join, no loop join") {
+  test("quantile normalize (default) has NO unpartitioned window; slot lookup broadcasts") {
     val p = plan(Queries.quantileNormalize(spark, sf0001))
-    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
-      s"index join must be keyed:\n$p")
+    assert(unpartitionedWindows(p) == 0,
+      s"single-reducer global window crept back into the default path:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"slot representatives must broadcast onto the rows:\n$p")
     assert(!p.contains("CartesianProduct"),
-      s"only the 1-row count frame may broadcast-loop:\n$p")
+      s"only broadcast-bounded frames may loop-join:\n$p")
+    // detector sanity: the exact opt-in path DOES plan one global window
+    val pe = plan(Queries.quantileNormalizeImpl(spark, sf0001, 1024, exact = true))
+    assert(unpartitionedWindows(pe) == 1,
+      s"detector failed to flag the exact path's global window:\n$pe")
   }
 
   test("unpivot: stack() is ONE Generate pass, not a union of rescans") {

@@ -371,4 +371,39 @@ class StatsSpec extends SparkSpec {
     // f_const = 1 everywhere: c = d = 0 margin -> NULL
     assert(got("f_const")._5 === None)
   }
+
+  test("exactRankIntervals equals the naive global row_number ranking") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(5L, 3L, 3L, 9L, 3L, 5L, 1L, 9L, 9L, 9L, 2L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "cents")
+    val got = Stats.exactRankIntervals(df, "cents", nBuckets = 4)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // naive: rank rows globally, take min/max rank per value
+    val naive = df
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cents").asc, col("id").asc)).cast("long"))
+      .groupBy(col("cents").as("v"))
+      .agg(min("rnk").as("lo"), max("rnk").as("hi"))
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === naive.toSeq)
+    // and the intervals tile [1, n] exactly
+    assert(got.head._2 === 1L && got.last._3 === 11L)
+    assert(got.sliding(2).forall {
+      case Array((_, _, h), (_, l, _)) => l == h + 1; case _ => true })
+  }
+
+  test("bucketized quantileNormalize with nSlots = N recovers the exact path bitwise") {
+    // with B = N: qslot = g_rank-1 and rq = g_rank, so the slot
+    // representative IS the exact global value at the target rank —
+    // the bucketized operator is a strict generalization of the
+    // exact one, and this pin is what licenses the windowless default
+    val n = graft.Tables.load(spark, sf0001, "events").count().toInt
+    val key = (r: Row) => (r.getLong(0), r.getString(1))
+    val b = graft.Queries.quantileNormalizeImpl(spark, sf0001, n, exact = false)
+      .collect().map(r => key(r) -> r.toSeq).toMap
+    val e = graft.Queries.quantileNormalizeImpl(spark, sf0001, n, exact = true)
+      .collect().map(r => key(r) -> r.toSeq).toMap
+    assert(b.size === n && e.size === n)
+    assert(b === e)
+  }
 }
