@@ -1842,12 +1842,17 @@ object OpsQueries {
   // ------------------------------------------------------------ rrf fusion
   /** Reciprocal-rank fusion ([[graft.transform.Ranking.rrfFuse]]) of
     * two incomparable user rankers — purchase spend and click count —
-    * into a fused top-25. Contributions are single IEEE divisions
-    * summed in declared order; the oracle spells the identical fold,
-    * so the doubles gate bitwise with no rounding column.
+    * into a fused top-25. Each ranker is a TOP-100 list built by
+    * [[graft.transform.Ranking.topNRanker]] (TakeOrdered cut +
+    * windowless broadcast rank attachment — no unpartitioned window
+    * anywhere in the plan; users beyond a ranker's top-100 contribute
+    * 0 from that list, the RRF convention). Contributions are single
+    * IEEE divisions summed in declared order; the oracle spells the
+    * identical fold — with the rankers in NAIVE global-window +
+    * QUALIFY form, proving the TakeOrdered rewrite lossless — so the
+    * doubles gate bitwise with no rounding column.
     */
   def rrfUsers(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val u = Tables.load(s, dir, "events").groupBy(col("user_id"))
       .agg(
         sum(when(col("event_type") === "purchase",
@@ -1855,10 +1860,8 @@ object OpsQueries {
           .as("spend"),
         sum(when(col("event_type") === "click", 1L).otherwise(0L))
           .as("clicks"))
-    val bySpend = u.select(col("user_id"), row_number().over(
-      Window.orderBy(col("spend").desc, col("user_id").asc)).as("rank"))
-    val byClicks = u.select(col("user_id"), row_number().over(
-      Window.orderBy(col("clicks").desc, col("user_id").asc)).as("rank"))
+    val bySpend = graft.transform.Ranking.topNRanker(u, "user_id", "spend", 100)
+    val byClicks = graft.transform.Ranking.topNRanker(u, "user_id", "clicks", 100)
     graft.transform.Ranking.rrfFuse(
       Seq("spend" -> bySpend, "clicks" -> byClicks), "user_id", "rank")
   }
@@ -1873,9 +1876,11 @@ object OpsQueries {
       |              AS BIGINT) AS clicks
       |  FROM events GROUP BY 1),
       |r1 AS (SELECT user_id, row_number() OVER
-      |         (ORDER BY spend DESC, user_id ASC) AS rank_spend FROM u),
+      |         (ORDER BY spend DESC, user_id ASC) AS rank_spend FROM u
+      |       QUALIFY rank_spend <= 100),
       |r2 AS (SELECT user_id, row_number() OVER
-      |         (ORDER BY clicks DESC, user_id ASC) AS rank_clicks FROM u),
+      |         (ORDER BY clicks DESC, user_id ASC) AS rank_clicks FROM u
+      |       QUALIFY rank_clicks <= 100),
       |f AS (
       |  SELECT coalesce(r1.user_id, r2.user_id) AS user_id,
       |         CAST(rank_spend AS BIGINT) AS rank_spend,

@@ -46,4 +46,33 @@ object Ranking {
       .orderBy(col("rrf_score").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  /** Deterministic top-`n` ranker WITHOUT a global window: the cut is
+    * `orderBy(score desc, id asc).limit(n)` — planned as TakeOrdered
+    * (per-partition partial top-n, then a tree reduce; nothing ever
+    * funnels the full id set through one reducer) — and ranks attach
+    * to the n-row result by counting strict predecessors via a
+    * broadcast self-join (≤ n² pair evaluations of an n-row frame).
+    * The total order (score desc, id asc) makes both the cut and the
+    * ranks reproducible; an oracle spelled as the NAIVE global
+    * `row_number() … QUALIFY rank <= n` proves the rewrite lossless.
+    *
+    * This is the scale-correct way to MANUFACTURE the top-k lists RRF
+    * consumes: ranking the entire id universe first (then fusing the
+    * top of it) plans an unpartitioned window over the corpus — the
+    * canonical 100× scale-killer.
+    */
+  def topNRanker(df: DataFrame, idCol: String, scoreCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "topNRanker needs n >= 1")
+    val top = df.orderBy(col(scoreCol).desc, col(idCol).asc).limit(n)
+      .select(col(idCol), col(scoreCol))
+    val strictlyBefore =
+      col(s"b.$scoreCol") > col(s"a.$scoreCol") ||
+        (col(s"b.$scoreCol") === col(s"a.$scoreCol") &&
+          col(s"b.$idCol") < col(s"a.$idCol"))
+    top.as("a").join(broadcast(top.as("b")), strictlyBefore, "left")
+      .groupBy(col(s"a.$idCol").as(idCol))
+      .agg((count(col(s"b.$idCol")) + 1L).as("rank"))
+  }
 }

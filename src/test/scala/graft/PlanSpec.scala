@@ -625,10 +625,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate") && p.contains("* Project"), p)
   }
 
-  test("rrf fusion: final cut is TakeOrdered, id join stays keyed") {
+  test("rrf fusion: TakeOrdered rankers and cut, ZERO windows in the whole plan") {
     val p = plan(OpsQueries.rrfUsers(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k must not globally sort:\n$p")
+    // rankers are built by topNRanker: no Window operator anywhere —
+    // ranking the full user universe through one reducer is the shape
+    // this query exists to avoid
+    assert(!"""\(\d+\) Window\b""".r.findAllIn(p).hasNext,
+      s"a window crept into the ranker build:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 

@@ -30,4 +30,24 @@ class RankingSpec extends SparkSpec {
     assert(out("a") === ((Some(1L), None, 1.0 / 61)))
     assert(out("b") === ((Some(2L), Some(1L), 1.0 / 62 + 1.0 / 61)))
   }
+
+  test("topNRanker equals the naive global window ranking cut at n") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // scores with ties (30 twice, 10 twice) — tie-break is id asc
+    val df = Seq(("u1", 30L), ("u2", 50L), ("u3", 30L), ("u4", 10L),
+      ("u5", 40L), ("u6", 10L), ("u7", 25L)).toDF("id", "score")
+    val naive = df.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("id").asc)).cast("long"))
+      .where(col("rank") <= 4).select("id", "rank")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Ranking.topNRanker(df, "id", "score", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === naive)
+    assert(got === Map("u2" -> 1L, "u5" -> 2L, "u1" -> 3L, "u3" -> 4L))
+    // n beyond the frame: every row ranked, nothing dropped
+    val all = Ranking.topNRanker(df, "id", "score", 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all.size === 7 && all("u6") === 7L && all("u4") === 6L)
+  }
 }
