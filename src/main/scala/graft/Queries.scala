@@ -1163,9 +1163,12 @@ object Queries {
   def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
     // stable source-keyed scratch dir, written once per (process, dir):
     // a fresh temp dir per invocation would rewrite the full table on
-    // every Bench warm-up/timed run and orphan the copies
+    // every Bench warm-up/timed run and orphan the copies; pid-scoped
+    // so concurrent JVMs (Verify vs Bench on the same sf dir) never
+    // race the overwrite/read of a shared fixture
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_evo_" + Integer.toHexString(dir.hashCode)).toString
+      s"graft_evo_${ProcessHandle.current.pid}_" +
+        Integer.toHexString(dir.hashCode)).toString
     if (!new java.io.File(s"$tmp/epoch=1/_SUCCESS").exists()) {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("event_type"),

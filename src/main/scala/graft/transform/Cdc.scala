@@ -89,12 +89,22 @@ object Cdc {
     * pruning), so a 100 TB table with 0.5% changed partitions reads
     * ~0.5% of its bytes twice plus two digest passes. Result is
     * identical to the unpruned diff (CdcSpec pins equality on seeded
-    * random snapshots).
+    * random snapshots, including NULL partition values).
+    *
+    * NULL partition values never match the equality-based digest
+    * compare or the semi-join prunes, so rows carrying one bypass the
+    * prune entirely and always enter the row-level diff: since
+    * [[snapshotDiff]] emits ONLY changed rows, diffing an unchanged
+    * NULL partition adds nothing to the output and the equality
+    * guarantee holds — while the non-null bulk keeps plain `=`
+    * semi-join keys (the form partition pruning recognizes) rather
+    * than paying `<=>` everywhere for a corner case.
     */
   def prunedSnapshotDiff(oldDf: DataFrame, newDf: DataFrame,
       partitionCols: Seq[String], keyCols: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     val hashCols = (keyCols ++ compareCols).distinct
+    val anyNullPart = partitionCols.map(col(_).isNull).reduce(_ || _)
     val od = partitionDigests(oldDf, partitionCols, hashCols)
       .withColumnsRenamed(Map("n_rows" -> "_old_n", "digest" -> "_old_d"))
     val nd = partitionDigests(newDf, partitionCols, hashCols)
@@ -102,10 +112,13 @@ object Cdc {
     val changed = od.join(nd, partitionCols, "full_outer")
       .filter(!(col("_old_n") <=> col("_new_n")) ||
         !(col("_old_d") <=> col("_new_d")))
+      .filter(partitionCols.map(col(_).isNotNull).reduce(_ && _))
       .select(partitionCols.map(col): _*)
     snapshotDiff(
-      oldDf.join(broadcast(changed), partitionCols, "left_semi"),
-      newDf.join(broadcast(changed), partitionCols, "left_semi"),
+      oldDf.join(broadcast(changed), partitionCols, "left_semi")
+        .unionByName(oldDf.filter(anyNullPart)),
+      newDf.join(broadcast(changed), partitionCols, "left_semi")
+        .unionByName(newDf.filter(anyNullPart)),
       keyCols, compareCols)
   }
 }

@@ -271,6 +271,16 @@ object Stats {
   def winsorizeByKey(df: DataFrame, keyCols: Seq[String], centsCol: String,
       pLo: Double = 0.0625, pHi: Double = 0.9375): DataFrame = {
     require(pLo < pHi, s"need pLo < pHi, got $pLo >= $pHi")
+    // exact-sum contract: each clipped value is a multiple of
+    // 1/denom(p) (integer values, dyadic interpolation position), so
+    // the integer-sum scale must be the probabilities' own dyadic
+    // denominator — a fixed ×16 silently truncates for k/32 or k/64
+    // fences, which quantilesByKey permits
+    val scale = Seq(pLo, pHi).map { p =>
+      Iterator.iterate(1L)(_ * 2).take(7).find(s => (p * s).isWhole)
+        .getOrElse(throw new IllegalArgumentException(
+          s"winsorize fences must be dyadic (k/64 at most), got $p"))
+    }.max
     val fences = quantilesByKey(df, keyCols, centsCol, Seq(pLo, pHi))
       .withColumnRenamed(s"p${math.round(pLo * 100)}", "lo")
       .withColumnRenamed(s"p${math.round(pHi * 100)}", "hi")
@@ -282,7 +292,7 @@ object Stats {
       .agg(count(lit(1)).as("n"),
         sum((c < col("lo")).cast("long")).as("n_clipped_lo"),
         sum((c > col("hi")).cast("long")).as("n_clipped_hi"),
-        sum((clipped * 16).cast("long")).as("sum_clipped_16ths"))
+        sum((clipped * scale).cast("long")).as(s"sum_clipped_${scale}ths"))
   }
 
   /** Deterministic mode — the most frequent value per key, ties broken

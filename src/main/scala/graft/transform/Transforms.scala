@@ -363,6 +363,20 @@ object Transforms {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path.stripSuffix("/") + "__upserting")
+    val old = new Path(path.stripSuffix("/") + "__preupsert")
+    // Crash recovery: a leftover __preupsert means a prior upsert died
+    // mid-swap. If the table path is gone, the prior run died BETWEEN
+    // moving it aside and swapping the merge in — restore it, or the
+    // !exists(p) branch below would silently rewrite the whole table
+    // as just the update batch. If both exist, the prior run completed
+    // the swap and only missed cleanup — the table is the merged one.
+    if (fs.exists(old)) {
+      if (fs.exists(p)) fs.delete(old, true)
+      else require(fs.rename(old, p),
+        s"upsert: failed to restore interrupted table from $old")
+      fs.delete(tmp, true)
+    }
     val valueCols = updates.columns.filterNot(keyCols.contains).toSeq
     def latestPerKey(df: DataFrame): DataFrame = {
       val orderCols = Seq(col(versionCol).as("__v"), col("__src").as("__s")) ++
@@ -385,8 +399,6 @@ object Transforms {
       val merged = latestPerKey(
         current.withColumn("__src", lit(0))
           .unionByName(updates.withColumn("__src", lit(1))))
-      val tmp = new Path(path.stripSuffix("/") + "__upserting")
-      val old = new Path(path.stripSuffix("/") + "__preupsert")
       merged.write.mode("overwrite").parquet(tmp.toString)
       require(fs.rename(p, old), s"upsert: failed to move $p aside")
       if (!fs.rename(tmp, p)) {

@@ -87,4 +87,23 @@ class CdcSpec extends SparkSpec {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSeq === Seq((2L, "D"), (3L, "I")))
   }
+
+  test("prunedSnapshotDiff: changed rows in a NULL-valued partition are not lost") {
+    // equality-based digest compare and semi-joins never match NULL
+    // keys, so NULL partitions bypass the prune and always enter the
+    // row diff — changed NULL-partition rows must surface, unchanged
+    // ones must add nothing
+    val oldDf = Seq(
+      (Some(0), 1L, "x"), (None, 2L, "y"), (None, 3L, "keep"))
+      .toDF("p", "id", "a")
+    val newDf = Seq(
+      (Some(0), 1L, "x"), (None, 2L, "MUTATED"), (None, 3L, "keep"))
+      .toDF("p", "id", "a")
+    val full = Cdc.snapshotDiff(oldDf, newDf, Seq("id"), Seq("a"))
+      .orderBy("id").collect().map(_.toSeq)
+    val pruned = Cdc.prunedSnapshotDiff(oldDf, newDf, Seq("p"), Seq("id"),
+      Seq("a")).orderBy("id").collect().map(_.toSeq)
+    assert(full.toSeq === pruned.toSeq)
+    assert(pruned.map(_.head).toSeq === Seq(2L))
+  }
 }

@@ -133,6 +133,22 @@ class StatsSpec extends SparkSpec {
     assert(g2(0) === org.apache.spark.sql.Row("b", 9L, 1L, 1L, 576L))
   }
 
+  test("winsorizeByKey scales by the fence denominator — no truncation at k/32") {
+    // n=10 values 0..9, fences 1/32 and 31/32: positions 9/32 and
+    // 279/32 → lo = 0.28125, hi = 8.71875 — multiples of 1/32 that a
+    // fixed ×16 scale would truncate. sum×32 = 9 + 32·(1+…+8) + 279
+    val df = (0L to 9L).map(("a", _)).toDF("k", "cents")
+    val got = Stats.winsorizeByKey(df, Seq("k"), "cents",
+      pLo = 1.0 / 32, pHi = 31.0 / 32).collect()
+    assert(got(0).schema.fieldNames.last === "sum_clipped_32ths")
+    assert(got(0) === org.apache.spark.sql.Row("a", 10L, 1L, 1L,
+      9L + 32L * 36L + 279L))
+    // non-dyadic fences refuse instead of corrupting the exact sum
+    intercept[IllegalArgumentException] {
+      Stats.winsorizeByKey(df, Seq("k"), "cents", pLo = 0.3, pHi = 0.9)
+    }
+  }
+
   test("modeByKey picks the most frequent value, smallest value on ties") {
     val df = Seq(
       ("a", 5L), ("a", 5L), ("a", 3L),            // clear winner 5

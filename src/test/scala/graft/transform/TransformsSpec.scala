@@ -267,6 +267,35 @@ class TransformsSpec extends SparkSpec {
     }
   }
 
+  test("upsertByKey: recovers a table stranded mid-swap instead of discarding it") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val path = java.nio.file.Files.createTempDirectory("upsertcrash").toString + "/t"
+    def read() = spark.read.parquet(path)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    Transforms.upsertByKey(spark, path,
+      Seq((1L, 10L, "a0"), (2L, 10L, "b0")).toDF("k", "ver", "v"),
+      Seq("k"), "ver")
+    // simulate a crash between rename(p -> __preupsert) and
+    // rename(tmp -> p): the table sits at __preupsert, p is gone
+    assert(fs.rename(new Path(path), new Path(path + "__preupsert")))
+    Transforms.upsertByKey(spark, path,
+      Seq((3L, 11L, "c1")).toDF("k", "ver", "v"), Seq("k"), "ver")
+    // without recovery this branch saw !exists(p) and wrote ONLY the
+    // update batch, silently discarding rows 1 and 2
+    assert(read() === Map(
+      1L -> ((10L, "a0")), 2L -> ((10L, "b0")), 3L -> ((11L, "c1"))))
+    assert(!fs.exists(new Path(path + "__preupsert")))
+    // crash AFTER swap-in but before cleanup: stale __preupsert beside
+    // a live table is dropped, the (already-merged) table is the truth
+    assert(fs.mkdirs(new Path(path + "__preupsert")))
+    Transforms.upsertByKey(spark, path,
+      Seq((2L, 12L, "b2")).toDF("k", "ver", "v"), Seq("k"), "ver")
+    assert(read() === Map(
+      1L -> ((10L, "a0")), 2L -> ((12L, "b2")), 3L -> ((11L, "c1"))))
+    assert(!fs.exists(new Path(path + "__preupsert")))
+  }
+
   test("zOrderWrite clusters both dimensions: per-file spread <= half the global") {
     val path = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
     // 64x64 grid: a lexicographic (x, y) sort into 16 files would give
