@@ -33,13 +33,27 @@ object Bench {
       val runs = Seq.fill(3)(once())
       // any failed run reports -1: a broken query must not masquerade as
       // a fast one
-      name -> (if (runs.exists(_.isEmpty)) -1.0
-               else runs.flatten.sorted.apply(1))
+      name -> (if (runs.exists(_.isEmpty)) Seq(-1.0, -1.0, -1.0)
+               else runs.flatten.sorted)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v(1) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2(1)).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures stdout but has truncated the tail of long
+    // lines; persist the full per-query detail (min/median/max of the
+    // 3 timed runs) so regressions stay machine-detectable in-repo.
+    val detail = results.map { case (k, v) =>
+      s"\"" + k + s"\":{\"min\":${v.head},\"median\":${v(1)},\"max\":${v.last}}"
+    }.mkString("{", ",", "}")
+    val out = new java.io.File("bench_out")
+    out.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(out, "bench.json"))
+    try w.println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$detail}""")
+    finally w.close()
     spark.stop()
   }
 }

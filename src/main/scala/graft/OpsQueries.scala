@@ -855,7 +855,10 @@ object OpsQueries {
       // collected edge is a boxed Row (~100 B) and the parent map boxes
       // up to 2M nodes — ~300 MB peak at the bound, safe for any real
       // driver, not the 16 B/edge the raw longs suggest.
-      smallGraphThreshold = 1L << 20)
+      smallGraphThreshold = 1L << 20,
+      // over-threshold fall-through: label frames are node-scale, so
+      // the distributed rounds run with a reduced shuffle fan-out
+      loopShufflePartitions = 8)
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
 
   val dedupClustersSql: String =
@@ -1375,7 +1378,10 @@ object OpsQueries {
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    Graph.pagerankFixedPoint(edges, iters = 4)
+    Graph.pagerankFixedPoint(edges, iters = 4,
+      // per-round frames are node-scale: 32 reducer tasks/round are
+      // scheduling overhead, not parallelism (measured ~15% of wall)
+      loopShufflePartitions = 8)
   }
 
   val pagerankTradeSql: String =
@@ -1546,7 +1552,8 @@ object OpsQueries {
     * counts over the single allowed recursive reference.
     */
   def kCoreQ(s: SparkSession, dir: String): DataFrame =
-    Graph.kCore(coSupplierEdges(s, dir), k = 3, rounds = KCoreRounds)
+    Graph.kCore(coSupplierEdges(s, dir), k = 3, rounds = KCoreRounds,
+      loopShufflePartitions = 8)
 
   val kCoreSql: String =
     s"""WITH RECURSIVE ps AS (

@@ -358,7 +358,8 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       reliableCheckpointDir: Option[String] = None,
-      smallGraphThreshold: Long = 0L): DataFrame = {
+      smallGraphThreshold: Long = 0L,
+      loopShufflePartitions: Int = 0): DataFrame = {
     // Small-graph valve (opt-in): the candidate-pair graph is OUTPUT-
     // scale (it holds near-duplicates, not the corpus), so it routinely
     // fits the driver even when the corpus is 100 TB. Below the
@@ -396,6 +397,17 @@ object Dedup {
       }
       cached.unpersist() // over threshold: fall through to the real path
     }
+    // loop-scoped shuffle-partition reduction (see Graph.pagerank's
+    // note): label frames are node-scale, and every round's convergence
+    // probe executes inside the scope; the returned labels are already
+    // materialized (checkpointed/parquet-backed), so no extra eager
+    // step is needed here
+    val sess = pairs.sparkSession
+    val prevParts = if (loopShufflePartitions > 0)
+      Some(sess.conf.get("spark.sql.shuffle.partitions")) else None
+    if (loopShufflePartitions > 0)
+      sess.conf.set("spark.sql.shuffle.partitions", loopShufflePartitions)
+    try {
     var round = 0
     def snap(df: DataFrame): DataFrame = reliableCheckpointDir match {
       // LAZY local checkpoint: the convergence probe that always follows
@@ -457,6 +469,8 @@ object Dedup {
       s"connectedComponents did not converge within $maxIter rounds " +
         "(graph diameter exceeds maxIter — raise it)")
     labels
+    } finally prevParts.foreach(p =>
+      sess.conf.set("spark.sql.shuffle.partitions", p))
   }
 
   // -------------------------------------------------------------- simhash

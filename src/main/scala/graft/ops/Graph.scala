@@ -47,7 +47,8 @@ object Graph {
     */
   def pagerankFixedPoint(edges: DataFrame, iters: Int,
       scale: Long = 1000000000L, checkpoint: Boolean = true,
-      smallGraphThreshold: Long = 0L): DataFrame = {
+      smallGraphThreshold: Long = 0L,
+      loopShufflePartitions: Int = 0): DataFrame = {
     require(iters >= 1, "iters must be positive")
     val sym = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
@@ -87,22 +88,41 @@ object Graph {
       }
       cached.unpersist()
     }
-    val withDeg = sym.join(
-      sym.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
-    val e = (if (checkpoint) withDeg.localCheckpoint(false) else withDeg)
-    var rank = e.select(col("src").as("node"), col("deg")).distinct()
-      .withColumn("rank", lit(scale))
-    for (_ <- 1 to iters) {
-      val next = e.join(rank.select(col("node"), col("rank")),
-          e("src") === col("node"))
-        .select(col("dst"), expr("rank div deg").as("contrib"))
-        .groupBy(col("dst"))
-        .agg((lit(scale / 8) + expr("7 * sum(contrib) div 8")).as("rank"))
-        .select(col("dst").as("node"), col("rank"))
-      rank = if (checkpoint) next.localCheckpoint(false) else next
-    }
-    rank.join(e.select(col("src").as("node"), col("deg")).distinct(), Seq("node"))
-      .select(col("node"), col("deg"), col("rank"))
+    // Loop-scoped shuffle-partition reduction: each round's frames are
+    // node/edge-scale, so 32 reducer tasks/round are pure scheduling
+    // overhead at local[*] (measured ~15% of q91's wall). When
+    // `loopShufflePartitions` > 0 the rounds plan with that many
+    // shuffle partitions and the RESULT is eagerly checkpointed inside
+    // the scope (execution is lazy — without the eager step the
+    // caller's action would replan under the restored setting, making
+    // the scope a no-op); the session conf is restored in finally.
+    // Single-writer assumption on the session conf, same as Bench's.
+    val sess = edges.sparkSession
+    val prevParts = if (loopShufflePartitions > 0)
+      Some(sess.conf.get("spark.sql.shuffle.partitions")) else None
+    if (loopShufflePartitions > 0)
+      sess.conf.set("spark.sql.shuffle.partitions", loopShufflePartitions)
+    try {
+      val withDeg = sym.join(
+        sym.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+      val e = (if (checkpoint) withDeg.localCheckpoint(false) else withDeg)
+      var rank = e.select(col("src").as("node"), col("deg")).distinct()
+        .withColumn("rank", lit(scale))
+      for (_ <- 1 to iters) {
+        val next = e.join(rank.select(col("node"), col("rank")),
+            e("src") === col("node"))
+          .select(col("dst"), expr("rank div deg").as("contrib"))
+          .groupBy(col("dst"))
+          .agg((lit(scale / 8) + expr("7 * sum(contrib) div 8")).as("rank"))
+          .select(col("dst").as("node"), col("rank"))
+        rank = if (checkpoint) next.localCheckpoint(false) else next
+      }
+      val out = rank
+        .join(e.select(col("src").as("node"), col("deg")).distinct(), Seq("node"))
+        .select(col("node"), col("deg"), col("rank"))
+      if (loopShufflePartitions > 0) out.localCheckpoint(true) else out
+    } finally prevParts.foreach(p =>
+      sess.conf.set("spark.sql.shuffle.partitions", p))
   }
 
   /** k-core decomposition by iterative peeling: drop every node whose
@@ -128,7 +148,8 @@ object Graph {
     * price the CC convergence check pays).
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int,
-      checkpoint: Boolean = true, smallGraphThreshold: Long = 0L): DataFrame = {
+      checkpoint: Boolean = true, smallGraphThreshold: Long = 0L,
+      loopShufflePartitions: Int = 0): DataFrame = {
     require(k >= 1, "k must be positive")
     require(rounds >= 1, "rounds must be positive")
     val und = edges.filter(col("src") =!= col("dst"))
@@ -158,27 +179,39 @@ object Graph {
       }
       cached.unpersist()
     }
-    var e = if (checkpoint) sym0.localCheckpoint(false) else sym0
-    // carry the cardinality across rounds: one count() per round, not
-    // two (the previous round's next.count() IS this round's e.count())
-    var eCount = e.count()
-    var stable = false
-    var r = 0
-    while (r < rounds && !stable) {
-      val deg = e.groupBy(col("x")).agg(count(lit(1)).as("d"))
-      val next0 = e
-        .join(deg.select(col("x"), col("d").as("dx")), Seq("x"))
-        .join(deg.select(col("x").as("y"), col("d").as("dy")), Seq("y"))
-        .filter(col("dx") >= k && col("dy") >= k)
-        .select(col("x"), col("y"))
-      val next = if (checkpoint) next0.localCheckpoint(false) else next0
-      val nextCount = next.count()
-      stable = nextCount == eCount
-      eCount = nextCount
-      e = next
-      r += 1
-    }
-    e.groupBy(col("x").as("node")).agg(count(lit(1)).as("core_deg"))
+    // loop-scoped shuffle-partition reduction — see pagerank's note;
+    // here the per-round count() actions already execute inside the
+    // scope, so only the final agg needs the eager checkpoint
+    val sess = edges.sparkSession
+    val prevParts = if (loopShufflePartitions > 0)
+      Some(sess.conf.get("spark.sql.shuffle.partitions")) else None
+    if (loopShufflePartitions > 0)
+      sess.conf.set("spark.sql.shuffle.partitions", loopShufflePartitions)
+    try {
+      var e = if (checkpoint) sym0.localCheckpoint(false) else sym0
+      // carry the cardinality across rounds: one count() per round, not
+      // two (the previous round's next.count() IS this round's e.count())
+      var eCount = e.count()
+      var stable = false
+      var r = 0
+      while (r < rounds && !stable) {
+        val deg = e.groupBy(col("x")).agg(count(lit(1)).as("d"))
+        val next0 = e
+          .join(deg.select(col("x"), col("d").as("dx")), Seq("x"))
+          .join(deg.select(col("x").as("y"), col("d").as("dy")), Seq("y"))
+          .filter(col("dx") >= k && col("dy") >= k)
+          .select(col("x"), col("y"))
+        val next = if (checkpoint) next0.localCheckpoint(false) else next0
+        val nextCount = next.count()
+        stable = nextCount == eCount
+        eCount = nextCount
+        e = next
+        r += 1
+      }
+      val out = e.groupBy(col("x").as("node")).agg(count(lit(1)).as("core_deg"))
+      if (loopShufflePartitions > 0) out.localCheckpoint(true) else out
+    } finally prevParts.foreach(p =>
+      sess.conf.set("spark.sql.shuffle.partitions", p))
   }
 
   /** Item-item cosine similarity from a bipartite basket graph (the
