@@ -9,11 +9,17 @@ import org.apache.spark.sql.types._
   * frame-sample stages.
   *
   * The Spark-side plumbing — schema, partitioning, per-partition batch
-  * iteration, output shape — is real and tested; the actual media codecs
-  * are NOT available in this environment, so the byte→pixels decode step
-  * is a clearly-marked deterministic fake ([[fakeDecode]]) with the same
-  * signature a libjpeg/ffmpeg-backed implementation would have. Swap
-  * [[fakeDecode]] for a real codec and everything downstream holds.
+  * iteration, output shape — is real and tested. IMAGE decode/resize is
+  * REAL where the JDK can do it: `javax.imageio` (PNG/BMP/GIF/JPEG,
+  * zero new dependencies) backs [[decodeOrFake]]/[[resizeOrFake]], and
+  * q123 hash-gates the decode path end to end against a SQL replay of
+  * [[syntheticPng]]'s arithmetic pixels (PNG is lossless, so the gate
+  * doubles as an encode→decode roundtrip proof). Bytes no reader
+  * recognizes — including the text-backed fixture rows and any codec
+  * this environment lacks (ffmpeg-class video/audio) — degrade to the
+  * clearly-marked deterministic fakes ([[fakeDecode]]/[[fakeResize]])
+  * with identical output shape, so a decode failure downgrades a row,
+  * never kills a job.
   *
   * Scale notes: media rows are large — [[spreadBlobs]] repartitions by
   * id at INGEST so blobs spread evenly (no skewed partitions of big
@@ -77,9 +83,87 @@ object Multimodal {
     hist.map(_ / n)
   }
 
+  /** REAL image decode with zero new dependencies: `javax.imageio`
+    * ships in the JDK (PNG/BMP/GIF/JPEG readers). Returns None for
+    * bytes no registered reader can parse (the text-backed fixture
+    * rows, truncated blobs) — decode failure must degrade to the
+    * fallback, not kill a 100 TB job. ImageIO sniffs magic bytes
+    * before parsing, so the miss path is cheap.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+
+  /** Integer luminance histogram of a decoded image: 8 bins of BT.601
+    * fixed-point luma `(r·299 + g·587 + b·114) div 1000` (bin = luma
+    * div 32). All-integer arithmetic — replayable exactly by a SQL
+    * oracle that knows the pixel values, which is what lets the real
+    * decode path hash-gate end to end (q123). */
+  def lumaHistogram(img: java.awt.image.BufferedImage): Array[Long] = {
+    val hist = new Array[Long](8)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(lum >> 5) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    hist
+  }
+
+  /** Pixel features from a real decode when the bytes parse, else
+    * [[fakeDecode]]: the normalized 8-bin histogram keeps both paths
+    * shape-identical for downstream schemas. */
+  def decodeOrFake(bytes: Array[Byte]): Array[Float] =
+    decodeImage(bytes) match {
+      case Some(img) =>
+        val n = (img.getWidth.toLong * img.getHeight).toFloat
+        lumaHistogram(img).map(_ / n)
+      case None => fakeDecode(bytes)
+    }
+
+  /** Deterministic synthetic PNG: dimensions and every pixel are pure
+    * integer arithmetic on (id, x, y), so a SQL oracle reproduces the
+    * pixel stream without decoding anything — and PNG is lossless, so
+    * decode(encode(pixels)) == pixels. The golden fixture for the real
+    * codec path. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (id % 5 + 3).toInt
+    val h = (id % 4 + 2).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 7 + x * 13 + y * 31) % 256).toInt
+        val g = ((id * 11 + x * 3 + y * 5) % 256).toInt
+        val b = ((id * 13 + x * 17 + y * 7) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Feature extraction over media batches: one decoder pass per
     * partition (`mapPartitions`, the Scala analogue of `mapInPandas`
-    * batching).
+    * batching). Decodable blobs take the REAL `javax.imageio` path;
+    * anything else falls back to the deterministic fake.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -89,7 +173,7 @@ object Multimodal {
         it.map { case (id, bytes, fmt) =>
           MediaFeatures(id, fmt,
             if (bytes == null) 0L else bytes.length.toLong,
-            fakeDecode(bytes))
+            decodeOrFake(bytes))
         }
       }
   }
@@ -115,10 +199,42 @@ object Multimodal {
     Array.tabulate(outLen)(i => bytes(((i.toLong * n) / outLen).toInt))
   }
 
+  /** REAL nearest-neighbor resize for decodable images: out(x,y) =
+    * in(x·w div tw, y·h div th) — a hand-rolled pixel loop, NOT the
+    * AWT rendering pipeline, so the mapping is the same integer
+    * arithmetic everywhere (no platform-dependent filtering), and the
+    * PNG re-encode is lossless. */
+  def resizeImage(img: java.awt.image.BufferedImage, tw: Int,
+      th: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) {
+        out.setRGB(x, y, img.getRGB(
+          (x.toLong * img.getWidth / tw).toInt,
+          (y.toLong * img.getHeight / th).toInt) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Real decode→resize→PNG re-encode when the bytes parse, else the
+    * deterministic byte-stream fake. */
+  def resizeOrFake(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] =
+    decodeImage(bytes) match {
+      case Some(img) => encodePng(resizeImage(img, tw, th))
+      case None => fakeResize(bytes, tw, th)
+    }
+
   /** Resize stage over media batches: `mapPartitions` like
     * [[extractFeatures]], so a real codec's decoder/encoder context
     * initializes once per partition. Output metadata carries the target
-    * dimensions; blob bytes are the resized payload.
+    * dimensions; blob bytes are the resized payload. Decodable blobs
+    * take the REAL decode→resize→re-encode path.
     */
   def resizeMedia(
       spark: SparkSession, media: DataFrame, tw: Int, th: Int): Dataset[ResizedMedia] = {
@@ -128,7 +244,7 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition codec init would go here
         it.map { case (id, bytes, fmt) =>
-          ResizedMedia(id, fmt, tw, th, fakeResize(bytes, tw, th))
+          ResizedMedia(id, fmt, tw, th, resizeOrFake(bytes, tw, th))
         }
       }
   }

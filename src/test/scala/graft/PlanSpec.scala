@@ -637,6 +637,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("png decode histogram is fully row-local: zero exchanges") {
+    val p = plan(OpsQueries.pngDecodeHistogram(spark, sf0001))
+    assert(!p.contains("Exchange"),
+      s"generate+decode+histogram must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected the posexplode:\n$p")
+  }
+
   test("calibration: bounds ride a 1-row broadcast; one keyed agg on the bin id") {
     val p = plan(Queries.calibrationReadout(spark, sf0001))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),

@@ -352,6 +352,56 @@ class OpsSpec extends SparkSpec {
     assert(h(3) === 1.0f && h.sum === 1.0f)
   }
 
+  test("real PNG decode: golden pixels round-trip through ImageIO bit-exactly") {
+    // 2x2 golden image with hand-picked colors
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000) // luma 0   -> bin 0
+    img.setRGB(1, 0, 0xffffff) // luma 255 -> bin 7
+    img.setRGB(0, 1, 0xff0000) // luma 299*255/1000 = 76  -> bin 2
+    img.setRGB(1, 1, 0x00ff00) // luma 587*255/1000 = 149 -> bin 4
+    val png = Multimodal.encodePng(img)
+    val back = Multimodal.decodeImage(png).get
+    assert(back.getWidth === 2 && back.getHeight === 2)
+    for (x <- 0 to 1; y <- 0 to 1)
+      assert((back.getRGB(x, y) & 0xffffff) === (img.getRGB(x, y) & 0xffffff),
+        s"pixel ($x,$y) changed in the PNG round-trip")
+    assert(Multimodal.lumaHistogram(back).toSeq ===
+      Seq(1L, 0L, 1L, 0L, 1L, 0L, 0L, 1L))
+    // undecodable bytes -> None -> fake fallback, same output shape
+    assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
+    assert(Multimodal.decodeOrFake("not a png".getBytes).length === 8)
+    // decodable bytes -> the REAL path: normalized pixel histogram
+    assert(Multimodal.decodeOrFake(png).toSeq ===
+      Seq(0.25f, 0f, 0.25f, 0f, 0.25f, 0f, 0f, 0.25f))
+  }
+
+  test("real resize: nearest-neighbor pixel mapping survives the PNG re-encode") {
+    // 4x4 image, pixel value encodes its coordinates; resize to 2x2
+    // picks in(0,0), in(2,0), in(0,2), in(2,2)
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 to 3; y <- 0 to 3) img.setRGB(x, y, (x << 16) | (y << 8) | 0x40)
+    val out = Multimodal.decodeImage(
+      Multimodal.resizeOrFake(Multimodal.encodePng(img), 2, 2)).get
+    assert(out.getWidth === 2 && out.getHeight === 2)
+    assert((out.getRGB(0, 0) & 0xffffff) === 0x000040)
+    assert((out.getRGB(1, 0) & 0xffffff) === 0x020040)
+    assert((out.getRGB(0, 1) & 0xffffff) === 0x000240)
+    assert((out.getRGB(1, 1) & 0xffffff) === 0x020240)
+    // mixed batch through the OPERATOR: a real PNG row resizes via the
+    // codec, a text row takes the byte-stream fake — same schema
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, Multimodal.syntheticPng(1L), "png"),
+      (2L, "plain text bytes".getBytes, "txt"))
+      .toDF("media_id", "media", "format")
+    val rs = Multimodal.resizeMedia(spark, mixed, 2, 2).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(Multimodal.decodeImage(rs(1L).media).isDefined, "png row must re-encode as png")
+    assert(rs(2L).media.length === 4, "text row must take the 4-byte fake path")
+  }
+
   test("resize stage: nearest-neighbor byte subsample with target metadata") {
     // bytes 0..9 to 2x2: out(i) = bytes((i*10)/4) -> indices 0,2,5,7
     assert(Multimodal.fakeResize(Array.tabulate(10)(_.toByte), 2, 2).toSeq ===
