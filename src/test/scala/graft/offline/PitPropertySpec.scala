@@ -96,4 +96,76 @@ class PitPropertySpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("multi-view fold: colliding feature names, distinct join keys and TTLs") {
+    // the reference's retrieval spans N feature views with different
+    // join keys and TTLs; the LEFT-JOIN fold must keep the entity row
+    // count and compute each view's argmax INDEPENDENTLY even though
+    // every view names its feature identically ("value")
+    def genFeatK(pool: Seq[String]): Gen[FeatRow] = for {
+      k <- Gen.oneOf(pool)
+      ts <- Gen.choose(0L, 100L)
+      created <- Gen.choose(0L, 100L)
+      v <- Gen.choose(0, 1000).map(_.toDouble)
+    } yield FeatRow(k, ts, created, v)
+    val genMulti = for {
+      f0 <- Gen.listOfN(40, genFeatK(Seq("a", "b", "c")))
+      f1 <- Gen.listOfN(40, genFeatK(Seq("a", "b", "c")))
+      f2 <- Gen.listOfN(40, genFeatK(Seq("x", "y"))) // entity draws x,y,z: misses happen
+      entities <- Gen.listOfN(15, for {
+        u <- Gen.oneOf("a", "b", "c", "d")
+        it <- Gen.oneOf("x", "y", "z")
+        ts <- Gen.choose(0L, 120L)
+      } yield (u, it, ts))
+    } yield (Seq(f0, f1, f2), entities)
+    val ttls: Seq[Option[Long]] = Seq(Some(24L), None, Some(48L))
+    val viewKey = Seq("user", "user", "item")
+
+    val prop = Prop.forAllNoShrink(genMulti) { case (featLists, entities) =>
+      val dirBase = Files.createTempDirectory("graft_mvprop").toString
+      val views = featLists.zipWithIndex.map { case (feats, i) =>
+        val dir = s"$dirBase/f$i"
+        feats.map(f => (f.key, t(f.ts), t(f.created), f.value))
+          .toDF(viewKey(i), "event_ts", "created_ts", "value")
+          .write.mode("overwrite").parquet(dir)
+        FeatureView(s"fv$i", Seq(viewKey(i)), Seq(Feature("value", DoubleType)),
+          SparkSource(s"s$i", dir, timestampField = "event_ts",
+            createdTimestampColumn = Some("created_ts")),
+          ttls(i).map(Duration.ofHours))
+      }
+      val fs = new FeatureStore(spark, RepoConfig("p"), new InMemoryRegistry)
+      fs.applyObjects(
+        Seq(Entity("user", Seq("user"), ValueType.STRING),
+          Entity("item", Seq("item"), ValueType.STRING)) ++ views)
+
+      val ent = entities.map { case (u, it, ts) => (u, it, t(ts)) }
+        .toDF("user", "item", "event_timestamp")
+      val out = fs.getHistoricalFeatures(ent,
+          Seq("fv0:value", "fv1:value", "fv2:value")).toDf
+        .select("user", "item", "event_timestamp",
+          "fv0__value", "fv1__value", "fv2__value")
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1), r.getTimestamp(2)),
+          (0 to 2).map(i => Option(r.get(3 + i))).toSeq))
+
+      def expected(feats: Seq[FeatRow], k: String, ets: Long,
+          ttl: Option[Long]): Option[Double] = {
+        val lower = ttl.map(ets - _).getOrElse(Long.MinValue)
+        val elig = feats.filter(f => f.key == k && f.ts <= ets && f.ts >= lower)
+        if (elig.isEmpty) None
+        else Some(elig.maxBy(f => (f.ts, f.created, f.value)).value)
+      }
+      val countOk = out.length == entities.size
+      val valuesOk = entities.distinct.forall { case (u, it, ts) =>
+        val want = (0 to 2).map { i =>
+          expected(featLists(i), if (viewKey(i) == "user") u else it, ts, ttls(i))
+        }
+        out.filter(_._1 == ((u, it, t(ts)))).forall(_._2 == want)
+      }
+      countOk && valuesOk
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
