@@ -1799,7 +1799,11 @@ object OpsQueries {
     */
   def jaccardPrefix(s: SparkSession, dir: String): DataFrame =
     Fuzzy.jaccardPrefixJoin(
-      Dedup.shingleSet(docs(s, dir), "doc_id", "text"), "doc_id", "shingle")
+      Dedup.shingleSet(docs(s, dir), "doc_id", "text"), "doc_id", "shingle",
+      // hot-prefix-token valve: the 10x smoke measured a 233x task
+      // straggler in the unsalted pair-gen join; salting is
+      // result-identical (hash gate unchanged)
+      saltedPairGen = true)
 
   val jaccardPrefixSql: String =
     """WITH toks AS (

@@ -1,0 +1,124 @@
+package graft.examples
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale smoke (VERDICT r7 #3): synthesize a ~10x corpus by
+  * unioning id-shifted copies of the sf0.1 tables — no new datagen —
+  * and run the headline operator family against it, logging wall time
+  * and per-query task-skew (max/median task duration; a straggler
+  * >10x the median is the 100 TB red flag this smoke exists to catch).
+  *
+  * Document copies alternate exact duplicates and near duplicates
+  * (odd copies get a one-token suffix), so the dedup family sees the
+  * realistic mixture a 10x-duplicated crawl would supply, not a
+  * cardinality-free no-op.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (source, default sf0.1),
+  * SPARK_GRAFT_SCALE_COPIES (default 10),
+  * SPARK_GRAFT_SCALE_DIR (default /tmp/graft_scale10, regenerated only
+  * if missing), SPARK_GRAFT_CPUS (default 32).
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // task-duration listener: PER-STAGE straggler stats. Skew must be
+    // judged within a stage — max over all tasks vs median over all
+    // tasks conflates a uniformly-heavy stage (fine: that is just
+    // work) with one hot task in an otherwise-idle stage (the actual
+    // 100 TB red flag). The q113 false alarm this metric replaced:
+    // global skew read 142x while the heavy stage's own tasks were
+    // 27.0-27.6 s — perfectly balanced.
+    val stageTasks =
+      scala.collection.concurrent.TrieMap.empty[Int, List[Long]]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null && te.taskInfo.successful)
+          stageTasks.updateWith(te.stageId)(
+            l => Some(te.taskInfo.duration :: l.getOrElse(Nil)))
+    })
+
+    def shifted(t: String, shifts: Map[String, Long],
+        perturbText: Boolean = false): DataFrame = {
+      val df = graft.Tables.load(spark, src, t)
+      (0 until copies).map { k =>
+        var d = df
+        shifts.foreach { case (c, m) =>
+          d = d.withColumn(c, col(c) + lit(k * m)) }
+        if (perturbText && k % 2 == 1)
+          d = d.withColumn("text", concat(col("text"), lit(s" c$k")))
+        d
+      }.reduce(_ unionByName _)
+    }
+
+    val gen: Map[String, () => DataFrame] = Map(
+      "events" -> (() => shifted("events",
+        Map("event_id" -> 1000000000L, "user_id" -> 1000000L))),
+      "documents" -> (() => shifted("documents",
+        Map("doc_id" -> 10000000L), perturbText = true)),
+      "orders" -> (() => shifted("orders",
+        Map("o_orderkey" -> 100000000L, "o_custkey" -> 1000000L))),
+      "lineitem" -> (() => shifted("lineitem",
+        Map("l_orderkey" -> 100000000L, "l_suppkey" -> 1000000L))))
+
+    val passthrough = Seq("region", "nation", "customer", "supplier",
+      "part", "embeddings")
+    val fsDir = new java.io.File(out)
+    if (!new java.io.File(fsDir, "_SCALE_READY").exists()) {
+      println(s"generating ${copies}x tables under $out ...")
+      fsDir.mkdirs()
+      gen.foreach { case (t, f) =>
+        f().write.mode("overwrite").parquet(s"$out/$t.parquet") }
+      passthrough.foreach { t =>
+        graft.Tables.load(spark, src, t)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet") }
+      new java.io.FileOutputStream(new java.io.File(fsDir, "_SCALE_READY")).close()
+    }
+
+    def run(tag: String)(f: => Long): Unit = {
+      stageTasks.clear()
+      val t0 = System.nanoTime()
+      val rows = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      val stages = stageTasks.values.map(_.sorted.toIndexedSeq).toSeq
+      val nTasks = stages.map(_.size).sum
+      // worst WITHIN-stage skew among stages whose max task is > 1 s
+      // (sub-second stages cannot straggle meaningfully)
+      val worst = stages.filter(_.last > 1000)
+        .map(ds => (ds.last.toDouble / math.max(1L, ds(ds.size / 2)), ds.last))
+        .sortBy(-_._1).headOption
+      val (skew, mx) = worst.getOrElse((1.0, stages.map(_.last).maxOption.getOrElse(0L)))
+      // a straggler must MATTER: one slow task in a stage is only a
+      // red flag when it is also a material fraction of the wall
+      val flag = if (skew > 10 && mx > secs * 1000 * 0.2) "  STRAGGLER!" else ""
+      println(f"$tag%-22s ${secs}%7.2f s  rows=$rows%-9d tasks=$nTasks%-5d " +
+        f"worst stage: max=${mx}%5d ms skew=${skew}%5.1fx$flag")
+    }
+
+    val names = Seq("q06b_pit_dense", "q17_minhash_lsh", "q34_curation",
+      "q91_pagerank", "q113_jaccard_prefix", "q104_quantile_normalize")
+    // warm scans once
+    (gen.keys ++ passthrough).foreach { t =>
+      try graft.Tables.load(spark, out, t).count()
+      catch { case _: Throwable => () } }
+    names.foreach { n =>
+      run(n)(graft.SparkEntry.queries(n)(spark, out).count()) }
+    run("q104 exact (opt-in)")(
+      graft.Queries.quantileNormalizeImpl(spark, out, 1024, exact = true).count())
+    spark.stop()
+  }
+}

@@ -154,7 +154,8 @@ object Fuzzy {
     */
   def jaccardPrefixJoin(sets0: DataFrame, idCol: String, elemCol: String,
       tNum: Int = 4, tDen: Int = 5, saltedDfJoin: Boolean = false,
-      numSalts: Int = 16, reuseSets: Boolean = true): DataFrame = {
+      numSalts: Int = 16, reuseSets: Boolean = true,
+      saltedPairGen: Boolean = false): DataFrame = {
     require(tNum > 0 && tDen > tNum, "threshold must be in (0,1)")
     // the set frame feeds FOUR subtrees (df counts, the ordering
     // window, and both verify joins); Spark reuses neither scans nor
@@ -181,10 +182,27 @@ object Fuzzy {
       col("__n") - call_function("div",
         col("__n") * tNum + (tDen - 1), lit(tDen.toLong)) + 1)
       .select(col(idCol), col(elemCol), col("__n"))
-    val cand = prefix.select(col(idCol).as("id_a"), col(elemCol),
-        col("__n").as("n_a"))
-      .join(prefix.select(col(idCol).as("id_b"), col(elemCol),
-        col("__n").as("n_b")), Seq(elemCol))
+    // Candidate pair generation: a self-join keyed on the prefix
+    // token. A HOT prefix token (duplicated corpora drive every
+    // shingle's df up until moderately-common shingles land in many
+    // docs' prefixes) funnels its whole C(m,2) pair fan-out through
+    // ONE sort-merge task — the 10x ScaleSmoke measured a 43 s
+    // straggler against a 0.2 s median from exactly this. The valve is
+    // Skew.saltedBlockSelfJoin: both sides split into id-hash chunks,
+    // each (chunk_a, chunk_b) cell meets in its own task, results
+    // provably identical (every pair meets exactly once) — the hash
+    // gate doubles as the equality proof. Replication cost numSalts×
+    // on the PREFIX frames only (~1/tDen of the sets), not the corpus.
+    val pa = prefix.select(col(idCol).as("id_a"), col(elemCol),
+      col("__n").as("n_a"))
+    val pb = prefix.select(col(idCol).as("id_b"), col(elemCol),
+      col("__n").as("n_b"))
+    val paired =
+      if (saltedPairGen)
+        graft.transform.Skew.saltedBlockSelfJoin(
+          pa, pb, elemCol, col("id_a"), col("id_b"), numSalts)
+      else pa.join(pb, Seq(elemCol))
+    val cand = paired
       .filter(col("id_a") < col("id_b") &&
         col("n_a") * tDen >= col("n_b") * tNum &&
         col("n_b") * tDen >= col("n_a") * tNum)
