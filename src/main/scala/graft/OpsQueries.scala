@@ -445,6 +445,58 @@ object OpsQueries {
       |       CAST(l // 32 AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n
       |FROM lum GROUP BY media_id, w, h, l // 32""".stripMargin
 
+  /** BPE merge induction over the documents corpus
+    * ([[Corpus.bpeMerges]], 3 rounds): learned merge table + post-
+    * merge token frequencies. The oracle unrolls the identical rounds
+    * as CTE stages — pair counting via the same zip-unnest + lead
+    * windows, the same (n desc, pair asc) winner order, the same
+    * sentineled boundary-safe `replace` — so the hash gate pins every
+    * merge decision and the final token stream exactly.
+    */
+  def bpeMergesQ(s: SparkSession, dir: String): DataFrame =
+    Corpus.bpeMerges(docs(s, dir), "text", rounds = 3)
+
+  val bpeMergesSql: String = {
+    def round(k: Int): String =
+      s"""p$k AS (
+         |  SELECT w, wn, unnest(string_split(sp, '·')) AS tok,
+         |         unnest(range(1, len(string_split(sp, '·')) + 1)) AS i
+         |  FROM s$k),
+         |pr$k AS (
+         |  SELECT w, wn, tok AS a, lead(tok) OVER (PARTITION BY w ORDER BY i) AS b
+         |  FROM p$k WHERE length(tok) > 0),
+         |g$k AS (
+         |  SELECT a, b, CAST(sum(wn) AS BIGINT) AS n
+         |  FROM pr$k WHERE b IS NOT NULL GROUP BY a, b),
+         |b$k AS (SELECT a, b, n FROM g$k ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+         |s${k + 1} AS (
+         |  SELECT w, wn,
+         |         replace(sp, '·' || a || '·' || b || '·', '·' || a || b || '·') AS sp
+         |  FROM s$k CROSS JOIN b$k),""".stripMargin
+    s"""WITH words AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wn FROM words
+       |  WHERE length(w) > 0 GROUP BY w),
+       |s1 AS (
+       |  SELECT w, wn, '·' || regexp_replace(w, '(.)', '\\1·', 'g') AS sp
+       |  FROM vocab),
+       |${round(1)}
+       |${round(2)}
+       |${round(3)}
+       |tok4 AS (SELECT wn, unnest(string_split(sp, '·')) AS tok FROM s4),
+       |tf AS (
+       |  SELECT tok, CAST(sum(wn) AS BIGINT) AS n
+       |  FROM tok4 WHERE length(tok) > 0 GROUP BY tok)
+       |SELECT 'merge' AS kind, CAST(1 AS BIGINT) AS round,
+       |       a AS mleft, b AS mright, n FROM b1
+       |UNION ALL SELECT 'merge', CAST(2 AS BIGINT), a, b, n FROM b2
+       |UNION ALL SELECT 'merge', CAST(3 AS BIGINT), a, b, n FROM b3
+       |UNION ALL SELECT 'token', CAST(4 AS BIGINT), tok,
+       |       CAST(NULL AS VARCHAR), n FROM tf""".stripMargin
+  }
+
   /** IVF approximate KNN. The whole approximation is deterministic
     * (fixed first-N centroids, id-pinned ties), so the oracle replays it
     * exactly in SQL — a hard hash gate, not just a recall spec.
@@ -2106,10 +2158,12 @@ object OpsQueries {
     "q97_feature_hash" -> featureHash _,
     "q98_pps_sample" -> ppsSampleQ _,
     "q100_binary_files" -> binaryFilesQ _,
-    "q123_png_decode" -> pngDecodeHistogram _)
+    "q123_png_decode" -> pngDecodeHistogram _,
+    "q124_bpe_merges" -> bpeMergesQ _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
+    "q124_bpe_merges" -> bpeMergesSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

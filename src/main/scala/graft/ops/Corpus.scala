@@ -631,4 +631,74 @@ object Corpus {
       .agg(min(col("c")).as("cms_est"))
       .withColumn("overcount", col("cms_est") - col("true_cnt"))
   }
+
+  /** BPE merge induction (Sennrich et al. 2016) — the tokenizer-
+    * training step of an LLM data pipeline: count adjacent symbol
+    * pairs over the corpus, merge the most frequent pair, repeat.
+    * Emits the learned merge table (`kind = 'merge'`: round, pair,
+    * count) plus the post-merge token frequency table
+    * (`kind = 'token'`).
+    *
+    * Scale: the ONLY corpus-scale stage is the first keyed agg to the
+    * (word, count) frequency frame — exactly how production BPE
+    * trainers operate (counts per word type, not per occurrence).
+    * Every merge round then runs on the VOCABULARY frame (bounded by
+    * the word domain, independent of corpus rows): pair counts are a
+    * keyed agg weighted by word frequency, the winning pair is a
+    * 1-row broadcast, and the merge application is a row-local string
+    * rewrite. Pair adjacency uses lead() over a window PARTITIONED by
+    * word.
+    *
+    * Exactness / gate-ability: symbols ride a '·'-separated spelling
+    * with boundary sentinels ('·h·i·'), so a merge pattern
+    * '·a·b·'→'·ab·' can only match whole symbols at symbol
+    * boundaries — an unsentineled rewrite could merge ACROSS a
+    * previously-merged symbol's interior (pattern 'b·c' inside
+    * 'ab·c'), silently corrupting the token stream. Both engines'
+    * `replace` is left-to-right non-overlapping, so immediately
+    * adjacent repeats of a pair ('·a·b·a·b·') merge alternately in a
+    * single pass — deterministic single-pass semantics, identical
+    * cross-engine (classic trainers differ here only for degenerate
+    * self-overlapping inputs). Winner ties break (count desc, left
+    * asc, right asc) — a pinned total order. All counts are exact
+    * integers; the oracle unrolls the identical rounds as CTE stages.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, "bpeMerges needs at least one round")
+    val vocab = df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+    var spaced = vocab.withColumn("sp",
+      concat(lit("·"), regexp_replace(col("w"), "(.)", "$1·")))
+    def pairCounts(sp: DataFrame): DataFrame = {
+      val wnd = Window.partitionBy(col("w")).orderBy(col("i"))
+      sp.select(col("w"), col("wn"),
+          posexplode(split(col("sp"), "·")).as(Seq("i", "tok")))
+        .filter(length(col("tok")) > 0)
+        .withColumn("b", lead(col("tok"), 1).over(wnd))
+        .filter(col("b").isNotNull)
+        .groupBy(col("tok").as("a"), col("b"))
+        .agg(sum(col("wn")).as("n"))
+    }
+    val merged = (1 to rounds).map { k =>
+      val best = pairCounts(spaced)
+        .orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
+      spaced = spaced.crossJoin(broadcast(best))
+        .withColumn("sp", expr(
+          "replace(sp, concat('·', a, '·', b, '·'), " +
+            "concat('·', a, b, '·'))"))
+        .select(col("w"), col("wn"), col("sp"))
+      best.select(lit("merge").as("kind"), lit(k.toLong).as("round"),
+        col("a").as("mleft"), col("b").as("mright"), col("n"))
+    }
+    val tokens = spaced
+      .select(col("wn"), posexplode(split(col("sp"), "·")).as(Seq("i", "tok")))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(sum(col("wn")).as("n"))
+      .select(lit("token").as("kind"), lit(rounds.toLong + 1).as("round"),
+        col("tok").as("mleft"), lit(null).cast("string").as("mright"), col("n"))
+    merged.reduce(_ unionByName _).unionByName(tokens)
+  }
 }

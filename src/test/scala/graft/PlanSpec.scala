@@ -637,6 +637,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bpe merges: corpus touched once (vocab agg); rounds run on the vocab frame") {
+    val p = plan(OpsQueries.bpeMergesQ(spark, sf0001))
+    // every round re-derives from the one vocab agg lineage — the
+    // corpus parquet itself must be scanned once per union branch at
+    // most; windows are word-partitioned; 1-row winner frames may
+    // broadcast-loop but nothing may cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(unpartitionedWindows(p) == 0,
+      s"pair adjacency must use word-partitioned windows:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"winner selection must be TakeOrdered, not a global sort:\n$p")
+  }
+
   test("png decode histogram is fully row-local: zero exchanges") {
     val p = plan(OpsQueries.pngDecodeHistogram(spark, sf0001))
     assert(!p.contains("Exchange"),

@@ -576,4 +576,42 @@ class CorpusSpec extends SparkSpec {
       ("s1", "s3") -> ((2L, 2L, 3L, 2.0 / 3.0)),   // {a,b} over {a,b,c}
       ("s2", "s3") -> ((2L, 2L, 3L, 2.0 / 3.0))))  // {b,c} over {a,b,c}
   }
+
+  test("bpeMerges: hand-computed merges, boundary-safe application, weighted counts") {
+    // vocab: aaab(x2), ab(x1)
+    // round 1 pairs: (a,a) = 2*2 = 4, (a,b) = 2+1 = 3 -> merge (a,a)
+    //   aaab -> [aa, a, b] (single-pass replace: the second ·a·a·
+    //   occurrence shares the middle sentinel, so exactly one merge —
+    //   same as greedy left-to-right BPE here)
+    // round 2 pairs: (aa,a) = 2, (a,b) = 2+1 = 3 -> merge (a,b)
+    //   aaab -> [aa, ab], ab -> [ab]
+    // tokens: aa = 2, ab = 2+1 = 3
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val got = Corpus.bpeMerges(docs, "text", rounds = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)), r.getLong(4))).toSet
+    assert(got === Set(
+      ("merge", 1L, "a", Some("a"), 4L),
+      ("merge", 2L, "a", Some("b"), 3L),
+      ("token", 3L, "aa", None, 2L),
+      ("token", 3L, "ab", None, 3L)))
+    // boundary safety: merged symbol interiors must not re-match. With
+    // merges (a,b) then (b,c) on 'abc': after (a,b) the word is
+    // [ab, c]; pattern ·b·c· must NOT fire inside 'ab·c'
+    val docs2 = Seq("ab ab abc bc").toDF("text")
+    // round 1: (a,b) = 3, (b,c) = 2 -> merge (a,b); abc -> [ab, c]
+    // round 2: (ab,c) = 1, (b,c) = 1 -> tie, lex: (ab,c) < (b,c) ->
+    //   merge (ab, c); tokens: ab = 2 (the 'ab' word twice; abc's
+    //   prefix became part of token abc), abc = 1, b = 1, c = 1
+    val got2 = Corpus.bpeMerges(docs2, "text", rounds = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)), r.getLong(4))).toSet
+    assert(got2 === Set(
+      ("merge", 1L, "a", Some("b"), 3L),
+      ("merge", 2L, "ab", Some("c"), 1L),
+      ("token", 3L, "ab", None, 2L),
+      ("token", 3L, "abc", None, 1L),
+      ("token", 3L, "b", None, 1L),
+      ("token", 3L, "c", None, 1L)))
+  }
 }
