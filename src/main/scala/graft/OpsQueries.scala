@@ -497,6 +497,49 @@ object OpsQueries {
        |       CAST(NULL AS VARCHAR), n FROM tf""".stripMargin
   }
 
+  /** Greedy k-center coreset over the embeddings table
+    * ([[Similarity.kCenterCoreset]], k = 8): every selection decision
+    * rides a pround(6)-pinned similarity, so the oracle unrolls the
+    * identical 8 greedy rounds as CTE stages with scalar-subquery
+    * center lookups — the hash gate pins the SELECTION SEQUENCE, not
+    * just the output values.
+    */
+  def kCenterQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterCoreset(emb(s, dir), "vec_id", "embedding", k = 8)
+
+  val kCenterSql: String = {
+    val k = 8
+    def prior(r: Int): String =
+      (1 until r).map(i => s"SELECT id FROM c$i").mkString(" UNION ALL ")
+    val stages = (2 to k).map { r =>
+      val prev = if (r == 2) "e" else s"s${r - 1}"
+      val bestExpr =
+        if (r == 2)
+          s"floor(list_cosine_similarity($prev.v, (SELECT v FROM c1)) " +
+            "* 1000000.0 + 0.5) / 1000000.0"
+        else
+          s"greatest($prev.best, floor(list_cosine_similarity($prev.v, " +
+            s"(SELECT v FROM c${r - 1})) * 1000000.0 + 0.5) / 1000000.0)"
+      s"""s$r AS (SELECT $prev.id, $prev.v, $bestExpr AS best FROM $prev),
+         |c$r AS (
+         |  SELECT id, v, best FROM s$r
+         |  WHERE id NOT IN (${prior(r)})
+         |  ORDER BY best ASC, id ASC LIMIT 1),""".stripMargin
+    }.mkString("\n")
+    val out = (2 to k)
+      .map(r => s"UNION ALL SELECT CAST($r AS BIGINT), id, best FROM c$r")
+      .mkString("\n")
+    s"""WITH e AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |c1 AS (SELECT id, v FROM e ORDER BY id ASC LIMIT 1),
+       |$stages
+       |dummy AS (SELECT 1)
+       |SELECT CAST(1 AS BIGINT) AS round, id AS vec_id,
+       |       CAST(NULL AS DOUBLE) AS sim FROM c1
+       |$out""".stripMargin
+  }
+
   /** IVF approximate KNN. The whole approximation is deterministic
     * (fixed first-N centroids, id-pinned ties), so the oracle replays it
     * exactly in SQL — a hard hash gate, not just a recall spec.
@@ -2159,11 +2202,13 @@ object OpsQueries {
     "q98_pps_sample" -> ppsSampleQ _,
     "q100_binary_files" -> binaryFilesQ _,
     "q123_png_decode" -> pngDecodeHistogram _,
-    "q124_bpe_merges" -> bpeMergesQ _)
+    "q124_bpe_merges" -> bpeMergesQ _,
+    "q125_kcenter_coreset" -> kCenterQ _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
     "q124_bpe_merges" -> bpeMergesSql,
+    "q125_kcenter_coreset" -> kCenterSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

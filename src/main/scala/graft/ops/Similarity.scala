@@ -417,4 +417,54 @@ object Similarity {
     df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "__v")))
       .groupBy(col(groupCol), col("dim").cast("long").as("dim"))
       .agg(pround(avg(col("__v").cast("double")), roundDp).as(out))
+
+  /** Greedy k-center (farthest-point) coreset selection — the
+    * diversity-sampling pass of an embedding pipeline (Sener & Savarese
+    * 2018's core-set heuristic): seed with the smallest id, then
+    * repeatedly add the point FARTHEST from the chosen set, i.e. the
+    * one minimizing its maximum cosine similarity to any chosen center.
+    * Returns (round, vec_id, sim) — `sim` is the point's max-similarity
+    * to the previously chosen set at selection time (NULL for the
+    * seed): the classic 2-approximation of the k-center cover radius,
+    * so the emitted column doubles as a coverage certificate.
+    *
+    * Scale: per round the state update is one NARROW map (greatest of
+    * the running best and the cosine to the single new center, a
+    * broadcast literal vector) and the selection is one TakeOrdered-1
+    * — no shuffle grows with k, no corpus-sized frame ever sits on the
+    * driver; the loop collects exactly k single rows (a bounded driver
+    * valve, like the CC probe). Lineage grows one column per round —
+    * fine for coreset-sized k; localCheckpoint the state for k ≫ 100.
+    *
+    * Gate-ability: every similarity is pround(6)-pinned BEFORE it
+    * enters the running max and the argmin (ties then break on id), so
+    * the selection sequence replays exactly from DuckDB's
+    * `list_cosine_similarity` — the q20 discipline, but load-bearing
+    * for control flow rather than just output.
+    */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "kCenterCoreset needs k >= 1")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = base.orderBy(col("id").asc).limit(1).head()
+    var chosen = List((1L, seed.getLong(0), Option.empty[Double]))
+    var centerVec: Seq[Double] = seed.getSeq[Double](1)
+    var state = base.withColumn("best", lit(null).cast("double"))
+    for (round <- 2L to k.toLong) {
+      val cv = array(centerVec.map(lit): _*)
+      state = state.withColumn("best",
+        greatest(coalesce(col("best"), lit(-2.0)),
+          pround(cosine(col("v"), cv), 6)))
+      val next = state.filter(!col("id").isin(chosen.map(_._2): _*))
+        .orderBy(col("best").asc, col("id").asc).limit(1).head()
+      chosen ::= ((round, next.getLong(0), Some(next.getDouble(2))))
+      centerVec = next.getSeq[Double](1)
+    }
+    base.unpersist()
+    import spark.implicits._
+    chosen.reverse.toDF("round", "vec_id", "sim")
+  }
 }

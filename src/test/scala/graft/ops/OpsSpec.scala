@@ -352,6 +352,24 @@ class OpsSpec extends SparkSpec {
     assert(h(3) === 1.0f && h.sum === 1.0f)
   }
 
+  test("kCenterCoreset: hand-computed farthest-point sequence with coverage sims") {
+    import spark.implicits._
+    // unit-ish 2-d vectors: seed is min id (1, pointing +x); farthest
+    // from it is -x (cos -1); then +y (max-cos 0); the diagonal last
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(1f, 1f)), (4L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq
+    assert(got === Seq(
+      (1L, 1L, None),            // seed
+      (2L, 4L, Some(-1.0)),      // cos(+x, -x) = -1: farthest
+      (3L, 2L, Some(0.0)),       // +y orthogonal to both centers
+      (4L, 3L, Some(0.707107)))) // diagonal: cos 1/sqrt(2) to +x and +y
+  }
+
   test("real PNG decode: golden pixels round-trip through ImageIO bit-exactly") {
     // 2x2 golden image with hand-picked colors
     val img = new java.awt.image.BufferedImage(
