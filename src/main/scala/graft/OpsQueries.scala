@@ -1042,6 +1042,63 @@ object OpsQueries {
       |  SELECT e.y, w.comp FROM walk w JOIN edges e ON e.x = w.node)
       |SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node""".stripMargin
 
+  /** Golden-record survivorship (q126) — the step AFTER clustering
+    * that completes the entity-resolution story: every document joins
+    * its near-dup cluster (singletons are their own cluster), and each
+    * cluster emits one canonical record under pinned survivorship
+    * rules — keep the longest text (ties to the smallest id), count
+    * members, union sources. The keep-decision is an argmax AGG
+    * (`max(struct(n_chars, -doc_id))`), not a per-cluster window — no
+    * distinct-cluster-sized reducer partitions; the cluster frame is
+    * OUTPUT-scale (docs appearing in pairs) and broadcasts. Oracle
+    * replays survivorship in the naive window form over the q41
+    * recursive-CTE clusters — the hash gate proves the argmax-agg
+    * rewrite equal.
+    */
+  def goldenRecords(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      length(col("text")).cast("long").as("n_chars"))
+    val clusters = dedupClusters(s, dir)
+    val wc = d.join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    wc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("negid"))).as("__b"),
+        sum(col("n_chars")).as("total_chars"),
+        concat_ws(",", sort_array(collect_set(col("source")))).as("sources"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("__b.negid")).as("keep_doc_id"),
+        col("__b.n_chars").as("keep_chars"),
+        col("total_chars"), col("sources"))
+  }
+
+  val goldenRecordsSql: String =
+    dedupClustersSql.replace(
+      "SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node",
+      """, clusters AS (
+        |  SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node),
+        |d AS (
+        |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |wc AS (
+        |  SELECT d.doc_id, d.source, d.n_chars,
+        |         coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        |  FROM d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+        |sel AS (
+        |  SELECT cluster_id, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY cluster_id
+        |                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM wc),
+        |agg AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |         array_to_string(list_sort(list_distinct(list(source))), ',')
+        |           AS sources
+        |  FROM wc GROUP BY cluster_id)
+        |SELECT a.cluster_id, a.n_members, s.doc_id AS keep_doc_id,
+        |       s.n_chars AS keep_chars, a.total_chars, a.sources
+        |FROM agg a JOIN sel s ON s.cluster_id = a.cluster_id AND s.rn = 1""".stripMargin)
+
   // ------------------------------------------------------------ corpus profile
   /** Per-source corpus profile: counts, token totals, language breadth,
     * mean tokens (4dp), and discrete p50/p90 token counts (integer rank
@@ -2203,12 +2260,14 @@ object OpsQueries {
     "q100_binary_files" -> binaryFilesQ _,
     "q123_png_decode" -> pngDecodeHistogram _,
     "q124_bpe_merges" -> bpeMergesQ _,
-    "q125_kcenter_coreset" -> kCenterQ _)
+    "q125_kcenter_coreset" -> kCenterQ _,
+    "q126_golden_record" -> goldenRecords _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
     "q124_bpe_merges" -> bpeMergesSql,
     "q125_kcenter_coreset" -> kCenterSql,
+    "q126_golden_record" -> goldenRecordsSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

@@ -650,6 +650,16 @@ class PlanSpec extends SparkSpec {
       s"winner selection must be TakeOrdered, not a global sort:\n$p")
   }
 
+  test("golden records: argmax agg not a window; output-scale cluster frame broadcasts") {
+    val p = plan(OpsQueries.goldenRecords(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0, p)
+    assert(!"""\(\d+\) Window\b""".r.findAllIn(p).hasNext,
+      s"survivorship must be an argmax agg, not a per-cluster window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cluster frame must broadcast onto the docs:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("png decode histogram is fully row-local: zero exchanges") {
     val p = plan(OpsQueries.pngDecodeHistogram(spark, sf0001))
     assert(!p.contains("Exchange"),

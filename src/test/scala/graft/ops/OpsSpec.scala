@@ -352,6 +352,28 @@ class OpsSpec extends SparkSpec {
     assert(h(3) === 1.0f && h.sum === 1.0f)
   }
 
+  test("golden records: members partition the corpus; keeper is the naive argmax") {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.load(spark, sf0001, "documents")
+    val out = graft.OpsQueries.goldenRecords(spark, sf0001)
+    // every document lands in exactly one cluster
+    assert(out.agg(sum("n_members")).head().getLong(0) === d.count())
+    // the argmax-agg keeper equals the naive per-cluster window pick
+    val clusters = graft.OpsQueries.dedupClusters(spark, sf0001)
+    val wc = d.select(col("doc_id"), length(col("text")).cast("long").as("nc"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val naive = wc.withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col("nc").desc, col("doc_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("k2"), col("nc").as("c2"))
+    assert(out.count() === naive.count())
+    assert(out.join(naive, Seq("cluster_id"))
+      .filter(col("keep_doc_id") =!= col("k2") ||
+        col("keep_chars") =!= col("c2")).count() === 0)
+  }
+
   test("kCenterCoreset: hand-computed farthest-point sequence with coverage sims") {
     import spark.implicits._
     // unit-ish 2-d vectors: seed is min id (1, pointing +x); farthest
