@@ -1042,6 +1042,59 @@ object Queries {
         graft.transform.Stats.cents(col("l_extendedprice")).as("y")),
       Seq("l_returnflag"), "x", "y")
 
+  /** Per-event-type OLS drift trend (q127): regress value cents on the
+    * event's HOUR INDEX ([[graft.transform.Stats.olsByKey]]) — slope
+    * is cents-per-hour drift, R² its explanatory power. The hour index
+    * is `unix_timestamp(ts) div 3600`, matching the oracle's
+    * `epoch(date_trunc('hour', ts)) // 3600` exactly for non-negative
+    * timestamps.
+    */
+  def olsTrend(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Stats.olsByKey(
+      t(s, dir, "events").select(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("x"),
+        graft.transform.Stats.cents(col("value")).as("y")),
+      Seq("event_type"), "x", "y")
+
+  val olsTrendSql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |         CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |           // 3600 AS x,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, count(*) AS n,
+      |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |         sum(CAST(y AS HUGEINT) * y) AS syy,
+      |         sum(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM c GROUP BY 1),
+      |d AS (
+      |  SELECT event_type, n,
+      |         CAST(n AS DOUBLE) AS nd,
+      |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+      |         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+      |         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+      |  FROM s)
+      |SELECT event_type, n,
+      |       CASE WHEN vx > 0
+      |            THEN floor((cov / vx) * 1000000.0 + 0.5) / 1000000.0
+      |       END AS slope,
+      |       CASE WHEN vx > 0
+      |            THEN floor(((syd - (cov / vx) * sxd) / nd) * 1000000.0 + 0.5)
+      |                 / 1000000.0
+      |       END AS intercept,
+      |       CASE WHEN vx > 0 AND vy > 0
+      |            THEN floor(((cov * cov) / (vx * vy)) * 1000000.0 + 0.5)
+      |                 / 1000000.0
+      |       END AS r2
+      |FROM d""".stripMargin
+
   val corrStatsSql: String =
     """WITH c AS (
       |  SELECT l_returnflag,
@@ -2544,7 +2597,8 @@ object Queries {
     "q117_calibration" -> calibrationReadout _,
     "q120_windowed_funnel" -> windowedFunnel _,
     "q121_ks_test" -> ksDrift _,
-    "q122_spearman" -> spearmanStats _)
+    "q122_spearman" -> spearmanStats _,
+    "q127_ols_trend" -> olsTrend _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -2613,5 +2667,6 @@ object Queries {
     "q117_calibration" -> calibrationReadoutSql,
     "q120_windowed_funnel" -> windowedFunnelSql,
     "q121_ks_test" -> ksDriftSql,
-    "q122_spearman" -> spearmanStatsSql)
+    "q122_spearman" -> spearmanStatsSql,
+    "q127_ols_trend" -> olsTrendSql)
 }

@@ -139,6 +139,42 @@ object Stats {
         .otherwise(lit(null).cast("double")).as("slope")): _*)
   }
 
+  /** Per-key ordinary least squares — slope, intercept, and R² of
+    * y on x, the drift-trend readout for feature monitoring ("is this
+    * feature's mean moving, and how fast"). Same exact-moment
+    * discipline as [[corrByKey]]: DECIMAL(38,0) ↔ HUGEINT sums (exact
+    * in any aggregation order at any scale), ONE correctly-rounded
+    * conversion to double per sum, then a closed-form expression tree
+    * spelled identically in the oracle — bit-reproducible before the
+    * final pround(6). Degenerate keys (zero x-variance) emit NULLs.
+    * One keyed agg with map-side partials; no window, no join.
+    */
+  def olsByKey(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "olsByKey needs at least one key column")
+    val x = col(xCol).cast("decimal(19,0)")
+    val y = col(yCol).cast("decimal(19,0)")
+    val sums = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val cov = nD * d("sxy") - d("sx") * d("sy")
+    val vx = nD * d("sxx") - d("sx") * d("sx")
+    val vy = nD * d("syy") - d("sy") * d("sy")
+    import graft.util.Rounding.pround
+    sums.select(keyCols.map(col) ++ Seq(
+      col("n"),
+      when(vx > 0, pround(cov / vx, 6))
+        .otherwise(lit(null).cast("double")).as("slope"),
+      when(vx > 0, pround((d("sy") - (cov / vx) * d("sx")) / nD, 6))
+        .otherwise(lit(null).cast("double")).as("intercept"),
+      when(vx > 0 && vy > 0, pround((cov * cov) / (vx * vy), 6))
+        .otherwise(lit(null).cast("double")).as("r2")): _*)
+  }
+
   /** Equal-width histogram over an integer-cents column: `nBuckets`
     * buckets spanning [min, max], bucket id assigned with PURE integer
     * arithmetic (`(v − min) · n div (max − min + 1)`) so boundaries are

@@ -388,6 +388,22 @@ class StatsSpec extends SparkSpec {
     assert(got("f_const")._5 === None)
   }
 
+  test("olsByKey: exact line recovered; hand-computed R²; flat x is NULL") {
+    // key a: y = 3x + 7 exactly -> slope 3, intercept 7, r2 = 1
+    val lin = (1L to 50L).map(i => ("a", i, 3 * i + 7))
+    // key b: hand-computed on (0,0),(1,1),(2,0): n=3 sx=3 sy=1 sxx=5
+    //   syy=1 sxy=1; cov=3*1-3*1=0 -> slope 0, intercept=(1-0)/3, r2=0
+    val tri = Seq(("b", 0L, 0L), ("b", 1L, 1L), ("b", 2L, 0L))
+    // key c: constant x -> vx = 0 -> all NULL
+    val flat = (1L to 5L).map(i => ("c", 4L, i))
+    val got = Stats.olsByKey((lin ++ tri ++ flat).toDF("k", "x", "y"),
+      Seq("k"), "x", "y").orderBy("k").collect()
+    assert(got(0) === Row("a", 50L, 3.0, 7.0, 1.0))
+    assert(got(1) === Row("b", 3L, 0.0,
+      math.floor(1.0 / 3 * 1e6 + 0.5) / 1e6, 0.0))
+    assert(got(2) === Row("c", 5L, null, null, null))
+  }
+
   test("exactRankIntervals equals the naive global row_number ranking") {
     import org.apache.spark.sql.expressions.Window
     val df = Seq(5L, 3L, 3L, 9L, 3L, 5L, 1L, 9L, 9L, 9L, 2L)
