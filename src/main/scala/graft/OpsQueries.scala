@@ -1099,6 +1099,51 @@ object OpsQueries {
         |       s.n_chars AS keep_chars, a.total_chars, a.sources
         |FROM agg a JOIN sel s ON s.cluster_id = a.cluster_id AND s.rn = 1""".stripMargin)
 
+  /** Rendezvous (highest-random-weight) shard assignment (q128): each
+    * doc goes to the shard maximizing `md5(doc_id:shard)` — the
+    * consistent-assignment scheme for training shards / online-store
+    * partitions where shard-count changes must move only the minimum.
+    * The query assigns under 8 AND 7 shards and aggregates moves: the
+    * rendezvous property says a doc moves iff its 8-shard winner was
+    * the removed shard 7, so per surviving shard `n_moved = 0` and
+    * shard 7's rows all move — the hash gate machine-checks the
+    * minimal-disruption theorem on real data, not just the counts.
+    * Row-local argmax over a fixed candidate list (md5 high-32-bits,
+    * first-match ties) + ONE keyed agg: embarrassingly parallel.
+    */
+  def rendezvousShards(s: SparkSession, dir: String): DataFrame = {
+    def h(n: Int): org.apache.spark.sql.Column = conv(substring(md5(concat(
+      col("doc_id").cast("string"), lit(":"), lit(n.toString))), 1, 8),
+      16, 10).cast("long")
+    val h8 = array((0 until 8).map(h): _*)
+    val h7 = array((0 until 7).map(h): _*)
+    docs(s, dir).select(col("doc_id"))
+      .withColumn("shard8", (array_position(h8, array_max(h8)) - 1).cast("long"))
+      .withColumn("shard7", (array_position(h7, array_max(h7)) - 1).cast("long"))
+      .groupBy(col("shard8"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard8") =!= col("shard7"), 1L).otherwise(0L))
+          .as("n_moved"))
+  }
+
+  val rendezvousShardsSql: String = {
+    def h(n: Int): String =
+      s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$n'), 1, 8))::BIGINT"
+    val l8 = (0 until 8).map(h).mkString("[", ", ", "]")
+    val l7 = (0 until 7).map(h).mkString("[", ", ", "]")
+    s"""WITH a AS (
+       |  SELECT doc_id, $l8 AS l8, $l7 AS l7 FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |         CAST(list_position(l8, list_max(l8)) - 1 AS BIGINT) AS shard8,
+       |         CAST(list_position(l7, list_max(l7)) - 1 AS BIGINT) AS shard7
+       |  FROM a)
+       |SELECT shard8, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN shard8 <> shard7 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_moved
+       |FROM b GROUP BY shard8""".stripMargin
+  }
+
   // ------------------------------------------------------------ corpus profile
   /** Per-source corpus profile: counts, token totals, language breadth,
     * mean tokens (4dp), and discrete p50/p90 token counts (integer rank
@@ -2261,13 +2306,15 @@ object OpsQueries {
     "q123_png_decode" -> pngDecodeHistogram _,
     "q124_bpe_merges" -> bpeMergesQ _,
     "q125_kcenter_coreset" -> kCenterQ _,
-    "q126_golden_record" -> goldenRecords _)
+    "q126_golden_record" -> goldenRecords _,
+    "q128_rendezvous_shards" -> rendezvousShards _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
     "q124_bpe_merges" -> bpeMergesSql,
     "q125_kcenter_coreset" -> kCenterSql,
     "q126_golden_record" -> goldenRecordsSql,
+    "q128_rendezvous_shards" -> rendezvousShardsSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

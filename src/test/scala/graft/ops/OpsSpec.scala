@@ -374,6 +374,20 @@ class OpsSpec extends SparkSpec {
         col("keep_chars") =!= col("c2")).count() === 0)
   }
 
+  test("rendezvous shards: only the removed shard's docs move (HRW theorem)") {
+    val out = graft.OpsQueries.rendezvousShards(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size === 8)
+    (0L to 6L).foreach(sh =>
+      assert(out(sh)._2 === 0L, s"shard $sh must keep all docs on 8->7"))
+    assert(out(7L)._1 === out(7L)._2, "every doc of the removed shard moves")
+    val p = graft.OpsQueries.rendezvousShards(spark, sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 1,
+      s"assignment is row-local; only the final agg may shuffle:\n$p")
+  }
+
   test("kCenterCoreset: hand-computed farthest-point sequence with coverage sims") {
     import spark.implicits._
     // unit-ish 2-d vectors: seed is min id (1, pointing +x); farthest
