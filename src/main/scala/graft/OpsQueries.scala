@@ -1144,6 +1144,68 @@ object OpsQueries {
        |FROM b GROUP BY shard8""".stripMargin
   }
 
+  /** Per-source novelty attribution (q129) — the data-mixing value
+    * readout: for every source, how many distinct shingle types it
+    * contains (`n_types`), how many the corpus saw FIRST in that
+    * source (`n_first` — global first-seen by min doc_id, the
+    * dedup-aware marginal-contribution measure), and how many exist
+    * ONLY there (`n_exclusive`). First-seen attribution is an argmin
+    * AGG (`min(struct(doc_id, source))` — doc ids are unique per
+    * shingle row, so the pick is total-order deterministic), not a
+    * window; everything is shingle- or source-keyed aggregation with
+    * map-side partials — no broadcast of the unbounded shingle frame,
+    * no window anywhere. Oracle replays first-seen via the naive
+    * min-doc join, proving the argmin-agg rewrite equal.
+    */
+  def sourceNovelty(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val ws = Dedup.shingleSet(d, "doc_id", "text")
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val nTypes = ws.select(col("source"), col("shingle")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+    val firsts = ws.groupBy(col("shingle"))
+      .agg(min(struct(col("doc_id"), col("source"))).as("__f"),
+        countDistinct(col("source")).as("nsrc"))
+      .select(col("__f.source").as("source"), col("nsrc"))
+    val attributed = firsts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_first"),
+        sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("n_exclusive"))
+    nTypes.join(attributed, Seq("source"), "left")
+      .select(col("source"), col("n_types"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("n_exclusive"), lit(0L)).as("n_exclusive"))
+  }
+
+  val sourceNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |ws AS (
+      |  SELECT DISTINCT doc_id, source, s AS shingle FROM (
+      |    SELECT doc_id, source,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+      |    FROM toks WHERE len(t) >= 3)),
+      |nt AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_types
+      |  FROM (SELECT DISTINCT source, shingle FROM ws) GROUP BY source),
+      |f AS (
+      |  SELECT shingle, min(doc_id) AS first_doc,
+      |         CAST(count(DISTINCT source) AS BIGINT) AS nsrc
+      |  FROM ws GROUP BY shingle),
+      |fs AS (
+      |  SELECT w.source, f.nsrc
+      |  FROM f JOIN ws w ON w.shingle = f.shingle AND w.doc_id = f.first_doc),
+      |att AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_first,
+      |         CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_exclusive
+      |  FROM fs GROUP BY source)
+      |SELECT nt.source, nt.n_types,
+      |       coalesce(att.n_first, 0) AS n_first,
+      |       coalesce(att.n_exclusive, 0) AS n_exclusive
+      |FROM nt LEFT JOIN att ON nt.source = att.source""".stripMargin
+
   // ------------------------------------------------------------ corpus profile
   /** Per-source corpus profile: counts, token totals, language breadth,
     * mean tokens (4dp), and discrete p50/p90 token counts (integer rank
@@ -2307,7 +2369,8 @@ object OpsQueries {
     "q124_bpe_merges" -> bpeMergesQ _,
     "q125_kcenter_coreset" -> kCenterQ _,
     "q126_golden_record" -> goldenRecords _,
-    "q128_rendezvous_shards" -> rendezvousShards _)
+    "q128_rendezvous_shards" -> rendezvousShards _,
+    "q129_source_novelty" -> sourceNovelty _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
@@ -2315,6 +2378,7 @@ object OpsQueries {
     "q125_kcenter_coreset" -> kCenterSql,
     "q126_golden_record" -> goldenRecordsSql,
     "q128_rendezvous_shards" -> rendezvousShardsSql,
+    "q129_source_novelty" -> sourceNoveltySql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

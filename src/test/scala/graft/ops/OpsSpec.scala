@@ -374,6 +374,32 @@ class OpsSpec extends SparkSpec {
         col("keep_chars") =!= col("c2")).count() === 0)
   }
 
+  test("source novelty: hand-computed first-seen attribution and exclusives") {
+    import spark.implicits._
+    // shingles (3-word): d1(s1): [a b c], [b c d]; d2(s2): [a b c];
+    // d3(s2): [x y z]. First-seen: all of d1's at s1; [x y z] at s2.
+    // Exclusive: [b c d] (only s1), [x y z] (only s2); [a b c] in both.
+    val d = Seq(
+      (1L, "s1", "a b c d"), (2L, "s2", "a b c"), (3L, "s2", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val sh = graft.ops.Dedup.shingleSet(d, "doc_id", "text")
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val nTypes = sh.select("source", "shingle").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nTypes === Map("s1" -> 2L, "s2" -> 2L))
+    val got = {
+      val dir = java.nio.file.Files.createTempDirectory("novelty").toString
+      d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      graft.OpsQueries.sourceNovelty(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    }
+    assert(got === Map(
+      "s1" -> ((2L, 2L, 1L)),   // types {abc,bcd}; both first here; bcd exclusive
+      "s2" -> ((2L, 1L, 1L))))  // types {abc,xyz}; xyz first+exclusive
+  }
+
   test("rendezvous shards: only the removed shard's docs move (HRW theorem)") {
     val out = graft.OpsQueries.rendezvousShards(spark, sf0001).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
