@@ -660,6 +660,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ols trend: one keyed agg, no join, no window") {
+    val p = plan(Queries.olsTrend(spark, sf0001))
+    assert(!p.contains("Join") && !"""\(\d+\) Window\b""".r.findAllIn(p).hasNext, p)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 1,
+      s"exact moments are a single partial->final agg:\n$p")
+  }
+
+  test("source novelty: keyed aggs only; the shingle frame is never broadcast") {
+    val p = plan(OpsQueries.sourceNovelty(spark, sf0001))
+    assert(!"""\(\d+\) Window\b""".r.findAllIn(p).hasNext,
+      s"first-seen must be an argmin agg, not a window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("png decode histogram is fully row-local: zero exchanges") {
     val p = plan(OpsQueries.pngDecodeHistogram(spark, sf0001))
     assert(!p.contains("Exchange"),
