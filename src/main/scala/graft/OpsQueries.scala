@@ -456,7 +456,9 @@ object OpsQueries {
   def bpeMergesQ(s: SparkSession, dir: String): DataFrame =
     Corpus.bpeMerges(docs(s, dir), "text", rounds = 3)
 
-  val bpeMergesSql: String = {
+  /** Shared oracle CTE prefix for the BPE queries: words -> vocab ->
+    * sentineled spelling -> 3 unrolled merge rounds (ends after s4). */
+  private def bpeSqlPrefix: String = {
     def round(k: Int): String =
       s"""p$k AS (
          |  SELECT w, wn, unnest(string_split(sp, '·')) AS tok,
@@ -484,7 +486,11 @@ object OpsQueries {
        |  FROM vocab),
        |${round(1)}
        |${round(2)}
-       |${round(3)}
+       |${round(3)}""".stripMargin
+  }
+
+  val bpeMergesSql: String =
+    s"""$bpeSqlPrefix
        |tok4 AS (SELECT wn, unnest(string_split(sp, '·')) AS tok FROM s4),
        |tf AS (
        |  SELECT tok, CAST(sum(wn) AS BIGINT) AS n
@@ -495,7 +501,6 @@ object OpsQueries {
        |UNION ALL SELECT 'merge', CAST(3 AS BIGINT), a, b, n FROM b3
        |UNION ALL SELECT 'token', CAST(4 AS BIGINT), tok,
        |       CAST(NULL AS VARCHAR), n FROM tf""".stripMargin
-  }
 
   /** Greedy k-center coreset over the embeddings table
     * ([[Similarity.kCenterCoreset]], k = 8): every selection decision
@@ -539,6 +544,35 @@ object OpsQueries {
        |       CAST(NULL AS DOUBLE) AS sim FROM c1
        |$out""".stripMargin
   }
+
+  /** BPE encoding stats (q130) — the APPLY side of q124: every doc
+    * tokenized against the 3-round merged vocabulary
+    * ([[Corpus.bpeEncodeStats]]); per-doc word/token/char counts are
+    * the compression readout a tokenizer change is judged by. The
+    * corpus-scale path is one word explode + a broadcast join to the
+    * vocab-bounded spaced frame + one keyed agg; token counts are
+    * separator arithmetic, no higher-order functions. Oracle reuses
+    * the q124 round CTEs verbatim, so train and apply are gated
+    * against the SAME learned vocabulary.
+    */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    Corpus.bpeEncodeStats(docs(s, dir), "doc_id", "text", rounds = 3)
+
+  val bpeEncodeSql: String =
+    s"""$bpeSqlPrefix
+       |wt AS (
+       |  SELECT w, CAST(length(sp) - length(replace(sp, '·', '')) - 1
+       |            AS BIGINT) AS w_tokens
+       |  FROM s4),
+       |wd AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |wf AS (SELECT doc_id, w FROM wd WHERE length(w) > 0)
+       |SELECT wf.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(wt.w_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(length(wf.w)) AS BIGINT) AS n_chars
+       |FROM wf JOIN wt ON wf.w = wt.w
+       |GROUP BY wf.doc_id""".stripMargin
 
   /** IVF approximate KNN. The whole approximation is deterministic
     * (fixed first-N centroids, id-pinned ties), so the oracle replays it
@@ -2370,7 +2404,8 @@ object OpsQueries {
     "q125_kcenter_coreset" -> kCenterQ _,
     "q126_golden_record" -> goldenRecords _,
     "q128_rendezvous_shards" -> rendezvousShards _,
-    "q129_source_novelty" -> sourceNovelty _)
+    "q129_source_novelty" -> sourceNovelty _,
+    "q130_bpe_encode" -> bpeEncode _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
@@ -2379,6 +2414,7 @@ object OpsQueries {
     "q126_golden_record" -> goldenRecordsSql,
     "q128_rendezvous_shards" -> rendezvousShardsSql,
     "q129_source_novelty" -> sourceNoveltySql,
+    "q130_bpe_encode" -> bpeEncodeSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

@@ -664,8 +664,22 @@ object Corpus {
     * integers; the oracle unrolls the identical rounds as CTE stages.
     */
   def bpeMerges(df: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
+    val (merged, spaced) = bpeRounds(df, textCol, rounds)
+    val tokens = spaced
+      .select(col("wn"), posexplode(split(col("sp"), "·")).as(Seq("i", "tok")))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(sum(col("wn")).as("n"))
+      .select(lit("token").as("kind"), lit(rounds.toLong + 1).as("round"),
+        col("tok").as("mleft"), lit(null).cast("string").as("mright"), col("n"))
+    merged.reduce(_ unionByName _).unionByName(tokens)
+  }
+
+  /** Shared BPE machinery: runs `rounds` merge rounds and returns
+    * (per-round merge frames, final spaced vocabulary (w, wn, sp)). */
+  private def bpeRounds(df: DataFrame, textCol: String,
+      rounds: Int): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    require(rounds >= 1, "bpeMerges needs at least one round")
+    require(rounds >= 1, "bpe needs at least one round")
     val vocab = df
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
@@ -693,12 +707,33 @@ object Corpus {
       best.select(lit("merge").as("kind"), lit(k.toLong).as("round"),
         col("a").as("mleft"), col("b").as("mright"), col("n"))
     }
-    val tokens = spaced
-      .select(col("wn"), posexplode(split(col("sp"), "·")).as(Seq("i", "tok")))
-      .filter(length(col("tok")) > 0)
-      .groupBy(col("tok")).agg(sum(col("wn")).as("n"))
-      .select(lit("token").as("kind"), lit(rounds.toLong + 1).as("round"),
-        col("tok").as("mleft"), lit(null).cast("string").as("mright"), col("n"))
-    merged.reduce(_ unionByName _).unionByName(tokens)
+    (merged, spaced)
+  }
+
+  /** BPE ENCODING at corpus scale — the apply side of [[bpeMerges]]:
+    * learn `rounds` merges, then tokenize every document against the
+    * merged vocabulary and emit per-doc word/token/char stats (the
+    * compression readout a tokenizer change is judged by). The
+    * vocabulary is word-TYPE-keyed, so encoding is one corpus-scale
+    * word explode joined to the vocab-bounded BROADCAST spaced frame
+    * plus one keyed agg back to docs; the per-word token count is pure
+    * string arithmetic — `#separators − 1` on the sentineled spelling
+    * (`length(sp) − length(strip '·') − 1`) — no interpreted
+    * higher-order function anywhere in the corpus-scale path.
+    */
+  def bpeEncodeStats(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int = 3): DataFrame = {
+    val (_, spaced) = bpeRounds(df, textCol, rounds)
+    val perWord = spaced.select(col("w"),
+      (length(col("sp")) - length(regexp_replace(col("sp"), "·", "")) - 1)
+        .cast("long").as("w_tokens"))
+    val words = df.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    words.join(broadcast(perWord), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("w_tokens")).as("n_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
   }
 }

@@ -674,6 +674,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bpe encode: vocab frame broadcasts onto the word explode; no windows on the corpus path") {
+    val p = plan(OpsQueries.bpeEncode(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-word token counts must broadcast onto the corpus explode:\n$p")
+    assert(unpartitionedWindows(p) == 0, p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("png decode histogram is fully row-local: zero exchanges") {
     val p = plan(OpsQueries.pngDecodeHistogram(spark, sf0001))
     assert(!p.contains("Exchange"),

@@ -614,4 +614,20 @@ class CorpusSpec extends SparkSpec {
       ("token", 3L, "b", None, 1L),
       ("token", 3L, "c", None, 1L)))
   }
+
+  test("bpeEncodeStats: per-doc tokenization against the learned vocabulary") {
+    // vocab from both docs: aaab(x2), ab(x1) -> merges (a,a) then (a,b)
+    // (the q124 fixture); final: aaab = [aa, ab], ab = [ab]
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val got = Corpus.bpeEncodeStats(docs, "doc_id", "text", rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 3L, 6L)),   // aaab(2 toks) + ab(1 tok), 6 chars
+      2L -> ((1L, 2L, 4L))))
+    // corpus token mass agrees with the q124 token-frequency table
+    val tokenMass = Corpus.bpeMerges(docs, "text", rounds = 2)
+      .filter(col("kind") === "token").agg(sum("n")).head().getLong(0)
+    assert(tokenMass === 3L + 2L)
+  }
 }
