@@ -574,6 +574,35 @@ object OpsQueries {
        |FROM wf JOIN wt ON wf.w = wt.w
        |GROUP BY wf.doc_id""".stripMargin
 
+  /** Hamilton apportionment of a 1000-slot sampling budget across
+    * event types (q131, [[Corpus.hamiltonQuotas]]): exact-proportional
+    * integer quotas — Σ quota = 1000 EXACTLY, the property the hash
+    * gate machine-checks alongside the per-group allocation.
+    */
+  def hamiltonQ(s: SparkSession, dir: String): DataFrame =
+    Corpus.hamiltonQuotas(Tables.load(s, dir, "events"), "event_type", 1000L)
+
+  val hamiltonSql: String =
+    """WITH g AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM g),
+      |gq AS (
+      |  SELECT event_type, n,
+      |         (1000 * n) // t.t AS fq, (1000 * n) % t.t AS rem
+      |  FROM g CROSS JOIN t),
+      |f AS (SELECT CAST(sum(fq) AS BIGINT) AS fsum FROM gq),
+      |r AS (
+      |  SELECT event_type, n, fq, rem,
+      |         row_number() OVER (ORDER BY rem DESC, event_type ASC) - 1
+      |           AS pred
+      |  FROM gq)
+      |SELECT r.event_type, r.n, CAST(r.fq AS BIGINT) AS fq,
+      |       CAST(r.rem AS BIGINT) AS rem,
+      |       CAST(r.fq + CASE WHEN r.pred < 1000 - f.fsum THEN 1 ELSE 0 END
+      |            AS BIGINT) AS quota
+      |FROM r CROSS JOIN f""".stripMargin
+
   /** IVF approximate KNN. The whole approximation is deterministic
     * (fixed first-N centroids, id-pinned ties), so the oracle replays it
     * exactly in SQL — a hard hash gate, not just a recall spec.
@@ -2405,7 +2434,8 @@ object OpsQueries {
     "q126_golden_record" -> goldenRecords _,
     "q128_rendezvous_shards" -> rendezvousShards _,
     "q129_source_novelty" -> sourceNovelty _,
-    "q130_bpe_encode" -> bpeEncode _)
+    "q130_bpe_encode" -> bpeEncode _,
+    "q131_hamilton_quotas" -> hamiltonQ _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
@@ -2415,6 +2445,7 @@ object OpsQueries {
     "q128_rendezvous_shards" -> rendezvousShardsSql,
     "q129_source_novelty" -> sourceNoveltySql,
     "q130_bpe_encode" -> bpeEncodeSql,
+    "q131_hamilton_quotas" -> hamiltonSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

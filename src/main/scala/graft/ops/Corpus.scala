@@ -710,6 +710,44 @@ object Corpus {
     (merged, spaced)
   }
 
+  /** Largest-remainder (Hamilton) apportionment: split EXACTLY
+    * `totalN` integer slots across groups proportional to their row
+    * counts — the exact-proportional quota allocator for sampling
+    * budgets and shard sizing (vs [[temperatureQuotas]]' α-weighted
+    * mixture). Floor quotas `⌊N·n_g/T⌋` under-allocate by
+    * `R = N − Σ⌊·⌋ < #groups`; the R leftover slots go to the largest
+    * remainders `N·n_g mod T`, ties to the smaller group key — so
+    * `Σ quota = N` exactly, machine-checked by the gate.
+    *
+    * Windowless: the corpus pays ONE keyed count agg; everything else
+    * runs on the group frame (domain-bounded) — remainder ranks via a
+    * broadcast strict-before count self-join (the topNRanker device),
+    * totals as 1-row broadcasts. Oracle spells the rank as the naive
+    * global window, proving the count-join rewrite equal.
+    */
+  def hamiltonQuotas(df: DataFrame, groupCol: String,
+      totalN: Long): DataFrame = {
+    require(totalN >= 0, "totalN must be non-negative")
+    val g = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val tot = g.agg(sum(col("n")).as("t"))
+    val gq = g.crossJoin(broadcast(tot))
+      .withColumn("fq", expr(s"($totalN * n) div t"))
+      .withColumn("rem", expr(s"($totalN * n) % t"))
+      .select(col(groupCol), col("n"), col("fq"), col("rem"))
+    val fsum = gq.agg(sum(col("fq")).as("fsum"))
+    val ranked = gq.as("a").join(broadcast(gq.as("b")),
+        col("b.rem") > col("a.rem") ||
+          (col("b.rem") === col("a.rem") &&
+            col(s"b.$groupCol") < col(s"a.$groupCol")), "left")
+      .groupBy(col(s"a.$groupCol").as(groupCol), col("a.n").as("n"),
+        col("a.fq").as("fq"), col("a.rem").as("rem"))
+      .agg(count(col(s"b.$groupCol")).as("pred"))
+    ranked.crossJoin(broadcast(fsum))
+      .select(col(groupCol), col("n"), col("fq"), col("rem"),
+        (col("fq") + when(col("pred") < lit(totalN) - col("fsum"), 1L)
+          .otherwise(0L)).as("quota"))
+  }
+
   /** BPE ENCODING at corpus scale — the apply side of [[bpeMerges]]:
     * learn `rounds` merges, then tokenize every document against the
     * merged vocabulary and emit per-doc word/token/char stats (the

@@ -615,6 +615,27 @@ class CorpusSpec extends SparkSpec {
       ("token", 3L, "c", None, 1L)))
   }
 
+  test("hamiltonQuotas: exact total, hand-computed largest-remainder splits") {
+    // counts 5/3/2 over N=7: shares 3.5/2.1/1.4 -> floors 3/2/1 (sum 6),
+    // remainders 5/1/4 -> one leftover slot goes to 'a' (rem 5)
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("g")
+    val got = Corpus.hamiltonQuotas(df, "g", 7L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "a" -> ((5L, 3L, 5L, 4L)),
+      "b" -> ((3L, 2L, 1L, 2L)),
+      "c" -> ((2L, 1L, 4L, 1L))))
+    assert(got.values.map(_._4).sum === 7L)
+    // remainder tie: counts 1/1 over N=3 -> floors 1/1, rems 1/1,
+    // leftover to the lexicographically smaller group
+    val tie = Seq("x", "y").toDF("g")
+    val g2 = Corpus.hamiltonQuotas(tie, "g", 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(g2 === Map("x" -> 2L, "y" -> 1L))
+  }
+
   test("bpeEncodeStats: per-doc tokenization against the learned vocabulary") {
     // vocab from both docs: aaab(x2), ab(x1) -> merges (a,a) then (a,b)
     // (the q124 fixture); final: aaab = [aa, ab], ab = [ab]
