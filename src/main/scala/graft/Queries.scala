@@ -1964,6 +1964,63 @@ object Queries {
       |       CAST(q.g_rank AS BIGINT) AS g_rank, g.g_cents AS norm_cents
       |FROM q JOIN g ON g.g_rank = q.rq""".stripMargin
 
+  /** Period-over-period delta contribution (q132) — the "what moved
+    * the metric" decomposition every metrics review runs: split the
+    * event range into halves at the midpoint (1-row broadcast bounds),
+    * aggregate cents per (event_type, half) in ONE conditional keyed
+    * agg, and emit each type's delta plus its share of the total
+    * delta. All counts exact longs; the share is one IEEE division of
+    * exact integers (bitwise cross-engine, no rounding column), NULL
+    * when the total delta is zero (ANSI-safe).
+    */
+  def deltaContribution(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      graft.transform.Stats.cents(col("value")).as("cents"))
+    val bounds = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val per = e.crossJoin(broadcast(bounds))
+      .withColumn("p2", (col("us") > expr("(mn + mx) div 2")).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("p2") === 0, col("cents")).otherwise(0L)).as("c1_cents"),
+        sum(when(col("p2") === 1, col("cents")).otherwise(0L)).as("c2_cents"),
+        sum(lit(1L) - col("p2")).as("n1"), sum(col("p2")).as("n2"))
+      .withColumn("delta_cents", col("c2_cents") - col("c1_cents"))
+    val tot = per.agg(sum(col("delta_cents")).as("td"))
+    per.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n1"), col("n2"),
+        col("c1_cents"), col("c2_cents"), col("delta_cents"),
+        when(col("td") =!= 0,
+          col("delta_cents").cast("double") / col("td").cast("double"))
+          .otherwise(lit(null).cast("double")).as("delta_share"))
+  }
+
+  val deltaContributionSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+      |p AS (
+      |  SELECT event_type,
+      |         CAST(sum(CASE WHEN us > (b.mn + b.mx) // 2 THEN 0 ELSE cents
+      |                  END) AS BIGINT) AS c1_cents,
+      |         CAST(sum(CASE WHEN us > (b.mn + b.mx) // 2 THEN cents ELSE 0
+      |                  END) AS BIGINT) AS c2_cents,
+      |         CAST(sum(CASE WHEN us > (b.mn + b.mx) // 2 THEN 0 ELSE 1
+      |                  END) AS BIGINT) AS n1,
+      |         CAST(sum(CASE WHEN us > (b.mn + b.mx) // 2 THEN 1 ELSE 0
+      |                  END) AS BIGINT) AS n2
+      |  FROM e CROSS JOIN b GROUP BY 1),
+      |d AS (SELECT p.*, c2_cents - c1_cents AS delta_cents FROM p),
+      |t AS (SELECT CAST(sum(delta_cents) AS BIGINT) AS td FROM d)
+      |SELECT d.event_type, d.n1, d.n2, d.c1_cents, d.c2_cents,
+      |       CAST(d.delta_cents AS BIGINT) AS delta_cents,
+      |       CASE WHEN t.td <> 0
+      |            THEN CAST(d.delta_cents AS DOUBLE) / CAST(t.td AS DOUBLE)
+      |       END AS delta_share
+      |FROM d CROSS JOIN t""".stripMargin
+
   /** Unpivot/melt via `stack()` — the inverse of q50's pivot: a wide
     * per-user frame (one cents column per event type) melts back to
     * long form in one Generate, no join, no union-of-scans (the
@@ -2598,7 +2655,8 @@ object Queries {
     "q120_windowed_funnel" -> windowedFunnel _,
     "q121_ks_test" -> ksDrift _,
     "q122_spearman" -> spearmanStats _,
-    "q127_ols_trend" -> olsTrend _)
+    "q127_ols_trend" -> olsTrend _,
+    "q132_delta_contribution" -> deltaContribution _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -2668,5 +2726,6 @@ object Queries {
     "q120_windowed_funnel" -> windowedFunnelSql,
     "q121_ks_test" -> ksDriftSql,
     "q122_spearman" -> spearmanStatsSql,
-    "q127_ols_trend" -> olsTrendSql)
+    "q127_ols_trend" -> olsTrendSql,
+    "q132_delta_contribution" -> deltaContributionSql)
 }
