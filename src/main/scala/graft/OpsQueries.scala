@@ -2124,8 +2124,10 @@ object OpsQueries {
       Dedup.shingleSet(docs(s, dir), "doc_id", "text"), "doc_id", "shingle",
       // hot-prefix-token valve: the 10x smoke measured a 233x task
       // straggler in the unsalted pair-gen join; salting is
-      // result-identical (hash gate unchanged)
-      saltedPairGen = true)
+      // result-identical (hash gate unchanged). 4 salts = 4x prefix
+      // replication but 16 cells per hot token — enough to balance the
+      // smoke's worst stage while costing half the bench time 16 did
+      numSalts = 4, saltedPairGen = true)
 
   val jaccardPrefixSql: String =
     """WITH toks AS (

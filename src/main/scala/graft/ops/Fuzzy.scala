@@ -155,7 +155,8 @@ object Fuzzy {
   def jaccardPrefixJoin(sets0: DataFrame, idCol: String, elemCol: String,
       tNum: Int = 4, tDen: Int = 5, saltedDfJoin: Boolean = false,
       numSalts: Int = 16, reuseSets: Boolean = true,
-      saltedPairGen: Boolean = false): DataFrame = {
+      saltedPairGen: Boolean = false,
+      hotTokenThreshold: Int = 512): DataFrame = {
     require(tNum > 0 && tDen > tNum, "threshold must be in (0,1)")
     // the set frame feeds FOUR subtrees (df counts, the ordering
     // window, and both verify joins); Spark reuses neither scans nor
@@ -178,30 +179,54 @@ object Fuzzy {
       .withColumn("__n", count(lit(1)).over(wId))
       .withColumn("__pos", row_number().over(
         wId.orderBy(col("__df").asc, col(elemCol).asc)))
-    val prefix = ordered.filter(col("__pos") <=
+    val prefix0 = ordered.filter(col("__pos") <=
       col("__n") - call_function("div",
         col("__n") * tNum + (tDen - 1), lit(tDen.toLong)) + 1)
       .select(col(idCol), col(elemCol), col("__n"))
+    // the hot/cold routing below reads the prefix frame five times
+    // (bucket sizes + two sides x two routes); materialize it once —
+    // prefix-scale (~1/tDen of the set frame), same storage posture
+    // and 100 TB escape hatch as `reuseSets`
+    val prefix =
+      if (saltedPairGen) prefix0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else prefix0
     // Candidate pair generation: a self-join keyed on the prefix
     // token. A HOT prefix token (duplicated corpora drive every
     // shingle's df up until moderately-common shingles land in many
     // docs' prefixes) funnels its whole C(m,2) pair fan-out through
     // ONE sort-merge task — the 10x ScaleSmoke measured a 43 s
-    // straggler against a 0.2 s median from exactly this. The valve is
-    // Skew.saltedBlockSelfJoin: both sides split into id-hash chunks,
-    // each (chunk_a, chunk_b) cell meets in its own task, results
-    // provably identical (every pair meets exactly once) — the hash
-    // gate doubles as the equality proof. Replication cost numSalts×
-    // on the PREFIX frames only (~1/tDen of the sets), not the corpus.
+    // straggler against a 0.2 s median from exactly this; AQE's skew
+    // split never fires because the hot partition is INPUT-small and
+    // only its pair OUTPUT is quadratic. The valve routes by token
+    // frequency: tokens whose prefix bucket exceeds
+    // `hotTokenThreshold` go through Skew.saltedBlockSelfJoin (id-hash
+    // chunk cells — every pair meets exactly once, results provably
+    // identical, the hash gate doubles as the proof); the cold
+    // majority keeps the plain keyed join with zero replication, so an
+    // unskewed corpus pays only one bucket-size agg and four broadcast
+    // semi/anti routes (measured noise-level vs unconditional salting's
+    // +80% at sf0.1). Every pair shares its token, so routing is
+    // class-closed — no hot×cold pairs exist to lose.
     val pa = prefix.select(col(idCol).as("id_a"), col(elemCol),
       col("__n").as("n_a"))
     val pb = prefix.select(col(idCol).as("id_b"), col(elemCol),
       col("__n").as("n_b"))
     val paired =
-      if (saltedPairGen)
+      if (saltedPairGen) {
+        val hot = prefix.groupBy(col(elemCol))
+          .agg(count(lit(1)).as("__m"))
+          .filter(col("__m") > hotTokenThreshold)
+          .select(col(elemCol))
         graft.transform.Skew.saltedBlockSelfJoin(
-          pa, pb, elemCol, col("id_a"), col("id_b"), numSalts)
-      else pa.join(pb, Seq(elemCol))
+            pa.join(broadcast(hot), Seq(elemCol), "left_semi"),
+            pb.join(broadcast(hot), Seq(elemCol), "left_semi"),
+            elemCol, col("id_a"), col("id_b"), numSalts)
+          .unionByName(
+            pa.join(broadcast(hot), Seq(elemCol), "left_anti")
+              .join(pb.join(broadcast(hot), Seq(elemCol), "left_anti"),
+                Seq(elemCol)))
+      } else pa.join(pb, Seq(elemCol))
     val cand = paired
       .filter(col("id_a") < col("id_b") &&
         col("n_a") * tDen >= col("n_b") * tNum &&
