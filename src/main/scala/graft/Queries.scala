@@ -1964,6 +1964,75 @@ object Queries {
       |       CAST(q.g_rank AS BIGINT) AS g_rank, g.g_cents AS norm_cents
       |FROM q JOIN g ON g.g_rank = q.rq""".stripMargin
 
+  /** Two-proportion z-test (q133) — the conversion-rate significance
+    * readout beside q102's CUPED means and q108's AUC: users md5-split
+    * into arms A/B (the q102 coin), converted = any purchase event;
+    * emits per-arm n/x/rate and the pooled z statistic
+    * `(p1−p2)/√(p̂(1−p̂)(1/n1+1/n2))`. Counts are exact longs; every
+    * derived double is a fixed IEEE op sequence spelled identically in
+    * the oracle (sqrt is exact-rounded), so the statistic gates
+    * BITWISE with no rounding column. Degenerate pools (p̂ ∈ {0,1})
+    * emit NULL. One user-keyed agg + a 1-row arm pivot.
+    */
+  def twoProportionZ(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8, "A").otherwise("B"))
+    val armAgg = users.groupBy()
+      .agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === "A", col("converted")).otherwise(0L)).as("x1"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("arm") === "B", col("converted")).otherwise(0L)).as("x2"))
+    def d(c: String) = col(c).cast("double")
+    val p1 = d("x1") / d("n1")
+    val p2 = d("x2") / d("n2")
+    val pp = (d("x1") + d("x2")) / (d("n1") + d("n2"))
+    armAgg.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      p1.as("p1"), p2.as("p2"),
+      when(col("n1") > 0 && col("n2") > 0 &&
+          col("x1") + col("x2") > 0 &&
+          col("x1") + col("x2") < col("n1") + col("n2"),
+        (p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / d("n1") + lit(1.0) / d("n2"))))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  val twoProportionZSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS converted,
+      |         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+      |                   ::BIGINT < 8 THEN 'A' ELSE 'B' END AS arm
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT) AS x1,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS x2
+      |  FROM u)
+      |SELECT n1, x1, n2, x2,
+      |       CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+      |       CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+      |       CASE WHEN n1 > 0 AND n2 > 0 AND x1 + x2 > 0
+      |                 AND x1 + x2 < n1 + n2
+      |            THEN (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |                  - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |                 / sqrt(((CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE))
+      |                         / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+      |                        * (1.0 - (CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE))
+      |                                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+      |                        * (1.0 / CAST(n1 AS DOUBLE)
+      |                           + 1.0 / CAST(n2 AS DOUBLE)))
+      |       END AS z
+      |FROM a""".stripMargin
+
   /** Period-over-period delta contribution (q132) — the "what moved
     * the metric" decomposition every metrics review runs: split the
     * event range into halves at the midpoint (1-row broadcast bounds),
@@ -2656,7 +2725,8 @@ object Queries {
     "q121_ks_test" -> ksDrift _,
     "q122_spearman" -> spearmanStats _,
     "q127_ols_trend" -> olsTrend _,
-    "q132_delta_contribution" -> deltaContribution _)
+    "q132_delta_contribution" -> deltaContribution _,
+    "q133_two_proportion_z" -> twoProportionZ _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -2727,5 +2797,6 @@ object Queries {
     "q121_ks_test" -> ksDriftSql,
     "q122_spearman" -> spearmanStatsSql,
     "q127_ols_trend" -> olsTrendSql,
-    "q132_delta_contribution" -> deltaContributionSql)
+    "q132_delta_contribution" -> deltaContributionSql,
+    "q133_two_proportion_z" -> twoProportionZSql)
 }

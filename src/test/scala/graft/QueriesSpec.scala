@@ -6,6 +6,7 @@ package graft
   * vanilla session the way the driver's smoke check invokes it.
   */
 class QueriesSpec extends SparkSpec {
+  import spark.implicits._
 
   private val mayBeEmpty = Set("q17_minhash_lsh", "q21_embedding_dedup")
 
@@ -25,5 +26,39 @@ class QueriesSpec extends SparkSpec {
 
   test("entry returns rows on the smoke fixture (driver contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("two-proportion z matches an independent driver-side computation") {
+    // planted fixture: 40 users, one event each, every 5th converts —
+    // the sf fixtures are degenerate here (every user purchases, so
+    // the pooled rate is 1 and z is correctly NULL-guarded)
+    val dir = java.nio.file.Files.createTempDirectory("zprop").toString
+    val rows = (100L to 139L).map(u =>
+      (1000L + u, u * 3600000000000L, u,
+        if (u % 5 == 0) "purchase" else "view", 1.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Queries.twoProportionZ(spark, dir).head()
+    val (n1, x1, n2, x2) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // recompute the arm split and conversions independently of Spark
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def armA(uid: Long): Boolean = {
+      val hex = md.digest(uid.toString.getBytes("UTF-8"))
+        .map(b => "%02x".format(b & 0xff)).mkString
+      Integer.parseInt(hex.substring(0, 1), 16) < 8
+    }
+    val users = (100L to 139L).map(u => (armA(u), u % 5 == 0))
+    assert(n1 === users.count(_._1).toLong)
+    assert(x1 === users.count(t => t._1 && t._2).toLong)
+    assert(n2 === users.count(!_._1).toLong)
+    assert(x2 === users.count(t => !t._1 && t._2).toLong)
+    assert(n1 + n2 === 40L && x1 + x2 === 8L)
+    val (p1, p2) = (x1.toDouble / n1, x2.toDouble / n2)
+    val pp = (x1 + x2).toDouble / (n1 + n2)
+    val want = (p1 - p2) /
+      math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert(r.getDouble(4) === p1 && r.getDouble(5) === p2)
+    assert(math.abs(r.getDouble(6) - want) < 1e-12)
   }
 }
