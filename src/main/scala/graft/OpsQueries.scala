@@ -603,6 +603,64 @@ object OpsQueries {
       |            AS BIGINT) AS quota
       |FROM r CROSS JOIN f""".stripMargin
 
+  /** Capture-recapture distinct-content estimate (q134) — estimate
+    * the dedup burden BEFORE paying for dedup: two disjoint md5-coin
+    * doc samples (nibble 0-3 -> A, 4-7 -> B, half the corpus never
+    * read past the coin), "marks" are exact-dup content fingerprints
+    * (the q16 identity), and Chapman's nearly-unbiased estimator
+    * `N̂ = (nA+1)(nB+1)/(m+1) − 1` scales the overlap up to the
+    * distinct-content count of the WHOLE corpus. The true distinct
+    * count rides along so the estimate is auditable in-band. Keyed
+    * fingerprint aggs + a 1-row readout; the estimate is one IEEE
+    * expression of exact longs — gates bitwise, no rounding column.
+    */
+  def captureRecapture(s: SparkSession, dir: String): DataFrame = {
+    val fp = docs(s, dir).select(col("doc_id"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fp"),
+      conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int").as("coin"))
+    val a = fp.filter(col("coin") < 4).select(col("fp")).distinct()
+    val b = fp.filter(col("coin") >= 4 && col("coin") < 8)
+      .select(col("fp")).distinct()
+    val counts = a.withColumn("inA", lit(1L))
+      .join(b.withColumn("inB", lit(1L)), Seq("fp"), "full_outer")
+      .agg(sum(coalesce(col("inA"), lit(0L))).as("n_a"),
+        sum(coalesce(col("inB"), lit(0L))).as("n_b"),
+        sum(coalesce(col("inA"), lit(0L)) * coalesce(col("inB"), lit(0L)))
+          .as("m"))
+    val truth = fp.select(col("fp")).distinct()
+      .agg(count(lit(1)).as("n_distinct_true"))
+    def d(c: String) = col(c).cast("double")
+    counts.crossJoin(broadcast(truth))
+      .select(col("n_a"), col("n_b"), col("m"), col("n_distinct_true"),
+        ((d("n_a") + 1.0) * (d("n_b") + 1.0) / (d("m") + 1.0) - 1.0)
+          .as("n_hat"))
+  }
+
+  val captureRecaptureSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT
+      |           AS coin
+      |  FROM documents),
+      |a AS (SELECT DISTINCT fp FROM fp WHERE coin < 4),
+      |b AS (SELECT DISTINCT fp FROM fp WHERE coin >= 4 AND coin < 8),
+      |c AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN a.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_a,
+      |    CAST(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_b,
+      |    CAST(sum(CASE WHEN a.fp IS NOT NULL AND b.fp IS NOT NULL
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS m
+      |  FROM a FULL OUTER JOIN b ON a.fp = b.fp),
+      |t AS (SELECT CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_true FROM fp)
+      |SELECT c.n_a, c.n_b, c.m, t.n_distinct_true,
+      |       (CAST(c.n_a AS DOUBLE) + 1.0) * (CAST(c.n_b AS DOUBLE) + 1.0)
+      |         / (CAST(c.m AS DOUBLE) + 1.0) - 1.0 AS n_hat
+      |FROM c CROSS JOIN t""".stripMargin
+
   /** IVF approximate KNN. The whole approximation is deterministic
     * (fixed first-N centroids, id-pinned ties), so the oracle replays it
     * exactly in SQL — a hard hash gate, not just a recall spec.
@@ -2437,7 +2495,8 @@ object OpsQueries {
     "q128_rendezvous_shards" -> rendezvousShards _,
     "q129_source_novelty" -> sourceNovelty _,
     "q130_bpe_encode" -> bpeEncode _,
-    "q131_hamilton_quotas" -> hamiltonQ _)
+    "q131_hamilton_quotas" -> hamiltonQ _,
+    "q134_capture_recapture" -> captureRecapture _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
@@ -2448,6 +2507,7 @@ object OpsQueries {
     "q129_source_novelty" -> sourceNoveltySql,
     "q130_bpe_encode" -> bpeEncodeSql,
     "q131_hamilton_quotas" -> hamiltonSql,
+    "q134_capture_recapture" -> captureRecaptureSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,
