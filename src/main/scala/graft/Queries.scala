@@ -2090,6 +2090,85 @@ object Queries {
       |       END AS delta_share
       |FROM d CROSS JOIN t""".stripMargin
 
+  /** Per-user inter-event gap features (q135) — the burstiness /
+    * bot-screen featurization: gaps between consecutive events on a
+    * user-PARTITIONED lag window, aggregated to count/sum/max and a
+    * mean (one IEEE division of exact integer µs — bitwise). Ties on
+    * the timestamp are harmless by construction: the gap MULTISET of a
+    * sorted sequence is invariant under tie permutation, so the
+    * emitted aggregates are deterministic without an id tie-break in
+    * the window order.
+    */
+  def gapFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sum_gap_us"),
+        max(col("gap")).as("max_gap_us"))
+      .withColumn("mean_gap_us",
+        col("sum_gap_us").cast("double") / col("n_gaps").cast("double"))
+  }
+
+  val gapFeaturesSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |         us - lag(us) OVER (PARTITION BY user_id ORDER BY us ASC) AS gap
+      |  FROM e),
+      |f AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+      |       CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+      |       CAST(max(gap) AS BIGINT) AS max_gap_us,
+      |       CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |         AS mean_gap_us
+      |FROM f GROUP BY user_id""".stripMargin
+
+  /** Top event-path trigrams (q136) — the product-analytics "common
+    * journeys" readout: consecutive event-type triples per user (two
+    * lag-free lead() hops on ONE user-partitioned window ordering),
+    * counted globally and cut to the top 20 by (count desc, path asc)
+    * via TakeOrdered — no global sort. The window order is tie-pinned
+    * by event_id so the path sequence itself is deterministic.
+    */
+  def pathTrigrams(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc).limit(20)
+  }
+
+  val pathTrigramsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         event_type
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type AS t1,
+      |         lead(event_type, 1) OVER
+      |           (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS t2,
+      |         lead(event_type, 2) OVER
+      |           (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS t3
+      |  FROM e)
+      |SELECT t1 || '>' || t2 || '>' || t3 AS path,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM t WHERE t3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""".stripMargin
+
   /** Unpivot/melt via `stack()` — the inverse of q50's pivot: a wide
     * per-user frame (one cents column per event type) melts back to
     * long form in one Generate, no join, no union-of-scans (the
@@ -2726,7 +2805,9 @@ object Queries {
     "q122_spearman" -> spearmanStats _,
     "q127_ols_trend" -> olsTrend _,
     "q132_delta_contribution" -> deltaContribution _,
-    "q133_two_proportion_z" -> twoProportionZ _)
+    "q133_two_proportion_z" -> twoProportionZ _,
+    "q135_gap_features" -> gapFeatures _,
+    "q136_path_trigrams" -> pathTrigrams _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -2798,5 +2879,7 @@ object Queries {
     "q122_spearman" -> spearmanStatsSql,
     "q127_ols_trend" -> olsTrendSql,
     "q132_delta_contribution" -> deltaContributionSql,
-    "q133_two_proportion_z" -> twoProportionZSql)
+    "q133_two_proportion_z" -> twoProportionZSql,
+    "q135_gap_features" -> gapFeaturesSql,
+    "q136_path_trigrams" -> pathTrigramsSql)
 }
