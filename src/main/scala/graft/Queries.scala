@@ -2090,6 +2090,72 @@ object Queries {
       |       END AS delta_share
       |FROM d CROSS JOIN t""".stripMargin
 
+  /** Earth-mover (W₁) drift per event type (q137,
+    * [[graft.transform.Stats.emdByKey]]) on the q75 first/second-half
+    * split — the integrated-CDF-gap companion to PSI (q75) and KS
+    * (q121): the numerator is an exact DECIMAL↔HUGEINT cross-product
+    * sum, the headline emd ONE division of once-converted exact
+    * operands — bitwise, no rounding column.
+    */
+  def emdDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        graft.transform.Stats.cents(col("value")).as("cents"))
+    val mid = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(expr("mn + (mx - mn) div 2").as("mid"))
+    val tagged = e.crossJoin(broadcast(mid)).persist()
+    val ref = tagged.filter(col("us") <= col("mid"))
+      .select(col("event_type"), col("cents"))
+    val cur = tagged.filter(col("us") > col("mid"))
+      .select(col("event_type"), col("cents"))
+    graft.transform.Stats.emdByKey(ref, cur, Seq("event_type"), "cents", 10)
+  }
+
+  val emdDriftSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM e),
+      |ref AS (SELECT event_type, cents FROM e, m WHERE us <= mid),
+      |cur AS (SELECT event_type, cents FROM e, m WHERE us > mid),
+      |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM ref),
+      |rb AS (SELECT event_type,
+      |              least(9, greatest(0, ((cents - mn) * 10) // (mx - mn + 1))) AS bucket,
+      |              count(*) AS n_ref
+      |       FROM ref, b GROUP BY 1, 2),
+      |cb AS (SELECT event_type,
+      |              least(9, greatest(0, ((cents - mn) * 10) // (mx - mn + 1))) AS bucket,
+      |              count(*) AS n_cur
+      |       FROM cur, b GROUP BY 1, 2),
+      |rt AS (SELECT event_type, count(*) AS nt_ref FROM ref GROUP BY 1),
+      |ct AS (SELECT event_type, count(*) AS nt_cur FROM cur GROUP BY 1),
+      |grid AS (SELECT event_type, unnest(range(0, 10)) AS bucket
+      |         FROM (SELECT DISTINCT event_type FROM ref)),
+      |j AS (SELECT grid.event_type, grid.bucket,
+      |             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
+      |             nt_ref, coalesce(nt_cur, 0) AS nt_cur
+      |      FROM grid LEFT JOIN rb USING (event_type, bucket)
+      |                LEFT JOIN cb USING (event_type, bucket)
+      |                JOIN rt USING (event_type)
+      |                LEFT JOIN ct USING (event_type)),
+      |k AS (SELECT event_type, nt_ref, nt_cur,
+      |             abs(CAST(sum(n_ref) OVER (PARTITION BY event_type
+      |                   ORDER BY bucket ASC ROWS BETWEEN UNBOUNDED PRECEDING
+      |                   AND CURRENT ROW) AS HUGEINT) * nt_cur
+      |                 - CAST(sum(n_cur) OVER (PARTITION BY event_type
+      |                   ORDER BY bucket ASC ROWS BETWEEN UNBOUNDED PRECEDING
+      |                   AND CURRENT ROW) AS HUGEINT) * nt_ref) AS gap
+      |      FROM j)
+      |SELECT event_type,
+      |       CAST(nt_ref AS BIGINT) AS nt_ref, CAST(nt_cur AS BIGINT) AS nt_cur,
+      |       CAST(sum(gap) AS BIGINT) AS emd_num,
+      |       CASE WHEN nt_ref > 0 AND nt_cur > 0
+      |            THEN CAST(sum(gap) AS DOUBLE)
+      |                 / CAST(CAST(nt_ref AS HUGEINT) * nt_cur * 10 AS DOUBLE)
+      |       END AS emd
+      |FROM k GROUP BY event_type, nt_ref, nt_cur""".stripMargin
+
   /** Per-user inter-event gap features (q135) — the burstiness /
     * bot-screen featurization: gaps between consecutive events on a
     * user-PARTITIONED lag window, aggregated to count/sum/max and a
@@ -2807,7 +2873,8 @@ object Queries {
     "q132_delta_contribution" -> deltaContribution _,
     "q133_two_proportion_z" -> twoProportionZ _,
     "q135_gap_features" -> gapFeatures _,
-    "q136_path_trigrams" -> pathTrigrams _)
+    "q136_path_trigrams" -> pathTrigrams _,
+    "q137_emd_drift" -> emdDrift _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -2881,5 +2948,6 @@ object Queries {
     "q132_delta_contribution" -> deltaContributionSql,
     "q133_two_proportion_z" -> twoProportionZSql,
     "q135_gap_features" -> gapFeaturesSql,
-    "q136_path_trigrams" -> pathTrigramsSql)
+    "q136_path_trigrams" -> pathTrigramsSql,
+    "q137_emd_drift" -> emdDriftSql)
 }

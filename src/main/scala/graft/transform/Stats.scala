@@ -294,6 +294,81 @@ object Stats {
         pround(sum(contrib).over(w), 6).as("psi_cum")): _*)
   }
 
+  /** Earth-mover (Wasserstein-1) drift between a reference and a
+    * current slice, per key — the metric-space drift monitor beside
+    * [[psiByKey]] (density ratios) and [[ksTestByKey]] (max CDF gap):
+    * W₁ integrates the WHOLE CDF gap, so it sees gradual mass shifts
+    * KS's single max understates and PSI's log-ratios blur. Same
+    * binning contract as PSI (reference defines `nBuckets` equal-width
+    * bins; current clamps into the edge bins).
+    *
+    * Exactness: per bucket the normalized CDF gap rides the exact
+    * integer cross product `|cum_ref·nt_cur − cum_cur·nt_ref|` in
+    * DECIMAL(38,0) ↔ HUGEINT (the [[corrByKey]] discipline — no
+    * float CDFs, so the bucket sum is associative), and the headline
+    * `emd = Σ|·| / (nt_ref·nt_cur·B)` is ONE division of two
+    * once-converted exact operands — bitwise cross-engine, no
+    * rounding column. Cumulative counts ride key-partitioned running
+    * windows over the bin order (frame-order-pinned).
+    *
+    * Scale: identical posture to PSI — two keyed bucket aggs with
+    * map-side partials, a keys×bins grid, broadcast count frames;
+    * nothing corpus-sized past the first aggregation. The emitted
+    * numerator is cast to BIGINT for the gate — exact while
+    * `nt_ref·nt_cur ≤ ~9·10¹⁸` (beyond that emit the DECIMAL raw).
+    */
+  def emdByKey(ref: DataFrame, cur: DataFrame, keyCols: Seq[String],
+      centsCol: String, nBuckets: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "emdByKey needs at least one key column")
+    require(nBuckets >= 2, "emdByKey needs at least two buckets")
+    val keys = keyCols.map(col)
+    val bounds = ref.agg(min(col(centsCol)).as("__mn"),
+      max(col(centsCol)).as("__mx"))
+    def bucketed(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(bounds))
+        .select(keys :+
+          least(lit(nBuckets - 1L), greatest(lit(0L),
+            expr(s"(($centsCol - __mn) * $nBuckets) div (__mx - __mn + 1)")))
+            .cast("long").as("bucket"): _*)
+        .groupBy(keys :+ col("bucket"): _*)
+        .agg(count(lit(1)).as("n"))
+    val refCounts = bucketed(ref).withColumnRenamed("n", "n_ref")
+    val curCounts = bucketed(cur).withColumnRenamed("n", "n_cur")
+    val refTotals = ref.groupBy(keys: _*).agg(count(lit(1)).as("nt_ref"))
+    val curTotals = cur.groupBy(keys: _*).agg(count(lit(1)).as("nt_cur"))
+    val grid = ref.select(keys: _*).distinct()
+      .select(keys :+ explode(sequence(lit(0L), lit(nBuckets - 1L)))
+        .as("bucket"): _*)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys: _*).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val joined = grid
+      .join(broadcast(refCounts), keyCols :+ "bucket", "left")
+      .join(broadcast(curCounts), keyCols :+ "bucket", "left")
+      .join(broadcast(refTotals), keyCols)
+      .join(broadcast(curTotals), keyCols, "left")
+      .select(keys ++ Seq(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        col("nt_ref"), coalesce(col("nt_cur"), lit(0L)).as("nt_cur")): _*)
+      .withColumn("cum_ref", sum(col("n_ref")).over(w))
+      .withColumn("cum_cur", sum(col("n_cur")).over(w))
+      .withColumn("gap",
+        abs(dec(col("cum_ref")) * dec(col("nt_cur")) -
+          dec(col("cum_cur")) * dec(col("nt_ref"))).cast("decimal(38,0)"))
+    joined
+      .groupBy(keys ++ Seq(col("nt_ref"), col("nt_cur")): _*)
+      .agg(sum(col("gap")).cast("decimal(38,0)").as("__num"))
+      .select(keys ++ Seq(col("nt_ref"), col("nt_cur"),
+        col("__num").cast("long").as("emd_num"),
+        when(col("nt_ref") > 0 && col("nt_cur") > 0,
+          col("__num").cast("double") /
+            (dec(col("nt_ref")) * dec(col("nt_cur")) * lit(nBuckets.toLong))
+              .cast("decimal(38,0)").cast("double"))
+          .otherwise(lit(null).cast("double")).as("emd")): _*)
+  }
+
   /** Winsorization — clip a cents column at per-key quantile bounds
     * before aggregating, the standard tame-the-tails step ahead of
     * mean-based features (unlike [[madOutliers]]' flag-and-drop, every

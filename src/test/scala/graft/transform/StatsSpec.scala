@@ -118,6 +118,22 @@ class StatsSpec extends SparkSpec {
     assert(got(("b", 9L))._4 > 0.25)
   }
 
+  test("emdByKey: hand-computed W1; identical halves zero; empty current NULL") {
+    // ref 0..9 (one per bucket), cur all at 9: cum gaps 10(b+1) for
+    // b=0..8, 0 at b=9 -> num = 10*45 = 450; emd = 450/(10*10*10)
+    val ref = ((0L to 9L).map(("a", _)) ++ (0L to 9L).map(("b", _)) ++
+      Seq(("c", 1L), ("c", 2L))).toDF("k", "cents")
+    val cur = (Seq.fill(10)(("a", 9L)) ++ (0L to 9L).map(("b", _)))
+      .toDF("k", "cents")
+    val got = Stats.emdByKey(ref, cur, Seq("k"), "cents", nBuckets = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("a") === ((10L, 10L, 450L, Some(0.45))))
+    assert(got("b") === ((10L, 10L, 0L, Some(0.0))))   // identical halves
+    assert(got("c") === ((2L, 0L, 0L, None)))          // no current slice
+  }
+
   test("winsorizeByKey clips at the dyadic fences; survivors unchanged") {
     // 17 values 0..16: p(1/16) position = 16/16 = 1 → lo = 1;
     // p(15/16) position = 15 → hi = 15. One row below, one above.
