@@ -2156,6 +2156,46 @@ object Queries {
       |       END AS emd
       |FROM k GROUP BY event_type, nt_ref, nt_cur""".stripMargin
 
+  /** Sample-ratio-mismatch check (q138) — the experiment-health gate
+    * that must pass BEFORE q133's z-test is readable: under a 50/50
+    * md5 split, `chi2 = (n1−n2)²/N` (one df). The squared difference
+    * rides DECIMAL → one conversion; the flag compares against the
+    * 95% critical value 3.841459 as data, so the gate pins the
+    * DECISION, not just the statistic.
+    */
+  def srmCheck(s: SparkSession, dir: String): DataFrame = {
+    val armed = t(s, dir, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("armA",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8).cast("long"))
+      .agg(sum(col("armA")).as("n1"),
+        sum(lit(1L) - col("armA")).as("n2"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val chi2 = (dec(col("n1") - col("n2")) * dec(col("n1") - col("n2")))
+      .cast("decimal(38,0)").cast("double") /
+      (col("n1") + col("n2")).cast("double")
+    armed.select(col("n1"), col("n2"), chi2.as("chi2"),
+      (chi2 > 3.841459).cast("long").as("srm_flag"))
+  }
+
+  val srmCheckSql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |a AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+      |                       ::BIGINT < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+      |                       ::BIGINT < 8 THEN 0 ELSE 1 END) AS BIGINT) AS n2
+      |  FROM u)
+      |SELECT n1, n2,
+      |       CAST(CAST(n1 - n2 AS HUGEINT) * (n1 - n2) AS DOUBLE)
+      |         / CAST(n1 + n2 AS DOUBLE) AS chi2,
+      |       CAST(CASE WHEN CAST(CAST(n1 - n2 AS HUGEINT) * (n1 - n2) AS DOUBLE)
+      |                      / CAST(n1 + n2 AS DOUBLE) > 3.841459
+      |            THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+      |FROM a""".stripMargin
+
   /** Per-user inter-event gap features (q135) — the burstiness /
     * bot-screen featurization: gaps between consecutive events on a
     * user-PARTITIONED lag window, aggregated to count/sum/max and a
@@ -2874,7 +2914,8 @@ object Queries {
     "q133_two_proportion_z" -> twoProportionZ _,
     "q135_gap_features" -> gapFeatures _,
     "q136_path_trigrams" -> pathTrigrams _,
-    "q137_emd_drift" -> emdDrift _)
+    "q137_emd_drift" -> emdDrift _,
+    "q138_srm_check" -> srmCheck _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -2949,5 +2990,6 @@ object Queries {
     "q133_two_proportion_z" -> twoProportionZSql,
     "q135_gap_features" -> gapFeaturesSql,
     "q136_path_trigrams" -> pathTrigramsSql,
-    "q137_emd_drift" -> emdDriftSql)
+    "q137_emd_drift" -> emdDriftSql,
+    "q138_srm_check" -> srmCheckSql)
 }
