@@ -661,6 +661,50 @@ object OpsQueries {
       |         / (CAST(c.m AS DOUBLE) + 1.0) - 1.0 AS n_hat
       |FROM c CROSS JOIN t""".stripMargin
 
+  /** k-anonymity audit (q139, [[Quality.kAnonymity]]): events as a
+    * release candidate with quasi-identifiers (hour-of-day, value
+    * decile), summarized per event_type at k = 5 — class counts,
+    * classes below k, rows at risk, and the realized anonymity level.
+    * The value decile uses [[graft.transform.Stats.histogramFixedWidth]]
+    * integer arithmetic against a 1-row broadcast bounds frame.
+    */
+  def kAnonymityQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events").select(col("event_type"),
+      expr("unix_timestamp(ts) div 3600 % 24").as("hour_of_day"),
+      graft.transform.Stats.cents(col("value")).as("cents"))
+    val bounds = e.agg(min(col("cents")).as("__mn"), max(col("cents")).as("__mx"))
+    val qi = e.crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("hour_of_day"),
+        least(lit(9L), greatest(lit(0L),
+          expr("((cents - __mn) * 10) div (__mx - __mn + 1)"))).as("decile"))
+    graft.ops.Quality.kAnonymity(qi, "event_type", Seq("hour_of_day", "decile"), k = 5L)
+  }
+
+  val kAnonymitySql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |           // 3600 % 24 AS hour_of_day,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM e),
+      |q AS (
+      |  SELECT event_type, hour_of_day,
+      |         least(9, greatest(0, ((cents - mn) * 10) // (mx - mn + 1)))
+      |           AS decile
+      |  FROM e CROSS JOIN b),
+      |c AS (
+      |  SELECT event_type, hour_of_day, decile,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM q GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_classes,
+      |       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_small_classes,
+      |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |         AS n_rows_at_risk,
+      |       CAST(min(n) AS BIGINT) AS min_class_size
+      |FROM c GROUP BY event_type""".stripMargin
+
   /** IVF approximate KNN. The whole approximation is deterministic
     * (fixed first-N centroids, id-pinned ties), so the oracle replays it
     * exactly in SQL — a hard hash gate, not just a recall spec.
@@ -2496,7 +2540,8 @@ object OpsQueries {
     "q129_source_novelty" -> sourceNovelty _,
     "q130_bpe_encode" -> bpeEncode _,
     "q131_hamilton_quotas" -> hamiltonQ _,
-    "q134_capture_recapture" -> captureRecapture _)
+    "q134_capture_recapture" -> captureRecapture _,
+    "q139_k_anonymity" -> kAnonymityQ _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
@@ -2508,6 +2553,7 @@ object OpsQueries {
     "q130_bpe_encode" -> bpeEncodeSql,
     "q131_hamilton_quotas" -> hamiltonSql,
     "q134_capture_recapture" -> captureRecaptureSql,
+    "q139_k_anonymity" -> kAnonymitySql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

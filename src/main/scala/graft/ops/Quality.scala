@@ -124,4 +124,29 @@ object Quality {
     }
     (fused.toSeq ++ structural).reduce(_ unionByName _)
   }
+
+  /** k-anonymity audit over declared quasi-identifier columns — the
+    * re-identification-risk readout beside the PII scrub (q37) and
+    * opt-out purge (q59): rows whose QI equivalence class holds fewer
+    * than `k` members are individually re-identifiable by anyone who
+    * knows those attributes. Emits one summary row per `byCol` value:
+    * class count, classes below k, rows at risk, and the minimum
+    * class size (the table's actual anonymity level).
+    *
+    * Scale: ONE keyed agg on the QI tuple (map-side partials — state
+    * per task is QI-domain-bounded, which is the point of QIs) + one
+    * rollup agg; exact longs throughout; no window, no join.
+    */
+  def kAnonymity(df: DataFrame, byCol: String, qiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")
+    require(k >= 2, "k < 2 makes every class anonymous")
+    val classes = df.groupBy((byCol +: qiCols).map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    classes.groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_small_classes"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_rows_at_risk"),
+        min(col("n")).as("min_class_size"))
+  }
 }

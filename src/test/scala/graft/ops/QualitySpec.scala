@@ -62,4 +62,19 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(b.toSeq === s.toSeq && b.head === ((3L, 1L)))
   }
+
+  test("kAnonymity: hand-computed class sizes, risk counts, realized k") {
+    // group g1: classes (a,1)x5, (a,2)x2, (b,1)x1 -> 3 classes,
+    //   2 below k=3, 3 rows at risk, min class 1
+    // group g2: one class x4 -> anonymous at k=3
+    val df = (Seq.fill(5)(("g1", "a", 1)) ++ Seq.fill(2)(("g1", "a", 2)) ++
+      Seq(("g1", "b", 1)) ++ Seq.fill(4)(("g2", "a", 1)))
+      .toDF("grp", "qi1", "qi2")
+    val got = Quality.kAnonymity(df, "grp", Seq("qi1", "qi2"), k = 3L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "g1" -> ((3L, 2L, 3L, 1L)),
+      "g2" -> ((1L, 0L, 0L, 4L))))
+  }
 }
