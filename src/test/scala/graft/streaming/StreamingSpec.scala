@@ -57,6 +57,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous drift monitor: foreachBatch EMD converges to the batch answer") {
+    // the streaming face of q137: a static reference slice, a streamed
+    // current slice; each micro-batch recomputes W1 drift over
+    // everything ingested so far, and after the last batch the
+    // monitor's readout equals the one-shot batch computation exactly
+    // (emdByKey is deterministic, so convergence is equality)
+    import graft.transform.Stats
+    val src = Files.createTempDirectory("drift_src").toString
+    val chk = Files.createTempDirectory("drift_chk").toString
+    val ref = (0L to 9L).map(("a", _)).toDF("k", "cents")
+    writeDrop(src, Seq((1L, "2024-01-01 10:00:00", 0.09))) // cents 9
+    val schema = spark.read.parquet(src).schema
+    @volatile var last: Map[String, (Long, Long, Long, Option[Double])] = Map.empty
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q = graft.streaming.StreamingIngest.readStream(spark, src, schema)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(seen.add)
+        val curRows = seen.toArray(Array.empty[org.apache.spark.sql.Row])
+          .map(r => ("a", math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+        if (curRows.nonEmpty) {
+          val cur = curRows.toSeq.toDF("k", "cents")
+          last = Stats.emdByKey(ref, cur, Seq("k"), "cents", nBuckets = 10)
+            .collect().map(r => r.getString(0) ->
+              ((r.getLong(1), r.getLong(2), r.getLong(3),
+                Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // second micro-batch: nine more rows, all at cents 9
+      writeDrop(src, (2L to 10L).map(i =>
+        (i, "2024-01-01 10:01:00", 0.09)))
+      q.processAllAvailable()
+      // ten current rows all in the top bucket vs uniform ref: the
+      // hand-computed q137 fixture — and exactly what the one-shot
+      // batch emdByKey returns on the same accumulated data
+      val batchAnswer = Stats.emdByKey(ref,
+          Seq.fill(10)(("a", 9L)).toDF("k", "cents"), Seq("k"), "cents", 10)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+      assert(last === batchAnswer)
+      assert(last("a") === ((10L, 10L, 450L, Some(0.45))))
+    } finally q.stop()
+  }
+
   test("append mode finalizes windows at the watermark and drops late rows") {
     val src = Files.createTempDirectory("stream_src4").toString
     // batch 1: an on-time row plus a far-ahead row that advances the
