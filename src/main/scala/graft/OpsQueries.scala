@@ -705,6 +705,49 @@ object OpsQueries {
       |       CAST(min(n) AS BIGINT) AS min_class_size
       |FROM c GROUP BY event_type""".stripMargin
 
+  /** Proportional source interleave (q140) — the data-loader ORDER for
+    * a mixed training corpus: docs ranked within their source in
+    * deterministic md5 order, then given a smooth-round-robin global
+    * key `(2r−1)·2⁴⁰ div (2·n_s)` (the ideal fractional position
+    * (r−½)/n_s in fixed-point): sorting by (key, source, r) yields a
+    * stream where every prefix holds each source in proportion — no
+    * source ever bursts or starves regardless of size imbalance. The
+    * key is EMITTED, not sorted here (the consumer's shuffle/write
+    * applies it), so the plan has no global sort; ranks ride
+    * source-partitioned windows and per-source counts broadcast. All
+    * integer arithmetic — the gate pins every position exactly.
+    */
+  def sourceInterleave(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      md5(col("doc_id").cast("string")).as("h"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    d.withColumn("r", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq("source"))
+      .select(col("doc_id"), col("source"), col("r"), col("n_s"),
+        expr("((2 * r - 1) * 1099511627776) div (2 * n_s)")
+          .as("interleave_key"))
+  }
+
+  val sourceInterleaveSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |                                 ORDER BY h ASC, doc_id ASC)
+      |              AS BIGINT) AS r
+      |  FROM d),
+      |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+      |      FROM d GROUP BY source)
+      |SELECT r.doc_id, r.source, r.r, c.n_s,
+      |       ((2 * r.r - 1) * 1099511627776) // (2 * c.n_s)
+      |         AS interleave_key
+      |FROM r JOIN c ON r.source = c.source""".stripMargin
+
   /** IVF approximate KNN. The whole approximation is deterministic
     * (fixed first-N centroids, id-pinned ties), so the oracle replays it
     * exactly in SQL — a hard hash gate, not just a recall spec.
@@ -2541,7 +2584,8 @@ object OpsQueries {
     "q130_bpe_encode" -> bpeEncode _,
     "q131_hamilton_quotas" -> hamiltonQ _,
     "q134_capture_recapture" -> captureRecapture _,
-    "q139_k_anonymity" -> kAnonymityQ _)
+    "q139_k_anonymity" -> kAnonymityQ _,
+    "q140_source_interleave" -> sourceInterleave _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
@@ -2554,6 +2598,7 @@ object OpsQueries {
     "q131_hamilton_quotas" -> hamiltonSql,
     "q134_capture_recapture" -> captureRecaptureSql,
     "q139_k_anonymity" -> kAnonymitySql,
+    "q140_source_interleave" -> sourceInterleaveSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

@@ -400,6 +400,24 @@ class OpsSpec extends SparkSpec {
       "s2" -> ((2L, 1L, 1L))))  // types {abc,xyz}; xyz first+exclusive
   }
 
+  test("source interleave: every sorted prefix holds each source in proportion ±1") {
+    val out = graft.OpsQueries.sourceInterleave(spark, sf0001)
+      .orderBy(col("interleave_key"), col("source"), col("r"))
+      .select("source", "n_s").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = out.length
+    val totals = out.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    for (p <- Seq(n / 10, n / 3, n / 2, (9 * n) / 10)) {
+      val prefix = out.take(p).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      totals.foreach { case (src, ns) =>
+        val ideal = p.toDouble * ns / n
+        val got = prefix.getOrElse(src, 0L).toDouble
+        assert(math.abs(got - ideal) <= 1.0,
+          s"source $src holds $got of prefix $p, ideal $ideal")
+      }
+    }
+  }
+
   test("rendezvous shards: only the removed shard's docs move (HRW theorem)") {
     val out = graft.OpsQueries.rendezvousShards(spark, sf0001).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
