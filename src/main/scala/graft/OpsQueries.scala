@@ -748,6 +748,61 @@ object OpsQueries {
       |         AS interleave_key
       |FROM r JOIN c ON r.source = c.source""".stripMargin
 
+  /** Duplicate-passage boilerplate audit (q141,
+    * [[Dedup.duplicatePassages]]): per-source counts of stride-8 token
+    * windows whose exact text recurs corpus-wide (the cross-doc
+    * boilerplate screen beside q38's intra-doc repetition), plus the
+    * CCNet-style drop count — docs where duplicated windows are at
+    * least half the doc (`2·dup ≥ windows`, an integer compare, no
+    * per-doc division). The one emitted double is a single division
+    * of exact longs. Passages shuffle as 60-bit md5-prefix
+    * fingerprints, never as text; the oracle replays the identical
+    * fingerprint so the hash gate also pins the fingerprint path.
+    */
+  def duplicatePassagesQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.duplicatePassages(d, "doc_id", "text")
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_windows")).as("n_windows"),
+        sum(col("n_dup_windows")).as("n_dup_windows"),
+        sum(when(col("n_dup_windows") * 2 >= col("n_windows"), 1L)
+          .otherwise(0L)).as("n_flagged_docs"))
+      .withColumn("dup_rate",
+        col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+  }
+
+  val duplicatePassagesSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |win AS (
+      |  SELECT doc_id, source,
+      |         array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ')
+      |           AS passage
+      |  FROM (SELECT doc_id, source, t,
+      |               unnest(range(0, (len(t) + 7) // 8)) AS i
+      |        FROM toks)),
+      |fp AS (
+      |  SELECT doc_id, source,
+      |         ('0x' || substr(md5(passage), 1, 15))::BIGINT AS fp
+      |  FROM win),
+      |pd AS (SELECT doc_id, source, fp, count(*) AS k FROM fp GROUP BY 1, 2, 3),
+      |tot AS (SELECT fp, sum(k) AS c FROM pd GROUP BY fp),
+      |doc AS (
+      |  SELECT pd.doc_id, pd.source, sum(k) AS n_windows,
+      |         sum(CASE WHEN c >= 2 THEN k ELSE 0 END) AS n_dup
+      |  FROM pd JOIN tot USING (fp) GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_windows) AS BIGINT) AS n_windows,
+      |       CAST(sum(n_dup) AS BIGINT) AS n_dup_windows,
+      |       CAST(sum(CASE WHEN n_dup * 2 >= n_windows THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_flagged_docs,
+      |       CAST(sum(n_dup) AS DOUBLE) / CAST(sum(n_windows) AS DOUBLE)
+      |         AS dup_rate
+      |FROM doc GROUP BY source""".stripMargin
+
   /** IVF approximate KNN. The whole approximation is deterministic
     * (fixed first-N centroids, id-pinned ties), so the oracle replays it
     * exactly in SQL — a hard hash gate, not just a recall spec.
@@ -2585,7 +2640,8 @@ object OpsQueries {
     "q131_hamilton_quotas" -> hamiltonQ _,
     "q134_capture_recapture" -> captureRecapture _,
     "q139_k_anonymity" -> kAnonymityQ _,
-    "q140_source_interleave" -> sourceInterleave _)
+    "q140_source_interleave" -> sourceInterleave _,
+    "q141_dup_passages" -> duplicatePassagesQ _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
@@ -2599,6 +2655,7 @@ object OpsQueries {
     "q134_capture_recapture" -> captureRecaptureSql,
     "q139_k_anonymity" -> kAnonymitySql,
     "q140_source_interleave" -> sourceInterleaveSql,
+    "q141_dup_passages" -> duplicatePassagesSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

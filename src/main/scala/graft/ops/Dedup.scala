@@ -58,6 +58,51 @@ object Dedup {
           .cast("long").as("kept"))
   }
 
+  /** Corpus-level duplicate-passage audit — the CCNet/"repeated
+    * passage" boilerplate screen, adapted to whitespace-token docs:
+    * each document is cut into consecutive stride-`window` token
+    * windows ("passages"); a passage is boilerplate when its exact
+    * text occurs at least `minCount` times corpus-WIDE (q38's
+    * repetition score is intra-doc; this is the cross-doc companion
+    * that catches headers/footers/licenses shared between documents).
+    * Returns one row per doc: `(idCol, n_windows, n_dup_windows)`.
+    *
+    * Scale (100 TB): passages never shuffle as text — each window
+    * reduces to a 60-bit md5-prefix fingerprint (8-byte shuffle key,
+    * replayable in SQL as `('0x'||substr(md5(p),1,15))::BIGINT`), and
+    * the corpus count aggregates per (doc, fp) FIRST (map-side
+    * partials bound a firehose passage: a boilerplate string appearing
+    * in every doc contributes one row per doc, not per occurrence,
+    * to the global count agg). The count join-back is fp-keyed and
+    * 1:1 on the totals side, so a hot fingerprint fans out to its
+    * per-doc rows only — no pair explosion anywhere. No windows.
+    */
+  def duplicatePassages(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, minCount: Long = 2L): DataFrame = {
+    require(window >= 1, "duplicatePassages needs a positive window")
+    require(minCount >= 2, "minCount < 2 marks every passage duplicated")
+    // window count materialized BEFORE the explode: explode(sequence)
+    // cannot consume a lateral alias from the same select
+    val toks = df.select(col(idCol),
+        split(trim(col(textCol)), "\\s+").as("__t"))
+      .withColumn("__nw", expr(s"(size(__t) + ${window - 1}) div $window"))
+    val fps = toks
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0L), col("__nw") - 1)).as("__i"))
+      .select(col(idCol),
+        conv(substring(md5(concat_ws(" ",
+          slice(col("__t"), (col("__i") * window + 1).cast("int"),
+            lit(window)))), 1, 15), 16, 10).cast("long").as("fp"))
+    val perDoc = fps.groupBy(col(idCol), col("fp"))
+      .agg(count(lit(1)).as("__k"))
+    val totals = perDoc.groupBy(col("fp")).agg(sum(col("__k")).as("__c"))
+    perDoc.join(totals, Seq("fp"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__k")).as("n_windows"),
+        sum(when(col("__c") >= minCount, col("__k")).otherwise(0L))
+          .as("n_dup_windows"))
+  }
+
   // -------------------------------------------------------------- shingles
   /** Word n-gram shingles of the whitespace tokens; docs with fewer than
     * `n` tokens produce no shingles.

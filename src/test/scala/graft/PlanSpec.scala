@@ -733,6 +733,14 @@ class PlanSpec extends SparkSpec {
       s"two rank + two tie windows max:\n$p")
   }
 
+  test("dup passages: fp-keyed aggs/joins only — no window, no cartesian, pruned scan") {
+    val p = plan(OpsQueries.duplicatePassagesQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0, s"no global window allowed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    // only doc_id/text/source are consumed — the scan must prune the rest
+    assert(!p.contains("n_chars"), s"scan reads unneeded columns:\n$p")
+  }
+
   test("snapshot diff: ONE PK-keyed full-outer join, row-local change detection") {
     val p = plan(Queries.snapshotDiffOrders(spark, sf0001))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),

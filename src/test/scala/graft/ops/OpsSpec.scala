@@ -29,6 +29,22 @@ class OpsSpec extends SparkSpec {
     assert(got === Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("duplicate passages: hand-computed window counts on planted boilerplate") {
+    // window=2 for a tractable hand check. Tokens per doc:
+    //   d1: "a b c d"   -> windows "a b", "c d"
+    //   d2: "a b x"     -> windows "a b", "x"
+    //   d3: "x y"       -> windows "x y"
+    //   d4: "a b a b"   -> windows "a b", "a b" (intra-doc repeat counts)
+    // corpus counts: "a b"=4, "c d"=1, "x"=1, "x y"=1
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b x"), (3L, "x y"), (4L, "a b a b")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatePassages(df, "doc_id", "text", window = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 1L, 0L), (4L, 2L, 2L)))
+  }
+
   test("minhash LSH surfaces planted near-duplicates") {
     val t1 = "the quick brown fox jumps over the lazy dog again and again today"
     val t2 = t1.replace("today", "tomorrow") // one-token change → near dup
