@@ -705,6 +705,47 @@ object OpsQueries {
       |       CAST(min(n) AS BIGINT) AS min_class_size
       |FROM c GROUP BY event_type""".stripMargin
 
+  /** l-diversity audit (q142, [[Quality.lDiversity]]) — the
+    * homogeneity-attack readout on the SAME release candidate as
+    * q139's k-anonymity: quasi-identifiers (hour-of-day, value
+    * decile), sensitive attribute = event_type, l = 3. A class passes
+    * k-anonymity when it is merely POPULOUS; it passes l-diversity
+    * only when its members' sensitive values actually differ — the
+    * two audits together are the standard pre-release gate. Class
+    * grid is 24×10 = 240 rows of exact longs.
+    */
+  def lDiversityQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events").select(col("event_type"),
+      expr("unix_timestamp(ts) div 3600 % 24").as("hour_of_day"),
+      graft.transform.Stats.cents(col("value")).as("cents"))
+    val bounds = e.agg(min(col("cents")).as("__mn"), max(col("cents")).as("__mx"))
+    val qi = e.crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("hour_of_day"),
+        least(lit(9L), greatest(lit(0L),
+          expr("((cents - __mn) * 10) div (__mx - __mn + 1)"))).as("decile"))
+    graft.ops.Quality.lDiversity(qi, Seq("hour_of_day", "decile"),
+      "event_type", l = 3L)
+  }
+
+  val lDiversitySql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |           // 3600 % 24 AS hour_of_day,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM e),
+      |q AS (
+      |  SELECT event_type, hour_of_day,
+      |         least(9, greatest(0, ((cents - mn) * 10) // (mx - mn + 1)))
+      |           AS decile
+      |  FROM e CROSS JOIN b)
+      |SELECT hour_of_day, decile, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_sensitive,
+      |       CAST(CASE WHEN count(DISTINCT event_type) < 3 THEN 1 ELSE 0 END
+      |            AS BIGINT) AS low_diversity
+      |FROM q GROUP BY hour_of_day, decile""".stripMargin
+
   /** Proportional source interleave (q140) — the data-loader ORDER for
     * a mixed training corpus: docs ranked within their source in
     * deterministic md5 order, then given a smooth-round-robin global
@@ -2641,7 +2682,8 @@ object OpsQueries {
     "q134_capture_recapture" -> captureRecapture _,
     "q139_k_anonymity" -> kAnonymityQ _,
     "q140_source_interleave" -> sourceInterleave _,
-    "q141_dup_passages" -> duplicatePassagesQ _)
+    "q141_dup_passages" -> duplicatePassagesQ _,
+    "q142_l_diversity" -> lDiversityQ _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
@@ -2656,6 +2698,7 @@ object OpsQueries {
     "q139_k_anonymity" -> kAnonymitySql,
     "q140_source_interleave" -> sourceInterleaveSql,
     "q141_dup_passages" -> duplicatePassagesSql,
+    "q142_l_diversity" -> lDiversitySql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

@@ -2156,6 +2156,75 @@ object Queries {
       |       END AS emd
       |FROM k GROUP BY event_type, nt_ref, nt_cur""".stripMargin
 
+  /** Jensen-Shannon drift per event type (q143,
+    * [[graft.transform.Stats.jsdByKey]]) on the q75/q137 first/second-
+    * half split — the bounded symmetric member of the drift battery
+    * (PSI q75, KS q121, W₁ q137): finite even when a bin empties,
+    * ≤ ln 2 by construction, so one alarm threshold works across
+    * features of any scale. Same ln-budget argument as PSI: bounded
+    * keys×bins output, pround(6) absorbs the ±1-ulp ln step.
+    */
+  def jsdDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        graft.transform.Stats.cents(col("value")).as("cents"))
+    val mid = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(expr("mn + (mx - mn) div 2").as("mid"))
+    val tagged = e.crossJoin(broadcast(mid)).persist()
+    val ref = tagged.filter(col("us") <= col("mid"))
+      .select(col("event_type"), col("cents"))
+    val cur = tagged.filter(col("us") > col("mid"))
+      .select(col("event_type"), col("cents"))
+    graft.transform.Stats.jsdByKey(ref, cur, Seq("event_type"), "cents", 10)
+  }
+
+  val jsdDriftSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM e),
+      |ref AS (SELECT event_type, cents FROM e, m WHERE us <= mid),
+      |cur AS (SELECT event_type, cents FROM e, m WHERE us > mid),
+      |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM ref),
+      |rb AS (SELECT event_type,
+      |              least(9, greatest(0, ((cents - mn) * 10) // (mx - mn + 1))) AS bucket,
+      |              count(*) AS n_ref
+      |       FROM ref, b GROUP BY 1, 2),
+      |cb AS (SELECT event_type,
+      |              least(9, greatest(0, ((cents - mn) * 10) // (mx - mn + 1))) AS bucket,
+      |              count(*) AS n_cur
+      |       FROM cur, b GROUP BY 1, 2),
+      |rt AS (SELECT event_type, count(*) AS nt_ref FROM ref GROUP BY 1),
+      |ct AS (SELECT event_type, count(*) AS nt_cur FROM cur GROUP BY 1),
+      |grid AS (SELECT event_type, unnest(range(0, 10)) AS bucket
+      |         FROM (SELECT DISTINCT event_type FROM ref)),
+      |j AS (SELECT grid.event_type, grid.bucket,
+      |             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
+      |             nt_ref, coalesce(nt_cur, 0) AS nt_cur
+      |      FROM grid LEFT JOIN rb USING (event_type, bucket)
+      |                LEFT JOIN cb USING (event_type, bucket)
+      |                JOIN rt USING (event_type)
+      |                LEFT JOIN ct USING (event_type)),
+      |k AS (SELECT event_type, bucket, n_ref, n_cur,
+      |             (CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + 10 AS DOUBLE)
+      |              * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + 10 AS DOUBLE))
+      |                   / ((CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + 10 AS DOUBLE)
+      |                       + CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + 10 AS DOUBLE))
+      |                      * 0.5))
+      |              + CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + 10 AS DOUBLE)
+      |              * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + 10 AS DOUBLE))
+      |                   / ((CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + 10 AS DOUBLE)
+      |                       + CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + 10 AS DOUBLE))
+      |                      * 0.5))) * 0.5 AS c
+      |      FROM j)
+      |SELECT event_type, bucket, n_ref, n_cur,
+      |       floor(c * 1000000.0 + 0.5) / 1000000.0 AS contrib,
+      |       floor(sum(c) OVER (PARTITION BY event_type ORDER BY bucket ASC
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS jsd_cum
+      |FROM k""".stripMargin
+
   /** Sample-ratio-mismatch check (q138) — the experiment-health gate
     * that must pass BEFORE q133's z-test is readable: under a 50/50
     * md5 split, `chi2 = (n1−n2)²/N` (one df). The squared difference
@@ -2915,7 +2984,8 @@ object Queries {
     "q135_gap_features" -> gapFeatures _,
     "q136_path_trigrams" -> pathTrigrams _,
     "q137_emd_drift" -> emdDrift _,
-    "q138_srm_check" -> srmCheck _)
+    "q138_srm_check" -> srmCheck _,
+    "q143_jsd_drift" -> jsdDrift _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -2991,5 +3061,6 @@ object Queries {
     "q135_gap_features" -> gapFeaturesSql,
     "q136_path_trigrams" -> pathTrigramsSql,
     "q137_emd_drift" -> emdDriftSql,
-    "q138_srm_check" -> srmCheckSql)
+    "q138_srm_check" -> srmCheckSql,
+    "q143_jsd_drift" -> jsdDriftSql)
 }

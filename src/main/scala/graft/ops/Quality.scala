@@ -149,4 +149,28 @@ object Quality {
         sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_rows_at_risk"),
         min(col("n")).as("min_class_size"))
   }
+
+  /** l-diversity audit — the homogeneity companion to [[kAnonymity]]:
+    * a QI class can hold k ≥ 5 members and STILL leak the sensitive
+    * attribute if all members share one sensitive value, so each
+    * class is graded by its count of DISTINCT sensitive values.
+    * Emits the class-level frame `(qiCols*, n_rows, n_sensitive,
+    * low_diversity)` — callers roll it up or join it back to flag
+    * releasable partitions.
+    *
+    * Scale: ONE distinct-agg on the QI tuple (Spark plans
+    * `countDistinct` as the two-phase partial-distinct expand — state
+    * per task is bounded by |QI domain| × |sensitive domain|, both
+    * attribute-bounded by construction); exact longs; no window, no
+    * join.
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensCol: String,
+      l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversity needs quasi-identifier columns")
+    require(l >= 2, "l < 2 makes every class diverse")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensCol)).as("n_sensitive"))
+      .withColumn("low_diversity", (col("n_sensitive") < l).cast("long"))
+  }
 }

@@ -294,6 +294,74 @@ object Stats {
         pround(sum(contrib).over(w), 6).as("psi_cum")): _*)
   }
 
+  /** Jensen-Shannon divergence between a reference and a current
+    * slice, per key — the BOUNDED, symmetric drift monitor that
+    * completes the battery: PSI ([[psiByKey]]) explodes to ∞ as a bin
+    * empties, KS ([[ksTestByKey]]) sees only the worst single CDF
+    * gap, W₁ ([[emdByKey]]) is scale-dependent; JSD is symmetric,
+    * finite by construction (≤ ln 2 nats), and the natural alarm when
+    * distributions may drift into regions the reference never saw.
+    * `JSD = ½·KL(p‖m) + ½·KL(q‖m)` with `m = (p+q)/2`, over the same
+    * binning contract as PSI (reference-defined equal-width bins,
+    * edge-clamped current, Laplace-smoothed counts).
+    *
+    * Gate-ability (the [[psiByKey]] discipline): p and q are each ONE
+    * division of exact integers; `m = (p+q)·0.5` is one addition and
+    * an exact dyadic halving; each `ln` is the ±1-ulp step, absorbed
+    * by the 6dp pround on a keys×bins-bounded output; the headline
+    * rides the frame-order-pinned running sum (`jsd_cum` at the last
+    * bucket).
+    *
+    * Scale: identical posture to PSI — two keyed bucket-count aggs
+    * with map-side partials, a keys×bins grid, broadcast count
+    * frames; nothing corpus-sized past the first aggregation.
+    */
+  def jsdByKey(ref: DataFrame, cur: DataFrame, keyCols: Seq[String],
+      centsCol: String, nBuckets: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "jsdByKey needs at least one key column")
+    require(nBuckets >= 2, "jsdByKey needs at least two buckets")
+    val keys = keyCols.map(col)
+    val bounds = ref.agg(min(col(centsCol)).as("__mn"),
+      max(col(centsCol)).as("__mx"))
+    def bucketed(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(bounds))
+        .select(keys :+
+          least(lit(nBuckets - 1L), greatest(lit(0L),
+            expr(s"(($centsCol - __mn) * $nBuckets) div (__mx - __mn + 1)")))
+            .cast("long").as("bucket"): _*)
+        .groupBy(keys :+ col("bucket"): _*)
+        .agg(count(lit(1)).as("n"))
+    val refCounts = bucketed(ref).withColumnRenamed("n", "n_ref")
+    val curCounts = bucketed(cur).withColumnRenamed("n", "n_cur")
+    val refTotals = ref.groupBy(keys: _*).agg(count(lit(1)).as("nt_ref"))
+    val curTotals = cur.groupBy(keys: _*).agg(count(lit(1)).as("nt_cur"))
+    val grid = ref.select(keys: _*).distinct()
+      .select(keys :+ explode(sequence(lit(0L), lit(nBuckets - 1L)))
+        .as("bucket"): _*)
+    val p = (col("n_ref") + 1).cast("double") /
+      (col("nt_ref") + nBuckets).cast("double")
+    val q = (col("n_cur") + 1).cast("double") /
+      (col("nt_cur") + nBuckets).cast("double")
+    val m = (p + q) * 0.5
+    val contrib = (p * log(p / m) + q * log(q / m)) * 0.5
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys: _*).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    import graft.util.Rounding.pround
+    grid
+      .join(broadcast(refCounts), keyCols :+ "bucket", "left")
+      .join(broadcast(curCounts), keyCols :+ "bucket", "left")
+      .join(broadcast(refTotals), keyCols)
+      .join(broadcast(curTotals), keyCols, "left")
+      .select(keys ++ Seq(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        col("nt_ref"), coalesce(col("nt_cur"), lit(0L)).as("nt_cur")): _*)
+      .select(keys ++ Seq(col("bucket"), col("n_ref"), col("n_cur"),
+        pround(contrib, 6).as("contrib"),
+        pround(sum(contrib).over(w), 6).as("jsd_cum")): _*)
+  }
+
   /** Earth-mover (Wasserstein-1) drift between a reference and a
     * current slice, per key — the metric-space drift monitor beside
     * [[psiByKey]] (density ratios) and [[ksTestByKey]] (max CDF gap):

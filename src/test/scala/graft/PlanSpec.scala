@@ -348,6 +348,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
   }
 
+  test("JSD drift: stats-frame joins broadcast; window rides the key partitioning") {
+    val p = plan(Queries.jsdDrift(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"bucket-count/total frames must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    assert(unpartitionedWindows(p) == 0, s"jsd_cum must partition by key:\n$p")
+  }
+
+  test("l-diversity: one distinct-agg on the QI tuple — no window, no join explosion") {
+    val p = plan(OpsQueries.lDiversityQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"), s"QI classes must hash-aggregate:\n$p")
+  }
+
   test("grouping sets expand into ONE keyed agg pass (no per-set rescan)") {
     val p = plan(Queries.groupingSets(spark, sf0001))
     assert(p.contains("Expand"), s"grouping sets must expand:\n$p")

@@ -77,4 +77,21 @@ class QualitySpec extends SparkSpec {
       "g1" -> ((3L, 2L, 3L, 1L)),
       "g2" -> ((1L, 0L, 0L, 4L))))
   }
+
+  test("lDiversity: populous-but-homogeneous classes are flagged, diverse ones pass") {
+    // class (a,1): 4 rows but ONE sensitive value -> k-anonymous, NOT l-diverse
+    // class (a,2): 3 rows, 3 distinct sensitive values -> diverse at l=3
+    // class (b,1): 2 rows, 2 distinct -> below l=3
+    val df = (Seq.fill(4)(("a", 1, "x")) ++
+      Seq(("a", 2, "x"), ("a", 2, "y"), ("a", 2, "z")) ++
+      Seq(("b", 1, "x"), ("b", 1, "y")))
+      .toDF("qi1", "qi2", "sens")
+    val got = Quality.lDiversity(df, Seq("qi1", "qi2"), "sens", l = 3L)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      ("a", 1) -> ((4L, 1L, 1L)),
+      ("a", 2) -> ((3L, 3L, 0L)),
+      ("b", 1) -> ((2L, 2L, 1L))))
+  }
 }

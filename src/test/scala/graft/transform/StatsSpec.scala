@@ -85,6 +85,40 @@ class StatsSpec extends SparkSpec {
     assert(ids.subsetOf((0L until 3L).toSet))
   }
 
+  test("jsdByKey: zero for identical halves, symmetric, bounded by ln 2") {
+    def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val aRef = (0L to 9L).map(("a", _))
+    val bRef = Seq.fill(5)(("b", 0L)) ++ Seq.fill(5)(("b", 9L))
+    val bCur = Seq.fill(10)(("b", 9L))
+    val ref = (aRef ++ bRef).toDF("k", "cents")
+    val cur = (aRef ++ bCur).toDF("k", "cents")
+    def run(r: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      Stats.jsdByKey(r, c, Seq("k"), "cents", nBuckets = 10)
+        .collect().map(x => (x.getString(0), x.getLong(1)) ->
+          ((x.getLong(2), x.getLong(3), x.getDouble(4), x.getDouble(5)))).toMap
+    val got = run(ref, cur)
+    assert(got.size === 20)
+    // identical halves: p == q -> m == p -> both KL terms ln(1) = 0
+    for (bkt <- 0L to 9L)
+      assert(got(("a", bkt)) === ((1L, 1L, 0.0, 0.0)))
+    // hand formula on the planted shift (smoothed over nt+10 = 20)
+    def contrib(nr: Long, nc: Long) = {
+      val p = (nr + 1).toDouble / 20.0
+      val q = (nc + 1).toDouble / 20.0
+      val m = (p + q) * 0.5
+      (p * math.log(p / m) + q * math.log(q / m)) * 0.5
+    }
+    val c0 = contrib(5, 0)
+    val c9 = contrib(5, 10)
+    assert(got(("b", 0L)) === ((5L, 0L, pr6(c0), pr6(c0))))
+    assert(got(("b", 9L)) === ((5L, 10L, pr6(c9), pr6(c0 + c9))))
+    // bounded: total JSD can never exceed ln 2 nats
+    assert(got(("b", 9L))._4 <= math.log(2.0))
+    // symmetric in (ref, cur) — same bounds here since min/max agree
+    val swapped = run(cur, ref)
+    assert(swapped(("b", 9L))._4 === got(("b", 9L))._4)
+  }
+
   test("psiByKey: zero for identical halves, hand-formula for a planted shift") {
     def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     // key a: ref == cur (0..9, one per bucket) → every contrib 0, psi 0
