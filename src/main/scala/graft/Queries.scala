@@ -2225,6 +2225,72 @@ object Queries {
       |             * 1000000.0 + 0.5) / 1000000.0 AS jsd_cum
       |FROM k""".stripMargin
 
+  /** Z-order file-layout simulation (q144) — the read side of
+    * [[graft.transform.Transforms.zOrderWrite]], hash-gated: both
+    * dims bucketize to 8 bits (user bucket; value bucket against a
+    * 1-row broadcast bounds frame), Morton-interleave via the codegen
+    * [[graft.functions.InterleaveBits]] into a 16-bit z-value, and
+    * each run of 1024 consecutive z-values is one simulated file.
+    * Because 1024 = 4⁵, every file is an ALIGNED 32×32 rectangle in
+    * (x, y) space — the emitted per-file min/max/span stats are the
+    * data-skipping argument made machine-checkable (a lexicographic
+    * layout would span the full 256 on the trailing dim). The oracle
+    * replays the interleave as the classic shift-and-mask cascade in
+    * SQL, so the hash gate doubles as a cross-engine equivalence
+    * proof of the custom expression ON TOP of its byte-equivalence
+    * spec. Row-local integer ops + ONE keyed agg — no window, no
+    * shuffle join.
+    */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select((col("user_id") % 256).as("x"),
+        graft.transform.Stats.cents(col("value")).as("cents"))
+    val bounds = e.agg(min(col("cents")).as("__mn"), max(col("cents")).as("__mx"))
+    e.crossJoin(broadcast(bounds))
+      .select(col("x"),
+        least(lit(255L), greatest(lit(0L),
+          expr("((cents - __mn) * 256) div (__mx - __mn + 1)"))).as("y"))
+      .withColumn("z", graft.functions.functions.interleave_bits(col("x"), col("y")))
+      .withColumn("file_id", expr("z div 1024"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .select(col("file_id"), col("n"),
+        col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+        (col("max_x") - col("min_x") + 1).as("span_x"),
+        (col("max_y") - col("min_y") + 1).as("span_y"))
+  }
+
+  val zorderLayoutSql: String =
+    """WITH e AS (
+      |  SELECT user_id % 256 AS x,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM e),
+      |xy AS (
+      |  SELECT x,
+      |         least(255, greatest(0, ((cents - mn) * 256) // (mx - mn + 1)))
+      |           AS y
+      |  FROM e CROSS JOIN b),
+      |sx AS (SELECT x, y, (x | (x << 16)) & 281470681808895 AS v FROM xy),
+      |sx2 AS (SELECT x, y, (v | (v << 8)) & 71777214294589695 AS v FROM sx),
+      |sx3 AS (SELECT x, y, (v | (v << 4)) & 1085102592571150095 AS v FROM sx2),
+      |sx4 AS (SELECT x, y, (v | (v << 2)) & 3689348814741910323 AS v FROM sx3),
+      |sx5 AS (SELECT x, y, (v | (v << 1)) & 6148914691236517205 AS xs FROM sx4),
+      |sy AS (SELECT x, y, xs, (y | (y << 16)) & 281470681808895 AS w FROM sx5),
+      |sy2 AS (SELECT x, y, xs, (w | (w << 8)) & 71777214294589695 AS w FROM sy),
+      |sy3 AS (SELECT x, y, xs, (w | (w << 4)) & 1085102592571150095 AS w FROM sy2),
+      |sy4 AS (SELECT x, y, xs, (w | (w << 2)) & 3689348814741910323 AS w FROM sy3),
+      |sy5 AS (SELECT x, y, xs, (w | (w << 1)) & 6148914691236517205 AS ys FROM sy4),
+      |z AS (SELECT x, y, (xs | (ys << 1)) // 1024 AS file_id FROM sy5)
+      |SELECT file_id, CAST(count(*) AS BIGINT) AS n,
+      |       min(x) AS min_x, max(x) AS max_x,
+      |       min(y) AS min_y, max(y) AS max_y,
+      |       max(x) - min(x) + 1 AS span_x,
+      |       max(y) - min(y) + 1 AS span_y
+      |FROM z GROUP BY file_id""".stripMargin
+
   /** Sample-ratio-mismatch check (q138) — the experiment-health gate
     * that must pass BEFORE q133's z-test is readable: under a 50/50
     * md5 split, `chi2 = (n1−n2)²/N` (one df). The squared difference
@@ -2985,7 +3051,8 @@ object Queries {
     "q136_path_trigrams" -> pathTrigrams _,
     "q137_emd_drift" -> emdDrift _,
     "q138_srm_check" -> srmCheck _,
-    "q143_jsd_drift" -> jsdDrift _)
+    "q143_jsd_drift" -> jsdDrift _,
+    "q144_zorder_layout" -> zorderLayout _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -3062,5 +3129,6 @@ object Queries {
     "q136_path_trigrams" -> pathTrigramsSql,
     "q137_emd_drift" -> emdDriftSql,
     "q138_srm_check" -> srmCheckSql,
-    "q143_jsd_drift" -> jsdDriftSql)
+    "q143_jsd_drift" -> jsdDriftSql,
+    "q144_zorder_layout" -> zorderLayoutSql)
 }

@@ -363,6 +363,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"QI classes must hash-aggregate:\n$p")
   }
 
+  test("zorder layout: row-local codegen interleave + ONE keyed agg, no shuffle join") {
+    val p = plan(Queries.zorderLayout(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // codegen of InterleaveBits itself is pinned in FunctionsSpec
+    // (CODEGEN_ONLY); here pin that it evaluates row-local in a Project
+    assert(p.contains("interleave_bits"), s"expression missing from plan:\n$p")
+    assert(p.contains("HashAggregate"))
+  }
+
   test("grouping sets expand into ONE keyed agg pass (no per-set rescan)") {
     val p = plan(Queries.groupingSets(spark, sf0001))
     assert(p.contains("Expand"), s"grouping sets must expand:\n$p")

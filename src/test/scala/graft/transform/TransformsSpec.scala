@@ -312,4 +312,27 @@ class TransformsSpec extends SparkSpec {
       assert(sx <= 32 && sy <= 32, s"file spread ($sx, $sy) not clustered")
     }
   }
+
+  test("morton 1024-blocks are ALIGNED 32x32 rectangles (q144's file invariant)") {
+    // full 256x256 grid: every run of 1024 consecutive z-values must be
+    // an aligned 32x32 block — 1024 rows each, spans exactly 32, and
+    // origins on 32-boundaries (4^5 = 1024 ⇒ 5 bits of each dim)
+    val grid = (for (x <- 0L until 256L; y <- 0L until 256L) yield (x, y))
+      .toDF("x", "y")
+    val files = grid
+      .withColumn("z", graft.functions.functions.interleave_bits(col("x"), col("y")))
+      .groupBy(expr("z div 1024").as("file_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+        min(col("y")).as("mny"), max(col("y")).as("mxy"))
+      .collect()
+    assert(files.length === 64)
+    files.foreach { r =>
+      assert(r.getLong(1) === 1024L)
+      assert(r.getLong(3) - r.getLong(2) === 31L, "x span must be 32")
+      assert(r.getLong(5) - r.getLong(4) === 31L, "y span must be 32")
+      assert(r.getLong(2) % 32 === 0L && r.getLong(4) % 32 === 0L,
+        "block origin must align to 32")
+    }
+  }
 }
