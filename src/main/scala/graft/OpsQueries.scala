@@ -844,6 +844,62 @@ object OpsQueries {
       |         AS dup_rate
       |FROM doc GROUP BY source""".stripMargin
 
+  /** Shingle-novelty saturation curve (q145) — the Heaps'-law readout
+    * that tells a data buyer when new data stops adding new content:
+    * each 3-shingle type is attributed to the doc that saw it FIRST
+    * (min doc_id = ingest order), first-seens bucket into 20 equal
+    * doc-id checkpoints, and the cumulative type count per checkpoint
+    * is the growth curve (beside q129's per-source totals: this is
+    * the TIME axis of the same attribution). `min` is multiplicity-
+    * invariant, so the corpus-sized stage consumes the shingle BAG —
+    * no distinct shuffle on the widest frame (the q17 minhash
+    * discipline). The running sum rides a 20-row aggregated frame —
+    * bounded by the checkpoint count, not the corpus (the PlanSpec
+    * pin asserts exactly this one tiny global window and nothing
+    * else).
+    */
+  def noveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val firsts = Dedup.shingleBag(d, "doc_id", "text")
+      .groupBy(col("shingle")).agg(min(col("doc_id")).as("first_seen"))
+    val mx = d.agg(max(col("doc_id")).as("__mx"))
+    val perCk = firsts.crossJoin(broadcast(mx))
+      .select(expr("(first_seen * 20) div (__mx + 1)").as("checkpoint"))
+      .groupBy(col("checkpoint")).agg(count(lit(1)).as("new_types"))
+    val grid = s.range(20).select(col("id").as("checkpoint"))
+    val w = Window.orderBy(col("checkpoint").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(broadcast(perCk), Seq("checkpoint"), "left")
+      .select(col("checkpoint"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+  }
+
+  val noveltyCurveSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |ws AS (
+      |  SELECT doc_id, s AS shingle FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+      |    FROM toks WHERE len(t) >= 3)),
+      |f AS (SELECT shingle, min(doc_id) AS first_seen FROM ws GROUP BY shingle),
+      |m AS (SELECT max(doc_id) AS mx FROM documents),
+      |ck AS (SELECT (first_seen * 20) // (mx + 1) AS checkpoint,
+      |              CAST(count(*) AS BIGINT) AS new_types
+      |       FROM f, m GROUP BY 1),
+      |grid AS (SELECT unnest(range(0, 20)) AS checkpoint)
+      |SELECT CAST(g.checkpoint AS BIGINT) AS checkpoint,
+      |       coalesce(ck.new_types, 0) AS new_types,
+      |       CAST(sum(coalesce(ck.new_types, 0))
+      |              OVER (ORDER BY g.checkpoint ASC
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS cum_types
+      |FROM grid g LEFT JOIN ck ON g.checkpoint = ck.checkpoint""".stripMargin
+
   /** IVF approximate KNN. The whole approximation is deterministic
     * (fixed first-N centroids, id-pinned ties), so the oracle replays it
     * exactly in SQL — a hard hash gate, not just a recall spec.
@@ -2683,7 +2739,8 @@ object OpsQueries {
     "q139_k_anonymity" -> kAnonymityQ _,
     "q140_source_interleave" -> sourceInterleave _,
     "q141_dup_passages" -> duplicatePassagesQ _,
-    "q142_l_diversity" -> lDiversityQ _)
+    "q142_l_diversity" -> lDiversityQ _,
+    "q145_novelty_curve" -> noveltyCurve _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
@@ -2699,6 +2756,7 @@ object OpsQueries {
     "q140_source_interleave" -> sourceInterleaveSql,
     "q141_dup_passages" -> duplicatePassagesSql,
     "q142_l_diversity" -> lDiversitySql,
+    "q145_novelty_curve" -> noveltyCurveSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

@@ -373,6 +373,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("novelty curve: bag consumed without distinct; ONE bounded 20-row global window") {
+    val p = plan(OpsQueries.noveltyCurve(spark, sf0001))
+    // exactly the one checkpoint-frame window — bounded at 20 rows by
+    // construction, NOT corpus-scale; anything more is a regression
+    assert(unpartitionedWindows(p) == 1, s"expected exactly one tiny window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
   test("grouping sets expand into ONE keyed agg pass (no per-set rescan)") {
     val p = plan(Queries.groupingSets(spark, sf0001))
     assert(p.contains("Expand"), s"grouping sets must expand:\n$p")

@@ -416,6 +416,26 @@ class OpsSpec extends SparkSpec {
       "s2" -> ((2L, 1L, 1L))))  // types {abc,xyz}; xyz first+exclusive
   }
 
+  test("novelty curve: hand-computed first-seen checkpoints and cumulative types") {
+    import spark.implicits._
+    // 3-shingles: d0: {a b c, b c d}; d1: {a b c} (seen); d2: {x y z,
+    // y z w}; d3: {b c d (seen), c d e}. max id 3 -> checkpoint =
+    // first_seen * 20 div 4 = 5 * first_seen.
+    val d = Seq(
+      (0L, "a b c d"), (1L, "a b c"), (2L, "x y z w"), (3L, "b c d e")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("heaps").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.OpsQueries.noveltyCurve(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size === 20)
+    assert(got(0L) === ((2L, 2L)))
+    assert(got(5L) === ((0L, 2L)))
+    assert(got(10L) === ((2L, 4L)))
+    assert(got(15L) === ((1L, 5L)))
+    assert(got(19L) === ((0L, 5L)))
+  }
+
   test("source interleave: every sorted prefix holds each source in proportion ±1") {
     val out = graft.OpsQueries.sourceInterleave(spark, sf0001)
       .orderBy(col("interleave_key"), col("source"), col("r"))
