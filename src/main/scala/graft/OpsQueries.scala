@@ -900,6 +900,52 @@ object OpsQueries {
       |            AS BIGINT) AS cum_types
       |FROM grid g LEFT JOIN ck ON g.checkpoint = ck.checkpoint""".stripMargin
 
+  /** Per-source Gini concentration of token budgets (q146,
+    * [[graft.transform.Stats.giniByKey]]) — the inequality audit for
+    * a training mix: G near 0 means documents contribute evenly;
+    * G near 1 means a handful of giant docs carry the source (and a
+    * dedup/cap decision is overdue). The implementation ranks over
+    * the per-source DISTINCT token-count domain, not the corpus; the
+    * oracle is the NAIVE row-ranked Gini, so the hash gate is a
+    * machine-checked proof that the value-domain rewrite is lossless.
+    */
+  def giniConcentration(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    graft.transform.Stats.giniByKey(base, Seq("source"), "n_tok")
+      .select(col("source"), col("n").as("n_docs"),
+        col("total").as("total_tokens"), col("gini_num"), col("gini"))
+  }
+
+  val giniConcentrationSql: String =
+    """WITH base AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |           AS v
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, v,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |                                 ORDER BY v ASC, doc_id ASC)
+      |              AS BIGINT) AS i
+      |  FROM base),
+      |g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(v) AS BIGINT) AS total_tokens,
+      |         CAST(sum(CAST(i AS HUGEINT) * v) AS BIGINT) AS iwx
+      |  FROM r GROUP BY source)
+      |SELECT source, n_docs, total_tokens,
+      |       CAST(2 * CAST(iwx AS HUGEINT)
+      |            - (n_docs + 1) * CAST(total_tokens AS HUGEINT) AS BIGINT)
+      |         AS gini_num,
+      |       CASE WHEN total_tokens > 0 THEN
+      |         CAST(CAST(2 * CAST(iwx AS HUGEINT)
+      |              - (n_docs + 1) * CAST(total_tokens AS HUGEINT) AS BIGINT)
+      |              AS DOUBLE)
+      |           / (CAST(n_docs AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+      |       END AS gini
+      |FROM g""".stripMargin
+
   /** IVF approximate KNN. The whole approximation is deterministic
     * (fixed first-N centroids, id-pinned ties), so the oracle replays it
     * exactly in SQL — a hard hash gate, not just a recall spec.
@@ -2740,7 +2786,8 @@ object OpsQueries {
     "q140_source_interleave" -> sourceInterleave _,
     "q141_dup_passages" -> duplicatePassagesQ _,
     "q142_l_diversity" -> lDiversityQ _,
-    "q145_novelty_curve" -> noveltyCurve _)
+    "q145_novelty_curve" -> noveltyCurve _,
+    "q146_gini_concentration" -> giniConcentration _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
@@ -2757,6 +2804,7 @@ object OpsQueries {
     "q141_dup_passages" -> duplicatePassagesSql,
     "q142_l_diversity" -> lDiversitySql,
     "q145_novelty_curve" -> noveltyCurveSql,
+    "q146_gini_concentration" -> giniConcentrationSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

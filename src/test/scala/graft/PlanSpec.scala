@@ -381,6 +381,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
+  test("gini: joinless; running count rides the key-partitioned VALUE-DOMAIN frame") {
+    val p = plan(OpsQueries.giniConcentration(spark, sf0001))
+    assert(!p.contains("Join"), s"gini needs no join:\n$p")
+    assert(unpartitionedWindows(p) == 0, s"window must partition by key:\n$p")
+    // the window consumes the (key, value) aggregate, not the corpus:
+    // plans print top-down, so an agg BELOW the window appears after it
+    val win = p.indexOf("Window")
+    assert(win >= 0 && p.lastIndexOf("HashAggregate") > win,
+      s"window must ride the aggregated value-domain frame:\n$p")
+  }
+
   test("grouping sets expand into ONE keyed agg pass (no per-set rescan)") {
     val p = plan(Queries.groupingSets(spark, sf0001))
     assert(p.contains("Expand"), s"grouping sets must expand:\n$p")

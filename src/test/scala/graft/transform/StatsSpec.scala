@@ -85,6 +85,24 @@ class StatsSpec extends SparkSpec {
     assert(ids.subsetOf((0L until 3L).toSet))
   }
 
+  test("giniByKey: hand-computed equality/concentration, tie blocks, zero-total guard") {
+    // key e: four equal docs -> perfectly even, G = 0
+    //   iwx = 10+20+30+40 = 100; num = 200 - 5*40 = 0
+    // key c: (1,1,1,97) -> iwx = 1+2+3+4*97 = 394; num = 788-500 = 288
+    //   G = 288/400 = 0.72 (the tied 1s exercise the value-block math)
+    // key z: all-zero totals -> gini NULL (ANSI guard)
+    val df = (Seq.fill(4)(("e", 10L)) ++
+      Seq(("c", 1L), ("c", 1L), ("c", 1L), ("c", 97L)) ++
+      Seq(("z", 0L), ("z", 0L))).toDF("k", "v")
+    val got = Stats.giniByKey(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got("e") === ((4L, 40L, 0L, Some(0.0))))
+    assert(got("c") === ((4L, 100L, 288L, Some(0.72))))
+    assert(got("z") === ((2L, 0L, 0L, None)))
+  }
+
   test("jsdByKey: zero for identical halves, symmetric, bounded by ln 2") {
     def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val aRef = (0L to 9L).map(("a", _))
