@@ -946,6 +946,59 @@ object OpsQueries {
       |       END AS gini
       |FROM g""".stripMargin
 
+  /** Vocabulary coverage / OOV rate (q147) — the tokenizer-fit audit:
+    * train a top-K vocabulary on the md5-split train half (the q43
+    * split discipline: row-local digest, no sampling state), then
+    * measure each source's out-of-vocabulary token rate on the
+    * holdout half. High per-source OOV = the tokenizer under-serves
+    * that source and its token budget is mispriced. The vocab cut is
+    * (count desc, token asc) via orderBy().limit(K) — plans as
+    * TakeOrdered (the q116 ranker discipline, no global window); the
+    * K-row vocab broadcasts onto the holdout tokens; counting is
+    * keyed aggs with map-side partials (a firehose token reduces
+    * before it shuffles). One division per source at the end.
+    */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("__t"))
+      .withColumn("__arm",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8)
+    val vocab = d.filter(col("__arm"))
+      .select(explode(col("__t")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("token").asc).limit(16)
+      .select(col("token"), lit(1L).as("__in_vocab"))
+    d.filter(!col("__arm"))
+      .select(col("source"), explode(col("__t")).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  val oovRateSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT < 8
+      |           AS arm
+      |  FROM documents),
+      |traintoks AS (SELECT unnest(t) AS token FROM d WHERE arm),
+      |vocab AS (
+      |  SELECT token FROM (
+      |    SELECT token, count(*) AS n FROM traintoks GROUP BY token)
+      |  ORDER BY n DESC, token ASC LIMIT 16),
+      |h AS (SELECT source, unnest(t) AS token FROM d WHERE NOT arm)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_oov,
+      |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS oov_rate
+      |FROM h LEFT JOIN vocab v ON h.token = v.token
+      |GROUP BY source""".stripMargin
+
   /** IVF approximate KNN. The whole approximation is deterministic
     * (fixed first-N centroids, id-pinned ties), so the oracle replays it
     * exactly in SQL — a hard hash gate, not just a recall spec.
@@ -2787,7 +2840,8 @@ object OpsQueries {
     "q141_dup_passages" -> duplicatePassagesQ _,
     "q142_l_diversity" -> lDiversityQ _,
     "q145_novelty_curve" -> noveltyCurve _,
-    "q146_gini_concentration" -> giniConcentration _)
+    "q146_gini_concentration" -> giniConcentration _,
+    "q147_oov_rate" -> oovRate _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
@@ -2805,6 +2859,7 @@ object OpsQueries {
     "q142_l_diversity" -> lDiversitySql,
     "q145_novelty_curve" -> noveltyCurveSql,
     "q146_gini_concentration" -> giniConcentrationSql,
+    "q147_oov_rate" -> oovRateSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

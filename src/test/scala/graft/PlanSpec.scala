@@ -392,6 +392,14 @@ class PlanSpec extends SparkSpec {
       s"window must ride the aggregated value-domain frame:\n$p")
   }
 
+  test("oov rate: vocab cut is TakeOrdered; vocab broadcasts; no global window") {
+    val p = plan(OpsQueries.oovRate(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"vocab cut must TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"K-row vocab must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(unpartitionedWindows(p) == 0)
+  }
+
   test("grouping sets expand into ONE keyed agg pass (no per-set rescan)") {
     val p = plan(Queries.groupingSets(spark, sf0001))
     assert(p.contains("Expand"), s"grouping sets must expand:\n$p")

@@ -436,6 +436,33 @@ class OpsSpec extends SparkSpec {
     assert(got(19L) === ((0L, 5L)))
   }
 
+  test("oov rate: matches an independent driver-side recompute on a fixture") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "s1", "a a b c"), (1L, "s1", "a b d"), (2L, "s2", "c c e"),
+      (3L, "s2", "a f b"), (4L, "s1", "g a a"), (5L, "s2", "b b h"),
+      (6L, "s1", "a c i"), (7L, "s2", "j a b"))
+    val dir = java.nio.file.Files.createTempDirectory("oov").toString
+    rows.toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // independent reference: same md5 split, top-2-of-train vocab
+    def md5hex(v: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def arm(id: Long) = Integer.parseInt(md5hex(id.toString).substring(0, 1), 16) < 8
+    val (train, hold) = rows.partition(r => arm(r._1))
+    assert(train.nonEmpty && hold.nonEmpty, "fixture must split both ways")
+    val counts = train.flatMap(_._3.split("\\s+")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toSeq
+    val vocab = counts.sortBy { case (t, n) => (-n, t) }.take(16).map(_._1).toSet
+    val expected = hold.groupBy(_._2).map { case (src, ds) =>
+      val toks = ds.flatMap(_._3.split("\\s+"))
+      src -> ((toks.size.toLong, toks.count(t => !vocab(t)).toLong))
+    }
+    val got = graft.OpsQueries.oovRate(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+  }
+
   test("source interleave: every sorted prefix holds each source in proportion ±1") {
     val out = graft.OpsQueries.sourceInterleave(spark, sf0001)
       .orderBy(col("interleave_key"), col("source"), col("r"))
