@@ -2291,6 +2291,192 @@ object Queries {
       |       max(y) - min(y) + 1 AS span_y
       |FROM z GROUP BY file_id""".stripMargin
 
+  /** Benford first-digit screen (q148) — the classic books-cooking /
+    * synthetic-data smell test: per event type, the observed leading-
+    * digit distribution of positive cent amounts against Benford's
+    * `p_d = log₁₀(1 + 1/d)`, as a χ² with per-digit contributions and
+    * the frame-order-pinned running total (the q75 PSI discipline).
+    * `p_d` is spelled `ln(1+1/d)/ln(10)` in BOTH engines — two ±1-ulp
+    * lns of identical inputs on a 9×keys-bounded output, absorbed by
+    * pround(6). Leading digit extraction is string-prefix of the
+    * exact integer — replayed verbatim in SQL. Keyed counts with
+    * map-side partials + a 9-row-per-key grid with broadcast joins.
+    */
+  def benfordScreen(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.util.Rounding.pround
+    val e = t(s, dir, "events")
+      .select(col("event_type"),
+        graft.transform.Stats.cents(col("value")).as("cents"))
+      .filter(col("cents") > 0L)
+      .select(col("event_type"),
+        substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+    val counts = e.groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val totals = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+    val grid = e.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(1L), lit(9L))).as("digit"))
+    val p = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0))
+    val expd = col("n_total").cast("double") * p
+    val contrib = (col("n_obs").cast("double") - expd) *
+      (col("n_obs").cast("double") - expd) / expd
+    val w = Window.partitionBy(col("event_type")).orderBy(col("digit").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(broadcast(counts), Seq("event_type", "digit"), "left")
+      .join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("n_total"))
+      .select(col("event_type"), col("digit"), col("n_obs"), col("n_total"),
+        pround(contrib, 6).as("contrib"),
+        pround(sum(contrib).over(w), 6).as("chi2_cum"))
+  }
+
+  val benfordScreenSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM events
+      |  WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) > 0),
+      |c AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n_obs
+      |      FROM e GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+      |      FROM e GROUP BY 1),
+      |grid AS (SELECT event_type, unnest(range(1, 10)) AS digit
+      |         FROM (SELECT DISTINCT event_type FROM e)),
+      |j AS (SELECT grid.event_type, CAST(grid.digit AS BIGINT) AS digit,
+      |             coalesce(n_obs, 0) AS n_obs, n_total,
+      |             (coalesce(n_obs, 0) - CAST(n_total AS DOUBLE)
+      |                * (ln(1.0 + 1.0 / CAST(grid.digit AS DOUBLE)) / ln(10.0)))
+      |             * (coalesce(n_obs, 0) - CAST(n_total AS DOUBLE)
+      |                * (ln(1.0 + 1.0 / CAST(grid.digit AS DOUBLE)) / ln(10.0)))
+      |             / (CAST(n_total AS DOUBLE)
+      |                * (ln(1.0 + 1.0 / CAST(grid.digit AS DOUBLE)) / ln(10.0)))
+      |               AS contrib
+      |      FROM grid LEFT JOIN c USING (event_type, digit)
+      |                JOIN t USING (event_type))
+      |SELECT event_type, digit, n_obs, n_total,
+      |       floor(contrib * 1000000.0 + 0.5) / 1000000.0 AS contrib,
+      |       floor(sum(contrib) OVER (PARTITION BY event_type
+      |               ORDER BY digit ASC ROWS BETWEEN UNBOUNDED PRECEDING
+      |               AND CURRENT ROW) * 1000000.0 + 0.5) / 1000000.0
+      |         AS chi2_cum
+      |FROM j""".stripMargin
+
+  /** Event co-occurrence lift (q149) — market-basket analysis over
+    * user behavior: for each unordered event-type pair, how much more
+    * often do both appear in one user's history than independence
+    * predicts (`lift = n_both·N / (n_a·n_b)`), plus the pair Jaccard.
+    * The pair space is type²-bounded, so the self-join explodes at
+    * most C(T,2) rows per user — bounded fan-out by construction, and
+    * it rides the user-keyed equi-join (the residual `t1 < t2` halves
+    * it). Count frames broadcast; lift's numerator/denominator are
+    * exact DECIMAL↔HUGEINT cross products converted once — bitwise.
+    */
+  def eventLift(s: SparkSession, dir: String): DataFrame = {
+    val pres = t(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val na = pres.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val nUsers = pres.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val pairs = pres.as("a")
+      .join(pres.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_both"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    pairs
+      .join(broadcast(na.select(col("event_type").as("t1"),
+        col("n_t").as("n_t1"))), Seq("t1"))
+      .join(broadcast(na.select(col("event_type").as("t2"),
+        col("n_t").as("n_t2"))), Seq("t2"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("t1"), col("t2"), col("n_both"), col("n_t1"), col("n_t2"),
+        ((dec(col("n_both")) * dec(col("n_users"))).cast("decimal(38,0)")
+          .cast("double") /
+          (dec(col("n_t1")) * dec(col("n_t2"))).cast("decimal(38,0)")
+            .cast("double")).as("lift"),
+        (col("n_both").cast("double") /
+          (col("n_t1") + col("n_t2") - col("n_both")).cast("double"))
+          .as("jaccard"))
+  }
+
+  val eventLiftSql: String =
+    """WITH pres AS (SELECT DISTINCT user_id, event_type FROM events),
+      |na AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+      |       FROM pres GROUP BY 1),
+      |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |       FROM pres),
+      |p AS (SELECT a.event_type AS t1, b.event_type AS t2,
+      |             CAST(count(*) AS BIGINT) AS n_both
+      |      FROM pres a JOIN pres b
+      |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT t1, t2, n_both, a1.n_t AS n_t1, a2.n_t AS n_t2,
+      |       CAST(CAST(n_both AS HUGEINT) * n_users AS DOUBLE)
+      |         / CAST(CAST(a1.n_t AS HUGEINT) * a2.n_t AS DOUBLE) AS lift,
+      |       CAST(n_both AS DOUBLE)
+      |         / CAST(a1.n_t + a2.n_t - n_both AS DOUBLE) AS jaccard
+      |FROM p JOIN na a1 ON p.t1 = a1.event_type
+      |       JOIN na a2 ON p.t2 = a2.event_type
+      |       CROSS JOIN nu""".stripMargin
+
+  /** KMV (k-minimum-values) distinct sketch (q150) — the third member
+    * of the cardinality family (linear counting q92, HLL q118): keep
+    * the k smallest 60-bit md5 hashes per key; the k-th smallest
+    * estimates distinct count as `(k−1)·2⁶⁰ / h₍ₖ₎` (uniform order
+    * statistics), and sketches MERGE by keeping the k smallest of a
+    * union — the map-side-combinable property that matters at 100 TB.
+    * The min-k runs through [[graft.transform.Skew.saltedTopK]] (no
+    * reducer sees a whole key); the ORACLE takes the k smallest via
+    * the naive single window, so the gate is a losslessness proof of
+    * the salted two-phase prune. Keys with fewer than k members
+    * estimate exactly. `63·2⁶⁰` is bit-exact in binary64; h₍ₖ₎
+    * converts once (identical round-to-nearest both engines); one
+    * division.
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val h = t(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val mins = graft.transform.Skew.saltedTopK(
+      h, Seq(col("event_type")), Seq(col("h").asc), col("h"),
+      k = 64, numSalts = 8)
+    val kth = mins.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
+    val exact = h.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    exact.join(kth, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_kept"), col("kth_hash"),
+        when(col("n_kept") < 64L, col("n_kept").cast("double"))
+          .otherwise(lit(63.0) * lit(1152921504606846976.0) /
+            col("kth_hash").cast("double")).as("est_kmv"))
+  }
+
+  val kmvDistinctSql: String =
+    """WITH pres AS (SELECT DISTINCT event_type, user_id FROM events),
+      |h AS (SELECT event_type,
+      |             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      |               AS h
+      |      FROM pres),
+      |r AS (SELECT event_type, h,
+      |             CAST(row_number() OVER (PARTITION BY event_type
+      |                                     ORDER BY h ASC) AS BIGINT) AS rn
+      |      FROM h),
+      |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+      |      FROM h GROUP BY 1),
+      |k AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+      |             max(h) AS kth_hash
+      |      FROM r WHERE rn <= 64 GROUP BY 1)
+      |SELECT a.event_type, a.n_exact, k.n_kept, k.kth_hash,
+      |       CASE WHEN k.n_kept < 64 THEN CAST(k.n_kept AS DOUBLE)
+      |            ELSE 63.0 * 1152921504606846976.0 / CAST(k.kth_hash AS DOUBLE)
+      |       END AS est_kmv
+      |FROM a JOIN k USING (event_type)""".stripMargin
+
   /** Sample-ratio-mismatch check (q138) — the experiment-health gate
     * that must pass BEFORE q133's z-test is readable: under a 50/50
     * md5 split, `chi2 = (n1−n2)²/N` (one df). The squared difference
@@ -3052,7 +3238,10 @@ object Queries {
     "q137_emd_drift" -> emdDrift _,
     "q138_srm_check" -> srmCheck _,
     "q143_jsd_drift" -> jsdDrift _,
-    "q144_zorder_layout" -> zorderLayout _)
+    "q144_zorder_layout" -> zorderLayout _,
+    "q148_benford" -> benfordScreen _,
+    "q149_event_lift" -> eventLift _,
+    "q150_kmv_distinct" -> kmvDistinct _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -3130,5 +3319,8 @@ object Queries {
     "q137_emd_drift" -> emdDriftSql,
     "q138_srm_check" -> srmCheckSql,
     "q143_jsd_drift" -> jsdDriftSql,
-    "q144_zorder_layout" -> zorderLayoutSql)
+    "q144_zorder_layout" -> zorderLayoutSql,
+    "q148_benford" -> benfordScreenSql,
+    "q149_event_lift" -> eventLiftSql,
+    "q150_kmv_distinct" -> kmvDistinctSql)
 }

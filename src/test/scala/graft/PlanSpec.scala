@@ -400,6 +400,30 @@ class PlanSpec extends SparkSpec {
     assert(unpartitionedWindows(p) == 0)
   }
 
+  test("benford: PSI posture — grid/count frames broadcast, key-partitioned window") {
+    val p = plan(Queries.benfordScreen(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"count/total frames must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(unpartitionedWindows(p) == 0)
+  }
+
+  test("event lift: user-keyed pair join, broadcast count frames, no window") {
+    val p = plan(Queries.eventLift(spark, sf0001))
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"n_t frames must broadcast:\n$p")
+    assert(unpartitionedWindows(p) == 0)
+  }
+
+  test("kmv: salted prune engages rank-limit pushdown; windows key-partitioned") {
+    val p = plan(Queries.kmvDistinct(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"),
+      s"bucket top-k must push the rank limit:\n$p")
+    assert(unpartitionedWindows(p) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("grouping sets expand into ONE keyed agg pass (no per-set rescan)") {
     val p = plan(Queries.groupingSets(spark, sf0001))
     assert(p.contains("Expand"), s"grouping sets must expand:\n$p")

@@ -85,6 +85,83 @@ class StatsSpec extends SparkSpec {
     assert(ids.subsetOf((0L until 3L).toSet))
   }
 
+  test("benford screen: hand-counted digits, excluded non-positives, chi2 recompute") {
+    def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // type "x": cents 100 ×3 (digit 1), 250 ×2 (digit 2), 900 ×1
+    // (digit 9); a zero and a negative must be excluded -> n_total 6
+    val rows = Seq(("x", 1.00), ("x", 1.00), ("x", 1.00), ("x", 2.50),
+      ("x", 2.50), ("x", 9.00), ("x", 0.0), ("x", -3.0))
+      .map { case (t, v) => (1L, t, v) }
+    val dir = java.nio.file.Files.createTempDirectory("benford").toString
+    rows.toDF("user_id", "event_type", "value").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val got = graft.Queries.benfordScreen(spark, dir)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.size === 9)
+    assert(got.map { case (d, t) => d -> t._1 } ===
+      Map(1L -> 3L, 2L -> 2L, 9L -> 1L) ++ (3L to 8L).map(_ -> 0L).toMap)
+    assert(got.values.forall(_._2 === 6L))
+    // chi2 recompute with the exact same p_d spelling
+    def contrib(d: Long, obs: Long) = {
+      val p = math.log(1.0 + 1.0 / d.toDouble) / math.log(10.0)
+      val e = 6.0 * p
+      (obs - e) * (obs - e) / e
+    }
+    val expCum = (1L to 9L).scanLeft(0.0) { (acc, d) =>
+      acc + contrib(d, got(d)._1) }.tail
+    (1L to 9L).foreach { d =>
+      assert(got(d)._3 === pr6(contrib(d, got(d)._1)))
+      assert(got(d)._4 === pr6(expCum(d.toInt - 1)))
+    }
+  }
+
+  test("event lift: hand-computed basket pairs on four users") {
+    // users: 1:{a,b} 2:{a} 3:{a,b,c} 4:{b,c} -> n_a=3 n_b=3 n_c=2 N=4
+    // (a,b): n=2 lift=2*4/9  jac=2/4; (a,c): n=1 lift=4/6 jac=1/4;
+    // (b,c): n=2 lift=8/6 jac=2/3
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (3L, "a"), (3L, "b"),
+      (3L, "c"), (4L, "b"), (4L, "c"), (1L, "a")) // dup presence row
+      .map { case (u, t) => (u, t, 1.0) }
+    val dir = java.nio.file.Files.createTempDirectory("lift").toString
+    rows.toDF("user_id", "event_type", "value").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val got = graft.Queries.eventLift(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(got === Map(
+      ("a", "b") -> ((2L, 3L, 3L, 8.0 / 9.0, 0.5)),
+      ("a", "c") -> ((1L, 3L, 2L, 4.0 / 6.0, 0.25)),
+      ("b", "c") -> ((2L, 3L, 2L, 8.0 / 6.0, 2.0 / 3.0))))
+  }
+
+  test("kmv distinct: exact below k, within 30% above k, salted prune lossless") {
+    // key "small": 10 distinct users -> n_kept = n_exact = 10, est exact
+    // key "big": 5000 distinct users -> k-th order statistic estimate
+    val rows = (0L until 10L).map(u => (u, "small", 1.0)) ++
+      (0L until 5000L).map(u => (u, "big", 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("kmv").toString
+    rows.toDF("user_id", "event_type", "value").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val got = graft.Queries.kmvDistinct(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val (se, sk, _, sEst) = got("small")
+    assert((se, sk, sEst) === ((10L, 10L, 10.0)))
+    val (be, bk, bKth, bEst) = got("big")
+    assert((be, bk) === ((5000L, 64L)))
+    assert(math.abs(bEst - 5000.0) / 5000.0 < 0.3,
+      s"KMV estimate $bEst too far from 5000")
+    // losslessness of the salted prune: k-th smallest recomputed naively
+    def md5hex(v: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val naiveKth = (0L until 5000L)
+      .map(u => java.lang.Long.parseLong(md5hex(u.toString).take(15), 16))
+      .sorted.apply(63)
+    assert(bKth === naiveKth)
+  }
+
   test("giniByKey: hand-computed equality/concentration, tie blocks, zero-total guard") {
     // key e: four equal docs -> perfectly even, G = 0
     //   iwx = 10+20+30+40 = 100; num = 200 - 5*40 = 0
