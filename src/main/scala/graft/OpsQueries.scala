@@ -33,6 +33,14 @@ object OpsQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Embedding dimension of the test fixture (TESTDATA embeddings table);
+    * also the length of the literal hyperplanes inlined into the q26/q151
+    * oracles, so the SQL replicas and the Spark plans hash identically.
+    * Declared FIRST in the object: oracle-SQL vals reference it at
+    * object-init time, and a forward reference would silently read 0.
+    */
+  val EmbeddingDim = 64
+
   // ------------------------------------------------------------ text stats
   /** Single-pass restructure of the [[TextAnalysis]] ratios: the token
     * split / char counts are materialized once as intermediate columns
@@ -999,6 +1007,131 @@ object OpsQueries {
       |FROM h LEFT JOIN vocab v ON h.token = v.token
       |GROUP BY source""".stripMargin
 
+  /** Dedup-pipeline evaluation (q151,
+    * [[Similarity.lshNearDupPairs]]): precision / recall / F1 of the
+    * label-BLIND LSH near-dup pipeline against the embedding labels
+    * as ground truth — the metric row a data team reads before
+    * trusting a dedup config. Truth pairs are counted as
+    * Σ C(n_label, 2) — exact WITHOUT materializing a single truth
+    * pair; predicted pairs ride the bucket join; the label frame
+    * (eval-sample-bounded by definition) broadcasts onto them. The
+    * whole approximation is seeded-deterministic, so the oracle
+    * replays it from inlined hyperplane literals (the q26
+    * discipline) — P/R/F1 gate bitwise.
+    */
+  def dedupEval(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val pairs = Similarity.lshNearDupPairs(e, "vec_id", "embedding",
+      dim = EmbeddingDim, numBits = 6, seed = 42L, threshold = 0.15)
+    val lab = e.select(col("vec_id"), col("label"))
+    val pred = pairs
+      .join(broadcast(lab.select(col("vec_id").as("a"), col("label").as("la"))),
+        Seq("a"))
+      .join(broadcast(lab.select(col("vec_id").as("b"), col("label").as("lb"))),
+        Seq("b"))
+      .agg(count(lit(1)).as("n_pred"),
+        coalesce(sum(when(col("la") === col("lb"), 1L).otherwise(0L)), lit(0L))
+          .as("n_tp"))
+    val truth = lab.groupBy(col("label")).agg(count(lit(1)).as("__n"))
+      .agg(sum(expr("(__n * (__n - 1)) div 2")).as("n_truth"))
+    val base = pred.crossJoin(broadcast(truth))
+      .select(col("n_pred"), col("n_tp"), col("n_truth"),
+        when(col("n_pred") > 0L,
+          col("n_tp").cast("double") / col("n_pred").cast("double"))
+          .as("precision"),
+        when(col("n_truth") > 0L,
+          col("n_tp").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+    base.select(col("n_pred"), col("n_tp"), col("n_truth"),
+      col("precision"), col("recall"),
+      when(col("precision") + col("recall") > 0.0,
+        lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall"))).as("f1"))
+  }
+
+  val dedupEvalSql: String = {
+    // Same planes as Similarity.rpSignature(seed=42) — shortest-roundtrip
+    // double rendering parses back to the identical binary64 (q26 note).
+    val planes = Similarity.rpPlanes(EmbeddingDim, 6, 42L)
+    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(vec, $arr) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n           + ")
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+       |           FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, label, vec,
+       |         $sigExpr AS bucket
+       |  FROM v),
+       |f AS (
+       |  SELECT a.label AS la, b.label AS lb
+       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE floor(list_cosine_similarity(a.vec, b.vec) * 1000000.0 + 0.5)
+       |          / 1000000.0 > 0.15),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS n_pred,
+       |             CAST(coalesce(sum(CASE WHEN la = lb THEN 1 ELSE 0 END), 0)
+       |                  AS BIGINT) AS n_tp
+       |      FROM f),
+       |t AS (SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS n_truth
+       |      FROM (SELECT count(*) AS n FROM v GROUP BY label)),
+       |pr AS (
+       |  SELECT n_pred, n_tp, n_truth,
+       |         CASE WHEN n_pred > 0
+       |              THEN CAST(n_tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END
+       |           AS precision,
+       |         CASE WHEN n_truth > 0
+       |              THEN CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE) END
+       |           AS recall
+       |  FROM p CROSS JOIN t)
+       |SELECT n_pred, n_tp, n_truth, precision, recall,
+       |       CASE WHEN precision + recall > 0.0
+       |            THEN 2.0 * precision * recall / (precision + recall) END
+       |         AS f1
+       |FROM pr""".stripMargin
+  }
+
+  /** Functional-dependency profile of the events table (q152,
+    * [[Quality.functionalDeps]]): `event_id→user_id` and
+    * `event_id→event_type` must HOLD (event_id is the PK — violation
+    * rate 0 is the regression alarm), while `user_id→event_type`
+    * measures how single-minded users are. Exact longs + one division
+    * per candidate.
+    */
+  def fdProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.functionalDeps(
+      Tables.load(s, dir, "events"),
+      Seq(("event_id", "user_id"), ("event_id", "event_type"),
+        ("user_id", "event_type")))
+
+  val fdProfileSql: String =
+    """SELECT 'event_id->user_id' AS fd,
+      |       CAST(count(*) AS BIGINT) AS n_det,
+      |       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_violating,
+      |       CAST(max(d) AS BIGINT) AS max_fanout,
+      |       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS violation_rate
+      |FROM (SELECT event_id, count(DISTINCT user_id) AS d
+      |      FROM events GROUP BY event_id)
+      |UNION ALL
+      |SELECT 'event_id->event_type',
+      |       CAST(count(*) AS BIGINT),
+      |       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(max(d) AS BIGINT),
+      |       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE)
+      |FROM (SELECT event_id, count(DISTINCT event_type) AS d
+      |      FROM events GROUP BY event_id)
+      |UNION ALL
+      |SELECT 'user_id->event_type',
+      |       CAST(count(*) AS BIGINT),
+      |       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(max(d) AS BIGINT),
+      |       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE)
+      |FROM (SELECT user_id, count(DISTINCT event_type) AS d
+      |      FROM events GROUP BY user_id)""".stripMargin
+
   /** IVF approximate KNN. The whole approximation is deterministic
     * (fixed first-N centroids, id-pinned ties), so the oracle replays it
     * exactly in SQL — a hard hash gate, not just a recall spec.
@@ -1038,12 +1171,6 @@ object OpsQueries {
       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       |        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
       |WHERE rank <= 5""".stripMargin
-
-  /** Embedding dimension of the test fixture (TESTDATA embeddings table);
-    * also the length of the literal hyperplanes inlined into the q26
-    * oracle, so the SQL replica and the Spark plan hash identically.
-    */
-  val EmbeddingDim = 64
 
   /** RP-LSH approximate KNN. Deterministic (seeded hyperplanes), so the
     * oracle reproduces the buckets from the same plane values inlined as
@@ -2841,7 +2968,9 @@ object OpsQueries {
     "q142_l_diversity" -> lDiversityQ _,
     "q145_novelty_curve" -> noveltyCurve _,
     "q146_gini_concentration" -> giniConcentration _,
-    "q147_oov_rate" -> oovRate _)
+    "q147_oov_rate" -> oovRate _,
+    "q151_dedup_eval" -> dedupEval _,
+    "q152_fd_profile" -> fdProfile _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
@@ -2860,6 +2989,8 @@ object OpsQueries {
     "q145_novelty_curve" -> noveltyCurveSql,
     "q146_gini_concentration" -> giniConcentrationSql,
     "q147_oov_rate" -> oovRateSql,
+    "q151_dedup_eval" -> dedupEvalSql,
+    "q152_fd_profile" -> fdProfileSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

@@ -150,6 +150,37 @@ object Quality {
         min(col("n")).as("min_class_size"))
   }
 
+  /** Functional-dependency profiler (the Metanome-style data-profiling
+    * primitive): for each declared candidate `det → dep`, does the
+    * determinant column actually determine the dependent one? Emits
+    * per candidate: distinct determinant values, how many of them map
+    * to >1 dependent value (violations), the worst fan-out, and the
+    * violation rate — the readout that catches "order_id no longer
+    * determines customer" schema rot before a downstream join fans
+    * out.
+    *
+    * Scale: one distinct-agg per candidate (Spark's two-phase partial
+    * distinct — map-side state bounded by the (det, dep) domain) plus
+    * a 1-row rollup; candidates scan independently (they aggregate on
+    * DIFFERENT keys, so they cannot share one shuffle — scans prune
+    * to two columns each and a persisted source amortizes the I/O
+    * when the candidate list is long). No window, no join.
+    */
+  def functionalDeps(df: DataFrame, deps: Seq[(String, String)]): DataFrame = {
+    require(deps.nonEmpty, "functionalDeps needs at least one candidate")
+    deps.map { case (det, dep) =>
+      df.select(col(det), col(dep)).groupBy(col(det))
+        .agg(countDistinct(col(dep)).as("__d"))
+        .agg(count(lit(1)).as("n_det"),
+          sum(when(col("__d") > 1L, 1L).otherwise(0L)).as("n_violating"),
+          max(col("__d")).as("max_fanout"))
+        .select(lit(s"$det->$dep").as("fd"), col("n_det"),
+          col("n_violating"), col("max_fanout"),
+          (col("n_violating").cast("double") / col("n_det").cast("double"))
+            .as("violation_rate"))
+    }.reduce(_ unionByName _)
+  }
+
   /** l-diversity audit — the homogeneity companion to [[kAnonymity]]:
     * a QI class can hold k ≥ 5 members and STILL leak the sensitive
     * attribute if all members share one sensitive value, so each

@@ -400,6 +400,36 @@ object Similarity {
     topKPerQuery(scored, k, numSalts)
   }
 
+  /** Label-BLIND LSH near-duplicate candidate pairs: vectors bucket by
+    * the seeded [[rpSignature]]; same-bucket `(a < b)` pairs verify by
+    * exact cosine against `threshold` (6dp-rounded, the q21 gate
+    * discipline). This is the honest production near-dup pipeline —
+    * blocking never peeks at labels — which is what makes it
+    * evaluable AGAINST labels (see [[graft.OpsQueries.dedupEval]]).
+    *
+    * Scale: the pair fan-out is per-bucket quadratic; bucket
+    * occupancy is corpus/2^numBits, so numBits must grow with the
+    * corpus (≈ log₂(N/target-bucket-size)), and a hot bucket routes
+    * through [[Dedup.capBlocks]] / [[graft.transform.Skew]] valves —
+    * same posture as the minhash band join (q17).
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numBits: Int = 6, seed: Long = 42L,
+      threshold: Double = 0.15): DataFrame = {
+    val v = withNorm(df, idCol, vecCol)
+      .withColumn("bucket", rpSignature(col("__vec"), dim, numBits, seed))
+    val a = v.select(col("bucket"), col(idCol).as("a"),
+      col("__vec").as("va"), col("__norm").as("na"))
+    val b = v.select(col("bucket"), col(idCol).as("b"),
+      col("__vec").as("vb"), col("__norm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos",
+        pround(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") > threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
   /** Per-group mean vectors ("class centroids") in long form — one row
     * per (group, dimension): the dataset-cartography / IVF-seeding /
     * per-class-drift primitive. Long form keeps the plan a plain

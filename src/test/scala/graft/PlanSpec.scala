@@ -424,6 +424,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup eval: label frames broadcast onto bucket pairs; no global window") {
+    val p = plan(OpsQueries.dedupEval(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"label frames must broadcast:\n$p")
+    assert(unpartitionedWindows(p) == 0)
+  }
+
+  test("fd profile: distinct-aggs only — no join, no window") {
+    val p = plan(OpsQueries.fdProfile(spark, sf0001))
+    assert(!p.contains("Join"), s"FD profiling needs no join:\n$p")
+    assert(unpartitionedWindows(p) == 0)
+    assert(p.contains("HashAggregate"))
+  }
+
   test("grouping sets expand into ONE keyed agg pass (no per-set rescan)") {
     val p = plan(Queries.groupingSets(spark, sf0001))
     assert(p.contains("Expand"), s"grouping sets must expand:\n$p")

@@ -463,6 +463,22 @@ class OpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("dedup eval: deterministic P/R/F1; precision ≈ base rate exposes label-flat fixture") {
+    val r = graft.OpsQueries.dedupEval(spark, sf0001).collect().head
+    val (nPred, nTp, nTruth) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (p, rec, f1) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    // fully deterministic (seeded planes, fixed fixture) — pin the counts
+    assert((nPred, nTp, nTruth) === ((532L, 50L, 12432L)))
+    assert(nTp <= nPred && nTp <= nTruth)
+    assert(p === nTp.toDouble / nPred && rec === nTp.toDouble / nTruth)
+    assert(f1 === 2.0 * p * rec / (p + rec))
+    // the fixture's labels are NOT cosine-clustered: precision must sit
+    // near the random base rate — the eval telling us this config finds
+    // nothing real is exactly the operator doing its job
+    val baseRate = nTruth.toDouble / (500.0 * 499.0 / 2.0)
+    assert(math.abs(p - baseRate) < 0.05, s"precision $p vs base $baseRate")
+  }
+
   test("source interleave: every sorted prefix holds each source in proportion ±1") {
     val out = graft.OpsQueries.sourceInterleave(spark, sf0001)
       .orderBy(col("interleave_key"), col("source"), col("r"))

@@ -78,6 +78,19 @@ class QualitySpec extends SparkSpec {
       "g2" -> ((1L, 0L, 0L, 4L))))
   }
 
+  test("functionalDeps: holding FD scores zero, broken FD counts violators") {
+    // k->v: k=1 maps to {x} (holds), k=2 maps to {x,y} (violates),
+    // k=3 maps to {x,y,z} (violates, fan-out 3)
+    val df = Seq((1, "x"), (1, "x"), (2, "x"), (2, "y"),
+      (3, "x"), (3, "y"), (3, "z"), (3, "z")).toDF("k", "v")
+    val got = Quality.functionalDeps(df, Seq(("k", "v"), ("v", "k")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("k->v") === ((3L, 2L, 3L, 2.0 / 3.0)))
+    // v->k: x maps to {1,2,3}, y to {2,3}, z to {3}
+    assert(got("v->k") === ((3L, 2L, 3L, 2.0 / 3.0)))
+  }
+
   test("lDiversity: populous-but-homogeneous classes are flagged, diverse ones pass") {
     // class (a,1): 4 rows but ONE sensitive value -> k-anonymous, NOT l-diverse
     // class (a,2): 3 rows, 3 distinct sensitive values -> diverse at l=3
