@@ -1172,6 +1172,72 @@ object OpsQueries {
       |        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
       |WHERE rank <= 5""".stripMargin
 
+  /** MMR diversified re-ranking (q153, [[Similarity.mmrRerank]]) — the
+    * RAG serving pass: each of 8 query vectors gets its brute top-8
+    * candidates re-ranked into 4 greedy picks trading relevance (0.7)
+    * against redundancy (0.3). Every greedy PICK gates bitwise: the
+    * oracle unrolls the same recursion as generated CTE steps (see
+    * the helper's scaladoc for why the affine score must spell both
+    * weights as literals in both engines).
+    */
+  def mmrRerankQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.mmrRerank(e, e.filter(col("vec_id") < 8), "vec_id",
+      "embedding", k = 4, topN = 8, relWeight = 0.7, divWeight = 0.3)
+  }
+
+  val mmrRerankSql: String = {
+    // one generated CTE block per greedy step t: remaining = cand \
+    // sel_{t-1}; maxSim against sel_{t-1}; argmax of the affine score
+    def stepBlock(t: Int): String = {
+      val prev = if (t == 2) "s1" else s"sel${t - 1}"
+      s"""r$t AS (SELECT c.* FROM cand c LEFT JOIN $prev s
+         |         ON c.query_id = s.query_id AND c.cand_id = s.cand_id
+         |       WHERE s.cand_id IS NULL),
+         |m$t AS (SELECT r.query_id, r.cand_id,
+         |              max(list_cosine_similarity(r.cv, s.cv)) AS ms
+         |       FROM r$t r JOIN $prev s ON r.query_id = s.query_id
+         |       GROUP BY 1, 2),
+         |p$t AS (SELECT r.query_id, r.cand_id, $t AS step,
+         |              0.7 * r.rel - 0.3 * m.ms AS score, r.cv,
+         |              row_number() OVER (PARTITION BY r.query_id
+         |                ORDER BY 0.7 * r.rel - 0.3 * m.ms DESC,
+         |                         r.cand_id ASC) AS rn
+         |       FROM r$t r JOIN m$t m ON r.query_id = m.query_id
+         |                            AND r.cand_id = m.cand_id),
+         |s$t AS (SELECT query_id, cand_id, step, score, cv FROM p$t
+         |        WHERE rn = 1),
+         |sel$t AS (SELECT query_id, cand_id, cv FROM $prev
+         |          UNION ALL SELECT query_id, cand_id, cv FROM s$t),""".stripMargin
+    }
+    val steps = (2 to 4).map(stepBlock).mkString("\n")
+    val unionAll = (1 to 4)
+      .map(t => s"SELECT query_id, cand_id, step, score FROM s$t")
+      .mkString("\n      UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+       |           FROM embeddings),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |         list_cosine_similarity(q.vec, c.vec) AS rel, c.vec AS cv
+       |  FROM v q CROSS JOIN v c
+       |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+       |cand AS (
+       |  SELECT query_id, cand_id, rel, cv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |               ORDER BY rel DESC, cand_id ASC) AS rn FROM sc)
+       |  WHERE rn <= 8),
+       |s1 AS (
+       |  SELECT query_id, cand_id, 1 AS step, 0.7 * rel AS score, cv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |               ORDER BY rel DESC, cand_id ASC) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |$steps
+       |u AS ($unionAll)
+       |SELECT query_id, CAST(step AS BIGINT) AS step, cand_id,
+       |       floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
+       |FROM u""".stripMargin
+  }
+
   /** RP-LSH approximate KNN. Deterministic (seeded hyperplanes), so the
     * oracle reproduces the buckets from the same plane values inlined as
     * SQL literals — a hard hash gate.
@@ -2970,7 +3036,8 @@ object OpsQueries {
     "q146_gini_concentration" -> giniConcentration _,
     "q147_oov_rate" -> oovRate _,
     "q151_dedup_eval" -> dedupEval _,
-    "q152_fd_profile" -> fdProfile _)
+    "q152_fd_profile" -> fdProfile _,
+    "q153_mmr_rerank" -> mmrRerankQ _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
@@ -2991,6 +3058,7 @@ object OpsQueries {
     "q147_oov_rate" -> oovRateSql,
     "q151_dedup_eval" -> dedupEvalSql,
     "q152_fd_profile" -> fdProfileSql,
+    "q153_mmr_rerank" -> mmrRerankSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

@@ -430,6 +430,89 @@ object Similarity {
       .select(col("a"), col("b"), col("cos"))
   }
 
+  /** Maximal-marginal-relevance re-ranking — the RAG retrieval-
+    * diversification pass: from each query's `topN` candidates, pick
+    * `k` greedily by `score = relWeight·rel − divWeight·maxSimToSel`
+    * (first pick: `maxSimToSel ≡ 0`), so the final context window
+    * trades pure relevance for coverage. Ties pin by candidate id.
+    *
+    * The greedy loop is UNROLLED as k−1 dataframe steps — each step a
+    * query-keyed join of the ≤topN remaining candidates against the
+    * ≤k selected rows plus a per-query argmax window over ≤topN rows:
+    * every frame after candidate generation is (queries × topN)-
+    * bounded, so the loop costs k·O(queries·topN) regardless of
+    * corpus size. Candidate generation here is brute-force scoring
+    * (the q20 baseline); at 100 TB candidates come from the IVF/LSH
+    * paths (q25/q26) and MMR consumes their bounded output unchanged.
+    *
+    * Exactness: rel and pairwise cosines are the left-fold
+    * [[dot]]/[[norm]] kernels (bitwise equal to the SQL list
+    * functions — q20 precedent); `max` over identical doubles and the
+    * fixed-spelling affine score (`relWeight`/`divWeight` are BOTH
+    * explicit literals — never compute `1−λ` in one engine and write
+    * `0.3` in the other: binary64 `1−0.7` is NOT `0.3`) make every
+    * greedy pick engine-identical, so the oracle replays the whole
+    * recursion as unrolled CTEs and the gate pins each PICK, not just
+    * scores.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, topN: Int = 8,
+      relWeight: Double = 0.7, divWeight: Double = 0.3,
+      numSalts: Int = 16): DataFrame = {
+    require(k >= 1 && topN >= k, s"need topN >= k >= 1, got k=$k topN=$topN")
+    import org.apache.spark.sql.expressions.Window
+    val c = withNorm(corpus, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col("__vec").as("cv"),
+        col("__norm").as("cn"))
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("__vec").as("qv"),
+        col("__norm").as("qn"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(col("query_id"), col("cand_id").as("neighbor_id"), col("cos"),
+        col("cv"), col("cn"))
+    // salted prune bounds the per-query reducer exactly as in topKPerQuery
+    val cands = graft.transform.Skew.saltedTopK(scored,
+      partitionCols = Seq(col("query_id")),
+      orderCols = Seq(col("cos").desc, col("neighbor_id").asc),
+      saltCol = col("neighbor_id"), k = topN, numSalts = numSalts)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("cos").as("rel"), col("cv"), col("cn"))
+      .persist()
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    var selected = cands
+      .withColumn("score", lit(relWeight) * col("rel"))
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") <= 1)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("step"),
+        col("score"), col("cv"), col("cn"))
+    for (t <- 2 to k) {
+      val rem = cands.join(
+        selected.select(col("query_id"), col("cand_id"))
+          .withColumn("__sel", lit(1)),
+        Seq("query_id", "cand_id"), "left")
+        .filter(col("__sel").isNull).drop("__sel")
+      val sims = rem
+        .join(selected.select(col("query_id"), col("cv").as("sv"),
+          col("cn").as("sn")), Seq("query_id"))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(max(dot(col("cv"), col("sv")) / (col("cn") * col("sn")))
+          .as("__maxSim"))
+      val pick = rem.join(sims, Seq("query_id", "cand_id"))
+        .withColumn("score",
+          lit(relWeight) * col("rel") - lit(divWeight) * col("__maxSim"))
+        .withColumn("__rn", row_number().over(wPick))
+        .filter(col("__rn") <= 1)
+        .select(col("query_id"), col("cand_id"), lit(t.toLong).as("step"),
+          col("score"), col("cv"), col("cn"))
+      selected = selected.unionByName(pick)
+    }
+    selected.select(col("query_id"), col("step"), col("cand_id"),
+      pround(col("score"), 6).as("score"))
+  }
+
   /** Per-group mean vectors ("class centroids") in long form — one row
     * per (group, dimension): the dataset-cartography / IVF-seeding /
     * per-class-drift primitive. Long form keeps the plan a plain

@@ -438,6 +438,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("mmr rerank: salted candidate prune engages; all windows key-partitioned") {
+    val p = plan(OpsQueries.mmrRerankQ(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"),
+      s"candidate top-N must push the rank limit:\n$p")
+    assert(unpartitionedWindows(p) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("grouping sets expand into ONE keyed agg pass (no per-set rescan)") {
     val p = plan(Queries.groupingSets(spark, sf0001))
     assert(p.contains("Expand"), s"grouping sets must expand:\n$p")

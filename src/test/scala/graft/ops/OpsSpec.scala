@@ -479,6 +479,56 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(p - baseRate) < 0.05, s"precision $p vs base $baseRate")
   }
 
+  test("mmr rerank: picks match a driver-side greedy reference; diversity beats greed") {
+    import spark.implicits._
+    // query reaches candidates through TWO axes (e1 and e2): c1/c2 are
+    // near-duplicates on the e1 route; c3 matches equally well via e2
+    // but is ~orthogonal to c1 — diversity must promote it over c2
+    val vecs = Map(
+      0L -> Array(1f, 1f, 0f, 0f),
+      1L -> Array(1f, 0f, 0.04f, 0f), 2L -> Array(1f, 0f, 0.05f, 0f),
+      3L -> Array(0f, 1f, 0f, 0.05f), 4L -> Array(0.2f, 0.1f, 1f, 0f),
+      5L -> Array(0f, 0.1f, 0.2f, 1f))
+    val df = vecs.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(df, df.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3, topN = 5, relWeight = 0.7,
+      divWeight = 0.3)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // driver-side reference with the same left-fold arithmetic
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val q = vecs(0L).map(_.toDouble)
+    val cands = (1L to 5L).map(i => i -> vecs(i).map(_.toDouble)).toMap
+    val rel = cands.map { case (i, v) => i -> cos(q, v) }
+    var sel = Vector.empty[(Long, Double)]
+    for (t <- 1 to 3) {
+      val rem = cands.keySet -- sel.map(_._1)
+      val scoresAll = rem.toSeq.map { i =>
+        val ms = if (sel.isEmpty) 0.0
+          else sel.map(s => cos(cands(i), cands(s._1))).max
+        val sc = if (sel.isEmpty) 0.7 * rel(i) else 0.7 * rel(i) - 0.3 * ms
+        (i, sc)
+      }
+      val best = scoresAll.minBy { case (i, sc) => (-sc, i) }
+      sel = sel :+ best
+    }
+    val expected = sel.zipWithIndex.map { case ((i, sc), t) =>
+      (t + 1L, i, pr6(sc)) }
+    assert(got.toSeq === expected)
+    // the diversity term must actually change the ranking: pure-greedy
+    // order would take the near-duplicate c2 second
+    val greedyOrder = rel.toSeq.sortBy { case (i, r) => (-r, i) }
+      .take(3).map(_._1)
+    assert(got.map(_._2).toSeq !== greedyOrder,
+      "MMR must diverge from pure relevance ranking on this fixture")
+  }
+
   test("source interleave: every sorted prefix holds each source in proportion ±1") {
     val out = graft.OpsQueries.sourceInterleave(spark, sf0001)
       .orderBy(col("interleave_key"), col("source"), col("r"))
