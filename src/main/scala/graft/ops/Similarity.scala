@@ -455,12 +455,13 @@ object Similarity {
     * recursion as unrolled CTEs and the gate pins each PICK, not just
     * scores.
     */
-  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int = 4, topN: Int = 8,
-      relWeight: Double = 0.7, divWeight: Double = 0.3,
-      numSalts: Int = 16): DataFrame = {
-    require(k >= 1 && topN >= k, s"need topN >= k >= 1, got k=$k topN=$topN")
-    import org.apache.spark.sql.expressions.Window
+  /** [[mmrRerank]]'s candidate stage, exposed un-checkpointed so plan
+    * pins can see the real physical shape (the checkpoint in
+    * mmrRerank truncates explain at a LogicalRDD): brute scoring with
+    * the broadcast query side, then the salted top-N prune.
+    */
+  def mmrCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, topN: Int, numSalts: Int = 16): DataFrame = {
     val c = withNorm(corpus, idCol, vecCol)
       .select(col(idCol).as("cand_id"), col("__vec").as("cv"),
         col("__norm").as("cn"))
@@ -472,22 +473,47 @@ object Similarity {
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .select(col("query_id"), col("cand_id").as("neighbor_id"), col("cos"),
         col("cv"), col("cn"))
-    // salted prune bounds the per-query reducer exactly as in topKPerQuery
-    val cands = graft.transform.Skew.saltedTopK(scored,
+    graft.transform.Skew.saltedTopK(scored,
       partitionCols = Seq(col("query_id")),
       orderCols = Seq(col("cos").desc, col("neighbor_id").asc),
       saltCol = col("neighbor_id"), k = topN, numSalts = numSalts)
       .select(col("query_id"), col("neighbor_id").as("cand_id"),
         col("cos").as("rel"), col("cv"), col("cn"))
-      .persist()
+  }
+
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, topN: Int = 8,
+      relWeight: Double = 0.7, divWeight: Double = 0.3,
+      numSalts: Int = 16): DataFrame = {
+    require(k >= 1 && topN >= k, s"need topN >= k >= 1, got k=$k topN=$topN")
+    import org.apache.spark.sql.expressions.Window
+    // eager checkpoint at FULL parallelism: the corpus-sized scoring
+    // stage must run before the loop narrows shuffle partitions below
+    // (it also truncates the final plan, which is why PlanSpec pins
+    // the candidate stage via mmrCandidates directly)
+    val cands = mmrCandidates(corpus, queries, idCol, vecCol, topN, numSalts)
+      .localCheckpoint()
     val wPick = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
+    // EAGER localCheckpoint per step: the greedy lineage otherwise
+    // compounds (step t replans steps 1..t−1), and with k−1 unions the
+    // optimizer/codegen cost dwarfs the data — the checkpointed frame
+    // is (queries × step)-bounded, so materializing it is free. The
+    // loop's frames are also queries-bounded, so shuffles inside the
+    // scope run at 4 partitions (both the Graph.pagerankFixedPoint
+    // discipline; the eager checkpoints EXECUTE inside the scope,
+    // which is what makes the conf scoping effective)
+    val sess = corpus.sparkSession
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
     var selected = cands
       .withColumn("score", lit(relWeight) * col("rel"))
       .withColumn("__rn", row_number().over(wPick))
       .filter(col("__rn") <= 1)
       .select(col("query_id"), col("cand_id"), lit(1L).as("step"),
         col("score"), col("cv"), col("cn"))
+      .localCheckpoint()
     for (t <- 2 to k) {
       val rem = cands.join(
         selected.select(col("query_id"), col("cand_id"))
@@ -507,10 +533,11 @@ object Similarity {
         .filter(col("__rn") <= 1)
         .select(col("query_id"), col("cand_id"), lit(t.toLong).as("step"),
           col("score"), col("cv"), col("cn"))
-      selected = selected.unionByName(pick)
+      selected = selected.unionByName(pick).localCheckpoint()
     }
     selected.select(col("query_id"), col("step"), col("cand_id"),
       pround(col("score"), 6).as("score"))
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Per-group mean vectors ("class centroids") in long form — one row

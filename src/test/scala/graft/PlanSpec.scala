@@ -439,7 +439,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("mmr rerank: salted candidate prune engages; all windows key-partitioned") {
-    val p = plan(OpsQueries.mmrRerankQ(spark, sf0001))
+    // pin the candidate stage directly — mmrRerank's eager checkpoints
+    // truncate the final explain at a LogicalRDD
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val p = plan(graft.ops.Similarity.mmrCandidates(
+      e, e.filter(col("vec_id") < 8), "vec_id", "embedding", topN = 8))
     assert(p.contains("WindowGroupLimit"),
       s"candidate top-N must push the rank limit:\n$p")
     assert(unpartitionedWindows(p) == 0)
