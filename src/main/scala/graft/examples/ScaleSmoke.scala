@@ -110,7 +110,8 @@ object ScaleSmoke {
     }
 
     val names = Seq("q06b_pit_dense", "q17_minhash_lsh", "q34_curation",
-      "q91_pagerank", "q113_jaccard_prefix", "q104_quantile_normalize")
+      "q91_pagerank", "q113_jaccard_prefix", "q104_quantile_normalize",
+      "q141_dup_passages")
     // warm scans once
     (gen.keys ++ passthrough).foreach { t =>
       try graft.Tables.load(spark, out, t).count()
