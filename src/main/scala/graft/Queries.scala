@@ -2477,6 +2477,68 @@ object Queries {
       |       END AS est_kmv
       |FROM a JOIN k USING (event_type)""".stripMargin
 
+  /** Join-size / skew forecast (q154,
+    * [[graft.transform.Skew.joinSizeForecast]]) — the pre-flight
+    * audit for the events self-join on user_id (the pair-generation
+    * shape that melted q113 before salting): exact output
+    * cardinality Σ n², the ten hottest users, and each one's share
+    * of the output — computed from two aggregations, never the join.
+    */
+  def joinForecast(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"))
+    graft.transform.Skew.joinSizeForecast(e, e, Seq("user_id"), topK = 10)
+  }
+
+  val joinForecastSql: String =
+    """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY user_id),
+      |p AS (SELECT user_id, n AS n_a, n AS n_b,
+      |             CAST(CAST(n AS HUGEINT) * n AS BIGINT) AS pairs
+      |      FROM c),
+      |tt AS (SELECT CAST(sum(CAST(pairs AS HUGEINT)) AS BIGINT)
+      |               AS total_pairs FROM p)
+      |SELECT user_id, n_a, n_b, pairs, total_pairs,
+      |       CAST(pairs AS DOUBLE) / CAST(total_pairs AS DOUBLE) AS share
+      |FROM p CROSS JOIN tt
+      |ORDER BY pairs DESC, user_id ASC LIMIT 10""".stripMargin
+
+  /** Hour-of-day seasonal profile (q155,
+    * [[graft.transform.Temporal.seasonalProfile]]): the classical-
+    * decomposition seasonal component of per-type hourly value
+    * totals, with the detrending done entirely in integers (see the
+    * helper's scaladoc) — 24 rows per event type, one division each.
+    */
+  def seasonalProfileQ(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Temporal.seasonalProfile(
+      t(s, dir, "events"), Seq("event_type"), "ts", "value")
+
+  val seasonalProfileSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |         CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+      |              AS BIGINT) // 3600 AS hr,
+      |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |           AS c
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, hr, c,
+      |         sum(c) OVER (PARTITION BY event_type ORDER BY hr ASC
+      |                      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+      |           AS tsum,
+      |         count(c) OVER (PARTITION BY event_type ORDER BY hr ASC
+      |                        ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+      |           AS tn
+      |  FROM h),
+      |r AS (SELECT event_type, hr % 24 AS hour_of_day,
+      |             c * 24 - tsum AS r24
+      |      FROM w WHERE tn = 24)
+      |SELECT event_type, hour_of_day,
+      |       CAST(count(*) AS BIGINT) AS n_windows,
+      |       CAST(sum(CAST(r24 AS HUGEINT)) AS BIGINT) AS seasonal_num,
+      |       CAST(sum(CAST(r24 AS HUGEINT)) AS BIGINT)
+      |         / (24.0 * CAST(count(*) AS DOUBLE)) AS seasonal
+      |FROM r GROUP BY event_type, hour_of_day""".stripMargin
+
   /** Sample-ratio-mismatch check (q138) — the experiment-health gate
     * that must pass BEFORE q133's z-test is readable: under a 50/50
     * md5 split, `chi2 = (n1−n2)²/N` (one df). The squared difference
@@ -3241,7 +3303,9 @@ object Queries {
     "q144_zorder_layout" -> zorderLayout _,
     "q148_benford" -> benfordScreen _,
     "q149_event_lift" -> eventLift _,
-    "q150_kmv_distinct" -> kmvDistinct _)
+    "q150_kmv_distinct" -> kmvDistinct _,
+    "q154_join_forecast" -> joinForecast _,
+    "q155_seasonal_profile" -> seasonalProfileQ _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -3322,5 +3386,7 @@ object Queries {
     "q144_zorder_layout" -> zorderLayoutSql,
     "q148_benford" -> benfordScreenSql,
     "q149_event_lift" -> eventLiftSql,
-    "q150_kmv_distinct" -> kmvDistinctSql)
+    "q150_kmv_distinct" -> kmvDistinctSql,
+    "q154_join_forecast" -> joinForecastSql,
+    "q155_seasonal_profile" -> seasonalProfileSql)
 }

@@ -114,6 +114,43 @@ object Skew {
     * Use when the dimension is too big to broadcast but the fact side
     * has hot keys. Replication factor = numSalts × |dim|.
     */
+  /** Pre-flight join-size and skew forecast — compute the EXACT output
+    * cardinality of `a ⋈ b` on `keyCols` and its hottest keys WITHOUT
+    * running the join: per-key counts on each side (map-side
+    * partials), a key-domain-sized count join, `pairs = n_a·n_b` per
+    * key in DECIMAL, Σ as the forecast total, and the topK
+    * contributors via TakeOrdered. This is how a 100 TB pipeline
+    * DECIDES between plain join / broadcast / salting / capBlocks
+    * before paying for the wrong one — the q113 hot-prefix incident
+    * as a reusable audit: a key carrying >1% of a quadratic output
+    * is visible here for the cost of two aggregations.
+    *
+    * Output: one row per top-K key — `(keyCols*, n_a, n_b, pairs,
+    * total_pairs, share)`; `pairs`/`total_pairs` are exact (DECIMAL
+    * assembly, emitted as longs — exact while the forecast output
+    * < 2⁶³ rows, which is already far past runnable), `share` one
+    * division.
+    */
+  def joinSizeForecast(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      topK: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "joinSizeForecast needs join keys")
+    val keys = keyCols.map(col)
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val ca = a.groupBy(keys: _*).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(keys: _*).agg(count(lit(1)).as("n_b"))
+    val per = ca.join(cb, keyCols)
+      .withColumn("pairs",
+        (dec(col("n_a")) * dec(col("n_b"))).cast("decimal(38,0)").cast("long"))
+    val total = per.agg(sum(col("pairs").cast("decimal(38,0)"))
+      .cast("decimal(38,0)").cast("long").as("total_pairs"))
+    per.orderBy(col("pairs").desc, keys.head.asc).limit(topK)
+      .crossJoin(broadcast(total))
+      .select(keys ++ Seq(col("n_a"), col("n_b"), col("pairs"),
+        col("total_pairs"),
+        (col("pairs").cast("double") / col("total_pairs").cast("double"))
+          .as("share")): _*)
+  }
+
   def saltedJoin(
       skewed: DataFrame,
       dim: DataFrame,

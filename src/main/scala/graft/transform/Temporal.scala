@@ -269,4 +269,47 @@ object Temporal {
         (col("n_total") - coalesce(col("n_val"), lit(0L))
           - coalesce(col("n_embargo"), lit(0L))).as("n_train"))
   }
+
+  /** Seasonal profile extraction — the classical-decomposition
+    * "seasonal" component in EXACT integer arithmetic: the per-key
+    * hourly cent series is detrended by a centered 24-hour moving
+    * SUM (rows [-11, +12]; only full windows count), and because
+    * `residual·24 = cents·24 − trendSum` stays integer, the
+    * hour-of-day seasonal means assemble as exact DECIMAL numerators
+    * with ONE final division — no running double means, nothing
+    * association-dependent (the corrByKey discipline applied to
+    * time-series decomposition).
+    *
+    * Scale: the window rides the per-key HOURLY aggregate — time-
+    * domain-bounded (24·365·years rows per key), never the event
+    * stream (the q70 EWMA posture); everything else is keyed aggs
+    * with map-side partials. `cents·24` is exact while hourly totals
+    * stay < 2⁵⁸ cents.
+    */
+  def seasonalProfile(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "seasonalProfile needs key columns")
+    val keys = keyCols.map(col)
+    import org.apache.spark.sql.expressions.Window
+    val hourly = df
+      .select(keys :+ expr(s"unix_timestamp($tsCol) div 3600").as("__hr") :+
+        graft.transform.Stats.cents(col(valueCol)).as("__cents"): _*)
+      .groupBy(keys :+ col("__hr"): _*)
+      .agg(sum(col("__cents")).as("__c"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("__hr").asc)
+      .rowsBetween(-11, 12)
+    hourly
+      .withColumn("__tsum", sum(col("__c")).over(w))
+      .withColumn("__tn", count(col("__c")).over(w))
+      .filter(col("__tn") === 24L)
+      .select(keys :+ (col("__hr") % 24).as("hour_of_day") :+
+        (col("__c") * 24L - col("__tsum")).as("__r24"): _*)
+      .groupBy(keys :+ col("hour_of_day"): _*)
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("__r24").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .cast("long").as("seasonal_num"))
+      .withColumn("seasonal",
+        col("seasonal_num").cast("double") /
+          (lit(24.0) * col("n_windows").cast("double")))
+  }
 }

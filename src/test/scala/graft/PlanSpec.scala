@@ -450,6 +450,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("join forecast: counts-only plan with TakeOrdered cut — never the joined rows") {
+    val p = plan(Queries.joinForecast(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-K must TakeOrdered:\n$p")
+    assert(unpartitionedWindows(p) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("seasonal profile: joinless; trend window rides the hourly aggregate") {
+    val p = plan(Queries.seasonalProfileQ(spark, sf0001))
+    assert(!p.contains("Join"), s"decomposition needs no join:\n$p")
+    assert(unpartitionedWindows(p) == 0, s"window must partition by key:\n$p")
+    val win = p.indexOf("Window")
+    assert(win >= 0 && p.lastIndexOf("HashAggregate") > win,
+      s"window must consume the hourly aggregate:\n$p")
+  }
+
   test("grouping sets expand into ONE keyed agg pass (no per-set rescan)") {
     val p = plan(Queries.groupingSets(spark, sf0001))
     assert(p.contains("Expand"), s"grouping sets must expand:\n$p")

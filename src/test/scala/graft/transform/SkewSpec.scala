@@ -85,4 +85,21 @@ class SkewSpec extends SparkSpec {
         Skew.saltedJoin(skewed, dim, "k", numSalts = 4, joinType = jt))
     }
   }
+
+  test("joinSizeForecast: hand-computed pair counts equal the executed join size") {
+    import spark.implicits._
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("w")).toDF("k")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(4)("y") ++ Seq("z")).toDF("k")
+    val got = Skew.joinSizeForecast(a, b, Seq("k"), topK = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // only shared keys contribute: x 3*2=6, y 2*4=8 -> total 14
+    assert(got === Map(
+      "y" -> ((2L, 4L, 8L, 14L, 8.0 / 14.0)),
+      "x" -> ((3L, 2L, 6L, 14L, 6.0 / 14.0))))
+    // the forecast must equal the join it predicts
+    val actual = a.join(b, "k").count()
+    assert(actual === 14L)
+  }
 }

@@ -286,4 +286,38 @@ class TemporalSpec extends SparkSpec {
     }.toSet
     assert(got === ref)
   }
+
+  test("seasonalProfile: matches an exact-integer driver reference; flat series is zero") {
+    import spark.implicits._
+    // 60 hourly points per key; key "flat" constant, key "wave" has a
+    // deterministic spike pattern
+    def cents(key: String, h: Long): Long =
+      if (key == "flat") 500L else 500L + (if (h % 24 == 5) 240L else 0L)
+    val rows = for (k <- Seq("flat", "wave"); h <- 0L until 60L)
+      yield (k, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(h * 3600)),
+        cents(k, h) / 100.0)
+    val got = Temporal.seasonalProfile(rows.toDF("k", "ts", "v"),
+      Seq("k"), "ts", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // driver reference: same centered-24 integer arithmetic
+    val ref = (for (k <- Seq("flat", "wave")) yield {
+      val c = (0L until 60L).map(h => cents(k, h))
+      (11 to 47).map { i => // full windows: 11 before, 12 after
+        val tsum = ((i - 11) to (i + 12)).map(j => c(j.toInt)).sum
+        (k, i.toLong % 24, c(i.toInt) * 24 - tsum)
+      }
+    }).flatten.groupBy(t => (t._1, t._2)).map { case (key, ts) =>
+      val num = ts.map(_._3).sum
+      key -> ((ts.size.toLong, num, num.toDouble / (24.0 * ts.size)))
+    }
+    assert(got === ref)
+    // flat series: every residual is exactly zero
+    got.filter(_._1._1 == "flat").values
+      .foreach { case (_, num, s) => assert(num === 0L && s === 0.0) }
+    // the spike hour carries the max positive seasonal for "wave"
+    val waveMax = got.filter(_._1._1 == "wave").maxBy(_._2._3)
+    assert(waveMax._1._2 === 5L)
+  }
 }
