@@ -1238,6 +1238,51 @@ object OpsQueries {
        |FROM u""".stripMargin
   }
 
+  /** Semantic decontamination scan (q156) — the embedding-space
+    * companion to q39's n-gram decontamination: for every EVAL vector
+    * (vec_id < 16, the holdout), how much of the training corpus sits
+    * suspiciously close (paraphrase-level leakage that n-gram overlap
+    * can't see). The 16-row holdout broadcasts; corpus rows score
+    * row-locally against it and aggregate per holdout query — counts
+    * at two alert thresholds plus the max cosine (6dp). Exact longs +
+    * the q20-precedent bitwise cosine.
+    */
+  def semanticDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val hold = Similarity.withNorm(e.filter(col("vec_id") < 16),
+        "vec_id", "embedding")
+      .select(col("vec_id").as("holdout_id"), col("__vec").as("hv"),
+        col("__norm").as("hn"))
+    val corpus = Similarity.withNorm(e.filter(col("vec_id") >= 16),
+        "vec_id", "embedding")
+      .select(col("vec_id").as("cand_id"), col("__vec").as("cv"),
+        col("__norm").as("cn"))
+    corpus.crossJoin(broadcast(hold))
+      .withColumn("cos",
+        Similarity.dot(col("cv"), col("hv")) / (col("cn") * col("hn")))
+      .groupBy(col("holdout_id"))
+      .agg(count(lit(1)).as("n_scanned"),
+        sum(when(col("cos") > 0.30, 1L).otherwise(0L)).as("n_above_030"),
+        sum(when(col("cos") > 0.15, 1L).otherwise(0L)).as("n_above_015"),
+        graft.util.Rounding.pround(max(col("cos")), 6).as("max_cos"))
+  }
+
+  val semanticDecontaminationSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+      |           FROM embeddings),
+      |h AS (SELECT vec_id AS holdout_id, vec AS hv FROM v WHERE vec_id < 16),
+      |c AS (SELECT vec_id AS cand_id, vec AS cv FROM v WHERE vec_id >= 16),
+      |s AS (SELECT h.holdout_id,
+      |             list_cosine_similarity(c.cv, h.hv) AS cos
+      |      FROM c CROSS JOIN h)
+      |SELECT holdout_id, CAST(count(*) AS BIGINT) AS n_scanned,
+      |       CAST(sum(CASE WHEN cos > 0.30 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_above_030,
+      |       CAST(sum(CASE WHEN cos > 0.15 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_above_015,
+      |       floor(max(cos) * 1000000.0 + 0.5) / 1000000.0 AS max_cos
+      |FROM s GROUP BY holdout_id""".stripMargin
+
   /** RP-LSH approximate KNN. Deterministic (seeded hyperplanes), so the
     * oracle reproduces the buckets from the same plane values inlined as
     * SQL literals — a hard hash gate.
@@ -3037,7 +3082,8 @@ object OpsQueries {
     "q147_oov_rate" -> oovRate _,
     "q151_dedup_eval" -> dedupEval _,
     "q152_fd_profile" -> fdProfile _,
-    "q153_mmr_rerank" -> mmrRerankQ _)
+    "q153_mmr_rerank" -> mmrRerankQ _,
+    "q156_semantic_decontam" -> semanticDecontamination _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
@@ -3059,6 +3105,7 @@ object OpsQueries {
     "q151_dedup_eval" -> dedupEvalSql,
     "q152_fd_profile" -> fdProfileSql,
     "q153_mmr_rerank" -> mmrRerankSql,
+    "q156_semantic_decontam" -> semanticDecontaminationSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

@@ -2539,6 +2539,122 @@ object Queries {
       |         / (24.0 * CAST(count(*) AS DOUBLE)) AS seasonal
       |FROM r GROUP BY event_type, hour_of_day""".stripMargin
 
+  /** Covariate-shift importance weights (q157) — the training-side
+    * ANSWER to the drift the q75/q137/q143 monitors detect: per-
+    * bucket weights `w = p_target/p_train` (Laplace-smoothed, train-
+    * defined bins — the PSI binning contract) that reweight the train
+    * half to match the target half, plus the running effective sample
+    * size `ESS = (Σ n·w)²/Σ n·w²` — the number that says whether
+    * reweighting is affordable or the drift demands new data. Each w
+    * is a fixed 3-division IEEE sequence of exact operands; the ESS
+    * terms ride frame-order-pinned running sums (the psi_cum
+    * device), so the headline at the last bucket gates bitwise
+    * under pround(6).
+    */
+  def importanceWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.util.Rounding.pround
+    val e = t(s, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        graft.transform.Stats.cents(col("value")).as("cents"))
+    val mid = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(expr("mn + (mx - mn) div 2").as("mid"))
+    val tagged = e.crossJoin(broadcast(mid)).persist()
+    val trn = tagged.filter(col("us") <= col("mid"))
+      .select(col("event_type"), col("cents"))
+    val tgt = tagged.filter(col("us") > col("mid"))
+      .select(col("event_type"), col("cents"))
+    val bounds = trn.agg(min(col("cents")).as("__mn"), max(col("cents")).as("__mx"))
+    def bucketed(df: DataFrame, out: String): DataFrame =
+      df.crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          least(lit(9L), greatest(lit(0L),
+            expr("((cents - __mn) * 10) div (__mx - __mn + 1)"))).as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as(out))
+    val cTrn = bucketed(trn, "n_train")
+    val cTgt = bucketed(tgt, "n_target")
+    val tTrn = trn.groupBy(col("event_type")).agg(count(lit(1)).as("nt_train"))
+    val tTgt = tgt.groupBy(col("event_type")).agg(count(lit(1)).as("nt_target"))
+    val grid = trn.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(9L))).as("bucket"))
+    val pT = (col("n_target") + 1).cast("double") /
+      (col("nt_target") + 10).cast("double")
+    val pN = (col("n_train") + 1).cast("double") /
+      (col("nt_train") + 10).cast("double")
+    val w = pT / pN
+    val wn = col("n_train").cast("double") * w
+    val wd = (col("n_train").cast("double") * w) * w
+    val win = Window.partitionBy(col("event_type")).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(broadcast(cTrn), Seq("event_type", "bucket"), "left")
+      .join(broadcast(cTgt), Seq("event_type", "bucket"), "left")
+      .join(broadcast(tTrn), Seq("event_type"))
+      .join(broadcast(tTgt), Seq("event_type"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_target"), lit(0L)).as("n_target"),
+        col("nt_train"), coalesce(col("nt_target"), lit(0L)).as("nt_target"))
+      .select(col("event_type"), col("bucket"), col("n_train"), col("n_target"),
+        pround(w, 6).as("w"),
+        pround(when(sum(wd).over(win) > 0.0,
+          (sum(wn).over(win) * sum(wn).over(win)) / sum(wd).over(win)),
+          6).as("ess_cum"))
+  }
+
+  val importanceWeightsSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM e),
+      |trn AS (SELECT event_type, cents FROM e, m WHERE us <= mid),
+      |tgt AS (SELECT event_type, cents FROM e, m WHERE us > mid),
+      |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM trn),
+      |ctrn AS (SELECT event_type,
+      |                least(9, greatest(0, ((cents - mn) * 10) // (mx - mn + 1))) AS bucket,
+      |                count(*) AS n_train
+      |         FROM trn, b GROUP BY 1, 2),
+      |ctgt AS (SELECT event_type,
+      |                least(9, greatest(0, ((cents - mn) * 10) // (mx - mn + 1))) AS bucket,
+      |                count(*) AS n_target
+      |         FROM tgt, b GROUP BY 1, 2),
+      |ttrn AS (SELECT event_type, count(*) AS nt_train FROM trn GROUP BY 1),
+      |ttgt AS (SELECT event_type, count(*) AS nt_target FROM tgt GROUP BY 1),
+      |grid AS (SELECT event_type, unnest(range(0, 10)) AS bucket
+      |         FROM (SELECT DISTINCT event_type FROM trn)),
+      |j AS (SELECT grid.event_type, grid.bucket,
+      |             coalesce(n_train, 0) AS n_train,
+      |             coalesce(n_target, 0) AS n_target,
+      |             nt_train, coalesce(nt_target, 0) AS nt_target
+      |      FROM grid LEFT JOIN ctrn USING (event_type, bucket)
+      |                LEFT JOIN ctgt USING (event_type, bucket)
+      |                JOIN ttrn USING (event_type)
+      |                LEFT JOIN ttgt USING (event_type)),
+      |k AS (SELECT event_type, bucket, n_train, n_target,
+      |             (CAST(n_target + 1 AS DOUBLE) / CAST(nt_target + 10 AS DOUBLE))
+      |               / (CAST(n_train + 1 AS DOUBLE) / CAST(nt_train + 10 AS DOUBLE))
+      |               AS w
+      |      FROM j),
+      |c AS (SELECT event_type, bucket, n_train, n_target, w,
+      |             sum(CAST(n_train AS DOUBLE) * w)
+      |               OVER (PARTITION BY event_type ORDER BY bucket ASC
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |               AS wn_cum,
+      |             sum((CAST(n_train AS DOUBLE) * w) * w)
+      |               OVER (PARTITION BY event_type ORDER BY bucket ASC
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |               AS wd_cum
+      |      FROM k)
+      |SELECT event_type, bucket, n_train, n_target,
+      |       floor(w * 1000000.0 + 0.5) / 1000000.0 AS w,
+      |       CASE WHEN wd_cum > 0.0
+      |            THEN floor((wn_cum * wn_cum) / wd_cum * 1000000.0 + 0.5)
+      |                 / 1000000.0 END AS ess_cum
+      |FROM c""".stripMargin
+
   /** Sample-ratio-mismatch check (q138) — the experiment-health gate
     * that must pass BEFORE q133's z-test is readable: under a 50/50
     * md5 split, `chi2 = (n1−n2)²/N` (one df). The squared difference
@@ -3305,7 +3421,8 @@ object Queries {
     "q149_event_lift" -> eventLift _,
     "q150_kmv_distinct" -> kmvDistinct _,
     "q154_join_forecast" -> joinForecast _,
-    "q155_seasonal_profile" -> seasonalProfileQ _)
+    "q155_seasonal_profile" -> seasonalProfileQ _,
+    "q157_importance_weights" -> importanceWeights _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -3388,5 +3505,6 @@ object Queries {
     "q149_event_lift" -> eventLiftSql,
     "q150_kmv_distinct" -> kmvDistinctSql,
     "q154_join_forecast" -> joinForecastSql,
-    "q155_seasonal_profile" -> seasonalProfileSql)
+    "q155_seasonal_profile" -> seasonalProfileSql,
+    "q157_importance_weights" -> importanceWeightsSql)
 }

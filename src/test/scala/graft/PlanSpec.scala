@@ -466,6 +466,21 @@ class PlanSpec extends SparkSpec {
       s"window must consume the hourly aggregate:\n$p")
   }
 
+  test("semantic decontam: holdout broadcasts; row-local scoring; no window") {
+    val p = plan(OpsQueries.semanticDecontamination(spark, sf0001))
+    assert(p.contains("Broadcast"), s"holdout side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(unpartitionedWindows(p) == 0)
+  }
+
+  test("importance weights: PSI posture — broadcast stats frames, key window only") {
+    val p = plan(Queries.importanceWeights(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"count/total frames must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(unpartitionedWindows(p) == 0)
+  }
+
   test("grouping sets expand into ONE keyed agg pass (no per-set rescan)") {
     val p = plan(Queries.groupingSets(spark, sf0001))
     assert(p.contains("Expand"), s"grouping sets must expand:\n$p")

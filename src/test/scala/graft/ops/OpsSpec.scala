@@ -529,6 +529,36 @@ class OpsSpec extends SparkSpec {
       "MMR must diverge from pure relevance ranking on this fixture")
   }
 
+  test("semantic decontamination: planted near-copy of a holdout vector is caught") {
+    import spark.implicits._
+    // holdout = ids 0..15; id 20 is a near-copy of holdout 3 (cos ~1);
+    // everything else lives on axes orthogonal to holdout 3
+    def unit(i: Int, d: Double = 1.0) = {
+      val a = Array.fill(8)(0f); a(i) = d.toFloat; a
+    }
+    val rows =
+      (0L until 16L).map(i => (i, unit((i % 8).toInt))) ++
+        Seq((20L, unit(3, 0.999)), (21L, unit(6)), (22L, unit(7)))
+    val dir = java.nio.file.Files.createTempDirectory("decontam").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val got = graft.OpsQueries.semanticDecontamination(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size === 16)
+    // every holdout scanned the same 3-row corpus
+    assert(got.values.forall(_._1 === 3L))
+    // holdout 3 (and 11, same axis) see the planted copy at cos 1.0
+    assert(got(3L) === ((3L, 1L, 1L, 1.0)))
+    assert(got(11L) === ((3L, 1L, 1L, 1.0)))
+    // a holdout on an axis no corpus vector shares sees nothing
+    assert(got(0L)._2 === 0L && got(0L)._4 === 0.0)
+    // threshold monotonicity everywhere
+    got.values.foreach { case (_, a30, a15, mx) =>
+      assert(a30 <= a15 && mx <= 1.0)
+    }
+  }
+
   test("source interleave: every sorted prefix holds each source in proportion ±1") {
     val out = graft.OpsQueries.sourceInterleave(spark, sf0001)
       .orderBy(col("interleave_key"), col("source"), col("r"))

@@ -162,6 +162,34 @@ class StatsSpec extends SparkSpec {
     assert(bKth === naiveKth)
   }
 
+  test("importance weights: identical halves weigh 1.0 with full ESS; shift shrinks ESS") {
+    // type a: same value pattern both halves -> every w exactly 1,
+    //   ESS at the last bucket = n_train = 20
+    // type b: train spreads 0..9, target all 9s -> top-bucket w > 1,
+    //   ESS < 20
+    val rows =
+      (0 until 40).map(i => ("a", i.toLong, (i % 10) / 100.0 * 100)) ++
+        (0 until 40).map(i => ("b", i.toLong,
+          if (i < 20) (i % 10).toDouble else 9.0))
+    val df = rows.map { case (t, sec, v) =>
+      (1L, t, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(sec)), v)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("iw").toString
+    df.toDF("user_id", "event_type", "ts", "value").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val got = graft.Queries.importanceWeights(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(got.size === 20)
+    for (b <- 0L to 9L) assert(got(("a", b))._3 === 1.0,
+      s"bucket $b of identical halves must weigh 1.0")
+    assert(got(("a", 9L))._4 === Some(20.0))
+    assert(got(("b", 9L))._3 > 1.0, "shifted-into bucket must upweight")
+    assert(got(("b", 9L))._4.get < 20.0, "shift must shrink ESS")
+  }
+
   test("giniByKey: hand-computed equality/concentration, tie blocks, zero-total guard") {
     // key e: four equal docs -> perfectly even, G = 0
     //   iwx = 10+20+30+40 = 100; num = 200 - 5*40 = 0
