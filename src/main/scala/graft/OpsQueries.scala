@@ -797,6 +797,66 @@ object OpsQueries {
       |         AS interleave_key
       |FROM r JOIN c ON r.source = c.source""".stripMargin
 
+  /** n-gram containment verify (q158, [[Dedup.ngramContainment]]) —
+    * asymmetric subset-duplicate detection on the SAME capped
+    * candidate blocks as q18: catches the doc-plus-boilerplate
+    * pathology Jaccard understates. The subset decision is an exact
+    * integer comparison, gated as data.
+    */
+  def ngramContainmentQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val capped = Dedup.capBlocks(
+      d.select(col("source"), col("doc_id")), "source", "doc_id",
+      NgramJaccardBlockCap)
+    val a = capped.select(col("source"), col("doc_id").as("a"))
+    val b = capped.select(col("source"), col("doc_id").as("b"))
+    val pairs = graft.transform.Skew
+      .saltedBlockSelfJoin(a, b, "source", col("a"), col("b"), numSalts = 8)
+      .filter(col("a") < col("b")).select("a", "b")
+    Dedup.ngramContainment(pairs, Dedup.shingleSet(d, "doc_id", "text"),
+      "doc_id")
+  }
+
+  val ngramContainmentSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+      |    FROM toks WHERE len(t) >= 3)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |capped AS (
+      |  SELECT source, doc_id FROM (
+      |    SELECT source, doc_id,
+      |           row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+      |    FROM documents)
+      |  WHERE rn <= $NgramJaccardBlockCap),
+      |pairs AS (
+      |  SELECT d1.doc_id AS a, d2.doc_id AS b
+      |  FROM capped d1 JOIN capped d2
+      |    ON d1.source = d2.source AND d1.doc_id < d2.doc_id),
+      |common AS (
+      |  SELECT p.a, p.b, count(*) AS n_common
+      |  FROM pairs p
+      |  JOIN sh sa ON sa.doc_id = p.a
+      |  JOIN sh sb ON sb.doc_id = p.b AND sb.s = sa.s
+      |  GROUP BY p.a, p.b)
+      |SELECT p.a, p.b,
+      |       CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+      |       za.sz AS sz_a, zb.sz AS sz_b,
+      |       CAST(coalesce(c.n_common, 0) AS DOUBLE) / CAST(za.sz AS DOUBLE)
+      |         AS cont_a,
+      |       CAST(coalesce(c.n_common, 0) AS DOUBLE) / CAST(zb.sz AS DOUBLE)
+      |         AS cont_b,
+      |       CAST(CASE WHEN coalesce(c.n_common, 0) * 10 >= least(za.sz, zb.sz) * 9
+      |            THEN 1 ELSE 0 END AS BIGINT) AS subset_flag
+      |FROM pairs p
+      |LEFT JOIN common c ON c.a = p.a AND c.b = p.b
+      |JOIN sizes za ON za.doc_id = p.a
+      |JOIN sizes zb ON zb.doc_id = p.b""".stripMargin
+
   /** Duplicate-passage boilerplate audit (q141,
     * [[Dedup.duplicatePassages]]): per-source counts of stride-8 token
     * windows whose exact text recurs corpus-wide (the cross-doc
@@ -3083,7 +3143,8 @@ object OpsQueries {
     "q151_dedup_eval" -> dedupEval _,
     "q152_fd_profile" -> fdProfile _,
     "q153_mmr_rerank" -> mmrRerankQ _,
-    "q156_semantic_decontam" -> semanticDecontamination _)
+    "q156_semantic_decontam" -> semanticDecontamination _,
+    "q158_ngram_containment" -> ngramContainmentQ _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
@@ -3106,6 +3167,7 @@ object OpsQueries {
     "q152_fd_profile" -> fdProfileSql,
     "q153_mmr_rerank" -> mmrRerankSql,
     "q156_semantic_decontam" -> semanticDecontaminationSql,
+    "q158_ngram_containment" -> ngramContainmentSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

@@ -272,6 +272,38 @@ object Dedup {
       .select("a", "b", "n_common", "sz_a", "sz_b", "jaccard")
   }
 
+  /** Shingle-set CONTAINMENT verify — the asymmetric companion to
+    * [[ngramJaccard]]: `cont_a = |A∩B|/|A|` and `cont_b = |A∩B|/|B|`.
+    * Jaccard misses the crawl pathology where one document IS another
+    * plus boilerplate (|A∩B|/|A∪B| stays low when |B| ≫ |A|);
+    * containment flags it from either side. The `subset_flag` is an
+    * exact INTEGER comparison (`10·|A∩B| ≥ 9·min(|A|,|B|)` — a ≥0.9
+    * threshold with no float in the decision), so the gate pins the
+    * drop decision, not just the scores. Same candidate/intersection
+    * plan shape (and scale posture) as [[ngramJaccard]].
+    */
+  def ngramContainment(
+      pairs: DataFrame, shingleSet: DataFrame, idCol: String): DataFrame = {
+    val sizes = shingleSet.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val sa = shingleSet.select(col(idCol).as("a"), col("shingle"))
+    val sb = shingleSet.select(col(idCol).as("b"), col("shingle"))
+    val common = pairs
+      .join(sa, "a").join(sb, Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(common, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sz_a")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("sz_b")), "b")
+      .select(col("a"), col("b"), col("n_common"), col("sz_a"), col("sz_b"),
+        (col("n_common").cast("double") / col("sz_a").cast("double"))
+          .as("cont_a"),
+        (col("n_common").cast("double") / col("sz_b").cast("double"))
+          .as("cont_b"),
+        (col("n_common") * 10L >= least(col("sz_a"), col("sz_b")) * 9L)
+          .cast("long").as("subset_flag"))
+  }
+
   // -------------------------------------------------------------- decontamination
   /** Benchmark decontamination: per training document, the number of its
     * distinct word n-grams that also appear anywhere in the holdout

@@ -481,6 +481,12 @@ class PlanSpec extends SparkSpec {
     assert(unpartitionedWindows(p) == 0)
   }
 
+  test("ngram containment: q18 candidate posture — capped blocks, no cartesian") {
+    val p = plan(OpsQueries.ngramContainmentQ(spark, sf0001))
+    assert(!p.contains("CartesianProduct"))
+    assert(unpartitionedWindows(p) == 0)
+  }
+
   test("grouping sets expand into ONE keyed agg pass (no per-set rescan)") {
     val p = plan(Queries.groupingSets(spark, sf0001))
     assert(p.contains("Expand"), s"grouping sets must expand:\n$p")

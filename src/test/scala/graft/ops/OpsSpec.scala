@@ -56,6 +56,27 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngram containment flags a doc-plus-boilerplate subset that jaccard understates") {
+    // doc 2 = doc 1 plus a long boilerplate tail: containment of 1 in 2
+    // is 1.0 while jaccard is diluted below any dedup threshold
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta one two three four five six seven " +
+        "eight nine ten eleven twelve"),
+      (3L, "totally unrelated content here")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val sh = Dedup.shingleSet(d, "doc_id", "text")
+    val got = Dedup.ngramContainment(pairs, sh, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getLong(7)))).toMap
+    // doc1: 2 shingles, both inside doc2 (16 tokens -> 14 shingles)
+    assert(got((1L, 2L)) === ((2L, 2L, 14L, 1.0, 1L)))
+    // jaccard on the same pair would be 2/14 ≈ 0.14 — far below 0.9
+    assert(got((1L, 3L))._1 === 0L && got((1L, 3L))._5 === 0L)
+  }
+
   test("ngram jaccard is 1.0 for identical docs and 0 for disjoint") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
       .toDF("doc_id", "text")
