@@ -776,7 +776,12 @@ object OpsQueries {
     d.withColumn("r", row_number().over(w).cast("long"))
       .join(broadcast(counts), Seq("source"))
       .select(col("doc_id"), col("source"), col("r"), col("n_s"),
-        expr("((2 * r - 1) * 1099511627776) div (2 * n_s)")
+        // the (2r−1)·2⁴⁰ product rides DECIMAL: in LONG it overflows
+        // for any source past ~2²² docs, and curriculum interleave is
+        // exactly the billions-of-docs setting; the emitted key is
+        // ≤ 2⁴⁰, so the cast back to long is always exact
+        expr("cast((cast(2 * r - 1 as decimal(38,0)) * 1099511627776)" +
+          " div cast(2 * n_s as decimal(38,0)) as bigint)")
           .as("interleave_key"))
   }
 
@@ -793,8 +798,8 @@ object OpsQueries {
       |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
       |      FROM d GROUP BY source)
       |SELECT r.doc_id, r.source, r.r, c.n_s,
-      |       ((2 * r.r - 1) * 1099511627776) // (2 * c.n_s)
-      |         AS interleave_key
+      |       CAST((CAST(2 * r.r - 1 AS HUGEINT) * 1099511627776)
+      |            // (2 * c.n_s) AS BIGINT) AS interleave_key
       |FROM r JOIN c ON r.source = c.source""".stripMargin
 
   /** n-gram containment verify (q158, [[Dedup.ngramContainment]]) —
@@ -885,7 +890,7 @@ object OpsQueries {
   val duplicatePassagesSql: String =
     """WITH toks AS (
       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
-      |  FROM documents),
+      |  FROM documents WHERE trim(text) <> ''),
       |win AS (
       |  SELECT doc_id, source,
       |         array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ')

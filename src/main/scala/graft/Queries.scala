@@ -1993,7 +1993,8 @@ object Queries {
     val p2 = d("x2") / d("n2")
     val pp = (d("x1") + d("x2")) / (d("n1") + d("n2"))
     armAgg.select(col("n1"), col("x1"), col("n2"), col("x2"),
-      p1.as("p1"), p2.as("p2"),
+      when(col("n1") > 0, p1).as("p1"),
+      when(col("n2") > 0, p2).as("p2"),
       when(col("n1") > 0 && col("n2") > 0 &&
           col("x1") + col("x2") > 0 &&
           col("x1") + col("x2") < col("n1") + col("n2"),
@@ -2018,8 +2019,10 @@ object Queries {
       |    CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS x2
       |  FROM u)
       |SELECT n1, x1, n2, x2,
-      |       CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
-      |       CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+      |       CASE WHEN n1 > 0 THEN CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) END
+      |         AS p1,
+      |       CASE WHEN n2 > 0 THEN CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) END
+      |         AS p2,
       |       CASE WHEN n1 > 0 AND n2 > 0 AND x1 + x2 > 0
       |                 AND x1 + x2 < n1 + n2
       |            THEN (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
@@ -2527,11 +2530,16 @@ object Queries {
       |           AS tsum,
       |         count(c) OVER (PARTITION BY event_type ORDER BY hr ASC
       |                        ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
-      |           AS tn
+      |           AS tn,
+      |         max(hr) OVER (PARTITION BY event_type ORDER BY hr ASC
+      |                       ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+      |           - min(hr) OVER (PARTITION BY event_type ORDER BY hr ASC
+      |                           ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+      |           AS hspan
       |  FROM h),
       |r AS (SELECT event_type, hr % 24 AS hour_of_day,
       |             c * 24 - tsum AS r24
-      |      FROM w WHERE tn = 24)
+      |      FROM w WHERE tn = 24 AND hspan = 23)
       |SELECT event_type, hour_of_day,
       |       CAST(count(*) AS BIGINT) AS n_windows,
       |       CAST(sum(CAST(r24 AS HUGEINT)) AS BIGINT) AS seasonal_num,

@@ -81,10 +81,13 @@ object Dedup {
       window: Int = 8, minCount: Long = 2L): DataFrame = {
     require(window >= 1, "duplicatePassages needs a positive window")
     require(minCount >= 2, "minCount < 2 marks every passage duplicated")
-    // window count materialized BEFORE the explode: explode(sequence)
-    // cannot consume a lateral alias from the same select
-    val toks = df.select(col(idCol),
-        split(trim(col(textCol)), "\\s+").as("__t"))
+    // whitespace-only docs emit NO passages (split of "" yields [""],
+    // which would otherwise count as one empty-string window and make
+    // blank docs mark each other 100% boilerplate); window count is
+    // materialized BEFORE the explode: explode(sequence) cannot
+    // consume a lateral alias from the same select
+    val toks = df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__t"))
       .withColumn("__nw", expr(s"(size(__t) + ${window - 1}) div $window"))
     val fps = toks
       .select(col(idCol), col("__t"),

@@ -94,7 +94,11 @@ object Multimodal {
     if (bytes == null || bytes.isEmpty) None
     else
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: ImageIO plugin decoders throw
+      // unchecked exceptions on corrupt-but-sniffable input (absurd
+      // declared dimensions → NegativeArraySize/IndexOutOfBounds) and
+      // one such blob must degrade, not abort the batch
+      catch { case scala.util.control.NonFatal(_) => None }
 
   /** Integer luminance histogram of a decoded image: 8 bins of BT.601
     * fixed-point luma `(r·299 + g·587 + b·114) div 1000` (bin = luma

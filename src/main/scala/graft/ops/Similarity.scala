@@ -589,22 +589,37 @@ object Similarity {
     val base = df.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seed = base.orderBy(col("id").asc).limit(1).head()
-    var chosen = List((1L, seed.getLong(0), Option.empty[Double]))
-    var centerVec: Seq[Double] = seed.getSeq[Double](1)
-    var state = base.withColumn("best", lit(null).cast("double"))
-    for (round <- 2L to k.toLong) {
-      val cv = array(centerVec.map(lit): _*)
-      state = state.withColumn("best",
-        greatest(coalesce(col("best"), lit(-2.0)),
-          pround(cosine(col("v"), cv), 6)))
-      val next = state.filter(!col("id").isin(chosen.map(_._2): _*))
-        .orderBy(col("best").asc, col("id").asc).limit(1).head()
-      chosen ::= ((round, next.getLong(0), Some(next.getDouble(2))))
-      centerVec = next.getSeq[Double](1)
-    }
-    base.unpersist()
     import spark.implicits._
-    chosen.reverse.toDF("round", "vec_id", "sim")
+    try {
+      val seedOpt = base.orderBy(col("id").asc).limit(1).collect().headOption
+      if (seedOpt.isEmpty)
+        return Seq.empty[(Long, Long, Option[Double])]
+          .toDF("round", "vec_id", "sim")
+      val seed = seedOpt.get
+      var chosen = List((1L, seed.getLong(0), Option.empty[Double]))
+      var centerVec: Seq[Double] = seed.getSeq[Double](1)
+      var state = base.withColumn("best", lit(null).cast("double"))
+      var round = 2L
+      var exhausted = false
+      // k beyond the corpus size exhausts cleanly after n rounds
+      // instead of throwing on an empty argmin frame
+      while (round <= k.toLong && !exhausted) {
+        val cv = array(centerVec.map(lit): _*)
+        state = state.withColumn("best",
+          greatest(coalesce(col("best"), lit(-2.0)),
+            pround(cosine(col("v"), cv), 6)))
+        val nextOpt = state.filter(!col("id").isin(chosen.map(_._2): _*))
+          .orderBy(col("best").asc, col("id").asc).limit(1)
+          .collect().headOption
+        nextOpt match {
+          case None => exhausted = true
+          case Some(next) =>
+            chosen ::= ((round, next.getLong(0), Some(next.getDouble(2))))
+            centerVec = next.getSeq[Double](1)
+            round += 1
+        }
+      }
+      chosen.reverse.toDF("round", "vec_id", "sim")
+    } finally base.unpersist()
   }
 }

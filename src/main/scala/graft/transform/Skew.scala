@@ -143,7 +143,7 @@ object Skew {
         (dec(col("n_a")) * dec(col("n_b"))).cast("decimal(38,0)").cast("long"))
     val total = per.agg(sum(col("pairs").cast("decimal(38,0)"))
       .cast("decimal(38,0)").cast("long").as("total_pairs"))
-    per.orderBy(col("pairs").desc, keys.head.asc).limit(topK)
+    per.orderBy(col("pairs").desc +: keys.map(_.asc): _*).limit(topK)
       .crossJoin(broadcast(total))
       .select(keys ++ Seq(col("n_a"), col("n_b"), col("pairs"),
         col("total_pairs"),

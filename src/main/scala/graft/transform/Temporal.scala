@@ -301,7 +301,12 @@ object Temporal {
     hourly
       .withColumn("__tsum", sum(col("__c")).over(w))
       .withColumn("__tn", count(col("__c")).over(w))
-      .filter(col("__tn") === 24L)
+      // full AND CONTIGUOUS windows only: a ROWS frame spans 24
+      // observed rows, so an idle-hour gap would silently splice
+      // non-adjacent hours into one "day" — the integer span check
+      // (max−min = 23) rejects spliced frames exactly
+      .withColumn("__hspan", max(col("__hr")).over(w) - min(col("__hr")).over(w))
+      .filter(col("__tn") === 24L && col("__hspan") === 23L)
       .select(keys :+ (col("__hr") % 24).as("hour_of_day") :+
         (col("__c") * 24L - col("__tsum")).as("__r24"): _*)
       .groupBy(keys :+ col("hour_of_day"): _*)

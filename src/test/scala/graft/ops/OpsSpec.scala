@@ -43,6 +43,13 @@ class OpsSpec extends SparkSpec {
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 1L, 0L), (4L, 2L, 2L)))
+    // whitespace-only docs emit no passages — two blank docs must NOT
+    // mark each other as 100%-duplicated boilerplate
+    val withBlanks = df.unionByName(
+      Seq((5L, ""), (6L, "   ")).toDF("doc_id", "text"))
+    val ids = Dedup.duplicatePassages(withBlanks, "doc_id", "text", window = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 3L, 4L))
   }
 
   test("minhash LSH surfaces planted near-duplicates") {
@@ -628,6 +635,9 @@ class OpsSpec extends SparkSpec {
       (2L, 4L, Some(-1.0)),      // cos(+x, -x) = -1: farthest
       (3L, 2L, Some(0.0)),       // +y orthogonal to both centers
       (4L, 3L, Some(0.707107)))) // diagonal: cos 1/sqrt(2) to +x and +y
+    // k beyond the corpus exhausts cleanly after n rounds (no throw)
+    val over = Similarity.kCenterCoreset(vecs, "vec_id", "embedding", k = 9)
+    assert(over.count() === 4L)
   }
 
   test("real PNG decode: golden pixels round-trip through ImageIO bit-exactly") {

@@ -320,4 +320,20 @@ class TemporalSpec extends SparkSpec {
     val waveMax = got.filter(_._1._1 == "wave").maxBy(_._2._3)
     assert(waveMax._1._2 === 5L)
   }
+
+  test("seasonalProfile drops spliced windows across an idle-hour gap") {
+    import spark.implicits._
+    // 61 hourly points with hour 30 missing: any 24-row frame spanning
+    // the gap splices two days and must be rejected by the span check.
+    // Surviving windows: centers 11..17 before the gap (7) and
+    // centers at hours 42..48 after it (7).
+    val rows = ((0L until 30L) ++ (31L until 61L)).map(h =>
+      ("k", java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(h * 3600)), 5.0))
+    val got = Temporal.seasonalProfile(rows.toDF("k", "ts", "v"),
+      Seq("k"), "ts", "v")
+    assert(got.agg(sum(col("n_windows"))).collect().head.getLong(0) === 14L)
+    // flat values: every surviving window is exactly detrended
+    assert(got.agg(sum(col("seasonal_num"))).collect().head.getLong(0) === 0L)
+  }
 }
