@@ -862,6 +862,98 @@ object OpsQueries {
       |JOIN sizes za ON za.doc_id = p.a
       |JOIN sizes zb ON zb.doc_id = p.b""".stripMargin
 
+  /** Cross-source boilerplate matrix (q159) — who copies whom: for
+    * every source pair, the count of DISTINCT stride-8 passage
+    * fingerprints (q141's representation) present in BOTH sources.
+    * High off-diagonal cells mean shared templates/licenses or
+    * outright syndication — the readout that decides whether two
+    * "independent" sources should count once in the mixture. Distinct
+    * (source, fp) first (map-side partials), then the fp-keyed
+    * self-join explodes only per-fingerprint source lists (≤ sources²
+    * per fp — type-bounded, the q149 posture), then one pair agg.
+    */
+  def sourceBoilerplateMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("__t"))
+      .withColumn("__nw", expr("(size(__t) + 7) div 8"))
+    val fps = d
+      .select(col("source"), col("__t"),
+        explode(sequence(lit(0L), col("__nw") - 1)).as("__i"))
+      .select(col("source"),
+        conv(substring(md5(concat_ws(" ",
+          slice(col("__t"), (col("__i") * 8 + 1).cast("int"), lit(8)))),
+          1, 15), 16, 10).cast("long").as("fp"))
+      .distinct()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_passages"))
+  }
+
+  val sourceBoilerplateMatrixSql: String =
+    """WITH toks AS (
+      |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents WHERE trim(text) <> ''),
+      |fp AS (
+      |  SELECT DISTINCT source,
+      |         ('0x' || substr(md5(passage), 1, 15))::BIGINT AS fp
+      |  FROM (
+      |    SELECT source,
+      |           array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ')
+      |             AS passage
+      |    FROM (SELECT source, t, unnest(range(0, (len(t) + 7) // 8)) AS i
+      |          FROM toks)))
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       CAST(count(*) AS BIGINT) AS n_shared_passages
+      |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Dedup savings forecast (q160) — the capacity-planning readout
+    * BEFORE paying for dedup (the q134 capture-recapture estimate's
+    * exact sibling once fingerprints are in hand): per source, how
+    * many docs are exact-duplicate copies and how many CHARACTERS the
+    * keep-min-id policy would reclaim. One fingerprint agg (q16's
+    * shape) + per-source rollup; savable chars = Σ chars − chars of
+    * keepers, all exact longs, one division for the rate.
+    */
+  def dedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fp"),
+      length(col("text")).cast("long").as("chars"))
+    val keepers = d.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+    d.join(keepers, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("doc_id") =!= col("keeper_id")).cast("long"))
+          .as("n_dup_docs"),
+        sum(col("chars")).as("chars_total"),
+        sum(when(col("doc_id") =!= col("keeper_id"), col("chars"))
+          .otherwise(0L)).as("chars_savable"))
+      .withColumn("savings_rate",
+        col("chars_savable").cast("double") / col("chars_total").cast("double"))
+  }
+
+  val dedupSavingsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+      |         CAST(length(text) AS BIGINT) AS chars
+      |  FROM documents),
+      |k AS (SELECT fp, min(doc_id) AS keeper_id FROM d GROUP BY fp)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN d.doc_id <> k.keeper_id THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_dup_docs,
+      |       CAST(sum(chars) AS BIGINT) AS chars_total,
+      |       CAST(sum(CASE WHEN d.doc_id <> k.keeper_id THEN chars ELSE 0 END)
+      |            AS BIGINT) AS chars_savable,
+      |       CAST(sum(CASE WHEN d.doc_id <> k.keeper_id THEN chars ELSE 0 END)
+      |            AS DOUBLE) / CAST(sum(chars) AS DOUBLE) AS savings_rate
+      |FROM d JOIN k USING (fp)
+      |GROUP BY source""".stripMargin
+
   /** Duplicate-passage boilerplate audit (q141,
     * [[Dedup.duplicatePassages]]): per-source counts of stride-8 token
     * windows whose exact text recurs corpus-wide (the cross-doc
@@ -3149,7 +3241,9 @@ object OpsQueries {
     "q152_fd_profile" -> fdProfile _,
     "q153_mmr_rerank" -> mmrRerankQ _,
     "q156_semantic_decontam" -> semanticDecontamination _,
-    "q158_ngram_containment" -> ngramContainmentQ _)
+    "q158_ngram_containment" -> ngramContainmentQ _,
+    "q159_source_boilerplate" -> sourceBoilerplateMatrix _,
+    "q160_dedup_savings" -> dedupSavings _)
 
   val opsOracles: Map[String, String] = Map(
     "q123_png_decode" -> pngDecodeHistogramSql,
@@ -3173,6 +3267,8 @@ object OpsQueries {
     "q153_mmr_rerank" -> mmrRerankSql,
     "q156_semantic_decontam" -> semanticDecontaminationSql,
     "q158_ngram_containment" -> ngramContainmentSql,
+    "q159_source_boilerplate" -> sourceBoilerplateMatrixSql,
+    "q160_dedup_savings" -> dedupSavingsSql,
     "q118_hll_distinct" -> hllShinglesSql,
     "q119_temperature_mix" -> temperatureMixSql,
     "q112_quality_audit" -> qualityAuditSql,

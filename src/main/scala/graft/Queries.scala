@@ -2663,6 +2663,83 @@ object Queries {
       |                 / 1000000.0 END AS ess_cum
       |FROM c""".stripMargin
 
+  /** Inter-arrival burstiness index (q161) — the bot/incident screen
+    * on top of q135's raw gap features: per event type, the pooled
+    * user-partitioned gaps yield `CV² = n·Σg²/(Σg)² − 1` and
+    * Goh-Barabási `B = (σ−μ)/(σ+μ)` (−1 periodic, 0 Poisson, →1
+    * bursty). Moments assemble in DECIMAL (the corrByKey discipline —
+    * never running double sums), emitted exactly, and the two
+    * headline doubles are fixed IEEE sequences of once-converted
+    * operands (sqrt is exactly rounded); single-gap types guard to
+    * NULL under ANSI.
+    */
+  def burstiness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("us").asc)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val gaps = t(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val agg = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sum_gap"),
+        sum((dec(col("gap")) * dec(col("gap"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__sumsq"))
+    val n = col("n_gaps").cast("double")
+    val s1 = col("sum_gap").cast("double")
+    val s2 = col("__sumsq").cast("double")
+    val mu = s1 / n
+    // clamp: cancellation can land variance −1 ulp below zero, and
+    // DuckDB's sqrt ERRORS on negatives (Spark returns NaN) — the
+    // greatest() keeps both engines on the same finite value
+    val variance = greatest(s2 / n - mu * mu, lit(0.0))
+    val sigma = sqrt(variance)
+    agg.select(col("event_type"), col("n_gaps"), col("sum_gap"),
+      col("__sumsq").cast("string").as("sum_gap_sq"),
+      when(col("n_gaps") > 1L && col("sum_gap") > 0L,
+        n * s2 / (s1 * s1) - lit(1.0)).as("cv2"),
+      when(col("n_gaps") > 1L && col("sum_gap") > 0L,
+        (sigma - mu) / (sigma + mu)).as("burstiness"))
+  }
+
+  val burstinessSql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |         us - lag(us) OVER (PARTITION BY event_type, user_id
+      |                            ORDER BY us ASC) AS gap
+      |  FROM e),
+      |f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+      |a AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |         CAST(sum(gap) AS BIGINT) AS sum_gap,
+      |         sum(CAST(gap AS HUGEINT) * gap) AS sumsq
+      |  FROM f GROUP BY event_type)
+      |SELECT event_type, n_gaps, sum_gap,
+      |       CAST(sumsq AS VARCHAR) AS sum_gap_sq,
+      |       CASE WHEN n_gaps > 1 AND sum_gap > 0 THEN
+      |         CAST(n_gaps AS DOUBLE) * CAST(sumsq AS DOUBLE)
+      |           / (CAST(sum_gap AS DOUBLE) * CAST(sum_gap AS DOUBLE)) - 1.0
+      |       END AS cv2,
+      |       CASE WHEN n_gaps > 1 AND sum_gap > 0 THEN
+      |         (sqrt(greatest(CAST(sumsq AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+      |               - (CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |                 * (CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+      |               0.0))
+      |          - CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |         / (sqrt(greatest(CAST(sumsq AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+      |                 - (CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |                   * (CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+      |                 0.0))
+      |            + CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |       END AS burstiness
+      |FROM a""".stripMargin
+
   /** Sample-ratio-mismatch check (q138) — the experiment-health gate
     * that must pass BEFORE q133's z-test is readable: under a 50/50
     * md5 split, `chi2 = (n1−n2)²/N` (one df). The squared difference
@@ -3430,7 +3507,8 @@ object Queries {
     "q150_kmv_distinct" -> kmvDistinct _,
     "q154_join_forecast" -> joinForecast _,
     "q155_seasonal_profile" -> seasonalProfileQ _,
-    "q157_importance_weights" -> importanceWeights _)
+    "q157_importance_weights" -> importanceWeights _,
+    "q161_burstiness" -> burstiness _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -3514,5 +3592,6 @@ object Queries {
     "q150_kmv_distinct" -> kmvDistinctSql,
     "q154_join_forecast" -> joinForecastSql,
     "q155_seasonal_profile" -> seasonalProfileSql,
-    "q157_importance_weights" -> importanceWeightsSql)
+    "q157_importance_weights" -> importanceWeightsSql,
+    "q161_burstiness" -> burstinessSql)
 }

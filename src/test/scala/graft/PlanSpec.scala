@@ -487,6 +487,24 @@ class PlanSpec extends SparkSpec {
     assert(unpartitionedWindows(p) == 0)
   }
 
+  test("source boilerplate matrix: fp-keyed self-join, no window, no cartesian") {
+    val p = plan(OpsQueries.sourceBoilerplateMatrix(spark, sf0001))
+    assert(!p.contains("CartesianProduct"))
+    assert(unpartitionedWindows(p) == 0)
+  }
+
+  test("dedup savings: one fingerprint-keyed join, no window") {
+    val p = plan(OpsQueries.dedupSavings(spark, sf0001))
+    assert(!p.contains("CartesianProduct"))
+    assert(unpartitionedWindows(p) == 0)
+  }
+
+  test("burstiness: joinless; lag window rides the (type,user) partitioning") {
+    val p = plan(Queries.burstiness(spark, sf0001))
+    assert(!p.contains("Join"), s"burstiness needs no join:\n$p")
+    assert(unpartitionedWindows(p) == 0)
+  }
+
   test("grouping sets expand into ONE keyed agg pass (no per-set rescan)") {
     val p = plan(Queries.groupingSets(spark, sf0001))
     assert(p.contains("Expand"), s"grouping sets must expand:\n$p")

@@ -587,6 +587,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("source boilerplate matrix: planted shared template links exactly its two sources") {
+    import spark.implicits._
+    // s1/s2 share the 8-token template as a full window; s3 disjoint
+    val tpl = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val d = Seq(
+      (1L, "s1", tpl), (2L, "s2", tpl + " extra tail tokens here"),
+      (3L, "s3", "x1 x2 x3 x4 x5 x6 x7 x8"))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpm").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.OpsQueries.sourceBoilerplateMatrix(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(("s1", "s2") -> 1L))
+  }
+
+  test("dedup savings: copies charge their full chars to the savable pool") {
+    import spark.implicits._
+    // s1: doc 1 kept, doc 2 an exact copy (savable), doc 3 unique
+    // s2: one unique doc
+    val d = Seq(
+      (1L, "s1", "alpha beta gamma"), (2L, "s1", " alpha  beta gamma "),
+      (3L, "s1", "unique content one"), (4L, "s2", "solo text"))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("savings").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.OpsQueries.dedupSavings(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 2 has 19 chars (with padding), doc1 16, doc3 18
+    assert(got("s1") === ((3L, 1L, 16L + 19L + 18L, 19L)))
+    assert(got("s2") === ((1L, 0L, 9L, 0L)))
+  }
+
   test("source interleave: every sorted prefix holds each source in proportion ±1") {
     val out = graft.OpsQueries.sourceInterleave(spark, sf0001)
       .orderBy(col("interleave_key"), col("source"), col("r"))

@@ -190,6 +190,37 @@ class StatsSpec extends SparkSpec {
     assert(got(("b", 9L))._4.get < 20.0, "shift must shrink ESS")
   }
 
+  test("burstiness: periodic series scores -1, bursty series positive, moments exact") {
+    // type p: one user, events at 0,10,20,30s -> gaps all 10s: σ=0,
+    //   cv2=0, B=-1. type b: gaps 1s,1s,58s -> strongly bursty.
+    val rows =
+      Seq(0L, 10L, 20L, 30L).map(sec => (1L, "p", sec)) ++
+        Seq(0L, 1L, 2L, 60L).map(sec => (1L, "b", sec))
+    val df = rows.map { case (u, t, sec) =>
+      (u, t, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(sec)), 1.0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("burst").toString
+    df.toDF("user_id", "event_type", "ts", "value").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val got = graft.Queries.burstiness(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val tenSec = 10L * 1000000L
+    assert(got("p")._1 === 3L && got("p")._2 === 3 * tenSec)
+    assert(got("p")._4 === 0.0 && got("p")._5 === -1.0)
+    // driver reference for the bursty type: gaps 1s, 1s, 58s in µs
+    val g = Seq(1L, 1L, 58L).map(_ * 1000000L)
+    val (n, s1, s2) = (g.size.toDouble, g.sum.toDouble,
+      g.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+    assert(got("b")._3 === g.map(x => BigInt(x) * BigInt(x)).sum.toString)
+    assert(math.abs(got("b")._4 - (n * s2 / (s1 * s1) - 1.0)) < 1e-12)
+    // with n=3 gaps B is bounded near (√2−1)/(√2+1) ≈ 0.17 — positive
+    // is the signal, not magnitude
+    assert(got("b")._5 > 0.1, "bursty gaps must score above periodic/Poisson")
+  }
+
   test("giniByKey: hand-computed equality/concentration, tie blocks, zero-total guard") {
     // key e: four equal docs -> perfectly even, G = 0
     //   iwx = 10+20+30+40 = 100; num = 200 - 5*40 = 0
