@@ -2539,13 +2539,22 @@ object Queries {
       |  FROM h),
       |r AS (SELECT event_type, hr % 24 AS hour_of_day,
       |             c * 24 - tsum AS r24
-      |      FROM w WHERE tn = 24 AND hspan = 23)
-      |SELECT event_type, hour_of_day,
-      |       CAST(count(*) AS BIGINT) AS n_windows,
-      |       CAST(sum(CAST(r24 AS HUGEINT)) AS BIGINT) AS seasonal_num,
-      |       CAST(sum(CAST(r24 AS HUGEINT)) AS BIGINT)
-      |         / (24.0 * CAST(count(*) AS DOUBLE)) AS seasonal
-      |FROM r GROUP BY event_type, hour_of_day""".stripMargin
+      |      FROM w WHERE tn = 24 AND hspan = 23),
+      |prof AS (
+      |  SELECT event_type, hour_of_day,
+      |         CAST(count(*) AS BIGINT) AS n_windows,
+      |         CAST(sum(CAST(r24 AS HUGEINT)) AS BIGINT) AS seasonal_num
+      |  FROM r GROUP BY event_type, hour_of_day),
+      |grid AS (SELECT event_type, unnest(range(0, 24)) AS hour_of_day
+      |         FROM (SELECT DISTINCT event_type FROM events))
+      |SELECT g.event_type, CAST(g.hour_of_day AS BIGINT) AS hour_of_day,
+      |       coalesce(p.n_windows, 0) AS n_windows,
+      |       coalesce(p.seasonal_num, 0) AS seasonal_num,
+      |       CASE WHEN coalesce(p.n_windows, 0) > 0
+      |            THEN CAST(p.seasonal_num AS DOUBLE)
+      |                 / (24.0 * CAST(p.n_windows AS DOUBLE)) END AS seasonal
+      |FROM grid g LEFT JOIN prof p
+      |  ON g.event_type = p.event_type AND g.hour_of_day = p.hour_of_day""".stripMargin
 
   /** Covariate-shift importance weights (q157) — the training-side
     * ANSWER to the drift the q75/q137/q143 monitors detect: per-

@@ -298,7 +298,7 @@ object Temporal {
       .agg(sum(col("__cents")).as("__c"))
     val w = Window.partitionBy(keys: _*).orderBy(col("__hr").asc)
       .rowsBetween(-11, 12)
-    hourly
+    val prof = hourly
       .withColumn("__tsum", sum(col("__c")).over(w))
       .withColumn("__tn", count(col("__c")).over(w))
       // full AND CONTIGUOUS windows only: a ROWS frame spans 24
@@ -313,8 +313,18 @@ object Temporal {
       .agg(count(lit(1)).as("n_windows"),
         sum(col("__r24").cast("decimal(38,0)")).cast("decimal(38,0)")
           .cast("long").as("seasonal_num"))
+    // emit the FULL key × 24 grid: a series too sparse for any full
+    // contiguous day reads as explicit zero coverage (n_windows = 0,
+    // seasonal NULL), not as silently missing hours
+    val grid = df.select(keys: _*).distinct()
+      .select(keys :+ explode(sequence(lit(0L), lit(23L)))
+        .as("hour_of_day"): _*)
+    grid.join(prof, keyCols :+ "hour_of_day", "left")
+      .select(keys ++ Seq(col("hour_of_day"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("seasonal_num"), lit(0L)).as("seasonal_num")): _*)
       .withColumn("seasonal",
-        col("seasonal_num").cast("double") /
-          (lit(24.0) * col("n_windows").cast("double")))
+        when(col("n_windows") > 0L, col("seasonal_num").cast("double") /
+          (lit(24.0) * col("n_windows").cast("double"))))
   }
 }

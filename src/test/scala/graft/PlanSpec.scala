@@ -457,9 +457,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("seasonal profile: joinless; trend window rides the hourly aggregate") {
+  test("seasonal profile: only the tiny grid joins; trend window rides the hourly agg") {
     val p = plan(Queries.seasonalProfileQ(spark, sf0001))
-    assert(!p.contains("Join"), s"decomposition needs no join:\n$p")
+    // the key×24 coverage grid is the single (broadcastable) join
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"only the tiny grid may join:\n$p")
     assert(unpartitionedWindows(p) == 0, s"window must partition by key:\n$p")
     val win = p.indexOf("Window")
     assert(win >= 0 && p.lastIndexOf("HashAggregate") > win,

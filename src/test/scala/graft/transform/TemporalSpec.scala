@@ -300,7 +300,11 @@ class TemporalSpec extends SparkSpec {
     val got = Temporal.seasonalProfile(rows.toDF("k", "ts", "v"),
       Seq("k"), "ts", "v")
       .collect().map(r => (r.getString(0), r.getLong(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // full key × 24 grid always emitted; zero-coverage hours are
+    // explicit (0, 0, NULL)
+    assert(got.size === 48)
     // driver reference: same centered-24 integer arithmetic
     val ref = (for (k <- Seq("flat", "wave")) yield {
       val c = (0L until 60L).map(h => cents(k, h))
@@ -310,14 +314,18 @@ class TemporalSpec extends SparkSpec {
       }
     }).flatten.groupBy(t => (t._1, t._2)).map { case (key, ts) =>
       val num = ts.map(_._3).sum
-      key -> ((ts.size.toLong, num, num.toDouble / (24.0 * ts.size)))
+      key -> ((ts.size.toLong, num, Some(num.toDouble / (24.0 * ts.size))))
     }
-    assert(got === ref)
+    ref.foreach { case (key, exp) => assert(got(key) === exp, s"at $key") }
+    got.filterNot(kv => ref.contains(kv._1)).values
+      .foreach(v => assert(v === ((0L, 0L, None))))
     // flat series: every residual is exactly zero
     got.filter(_._1._1 == "flat").values
-      .foreach { case (_, num, s) => assert(num === 0L && s === 0.0) }
+      .foreach { case (_, num, s) =>
+        assert(num === 0L && s.forall(_ === 0.0)) }
     // the spike hour carries the max positive seasonal for "wave"
-    val waveMax = got.filter(_._1._1 == "wave").maxBy(_._2._3)
+    val waveMax = got.filter(_._1._1 == "wave")
+      .maxBy(_._2._3.getOrElse(Double.NegativeInfinity))
     assert(waveMax._1._2 === 5L)
   }
 
