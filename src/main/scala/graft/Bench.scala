@@ -38,9 +38,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v(1) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2(1)).sum
+    // total sums PASSING medians only — the -1.0 failure sentinels stay
+    // visible per-query but must not deflate the machine-readable total
+    val passing = results.filter(_._2(1) >= 0)
+    val total = passing.map(_._2(1)).sum
+    val failed = results.size - passing.size
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout but has truncated the tail of long
     // lines; persist the full per-query detail (min/median/max of the
@@ -52,7 +56,7 @@ object Bench {
     out.mkdirs()
     val w = new java.io.PrintWriter(new java.io.File(out, "bench.json"))
     try w.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$detail}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":"$sfDir","queries":$detail}""")
     finally w.close()
     spark.stop()
   }

@@ -19,6 +19,12 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Testdata schema canary: if the driver regenerated the parquet with a
+    // new physical form, say so HERE in one place (then still dump the
+    // queries that can run, so unaffected rows stay green).
+    Tables.schemaCanary(spark, sfDir).foreach { p =>
+      System.err.println(s"[verify][SCHEMA CANARY] $p")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

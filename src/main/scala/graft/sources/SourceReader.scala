@@ -31,12 +31,15 @@ object SourceReader {
   /** Read with optional bounds on the source's `timestamp_field`.
     *
     * Bounds MUST be applied here, not as a post-read `.filter`, when the
-    * timestamp column is a raw-nanosecond long (TIMESTAMP(NANOS)
-    * parquet): the ns→µs normalization is a projection, and a filter on
-    * the computed column cannot push down to the parquet scan — so the
-    * bound is translated to an equivalent predicate on the raw ns column
-    * (`ts_µs <= U  ⇔  ts_ns < (U+1µs)·1000`) and lands in
-    * `PushedFilters`, where row-group stats / partition pruning see it.
+    * timestamp column is stored in a form the loader normalizes (raw-ns
+    * long or TIMESTAMP_NTZ): the normalization is a projection/cast, and
+    * a filter on the computed column cannot push down to the parquet
+    * scan — so the bound is translated to an equivalent predicate on the
+    * raw column and lands in `PushedFilters`, where row-group stats /
+    * partition pruning see it:
+    *   - raw-ns long: `ts_µs <= U  ⇔  ts_ns < (U+1µs)·1000`;
+    *   - TIMESTAMP_NTZ: the literal is cast to NTZ (value-preserving
+    *     under the pinned UTC session), keeping the column side bare.
     * For ordinary timestamp columns the filter pushes down as-is.
     */
   def read(
@@ -57,17 +60,25 @@ object SourceReader {
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
     def micros(t: java.sql.Timestamp): Long =
       t.getTime * 1000L + (t.getNanos % 1000000) / 1000
-    val tsIsRawNanos = nanosCols.contains(src.timestampField) &&
-      raw.columns.contains(src.timestampField) &&
-      raw.schema(src.timestampField).dataType ==
-        org.apache.spark.sql.types.LongType
+    val tsRawType =
+      if (nanosCols.contains(src.timestampField) &&
+        raw.columns.contains(src.timestampField))
+        Some(raw.schema(src.timestampField).dataType)
+      else None
+    val tsIsRawNanos = tsRawType.contains(org.apache.spark.sql.types.LongType)
+    val tsIsNtz = tsRawType.contains(org.apache.spark.sql.types.TimestampNTZType)
+    // NTZ column: keep the column side bare and move the cast onto the
+    // literal (foldable), so the comparison still reaches PushedFilters.
+    def bound(t: java.sql.Timestamp): org.apache.spark.sql.Column =
+      if (tsIsNtz) lit(t).cast(org.apache.spark.sql.types.TimestampNTZType)
+      else lit(t)
     val bounded0 = tsUpperBound.fold(raw) { u =>
       if (tsIsRawNanos) raw.filter(col(src.timestampField) < lit((micros(u) + 1) * 1000L))
-      else raw.filter(col(src.timestampField) <= lit(u))
+      else raw.filter(col(src.timestampField) <= bound(u))
     }
     val bounded = tsLowerBound.fold(bounded0) { l =>
       if (tsIsRawNanos) bounded0.filter(col(src.timestampField) >= lit(micros(l) * 1000L))
-      else bounded0.filter(col(src.timestampField) >= lit(l))
+      else bounded0.filter(col(src.timestampField) >= bound(l))
     }
     val df = graft.Tables.nanosToTimestamp(bounded, nanosCols)
     require(df.columns.contains(src.timestampField),
