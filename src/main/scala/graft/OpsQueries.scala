@@ -2232,6 +2232,33 @@ object OpsQueries {
       |       floor((CAST(sum_freq AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(t AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 AS mean_prob
       |FROM per CROSS JOIN tot""".stripMargin
 
+  // ------------------------------------------------------------ LM perplexity
+  /** CCNet-style perplexity filter via [[graft.ops.Corpus.lmCrossEntropy]]:
+    * per-doc average negative log-likelihood under the corpus unigram
+    * model (log of perplexity) + worst-token NLL. The ln rides the
+    * PMI/PSI 1-ulp budget (bounded per-doc groups, pround 6).
+    */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Corpus.lmCrossEntropy(docs(s, dir), "doc_id", "text")
+
+  val lmPerplexitySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |model AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM model),
+      |dt AS (SELECT doc_id, term, count(*) AS k FROM tok GROUP BY 1, 2),
+      |j AS (
+      |  SELECT dt.doc_id, CAST(dt.k AS BIGINT) AS k,
+      |         -ln(CAST(m.c AS DOUBLE) / CAST(t AS DOUBLE)) AS nll1
+      |  FROM dt JOIN model m USING (term) CROSS JOIN tot)
+      |SELECT doc_id,
+      |       CAST(sum(k) AS BIGINT) AS n_tokens,
+      |       floor((sum(CAST(k AS DOUBLE) * nll1) / CAST(sum(k) AS DOUBLE))
+      |             * 1000000.0 + 0.5) / 1000000.0 AS avg_nll,
+      |       max(floor(nll1 * 1000000.0 + 0.5) / 1000000.0) AS max_token_nll
+      |FROM j GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ bigram coverage
   /** Common-bigram coverage quality filter over
     * [[graft.ops.Corpus.bigramCoverage]]: fraction of each doc's bigrams
@@ -3199,6 +3226,7 @@ object OpsQueries {
     "q43_hash_split" -> hashSplit _,
     "q44_semantic_dedup" -> semanticDedup _,
     "q45_unigram_lm" -> unigramLm _,
+    "q162_lm_perplexity" -> lmPerplexity _,
     "q51_incremental_dedup" -> incrementalDedup _,
     "q52_source_mix" -> sourceMix _,
     "q53_media_resize" -> mediaResize _,
@@ -3303,6 +3331,7 @@ object OpsQueries {
     "q43_hash_split" -> hashSplitSql,
     "q44_semantic_dedup" -> semanticDedupSql,
     "q45_unigram_lm" -> unigramLmSql,
+    "q162_lm_perplexity" -> lmPerplexitySql,
     "q51_incremental_dedup" -> incrementalDedupSql,
     "q52_source_mix" -> sourceMixSql,
     "q53_media_resize" -> mediaResizeSql,

@@ -162,6 +162,44 @@ object Corpus {
           .as("mean_prob"))
   }
 
+  /** CCNet-style unigram-LM cross-entropy scoring — the log-spelled
+    * perplexity quality filter next to the log-free [[unigramLmScore]]:
+    * per document, the average negative log-likelihood of its tokens
+    * under the corpus unigram model (`avg_nll` = H(doc ‖ corpus), the
+    * log of perplexity), plus the single worst token's NLL. Downstream
+    * curation drops the high-perplexity tail.
+    *
+    * Oracle parity: per-token `-ln(c/t)` is ln of the identical exact
+    * division in both engines (1-ulp budget, pround(6) — the PMI/PSI
+    * posture); the doc-level sum runs over the doc's DISTINCT terms
+    * (bounded by doc length), inside the small-bounded-group exemption;
+    * `max_token_nll` is a max of pre-rounded values, order-independent.
+    *
+    * Scale: the model is vocabulary-sized → broadcast (Zipfian term keys
+    * never shuffle); one keyed agg per (doc, term), one per doc. The
+    * corpus total rides a 1-row broadcast cross join.
+    */
+  def lmCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val model = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = model.select(sum(col("c")).as("t"))
+    val perTerm = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("k"))
+    val nll1 = -log(col("c").cast("double") / col("t").cast("double"))
+    perTerm.join(broadcast(model), "term")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("k"), nll1.as("nll1"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("k").cast("double") * col("nll1")).as("sum_nll"),
+        max(pround(col("nll1"), 6)).as("max_token_nll"))
+      .select(col(idCol), col("n_tokens"),
+        pround(col("sum_nll") / col("n_tokens").cast("double"), 6)
+          .as("avg_nll"),
+        col("max_token_nll"))
+  }
+
   /** Source-mix sampling — the pretraining-mixture control: keep at most
     * `quota(source)` documents per source, chosen by the deterministic
     * seedless uniform order md5(id) (the q33 convention — stable under

@@ -171,6 +171,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"term-key shuffle join appeared:\n$p")
   }
 
+  test("lm perplexity broadcasts the model; doc agg keyed, no global window") {
+    val p = plan(OpsQueries.lmPerplexity(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary-sized unigram model must broadcast to the (doc,term) frame:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"term-key shuffle join appeared:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the corpus-total scalar must ride a broadcast, not a cartesian:\n$p")
+    assert(unpartitionedWindows(p) === 0, s"global window crept in:\n$p")
+  }
+
   test("semantic dedup broadcasts centroids; no unblocked cartesian pair stage") {
     val p = plan(OpsQueries.semanticDedup(spark, sf0001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

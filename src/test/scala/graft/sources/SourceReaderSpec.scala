@@ -99,6 +99,27 @@ class SourceReaderSpec extends SparkSpec {
     assert(rows(1).isNullAt(2))
   }
 
+  test("NTZ timestamp bounds filter correctly, normalize to LTZ, and reach PushedFilters") {
+    // the r8 testdata regeneration made events.ts plain timestamp[us]
+    // (TIMESTAMP_NTZ); the bound must land on the raw NTZ column (cast on
+    // the literal side only) so row-group stats still see it
+    base.withColumn("event_ts",
+        col("event_ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$dir/ntz")
+    val src = SparkSource("ntz", s"$dir/ntz", "parquet", "event_ts",
+      options = Map(SourceReader.NanosColumnsOption -> "event_ts"))
+    val upper = java.sql.Timestamp.valueOf("2024-01-01 23:59:59")
+    val df = SourceReader.read(spark, src, None, Some(upper))
+    assert(df.schema("event_ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("a"))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: [IsNotNull(event_ts), LessThanOrEqual(event_ts"),
+      s"ts bound did not reach the parquet scan:\n$formatted")
+  }
+
   test("GraftExtensions registers custom SQL functions") {
     // simulate an extensions-enabled session via direct injection
     graft.functions.functions.registerAll(spark)
