@@ -1896,6 +1896,58 @@ object OpsQueries {
       |  SELECT e.y, w.comp FROM walk w JOIN edges e ON e.x = w.node)
       |SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node""".stripMargin
 
+  // ------------------------------------------------------------ cluster-safe split
+  /** Leakage-safe split via [[graft.ops.Dedup.clusterSafeSplit]]: the
+    * train/val/test assignment hashes the near-dup CLUSTER id, so no
+    * near-duplicate pair straddles train and eval. Oracle = the q41
+    * cluster recursion + the q43 split rule on the cluster id.
+    */
+  def clusterSafeSplitQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterSafeSplit(docs(s, dir), "doc_id", "text")
+
+  val clusterSafeSplitSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+      |    FROM toks WHERE len(t) >= 3)),
+      |hx AS (SELECT doc_id, md5(s) AS h1, md5('~' || s) AS h2 FROM sh),
+      |mh AS (
+      |  SELECT doc_id,
+      |         min(substr(h1, 1, 8)) AS mh0, min(substr(h1, 9, 8)) AS mh1,
+      |         min(substr(h1, 17, 8)) AS mh2, min(substr(h1, 25, 8)) AS mh3,
+      |         min(substr(h2, 1, 8)) AS mh4, min(substr(h2, 9, 8)) AS mh5,
+      |         min(substr(h2, 17, 8)) AS mh6, min(substr(h2, 25, 8)) AS mh7
+      |  FROM hx GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS bh FROM mh
+      |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+      |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+      |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |    ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      |nodes AS (SELECT a AS node FROM cand UNION SELECT b FROM cand),
+      |edges AS (SELECT a AS x, b AS y FROM cand UNION SELECT b, a FROM cand),
+      |walk(node, comp) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT e.y, w.comp FROM walk w JOIN edges e ON e.x = w.node),
+      |labels AS (SELECT node AS doc_id, min(comp) AS cluster_id
+      |           FROM walk GROUP BY node)
+      |SELECT d.doc_id,
+      |       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+      |       CASE WHEN substr(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 1)
+      |                 IN ('c','d') THEN 'val'
+      |            WHEN substr(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 1)
+      |                 IN ('e','f') THEN 'test'
+      |            ELSE 'train' END AS split
+      |FROM documents d LEFT JOIN labels l USING (doc_id)""".stripMargin
+
   /** Golden-record survivorship (q126) — the step AFTER clustering
     * that completes the entity-resolution story: every document joins
     * its near-dup cluster (singletons are their own cluster), and each
@@ -3227,6 +3279,7 @@ object OpsQueries {
     "q44_semantic_dedup" -> semanticDedup _,
     "q45_unigram_lm" -> unigramLm _,
     "q162_lm_perplexity" -> lmPerplexity _,
+    "q163_cluster_safe_split" -> clusterSafeSplitQ _,
     "q51_incremental_dedup" -> incrementalDedup _,
     "q52_source_mix" -> sourceMix _,
     "q53_media_resize" -> mediaResize _,
@@ -3332,6 +3385,7 @@ object OpsQueries {
     "q44_semantic_dedup" -> semanticDedupSql,
     "q45_unigram_lm" -> unigramLmSql,
     "q162_lm_perplexity" -> lmPerplexitySql,
+    "q163_cluster_safe_split" -> clusterSafeSplitSql,
     "q51_incremental_dedup" -> incrementalDedupSql,
     "q52_source_mix" -> sourceMixSql,
     "q53_media_resize" -> mediaResizeSql,

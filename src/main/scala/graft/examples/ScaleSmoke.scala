@@ -109,9 +109,15 @@ object ScaleSmoke {
         f"worst stage: max=${mx}%5d ms skew=${skew}%5.1fx$flag")
     }
 
+    // headline dedup/join/graph family + the temporal/events family the
+    // r8 testdata break took out (sessionize/funnel/retention/drift are
+    // the first queries a real user runs on the events table — their 10x
+    // behavior needs the same empirical evidence)
     val names = Seq("q06b_pit_dense", "q17_minhash_lsh", "q34_curation",
       "q91_pagerank", "q113_jaccard_prefix", "q104_quantile_normalize",
-      "q141_dup_passages")
+      "q141_dup_passages",
+      "q48_sessionize", "q82_funnel", "q83_retention", "q87_scd2",
+      "q75_psi_drift", "q162_lm_perplexity")
     // warm scans once
     (gen.keys ++ passthrough).foreach { t =>
       try graft.Tables.load(spark, out, t).count()

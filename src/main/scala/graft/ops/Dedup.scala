@@ -559,6 +559,44 @@ object Dedup {
     * weighted sum. Engine-portable; the 64-bit production variant is the
     * custom codegen expression [[graft.functions.SimHash64]].
     */
+  /** Leakage-safe train/val/test split: assign each document's near-dup
+    * CLUSTER (not the document) to a split, so no near-duplicate pair
+    * ever straddles train and eval — the standard guard against
+    * train/test contamination that a plain per-doc hash split
+    * ([[Corpus.hashSplit]]) cannot give. Cluster labels come from the
+    * same minhash-LSH → connected-components chain as the dedup-cluster
+    * operator; singletons (docs in no near-dup pair) are their own
+    * cluster. The split rule is the q43 convention — first md5 hex digit
+    * of the cluster id: c,d → val; e,f → test; else train (75/12.5/12.5
+    * in expectation).
+    *
+    * Scale: the label frame is OUTPUT-scale (only docs that appear in a
+    * near-dup pair), so the left join back to the corpus broadcasts in
+    * practice; everything upstream rides the pinned LSH/CC plans. The
+    * split is pure row-local hashing — adding corpus does not reshuffle
+    * existing assignments unless a new edge merges clusters (exactly the
+    * rows whose leakage status changed).
+    */
+  def clusterSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      smallGraphThreshold: Long = 1L << 20,
+      loopShufflePartitions: Int = 8): DataFrame = {
+    val labels = connectedComponents(
+      minhashLshPairs(df, idCol, textCol),
+      smallGraphThreshold = smallGraphThreshold,
+      loopShufflePartitions = loopShufflePartitions)
+      .select(col("node").as(idCol), col("comp").as("cluster_id"))
+    df.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("__h",
+        substring(md5(col("cluster_id").cast("string")), 1, 1))
+      .select(col(idCol), col("cluster_id"),
+        when(col("__h").isin("c", "d"), "val")
+          .when(col("__h").isin("e", "f"), "test")
+          .otherwise("train").as("split"))
+  }
+
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))

@@ -63,6 +63,32 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("cluster-safe split: no near-dup pair straddles splits; singletons match the plain hash split") {
+    val d = graft.Tables.load(spark, sf0001, "documents")
+    val split = Dedup.clusterSafeSplit(d, "doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text")
+    // the leakage invariant this operator exists for
+    val crossSplit = pairs
+      .join(split.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+      .join(split.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossSplit === 0L, s"$crossSplit near-dup pairs straddle splits")
+    // every cluster lands in exactly one split
+    val multiSplit = split.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(multiSplit === 0L)
+    // docs in no near-dup pair keep the q43 per-doc assignment (the
+    // operator only moves docs whose leakage status demands it)
+    val inPairs = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val mismatch = split.join(inPairs, Seq("doc_id"), "left_anti")
+      .join(graft.ops.Corpus.hashSplit(d, "doc_id")
+        .withColumnRenamed("split", "plain"), "doc_id")
+      .filter(col("split") =!= col("plain")).count()
+    assert(mismatch === 0L)
+  }
+
   test("ngram containment flags a doc-plus-boilerplate subset that jaccard understates") {
     // doc 2 = doc 1 plus a long boilerplate tail: containment of 1 in 2
     // is 1.0 while jaccard is diluted below any dedup threshold
