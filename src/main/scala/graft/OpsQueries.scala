@@ -2223,6 +2223,61 @@ object OpsQueries {
       |JOIN keeper kp USING (fingerprint)
       |LEFT JOIN known kn USING (fingerprint)""".stripMargin
 
+  // ------------------------------------------------------------ incremental LSH
+  /** Incremental NEAR-dup dedup via [[graft.ops.Dedup.incrementalLshDedup]]
+    * — q51's crawl-increment workflow upgraded from exact fingerprints to
+    * minhash-LSH: docs with `doc_id % 4 == 0` stand in for the already-
+    * indexed corpus (entering only as their band table), the rest are the
+    * new batch. Oracle replays the q41 signature/band recursion split the
+    * same way.
+    */
+  def incrementalLshDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val indexBands = Dedup.lshBands(
+      Dedup.minhashSignaturesFused(
+        d.filter(col("doc_id") % 4 === 0), "doc_id", "text"), "doc_id")
+    Dedup.incrementalLshDedup(
+      d.filter(col("doc_id") % 4 =!= 0), indexBands, "doc_id", "text")
+  }
+
+  val incrementalLshDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+      |    FROM toks WHERE len(t) >= 3)),
+      |hx AS (SELECT doc_id, md5(s) AS h1, md5('~' || s) AS h2 FROM sh),
+      |mh AS (
+      |  SELECT doc_id,
+      |         min(substr(h1, 1, 8)) AS mh0, min(substr(h1, 9, 8)) AS mh1,
+      |         min(substr(h1, 17, 8)) AS mh2, min(substr(h1, 25, 8)) AS mh3,
+      |         min(substr(h2, 1, 8)) AS mh4, min(substr(h2, 9, 8)) AS mh5,
+      |         min(substr(h2, 17, 8)) AS mh6, min(substr(h2, 25, 8)) AS mh7
+      |  FROM hx GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS bh FROM mh
+      |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+      |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+      |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh),
+      |idx AS (SELECT DISTINCT band_idx, bh FROM bands WHERE doc_id % 4 = 0),
+      |nb AS (SELECT * FROM bands WHERE doc_id % 4 <> 0),
+      |ih AS (SELECT DISTINCT nb.doc_id FROM nb JOIN idx USING (band_idx, bh)),
+      |bhit AS (
+      |  SELECT DISTINCT y.doc_id FROM nb x JOIN nb y
+      |    ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      |batch AS (SELECT doc_id FROM documents WHERE doc_id % 4 <> 0)
+      |SELECT b.doc_id,
+      |       CAST(CASE WHEN ih.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dup_of_index,
+      |       CAST(CASE WHEN bhit.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dup_in_batch,
+      |       CAST(CASE WHEN ih.doc_id IS NULL AND bhit.doc_id IS NULL
+      |            THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM batch b
+      |LEFT JOIN ih ON ih.doc_id = b.doc_id
+      |LEFT JOIN bhit ON bhit.doc_id = b.doc_id""".stripMargin
+
   // ------------------------------------------------------------ semantic dedup
   /** SemDeDup over the embeddings table: first-16 centroids (the
     * deterministic stand-in the oracle replays; trained k-means is the
@@ -3280,6 +3335,7 @@ object OpsQueries {
     "q45_unigram_lm" -> unigramLm _,
     "q162_lm_perplexity" -> lmPerplexity _,
     "q163_cluster_safe_split" -> clusterSafeSplitQ _,
+    "q164_incremental_lsh" -> incrementalLshDedupQ _,
     "q51_incremental_dedup" -> incrementalDedup _,
     "q52_source_mix" -> sourceMix _,
     "q53_media_resize" -> mediaResize _,
@@ -3386,6 +3442,7 @@ object OpsQueries {
     "q45_unigram_lm" -> unigramLmSql,
     "q162_lm_perplexity" -> lmPerplexitySql,
     "q163_cluster_safe_split" -> clusterSafeSplitSql,
+    "q164_incremental_lsh" -> incrementalLshDedupSql,
     "q51_incremental_dedup" -> incrementalDedupSql,
     "q52_source_mix" -> sourceMixSql,
     "q53_media_resize" -> mediaResizeSql,

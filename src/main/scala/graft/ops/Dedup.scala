@@ -559,6 +559,47 @@ object Dedup {
     * weighted sum. Engine-portable; the 64-bit production variant is the
     * custom codegen expression [[graft.functions.SimHash64]].
     */
+  /** Incremental near-dup dedup — the crawl-increment workflow: dedup a
+    * NEW batch against an already-indexed corpus without recomputing the
+    * corpus. The index side enters only as its persisted LSH band table
+    * (`(band_idx, band_hash)` — 16-byte hashes, never the documents), so
+    * a 100 TB corpus costs one hash-table-sized scan per increment; the
+    * batch computes row-local fused signatures and joins on the uniform
+    * md5 band key (no skew by construction).
+    *
+    * Survivor rule (one-pass, no CC — the increment analogue of
+    * [[incrementalExactDedup]]'s min-id keeper): a batch doc is
+    * `dup_of_index` if any band collides with the index,
+    * `dup_in_batch` if any band collides with a SMALLER-id batch doc
+    * (the greedy prefix-survivor rule — deterministic, replayable, and
+    * exactly the order-of-arrival semantics of a streaming increment);
+    * kept = neither.
+    */
+  def incrementalLshDedup(batch: DataFrame, indexBands: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val newBands = lshBands(
+      minhashSignaturesFused(batch, idCol, textCol, shingleN, numHashes),
+      idCol, numHashes, rowsPerBand)
+    val idxHits = newBands
+      .join(indexBands.select(col("band_idx"), col("band_hash")).distinct(),
+        Seq("band_idx", "band_hash"))
+      .select(col(idCol)).distinct()
+      .withColumn("__idx", lit(1L))
+    val batchHits = candidatePairs(newBands, idCol)
+      .select(col("b").as(idCol)).distinct()
+      .withColumn("__bat", lit(1L))
+    batch.select(col(idCol))
+      .join(idxHits, Seq(idCol), "left")
+      .join(batchHits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__idx"), lit(0L)).as("dup_of_index"),
+        coalesce(col("__bat"), lit(0L)).as("dup_in_batch"),
+        when(col("__idx").isNull && col("__bat").isNull, 1L).otherwise(0L)
+          .as("kept"))
+  }
+
   /** Leakage-safe train/val/test split: assign each document's near-dup
     * CLUSTER (not the document) to a split, so no near-duplicate pair
     * ever straddles train and eval — the standard guard against

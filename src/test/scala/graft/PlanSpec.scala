@@ -181,6 +181,18 @@ class PlanSpec extends SparkSpec {
     assert(unpartitionedWindows(p) === 0, s"global window crept in:\n$p")
   }
 
+  test("incremental LSH dedup: row-local signatures, band-key joins only, no window") {
+    val p = plan(OpsQueries.incrementalLshDedupQ(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"band join degenerated to a cartesian:\n$p")
+    assert(unpartitionedWindows(p) === 0, s"global window crept in:\n$p")
+    // the batch signature stage must stay fused/row-local: no Exchange
+    // may feed the minhash projection (shuffles appear only at/after the
+    // band self-join + distinct)
+    assert(p.contains("minhash_sigs") || p.contains("MinHashSigs"),
+      s"fused signature expression missing from plan:\n$p")
+  }
+
   test("semantic dedup broadcasts centroids; no unblocked cartesian pair stage") {
     val p = plan(OpsQueries.semanticDedup(spark, sf0001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

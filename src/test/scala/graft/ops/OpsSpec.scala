@@ -63,6 +63,25 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental LSH dedup: index dups, in-batch dups, and uniques classified") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val t2 = t1.replace("today", "tomorrow") // near dup of the indexed t1
+    val t3 = "completely different content with no overlap whatsoever in shingles at all"
+    val t4 = t3.replace("all", "any") // near dup WITHIN the batch (of t3)
+    val t5 = "yet another fully distinct document about spark catalyst plans and codegen"
+    val index = Seq((100L, t1)).toDF("doc_id", "text")
+    val batch = Seq((1L, t2), (2L, t3), (3L, t4), (4L, t5)).toDF("doc_id", "text")
+    val idxBands = Dedup.lshBands(
+      Dedup.minhashSignaturesFused(index, "doc_id", "text"), "doc_id")
+    val got = Dedup.incrementalLshDedup(batch, idxBands, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((1L, 0L, 0L)), s"t2 must be a dup of the index: $got")
+    assert(got(2L) === ((0L, 0L, 1L)), s"t3 is the batch keeper: $got")
+    assert(got(3L) === ((0L, 1L, 0L)), s"t4 collides with smaller-id t3: $got")
+    assert(got(4L) === ((0L, 0L, 1L)), s"t5 is unique: $got")
+  }
+
   test("cluster-safe split: no near-dup pair straddles splits; singletons match the plain hash split") {
     val d = graft.Tables.load(spark, sf0001, "documents")
     val split = Dedup.clusterSafeSplit(d, "doc_id", "text")
