@@ -2416,6 +2416,47 @@ object OpsQueries {
       |      FROM embeddings)
       |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ centroid drift
+  /** Embedding drift via [[graft.ops.Similarity.centroidDrift]]: cosine
+    * between each label's reference-half and current-half centroids from
+    * exact integer-quantized sums (DECIMAL ↔ HUGEINT; only the final
+    * dot/(√na·√nb) runs in double, identically spelled in both engines).
+    */
+  def centroidDriftQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidDrift(emb(s, dir), "label", "embedding", "vec_id")
+
+  val centroidDriftSql: String =
+    """WITH e AS (
+      |  SELECT label, vec_id % 2 = 0 AS ref,
+      |         unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |         unnest(range(0, len(embedding))) AS dim
+      |  FROM embeddings),
+      |qv AS (
+      |  SELECT label, ref, dim,
+      |         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS q FROM e),
+      |pd AS (
+      |  SELECT label, dim,
+      |         sum(CASE WHEN ref THEN q ELSE 0 END) AS a,
+      |         sum(CASE WHEN NOT ref THEN q ELSE 0 END) AS b
+      |  FROM qv GROUP BY 1, 2),
+      |ag AS (
+      |  SELECT label,
+      |         sum(CAST(a AS HUGEINT) * CAST(b AS HUGEINT)) AS dot,
+      |         sum(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS na,
+      |         sum(CAST(b AS HUGEINT) * CAST(b AS HUGEINT)) AS nb
+      |  FROM pd GROUP BY 1),
+      |cnt AS (
+      |  SELECT label,
+      |         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |         CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM embeddings GROUP BY 1)
+      |SELECT c.label, c.n_ref, c.n_cur,
+      |       CASE WHEN a.na = 0 OR a.nb = 0 THEN NULL
+      |            ELSE floor((CAST(a.dot AS DOUBLE) /
+      |                        (sqrt(CAST(a.na AS DOUBLE)) * sqrt(CAST(a.nb AS DOUBLE))))
+      |                       * 1000000.0 + 0.5) / 1000000.0 END AS cos_drift
+      |FROM cnt c JOIN ag a USING (label)""".stripMargin
+
   // ------------------------------------------------------------ collocations
   /** Bigram PMI collocation mining via [[Corpus.pmiCollocations]] —
     * vocabulary-induction scores for a BPE-style tokenizer's merge
@@ -3336,6 +3377,7 @@ object OpsQueries {
     "q162_lm_perplexity" -> lmPerplexity _,
     "q163_cluster_safe_split" -> clusterSafeSplitQ _,
     "q164_incremental_lsh" -> incrementalLshDedupQ _,
+    "q165_centroid_drift" -> centroidDriftQ _,
     "q51_incremental_dedup" -> incrementalDedup _,
     "q52_source_mix" -> sourceMix _,
     "q53_media_resize" -> mediaResize _,
@@ -3443,6 +3485,7 @@ object OpsQueries {
     "q162_lm_perplexity" -> lmPerplexitySql,
     "q163_cluster_safe_split" -> clusterSafeSplitSql,
     "q164_incremental_lsh" -> incrementalLshDedupSql,
+    "q165_centroid_drift" -> centroidDriftSql,
     "q51_incremental_dedup" -> incrementalDedupSql,
     "q52_source_mix" -> sourceMixSql,
     "q53_media_resize" -> mediaResizeSql,

@@ -558,6 +558,55 @@ object Similarity {
       .groupBy(col(groupCol), col("dim").cast("long").as("dim"))
       .agg(pround(avg(col("__v").cast("double")), roundDp).as(out))
 
+  /** Embedding centroid drift — the embedding-space counterpart of the
+    * PSI/KS feature-drift battery: per group, the cosine similarity
+    * between the REFERENCE half's centroid (`idCol` even) and the
+    * CURRENT half's (`idCol` odd). A cosine near 1 means the embedding
+    * distribution's first moment is stable; a drop is the retrain/
+    * re-embed alarm. Counts ride along so a thin half is visible.
+    *
+    * Exactness (the corrByKey DECIMAL↔HUGEINT pattern, not the bounded
+    * double-sum exemption [[groupCentroids]] uses): components are
+    * quantized to integer micros (`floor(v·10⁶ + 0.5)` of the exact
+    * float→double value — identical in both engines), per-dim sums are
+    * exact BIGINT, and the cross/self products are summed in
+    * DECIMAL(38,0) (operands pre-cast to decimal(19,0)). Only the final
+    * `dot / (√na · √nb)` runs in double — a fixed sequence of correctly
+    * rounded ops on identical operands, then pround(6). The n factors of
+    * the true centroid cosine cancel, so integer sums ARE the centroids
+    * here. Degenerate halves (empty or all-zero) emit NULL, guarding
+    * ANSI division.
+    *
+    * Scale: one posexplode + a (group, dim)-keyed exact agg + a
+    * group-keyed fold over the bounded dim range; the per-group count
+    * frame is group-cardinality-sized and broadcasts.
+    */
+  def centroidDrift(df: DataFrame, groupCol: String, vecCol: String,
+      idCol: String): DataFrame = {
+    val dec = "decimal(19,0)"
+    val q = df.select(col(groupCol), (col(idCol) % 2 === 0).as("__ref"),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col(groupCol), col("__ref"), col("dim"),
+        floor(col("__v").cast("double") * lit(1000000.0) + lit(0.5)).as("q"))
+    val perDim = q.groupBy(col(groupCol), col("dim"))
+      .agg(sum(when(col("__ref"), col("q")).otherwise(0L)).as("a"),
+        sum(when(!col("__ref"), col("q")).otherwise(0L)).as("b"))
+    val agg = perDim.groupBy(col(groupCol))
+      .agg(sum(col("a").cast(dec) * col("b").cast(dec)).as("dot"),
+        sum(col("a").cast(dec) * col("a").cast(dec)).as("na"),
+        sum(col("b").cast(dec) * col("b").cast(dec)).as("nb"))
+    val counts = df.groupBy(col(groupCol))
+      .agg(sum(when(col(idCol) % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col(idCol) % 2 =!= 0, 1L).otherwise(0L)).as("n_cur"))
+    agg.join(broadcast(counts), groupCol)
+      .select(col(groupCol), col("n_ref"), col("n_cur"),
+        when(col("na") === 0 || col("nb") === 0, lit(null).cast("double"))
+          .otherwise(pround(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+            6))
+          .as("cos_drift"))
+  }
+
   /** Greedy k-center (farthest-point) coreset selection — the
     * diversity-sampling pass of an embedding pipeline (Sener & Savarese
     * 2018's core-set heuristic): seed with the smallest id, then

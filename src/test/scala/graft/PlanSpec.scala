@@ -181,6 +181,14 @@ class PlanSpec extends SparkSpec {
     assert(unpartitionedWindows(p) === 0, s"global window crept in:\n$p")
   }
 
+  test("centroid drift: keyed exact aggs, count frame broadcasts, no window") {
+    val p = plan(OpsQueries.centroidDriftQ(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the group-cardinality count frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(unpartitionedWindows(p) === 0, s"global window crept in:\n$p")
+  }
+
   test("incremental LSH dedup: row-local signatures, band-key joins only, no window") {
     val p = plan(OpsQueries.incrementalLshDedupQ(spark, sf0001))
     assert(!p.contains("CartesianProduct"),

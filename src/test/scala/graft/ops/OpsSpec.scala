@@ -138,6 +138,25 @@ class OpsSpec extends SparkSpec {
     assert(got === Seq(1.0, 0.0))
   }
 
+  test("centroid drift: identical halves cos 1, orthogonal halves cos 0, empty half NULL") {
+    val df = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f), 1),
+      (1L, Seq(1.0f, 2.0f, 3.0f), 1),
+      (2L, Seq(-4.0f, 5.0f, 0.5f), 1),
+      (3L, Seq(-4.0f, 5.0f, 0.5f), 1),
+      (4L, Seq(1.0f, 0.0f, 0.0f), 2), // ref half only
+      (6L, Seq(0.0f, 2.0f, 0.0f), 3), // orthogonal halves
+      (7L, Seq(0.0f, 0.0f, 3.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity
+      .centroidDrift(df, "label", "embedding", "vec_id")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(1).getLong(1) === 2L && got(1).getLong(2) === 2L)
+    assert(got(1).getDouble(3) === 1.0)
+    assert(got(2).isNullAt(3), "empty current half must emit NULL, not error")
+    assert(got(3).getDouble(3) === 0.0)
+  }
+
   test("simhash16 of near-identical docs is close in hamming distance") {
     val t1 = (1 to 50).map(i => s"tok$i").mkString(" ")
     val t2 = t1 + " extra"
