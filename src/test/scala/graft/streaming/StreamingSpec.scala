@@ -105,6 +105,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental LSH dedup: foreachBatch against an accumulating band index") {
+    // the streaming face of q164: each micro-batch dedups against the
+    // band index of every doc KEPT so far, then kept docs' bands join
+    // the index — the crawl-increment loop as a continuous query. The
+    // index is only ever (band_idx, band_hash, doc_id) rows, never text.
+    import graft.ops.Dedup
+    val t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val t3 = "completely different content with no overlap whatsoever in shingles at all"
+    val t5 = "yet another fully distinct document about spark catalyst plans and codegen"
+    val src = Files.createTempDirectory("ilsh_src").toString
+    val chk = Files.createTempDirectory("ilsh_chk").toString
+    Seq((1L, t1)).toDF("doc_id", "text").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def bandsOf(rows: Seq[(Long, String)]) =
+      Dedup.lshBands(Dedup.minhashSignaturesFused(
+        rows.toDF("doc_id", "text"), "doc_id", "text"), "doc_id")
+    @volatile var indexRows = Seq.empty[(Long, Int, String)] // (doc, band_idx, hash)
+    val verdicts = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long)]()
+    val q = graft.streaming.StreamingIngest.readStream(spark, src, schema)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val docs = batch.select("doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        if (docs.nonEmpty) {
+          val idx = indexRows.toDF("doc_id", "band_idx", "band_hash")
+          val out = Dedup.incrementalLshDedup(
+              docs.toDF("doc_id", "text"), idx, "doc_id", "text")
+            .collect().map(r => r.getLong(0) ->
+              ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+          out.foreach { case (id, v) => verdicts.put(id, v) }
+          val keptIds = out.filter(_._2._3 == 1L).keySet
+          indexRows = indexRows ++ bandsOf(docs.filter(d => keptIds(d._1)))
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a near-dup of the indexed t1, a fresh doc, and a
+      // larger-id in-batch near-dup of that fresh doc
+      Seq((2L, t1.replace("today", "tomorrow")), (3L, t3),
+          (4L, t3.replace("all", "any")))
+        .toDF("doc_id", "text").write.mode("append").parquet(src)
+      q.processAllAvailable()
+      // batch 3: a near-dup of batch 2's kept doc, plus a unique doc
+      Seq((5L, t3.replace("shingles", "bands")), (6L, t5))
+        .toDF("doc_id", "text").write.mode("append").parquet(src)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = verdicts.asScala.toMap
+      assert(got(1L) === ((0L, 0L, 1L)), s"first doc is kept: $got")
+      assert(got(2L) === ((1L, 0L, 0L)), s"near-dup of indexed t1: $got")
+      assert(got(3L) === ((0L, 0L, 1L)), s"fresh doc kept: $got")
+      assert(got(4L) === ((0L, 1L, 0L)), s"in-batch dup of 3: $got")
+      assert(got(5L) === ((1L, 0L, 0L)),
+        s"near-dup of a doc kept in an EARLIER batch must hit the index: $got")
+      assert(got(6L) === ((0L, 0L, 1L)), s"unique doc kept: $got")
+      // dropped docs never polluted the index
+      assert(indexRows.map(_._1).distinct.sorted === Seq(1L, 3L, 6L))
+    } finally q.stop()
+  }
+
   test("append mode finalizes windows at the watermark and drops late rows") {
     val src = Files.createTempDirectory("stream_src4").toString
     // batch 1: an on-time row plus a far-ahead row that advances the
