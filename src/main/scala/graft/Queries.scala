@@ -2749,6 +2749,55 @@ object Queries {
       |       END AS burstiness
       |FROM a""".stripMargin
 
+  /** Nearest-as-of join (q166) — pandas `merge_asof(direction=
+    * 'nearest')` semantics via [[graft.transform.AsOfJoin.nearestJoin]]:
+    * each purchase attaches the user's CLOSEST click within ±30 min,
+    * either direction, ties to the earlier click then the smaller id.
+    * Complements the backward-only PIT join (q06) with the sensor/
+    * event-alignment direction feature pipelines also need. All output
+    * timestamps ride as exact unix micros.
+    */
+  def nearestAsof(s: SparkSession, dir: String): DataFrame = {
+    // two independent loads: both sides of a nearest self-join must not
+    // share lineage or DetectAmbiguousSelfJoin rejects the key-space join
+    val purchases = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = t(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    graft.transform.AsOfJoin.nearestJoin(
+        purchases, clicks, Seq("user_id"), "ts", "ts",
+        java.time.Duration.ofMinutes(30))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("click_id"),
+        unix_micros(col("ts_right")).as("click_ts_us"),
+        (unix_micros(col("ts_right")) - unix_micros(col("ts")))
+          .as("delta_us"))
+  }
+
+  val nearestAsofSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_id AS click_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.user_id, p.us, c.click_id, c.cus,
+      |         row_number() OVER (PARTITION BY p.user_id, p.us
+      |                            ORDER BY abs(c.cus - p.us) ASC,
+      |                                     c.cus ASC, c.click_id ASC) AS rn
+      |  FROM (SELECT DISTINCT user_id, us FROM p) p
+      |  JOIN c ON c.user_id = p.user_id
+      |   AND c.cus BETWEEN p.us - 1800000000 AND p.us + 1800000000)
+      |SELECT p.user_id, p.event_id, p.us AS ts_us,
+      |       j.click_id, j.cus AS click_ts_us, j.cus - p.us AS delta_us
+      |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+      |  ON j.user_id = p.user_id AND j.us = p.us""".stripMargin
+
   /** Sample-ratio-mismatch check (q138) — the experiment-health gate
     * that must pass BEFORE q133's z-test is readable: under a 50/50
     * md5 split, `chi2 = (n1−n2)²/N` (one df). The squared difference
@@ -3517,7 +3566,8 @@ object Queries {
     "q154_join_forecast" -> joinForecast _,
     "q155_seasonal_profile" -> seasonalProfileQ _,
     "q157_importance_weights" -> importanceWeights _,
-    "q161_burstiness" -> burstiness _)
+    "q161_burstiness" -> burstiness _,
+    "q166_nearest_asof" -> nearestAsof _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -3602,5 +3652,6 @@ object Queries {
     "q154_join_forecast" -> joinForecastSql,
     "q155_seasonal_profile" -> seasonalProfileSql,
     "q157_importance_weights" -> importanceWeightsSql,
-    "q161_burstiness" -> burstinessSql)
+    "q161_burstiness" -> burstinessSql,
+    "q166_nearest_asof" -> nearestAsofSql)
 }

@@ -105,4 +105,68 @@ object AsOfJoin {
           }): _*)
     left.join(cleaned, (on :+ leftTsCol).distinct, "left")
   }
+
+  /** Nearest-as-of join — pandas `merge_asof(direction='nearest')`
+    * semantics: for each left row, attach the single right row on
+    * matching keys whose timestamp is CLOSEST to the left's, in either
+    * direction, within ± `tolerance`; left rows with no eligible match
+    * null-pad. Ties (one candidate before, one after, equidistant)
+    * break deterministically to the EARLIER right timestamp, then the
+    * right value columns ascending.
+    *
+    * Same plan posture as [[asofJoin]]: keys + two range residuals on an
+    * equi join, then one keyed argmin (`min(struct(|Δ|, ts, values…))`)
+    * — no window over the join output, no self-join. Per-left fan-out is
+    * bounded by the right-side row density inside the 2·tolerance
+    * window, which is what makes this safe where an unbounded nearest
+    * search is not; pick the smallest tolerance the use case allows.
+    *
+    * Self-join callers: left and right must not share lineage (re-read
+    * or `.as()`-alias one side), or Spark's DetectAmbiguousSelfJoin
+    * rejects the internal key-space join.
+    */
+  def nearestJoin(
+      left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTsCol: String, rightTsCol: String,
+      tolerance: java.time.Duration): DataFrame = {
+    require(on.nonEmpty, "nearest join needs at least one equi key")
+    require(!tolerance.isNegative && !tolerance.isZero,
+      "tolerance must be positive")
+    val p = "__near_r_"
+    val rightP = right.select(right.columns.toIndexedSeq.map(c => col(c).as(p + c)): _*)
+    val valueCols = right.columns.filterNot(c => on.contains(c)).toSeq
+    val leftCols = left.columns.toSet
+    def outName(c: String): String = if (leftCols.contains(c)) s"${c}_right" else c
+    val rightTsOut = outName(rightTsCol)
+    val rightOutNames = rightTsOut +: valueCols.filterNot(_ == rightTsCol).map(outName)
+    val residual = rightOutNames.filter(leftCols.contains) ++
+      rightOutNames.diff(rightOutNames.distinct)
+    require(residual.isEmpty,
+      s"nearest join output names collide even after _right suffixing: " +
+        residual.distinct.mkString(", "))
+
+    val keySpace = left.select((on :+ leftTsCol).distinct.map(col): _*).distinct()
+    val tolMs = tolerance.toMillis
+    val lo = keySpace(leftTsCol) - expr(s"INTERVAL $tolMs MILLISECOND")
+    val hi = keySpace(leftTsCol) + expr(s"INTERVAL $tolMs MILLISECOND")
+    val cond = on.map(k => rightP(p + k) === keySpace(k)) ++
+      Seq(rightP(p + rightTsCol) >= lo, rightP(p + rightTsCol) <= hi)
+    val absDelta = abs(unix_micros(rightP(p + rightTsCol)) -
+      unix_micros(keySpace(leftTsCol)))
+    val orderCols = absDelta.as("__adx") +:
+      rightP(p + rightTsCol).as("__ts") +:
+      valueCols.filterNot(_ == rightTsCol).zipWithIndex.map { case (c, i) =>
+        rightP(p + c).as(s"__v$i")
+      }
+    val best = rightP.join(keySpace, cond.reduce(_ && _), "inner")
+      .groupBy((on.map(keySpace(_)) :+ keySpace(leftTsCol)): _*)
+      .agg(min(struct(orderCols: _*)).as("__best"))
+    val cleaned = best.select(
+      (on :+ leftTsCol).map(col) ++
+        (col("__best.__ts").as(rightTsOut) +:
+          valueCols.filterNot(_ == rightTsCol).zipWithIndex.map { case (c, i) =>
+            col(s"__best.__v$i").as(outName(c))
+          }): _*)
+    left.join(cleaned, (on :+ leftTsCol).distinct, "left")
+  }
 }

@@ -181,6 +181,15 @@ class PlanSpec extends SparkSpec {
     assert(unpartitionedWindows(p) === 0, s"global window crept in:\n$p")
   }
 
+  test("nearest-asof join: equi join with range residual, argmin agg, no window") {
+    val p = plan(Queries.nearestAsof(spark, sf0001))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"nearest join must stay an equi join on the keys:\n$p")
+    assert(!p.contains("CartesianProduct"), s"degenerated to a cartesian:\n$p")
+    assert(unpartitionedWindows(p) === 0,
+      s"nearest pick must be the keyed argmin agg, not a global window:\n$p")
+  }
+
   test("centroid drift: keyed exact aggs, count frame broadcasts, no window") {
     val p = plan(OpsQueries.centroidDriftQ(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"),

@@ -107,6 +107,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("nearestJoin picks the closest right row either direction; ties to earlier; tolerance excludes") {
+    val left = Seq(("a", "2024-01-01 12:00:00"), ("b", "2024-01-01 12:00:00"))
+      .toDF("k", "ts").select(col("k"), to_timestamp(col("ts")).as("ts"))
+    val right = Seq(
+      ("a", "2024-01-01 11:50:00", 1L), // 10 min before
+      ("a", "2024-01-01 12:05:00", 2L), // 5 min after  -> nearest
+      ("a", "2024-01-01 13:00:00", 3L), // outside 30 min tolerance
+      ("b", "2024-01-01 11:55:00", 4L), // 5 min before -> equidistant tie
+      ("b", "2024-01-01 12:05:00", 5L)  // 5 min after
+    ).toDF("k", "rts", "rid")
+      .select(col("k"), to_timestamp(col("rts")).as("rts"), col("rid"))
+    val got = AsOfJoin.nearestJoin(left, right, Seq("k"), "ts", "rts",
+        java.time.Duration.ofMinutes(30))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("a") === 2L, "5-min-after beats 10-min-before")
+    assert(got("b") === 4L, "equidistant tie must break to the EARLIER right row")
+    // a left row whose only candidate is outside tolerance null-pads
+    val far = Seq(("a", "2024-01-01 18:00:00")).toDF("k", "ts")
+      .select(col("k"), to_timestamp(col("ts")).as("ts"))
+    val padded = AsOfJoin.nearestJoin(far, right, Seq("k"), "ts", "rts",
+      java.time.Duration.ofMinutes(30)).head()
+    assert(padded.isNullAt(2) && padded.isNullAt(3))
+  }
+
   test("asofJoin ttl excludes stale matches") {
     val left = Seq(("a", "2024-01-20 00:00:00")).toDF("k", "ts")
       .select(col("k"), to_timestamp(col("ts")).as("ts"))
