@@ -117,7 +117,10 @@ object ScaleSmoke {
       "q91_pagerank", "q113_jaccard_prefix", "q104_quantile_normalize",
       "q141_dup_passages",
       "q48_sessionize", "q82_funnel", "q83_retention", "q87_scd2",
-      "q75_psi_drift", "q162_lm_perplexity")
+      "q75_psi_drift", "q162_lm_perplexity",
+      // round-9 additions: cluster-safe split (CC at 10x), incremental
+      // LSH (band-index join at 10x), nearest-asof (banded argmin at 10x)
+      "q163_cluster_safe_split", "q164_incremental_lsh", "q166_nearest_asof")
     // warm scans once
     (gen.keys ++ passthrough).foreach { t =>
       try graft.Tables.load(spark, out, t).count()
