@@ -2798,6 +2798,52 @@ object Queries {
       |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
       |  ON j.user_id = p.user_id AND j.us = p.us""".stripMargin
 
+  /** Time-to-convert (q167) — the forward direction completing the
+    * as-of triple (backward q06 PIT, nearest q166): each click attaches
+    * the user's EARLIEST purchase within the next 7 days via
+    * [[graft.transform.AsOfJoin.forwardJoin]]; unconverted clicks
+    * null-pad. Exact unix-micros outputs.
+    */
+  def timeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val clicks = t(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val purchases = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+    graft.transform.AsOfJoin.forwardJoin(
+        clicks, purchases, Seq("user_id"), "ts", "ts",
+        Some(java.time.Duration.ofDays(7)))
+      .select(col("user_id"), col("click_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("purchase_id"),
+        unix_micros(col("ts_right")).as("purchase_ts_us"),
+        (unix_micros(col("ts_right")) - unix_micros(col("ts")))
+          .as("tt_convert_us"))
+  }
+
+  val timeToConvertSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS pus
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT cc.user_id, cc.us, p.purchase_id, p.pus,
+      |         row_number() OVER (PARTITION BY cc.user_id, cc.us
+      |                            ORDER BY p.pus ASC, p.purchase_id ASC) AS rn
+      |  FROM (SELECT DISTINCT user_id, us FROM c) cc
+      |  JOIN p ON p.user_id = cc.user_id
+      |   AND p.pus >= cc.us AND p.pus <= cc.us + 604800000000)
+      |SELECT c.user_id, c.click_id, c.us AS ts_us,
+      |       j.purchase_id, j.pus AS purchase_ts_us,
+      |       j.pus - c.us AS tt_convert_us
+      |FROM c LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+      |  ON j.user_id = c.user_id AND j.us = c.us""".stripMargin
+
   /** Sample-ratio-mismatch check (q138) — the experiment-health gate
     * that must pass BEFORE q133's z-test is readable: under a 50/50
     * md5 split, `chi2 = (n1−n2)²/N` (one df). The squared difference
@@ -3567,7 +3613,8 @@ object Queries {
     "q155_seasonal_profile" -> seasonalProfileQ _,
     "q157_importance_weights" -> importanceWeights _,
     "q161_burstiness" -> burstiness _,
-    "q166_nearest_asof" -> nearestAsof _)
+    "q166_nearest_asof" -> nearestAsof _,
+    "q167_time_to_convert" -> timeToConvert _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -3653,5 +3700,6 @@ object Queries {
     "q155_seasonal_profile" -> seasonalProfileSql,
     "q157_importance_weights" -> importanceWeightsSql,
     "q161_burstiness" -> burstinessSql,
-    "q166_nearest_asof" -> nearestAsofSql)
+    "q166_nearest_asof" -> nearestAsofSql,
+    "q167_time_to_convert" -> timeToConvertSql)
 }

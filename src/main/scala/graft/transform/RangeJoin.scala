@@ -106,6 +106,57 @@ object AsOfJoin {
     left.join(cleaned, (on :+ leftTsCol).distinct, "left")
   }
 
+  /** Forward-as-of join — pandas `merge_asof(direction='forward')`: for
+    * each left row, attach the single EARLIEST right row with
+    * `right.ts >= left.ts` (and `<= left.ts + horizon` when set) on
+    * matching keys; left rows with no eligible match null-pad. The
+    * mirror of [[asofJoin]] — same key-space dedup, same one keyed
+    * argmin (`min(struct(ts, values…))`), no window, no self-join. The
+    * time-to-next-event primitive: conversions after touchpoints, next
+    * reading after a sensor gap, next error after a deploy.
+    */
+  def forwardJoin(
+      left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTsCol: String, rightTsCol: String,
+      horizon: Option[java.time.Duration] = None): DataFrame = {
+    require(on.nonEmpty, "forward as-of join needs at least one equi key")
+    val p = "__fwd_r_"
+    val rightP = right.select(right.columns.toIndexedSeq.map(c => col(c).as(p + c)): _*)
+    val valueCols = right.columns.filterNot(c => on.contains(c)).toSeq
+    val leftCols = left.columns.toSet
+    def outName(c: String): String = if (leftCols.contains(c)) s"${c}_right" else c
+    val rightTsOut = outName(rightTsCol)
+    val rightOutNames = rightTsOut +: valueCols.filterNot(_ == rightTsCol).map(outName)
+    val residual = rightOutNames.filter(leftCols.contains) ++
+      rightOutNames.diff(rightOutNames.distinct)
+    require(residual.isEmpty,
+      s"forward as-of join output names collide even after _right suffixing: " +
+        residual.distinct.mkString(", "))
+
+    val keySpace = left.select((on :+ leftTsCol).distinct.map(col): _*).distinct()
+    val equi = on.map(k => rightP(p + k) === keySpace(k))
+    val fwd = rightP(p + rightTsCol) >= keySpace(leftTsCol)
+    val bound = horizon.map { d =>
+      rightP(p + rightTsCol) <=
+        keySpace(leftTsCol) + expr(s"INTERVAL ${d.toMillis} MILLISECOND")
+    }
+    val cond = (equi :+ fwd) ++ bound
+    val orderCols = rightP(p + rightTsCol).as("__ts") +:
+      valueCols.filterNot(_ == rightTsCol).zipWithIndex.map { case (c, i) =>
+        rightP(p + c).as(s"__v$i")
+      }
+    val best = rightP.join(keySpace, cond.reduce(_ && _), "inner")
+      .groupBy((on.map(keySpace(_)) :+ keySpace(leftTsCol)): _*)
+      .agg(min(struct(orderCols: _*)).as("__best"))
+    val cleaned = best.select(
+      (on :+ leftTsCol).map(col) ++
+        (col("__best.__ts").as(rightTsOut) +:
+          valueCols.filterNot(_ == rightTsCol).zipWithIndex.map { case (c, i) =>
+            col(s"__best.__v$i").as(outName(c))
+          }): _*)
+    left.join(cleaned, (on :+ leftTsCol).distinct, "left")
+  }
+
   /** Nearest-as-of join — pandas `merge_asof(direction='nearest')`
     * semantics: for each left row, attach the single right row on
     * matching keys whose timestamp is CLOSEST to the left's, in either

@@ -190,6 +190,15 @@ class PlanSpec extends SparkSpec {
       s"nearest pick must be the keyed argmin agg, not a global window:\n$p")
   }
 
+  test("time-to-convert: forward asof stays an equi join + keyed argmin, no window") {
+    val p = plan(Queries.timeToConvert(spark, sf0001))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"forward asof must stay an equi join on the keys:\n$p")
+    assert(!p.contains("CartesianProduct"), s"degenerated to a cartesian:\n$p")
+    assert(unpartitionedWindows(p) === 0,
+      s"earliest-future pick must be the keyed argmin agg, not a window:\n$p")
+  }
+
   test("centroid drift: keyed exact aggs, count frame broadcasts, no window") {
     val p = plan(OpsQueries.centroidDriftQ(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"),

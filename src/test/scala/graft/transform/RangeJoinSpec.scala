@@ -131,6 +131,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(padded.isNullAt(2) && padded.isNullAt(3))
   }
 
+  test("forwardJoin picks the earliest future right row; horizon excludes; null-pads") {
+    val left = Seq(("a", "2024-01-01 12:00:00"), ("b", "2024-01-01 12:00:00"))
+      .toDF("k", "ts").select(col("k"), to_timestamp(col("ts")).as("ts"))
+    val right = Seq(
+      ("a", "2024-01-01 11:00:00", 1L), // past — never eligible
+      ("a", "2024-01-01 12:30:00", 2L), // earliest future -> match
+      ("a", "2024-01-01 14:00:00", 3L),
+      ("b", "2024-01-03 00:00:00", 4L)  // outside the 1-day horizon
+    ).toDF("k", "rts", "rid")
+      .select(col("k"), to_timestamp(col("rts")).as("rts"), col("rid"))
+    val got = AsOfJoin.forwardJoin(left, right, Seq("k"), "ts", "rts",
+        Some(java.time.Duration.ofDays(1)))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got("a") === Some(2L), "earliest future row within horizon wins")
+    assert(got("b") === None, "beyond-horizon row must null-pad")
+    // no horizon: b's far-future row becomes eligible
+    val open = AsOfJoin.forwardJoin(left, right, Seq("k"), "ts", "rts", None)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(open("b") === Some(4L))
+  }
+
   test("asofJoin ttl excludes stale matches") {
     val left = Seq(("a", "2024-01-20 00:00:00")).toDF("k", "ts")
       .select(col("k"), to_timestamp(col("ts")).as("ts"))
