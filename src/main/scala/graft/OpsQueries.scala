@@ -1724,44 +1724,46 @@ object OpsQueries {
       gf.simhash64(TextAnalysis.tokens(col("text"))).as("simhash64"))
   }
 
-  val fingerprintsSql: String = {
-    val P64 = "CAST(18446744073709551616 AS HUGEINT)"
-    val P32 = "CAST(4294967296 AS HUGEINT)"
-    // (a*c) mod 2^64 without int128 overflow: split a at 2^32
-    def mulmod(a: String, c: BigInt): String =
-      s"(((($a) // $P32 * CAST($c AS HUGEINT)) % $P32) * $P32" +
-        s" + (($a) % $P32) * CAST($c AS HUGEINT)) % $P64"
-    // byte-level polynomial rolling hash of a hex-encoded string
-    def rollingOf(hCol: String, nbCol: String): String =
-      s"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |      list_transform(range(0, $nbCol),
-         |        i -> CAST(strpos('0123456789abcdef', substring($hCol, CAST(2*i+1 AS INTEGER), 1)) - 1 AS HUGEINT) * 16
-         |           + CAST(strpos('0123456789abcdef', substring($hCol, CAST(2*i+2 AS INTEGER), 1)) - 1 AS HUGEINT))),
-         |      (acc, x) -> (acc * 31 + x) % $P64)""".stripMargin
-    def toSigned(u: String): String =
-      s"CAST(CASE WHEN $u >= CAST(9223372036854775808 AS HUGEINT) THEN $u - $P64 ELSE $u END AS BIGINT)"
+  // -- mod-2⁶⁴ HUGEINT plumbing shared by the fingerprint + simhash-join
+  //    oracles (HUGEINT = int128 carries the unsigned-64 domain exactly)
+  private val P64 = "CAST(18446744073709551616 AS HUGEINT)"
+  private val P32 = "CAST(4294967296 AS HUGEINT)"
+  // (a*c) mod 2^64 without int128 overflow: split a at 2^32
+  private def mulmodU64(a: String, c: BigInt): String =
+    s"(((($a) // $P32 * CAST($c AS HUGEINT)) % $P32) * $P32" +
+      s" + (($a) % $P32) * CAST($c AS HUGEINT)) % $P64"
+  // byte-level polynomial rolling hash of a hex-encoded string
+  private def rollingOfHex(hCol: String, nbCol: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(range(0, $nbCol),
+       |        i -> CAST(strpos('0123456789abcdef', substring($hCol, CAST(2*i+1 AS INTEGER), 1)) - 1 AS HUGEINT) * 16
+       |           + CAST(strpos('0123456789abcdef', substring($hCol, CAST(2*i+2 AS INTEGER), 1)) - 1 AS HUGEINT))),
+       |      (acc, x) -> (acc * 31 + x) % $P64)""".stripMargin
+  private def toSignedU64(u: String): String =
+    s"CAST(CASE WHEN $u >= CAST(9223372036854775808 AS HUGEINT) THEN $u - $P64 ELSE $u END AS BIGINT)"
+
+  /** DuckDB CTE chain replaying [[graft.functions.SimHash64]] over
+    * whitespace tokens, ending in `sigs(doc_id, usig)` with the unsigned
+    * 64-bit signature — shared by the q27 fingerprint oracle and the q168
+    * Hamming-join oracle.
+    */
+  private val simhash64Ctes: String = {
     val bitSums = (0 until 64).map { b =>
       s"sum(CASE WHEN (mh // CAST(${BigInt(1) << b} AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
     }.mkString(",\n         ")
     val sig = (0 until 64).map { b =>
       s"(CASE WHEN s$b > 0 THEN CAST(${BigInt(1) << b} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
     }.mkString("\n         + ")
-    s"""WITH doc AS (
-       |  SELECT doc_id, lower(hex(encode(text))) AS h, octet_length(encode(text)) AS nb
-       |  FROM documents),
-       |roll AS (
-       |  SELECT doc_id, ${rollingOf("h", "nb")} AS urh
-       |  FROM doc),
-       |tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk
        |  FROM documents),
        |tb AS (SELECT doc_id, lower(hex(encode(tk))) AS th, octet_length(encode(tk)) AS tnb FROM tok),
        |trh AS (
-       |  SELECT doc_id, ${rollingOf("th", "tnb")} AS rh
+       |  SELECT doc_id, ${rollingOfHex("th", "tnb")} AS rh
        |  FROM tb),
        |m1 AS (SELECT doc_id, (rh + CAST(11400714819323198485 AS HUGEINT)) % $P64 AS z1 FROM trh),
-       |m2 AS (SELECT doc_id, ${mulmod("xor(z1, z1 // CAST(1073741824 AS HUGEINT))", BigInt("13787848793156543929"))} AS z2 FROM m1),
-       |m3 AS (SELECT doc_id, ${mulmod("xor(z2, z2 // CAST(134217728 AS HUGEINT))", BigInt("10723151780598845931"))} AS z3 FROM m2),
+       |m2 AS (SELECT doc_id, ${mulmodU64("xor(z1, z1 // CAST(1073741824 AS HUGEINT))", BigInt("13787848793156543929"))} AS z2 FROM m1),
+       |m3 AS (SELECT doc_id, ${mulmodU64("xor(z2, z2 // CAST(134217728 AS HUGEINT))", BigInt("10723151780598845931"))} AS z3 FROM m2),
        |m4 AS (SELECT doc_id, xor(z3, z3 // CAST(2147483648 AS HUGEINT)) AS mh FROM m3),
        |bits AS (
        |  SELECT doc_id,
@@ -1770,11 +1772,37 @@ object OpsQueries {
        |sigs AS (
        |  SELECT doc_id,
        |         $sig AS usig
-       |  FROM bits)
-       |SELECT r.doc_id, ${toSigned("r.urh")} AS rolling_hash,
-       |       ${toSigned("s.usig")} AS simhash64
-       |FROM roll r JOIN sigs s ON s.doc_id = r.doc_id""".stripMargin
+       |  FROM bits)""".stripMargin
   }
+
+  val fingerprintsSql: String =
+    s"""WITH doc AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS h, octet_length(encode(text)) AS nb
+       |  FROM documents),
+       |roll AS (
+       |  SELECT doc_id, ${rollingOfHex("h", "nb")} AS urh
+       |  FROM doc),
+       |$simhash64Ctes
+       |SELECT r.doc_id, ${toSignedU64("r.urh")} AS rolling_hash,
+       |       ${toSignedU64("s.usig")} AS simhash64
+       |FROM roll r JOIN sigs s ON s.doc_id = r.doc_id""".stripMargin
+
+  /** q168: simhash Hamming near-dup join — see
+    * [[graft.ops.Dedup.simhashHammingPairs]]. Oracle is the NAIVE
+    * all-pairs O(n²) Hamming comparison (no banding), so the hash gate is
+    * a machine-checked completeness proof of the 4×16 pigeonhole
+    * rewrite at radius 3.
+    */
+  def simhashHammingJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashHammingPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+
+  val simhashHammingJoinSql: String =
+    s"""WITH $simhash64Ctes,
+       |sg AS (SELECT doc_id, ${toSignedU64("usig")} AS sh FROM sigs)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
 
   // ------------------------------------------------------------ decontamination
   /** Benchmark decontamination gate: training docs (doc_id % 25 != 0)
@@ -2457,6 +2485,46 @@ object OpsQueries {
       |                       * 1000000.0 + 0.5) / 1000000.0 END AS cos_drift
       |FROM cnt c JOIN ag a USING (label)""".stripMargin
 
+  // ------------------------------------------------------------ PQ codes
+  /** q171: product-quantization code assignment via
+    * [[graft.ops.Similarity.pqCodes]] — 64-dim embeddings → 8 subspaces
+    * × 16-entry codebooks (first-16-by-id subvector seeds, the IVF
+    * seeding convention; query vec_ids 0..15 are therefore excluded from
+    * any recall A/B downstream). Distances are exact integer-micros
+    * arithmetic, so codes AND the distortion sum hash-gate bitwise.
+    */
+  def pqCodesQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqCodes(emb(s, dir), "vec_id", "embedding",
+      nSub = 8, subDim = 8, nCentroids = 16)
+
+  val pqCodesSql: String = {
+    val codeCols = (0 until 8).map { i =>
+      s"CAST(max(CASE WHEN m = $i THEN cid END) AS BIGINT) AS code_$i"
+    }.mkString(",\n       ")
+    s"""WITH comp AS (
+       |  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       |         CAST(dim AS BIGINT) // 8 AS m,
+       |         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |               unnest(range(0, len(embedding))) AS dim
+       |        FROM embeddings)),
+       |c AS (SELECT vec_id AS cid, dim, q AS cq FROM comp WHERE vec_id < 16),
+       |d AS (
+       |  SELECT a.vec_id, a.m, c.cid,
+       |         CAST(sum((a.q - c.cq) * (a.q - c.cq)) AS BIGINT) AS dist
+       |  FROM comp a JOIN c ON c.dim = a.dim
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT vec_id, m, cid, dist,
+       |         row_number() OVER (PARTITION BY vec_id, m
+       |                            ORDER BY dist ASC, cid ASC) AS rn
+       |  FROM d)
+       |SELECT vec_id,
+       |       $codeCols,
+       |       CAST(sum(dist) AS BIGINT) AS distortion
+       |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ collocations
   /** Bigram PMI collocation mining via [[Corpus.pmiCollocations]] —
     * vocabulary-induction scores for a BPE-style tokenizer's merge
@@ -2631,6 +2699,32 @@ object OpsQueries {
       |SELECT source, doc_id, n_tok, cum_tok, budget
       |FROM r JOIN b USING (source)
       |WHERE cum_tok <= budget""".stripMargin
+
+  // ------------------------------------------------------------ balanced shards
+  /** q170: token-balanced shard manifests via [[Corpus.balancedShards]]
+    * (sorted round-robin dealing over a windowless exact global rank).
+    * The oracle ranks with the NAIVE global `row_number()`.
+    */
+  def balancedShardsQ(s: SparkSession, dir: String): DataFrame =
+    Corpus.balancedShards(docs(s, dir), "doc_id", "text", nShards = 8)
+
+  val balancedShardsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |           AS n_tok
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_tok,
+      |         CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id ASC)
+      |              AS BIGINT) AS rk
+      |  FROM d)
+      |SELECT CAST((rk - 1) % 8 AS BIGINT) AS shard,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+      |       CAST(min(rk) AS BIGINT) AS min_rank,
+      |       CAST(max(rk) AS BIGINT) AS max_rank
+      |FROM r GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------ fuzzy match
   /** Exact edit-distance self-join over part names via [[Fuzzy]]'s
@@ -3378,6 +3472,8 @@ object OpsQueries {
     "q163_cluster_safe_split" -> clusterSafeSplitQ _,
     "q164_incremental_lsh" -> incrementalLshDedupQ _,
     "q165_centroid_drift" -> centroidDriftQ _,
+    "q168_simhash_join" -> simhashHammingJoin _,
+    "q171_pq_codes" -> pqCodesQ _,
     "q51_incremental_dedup" -> incrementalDedup _,
     "q52_source_mix" -> sourceMix _,
     "q53_media_resize" -> mediaResize _,
@@ -3389,6 +3485,7 @@ object OpsQueries {
     "q74_source_overlap" -> sourceOverlap _,
     "q76_token_entropy" -> tokenEntropy _,
     "q77_token_budget" -> tokenBudget _,
+    "q170_balanced_shards" -> balancedShardsQ _,
     "q85_fuzzy_match" -> fuzzyMatch _,
     "q89_inverted_index" -> invertedIndexQ _,
     "q90_quantize_i8" -> quantizeEmbeddings _,
@@ -3486,6 +3583,8 @@ object OpsQueries {
     "q163_cluster_safe_split" -> clusterSafeSplitSql,
     "q164_incremental_lsh" -> incrementalLshDedupSql,
     "q165_centroid_drift" -> centroidDriftSql,
+    "q168_simhash_join" -> simhashHammingJoinSql,
+    "q171_pq_codes" -> pqCodesSql,
     "q51_incremental_dedup" -> incrementalDedupSql,
     "q52_source_mix" -> sourceMixSql,
     "q53_media_resize" -> mediaResizeSql,
@@ -3497,6 +3596,7 @@ object OpsQueries {
     "q74_source_overlap" -> sourceOverlapSql,
     "q76_token_entropy" -> tokenEntropySql,
     "q77_token_budget" -> tokenBudgetSql,
+    "q170_balanced_shards" -> balancedShardsSql,
     "q85_fuzzy_match" -> fuzzyMatchSql,
     "q89_inverted_index" -> invertedIndexSql,
     "q90_quantize_i8" -> quantizeEmbeddingsSql,

@@ -2844,6 +2844,38 @@ object Queries {
       |FROM c LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
       |  ON j.user_id = c.user_id AND j.us = c.us""".stripMargin
 
+  /** Lateness profile (q169) — see
+    * [[graft.transform.Temporal.latenessProfile]]: per event-type
+    * event-time lateness under arrival order (`event_id` as the arrival
+    * sequence), the measurement that sizes a Structured Streaming
+    * watermark delay. All outputs exact integer µs; the oracle is the
+    * NAIVE unpartitioned running-max window, proving the chunked
+    * two-level prefix scan lossless.
+    */
+  def latenessProfile(s: SparkSession, dir: String): DataFrame =
+    Temporal.latenessProfile(t(s, dir, "events"), "event_id", "ts",
+      "event_type")
+
+  val latenessProfileSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type,
+      |         max(us) OVER (ORDER BY event_id ASC
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING
+      |                       AND CURRENT ROW) - us AS late
+      |  FROM e)
+      |SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |       CAST(sum(CASE WHEN late > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1m,
+      |       CAST(sum(CASE WHEN late > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
+      |       CAST(max(late) AS BIGINT) AS max_late_us,
+      |       CAST(sum(late) AS BIGINT) AS sum_late_us
+      |FROM w GROUP BY event_type""".stripMargin
+
   /** Sample-ratio-mismatch check (q138) — the experiment-health gate
     * that must pass BEFORE q133's z-test is readable: under a 50/50
     * md5 split, `chi2 = (n1−n2)²/N` (one df). The squared difference
@@ -3614,7 +3646,8 @@ object Queries {
     "q157_importance_weights" -> importanceWeights _,
     "q161_burstiness" -> burstiness _,
     "q166_nearest_asof" -> nearestAsof _,
-    "q167_time_to_convert" -> timeToConvert _)
+    "q167_time_to_convert" -> timeToConvert _,
+    "q169_lateness_profile" -> latenessProfile _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -3701,5 +3734,6 @@ object Queries {
     "q157_importance_weights" -> importanceWeightsSql,
     "q161_burstiness" -> burstinessSql,
     "q166_nearest_asof" -> nearestAsofSql,
-    "q167_time_to_convert" -> timeToConvertSql)
+    "q167_time_to_convert" -> timeToConvertSql,
+    "q169_lateness_profile" -> latenessProfileSql)
 }

@@ -812,4 +812,45 @@ object Corpus {
         sum(col("w_tokens")).as("n_tokens"),
         sum(length(col("w")).cast("long")).as("n_chars"))
   }
+
+  /** Token-balanced training-shard assignment by sorted round-robin:
+    * rank docs by (token count DESC, id ASC) and deal rank `r` to shard
+    * `(r−1) mod nShards` — the standard longest-processing-time-style
+    * dealing that bounds the heaviest/lightest shard gap by ONE document
+    * per dealing round (greedy LPT without its sequential state). The
+    * output is the per-shard manifest (doc count, exact token sum) a
+    * shard-writer job consumes.
+    *
+    * Scale: the global rank is manufactured WITHOUT a global window —
+    * [[graft.transform.Stats.exactRankIntervals]] turns the token-count
+    * histogram into per-value rank intervals [lo, hi] (keyed aggs +
+    * broadcast joins + bucket-partitioned windows only, the q104
+    * machinery), and the within-value tiebreak is a window partitioned
+    * by the token-count VALUE (ordered by id), so rank = lo + rn − 1 is
+    * exact. Descending rank over values rides the ascending interval
+    * construction via key negation. The oracle is the NAIVE global
+    * `row_number()` spelling — the hash gate proves the windowless rank
+    * construction lossless.
+    */
+  def balancedShards(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int = 8): DataFrame = {
+    require(nShards >= 1, "balancedShards needs nShards >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("__id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("__tok"))
+    // ascending intervals over the NEGATED token count = descending rank
+    val intervals = graft.transform.Stats
+      .exactRankIntervals(base.select((-col("__tok")).as("__key")), "__key")
+      .select(col("v").as("__key"), col("lo"))
+    val wv = Window.partitionBy(col("__tok")).orderBy(col("__id").asc)
+    base
+      .withColumn("__key", -col("__tok"))
+      .join(broadcast(intervals), Seq("__key"))
+      .withColumn("__rank", col("lo") + row_number().over(wv) - 1L)
+      .groupBy(((col("__rank") - 1L) % nShards).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("tok_sum"),
+        min(col("__rank")).as("min_rank"),
+        max(col("__rank")).as("max_rank"))
+  }
 }

@@ -638,6 +638,59 @@ object Dedup {
           .otherwise("train").as("split"))
   }
 
+  /** SimHash near-duplicate PAIRS within a Hamming radius via pigeonhole
+    * banding (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for Web
+    * Crawling", WWW'07 — the production simhash-dedup design; reference
+    * exposes only per-doc fingerprints, `explore_features.ipynb`-style
+    * batch scoring): the 64-bit [[graft.functions.SimHash64]] signature
+    * splits into 4 contiguous 16-bit bands; two signatures within Hamming
+    * distance ≤ 3 differ in at most 3 bit positions, so at least one of
+    * the 4 bands matches EXACTLY (pigeonhole). Candidate generation is
+    * therefore a self-equi-join keyed on (band_index, band_value) — only
+    * docs sharing a 16-bit band bucket ever meet — and each candidate is
+    * verified once with the exact `bit_count(a.sh XOR b.sh)` popcount.
+    *
+    * Scale: signatures are row-local codegen; the only shuffle is the
+    * (band, value) bucket join; output is pair-scale. 2¹⁶ bucket values
+    * per band keep random buckets tiny; a corpus whose signatures
+    * collapse onto few buckets (boilerplate-dominated) routes the hot
+    * buckets through [[capBlocks]] via `blockCap` — opt-in because the
+    * cap is lossy, and the DEFAULT path is exact: the oracle is spelled
+    * as the NAIVE all-pairs O(n²) Hamming join, so the hash gate doubles
+    * as a machine-checked proof that 4×16 banding loses no pair at
+    * radius 3.
+    */
+  def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, blockCap: Option[Int] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16 pigeonhole banding is complete only up to Hamming radius 3")
+    import graft.functions.{functions => gf}
+    val sigs = df.select(col(idCol).as("id"),
+      gf.simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
+    val banded0 = sigs.select(col("id"), col("sh"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          expr(s"shiftrightunsigned(sh, ${b * 16}) & 65535").as("bv"))
+      }: _*)).as("bd"))
+      .select(col("id"), col("sh"), col("bd.band").as("band"),
+        col("bd.bv").as("bv"))
+    val banded = blockCap match {
+      case Some(cap) =>
+        capBlocks(banded0.withColumn("blk",
+            concat_ws(":", col("band"), col("bv"))),
+          "blk", "id", cap).drop("blk")
+      case None => banded0
+    }
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        expr("cast(bit_count(a.sh ^ b.sh) as int)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))

@@ -54,6 +54,58 @@ object Similarity {
       graft.functions.functions.quantize_i8(v).as("codes"))
   }
 
+  /** Product-quantization code assignment (Jégou, Douze & Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011) —
+    * the memory layer under billion-scale ANN (IVF-PQ): each vector
+    * splits into `nSub` contiguous subvectors of `subDim` dims, each
+    * subvector snaps to its nearest codebook centroid in that subspace,
+    * and the vector is stored as `nSub` small codes (here 8×4 bits =
+    * 4 bytes per 64-dim vector, a 64× compression over float64) plus
+    * the exact total squared quantization error (`distortion`) — the
+    * quantity PQ training monitors.
+    *
+    * Codebooks here are the first-`nCentroids`-by-id vectors' subvectors
+    * (the deterministic seeding the IVF path also uses — swap in
+    * per-subspace k-means for trained codebooks; same assignment join).
+    * All distance math runs on integer-micros quantized components
+    * (`⌊v·10⁶+0.5⌋`), so per-subspace squared L2 is EXACT int64
+    * arithmetic and the oracle replays bitwise.
+    *
+    * Scale: one posexplode to components, codebook side broadcast
+    * (nCentroids·dim rows), per-(vector, subspace, centroid) distances
+    * reduce through map-side partial aggregation, argmin is an
+    * `min(struct(dist, cid))` agg (NO per-vector window), and the final
+    * code pivot is `nSub` conditional aggregates in ONE pass — keyed
+    * aggs and a broadcast join only, nothing corpus-scale ever windows
+    * or cross-shuffles.
+    */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+      nSub: Int = 8, subDim: Int = 8, nCentroids: Int = 16): DataFrame = {
+    require(nSub >= 1 && subDim >= 1 && nCentroids >= 2,
+      "pqCodes needs nSub, subDim >= 1 and nCentroids >= 2")
+    val comps = df.select(col(idCol).as("__id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .select(col("__id"), col("dim"),
+        expr(s"dim div $subDim").as("m"),
+        floor(col("v") * 1e6 + 0.5).cast("long").as("q"))
+    val cents = comps.filter(col("__id") < nCentroids)
+      .select(col("__id").as("cid"), col("dim"), col("q").as("cq"))
+    val dists = comps.join(broadcast(cents), Seq("dim"))
+      .groupBy(col("__id"), col("m"), col("cid"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dist"))
+    val best = dists
+      .groupBy(col("__id"), col("m"))
+      .agg(min(struct(col("dist"), col("cid"))).as("__b"))
+      .select(col("__id"), col("m"), col("__b.cid").as("code"),
+        col("__b.dist").as("dist"))
+    val codeCols = (0 until nSub).map { i =>
+      max(when(col("m") === i, col("code"))).as(s"code_$i")
+    }
+    best.groupBy(col("__id").as(idCol))
+      .agg(codeCols.head, (codeCols.tail :+
+        sum(col("dist")).as("distortion")): _*)
+  }
+
   /** Shared top-k-per-query stanza for the ANN paths: rank scored
     * candidate rows (columns `query_id`, `neighbor_id`, `cos`) and keep
     * the k best per query, ties pinned by neighbor id.

@@ -957,4 +957,44 @@ class PlanSpec extends SparkSpec {
       """\(\d+\) \w*Join""".r.findAllIn(p).length == 1,
       s"exactly one join in the diff:\n$p")
   }
+
+  test("simhash hamming join: banded equi-join, no cartesian, no window") {
+    val p = plan(OpsQueries.simhashHammingJoin(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"pigeonhole banding degenerated to all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"candidate join must be keyed:\n$p")
+    assert(unpartitionedWindows(p) == 0)
+    // signatures are codegen'd row-local work
+    assert(p.contains("simhash64") || p.contains("SimHash64"), p)
+  }
+
+  test("lateness profile: event-scale windows are chunk-partitioned; the only global window rides the 1/8192 summary frame") {
+    val p = plan(Queries.latenessProfile(spark, sf0001))
+    // exactly ONE unpartitioned window — the metadata-scale chunk prefix
+    assert(unpartitionedWindows(p) == 1,
+      s"expected exactly the chunk-summary prefix window:\n$p")
+    // the chunk prefix frame broadcasts back onto events
+    assert(p.contains("BroadcastHashJoin"), s"prefix map must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("pq codes: broadcast codebook, keyed aggs only — no window, no cartesian") {
+    val p = plan(OpsQueries.pqCodesQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0, s"argmin must be an agg:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"codebook must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("balanced shards: exact global rank with NO unpartitioned window") {
+    val p = plan(graft.ops.Corpus.balancedShards(
+      Tables.load(spark, sf0001, "documents"), "doc_id", "text", 8))
+    assert(unpartitionedWindows(p) == 0,
+      s"rank must come from intervals, not a global window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"interval map must broadcast:\n$p")
+    // the interval construction's triangular bucket join is a broadcast
+    // loop over the BUCKET-COUNT frame (bounded), same as q104 — only a
+    // full cartesian is banned
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -651,4 +651,32 @@ class CorpusSpec extends SparkSpec {
       .filter(col("kind") === "token").agg(sum("n")).head().getLong(0)
     assert(tokenMass === 3L + 2L)
   }
+
+  test("balancedShards == naive row_number dealing; shard sizes differ by at most one") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // 37 docs, heavy-tailed token counts WITH duplicates (tie coverage)
+    val docs = (1L to 37L).map { id =>
+      val n = if (id % 7 == 0) 200 + rnd.nextInt(3) else 1 + rnd.nextInt(20)
+      (id, (1 to n).map(i => s"t$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Corpus.balancedShards(docs, "doc_id", "text", nShards = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // naive reference: global row_number over (tokens desc, id asc)
+    val naive = docs
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("doc_id").asc)).cast("long"))
+      .groupBy(((col("rk") - 1L) % 5).as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tok_sum"),
+        min(col("rk")).as("mn"), max(col("rk")).as("mx"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === naive)
+    val counts = got.values.map(_._1)
+    assert(counts.max - counts.min <= 1L, s"unbalanced doc counts: $got")
+    assert(got.keySet === (0L until 5L).toSet)
+  }
 }

@@ -169,6 +169,69 @@ class OpsSpec extends SparkSpec {
     assert(ham(sig(1L), sig(3L)) > 3)
   }
 
+  test("simhash hamming pairs == naive all-pairs; banding loses nothing at radius 3") {
+    val t1 = (1 to 80).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, t1),
+      (2L, t1),                       // exact copy -> hamming 0
+      (3L, t1 + " tail"),             // near-dup -> small hamming
+      (4L, "all different everything other entirely"),
+      (5L, "yet another unrelated body of words here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashHammingPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // naive all-pairs reference from the raw signatures
+    val sigs = df.select(col("doc_id"),
+        gf.simhash64(TextAnalysis.tokens(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h)).toSeq.sorted
+    assert(got === naive)
+    assert(got.contains((1L, 2L, 0)), "exact copy must surface at hamming 0")
+    // the lossy hot-bucket valve stays a subset of the exact result
+    val capped = Dedup.simhashHammingPairs(df, "doc_id", "text",
+        maxHamming = 3, blockCap = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped.subsetOf(naive.toSet))
+  }
+
+  test("pqCodes: seed vectors self-assign with zero distortion; assignment matches driver-side argmin") {
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val got = Similarity.pqCodes(emb, "vec_id", "embedding",
+        nSub = 8, subDim = 8, nCentroids = 16)
+      .collect().map(r => r.getLong(0) ->
+        (((0 until 8).map(i => r.getLong(1 + i)), r.getLong(9)))).toMap
+    // every codebook seed (vec_id < 16) is its own nearest centroid in
+    // every subspace, at exactly zero quantization error
+    (0L until 16L).foreach { id =>
+      assert(got(id)._1.forall(_ == id), s"seed $id codes: ${got(id)._1}")
+      assert(got(id)._2 === 0L, s"seed $id distortion: ${got(id)._2}")
+    }
+    // codes stay in the codebook range
+    got.values.foreach { case (codes, d) =>
+      assert(codes.forall(c => c >= 0L && c < 16L)); assert(d >= 0L)
+    }
+    // driver-side naive argmin reference on a few non-seed vectors
+    val vecs = emb.filter(col("vec_id") < 40).orderBy("vec_id")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong).toArray).toMap
+    val cents = (0L until 16L).map(i => i -> vecs(i)).toMap
+    (16L until 40L).foreach { id =>
+      val v = vecs(id)
+      (0 until 8).foreach { m =>
+        val best = (0L until 16L).minBy { c =>
+          val d = (m * 8 until (m + 1) * 8).map { i =>
+            val diff = v(i) - cents(c)(i); diff * diff
+          }.sum
+          (d, c)
+        }
+        assert(got(id)._1(m) === best, s"vec $id subspace $m")
+      }
+    }
+  }
+
   test("simhash64 expression: interpreted == codegen, near-dup property holds") {
     val t1 = (1 to 80).map(i => s"w$i").mkString(" ")
     val t2 = t1 + " tail"

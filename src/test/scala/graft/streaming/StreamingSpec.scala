@@ -198,6 +198,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latenessProfile sizes the watermark: profile-derived delay keeps the late row, zero delay drops it") {
+    val b1 = Seq((1L, "2024-01-01 10:05:00", 1.0), (2L, "2024-01-01 13:30:00", 1.0))
+    val b2 = Seq((1L, "2024-01-01 12:40:00", 5.0), (2L, "2024-01-01 16:00:00", 1.0))
+    val b3 = Seq((2L, "2024-01-01 20:00:00", 1.0))
+    // batch-side: profile the log in ARRIVAL order (q169's operator)
+    val all = (b1 ++ b2 ++ b3).zipWithIndex.map {
+      case ((u, s, v), i) => (i.toLong, u, s, v)
+    }
+    val log = all.toDF("seq", "user_id", "s", "value")
+      .select(col("seq"), to_timestamp(col("s")).as("ts"), lit("e").as("etype"))
+    val maxLateUs = graft.transform.Temporal
+      .latenessProfile(log, "seq", "ts", "etype", chunkSize = 2L)
+      .agg(max("max_late_us")).head().getLong(0)
+    // the 12:40 arrival behind the 13:30 high-watermark
+    assert(maxLateUs === 50L * 60L * 1000000L)
+    val delayMin = maxLateUs / 60000000L
+    // stream the SAME arrival order under both watermark choices
+    def run(wm: String, name: String): Long = {
+      val dir = Files.createTempDirectory(s"lp_$name").toString
+      writeDrop(dir, b1)
+      val schema = spark.read.parquet(dir).schema
+      val q = StreamingIngest.hourlyWindowStats(
+          StreamingIngest.readStream(spark, dir, schema),
+          "user_id", "ts", "value", watermark = wm)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(s"lp_out_$name").start()
+      try {
+        q.processAllAvailable()
+        writeDrop(dir, b2); q.processAllAvailable()
+        writeDrop(dir, b3); q.processAllAvailable()
+        spark.table(s"lp_out_$name")
+          .filter(col("event_timestamp") === to_timestamp(lit("2024-01-01 12:00:00")))
+          .agg(coalesce(sum("n_events"), lit(0L))).head().getLong(0)
+      } finally q.stop()
+    }
+    assert(run(s"$delayMin minutes", "sized") === 1L,
+      "a delay >= the profiled max lateness must keep the late row")
+    assert(run("0 minutes", "zero") === 0L,
+      "zero delay must drop the row the profile flagged")
+  }
+
   test("session_window operator equals the batch running-index sessionizer") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.load(spark, sf0001, "events")

@@ -344,4 +344,43 @@ class TemporalSpec extends SparkSpec {
     // flat values: every surviving window is exactly detrended
     assert(got.agg(sum(col("seasonal_num"))).collect().head.getLong(0) === 0L)
   }
+
+  test("latenessProfile chunked scan == naive global running max, chunk boundaries included") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // arrival sequence 0..99 with event-times scrambled so late rows
+    // exist INSIDE chunks and ACROSS chunk boundaries (chunkSize = 8)
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 100L).map { seq =>
+      val base = seq * 60L // one minute per arrival
+      val jitter = rnd.nextInt(7200) - 3600 // +/- 1h event-time noise
+      (seq, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        math.max(0L, base + jitter))), s"t${seq % 3}")
+    }
+    val df = rows.toDF("seq", "ts", "etype")
+    val got = Temporal.latenessProfile(df, "seq", "ts", "etype",
+        chunkSize = 8L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // naive reference: one unpartitioned running-max window
+    val naive = df
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("late", max(col("us")).over(
+        Window.orderBy(col("seq").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+        col("us"))
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late") > 0L, 1L).otherwise(0L)).as("nl"),
+        sum(when(col("late") > 60000000L, 1L).otherwise(0L)).as("nl1m"),
+        sum(when(col("late") > 3600000000L, 1L).otherwise(0L)).as("nl1h"),
+        max(col("late")).as("mx"), sum(col("late")).as("sm"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got === naive)
+    // sanity: the scramble actually produced late rows past 1 minute
+    assert(got.values.map(_._3).sum > 0L)
+  }
 }
