@@ -269,6 +269,55 @@ object OpsQueries {
       |      FROM scored)
       |WHERE rank <= 5""".stripMargin
 
+  // ------------------------------------------------------------ label noise
+  /** q174: kNN label-noise screen via
+    * [[graft.ops.Similarity.knnLabelNoise]] — 5-NN label voting over
+    * the whole embeddings table, per-label mislabel audit. The oracle
+    * replays the full O(n²) cosine ranking naively (the same
+    * list_cosine_similarity replay the q20 gate established) plus the
+    * vote/argmax chain in integer arithmetic.
+    */
+  def labelNoiseQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelNoise(emb(s, dir), "vec_id", "embedding", "label")
+
+  val labelNoiseSql: String =
+    """WITH c AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |         CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT a.vec_id AS qid, a.label AS qlab,
+      |         b.vec_id AS nid, b.label AS nlab,
+      |         list_cosine_similarity(a.v, b.v) AS cos
+      |  FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+      |top AS (
+      |  SELECT qid, qlab, nlab FROM (
+      |    SELECT qid, qlab, nlab,
+      |           row_number() OVER (PARTITION BY qid
+      |                              ORDER BY cos DESC, nid ASC) AS rn
+      |    FROM scored)
+      |  WHERE rn <= 5),
+      |votes AS (
+      |  SELECT qid, qlab, nlab, count(*) AS v
+      |  FROM top GROUP BY 1, 2, 3),
+      |maj AS (
+      |  SELECT qid, qlab, nlab AS mlab, v FROM (
+      |    SELECT qid, qlab, nlab, v,
+      |           row_number() OVER (PARTITION BY qid
+      |                              ORDER BY v DESC, nlab ASC) AS r
+      |    FROM votes)
+      |  WHERE r = 1)
+      |SELECT qlab AS label,
+      |       CAST(count(*) AS BIGINT) AS n_vecs,
+      |       CAST(sum(CASE WHEN mlab <> qlab THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_majority_flag,
+      |       CAST(sum(CASE WHEN mlab <> qlab AND v >= 4 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_confident_flag,
+      |       floor((CAST(sum(CASE WHEN mlab <> qlab THEN 1 ELSE 0 END) AS DOUBLE)
+      |              / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+      |         AS noise_rate
+      |FROM maj GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ embedding dedup
   def embeddingDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.blockedCosinePairs(emb(s, dir), "vec_id", "embedding", "label", 0.15)
@@ -2497,33 +2546,75 @@ object OpsQueries {
     Similarity.pqCodes(emb(s, dir), "vec_id", "embedding",
       nSub = 8, subDim = 8, nCentroids = 16)
 
+  /** Shared CTE chain for the PQ oracles: integer-micros components,
+    * first-16 codebook, per-(vector, subspace, centroid) distances, and
+    * the rn=1 argmin assignment.
+    */
+  private val pqCtes: String =
+    """comp AS (
+      |  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+      |         CAST(dim AS BIGINT) // 8 AS m,
+      |         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |               unnest(range(0, len(embedding))) AS dim
+      |        FROM embeddings)),
+      |c AS (SELECT vec_id AS cid, dim, q AS cq FROM comp WHERE vec_id < 16),
+      |d AS (
+      |  SELECT a.vec_id, a.m, c.cid,
+      |         CAST(sum((a.q - c.cq) * (a.q - c.cq)) AS BIGINT) AS dist
+      |  FROM comp a JOIN c ON c.dim = a.dim
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT vec_id, m, cid, dist,
+      |         row_number() OVER (PARTITION BY vec_id, m
+      |                            ORDER BY dist ASC, cid ASC) AS rn
+      |  FROM d)""".stripMargin
+
   val pqCodesSql: String = {
     val codeCols = (0 until 8).map { i =>
       s"CAST(max(CASE WHEN m = $i THEN cid END) AS BIGINT) AS code_$i"
     }.mkString(",\n       ")
-    s"""WITH comp AS (
-       |  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
-       |         CAST(dim AS BIGINT) // 8 AS m,
-       |         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS q
-       |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
-       |               unnest(range(0, len(embedding))) AS dim
-       |        FROM embeddings)),
-       |c AS (SELECT vec_id AS cid, dim, q AS cq FROM comp WHERE vec_id < 16),
-       |d AS (
-       |  SELECT a.vec_id, a.m, c.cid,
-       |         CAST(sum((a.q - c.cq) * (a.q - c.cq)) AS BIGINT) AS dist
-       |  FROM comp a JOIN c ON c.dim = a.dim
-       |  GROUP BY 1, 2, 3),
-       |best AS (
-       |  SELECT vec_id, m, cid, dist,
-       |         row_number() OVER (PARTITION BY vec_id, m
-       |                            ORDER BY dist ASC, cid ASC) AS rn
-       |  FROM d)
+    s"""WITH $pqCtes
        |SELECT vec_id,
        |       $codeCols,
        |       CAST(sum(dist) AS BIGINT) AS distortion
        |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin
   }
+
+  /** q172: PQ asymmetric-distance top-k via
+    * [[graft.ops.Similarity.pqAdcTopK]] — query ids 100..107, DISJOINT
+    * from the codebook seeds 0..15 (the recall-A/B rule). Exact int64
+    * ADC sums, so ranks gate bitwise; OpsSpec pins recall vs exact
+    * brute force.
+    */
+  def pqAdcQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.pqAdcTopK(e,
+      e.filter(col("vec_id") >= 100 && col("vec_id") <= 107),
+      "vec_id", "embedding", k = 10)
+  }
+
+  val pqAdcSql: String =
+    s"""WITH $pqCtes,
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, q.m, c.cid,
+       |         CAST(sum((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS d
+       |  FROM comp q JOIN c ON c.dim = q.dim
+       |  WHERE q.vec_id BETWEEN 100 AND 107
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT qd.query_id, b.vec_id AS neighbor_id,
+       |         CAST(sum(qd.d) AS BIGINT) AS adc_dist
+       |  FROM best b JOIN qd ON qd.m = b.m AND qd.cid = b.cid
+       |  WHERE b.rn = 1
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_dist
+       |FROM (SELECT query_id, neighbor_id, adc_dist,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY adc_dist ASC, neighbor_id ASC)
+       |               AS rank
+       |      FROM adc)
+       |WHERE rank <= 10""".stripMargin
 
   // ------------------------------------------------------------ collocations
   /** Bigram PMI collocation mining via [[Corpus.pmiCollocations]] —
@@ -3474,6 +3565,8 @@ object OpsQueries {
     "q165_centroid_drift" -> centroidDriftQ _,
     "q168_simhash_join" -> simhashHammingJoin _,
     "q171_pq_codes" -> pqCodesQ _,
+    "q172_pq_adc" -> pqAdcQ _,
+    "q174_label_noise" -> labelNoiseQ _,
     "q51_incremental_dedup" -> incrementalDedup _,
     "q52_source_mix" -> sourceMix _,
     "q53_media_resize" -> mediaResize _,
@@ -3585,6 +3678,8 @@ object OpsQueries {
     "q165_centroid_drift" -> centroidDriftSql,
     "q168_simhash_join" -> simhashHammingJoinSql,
     "q171_pq_codes" -> pqCodesSql,
+    "q172_pq_adc" -> pqAdcSql,
+    "q174_label_noise" -> labelNoiseSql,
     "q51_incremental_dedup" -> incrementalDedupSql,
     "q52_source_mix" -> sourceMixSql,
     "q53_media_resize" -> mediaResizeSql,

@@ -2265,34 +2265,141 @@ object Queries {
         (col("max_y") - col("min_y") + 1).as("span_y"))
   }
 
-  val zorderLayoutSql: String =
-    """WITH e AS (
-      |  SELECT user_id % 256 AS x,
+  /** Shared oracle CTE chain: events → (event_id, x, y) grid cells →
+    * per-row z value via the interleave-bits spread replay. Ends in
+    * `zz(event_id, x, y, z)`; used by the q144 layout oracle and the
+    * q173 pruning-benefit oracle.
+    */
+  private val zorderZCtes: String =
+    """e AS (
+      |  SELECT event_id, user_id % 256 AS x,
       |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       |  FROM events),
       |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM e),
       |xy AS (
-      |  SELECT x,
+      |  SELECT event_id, x,
       |         least(255, greatest(0, ((cents - mn) * 256) // (mx - mn + 1)))
       |           AS y
       |  FROM e CROSS JOIN b),
-      |sx AS (SELECT x, y, (x | (x << 16)) & 281470681808895 AS v FROM xy),
-      |sx2 AS (SELECT x, y, (v | (v << 8)) & 71777214294589695 AS v FROM sx),
-      |sx3 AS (SELECT x, y, (v | (v << 4)) & 1085102592571150095 AS v FROM sx2),
-      |sx4 AS (SELECT x, y, (v | (v << 2)) & 3689348814741910323 AS v FROM sx3),
-      |sx5 AS (SELECT x, y, (v | (v << 1)) & 6148914691236517205 AS xs FROM sx4),
-      |sy AS (SELECT x, y, xs, (y | (y << 16)) & 281470681808895 AS w FROM sx5),
-      |sy2 AS (SELECT x, y, xs, (w | (w << 8)) & 71777214294589695 AS w FROM sy),
-      |sy3 AS (SELECT x, y, xs, (w | (w << 4)) & 1085102592571150095 AS w FROM sy2),
-      |sy4 AS (SELECT x, y, xs, (w | (w << 2)) & 3689348814741910323 AS w FROM sy3),
-      |sy5 AS (SELECT x, y, xs, (w | (w << 1)) & 6148914691236517205 AS ys FROM sy4),
-      |z AS (SELECT x, y, (xs | (ys << 1)) // 1024 AS file_id FROM sy5)
+      |sx AS (SELECT event_id, x, y, (x | (x << 16)) & 281470681808895 AS v FROM xy),
+      |sx2 AS (SELECT event_id, x, y, (v | (v << 8)) & 71777214294589695 AS v FROM sx),
+      |sx3 AS (SELECT event_id, x, y, (v | (v << 4)) & 1085102592571150095 AS v FROM sx2),
+      |sx4 AS (SELECT event_id, x, y, (v | (v << 2)) & 3689348814741910323 AS v FROM sx3),
+      |sx5 AS (SELECT event_id, x, y, (v | (v << 1)) & 6148914691236517205 AS xs FROM sx4),
+      |sy AS (SELECT event_id, x, y, xs, (y | (y << 16)) & 281470681808895 AS w FROM sx5),
+      |sy2 AS (SELECT event_id, x, y, xs, (w | (w << 8)) & 71777214294589695 AS w FROM sy),
+      |sy3 AS (SELECT event_id, x, y, xs, (w | (w << 4)) & 1085102592571150095 AS w FROM sy2),
+      |sy4 AS (SELECT event_id, x, y, xs, (w | (w << 2)) & 3689348814741910323 AS w FROM sy3),
+      |sy5 AS (SELECT event_id, x, y, xs, (w | (w << 1)) & 6148914691236517205 AS ys FROM sy4),
+      |zz AS (SELECT event_id, x, y, (xs | (ys << 1)) AS z FROM sy5)""".stripMargin
+
+  val zorderLayoutSql: String =
+    s"""WITH $zorderZCtes,
+      |z AS (SELECT x, y, z // 1024 AS file_id FROM zz)
       |SELECT file_id, CAST(count(*) AS BIGINT) AS n,
       |       min(x) AS min_x, max(x) AS max_x,
       |       min(y) AS min_y, max(y) AS max_y,
       |       max(x) - min(x) + 1 AS span_x,
       |       max(y) - min(y) + 1 AS span_y
       |FROM z GROUP BY file_id""".stripMargin
+
+  /** Zone-map pruning benefit (q173) — the DECISION readout data
+    * layout exists for: given per-file min/max zone maps (the parquet/
+    * Delta/Iceberg data-skipping statistics), how many files and rows
+    * does a representative predicate workload actually scan under the
+    * q144 z-order layout vs a plain (x-major, y) linear sort layout?
+    * Three template predicates (an x-cohort scan, a y value-band scan,
+    * their conjunction) probe both layouts; output is per (predicate,
+    * layout): files/rows total and scanned. All-integer overlap tests,
+    * so the readout hash-gates.
+    *
+    * Scale: both layouts are manufactured WITHOUT a global sort — the
+    * z-order file id is row-local codegen (interleave_bits div), and
+    * the linear layout's exact rank rides the q104/q170 interval
+    * machinery (keyed aggs + broadcast joins + a key-partitioned
+    * tiebreak window). File statistics frames are metadata-scale
+    * (rows/1024); only those cross the 3-row broadcast predicate
+    * frame. The oracle spells the linear rank as the NAIVE global
+    * row_number, so the gate again proves the windowless rank
+    * construction lossless.
+    */
+  def zoneMapPruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events")
+      .select(col("event_id"), (col("user_id") % 256).as("x"),
+        graft.transform.Stats.cents(col("value")).as("cents"))
+    val bounds = e.agg(min(col("cents")).as("__mn"), max(col("cents")).as("__mx"))
+    val xy = e.crossJoin(broadcast(bounds))
+      .select(col("event_id"), col("x"),
+        least(lit(255L), greatest(lit(0L),
+          expr("((cents - __mn) * 256) div (__mx - __mn + 1)"))).as("y"))
+    val zf = xy
+      .withColumn("z", graft.functions.functions.interleave_bits(col("x"), col("y")))
+      .select(lit("zorder").as("layout"), expr("z div 1024").as("file_id"),
+        col("x"), col("y"))
+    val keyed = xy.withColumn("key", col("x") * 256L + col("y"))
+    val intervals = graft.transform.Stats.exactRankIntervals(keyed, "key")
+      .select(col("v").as("key"), col("lo"))
+    val wv = Window.partitionBy(col("key")).orderBy(col("event_id").asc)
+    val lf = keyed.join(broadcast(intervals), Seq("key"))
+      .withColumn("rank", col("lo") + row_number().over(wv) - 1L)
+      .select(lit("linear").as("layout"),
+        expr("(rank - 1) div 1024").as("file_id"), col("x"), col("y"))
+    val stats = zf.unionByName(lf)
+      .groupBy(col("layout"), col("file_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    val preds = Seq(
+      ("x_cohort", 10L, 19L, 0L, 255L),
+      ("y_band", 0L, 255L, 100L, 119L),
+      ("x_and_y", 40L, 49L, 100L, 119L))
+      .toDF("pred", "lo_x", "hi_x", "lo_y", "hi_y")
+    val hit = col("min_x") <= col("hi_x") && col("max_x") >= col("lo_x") &&
+      col("min_y") <= col("hi_y") && col("max_y") >= col("lo_y")
+    stats.crossJoin(broadcast(preds))
+      .groupBy(col("pred"), col("layout"))
+      .agg(count(lit(1)).as("files_total"),
+        sum(when(hit, 1L).otherwise(0L)).as("files_scanned"),
+        sum(col("n")).as("rows_total"),
+        sum(when(hit, col("n")).otherwise(0L)).as("rows_scanned"))
+  }
+
+  val zoneMapPruningSql: String =
+    s"""WITH $zorderZCtes,
+       |fz AS (
+       |  SELECT 'zorder' AS layout, z // 1024 AS file_id,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         min(x) AS min_x, max(x) AS max_x,
+       |         min(y) AS min_y, max(y) AS max_y
+       |  FROM zz GROUP BY 1, 2),
+       |lin AS (
+       |  SELECT x, y,
+       |         CAST(row_number() OVER (ORDER BY x * 256 + y ASC, event_id ASC)
+       |              AS BIGINT) AS rk
+       |  FROM xy),
+       |fl AS (
+       |  SELECT 'linear' AS layout, (rk - 1) // 1024 AS file_id,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         min(x) AS min_x, max(x) AS max_x,
+       |         min(y) AS min_y, max(y) AS max_y
+       |  FROM lin GROUP BY 1, 2),
+       |f AS (SELECT * FROM fz UNION ALL SELECT * FROM fl),
+       |p(pred, lo_x, hi_x, lo_y, hi_y) AS (VALUES
+       |  ('x_cohort', 10, 19, 0, 255),
+       |  ('y_band', 0, 255, 100, 119),
+       |  ('x_and_y', 40, 49, 100, 119))
+       |SELECT p.pred, f.layout,
+       |       CAST(count(*) AS BIGINT) AS files_total,
+       |       CAST(sum(CASE WHEN f.min_x <= p.hi_x AND f.max_x >= p.lo_x
+       |                      AND f.min_y <= p.hi_y AND f.max_y >= p.lo_y
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       |       CAST(sum(f.n) AS BIGINT) AS rows_total,
+       |       CAST(sum(CASE WHEN f.min_x <= p.hi_x AND f.max_x >= p.lo_x
+       |                      AND f.min_y <= p.hi_y AND f.max_y >= p.lo_y
+       |                     THEN f.n ELSE 0 END) AS BIGINT) AS rows_scanned
+       |FROM f CROSS JOIN p GROUP BY 1, 2""".stripMargin
 
   /** Benford first-digit screen (q148) — the classic books-cooking /
     * synthetic-data smell test: per event type, the observed leading-
@@ -3647,7 +3754,8 @@ object Queries {
     "q161_burstiness" -> burstiness _,
     "q166_nearest_asof" -> nearestAsof _,
     "q167_time_to_convert" -> timeToConvert _,
-    "q169_lateness_profile" -> latenessProfile _)
+    "q169_lateness_profile" -> latenessProfile _,
+    "q173_zone_maps" -> zoneMapPruning _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -3735,5 +3843,6 @@ object Queries {
     "q161_burstiness" -> burstinessSql,
     "q166_nearest_asof" -> nearestAsofSql,
     "q167_time_to_convert" -> timeToConvertSql,
-    "q169_lateness_profile" -> latenessProfileSql)
+    "q169_lateness_profile" -> latenessProfileSql,
+    "q173_zone_maps" -> zoneMapPruningSql)
 }

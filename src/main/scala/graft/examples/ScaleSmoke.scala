@@ -73,10 +73,14 @@ object ScaleSmoke {
       "orders" -> (() => shifted("orders",
         Map("o_orderkey" -> 100000000L, "o_custkey" -> 1000000L))),
       "lineitem" -> (() => shifted("lineitem",
-        Map("l_orderkey" -> 100000000L, "l_suppkey" -> 1000000L))))
+        Map("l_orderkey" -> 100000000L, "l_suppkey" -> 1000000L))),
+      // copy 0 keeps vec_id 0..15, so the deterministic codebook/
+      // centroid seeds are unchanged while the corpus is 10x
+      "embeddings" -> (() => shifted("embeddings",
+        Map("vec_id" -> 1000000L))))
 
     val passthrough = Seq("region", "nation", "customer", "supplier",
-      "part", "embeddings")
+      "part")
     val fsDir = new java.io.File(out)
     if (!new java.io.File(fsDir, "_SCALE_READY").exists()) {
       println(s"generating ${copies}x tables under $out ...")
@@ -120,7 +124,12 @@ object ScaleSmoke {
       "q75_psi_drift", "q162_lm_perplexity",
       // round-9 additions: cluster-safe split (CC at 10x), incremental
       // LSH (band-index join at 10x), nearest-asof (banded argmin at 10x)
-      "q163_cluster_safe_split", "q164_incremental_lsh", "q166_nearest_asof")
+      "q163_cluster_safe_split", "q164_incremental_lsh", "q166_nearest_asof",
+      // round-9 operators: simhash banding meets 10x the duplicate
+      // pairs, the lateness prefix scan meets 10x chunks, PQ assignment
+      // meets the same broadcast codebook at 10x rows
+      "q168_simhash_join", "q169_lateness_profile", "q170_balanced_shards",
+      "q171_pq_codes")
     // warm scans once
     (gen.keys ++ passthrough).foreach { t =>
       try graft.Tables.load(spark, out, t).count()

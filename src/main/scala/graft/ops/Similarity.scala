@@ -79,31 +79,86 @@ object Similarity {
     * aggs and a broadcast join only, nothing corpus-scale ever windows
     * or cross-shuffles.
     */
-  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
-      nSub: Int = 8, subDim: Int = 8, nCentroids: Int = 16): DataFrame = {
-    require(nSub >= 1 && subDim >= 1 && nCentroids >= 2,
-      "pqCodes needs nSub, subDim >= 1 and nCentroids >= 2")
-    val comps = df.select(col(idCol).as("__id"),
+  /** Integer-micros subvector components: (__id, dim, m, q). */
+  private def pqComponents(df: DataFrame, idCol: String, vecCol: String,
+      subDim: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
         posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
       .select(col("__id"), col("dim"),
         expr(s"dim div $subDim").as("m"),
         floor(col("v") * 1e6 + 0.5).cast("long").as("q"))
-    val cents = comps.filter(col("__id") < nCentroids)
-      .select(col("__id").as("cid"), col("dim"), col("q").as("cq"))
-    val dists = comps.join(broadcast(cents), Seq("dim"))
+
+  /** Per-(vector, subspace) nearest-codebook assignment in long form:
+    * (__id, m, code, dist) — the shared stage under [[pqCodes]] and
+    * [[pqAdcTopK]].
+    */
+  private def pqAssignments(comps: DataFrame, cents: DataFrame): DataFrame =
+    comps.join(broadcast(cents), Seq("dim"))
       .groupBy(col("__id"), col("m"), col("cid"))
       .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dist"))
-    val best = dists
       .groupBy(col("__id"), col("m"))
       .agg(min(struct(col("dist"), col("cid"))).as("__b"))
       .select(col("__id"), col("m"), col("__b.cid").as("code"),
         col("__b.dist").as("dist"))
+
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+      nSub: Int = 8, subDim: Int = 8, nCentroids: Int = 16): DataFrame = {
+    require(nSub >= 1 && subDim >= 1 && nCentroids >= 2,
+      "pqCodes needs nSub, subDim >= 1 and nCentroids >= 2")
+    val comps = pqComponents(df, idCol, vecCol, subDim)
+    val cents = comps.filter(col("__id") < nCentroids)
+      .select(col("__id").as("cid"), col("dim"), col("q").as("cq"))
+    val best = pqAssignments(comps, cents)
     val codeCols = (0 until nSub).map { i =>
       max(when(col("m") === i, col("code"))).as(s"code_$i")
     }
     best.groupBy(col("__id").as(idCol))
       .agg(codeCols.head, (codeCols.tail :+
         sum(col("dist")).as("distortion")): _*)
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search — the query leg of
+    * IVF-PQ (Jégou et al., TPAMI 2011 §IV): the query stays EXACT while
+    * the corpus is represented only by its PQ codes, so the per-pair
+    * distance is a sum of `nSub` precomputed query↔centroid subspace
+    * distances — a table of `nQueries × nSub × nCentroids` entries
+    * (1 KB-scale) built once and BROADCAST, after which scoring the
+    * whole corpus is one lookup-join + keyed sum, never touching the
+    * original vectors. On integer-micros components every entry and
+    * every ADC sum is exact int64, so ranks hash-gate.
+    *
+    * Scale: corpus → long-form codes (nSub rows/vector, row-local after
+    * one broadcast assignment join), distance-table join is broadcast,
+    * the per-(query, vector) sum partial-aggregates map-side, and the
+    * top-k cut is [[graft.transform.Skew.saltedTopK]] — no per-query
+    * reducer ever sees more than a salt bucket. Recall vs exact brute
+    * force is pinned in OpsSpec on query ids DISJOINT from the
+    * codebook seeds.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, nSub: Int = 8, subDim: Int = 8,
+      nCentroids: Int = 16, numSalts: Int = 8): DataFrame = {
+    val comps = pqComponents(corpus, idCol, vecCol, subDim)
+    val cents = comps.filter(col("__id") < nCentroids)
+      .select(col("__id").as("cid"), col("dim"), col("q").as("cq"))
+    val codes = pqAssignments(comps, cents).drop("dist")
+    val dtable = pqComponents(queries, idCol, vecCol, subDim)
+      .withColumnRenamed("__id", "query_id")
+      .join(broadcast(cents), Seq("dim"))
+      .groupBy(col("query_id"), col("m").as("qm"), col("cid"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d"))
+    val scored = codes
+      .join(broadcast(dtable),
+        col("m") === col("qm") && col("code") === col("cid"))
+      .groupBy(col("query_id"), col("__id").as("neighbor_id"))
+      .agg(sum(col("d")).as("adc_dist"))
+    graft.transform.Skew.saltedTopK(scored,
+      partitionCols = Seq(col("query_id")),
+      orderCols = Seq(col("adc_dist").asc, col("neighbor_id").asc),
+      saltCol = col("neighbor_id"), k = k, numSalts = numSalts,
+      rankCol = "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc_dist"))
   }
 
   /** Shared top-k-per-query stanza for the ANN paths: rank scored
@@ -191,6 +246,53 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     topKPerQuery(scored, k, numSalts)
+  }
+
+  /** kNN label-noise screen (the confident-learning-style mislabel
+    * detector, Northcutt et al., JAIR 2021 flavor): every vector's
+    * 5-nearest neighbors vote with their labels; a vector whose
+    * neighborhood majority disagrees with its own label is a mislabel
+    * candidate, and a ≥`confidentVotes`-vote disagreement is a
+    * confident one. Output is the per-label audit (n, majority-flag
+    * count, confident-flag count, noise rate) a labeling pipeline
+    * watches per ingestion batch.
+    *
+    * Scale: the kNN leg is [[bruteForceTopK]] with the corpus as its
+    * own query set — the exact baseline; swap the IVF/PQ paths in for
+    * the billion-row corpus, identical voting from there on. Votes are
+    * keyed integer aggs; the majority is an `max(struct)` argmax (ties
+    * to the smaller label), never a per-vector window beyond the
+    * already-salted top-k.
+    */
+  def knnLabelNoise(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 5, confidentVotes: Int = 4): DataFrame = {
+    require(k >= 1 && confidentVotes >= 1 && confidentVotes <= k,
+      "knnLabelNoise needs 1 <= confidentVotes <= k")
+    val labels = df.select(col(idCol).as("__lid"),
+      col(labelCol).cast("long").as("__lab"))
+    val knn = bruteForceTopK(df, df, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val voted = knn
+      .join(broadcast(labels.select(col("__lid").as("query_id"),
+        col("__lab").as("qlab"))), Seq("query_id"))
+      .join(broadcast(labels.select(col("__lid").as("neighbor_id"),
+        col("__lab").as("nlab"))), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("qlab"), col("nlab"))
+      .agg(count(lit(1)).as("v"))
+    val majority = voted
+      .groupBy(col("query_id"), col("qlab"))
+      .agg(max(struct(col("v"), (-col("nlab")).as("negl"))).as("__m"))
+      .select(col("query_id"), col("qlab"),
+        (-col("__m.negl")).as("mlab"), col("__m.v").as("mv"))
+    majority.groupBy(col("qlab").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("mlab") =!= col("qlab"), 1L).otherwise(0L))
+          .as("n_majority_flag"),
+        sum(when(col("mlab") =!= col("qlab") &&
+          col("mv") >= confidentVotes, 1L).otherwise(0L))
+          .as("n_confident_flag"))
+      .withColumn("noise_rate", graft.util.Rounding.pround(
+        col("n_majority_flag").cast("double") / col("n_vecs").cast("double"), 6))
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a

@@ -986,6 +986,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
   }
 
+  test("pq adc: distance table broadcasts; scoring is keyed aggs + salted top-k, no global window") {
+    val p = plan(OpsQueries.pqAdcQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0, s"per-query rank must stay salted:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"ADC table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("zone maps: both layouts windowless; only metadata-scale frames meet the predicate loop") {
+    val p = plan(Queries.zoneMapPruning(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0,
+      s"linear rank must ride the interval machinery:\n$p")
+    assert(p.contains("interleave_bits"), s"z-order side must be row-local:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 3-row broadcast predicate frame may loop-join:\n$p")
+  }
+
+  test("label noise: salted knn + broadcast label maps, no unpartitioned window") {
+    val p = plan(OpsQueries.labelNoiseQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0, s"voting must stay keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"label maps must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("balanced shards: exact global rank with NO unpartitioned window") {
     val p = plan(graft.ops.Corpus.balancedShards(
       Tables.load(spark, sf0001, "documents"), "doc_id", "text", 8))
