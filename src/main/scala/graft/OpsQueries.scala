@@ -318,6 +318,66 @@ object OpsQueries {
       |         AS noise_rate
       |FROM maj GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------ hard negatives
+  /** q175: hard-negative mining via
+    * [[graft.ops.Similarity.hardNegatives]] — for anchors vec_id < 20
+    * (the q20 anchor set), the 5 most-similar DIFFERENT-label vectors.
+    * Oracle replays the label-constrained ranking naively.
+    */
+  def hardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.hardNegatives(e, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", "label", k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  val hardNegativesSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(label AS BIGINT) AS qlab,
+      |         CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 20),
+      |c AS (
+      |  SELECT vec_id AS neighbor_id, CAST(label AS BIGINT) AS nlab,
+      |         CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, qlab, neighbor_id, nlab,
+      |         list_cosine_similarity(qv, cv) AS cos
+      |  FROM q JOIN c ON query_id <> neighbor_id AND qlab <> nlab)
+      |SELECT query_id, qlab, neighbor_id, nlab, rank,
+      |       floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+      |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |      FROM scored)
+      |WHERE rank <= 5""".stripMargin
+
+  // ------------------------------------------------------------ compaction plan
+  /** q176: small-file compaction manifest via
+    * [[graft.ops.Corpus.compactionPlan]] — per-source target-size bins
+    * in deterministic md5 pack order. Exact integer bytes, replayed
+    * with the same window cumsum.
+    */
+  def compactionPlanQ(s: SparkSession, dir: String): DataFrame =
+    Corpus.compactionPlan(docs(s, dir), "source", "doc_id", "text")
+
+  val compactionPlanSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |         CAST(length(text) AS BIGINT) AS sz,
+      |         md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, sz,
+      |         CAST(sum(sz) OVER (PARTITION BY source
+      |                            ORDER BY h ASC, doc_id ASC
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING
+      |                            AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM d)
+      |SELECT source, (cum - sz) // 32768 AS bin,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(sz) AS BIGINT) AS bytes
+      |FROM c GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ embedding dedup
   def embeddingDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.blockedCosinePairs(emb(s, dir), "vec_id", "embedding", "label", 0.15)
@@ -3567,6 +3627,8 @@ object OpsQueries {
     "q171_pq_codes" -> pqCodesQ _,
     "q172_pq_adc" -> pqAdcQ _,
     "q174_label_noise" -> labelNoiseQ _,
+    "q175_hard_negatives" -> hardNegativesQ _,
+    "q176_compaction_plan" -> compactionPlanQ _,
     "q51_incremental_dedup" -> incrementalDedup _,
     "q52_source_mix" -> sourceMix _,
     "q53_media_resize" -> mediaResize _,
@@ -3680,6 +3742,8 @@ object OpsQueries {
     "q171_pq_codes" -> pqCodesSql,
     "q172_pq_adc" -> pqAdcSql,
     "q174_label_noise" -> labelNoiseSql,
+    "q175_hard_negatives" -> hardNegativesSql,
+    "q176_compaction_plan" -> compactionPlanSql,
     "q51_incremental_dedup" -> incrementalDedupSql,
     "q52_source_mix" -> sourceMixSql,
     "q53_media_resize" -> mediaResizeSql,

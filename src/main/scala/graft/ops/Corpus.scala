@@ -813,6 +813,35 @@ object Corpus {
         sum(length(col("w")).cast("long")).as("n_chars"))
   }
 
+  /** Small-file compaction planner — the metadata-side fix for the
+    * lakehouse small-files problem: pack each source's documents into
+    * target-size output bins in a DETERMINISTIC, ingestion-order-free
+    * order (md5 of id), so re-running the planner on the same snapshot
+    * always emits the same manifest. A doc lands in the bin where its
+    * running-byte offset starts (`(cum − sz) div target`), so every
+    * bin except a source's last holds ≥ target bytes and a writer job
+    * can consume bins independently.
+    *
+    * Scale: one window per SOURCE partition (the compaction unit — at
+    * 100 TB you compact per partition anyway, and a source's manifest
+    * rows are metadata-scale); no global ordering anywhere.
+    */
+  def compactionPlan(df: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, targetBytes: Long = 32768L): DataFrame = {
+    require(targetBytes >= 1, "compactionPlan needs targetBytes >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(sourceCol), col(idCol),
+        length(col(textCol)).cast("long").as("__sz"))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__cum", sum(col("__sz")).over(w))
+      .withColumn("bin", expr(s"(__cum - __sz) div ${targetBytes}L"))
+      .groupBy(col(sourceCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__sz")).as("bytes"))
+  }
+
   /** Token-balanced training-shard assignment by sorted round-robin:
     * rank docs by (token count DESC, id ASC) and deal rank `r` to shard
     * `(r−1) mod nShards` — the standard longest-processing-time-style

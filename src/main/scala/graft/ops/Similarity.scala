@@ -295,6 +295,44 @@ object Similarity {
         col("n_majority_flag").cast("double") / col("n_vecs").cast("double"), 6))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the `k` most-similar corpus vectors carrying a DIFFERENT label —
+    * the negatives that actually shape a contrastive margin, vs the
+    * uniform pseudo-random draws of [[negativePairs]] (the easy
+    * baseline). The different-label constraint is part of the JOIN, so
+    * the ranking is exact over the full eligible set (no
+    * filter-after-top-k pool that could starve an anchor whose
+    * neighborhood is same-label).
+    *
+    * Scale: identical posture to [[bruteForceTopK]] — anchor side
+    * broadcast, corpus scanned once, salted per-anchor top-k; swap the
+    * ANN paths in for the billion-row corpus.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int = 5,
+      numSalts: Int = 16): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol)
+      .join(corpus.select(col(idCol), col(labelCol).cast("long").as("nlab")),
+        Seq(idCol))
+      .select(col(idCol).as("neighbor_id"), col("nlab"),
+        col("__vec").as("cv"), col("__norm").as("cn"))
+    val q = withNorm(queries, idCol, vecCol)
+      .join(queries.select(col(idCol), col(labelCol).cast("long").as("qlab")),
+        Seq(idCol))
+      .select(col(idCol).as("query_id"), col("qlab"),
+        col("__vec").as("qv"), col("__norm").as("qn"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("qlab") =!= col("nlab"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    graft.transform.Skew.saltedTopK(scored,
+      partitionCols = Seq(col("query_id")),
+      orderCols = Seq(col("cos").desc, col("neighbor_id").asc),
+      saltCol = col("neighbor_id"), k = k, numSalts = numSalts,
+      rankCol = "rank")
+      .select(col("query_id"), col("qlab"), col("neighbor_id"), col("nlab"),
+        col("rank"), graft.util.Rounding.pround(col("cos"), 6).as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
     * cluster/label/LSH bucket): pairs (a < b) in the same block with
     * cosine above `threshold`. The join key is the block — never

@@ -1009,6 +1009,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("hard negatives: label constraint inside the broadcast join, salted top-k only") {
+    val p = plan(OpsQueries.hardNegativesQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0, s"ranking must stay salted:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"anchor side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("compaction plan: one source-partitioned window, no global sort") {
+    val p = plan(OpsQueries.compactionPlanQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0, s"pack order must be per-source:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
   test("balanced shards: exact global rank with NO unpartitioned window") {
     val p = plan(graft.ops.Corpus.balancedShards(
       Tables.load(spark, sf0001, "documents"), "doc_id", "text", 8))

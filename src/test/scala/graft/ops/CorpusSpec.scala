@@ -652,6 +652,37 @@ class CorpusSpec extends SparkSpec {
     assert(tokenMass === 3L + 2L)
   }
 
+  test("compactionPlan: bins reach target bytes (except per-source tails) and ignore input order") {
+    val rnd = new scala.util.Random(17)
+    val docs = (1L to 60L).map { id =>
+      (if (id % 2 == 0) "a" else "b", id, "x" * (50 + rnd.nextInt(400)))
+    }.toDF("source", "doc_id", "text")
+    val plan = Corpus.compactionPlan(docs, "source", "doc_id", "text",
+        targetBytes = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // start-offset binning invariant: a non-tail bin spans from its
+    // first doc's start (< maxSz into the bin) to a boundary-crossing
+    // end, so it holds more than target − maxSz bytes
+    val maxSz = docs.agg(max(length(col("text")).cast("long"))).head().getLong(0)
+    Seq("a", "b").foreach { s =>
+      val bins = plan.filter(_._1._1 == s).toSeq.sortBy(_._1._2)
+      bins.dropRight(1).foreach { case (k, (_, bytes)) =>
+        assert(bytes > 1000L - maxSz, s"undersized non-tail bin $k: $bytes") }
+      // bins are contiguous from 0 (no doc exceeds the target size)
+      assert(bins.map(_._1._2) === bins.indices.map(_.toLong))
+    }
+    // total bytes conserved
+    assert(plan.values.map(_._2).sum ===
+      docs.agg(sum(length(col("text")))).head().getLong(0))
+    // determinism: a shuffled input yields the identical manifest
+    val shuffled = Corpus.compactionPlan(docs.orderBy(rand(42)), "source",
+        "doc_id", "text", targetBytes = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(shuffled === plan)
+  }
+
   test("balancedShards == naive row_number dealing; shard sizes differ by at most one") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(11)

@@ -279,6 +279,28 @@ class OpsSpec extends SparkSpec {
     assert(got(1L) === ((11L, 0L, 0L)), s"label 1 audit: $got")
   }
 
+  test("hardNegatives excludes same-label neighbors however close, ranks the different-label frontier") {
+    val rnd = new scala.util.Random(5)
+    def vec(center: Double): Seq[Float] =
+      (0 until 8).map(_ => (center + rnd.nextGaussian() * 0.01).toFloat)
+    // anchor 0 and its same-label twin 1 sit at center 1.0; different-
+    // label vectors at 0.9 (near) and -1.0 (far)
+    val df = Seq(
+      (0L, vec(1.0), 0), (1L, vec(1.0), 0),
+      (2L, vec(0.9), 1), (3L, vec(0.9), 1), (4L, vec(-1.0), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, df.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    // the same-label twin (rank-1 by raw cosine) must be absent;
+    // near different-label vectors outrank the far one
+    assert(!got.map(_._1).contains(1L), s"same-label twin leaked: $got")
+    assert(got.map(_._1).toSet === Set(2L, 3L, 4L))
+    assert(got.last._1 === 4L, s"far negative must rank last: $got")
+    assert(got.forall(_._2 === 1L))
+  }
+
   test("simhash64 expression: interpreted == codegen, near-dup property holds") {
     val t1 = (1 to 80).map(i => s"w$i").mkString(" ")
     val t2 = t1 + " tail"
