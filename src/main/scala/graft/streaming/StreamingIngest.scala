@@ -197,4 +197,45 @@ object StreamingIngest {
           SessionSummary(user, n, total)
       }.toDF()
   }
+
+  /** Spark 4 `transformWithState` twin of [[sessionize]] — the
+    * current-generation arbitrary-state API (SPARK-46815, GA in 4.0):
+    * a [[org.apache.spark.sql.streaming.StatefulProcessor]] with one
+    * composable named `ValueState` per key instead of the single
+    * monolithic `GroupState`, RocksDB-backed (the test sets
+    * `spark.sql.streaming.stateStore.providerClass` — transformWithState
+    * requires the RocksDB provider), and extensible with timers/TTL
+    * where the old API offered only a global timeout. Emits the same
+    * running per-user (n, total) as the mapGroupsWithState face;
+    * StreamingSpec pins the equivalence.
+    */
+  def sessionizeTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    val proc = new StatefulProcessor[Long, SessionEvent, SessionSummary] {
+      @transient private var st: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[SessionState]("session",
+          implicitly[org.apache.spark.sql.Encoder[SessionState]],
+          TTLConfig.NONE)
+      override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+          timerValues: TimerValues): Iterator[SessionSummary] = {
+        val prev = if (st.exists()) st.get() else SessionState(0L, 0.0, 0L)
+        var n = prev.n
+        var total = prev.total
+        var last = prev.lastTs
+        rows.foreach { e =>
+          n += 1; total += e.value
+          last = math.max(last, e.ts.getTime)
+        }
+        st.update(SessionState(n, total, last))
+        Iterator.single(SessionSummary(user, n, total))
+      }
+    }
+    events.as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState[SessionSummary](proc, TimeMode.None(),
+        OutputMode.Update())
+      .toDF()
+  }
 }

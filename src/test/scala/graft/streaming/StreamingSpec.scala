@@ -281,6 +281,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer (RocksDB) equals the mapGroupsWithState face") {
+    val src = Files.createTempDirectory("stream_src_tws").toString
+    writeDrop(src, Seq(
+      (1L, "2024-01-01 10:00:00", 5.0),
+      (1L, "2024-01-01 10:01:00", 7.0),
+      (2L, "2024-01-01 10:02:00", 1.0)))
+    val schema = spark.read.parquet(src).schema
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sessions = StreamingIngest.sessionizeTws(spark,
+        StreamingIngest.readStream(spark, src, schema))
+      val q = sessions.writeStream.outputMode("update")
+        .format("memory").queryName("tws_out").start()
+      try {
+        q.processAllAvailable()
+        // second batch exercises state restore across micro-batches
+        writeDrop(src, Seq((1L, "2024-01-01 10:05:00", 3.0)))
+        q.processAllAvailable()
+        val got = spark.table("tws_out")
+          .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        // same accumulation the mapGroupsWithState face produces
+        assert(got === Set((1L, 3L, 15.0), (2L, 1L, 1.0)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("streaming dedup suppresses in-watermark duplicates, state expires past it") {
     val src = Files.createTempDirectory("stream_src5").toString
     // batch 1: user 1 plus an in-batch duplicate → one survivor
