@@ -2983,6 +2983,68 @@ object Queries {
       |       CAST(sum(late) AS BIGINT) AS sum_late_us
       |FROM w GROUP BY event_type""".stripMargin
 
+  /** Column statistics (q177) — the ANALYZE TABLE surface: per-column
+    * row/non-null/distinct counts and canonicalized min/max over
+    * `orders` in ONE scan (multiple `count(DISTINCT)` plan as a single
+    * Expand pass, Spark's native ANALYZE shape). Min/max canonicalize
+    * to strings through type-stable spellings (longs and epoch-µs via
+    * integer casts, price via cents) so the readout hash-gates without
+    * float-formatting hazards. Exact NDV here; at 100 TB swap
+    * `approx_count_distinct`/the q150 KMV sketch into the same frame —
+    * the point of the query is the one-pass stats harvest the
+    * cost-based optimizer and the q154 join forecast consume.
+    */
+  def columnStats(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    // (name, raw column for counts, canonical min/max spelling)
+    val specs: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = Seq(
+      ("o_orderkey", col("o_orderkey"), col("o_orderkey")),
+      ("o_custkey", col("o_custkey"), col("o_custkey")),
+      ("o_orderstatus", col("o_orderstatus"), col("o_orderstatus")),
+      ("o_totalprice", col("o_totalprice"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long")),
+      // o_orderdate lands as TIMESTAMP_NTZ; the UTC-pinned cast makes
+      // unix_micros legal and value-preserving (same as the oracle's
+      // CAST(... AS TIMESTAMP))
+      ("o_orderdate", col("o_orderdate"),
+        unix_micros(col("o_orderdate").cast("timestamp"))),
+      ("o_orderpriority", col("o_orderpriority"), col("o_orderpriority")))
+    val aggs = specs.flatMap { case (name, raw, canon) => Seq(
+      count(raw).as(s"__n_$name"),
+      countDistinct(raw).as(s"__d_$name"),
+      min(canon).cast("string").as(s"__mn_$name"),
+      max(canon).cast("string").as(s"__mx_$name")) }
+    val one = o.agg(count(lit(1)).as("__total"), aggs: _*)
+    val stackArgs = specs.map { case (name, _, _) =>
+      s"'$name', __total, __n_$name, __d_$name, __mn_$name, __mx_$name"
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${specs.size}, $stackArgs) AS " +
+        "(col_name, n_total, n_nonnull, n_distinct, min_val, max_val)"))
+  }
+
+  val columnStatsSql: String = {
+    val specs = Seq(
+      ("o_orderkey", "o_orderkey", "o_orderkey"),
+      ("o_custkey", "o_custkey", "o_custkey"),
+      ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+      ("o_totalprice", "o_totalprice",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"),
+      ("o_orderdate", "o_orderdate",
+        "epoch_us(CAST(o_orderdate AS TIMESTAMP))"),
+      ("o_orderpriority", "o_orderpriority", "o_orderpriority"))
+    val branches = specs.map { case (name, raw, canon) =>
+      s"""SELECT '$name' AS col_name,
+         |       CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(count($raw) AS BIGINT) AS n_nonnull,
+         |       CAST(count(DISTINCT $raw) AS BIGINT) AS n_distinct,
+         |       CAST(min($canon) AS VARCHAR) AS min_val,
+         |       CAST(max($canon) AS VARCHAR) AS max_val
+         |FROM orders""".stripMargin
+    }
+    branches.mkString("\nUNION ALL\n")
+  }
+
   /** Sample-ratio-mismatch check (q138) — the experiment-health gate
     * that must pass BEFORE q133's z-test is readable: under a 50/50
     * md5 split, `chi2 = (n1−n2)²/N` (one df). The squared difference
@@ -3755,7 +3817,8 @@ object Queries {
     "q166_nearest_asof" -> nearestAsof _,
     "q167_time_to_convert" -> timeToConvert _,
     "q169_lateness_profile" -> latenessProfile _,
-    "q173_zone_maps" -> zoneMapPruning _)
+    "q173_zone_maps" -> zoneMapPruning _,
+    "q177_column_stats" -> columnStats _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -3844,5 +3907,6 @@ object Queries {
     "q166_nearest_asof" -> nearestAsofSql,
     "q167_time_to_convert" -> timeToConvertSql,
     "q169_lateness_profile" -> latenessProfileSql,
-    "q173_zone_maps" -> zoneMapPruningSql)
+    "q173_zone_maps" -> zoneMapPruningSql,
+    "q177_column_stats" -> columnStatsSql)
 }

@@ -1023,6 +1023,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
   }
 
+  test("column stats: ONE scan, multi-distinct via Expand, no joins or windows") {
+    val p = plan(Queries.columnStats(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      s"stats harvest must be one pass:\n$p")
+    assert(p.contains("Expand"), s"multi-NDV should plan as Expand:\n$p")
+    assert(!p.contains("Join") && unpartitionedWindows(p) == 0)
+  }
+
   test("balanced shards: exact global rank with NO unpartitioned window") {
     val p = plan(graft.ops.Corpus.balancedShards(
       Tables.load(spark, sf0001, "documents"), "doc_id", "text", 8))
