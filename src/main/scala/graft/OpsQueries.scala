@@ -328,7 +328,6 @@ object OpsQueries {
     val e = emb(s, dir)
     Similarity.hardNegatives(e, e.filter(col("vec_id") < 20),
       "vec_id", "embedding", "label", k = 5)
-      .withColumn("rank", col("rank").cast("long"))
   }
 
   val hardNegativesSql: String =

@@ -822,21 +822,41 @@ object Corpus {
     * bin except a source's last holds ≥ target bytes and a writer job
     * can consume bins independently.
     *
-    * Scale: one window per SOURCE partition (the compaction unit — at
-    * 100 TB you compact per partition anyway, and a source's manifest
-    * rows are metadata-scale); no global ordering anywhere.
+    * Scale: the naive spelling is one cumulative-sum window per source
+    * — which funnels every document of a source through one reducer
+    * (the single-reducer shape [[graft.transform.Temporal.latenessProfile]]
+    * exists to avoid). This implementation runs the same two-level
+    * chunked prefix scan: the pack order starts with the md5, so its
+    * first byte is a 256-way ORDER-PREFIX chunking — per-(source,
+    * chunk) byte totals reduce first (keyed agg), a source-partitioned
+    * window over the ≤256-row chunk-summary frame forms exclusive
+    * prefix sums, and the doc-scale cumsum window partitions by
+    * (source, chunk). The oracle keeps the naive per-source window, so
+    * the hash gate proves the chunked scan lossless.
     */
   def compactionPlan(df: DataFrame, sourceCol: String, idCol: String,
       textCol: String, targetBytes: Long = 32768L): DataFrame = {
     require(targetBytes >= 1, "compactionPlan needs targetBytes >= 1")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(col("__h").asc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(sourceCol), col(idCol),
+    val base = df.select(col(sourceCol), col(idCol),
         length(col(textCol)).cast("long").as("__sz"))
       .withColumn("__h", md5(col(idCol).cast("string")))
-      .withColumn("__cum", sum(col("__sz")).over(w))
+      // first md5 byte = prefix of the (md5, id) pack order, so
+      // (chunk asc, md5 asc, id asc) IS (md5 asc, id asc)
+      .withColumn("__chunk", conv(substring(col("__h"), 1, 2), 16, 10)
+        .cast("long"))
+    val chunkTotals = base.groupBy(col(sourceCol), col("__chunk"))
+      .agg(sum(col("__sz")).as("__csum"))
+    val wc = Window.partitionBy(col(sourceCol)).orderBy(col("__chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = chunkTotals
+      .withColumn("__pre", coalesce(sum(col("__csum")).over(wc), lit(0L)))
+      .select(col(sourceCol), col("__chunk"), col("__pre"))
+    val wi = Window.partitionBy(col(sourceCol), col("__chunk"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(prefix), Seq(sourceCol, "__chunk"))
+      .withColumn("__cum", col("__pre") + sum(col("__sz")).over(wi))
       .withColumn("bin", expr(s"(__cum - __sz) div ${targetBytes}L"))
       .groupBy(col(sourceCol), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__sz")).as("bytes"))

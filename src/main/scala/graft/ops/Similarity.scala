@@ -105,7 +105,10 @@ object Similarity {
       nSub: Int = 8, subDim: Int = 8, nCentroids: Int = 16): DataFrame = {
     require(nSub >= 1 && subDim >= 1 && nCentroids >= 2,
       "pqCodes needs nSub, subDim >= 1 and nCentroids >= 2")
+    // dims beyond nSub*subDim are dropped EXPLICITLY, so the emitted
+    // distortion always corresponds to exactly the emitted codes
     val comps = pqComponents(df, idCol, vecCol, subDim)
+      .filter(col("m") < nSub)
     val cents = comps.filter(col("__id") < nCentroids)
       .select(col("__id").as("cid"), col("dim"), col("q").as("cq"))
     val best = pqAssignments(comps, cents)
@@ -138,11 +141,15 @@ object Similarity {
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 10, nSub: Int = 8, subDim: Int = 8,
       nCentroids: Int = 16, numSalts: Int = 8): DataFrame = {
+    require(k >= 1 && nSub >= 1 && subDim >= 1 && nCentroids >= 2,
+      "pqAdcTopK needs k, nSub, subDim >= 1 and nCentroids >= 2")
     val comps = pqComponents(corpus, idCol, vecCol, subDim)
+      .filter(col("m") < nSub)
     val cents = comps.filter(col("__id") < nCentroids)
       .select(col("__id").as("cid"), col("dim"), col("q").as("cq"))
     val codes = pqAssignments(comps, cents).drop("dist")
     val dtable = pqComponents(queries, idCol, vecCol, subDim)
+      .filter(col("m") < nSub)
       .withColumnRenamed("__id", "query_id")
       .join(broadcast(cents), Seq("dim"))
       .groupBy(col("query_id"), col("m").as("qm"), col("cid"))
@@ -272,11 +279,14 @@ object Similarity {
       col(labelCol).cast("long").as("__lab"))
     val knn = bruteForceTopK(df, df, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
+    // plain keyed joins: the (id, label) map is corpus-scale, so it must
+    // NOT be broadcast-hinted (AQE still broadcasts it when it is in
+    // fact small); the knn frame is k rows per vector either way
     val voted = knn
-      .join(broadcast(labels.select(col("__lid").as("query_id"),
-        col("__lab").as("qlab"))), Seq("query_id"))
-      .join(broadcast(labels.select(col("__lid").as("neighbor_id"),
-        col("__lab").as("nlab"))), Seq("neighbor_id"))
+      .join(labels.select(col("__lid").as("query_id"),
+        col("__lab").as("qlab")), Seq("query_id"))
+      .join(labels.select(col("__lid").as("neighbor_id"),
+        col("__lab").as("nlab")), Seq("neighbor_id"))
       .groupBy(col("query_id"), col("qlab"), col("nlab"))
       .agg(count(lit(1)).as("v"))
     val majority = voted
@@ -311,16 +321,16 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int = 5,
       numSalts: Int = 16): DataFrame = {
-    val c = withNorm(corpus, idCol, vecCol)
-      .join(corpus.select(col(idCol), col(labelCol).cast("long").as("nlab")),
-        Seq(idCol))
-      .select(col(idCol).as("neighbor_id"), col("nlab"),
-        col("__vec").as("cv"), col("__norm").as("cn"))
-    val q = withNorm(queries, idCol, vecCol)
-      .join(queries.select(col(idCol), col(labelCol).cast("long").as("qlab")),
-        Seq(idCol))
-      .select(col(idCol).as("query_id"), col("qlab"),
-        col("__vec").as("qv"), col("__norm").as("qn"))
+    // labels project alongside the vector in ONE pass — no re-join of
+    // the corpus against itself just to recover a sibling column
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).cast("long").as("nlab"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(labelCol).cast("long").as("qlab"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val scored = c.join(broadcast(q),
         col("query_id") =!= col("neighbor_id") && col("qlab") =!= col("nlab"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))

@@ -1002,10 +1002,14 @@ class PlanSpec extends SparkSpec {
       s"only the 3-row broadcast predicate frame may loop-join:\n$p")
   }
 
-  test("label noise: salted knn + broadcast label maps, no unpartitioned window") {
+  test("label noise: salted knn, keyed label joins (no corpus-scale broadcast hint), no unpartitioned window") {
     val p = plan(OpsQueries.labelNoiseQ(spark, sf0001))
     assert(unpartitionedWindows(p) == 0, s"voting must stay keyed:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"label maps must broadcast:\n$p")
+    // the anchor frame broadcast inside bruteForceTopK is the ONLY
+    // hinted broadcast; (id, label) maps join keyed (AQE may still
+    // broadcast them at runtime when small)
+    assert(p.contains("BroadcastNestedLoop") || p.contains("BroadcastHashJoin"),
+      s"anchor side must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
