@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Corpus, Dedup, Fuzzy, Graph, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Fuzzy, Graph, Multimodal, Quality, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Rounding.pround
@@ -3583,7 +3583,251 @@ object OpsQueries {
       |SELECT r.doc_id, r.source, r.rn
       |FROM r JOIN q USING (source) WHERE r.rn <= q.quota""".stripMargin
 
+  // ------------------------------------------------------------ ndcg eval
+  /** q178: retrieval NDCG@10 ([[Similarity.retrievalNdcg]]) of the
+    * label-match run over the first 64 vectors as queries — the
+    * index-build eval beside recall (OpsSpec's ANN A/Bs): graded
+    * 1/log2(rank+1) discounts as integer-micro literals, so the
+    * oracle replays the whole score in exact arithmetic on top of the
+    * q20-established cosine ranking replay.
+    */
+  def ndcgEval(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.retrievalNdcg(e, e.filter(col("vec_id") < 64),
+      "vec_id", "embedding", "label", k = 10)
+  }
+
+  val ndcgEvalSql: String = {
+    val w = Similarity.ndcgWeightsMicro(10)
+    val idcg = w.scanLeft(0L)(_ + _).tail
+    val wCase = w.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN ${v}" }.mkString(" ")
+    val iCase = idcg.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN ${v}" }.mkString(" ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(label AS BIGINT) AS qlab,
+       |         CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < 64),
+       |c AS (
+       |  SELECT vec_id AS neighbor_id, CAST(label AS BIGINT) AS nlab,
+       |         CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, qlab, neighbor_id, nlab,
+       |         list_cosine_similarity(qv, cv) AS cos
+       |  FROM q JOIN c ON query_id <> neighbor_id),
+       |top AS (
+       |  SELECT query_id, qlab, nlab, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |    FROM scored)
+       |  WHERE rn <= 10),
+       |g AS (
+       |  SELECT query_id, qlab,
+       |         CASE WHEN qlab = nlab THEN 1 ELSE 0 END AS rel,
+       |         CASE rn ${wCase} END AS w
+       |  FROM top),
+       |per AS (
+       |  SELECT query_id, qlab AS label,
+       |         CAST(sum(rel * w) AS BIGINT) AS dcg_micro,
+       |         CAST(sum(rel) AS BIGINT) AS n_rel
+       |  FROM g GROUP BY 1, 2),
+       |lc AS (
+       |  SELECT CAST(label AS BIGINT) AS label,
+       |         CAST(count(*) AS BIGINT) AS labn
+       |  FROM embeddings GROUP BY 1),
+       |rr AS (
+       |  SELECT query_id, label, dcg_micro, n_rel,
+       |         least(10, labn - 1) AS r
+       |  FROM per JOIN lc USING (label))
+       |SELECT query_id, label, dcg_micro, n_rel,
+       |       CASE WHEN r <= 0 THEN 0.0
+       |            ELSE floor(CAST(dcg_micro AS DOUBLE)
+       |                 / CAST((CASE r ${iCase} END) AS DOUBLE)
+       |                 * 1000000.0 + 0.5) / 1000000.0 END AS ndcg
+       |FROM rr""".stripMargin
+  }
+
+  // ------------------------------------------------------------ cusum
+  /** q179: CUSUM changepoint scan of hourly event rates per type
+    * ([[graft.transform.Temporal.cusumChangepoints]]) — integer
+    * prefix-sum/running-extremum rewrite of the Page detector; every
+    * emitted number is exact integer arithmetic.
+    */
+  def cusumScan(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Temporal.cusumChangepoints(
+      Tables.load(s, dir, "events"), "event_type", "ts")
+
+  val cusumScanSql: String =
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hh,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+      |             CAST(sum(x) AS BIGINT) AS tot
+      |      FROM h GROUP BY 1),
+      |s AS (
+      |  SELECT h.event_type, hh, nh, tot,
+      |         CAST(sum(nh * x - tot) OVER (PARTITION BY h.event_type
+      |              ORDER BY hh ASC ROWS BETWEEN UNBOUNDED PRECEDING
+      |              AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM h JOIN t USING (event_type)),
+      |p AS (
+      |  SELECT event_type, hh, nh, tot,
+      |         cum - least(min(cum) OVER w, 0) AS pos,
+      |         greatest(max(cum) OVER w, 0) - cum AS neg
+      |  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY hh ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |agg AS (
+      |  SELECT event_type, max(nh) AS n_hours, max(tot) AS total_events,
+      |         max(pos) AS max_cusum_pos, max(neg) AS max_cusum_neg,
+      |         CAST(sum(CASE WHEN CAST(pos AS HUGEINT) * 16
+      |                            > CAST(nh AS HUGEINT) * tot
+      |                         OR CAST(neg AS HUGEINT) * 16
+      |                            > CAST(nh AS HUGEINT) * tot
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_hours
+      |  FROM p GROUP BY 1),
+      |cp AS (
+      |  SELECT event_type, hh AS cp_hour FROM (
+      |    SELECT event_type, hh, row_number() OVER (PARTITION BY event_type
+      |           ORDER BY pos DESC, hh ASC) AS rn
+      |    FROM p)
+      |  WHERE rn = 1)
+      |SELECT agg.event_type, n_hours, total_events, max_cusum_pos,
+      |       max_cusum_neg, n_alarm_hours, cp_hour
+      |FROM agg JOIN cp USING (event_type)""".stripMargin
+
+  // ------------------------------------------------------------ t-closeness
+  /** q180: t-closeness audit of customer account balances against the
+    * market-segment quasi-identifier ([[Quality.tCloseness]]) — the
+    * q137 integer-EMD machinery pointed at privacy: per segment, how
+    * far the balance distribution sits from the table's.
+    */
+  def tClosenessQ(s: SparkSession, dir: String): DataFrame =
+    Quality.tCloseness(Tables.load(s, dir, "customer"), "c_mktsegment",
+      graft.transform.Stats.cents(col("c_acctbal")), buckets = 10)
+
+  val tClosenessSql: String =
+    """WITH base AS (
+      |  SELECT c_mktsegment AS seg,
+      |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS c
+      |  FROM customer),
+      |b AS (SELECT min(c) AS mn, max(c) AS mx FROM base),
+      |cnt AS (
+      |  SELECT seg, least(9, greatest(0, ((c - mn) * 10) // (mx - mn + 1))) AS bkt,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM base, b GROUP BY 1, 2),
+      |grid AS (SELECT seg, unnest(range(0, 10)) AS bkt
+      |         FROM (SELECT DISTINCT seg FROM cnt)),
+      |g AS (SELECT br.bkt, coalesce(CAST(sum(cnt) AS BIGINT), 0) AS gcnt
+      |      FROM (SELECT unnest(range(0, 10)) AS bkt) br
+      |      LEFT JOIN cnt USING (bkt) GROUP BY 1),
+      |gc AS (SELECT bkt, CAST(sum(gcnt) OVER (ORDER BY bkt ASC
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS gcum FROM g),
+      |j AS (SELECT grid.seg, grid.bkt, coalesce(cnt, 0) AS cnt
+      |      FROM grid LEFT JOIN cnt USING (seg, bkt)),
+      |qc AS (SELECT seg, bkt, CAST(sum(cnt) OVER (PARTITION BY seg
+      |              ORDER BY bkt ASC ROWS BETWEEN UNBOUNDED PRECEDING
+      |              AND CURRENT ROW) AS BIGINT) AS cum FROM j),
+      |tt AS (SELECT seg, CAST(sum(cnt) AS BIGINT) AS ng FROM cnt GROUP BY 1),
+      |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnt),
+      |k AS (
+      |  SELECT qc.seg, ng, n,
+      |         abs(CAST(cum AS HUGEINT) * n - CAST(gcum AS HUGEINT) * ng) AS gap
+      |  FROM qc JOIN gc USING (bkt) JOIN tt USING (seg), nn)
+      |SELECT seg AS c_mktsegment, ng AS n_group,
+      |       CAST(sum(gap) AS DOUBLE) AS emd_num,
+      |       floor(CAST(sum(gap) AS DOUBLE)
+      |             / CAST(CAST(ng AS HUGEINT) * n * 9 AS DOUBLE)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS t
+      |FROM k GROUP BY seg, ng, n""".stripMargin
+
+  // ------------------------------------------------------------ conformal
+  /** q181: split-conformal coverage readout
+    * ([[Quality.conformalCoverage]]) over the stopword-ratio score
+    * (parts-per-million integer grid): md5-parity cal/test split,
+    * exact order-statistic thresholds at α = 10%/20%, achieved
+    * test-side coverage beside the 1−α target.
+    */
+  def conformalQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val scorePpm = call_function("div",
+      TextAnalysis.countIn(toks, TextAnalysis.StopwordsEn).cast("long")
+        * 1000000L,
+      size(toks).cast("long"))
+    Quality.conformalCoverage(docs(s, dir), "doc_id", scorePpm)
+  }
+
+  val conformalSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |         (CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |               x -> list_contains(['the','a','of','and','is','in','to','it'], x)))
+      |               AS BIGINT) * 1000000)
+      |         // CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS s,
+      |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |           IN ('0','1','2','3','4','5','6','7') AS cal
+      |  FROM documents),
+      |hist AS (SELECT s, CAST(count(*) AS BIGINT) AS c
+      |         FROM base WHERE cal GROUP BY 1),
+      |cm AS (SELECT s, CAST(sum(c) OVER (ORDER BY s ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             AS BIGINT) AS cum FROM hist),
+      |nc AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM hist),
+      |al AS (SELECT unnest([10, 20]) AS alpha_pct),
+      |rk AS (SELECT alpha_pct, n_cal,
+      |              ((n_cal + 1) * (100 - alpha_pct) + 99) // 100 AS k
+      |       FROM al, nc),
+      |thr AS (SELECT alpha_pct, n_cal, min(s) AS threshold_ppm
+      |        FROM cm JOIN rk ON cm.cum >= rk.k GROUP BY 1, 2)
+      |SELECT alpha_pct, n_cal, CAST(count(*) AS BIGINT) AS n_test,
+      |       threshold_ppm,
+      |       CAST(sum(CASE WHEN s <= threshold_ppm THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_covered,
+      |       floor(CAST(sum(CASE WHEN s <= threshold_ppm THEN 1 ELSE 0 END)
+      |                  AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS coverage
+      |FROM (SELECT s FROM base WHERE NOT cal), thr
+      |GROUP BY alpha_pct, n_cal, threshold_ppm""".stripMargin
+
+  // ------------------------------------------------------------ wilson
+  /** q182: Wilson lower-bound ranking of sources by long-document rate
+    * ([[graft.transform.Stats.wilsonLowerBound]]) — the
+    * small-sample-honest success-rate ranking; pure correctly-rounded
+    * IEEE dag, identical spelling both engines.
+    */
+  def wilsonRank(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Stats.wilsonLowerBound(docs(s, dir), Seq("source"),
+      col("n_chars") >= 300L)
+
+  val wilsonRankSql: String = {
+    val z = 1.96
+    val z2 = z * z
+    s"""WITH c AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_pos
+       |  FROM documents GROUP BY 1),
+       |p AS (SELECT source, n, n_pos,
+       |             CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+       |             CAST(n AS DOUBLE) AS nd
+       |      FROM c)
+       |SELECT source, n, n_pos,
+       |       floor(ph * 1000000.0 + 0.5) / 1000000.0 AS p,
+       |       floor((ph + ${z2} / (2.0 * nd)
+       |              - ${z} * sqrt((ph * (1.0 - ph) + ${z2} / (4.0 * nd)) / nd))
+       |             / (1.0 + ${z2} / nd) * 1000000.0 + 0.5) / 1000000.0
+       |         AS wilson_lb
+       |FROM p""".stripMargin
+  }
+
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_ndcg" -> ndcgEval _,
+    "q179_cusum" -> cusumScan _,
+    "q180_t_closeness" -> tClosenessQ _,
+    "q181_conformal" -> conformalQ _,
+    "q182_wilson_rank" -> wilsonRank _,
     "q118_hll_distinct" -> hllShingles _,
     "q119_temperature_mix" -> temperatureMix _,
     "q112_quality_audit" -> qualityAudit _,
@@ -3676,6 +3920,11 @@ object OpsQueries {
     "q160_dedup_savings" -> dedupSavings _)
 
   val opsOracles: Map[String, String] = Map(
+    "q178_ndcg" -> ndcgEvalSql,
+    "q179_cusum" -> cusumScanSql,
+    "q180_t_closeness" -> tClosenessSql,
+    "q181_conformal" -> conformalSql,
+    "q182_wilson_rank" -> wilsonRankSql,
     "q123_png_decode" -> pngDecodeHistogramSql,
     "q124_bpe_merges" -> bpeMergesSql,
     "q125_kcenter_coreset" -> kCenterSql,

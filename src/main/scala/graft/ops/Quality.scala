@@ -204,4 +204,141 @@ object Quality {
         countDistinct(col(sensCol)).as("n_sensitive"))
       .withColumn("low_diversity", (col("n_sensitive") < l).cast("long"))
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * distributional companion to [[kAnonymity]]/[[lDiversity]]: a QI
+    * class leaks even with diverse sensitive values if its sensitive
+    * DISTRIBUTION differs from the table's (a class skewed to the top
+    * income decile reveals income regardless of diversity). Each
+    * class's numeric sensitive attribute is histogrammed onto the
+    * table-global equi-width grid and graded by Earth Mover's Distance
+    * to the global histogram (ordered EMD = mean |CDF gap|, normalized
+    * to [0,1] by the max-transport distance `buckets-1`).
+    *
+    * Exactness: bucketing is the q137 integer floor-division grid; the
+    * CDF gap `|cumG·n − cum·nG|` is exact DECIMAL(38,0) (common
+    * denominator, never divided early); the two emitted doubles each
+    * convert/round once — bit-identical cross-engine.
+    *
+    * Scale: one event-scale keyed agg onto (class, bucket); everything
+    * after rides the class×bucket frame (QI-domain-bounded by
+    * construction). The per-class CDF window partitions on the class;
+    * the only unpartitioned window rides the `buckets`-row global
+    * histogram — metadata-scale, the latenessProfile summary-frame
+    * pattern. The global histogram is DERIVED from the class counts
+    * (no second scan); bounds are a 1-row broadcast.
+    */
+  def tCloseness(df: DataFrame, qiCol: String, cents: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "tCloseness needs >= 2 buckets")
+    import org.apache.spark.sql.expressions.Window
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    val base = df.select(col(qiCol).as("__qi"), cents.as("__c"))
+    val bounds = base.agg(min(col("__c")).as("__mn"), max(col("__c")).as("__mx"))
+    val classCnt = base.crossJoin(broadcast(bounds))
+      .select(col("__qi"), least(lit(buckets - 1L), greatest(lit(0L),
+        idiv((col("__c") - col("__mn")) * buckets,
+          col("__mx") - col("__mn") + 1L))).as("__b"))
+      .groupBy(col("__qi"), col("__b")).agg(count(lit(1)).as("__cnt"))
+      .persist()
+    val spark = df.sparkSession
+    val bucketIds = spark.range(buckets).select(col("id").as("__b"))
+    val grid = classCnt.select(col("__qi")).distinct()
+      .crossJoin(broadcast(bucketIds))
+    // densify the GLOBAL histogram too: a bucket no class populates must
+    // still carry its cumulative count, or the per-bucket CDF-gap join
+    // silently drops it (QualitySpec's polar hand case pins this)
+    val globalCnt = bucketIds.join(
+      classCnt.groupBy(col("__b")).agg(sum(col("__cnt")).as("__gcnt")),
+      Seq("__b"), "left").na.fill(0L, Seq("__gcnt"))
+    val wg = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val globalCum = globalCnt
+      .withColumn("__gcum", sum(col("__gcnt")).over(wg))
+      .select(col("__b"), col("__gcum"))
+    val wq = Window.partitionBy(col("__qi")).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = "decimal(38,0)"
+    val joined = grid
+      .join(classCnt, Seq("__qi", "__b"), "left")
+      .na.fill(0L, Seq("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(wq))
+      .join(broadcast(globalCum), Seq("__b"))
+    val totals = classCnt.groupBy(col("__qi")).agg(sum(col("__cnt")).as("__ng"))
+    val n = classCnt.agg(sum(col("__cnt")).as("__n"))
+    joined
+      .join(broadcast(totals), Seq("__qi"))
+      .crossJoin(broadcast(n))
+      .withColumn("__gap", abs(col("__cum").cast(dec) * col("__n") -
+        col("__gcum").cast(dec) * col("__ng")))
+      .groupBy(col("__qi").as(qiCol))
+      .agg(max(col("__ng")).as("n_group"),
+        sum(col("__gap")).as("__emd"))
+      .crossJoin(broadcast(n))
+      .select(col(qiCol), col("n_group"),
+        col("__emd").cast("double").as("emd_num"),
+        graft.util.Rounding.pround(col("__emd").cast("double") /
+          (col("n_group").cast(dec) * col("__n") * (buckets - 1L))
+            .cast("double"), 6).as("t"))
+  }
+
+  /** Split-conformal calibration readout (Vovk et al.; the
+    * distribution-free prediction-threshold recipe): documents split
+    * into calibration/test halves by md5 parity of the id (the q43
+    * deterministic-split device), the nonconformity score is quantized
+    * to an integer grid (parts-per-million), and for each miscoverage
+    * level α the threshold is the ⌈(n_cal+1)(1−α)⌉-th SMALLEST
+    * calibration score — an exact order statistic, no interpolation —
+    * with the achieved test-side coverage reported beside the 1−α
+    * target. The conformal guarantee (coverage ≥ 1−α in expectation)
+    * is what a filtering pipeline quotes when it promises "this
+    * quality gate passes ≥90% of clean docs".
+    *
+    * Exactness: rank `k = ⌈(n+1)(100−α)/100⌉` is computed in integer
+    * arithmetic; the threshold is a MIN over histogram rows whose
+    * cumulative count reaches k; coverage is one division, rounded
+    * once.
+    *
+    * Scale: one event-scale agg builds the calibration score
+    * HISTOGRAM; the cumulative window rides that histogram, whose row
+    * count is bounded by the ppm grid (≤1e6, data-independent) — the
+    * summary-frame pattern, pinned metadata-scale. The α table, rank
+    * frame, and thresholds are all row-count-≤|α| broadcasts; the
+    * test side needs only one agg against the broadcast thresholds.
+    */
+  def conformalCoverage(df: DataFrame, idCol: String, scorePpm: Column,
+      alphasPct: Seq[Int] = Seq(10, 20)): DataFrame = {
+    require(alphasPct.nonEmpty && alphasPct.forall(a => a >= 1 && a <= 99),
+      "conformalCoverage needs alpha percents in [1, 99]")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("__id"), scorePpm.as("__s"))
+      .withColumn("__cal",
+        substring(md5(col("__id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+    val hist = base.filter(col("__cal"))
+      .groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+    val wcum = Window.orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(wcum))
+    val nCal = hist.agg(sum(col("__c")).as("__ncal"))
+    import spark.implicits._
+    val alphas = alphasPct.toDF("alpha_pct")
+    val ranks = alphas.crossJoin(broadcast(nCal))
+      .withColumn("__k", expr("((__ncal + 1) * (100 - alpha_pct) + 99) div 100"))
+    val thresholds = cum.crossJoin(broadcast(ranks))
+      .filter(col("__cum") >= col("__k"))
+      .groupBy(col("alpha_pct"), col("__ncal"), col("__k"))
+      .agg(min(col("__s")).as("threshold_ppm"))
+    val test = base.filter(!col("__cal"))
+    test.crossJoin(broadcast(thresholds))
+      .groupBy(col("alpha_pct"), col("__ncal"), col("threshold_ppm"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__s") <= col("threshold_ppm"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("alpha_pct"), col("__ncal").as("n_cal"), col("n_test"),
+        col("threshold_ppm"), col("n_covered"),
+        graft.util.Rounding.pround(col("n_covered").cast("double") /
+          col("n_test").cast("double"), 6).as("coverage"))
+  }
 }

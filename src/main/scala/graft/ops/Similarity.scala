@@ -305,6 +305,72 @@ object Similarity {
         col("n_majority_flag").cast("double") / col("n_vecs").cast("double"), 6))
   }
 
+  /** Integer-micro DCG position weights `round(1e6 / log2(i+1))` for
+    * ranks 1..k. Computed ONCE driver-side and inlined as literals into
+    * both the Spark plan and the SQL oracle (the hyperplane-literal
+    * device), so no engine ever evaluates a transcendental: DCG becomes
+    * exact integer arithmetic in both engines.
+    */
+  def ndcgWeightsMicro(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Retrieval-quality NDCG@k (Järvelin & Kekäläinen, TOIS 2002) of a
+    * label-match run: each query's k nearest corpus vectors (exact
+    * brute-force cosine, [[bruteForceTopK]]) are graded relevant when
+    * they carry the query's label, and the ranking is scored
+    * `DCG@k / IDCG@k` with the standard `1/log2(rank+1)` discount —
+    * the eval a retrieval pipeline quotes per index build. A query
+    * with zero relevant neighbors scores 0 by convention.
+    *
+    * Exactness: discounts are the [[ndcgWeightsMicro]] integer-micro
+    * literals, so DCG/IDCG are exact longs (association-free — no
+    * double group-sum anywhere) and the single final division rounds
+    * once. IDCG@R is the literal prefix-sum table looked up at
+    * `R = min(k, corpus docs sharing the query's label − 1)` — the
+    * CORPUS-wide relevant count, so a run that buries reachable
+    * relevant docs below rank k is penalized (an IDCG from the
+    * retrieved-relevant count alone would score any
+    * relevant-first prefix 1.0 regardless of misses).
+    *
+    * Scale: the kNN leg is [[bruteForceTopK]] (query side broadcast,
+    * salted top-k — swap the ANN paths in at billion-row scale); the
+    * label attach is two keyed joins of the Q×k hit frame against the
+    * corpus label projection (no broadcast hint — corpus-scale); the
+    * scoring is one keyed agg + row-local literal lookups.
+    */
+  def retrievalNdcg(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int = 10,
+      numSalts: Int = 16): DataFrame = {
+    require(k >= 1, "retrievalNdcg needs k >= 1")
+    val w = ndcgWeightsMicro(k)
+    val idcg = w.scanLeft(0L)(_ + _).tail // IDCG@R for R = 1..k
+    val labels = corpus.select(col(idCol).as("__lid"),
+      col(labelCol).cast("long").as("__lab"))
+    // corpus-wide relevant counts per label: label-cardinality-sized,
+    // broadcast (this is what makes IDCG the true ideal, see scaladoc)
+    val labelCounts = labels.groupBy(col("__lab").as("qlab"))
+      .agg(count(lit(1)).as("__labn"))
+    val hits = bruteForceTopK(corpus, queries, idCol, vecCol, k, numSalts)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+      .join(labels.select(col("__lid").as("query_id"), col("__lab").as("qlab")),
+        Seq("query_id"))
+      .join(labels.select(col("__lid").as("neighbor_id"), col("__lab").as("nlab")),
+        Seq("neighbor_id"))
+      .withColumn("__rel", when(col("qlab") === col("nlab"), 1L).otherwise(0L))
+      .withColumn("__gain",
+        col("__rel") * element_at(array(w.map(lit): _*), col("rank")))
+    hits.groupBy(col("query_id"), col("qlab"))
+      .agg(sum(col("__gain")).as("dcg_micro"),
+        sum(col("__rel")).as("n_rel"))
+      .join(broadcast(labelCounts), Seq("qlab"))
+      .withColumn("__r", least(lit(k.toLong), col("__labn") - 1L).cast("int"))
+      .withColumn("ndcg", when(col("__r") <= 0, lit(0.0)).otherwise(
+        pround(col("dcg_micro").cast("double") /
+          element_at(array(idcg.map(lit): _*), col("__r")).cast("double"), 6)))
+      .select(col("query_id"), col("qlab").as("label"), col("dcg_micro"),
+        col("n_rel"), col("ndcg"))
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor,
     * the `k` most-similar corpus vectors carrying a DIFFERENT label —
     * the negatives that actually shape a contrastive margin, vs the

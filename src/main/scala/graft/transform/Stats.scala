@@ -949,4 +949,41 @@ object Stats {
         (col("cum0") + col("run") - col("cnt") + 1L).as("lo"),
         (col("cum0") + col("run")).as("hi"))
   }
+
+  /** Wilson score lower bound per key — the small-sample-honest way to
+    * rank groups by a success rate (Agresti & Coull, Am. Stat. 1998;
+    * the "how not to sort by average rating" ranking): the raw rate
+    * `p̂ = pos/n` puts a 1/1 group above a 97/100 one, while the
+    * Wilson interval's lower bound shrinks toward 0 exactly as fast
+    * as the sample is small. Emits per key `(n, n_pos, p, wilson_lb)`
+    * — rank by `wilson_lb` descending.
+    *
+    * Cross-engine exactness without integer tricks: the bound is a
+    * fixed dag of +,−,×,÷,√ over `(pos, n)` with the z constants
+    * inlined as literals — every one of those IEEE ops is correctly
+    * rounded in both engines, so identical spelling ⇒ identical
+    * binary64 result; the only rounding step is the final pround.
+    * (This is the corrByKey closed-form argument without the DECIMAL
+    * stage — counts are exact in binary64 to 2^53.)
+    *
+    * Scale: ONE keyed count agg (map-side partials), then row-local
+    * arithmetic on the key-cardinality frame. No window, no join.
+    */
+  def wilsonLowerBound(df: DataFrame, keyCols: Seq[String], pos: Column,
+      z: Double = 1.96): DataFrame = {
+    require(keyCols.nonEmpty, "wilsonLowerBound needs at least one key")
+    require(z > 0, "wilsonLowerBound needs z > 0")
+    val z2 = z * z
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(pos, 1L).otherwise(0L)).as("n_pos"))
+    val nD = col("n").cast("double")
+    val p = col("n_pos").cast("double") / nD
+    val lb = (p + lit(z2) / (lit(2.0) * nD) -
+      lit(z) * sqrt((p * (lit(1.0) - p) + lit(z2) / (lit(4.0) * nD)) / nD)) /
+      (lit(1.0) + lit(z2) / nD)
+    counts.select(keyCols.map(col) ++ Seq(col("n"), col("n_pos"),
+      graft.util.Rounding.pround(p, 6).as("p"),
+      graft.util.Rounding.pround(lb, 6).as("wilson_lb")): _*)
+  }
 }

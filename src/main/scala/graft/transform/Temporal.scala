@@ -352,6 +352,72 @@ object Temporal {
     * global window, so the hash gate doubles as a machine-checked proof
     * that the chunked scan is lossless.
     */
+  /** CUSUM changepoint scan over per-hour event counts — the classic
+    * Page (1954) cumulative-sum detector a pipeline runs on every
+    * ingestion stream to catch level shifts (a source going quiet, a
+    * crawler doubling its rate) that per-hour threshold alerts miss.
+    * For each key the hourly count series `x_h` is centered on the
+    * key's own mean and scanned both ways:
+    * `C⁺_h = max(0, C⁺_{h-1} + (x_h - mean))` catches upward shifts,
+    * `C⁻_h` downward. The recursion is rewritten join-free as
+    * prefix-sum minus running-min (`C⁺_h = cum_h - min_{0≤j≤h} cum_j`
+    * with the virtual `cum_0 = 0` — TemporalSpec pins the equivalence
+    * against the sequential recursion) — the same recurrence, but
+    * expressible as two frame windows instead of a sequential loop.
+    *
+    * Exactness: the mean is never divided out — deviations are scaled
+    * by the key's bucket count (`d_h = n_h·x_h - total`, an integer),
+    * so every prefix sum, extremum, and the `1/thresholdDen`
+    * mass-fraction alarm test (`den·C > n_h·total`, compared in
+    * DECIMAL so no overflow) are exact integer arithmetic —
+    * bit-identical cross-engine with no rounding step anywhere.
+    *
+    * Scale: the only event-scale work is the (key, hour) counting agg
+    * (map-side partials). Everything after rides the hourly frame,
+    * whose per-key partition is time-range-bounded (a year is 8.8k
+    * rows), so the scan windows are partitioned by key — never global;
+    * the per-key totals frame is key-cardinality-sized and broadcast.
+    *
+    * @return one audit row per key: bucket count, total events, peak
+    *         CUSUM each way, the changepoint hour (peak-C⁺ argmax,
+    *         ties to the earliest hour), and the alarm-hour count.
+    */
+  def cusumChangepoints(events: DataFrame, keyCol: String, tsCol: String,
+      thresholdDen: Int = 16): DataFrame = {
+    require(thresholdDen >= 2, "cusumChangepoints needs thresholdDen >= 2")
+    val hourly = events
+      .select(col(keyCol).as("__k"), date_trunc("hour", col(tsCol)).as("__h"))
+      .groupBy(col("__k"), col("__h")).agg(count(lit(1)).as("__x"))
+    val tot = hourly.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__nh"), sum(col("__x")).as("__tot"))
+    val wc = Window.partitionBy(col("__k")).orderBy(col("__h").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = "decimal(38,0)"
+    val scanned = hourly.join(broadcast(tot), Seq("__k"))
+      .withColumn("__d", col("__nh") * col("__x") - col("__tot"))
+      .withColumn("__cum", sum(col("__d")).over(wc))
+      // the running extrema must include the virtual cum_0 = 0 (the
+      // recursion starts at C=0), hence the least/greatest clamps
+      .withColumn("__pos", col("__cum") - least(min(col("__cum")).over(wc), lit(0L)))
+      .withColumn("__neg", greatest(max(col("__cum")).over(wc), lit(0L)) - col("__cum"))
+      .withColumn("__alarm",
+        (col("__pos").cast(dec) * thresholdDen >
+          col("__nh").cast(dec) * col("__tot")) ||
+        (col("__neg").cast(dec) * thresholdDen >
+          col("__nh").cast(dec) * col("__tot")))
+    scanned.groupBy(col("__k").as(keyCol))
+      .agg(
+        max(col("__nh")).as("n_hours"),
+        max(col("__tot")).as("total_events"),
+        max(col("__pos")).as("max_cusum_pos"),
+        max(col("__neg")).as("max_cusum_neg"),
+        max(struct(col("__pos"), (-unix_micros(col("__h"))).as("__nus")))
+          .as("__cp"),
+        sum(when(col("__alarm"), 1L).otherwise(0L)).as("n_alarm_hours"))
+      .withColumn("cp_hour", timestamp_micros(-col("__cp.__nus")))
+      .drop("__cp")
+  }
+
   def latenessProfile(events: DataFrame, seqCol: String, tsCol: String,
       byCol: String, chunkSize: Long = 8192L): DataFrame = {
     require(chunkSize >= 2, "latenessProfile needs chunkSize >= 2")

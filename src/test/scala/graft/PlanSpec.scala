@@ -1046,4 +1046,44 @@ class PlanSpec extends SparkSpec {
     // full cartesian is banned
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("ndcg: salted knn + keyed label joins, literal gains — no global window") {
+    val p = plan(OpsQueries.ndcgEval(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0, s"scoring must stay keyed:\n$p")
+    assert(p.contains("BroadcastNestedLoop") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("cusum: scan windows partition on the key; per-key totals broadcast") {
+    val p = plan(OpsQueries.cusumScan(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0,
+      s"CUSUM windows must partition on the key:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"totals frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("t-closeness: class CDF windows keyed; one metadata-scale global histogram window") {
+    val p = plan(OpsQueries.tClosenessQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 1,
+      s"only the buckets-row global CDF may be unpartitioned:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"histogram/totals frames must broadcast:\n$p")
+  }
+
+  test("conformal: one calibration-histogram window; thresholds broadcast onto the test side") {
+    val p = plan(OpsQueries.conformalQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 1,
+      s"only the score-histogram CDF may be unpartitioned:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"alpha/threshold frames must broadcast, never shuffle the corpus:\n$p")
+  }
+
+  test("wilson: ONE keyed agg, row-local closed form — no window, no join") {
+    val p = plan(OpsQueries.wilsonRank(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0 && !p.contains("Join"),
+      s"wilson must be a single agg:\n$p")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      s"one scan:\n$p")
+  }
 }

@@ -352,6 +352,37 @@ class OpsSpec extends SparkSpec {
     assert(topk.map(_.getLong(1)).toSeq === want)
   }
 
+  test("retrievalNdcg: perfect cluster retrieval scores 1, buried relevant scores < 1, lone label scores 0") {
+    // two tight 3-clusters (labels 0/1) + one lone label-2 vector near
+    // cluster 0: cluster members retrieve their 2 mates first (but the
+    // lone intruder outranks nothing relevant -> still perfect at the
+    // ideal R = min(k, 2)); the lone vector has NO relevant docs -> 0
+    val vecs = Seq(
+      (0L, Array(1.00f, 0.00f), 0), (1L, Array(0.99f, 0.01f), 0),
+      (2L, Array(0.98f, 0.02f), 0),
+      (3L, Array(0.00f, 1.00f), 1), (4L, Array(0.01f, 0.99f), 1),
+      (5L, Array(0.02f, 0.98f), 1),
+      (6L, Array(0.97f, 0.03f), 2))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val got = Similarity.retrievalNdcg(df, df, "vec_id", "embedding",
+      "label", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val w = Similarity.ndcgWeightsMicro(2)
+    // query 0: top-2 = (1, 2) both label 0 -> perfect
+    assert(got(0L) === ((w.sum, 2L, 1.0)))
+    // query 2 (0.98, 0.02): mate 1 at 0.59 deg still edges out the
+    // label-2 intruder at 0.60 deg, but the intruder takes rank 2 from
+    // mate 0 -> dcg = W1 only, idcg = W1+W2
+    assert(got(2L) === ((w(0), 1L,
+      math.floor(w(0).toDouble / w.sum * 1e6 + 0.5) / 1e6)))
+    assert(got(2L)._3 < 1.0)
+    // lone label: zero relevant in the corpus -> ndcg 0 by convention
+    assert(got(6L) === ((0L, 0L, 0.0)))
+    // cluster-1 members are unaffected by the intruder
+    assert(Seq(3L, 4L, 5L).forall(q => got(q)._3 === 1.0))
+  }
+
   test("IVF KNN recall@5 >= 0.6 vs brute force on the fixture") {
     val e = graft.Tables.load(spark, sf0001, "embeddings")
     // query ids disjoint from the first-N centroid seeds (vec_id 0..15) —

@@ -107,4 +107,50 @@ class QualitySpec extends SparkSpec {
       ("a", 2) -> ((3L, 3L, 0L)),
       ("b", 1) -> ((2L, 2L, 1L))))
   }
+
+  test("tCloseness: identical class distributions score 0; opposite-end classes hand-compute to 0.5") {
+    // A all at cents 0, B all at cents 900 -> buckets 0 and 9; per class:
+    // gap_b = |cum_g*n - gcum*ng| = |10*20 - 10*10| = 100 for b=0..8 (A),
+    // sum 900, t = 900/(10*20*9) = 0.5 — symmetric for B
+    val polar = (Seq.fill(10)(("A", 0L)) ++ Seq.fill(10)(("B", 900L)))
+      .toDF("seg", "v")
+    val gotP = Quality.tCloseness(polar, "seg", col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(gotP === Map("A" -> ((10L, 900.0, 0.5)), "B" -> ((10L, 900.0, 0.5))))
+    // identical distributions -> every class matches the global CDF
+    val same = (0 until 10).flatMap(i => Seq(("A", i * 100L), ("B", i * 100L)))
+      .toDF("seg", "v")
+    val gotS = Quality.tCloseness(same, "seg", col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(gotS === Map("A" -> 0.0, "B" -> 0.0))
+  }
+
+  test("conformalCoverage equals the naive sorted-order-statistic recipe") {
+    val scores = (0L until 200L).map(i => i -> (i * 37L) % 101L)
+    val df = scores.toDF("doc_id", "s")
+    val got = Quality.conformalCoverage(df, "doc_id", col("s"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // replicate the md5-parity split with the engine, then do the rest
+    // naively driver-side: sort cal scores, take the k-th smallest
+    val calFlag = df.select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7").as("cal"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val cal = scores.filter(p => calFlag(p._1)).map(_._2).sorted
+    val test = scores.filterNot(p => calFlag(p._1)).map(_._2)
+    for (alpha <- Seq(10, 20)) {
+      val k = ((cal.size + 1) * (100 - alpha) + 99) / 100
+      val thr = cal(k.toInt - 1)
+      val covered = test.count(_ <= thr).toLong
+      val (nCal, nTest, gotThr, gotCov, cov) = got(alpha)
+      assert((nCal, nTest, gotThr, gotCov) ===
+        ((cal.size.toLong, test.size.toLong, thr, covered)), s"alpha $alpha")
+      assert(cov === math.floor(covered.toDouble / test.size * 1e6 + 0.5) / 1e6)
+      // conformal validity on the exchangeable split: coverage near 1-α
+      assert(cov >= (100 - alpha) / 100.0 - 0.1, s"alpha $alpha coverage $cov")
+    }
+  }
 }

@@ -642,4 +642,28 @@ class StatsSpec extends SparkSpec {
     assert(b.size === n && e.size === n)
     assert(b === e)
   }
+
+  test("wilsonLowerBound: the 1/1 group ranks below 97/100; bound mirrors the closed form") {
+    val df = (Seq(("one", true)) ++
+      Seq.fill(97)(("many", true)) ++ Seq.fill(3)(("many", false)) ++
+      Seq.fill(5)(("zero", false)))
+      .toDF("k", "hit")
+    val got = Stats.wilsonLowerBound(df, Seq("k"), col("hit"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def ref(pos: Long, n: Long, z: Double = 1.96): Double = {
+      val z2 = z * z; val nd = n.toDouble; val p = pos.toDouble / nd
+      val lb = (p + z2 / (2.0 * nd) -
+        z * math.sqrt((p * (1.0 - p) + z2 / (4.0 * nd)) / nd)) /
+        (1.0 + z2 / nd)
+      math.floor(lb * 1e6 + 0.5) / 1e6
+    }
+    assert(got("one") === ((1L, 1L, 1.0, ref(1, 1))))
+    assert(got("many") === ((100L, 97L, 0.97, ref(97, 100))))
+    assert(got("zero")._4 === ref(0, 5))
+    // the motivating ordering: raw rate says one > many, wilson says many > one
+    assert(got("one")._4 < got("many")._4)
+    // the bound is a lower bound and shrinks with n
+    assert(got.values.forall { case (_, _, p, lb) => lb <= p })
+  }
 }

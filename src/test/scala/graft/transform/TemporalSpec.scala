@@ -383,4 +383,65 @@ class TemporalSpec extends SparkSpec {
     // sanity: the scramble actually produced late rows past 1 minute
     assert(got.values.map(_._3).sum > 0L)
   }
+
+  /** Driver-side reference for the textbook sequential CUSUM recursion
+    * `C⁺_h = max(0, C⁺_{h-1} + d_h)` (and the mirrored C⁻) over the
+    * scaled deviations `d_h = n·x_h - total` — what the window rewrite
+    * must equal.
+    */
+  private def cusumRef(xs: Seq[Long], den: Long = 16L) = {
+    val n = xs.size.toLong
+    val tot = xs.sum
+    val ds = xs.map(x => n * x - tot)
+    val pos = ds.scanLeft(0L)((c, d) => math.max(0L, c + d)).tail
+    val neg = ds.scanLeft(0L)((c, d) => math.max(0L, c - d)).tail
+    val alarms = pos.zip(neg).count { case (p, q) =>
+      BigInt(p) * den > BigInt(n) * tot || BigInt(q) * den > BigInt(n) * tot
+    }
+    val cpIdx = pos.indexOf(pos.max) // earliest peak
+    (n, tot, pos.max, neg.max, cpIdx, alarms.toLong)
+  }
+
+  test("cusumChangepoints equals the sequential CUSUM recursion (level shift + flat key)") {
+    // key a: rate doubles at hour 4 (counts 2,2,2,2,8,8,8,8);
+    // key b: flat 3s — no changepoint signal beyond noise-free zero
+    val counts = Map("a" -> Seq(2L, 2L, 2L, 2L, 8L, 8L, 8L, 8L),
+      "b" -> Seq(3L, 3L, 3L, 3L))
+    val rows = for {
+      (k, xs) <- counts.toSeq; (x, h) <- xs.zipWithIndex
+      i <- 0L until x
+    } yield (k, ts(h))
+    val out = Temporal.cusumChangepoints(rows.toDF("k", "t"), "k", "t")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getTimestamp(6)))).toMap
+    for ((k, xs) <- counts) {
+      val (n, tot, mp, mn, cpIdx, alarms) = cusumRef(xs)
+      val (gn, gtot, gmp, gmn, galarms, gcp) = out(k)
+      assert((gn, gtot, gmp, gmn, galarms) === ((n, tot, mp, mn, alarms)),
+        s"key $k")
+      assert(gcp === ts(cpIdx), s"changepoint hour for $k")
+    }
+    // the shifted key actually alarms; the flat key never does
+    assert(out("a")._5 > 0L && out("b")._5 === 0L)
+  }
+
+  test("cusumChangepoints matches the recursion on seeded random series") {
+    val rnd = new scala.util.Random(7)
+    val counts = (0 until 6).map { k =>
+      s"k$k" -> Seq.fill(20)(1L + rnd.nextInt(9).toLong)
+    }.toMap
+    val rows = for {
+      (k, xs) <- counts.toSeq; (x, h) <- xs.zipWithIndex
+      i <- 0L until x
+    } yield (k, ts(h))
+    val out = Temporal.cusumChangepoints(rows.toDF("k", "t"), "k", "t")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getTimestamp(6)))).toMap
+    for ((k, xs) <- counts) {
+      val (n, tot, mp, mn, cpIdx, alarms) = cusumRef(xs)
+      assert(out(k) === ((n, tot, mp, mn, alarms, ts(cpIdx))), s"key $k")
+    }
+  }
 }
