@@ -3822,7 +3822,88 @@ object OpsQueries {
        |FROM p""".stripMargin
   }
 
+  // ------------------------------------------------------------ skipgram ppmi
+  /** q183: ±3-token skip-gram PPMI collocations
+    * ([[Corpus.skipgramPpmi]]) — the word2vec-style co-occurrence
+    * table, windowed WITHOUT a token-position self-join.
+    */
+  def skipgramPpmiQ(s: SparkSession, dir: String): DataFrame =
+    Corpus.skipgramPpmi(docs(s, dir), "text", window = 3, minCount = 5)
+
+  val skipgramPpmiSql: String =
+    """WITH toks AS (
+      |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(1, len(t)),
+      |                i -> [t[i], t[i+1]])) AS p FROM toks
+      |  UNION ALL
+      |  SELECT unnest(list_transform(range(1, len(t) - 1),
+      |                i -> [t[i], t[i+2]])) AS p FROM toks
+      |  UNION ALL
+      |  SELECT unnest(list_transform(range(1, len(t) - 2),
+      |                i -> [t[i], t[i+3]])) AS p FROM toks),
+      |pc AS (SELECT p[1] AS x, p[2] AS y, CAST(count(*) AS BIGINT) AS c_xy
+      |       FROM pairs GROUP BY 1, 2),
+      |np AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_pairs FROM pc),
+      |ucc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+      |          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |          FROM documents) GROUP BY 1),
+      |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM ucc)
+      |SELECT pc.x, pc.y, c_xy,
+      |       floor(greatest(0.0, ln(
+      |             (CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE)
+      |              * CAST(n_uni AS DOUBLE))
+      |             / (CAST(n_pairs AS DOUBLE) * CAST(cx.c AS DOUBLE)
+      |                * CAST(cy.c AS DOUBLE))))
+      |             * 1000000.0 + 0.5) / 1000000.0 AS ppmi
+      |FROM pc JOIN ucc cx ON pc.x = cx.tok JOIN ucc cy ON pc.y = cy.tok,
+      |     np, nu
+      |WHERE c_xy >= 5""".stripMargin
+
+  // ------------------------------------------------------------ mutual info
+  /** q184: mutual information between language and length quartile
+    * ([[graft.transform.Stats.mutualInformation]]) — the categorical
+    * feature-association / leakage screen; the MI total rides a
+    * running window over the pinned cell order (the psiByKey device)
+    * so the double sum is cross-engine deterministic.
+    */
+  def miLangLength(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bounds = d.agg(min(col("n_chars")).as("__mn"),
+      max(col("n_chars")).as("__mx"))
+    val b = d.crossJoin(broadcast(bounds)).select(col("lang"),
+      least(lit(3L), greatest(lit(0L),
+        expr("((n_chars - __mn) * 4) div (__mx - __mn + 1)"))).as("len_q"))
+    graft.transform.Stats.mutualInformation(b, "lang", "len_q")
+  }
+
+  val miLangLengthSql: String =
+    """WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+      |c AS (SELECT lang,
+      |             least(3, greatest(0, ((n_chars - mn) * 4) // (mx - mn + 1)))
+      |               AS len_q
+      |      FROM documents, b),
+      |cells AS (SELECT lang, len_q, CAST(count(*) AS BIGINT) AS n_xy
+      |          FROM c GROUP BY 1, 2),
+      |xm AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+      |ym AS (SELECT len_q, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+      |nn AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells),
+      |t AS (SELECT lang, len_q, n_xy,
+      |             (CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+      |             * ln((CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE))
+      |                  / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))
+      |               AS contrib
+      |      FROM cells JOIN xm USING (lang) JOIN ym USING (len_q), nn)
+      |SELECT lang, len_q, n_xy,
+      |       floor(contrib * 1000000.0 + 0.5) / 1000000.0 AS contrib,
+      |       floor(sum(contrib) OVER (ORDER BY lang ASC, len_q ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS mi_cum
+      |FROM t""".stripMargin
+
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_skipgram_ppmi" -> skipgramPpmiQ _,
+    "q184_mutual_info" -> miLangLength _,
     "q178_ndcg" -> ndcgEval _,
     "q179_cusum" -> cusumScan _,
     "q180_t_closeness" -> tClosenessQ _,
@@ -3920,6 +4001,8 @@ object OpsQueries {
     "q160_dedup_savings" -> dedupSavings _)
 
   val opsOracles: Map[String, String] = Map(
+    "q183_skipgram_ppmi" -> skipgramPpmiSql,
+    "q184_mutual_info" -> miLangLengthSql,
     "q178_ndcg" -> ndcgEvalSql,
     "q179_cusum" -> cusumScanSql,
     "q180_t_closeness" -> tClosenessSql,

@@ -335,6 +335,55 @@ object Corpus {
             (d(col("n_bg")) * d(col("c_x")) * d(col("c_y")))), 6).as("pmi"))
   }
 
+  /** Skip-gram PPMI collocations — [[pmiCollocations]] widened from
+    * adjacent bigrams to a ±`window` token context (the word2vec /
+    * GloVe co-occurrence definition): a pair (x, y) is counted once
+    * for every position pair at distance 1..window, and graded
+    * `max(0, ln(P(x,y) / P(x)P(y)))`. The window is materialized
+    * WITHOUT a position self-join: for each distance j the pair
+    * stream is the width-(j+1) shingle bag's (first, last) tokens —
+    * one codegen'd shingle expression per distance, linear in corpus
+    * size, vs the token-position join whose doc_id key would fan out
+    * quadratically in document length.
+    *
+    * Scale: `window` explodes of the token stream plus one unigram
+    * explode, all feeding keyed counting aggs (map-side partials);
+    * the COUNTED pair table is persisted (it feeds the pair total and
+    * the output); marginals join broadcast at vocab scale exactly as
+    * in [[pmiCollocations]]; ln rides the minCount-bounded output
+    * under pround(6) (the sanctioned-transcendental budget).
+    */
+  def skipgramPpmi(df: DataFrame, textCol: String, window: Int = 3,
+      minCount: Int = 5): DataFrame = {
+    require(window >= 1, "skipgramPpmi needs window >= 1")
+    require(minCount >= 1, "skipgramPpmi needs minCount >= 1")
+    val pairBag = (1 to window).map { j =>
+      df.select(explode(graft.functions.functions.word_shingles(
+          col(textCol), j + 1)).as("__sh"))
+        .select(element_at(split(col("__sh"), " "), 1).as("x"),
+          element_at(split(col("__sh"), " "), j + 1).as("y"))
+    }.reduce(_ unionByName _)
+    // counted tables persist (each feeds its total + a consumer); the
+    // corpus is exploded once per distance and once for unigrams
+    val pc = pairBag.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("c_xy")).persist()
+    val nPairs = pc.agg(sum(col("c_xy")).as("n_pairs"))
+    val uc = df.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c")).persist()
+    val nUni = uc.agg(sum(col("c")).as("n_uni"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    pc.filter(col("c_xy") >= minCount)
+      .join(broadcast(uc.select(col("tok").as("x"), col("c").as("c_x"))), Seq("x"))
+      .join(broadcast(uc.select(col("tok").as("y"), col("c").as("c_y"))), Seq("y"))
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nPairs))
+      .select(col("x"), col("y"), col("c_xy"),
+        pround(greatest(lit(0.0), log(
+          (d(col("c_xy")) * d(col("n_uni")) * d(col("n_uni"))) /
+            (d(col("n_pairs")) * d(col("c_x")) * d(col("c_y"))))), 6)
+          .as("ppmi"))
+  }
+
   /** Pairwise source-vocabulary overlap — Jaccard similarity of the
     * distinct-token sets of every source pair: the corpus-mixture
     * diagnostic behind dedup-across-sources and mixture-weight

@@ -950,6 +950,49 @@ object Stats {
         (col("cum0") + col("run")).as("hi"))
   }
 
+  /** Mutual information between two categorical columns — the
+    * feature-selection / leakage screen (does `lang` predict the
+    * length quartile? does a feature column secretly encode the
+    * label?): per observed cell, the contribution
+    * `(n_xy/n)·ln(n_xy·n / (n_x·n_y))`, and the running MI total
+    * accumulated over the (x, y)-pinned cell order. Zero cells
+    * contribute 0 and are omitted. The last row's `mi_cum` is the MI
+    * in nats; per-cell contributions show WHERE the association
+    * lives.
+    *
+    * Exactness: a groupBy SUM of double terms is
+    * partition-order-dependent, so the total is emitted as a RUNNING
+    * window sum over the pinned cell order instead (the psiByKey
+    * device) — frames sum in frame order in every engine. ln rides
+    * the domain-bounded cell frame under pround(6).
+    *
+    * Scale: one keyed count agg on (x, y) (map-side partials, state
+    * bounded by the attribute domains — the point of categorical
+    * columns); marginals DERIVE from the cell frame (no second
+    * scan) and broadcast; the one unpartitioned window rides the
+    * |X|×|Y| cell frame — metadata-scale.
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).as("n_xy")).persist()
+    val xm = cells.groupBy(col(xCol)).agg(sum(col("n_xy")).as("n_x"))
+    val ym = cells.groupBy(col(yCol)).agg(sum(col("n_xy")).as("n_y"))
+    val n = cells.agg(sum(col("n_xy")).as("n"))
+    val contrib = (col("n_xy").cast("double") / col("n").cast("double")) *
+      log((col("n_xy").cast("double") * col("n").cast("double")) /
+        (col("n_x").cast("double") * col("n_y").cast("double")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(xCol).asc, col(yCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .join(broadcast(xm), Seq(xCol))
+      .join(broadcast(ym), Seq(yCol))
+      .crossJoin(broadcast(n))
+      .select(col(xCol), col(yCol), col("n_xy"),
+        graft.util.Rounding.pround(contrib, 6).as("contrib"),
+        graft.util.Rounding.pround(sum(contrib).over(w), 6).as("mi_cum"))
+  }
+
   /** Wilson score lower bound per key — the small-sample-honest way to
     * rank groups by a success rate (Agresti & Coull, Am. Stat. 1998;
     * the "how not to sort by average rating" ranking): the raw rate

@@ -1079,6 +1079,22 @@ class PlanSpec extends SparkSpec {
       s"alpha/threshold frames must broadcast, never shuffle the corpus:\n$p")
   }
 
+  test("skipgram ppmi: vocab marginals broadcast; no window, no cartesian") {
+    val p = plan(OpsQueries.skipgramPpmiQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0, s"counting must stay keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"marginals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("word_shingles"), s"pairs must come from shingles:\n$p")
+  }
+
+  test("mutual info: one metadata-scale cell window; marginals broadcast") {
+    val p = plan(OpsQueries.miLangLength(spark, sf0001))
+    assert(unpartitionedWindows(p) == 1,
+      s"only the cell-frame running sum may be unpartitioned:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"marginals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("wilson: ONE keyed agg, row-local closed form — no window, no join") {
     val p = plan(OpsQueries.wilsonRank(spark, sf0001))
     assert(unpartitionedWindows(p) == 0 && !p.contains("Join"),

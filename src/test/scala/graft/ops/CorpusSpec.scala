@@ -375,6 +375,38 @@ class CorpusSpec extends SparkSpec {
     assert(pruned === Seq(("a", "b")))
   }
 
+  test("skipgramPpmi equals naive position-pair enumeration on seeded docs") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val texts = (0 until 12).map(i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(15))(vocab(rnd.nextInt(5))).mkString(" ")))
+    val df = texts.toDF("doc_id", "text")
+    for (window <- Seq(1, 3)) {
+      // naive reference: every position pair at distance 1..window
+      val pairs = texts.flatMap { case (_, t) =>
+        val toks = t.split(" ")
+        for {
+          i <- toks.indices; j <- 1 to window; if i + j < toks.length
+        } yield (toks(i), toks(i + j))
+      }
+      val pc = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nPairs = pairs.size.toLong
+      val unis = texts.flatMap(_._2.split(" "))
+      val uc = unis.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nUni = unis.size.toLong
+      val want = pc.collect { case ((x, y), cxy) if cxy >= 2L =>
+        (x, y) -> ((cxy, math.floor(math.max(0.0,
+          math.log(cxy.toDouble * nUni * nUni /
+            (nPairs.toDouble * uc(x) * uc(y)))) * 1e6 + 0.5) / 1e6))
+      }.toMap
+      val got = Corpus.skipgramPpmi(df, "text", window, minCount = 2)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got === want, s"window $window")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("token entropy: hand-computed contributions and ordered running sum") {
     def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val docs = Seq(("s1", "a a b c")).toDF("source", "text")

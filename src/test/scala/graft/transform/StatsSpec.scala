@@ -643,6 +643,31 @@ class StatsSpec extends SparkSpec {
     assert(b === e)
   }
 
+  test("mutualInformation: 0 for independent columns, H(X) for a determined one") {
+    def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // perfectly independent: every (x, y) cell has n_x*n_y/n rows
+    val ind = (for (x <- Seq("a", "b"); y <- Seq(0, 1, 2); _ <- 0 until 4)
+      yield (x, y)).toDF("x", "y")
+    val gotInd = Stats.mutualInformation(ind, "x", "y")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(gotInd.size === 6)
+    assert(gotInd.values.forall { case (n, c, _) => n === 4L && c === 0.0 })
+    assert(gotInd.values.forall(_._3 === 0.0))
+    // y determined by x with marginals 1/4, 1/4, 1/2 -> MI = H(X)
+    val det = (Seq.fill(2)(("a", 10)) ++ Seq.fill(2)(("b", 20)) ++
+      Seq.fill(4)(("c", 30))).toDF("x", "y")
+    val mi = Stats.mutualInformation(det, "x", "y")
+      .orderBy(col("x").desc).select("mi_cum").head().getDouble(0)
+    val h = -(0.25 * math.log(0.25)) * 2 - 0.5 * math.log(0.5)
+    // running-sum order: cells sorted by (x, y); replicate exactly
+    val terms = Seq(0.25 * math.log(0.25 / (0.25 * 0.25)),
+      0.25 * math.log(0.25 / (0.25 * 0.25)),
+      0.5 * math.log(0.5 / (0.5 * 0.5)))
+    assert(mi === pr6(terms(0) + terms(1) + terms(2)))
+    assert(math.abs(mi - h) < 1e-6)
+  }
+
   test("wilsonLowerBound: the 1/1 group ranks below 97/100; bound mirrors the closed form") {
     val df = (Seq(("one", true)) ++
       Seq.fill(97)(("many", true)) ++ Seq.fill(3)(("many", false)) ++
