@@ -3729,6 +3729,228 @@ object Queries {
       |       END AS spearman
       |FROM d""".stripMargin
 
+  // ------------------------------------------------------- interval overlap
+  /** q185: interval × interval overlap join
+    * ([[graft.transform.RangeJoin.intervalOverlapJoin]]) — which users
+    * were active during incident windows? Left side: per-(user, day)
+    * activity intervals `[first ts, last ts]`. Right side: the 3
+    * busiest days per event type (count desc, day asc tie-pin), as
+    * `[first ts, last ts]` incident windows. The operator buckets both
+    * interval sets (6 h buckets here, so day-long intervals genuinely
+    * span several) and equi-joins on the bucket with the overlap check
+    * as residual, keeping each pair only in the bucket of
+    * `max(lo, lo)` — the naive-theta oracle is the machine-checked
+    * losslessness proof of that decomposition. Overlap length is exact
+    * integer µs.
+    */
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val userDays = ev
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("__d"))
+      .agg(unix_micros(min(col("ts"))).as("l_lo"),
+        unix_micros(max(col("ts"))).as("l_hi"))
+      .drop("__d")
+    val typeDays = ev
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("incident_day"))
+      .agg(count(lit(1)).as("__c"),
+        unix_micros(min(col("ts"))).as("r_lo"),
+        unix_micros(max(col("ts"))).as("r_hi"))
+    val wTop = Window.partitionBy(col("event_type"))
+      .orderBy(col("__c").desc, col("incident_day").asc)
+    val incidents = typeDays
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= 3)
+      .select(col("event_type").as("incident_type"), col("incident_day"),
+        col("r_lo"), col("r_hi"))
+    graft.transform.RangeJoin.intervalOverlapJoin(
+        userDays, "l_lo", "l_hi", incidents, "r_lo", "r_hi",
+        bucketWidth = 21600000000L, broadcastRight = true)
+      .select(col("user_id"), col("incident_type"), col("incident_day"),
+        (least(col("l_hi"), col("r_hi")) -
+          greatest(col("l_lo"), col("r_lo"))).as("overlap_us"))
+  }
+
+  val intervalOverlapSql: String =
+    """WITH ud AS (
+      |  SELECT user_id,
+      |         epoch_us(min(CAST(ts AS TIMESTAMP))) AS l_lo,
+      |         epoch_us(max(CAST(ts AS TIMESTAMP))) AS l_hi
+      |  FROM events GROUP BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))),
+      |td AS (
+      |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS incident_day,
+      |         CAST(count(*) AS BIGINT) AS c,
+      |         epoch_us(min(CAST(ts AS TIMESTAMP))) AS r_lo,
+      |         epoch_us(max(CAST(ts AS TIMESTAMP))) AS r_hi
+      |  FROM events GROUP BY 1, 2),
+      |top3 AS (
+      |  SELECT event_type, incident_day, r_lo, r_hi FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY event_type
+      |                                 ORDER BY c DESC, incident_day ASC) AS rn
+      |    FROM td) WHERE rn <= 3)
+      |SELECT ud.user_id, t.event_type AS incident_type, t.incident_day,
+      |       least(ud.l_hi, t.r_hi) - greatest(ud.l_lo, t.r_lo) AS overlap_us
+      |FROM ud JOIN top3 t ON ud.l_lo <= t.r_hi AND t.r_lo <= ud.l_hi""".stripMargin
+
+  // ---------------------------------------------------------- mann-whitney u
+  /** q186: per-event-type Mann-Whitney U
+    * ([[graft.transform.Stats.mannWhitneyU]]) — the nonparametric A/B
+    * readout beside q133's parametric z-test: users md5-split into
+    * arms, value cents compared by rank. Spark computes rank sums from
+    * the value-domain aggregation (no corpus-sized window); the oracle
+    * is the naive row-ranked form, so the gate doubles as the
+    * losslessness proof of the rewrite.
+    */
+  def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("long") % 2).as("arm"),
+      graft.transform.Stats.cents(col("value")).as("v"))
+    graft.transform.Stats.mannWhitneyU(e, Seq("event_type"), "arm", "v")
+  }
+
+  val mannWhitneySql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))::BIGINT % 2
+      |           AS arm,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, arm,
+      |         CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+      |              + count(*) OVER (PARTITION BY event_type, v) - 1
+      |              AS HUGEINT) AS ar2
+      |  FROM e),
+      |tv AS (SELECT event_type, v, CAST(count(*) AS HUGEINT) AS tt
+      |       FROM e GROUP BY 1, 2),
+      |tie AS (SELECT event_type, sum(tt * tt * tt - tt) AS tied
+      |        FROM tv GROUP BY 1),
+      |s AS (
+      |  SELECT event_type,
+      |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |         sum(CASE WHEN arm = 0 THEN ar2 ELSE CAST(0 AS HUGEINT) END) AS r2
+      |  FROM r GROUP BY 1),
+      |d AS (
+      |  SELECT event_type, n_a, n_b,
+      |         CAST(r2 - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2,
+      |         CAST(tied AS DOUBLE) AS tied
+      |  FROM s JOIN tie USING (event_type)),
+      |z AS (
+      |  SELECT event_type, n_a, n_b, u2,
+      |         CAST(u2 AS DOUBLE) / 2.0 AS u,
+      |         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+      |         CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nd,
+      |         tied
+      |  FROM d)
+      |SELECT event_type, n_a, n_b, u2,
+      |       CASE WHEN n_a > 0 AND n_b > 0
+      |            THEN floor(u / (nad * nbd) * 1000000.0 + 0.5) / 1000000.0
+      |       END AS auc,
+      |       CASE WHEN n_a > 0 AND n_b > 0 AND
+      |                 nad * nbd / 12.0 * ((nd + 1.0) - tied / (nd * (nd - 1.0))) > 0.0
+      |            THEN floor((u - nad * nbd / 2.0)
+      |                 / sqrt(nad * nbd / 12.0
+      |                        * ((nd + 1.0) - tied / (nd * (nd - 1.0))))
+      |                 * 1000000.0 + 0.5) / 1000000.0
+      |       END AS z
+      |FROM z""".stripMargin
+
+  // ----------------------------------------------------------- kaplan-meier
+  /** q187: Kaplan-Meier retention curve
+    * ([[graft.transform.Temporal.kaplanMeier]]) — per-user lifetime
+    * (hours between first and last event), right-censored for users
+    * still active within 7 days of the observation edge. The survival
+    * product rides one metadata-scale window over the distinct-duration
+    * frame; risk sets derive by subtraction, never a per-subject
+    * window.
+    */
+  def kaplanMeierQ(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(unix_micros(min(col("ts"))).as("t0"),
+        unix_micros(max(col("ts"))).as("t1"))
+    val mx = per.agg(max(col("t1")).as("__mx"))
+    val subj = per.crossJoin(broadcast(mx))
+      .select(expr("(t1 - t0) div 3600000000").as("dur_h"),
+        when(col("t1") <= col("__mx") - lit(604800000000L), 1L)
+          .otherwise(0L).as("observed"))
+    Temporal.kaplanMeier(subj, "dur_h", "observed")
+  }
+
+  val kaplanMeierSql: String =
+    """WITH per AS (
+      |  SELECT user_id, epoch_us(min(CAST(ts AS TIMESTAMP))) AS t0,
+      |         epoch_us(max(CAST(ts AS TIMESTAMP))) AS t1
+      |  FROM events GROUP BY 1),
+      |mx AS (SELECT max(t1) AS mxx FROM per),
+      |subj AS (SELECT (t1 - t0) // 3600000000 AS t,
+      |                CASE WHEN t1 <= mxx - 604800000000 THEN 1 ELSE 0 END AS ob
+      |         FROM per, mx),
+      |g AS (SELECT t, CAST(sum(ob) AS BIGINT) AS d_events,
+      |             CAST(sum(1 - ob) AS BIGINT) AS c_censored
+      |      FROM subj GROUP BY 1),
+      |tot AS (SELECT CAST(sum(d_events + c_censored) AS BIGINT) AS nt FROM g),
+      |rk AS (SELECT t, d_events, c_censored,
+      |              nt - COALESCE(CAST(sum(d_events + c_censored) OVER
+      |                   (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING
+      |                    AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+      |       FROM g, tot),
+      |w AS (SELECT t, n_risk, d_events, c_censored,
+      |             sum(CASE WHEN d_events = 0 THEN 0.0
+      |                      WHEN d_events < n_risk
+      |                      THEN ln(1.0 - CAST(d_events AS DOUBLE)
+      |                                    / CAST(n_risk AS DOUBLE)) END)
+      |               OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING
+      |                     AND CURRENT ROW) AS lns,
+      |             max(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END)
+      |               OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING
+      |                     AND CURRENT ROW) AS zf
+      |      FROM rk)
+      |SELECT t, n_risk, d_events, c_censored,
+      |       CASE WHEN zf = 1 THEN 0.0
+      |            ELSE floor(exp(lns) * 1000000.0 + 0.5) / 1000000.0
+      |       END AS s_hat
+      |FROM w""".stripMargin
+
+  // -------------------------------------------------------- target encoding
+  /** q188: leakage-safe target encoding
+    * ([[graft.transform.Stats.targetEncodeOOF]]) — event_type encoded
+    * by the out-of-fold mean of value cents under a 5-fold md5 split,
+    * smoothed toward the global prior (m = 100). Two keyed aggs + one
+    * 1-row global; OOF sums by subtraction, never an n-fold self-join.
+    */
+  def targetEncoding(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"), col("event_id"),
+      graft.transform.Stats.cents(col("value")).as("v"))
+    graft.transform.Stats.targetEncodeOOF(e, "event_type", "event_id", "v",
+      nFolds = 5, smoothing = 100)
+  }
+
+  val targetEncodingSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 5
+      |           AS fold,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |cells AS (SELECT event_type, fold, CAST(count(*) AS BIGINT) AS n_f,
+      |                 CAST(sum(v) AS BIGINT) AS s_f
+      |          FROM e GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(sum(n_f) AS BIGINT) AS n_c,
+      |               CAST(sum(s_f) AS BIGINT) AS s_c
+      |        FROM cells GROUP BY 1),
+      |g AS (SELECT CAST(sum(n_c) AS BIGINT) AS nn,
+      |             CAST(sum(s_c) AS BIGINT) AS ss FROM tot)
+      |SELECT event_type, fold, n_c - n_f AS n_oof, s_c - s_f AS s_oof,
+      |       floor((CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000.0 + 0.5)
+      |         / 1000000.0 AS prior,
+      |       floor((CAST(s_c - s_f AS DOUBLE)
+      |              + 100.0 * (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)))
+      |             / (CAST(n_c - n_f AS DOUBLE) + 100.0) * 1000000.0 + 0.5)
+      |         / 1000000.0 AS enc
+      |FROM cells JOIN tot USING (event_type), g""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -3818,7 +4040,11 @@ object Queries {
     "q167_time_to_convert" -> timeToConvert _,
     "q169_lateness_profile" -> latenessProfile _,
     "q173_zone_maps" -> zoneMapPruning _,
-    "q177_column_stats" -> columnStats _)
+    "q177_column_stats" -> columnStats _,
+    "q185_interval_overlap" -> intervalOverlap _,
+    "q186_mann_whitney" -> mannWhitney _,
+    "q187_kaplan_meier" -> kaplanMeierQ _,
+    "q188_target_encoding" -> targetEncoding _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -3908,5 +4134,9 @@ object Queries {
     "q167_time_to_convert" -> timeToConvertSql,
     "q169_lateness_profile" -> latenessProfileSql,
     "q173_zone_maps" -> zoneMapPruningSql,
-    "q177_column_stats" -> columnStatsSql)
+    "q177_column_stats" -> columnStatsSql,
+    "q185_interval_overlap" -> intervalOverlapSql,
+    "q186_mann_whitney" -> mannWhitneySql,
+    "q187_kaplan_meier" -> kaplanMeierSql,
+    "q188_target_encoding" -> targetEncodingSql)
 }

@@ -48,6 +48,63 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval OVERLAP join — both sides are interval sets
+    * (inclusive `[lo, hi]` on an integer domain, e.g. epoch-µs) and a
+    * pair matches when the intervals intersect: `aLo <= bHi AND
+    * bLo <= aHi`. Spark plans that bare theta predicate as
+    * BroadcastNestedLoop / cartesian — O(A×B). This extends
+    * [[rangeJoin]]'s bucket decomposition to the two-interval case:
+    * BOTH sides explode into the `bucketWidth` buckets they cover and
+    * the join becomes an EQUI join on the bucket with the overlap
+    * check as residual.
+    *
+    * De-duplication without a `distinct` shuffle: a pair overlapping k
+    * shared buckets would emit k times, so the residual keeps exactly
+    * the bucket containing `max(aLo, bLo)` — the first instant both
+    * intervals cover. That bucket is provably in both sides' exploded
+    * ranges (overlap ⇒ `max(lo) <= min(hi)`), so each overlapping pair
+    * survives in EXACTLY one bucket and the output needs no distinct.
+    * The naive-theta oracle doubles as the losslessness proof of the
+    * decomposition (q185).
+    *
+    * Scale: interval replication = width/bucketWidth + 1 per side;
+    * pairs meet only within a bucket, so skew follows the busiest
+    * bucket, not the corpus — pick bucketWidth near the median
+    * interval width (the [[rangeJoin]] cost model, applied twice).
+    * Inverted intervals (lo > hi) match nothing and are filtered
+    * before the explode, exactly as in [[rangeJoin]].
+    *
+    * @param left  side with long columns `leftLo`/`leftHi`
+    * @param right side with long columns `rightLo`/`rightHi`
+    * @param broadcastRight hint the exploded right side for broadcast
+    *        (set when the interval side is dimension-sized — incident
+    *        windows, promo calendars)
+    */
+  def intervalOverlapJoin(
+      left: DataFrame, leftLo: String, leftHi: String,
+      right: DataFrame, rightLo: String, rightHi: String,
+      bucketWidth: Long, broadcastRight: Boolean = false): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!(left.columns ++ right.columns).contains("__bucket"),
+      "inputs must not carry a __bucket column (internal name)")
+    require(left.columns.intersect(right.columns).isEmpty,
+      "left/right column names must be disjoint (alias before joining)")
+    // exact long bucket index (Spark's `/` on longs is double division;
+    // `div` is integer floor-division for the non-negative domains here)
+    def bucketOf(c: String): org.apache.spark.sql.Column =
+      expr(s"CAST(`$c` AS BIGINT) div ${bucketWidth}L")
+    def exploded(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.filter(col(lo) <= col(hi))
+        .withColumn("__bucket", explode(sequence(bucketOf(lo), bucketOf(hi))))
+    val l = exploded(left, leftLo, leftHi)
+    val r0 = exploded(right, rightLo, rightHi)
+    val r = if (broadcastRight) broadcast(r0) else r0
+    l.join(r, "__bucket")
+      .filter(col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi) &&
+        col("__bucket") === greatest(bucketOf(leftLo), bucketOf(rightLo)))
+      .drop("__bucket")
+  }
 }
 
 /** Generic as-of (backward-looking temporal) join, the argmax pattern of

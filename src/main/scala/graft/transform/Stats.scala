@@ -1029,4 +1029,112 @@ object Stats {
       graft.util.Rounding.pround(p, 6).as("p"),
       graft.util.Rounding.pround(lb, 6).as("wilson_lb")): _*)
   }
+
+  /** Per-key Mann-Whitney U — the nonparametric two-sample test for the
+    * A/B toolkit (beside the parametric q133 z-test): does arm A's value
+    * distribution stochastically dominate arm B's, without assuming
+    * normality? Emits exact `u2 = 2·U_A` (ties make U half-integral, so
+    * the doubled form stays an integer), the rank-biserial effect size
+    * `auc = U_A/(n_A·n_B)` (= P(A > B) + ½P(A = B)), and the tie-corrected
+    * normal-approximation `z`.
+    *
+    * Scale (the Gini/Spearman device): the textbook form ranks every row
+    * — a corpus-sized per-key window. This computes the identical rank
+    * sums from the VALUE-DOMAIN aggregation: group by (key, value) with
+    * per-arm counts (map-side partials), then for a tie block of size t
+    * after `cum` prior rows every member's average rank is
+    * `cum + (t+1)/2`, so `2·R_A = Σ t_A·(2·cum + t + 1)` needs only a
+    * running count over the per-key DISTINCT-value frame. The ORACLE is
+    * written in the naive row-ranked form (`2·rank + tiecount − 1`), so
+    * the hash gate machine-checks the rewrite lossless.
+    *
+    * Exactness: rank sums assemble in DECIMAL(38,0) (↔ DuckDB HUGEINT —
+    * both convert to double with one correct rounding); the tie term
+    * `Σ t³−t` likewise. `z` is a fixed IEEE dag over those converted
+    * operands, pround(6); degenerate keys (an empty arm, or every value
+    * tied ⇒ zero variance) guard to NULL under ANSI.
+    */
+  def mannWhitneyU(df: DataFrame, keyCols: Seq[String], armCol: String,
+      centsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "mannWhitneyU needs at least one key column")
+    val keys = keyCols.map(col)
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val byValue = df
+      .groupBy(keys :+ col(centsCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col(armCol) === 0L, 1L).otherwise(0L)).as("__ta"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = coalesce(sum(col("__t")).over(w), lit(0L))
+    val agg = byValue
+      .select(keys ++ Seq(col("__t"), col("__ta"),
+        (dec(col("__ta")) * dec(lit(2L) * cum + col("__t") + 1L)).as("__r2c"),
+        (dec(col("__t")) * dec(col("__t")) * dec(col("__t")) -
+          dec(col("__t"))).as("__tiec")): _*)
+      .groupBy(keys: _*)
+      .agg(sum(col("__ta")).as("n_a"),
+        sum(col("__t") - col("__ta")).as("n_b"),
+        sum(col("__r2c")).cast("decimal(38,0)").as("__r2"),
+        sum(col("__tiec")).cast("decimal(38,0)").as("__tie"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val n = nA + nB
+    // u2 = 2·R_A − n_A(n_A+1), exact in DECIMAL then emitted as long
+    val u2 = (col("__r2") - dec(col("n_a")) * dec(col("n_a") + 1L))
+      .cast("long")
+    val u = col("u2").cast("double") / lit(2.0)
+    val mu = nA * nB / lit(2.0)
+    val variance = nA * nB / lit(12.0) *
+      ((n + lit(1.0)) - col("__tie").cast("double") / (n * (n - lit(1.0))))
+    val z = (u - mu) / sqrt(variance)
+    agg
+      .select(keys ++ Seq(col("n_a"), col("n_b"), u2.as("u2"), col("__tie")): _*)
+      .select(keys ++ Seq(col("n_a"), col("n_b"), col("u2"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          graft.util.Rounding.pround(u / (nA * nB), 6)).as("auc"),
+        when(col("n_a") > 0L && col("n_b") > 0L && variance > lit(0.0),
+          graft.util.Rounding.pround(z, 6)).as("z")): _*)
+  }
+
+  /** Leakage-safe (out-of-fold) target encoding — the categorical →
+    * numeric feature transform for training pipelines: each (category,
+    * fold) cell is encoded with the target mean computed EXCLUDING that
+    * fold's own rows, so no row's label leaks into its own feature. The
+    * fold is a deterministic md5 split on the row id (the q43 device),
+    * and the encoding is smoothed toward the global prior with strength
+    * `m` (`enc = (Σ_oof + m·prior)/(n_oof + m)`) so rare categories
+    * don't memorize their few labels.
+    *
+    * Scale: two keyed aggregations (per category×fold, per category) +
+    * one 1-row global — the out-of-fold sums derive by subtraction
+    * (`total − fold`), never by an n-fold self-join. All sums are exact
+    * integer cents; `prior` and `enc` are single divisions of exact
+    * operands, pround(6). `n_oof + m > 0` always (m ≥ 1), so ANSI-safe
+    * without guards.
+    */
+  def targetEncodeOOF(df: DataFrame, catCol: String, idCol: String,
+      centsCol: String, nFolds: Int = 5, smoothing: Int = 100): DataFrame = {
+    require(nFolds >= 2, "targetEncodeOOF needs at least two folds")
+    require(smoothing >= 1, "targetEncodeOOF needs smoothing >= 1")
+    val fold = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % nFolds
+    val cells = df
+      .groupBy(col(catCol), fold.as("fold"))
+      .agg(count(lit(1)).as("n_f"), sum(col(centsCol)).as("s_f"))
+    val totals = cells.groupBy(col(catCol))
+      .agg(sum(col("n_f")).as("n_c"), sum(col("s_f")).as("s_c"))
+    val global = totals.agg(sum(col("n_c")).as("__n"), sum(col("s_c")).as("__s"))
+    val prior = col("__s").cast("double") / col("__n").cast("double")
+    val enc = ((col("s_c") - col("s_f")).cast("double") +
+      lit(smoothing.toDouble) * prior) /
+      ((col("n_c") - col("n_f")).cast("double") + lit(smoothing.toDouble))
+    cells.join(broadcast(totals), Seq(catCol))
+      .crossJoin(broadcast(global))
+      .select(col(catCol), col("fold"),
+        (col("n_c") - col("n_f")).as("n_oof"),
+        (col("s_c") - col("s_f")).as("s_oof"),
+        graft.util.Rounding.pround(prior, 6).as("prior"),
+        graft.util.Rounding.pround(enc, 6).as("enc"))
+  }
 }

@@ -447,4 +447,60 @@ object Temporal {
         max(col("__late")).as("max_late_us"),
         sum(col("__late")).as("sum_late_us"))
   }
+
+  /** Kaplan-Meier survival estimator — the retention/churn curve with
+    * right-censoring done honestly: subjects still active at the
+    * observation cutoff aren't counted as churned, they leave the risk
+    * set at their censoring time. Input is one row per SUBJECT with an
+    * integer duration (`durCol`, e.g. hours from first to last event)
+    * and `observedCol` ∈ {0,1} (1 = the terminal event happened, 0 =
+    * censored). Emits, per distinct duration t (ascending): the risk
+    * set `n_risk` (subjects with duration ≥ t), events `d_events`,
+    * censored `c_censored`, and `s_hat = Π_{s≤t, d_s>0}(1 − d_s/n_s)`.
+    *
+    * Scale: one keyed aggregation collapses subjects to the
+    * DISTINCT-duration frame (bounded by the time domain — hours in a
+    * month: ≤744 — not the subject count), and the product runs as a
+    * single unpartitioned window over that metadata-scale frame (the
+    * q184 posture). `n_risk` derives from `N − Σ prior counts` — no
+    * per-subject window, no self-join.
+    *
+    * Exactness: `n/d/c` are exact longs; `ln(1 − d/n)` terms accumulate
+    * on the frame-order-pinned running sum (≤ domain-size terms × 1 ulp,
+    * inside the pround(6) budget — the PMI/PSI ln rule); a step where
+    * EVERYONE at risk dies (d = n) sends the product exactly to 0 from
+    * that step on (flagged via a running max, since ln(0) can't ride
+    * the sum).
+    */
+  def kaplanMeier(subjects: DataFrame, durCol: String,
+      observedCol: String): DataFrame = {
+    val byDur = subjects
+      .groupBy(col(durCol).cast("long").as("t"))
+      .agg(sum(when(col(observedCol) === 1L, 1L).otherwise(0L)).as("d_events"),
+        sum(when(col(observedCol) === 1L, 0L).otherwise(1L)).as("c_censored"))
+    val total = byDur.agg(
+      sum(col("d_events") + col("c_censored")).as("__n_total"))
+    val wPrior = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = byDur.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("__n_total") -
+          coalesce(sum(col("d_events") + col("c_censored")).over(wPrior),
+            lit(0L)))
+    val term = when(col("d_events") === 0L, lit(0.0))
+      .when(col("d_events") < col("n_risk"),
+        log(lit(1.0) - col("d_events").cast("double") /
+          col("n_risk").cast("double")))
+    val zeroed = max(when(col("d_events") === col("n_risk"), 1L)
+      .otherwise(0L)).over(wRun)
+    withRisk
+      .withColumn("__lns", sum(term).over(wRun))
+      .withColumn("__zero", zeroed)
+      .select(col("t"), col("n_risk"), col("d_events"), col("c_censored"),
+        when(col("__zero") === 1L, lit(0.0))
+          .otherwise(graft.util.Rounding.pround(exp(col("__lns")), 6))
+          .as("s_hat"))
+  }
 }

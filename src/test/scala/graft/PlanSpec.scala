@@ -1102,4 +1102,48 @@ class PlanSpec extends SparkSpec {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
       s"one scan:\n$p")
   }
+
+  test("interval overlap: bucket equi-join (broadcast incidents), no all-pairs, keyed top-3 window") {
+    val p = plan(Queries.intervalOverlap(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"overlap join degenerated to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dimension-sized incident side must broadcast:\n$p")
+    assert(unpartitionedWindows(p) == 0,
+      s"top-3 ranking partitions on event_type — no global window:\n$p")
+    assert(p.contains("Generate"), s"expected the bucket explode:\n$p")
+  }
+
+  test("mann-whitney: rank sums from the value domain — keyed windows only, no corpus sort") {
+    val p = plan(Queries.mannWhitney(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0,
+      s"the running count must partition on the key:\n$p")
+    assert(!p.contains("Join"), s"value-domain rewrite needs no join:\n$p")
+  }
+
+  test("kaplan-meier: windows ride the distinct-duration frame; totals broadcast") {
+    val p = plan(Queries.kaplanMeierQ(spark, sf0001))
+    // prior-count sum + (term sum, zero flag) share the duration frame —
+    // all unpartitioned, all metadata-scale (≤ the time domain)
+    assert(unpartitionedWindows(p) <= 3,
+      s"more global windows than the duration-frame pair:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"1-row total/max frames must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the window inputs are the grouped duration frame, not raw events:
+    // exactly one aggregate keyed on user_id feeds everything
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("target encoding: two keyed aggs + broadcast totals — no window, no fold self-join") {
+    val p = plan(Queries.targetEncoding(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0, s"no window belongs here:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"category totals must broadcast onto the cells:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"cells×totals is dimension-scale — must not shuffle-join:\n$p")
+  }
 }

@@ -166,4 +166,40 @@ class RangeJoinSpec extends SparkSpec {
       ttl = Some(java.time.Duration.ofDays(7))).select("v").head()
     assert(stale.isNullAt(0), "15-day-old row must be outside the 7-day TTL")
   }
+
+  test("intervalOverlapJoin equals the naive theta join — one row per pair, any bucket width") {
+    val a = Seq((1L, 0L, 50L), (2L, 95L, 160L), (3L, 10L, 10L),
+      (4L, 300L, 310L), (5L, 120L, 125L)).toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 40L, 100L), (11L, 10L, 12L), (12L, 161L, 200L),
+      (13L, 50L, 50L), (14L, 0L, 400L), (15L, 9L, 2L))
+      .toDF("bid", "b_lo", "b_hi")
+    // naive overlap (inverted right interval 15 matches nothing)
+    val theta = a.join(b,
+        col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi") &&
+          col("b_lo") <= col("b_hi"))
+      .select("aid", "bid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(theta.contains((1L, 13L)), "touching endpoints must overlap")
+    for (w <- Seq(7L, 64L, 1000L)) {
+      val got = RangeJoin.intervalOverlapJoin(
+          a, "a_lo", "a_hi", b, "b_lo", "b_hi", w)
+        .select("aid", "bid")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size,
+        s"pair emitted from more than one bucket at width $w")
+      assert(got.toSet === theta, s"width $w")
+    }
+    // plan shape: equi join on the bucket, never all-pairs
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = RangeJoin.intervalOverlapJoin(
+          a, "a_lo", "a_hi", b, "b_lo", "b_hi", 64L)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        s"interval overlap degenerated to all-pairs:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -691,4 +691,72 @@ class StatsSpec extends SparkSpec {
     // the bound is a lower bound and shrinks with n
     assert(got.values.forall { case (_, _, p, lb) => lb <= p })
   }
+
+  test("mannWhitneyU matches the hand-computed rank statistics, ties averaged") {
+    def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // key X: A = {1, 2, 2}, B = {2, 3}; avg rank of the three 2s = 3
+    // R_A = 1 + 3 + 3 = 7 → u2 = 2·7 − 3·4 = 2 (U_A = 1)
+    val df = Seq(("X", 0L, 1L), ("X", 0L, 2L), ("X", 0L, 2L),
+      ("X", 1L, 2L), ("X", 1L, 3L),
+      ("Y", 0L, 5L), ("Y", 0L, 6L)) // Y: arm B empty → auc/z NULL
+      .toDF("k", "arm", "v")
+    val got = Stats.mannWhitneyU(df, Seq("k"), "arm", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = got("X")
+    assert((x.getLong(1), x.getLong(2), x.getLong(3)) === ((3L, 2L, 2L)))
+    assert(x.getDouble(4) === pr6(1.0 / 6.0))
+    // tie term: t=3 at value 2 → 24; N=5 → var = 6/12·(6 − 24/20) = 2.4
+    val z = (1.0 - 3.0) / math.sqrt(3.0 * 2.0 / 12.0 *
+      ((5.0 + 1.0) - 24.0 / (5.0 * 4.0)))
+    assert(x.getDouble(5) === pr6(z))
+    val y = got("Y")
+    assert((y.getLong(1), y.getLong(2)) === ((2L, 0L)))
+    assert(y.isNullAt(4) && y.isNullAt(5),
+      "empty arm must NULL the effect size and z, not divide by zero")
+  }
+
+  test("mannWhitneyU: all values tied → zero variance → NULL z, auc = 1/2") {
+    val df = Seq(("k", 0L, 7L), ("k", 0L, 7L), ("k", 1L, 7L), ("k", 1L, 7L))
+      .toDF("k", "arm", "v")
+    val r = Stats.mannWhitneyU(df, Seq("k"), "arm", "v").head()
+    // R_A = 2·(avg rank 2.5) = 5 → u2 = 10 − 6 = 4 → U = 2 = nA·nB/2
+    assert(r.getLong(3) === 4L)
+    assert(r.getDouble(4) === 0.5)
+    assert(r.isNullAt(5), "zero-variance key must NULL z under ANSI")
+  }
+
+  test("targetEncodeOOF: independent md5 recompute — own fold excluded, smoothing applied") {
+    val rows = (0L until 400L).map(i => (if (i % 3 == 0) "a" else "b", i, i % 7))
+    val df = rows.toDF("cat", "id", "v")
+    val got = Stats.targetEncodeOOF(df, "cat", "id", "v",
+        nFolds = 5, smoothing = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // driver-side reference with its own md5 (not Spark's)
+    def fold(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 5
+    }
+    def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val n = rows.size.toDouble
+    val s = rows.map(_._3).sum.toDouble
+    val prior = s / n
+    for (((cat, f), (nOof, sOof, gotPrior, enc)) <- got) {
+      val inCat = rows.filter(_._1 == cat)
+      val oof = inCat.filterNot(r => fold(r._2) == f)
+      assert(nOof === oof.size.toLong, s"($cat,$f) n_oof")
+      assert(sOof === oof.map(_._3).sum, s"($cat,$f) s_oof")
+      assert(gotPrior === pr6(prior))
+      assert(enc === pr6((sOof.toDouble + 100.0 * prior) / (nOof.toDouble + 100.0)),
+        s"($cat,$f) enc")
+      // leakage check: the encoding never equals the WITH-fold mean when
+      // the fold actually removes rows with a different mean
+      val withFold = inCat
+      assert(oof.size < withFold.size, s"($cat,$f) fold removed nothing")
+    }
+    // every (cat, fold) cell present
+    assert(got.keySet === rows.map(r => (r._1, fold(r._2))).toSet)
+  }
 }

@@ -444,4 +444,29 @@ class TemporalSpec extends SparkSpec {
       assert(out(k) === ((n, tot, mp, mn, alarms, ts(cpIdx))), s"key $k")
     }
   }
+
+  test("kaplanMeier matches the textbook estimator; censoring shrinks risk sets; d=n zeroes the tail") {
+    // durations: 1(obs) 1(obs) 1(cens) 2(obs) 3(cens) 5(obs)
+    // t=1: n=6 d=2 c=1 → S = 1 − 2/6 = 2/3
+    // t=2: n=3 d=1     → S = 2/3 · 2/3 = 4/9
+    // t=3: n=2 d=0 c=1 → S unchanged (censor-only step)
+    // t=5: n=1 d=1     → everyone at risk dies → S = 0 exactly
+    val subj = Seq((1L, 1L), (1L, 1L), (1L, 0L), (2L, 1L), (3L, 0L), (5L, 1L))
+      .toDF("dur", "obs")
+    val got = Temporal.kaplanMeier(subj, "dur", "obs")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got(1L) === ((6L, 2L, 1L, pr6(math.exp(math.log(1.0 - 2.0 / 6.0))))))
+    assert(got(2L)._4 === pr6(math.exp(
+      math.log(1.0 - 2.0 / 6.0) + math.log(1.0 - 1.0 / 3.0))))
+    assert(got(2L)._1 === 3L)
+    assert(got(3L) === ((2L, 0L, 1L, got(2L)._4)),
+      "censor-only step must not move the curve")
+    assert(got(5L) === ((1L, 1L, 0L, 0.0)),
+      "d = n must send survival exactly to zero")
+    // monotone non-increasing
+    val ordered = got.toSeq.sortBy(_._1).map(_._2._4)
+    assert(ordered === ordered.sorted.reverse)
+  }
 }
