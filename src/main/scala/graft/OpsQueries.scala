@@ -3901,7 +3901,255 @@ object OpsQueries {
       |             * 1000000.0 + 0.5) / 1000000.0 AS mi_cum
       |FROM t""".stripMargin
 
+  // --------------------------------------------------------- kmv set ops
+  /** q189: KMV sketch set operations across sources
+    * ([[graft.transform.Stats.kmvSetOps]]) — pairwise union /
+    * intersection / Jaccard ESTIMATES between source shingle sets from
+    * 128-minimum-value sketches (the theta-sketch workflow beside
+    * q150's single-set KMV and q74's exact overlap): the corpus is
+    * touched once for the per-source min-k; all 190 pairs run on the
+    * sources×k sketch frame. Integer hashes end-to-end, so the merge
+    * and estimates hash-gate bitwise.
+    */
+  def kmvSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val h = d.select(col("source"),
+        explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      .select(col("source"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+    graft.transform.Stats.kmvSetOps(h, "source", "h", k = 128)
+  }
+
+  val kmvSourceOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source,
+      |         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      |  FROM (SELECT source,
+      |               unnest(list_transform(range(1, len(t) - 1),
+      |                      i -> array_to_string(t[i:i+2], ' '))) AS s
+      |        FROM toks WHERE len(t) >= 3)),
+      |sk AS (SELECT source, h FROM (
+      |         SELECT source, h,
+      |                row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+      |         FROM sh) WHERE rn <= 128),
+      |gs AS (SELECT DISTINCT source FROM sk),
+      |pairs AS (SELECT a.source AS g1, b.source AS g2
+      |          FROM gs a JOIN gs b ON a.source < b.source),
+      |u AS (SELECT g1, g2, h, max(ina) AS a, max(inb) AS b FROM (
+      |        SELECT p.g1, p.g2, s.h, 1 AS ina, 0 AS inb
+      |        FROM pairs p JOIN sk s ON s.source = p.g1
+      |        UNION ALL
+      |        SELECT p.g1, p.g2, s.h, 0, 1
+      |        FROM pairs p JOIN sk s ON s.source = p.g2)
+      |      GROUP BY 1, 2, 3),
+      |topk AS (SELECT g1, g2, h, a, b FROM (
+      |           SELECT g1, g2, h, a, b,
+      |                  row_number() OVER (PARTITION BY g1, g2 ORDER BY h ASC)
+      |                    AS rn
+      |           FROM u) WHERE rn <= 128),
+      |agg AS (SELECT g1, g2, CAST(count(*) AS BIGINT) AS n_merged,
+      |               CAST(sum(a * b) AS BIGINT) AS shared, max(h) AS kth
+      |        FROM topk GROUP BY 1, 2),
+      |est AS (SELECT g1, g2, n_merged, shared,
+      |               CAST(shared AS DOUBLE)
+      |                 / (CASE WHEN n_merged < 128
+      |                         THEN CAST(n_merged AS DOUBLE) ELSE 128.0 END)
+      |                 AS jac,
+      |               CASE WHEN n_merged < 128 THEN CAST(n_merged AS DOUBLE)
+      |                    ELSE 127.0 * 1152921504606846976.0
+      |                         / CAST(kth AS DOUBLE) END AS ue
+      |        FROM agg)
+      |SELECT g1, g2, n_merged, shared,
+      |       floor(jac * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+      |       floor(ue * 1000000.0 + 0.5) / 1000000.0 AS union_est,
+      |       floor(jac * ue * 1000000.0 + 0.5) / 1000000.0 AS inter_est
+      |FROM est""".stripMargin
+
+  // --------------------------------------------------------- winnowing
+  /** q190: robust winnowing fingerprints
+    * ([[Dedup.winnowingFingerprints]], MOSS) — guaranteed-coverage
+    * local fingerprint selection: every 4-window of 3-gram hashes
+    * contributes its minimum (ties rightmost), so any ≥6-token shared
+    * substring is certain to share a fingerprint. `fp_digest` pins the
+    * exact selected SET cross-engine (associative mod-sum of h⊕pos),
+    * so the gate checks the selection, not just counts.
+    */
+  def winnowingQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingFingerprints(docs(s, dir), "doc_id", "text",
+      n = 3, window = 4)
+
+  val winnowingSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+      |       FROM toks WHERE len(t) >= 3),
+      |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |             ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))
+      |               ::BIGINT AS h
+      |      FROM g0),
+      |sel AS (SELECT doc_id, pos,
+      |               min({'h': h, 'np': -pos}) OVER
+      |                 (PARTITION BY doc_id ORDER BY pos ASC
+      |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s,
+      |               CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+      |        FROM g),
+      |f AS (SELECT DISTINCT doc_id, n AS n_grams, s.h AS fh, -s.np AS fpos
+      |      FROM sel WHERE pos <= greatest(n - 4, 0))
+      |SELECT doc_id, n_grams, CAST(count(*) AS BIGINT) AS n_fp,
+      |       min(fh) AS fp_min,
+      |       CAST(sum(xor(fh, fpos) % 1000000007) AS BIGINT) AS fp_digest,
+      |       floor(CAST(count(*) AS DOUBLE) / CAST(n_grams AS DOUBLE)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS density
+      |FROM f GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- rake
+  /** q193: RAKE keyword extraction ([[Corpus.rakeKeywords]]) — global
+    * top-20 keyword phrases (maximal non-stopword runs scored by
+    * Σ deg(w)/freq(w)). Segmentation and score accumulation ride ONE
+    * doc-keyed partitioning; word stats broadcast; phrase text is
+    * materialized only for the 20 winners. The phrase-score double sum
+    * is frame-order-pinned (psi_cum device), so it gates cross-engine.
+    */
+  def rakeQ(s: SparkSession, dir: String): DataFrame =
+    Corpus.rakeKeywords(docs(s, dir), "doc_id", "text",
+      TextAnalysis.StopwordsEn, k = 20)
+
+  val rakeSql: String = {
+    val stops = TextAnalysis.StopwordsEn.mkString("('", "', '", "')")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |tk0 AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+       |tk AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS w,
+       |              CASE WHEN t[i] IN $stops THEN 1 ELSE 0 END AS stop
+       |       FROM tk0),
+       |seg AS (SELECT doc_id, pos, w, stop,
+       |               CAST(sum(stop) OVER (PARTITION BY doc_id ORDER BY pos ASC
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                    AS BIGINT) AS seg
+       |        FROM tk),
+       |words AS (SELECT doc_id, pos, w, seg FROM seg WHERE stop = 0),
+       |wl AS (SELECT doc_id, pos, w, seg,
+       |              CAST(count(*) OVER (PARTITION BY doc_id, seg) AS BIGINT)
+       |                AS plen
+       |       FROM words),
+       |ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |              CAST(sum(plen) AS BIGINT) AS deg
+       |       FROM wl GROUP BY 1),
+       |sc AS (SELECT wl.doc_id, wl.seg, wl.pos,
+       |              sum(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)) OVER
+       |                (PARTITION BY wl.doc_id, wl.seg ORDER BY wl.pos ASC
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |       FROM wl JOIN ws USING (w)),
+       |ps AS (SELECT doc_id, seg, CAST(count(*) AS BIGINT) AS n_words,
+       |              max(cum) AS score
+       |       FROM sc GROUP BY 1, 2),
+       |top AS (SELECT doc_id, seg, n_words, score FROM ps
+       |        ORDER BY score DESC, doc_id ASC, seg ASC LIMIT 20),
+       |ph AS (SELECT doc_id, seg, string_agg(w, ' ' ORDER BY pos ASC) AS phrase
+       |       FROM words GROUP BY 1, 2)
+       |SELECT t.doc_id, t.seg, p.phrase, t.n_words,
+       |       floor(t.score * 1000000.0 + 0.5) / 1000000.0 AS score
+       |FROM top t JOIN ph p USING (doc_id, seg)""".stripMargin
+  }
+
+  // --------------------------------------------------------------- dsir
+  /** q195: DSIR importance log-ratios ([[Corpus.dsirLogRatios]]) —
+    * every doc scored for English-target-likeness over 4096 hashed
+    * bigram features with add-1 smoothing; the data-selection
+    * primitive feeding importance resampling. Feature tables broadcast;
+    * per-doc ln sum frame-order-pinned.
+    */
+  def dsirQ(s: SparkSession, dir: String): DataFrame =
+    Corpus.dsirLogRatios(docs(s, dir), "doc_id", "text",
+      col("lang") === "en", buckets = 4096)
+
+  val dsirSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g0 AS (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+      |       FROM toks WHERE len(t) >= 2),
+      |g AS (SELECT doc_id, lang, CAST(i - 1 AS BIGINT) AS pos,
+      |             ('0x' || substr(md5(array_to_string(t[i:i+1], ' ')), 1, 15))
+      |               ::BIGINT % 4096 AS f
+      |      FROM g0),
+      |ct AS (SELECT f, CAST(count(*) AS BIGINT) AS c_t FROM g
+      |       WHERE lang = 'en' GROUP BY 1),
+      |cr AS (SELECT f, CAST(count(*) AS BIGINT) AS c_r FROM g GROUP BY 1),
+      |tot AS (SELECT (SELECT CAST(sum(c_r) AS BIGINT) FROM cr) AS nr,
+      |               (SELECT CAST(sum(c_t) AS BIGINT) FROM ct) AS nt),
+      |grid AS (SELECT unnest(range(0, 4096)) AS f),
+      |st AS (SELECT grid.f,
+      |              ln((CAST(coalesce(ct.c_t, 0) + 1 AS DOUBLE)
+      |                  * CAST(nr + 4096 AS DOUBLE))
+      |                 / (CAST(nt + 4096 AS DOUBLE)
+      |                    * CAST(coalesce(cr.c_r, 0) + 1 AS DOUBLE))) AS lr
+      |       FROM grid LEFT JOIN cr ON grid.f = cr.f
+      |                 LEFT JOIN ct ON grid.f = ct.f, tot),
+      |cum AS (SELECT g.doc_id, g.pos,
+      |               sum(st.lr) OVER (PARTITION BY g.doc_id ORDER BY g.pos ASC
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                 AS cum
+      |        FROM g JOIN st ON g.f = st.f)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+      |       floor((max({'p': pos, 'c': cum})).c * 1000000.0 + 0.5)
+      |         / 1000000.0 AS log_ratio
+      |FROM cum GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------------- hll merge
+  /** q196: HLL register merge across sources
+    * ([[graft.transform.Stats.hllMergeAll]]) — per-source shingle
+    * sketches union by register-wise max into one `__union__` row
+    * without re-touching the corpus; HllMerge equality with the
+    * rebuilt-from-scratch union sketch is machine-checked in
+    * StatsSpec. Same dyadic-exact arithmetic as q118, so everything
+    * gates bitwise.
+    */
+  def hllMergeQ(s: SparkSession, dir: String): DataFrame = {
+    val bag = docs(s, dir).select(col("source"),
+      explode(Dedup.shingles(col("text"))).as("shingle"))
+    graft.transform.Stats.hllMergeAll(bag, "source", "shingle")
+  }
+
+  val hllMergeSql: String =
+    """WITH toks AS (
+      |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT source,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |                               i -> array_to_string(t[i:i+2], ' '))) AS v
+      |  FROM toks WHERE len(t) >= 3),
+      |hx AS (SELECT source, md5(v) AS h FROM sh),
+      |rb AS (
+      |  SELECT source,
+      |         ('0x' || substr(h, 1, 4))::BIGINT % 64 AS bucket,
+      |         CASE WHEN ('0x' || substr(h, 5, 4))::BIGINT = 0 THEN 17
+      |              ELSE 17 - length(bin(('0x' || substr(h, 5, 4))::BIGINT))
+      |         END AS rho
+      |  FROM hx),
+      |reg AS (SELECT source AS k, bucket, max(rho) AS r FROM rb GROUP BY 1, 2),
+      |mrg AS (SELECT '__union__' AS k, bucket, max(r) AS r FROM reg GROUP BY 2),
+      |allr AS (SELECT * FROM reg UNION ALL SELECT * FROM mrg)
+      |SELECT k, CAST(count(*) AS BIGINT) AS occupied,
+      |       sum(power(CAST(2 AS DOUBLE), -r))
+      |         + CAST(64 - count(*) AS DOUBLE) AS harmonic_sum,
+      |       CAST(0.709 AS DOUBLE) * 64 * 64
+      |         / (sum(power(CAST(2 AS DOUBLE), -r))
+      |            + CAST(64 - count(*) AS DOUBLE)) AS hll_estimate
+      |FROM allr GROUP BY 1""".stripMargin
+
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_kmv_setops" -> kmvSourceOverlap _,
+    "q190_winnowing" -> winnowingQ _,
+    "q193_rake" -> rakeQ _,
+    "q195_dsir" -> dsirQ _,
+    "q196_hll_merge" -> hllMergeQ _,
     "q183_skipgram_ppmi" -> skipgramPpmiQ _,
     "q184_mutual_info" -> miLangLength _,
     "q178_ndcg" -> ndcgEval _,
@@ -4001,6 +4249,11 @@ object OpsQueries {
     "q160_dedup_savings" -> dedupSavings _)
 
   val opsOracles: Map[String, String] = Map(
+    "q189_kmv_setops" -> kmvSourceOverlapSql,
+    "q190_winnowing" -> winnowingSql,
+    "q193_rake" -> rakeSql,
+    "q195_dsir" -> dsirSql,
+    "q196_hll_merge" -> hllMergeSql,
     "q183_skipgram_ppmi" -> skipgramPpmiSql,
     "q184_mutual_info" -> miLangLengthSql,
     "q178_ndcg" -> ndcgEvalSql,

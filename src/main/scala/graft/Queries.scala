@@ -3951,6 +3951,182 @@ object Queries {
       |         / 1000000.0 AS enc
       |FROM cells JOIN tot USING (event_type), g""".stripMargin
 
+  // --------------------------------------------------------- fairness audit
+  /** q191: demographic-parity / disparate-impact audit — per protected
+    * group (market segment): positive-outcome rate (urgent/high order
+    * priority), the DI ratio against the best-treated group, and the
+    * four-fifths-rule flag. One fact→dim equi join + one keyed agg +
+    * one 5-row global max; the 0.8 decision compares the UNROUNDED
+    * ratio (identical IEEE dag both engines), so the flag gates as
+    * data.
+    */
+  def fairnessAudit(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val g = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("n_pos"))
+      .withColumn("__rr", col("n_pos").cast("double") / col("n").cast("double"))
+    val best = g.agg(max(col("__rr")).as("__best"))
+    g.crossJoin(broadcast(best))
+      .select(col("c_mktsegment"), col("n"), col("n_pos"),
+        pround(col("__rr"), 6).as("rate"),
+        pround(col("__rr") / col("__best"), 6).as("di_ratio"),
+        when(col("__rr") / col("__best") >= lit(0.8), 1L).otherwise(0L)
+          .as("four_fifths_ok"))
+  }
+
+  val fairnessAuditSql: String =
+    """WITH j AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |              THEN 1 ELSE 0 END AS pos
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |g AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(pos) AS BIGINT) AS n_pos
+      |      FROM j GROUP BY 1),
+      |r AS (SELECT seg, n, n_pos,
+      |             CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS rr FROM g),
+      |b AS (SELECT max(rr) AS best FROM r)
+      |SELECT seg AS c_mktsegment, n, n_pos,
+      |       floor(rr * 1000000.0 + 0.5) / 1000000.0 AS rate,
+      |       floor(rr / best * 1000000.0 + 0.5) / 1000000.0 AS di_ratio,
+      |       CAST(CASE WHEN rr / best >= 0.8 THEN 1 ELSE 0 END AS BIGINT)
+      |         AS four_fifths_ok
+      |FROM r, b""".stripMargin
+
+  // ------------------------------------------------------- dp noisy counts
+  /** Truncated discrete-Laplace (two-sided geometric, α = ½) inverse
+    * CDF over a 60-bit uniform: support [−8, 8], weights 2⁻|k|
+    * renormalized; thresholds are EXACT `floor(2⁶⁰·cum/766)` longs, so
+    * sampling is pure integer compares — replayable in SQL as literals
+    * (the q151 inlined-constant device). Declared above the SQL val
+    * that renders it (object-init order rule). */
+  private[graft] val DpThresholds: Seq[(Int, Long)] = {
+    val weights = (-8 to 8).map(k => k -> (256L >> math.abs(k)))
+    val tot = weights.map(_._2).sum // 766
+    var c = 0L
+    weights.map { case (k, w) =>
+      c += w
+      k -> (BigInt(2).pow(60) * c / tot).toLong
+    }
+  }
+
+  /** q192: differentially-private noisy count release — per
+    * (event_type, day) counts plus truncated discrete-Laplace noise
+    * (geometric α = ½ ⇒ ε = ln 2 per cell for the untruncated
+    * mechanism; truncation at ±8 contributes δ ≈ 2·2⁻⁸/3). The noise
+    * here derives from an md5 of the CELL KEY so the release is
+    * replayable by the oracle — a pipeline-verification harness for
+    * the DP release path; a production release swaps the hash for a
+    * sealed RNG (same inverse-CDF thresholds) and drops the true
+    * column. Row-local after one keyed agg; no joins, no windows.
+    */
+  def dpNoisyCounts(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val u = conv(substring(md5(concat_ws("|", col("event_type"),
+      date_format(col("day"), "yyyy-MM-dd"))), 1, 15), 16, 10).cast("long")
+    val first = when(u < lit(DpThresholds.head._2),
+      lit(DpThresholds.head._1.toLong))
+    val noise = DpThresholds.tail.dropRight(1).foldLeft(first) {
+      case (acc, (k, thr)) => acc.when(u < lit(thr), lit(k.toLong))
+    }.otherwise(lit(8L))
+    cells.select(col("event_type"), col("day"), col("n"),
+      noise.as("noise"),
+      greatest(col("n") + noise, lit(0L)).as("n_noisy"))
+  }
+
+  val dpNoisyCountsSql: String = {
+    val cases = DpThresholds.dropRight(1)
+      .map { case (k, thr) => s"WHEN u < $thr THEN $k" }.mkString(" ")
+    s"""WITH cells AS (
+       |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |withu AS (
+       |  SELECT event_type, day, n,
+       |         ('0x' || substr(md5(concat_ws('|', event_type,
+       |                  strftime(day, '%Y-%m-%d'))), 1, 15))::BIGINT AS u
+       |  FROM cells)
+       |SELECT event_type, day, n,
+       |       CAST(CASE $cases ELSE 8 END AS BIGINT) AS noise,
+       |       greatest(n + CAST(CASE $cases ELSE 8 END AS BIGINT), 0)
+       |         AS n_noisy
+       |FROM withu""".stripMargin
+  }
+
+  // ---------------------------------------------------------- kendall tau-b
+  /** q194: per-event-type Kendall tau-b
+    * ([[graft.transform.Stats.kendallTauB]]) between the value-cents
+    * decile and the hour of day — the concordance companion to
+    * Spearman (q122), computed entirely on the (key, x, y) cell frame:
+    * concordant/discordant pairs from the bounded cells×cells join,
+    * never a row-pair join; DECIMAL-exact pair products.
+    */
+  def kendallQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"),
+      graft.transform.Stats.cents(col("value")).as("c"),
+      hour(col("ts")).cast("long").as("y"))
+    val bounds = ev.agg(min(col("c")).as("__mn"), max(col("c")).as("__mx"))
+    val b = ev.crossJoin(broadcast(bounds)).select(col("event_type"),
+      least(lit(9L), greatest(lit(0L),
+        expr("((c - __mn) * 10) div (__mx - __mn + 1)"))).as("x"),
+      col("y"))
+    graft.transform.Stats.kendallTauB(b, Seq("event_type"), "x", "y")
+  }
+
+  val kendallSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+      |         CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS BIGINT) AS y
+      |  FROM events),
+      |bd AS (SELECT min(c) AS mn, max(c) AS mx FROM e),
+      |b AS (SELECT event_type,
+      |             least(9, greatest(0, ((c - mn) * 10) // (mx - mn + 1))) AS x,
+      |             y
+      |      FROM e, bd),
+      |cells AS (SELECT event_type, x, y, CAST(count(*) AS BIGINT) AS n
+      |          FROM b GROUP BY 1, 2, 3),
+      |cd AS (SELECT a.event_type,
+      |              CAST(sum(CASE WHEN bb.y > a.y
+      |                   THEN CAST(a.n AS HUGEINT) * bb.n ELSE
+      |                   CAST(0 AS HUGEINT) END) AS HUGEINT) AS c,
+      |              CAST(sum(CASE WHEN bb.y < a.y
+      |                   THEN CAST(a.n AS HUGEINT) * bb.n ELSE
+      |                   CAST(0 AS HUGEINT) END) AS HUGEINT) AS d
+      |       FROM cells a JOIN cells bb
+      |         ON a.event_type = bb.event_type AND a.x < bb.x
+      |       GROUP BY 1),
+      |xt AS (SELECT event_type, CAST(sum(tx * (tx - 1)) AS HUGEINT) AS t1x,
+      |              CAST(sum(tx) AS BIGINT) AS nx
+      |       FROM (SELECT event_type, x, CAST(sum(n) AS HUGEINT) AS tx
+      |             FROM cells GROUP BY 1, 2) GROUP BY 1),
+      |yt AS (SELECT event_type, CAST(sum(ty * (ty - 1)) AS HUGEINT) AS t1y
+      |       FROM (SELECT event_type, y, CAST(sum(n) AS HUGEINT) AS ty
+      |             FROM cells GROUP BY 1, 2) GROUP BY 1),
+      |j AS (SELECT xt.event_type, nx,
+      |             coalesce(c, CAST(0 AS HUGEINT)) AS c,
+      |             coalesce(d, CAST(0 AS HUGEINT)) AS d, t1x, t1y,
+      |             CAST(nx AS DOUBLE) AS nd
+      |      FROM xt JOIN yt USING (event_type) LEFT JOIN cd USING (event_type))
+      |SELECT event_type, nx AS n,
+      |       CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+      |       CASE WHEN (nd * (nd - 1.0) / 2.0 - CAST(t1x AS DOUBLE) / 2.0)
+      |                 * (nd * (nd - 1.0) / 2.0 - CAST(t1y AS DOUBLE) / 2.0)
+      |                 > 0.0
+      |            THEN floor((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+      |                 / sqrt((nd * (nd - 1.0) / 2.0
+      |                         - CAST(t1x AS DOUBLE) / 2.0)
+      |                        * (nd * (nd - 1.0) / 2.0
+      |                           - CAST(t1y AS DOUBLE) / 2.0))
+      |                 * 1000000.0 + 0.5) / 1000000.0
+      |       END AS tau_b
+      |FROM j""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -4044,7 +4220,10 @@ object Queries {
     "q185_interval_overlap" -> intervalOverlap _,
     "q186_mann_whitney" -> mannWhitney _,
     "q187_kaplan_meier" -> kaplanMeierQ _,
-    "q188_target_encoding" -> targetEncoding _)
+    "q188_target_encoding" -> targetEncoding _,
+    "q191_fairness_audit" -> fairnessAudit _,
+    "q192_dp_counts" -> dpNoisyCounts _,
+    "q194_kendall_tau" -> kendallQ _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -4138,5 +4317,8 @@ object Queries {
     "q185_interval_overlap" -> intervalOverlapSql,
     "q186_mann_whitney" -> mannWhitneySql,
     "q187_kaplan_meier" -> kaplanMeierSql,
-    "q188_target_encoding" -> targetEncodingSql)
+    "q188_target_encoding" -> targetEncodingSql,
+    "q191_fairness_audit" -> fairnessAuditSql,
+    "q192_dp_counts" -> dpNoisyCountsSql,
+    "q194_kendall_tau" -> kendallSql)
 }

@@ -951,4 +951,125 @@ object Corpus {
         min(col("__rank")).as("min_rank"),
         max(col("__rank")).as("max_rank"))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010) — corpus-level keyword
+    * phrases without a model: candidate phrases are maximal runs of
+    * non-stopword tokens; a word scores `deg(w)/freq(w)` (deg = Σ of
+    * the lengths of the phrases each occurrence sits in — favors words
+    * that live in long collocations); a phrase scores the sum of its
+    * member word scores; emit the global top-k with their text.
+    *
+    * Scale: segmentation is a per-DOC running stopword count (keyed
+    * window, one shuffle on doc id that also serves the phrase-length
+    * count and the score accumulation); word stats are vocab-sized and
+    * BROADCAST back onto the words. Phrase text is materialized only
+    * for the top-k frame (k rows), never corpus-wide.
+    *
+    * Determinism: the phrase score is a SUM OF DOUBLES over the
+    * phrase's words — accumulated as a running window sum in pinned
+    * pos order (the psi_cum device) and read off at the last row, so
+    * the association order is engine-independent. Word scores are one
+    * division each; top-k ties pin on (doc_id, seg).
+    */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], k: Int = 20): DataFrame = {
+    require(stopwords.nonEmpty, "rake needs a stopword list")
+    require(k >= 1, "rake needs k >= 1")
+    val toks = df.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "w")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("w"),
+        col("w").isInCollection(stopwords).as("__stop"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val words = toks
+      .withColumn("seg", sum(when(col("__stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("__stop"))
+    val wSeg = Window.partitionBy(col(idCol), col("seg"))
+    val wSegOrd = Window.partitionBy(col(idCol), col("seg"))
+      .orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLen = words.withColumn("plen", count(lit(1)).over(wSeg))
+    val wordStats = withLen.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val scored = withLen.join(broadcast(wordStats), "w")
+      .withColumn("__cum",
+        sum(col("deg").cast("double") / col("freq").cast("double"))
+          .over(wSegOrd))
+    val phraseScores = scored.groupBy(col(idCol), col("seg"))
+      .agg(count(lit(1)).as("n_words"),
+        max(struct(col("pos"), col("__cum"))).as("__last"))
+      .select(col(idCol), col("seg"), col("n_words"),
+        col("__last.__cum").as("__score"))
+    val top = phraseScores
+      .orderBy(col("__score").desc, col(idCol).asc, col("seg").asc)
+      .limit(k)
+    // phrase text only for the k winners: ordered window collect on the
+    // tiny joined frame
+    val winners = words.join(
+      broadcast(top.select(col(idCol), col("seg"))), Seq(idCol, "seg"))
+    val texts = winners
+      .withColumn("__ws", collect_list(col("w")).over(wSegOrd))
+      .groupBy(col(idCol), col("seg"))
+      .agg(max(struct(col("pos"), col("__ws"))).as("__m"))
+      .select(col(idCol), col("seg"),
+        array_join(col("__m.__ws"), " ").as("phrase"))
+    top.join(broadcast(texts), Seq(idCol, "seg"))
+      .select(col(idCol), col("seg"), col("phrase"), col("n_words"),
+        pround(col("__score"), 6).as("score"))
+  }
+
+  /** DSIR-style importance log-ratios (Xie et al. 2023) — data
+    * selection for language models: score every RAW document by how
+    * target-like its hashed n-gram feature distribution is,
+    * `Σ_f ln(p_target(f)/p_raw(f))` over the doc's (multiplicity-
+    * counted) hashed bigram features, with add-1 smoothing on a
+    * fixed `buckets`-sized feature space. Positive ⇒ resample toward;
+    * the standard cheap proxy for "looks like the target domain"
+    * without a model.
+    *
+    * Scale: both feature tables are `buckets` rows — built in two
+    * keyed aggs over ONE corpus pass each, then BROADCAST onto the
+    * doc-feature stream. The per-doc sum of ln terms accumulates on a
+    * doc-keyed running window in pinned position order (the psi_cum
+    * device), so the double association is engine-independent; each
+    * ln argument is a single division of exact-product operands
+    * (counts ≤ ~10⁶ keep the products inside 2⁵³), and ln's 1-ulp
+    * rides the bucket-bounded pround(6) budget.
+    */
+  def dsirLogRatios(df: DataFrame, idCol: String, textCol: String,
+      targetFilter: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, "dsir needs at least two feature buckets")
+    // the target membership rides the rows as a flag — no id join
+    val grams = df.select(col(idCol), targetFilter.as("__tgt"),
+        posexplode(graft.ops.Dedup.shingles(col(textCol), 2))
+          .as(Seq("pos", "g")))
+      .select(col(idCol), col("__tgt"), col("pos").cast("long").as("pos"),
+        (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long") %
+          buckets).as("f"))
+    val tgtCounts = grams.filter(col("__tgt"))
+      .groupBy(col("f")).agg(count(lit(1)).as("c_t"))
+    val rawCounts = grams.groupBy(col("f")).agg(count(lit(1)).as("c_r"))
+    val grid = df.sparkSession.range(buckets).select(col("id").as("f"))
+    val totals = rawCounts.agg(sum(col("c_r")).as("__nr"))
+      .crossJoin(tgtCounts.agg(sum(col("c_t")).as("__nt")))
+    val stats = grid
+      .join(broadcast(rawCounts), Seq("f"), "left")
+      .join(broadcast(tgtCounts), Seq("f"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("f"),
+        log(((coalesce(col("c_t"), lit(0L)) + 1L).cast("double") *
+          (col("__nr") + buckets.toLong).cast("double")) /
+          ((col("__nt") + buckets.toLong).cast("double") *
+            (coalesce(col("c_r"), lit(0L)) + 1L).cast("double"))).as("lr"))
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grams.join(broadcast(stats), Seq("f"))
+      .withColumn("__cum", sum(col("lr")).over(wDoc))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        max(struct(col("pos"), col("__cum"))).as("__last"))
+      .select(col(idCol), col("n_feats"),
+        pround(col("__last.__cum"), 6).as("log_ratio"))
+  }
 }

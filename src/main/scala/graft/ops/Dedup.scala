@@ -706,4 +706,60 @@ object Dedup {
     }.reduce(_ + _)
     sums.select(col(idCol), sig.as("simhash16"))
   }
+
+  /** Robust winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS) —
+    * the guaranteed-coverage local fingerprint selection the stride-8
+    * passage screen ([[duplicatePassages]]) can't give: every window of
+    * `window` consecutive n-gram hashes contributes its MINIMUM hash
+    * (ties break to the RIGHTMOST position), so any shared substring of
+    * ≥ `window + n − 1` tokens between two documents is certain to
+    * share a fingerprint — the detection guarantee stride sampling
+    * lacks. Expected density is 2/(window+1), i.e. the representation
+    * is ~2× sparser than the grams while keeping the guarantee.
+    *
+    * Emits one row per document: `n_grams`, `n_fp` (distinct selected
+    * (hash, pos) pairs), `density` (n_fp/n_grams, pround 6), and
+    * `fp_min`/`fp_xor` (order-invariant integer digests of the
+    * fingerprint set, so the gate pins the exact SELECTION, not just
+    * its size).
+    *
+    * Scale: hashes are row-local codegen md5; the min-selection runs on
+    * per-DOC windows (keyed by id — never a corpus sort); docs shorter
+    * than one full window winnow their single partial window, so every
+    * non-empty doc is covered.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, window: Int = 4): DataFrame = {
+    require(n >= 1 && window >= 2, "winnowing needs n >= 1, window >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol), posexplode(shingles(col(textCol), n)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+    val wDoc = Window.partitionBy(col(idCol))
+    val wWin = Window.partitionBy(col(idCol)).orderBy(col("pos").asc)
+      .rowsBetween(0, window - 1)
+    val selected = grams
+      .withColumn("__n", count(lit(1)).over(wDoc))
+      .withColumn("__sel", min(struct(col("h"), (-col("pos")).as("np"))).over(wWin))
+      // only anchors with a full window select — except pos 0, which
+      // covers the whole doc when the doc is shorter than one window
+      .filter(col("pos") <= greatest(col("__n") - window, lit(0L)))
+      .select(col(idCol), col("__n").as("n_grams"),
+        col("__sel.h").as("fp_h"), (-col("__sel.np")).as("fp_pos"))
+      .distinct()
+    selected.groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_fp"),
+        min(col("fp_h")).as("fp_min"),
+        // exact order-invariant digest of the selected set: associative
+        // long sum of (h⊕pos) mod 1e9+7 — each term < 2³⁰·…, the sum
+        // stays far inside int64 for any realistic doc
+        sum(col("fp_h").bitwiseXOR(col("fp_pos")) % 1000000007L)
+          .as("fp_digest"))
+      .select(col(idCol), col("n_grams"), col("n_fp"), col("fp_min"),
+        col("fp_digest"),
+        graft.util.Rounding.pround(
+          col("n_fp").cast("double") / col("n_grams").cast("double"), 6)
+          .as("density"))
+  }
 }

@@ -1097,6 +1097,204 @@ object Stats {
           graft.util.Rounding.pround(z, 6)).as("z")): _*)
   }
 
+  /** HLL sketch MERGE — the mergeability that justifies sketching at
+    * all: per-key 64-register HLL sketches ([[hllDistinct]]'s layout)
+    * union by REGISTER-WISE MAX into one `__union__` row, without
+    * re-touching the raw values. `max` is associative/idempotent, so
+    * the merged registers are IDENTICAL to the sketch built over the
+    * concatenated input — HllMergeSpec machine-checks that equality
+    * bitwise (max-of-maxes = global max), which is the property that
+    * lets 1000 executors sketch shards independently and a coordinator
+    * fold the frames.
+    *
+    * All arithmetic is the [[hllDistinct]] dyadic spelling (`2⁻ʳ` sums
+    * span < 53 bits → exact, association-free), so per-key AND merged
+    * estimates hash-gate bitwise.
+    */
+  def hllMergeAll(df: DataFrame, keyCol: String, valueCol: String,
+      m: Int = 64): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    require(m <= 65536, "m beyond the 4-digit bucket slice")
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1 + 1.079 / m)
+    }
+    val alphaM2 = alpha * m * m
+    val h = md5(col(valueCol).cast("string"))
+    val bucket = conv(substring(h, 1, 4), 16, 10).cast("long") % m
+    val probe = conv(substring(h, 5, 4), 16, 10).cast("long")
+    val rho = when(probe === 0L, lit(17L))
+      .otherwise(lit(17L) - length(bin(probe)))
+    val registers = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("k"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    // union = register-wise max across keys — touches only the
+    // keys×m register frame
+    val merged = registers.groupBy(col("bucket"))
+      .agg(max(col("r")).as("r"))
+      .select(lit("__union__").as("k"), col("bucket"), col("r"))
+    def estimate(regs: DataFrame): DataFrame =
+      regs.groupBy(col("k"))
+        .agg(count(lit(1)).as("occupied"),
+          sum(pow(lit(2.0), -col("r"))).as("__hocc"))
+        .select(col("k"), col("occupied"),
+          (col("__hocc") + (lit(m.toLong) - col("occupied")).cast("double"))
+            .as("harmonic_sum"))
+        .withColumn("hll_estimate", lit(alphaM2) / col("harmonic_sum"))
+    estimate(registers.union(merged))
+  }
+
+  /** Per-key Kendall tau-b on bucketed ordinals — the concordance
+    * companion to Spearman (q122): P(agreeing order) − P(disagreeing),
+    * tie-corrected. The corpus collapses to the (key, x, y) CELL frame
+    * first (one keyed agg, map-side partials); concordant/discordant
+    * pair counts come from the cells×cells self-join WITHIN a key with
+    * `x1 < x2` — bounded by the bucket-domain square (e.g. 10×24 cells
+    * → ≤ 28k cell pairs per key), never the row count. All pair
+    * products assemble in DECIMAL (↔ HUGEINT); tau-b is one final
+    * IEEE dag over the converted sums. Degenerate keys (all x tied or
+    * all y tied ⇒ zero denominator) guard to NULL under ANSI.
+    */
+  def kendallTauB(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "kendallTauB needs at least one key column")
+    val keys = keyCols.map(col)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df
+      .groupBy(keys :+ col(xCol).as("__x") :+ col(yCol).as("__y"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val a = cells.select(keys ++ Seq(col("__x").as("__xa"),
+      col("__y").as("__ya"), col("__n").as("__na")): _*)
+    val b = cells.select(keys ++ Seq(col("__x").as("__xb"),
+      col("__y").as("__yb"), col("__n").as("__nb")): _*)
+    val cd = a.join(b, keyCols).filter(col("__xa") < col("__xb"))
+      .groupBy(keys: _*)
+      .agg(
+        sum(when(col("__yb") > col("__ya"),
+          dec(col("__na")) * dec(col("__nb"))).otherwise(dec(lit(0L))))
+          .cast("decimal(38,0)").as("__c"),
+        sum(when(col("__yb") < col("__ya"),
+          dec(col("__na")) * dec(col("__nb"))).otherwise(dec(lit(0L))))
+          .cast("decimal(38,0)").as("__d"))
+    val xTies = cells.groupBy(keys :+ col("__x"): _*)
+      .agg(sum(col("__n")).as("__tx"))
+      .groupBy(keys: _*)
+      .agg(sum((dec(col("__tx")) * dec(col("__tx") - 1L))).cast("decimal(38,0)")
+          .as("__t1x"),
+        sum(col("__tx")).as("__nx"))
+    val yTies = cells.groupBy(keys :+ col("__y"): _*)
+      .agg(sum(col("__n")).as("__ty"))
+      .groupBy(keys: _*)
+      .agg(sum((dec(col("__ty")) * dec(col("__ty") - 1L))).cast("decimal(38,0)")
+        .as("__t1y"))
+    // drive from the ties frame (one row per key) and LEFT-join the
+    // pair counts: an all-x-tied key has no x-ordered cell pair but
+    // must still emit (with NULL tau), not vanish
+    val joined = xTies
+      .join(broadcast(yTies), keyCols)
+      .join(broadcast(cd), keyCols, "left")
+      .withColumn("__cc", coalesce(col("__c"), lit(java.math.BigDecimal.ZERO)
+        .cast("decimal(38,0)")))
+      .withColumn("__dd", coalesce(col("__d"), lit(java.math.BigDecimal.ZERO)
+        .cast("decimal(38,0)")))
+    val nD = col("__nx").cast("double")
+    val n0 = nD * (nD - lit(1.0)) / lit(2.0)
+    val n1 = col("__t1x").cast("double") / lit(2.0)
+    val n2 = col("__t1y").cast("double") / lit(2.0)
+    val num = col("__cc").cast("double") - col("__dd").cast("double")
+    val den = (n0 - n1) * (n0 - n2)
+    joined.select(keys ++ Seq(
+      col("__nx").as("n"),
+      col("__cc").cast("long").as("concordant"),
+      col("__dd").cast("long").as("discordant"),
+      when(den > lit(0.0),
+        graft.util.Rounding.pround(num / sqrt(den), 6)).as("tau_b")): _*)
+  }
+
+  /** KMV sketch SET OPERATIONS — pairwise union / intersection /
+    * Jaccard estimates between groups from k-minimum-value sketches
+    * (the theta-sketch workflow beside q150's single-group KMV
+    * cardinality): per group keep the k smallest hashes; for a pair,
+    * the k smallest of the UNION of the two sketches IS the true
+    * min-k sketch of the union (the KMV merge property), so
+    * `union_est = (k−1)·2⁶⁰/h₍ₖ₎` on the merged sketch,
+    * `jaccard = |both-flagged ∩ merged-k| / k` (the standard KMV
+    * Jaccard estimator), and `inter_est = jaccard · union_est`.
+    * Audience-overlap / cross-source containment sizing WITHOUT
+    * touching raw id sets twice.
+    *
+    * Scale: the corpus is touched ONCE (distinct + per-group min-k via
+    * the salted two-phase prune); everything pairwise happens on the
+    * groups×k sketch frame — groups²·2k rows of metadata, never data.
+    * Groups whose merged union holds < k hashes are EXACT (est = the
+    * count); k a power of two makes `shared/k` dyadic-exact.
+    *
+    * Fully hash-gateable: sketches are integer hashes, the merge is
+    * min-k (replayed as a row_number window), and the estimates are
+    * single divisions of exact operands (pround 6).
+    */
+  /** The corpus-touching stage of [[kmvSetOps]]: distinct (group, hash)
+    * → per-group k smallest via the salted two-phase prune. Public so
+    * PlanSpec pins THIS stage's plan (one scan, keyed windows) — the
+    * pairwise stage runs on its checkpointed output, whose explain
+    * truncates at LogicalRDD. */
+  def kmvSketch(hashes: DataFrame, groupCol: String, hashCol: String,
+      k: Int): DataFrame = {
+    val distinctH = hashes.select(col(groupCol).as("__g"), col(hashCol).as("__h"))
+      .distinct()
+    graft.transform.Skew.saltedTopK(
+      distinctH, Seq(col("__g")), Seq(col("__h").asc), col("__h"),
+      k = k, numSalts = 8)
+  }
+
+  def kmvSetOps(hashes: DataFrame, groupCol: String, hashCol: String,
+      k: Int = 128): DataFrame = {
+    require(k >= 2, "kmvSetOps needs k >= 2")
+    import org.apache.spark.sql.expressions.Window
+    // materialize the groups×k sketch ONCE — every pairwise branch
+    // below re-reads this frame, not the corpus lineage (without the
+    // checkpoint the plan re-scans the input ~6×)
+    val sketch = kmvSketch(hashes, groupCol, hashCol, k)
+      .localCheckpoint(true)
+    val groups = sketch.select(col("__g")).distinct()
+    val pairs = groups.select(col("__g").as("g1"))
+      .join(groups.select(col("__g").as("g2")), col("g1") < col("g2"))
+    val tagged =
+      pairs.join(broadcast(sketch.select(col("__g").as("g1"), col("__h"))),
+          Seq("g1"))
+        .select(col("g1"), col("g2"), col("__h"), lit(1L).as("__ina"),
+          lit(0L).as("__inb"))
+      .union(
+        pairs.join(broadcast(sketch.select(col("__g").as("g2"), col("__h"))),
+            Seq("g2"))
+          .select(col("g1"), col("g2"), col("__h"), lit(0L).as("__ina"),
+            lit(1L).as("__inb")))
+    val merged = tagged
+      .groupBy(col("g1"), col("g2"), col("__h"))
+      .agg(max(col("__ina")).as("__a"), max(col("__inb")).as("__b"))
+    val wk = Window.partitionBy(col("g1"), col("g2")).orderBy(col("__h").asc)
+    val topk = merged
+      .withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") <= k)
+    val perPair = topk.groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_merged"),
+        sum(col("__a") * col("__b")).as("shared"),
+        max(col("__h")).as("__kth"))
+    val exactSmall = col("n_merged") < k
+    val unionEst = when(exactSmall, col("n_merged").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+        col("__kth").cast("double"))
+    val jac = col("shared").cast("double") /
+      when(exactSmall, col("n_merged").cast("double")).otherwise(lit(k.toDouble))
+    perPair.select(col("g1"), col("g2"), col("n_merged"), col("shared"),
+      graft.util.Rounding.pround(jac, 6).as("jaccard"),
+      graft.util.Rounding.pround(unionEst, 6).as("union_est"),
+      graft.util.Rounding.pround(jac * unionEst, 6).as("inter_est"))
+  }
+
   /** Leakage-safe (out-of-fold) target encoding — the categorical →
     * numeric feature transform for training pipelines: each (category,
     * fold) cell is encoded with the target mean computed EXCLUDING that

