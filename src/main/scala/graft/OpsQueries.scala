@@ -4144,7 +4144,76 @@ object OpsQueries {
       |            + CAST(64 - count(*) AS DOUBLE)) AS hll_estimate
       |FROM allr GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------ mrr / map
+  /** q199: MRR + MAP@10 ([[Similarity.retrievalMrrMap]]) — completes
+    * the retrieval-eval triple with q178's NDCG and OpsSpec's recall
+    * A/Bs, on the same label-match run over the first-64-vector query
+    * set and the same exact cosine-ranking replay.
+    */
+  def mrrMapEval(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.retrievalMrrMap(e, e.filter(col("vec_id") < 64),
+      "vec_id", "embedding", "label", k = 10)
+  }
+
+  val mrrMapEvalSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(label AS BIGINT) AS qlab,
+      |         CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 64),
+      |c AS (
+      |  SELECT vec_id AS neighbor_id, CAST(label AS BIGINT) AS nlab,
+      |         CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, qlab, neighbor_id, nlab,
+      |         list_cosine_similarity(qv, cv) AS cos
+      |  FROM q JOIN c ON query_id <> neighbor_id),
+      |top AS (
+      |  SELECT query_id, qlab, nlab, rn FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |             ORDER BY cos DESC, neighbor_id ASC) AS rn
+      |    FROM scored)
+      |  WHERE rn <= 10),
+      |g AS (SELECT query_id, qlab, CAST(rn AS BIGINT) AS rn,
+      |             CASE WHEN qlab = nlab THEN 1 ELSE 0 END AS rel
+      |      FROM top),
+      |w2 AS (SELECT query_id, qlab, rn, rel,
+      |              CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rn ASC
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                   AS BIGINT) AS cumrel
+      |       FROM g),
+      |w3 AS (SELECT query_id, qlab, rn, rel, cumrel,
+      |              sum(CASE WHEN rel = 1
+      |                       THEN CAST(cumrel AS DOUBLE) / CAST(rn AS DOUBLE)
+      |                       ELSE 0.0 END)
+      |                OVER (PARTITION BY query_id ORDER BY rn ASC
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                AS apcum
+      |       FROM w2),
+      |per AS (SELECT query_id, qlab AS label,
+      |               min(CASE WHEN rel = 1 THEN rn END) AS first_rel_rank,
+      |               CAST(sum(rel) AS BIGINT) AS n_rel,
+      |               (max({'r': rn, 'c': apcum})).c AS apl
+      |        FROM w3 GROUP BY 1, 2),
+      |lc AS (SELECT CAST(label AS BIGINT) AS label,
+      |              CAST(count(*) AS BIGINT) AS labn
+      |       FROM embeddings GROUP BY 1),
+      |j AS (SELECT query_id, label, first_rel_rank, n_rel, apl,
+      |             least(10, labn - 1) AS r
+      |      FROM per JOIN lc USING (label))
+      |SELECT query_id, label,
+      |       CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+      |       CASE WHEN first_rel_rank IS NOT NULL
+      |            THEN 1.0 / CAST(first_rel_rank AS DOUBLE) END AS rr,
+      |       n_rel,
+      |       CASE WHEN r <= 0 THEN 0.0
+      |            ELSE floor(apl / CAST(r AS DOUBLE) * 1000000.0 + 0.5)
+      |                 / 1000000.0 END AS ap
+      |FROM j""".stripMargin
+
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_mrr_map" -> mrrMapEval _,
     "q189_kmv_setops" -> kmvSourceOverlap _,
     "q190_winnowing" -> winnowingQ _,
     "q193_rake" -> rakeQ _,
@@ -4249,6 +4318,7 @@ object OpsQueries {
     "q160_dedup_savings" -> dedupSavings _)
 
   val opsOracles: Map[String, String] = Map(
+    "q199_mrr_map" -> mrrMapEvalSql,
     "q189_kmv_setops" -> kmvSourceOverlapSql,
     "q190_winnowing" -> winnowingSql,
     "q193_rake" -> rakeSql,

@@ -4127,6 +4127,111 @@ object Queries {
       |       END AS tau_b
       |FROM j""".stripMargin
 
+  // ----------------------------------------------------- markov absorption
+  /** q197: 8-step Markov absorption into 'purchase'
+    * ([[graft.transform.Temporal.markovAbsorption]]) — per-state
+    * conversion probability within 8 transitions on the empirical
+    * user-journey chain, in exact 2²⁰ fixed-point (the q91 PageRank
+    * device), so the WHOLE recursion replays as a DuckDB recursive CTE
+    * and the emitted dyadic probability gates bitwise with no rounding
+    * column. (The oracle's recursion drives from `tr.prev`, which is
+    * lossless here because every state has outgoing transitions; the
+    * operator itself re-left-joins the state list each round.)
+    */
+  def markovAbsorptionQ(s: SparkSession, dir: String): DataFrame =
+    Temporal.markovAbsorption(t(s, dir, "events"), "user_id", "event_type",
+      "ts", "event_id", target = "purchase", steps = 8)
+
+  val markovAbsorptionSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT event_type AS prev,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+      |  FROM events),
+      |tr AS (SELECT prev, nxt, CAST(count(*) AS BIGINT) AS c
+      |       FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev, CAST(sum(c) AS BIGINT) AS ct FROM tr GROUP BY 1),
+      |states AS (SELECT DISTINCT event_type AS s FROM events),
+      |it(k, s, p) AS (
+      |  SELECT 0, s,
+      |         CAST(CASE WHEN s = 'purchase' THEN 1048576 ELSE 0 END AS BIGINT)
+      |  FROM states
+      |  UNION ALL
+      |  SELECT it.k + 1, tr.prev,
+      |         CAST(CASE WHEN tr.prev = 'purchase' THEN 1048576
+      |              ELSE sum(tr.c * it.p) // max(tot.ct) END AS BIGINT)
+      |  FROM it JOIN tr ON tr.nxt = it.s JOIN tot ON tot.prev = tr.prev
+      |  WHERE it.k < 8
+      |  GROUP BY it.k + 1, tr.prev)
+      |SELECT s, p AS p_scaled, CAST(p AS DOUBLE) / 1048576.0 AS prob
+      |FROM it WHERE k = 8""".stripMargin
+
+  // ------------------------------------------------------- block bootstrap
+  /** q198: moving-block bootstrap CI for the mean hourly event rate
+    * ([[graft.transform.Stats.movingBlockBootstrap]]) — 200 replicates
+    * of day-length (L=24) blocks over the dense hourly series; CI =
+    * 2.5%/97.5% order statistics of the replicate means, SE from exact
+    * DECIMAL moments. Block starts are deterministic Knuth hashes, so
+    * the whole resampling replays in SQL.
+    */
+  def bootstrapCIQ(s: SparkSession, dir: String): DataFrame = {
+    val hrs = t(s, dir, "events")
+      .select(unix_micros(date_trunc("hour", col("ts"))).as("hus"))
+    val bounds = hrs.agg(min(col("hus")).as("__mn"), max(col("hus")).as("__mx"))
+    val counts = hrs.crossJoin(broadcast(bounds))
+      .select(expr("(hus - __mn) div 3600000000").as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("v"))
+    val grid = bounds.select(explode(sequence(lit(0L),
+      expr("(__mx - __mn) div 3600000000"))).as("__i"))
+    val series = grid.join(counts, Seq("__i"), "left")
+      .select(col("__i"), coalesce(col("v"), lit(0L)).as("v"))
+    graft.transform.Stats.movingBlockBootstrap(series, "__i", "v",
+      blockLen = 24, reps = 200)
+  }
+
+  val bootstrapCISql: String =
+    """WITH h AS (
+      |  SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hus
+      |  FROM events),
+      |bd AS (SELECT min(hus) AS mn, max(hus) AS mx FROM h),
+      |cnt AS (SELECT (hus - mn) // 3600000000 AS i,
+      |               CAST(count(*) AS BIGINT) AS v
+      |        FROM h, bd GROUP BY 1),
+      |grid AS (SELECT unnest(range(0, (mx - mn) // 3600000000 + 1)) AS i
+      |         FROM bd),
+      |s AS (SELECT grid.i, coalesce(cnt.v, 0) AS v
+      |      FROM grid LEFT JOIN cnt ON grid.i = cnt.i),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS tot
+      |      FROM s),
+      |g0 AS (SELECT unnest(range(0, 200)) AS b),
+      |g1 AS (SELECT b, unnest(range(0, (n + 23) // 24)) AS j FROM g0, n),
+      |g2 AS (SELECT b, j, (b * 2654435761 + j * 40503) % (n - 24 + 1) AS start
+      |       FROM g1, n),
+      |g3 AS (SELECT b, j, start, unnest(range(0, 24)) AS off FROM g2),
+      |g4 AS (SELECT g3.b, start + off AS i FROM g3, n WHERE j * 24 + off < n),
+      |rs AS (SELECT b, CAST(sum(s.v) AS BIGINT) AS sb
+      |       FROM g4 JOIN s ON g4.i = s.i GROUP BY 1),
+      |rm AS (SELECT b, sb, CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+      |              row_number() OVER (ORDER BY CAST(sb AS DOUBLE)
+      |                   / CAST(n AS DOUBLE) ASC, b ASC) AS rn
+      |       FROM rs, n),
+      |mom AS (SELECT CAST(count(*) AS BIGINT) AS b_reps,
+      |               sum(CAST(sb AS HUGEINT)) AS s1,
+      |               sum(CAST(sb AS HUGEINT) * sb) AS s2,
+      |               min(CASE WHEN rn = 5 THEN m END) AS lo,
+      |               min(CASE WHEN rn = 196 THEN m END) AS hi
+      |        FROM rm)
+      |SELECT n.n, b_reps,
+      |       floor(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+      |         / 1000000.0 AS mean_hat,
+      |       floor(lo * 1000000.0 + 0.5) / 1000000.0 AS boot_lo,
+      |       floor(hi * 1000000.0 + 0.5) / 1000000.0 AS boot_hi,
+      |       floor(sqrt(greatest(200.0 * CAST(s2 AS DOUBLE)
+      |                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0)
+      |                  / (200.0 * 199.0)) / CAST(n AS DOUBLE)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS boot_se
+      |FROM mom, n""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -4223,7 +4328,9 @@ object Queries {
     "q188_target_encoding" -> targetEncoding _,
     "q191_fairness_audit" -> fairnessAudit _,
     "q192_dp_counts" -> dpNoisyCounts _,
-    "q194_kendall_tau" -> kendallQ _)
+    "q194_kendall_tau" -> kendallQ _,
+    "q197_markov_absorption" -> markovAbsorptionQ _,
+    "q198_bootstrap_ci" -> bootstrapCIQ _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -4320,5 +4427,7 @@ object Queries {
     "q188_target_encoding" -> targetEncodingSql,
     "q191_fairness_audit" -> fairnessAuditSql,
     "q192_dp_counts" -> dpNoisyCountsSql,
-    "q194_kendall_tau" -> kendallSql)
+    "q194_kendall_tau" -> kendallSql,
+    "q197_markov_absorption" -> markovAbsorptionSql,
+    "q198_bootstrap_ci" -> bootstrapCISql)
 }

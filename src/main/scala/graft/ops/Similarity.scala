@@ -371,6 +371,58 @@ object Similarity {
         col("n_rel"), col("ndcg"))
   }
 
+  /** MRR + MAP@k — the other two thirds of the retrieval-eval triple
+    * beside [[retrievalNdcg]]: mean-reciprocal-rank rewards the FIRST
+    * relevant hit's position, average precision integrates precision
+    * at every relevant position. Same label-match relevance, same
+    * exact cosine ranking replay (q20), so both gate cross-engine:
+    * `rr = 1/first_rel_rank` is a single division of exact operands,
+    * and the AP accumulation runs as a rank-ordered running sum on the
+    * per-query k-row frame (frame-pinned association), normalized by
+    * `min(k, R)` with R the corpus-truth relevant count — the same
+    * ideal-denominator honesty as NDCG's IDCG@R.
+    */
+  def retrievalMrrMap(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int = 10,
+      numSalts: Int = 16): DataFrame = {
+    require(k >= 1, "retrievalMrrMap needs k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val labels = corpus.select(col(idCol).as("__lid"),
+      col(labelCol).cast("long").as("__lab"))
+    val labelCounts = labels.groupBy(col("__lab").as("qlab"))
+      .agg(count(lit(1)).as("__labn"))
+    val hits = bruteForceTopK(corpus, queries, idCol, vecCol, k, numSalts)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+      .join(labels.select(col("__lid").as("query_id"), col("__lab").as("qlab")),
+        Seq("query_id"))
+      .join(labels.select(col("__lid").as("neighbor_id"), col("__lab").as("nlab")),
+        Seq("neighbor_id"))
+      .withColumn("__rel", when(col("qlab") === col("nlab"), 1L).otherwise(0L))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = hits
+      .withColumn("__cumrel", sum(col("__rel")).over(wq))
+      .withColumn("__apterm", when(col("__rel") === 1L,
+        col("__cumrel").cast("double") / col("rank").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("__apcum", sum(col("__apterm")).over(wq))
+    val per = scored.groupBy(col("query_id"), col("qlab"))
+      .agg(min(when(col("__rel") === 1L, col("rank"))).as("first_rel_rank"),
+        sum(col("__rel")).as("n_rel"),
+        max(struct(col("rank"), col("__apcum"))).as("__last"))
+    per.join(broadcast(labelCounts), Seq("qlab"))
+      .withColumn("__r", least(lit(k.toLong), col("__labn") - 1L))
+      .select(col("query_id"), col("qlab").as("label"),
+        col("first_rel_rank"),
+        when(col("first_rel_rank").isNotNull,
+          lit(1.0) / col("first_rel_rank").cast("double")).as("rr"),
+        col("n_rel"),
+        when(col("__r") <= 0L, lit(0.0)).otherwise(
+          pround(col("__last.__apcum") / col("__r").cast("double"), 6))
+          .as("ap"))
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor,
     * the `k` most-similar corpus vectors carrying a DIFFERENT label —
     * the negatives that actually shape a contrastive margin, vs the

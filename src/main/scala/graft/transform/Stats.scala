@@ -1097,6 +1097,81 @@ object Stats {
           graft.util.Rounding.pround(z, 6)).as("z")): _*)
   }
 
+  /** Moving-block bootstrap CI for the mean of an autocorrelated
+    * series — the honest uncertainty readout the iid bootstrap gets
+    * wrong on time series (hourly counts are dependent; resampling
+    * single hours understates the variance). Each of `reps` replicates
+    * rebuilds the series from ⌈n/L⌉ length-`L` blocks whose starts are
+    * DETERMINISTIC Knuth-hash picks (`(b·2654435761 + j·40503) mod
+    * (n−L+1)` — the q73 replayable-sampling device), truncated to
+    * exactly n values; the CI is the 2.5%/97.5% ORDER STATISTICS of
+    * the replicate means (pure rank selection, no interpolation) and
+    * the SE comes from exact DECIMAL moments of the replicate sums.
+    *
+    * Scale: the series frame is metadata-sized (one value per time
+    * bucket) and BROADCASTS into the reps×⌈n/L⌉×L selection grid; the
+    * ranking window rides the `reps`-row frame. Nothing corpus-scale
+    * is touched here — building the series is the caller's (one-agg)
+    * job.
+    */
+  def movingBlockBootstrap(series: DataFrame, idxCol: String,
+      valueCol: String, blockLen: Int, reps: Int): DataFrame = {
+    require(blockLen >= 1 && reps >= 40,
+      "bootstrap needs blockLen >= 1 and reps >= 40 for 2.5% tails")
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val s = series.select(col(idxCol).cast("long").as("__i"),
+      col(valueCol).cast("long").as("__v"))
+    val nf = s.agg(count(lit(1)).as("__n"), sum(col("__v")).as("__tot"))
+    val spark = series.sparkSession
+    val grid = spark.range(reps).select(col("id").as("b"))
+      .crossJoin(broadcast(nf))
+      .select(col("b"), col("__n"), col("__tot"),
+        explode(sequence(lit(0L),
+          expr(s"(__n + ${blockLen - 1}L) div ${blockLen}L - 1L"))).as("j"))
+      .select(col("b"), col("__n"), col("__tot"), col("j"),
+        ((col("b") * 2654435761L + col("j") * 40503L) %
+          (col("__n") - blockLen + 1L)).as("start"))
+      .select(col("b"), col("__n"), col("__tot"), col("j"), col("start"),
+        explode(sequence(lit(0L), lit(blockLen - 1L))).as("off"))
+      .filter(col("j") * blockLen + col("off") < col("__n"))
+      .select(col("b"), col("__n"), col("__tot"),
+        (col("start") + col("off")).as("__i"))
+    val repSums = grid.join(broadcast(s), Seq("__i"))
+      .groupBy(col("b"))
+      .agg(max(col("__n")).as("__n"), max(col("__tot")).as("__tot"),
+        sum(col("__v")).as("__s"))
+    val wRank = Window.orderBy(col("__mean").asc, col("b").asc)
+    val loRank = math.max(1, reps * 25 / 1000)
+    val hiRank = reps - loRank + 1
+    val ranked = repSums
+      .withColumn("__mean",
+        col("__s").cast("double") / col("__n").cast("double"))
+      .withColumn("__rn", row_number().over(wRank))
+    val moments = ranked.agg(
+      max(col("__n")).as("n"),
+      max(col("__tot")).as("__tot"),
+      count(lit(1)).as("b_reps"),
+      sum(dec(col("__s"))).cast("decimal(38,0)").as("__s1"),
+      sum(dec(col("__s")) * dec(col("__s"))).cast("decimal(38,0)").as("__s2"),
+      min(when(col("__rn") === loRank, col("__mean"))).as("__lo"),
+      min(when(col("__rn") === hiRank, col("__mean"))).as("__hi"))
+    val bD = lit(reps.toDouble)
+    val nD = col("n").cast("double")
+    val varNum = bD * col("__s2").cast("double") -
+      col("__s1").cast("double") * col("__s1").cast("double")
+    moments.select(col("n"), col("b_reps"),
+      graft.util.Rounding.pround(
+        col("__tot").cast("double") / nD, 6).as("mean_hat"),
+      graft.util.Rounding.pround(col("__lo"), 6).as("boot_lo"),
+      graft.util.Rounding.pround(col("__hi"), 6).as("boot_hi"),
+      graft.util.Rounding.pround(
+        // clamp: the exact-moment numerator can land −1 ulp below zero
+        // on constant series and DuckDB errors on sqrt(negative)
+        sqrt(greatest(varNum, lit(0.0)) / (bD * (bD - lit(1.0)))) / nD, 6)
+        .as("boot_se"))
+  }
+
   /** HLL sketch MERGE — the mergeability that justifies sketching at
     * all: per-key 64-register HLL sketches ([[hllDistinct]]'s layout)
     * union by REGISTER-WISE MAX into one `__union__` row, without

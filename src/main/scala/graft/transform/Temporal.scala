@@ -472,6 +472,59 @@ object Temporal {
     * that step on (flagged via a running max, since ln(0) can't ride
     * the sum).
     */
+  /** k-step Markov absorption probability — "what's the chance this
+    * state reaches `target` within `steps` transitions?" on the
+    * empirical transition matrix (the forward-looking companion to the
+    * q88 transition readout and the q101/q120 funnels). The target is
+    * IMPOSED absorbing (p = 1 at every step) and the recursion is
+    * `p'(s) = Σ_t c(s,t)·p(t) div c(s)` in FIXED-POINT integers
+    * (scale 2²⁰) — the q91 PageRank device — so every round is exact
+    * integer arithmetic and the whole recursion replays in a DuckDB
+    * recursive CTE, floor-divisions and all. The emitted probability
+    * `p/2²⁰` is a dyadic division: exact in both engines, no rounding
+    * column needed.
+    *
+    * Scale: the event log is touched ONCE (per-key lag window → counts);
+    * the iteration runs on the states² transition frame — metadata,
+    * checkpointed once; `steps` tiny broadcast joins follow. States
+    * with no outgoing transitions re-enter each round with p = 0 via
+    * the left join (they can't reach anything).
+    */
+  def markovAbsorption(events: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, tieCol: String, target: String, steps: Int = 8,
+      scaleBits: Int = 20): DataFrame = {
+    require(steps >= 1 && scaleBits >= 10 && scaleBits <= 30,
+      "markovAbsorption needs steps >= 1 and a sane fixed-point scale")
+    val scale = 1L << scaleBits
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val tr = events
+      .select(col(keyCol), col(attrCol), col(tsCol), col(tieCol))
+      .withColumn("__to", lead(col(attrCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(attrCol).as("from_s"), col("__to").as("to_s"))
+      .agg(count(lit(1)).as("c"))
+    val totals = tr.groupBy(col("from_s")).agg(sum(col("c")).as("ct"))
+    val trC = tr.join(totals, "from_s").localCheckpoint(true)
+    val states = events.select(col(attrCol).as("s")).distinct()
+      .localCheckpoint(true)
+    def absorb(p: Column): Column =
+      when(col("s") === target, lit(scale)).otherwise(p)
+    var p = states.select(col("s"), absorb(lit(0L)).as("p"))
+      .localCheckpoint(true)
+    for (_ <- 1 to steps) {
+      val stepped = trC
+        .join(p.select(col("s").as("to_s"), col("p").as("__pt")), "to_s")
+        .groupBy(col("from_s"))
+        .agg(sum(col("c") * col("__pt")).as("__num"), max(col("ct")).as("__ct"))
+        .select(col("from_s").as("s"), expr("__num div __ct").as("__pn"))
+      p = states.join(stepped, Seq("s"), "left")
+        .select(col("s"), absorb(coalesce(col("__pn"), lit(0L))).as("p"))
+        .localCheckpoint(true)
+    }
+    p.select(col("s"), col("p").as("p_scaled"),
+      (col("p").cast("double") / lit(scale.toDouble)).as("prob"))
+  }
+
   def kaplanMeier(subjects: DataFrame, durCol: String,
       observedCol: String): DataFrame = {
     val byDur = subjects

@@ -1185,6 +1185,39 @@ class PlanSpec extends SparkSpec {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p)
   }
 
+  test("markov absorption: events touched once (transition stage); iteration rides checkpointed state frames") {
+    // the corpus-touching stage: per-key lag window + one keyed agg
+    val tm = graft.transform.Temporal.transitionMatrix(
+      graft.Tables.load(spark, sf0001, "events"),
+      "user_id", "event_type", "ts", "event_id")
+    val ps = plan(tm)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(ps).length == 1, ps)
+    // the full query's final plan hangs off checkpointed metadata
+    // frames — parquet must not reappear
+    val p = plan(Queries.markovAbsorptionQ(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).isEmpty,
+      s"iteration re-reads the corpus:\n$p")
+  }
+
+  test("bootstrap ci: series broadcasts into the replicate grid; one 200-row rank window") {
+    val p = plan(Queries.bootstrapCIQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 1,
+      s"only the replicate-rank window may be unpartitioned:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the series frame must broadcast into the grid:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing here is big enough to shuffle-join:\n$p")
+  }
+
+  test("mrr/map: salted knn + keyed label joins; AP windows partition per query") {
+    val p = plan(OpsQueries.mrrMapEval(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0,
+      s"AP accumulation must partition on query_id:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), s"label frames broadcast:\n$p")
+  }
+
   test("rake: doc-keyed windows only; word stats broadcast; top-k is TakeOrdered, not a global window") {
     val p = plan(OpsQueries.rakeQ(spark, sf0001))
     assert(unpartitionedWindows(p) == 0,

@@ -1080,6 +1080,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("retrievalMrrMap: hand-ranked neighborhood — first-hit reciprocal, AP over min(k, R)") {
+    def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),
+      (1L, Seq(0.99f, 0.14f), 0),  // rank 1, not relevant
+      (2L, Seq(0.95f, 0.31f), 1),  // rank 2, relevant
+      (3L, Seq(0.7f, 0.71f), 1),   // rank 3, relevant
+      (4L, Seq(0.0f, 1.0f), 0),
+      (5L, Seq(-1.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.retrievalMrrMap(e, e.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", "label", k = 5).head()
+    assert(r.getLong(0) === 0L && r.getLong(1) === 1L)
+    assert(r.getLong(2) === 2L, "first relevant at rank 2")
+    assert(r.getDouble(3) === 0.5)
+    assert(r.getLong(4) === 2L)
+    // R = min(5, 3 labeled-1 minus self) = 2; AP = (1/2 + 2/3)/2
+    assert(r.getDouble(5) === pr6((0.5 + 2.0 / 3.0) / 2.0))
+  }
+
   test("winnowing matches the driver-side reference (ties rightmost) and keeps the coverage guarantee") {
     def h60(gram: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

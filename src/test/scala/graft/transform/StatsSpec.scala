@@ -795,6 +795,24 @@ class StatsSpec extends SparkSpec {
       merged("__union__")._3 >= merged("b")._3)
   }
 
+  test("movingBlockBootstrap: constant series collapses the CI; varying series brackets the mean") {
+    val const = (0L until 96L).map(i => (i, 7L)).toDF("i", "v")
+    val rc = Stats.movingBlockBootstrap(const, "i", "v",
+      blockLen = 24, reps = 200).head()
+    assert(rc.getLong(0) === 96L && rc.getLong(1) === 200L)
+    assert(rc.getDouble(2) === 7.0 && rc.getDouble(3) === 7.0 &&
+      rc.getDouble(4) === 7.0)
+    assert(rc.getDouble(5) === 0.0, "constant series must have zero SE")
+    // a varying series: CI must bracket the point estimate, se > 0
+    val varying = (0L until 96L).map(i => (i, (i % 11) + (i / 24))).toDF("i", "v")
+    val rv = Stats.movingBlockBootstrap(varying, "i", "v",
+      blockLen = 24, reps = 200).head()
+    assert(rv.getDouble(3) <= rv.getDouble(2) + 1.0 &&
+      rv.getDouble(4) >= rv.getDouble(2) - 1.0,
+      s"CI [${rv.getDouble(3)}, ${rv.getDouble(4)}] vs mean ${rv.getDouble(2)}")
+    assert(rv.getDouble(3) < rv.getDouble(4) && rv.getDouble(5) > 0.0)
+  }
+
   test("targetEncodeOOF: independent md5 recompute — own fold excluded, smoothing applied") {
     val rows = (0L until 400L).map(i => (if (i % 3 == 0) "a" else "b", i, i % 7))
     val df = rows.toDF("cat", "id", "v")

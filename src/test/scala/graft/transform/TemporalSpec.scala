@@ -445,6 +445,35 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("markovAbsorption: exact fixed-point recursion on a hand-built chain") {
+    // user journeys: u1: A B P, u2: A B A, u3: B P B — transitions:
+    // A→B:2, B→P:2, B→A:1, P→B:1, A from u2... recount below in asserts
+    val rows = Seq(
+      (1L, "A", 0L), (1L, "B", 1L), (1L, "P", 2L),
+      (2L, "A", 10L), (2L, "B", 11L), (2L, "A", 12L),
+      (3L, "B", 20L), (3L, "P", 21L), (3L, "B", 22L))
+    val df = rows.map { case (u, a, s) =>
+      (u, a, new java.sql.Timestamp(s * 1000L), s) }
+      .toDF("u", "a", "t", "eid")
+    val got = Temporal.markovAbsorption(df, "u", "a", "t", "eid",
+        target = "P", steps = 3, scaleBits = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val S = 1L << 20
+    // transitions: A→B (u1:1, u2:1) = 2; B→P (u1:1, u3:1) = 2;
+    // B→A (u2) = 1; P→B (u3) = 1. ct: A=2, B=3, P=1.
+    // p0: P=S else 0
+    // p1: A = (2·0)//2 = 0; B = (2·S + 1·0)//3; P = S
+    val b1 = (2 * S) / 3
+    // p2: A = (2·b1)//2 = b1; B = (2·S + 1·0)//3 = b1 (A was 0 at k=1); P = S
+    val a2 = b1
+    val b2 = (2 * S + 1 * 0) / 3
+    // p3: A = (2·b2)//2 = b2; B = (2·S + a2... B→A uses p2(A)=b1:
+    val b3 = (2 * S + 1 * a2) / 3
+    assert(got("P") === S, "absorbing state pins at 1.0")
+    assert(got("A") === b2, s"A after 3 steps")
+    assert(got("B") === b3, s"B after 3 steps")
+  }
+
   test("kaplanMeier matches the textbook estimator; censoring shrinks risk sets; d=n zeroes the tail") {
     // durations: 1(obs) 1(obs) 1(cens) 2(obs) 3(cens) 5(obs)
     // t=1: n=6 d=2 c=1 → S = 1 − 2/6 = 2/3
