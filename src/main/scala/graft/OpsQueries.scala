@@ -4212,7 +4212,69 @@ object OpsQueries {
       |                 / 1000000.0 END AS ap
       |FROM j""".stripMargin
 
+  // --------------------------------------------------------- shared spans
+  /** q200: maximal shared-span extraction ([[Dedup.sharedSpans]]) —
+    * the exact-substring-dedup readout on winnowing fingerprints:
+    * fingerprint-keyed candidate pairs (capped at 8 docs per
+    * fingerprint — the boilerplate valve), diagonal-chained into
+    * maximal spans with the winnowing completeness guarantee for runs
+    * ≥ 6 tokens. Every number is an exact integer; the whole chain
+    * hash-gates.
+    */
+  def sharedSpansQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedSpans(docs(s, dir), "doc_id", "text",
+      n = 3, window = 4, maxDocsPerFp = 8, minSpanTokens = 6)
+
+  val sharedSpansSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+      |       FROM toks WHERE len(t) >= 3),
+      |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |             ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))
+      |               ::BIGINT AS h
+      |      FROM g0),
+      |sel AS (SELECT doc_id, pos,
+      |               min({'h': h, 'np': -pos}) OVER
+      |                 (PARTITION BY doc_id ORDER BY pos ASC
+      |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s,
+      |               CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+      |        FROM g),
+      |f AS (SELECT DISTINCT doc_id, s.h AS fh, -s.np AS fpos
+      |      FROM sel WHERE pos <= greatest(n - 4, 0)),
+      |dpf AS (SELECT DISTINCT fh, doc_id FROM f),
+      |cap AS (SELECT fh, doc_id FROM (
+      |          SELECT fh, doc_id,
+      |                 row_number() OVER (PARTITION BY fh ORDER BY doc_id ASC)
+      |                   AS rn
+      |          FROM dpf) WHERE rn <= 8),
+      |cf AS (SELECT f.doc_id, f.fh, f.fpos
+      |       FROM f JOIN cap ON f.fh = cap.fh AND f.doc_id = cap.doc_id),
+      |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |             a.fpos - b.fpos AS diag, a.fpos AS pos_a, b.fpos AS pos_b
+      |      FROM cf a JOIN cf b ON a.fh = b.fh AND a.doc_id < b.doc_id),
+      |lg AS (SELECT doc_a, doc_b, diag, pos_a, pos_b,
+      |              CASE WHEN pos_a - lag(pos_a) OVER
+      |                   (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a ASC)
+      |                   > 4 THEN 1 ELSE 0 END AS gap
+      |       FROM m),
+      |isl AS (SELECT doc_a, doc_b, diag, pos_a, pos_b,
+      |               CAST(sum(gap) OVER
+      |                 (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a ASC
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                 AS BIGINT) AS island
+      |        FROM lg),
+      |sp AS (SELECT doc_a, doc_b, diag, island,
+      |              min(pos_a) AS a_start, max(pos_a) AS a_end,
+      |              min(pos_b) AS b_start, CAST(count(*) AS BIGINT) AS n_fps
+      |       FROM isl GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b, a_start, b_start,
+      |       a_end - a_start + 3 AS span_tokens, n_fps
+      |FROM sp WHERE a_end - a_start + 3 >= 6""".stripMargin
+
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_shared_spans" -> sharedSpansQ _,
     "q199_mrr_map" -> mrrMapEval _,
     "q189_kmv_setops" -> kmvSourceOverlap _,
     "q190_winnowing" -> winnowingQ _,
@@ -4318,6 +4380,7 @@ object OpsQueries {
     "q160_dedup_savings" -> dedupSavings _)
 
   val opsOracles: Map[String, String] = Map(
+    "q200_shared_spans" -> sharedSpansSql,
     "q199_mrr_map" -> mrrMapEvalSql,
     "q189_kmv_setops" -> kmvSourceOverlapSql,
     "q190_winnowing" -> winnowingSql,

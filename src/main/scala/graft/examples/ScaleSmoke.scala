@@ -129,7 +129,15 @@ object ScaleSmoke {
       // pairs, the lateness prefix scan meets 10x chunks, PQ assignment
       // meets the same broadcast codebook at 10x rows
       "q168_simhash_join", "q169_lateness_profile", "q170_balanced_shards",
-      "q171_pq_codes")
+      "q171_pq_codes",
+      // round-9 late additions: the interval-overlap bucket join meets
+      // 10x the user-day intervals, winnowing's doc-keyed window-min
+      // meets 10x docs (and the duplicate mixture), the value-domain
+      // Mann-Whitney meets 10x rows on the same value domain, DSIR's
+      // broadcast feature stats meet 10x the doc-feature stream, and
+      // the KMV sketch prune meets 10x the shingle stream
+      "q185_interval_overlap", "q190_winnowing", "q186_mann_whitney",
+      "q195_dsir", "q189_kmv_setops")
     // warm scans once
     (gen.keys ++ passthrough).foreach { t =>
       try graft.Tables.load(spark, out, t).count()

@@ -728,7 +728,11 @@ object Dedup {
     * than one full window winnow their single partial window, so every
     * non-empty doc is covered.
     */
-  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+  /** The selection frame behind [[winnowingFingerprints]]: one row per
+    * distinct selected (hash, position) per doc, plus the doc's gram
+    * count. Public so span extraction ([[sharedSpans]]) and the
+    * per-doc stats share one definition. */
+  def winnowingSelections(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, window: Int = 4): DataFrame = {
     require(n >= 1 && window >= 2, "winnowing needs n >= 1, window >= 2")
     import org.apache.spark.sql.expressions.Window
@@ -739,7 +743,7 @@ object Dedup {
     val wDoc = Window.partitionBy(col(idCol))
     val wWin = Window.partitionBy(col(idCol)).orderBy(col("pos").asc)
       .rowsBetween(0, window - 1)
-    val selected = grams
+    grams
       .withColumn("__n", count(lit(1)).over(wDoc))
       .withColumn("__sel", min(struct(col("h"), (-col("pos")).as("np"))).over(wWin))
       // only anchors with a full window select — except pos 0, which
@@ -748,6 +752,11 @@ object Dedup {
       .select(col(idCol), col("__n").as("n_grams"),
         col("__sel.h").as("fp_h"), (-col("__sel.np")).as("fp_pos"))
       .distinct()
+  }
+
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, window: Int = 4): DataFrame = {
+    val selected = winnowingSelections(df, idCol, textCol, n, window)
     selected.groupBy(col(idCol), col("n_grams"))
       .agg(count(lit(1)).as("n_fp"),
         min(col("fp_h")).as("fp_min"),
@@ -761,5 +770,61 @@ object Dedup {
         graft.util.Rounding.pround(
           col("n_fp").cast("double") / col("n_grams").cast("double"), 6)
           .as("density"))
+  }
+
+  /** Maximal SHARED-SPAN extraction — the exact-substring-dedup readout
+    * (Lee et al. 2022's "deduplicating training data makes LMs better"
+    * concern, at winnowing granularity): for every doc pair sharing
+    * winnowing fingerprints, chain the matches lying on one DIAGONAL
+    * (`posA − posB` constant — the same relative alignment) with gaps
+    * ≤ `window` into maximal spans, and report spans of ≥
+    * `minSpanTokens` tokens with both start offsets. The winnowing
+    * guarantee makes this COMPLETE for shared runs of ≥ `window+n−1`
+    * tokens: every such run selects at least one common fingerprint,
+    * and a long run selects one at least every `window` positions, so
+    * the gap-≤-window chain reconstructs its full extent.
+    *
+    * Scale: candidate pairs come from a fingerprint-keyed equi join —
+    * never all-pairs; boilerplate fingerprints shared by many docs are
+    * capped at `maxDocsPerFp` docs (the [[capBlocks]] valve —
+    * keep-min-ids, deterministic, dropped mass loggable). Islands form
+    * on per-(pair, diagonal) keyed windows. Everything is exact
+    * integers — the whole chain hash-gates.
+    */
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, window: Int = 4, maxDocsPerFp: Int = 8,
+      minSpanTokens: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowingSelections(df, idCol, textCol, n, window)
+      .select(col(idCol).as("__id"), col("fp_h"), col("fp_pos"))
+    val docsPerFp = fps.select(col("fp_h"), col("__id")).distinct()
+    val allowed = capBlocks(docsPerFp, "fp_h", "__id", maxDocsPerFp)
+    val capped = fps.join(allowed, Seq("fp_h", "__id"))
+    val a = capped.select(col("fp_h"), col("__id").as("doc_a"),
+      col("fp_pos").as("pos_a"))
+    val b = capped.select(col("fp_h"), col("__id").as("doc_b"),
+      col("fp_pos").as("pos_b"))
+    val matches = a.join(b, Seq("fp_h")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("pos_a") - col("pos_b")).as("diag"),
+        col("pos_a"), col("pos_b"))
+    val wDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a").asc)
+    val wRun = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = matches
+      .withColumn("__gap",
+        when(col("pos_a") - lag(col("pos_a"), 1).over(wDiag) > window, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__gap")).over(wRun))
+    islands
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("__island"))
+      .agg(min(col("pos_a")).as("a_start"), max(col("pos_a")).as("__a_end"),
+        min(col("pos_b")).as("b_start"), count(lit(1)).as("n_fps"))
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        (col("__a_end") - col("a_start") + n).as("span_tokens"),
+        col("n_fps"))
+      .filter(col("span_tokens") >= minSpanTokens)
   }
 }

@@ -1218,6 +1218,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"label frames broadcast:\n$p")
   }
 
+  test("shared spans: fingerprint-keyed pair join (capped), keyed island windows, no all-pairs") {
+    val p = plan(OpsQueries.sharedSpansQ(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"span candidates must come from the fingerprint equi join:\n$p")
+    assert(unpartitionedWindows(p) == 0,
+      s"winnowing + island windows are keyed:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+      s"expected the fingerprint-keyed join:\n$p")
+  }
+
   test("rake: doc-keyed windows only; word stats broadcast; top-k is TakeOrdered, not a global window") {
     val p = plan(OpsQueries.rakeQ(spark, sf0001))
     assert(unpartitionedWindows(p) == 0,

@@ -1100,6 +1100,29 @@ class OpsSpec extends SparkSpec {
     assert(r.getDouble(5) === pr6((0.5 + 2.0 / 3.0) / 2.0))
   }
 
+  test("sharedSpans: planted shared run is recovered at full extent; disjoint docs emit nothing") {
+    // a 20-token planted run: first/last fully-shared windows select in
+    // disjoint gram ranges, so the recovered extent is provably >= 14
+    // tokens regardless of which grams win their windows
+    val shared = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen " +
+      "seventeen eighteen nineteen twenty"
+    val df = Seq(
+      (1L, s"aa bb $shared cc dd"),
+      (2L, s"xx $shared yy zz qq"),
+      (3L, "totally different words without any overlap here at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedSpans(df, "doc_id", "text",
+        n = 3, window = 4, maxDocsPerFp = 8, minSpanTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === Set((1L, 2L)), s"only the planted pair: $got")
+    val (aStart, bStart, spanTokens) = got((1L, 2L))
+    assert(spanTokens >= 14L && spanTokens <= 20L, s"span $spanTokens")
+    assert(aStart - bStart === 1L,
+      s"diagonal must reflect the 1-token offset: a=$aStart b=$bStart")
+  }
+
   test("winnowing matches the driver-side reference (ties rightmost) and keeps the coverage guarantee") {
     def h60(gram: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
