@@ -4273,7 +4273,112 @@ object OpsQueries {
       |       a_end - a_start + 3 AS span_tokens, n_fps
       |FROM sp WHERE a_end - a_start + 3 >= 6""".stripMargin
 
+  // ------------------------------------------------------ dedup sweep
+  /** q201: dedup-threshold sweep — the capacity-planning curve behind
+    * q160's single-point savings forecast: on the q18 blocked-pair
+    * frame, for each Jaccard threshold 0.5..0.9 count surviving pairs,
+    * docs dropped under keep-min-id, and characters reclaimed. Every
+    * threshold decision is the EXACT INTEGER comparison
+    * `10·|A∩B| ≥ t10·|A∪B|` (the q158 subset-flag device) — no float
+    * enters a decision, so the whole curve hash-gates. One pair frame
+    * feeds all five thresholds via an explode; empty thresholds emit
+    * zero rows via the grid.
+    */
+  def dedupSweep(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val capped = Dedup.capBlocks(
+      d.select(col("source"), col("doc_id")), "source", "doc_id",
+      NgramJaccardBlockCap)
+    val a = capped.select(col("source"), col("doc_id").as("a"))
+    val b = capped.select(col("source"), col("doc_id").as("b"))
+    val pairs = graft.transform.Skew
+      .saltedBlockSelfJoin(a, b, "source", col("a"), col("b"), numSalts = 8)
+      .filter(col("a") < col("b")).select("a", "b")
+    val jac = Dedup.ngramJaccard(pairs, Dedup.shingleSet(d, "doc_id", "text"),
+      "doc_id")
+    val chars = d.select(col("doc_id").as("b"), col("n_chars"))
+    val x = jac.join(chars, "b")
+      .select(col("a"), col("b"), col("n_common"),
+        (col("sz_a") + col("sz_b") - col("n_common")).as("__u"),
+        col("n_chars"),
+        explode(array((5 to 9).map(t => lit(t.toLong)): _*)).as("t10"))
+      .filter(col("n_common") * 10L >= col("t10") * col("__u"))
+    // ONE consumption of the pair lineage: per-(threshold, dropped-doc)
+    // partials, then the per-threshold rollup — the naive two-branch
+    // form (count pairs + distinct docs) re-ran the whole q18 lineage
+    // twice (18 parquet scans)
+    val perB = x.groupBy(col("t10"), col("b"))
+      .agg(count(lit(1)).as("__np"), max(col("n_chars")).as("__ch"))
+    val aggT = perB.groupBy(col("t10"))
+      .agg(sum(col("__np")).as("n_pairs"),
+        count(lit(1)).as("n_docs_dropped"),
+        sum(col("__ch")).as("chars_reclaimed"))
+    val grid = d.sparkSession.range(5, 10).select(col("id").as("t10"))
+    grid.join(broadcast(aggT), Seq("t10"), "left")
+      .select(col("t10"),
+        (col("t10").cast("double") / lit(10.0)).as("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+        coalesce(col("chars_reclaimed"), lit(0L)).as("chars_reclaimed"))
+  }
+
+  val dedupSweepSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) - 1),
+       |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+       |    FROM toks WHERE len(t) >= 3)),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+       |          FROM sh GROUP BY doc_id),
+       |capped AS (
+       |  SELECT source, doc_id FROM (
+       |    SELECT source, doc_id,
+       |           row_number() OVER (PARTITION BY source ORDER BY doc_id ASC)
+       |             AS rn
+       |    FROM documents)
+       |  WHERE rn <= $NgramJaccardBlockCap),
+       |pairs AS (
+       |  SELECT d1.doc_id AS a, d2.doc_id AS b
+       |  FROM capped d1 JOIN capped d2
+       |    ON d1.source = d2.source AND d1.doc_id < d2.doc_id),
+       |common AS (
+       |  SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM pairs p
+       |  JOIN sh sa ON sa.doc_id = p.a
+       |  JOIN sh sb ON sb.doc_id = p.b AND sb.s = sa.s
+       |  GROUP BY p.a, p.b),
+       |base AS (
+       |  SELECT p.a, p.b, coalesce(c.n_common, 0) AS nc,
+       |         za.sz + zb.sz - coalesce(c.n_common, 0) AS u,
+       |         ch.n_chars
+       |  FROM pairs p
+       |  LEFT JOIN common c ON c.a = p.a AND c.b = p.b
+       |  JOIN sizes za ON za.doc_id = p.a
+       |  JOIN sizes zb ON zb.doc_id = p.b
+       |  JOIN documents ch ON ch.doc_id = p.b),
+       |x AS (SELECT t10, a, b, n_chars
+       |      FROM base, (SELECT unnest([5, 6, 7, 8, 9]) AS t10) th
+       |      WHERE nc * 10 >= t10 * u),
+       |grid AS (SELECT unnest([5, 6, 7, 8, 9]) AS t10),
+       |np AS (SELECT t10, CAST(count(*) AS BIGINT) AS n_pairs
+       |       FROM x GROUP BY 1),
+       |dr AS (SELECT t10, CAST(count(*) AS BIGINT) AS n_docs_dropped,
+       |              CAST(sum(n_chars) AS BIGINT) AS chars_reclaimed
+       |       FROM (SELECT DISTINCT t10, b, n_chars FROM x) GROUP BY 1)
+       |SELECT CAST(g.t10 AS BIGINT) AS t10,
+       |       CAST(g.t10 AS DOUBLE) / 10.0 AS threshold,
+       |       coalesce(np.n_pairs, 0) AS n_pairs,
+       |       coalesce(dr.n_docs_dropped, 0) AS n_docs_dropped,
+       |       coalesce(dr.chars_reclaimed, 0) AS chars_reclaimed
+       |FROM grid g LEFT JOIN np ON g.t10 = np.t10
+       |            LEFT JOIN dr ON g.t10 = dr.t10""".stripMargin
+
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_dedup_sweep" -> dedupSweep _,
     "q200_shared_spans" -> sharedSpansQ _,
     "q199_mrr_map" -> mrrMapEval _,
     "q189_kmv_setops" -> kmvSourceOverlap _,
@@ -4380,6 +4485,7 @@ object OpsQueries {
     "q160_dedup_savings" -> dedupSavings _)
 
   val opsOracles: Map[String, String] = Map(
+    "q201_dedup_sweep" -> dedupSweepSql,
     "q200_shared_spans" -> sharedSpansSql,
     "q199_mrr_map" -> mrrMapEvalSql,
     "q189_kmv_setops" -> kmvSourceOverlapSql,

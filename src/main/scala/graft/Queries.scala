@@ -4232,6 +4232,93 @@ object Queries {
       |             * 1000000.0 + 0.5) / 1000000.0 AS boot_se
       |FROM mom, n""".stripMargin
 
+  // ------------------------------------------------------ forecast backtest
+  /** q202: seasonal-naive forecast backtest with MASE — the honest
+    * forecast-quality readout for capacity planning: predict each of
+    * the last 7 days' hourly counts per event type by the same hour
+    * one week earlier, and scale the test error by the IN-SAMPLE
+    * seasonal-naive error (MASE — scale-free, well-defined on zero
+    * hours where MAPE explodes). Dense hourly grid so gaps forecast
+    * as true zeros; the 168-hour lag is an EQUI self-join on the
+    * shifted index (no window over the series); all errors exact
+    * integers, MASE one division chain, pround 6.
+    */
+  def forecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val hrs = t(s, dir, "events").select(col("event_type"),
+      unix_micros(date_trunc("hour", col("ts"))).as("hus"))
+    val bounds = hrs.agg(min(col("hus")).as("__mn"), max(col("hus")).as("__mx"))
+    val cnt = hrs.crossJoin(broadcast(bounds))
+      .select(col("event_type"), expr("(hus - __mn) div 3600000000").as("i"))
+      .groupBy(col("event_type"), col("i")).agg(count(lit(1)).as("v"))
+    val types = hrs.select(col("event_type")).distinct()
+    val grid = types.crossJoin(broadcast(bounds.select(
+      explode(sequence(lit(0L), expr("(__mx - __mn) div 3600000000"))).as("i"))))
+    val series = grid.join(cnt, Seq("event_type", "i"), "left")
+      .select(col("event_type"), col("i"), coalesce(col("v"), lit(0L)).as("v"))
+    val lagged = series.join(
+      series.select(col("event_type"), (col("i") + 168L).as("i"),
+        col("v").as("vlag")),
+      Seq("event_type", "i"))
+    val scored = lagged.crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("i"),
+        abs(col("v") - col("vlag")).as("err"),
+        (col("i") >=
+          expr("(__mx - __mn) div 3600000000") + 1L - 168L).as("__isTest"))
+    val agg = scored.groupBy(col("event_type"))
+      .agg(sum(when(col("__isTest"), 1L).otherwise(0L)).as("n_test"),
+        sum(when(col("__isTest"), col("err")).otherwise(0L)).as("abs_err_test"),
+        sum(when(!col("__isTest"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(!col("__isTest"), col("err")).otherwise(0L)).as("abs_err_train"))
+    val mase = (col("abs_err_test").cast("double") / col("n_test").cast("double")) /
+      (col("abs_err_train").cast("double") / col("n_train").cast("double"))
+    agg.select(col("event_type"), col("n_test"), col("abs_err_test"),
+      col("n_train"), col("abs_err_train"),
+      when(col("n_test") > 0L && col("n_train") > 0L &&
+        col("abs_err_train") > 0L, pround(mase, 6)).as("mase"))
+  }
+
+  val forecastBacktestSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |         epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hus
+      |  FROM events),
+      |bd AS (SELECT min(hus) AS mn, max(hus) AS mx FROM h),
+      |cnt AS (SELECT event_type, (hus - mn) // 3600000000 AS i,
+      |               CAST(count(*) AS BIGINT) AS v
+      |        FROM h, bd GROUP BY 1, 2),
+      |ty AS (SELECT DISTINCT event_type FROM h),
+      |grid AS (SELECT event_type, unnest(range(0, (mx - mn) // 3600000000 + 1))
+      |                AS i
+      |         FROM ty, bd),
+      |s AS (SELECT grid.event_type, grid.i, coalesce(cnt.v, 0) AS v
+      |      FROM grid LEFT JOIN cnt
+      |        ON grid.event_type = cnt.event_type AND grid.i = cnt.i),
+      |lg AS (SELECT s1.event_type, s1.i, abs(s1.v - s2.v) AS err
+      |       FROM s s1 JOIN s s2
+      |         ON s1.event_type = s2.event_type AND s1.i = s2.i + 168),
+      |sc AS (SELECT event_type, err,
+      |              i >= (mx - mn) // 3600000000 + 1 - 168 AS is_test
+      |       FROM lg, bd),
+      |agg AS (SELECT event_type,
+      |               CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT)
+      |                 AS n_test,
+      |               CAST(sum(CASE WHEN is_test THEN err ELSE 0 END) AS BIGINT)
+      |                 AS abs_err_test,
+      |               CAST(sum(CASE WHEN NOT is_test THEN 1 ELSE 0 END)
+      |                 AS BIGINT) AS n_train,
+      |               CAST(sum(CASE WHEN NOT is_test THEN err ELSE 0 END)
+      |                 AS BIGINT) AS abs_err_train
+      |        FROM sc GROUP BY 1)
+      |SELECT event_type, n_test, abs_err_test, n_train, abs_err_train,
+      |       CASE WHEN n_test > 0 AND n_train > 0 AND abs_err_train > 0
+      |            THEN floor((CAST(abs_err_test AS DOUBLE)
+      |                        / CAST(n_test AS DOUBLE))
+      |                       / (CAST(abs_err_train AS DOUBLE)
+      |                          / CAST(n_train AS DOUBLE))
+      |                       * 1000000.0 + 0.5) / 1000000.0
+      |       END AS mase
+      |FROM agg""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -4330,7 +4417,8 @@ object Queries {
     "q192_dp_counts" -> dpNoisyCounts _,
     "q194_kendall_tau" -> kendallQ _,
     "q197_markov_absorption" -> markovAbsorptionQ _,
-    "q198_bootstrap_ci" -> bootstrapCIQ _)
+    "q198_bootstrap_ci" -> bootstrapCIQ _,
+    "q202_forecast_backtest" -> forecastBacktest _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -4429,5 +4517,6 @@ object Queries {
     "q192_dp_counts" -> dpNoisyCountsSql,
     "q194_kendall_tau" -> kendallSql,
     "q197_markov_absorption" -> markovAbsorptionSql,
-    "q198_bootstrap_ci" -> bootstrapCISql)
+    "q198_bootstrap_ci" -> bootstrapCISql,
+    "q202_forecast_backtest" -> forecastBacktestSql)
 }

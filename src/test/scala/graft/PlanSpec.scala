@@ -1218,6 +1218,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"label frames broadcast:\n$p")
   }
 
+  test("dedup sweep: one pair frame feeds all thresholds (explode, not 5 passes); no cartesian") {
+    val p = plan(OpsQueries.dedupSweep(spark, sf0001))
+    assert(p.contains("Generate"), s"thresholds must explode, not re-scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the jaccard machinery's scan count: shingles + sizes + caps reuse
+    // q18's shape (~9 scans); the sweep's single-consumption rollup
+    // must not double it (the two-branch form hit 18)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length <= 9,
+      s"threshold sweep re-reads the corpus per threshold:\n$p")
+    // monotonicity: tightening the threshold can only shrink the curve
+    val rows = OpsQueries.dedupSweep(spark, sf0001)
+      .orderBy(col("t10")).collect()
+    val pairsByT = rows.map(_.getLong(2))
+    assert(pairsByT.sameElements(pairsByT.sorted.reverse),
+      s"n_pairs must be non-increasing in threshold: ${pairsByT.toSeq}")
+  }
+
+  test("forecast backtest: dense grid + equi self-join on the shifted index — no series window") {
+    val p = plan(Queries.forecastBacktest(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0, s"no window belongs here:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"the 168-hour lag must be an equi join:\n$p")
+  }
+
   test("shared spans: fingerprint-keyed pair join (capped), keyed island windows, no all-pairs") {
     val p = plan(OpsQueries.sharedSpansQ(spark, sf0001))
     assert(!p.contains("CartesianProduct") &&
