@@ -4319,6 +4319,71 @@ object Queries {
       |       END AS mase
       |FROM agg""".stripMargin
 
+  // --------------------------------------------------------- bitemporal pit
+  /** q203: bitemporal point-in-time retrieval — the training-set
+    * REPRODUCIBILITY readout for the feature store (M4's PIT join made
+    * honest about late-arriving data): each feature row carries a
+    * synthesized arrival time `created = ts + md5-lateness(≤2h)`, and
+    * the query answers "what did the store KNOW at knowledge time K?"
+    * beside "what does it know now?" — rows where they differ are
+    * exactly the entities whose training features are irreproducible
+    * from today's store. Both answers come from ONE scan and ONE keyed
+    * argmax (`max(struct(ts, value, type))`, conditional for the as-of
+    * leg) — the q06 fused-dedup device, not two PIT joins.
+    */
+  def bitemporalPit(s: SparkSession, dir: String): DataFrame = {
+    val entityTs = lit("2024-01-15 00:00:00").cast("timestamp")
+    val kUs = 1705280400000000L // 2024-01-15 01:00:00 UTC, epoch µs
+    val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+      col("value"), col("event_type"),
+      (unix_micros(col("ts")) +
+        (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 7200L) * 1000000L).as("__created_us"))
+    val eligible = ev.filter(col("ts") <= entityTs &&
+      col("ts") >= entityTs - expr("INTERVAL 7 DAY"))
+    val ordered = struct(col("ts"), col("value"), col("event_type"))
+    val per = eligible.groupBy(col("user_id"))
+      .agg(max(ordered).as("__now"),
+        max(when(col("__created_us") <= kUs, ordered)).as("__asof"))
+    val entities = t(s, dir, "events").select(col("user_id")).distinct()
+    entities.join(per, Seq("user_id"), "left")
+      .select(col("user_id"), entityTs.as("event_timestamp"),
+        col("__now.value").as("value_now"),
+        col("__now.event_type").as("type_now"),
+        col("__asof.value").as("value_asof"),
+        col("__asof.event_type").as("type_asof"),
+        when(!(col("__asof.value") <=> col("__now.value")) ||
+          !(col("__asof.event_type") <=> col("__now.event_type")), 1L)
+          .otherwise(0L).as("irreproducible"))
+  }
+
+  val bitemporalPitSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP))
+      |           + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+      |              ::BIGINT % 7200) * 1000000 AS created_us
+      |  FROM events),
+      |el AS (SELECT * FROM ev
+      |       WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+      |         AND ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 7 DAY),
+      |per AS (
+      |  SELECT user_id,
+      |         max({'ts': ts, 'v': value, 'et': event_type}) AS now_s,
+      |         max(CASE WHEN created_us <= 1705280400000000
+      |                  THEN {'ts': ts, 'v': value, 'et': event_type} END)
+      |           AS asof_s
+      |  FROM el GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT u.user_id,
+      |       TIMESTAMP '2024-01-15 00:00:00' AS event_timestamp,
+      |       (now_s).v AS value_now, (now_s).et AS type_now,
+      |       (asof_s).v AS value_asof, (asof_s).et AS type_asof,
+      |       CAST(CASE WHEN (asof_s).v IS DISTINCT FROM (now_s).v
+      |                   OR (asof_s).et IS DISTINCT FROM (now_s).et
+      |            THEN 1 ELSE 0 END AS BIGINT) AS irreproducible
+      |FROM u LEFT JOIN per ON u.user_id = per.user_id""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -4418,7 +4483,8 @@ object Queries {
     "q194_kendall_tau" -> kendallQ _,
     "q197_markov_absorption" -> markovAbsorptionQ _,
     "q198_bootstrap_ci" -> bootstrapCIQ _,
-    "q202_forecast_backtest" -> forecastBacktest _)
+    "q202_forecast_backtest" -> forecastBacktest _,
+    "q203_bitemporal_pit" -> bitemporalPit _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -4518,5 +4584,6 @@ object Queries {
     "q194_kendall_tau" -> kendallSql,
     "q197_markov_absorption" -> markovAbsorptionSql,
     "q198_bootstrap_ci" -> bootstrapCISql,
-    "q202_forecast_backtest" -> forecastBacktestSql)
+    "q202_forecast_backtest" -> forecastBacktestSql,
+    "q203_bitemporal_pit" -> bitemporalPitSql)
 }

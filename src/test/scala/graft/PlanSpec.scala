@@ -1218,6 +1218,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"label frames broadcast:\n$p")
   }
 
+  test("bitemporal pit: both knowledge legs from ONE argmax agg — no second PIT join, no window") {
+    val p = plan(Queries.bitemporalPit(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0, s"fused argmax, not a window:\n$p")
+    // events scanned once for features + once for the entity key space
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length <= 2,
+      s"the two knowledge legs must share one scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("dedup sweep: one pair frame feeds all thresholds (explode, not 5 passes); no cartesian") {
     val p = plan(OpsQueries.dedupSweep(spark, sf0001))
     assert(p.contains("Generate"), s"thresholds must explode, not re-scan:\n$p")
