@@ -4377,7 +4377,52 @@ object OpsQueries {
        |FROM grid g LEFT JOIN np ON g.t10 = np.t10
        |            LEFT JOIN dr ON g.t10 = dr.t10""".stripMargin
 
+  // ------------------------------------------------------ label propagation
+  /** q204: label-propagation communities ([[Graph.labelPropagation]],
+    * 5 rounds) on the capped co-supplier graph — the densely-connected
+    * groups INSIDE the q41-style reachability classes. Every round is
+    * exact integer mode-with-min-tiebreak, so the fixed budget replays
+    * as a recursive CTE with a two-level aggregation in the recursive
+    * term (counts → struct-argmax).
+    */
+  def labelPropagationQ(s: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(coSupplierEdges(s, dir), rounds = 5,
+      loopShufflePartitions = 8)
+
+  val labelPropagationSql: String =
+    s"""WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |capped AS (
+       |  SELECT l_partkey, l_suppkey FROM (
+       |    SELECT l_partkey, l_suppkey,
+       |           row_number() OVER (PARTITION BY l_partkey
+       |                              ORDER BY l_suppkey ASC) AS rn
+       |    FROM ps)
+       |  WHERE rn <= $TriangleBlockCap),
+       |und AS (
+       |  SELECT DISTINCT c1.l_suppkey AS a, c2.l_suppkey AS b
+       |  FROM capped c1 JOIN capped c2
+       |    ON c1.l_partkey = c2.l_partkey AND c1.l_suppkey < c2.l_suppkey),
+       |sym AS (SELECT a AS src, b AS dst FROM und
+       |        UNION SELECT b, a FROM und),
+       |lp(k, node, label) AS (
+       |  SELECT 0, src, src FROM (SELECT DISTINCT src FROM sym)
+       |  UNION ALL
+       |  SELECT k, dst, (min({'nc': nc, 'l': label})).l
+       |  FROM (
+       |    SELECT lp.k + 1 AS k, s.dst, lp.label AS label, -count(*) AS nc
+       |    FROM lp JOIN sym s ON s.src = lp.node
+       |    WHERE lp.k < 5
+       |    GROUP BY 1, 2, 3) g
+       |  GROUP BY k, dst),
+       |fin AS (SELECT node, CAST(label AS BIGINT) AS label
+       |        FROM lp WHERE k = 5),
+       |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+       |       FROM fin GROUP BY 1)
+       |SELECT CAST(node AS BIGINT) AS node, label, community_size
+       |FROM fin JOIN sz USING (label)""".stripMargin
+
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_label_propagation" -> labelPropagationQ _,
     "q201_dedup_sweep" -> dedupSweep _,
     "q200_shared_spans" -> sharedSpansQ _,
     "q199_mrr_map" -> mrrMapEval _,
@@ -4485,6 +4530,7 @@ object OpsQueries {
     "q160_dedup_savings" -> dedupSavings _)
 
   val opsOracles: Map[String, String] = Map(
+    "q204_label_propagation" -> labelPropagationSql,
     "q201_dedup_sweep" -> dedupSweepSql,
     "q200_shared_spans" -> sharedSpansSql,
     "q199_mrr_map" -> mrrMapEvalSql,

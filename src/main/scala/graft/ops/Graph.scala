@@ -125,6 +125,59 @@ object Graph {
       sess.conf.set("spark.sql.shuffle.partitions", p))
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007)
+    * — the cheap community detector beside the min-label connected
+    * components of [[graft.ops.Dedup.connectedComponents]] (which
+    * finds REACHABILITY classes; LPA finds densely-connected groups
+    * inside them): labels start as node ids and each round every node
+    * adopts its neighbors' MODE label, ties to the smallest label —
+    * `min(struct(-count, label))`, so every round is exact integer
+    * arithmetic with a deterministic tiebreak and the whole fixed
+    * `rounds` budget replays as a DuckDB recursive CTE (two-level
+    * aggregation inside the recursive term: counts, then argmax).
+    * Synchronous updates can oscillate on bipartite islands — that's
+    * deterministic too and the fixed budget pins it.
+    *
+    * Scale posture = [[pagerankFixedPoint]]: per round one keyed
+    * join + two keyed aggs on node/edge-scale frames, lazy local
+    * checkpoints keep lineage one round deep, optional loop-scoped
+    * shuffle partitions for the local[*] scheduling floor.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      loopShufflePartitions: Int = 0): DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
+    val sym = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .union(edges.select(col("dst").cast("long").as("src"),
+        col("src").cast("long").as("dst")))
+      .distinct()
+    val sess = edges.sparkSession
+    val prevParts = if (loopShufflePartitions > 0)
+      Some(sess.conf.get("spark.sql.shuffle.partitions")) else None
+    if (loopShufflePartitions > 0)
+      sess.conf.set("spark.sql.shuffle.partitions", loopShufflePartitions)
+    try {
+      val e = sym.localCheckpoint(false)
+      var lab = e.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      for (_ <- 1 to rounds) {
+        val next = e.join(lab, e("src") === lab("node"))
+          .select(col("dst"), col("label"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__c"))
+          .groupBy(col("dst"))
+          .agg(min(struct((-col("__c")).as("nc"), col("label"))).as("__m"))
+          .select(col("dst").as("node"), col("__m.label").as("label"))
+        lab = next.localCheckpoint(false)
+      }
+      val out = lab.join(
+        lab.groupBy(col("label")).agg(count(lit(1)).as("community_size")),
+        Seq("label"))
+        .select(col("node"), col("label"), col("community_size"))
+      if (loopShufflePartitions > 0) out.localCheckpoint(true) else out
+    } finally prevParts.foreach(p =>
+      sess.conf.set("spark.sql.shuffle.partitions", p))
+  }
+
   /** k-core decomposition by iterative peeling: drop every node whose
     * degree in the INDUCED surviving subgraph is below `k`, recompute,
     * repeat. Returns each surviving node with its core degree after at

@@ -1218,6 +1218,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"label frames broadcast:\n$p")
   }
 
+  test("label propagation: rounds ride checkpointed node/edge frames — final plan re-reads no parquet") {
+    val p = plan(OpsQueries.labelPropagationQ(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).isEmpty,
+      s"LPA rounds must not re-read the corpus:\n$p")
+    assert(unpartitionedWindows(p) == 0 && !p.contains("CartesianProduct"))
+  }
+
   test("bitemporal pit: both knowledge legs from ONE argmax agg — no second PIT join, no window") {
     val p = plan(Queries.bitemporalPit(spark, sf0001))
     assert(unpartitionedWindows(p) == 0, s"fused argmax, not a window:\n$p")

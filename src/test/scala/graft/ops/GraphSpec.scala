@@ -145,4 +145,25 @@ class GraphSpec extends SparkSpec {
       Graph.pagerankFixedPoint(Seq((1L, 2L)).toDF("src", "dst"), 0)
     }
   }
+
+  test("label propagation separates cliques, keeps the min-label tiebreak, oscillates deterministically") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((4L, 10L)) ++ // one bridge
+      Seq((20L, 21L))) // isolated pair: synchronous oscillation
+      .toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // each clique converges to its min id; the bridge does not merge them
+    for (n <- Seq(1L, 2L, 3L, 4L)) assert(got(n)._1 === 1L, s"node $n")
+    for (n <- Seq(11L, 12L, 13L)) assert(got(n)._1 === 10L, s"node $n")
+    // the isolated pair swaps labels every synchronous round; after an
+    // odd budget each holds the OTHER's id — deterministic, pinned
+    assert(got(20L)._1 === 21L && got(21L)._1 === 20L)
+    // community sizes consistent with the label partition
+    val labelCounts = got.values.groupBy(_._1).map { case (l, g) => l -> g.size }
+    for ((_, (l, sz)) <- got) assert(sz === labelCounts(l).toLong)
+  }
 }
