@@ -4421,7 +4421,104 @@ object OpsQueries {
        |SELECT CAST(node AS BIGINT) AS node, label, community_size
        |FROM fin JOIN sz USING (label)""".stripMargin
 
+  // ------------------------------------------------------- emerging terms
+  /** q205: emerging / vanishing terms — token-level corpus drift
+    * beside the distribution-drift battery (PSI/KS/JSD act on one
+    * numeric column; this names WHICH vocabulary moved): token counts
+    * in the first vs second half of ingest order (the q145 doc-id
+    * convention), add-1 lift, top-20 each way with (lift, token)
+    * tie-pins. The vocab-sized count frame is CHECKPOINTED once and
+    * feeds both TakeOrdered branches — the single-consumption rule.
+    */
+  def emergingTerms(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val half = d.agg(max(col("doc_id")).as("__mx"))
+      .select(expr("(__mx + 1L) div 2L").as("__half"))
+    val toks = d.crossJoin(broadcast(half))
+      .select((col("doc_id") >= col("__half")).as("__second"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy(col("tok"))
+      .agg(sum(when(!col("__second"), 1L).otherwise(0L)).as("c_first"),
+        sum(when(col("__second"), 1L).otherwise(0L)).as("c_second"))
+      .filter(col("c_first") + col("c_second") >= 20L)
+      .withColumn("__lift", (col("c_second") + 1L).cast("double") /
+        (col("c_first") + 1L).cast("double"))
+      .localCheckpoint(true)
+    val em = counts.orderBy(col("__lift").desc, col("tok").asc).limit(20)
+      .withColumn("direction", lit("emerging"))
+    val va = counts.orderBy(col("__lift").asc, col("tok").asc).limit(20)
+      .withColumn("direction", lit("vanishing"))
+    em.union(va).select(col("direction"), col("tok"), col("c_first"),
+      col("c_second"), pround(col("__lift"), 6).as("lift"))
+  }
+
+  val emergingTermsSql: String =
+    """WITH mx AS (SELECT (max(doc_id) + 1) // 2 AS half FROM documents),
+      |tk AS (SELECT doc_id >= half AS second,
+      |              unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |       FROM documents, mx),
+      |c AS (SELECT tok,
+      |             CAST(sum(CASE WHEN NOT second THEN 1 ELSE 0 END) AS BIGINT)
+      |               AS c_first,
+      |             CAST(sum(CASE WHEN second THEN 1 ELSE 0 END) AS BIGINT)
+      |               AS c_second
+      |      FROM tk GROUP BY 1),
+      |l AS (SELECT tok, c_first, c_second,
+      |             CAST(c_second + 1 AS DOUBLE) / CAST(c_first + 1 AS DOUBLE)
+      |               AS lift
+      |      FROM c WHERE c_first + c_second >= 20),
+      |em AS (SELECT 'emerging' AS direction, tok, c_first, c_second, lift
+      |       FROM l ORDER BY lift DESC, tok ASC LIMIT 20),
+      |va AS (SELECT 'vanishing' AS direction, tok, c_first, c_second, lift
+      |       FROM l ORDER BY lift ASC, tok ASC LIMIT 20)
+      |SELECT direction, tok, c_first, c_second,
+      |       floor(lift * 1000000.0 + 0.5) / 1000000.0 AS lift
+      |FROM (SELECT * FROM em UNION ALL SELECT * FROM va)""".stripMargin
+
+  // --------------------------------------------------- tokenizer fertility
+  /** q206: tokenizer fertility per language — the tokenizer-efficiency
+    * audit (chars per BPE token, BPE per whitespace word) that decides
+    * whether a tokenizer underserves a language. One scan, one keyed
+    * agg; exact integer sums, single divisions.
+    */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val agg = d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("sum_ws"),
+        sum(TextAnalysis.bpeTokenCount(col("text")).cast("long")).as("sum_bpe"))
+    agg.select(col("lang"), col("n_docs"), col("sum_chars"), col("sum_ws"),
+      col("sum_bpe"),
+      when(col("sum_bpe") > 0L, pround(col("sum_chars").cast("double") /
+        col("sum_bpe").cast("double"), 6)).as("chars_per_bpe"),
+      when(col("sum_ws") > 0L, pround(col("sum_bpe").cast("double") /
+        col("sum_ws").cast("double"), 6)).as("bpe_per_word"))
+  }
+
+  val tokenizerFertilitySql: String =
+    """WITH a AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+      |                  END) AS BIGINT) AS sum_ws,
+      |         CAST(sum(len(regexp_extract_all(text,
+      |              ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))) AS BIGINT)
+      |           AS sum_bpe
+      |  FROM documents GROUP BY 1)
+      |SELECT lang, n_docs, sum_chars, sum_ws, sum_bpe,
+      |       CASE WHEN sum_bpe > 0
+      |            THEN floor(CAST(sum_chars AS DOUBLE) / CAST(sum_bpe AS DOUBLE)
+      |                 * 1000000.0 + 0.5) / 1000000.0 END AS chars_per_bpe,
+      |       CASE WHEN sum_ws > 0
+      |            THEN floor(CAST(sum_bpe AS DOUBLE) / CAST(sum_ws AS DOUBLE)
+      |                 * 1000000.0 + 0.5) / 1000000.0 END AS bpe_per_word
+      |FROM a""".stripMargin
+
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_emerging_terms" -> emergingTerms _,
+    "q206_tokenizer_fertility" -> tokenizerFertility _,
     "q204_label_propagation" -> labelPropagationQ _,
     "q201_dedup_sweep" -> dedupSweep _,
     "q200_shared_spans" -> sharedSpansQ _,
@@ -4530,6 +4627,8 @@ object OpsQueries {
     "q160_dedup_savings" -> dedupSavings _)
 
   val opsOracles: Map[String, String] = Map(
+    "q205_emerging_terms" -> emergingTermsSql,
+    "q206_tokenizer_fertility" -> tokenizerFertilitySql,
     "q204_label_propagation" -> labelPropagationSql,
     "q201_dedup_sweep" -> dedupSweepSql,
     "q200_shared_spans" -> sharedSpansSql,

@@ -4384,6 +4384,73 @@ object Queries {
       |            THEN 1 ELSE 0 END AS BIGINT) AS irreproducible
       |FROM u LEFT JOIN per ON u.user_id = per.user_id""".stripMargin
 
+  // ------------------------------------------------------------ rfm features
+  /** q207: RFM + engagement feature assembly — the canonical per-user
+    * feature-engineering pass (recency / frequency / monetary, active
+    * days, 30-minute session count, value per active day) in ONE scan:
+    * the user-keyed lag window that flags session starts shares its
+    * partitioning with the per-user aggregation, and recency reads a
+    * broadcast 1-row global max. Exact integers except the one
+    * division, pround 6.
+    */
+  def rfmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        graft.transform.Stats.cents(col("value")).as("__cents"),
+        date_trunc("day", col("ts")).as("__day"))
+      .withColumn("__gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__gap_us").isNull || col("__gap_us") > 1800000000L, 1L)
+          .otherwise(0L))
+    val mx = ev.agg(max(unix_micros(col("ts"))).as("__mx"))
+    val per = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("frequency"),
+        sum(col("__cents")).as("monetary_cents"),
+        max(unix_micros(col("ts"))).as("__last_us"),
+        countDistinct(col("__day")).as("active_days"),
+        sum(col("__new_session")).as("n_sessions"))
+    per.crossJoin(broadcast(mx))
+      .select(col("user_id"), col("frequency"), col("monetary_cents"),
+        expr("(__mx - __last_us) div 3600000000").as("recency_h"),
+        col("active_days"), col("n_sessions"),
+        pround(col("monetary_cents").cast("double") /
+          col("active_days").cast("double"), 6).as("cents_per_active_day"))
+  }
+
+  val rfmFeaturesSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |         date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+      |  FROM events),
+      |lg AS (SELECT user_id, ts, cents, day,
+      |              epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |                (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |                AS gap_us
+      |       FROM ev),
+      |fl AS (SELECT user_id, ts, cents, day,
+      |              CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+      |                   THEN 1 ELSE 0 END AS new_session
+      |       FROM lg),
+      |mx AS (SELECT max(epoch_us(ts)) AS mxx FROM ev),
+      |per AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS frequency,
+      |         CAST(sum(cents) AS BIGINT) AS monetary_cents,
+      |         max(epoch_us(ts)) AS last_us,
+      |         CAST(count(DISTINCT day) AS BIGINT) AS active_days,
+      |         CAST(sum(new_session) AS BIGINT) AS n_sessions
+      |  FROM fl GROUP BY 1)
+      |SELECT user_id, frequency, monetary_cents,
+      |       (mxx - last_us) // 3600000000 AS recency_h,
+      |       active_days, n_sessions,
+      |       floor(CAST(monetary_cents AS DOUBLE) / CAST(active_days AS DOUBLE)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS cents_per_active_day
+      |FROM per, mx""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -4484,7 +4551,8 @@ object Queries {
     "q197_markov_absorption" -> markovAbsorptionQ _,
     "q198_bootstrap_ci" -> bootstrapCIQ _,
     "q202_forecast_backtest" -> forecastBacktest _,
-    "q203_bitemporal_pit" -> bitemporalPit _)
+    "q203_bitemporal_pit" -> bitemporalPit _,
+    "q207_rfm_features" -> rfmFeatures _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -4585,5 +4653,6 @@ object Queries {
     "q197_markov_absorption" -> markovAbsorptionSql,
     "q198_bootstrap_ci" -> bootstrapCISql,
     "q202_forecast_backtest" -> forecastBacktestSql,
-    "q203_bitemporal_pit" -> bitemporalPitSql)
+    "q203_bitemporal_pit" -> bitemporalPitSql,
+    "q207_rfm_features" -> rfmFeaturesSql)
 }

@@ -1218,6 +1218,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"label frames broadcast:\n$p")
   }
 
+  test("emerging terms: checkpointed vocab counts feed both TakeOrdered branches — no corpus re-read") {
+    val p = plan(OpsQueries.emergingTerms(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).isEmpty,
+      s"both direction branches must read the checkpointed counts:\n$p")
+    assert("""\(\d+\) TakeOrderedAndProject""".r.findAllIn(p).length == 2,
+      s"top-20 each way must be TakeOrdered:\n$p")
+    assert(unpartitionedWindows(p) == 0)
+  }
+
+  test("tokenizer fertility: one scan, one keyed agg — no joins, no windows") {
+    val p = plan(OpsQueries.tokenizerFertility(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join") && unpartitionedWindows(p) == 0, p)
+  }
+
+  test("rfm features: session window shares the user partitioning; 1-row recency broadcast") {
+    val p = plan(Queries.rfmFeatures(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0,
+      s"the lag window must partition on user_id:\n$p")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length <= 2,
+      s"feature pass + 1-row max only:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("label propagation: rounds ride checkpointed node/edge frames — final plan re-reads no parquet") {
     val p = plan(OpsQueries.labelPropagationQ(spark, sf0001))
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).isEmpty,
