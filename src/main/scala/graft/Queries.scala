@@ -4451,6 +4451,241 @@ object Queries {
       |             * 1000000.0 + 0.5) / 1000000.0 AS cents_per_active_day
       |FROM per, mx""".stripMargin
 
+  // -------------------------------------------------------- neyman allocation
+  /** q208: Neyman-optimal stratified allocation — how a 1000-row sample
+    * budget SHOULD split across strata (∝ N_h·σ_h, minimizing the
+    * estimator variance) vs naive proportional. The weight reduces to
+    * `⌊√(n·Σx² − (Σx)²)⌋` — exact DECIMAL moments through one
+    * correctly-rounded sqrt and one floor, so the weights are exact
+    * integers and the largest-remainder distribution (the q131
+    * Hamilton machinery, windowless strict-before ranking) replays
+    * bitwise; Σ quota = 1000 by construction.
+    */
+  def neymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val e = t(s, dir, "events").select(col("event_type"),
+      graft.transform.Stats.cents(col("value")).as("c"))
+    val g = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("c"))).cast("decimal(38,0)").as("__s1"),
+        sum(dec(col("c")) * dec(col("c"))).cast("decimal(38,0)").as("__s2"))
+      .withColumn("w", floor(sqrt(greatest(
+        col("n").cast("double") * col("__s2").cast("double") -
+          col("__s1").cast("double") * col("__s1").cast("double"),
+        lit(0.0)))).cast("long"))
+      .select(col("event_type"), col("n"), col("w"))
+    val tot = g.agg(sum(col("w")).as("__w"), sum(col("n")).as("__n"))
+    val gq = g.crossJoin(broadcast(tot))
+      .withColumn("__fq", expr(s"($budget * w) div __w"))
+      .withColumn("__rem", expr(s"($budget * w) % __w"))
+      .withColumn("prop_floor", expr(s"($budget * n) div __n"))
+    val fsum = gq.agg(sum(col("__fq")).as("__fsum"))
+    val ranked = gq.as("a").join(broadcast(gq.as("b")),
+        col("b.__rem") > col("a.__rem") ||
+          (col("b.__rem") === col("a.__rem") &&
+            col("b.event_type") < col("a.event_type")), "left")
+      .groupBy(col("a.event_type").as("event_type"), col("a.n").as("n"),
+        col("a.w").as("w"), col("a.__fq").as("__fq"),
+        col("a.__rem").as("__rem"), col("a.prop_floor").as("prop_floor"))
+      .agg(count(col("b.event_type")).as("__pred"))
+    ranked.crossJoin(broadcast(fsum))
+      .select(col("event_type"), col("n"), col("w"), col("prop_floor"),
+        (col("__fq") + when(col("__pred") < lit(budget) - col("__fsum"), 1L)
+          .otherwise(0L)).as("neyman_quota"))
+  }
+
+  val neymanAllocationSql: String =
+    """WITH e AS (SELECT event_type,
+      |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      |           FROM events),
+      |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |             sum(CAST(c AS HUGEINT)) AS s1,
+      |             sum(CAST(c AS HUGEINT) * c) AS s2
+      |      FROM e GROUP BY 1),
+      |w AS (SELECT event_type, n,
+      |             CAST(floor(sqrt(greatest(
+      |               CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0)))
+      |               AS BIGINT) AS w
+      |      FROM g),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+      |               CAST(sum(n) AS BIGINT) AS tn FROM w),
+      |gq AS (SELECT event_type, n, w,
+      |              (1000 * w) // tw AS fq, (1000 * w) % tw AS rem,
+      |              (1000 * n) // tn AS prop_floor
+      |       FROM w, tot),
+      |fs AS (SELECT CAST(sum(fq) AS BIGINT) AS fsum FROM gq),
+      |rk AS (SELECT a.event_type, a.n, a.w, a.fq, a.rem, a.prop_floor,
+      |              CAST(count(b.event_type) AS BIGINT) AS pred
+      |       FROM gq a LEFT JOIN gq b
+      |         ON b.rem > a.rem
+      |            OR (b.rem = a.rem AND b.event_type < a.event_type)
+      |       GROUP BY 1, 2, 3, 4, 5, 6)
+      |SELECT event_type, n, w, prop_floor,
+      |       fq + (CASE WHEN pred < 1000 - fsum THEN 1 ELSE 0 END)
+      |         AS neyman_quota
+      |FROM rk, fs""".stripMargin
+
+  // ----------------------------------------------------------- mde power
+  /** q209: minimum detectable effect — the experiment-design closer of
+    * the A/B toolkit (q133 z-test, q186 Mann-Whitney, q138 SRM, q102
+    * CUPED): at α = 5% two-sided and 80% power, the smallest absolute
+    * and relative lift the current md5 arm split could detect on value
+    * cents. Pooled variance from exact DECIMAL moments; the z literals
+    * are spelled identically in both engines; one closed IEEE dag,
+    * pround 6.
+    */
+  def mdePower(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val e = t(s, dir, "events").select(col("event_type"),
+      (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("long") % 2).as("arm"),
+      graft.transform.Stats.cents(col("value")).as("c"))
+    val g = e.groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        count(lit(1)).as("n"),
+        sum(dec(col("c"))).cast("decimal(38,0)").as("__s1"),
+        sum(dec(col("c")) * dec(col("c"))).cast("decimal(38,0)").as("__s2"))
+    val nD = col("n").cast("double")
+    val mean = col("__s1").cast("double") / nD
+    val variance = greatest(
+      (nD * col("__s2").cast("double") -
+        col("__s1").cast("double") * col("__s1").cast("double")) /
+        (nD * (nD - lit(1.0))), lit(0.0))
+    // z_{0.975} + z_{0.8} spelled as ONE literal — summing the two
+    // literals in Scala could differ from the SQL literal by 1 ulp
+    val mde = lit(2.801585) *
+      sqrt(variance * (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    g.select(col("event_type"), col("n_a"), col("n_b"),
+      pround(mean, 6).as("mean_cents"),
+      when(col("n_a") > 0L && col("n_b") > 0L && col("n") > 1L,
+        pround(mde, 6)).as("mde_cents"),
+      when(col("n_a") > 0L && col("n_b") > 0L && col("n") > 1L &&
+        col("__s1").cast("double") > lit(0.0),
+        pround(mde / mean, 6)).as("mde_rel"))
+  }
+
+  val mdePowerSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))::BIGINT % 2
+      |           AS arm,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      |  FROM events),
+      |g AS (SELECT event_type,
+      |             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |               AS n_a,
+      |             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |               AS n_b,
+      |             CAST(count(*) AS BIGINT) AS n,
+      |             sum(CAST(c AS HUGEINT)) AS s1,
+      |             sum(CAST(c AS HUGEINT) * c) AS s2
+      |      FROM e GROUP BY 1),
+      |d AS (SELECT event_type, n_a, n_b, n,
+      |             CAST(n AS DOUBLE) AS nd,
+      |             CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d
+      |      FROM g),
+      |m AS (SELECT event_type, n_a, n_b, n, s1d / nd AS mean,
+      |             2.801585 * sqrt(greatest((nd * s2d - s1d * s1d)
+      |                             / (nd * (nd - 1.0)), 0.0)
+      |                             * (1.0 / CAST(n_a AS DOUBLE)
+      |                                + 1.0 / CAST(n_b AS DOUBLE))) AS mde
+      |      FROM d)
+      |SELECT event_type, n_a, n_b,
+      |       floor(mean * 1000000.0 + 0.5) / 1000000.0 AS mean_cents,
+      |       CASE WHEN n_a > 0 AND n_b > 0 AND n > 1
+      |            THEN floor(mde * 1000000.0 + 0.5) / 1000000.0
+      |       END AS mde_cents,
+      |       CASE WHEN n_a > 0 AND n_b > 0 AND n > 1 AND mean > 0.0
+      |            THEN floor(mde / mean * 1000000.0 + 0.5) / 1000000.0
+      |       END AS mde_rel
+      |FROM m""".stripMargin
+
+  // --------------------------------------------------------- overdispersion
+  /** q210: count overdispersion screen — is the hourly arrival process
+    * Poisson-like, or bursty enough that a Poisson capacity model
+    * undersizes? Dispersion index `D = var/mean` of the DENSE hourly
+    * counts (zero hours included — omitting them biases D down), from
+    * exact DECIMAL moments; `chi2 = (n−1)·D` rides along; the
+    * over-dispersion flag compares the UNROUNDED D to 1.5 (identical
+    * IEEE dag both engines, so it gates as data).
+    */
+  def overdispersion(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val hrs = t(s, dir, "events").select(col("event_type"),
+      unix_micros(date_trunc("hour", col("ts"))).as("hus"))
+    val bounds = hrs.agg(min(col("hus")).as("__mn"), max(col("hus")).as("__mx"))
+    val cnt = hrs.crossJoin(broadcast(bounds))
+      .select(col("event_type"), expr("(hus - __mn) div 3600000000").as("i"))
+      .groupBy(col("event_type"), col("i")).agg(count(lit(1)).as("v"))
+    val types = hrs.select(col("event_type")).distinct()
+    val grid = types.crossJoin(broadcast(bounds.select(
+      explode(sequence(lit(0L), expr("(__mx - __mn) div 3600000000"))).as("i"))))
+    val series = grid.join(cnt, Seq("event_type", "i"), "left")
+      .select(col("event_type"), col("i"), coalesce(col("v"), lit(0L)).as("v"))
+    val g = series.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(dec(col("v"))).cast("decimal(38,0)").as("__s1"),
+        sum(dec(col("v")) * dec(col("v"))).cast("decimal(38,0)").as("__s2"))
+    val nD = col("n_hours").cast("double")
+    val mean = col("__s1").cast("double") / nD
+    val variance = (nD * col("__s2").cast("double") -
+      col("__s1").cast("double") * col("__s1").cast("double")) /
+      (nD * (nD - lit(1.0)))
+    val d = variance / mean
+    g.select(col("event_type"), col("n_hours"),
+      pround(mean, 6).as("mean_per_hour"),
+      when(col("__s1").cast("double") > lit(0.0) && col("n_hours") > 1L,
+        pround(d, 6)).as("dispersion"),
+      when(col("__s1").cast("double") > lit(0.0) && col("n_hours") > 1L,
+        pround((nD - lit(1.0)) * d, 6)).as("chi2"),
+      when(col("__s1").cast("double") > lit(0.0) && col("n_hours") > 1L &&
+        d > lit(1.5), 1L).otherwise(0L).as("overdispersed"))
+  }
+
+  val overdispersionSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |         epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hus
+      |  FROM events),
+      |bd AS (SELECT min(hus) AS mn, max(hus) AS mx FROM h),
+      |cnt AS (SELECT event_type, (hus - mn) // 3600000000 AS i,
+      |               CAST(count(*) AS BIGINT) AS v
+      |        FROM h, bd GROUP BY 1, 2),
+      |ty AS (SELECT DISTINCT event_type FROM h),
+      |grid AS (SELECT event_type,
+      |                unnest(range(0, (mx - mn) // 3600000000 + 1)) AS i
+      |         FROM ty, bd),
+      |s AS (SELECT grid.event_type, coalesce(cnt.v, 0) AS v
+      |      FROM grid LEFT JOIN cnt
+      |        ON grid.event_type = cnt.event_type AND grid.i = cnt.i),
+      |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+      |             sum(CAST(v AS HUGEINT)) AS s1,
+      |             sum(CAST(v AS HUGEINT) * v) AS s2
+      |      FROM s GROUP BY 1),
+      |d AS (SELECT event_type, n_hours, CAST(n_hours AS DOUBLE) AS nd,
+      |             CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d
+      |      FROM g),
+      |m AS (SELECT event_type, n_hours, s1d / nd AS mean,
+      |             ((nd * s2d - s1d * s1d) / (nd * (nd - 1.0)))
+      |               / (s1d / nd) AS disp, s1d
+      |      FROM d)
+      |SELECT event_type, n_hours,
+      |       floor(mean * 1000000.0 + 0.5) / 1000000.0 AS mean_per_hour,
+      |       CASE WHEN s1d > 0.0 AND n_hours > 1
+      |            THEN floor(disp * 1000000.0 + 0.5) / 1000000.0
+      |       END AS dispersion,
+      |       CASE WHEN s1d > 0.0 AND n_hours > 1
+      |            THEN floor((CAST(n_hours AS DOUBLE) - 1.0) * disp
+      |                 * 1000000.0 + 0.5) / 1000000.0
+      |       END AS chi2,
+      |       CAST(CASE WHEN s1d > 0.0 AND n_hours > 1 AND disp > 1.5
+      |            THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+      |FROM m""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -4552,7 +4787,10 @@ object Queries {
     "q198_bootstrap_ci" -> bootstrapCIQ _,
     "q202_forecast_backtest" -> forecastBacktest _,
     "q203_bitemporal_pit" -> bitemporalPit _,
-    "q207_rfm_features" -> rfmFeatures _)
+    "q207_rfm_features" -> rfmFeatures _,
+    "q208_neyman_allocation" -> neymanAllocation _,
+    "q209_mde_power" -> mdePower _,
+    "q210_overdispersion" -> overdispersion _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -4654,5 +4892,8 @@ object Queries {
     "q198_bootstrap_ci" -> bootstrapCISql,
     "q202_forecast_backtest" -> forecastBacktestSql,
     "q203_bitemporal_pit" -> bitemporalPitSql,
-    "q207_rfm_features" -> rfmFeaturesSql)
+    "q207_rfm_features" -> rfmFeaturesSql,
+    "q208_neyman_allocation" -> neymanAllocationSql,
+    "q209_mde_power" -> mdePowerSql,
+    "q210_overdispersion" -> overdispersionSql)
 }

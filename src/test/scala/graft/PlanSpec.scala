@@ -1218,6 +1218,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"label frames broadcast:\n$p")
   }
 
+  test("neyman allocation: exact-moment weights, windowless strict-before ranking; sum = budget") {
+    val p = plan(Queries.neymanAllocation(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0,
+      s"remainder ranking must be the strict-before join, not a window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val rows = Queries.neymanAllocation(spark, sf0001).collect()
+    assert(rows.map(_.getLong(4)).sum === 1000L,
+      "largest-remainder quotas must sum exactly to the budget")
+  }
+
+  test("mde power: one scan, one keyed agg, closed-form row-local output") {
+    val p = plan(Queries.mdePower(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join") && unpartitionedWindows(p) == 0, p)
+  }
+
+  test("overdispersion: dense grid + exact moments — no window, grid join broadcast") {
+    val p = plan(Queries.overdispersion(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0 && !p.contains("CartesianProduct"), p)
+  }
+
   test("emerging terms: checkpointed vocab counts feed both TakeOrdered branches — no corpus re-read") {
     val p = plan(OpsQueries.emergingTerms(spark, sf0001))
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).isEmpty,
