@@ -4,7 +4,7 @@ import graft.api.{FeatureStore, RepoConfig}
 import graft.core._
 import graft.online.{InMemoryOnlineStore, Materializer}
 import graft.transform.{Temporal, Transforms}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Rounding.{pround, proundSql}
 
@@ -4024,17 +4024,26 @@ object Queries {
     * sealed RNG (same inverse-CDF thresholds) and drops the true
     * column. Row-local after one keyed agg; no joins, no windows.
     */
+  /** The cell-keyed inverse-CDF noise of [[dpNoisyCounts]] as a reusable
+    * expression — the STREAMING release (StreamingSpec) applies the
+    * identical function to completed windows, so batch ≡ streaming
+    * exactly (the noise depends on the cell key, not on when the cell
+    * was aggregated). */
+  private[graft] def dpNoise(eventType: Column, day: Column): Column = {
+    val u = conv(substring(md5(concat_ws("|", eventType,
+      date_format(day, "yyyy-MM-dd"))), 1, 15), 16, 10).cast("long")
+    val first = when(u < lit(DpThresholds.head._2),
+      lit(DpThresholds.head._1.toLong))
+    DpThresholds.tail.dropRight(1).foldLeft(first) {
+      case (acc, (k, thr)) => acc.when(u < lit(thr), lit(k.toLong))
+    }.otherwise(lit(8L))
+  }
+
   def dpNoisyCounts(s: SparkSession, dir: String): DataFrame = {
     val cells = t(s, dir, "events")
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
-    val u = conv(substring(md5(concat_ws("|", col("event_type"),
-      date_format(col("day"), "yyyy-MM-dd"))), 1, 15), 16, 10).cast("long")
-    val first = when(u < lit(DpThresholds.head._2),
-      lit(DpThresholds.head._1.toLong))
-    val noise = DpThresholds.tail.dropRight(1).foldLeft(first) {
-      case (acc, (k, thr)) => acc.when(u < lit(thr), lit(k.toLong))
-    }.otherwise(lit(8L))
+    val noise = dpNoise(col("event_type"), col("day"))
     cells.select(col("event_type"), col("day"), col("n"),
       noise.as("noise"),
       greatest(col("n") + noise, lit(0L)).as("n_noisy"))

@@ -167,6 +167,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DP release equals the batch release exactly — cell-keyed noise is micro-batch-invariant") {
+    // the q192 noise depends only on the CELL KEY (type, day), so a
+    // streaming release over completed windows and the batch release
+    // over the same rows are IDENTICAL — dripped across three
+    // micro-batches to prove batch boundaries don't leak into it
+    val src = Files.createTempDirectory("dp_src").toString
+    def drop(rows: Seq[(String, String)]): Unit =
+      rows.toDF("event_type", "s")
+        .select(col("event_type"), to_timestamp(col("s")).as("ts"))
+        .write.mode("append").parquet(src)
+    drop(Seq(("click", "2024-01-01 10:00:00"), ("click", "2024-01-01 11:00:00"),
+      ("view", "2024-01-01 09:00:00")))
+    drop(Seq(("click", "2024-01-02 08:00:00"), ("view", "2024-01-01 23:59:59")))
+    drop(Seq(("view", "2024-01-02 00:00:00")))
+
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val agg = stream
+      .groupBy(col("event_type"),
+        window(col("ts"), "1 day").getField("start").as("day"))
+      .count().withColumnRenamed("count", "n")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("dp_stream").start()
+    try {
+      q.processAllAvailable()
+      val noise = graft.Queries.dpNoise(col("event_type"), col("day"))
+      val streamed = spark.table("dp_stream")
+        .select(col("event_type"), col("day"), col("n"), noise.as("noise"),
+          greatest(col("n") + noise, lit(0L)).as("n_noisy"))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val batch = spark.read.parquet(src)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("day"), col("n"), noise.as("noise"),
+          greatest(col("n") + noise, lit(0L)).as("n_noisy"))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(streamed === batch)
+      assert(batch.size === 4) // (click, view) × (day1, day2)
+      assert(batch.values.forall { case (_, nz, _) => nz >= -8L && nz <= 8L })
+    } finally q.stop()
+  }
+
   test("append mode finalizes windows at the watermark and drops late rows") {
     val src = Files.createTempDirectory("stream_src4").toString
     // batch 1: an on-time row plus a far-ahead row that advances the
