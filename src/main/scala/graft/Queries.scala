@@ -3963,7 +3963,11 @@ object Queries {
   def fairnessAudit(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
-    val g = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // no broadcast HINT: a forced broadcast would OOM when the customer
+    // dimension is itself fact-sized; the optimizer broadcasts the
+    // pruned 2-column projection whenever it fits (PlanSpec pins that
+    // it does at test scale)
+    val g = o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
