@@ -4516,7 +4516,78 @@ object OpsQueries {
       |                 * 1000000.0 + 0.5) / 1000000.0 END AS bpe_per_word
       |FROM a""".stripMargin
 
+  // ------------------------------------------------------- recommendations
+  /** q212: batch recommendation generation ([[Graph.recommendItems]])
+    * — the serving job on q95's item-item model: per customer, top-5
+    * unseen parts scored by summed co-purchase similarity. Candidate
+    * fan-out bounded by cap·simTopK per owner, seen items dropped by a
+    * keyed anti join, scores frame-order-pinned, final cut salted
+    * top-k.
+    */
+  def recommendQ(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    Graph.recommendItems(baskets, "o_custkey", "l_partkey",
+      basketCap = BasketCap, simTopK = 3, recTopK = 5)
+  }
+
+  val recommendSql: String =
+    s"""WITH bk AS (
+       |  SELECT DISTINCT o_custkey, l_partkey
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |capped AS (
+       |  SELECT o_custkey, l_partkey FROM (
+       |    SELECT o_custkey, l_partkey,
+       |           row_number() OVER (PARTITION BY o_custkey
+       |                              ORDER BY l_partkey ASC) AS rn
+       |    FROM bk)
+       |  WHERE rn <= $BasketCap),
+       |ni AS (SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS n
+       |       FROM capped GROUP BY 1),
+       |p AS (
+       |  SELECT c1.l_partkey AS i, c2.l_partkey AS j,
+       |         CAST(count(*) AS BIGINT) AS n_ij
+       |  FROM capped c1 JOIN capped c2
+       |    ON c1.o_custkey = c2.o_custkey AND c1.l_partkey < c2.l_partkey
+       |  GROUP BY 1, 2),
+       |sym AS (SELECT i, j, n_ij FROM p
+       |        UNION ALL SELECT j, i, n_ij FROM p),
+       |sc AS (
+       |  SELECT s.i, s.j,
+       |         CAST(s.n_ij AS DOUBLE)
+       |           / sqrt(CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS cos
+       |  FROM sym s JOIN ni a ON a.item = s.i JOIN ni b ON b.item = s.j),
+       |r3 AS (SELECT i, j, cos FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY i
+       |                  ORDER BY cos DESC, j ASC) AS rank
+       |         FROM sc) WHERE rank <= 3),
+       |u AS (SELECT o_custkey AS bk, l_partkey AS i FROM capped),
+       |seen AS (SELECT o_custkey AS bk, l_partkey AS j FROM capped),
+       |cand AS (SELECT u.bk, s.j, u.i, s.cos
+       |         FROM u JOIN r3 s USING (i)
+       |         WHERE NOT EXISTS (SELECT 1 FROM seen
+       |                           WHERE seen.bk = u.bk AND seen.j = s.j)),
+       |pin AS (SELECT bk, j, i,
+       |               sum(cos) OVER (PARTITION BY bk, j ORDER BY i ASC
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                 AS cum
+       |        FROM cand),
+       |agg AS (SELECT bk, j, CAST(count(*) AS BIGINT) AS n_contrib,
+       |               (max({'i': i, 'c': cum})).c AS score
+       |        FROM pin GROUP BY 1, 2),
+       |rk AS (SELECT bk, j, n_contrib, score,
+       |              row_number() OVER (PARTITION BY bk
+       |                   ORDER BY score DESC, j ASC) AS rank
+       |       FROM agg)
+       |SELECT bk AS o_custkey, j AS rec_item, n_contrib,
+       |       CAST(rank AS BIGINT) AS rank,
+       |       floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
+       |FROM rk WHERE rank <= 5""".stripMargin
+
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_recommendations" -> recommendQ _,
     "q205_emerging_terms" -> emergingTerms _,
     "q206_tokenizer_fertility" -> tokenizerFertility _,
     "q204_label_propagation" -> labelPropagationQ _,
@@ -4627,6 +4698,7 @@ object OpsQueries {
     "q160_dedup_savings" -> dedupSavings _)
 
   val opsOracles: Map[String, String] = Map(
+    "q212_recommendations" -> recommendSql,
     "q205_emerging_terms" -> emergingTermsSql,
     "q206_tokenizer_fertility" -> tokenizerFertilitySql,
     "q204_label_propagation" -> labelPropagationSql,

@@ -4699,6 +4699,94 @@ object Queries {
       |            THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
       |FROM m""".stripMargin
 
+  // ------------------------------------------------------- training matrix
+  /** q211: training-matrix assembly — the end product the whole
+    * pipeline exists to produce, in one query: per-user behavioral
+    * features from STRICTLY BEFORE the cutoff (2024-01-24), the
+    * conversion label (a purchase at-or-after it) from the label
+    * window only — leakage impossible by construction — and the md5
+    * train/val/test split.
+    * Every emitted column is an exact integer or a literal string —
+    * the whole matrix gates bitwise.
+    */
+  def trainingMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cutoff = lit("2024-01-24 00:00:00").cast("timestamp")
+    val cutoffUs = 1706054400000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pre = t(s, dir, "events").filter(col("ts") < cutoff)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        graft.transform.Stats.cents(col("value")).as("__cents"),
+        date_trunc("day", col("ts")).as("__day"))
+      .withColumn("__gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__gap_us").isNull || col("__gap_us") > 1800000000L, 1L)
+          .otherwise(0L))
+    val feats = pre.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("frequency"),
+        sum(col("__cents")).as("monetary_cents"),
+        max(unix_micros(col("ts"))).as("__last_us"),
+        countDistinct(col("__day")).as("active_days"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(col("__new_session")).as("n_sessions"))
+    // label = did the user PURCHASE at-or-after the cutoff (every
+    // synthetic user stays generically active, so plain churn is
+    // degenerate — conversion is the label with signal)
+    val post = t(s, dir, "events")
+      .filter(col("ts") >= cutoff && col("event_type") === "purchase")
+      .select(col("user_id")).distinct().withColumn("__conv", lit(1L))
+    val bucket = conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 10L
+    feats.join(post, Seq("user_id"), "left")
+      .select(col("user_id"), col("frequency"), col("monetary_cents"),
+        expr(s"($cutoffUs - __last_us) div 3600000000").as("recency_h"),
+        col("active_days"), col("n_types"), col("n_sessions"),
+        when(col("__conv").isNull, 0L).otherwise(1L).as("converted"),
+        when(bucket < 8L, "train").when(bucket === 8L, "val")
+          .otherwise("test").as("split"))
+  }
+
+  val trainingMatrixSql: String =
+    """WITH pre AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |         date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+      |  FROM events
+      |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-24 00:00:00'),
+      |lg AS (SELECT user_id, ts, cents, event_type, day,
+      |              epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |                (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |                AS gap_us
+      |       FROM pre),
+      |fl AS (SELECT user_id, ts, cents, event_type, day,
+      |              CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+      |                   THEN 1 ELSE 0 END AS new_session
+      |       FROM lg),
+      |feats AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS frequency,
+      |         CAST(sum(cents) AS BIGINT) AS monetary_cents,
+      |         max(epoch_us(ts)) AS last_us,
+      |         CAST(count(DISTINCT day) AS BIGINT) AS active_days,
+      |         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+      |         CAST(sum(new_session) AS BIGINT) AS n_sessions
+      |  FROM fl GROUP BY 1),
+      |post AS (SELECT DISTINCT user_id FROM events
+      |         WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-24 00:00:00'
+      |           AND event_type = 'purchase')
+      |SELECT f.user_id, frequency, monetary_cents,
+      |       (1706054400000000 - last_us) // 3600000000 AS recency_h,
+      |       active_days, n_types, n_sessions,
+      |       CAST(CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+      |         AS converted,
+      |       CASE WHEN ('0x' || substr(md5(CAST(f.user_id AS VARCHAR)), 1, 8))
+      |                 ::BIGINT % 10 < 8 THEN 'train'
+      |            WHEN ('0x' || substr(md5(CAST(f.user_id AS VARCHAR)), 1, 8))
+      |                 ::BIGINT % 10 = 8 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM feats f LEFT JOIN post p ON f.user_id = p.user_id""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -4803,7 +4891,8 @@ object Queries {
     "q207_rfm_features" -> rfmFeatures _,
     "q208_neyman_allocation" -> neymanAllocation _,
     "q209_mde_power" -> mdePower _,
-    "q210_overdispersion" -> overdispersion _)
+    "q210_overdispersion" -> overdispersion _,
+    "q211_training_matrix" -> trainingMatrix _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -4908,5 +4997,6 @@ object Queries {
     "q207_rfm_features" -> rfmFeaturesSql,
     "q208_neyman_allocation" -> neymanAllocationSql,
     "q209_mde_power" -> mdePowerSql,
-    "q210_overdispersion" -> overdispersionSql)
+    "q210_overdispersion" -> overdispersionSql,
+    "q211_training_matrix" -> trainingMatrixSql)
 }

@@ -314,6 +314,73 @@ object Graph {
         col("rank"), col("cos"))
   }
 
+  /** Batch recommendation GENERATION — the serving job on top of
+    * [[cooccurrenceSimilarity]]'s item-item model: for every basket
+    * owner, score every unseen neighbor item by the SUM of its
+    * similarities to the owner's items, and emit the top `recTopK`.
+    * The classic item-CF batch recommender (Sarwar et al. 2001), end
+    * to end in one query.
+    *
+    * Scale: the capped basket frame (owners × ≤cap items) is
+    * CHECKPOINTED once — five consumers otherwise re-run the basket
+    * build five times; the similarity model is output-bounded
+    * (items × simTopK) and checkpointed too; candidate fan-out is
+    * bounded by cap·simTopK per owner; seen items drop via a keyed
+    * LEFT ANTI join; the final cut is the salted top-k, never a
+    * corpus window.
+    *
+    * Determinism: the score is a sum of DOUBLES — accumulated as a
+    * running window sum in pinned contributing-item order (the
+    * psi_cum device) so the association is engine-independent, and
+    * ranked UNROUNDED (identical bits both engines) with (score desc,
+    * item asc) tie-pins; the emitted score is pround(6).
+    */
+  def recommendItems(baskets: DataFrame, basketCol: String, itemCol: String,
+      basketCap: Int = 6, simTopK: Int = 3, recTopK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = Dedup.capBlocks(
+      baskets.select(col(basketCol), col(itemCol)).distinct(),
+      basketCol, itemCol, basketCap)
+      .select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      .localCheckpoint(true)
+    val ni = capped.groupBy(col("item").as("i")).agg(count(lit(1)).as("n"))
+    val a = capped.select(col("bk"), col("item").as("i"))
+    val b = capped.select(col("bk"), col("item").as("j"))
+    val pairs = a.join(b, Seq("bk")).filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_ij"))
+    val sym = pairs.unionByName(
+      pairs.select(col("j").as("i"), col("i").as("j"), col("n_ij")))
+    val scored = sym
+      .join(broadcast(ni), Seq("i"))
+      .join(broadcast(ni.select(col("i").as("j"), col("n").as("__nj"))), Seq("j"))
+      .withColumn("cos", col("n_ij").cast("double") /
+        sqrt(col("n").cast("double") * col("__nj").cast("double")))
+    val wSim = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j").asc)
+    val sims = scored.withColumn("__r", row_number().over(wSim))
+      .filter(col("__r") <= simTopK)
+      .select(col("i"), col("j"), col("cos"))
+      .localCheckpoint(true)
+    val cand = capped.select(col("bk"), col("item").as("i"))
+      .join(sims, Seq("i"))
+      .join(capped.select(col("bk"), col("item").as("j")), Seq("bk", "j"),
+        "left_anti")
+    val wOrd = Window.partitionBy(col("bk"), col("j")).orderBy(col("i").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pinned = cand
+      .withColumn("__cum", sum(col("cos")).over(wOrd))
+      .groupBy(col("bk"), col("j"))
+      .agg(count(lit(1)).as("n_contrib"),
+        max(struct(col("i"), col("__cum"))).as("__last"))
+      .select(col("bk"), col("j"), col("n_contrib"),
+        col("__last.__cum").as("__score"))
+    graft.transform.Skew.saltedTopK(
+        pinned, Seq(col("bk")), Seq(col("__score").desc, col("j").asc),
+        col("j"), k = recTopK, numSalts = 8, rankCol = "rank")
+      .select(col("bk").as(basketCol), col("j").as("rec_item"),
+        col("n_contrib"), col("rank"),
+        graft.util.Rounding.pround(col("__score"), 6).as("score"))
+  }
+
   /** Per-node triangle counts via DEGREE-ORDERED wedge closing (the
     * Cohen / Suri-Vassilvitskii MapReduce scheme): orient every
     * undirected edge from its lower-(degree, id) endpoint to the

@@ -1218,6 +1218,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"label frames broadcast:\n$p")
   }
 
+  test("training matrix: feature window pushes to the scan; label join keyed; no corpus window") {
+    val p = plan(Queries.trainingMatrix(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0,
+      s"the session lag window must partition on user_id:\n$p")
+    assert(p.contains("PushedFilters"),
+      s"the cutoff must reach the parquet scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // label leakage guard in the PLAN: the feature branch filters
+    // ts < cutoff, the label branch ts >= cutoff — assert both appear
+    assert(p.contains("2024-01-24"), s"cutoff literal missing:\n$p")
+  }
+
+  test("recommendations: checkpointed baskets + output-bounded sims; anti join drops seen; salted top-k") {
+    val p = plan(OpsQueries.recommendQ(spark, sf0001))
+    // everything downstream of the two checkpoints: no parquet re-read
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).isEmpty,
+      s"candidate stage re-reads the corpus:\n$p")
+    assert(p.contains("LeftAnti"), s"seen items must drop via anti join:\n$p")
+    assert(unpartitionedWindows(p) == 0, s"no global window in scoring:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("neyman allocation: exact-moment weights, windowless strict-before ranking; sum = budget") {
     val p = plan(Queries.neymanAllocation(spark, sf0001))
     assert(unpartitionedWindows(p) == 0,
