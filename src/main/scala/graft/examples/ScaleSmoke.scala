@@ -137,7 +137,11 @@ object ScaleSmoke {
       // broadcast feature stats meet 10x the doc-feature stream, and
       // the KMV sketch prune meets 10x the shingle stream
       "q185_interval_overlap", "q190_winnowing", "q186_mann_whitney",
-      "q195_dsir", "q189_kmv_setops")
+      "q195_dsir", "q189_kmv_setops",
+      // session closers: shared spans meets 10x the fingerprint pairs
+      // (and the duplicate mixture), recommendations meet 10x baskets,
+      // the training matrix meets 10x users end-to-end
+      "q200_shared_spans", "q212_recommendations", "q211_training_matrix")
     // warm scans once
     (gen.keys ++ passthrough).foreach { t =>
       try graft.Tables.load(spark, out, t).count()
