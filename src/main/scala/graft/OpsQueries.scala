@@ -4586,7 +4586,77 @@ object OpsQueries {
        |       floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
        |FROM rk WHERE rank <= 5""".stripMargin
 
+  // ------------------------------------------------------ rec metrics
+  /** q215: recommender quality metrics — catalog coverage and
+    * popularity lift of the q212 batch (a recommender that only
+    * resurfaces bestsellers has high accuracy and no value): rec rows
+    * joined to item popularity (keyed, item-dimension frame), one
+    * global rollup. Coverage = distinct recommended / recommendable;
+    * popularity-lift compares mean popularity of REC rows to the
+    * catalog mean.
+    */
+  def recMetrics(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    val recs = Graph.recommendItems(baskets, "o_custkey", "l_partkey",
+      basketCap = BasketCap, simTopK = 3, recTopK = 5)
+    val pop = Dedup.capBlocks(baskets.distinct(), "o_custkey", "l_partkey",
+        BasketCap)
+      .groupBy(col("l_partkey").as("rec_item"))
+      .agg(count(lit(1)).as("__pop"))
+      .localCheckpoint(true)
+    val catStats = pop.agg(count(lit(1)).as("catalog_n"),
+      sum(col("__pop")).as("__cat_pop"))
+    val agg = recs.join(pop, Seq("rec_item"))
+      .agg(count(lit(1)).as("n_recs"),
+        countDistinct(col("o_custkey")).as("n_users"),
+        countDistinct(col("rec_item")).as("n_rec_items"),
+        sum(col("__pop")).as("__rec_pop"))
+    agg.crossJoin(broadcast(catStats))
+      .select(col("n_recs"), col("n_users"), col("n_rec_items"),
+        col("catalog_n"),
+        pround(col("n_rec_items").cast("double") /
+          col("catalog_n").cast("double"), 6).as("coverage"),
+        pround(col("__rec_pop").cast("double") /
+          col("n_recs").cast("double"), 6).as("mean_rec_popularity"),
+        pround(col("__cat_pop").cast("double") /
+          col("catalog_n").cast("double"), 6).as("mean_catalog_popularity"))
+  }
+
+  val recMetricsSql: String =
+    s"""WITH pop AS (
+       |  SELECT l_partkey AS rec_item, CAST(count(*) AS BIGINT) AS pop
+       |  FROM (
+       |    SELECT o_custkey, l_partkey FROM (
+       |      SELECT o_custkey, l_partkey,
+       |             row_number() OVER (PARTITION BY o_custkey
+       |                                ORDER BY l_partkey ASC) AS rn
+       |      FROM (SELECT DISTINCT o_custkey, l_partkey
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey))
+       |    WHERE rn <= $BasketCap)
+       |  GROUP BY 1),
+       |recs AS (SELECT * FROM (${recommendSql.replace("\n", "\n       ")}
+       |) q),
+       |cat AS (SELECT CAST(count(*) AS BIGINT) AS catalog_n,
+       |               CAST(sum(pop) AS BIGINT) AS cat_pop FROM pop),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_recs,
+       |               CAST(count(DISTINCT r.o_custkey) AS BIGINT) AS n_users,
+       |               CAST(count(DISTINCT r.rec_item) AS BIGINT) AS n_rec_items,
+       |               CAST(sum(p.pop) AS BIGINT) AS rec_pop
+       |        FROM recs r JOIN pop p ON r.rec_item = p.rec_item)
+       |SELECT n_recs, n_users, n_rec_items, catalog_n,
+       |       floor(CAST(n_rec_items AS DOUBLE) / CAST(catalog_n AS DOUBLE)
+       |             * 1000000.0 + 0.5) / 1000000.0 AS coverage,
+       |       floor(CAST(rec_pop AS DOUBLE) / CAST(n_recs AS DOUBLE)
+       |             * 1000000.0 + 0.5) / 1000000.0 AS mean_rec_popularity,
+       |       floor(CAST(cat_pop AS DOUBLE) / CAST(catalog_n AS DOUBLE)
+       |             * 1000000.0 + 0.5) / 1000000.0 AS mean_catalog_popularity
+       |FROM agg, cat""".stripMargin
+
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_rec_metrics" -> recMetrics _,
     "q212_recommendations" -> recommendQ _,
     "q205_emerging_terms" -> emergingTerms _,
     "q206_tokenizer_fertility" -> tokenizerFertility _,
@@ -4698,6 +4768,7 @@ object OpsQueries {
     "q160_dedup_savings" -> dedupSavings _)
 
   val opsOracles: Map[String, String] = Map(
+    "q215_rec_metrics" -> recMetricsSql,
     "q212_recommendations" -> recommendSql,
     "q205_emerging_terms" -> emergingTermsSql,
     "q206_tokenizer_fertility" -> tokenizerFertilitySql,

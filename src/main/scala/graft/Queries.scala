@@ -4787,6 +4787,176 @@ object Queries {
       |            ELSE 'test' END AS split
       |FROM feats f LEFT JOIN post p ON f.user_id = p.user_id""".stripMargin
 
+  // ------------------------------------------------------ sequential looks
+  /** q213: group-sequential A/B monitoring — the peeking-honest
+    * experiment readout: Welch z of the arm value difference at four
+    * weekly looks, each compared against its O'Brien-Fleming boundary
+    * (4.049/2.863/2.338/2.024 for 4 equal looks at two-sided 5%,
+    * spelled as literals in both engines). Cumulative per-look moments
+    * come from ONE scan via a look-boundary explode; the stop flag
+    * compares the UNROUNDED |z| (identical IEEE dag), so it gates as
+    * data.
+    */
+  def sequentialLooks(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val bounds = Seq((1, "2024-01-08"), (2, "2024-01-15"),
+      (3, "2024-01-22"), (4, "2024-01-29"))
+    val obf = Map(1 -> 4.049, 2 -> 2.863, 3 -> 2.338, 4 -> 2.024)
+    val e = t(s, dir, "events").select(
+      (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("long") % 2).as("arm"),
+      graft.transform.Stats.cents(col("value")).as("c"), col("ts"))
+    val looks = e.select(col("arm"), col("c"), col("ts"),
+      explode(array(bounds.map { case (k, d) =>
+        struct(lit(k.toLong).as("look"), lit(d).cast("timestamp").as("end"))
+      }: _*)).as("lk"))
+      .filter(col("ts") < col("lk.end"))
+      .select(col("lk.look").as("look"), col("arm"), col("c"))
+    val g = looks.groupBy(col("look"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0L, dec(col("c")))).cast("decimal(38,0)")
+          .as("__sa"),
+        sum(when(col("arm") === 1L, dec(col("c")))).cast("decimal(38,0)")
+          .as("__sb"),
+        sum(when(col("arm") === 0L, dec(col("c")) * dec(col("c"))))
+          .cast("decimal(38,0)").as("__qa"),
+        sum(when(col("arm") === 1L, dec(col("c")) * dec(col("c"))))
+          .cast("decimal(38,0)").as("__qb"))
+    def m(sc: Column, n: Column) = sc.cast("double") / n.cast("double")
+    def v(q: Column, sc: Column, n: Column) = {
+      val nD = n.cast("double")
+      greatest((nD * q.cast("double") - sc.cast("double") * sc.cast("double")) /
+        (nD * (nD - lit(1.0))), lit(0.0))
+    }
+    val z = (m(col("__sa"), col("n_a")) - m(col("__sb"), col("n_b"))) /
+      sqrt(v(col("__qa"), col("__sa"), col("n_a")) / col("n_a").cast("double") +
+        v(col("__qb"), col("__sb"), col("n_b")) / col("n_b").cast("double"))
+    val boundary = bounds.tail.foldLeft(
+      when(col("look") === bounds.head._1.toLong, lit(obf(bounds.head._1)))) {
+      case (acc, (k, _)) => acc.when(col("look") === k.toLong, lit(obf(k)))
+    }
+    g.select(col("look"), col("n_a"), col("n_b"),
+      pround(z, 6).as("z"),
+      boundary.as("obf_boundary"),
+      when(abs(z) > boundary, 1L).otherwise(0L).as("crossed"))
+  }
+
+  val sequentialLooksSql: String =
+    """WITH e AS (
+      |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))::BIGINT % 2
+      |           AS arm,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+      |         CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |lk AS (SELECT * FROM (VALUES
+      |         (1, TIMESTAMP '2024-01-08 00:00:00', 4.049),
+      |         (2, TIMESTAMP '2024-01-15 00:00:00', 2.863),
+      |         (3, TIMESTAMP '2024-01-22 00:00:00', 2.338),
+      |         (4, TIMESTAMP '2024-01-29 00:00:00', 2.024))
+      |         v(look, endt, obf)),
+      |x AS (SELECT lk.look, lk.obf, e.arm, e.c
+      |      FROM e JOIN lk ON e.ts < lk.endt),
+      |g AS (SELECT look, CAST(max(obf) AS DOUBLE) AS obf,
+      |             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |               AS n_a,
+      |             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |               AS n_b,
+      |             sum(CASE WHEN arm = 0 THEN CAST(c AS HUGEINT) END) AS sa,
+      |             sum(CASE WHEN arm = 1 THEN CAST(c AS HUGEINT) END) AS sb,
+      |             sum(CASE WHEN arm = 0 THEN CAST(c AS HUGEINT) * c END) AS qa,
+      |             sum(CASE WHEN arm = 1 THEN CAST(c AS HUGEINT) * c END) AS qb
+      |      FROM x GROUP BY 1),
+      |d AS (SELECT look, obf, n_a, n_b,
+      |             (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |              - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |             / sqrt(greatest((CAST(n_a AS DOUBLE) * CAST(qa AS DOUBLE)
+      |                    - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+      |                    / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)),
+      |                    0.0) / CAST(n_a AS DOUBLE)
+      |                  + greatest((CAST(n_b AS DOUBLE) * CAST(qb AS DOUBLE)
+      |                    - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+      |                    / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)),
+      |                    0.0) / CAST(n_b AS DOUBLE)) AS z
+      |      FROM g)
+      |SELECT CAST(look AS BIGINT) AS look, n_a, n_b,
+      |       floor(z * 1000000.0 + 0.5) / 1000000.0 AS z,
+      |       obf AS obf_boundary,
+      |       CAST(CASE WHEN abs(z) > obf THEN 1 ELSE 0 END AS BIGINT)
+      |         AS crossed
+      |FROM d""".stripMargin
+
+  // ----------------------------------------------------- delta-method ratio
+  /** q214: ratio-metric CI by the delta method — the experimentation
+    * pitfall killer: value-per-event is a RATIO of per-user sums, so
+    * its variance needs the delta method over user-level (x, y)
+    * moments, not the naive row-level formula. Per arm:
+    * `R = ΣX/ΣY`, `se² = (vx − 2R·cov + R²·vy) / (n·ȳ²)`, then the
+    * difference z. All moments exact DECIMAL over per-user aggregates;
+    * the dag is spelled identically both engines, pround 6.
+    */
+  def deltaMethodRatio(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val perUser = t(s, dir, "events").select(
+      (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("long") % 2).as("arm"), col("user_id"),
+      graft.transform.Stats.cents(col("value")).as("c"))
+      .groupBy(col("arm"), col("user_id"))
+      .agg(sum(col("c")).as("x"), count(lit(1)).as("y"))
+    val g = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).cast("decimal(38,0)").as("__sx"),
+        sum(dec(col("y"))).cast("decimal(38,0)").as("__sy"),
+        sum(dec(col("x")) * dec(col("x"))).cast("decimal(38,0)").as("__sxx"),
+        sum(dec(col("y")) * dec(col("y"))).cast("decimal(38,0)").as("__syy"),
+        sum(dec(col("x")) * dec(col("y"))).cast("decimal(38,0)").as("__sxy"))
+    val nD = col("n").cast("double")
+    def d(c: Column) = c.cast("double")
+    val r = d(col("__sx")) / d(col("__sy"))
+    val my = d(col("__sy")) / nD
+    val vx = (nD * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))) /
+      (nD * (nD - lit(1.0)))
+    val vy = (nD * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))) /
+      (nD * (nD - lit(1.0)))
+    val cov = (nD * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))) /
+      (nD * (nD - lit(1.0)))
+    val se2 = greatest(vx - lit(2.0) * r * cov + r * r * vy, lit(0.0)) /
+      (nD * my * my)
+    g.select(col("arm"), col("n"),
+      pround(r, 6).as("ratio"),
+      pround(sqrt(se2), 6).as("se"))
+  }
+
+  val deltaMethodRatioSql: String =
+    """WITH pu AS (
+      |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))::BIGINT % 2
+      |           AS arm, user_id,
+      |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |           AS x,
+      |         CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+      |             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |             sum(CAST(y AS HUGEINT) * y) AS syy,
+      |             sum(CAST(x AS HUGEINT) * y) AS sxy
+      |      FROM pu GROUP BY 1),
+      |d AS (SELECT arm, n, CAST(n AS DOUBLE) AS nd,
+      |             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+      |             CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+      |             CAST(sxy AS DOUBLE) AS sxyd
+      |      FROM g),
+      |m AS (SELECT arm, n, sxd / syd AS r, syd / nd AS my, nd,
+      |             (nd * sxxd - sxd * sxd) / (nd * (nd - 1.0)) AS vx,
+      |             (nd * syyd - syd * syd) / (nd * (nd - 1.0)) AS vy,
+      |             (nd * sxyd - sxd * syd) / (nd * (nd - 1.0)) AS cov
+      |      FROM d)
+      |SELECT arm, n,
+      |       floor(r * 1000000.0 + 0.5) / 1000000.0 AS ratio,
+      |       floor(sqrt(greatest(vx - 2.0 * r * cov + r * r * vy, 0.0)
+      |             / (nd * my * my)) * 1000000.0 + 0.5) / 1000000.0 AS se
+      |FROM m""".stripMargin
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -4892,7 +5062,9 @@ object Queries {
     "q208_neyman_allocation" -> neymanAllocation _,
     "q209_mde_power" -> mdePower _,
     "q210_overdispersion" -> overdispersion _,
-    "q211_training_matrix" -> trainingMatrix _)
+    "q211_training_matrix" -> trainingMatrix _,
+    "q213_sequential_looks" -> sequentialLooks _,
+    "q214_delta_ratio" -> deltaMethodRatio _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -4998,5 +5170,7 @@ object Queries {
     "q208_neyman_allocation" -> neymanAllocationSql,
     "q209_mde_power" -> mdePowerSql,
     "q210_overdispersion" -> overdispersionSql,
-    "q211_training_matrix" -> trainingMatrixSql)
+    "q211_training_matrix" -> trainingMatrixSql,
+    "q213_sequential_looks" -> sequentialLooksSql,
+    "q214_delta_ratio" -> deltaMethodRatioSql)
 }

@@ -1218,6 +1218,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"label frames broadcast:\n$p")
   }
 
+  test("sequential looks: ONE scan feeds all four looks via the boundary explode") {
+    val p = plan(Queries.sequentialLooks(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      s"four looks must not mean four passes:\n$p")
+    assert(p.contains("Generate"), s"expected the look explode:\n$p")
+    assert(unpartitionedWindows(p) == 0 && !p.contains("Join"), p)
+  }
+
+  test("delta ratio: two keyed aggs (per-user, per-arm) — no window, one scan") {
+    val p = plan(Queries.deltaMethodRatio(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p)
+    assert(unpartitionedWindows(p) == 0 && !p.contains("Join"), p)
+  }
+
+  test("rec metrics: rides the checkpointed rec/popularity frames — no corpus re-read") {
+    val p = plan(OpsQueries.recMetrics(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).isEmpty,
+      s"metrics stage re-reads the corpus:\n$p")
+    assert(unpartitionedWindows(p) == 0 && !p.contains("CartesianProduct"), p)
+  }
+
   test("training matrix: feature window pushes to the scan; label join keyed; no corpus window") {
     val p = plan(Queries.trainingMatrix(spark, sf0001))
     assert(unpartitionedWindows(p) == 0,
