@@ -4957,6 +4957,61 @@ object Queries {
       |             / (nd * my * my)) * 1000000.0 + 0.5) / 1000000.0 AS se
       |FROM m""".stripMargin
 
+  // ------------------------------------------------------- feature screen
+  /** q216: univariate feature screen — every q211 training-matrix
+    * feature ranked by its single-feature AUC against the conversion
+    * label (the honest first cut before any model: a feature that
+    * can't beat 0.5 alone rarely earns its keep). One unpivot explode
+    * feeds the value-domain AUC machinery (q108) keyed by feature —
+    * six features, one pass, exact integer rank sums, the AUC a single
+    * division.
+    */
+  def featureScreen(s: SparkSession, dir: String): DataFrame = {
+    val feats = Seq("frequency", "monetary_cents", "recency_h",
+      "active_days", "n_types", "n_sessions")
+    val unpiv = trainingMatrix(s, dir).select(col("converted"),
+        explode(array(feats.map(f =>
+          struct(lit(f).as("feature"), col(f).cast("long").as("score"))): _*))
+          .as("fs"))
+      .select(col("fs.feature").as("feature"), col("fs.score").as("score"),
+        col("converted"))
+    graft.transform.Stats.aucByKey(unpiv, Seq("feature"), "score", "converted")
+  }
+
+  val featureScreenSql: String = {
+    val feats = Seq("frequency", "monetary_cents", "recency_h",
+      "active_days", "n_types", "n_sessions")
+    val branches = feats.map(f =>
+      s"SELECT '$f' AS feature, $f AS score, converted FROM m")
+      .mkString("\n       |  UNION ALL ")
+    s"""WITH m AS (SELECT * FROM (${trainingMatrixSql.replace("\n", "\n       ")}
+       |) q),
+       |up AS (
+       |  $branches),
+       |s AS (
+       |  SELECT feature, score, count(*) AS n_at,
+       |         CAST(sum(converted) AS BIGINT) AS pos_at
+       |  FROM up GROUP BY 1, 2),
+       |s2 AS (
+       |  SELECT feature, score, pos_at, n_at - pos_at AS neg_at,
+       |         coalesce(CAST(sum(n_at - pos_at) OVER (
+       |           PARTITION BY feature ORDER BY score
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS BIGINT), 0) AS neg_below
+       |  FROM s)
+       |SELECT feature,
+       |       CAST(sum(pos_at) AS BIGINT) AS n_pos,
+       |       CAST(sum(neg_at) AS BIGINT) AS n_neg,
+       |       CAST(sum(2 * pos_at * neg_below + pos_at * neg_at) AS BIGINT)
+       |         AS u2,
+       |       CASE WHEN sum(pos_at) > 0 AND sum(neg_at) > 0 THEN
+       |         CAST(CAST(sum(2 * pos_at * neg_below + pos_at * neg_at)
+       |              AS BIGINT) AS DOUBLE)
+       |         / CAST(2 * CAST(sum(pos_at) AS BIGINT)
+       |                * CAST(sum(neg_at) AS BIGINT) AS DOUBLE) END AS auc
+       |FROM s2 GROUP BY 1""".stripMargin
+  }
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -5064,7 +5119,8 @@ object Queries {
     "q210_overdispersion" -> overdispersion _,
     "q211_training_matrix" -> trainingMatrix _,
     "q213_sequential_looks" -> sequentialLooks _,
-    "q214_delta_ratio" -> deltaMethodRatio _)
+    "q214_delta_ratio" -> deltaMethodRatio _,
+    "q216_feature_screen" -> featureScreen _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -5172,5 +5228,6 @@ object Queries {
     "q210_overdispersion" -> overdispersionSql,
     "q211_training_matrix" -> trainingMatrixSql,
     "q213_sequential_looks" -> sequentialLooksSql,
-    "q214_delta_ratio" -> deltaMethodRatioSql)
+    "q214_delta_ratio" -> deltaMethodRatioSql,
+    "q216_feature_screen" -> featureScreenSql)
 }

@@ -1239,6 +1239,14 @@ class PlanSpec extends SparkSpec {
     assert(unpartitionedWindows(p) == 0 && !p.contains("CartesianProduct"), p)
   }
 
+  test("feature screen: one unpivot explode feeds all six AUCs; windows keyed on feature") {
+    val p = plan(Queries.featureScreen(spark, sf0001))
+    assert(p.contains("Generate"), s"features must explode, not 6 passes:\n$p")
+    assert(unpartitionedWindows(p) == 0,
+      s"the neg-below window must partition on feature:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("training matrix: feature window pushes to the scan; label join keyed; no corpus window") {
     val p = plan(Queries.trainingMatrix(spark, sf0001))
     assert(unpartitionedWindows(p) == 0,
