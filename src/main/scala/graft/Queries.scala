@@ -5012,6 +5012,116 @@ object Queries {
        |FROM s2 GROUP BY 1""".stripMargin
   }
 
+  // ----------------------------------------------------------- gains table
+  /** q217: gains/lift table — the business-facing model-eval readout
+    * beside AUC: users banded into 10 equal-width monetary-score bands
+    * (the q184 min/max device — deterministic integer bucketing), per
+    * band conversion rate and lift vs the overall rate, plus
+    * top-down cumulative capture. The cumulative leg rides ONE window
+    * over the 10-row band frame (metadata-scale); rates and lift are
+    * single divisions, pround 6.
+    */
+  def gainsTable(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = trainingMatrix(s, dir)
+      .select(col("monetary_cents").as("score"), col("converted"))
+    val bounds = m.agg(min(col("score")).as("__mn"), max(col("score")).as("__mx"))
+    val banded = m.crossJoin(broadcast(bounds))
+      .select(least(lit(9L), greatest(lit(0L),
+        expr("((score - __mn) * 10) div (__mx - __mn + 1)"))).as("band"),
+        col("converted"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("n_pos"))
+    val tot = banded.agg(sum(col("n")).as("__tn"), sum(col("n_pos")).as("__tp"))
+    val wCum = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.crossJoin(broadcast(tot))
+      .withColumn("__cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("__cum_n", sum(col("n")).over(wCum))
+      .select(col("band"), col("n"), col("n_pos"),
+        pround(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("rate"),
+        pround((col("n_pos").cast("double") / col("n").cast("double")) /
+          (col("__tp").cast("double") / col("__tn").cast("double")), 6)
+          .as("lift"),
+        pround(col("__cum_pos").cast("double") / col("__tp").cast("double"), 6)
+          .as("cum_capture"),
+        pround(col("__cum_n").cast("double") / col("__tn").cast("double"), 6)
+          .as("cum_share"))
+  }
+
+  val gainsTableSql: String =
+    s"""WITH m AS (SELECT monetary_cents AS score, converted
+       |           FROM (${trainingMatrixSql.replace("\n", "\n       ")}
+       |) q),
+       |bd AS (SELECT min(score) AS mn, max(score) AS mx FROM m),
+       |b AS (SELECT least(9, greatest(0, ((score - mn) * 10) // (mx - mn + 1)))
+       |               AS band, converted
+       |      FROM m, bd),
+       |g AS (SELECT band, CAST(count(*) AS BIGINT) AS n,
+       |             CAST(sum(converted) AS BIGINT) AS n_pos
+       |      FROM b GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+       |             CAST(sum(n_pos) AS BIGINT) AS tp FROM g),
+       |c AS (SELECT band, n, n_pos, tn, tp,
+       |             CAST(sum(n_pos) OVER (ORDER BY band DESC
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                  AS BIGINT) AS cum_pos,
+       |             CAST(sum(n) OVER (ORDER BY band DESC
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                  AS BIGINT) AS cum_n
+       |      FROM g, t)
+       |SELECT band, n, n_pos,
+       |       floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+       |             * 1000000.0 + 0.5) / 1000000.0 AS rate,
+       |       floor((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+       |             / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+       |             * 1000000.0 + 0.5) / 1000000.0 AS lift,
+       |       floor(CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE)
+       |             * 1000000.0 + 0.5) / 1000000.0 AS cum_capture,
+       |       floor(CAST(cum_n AS DOUBLE) / CAST(tn AS DOUBLE)
+       |             * 1000000.0 + 0.5) / 1000000.0 AS cum_share
+       |FROM c""".stripMargin
+
+  // -------------------------------------------------------- catalog health
+  /** q218: whole-catalog health reconciliation — the operational
+    * row-count / key-integrity dashboard across every table the engine
+    * serves: rows, distinct primary keys, and pk nulls per table in
+    * one result (count reconciliation is the first data-platform SLA).
+    * Ten 1-row aggregates unioned — each table read once with its key
+    * column pruned to the scan.
+    */
+  def catalogHealth(s: SparkSession, dir: String): DataFrame = {
+    val pks = Seq(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey", "events" -> "event_id",
+      "documents" -> "doc_id", "embeddings" -> "vec_id")
+    pks.map { case (tab, pk) =>
+      t(s, dir, tab).agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(pk)).as("n_distinct_pk"),
+        sum(when(col(pk).isNull, 1L).otherwise(0L)).as("pk_nulls"))
+        .select(lit(tab).as("table_name"), lit(pk).as("pk_col"),
+          col("n_rows"), col("n_distinct_pk"), col("pk_nulls"))
+    }.reduce(_ unionByName _)
+  }
+
+  val catalogHealthSql: String = Seq(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "events" -> "event_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+    .map { case (tab, pk) =>
+      s"""SELECT '$tab' AS table_name, '$pk' AS pk_col,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(DISTINCT $pk) AS BIGINT) AS n_distinct_pk,
+         |       CAST(sum(CASE WHEN $pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS pk_nulls
+         |FROM $tab""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   // ---------------------------------------------------------------- catalogs
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_agg" -> hourlyAgg _,
@@ -5120,7 +5230,9 @@ object Queries {
     "q211_training_matrix" -> trainingMatrix _,
     "q213_sequential_looks" -> sequentialLooks _,
     "q214_delta_ratio" -> deltaMethodRatio _,
-    "q216_feature_screen" -> featureScreen _)
+    "q216_feature_screen" -> featureScreen _,
+    "q217_gains_table" -> gainsTable _,
+    "q218_catalog_health" -> catalogHealth _)
 
   val relationalOracles: Map[String, String] = Map(
     "q01_hourly_agg" -> hourlyAggSql,
@@ -5229,5 +5341,7 @@ object Queries {
     "q211_training_matrix" -> trainingMatrixSql,
     "q213_sequential_looks" -> sequentialLooksSql,
     "q214_delta_ratio" -> deltaMethodRatioSql,
-    "q216_feature_screen" -> featureScreenSql)
+    "q216_feature_screen" -> featureScreenSql,
+    "q217_gains_table" -> gainsTableSql,
+    "q218_catalog_health" -> catalogHealthSql)
 }

@@ -1239,6 +1239,22 @@ class PlanSpec extends SparkSpec {
     assert(unpartitionedWindows(p) == 0 && !p.contains("CartesianProduct"), p)
   }
 
+  test("gains table: one metadata-scale cumulative window over the 10 bands") {
+    val p = plan(Queries.gainsTable(spark, sf0001))
+    // two window EXPRESSIONS (cum_pos, cum_n) share the one 10-row
+    // band-frame spec — each prints its own windowspecdefinition
+    assert(unpartitionedWindows(p) == 2,
+      s"only the band-frame cumulative pair may be unpartitioned:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("catalog health: each table scanned once with the pk pruned to the scan") {
+    val p = plan(Queries.catalogHealth(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 10,
+      s"ten tables, ten scans:\n$p")
+    assert(!p.contains("Join") && unpartitionedWindows(p) == 0, p)
+  }
+
   test("feature screen: one unpivot explode feeds all six AUCs; windows keyed on feature") {
     val p = plan(Queries.featureScreen(spark, sf0001))
     assert(p.contains("Generate"), s"features must explode, not 6 passes:\n$p")
