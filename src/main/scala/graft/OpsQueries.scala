@@ -4655,7 +4655,126 @@ object OpsQueries {
        |             * 1000000.0 + 0.5) / 1000000.0 AS mean_catalog_popularity
        |FROM agg, cat""".stripMargin
 
+  // ------------------------------------------------------ ivf cell balance
+  /** q219: IVF cell-balance audit ([[Similarity.ivfCellBalance]]) —
+    * per-cell load vs the uniform ideal on the q25 index layout; the
+    * probe-cost forecast that sizes nprobe. Same deterministic
+    * first-16 assignment the q25 oracle replays.
+    */
+  def ivfBalanceQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfCellBalance(emb(s, dir), "vec_id", "embedding",
+      numCentroids = 16)
+
+  val ivfBalanceSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+      |           FROM embeddings),
+      |cents AS (SELECT vec_id AS centroid_id, vec AS centv FROM v
+      |          ORDER BY vec_id LIMIT 16),
+      |assigned AS (
+      |  SELECT centroid_id, vec_id FROM (
+      |    SELECT ct.centroid_id, x.vec_id,
+      |           row_number() OVER (PARTITION BY x.vec_id
+      |             ORDER BY list_cosine_similarity(x.vec, ct.centv) DESC,
+      |                      ct.centroid_id ASC) AS rn
+      |    FROM v x CROSS JOIN cents ct)
+      |  WHERE rn = 1),
+      |cells AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors
+      |          FROM assigned GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS tot FROM cells)
+      |SELECT centroid_id, n_vectors,
+      |       floor(CAST(n_vectors AS DOUBLE) * 16.0 / CAST(tot AS DOUBLE)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS load_ratio
+      |FROM cells, t""".stripMargin
+
+  // ------------------------------------------------------------ zipf slope
+  /** q220: Zipf rank-frequency slope — the corpus-statistics classic
+    * (natural text slopes ≈ −1; a far-off slope flags synthetic or
+    * boilerplate-heavy corpora): top-1000 tokens by exact count
+    * (TakeOrdered, token tie-pin), OLS of ln(count) on ln(rank) over
+    * the 1000-row frame with all four moment sums accumulated on ONE
+    * pinned-order running window (the psi_cum device — ln doubles must
+    * not meet groupBy association), closed-form slope/intercept/R²,
+    * pround 6.
+    */
+  def zipfSlopeQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("tok").asc).limit(1000)
+      .localCheckpoint(true)
+    val wRank = Window.orderBy(col("n").desc, col("tok").asc)
+    val wCum = Window.orderBy(col("rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xy = top
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .select(col("rank"), col("n"),
+        log(col("rank").cast("double")).as("__x"),
+        log(col("n").cast("double")).as("__y"))
+      .withColumn("__sx", sum(col("__x")).over(wCum))
+      .withColumn("__sy", sum(col("__y")).over(wCum))
+      .withColumn("__sxx", sum(col("__x") * col("__x")).over(wCum))
+      .withColumn("__syy", sum(col("__y") * col("__y")).over(wCum))
+      .withColumn("__sxy", sum(col("__x") * col("__y")).over(wCum))
+    val last = xy.groupBy()
+      .agg(count(lit(1)).as("n_tokens"),
+        max(struct(col("rank"), col("__sx"), col("__sy"), col("__sxx"),
+          col("__syy"), col("__sxy"))).as("__m"))
+      .select(col("n_tokens"),
+        col("__m.__sx").as("sx"), col("__m.__sy").as("sy"),
+        col("__m.__sxx").as("sxx"), col("__m.__syy").as("syy"),
+        col("__m.__sxy").as("sxy"))
+    val nD = col("n_tokens").cast("double")
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    val vx = nD * col("sxx") - col("sx") * col("sx")
+    val vy = nD * col("syy") - col("sy") * col("sy")
+    last.select(col("n_tokens"),
+      pround(cov / vx, 6).as("slope"),
+      pround((col("sy") - (cov / vx) * col("sx")) / nD, 6).as("intercept"),
+      pround(cov * cov / (vx * vy), 6).as("r2"))
+  }
+
+  val zipfSlopeSql: String =
+    """WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+      |                   AS tok
+      |            FROM documents),
+      |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+      |top AS (SELECT tok, n FROM c ORDER BY n DESC, tok ASC LIMIT 1000),
+      |r AS (SELECT n,
+      |             CAST(row_number() OVER (ORDER BY n DESC, tok ASC)
+      |               AS BIGINT) AS rank
+      |      FROM top),
+      |xy AS (SELECT rank, n, ln(CAST(rank AS DOUBLE)) AS x,
+      |              ln(CAST(n AS DOUBLE)) AS y
+      |       FROM r),
+      |cum AS (SELECT rank,
+      |               sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+      |               sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+      |               sum(x * y) OVER w AS sxy
+      |        FROM xy
+      |        WINDOW w AS (ORDER BY rank ASC ROWS BETWEEN UNBOUNDED
+      |                     PRECEDING AND CURRENT ROW)),
+      |last AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+      |                (max({'r': rank, 'sx': sx, 'sy': sy, 'sxx': sxx,
+      |                      'syy': syy, 'sxy': sxy})) AS m
+      |         FROM cum),
+      |d AS (SELECT n_tokens, CAST(n_tokens AS DOUBLE) AS nd,
+      |             (m).sx AS sx, (m).sy AS sy, (m).sxx AS sxx,
+      |             (m).syy AS syy, (m).sxy AS sxy
+      |      FROM last)
+      |SELECT n_tokens,
+      |       floor((nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS slope,
+      |       floor((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx)
+      |             / nd * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+      |       floor((nd * sxy - sx * sy) * (nd * sxy - sx * sy)
+      |             / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+      |             * 1000000.0 + 0.5) / 1000000.0 AS r2
+      |FROM d""".stripMargin
+
   val ops: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_ivf_balance" -> ivfBalanceQ _,
+    "q220_zipf_slope" -> zipfSlopeQ _,
     "q215_rec_metrics" -> recMetrics _,
     "q212_recommendations" -> recommendQ _,
     "q205_emerging_terms" -> emergingTerms _,
@@ -4768,6 +4887,8 @@ object OpsQueries {
     "q160_dedup_savings" -> dedupSavings _)
 
   val opsOracles: Map[String, String] = Map(
+    "q219_ivf_balance" -> ivfBalanceSql,
+    "q220_zipf_slope" -> zipfSlopeSql,
     "q215_rec_metrics" -> recMetricsSql,
     "q212_recommendations" -> recommendSql,
     "q205_emerging_terms" -> emergingTermsSql,

@@ -600,6 +600,30 @@ object Similarity {
     topKPerQuery(scored, k, numSalts)
   }
 
+  /** IVF cell-balance audit — the index-health readout that decides
+    * nprobe and recall budgets BEFORE queries pay for them: per-cell
+    * vector counts and the load ratio vs the uniform ideal
+    * (`n·k/total`). A cell at 5× ideal makes every probe touching it
+    * 5× the work; empty cells waste probes. One broadcast-centroid
+    * assignment pass (exactly [[ivfTopK]]'s), one k-row aggregate.
+    */
+  def ivfCellBalance(corpus: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int = 16,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      firstNCentroids(corpus, idCol, vecCol, numCentroids))
+    val assigned = nearestCentroids(
+      withNorm(corpus, idCol, vecCol).withColumnRenamed(idCol, "corpus_id"),
+      cents, "corpus", 1)
+    val cells = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val tot = cells.agg(sum(col("n_vectors")).as("__t"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("centroid_id"), col("n_vectors"),
+        pround(col("n_vectors").cast("double") * lit(numCentroids.toDouble) /
+          col("__t").cast("double"), 6).as("load_ratio"))
+  }
+
   // ---------------------------------------------------------------- semdedup
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, then drop all but

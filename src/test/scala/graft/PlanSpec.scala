@@ -1239,6 +1239,23 @@ class PlanSpec extends SparkSpec {
     assert(unpartitionedWindows(p) == 0 && !p.contains("CartesianProduct"), p)
   }
 
+  test("ivf balance: one broadcast-centroid assignment pass + k-row rollup") {
+    val p = plan(OpsQueries.ivfBalanceQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0,
+      s"assignment argmin must be keyed per vector:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 16 centroids must broadcast:\n$p")
+  }
+
+  test("zipf slope: TakeOrdered vocab cut; moment sums ride the checkpointed 1000-row frame") {
+    val p = plan(OpsQueries.zipfSlopeQ(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).isEmpty,
+      s"the OLS stage must read the checkpointed top frame:\n$p")
+    // rank + five moment sums on the same ≤1000-row frame
+    assert(unpartitionedWindows(p) <= 6, s"windows beyond the top frame:\n$p")
+  }
+
   test("gains table: one metadata-scale cumulative window over the 10 bands") {
     val p = plan(Queries.gainsTable(spark, sf0001))
     // two window EXPRESSIONS (cum_pos, cum_n) share the one 10-row
