@@ -318,6 +318,73 @@ object OpsQueries {
       |         AS noise_rate
       |FROM maj GROUP BY 1""".stripMargin
 
+  /** q174b: the SAME label-noise audit with the kNN leg swapped to the
+    * IVF path ([[graft.ops.Similarity.ivfTopK]], 16 first-N cells,
+    * nprobe 4) via the `neighbors` parameter — the scale configuration
+    * for a corpus screening itself, where brute force is O(n²). The
+    * whole approximation is deterministic (fixed centroids, id-pinned
+    * ties), so the oracle replays the IVF assignment + probe + rank
+    * exactly (the q25 replay) and then the identical vote/argmax chain.
+    */
+  def labelNoiseAnnQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelNoise(emb(s, dir), "vec_id", "embedding", "label",
+      neighbors = (c, q, id, vec, k) =>
+        Similarity.ivfTopK(c, q, id, vec, k, numCentroids = 16, nprobe = 4))
+
+  val labelNoiseAnnSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |         CAST(embedding AS DOUBLE[]) AS vec
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS centroid_id, vec AS centv
+      |          FROM v ORDER BY vec_id LIMIT 16),
+      |assigned AS (
+      |  SELECT centroid_id, vec_id AS neighbor_id, nlab, cv FROM (
+      |    SELECT ct.centroid_id, x.vec_id, x.label AS nlab, x.vec AS cv,
+      |           row_number() OVER (PARTITION BY x.vec_id
+      |             ORDER BY list_cosine_similarity(x.vec, ct.centv) DESC,
+      |                      ct.centroid_id ASC) AS rn
+      |    FROM v x CROSS JOIN cents ct)
+      |  WHERE rn = 1),
+      |probed AS (
+      |  SELECT centroid_id, query_id, qlab, qv FROM (
+      |    SELECT ct.centroid_id, q.vec_id AS query_id, q.label AS qlab,
+      |           q.vec AS qv,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY list_cosine_similarity(q.vec, ct.centv) DESC,
+      |                      ct.centroid_id ASC) AS rn
+      |    FROM v q CROSS JOIN cents ct)
+      |  WHERE rn <= 4),
+      |top AS (
+      |  SELECT query_id AS qid, qlab, nlab FROM (
+      |    SELECT p.query_id, p.qlab, a.nlab,
+      |           row_number() OVER (PARTITION BY p.query_id
+      |             ORDER BY list_cosine_similarity(p.qv, a.cv) DESC,
+      |                      a.neighbor_id ASC) AS rn
+      |    FROM probed p JOIN assigned a ON a.centroid_id = p.centroid_id
+      |    WHERE p.query_id <> a.neighbor_id)
+      |  WHERE rn <= 5),
+      |votes AS (
+      |  SELECT qid, qlab, nlab, count(*) AS v
+      |  FROM top GROUP BY 1, 2, 3),
+      |maj AS (
+      |  SELECT qid, qlab, nlab AS mlab, v FROM (
+      |    SELECT qid, qlab, nlab, v,
+      |           row_number() OVER (PARTITION BY qid
+      |                              ORDER BY v DESC, nlab ASC) AS r
+      |    FROM votes)
+      |  WHERE r = 1)
+      |SELECT qlab AS label,
+      |       CAST(count(*) AS BIGINT) AS n_vecs,
+      |       CAST(sum(CASE WHEN mlab <> qlab THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_majority_flag,
+      |       CAST(sum(CASE WHEN mlab <> qlab AND v >= 4 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_confident_flag,
+      |       floor((CAST(sum(CASE WHEN mlab <> qlab THEN 1 ELSE 0 END) AS DOUBLE)
+      |              / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+      |         AS noise_rate
+      |FROM maj GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ hard negatives
   /** q175: hard-negative mining via
     * [[graft.ops.Similarity.hardNegatives]] — for anchors vec_id < 20
@@ -4837,6 +4904,7 @@ object OpsQueries {
     "q171_pq_codes" -> pqCodesQ _,
     "q172_pq_adc" -> pqAdcQ _,
     "q174_label_noise" -> labelNoiseQ _,
+    "q174b_label_noise_ann" -> labelNoiseAnnQ _,
     "q175_hard_negatives" -> hardNegativesQ _,
     "q176_compaction_plan" -> compactionPlanQ _,
     "q51_incremental_dedup" -> incrementalDedup _,
@@ -4974,6 +5042,7 @@ object OpsQueries {
     "q171_pq_codes" -> pqCodesSql,
     "q172_pq_adc" -> pqAdcSql,
     "q174_label_noise" -> labelNoiseSql,
+    "q174b_label_noise_ann" -> labelNoiseAnnSql,
     "q175_hard_negatives" -> hardNegativesSql,
     "q176_compaction_plan" -> compactionPlanSql,
     "q51_incremental_dedup" -> incrementalDedupSql,

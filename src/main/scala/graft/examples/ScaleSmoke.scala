@@ -141,7 +141,12 @@ object ScaleSmoke {
       // session closers: shared spans meets 10x the fingerprint pairs
       // (and the duplicate mixture), recommendations meet 10x baskets,
       // the training matrix meets 10x users end-to-end
-      "q200_shared_spans", "q212_recommendations", "q211_training_matrix")
+      "q200_shared_spans", "q212_recommendations", "q211_training_matrix",
+      // round-10: the label-noise screen's two kNN legs side by side —
+      // brute is O(n²) in corpus size (the 100x extrapolation to avoid),
+      // the IVF leg scores only nprobe/numCentroids of the pairs; the
+      // gap between these two walls IS the subquadratic evidence
+      "q174_label_noise", "q174b_label_noise_ann")
     // warm scans once
     (gen.keys ++ passthrough).foreach { t =>
       try graft.Tables.load(spark, out, t).count()

@@ -264,20 +264,26 @@ object Similarity {
     * count, confident-flag count, noise rate) a labeling pipeline
     * watches per ingestion batch.
     *
-    * Scale: the kNN leg is [[bruteForceTopK]] with the corpus as its
-    * own query set — the exact baseline; swap the IVF/PQ paths in for
-    * the billion-row corpus, identical voting from there on. Votes are
-    * keyed integer aggs; the majority is an `max(struct)` argmax (ties
-    * to the smaller label), never a per-vector window beyond the
-    * already-salted top-k.
+    * Scale: the kNN leg is pluggable via `neighbors` — any
+    * `(corpus, queries, idCol, vecCol, k) => (query_id, neighbor_id, …)`
+    * source. The default is [[bruteForceTopK]] with the corpus as its
+    * own query set — the exact baseline, O(n·m) compute, fine for
+    * audit-sized batches but quadratic when the corpus screens itself.
+    * For the billion-row corpus pass the [[ivfTopK]] or [[pqAdcTopK]]
+    * leg (partially applied): both are bucketed, the voting chain from
+    * there on is identical keyed integer aggs. The majority is a
+    * `max(struct)` argmax (ties to the smaller label), never a
+    * per-vector window beyond the already-salted top-k.
     */
   def knnLabelNoise(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int = 5, confidentVotes: Int = 4): DataFrame = {
+      labelCol: String, k: Int = 5, confidentVotes: Int = 4,
+      neighbors: (DataFrame, DataFrame, String, String, Int) => DataFrame =
+        bruteForceTopK(_, _, _, _, _)): DataFrame = {
     require(k >= 1 && confidentVotes >= 1 && confidentVotes <= k,
       "knnLabelNoise needs 1 <= confidentVotes <= k")
     val labels = df.select(col(idCol).as("__lid"),
       col(labelCol).cast("long").as("__lab"))
-    val knn = bruteForceTopK(df, df, idCol, vecCol, k)
+    val knn = neighbors(df, df, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
     // plain keyed joins: the (id, label) map is corpus-scale, so it must
     // NOT be broadcast-hinted (AQE still broadcasts it when it is in

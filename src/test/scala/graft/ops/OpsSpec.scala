@@ -277,6 +277,16 @@ class OpsSpec extends SparkSpec {
     assert(got(0L) === ((13L, 1L, 1L)), s"label 0 audit: $got")
     // label 1: clean
     assert(got(1L) === ((11L, 0L, 0L)), s"label 1 audit: $got")
+    // the pluggable neighbor source: an IVF leg whose 16 first-N cells
+    // cover both clusters (seeds 0..15 span 12 A + 4 B vectors) must
+    // reproduce the brute audit on this well-separated fixture — the
+    // scale configuration changes the kNN leg, not the verdicts
+    val ann = Similarity.knnLabelNoise(df, "vec_id", "embedding", "label",
+        neighbors = (c, q, id, vec, k) =>
+          Similarity.ivfTopK(c, q, id, vec, k, numCentroids = 16, nprobe = 4))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(ann === got, s"ANN-legged audit diverged: $ann vs $got")
   }
 
   test("hardNegatives excludes same-label neighbors however close, ranks the different-label frontier") {
