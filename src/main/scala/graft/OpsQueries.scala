@@ -1504,6 +1504,97 @@ object OpsQueries {
       |        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
       |WHERE rank <= 5""".stripMargin
 
+  /** Shared oracle CTE chain replaying
+    * [[graft.ops.Similarity.lloydMicroCodebooks]] — the deterministic
+    * integer Lloyd's: shifted micros (`+2·10⁶` keeps every operand
+    * non-negative so DuckDB `//` == Spark `div`), exact int64
+    * squared-L2 assignment with (dist, cid) ties, integer-mean update
+    * `sum(qs) // count(*)`, `iters` unrolled rounds. Emits CTEs
+    * `lcomp`, `lc0..lc$iters` (+ `la1..la$iters`); the final codebook
+    * is `lc$iters` in (m, cid, dim, cq-shifted) shape.
+    */
+  private def lloydCtes(iters: Int, k: Int, mExpr: String): String = {
+    val init =
+      s"""lcomp AS (
+         |  SELECT vec_id AS id, CAST(dim AS BIGINT) AS dim, $mExpr AS m,
+         |         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) + 2000000 AS qs
+         |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         |               unnest(range(0, len(embedding))) AS dim
+         |        FROM embeddings)),
+         |lc0 AS (SELECT m, id AS cid, dim, qs AS cq FROM lcomp WHERE id < $k)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s""",
+         |la$t AS (
+         |  SELECT id, m, cid FROM (
+         |    SELECT id, m, cid,
+         |           row_number() OVER (PARTITION BY id, m
+         |                              ORDER BY dist ASC, cid ASC) AS rn
+         |    FROM (SELECT a.id, a.m, c.cid,
+         |                 CAST(sum((a.qs - c.cq) * (a.qs - c.cq)) AS BIGINT)
+         |                   AS dist
+         |          FROM lcomp a JOIN lc${t - 1} c ON c.dim = a.dim
+         |          GROUP BY 1, 2, 3))
+         |  WHERE rn = 1),
+         |lc$t AS (
+         |  SELECT x.m, a.cid, x.dim,
+         |         CAST(sum(x.qs) // count(*) AS BIGINT) AS cq
+         |  FROM lcomp x JOIN la$t a ON a.id = x.id AND a.m = x.m
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString
+    init + steps
+  }
+
+  /** q25b: IVF top-k on TRAINED centroids
+    * ([[graft.ops.Similarity.lloydCentroids]], 16 cells, 3 integer
+    * Lloyd rounds, nprobe 8) — the trained-quality ANN path, still a
+    * hard hash gate because the whole training loop is exact integer
+    * arithmetic the oracle replays round by round. Query ids 100..119
+    * are disjoint from the seed ids 0..15 (recall-A/B rule); OpsSpec
+    * pins recall@10 ≥ 0.7 vs brute force at this configuration.
+    */
+  def ivfTrainedQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(e,
+      e.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+      "vec_id", "embedding", k = 10, numCentroids = 16, nprobe = 8,
+      centroids = Some(Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3)))
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  val ivfTrainedSql: String =
+    s"""WITH ${lloydCtes(3, 16, "0")},
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |cents AS (
+       |  SELECT cid AS centroid_id,
+       |         list((cq - 2000000) / 1000000.0 ORDER BY dim) AS centv
+       |  FROM lc3 GROUP BY cid),
+       |assigned AS (
+       |  SELECT centroid_id, vec_id AS neighbor_id, vec AS cv FROM (
+       |    SELECT ct.centroid_id, x.vec_id, x.vec,
+       |           row_number() OVER (PARTITION BY x.vec_id
+       |             ORDER BY list_cosine_similarity(x.vec, ct.centv) DESC,
+       |                      ct.centroid_id ASC) AS rn
+       |    FROM v x CROSS JOIN cents ct)
+       |  WHERE rn = 1),
+       |probed AS (
+       |  SELECT centroid_id, query_id, qv FROM (
+       |    SELECT ct.centroid_id, q.vec_id AS query_id, q.vec AS qv,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_cosine_similarity(q.vec, ct.centv) DESC,
+       |                      ct.centroid_id ASC) AS rn
+       |    FROM v q CROSS JOIN cents ct WHERE q.vec_id BETWEEN 100 AND 119)
+       |  WHERE rn <= 8),
+       |scored AS (
+       |  SELECT p.query_id, a.neighbor_id,
+       |         list_cosine_similarity(p.qv, a.cv) AS cos
+       |  FROM probed p JOIN assigned a ON a.centroid_id = p.centroid_id
+       |  WHERE p.query_id <> a.neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |       floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+       |WHERE rank <= 10""".stripMargin
+
   /** MMR diversified re-ranking (q153, [[Similarity.mmrRerank]]) — the
     * RAG serving pass: each of 8 query vectors gets its brute top-8
     * candidates re-ranked into 4 greedy picks trading relevance (0.7)
@@ -2722,6 +2813,63 @@ object OpsQueries {
 
   val pqAdcSql: String =
     s"""WITH $pqCtes,
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, q.m, c.cid,
+       |         CAST(sum((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS d
+       |  FROM comp q JOIN c ON c.dim = q.dim
+       |  WHERE q.vec_id BETWEEN 100 AND 107
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT qd.query_id, b.vec_id AS neighbor_id,
+       |         CAST(sum(qd.d) AS BIGINT) AS adc_dist
+       |  FROM best b JOIN qd ON qd.m = b.m AND qd.cid = b.cid
+       |  WHERE b.rn = 1
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_dist
+       |FROM (SELECT query_id, neighbor_id, adc_dist,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY adc_dist ASC, neighbor_id ASC)
+       |               AS rank
+       |      FROM adc)
+       |WHERE rank <= 10""".stripMargin
+
+  /** q172b: PQ-ADC top-k on a TRAINED per-subspace codebook
+    * ([[graft.ops.Similarity.lloydPqCodebook]], 8×16 codewords, 3
+    * integer Lloyd rounds) — same exact-int64 ADC chain as q172, with
+    * the codebook swapped through the `codebook` parameter. The oracle
+    * replays the joint per-subspace training (m = dim//8 keys one
+    * Lloyd loop for all 8 subspaces) and then the q172 ADC chain
+    * against the trained codewords; OpsSpec pins trained recall ≥ the
+    * first-16 stub's.
+    */
+  def pqAdcTrainedQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.pqAdcTopK(e,
+      e.filter(col("vec_id") >= 100 && col("vec_id") <= 107),
+      "vec_id", "embedding", k = 10,
+      codebook = Some(Similarity.lloydPqCodebook(e, "vec_id", "embedding")))
+  }
+
+  val pqAdcTrainedSql: String =
+    s"""WITH ${lloydCtes(3, 16, "CAST(dim AS BIGINT) // 8")},
+       |comp AS (
+       |  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       |         CAST(dim AS BIGINT) // 8 AS m,
+       |         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |               unnest(range(0, len(embedding))) AS dim
+       |        FROM embeddings)),
+       |c AS (SELECT cid, dim, cq - 2000000 AS cq FROM lc3),
+       |d AS (
+       |  SELECT a.vec_id, a.m, c.cid,
+       |         CAST(sum((a.q - c.cq) * (a.q - c.cq)) AS BIGINT) AS dist
+       |  FROM comp a JOIN c ON c.dim = a.dim
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT vec_id, m, cid, dist,
+       |         row_number() OVER (PARTITION BY vec_id, m
+       |                            ORDER BY dist ASC, cid ASC) AS rn
+       |  FROM d),
        |qd AS (
        |  SELECT q.vec_id AS query_id, q.m, c.cid,
        |         CAST(sum((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS d
@@ -4881,6 +5029,8 @@ object OpsQueries {
     "q23_frame_sample" -> frameSample _,
     "q24_media_features" -> mediaFeatures _,
     "q25_ivf_knn" -> ivfKnn _,
+    "q25b_ivf_trained" -> ivfTrainedQ _,
+    "q172b_pq_adc_trained" -> pqAdcTrainedQ _,
     "q26_rplsh_knn" -> rpLshKnn _,
     "q27_fingerprints" -> fingerprints _,
     "q32_seq_packing" -> seqPacking _,
@@ -5019,6 +5169,8 @@ object OpsQueries {
     "q23_frame_sample" -> frameSampleSql,
     "q24_media_features" -> mediaFeaturesSql,
     "q25_ivf_knn" -> ivfKnnSql,
+    "q25b_ivf_trained" -> ivfTrainedSql,
+    "q172b_pq_adc_trained" -> pqAdcTrainedSql,
     "q26_rplsh_knn" -> rpLshKnnSql,
     "q27_fingerprints" -> fingerprintsSql,
     "q32_seq_packing" -> seqPackingSql,

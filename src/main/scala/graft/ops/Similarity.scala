@@ -102,15 +102,16 @@ object Similarity {
         col("__b.dist").as("dist"))
 
   def pqCodes(df: DataFrame, idCol: String, vecCol: String,
-      nSub: Int = 8, subDim: Int = 8, nCentroids: Int = 16): DataFrame = {
+      nSub: Int = 8, subDim: Int = 8, nCentroids: Int = 16,
+      codebook: Option[DataFrame] = None): DataFrame = {
     require(nSub >= 1 && subDim >= 1 && nCentroids >= 2,
       "pqCodes needs nSub, subDim >= 1 and nCentroids >= 2")
     // dims beyond nSub*subDim are dropped EXPLICITLY, so the emitted
     // distortion always corresponds to exactly the emitted codes
     val comps = pqComponents(df, idCol, vecCol, subDim)
       .filter(col("m") < nSub)
-    val cents = comps.filter(col("__id") < nCentroids)
-      .select(col("__id").as("cid"), col("dim"), col("q").as("cq"))
+    val cents = codebook.getOrElse(comps.filter(col("__id") < nCentroids)
+      .select(col("__id").as("cid"), col("dim"), col("q").as("cq")))
     val best = pqAssignments(comps, cents)
     val codeCols = (0 until nSub).map { i =>
       max(when(col("m") === i, col("code"))).as(s"code_$i")
@@ -140,13 +141,14 @@ object Similarity {
     */
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 10, nSub: Int = 8, subDim: Int = 8,
-      nCentroids: Int = 16, numSalts: Int = 8): DataFrame = {
+      nCentroids: Int = 16, numSalts: Int = 8,
+      codebook: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && nSub >= 1 && subDim >= 1 && nCentroids >= 2,
       "pqAdcTopK needs k, nSub, subDim >= 1 and nCentroids >= 2")
     val comps = pqComponents(corpus, idCol, vecCol, subDim)
       .filter(col("m") < nSub)
-    val cents = comps.filter(col("__id") < nCentroids)
-      .select(col("__id").as("cid"), col("dim"), col("q").as("cq"))
+    val cents = codebook.getOrElse(comps.filter(col("__id") < nCentroids)
+      .select(col("__id").as("cid"), col("dim"), col("q").as("cq")))
     val codes = pqAssignments(comps, cents).drop("dist")
     val dtable = pqComponents(queries, idCol, vecCol, subDim)
       .filter(col("m") < nSub)
@@ -528,6 +530,101 @@ object Similarity {
       .toDF("centroid_id", "centv")
       .withColumn("centn", norm(col("centv")))
   }
+
+  // ------------------------------------------------- trained codebooks
+  /** Deterministic integer Lloyd's (k-means) over micro-quantized
+    * components — the TRAINED-codebook path for IVF and PQ that is
+    * still fully hash-gateable: unlike MLlib's [[kmeansCentroids]]
+    * (float means, partition-order-dependent sums), every quantity
+    * here is exact integer arithmetic, so a second engine replays the
+    * whole training loop bitwise.
+    *
+    * The device: components are shifted micros `qs = ⌊v·10⁶+0.5⌋ +
+    * 2·10⁶ ≥ 0` (the shift keeps floor-division semantics identical
+    * across engines — Spark `div` == DuckDB `//` for non-negative
+    * operands, CLAUDE.md rule). Assignment is exact int64 squared-L2
+    * (shift-invariant); the centroid update is the INTEGER mean
+    * `sum(qs) div count` — one deterministic rounding per component
+    * per round, associative, engine-independent. Centroids that lose
+    * all members simply drop out (both engines agree). A fixed
+    * iteration count, not a convergence test, keeps the replay static.
+    *
+    * Input `comps`: (__id, m, dim, qs) — `m` is the subspace id
+    * (constant 0 for full-vector IVF training); init is the first-`k`
+    * ids' components (the established seeding). Output: (m, cid, dim,
+    * cq) shifted micros.
+    *
+    * Scale: each round is one broadcast join against the ≤ k·dim-row
+    * codebook, one map-side-combining keyed agg per stage; the
+    * codebook is eagerly checkpointed per round (the greedy-loop
+    * rule — replanning compounds otherwise). `sum(qs)` overflows int64
+    * only beyond ~3·10¹² rows per (cluster, dim); train on a
+    * hash-split sample long before that (standard ANN practice — the
+    * codebook needs thousands of points per centroid, not the corpus).
+    */
+  private[ops] def lloydMicroCodebooks(
+      comps: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 2 && iters >= 1, "lloydMicroCodebooks needs k >= 2, iters >= 1")
+    var cents = comps.filter(col("__id") < k)
+      .select(col("m"), col("__id").as("cid"), col("dim"), col("qs").as("cq"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assign = comps.join(broadcast(cents.drop("m")), Seq("dim"))
+        .groupBy(col("__id"), col("m"), col("cid"))
+        .agg(sum((col("qs") - col("cq")) * (col("qs") - col("cq"))).as("dist"))
+        .groupBy(col("__id"), col("m"))
+        .agg(min(struct(col("dist"), col("cid"))).as("__b"))
+        .select(col("__id"), col("m"), col("__b.cid").as("cid"))
+      cents = comps.join(assign, Seq("__id", "m"))
+        .groupBy(col("m"), col("cid"), col("dim"))
+        .agg(sum(col("qs")).as("sq"), count(lit(1)).as("cnt"))
+        .select(col("m"), col("cid"), col("dim"),
+          expr("sq div cnt").as("cq"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** Trained full-vector IVF centroids via [[lloydMicroCodebooks]], in
+    * the (centroid_id, centv, centn) shape [[ivfTopK]] consumes — the
+    * hash-gateable alternative to [[kmeansCentroids]]. Element
+    * `cq/10⁶ − 2` converts back to a double with one rounding each
+    * engine performs identically.
+    */
+  def lloydCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 3): DataFrame = {
+    val comps = corpus.select(col(idCol).as("__id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .select(col("__id"), lit(0).as("m"), col("dim"),
+        (floor(col("v") * 1e6 + 0.5).cast("long") + 2000000L).as("qs"))
+    // tiny frame from here on (k rows): collect_list + transform are
+    // fine outside the hot path
+    lloydMicroCodebooks(comps, k, iters)
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"),
+        ((col("cq") - 2000000L).cast("double") / 1e6).as("v")))).as("__a"))
+      .select(col("cid").as("centroid_id"),
+        expr("transform(__a, x -> x.v)").as("centv"))
+      .withColumn("centn", norm(col("centv")))
+  }
+
+  /** Trained per-subspace PQ codebook via [[lloydMicroCodebooks]] —
+    * all `nSub` subspaces train jointly in one keyed loop. Output
+    * (cid, dim, cq) in UNSHIFTED micros, the exact shape
+    * [[pqCodes]]/[[pqAdcTopK]] consume through their `codebook`
+    * parameter (distances are shift-invariant, so downstream is
+    * unchanged).
+    */
+  def lloydPqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      nSub: Int = 8, subDim: Int = 8, nCentroids: Int = 16,
+      iters: Int = 3): DataFrame =
+    lloydMicroCodebooks(
+      pqComponents(corpus, idCol, vecCol, subDim)
+        .filter(col("m") < nSub)
+        .select(col("__id"), col("m"), col("dim"),
+          (col("q") + 2000000L).as("qs")),
+      nCentroids, iters)
+      .select(col("cid"), col("dim"), (col("cq") - 2000000L).as("cq"))
 
   /** First-N-by-id corpus vectors as IVF centroids, in the
     * (centroid_id, centv, centn) shape the assignment join consumes —

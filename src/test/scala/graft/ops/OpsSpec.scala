@@ -431,6 +431,35 @@ class OpsSpec extends SparkSpec {
       s"recall hits moved: first-N=$firstNHits trained=$trainedHits (was 77/83)")
   }
 
+  test("Lloyd-trained codebooks: IVF recall@10 >= 0.7, trained PQ-ADC beats the first-16 stub") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    // query ids disjoint from the Lloyd seeds 0..15 (recall-A/B rule)
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 10))
+    // the q25b configuration: 16 trained cells, 3 integer Lloyd rounds,
+    // nprobe 8 — trained-quality recall, not the 5x-random stub floor
+    val lloyd = pairs(Similarity.ivfTopK(e, queries, "vec_id", "embedding", 10,
+      numCentroids = 16, nprobe = 8,
+      centroids = Some(Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3))))
+    val lloydRecall = (lloyd & exact).size.toDouble / exact.size
+    assert(lloydRecall >= 0.7, s"trained-IVF recall@10 $lloydRecall below 0.7")
+    // the q172b configuration: trained per-subspace codewords must beat
+    // the first-16 stub at identical code budget (both deterministic —
+    // pin the hit counts so quality drift is loud)
+    val adcStub = pairs(Similarity.pqAdcTopK(e, queries, "vec_id", "embedding", k = 10))
+    val adcTrained = pairs(Similarity.pqAdcTopK(e, queries, "vec_id", "embedding",
+      k = 10, codebook = Some(Similarity.lloydPqCodebook(e, "vec_id", "embedding"))))
+    val stubHits = (adcStub & exact).size
+    val trainedHits = (adcTrained & exact).size
+    assert(trainedHits > stubHits,
+      s"trained PQ codebook must beat the stub: $trainedHits vs $stubHits of ${exact.size}")
+    assert((stubHits, trainedHits) === ((32, 45)),
+      s"ADC recall hits moved: stub=$stubHits trained=$trainedHits (was 32/45)")
+  }
+
   test("salted two-phase top-k equals the single-window ranking") {
     val e = graft.Tables.load(spark, sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 10)
