@@ -20,6 +20,25 @@ object Bench {
       try graft.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // Contention-calibration probe (VERDICT r9 #3): a fixed synthetic
+    // in-memory job — no I/O, pure codegen hash + one 32-partition
+    // shuffle — timed as median-of-3 BEFORE and AFTER the board. Its
+    // cost is invariant across code changes, so probe_s measures the
+    // HOST, not the library: two runs of the same code whose raw
+    // totals differ by 30% but whose probe-normalized totals
+    // (value / probe_s) agree are the same build on a contended vs
+    // idle machine. Readers adjudicating round-over-round deltas must
+    // normalize by probe_s instead of re-benching.
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 30000000L, 1L, 32)
+        .selectExpr("id % 997 AS k", "xxhash64(id) AS h")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("h"))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def probeMedian(): Double = { probeOnce(); Seq.fill(3)(probeOnce()).sorted.apply(1) }
+    val probeBefore = probeMedian()
     // Per query: one untimed warm-up, then median of 3 timed runs —
     // single-run timings at this scale swing ±6x run-to-run (JIT, GC,
     // page cache), which made round-over-round deltas meaningless.
@@ -43,8 +62,11 @@ object Bench {
     val passing = results.filter(_._2(1) >= 0)
     val total = passing.map(_._2(1)).sum
     val failed = results.size - passing.size
+    val probeAfter = probeMedian()
+    val probe = (probeBefore + probeAfter) / 2
+    val probeJson = f""""probe_s":$probe%.4f,"probe_before_s":$probeBefore%.4f,"probe_after_s":$probeAfter%.4f"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$probeJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout but has truncated the tail of long
     // lines; persist the full per-query detail (min/median/max of the
@@ -56,7 +78,7 @@ object Bench {
     out.mkdirs()
     val w = new java.io.PrintWriter(new java.io.File(out, "bench.json"))
     try w.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":"$sfDir","queries":$detail}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$probeJson,"sf":"$sfDir","queries":$detail}""")
     finally w.close()
     spark.stop()
   }
