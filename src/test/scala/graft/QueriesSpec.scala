@@ -28,6 +28,30 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q177b KMV column stats: low-card columns exact, high-card within estimator error of exact NDV") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val est = Queries.columnStatsSketch(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getDouble(5)))).toMap
+    val o = Tables.load(spark, sf001, "orders")
+    val exact = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority").map { c =>
+      c -> o.agg(countDistinct(col(c))).head().getLong(0)
+    }.toMap
+    // the inherent threshold: columns with < 64 distinct hashes keep
+    // them all and report EXACTLY
+    Seq("o_orderstatus", "o_orderpriority").foreach { c =>
+      assert(est(c)._1 < 64 && est(c)._2 === exact(c).toDouble,
+        s"$c should be exact: ${est(c)} vs ${exact(c)}")
+    }
+    // high-card columns: k=64 KMV has sd ~ 1/sqrt(k-2) = 12.7%; gate at
+    // ~3 sigma so estimator noise passes and a broken sketch fails
+    Seq("o_orderkey", "o_custkey").foreach { c =>
+      val rel = math.abs(est(c)._2 - exact(c)) / exact(c)
+      assert(est(c)._1 === 64L && rel <= 0.38,
+        s"$c rel-error $rel too high: est=${est(c)._2} exact=${exact(c)}")
+    }
+  }
+
   test("two-proportion z matches an independent driver-side computation") {
     // planted fixture: 40 users, one event each, every 5th converts —
     // the sf fixtures are degenerate here (every user purchases, so

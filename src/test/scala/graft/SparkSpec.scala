@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   lazy val sf0001 = "/root/testdata/sf0.001"
+  lazy val sf001 = "/root/testdata/sf0.01"
 }
 
 object SparkSpec {
