@@ -31,7 +31,7 @@ object Bench {
     // normalize by probe_s instead of re-benching.
     def probeOnce(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0L, 30000000L, 1L, 32)
+      spark.range(0L, 120000000L, 1L, 32)
         .selectExpr("id % 997 AS k", "xxhash64(id) AS h")
         .groupBy("k").agg(org.apache.spark.sql.functions.sum("h"))
         .count()

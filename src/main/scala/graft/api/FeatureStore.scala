@@ -135,6 +135,34 @@ final class FeatureStore(
     registry.getFeatureView(name).getOrElse(
       throw new NoSuchElementException(s"feature view '$name' not registered"))
 
+  /** ANALYZE a registered view's source: harvest the per-join-key
+    * count histogram and persist it beside the registry document
+    * ([[graft.core.StatsStore]]), so planning-time consumers
+    * (join-size forecasts, skew valves) read registry statistics
+    * instead of rescanning the source. Returns the stats path.
+    * Requires a file-backed registry — ephemeral in-memory sessions
+    * have nowhere durable to put statistics.
+    */
+  def analyze(viewName: String): String = {
+    val fv = getFeatureView(viewName)
+    val keys = resolveJoinKeys(fv)
+    val registryPath = config.registryPath.getOrElse(throw new IllegalStateException(
+      "analyze() needs a file-backed registry (config.registryPath) to place stats next to"))
+    val path = StatsStore.statsPath(registryPath, fv.name, keys)
+    StatsStore.write(
+      StatsStore.analyze(graft.sources.SourceReader.read(spark, fv.source), keys),
+      path)
+    path
+  }
+
+  /** Read a view's persisted key histogram (None if never analyzed). */
+  def statsFor(viewName: String): Option[DataFrame] = {
+    val fv = getFeatureView(viewName)
+    config.registryPath.flatMap { rp =>
+      StatsStore.read(spark, StatsStore.statsPath(rp, fv.name, resolveJoinKeys(fv)))
+    }
+  }
+
   private def resolveJoinKeys(fv: FeatureView): Seq[String] =
     fv.entities.flatMap { e =>
       registry.getEntity(e)

@@ -1,0 +1,54 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registry-held table statistics (VERDICT r9 #6) — the ANALYZE
+  * analogue for the feature-store registry: the per-join-key count
+  * histogram of a registered source, persisted as a SMALL parquet next
+  * to the registry document, so planning-time consumers
+  * ([[graft.transform.Skew.joinSizeForecastFromCounts]], the q154
+  * join-size forecast) read harvested statistics instead of rescanning
+  * the table per decision. The histogram is key-domain-sized (one row
+  * per distinct key), which for forecast-worthy keys is orders of
+  * magnitude below the table — the whole point of paying the scan ONCE
+  * at register/materialize time.
+  *
+  * Layout: `<registry dir>/stats/<name>__<keys>.parquet`, columns
+  * `keyCols* , n`. Writes go through the session's Hadoop conf, so any
+  * registry filesystem (file://, hdfs://, abfss://) works; the write is
+  * an overwrite of the stats dir for that (table, keys) pair —
+  * re-ANALYZE replaces, matching the registry's last-writer-wins
+  * semantics.
+  */
+object StatsStore {
+
+  /** Deterministic stats location for (table, keys) beside the registry
+    * document.
+    */
+  def statsPath(registryPath: String, table: String,
+      keyCols: Seq[String]): String = {
+    val slash = registryPath.lastIndexOf('/')
+    val dir = if (slash >= 0) registryPath.substring(0, slash) else "."
+    s"$dir/stats/${table}__${keyCols.mkString("_")}.parquet"
+  }
+
+  /** The ANALYZE pass: exact per-key counts (one keyed shuffle with
+    * map-side partials — the same aggregation the forecast would run,
+    * now run once and persisted).
+    */
+  def analyze(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "analyze needs key columns")
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+  }
+
+  def write(counts: DataFrame, path: String): Unit =
+    counts.write.mode("overwrite").parquet(path)
+
+  /** Read a persisted histogram; None if never analyzed. */
+  def read(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
+}

@@ -53,6 +53,17 @@ object FullLoop {
         ttl = Some(java.time.Duration.ofDays(7)))))
     println(s"registered: ${fs.listFeatureViews().map(_.name)} / ${fs.listEntities().map(_.name)}")
 
+    // 1b. ANALYZE at register time: persist the per-join-key histogram
+    // next to the registry, then drive a join-size forecast from the
+    // REGISTRY statistics — no source rescan at decision time.
+    val statsPath = fs.analyze("events_fv")
+    val counts = fs.statsFor("events_fv").get
+    val forecast = graft.transform.Skew.joinSizeForecastFromCounts(
+      counts.withColumnRenamed("n", "n_a"),
+      counts.withColumnRenamed("n", "n_b"), Seq("user_id"), topK = 3)
+    println(s"stats at $statsPath; self-join forecast (from registry stats):")
+    forecast.show(false)
+
     // 2. historical PIT retrieval (M4)
     import spark.implicits._
     val entityDf = Seq(

@@ -135,9 +135,24 @@ object Skew {
       topK: Int = 10): DataFrame = {
     require(keyCols.nonEmpty, "joinSizeForecast needs join keys")
     val keys = keyCols.map(col)
+    joinSizeForecastFromCounts(
+      a.groupBy(keys: _*).agg(count(lit(1)).as("n_a")),
+      b.groupBy(keys: _*).agg(count(lit(1)).as("n_b")),
+      keyCols, topK)
+  }
+
+  /** [[joinSizeForecast]] from PRE-HARVESTED per-key count frames
+    * (`keyCols*, n_a` / `keyCols*, n_b`) — the registry-statistics
+    * path: when both sides were ANALYZEd at register time
+    * ([[graft.core.StatsStore]]), the forecast costs a key-domain-sized
+    * join instead of two table scans. Identical output to the scanning
+    * form by construction (the scan form delegates here).
+    */
+  def joinSizeForecastFromCounts(ca: DataFrame, cb: DataFrame,
+      keyCols: Seq[String], topK: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "joinSizeForecast needs join keys")
+    val keys = keyCols.map(col)
     def dec(c: Column) = c.cast("decimal(19,0)")
-    val ca = a.groupBy(keys: _*).agg(count(lit(1)).as("n_a"))
-    val cb = b.groupBy(keys: _*).agg(count(lit(1)).as("n_b"))
     val per = ca.join(cb, keyCols)
       .withColumn("pairs",
         (dec(col("n_a")) * dec(col("n_b"))).cast("decimal(38,0)").cast("long"))

@@ -1,0 +1,51 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.api.{FeatureStore, RepoConfig}
+import org.apache.spark.sql.functions._
+
+/** Registry-held statistics (VERDICT r9 #6): ANALYZE at register time
+  * persists the per-join-key histogram beside the registry, and a
+  * join-size forecast driven from those statistics is IDENTICAL to the
+  * forecast recomputed from a full source scan.
+  */
+class StatsStoreSpec extends SparkSpec {
+
+  test("forecast-from-registry stats == forecast-from-scan at sf0.001") {
+    val repo = java.nio.file.Files.createTempDirectory("stats_repo")
+    val regPath = repo.resolve("registry.json").toString
+    val fs = new FeatureStore(spark,
+      RepoConfig("stats_demo", Some(regPath)), new FileRegistry(regPath))
+    fs.applyObjects(Seq(
+      Entity("user", Seq("user_id"), ValueType.INT64),
+      FeatureView("events_fv", Seq("user"),
+        Seq(Feature("value", org.apache.spark.sql.types.DoubleType)),
+        SparkSource("events_src", s"$sf0001/events.parquet",
+          timestampField = "ts",
+          options = Map(graft.sources.SourceReader.NanosColumnsOption -> "ts")))))
+    // ANALYZE at register time writes the histogram next to the registry
+    val path = fs.analyze("events_fv")
+    assert(path.startsWith(repo.toString) && path.contains("/stats/"),
+      s"stats must live beside the registry: $path")
+
+    val counts = fs.statsFor("events_fv").get
+    val fromRegistry = graft.transform.Skew.joinSizeForecastFromCounts(
+      counts.withColumnRenamed("n", "n_a"),
+      counts.withColumnRenamed("n", "n_b"), Seq("user_id"))
+    val events = graft.Tables.load(spark, sf0001, "events").select(col("user_id"))
+    val fromScan = graft.transform.Skew.joinSizeForecast(
+      events, events, Seq("user_id"))
+    val a = fromRegistry.collect().map(_.toSeq).toSeq
+    val b = fromScan.collect().map(_.toSeq).toSeq
+    assert(a === b, "registry-fed forecast diverged from the scan-fed forecast")
+    assert(a.nonEmpty)
+
+    // un-analyzed views report no stats rather than a broken path
+    fs.applyObjects(Seq(
+      FeatureView("docs_fv", Seq("user"),
+        Seq(Feature("value", org.apache.spark.sql.types.DoubleType)),
+        SparkSource("docs_src", s"$sf0001/documents.parquet",
+          timestampField = "ts"))))
+    assert(fs.statsFor("docs_fv").isEmpty)
+  }
+}
