@@ -4671,7 +4671,7 @@ object OpsQueries {
     """WITH mx AS (SELECT (max(doc_id) + 1) // 2 AS half FROM documents),
       |tk AS (SELECT doc_id >= half AS second,
       |              unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-      |       FROM documents, mx),
+      |       FROM documents, mx WHERE length(trim(text)) > 0),
       |c AS (SELECT tok,
       |             CAST(sum(CASE WHEN NOT second THEN 1 ELSE 0 END) AS BIGINT)
       |               AS c_first,
@@ -4967,7 +4967,7 @@ object OpsQueries {
   val zipfSlopeSql: String =
     """WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
       |                   AS tok
-      |            FROM documents),
+      |            FROM documents WHERE length(trim(text)) > 0),
       |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
       |top AS (SELECT tok, n FROM c ORDER BY n DESC, tok ASC LIMIT 1000),
       |r AS (SELECT n,

@@ -1122,7 +1122,12 @@ object Stats {
     def dec(c: Column) = c.cast("decimal(38,0)")
     val s = series.select(col(idxCol).cast("long").as("__i"),
       col(valueCol).cast("long").as("__v"))
+    // runtime precondition: a series shorter than one block makes the
+    // start modulus (n − L + 1) zero or negative — fail fast with a
+    // real message instead of ANSI DIVIDE_BY_ZERO (or silent row drops)
     val nf = s.agg(count(lit(1)).as("__n"), sum(col("__v")).as("__tot"))
+      .filter(assert_true(col("__n") >= lit(blockLen.toLong),
+        lit(s"movingBlockBootstrap needs series length >= blockLen ($blockLen)")).isNull)
     val spark = series.sparkSession
     val grid = spark.range(reps).select(col("id").as("b"))
       .crossJoin(broadcast(nf))
@@ -1186,10 +1191,27 @@ object Stats {
     * span < 53 bits → exact, association-free), so per-key AND merged
     * estimates hash-gate bitwise.
     */
-  def hllMergeAll(df: DataFrame, keyCol: String, valueCol: String,
+  /** The corpus-touching stage of [[hllMergeAll]]: per-(key, bucket)
+    * max-rho registers — ONE scan, one keyed agg. Exposed so PlanSpec
+    * can pin the single-scan shape pre-checkpoint.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, valueCol: String,
       m: Int = 64): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
     require(m <= 65536, "m beyond the 4-digit bucket slice")
+    val h = md5(col(valueCol).cast("string"))
+    val bucket = conv(substring(h, 1, 4), 16, 10).cast("long") % m
+    val probe = conv(substring(h, 5, 4), 16, 10).cast("long")
+    val rho = when(probe === 0L, lit(17L))
+      .otherwise(lit(17L) - length(bin(probe)))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("k"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+  }
+
+  def hllMergeAll(df: DataFrame, keyCol: String, valueCol: String,
+      m: Int = 64): DataFrame = {
     val alpha = m match {
       case 16 => 0.673
       case 32 => 0.697
@@ -1197,15 +1219,10 @@ object Stats {
       case _ => 0.7213 / (1 + 1.079 / m)
     }
     val alphaM2 = alpha * m * m
-    val h = md5(col(valueCol).cast("string"))
-    val bucket = conv(substring(h, 1, 4), 16, 10).cast("long") % m
-    val probe = conv(substring(h, 5, 4), 16, 10).cast("long")
-    val rho = when(probe === 0L, lit(17L))
-      .otherwise(lit(17L) - length(bin(probe)))
-    val registers = df.filter(col(valueCol).isNotNull)
-      .select(col(keyCol).as("k"), bucket.as("bucket"), rho.as("rho"))
-      .groupBy(col("k"), col("bucket"))
-      .agg(max(col("rho")).as("r"))
+    // the keys×m register frame feeds TWO consumers (the merged row and
+    // the union) — checkpoint it eagerly so the scan + register agg
+    // lineage runs once, not per consumer (the kmvSetOps rule)
+    val registers = hllRegisters(df, keyCol, valueCol, m).localCheckpoint(true)
     // union = register-wise max across keys — touches only the
     // keys×m register frame
     val merged = registers.groupBy(col("bucket"))

@@ -1427,7 +1427,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("hll merge: keyed register aggs only — no windows, no joins beyond the union") {
+    // stage 1 — the only corpus-touching plan: ONE scan into the
+    // register agg (pin pre-checkpoint, the kmvSetOps pattern)
+    val bag = graft.Tables.load(spark, sf0001, "documents")
+      .select(col("source"),
+        explode(graft.ops.Dedup.shingles(col("text"))).as("shingle"))
+    val ps = plan(graft.transform.Stats.hllRegisters(bag, "source", "shingle"))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(ps).length == 1,
+      s"the register stage must scan the corpus exactly once:\n$ps")
+    // stage 2 — the full query hangs off the checkpointed keys×m
+    // register frame: NO parquet re-scan per consumer
     val p = plan(OpsQueries.hllMergeQ(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).isEmpty,
+      s"merge stage re-reads the corpus:\n$p")
     assert(unpartitionedWindows(p) == 0 && !p.contains("Join"),
       s"merge is register aggs + union only:\n$p")
     assert(p.contains("Union"), s"expected per-key ∪ merged union:\n$p")

@@ -811,6 +811,16 @@ class StatsSpec extends SparkSpec {
       rv.getDouble(4) >= rv.getDouble(2) - 1.0,
       s"CI [${rv.getDouble(3)}, ${rv.getDouble(4)}] vs mean ${rv.getDouble(2)}")
     assert(rv.getDouble(3) < rv.getDouble(4) && rv.getDouble(5) > 0.0)
+    // a series shorter than one block must fail FAST with the
+    // precondition message, not ANSI DIVIDE_BY_ZERO / silent row drops
+    val short = (0L until 3L).map(i => (i, 1L)).toDF("i", "v")
+    val e = intercept[Exception] {
+      Stats.movingBlockBootstrap(short, "i", "v", blockLen = 5, reps = 40).head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("needs series length >= blockLen")),
+      s"wrong failure: $e")
   }
 
   test("targetEncodeOOF: independent md5 recompute — own fold excluded, smoothing applied") {
