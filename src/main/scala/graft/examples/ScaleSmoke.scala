@@ -146,7 +146,10 @@ object ScaleSmoke {
       // brute is O(n²) in corpus size (the 100x extrapolation to avoid),
       // the IVF leg scores only nprobe/numCentroids of the pairs; the
       // gap between these two walls IS the subquadratic evidence
-      "q174_label_noise", "q174b_label_noise_ann")
+      "q174_label_noise", "q174b_label_noise_ann",
+      // integer Lloyd's trains on the 10x corpus (full-corpus config;
+      // trainFilter is the beyond-10x valve), PQ-ADC searches it
+      "q25b_ivf_trained", "q172b_pq_adc_trained")
     // warm scans once
     (gen.keys ++ passthrough).foreach { t =>
       try graft.Tables.load(spark, out, t).count()

@@ -560,7 +560,10 @@ object Similarity {
     * rule — replanning compounds otherwise). `sum(qs)` overflows int64
     * only beyond ~3·10¹² rows per (cluster, dim); train on a
     * hash-split sample long before that (standard ANN practice — the
-    * codebook needs thousands of points per centroid, not the corpus).
+    * codebook needs thousands of points per centroid, not the corpus):
+    * [[lloydCentroids]]/[[lloydPqCodebook]] take the sample predicate
+    * as `trainFilter`, a WIRED parameter so the billion-row
+    * configuration is a call-site choice, not a code edit.
     */
   private[ops] def lloydMicroCodebooks(
       comps: DataFrame, k: Int, iters: Int): DataFrame = {
@@ -592,8 +595,10 @@ object Similarity {
     * engine performs identically.
     */
   def lloydCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 3): DataFrame = {
-    val comps = corpus.select(col(idCol).as("__id"),
+      k: Int = 16, iters: Int = 3,
+      trainFilter: Option[Column] = None): DataFrame = {
+    val comps = trainFilter.map(corpus.filter).getOrElse(corpus)
+      .select(col(idCol).as("__id"),
         posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
       .select(col("__id"), lit(0).as("m"), col("dim"),
         (floor(col("v") * 1e6 + 0.5).cast("long") + 2000000L).as("qs"))
@@ -617,9 +622,10 @@ object Similarity {
     */
   def lloydPqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
       nSub: Int = 8, subDim: Int = 8, nCentroids: Int = 16,
-      iters: Int = 3): DataFrame =
+      iters: Int = 3, trainFilter: Option[Column] = None): DataFrame =
     lloydMicroCodebooks(
-      pqComponents(corpus, idCol, vecCol, subDim)
+      pqComponents(trainFilter.map(corpus.filter).getOrElse(corpus),
+        idCol, vecCol, subDim)
         .filter(col("m") < nSub)
         .select(col("__id"), col("m"), col("dim"),
           (col("q") + 2000000L).as("qs")),

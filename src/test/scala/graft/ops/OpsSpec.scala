@@ -446,6 +446,15 @@ class OpsSpec extends SparkSpec {
       centroids = Some(Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3))))
     val lloydRecall = (lloyd & exact).size.toDouble / exact.size
     assert(lloydRecall >= 0.7, s"trained-IVF recall@10 $lloydRecall below 0.7")
+    // the 100 TB configuration: training on a half-corpus sample via the
+    // wired trainFilter parameter must stay near full-corpus quality
+    val sampled = pairs(Similarity.ivfTopK(e, queries, "vec_id", "embedding", 10,
+      numCentroids = 16, nprobe = 8,
+      centroids = Some(Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3,
+        trainFilter = Some(col("vec_id") % 2 === 0 || col("vec_id") < 16)))))
+    val sampledRecall = (sampled & exact).size.toDouble / exact.size
+    assert(sampledRecall >= 0.6,
+      s"sample-trained IVF recall collapsed: $sampledRecall")
     // the q172b configuration: trained per-subspace codewords must beat
     // the first-16 stub at identical code budget (both deterministic —
     // pin the hit counts so quality drift is loud)
