@@ -2890,6 +2890,161 @@ object OpsQueries {
        |      FROM adc)
        |WHERE rank <= 10""".stripMargin
 
+  /** q25c: Lloyd training-convergence curve
+    * ([[graft.ops.Similarity.lloydTrainingCurve]]) — per-round exact
+    * int64 total distortion of the q25b training run, the monitor that
+    * decides when codebook training has converged. Same integer
+    * arithmetic as the codebook oracle, so every round gates bitwise.
+    */
+  def ivfTrainCurveQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.lloydTrainingCurve(emb(s, dir), "vec_id", "embedding",
+      k = 16, iters = 3)
+
+  val ivfTrainCurveSql: String = {
+    val rounds = (1 to 3).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS round,
+         |       CAST(count(*) AS BIGINT) AS n_assigned,
+         |       CAST(sum(md) AS BIGINT) AS total_distortion
+         |FROM (SELECT id, m, min(dist) AS md FROM (
+         |        SELECT a.id, a.m, c.cid,
+         |               CAST(sum((a.qs - c.cq) * (a.qs - c.cq)) AS BIGINT)
+         |                 AS dist
+         |        FROM lcomp a JOIN lc${t - 1} c ON c.dim = a.dim
+         |        GROUP BY 1, 2, 3)
+         |      GROUP BY 1, 2)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${lloydCtes(2, 16, "0")}
+       |$rounds""".stripMargin
+  }
+
+  /** q221: per-dimension affine int8 scalar quantization
+    * ([[graft.ops.Similarity.scalarQuantize]]) — the 4× compression
+    * tier below PQ. Codes, reconstructions, and squared error are all
+    * exact integer arithmetic; the md5 of the dim-ordered code string
+    * is the cross-engine witness that every code byte matches.
+    */
+  def scalarQuantQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.scalarQuantize(emb(s, dir), "vec_id", "embedding")
+
+  val scalarQuantSql: String =
+    """WITH comp AS (
+      |  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+      |         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |               unnest(range(0, len(embedding))) AS dim
+      |        FROM embeddings)),
+      |r AS (SELECT dim, min(q) AS mn, max(q) AS mx FROM comp GROUP BY 1),
+      |c AS (SELECT comp.vec_id, comp.dim, comp.q, r.mn, r.mx,
+      |             CASE WHEN r.mx = r.mn THEN CAST(0 AS BIGINT)
+      |                  ELSE CAST(((comp.q - r.mn) * 255) // (r.mx - r.mn)
+      |                            AS BIGINT) END AS code
+      |      FROM comp JOIN r USING (dim)),
+      |d AS (SELECT vec_id, dim, q, code,
+      |             mn + CAST((code * (mx - mn)) // 255 AS BIGINT) AS recon
+      |      FROM c)
+      |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+      |       CAST(sum((q - recon) * (q - recon)) AS BIGINT) AS total_sq_err,
+      |       md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim))
+      |         AS code_md5
+      |FROM d GROUP BY vec_id""".stripMargin
+
+  /** q222: Matryoshka truncation audit — recall@10 of first-16-dim
+    * cosine retrieval against the full 64-dim ranking, per query (ids
+    * 100..119): the readout that decides whether a truncated-dimension
+    * index tier is good enough to serve first-stage retrieval. Both
+    * rankings are the established brute-force replay; the overlap is
+    * exact integers.
+    */
+  def matryoshkaRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val isQ = col("vec_id") >= 100 && col("vec_id") < 120
+    val full = Similarity.bruteForceTopK(e, e.filter(isQ),
+        "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val eT = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val trunc = Similarity.bruteForceTopK(eT, eT.filter(isQ),
+        "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = full.join(trunc, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    // drive from the always-populated query frame: a query with ZERO
+    // overlap must still report (the per-key LEFT-join rule)
+    e.filter(isQ).select(col("vec_id").as("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall",
+        col("n_overlap").cast("double") / lit(10.0))
+  }
+
+  val matryoshkaRecallSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+      |           FROM embeddings),
+      |q AS (SELECT vec_id, vec FROM v WHERE vec_id BETWEEN 100 AND 119),
+      |f AS (SELECT query_id, neighbor_id FROM (
+      |        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |               row_number() OVER (PARTITION BY q.vec_id
+      |                 ORDER BY list_cosine_similarity(q.vec, c.vec) DESC,
+      |                          c.vec_id ASC) AS rn
+      |        FROM q JOIN v c ON q.vec_id <> c.vec_id)
+      |      WHERE rn <= 10),
+      |t AS (SELECT query_id, neighbor_id FROM (
+      |        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |               row_number() OVER (PARTITION BY q.vec_id
+      |                 ORDER BY list_cosine_similarity(q.vec[1:16],
+      |                                                 c.vec[1:16]) DESC,
+      |                          c.vec_id ASC) AS rn
+      |        FROM q JOIN v c ON q.vec_id <> c.vec_id)
+      |      WHERE rn <= 10),
+      |o AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+      |      FROM f JOIN t ON f.query_id = t.query_id
+      |                   AND f.neighbor_id = t.neighbor_id
+      |      GROUP BY 1)
+      |SELECT q.vec_id AS query_id,
+      |       coalesce(o.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+      |       CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / 10.0 AS recall
+      |FROM q LEFT JOIN o ON o.query_id = q.vec_id""".stripMargin
+
+  /** q223: ColBERT-style late-interaction MaxSim top-k
+    * ([[graft.ops.Similarity.lateInteractionTopK]]) — vectors as 8
+    * token subvectors, score = Σ_queryToken max_corpusToken ⟨q_t,c_t⟩,
+    * query ids 100..107. Every token dot, max, and sum is exact int64
+    * on micros, so the whole ranking gates bitwise.
+    */
+  def lateInteractionQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.lateInteractionTopK(e,
+      e.filter(col("vec_id") >= 100 && col("vec_id") <= 107),
+      "vec_id", "embedding", k = 10)
+  }
+
+  val lateInteractionSql: String =
+    """WITH comp AS (
+      |  SELECT vec_id, CAST(dim AS BIGINT) // 8 AS tok,
+      |         CAST(dim AS BIGINT) % 8 AS off,
+      |         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |               unnest(range(0, len(embedding))) AS dim
+      |        FROM embeddings)),
+      |qc AS (SELECT vec_id AS query_id, tok AS qtok, off, q AS qq
+      |       FROM comp WHERE vec_id BETWEEN 100 AND 107),
+      |cc AS (SELECT vec_id AS neighbor_id, tok AS ctok, off, q AS cq
+      |       FROM comp),
+      |td AS (SELECT query_id, neighbor_id, qtok, ctok,
+      |              CAST(sum(qq * cq) AS BIGINT) AS dot
+      |       FROM qc JOIN cc USING (off)
+      |       GROUP BY 1, 2, 3, 4),
+      |ms AS (SELECT query_id, neighbor_id,
+      |              CAST(sum(best) AS BIGINT) AS maxsim
+      |       FROM (SELECT query_id, neighbor_id, qtok, max(dot) AS best
+      |             FROM td GROUP BY 1, 2, 3)
+      |       GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, maxsim
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY maxsim DESC, neighbor_id ASC) AS rank
+      |      FROM ms WHERE query_id <> neighbor_id)
+      |WHERE rank <= 10""".stripMargin
+
   // ------------------------------------------------------------ collocations
   /** Bigram PMI collocation mining via [[Corpus.pmiCollocations]] —
     * vocabulary-induction scores for a BPE-style tokenizer's merge
@@ -5045,7 +5200,11 @@ object OpsQueries {
     "q24_media_features" -> mediaFeatures _,
     "q25_ivf_knn" -> ivfKnn _,
     "q25b_ivf_trained" -> ivfTrainedQ _,
+    "q25c_ivf_train_curve" -> ivfTrainCurveQ _,
     "q172b_pq_adc_trained" -> pqAdcTrainedQ _,
+    "q221_scalar_quant" -> scalarQuantQ _,
+    "q222_matryoshka_recall" -> matryoshkaRecallQ _,
+    "q223_late_interaction" -> lateInteractionQ _,
     "q26_rplsh_knn" -> rpLshKnn _,
     "q27_fingerprints" -> fingerprints _,
     "q32_seq_packing" -> seqPacking _,
@@ -5185,7 +5344,11 @@ object OpsQueries {
     "q24_media_features" -> mediaFeaturesSql,
     "q25_ivf_knn" -> ivfKnnSql,
     "q25b_ivf_trained" -> ivfTrainedSql,
+    "q25c_ivf_train_curve" -> ivfTrainCurveSql,
     "q172b_pq_adc_trained" -> pqAdcTrainedSql,
+    "q221_scalar_quant" -> scalarQuantSql,
+    "q222_matryoshka_recall" -> matryoshkaRecallSql,
+    "q223_late_interaction" -> lateInteractionSql,
     "q26_rplsh_knn" -> rpLshKnnSql,
     "q27_fingerprints" -> fingerprintsSql,
     "q32_seq_packing" -> seqPackingSql,

@@ -313,6 +313,90 @@ object Similarity {
         col("n_majority_flag").cast("double") / col("n_vecs").cast("double"), 6))
   }
 
+  /** ColBERT-style late-interaction MaxSim top-k (Khattab & Zaharia,
+    * SIGIR 2020): vectors are treated as `nTok` contiguous token
+    * subvectors of `tokDim` dims; the pair score is
+    * Σ_queryToken max_corpusToken ⟨q_t, c_t⟩ — each query token finds
+    * its best-matching corpus token, so partial/local matches score
+    * where a single pooled cosine washes them out. On integer-micros
+    * components every token dot, max, and sum is EXACT int64, so the
+    * whole ranking hash-gates.
+    *
+    * Scale: the query side (queries × nTok × tokDim component rows) is
+    * BROADCAST onto the corpus component stream keyed by within-token
+    * offset — the corpus is touched once, dots partial-aggregate
+    * map-side, the token-max and score-sum are keyed aggs, and the
+    * final cut is the salted top-k. Nothing corpus-scale ever windows
+    * or cross-shuffles.
+    */
+  def lateInteractionTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10, nTok: Int = 8,
+      tokDim: Int = 8, numSalts: Int = 16): DataFrame = {
+    require(k >= 1 && nTok >= 1 && tokDim >= 1,
+      "lateInteractionTopK needs k, nTok, tokDim >= 1")
+    def comps(df: DataFrame, side: String): DataFrame =
+      pqComponents(df, idCol, vecCol, tokDim)
+        .filter(col("m") < nTok)
+        .select(col("__id").as(s"${side}_id"), col("m").as(s"${side}_tok"),
+          (col("dim") % tokDim).as("off"), col("q").as(s"${side}_q"))
+    val c = comps(corpus, "neighbor")
+    val q = comps(queries, "query")
+    val tokenDots = c.join(broadcast(q), Seq("off"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("query_tok"),
+        col("neighbor_tok"))
+      .agg(sum(col("query_q") * col("neighbor_q")).as("dot"))
+    val maxSim = tokenDots
+      .groupBy(col("query_id"), col("neighbor_id"), col("query_tok"))
+      .agg(max(col("dot")).as("best"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("best")).as("maxsim"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    graft.transform.Skew.saltedTopK(maxSim,
+      partitionCols = Seq(col("query_id")),
+      orderCols = Seq(col("maxsim").desc, col("neighbor_id").asc),
+      saltCol = col("neighbor_id"), k = k, numSalts = numSalts,
+      rankCol = "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("maxsim"))
+  }
+
+  /** Per-dimension affine int8 scalar quantization — the cheap 4×
+    * compression tier below PQ (what a vector store applies before any
+    * codebook exists): per-dim corpus min/max of the integer-micros
+    * components, `code = (q − mn)·255 div (mx − mn)` (∈ [0, 255], all
+    * integer, exact), reconstruction `mn + code·(mx − mn) div 255`, and
+    * the per-vector readout a quantization rollout monitors: total
+    * squared reconstruction error (exact int64) plus an md5 fingerprint
+    * of the code string (the cross-engine witness that every code byte
+    * matches). Constant dims (mx = mn) code to 0 and reconstruct
+    * exactly.
+    *
+    * Scale: one pass for the 2·dim-row min/max frame (broadcast back),
+    * one row-local coding pass, one keyed rollup. The per-vector code
+    * assembly is a dim-bounded collect_list — fixed width, never
+    * corpus-bounded.
+    */
+  def scalarQuantize(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val comps = corpus.select(col(idCol).as("__id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .select(col("__id"), col("dim"),
+        floor(col("v") * 1e6 + 0.5).cast("long").as("q"))
+    val ranges = comps.groupBy(col("dim"))
+      .agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
+    val coded = comps.join(broadcast(ranges), Seq("dim"))
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(expr("((q - mn) * 255) div (mx - mn)")))
+      .withColumn("recon", col("mn") + expr("(code * (mx - mn)) div 255"))
+    coded.groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_dims"),
+        sum((col("q") - col("recon")) * (col("q") - col("recon")))
+          .as("total_sq_err"),
+        md5(concat_ws(",",
+          expr("transform(array_sort(collect_list(struct(dim, code))), x -> CAST(x.code AS STRING))")))
+          .as("code_md5"))
+  }
+
   /** Integer-micro DCG position weights `round(1e6 / log2(i+1))` for
     * ranks 1..k. Computed ONCE driver-side and inlined as literals into
     * both the Spark plan and the SQL oracle (the hyperplane-literal
@@ -565,27 +649,70 @@ object Similarity {
     * as `trainFilter`, a WIRED parameter so the billion-row
     * configuration is a call-site choice, not a code edit.
     */
+  /** One Lloyd round's assignment: nearest centroid per (__id, m) with
+    * its exact int64 distance — (__id, m, cid, dist).
+    */
+  private def lloydAssign(comps: DataFrame, cents: DataFrame): DataFrame =
+    comps.join(broadcast(cents.drop("m")), Seq("dim"))
+      .groupBy(col("__id"), col("m"), col("cid"))
+      .agg(sum((col("qs") - col("cq")) * (col("qs") - col("cq"))).as("dist"))
+      .groupBy(col("__id"), col("m"))
+      .agg(min(struct(col("dist"), col("cid"))).as("__b"))
+      .select(col("__id"), col("m"), col("__b.cid").as("cid"),
+        col("__b.dist").as("dist"))
+
+  /** One Lloyd round's centroid update: integer mean per (m, cid, dim). */
+  private def lloydUpdate(comps: DataFrame, assign: DataFrame): DataFrame =
+    comps.join(assign.select(col("__id"), col("m"), col("cid")), Seq("__id", "m"))
+      .groupBy(col("m"), col("cid"), col("dim"))
+      .agg(sum(col("qs")).as("sq"), count(lit(1)).as("cnt"))
+      .select(col("m"), col("cid"), col("dim"),
+        expr("sq div cnt").as("cq"))
+
+  private def lloydInit(comps: DataFrame, k: Int): DataFrame =
+    comps.filter(col("__id") < k)
+      .select(col("m"), col("__id").as("cid"), col("dim"), col("qs").as("cq"))
+
   private[ops] def lloydMicroCodebooks(
       comps: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 2 && iters >= 1, "lloydMicroCodebooks needs k >= 2, iters >= 1")
-    var cents = comps.filter(col("__id") < k)
-      .select(col("m"), col("__id").as("cid"), col("dim"), col("qs").as("cq"))
-      .localCheckpoint(true)
+    var cents = lloydInit(comps, k).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val assign = comps.join(broadcast(cents.drop("m")), Seq("dim"))
-        .groupBy(col("__id"), col("m"), col("cid"))
-        .agg(sum((col("qs") - col("cq")) * (col("qs") - col("cq"))).as("dist"))
-        .groupBy(col("__id"), col("m"))
-        .agg(min(struct(col("dist"), col("cid"))).as("__b"))
-        .select(col("__id"), col("m"), col("__b.cid").as("cid"))
-      cents = comps.join(assign, Seq("__id", "m"))
-        .groupBy(col("m"), col("cid"), col("dim"))
-        .agg(sum(col("qs")).as("sq"), count(lit(1)).as("cnt"))
-        .select(col("m"), col("cid"), col("dim"),
-          expr("sq div cnt").as("cq"))
-        .localCheckpoint(true)
+      cents = lloydUpdate(comps, lloydAssign(comps, cents)).localCheckpoint(true)
     }
     cents
+  }
+
+  /** Lloyd training-convergence curve — the monitor a codebook-training
+    * job watches per round: for each round t, the exact int64 TOTAL
+    * DISTORTION (sum of nearest-centroid squared-L2) of the assignment
+    * against round t−1's centroids, plus the assigned unit count. The
+    * same exact-integer arithmetic as [[lloydMicroCodebooks]], so every
+    * round's readout hash-gates bitwise (approximate-monotone decrease;
+    * the integer means can tick a round up by a rounding quantum, which
+    * is exactly why the curve is worth emitting).
+    *
+    * Output: (round, n_assigned, total_distortion), rounds 1..iters.
+    */
+  def lloydTrainingCurve(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 3,
+      trainFilter: Option[Column] = None): DataFrame = {
+    require(k >= 2 && iters >= 1, "lloydTrainingCurve needs k >= 2, iters >= 1")
+    val comps = trainFilter.map(corpus.filter).getOrElse(corpus)
+      .select(col(idCol).as("__id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .select(col("__id"), lit(0).as("m"), col("dim"),
+        (floor(col("v") * 1e6 + 0.5).cast("long") + 2000000L).as("qs"))
+    var cents = lloydInit(comps, k).localCheckpoint(true)
+    val rounds = (1 to iters).map { t =>
+      val assign = lloydAssign(comps, cents).localCheckpoint(true)
+      cents = lloydUpdate(comps, assign).localCheckpoint(true)
+      assign.agg(count(lit(1)).as("n_assigned"),
+          sum(col("dist")).as("total_distortion"))
+        .select(lit(t.toLong).as("round"), col("n_assigned"),
+          col("total_distortion"))
+    }
+    rounds.reduce(_ unionByName _)
   }
 
   /** Trained full-vector IVF centroids via [[lloydMicroCodebooks]], in

@@ -1445,6 +1445,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), s"expected per-key ∪ merged union:\n$p")
   }
 
+  test("late interaction: query components broadcast onto one corpus stream; keyed aggs; salted cut") {
+    val p = plan(OpsQueries.lateInteractionQ(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"query token components must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"token dots must not shuffle-join:\n$p")
+    assert(unpartitionedWindows(p) == 0, s"topK windows are query-keyed:\n$p")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length <= 2,
+      s"corpus + query sides only:\n$p")
+  }
+
+  test("scalar quantization: dim-range frame broadcasts back; row-local coding; no windows") {
+    val p = plan(OpsQueries.scalarQuantQ(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 64-row dim-range frame must broadcast:\n$p")
+    assert(unpartitionedWindows(p) == 0 && !p.contains("CartesianProduct"))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length <= 2,
+      s"one pass for ranges + one for coding:\n$p")
+  }
+
+  test("matryoshka recall: both rankings broadcast queries; overlap is a keyed join; left join preserves zero-overlap queries") {
+    val p = plan(OpsQueries.matryoshkaRecallQ(spark, sf0001))
+    // brute top-k broadcasts the query side under a non-equi condition
+    // → BroadcastNestedLoopJoin (one per ranking), never a cartesian
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length == 2,
+      s"both rankings must broadcast their query side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(unpartitionedWindows(p) == 0, s"topK windows are query-keyed:\n$p")
+  }
+
+  test("lloyd training curve: every round reads checkpointed frames — no corpus re-scan per round") {
+    val p = plan(OpsQueries.ivfTrainCurveQ(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).isEmpty,
+      s"rounds must hang off checkpointed assignments:\n$p")
+    assert(p.contains("Union"), s"rounds union into the curve:\n$p")
+  }
+
   test("target encoding: two keyed aggs + broadcast totals — no window, no fold self-join") {
     val p = plan(Queries.targetEncoding(spark, sf0001))
     assert(unpartitionedWindows(p) == 0, s"no window belongs here:\n$p")
