@@ -3045,6 +3045,80 @@ object OpsQueries {
       |      FROM ms WHERE query_id <> neighbor_id)
       |WHERE rank <= 10""".stripMargin
 
+  /** q224: per-query reciprocal-rank fusion
+    * ([[graft.ops.Similarity.rrfFusePerQuery]]) of the dense-cosine
+    * leg (q20's brute ranking) and the late-interaction MaxSim leg
+    * (q223), query ids 100..107 — the hybrid-retrieval merge a RAG
+    * serving stack runs per query (the single-list aggregation variant
+    * is q116). RRF weights are the integer `10⁶ div (60 + rank)`, so
+    * fused scores are exact int64 and the output gates bitwise; the
+    * oracle embeds both legs' replay chains and the same fusion
+    * arithmetic.
+    */
+  def rrfFusionQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") >= 100 && col("vec_id") <= 107)
+    Similarity.rrfFusePerQuery(Seq(
+      Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10),
+      Similarity.lateInteractionTopK(e, q, "vec_id", "embedding", k = 10)),
+      k = 10)
+  }
+
+  val rrfFusionSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+      |           FROM embeddings),
+      |q AS (SELECT vec_id, vec FROM v WHERE vec_id BETWEEN 100 AND 107),
+      |dense AS (
+      |  SELECT query_id, neighbor_id, rn AS rank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY list_cosine_similarity(q.vec, c.vec) DESC,
+      |                      c.vec_id ASC) AS rn
+      |    FROM q JOIN v c ON q.vec_id <> c.vec_id)
+      |  WHERE rn <= 10),
+      |comp AS (
+      |  SELECT vec_id, CAST(dim AS BIGINT) // 8 AS tok,
+      |         CAST(dim AS BIGINT) % 8 AS off,
+      |         CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT) AS qv
+      |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS vv,
+      |               unnest(range(0, len(embedding))) AS dim
+      |        FROM embeddings)),
+      |qc AS (SELECT vec_id AS query_id, tok AS qtok, off, qv AS qq
+      |       FROM comp WHERE vec_id BETWEEN 100 AND 107),
+      |cc AS (SELECT vec_id AS neighbor_id, tok AS ctok, off, qv AS cq
+      |       FROM comp),
+      |td AS (SELECT query_id, neighbor_id, qtok, ctok,
+      |              CAST(sum(qq * cq) AS BIGINT) AS dot
+      |       FROM qc JOIN cc USING (off)
+      |       GROUP BY 1, 2, 3, 4),
+      |late AS (
+      |  SELECT query_id, neighbor_id, rn AS rank FROM (
+      |    SELECT query_id, neighbor_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |             ORDER BY maxsim DESC, neighbor_id ASC) AS rn
+      |    FROM (SELECT query_id, neighbor_id,
+      |                 CAST(sum(best) AS BIGINT) AS maxsim
+      |          FROM (SELECT query_id, neighbor_id, qtok, max(dot) AS best
+      |                FROM td GROUP BY 1, 2, 3)
+      |          GROUP BY 1, 2)
+      |    WHERE query_id <> neighbor_id)
+      |  WHERE rn <= 10),
+      |w AS (SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS w
+      |      FROM dense
+      |      UNION ALL
+      |      SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS w
+      |      FROM late),
+      |fused AS (SELECT query_id, neighbor_id,
+      |                 CAST(count(*) AS BIGINT) AS n_legs,
+      |                 CAST(sum(w) AS BIGINT) AS rrf_micro
+      |          FROM w GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+      |       n_legs, rrf_micro
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY rrf_micro DESC, neighbor_id ASC) AS rank
+      |      FROM fused)
+      |WHERE rank <= 10""".stripMargin
+
   // ------------------------------------------------------------ collocations
   /** Bigram PMI collocation mining via [[Corpus.pmiCollocations]] —
     * vocabulary-induction scores for a BPE-style tokenizer's merge
@@ -5205,6 +5279,7 @@ object OpsQueries {
     "q221_scalar_quant" -> scalarQuantQ _,
     "q222_matryoshka_recall" -> matryoshkaRecallQ _,
     "q223_late_interaction" -> lateInteractionQ _,
+    "q224_rrf_fusion" -> rrfFusionQ _,
     "q26_rplsh_knn" -> rpLshKnn _,
     "q27_fingerprints" -> fingerprints _,
     "q32_seq_packing" -> seqPacking _,
@@ -5349,6 +5424,7 @@ object OpsQueries {
     "q221_scalar_quant" -> scalarQuantSql,
     "q222_matryoshka_recall" -> matryoshkaRecallSql,
     "q223_late_interaction" -> lateInteractionSql,
+    "q224_rrf_fusion" -> rrfFusionSql,
     "q26_rplsh_knn" -> rpLshKnnSql,
     "q27_fingerprints" -> fingerprintsSql,
     "q32_seq_packing" -> seqPackingSql,

@@ -397,6 +397,42 @@ object Similarity {
           .as("code_md5"))
   }
 
+  /** PER-QUERY reciprocal-rank fusion — the hybrid-retrieval merge for
+    * multi-leg SEARCH (dense cosine + late-interaction + BM25 …): every
+    * (query, candidate) scores Σ_legs `1e6 div (rrfK + rank)` and
+    * re-ranks within its query. The single-list rank-aggregation
+    * variant is [[graft.transform.Ranking.rrfFuse]] (q116), which sums
+    * IEEE divisions in declared list order — that device needs a
+    * per-ranker column fold and cannot survive this shape: here the
+    * legs meet in a UNION and a keyed SUM whose order no engine pins,
+    * so the weights must be exact integers for the fused scores (and
+    * hence the gate) to be order-independent.
+    *
+    * Input rankings: (query_id, neighbor_id, rank, …); candidates
+    * missing from a leg simply contribute nothing (standard RRF).
+    *
+    * Scale: each leg is already top-k-per-query (k·queries rows); the
+    * fuse is one union + one keyed sum + the salted cut — dimension-
+    * scale work no matter the corpus.
+    */
+  def rrfFusePerQuery(rankings: Seq[DataFrame], k: Int = 10, rrfK: Int = 60,
+      numSalts: Int = 8): DataFrame = {
+    require(rankings.nonEmpty && k >= 1 && rrfK >= 0,
+      "rrfFuse needs rankings, k >= 1, rrfK >= 0")
+    val weighted = rankings.map(_.select(col("query_id"), col("neighbor_id"),
+        expr(s"1000000 div ($rrfK + cast(rank as bigint))").as("__w")))
+      .reduce(_ unionByName _)
+    val fused = weighted.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(count(lit(1)).as("n_legs"), sum(col("__w")).as("rrf_micro"))
+    graft.transform.Skew.saltedTopK(fused,
+      partitionCols = Seq(col("query_id")),
+      orderCols = Seq(col("rrf_micro").desc, col("neighbor_id").asc),
+      saltCol = col("neighbor_id"), k = k, numSalts = numSalts,
+      rankCol = "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("n_legs"), col("rrf_micro"))
+  }
+
   /** Integer-micro DCG position weights `round(1e6 / log2(i+1))` for
     * ranks 1..k. Computed ONCE driver-side and inlined as literals into
     * both the Spark plan and the SQL oracle (the hyperplane-literal
