@@ -3119,6 +3119,66 @@ object OpsQueries {
       |      FROM fused)
       |WHERE rank <= 10""".stripMargin
 
+  /** q225: embedding anisotropy audit
+    * ([[graft.ops.Similarity.embeddingAnisotropy]]) — mean pairwise vs
+    * mean self cosine via the `|Σv|² − Σ|v|²` identity: no pair ever
+    * materializes, all assembly exact integer micros (HUGEINT replay),
+    * one fixed double-op sequence per statistic.
+    */
+  def anisotropyQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingAnisotropy(emb(s, dir), "vec_id", "embedding")
+
+  val anisotropySql: String =
+    """WITH comp AS (
+      |  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+      |         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |               unnest(range(0, len(embedding))) AS dim
+      |        FROM embeddings)),
+      |pd AS (SELECT dim, CAST(sum(q) AS BIGINT) AS s,
+      |              CAST(sum(q * q) AS HUGEINT) AS t
+      |       FROM comp GROUP BY 1),
+      |agg AS (SELECT CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS s2,
+      |               CAST(sum(t) AS HUGEINT) AS t
+      |        FROM pd),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings)
+      |SELECT n.n_vectors,
+      |       floor(CAST(agg.t AS DOUBLE) / CAST(n.n_vectors AS DOUBLE)
+      |             / 1000000000000.0 * 1000000.0 + 0.5) / 1000000.0
+      |         AS mean_self_cos,
+      |       CASE WHEN n.n_vectors > 1 THEN
+      |         floor(CAST(agg.s2 - agg.t AS DOUBLE)
+      |               / CAST(n.n_vectors * (n.n_vectors - 1) AS DOUBLE)
+      |               / 1000000000000.0 * 1000000.0 + 0.5) / 1000000.0
+      |       END AS mean_pair_cos
+      |FROM agg, n""".stripMargin
+
+  /** q226: per-dimension variance spectrum
+    * ([[graft.ops.Similarity.dimVarianceSpectrum]]) — the
+    * dead-dimension screen; exact DECIMAL↔HUGEINT moments per dim.
+    */
+  def dimVarianceQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.dimVarianceSpectrum(emb(s, dir), "vec_id", "embedding")
+
+  val dimVarianceSql: String =
+    """WITH comp AS (
+      |  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+      |         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |               unnest(range(0, len(embedding))) AS dim
+      |        FROM embeddings))
+      |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |       min(q) AS min_micro, max(q) AS max_micro,
+      |       floor(CAST(count(*) * CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT)
+      |                  - CAST(sum(q) AS HUGEINT) * CAST(sum(q) AS HUGEINT)
+      |                  AS DOUBLE)
+      |             / CAST(count(*) * count(*) AS DOUBLE)
+      |             / 1000000000000.0 * 1000000.0 + 0.5) / 1000000.0
+      |         AS variance,
+      |       CAST(CASE WHEN max(q) = min(q) THEN 1 ELSE 0 END AS BIGINT)
+      |         AS dead
+      |FROM comp GROUP BY dim""".stripMargin
+
   // ------------------------------------------------------------ collocations
   /** Bigram PMI collocation mining via [[Corpus.pmiCollocations]] —
     * vocabulary-induction scores for a BPE-style tokenizer's merge
@@ -5280,6 +5340,8 @@ object OpsQueries {
     "q222_matryoshka_recall" -> matryoshkaRecallQ _,
     "q223_late_interaction" -> lateInteractionQ _,
     "q224_rrf_fusion" -> rrfFusionQ _,
+    "q225_anisotropy" -> anisotropyQ _,
+    "q226_dim_variance" -> dimVarianceQ _,
     "q26_rplsh_knn" -> rpLshKnn _,
     "q27_fingerprints" -> fingerprints _,
     "q32_seq_packing" -> seqPacking _,
@@ -5425,6 +5487,8 @@ object OpsQueries {
     "q222_matryoshka_recall" -> matryoshkaRecallSql,
     "q223_late_interaction" -> lateInteractionSql,
     "q224_rrf_fusion" -> rrfFusionSql,
+    "q225_anisotropy" -> anisotropySql,
+    "q226_dim_variance" -> dimVarianceSql,
     "q26_rplsh_knn" -> rpLshKnnSql,
     "q27_fingerprints" -> fingerprintsSql,
     "q32_seq_packing" -> seqPackingSql,

@@ -433,6 +433,73 @@ object Similarity {
         col("n_legs"), col("rrf_micro"))
   }
 
+  /** Embedding-space anisotropy audit (Ethayarajh, EMNLP 2019 flavor)
+    * — the corpus-level readout that predicts whether cosine retrieval
+    * will discriminate: mean pairwise dot vs mean self dot. Anisotropic
+    * spaces (mean pairwise cosine ≫ 0) squash the usable similarity
+    * range. The identity `Σ_{i≠j}⟨vᵢ,vⱼ⟩ = |Σᵢvᵢ|² − Σᵢ|vᵢ|²` turns
+    * the O(n²) pair sum into per-dimension component sums: all
+    * assembly is exact integer micros (component sums int64, their
+    * squares in DECIMAL ↔ HUGEINT), then ONE fixed double-op sequence
+    * per emitted statistic — bitwise cross-engine.
+    *
+    * Scale: one pass to the 64-row per-dim sum frame + one scalar agg;
+    * no pair ever materializes.
+    */
+  def embeddingAnisotropy(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val comps = corpus.select(col(idCol).as("__id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .select(col("__id"), col("dim"),
+        floor(col("v") * 1e6 + 0.5).cast("long").as("q"))
+    val perDim = comps.groupBy(col("dim"))
+      .agg(sum(col("q")).as("s"), sum(col("q") * col("q")).as("t"))
+    val n = corpus.agg(count(lit(1)).as("n_vectors"))
+    perDim.agg(
+        sum(dec(col("s").cast("decimal(19,0)")) *
+          dec(col("s").cast("decimal(19,0)"))).cast("decimal(38,0)").as("__s2"),
+        sum(dec(col("t"))).cast("decimal(38,0)").as("__t"))
+      .crossJoin(broadcast(n))
+      .select(col("n_vectors"),
+        graft.util.Rounding.pround(
+          col("__t").cast("double") / col("n_vectors").cast("double")
+            / 1e12, 6).as("mean_self_cos"),
+        // ANSI guard: a 1-vector corpus has no pairs (n·(n−1) = 0)
+        when(col("n_vectors") > 1L, graft.util.Rounding.pround(
+          (col("__s2") - col("__t")).cast("decimal(38,0)").cast("double")
+            / (col("n_vectors") * (col("n_vectors") - 1)).cast("double")
+            / 1e12, 6)).as("mean_pair_cos"))
+  }
+
+  /** Per-dimension variance spectrum — the dead-dimension screen a
+    * vector pipeline runs before trusting distance math: exact DECIMAL
+    * moments per dim (the corrByKey device), variance =
+    * `(n·Σq² − (Σq)²)/n²` on integer micros, dead = zero spread.
+    * 64-row output, one component pass.
+    */
+  def dimVarianceSpectrum(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val comps = corpus.select(col(idCol).as("__id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .select(col("__id"), col("dim").cast("long").as("dim"),
+        floor(col("v") * 1e6 + 0.5).cast("long").as("q"))
+    comps.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), min(col("q")).as("min_micro"),
+        max(col("q")).as("max_micro"),
+        sum(dec(col("q"))).cast("decimal(38,0)").as("__s1"),
+        sum(dec(col("q").cast("decimal(19,0)")) *
+          dec(col("q").cast("decimal(19,0)"))).cast("decimal(38,0)").as("__s2"))
+      .select(col("dim"), col("n"), col("min_micro"), col("max_micro"),
+        graft.util.Rounding.pround(
+          (dec(col("n")) * col("__s2") - col("__s1") * col("__s1"))
+            .cast("decimal(38,0)").cast("double")
+            / (col("n") * col("n")).cast("double") / 1e12, 6)
+          .as("variance"),
+        (col("max_micro") === col("min_micro")).cast("long").as("dead"))
+  }
+
   /** Integer-micro DCG position weights `round(1e6 / log2(i+1))` for
     * ranks 1..k. Computed ONCE driver-side and inlined as literals into
     * both the Spark plan and the SQL oracle (the hyperplane-literal
