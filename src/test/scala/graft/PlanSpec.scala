@@ -1482,6 +1482,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), s"rounds union into the curve:\n$p")
   }
 
+  test("anisotropy + dim variance: one component pass each, join-free aggs, no pair materialization") {
+    val pa = plan(OpsQueries.anisotropyQ(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(pa).length <= 2,
+      s"component pass + count only:\n$pa")
+    assert(!pa.contains("SortMergeJoin") && !pa.contains("CartesianProduct"),
+      s"the |sum v|^2 identity must not join pairs:\n$pa")
+    assert(unpartitionedWindows(pa) == 0)
+    val pv = plan(OpsQueries.dimVarianceQ(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(pv).length == 1 &&
+      !pv.contains("Join"), s"one scan, one keyed agg:\n$pv")
+  }
+
   test("target encoding: two keyed aggs + broadcast totals — no window, no fold self-join") {
     val p = plan(Queries.targetEncoding(spark, sf0001))
     assert(unpartitionedWindows(p) == 0, s"no window belongs here:\n$p")
