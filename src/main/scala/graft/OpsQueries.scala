@@ -3179,6 +3179,78 @@ object OpsQueries {
       |         AS dead
       |FROM comp GROUP BY dim""".stripMargin
 
+  /** q227: IVF nprobe recall/cost sweep
+    * ([[graft.ops.Similarity.ivfProbeSweep]]) — recall@10 vs
+    * scanned-candidate count for probe budgets 1,2,4,8,16 on the q25
+    * layout, query ids 100..119. One shared scoring pass; every budget
+    * is a rank filter. Exact integer hits/candidates gate bitwise.
+    */
+  def ivfProbeSweepQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfProbeSweep(e,
+      e.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+      "vec_id", "embedding", k = 10, numCentroids = 16)
+  }
+
+  val ivfProbeSweepSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+      |           FROM embeddings),
+      |q AS (SELECT vec_id, vec FROM v WHERE vec_id BETWEEN 100 AND 119),
+      |cents AS (SELECT vec_id AS centroid_id, vec AS centv FROM v
+      |          ORDER BY vec_id LIMIT 16),
+      |assigned AS (
+      |  SELECT centroid_id, vec_id AS neighbor_id, vec AS cv FROM (
+      |    SELECT ct.centroid_id, x.vec_id, x.vec,
+      |           row_number() OVER (PARTITION BY x.vec_id
+      |             ORDER BY list_cosine_similarity(x.vec, ct.centv) DESC,
+      |                      ct.centroid_id ASC) AS rn
+      |    FROM v x CROSS JOIN cents ct)
+      |  WHERE rn = 1),
+      |probed AS (
+      |  SELECT centroid_id, query_id, crank, qv FROM (
+      |    SELECT ct.centroid_id, qq.vec_id AS query_id, qq.vec AS qv,
+      |           row_number() OVER (PARTITION BY qq.vec_id
+      |             ORDER BY list_cosine_similarity(qq.vec, ct.centv) DESC,
+      |                      ct.centroid_id ASC) AS crank
+      |    FROM q qq CROSS JOIN cents ct)
+      |  WHERE crank <= 16),
+      |scored AS (
+      |  SELECT p.query_id, a.neighbor_id, p.crank,
+      |         list_cosine_similarity(p.qv, a.cv) AS cos
+      |  FROM probed p JOIN assigned a ON a.centroid_id = p.centroid_id
+      |  WHERE p.query_id <> a.neighbor_id),
+      |probes AS (SELECT CAST(x AS BIGINT) AS nprobe
+      |           FROM (VALUES (1), (2), (4), (8), (16)) t(x)),
+      |pb AS (SELECT pr.nprobe, s.query_id, s.neighbor_id, s.cos
+      |       FROM scored s JOIN probes pr ON s.crank <= pr.nprobe),
+      |topk AS (SELECT nprobe, query_id, neighbor_id FROM (
+      |           SELECT nprobe, query_id, neighbor_id,
+      |                  row_number() OVER (PARTITION BY nprobe, query_id
+      |                    ORDER BY cos DESC, neighbor_id ASC) AS r
+      |           FROM pb)
+      |         WHERE r <= 10),
+      |ex AS (SELECT query_id, neighbor_id FROM (
+      |         SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |                row_number() OVER (PARTITION BY qq.vec_id
+      |                  ORDER BY list_cosine_similarity(qq.vec, c.vec) DESC,
+      |                           c.vec_id ASC) AS rn
+      |         FROM q qq JOIN v c ON qq.vec_id <> c.vec_id)
+      |       WHERE rn <= 10),
+      |hits AS (SELECT t.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+      |         FROM topk t JOIN ex e ON e.query_id = t.query_id
+      |                              AND e.neighbor_id = t.neighbor_id
+      |         GROUP BY 1),
+      |cand AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates
+      |         FROM pb GROUP BY 1),
+      |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q)
+      |SELECT c.nprobe, nq.n_queries, c.n_candidates,
+      |       coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+      |       floor(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+      |             / CAST(nq.n_queries * 10 AS DOUBLE)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS recall
+      |FROM cand c LEFT JOIN hits h ON h.nprobe = c.nprobe
+      |CROSS JOIN nq""".stripMargin
+
   // ------------------------------------------------------------ collocations
   /** Bigram PMI collocation mining via [[Corpus.pmiCollocations]] —
     * vocabulary-induction scores for a BPE-style tokenizer's merge
@@ -5341,6 +5413,7 @@ object OpsQueries {
     "q223_late_interaction" -> lateInteractionQ _,
     "q224_rrf_fusion" -> rrfFusionQ _,
     "q225_anisotropy" -> anisotropyQ _,
+    "q227_ivf_probe_sweep" -> ivfProbeSweepQ _,
     "q226_dim_variance" -> dimVarianceQ _,
     "q26_rplsh_knn" -> rpLshKnn _,
     "q27_fingerprints" -> fingerprints _,
@@ -5488,6 +5561,7 @@ object OpsQueries {
     "q223_late_interaction" -> lateInteractionSql,
     "q224_rrf_fusion" -> rrfFusionSql,
     "q225_anisotropy" -> anisotropySql,
+    "q227_ivf_probe_sweep" -> ivfProbeSweepSql,
     "q226_dim_variance" -> dimVarianceSql,
     "q26_rplsh_knn" -> rpLshKnnSql,
     "q27_fingerprints" -> fingerprintsSql,

@@ -879,7 +879,8 @@ object Similarity {
     * assignment; `keep > 1` the query-side multi-probe.
     */
   private[ops] def nearestCentroids(
-      df: DataFrame, cents: DataFrame, side: String, keep: Int): DataFrame = {
+      df: DataFrame, cents: DataFrame, side: String, keep: Int,
+      keepRank: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = df.join(broadcast(cents), expr("true"))
       .withColumn("simc",
@@ -900,11 +901,70 @@ object Similarity {
     } else {
       val w = Window.partitionBy(col(s"${side}_id"))
         .orderBy(col("simc").desc, col("centroid_id").asc)
-      scored
+      val ranked = scored
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") <= keep)
-        .drop("centv", "centn", "simc", "crank")
+        .drop("centv", "centn", "simc")
+      if (keepRank) ranked else ranked.drop("crank")
     }
+  }
+
+  /** IVF nprobe recall/cost sweep — the tuning readout that DECIDES
+    * nprobe before production pays for it: for each probe budget p,
+    * recall@k of the IVF ranking against the exact brute-force top-k,
+    * next to the scanned-candidate count (the cost axis). One corpus
+    * assignment, ONE probe ranking at max(nprobes), one scoring pass —
+    * each budget is a `crank ≤ p` filter over the shared scored frame,
+    * so the sweep costs one IVF query plus k-sized bookkeeping, not
+    * |nprobes| queries. All hits/candidates are exact integers; recall
+    * is one division.
+    *
+    * Output: (nprobe, n_queries, n_candidates, n_hits, recall).
+    */
+  def ivfProbeSweep(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, numCentroids: Int = 16,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      "ivfProbeSweep needs probe budgets >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val cents = firstNCentroids(corpus, idCol, vecCol, numCentroids)
+    val assigned = nearestCentroids(
+      withNorm(corpus, idCol, vecCol).withColumnRenamed(idCol, "corpus_id"),
+      cents, "corpus", 1)
+      .select(col("centroid_id"), col("corpus_id").as("neighbor_id"),
+        col("__vec").as("cv"), col("__norm").as("cn"))
+    val probed = nearestCentroids(
+      withNorm(queries, idCol, vecCol).withColumnRenamed(idCol, "query_id"),
+      cents, "query", nprobes.max, keepRank = true)
+      .select(col("centroid_id"), col("query_id"), col("crank"),
+        col("__vec").as("qv"), col("__norm").as("qn"))
+    val scored = probed.join(assigned, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("crank"), col("cos"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val probesDf = nprobes.map(_.toLong).toDF("nprobe")
+    val perBudget = scored.join(broadcast(probesDf), col("crank") <= col("nprobe"))
+    val wTop = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val topk = perBudget.withColumn("__r", row_number().over(wTop))
+      .filter(col("__r") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = topk.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    val nQ = queries.agg(count(lit(1)).as("n_queries"))
+    perBudget.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_candidates"))
+      .join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(nQ))
+      .select(col("nprobe"), col("n_queries"), col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        graft.util.Rounding.pround(
+          coalesce(col("n_hits"), lit(0L)).cast("double") /
+            (col("n_queries") * k).cast("double"), 6).as("recall"))
   }
 
   /** IVF (inverted-file) approximate top-k. Centroids default to the

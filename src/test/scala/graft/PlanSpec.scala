@@ -1494,6 +1494,15 @@ class PlanSpec extends SparkSpec {
       !pv.contains("Join"), s"one scan, one keyed agg:\n$pv")
   }
 
+  test("ivf probe sweep: budgets broadcast onto one shared scored pass; keyed windows only") {
+    val p = plan(OpsQueries.ivfProbeSweepQ(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 5-row probe-budget frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(unpartitionedWindows(p) == 0,
+      s"rank windows are (budget, query)-keyed:\n$p")
+  }
+
   test("target encoding: two keyed aggs + broadcast totals — no window, no fold self-join") {
     val p = plan(Queries.targetEncoding(spark, sf0001))
     assert(unpartitionedWindows(p) == 0, s"no window belongs here:\n$p")
