@@ -67,9 +67,21 @@ object Tables {
           "testdata generation changed physical form again; extend " +
           "Tables.nanosToTimestamp for the new encoding.")
     }
-    for (s <- schemas.get("embeddings"); f <- s.find(_.name == "embedding"))
+    for (s <- schemas.get("embeddings"); f <- s.find(_.name == "embedding")) {
       if (!f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
         problems += s"embeddings.embedding is ${f.dataType.simpleString} — expected array"
+      else {
+        // the ANN stack's subspace constants (PQ 8×8, token 8×8,
+        // Matryoshka 16) assume 64 dims — a regenerated fixture with a
+        // different width must fail HERE, not as 20 scattered gates
+        val d = try load(spark, dir, "embeddings")
+          .select(org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
+        catch { case scala.util.control.NonFatal(_) => -1 }
+        if (d != 64)
+          problems += s"embeddings dim is $d — expected 64 (PQ/token subspace constants assume 8×8)"
+      }
+    }
     for (s <- schemas.get("documents"))
       Seq("doc_id", "text").foreach { c =>
         if (!s.fieldNames.contains(c)) problems += s"documents lacks column '$c'"

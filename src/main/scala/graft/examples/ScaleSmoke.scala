@@ -149,7 +149,11 @@ object ScaleSmoke {
       "q174_label_noise", "q174b_label_noise_ann",
       // integer Lloyd's trains on the 10x corpus (full-corpus config;
       // trainFilter is the beyond-10x valve), PQ-ADC searches it
-      "q25b_ivf_trained", "q172b_pq_adc_trained")
+      "q25b_ivf_trained", "q172b_pq_adc_trained",
+      // vector-QA family at 10x: scalar quantization's broadcast-range
+      // coding pass, late interaction's corpus-token stream, the probe
+      // sweep's shared scored pass
+      "q221_scalar_quant", "q223_late_interaction", "q227_ivf_probe_sweep")
     // warm scans once
     (gen.keys ++ passthrough).foreach { t =>
       try graft.Tables.load(spark, out, t).count()
