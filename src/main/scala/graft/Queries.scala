@@ -3131,6 +3131,40 @@ object Queries {
        |FROM cnt JOIN k USING (col_name)""".stripMargin
   }
 
+  /** q228: incremental rollup via partial-state merge
+    * ([[graft.transform.Transforms.mergeableRollup]] /
+    * [[graft.transform.Transforms.mergeRollups]]) — the incremental-ETL
+    * primitive: per-type (n, Σcents, min, max) computed as state(≤ Jan
+    * 16) MERGED with delta(> Jan 16). The ORACLE computes from scratch
+    * over all rows, so the hash gate IS the mergeability proof — a
+    * merge that dropped a key, double-counted a boundary row, or
+    * mis-folded an extremum cannot pass.
+    */
+  def incrementalRollupQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      col("ts"), floor(col("value") * 100 + 0.5).cast("long").as("__v"))
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val state = graft.transform.Transforms.mergeableRollup(
+      e.filter(col("ts") <= cut), Seq("event_type"), col("__v"))
+    val delta = graft.transform.Transforms.mergeableRollup(
+      e.filter(col("ts") > cut), Seq("event_type"), col("__v"))
+    graft.transform.Transforms.mergeRollups(state, delta, Seq("event_type"))
+      .withColumn("mean_cents", graft.util.Rounding.pround(
+        col("sum_cents").cast("double") / col("n").cast("double"), 6))
+  }
+
+  val incrementalRollupSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents,
+      |       min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS min_cents,
+      |       max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents,
+      |       floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+      |                  AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+      |         AS mean_cents
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Sample-ratio-mismatch check (q138) — the experiment-health gate
     * that must pass BEFORE q133's z-test is readable: under a 50/50
     * md5 split, `chi2 = (n1−n2)²/N` (one df). The squared difference
@@ -5299,6 +5333,7 @@ object Queries {
     "q173_zone_maps" -> zoneMapPruning _,
     "q177_column_stats" -> columnStats _,
     "q177b_column_stats_sketch" -> columnStatsSketch _,
+    "q228_incremental_rollup" -> incrementalRollupQ _,
     "q185_interval_overlap" -> intervalOverlap _,
     "q186_mann_whitney" -> mannWhitney _,
     "q187_kaplan_meier" -> kaplanMeierQ _,
@@ -5411,6 +5446,7 @@ object Queries {
     "q173_zone_maps" -> zoneMapPruningSql,
     "q177_column_stats" -> columnStatsSql,
     "q177b_column_stats_sketch" -> columnStatsSketchSql,
+    "q228_incremental_rollup" -> incrementalRollupSql,
     "q185_interval_overlap" -> intervalOverlapSql,
     "q186_mann_whitney" -> mannWhitneySql,
     "q187_kaplan_meier" -> kaplanMeierSql,

@@ -424,6 +424,39 @@ object Transforms {
     * samples the z-value; locality (per-file spread ≤ half the global
     * spread on both dims) is spec-pinned, not assumed.
     */
+  /** Mergeable per-key rollup state — the partial-aggregate shape an
+    * incremental ETL persists per batch: (n, sum, min, max) over exact
+    * integer cents, every component associative and commutative, so
+    * states MERGE instead of recomputing history. [[mergeRollups]] is
+    * the merge; the q228 gate runs the merged split against a
+    * from-scratch oracle, machine-checking the mergeability theorem
+    * (the naive-oracle losslessness convention).
+    */
+  def mergeableRollup(df: DataFrame, keyCols: Seq[String],
+      valueCents: Column): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"), sum(valueCents).as("sum_cents"),
+      min(valueCents).as("min_cents"), max(valueCents).as("max_cents"))
+
+  /** Merge two [[mergeableRollup]] states: full-outer on the keys so
+    * keys present in only one batch survive; counts/sums add, min/max
+    * fold (Spark's least/greatest skip one-sided nulls). Key-domain-
+    * sized work — the whole point of keeping state instead of rows.
+    */
+  def mergeRollups(a: DataFrame, b: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val bb = b.select(keyCols.map(col) ++ Seq(col("n").as("__bn"),
+      col("sum_cents").as("__bs"), col("min_cents").as("__bmn"),
+      col("max_cents").as("__bmx")): _*)
+    a.join(bb, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__bn"), lit(0L))).as("n"),
+        (coalesce(col("sum_cents"), lit(0L)) +
+          coalesce(col("__bs"), lit(0L))).as("sum_cents"),
+        least(col("min_cents"), col("__bmn")).as("min_cents"),
+        greatest(col("max_cents"), col("__bmx")).as("max_cents")): _*)
+  }
+
   def zOrderWrite(
       df: DataFrame,
       path: String,

@@ -335,4 +335,23 @@ class TransformsSpec extends SparkSpec {
         "block origin must align to 32")
     }
   }
+
+  test("mergeRollups: merged split == from-scratch; one-sided keys survive") {
+    val rows = Seq(("a", 1L), ("a", 5L), ("b", 3L), ("b", -2L), ("c", 7L))
+    val df = rows.toDF("k", "v")
+    // split so key c exists ONLY in the delta and key a only in state
+    val state = Transforms.mergeableRollup(
+      df.filter(col("k") === "a"), Seq("k"), col("v"))
+    val delta = Transforms.mergeableRollup(
+      df.filter(col("k") =!= "a"), Seq("k"), col("v"))
+    val merged = Transforms.mergeRollups(state, delta, Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val scratch = Transforms.mergeableRollup(df, Seq("k"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(merged === scratch, s"merge diverged: $merged vs $scratch")
+    assert(merged.keySet === Set("a", "b", "c"))
+    assert(merged("b") === ((2L, 1L, -2L, 3L)))
+  }
 }
