@@ -159,6 +159,86 @@ object OpsQueries {
       |FROM bands x JOIN bands y
       |  ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.doc_id < y.doc_id""".stripMargin
 
+  /** q229: dedup-detector calibration — the recall harness a pipeline
+    * runs BEFORE trusting its near-dup detector on a new corpus: plant
+    * a known near-duplicate (one-token suffix) for every 5th document,
+    * run the production MinHash+LSH chain over original ∪ planted, and
+    * read back planted-pair recall plus the spurious-pair count. The
+    * whole construction is deterministic (md5 chain, deterministic
+    * perturbation), so the calibration numbers hash-gate — a silent
+    * detector regression (banding change, hash change, shingle change)
+    * moves the recall and fails the gate.
+    */
+  def dedupCalibrationQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" zq0calib")).as("text"))
+    val pairs = Dedup.minhashLshPairs(d.unionByName(planted), "doc_id", "text")
+    val isPlanted = col("b") - col("a") === 10000000L && col("a") % 5 === 0
+    val counts = pairs.agg(
+      coalesce(sum(when(isPlanted, 1L).otherwise(0L)), lit(0L))
+        .as("n_detected_planted"),
+      coalesce(sum(when(!isPlanted, 1L).otherwise(0L)), lit(0L))
+        .as("n_other_pairs"))
+    val nd = d.agg(count(lit(1)).as("n_docs"))
+    val np = planted.agg(count(lit(1)).as("n_planted"))
+    counts.crossJoin(broadcast(nd)).crossJoin(broadcast(np))
+      .select(col("n_docs"), col("n_planted"), col("n_detected_planted"),
+        col("n_other_pairs"),
+        pround(col("n_detected_planted").cast("double") /
+          col("n_planted").cast("double"), 6).as("recall"))
+  }
+
+  val dedupCalibrationSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text || ' zq0calib'
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM corpus),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+      |    FROM toks WHERE len(t) >= 3)),
+      |hx AS (SELECT doc_id, md5(s) AS h1, md5('~' || s) AS h2 FROM sh),
+      |mh AS (
+      |  SELECT doc_id,
+      |         min(substr(h1, 1, 8)) AS mh0, min(substr(h1, 9, 8)) AS mh1,
+      |         min(substr(h1, 17, 8)) AS mh2, min(substr(h1, 25, 8)) AS mh3,
+      |         min(substr(h2, 1, 8)) AS mh4, min(substr(h2, 9, 8)) AS mh5,
+      |         min(substr(h2, 17, 8)) AS mh6, min(substr(h2, 25, 8)) AS mh7
+      |  FROM hx GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS bh FROM mh
+      |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+      |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+      |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |    ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      |counts AS (
+      |  SELECT coalesce(CAST(sum(CASE WHEN b - a = 10000000 AND a % 5 = 0
+      |                                THEN 1 ELSE 0 END) AS BIGINT),
+      |                  CAST(0 AS BIGINT)) AS n_detected_planted,
+      |         coalesce(CAST(sum(CASE WHEN NOT (b - a = 10000000 AND a % 5 = 0)
+      |                                THEN 1 ELSE 0 END) AS BIGINT),
+      |                  CAST(0 AS BIGINT)) AS n_other_pairs
+      |  FROM cand),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |np AS (SELECT CAST(count(*) AS BIGINT) AS n_planted
+      |       FROM documents WHERE doc_id % 5 = 0)
+      |SELECT nd.n_docs, np.n_planted, counts.n_detected_planted,
+      |       counts.n_other_pairs,
+      |       floor(CAST(counts.n_detected_planted AS DOUBLE)
+      |             / CAST(np.n_planted AS DOUBLE) * 1000000.0 + 0.5)
+      |         / 1000000.0 AS recall
+      |FROM counts, nd, np""".stripMargin
+
   // ------------------------------------------------------------ n-gram jaccard
   /** Exact 3-gram Jaccard on source-blocked pairs (the verification stage
     * after LSH candidate generation; blocked so it never goes quadratic).
@@ -5414,6 +5494,7 @@ object OpsQueries {
     "q224_rrf_fusion" -> rrfFusionQ _,
     "q225_anisotropy" -> anisotropyQ _,
     "q227_ivf_probe_sweep" -> ivfProbeSweepQ _,
+    "q229_dedup_calibration" -> dedupCalibrationQ _,
     "q226_dim_variance" -> dimVarianceQ _,
     "q26_rplsh_knn" -> rpLshKnn _,
     "q27_fingerprints" -> fingerprints _,
@@ -5562,6 +5643,7 @@ object OpsQueries {
     "q224_rrf_fusion" -> rrfFusionSql,
     "q225_anisotropy" -> anisotropySql,
     "q227_ivf_probe_sweep" -> ivfProbeSweepSql,
+    "q229_dedup_calibration" -> dedupCalibrationSql,
     "q226_dim_variance" -> dimVarianceSql,
     "q26_rplsh_knn" -> rpLshKnnSql,
     "q27_fingerprints" -> fingerprintsSql,
