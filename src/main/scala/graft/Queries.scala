@@ -3165,6 +3165,68 @@ object Queries {
       |         AS mean_cents
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q230: WOE / information-value feature screen
+    * ([[graft.transform.Stats.woeIv]]) — value-cents and hour-of-day
+    * screened against the purchase label in one unpivoted pass, the
+    * credit-scoring companion to the χ² (q109) and AUC (q216) screens.
+    * Laplace-smoothed shares, one ±1-ulp ln absorbed by pround(6) on
+    * the 2×10-row output, headline IV as the running `iv_cum`.
+    */
+  def woeIvQ(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "events").selectExpr(
+      "stack(2, 'value_cents', CAST(floor(value * 100 + 0.5) AS BIGINT), " +
+        "'hour_of_day', CAST(hour(ts) AS BIGINT)) AS (feature, v)",
+      "CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS lab")
+    graft.transform.Stats.woeIv(rows, Seq("feature"), "v", "lab")
+  }
+
+  val woeIvSql: String =
+    """WITH base AS (
+      |  SELECT feature, v,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+      |  FROM (SELECT 'value_cents' AS feature,
+      |               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v, event_type
+      |        FROM events
+      |        UNION ALL
+      |        SELECT 'hour_of_day',
+      |               CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT),
+      |               event_type
+      |        FROM events)),
+      |bnd AS (SELECT feature, min(v) AS mn, max(v) AS mx FROM base GROUP BY 1),
+      |binned AS (
+      |  SELECT base.feature,
+      |         least(9, greatest(0, ((v - mn) * 10) // (mx - mn + 1))) AS bucket,
+      |         CAST(sum(lab) AS BIGINT) AS n_good,
+      |         CAST(sum(1 - lab) AS BIGINT) AS n_bad
+      |  FROM base JOIN bnd ON bnd.feature = base.feature
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT feature, CAST(sum(lab) AS BIGINT) AS g,
+      |               CAST(sum(1 - lab) AS BIGINT) AS bd
+      |        FROM base GROUP BY 1),
+      |grid AS (SELECT feature, unnest(range(0, 10)) AS bucket
+      |         FROM (SELECT DISTINCT feature FROM base)),
+      |j AS (
+      |  SELECT grid.feature, grid.bucket,
+      |         coalesce(binned.n_good, 0) AS n_good,
+      |         coalesce(binned.n_bad, 0) AS n_bad, tot.g, tot.bd
+      |  FROM grid
+      |  LEFT JOIN binned ON binned.feature = grid.feature
+      |                  AND binned.bucket = grid.bucket
+      |  JOIN tot ON tot.feature = grid.feature),
+      |x AS (
+      |  SELECT feature, bucket, n_good, n_bad,
+      |         CAST(n_good + 1 AS DOUBLE) / CAST(g + 10 AS DOUBLE) AS pg,
+      |         CAST(n_bad + 1 AS DOUBLE) / CAST(bd + 10 AS DOUBLE) AS pb
+      |  FROM j)
+      |SELECT feature, CAST(bucket AS BIGINT) AS bucket,
+      |       CAST(n_good AS BIGINT) AS n_good, CAST(n_bad AS BIGINT) AS n_bad,
+      |       floor(ln(pg / pb) * 1000000.0 + 0.5) / 1000000.0 AS woe,
+      |       floor(sum((pg - pb) * ln(pg / pb))
+      |               OVER (PARTITION BY feature ORDER BY bucket ASC
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS iv_cum
+      |FROM x""".stripMargin
+
   /** Sample-ratio-mismatch check (q138) — the experiment-health gate
     * that must pass BEFORE q133's z-test is readable: under a 50/50
     * md5 split, `chi2 = (n1−n2)²/N` (one df). The squared difference
@@ -5334,6 +5396,7 @@ object Queries {
     "q177_column_stats" -> columnStats _,
     "q177b_column_stats_sketch" -> columnStatsSketch _,
     "q228_incremental_rollup" -> incrementalRollupQ _,
+    "q230_woe_iv" -> woeIvQ _,
     "q185_interval_overlap" -> intervalOverlap _,
     "q186_mann_whitney" -> mannWhitney _,
     "q187_kaplan_meier" -> kaplanMeierQ _,
@@ -5447,6 +5510,7 @@ object Queries {
     "q177_column_stats" -> columnStatsSql,
     "q177b_column_stats_sketch" -> columnStatsSketchSql,
     "q228_incremental_rollup" -> incrementalRollupSql,
+    "q230_woe_iv" -> woeIvSql,
     "q185_interval_overlap" -> intervalOverlapSql,
     "q186_mann_whitney" -> mannWhitneySql,
     "q187_kaplan_meier" -> kaplanMeierSql,

@@ -294,6 +294,63 @@ object Stats {
         pround(sum(contrib).over(w), 6).as("psi_cum")): _*)
   }
 
+  /** Weight-of-evidence / information-value feature screen (the
+    * credit-scoring classic, the third member of the screening family
+    * beside q109's χ² and q216's AUC): per feature, `nBuckets`
+    * equal-width bins over its own min/max, per-bin
+    * `WOE = ln(p_good/p_bad)` on Laplace-smoothed (+1) shares and
+    * `IV = Σ (p_good − p_bad)·WOE` — IV < 0.02 useless, 0.1–0.3
+    * medium, > 0.5 suspicious. Same gate-ability contract as
+    * [[psiByKey]]: exact-integer divisions, one ±1-ulp `ln` absorbed
+    * by pround(6) on a bins-bounded output, and the headline IV as a
+    * RUNNING sum in bucket order (`iv_cum` at the last bucket).
+    *
+    * Scale: per-feature bounds (keyed agg, broadcast back), two keyed
+    * aggs, a features×bins grid — nothing corpus-sized past the first
+    * aggregation.
+    */
+  def woeIv(df: DataFrame, keyCols: Seq[String], centsCol: String,
+      labelCol: String, nBuckets: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "woeIv needs at least one key column")
+    require(nBuckets >= 2, "woeIv needs at least two buckets")
+    val keys = keyCols.map(col)
+    val bounds = df.groupBy(keys: _*)
+      .agg(min(col(centsCol)).as("__mn"), max(col(centsCol)).as("__mx"))
+    val binned = df.join(broadcast(bounds), keyCols)
+      .select(keys ++ Seq(
+        least(lit(nBuckets - 1L), greatest(lit(0L),
+          expr(s"(($centsCol - __mn) * $nBuckets) div (__mx - __mn + 1)")))
+          .cast("long").as("bucket"),
+        col(labelCol).cast("long").as("__lab")): _*)
+      .groupBy(keys :+ col("bucket"): _*)
+      .agg(sum(col("__lab")).as("n_good"),
+        sum(lit(1L) - col("__lab")).as("n_bad"))
+    val totals = df.groupBy(keys: _*)
+      .agg(sum(col(labelCol).cast("long")).as("__g"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("__b"))
+    val grid = df.select(keys: _*).distinct()
+      .select(keys :+ explode(sequence(lit(0L), lit(nBuckets - 1L))).as("bucket"): _*)
+    val pg = (col("n_good") + 1).cast("double") /
+      (col("__g") + nBuckets).cast("double")
+    val pb = (col("n_bad") + 1).cast("double") /
+      (col("__b") + nBuckets).cast("double")
+    val woe = log(pg / pb)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys: _*).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    import graft.util.Rounding.pround
+    grid
+      .join(broadcast(binned), keyCols :+ "bucket", "left")
+      .join(broadcast(totals), keyCols)
+      .select(keys ++ Seq(col("bucket"),
+        coalesce(col("n_good"), lit(0L)).as("n_good"),
+        coalesce(col("n_bad"), lit(0L)).as("n_bad"),
+        col("__g"), col("__b")): _*)
+      .select(keys ++ Seq(col("bucket"), col("n_good"), col("n_bad"),
+        pround(woe, 6).as("woe"),
+        pround(sum((pg - pb) * woe).over(w), 6).as("iv_cum")): _*)
+  }
+
   /** Exact per-key Gini coefficient over an integer measure — the
     * concentration audit (is a source's token budget dominated by a
     * few documents?): `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` over the
