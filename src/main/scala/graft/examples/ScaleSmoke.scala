@@ -153,7 +153,10 @@ object ScaleSmoke {
       // vector-QA family at 10x: scalar quantization's broadcast-range
       // coding pass, late interaction's corpus-token stream, the probe
       // sweep's shared scored pass
-      "q221_scalar_quant", "q223_late_interaction", "q227_ivf_probe_sweep")
+      "q221_scalar_quant", "q223_late_interaction", "q227_ivf_probe_sweep",
+      // the calibration harness doubles the 10x corpus with planted
+      // near-dups — the detector's full signature+band chain at 1.1M docs
+      "q229_dedup_calibration")
     // warm scans once
     (gen.keys ++ passthrough).foreach { t =>
       try graft.Tables.load(spark, out, t).count()

@@ -1503,6 +1503,32 @@ class PlanSpec extends SparkSpec {
       s"rank windows are (budget, query)-keyed:\n$p")
   }
 
+  test("incremental rollup: two keyed aggs + key-domain merge — no corpus window, no cartesian") {
+    val p = plan(Queries.incrementalRollupQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0 && !p.contains("CartesianProduct"))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length <= 2,
+      s"state + delta passes only:\n$p")
+  }
+
+  test("dedup calibration: the planted union rides the fused signature path — signatures shuffle-free") {
+    val p = plan(OpsQueries.dedupCalibrationQ(spark, sf0001))
+    assert(!p.contains("CartesianProduct"))
+    // the minhash signature stage must stay pre-shuffle on BOTH union
+    // legs: only (id, band_hash) rows reach an exchange (q17's pin)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"band join must not drag text through a shuffle:\n$p")
+    assert(unpartitionedWindows(p) == 0, s"no global window belongs here:\n$p")
+  }
+
+  test("woe/iv screen: keyed aggs + broadcast bounds/totals; windows feature-keyed") {
+    val p = plan(Queries.woeIvQ(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounds/counts/totals frames must broadcast:\n$p")
+    assert(unpartitionedWindows(p) == 0 && !p.contains("CartesianProduct"))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length <= 4,
+      s"bounded passes over one table:\n$p")
+  }
+
   test("target encoding: two keyed aggs + broadcast totals — no window, no fold self-join") {
     val p = plan(Queries.targetEncoding(spark, sf0001))
     assert(unpartitionedWindows(p) == 0, s"no window belongs here:\n$p")
