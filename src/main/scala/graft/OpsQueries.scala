@@ -4092,6 +4092,104 @@ object OpsQueries {
       |         AS chunk_text
       |FROM g""".stripMargin
 
+  /** q231: maxP chunk retrieval (Dai & Callan, SIGIR 2019) — the
+    * long-document serving pattern: score CHUNKS (q115's 16/4 overlap
+    * windows) with chunk-level BM25 against a deterministic 4-term
+    * query (document-frequency ranks 5–8, a TakeOrdered pair + anti
+    * join, no global window), then rank DOCUMENTS by their best chunk.
+    * Per-(chunk, term) scores quantize to integer micros BEFORE the
+    * per-chunk sum — a 4-double sum through groupBy has no pinned
+    * association, ints do — so chunk scores, the per-doc argmax, and
+    * the final top-10 all gate bitwise.
+    *
+    * Scale: q94's BM25 posture on the chunk corpus (vocabulary frames
+    * broadcast, chunk-keyed aggs), maxP is one keyed argmax, final cut
+    * TakeOrdered-10.
+    */
+  def maxPRetrievalQ(s: SparkSession, dir: String): DataFrame = {
+    val chunks = TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text")
+    val tf = chunks.select(col("doc_id"), col("chunk_id"),
+        explode(TextAnalysis.tokens(col("chunk_text"))).as("term"))
+      .groupBy(col("doc_id"), col("chunk_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id"), col("chunk_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val top8 = dfreq.orderBy(col("df").desc, col("term").asc).limit(8)
+    val top4 = dfreq.orderBy(col("df").desc, col("term").asc).limit(4)
+    val qterms = top8.join(top4.select(col("term")), Seq("term"), "left_anti")
+    val n = dl.agg(count(lit(1)).as("n_chunks"), sum(col("dl")).as("total_dl"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val idf = (d(col("n_chunks")) - d(col("df")) + lit(0.5)) /
+      (d(col("df")) + lit(0.5))
+    val avgdl = d(col("total_dl")) / d(col("n_chunks"))
+    val norm = lit(0.25) + lit(0.75) * (d(col("dl")) / avgdl)
+    val sat = (d(col("tf")) * lit(2.25)) / (d(col("tf")) + lit(1.25) * norm)
+    val chunkScores = tf.join(broadcast(qterms), "term")
+      .join(dl, Seq("doc_id", "chunk_id"))
+      .crossJoin(broadcast(n))
+      .withColumn("smicro", floor(idf * sat * 1e6 + 0.5).cast("long"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sum(col("smicro")).as("chunk_score"))
+    chunkScores.groupBy(col("doc_id"))
+      .agg(max(struct(col("chunk_score"), (-col("chunk_id")).as("nc"))).as("__b"),
+        count(lit(1)).as("n_scored_chunks"))
+      .select(col("doc_id"), (-col("__b.nc")).as("best_chunk_id"),
+        col("__b.chunk_score").as("score_micro"), col("n_scored_chunks"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  val maxPRetrievalSql: String =
+    """WITH toks0 AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |nn AS (SELECT doc_id, t, len(t) AS n FROM toks0),
+      |cc AS (SELECT doc_id, t, n,
+      |              greatest(1, (n - 4 + 11) // 12) AS nch FROM nn),
+      |g AS (SELECT doc_id, t, n, unnest(range(0, nch)) AS chunk_id FROM cc),
+      |ct AS (SELECT doc_id, chunk_id,
+      |              unnest(t[chunk_id * 12 + 1 : chunk_id * 12 + 16]) AS term
+      |       FROM g),
+      |tf AS (SELECT doc_id, chunk_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM ct GROUP BY 1, 2, 3),
+      |dl AS (SELECT doc_id, chunk_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM tf GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |          FROM tf GROUP BY 1),
+      |top8 AS (SELECT term, df FROM dfreq ORDER BY df DESC, term ASC LIMIT 8),
+      |top4 AS (SELECT term FROM dfreq ORDER BY df DESC, term ASC LIMIT 4),
+      |qterms AS (SELECT term, df FROM top8
+      |           WHERE term NOT IN (SELECT term FROM top4)),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+      |             CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.chunk_id,
+      |         CAST(sum(CAST(floor(
+      |           ((CAST(n_chunks AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+      |              / (CAST(q.df AS DOUBLE) + 0.5))
+      |           * ((CAST(tf.tf AS DOUBLE) * 2.25)
+      |              / (CAST(tf.tf AS DOUBLE)
+      |                 + 1.25 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+      |                     / (CAST(total_dl AS DOUBLE)
+      |                        / CAST(n_chunks AS DOUBLE))))))
+      |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS chunk_score
+      |  FROM tf
+      |  JOIN qterms q ON q.term = tf.term
+      |  JOIN dl ON dl.doc_id = tf.doc_id AND dl.chunk_id = tf.chunk_id
+      |  CROSS JOIN n
+      |  GROUP BY 1, 2),
+      |best AS (
+      |  SELECT doc_id,
+      |         -((max({'s': chunk_score, 'nc': -chunk_id})).nc)
+      |           AS best_chunk_id,
+      |         (max({'s': chunk_score, 'nc': -chunk_id})).s AS score_micro,
+      |         CAST(count(*) AS BIGINT) AS n_scored_chunks
+      |  FROM sc GROUP BY 1)
+      |SELECT doc_id, CAST(best_chunk_id AS BIGINT) AS best_chunk_id,
+      |       score_micro, n_scored_chunks
+      |FROM best
+      |ORDER BY score_micro DESC, doc_id ASC LIMIT 10""".stripMargin
+
   // ------------------------------------------------------------ rrf fusion
   /** Reciprocal-rank fusion ([[graft.transform.Ranking.rrfFuse]]) of
     * two incomparable user rankers — purchase spend and click count —
@@ -5495,6 +5593,7 @@ object OpsQueries {
     "q225_anisotropy" -> anisotropyQ _,
     "q227_ivf_probe_sweep" -> ivfProbeSweepQ _,
     "q229_dedup_calibration" -> dedupCalibrationQ _,
+    "q231_maxp_retrieval" -> maxPRetrievalQ _,
     "q226_dim_variance" -> dimVarianceQ _,
     "q26_rplsh_knn" -> rpLshKnn _,
     "q27_fingerprints" -> fingerprints _,
@@ -5644,6 +5743,7 @@ object OpsQueries {
     "q225_anisotropy" -> anisotropySql,
     "q227_ivf_probe_sweep" -> ivfProbeSweepSql,
     "q229_dedup_calibration" -> dedupCalibrationSql,
+    "q231_maxp_retrieval" -> maxPRetrievalSql,
     "q226_dim_variance" -> dimVarianceSql,
     "q26_rplsh_knn" -> rpLshKnnSql,
     "q27_fingerprints" -> fingerprintsSql,
