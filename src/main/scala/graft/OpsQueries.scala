@@ -239,6 +239,72 @@ object OpsQueries {
       |         / 1000000.0 AS recall
       |FROM counts, nd, np""".stripMargin
 
+  /** q232: SimHash detector calibration — q229's planted-near-dup
+    * harness run against the OTHER production detector
+    * ([[graft.ops.Dedup.simhashHammingPairs]], radius 3): same planted
+    * corpus, same readout schema, so the two gates together report the
+    * MinHash-vs-SimHash recall contrast on identical evidence. The
+    * oracle rebuilds the signature chain (HUGEINT mod-2⁶⁴ replay) over
+    * the planted union and counts naive all-pairs Hamming ≤ 3.
+    */
+  def simhashCalibrationQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" zq0calib")).as("text"))
+    val pairs = Dedup.simhashHammingPairs(d.unionByName(planted),
+      "doc_id", "text", maxHamming = 3)
+    val isPlanted = col("doc_b") - col("doc_a") === 10000000L &&
+      col("doc_a") % 5 === 0
+    val counts = pairs.agg(
+      coalesce(sum(when(isPlanted, 1L).otherwise(0L)), lit(0L))
+        .as("n_detected_planted"),
+      coalesce(sum(when(!isPlanted, 1L).otherwise(0L)), lit(0L))
+        .as("n_other_pairs"))
+    val nd = d.agg(count(lit(1)).as("n_docs"))
+    val np = planted.agg(count(lit(1)).as("n_planted"))
+    counts.crossJoin(broadcast(nd)).crossJoin(broadcast(np))
+      .select(col("n_docs"), col("n_planted"), col("n_detected_planted"),
+        col("n_other_pairs"),
+        pround(col("n_detected_planted").cast("double") /
+          col("n_planted").cast("double"), 6).as("recall"))
+  }
+
+  // lazy: interpolates P64/helpers declared LATER in this object — an
+  // eager val here would read them mid-init (the q151 lesson); the
+  // oracleSql map is built after full init, so laziness is sufficient
+  lazy val simhashCalibrationSql: String = {
+    val corpus = """SELECT doc_id, text FROM documents
+                   |  UNION ALL
+                   |  SELECT doc_id + 10000000, text || ' zq0calib'
+                   |  FROM documents WHERE doc_id % 5 = 0""".stripMargin
+    s"""WITH ${simhash64CtesFrom(corpus)},
+       |sg AS (SELECT doc_id, ${toSignedU64("usig")} AS sh FROM sigs),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+       |counts AS (
+       |  SELECT coalesce(CAST(sum(CASE WHEN doc_b - doc_a = 10000000
+       |                                 AND doc_a % 5 = 0
+       |                                THEN 1 ELSE 0 END) AS BIGINT),
+       |                  CAST(0 AS BIGINT)) AS n_detected_planted,
+       |         coalesce(CAST(sum(CASE WHEN NOT (doc_b - doc_a = 10000000
+       |                                          AND doc_a % 5 = 0)
+       |                                THEN 1 ELSE 0 END) AS BIGINT),
+       |                  CAST(0 AS BIGINT)) AS n_other_pairs
+       |  FROM cand),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS n_planted
+       |       FROM documents WHERE doc_id % 5 = 0)
+       |SELECT nd.n_docs, np.n_planted, counts.n_detected_planted,
+       |       counts.n_other_pairs,
+       |       floor(CAST(counts.n_detected_planted AS DOUBLE)
+       |             / CAST(np.n_planted AS DOUBLE) * 1000000.0 + 0.5)
+       |         / 1000000.0 AS recall
+       |FROM counts, nd, np""".stripMargin
+  }
+
   // ------------------------------------------------------------ n-gram jaccard
   /** Exact 3-gram Jaccard on source-blocked pairs (the verification stage
     * after LSH candidate generation; blocked so it never goes quadratic).
@@ -2093,7 +2159,7 @@ object OpsQueries {
     * 64-bit signature — shared by the q27 fingerprint oracle and the q168
     * Hamming-join oracle.
     */
-  private val simhash64Ctes: String = {
+  private def simhash64CtesFrom(corpusSql: String): String = {
     val bitSums = (0 until 64).map { b =>
       s"sum(CASE WHEN (mh // CAST(${BigInt(1) << b} AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
     }.mkString(",\n         ")
@@ -2102,7 +2168,7 @@ object OpsQueries {
     }.mkString("\n         + ")
     s"""tok AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk
-       |  FROM documents),
+       |  FROM ($corpusSql)),
        |tb AS (SELECT doc_id, lower(hex(encode(tk))) AS th, octet_length(encode(tk)) AS tnb FROM tok),
        |trh AS (
        |  SELECT doc_id, ${rollingOfHex("th", "tnb")} AS rh
@@ -2120,6 +2186,9 @@ object OpsQueries {
        |         $sig AS usig
        |  FROM bits)""".stripMargin
   }
+
+  private val simhash64Ctes: String =
+    simhash64CtesFrom("SELECT doc_id, text FROM documents")
 
   val fingerprintsSql: String =
     s"""WITH doc AS (
@@ -5594,6 +5663,7 @@ object OpsQueries {
     "q227_ivf_probe_sweep" -> ivfProbeSweepQ _,
     "q229_dedup_calibration" -> dedupCalibrationQ _,
     "q231_maxp_retrieval" -> maxPRetrievalQ _,
+    "q232_simhash_calibration" -> simhashCalibrationQ _,
     "q226_dim_variance" -> dimVarianceQ _,
     "q26_rplsh_knn" -> rpLshKnn _,
     "q27_fingerprints" -> fingerprints _,
@@ -5744,6 +5814,7 @@ object OpsQueries {
     "q227_ivf_probe_sweep" -> ivfProbeSweepSql,
     "q229_dedup_calibration" -> dedupCalibrationSql,
     "q231_maxp_retrieval" -> maxPRetrievalSql,
+    "q232_simhash_calibration" -> simhashCalibrationSql,
     "q226_dim_variance" -> dimVarianceSql,
     "q26_rplsh_knn" -> rpLshKnnSql,
     "q27_fingerprints" -> fingerprintsSql,
