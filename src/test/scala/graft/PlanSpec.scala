@@ -1529,6 +1529,23 @@ class PlanSpec extends SparkSpec {
       s"bounded passes over one table:\n$p")
   }
 
+  test("maxP retrieval: query terms broadcast, no global window, TakeOrdered final cut") {
+    val p = plan(OpsQueries.maxPRetrievalQ(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 4-row query-term frame must broadcast:\n$p")
+    assert(unpartitionedWindows(p) == 0,
+      s"chunk scoring must not rank globally:\n$p")
+    assert("""\(\d+\) TakeOrdered""".r.findAllIn(p).nonEmpty,
+      s"the top-10 cut must be TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("simhash calibration: signature chain row-local; banding join only — no all-pairs") {
+    val p = plan(OpsQueries.simhashCalibrationQ(spark, sf0001))
+    assert(!p.contains("CartesianProduct"))
+    assert(unpartitionedWindows(p) == 0)
+  }
+
   test("target encoding: two keyed aggs + broadcast totals — no window, no fold self-join") {
     val p = plan(Queries.targetEncoding(spark, sf0001))
     assert(unpartitionedWindows(p) == 0, s"no window belongs here:\n$p")
