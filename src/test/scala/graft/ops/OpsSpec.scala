@@ -469,6 +469,72 @@ class OpsSpec extends SparkSpec {
       s"ADC recall hits moved: stub=$stubHits trained=$trainedHits (was 32/45)")
   }
 
+  test("scalarQuantize: step-aligned components reconstruct exactly; error bounded by the step") {
+    // per-dim micros spanning exactly [0, 255]: code == q - mn, so the
+    // affine roundtrip is lossless and total_sq_err must be 0
+    val exactRows = (0 until 16).map { i =>
+      (i.toLong, Array.fill(4)((i * 17) / 1e6).map(_.toFloat).toSeq)
+    }
+    val exact = Similarity.scalarQuantize(
+      exactRows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect()
+    assert(exact.forall(_.getLong(2) === 0L),
+      s"step-aligned inputs must quantize losslessly: ${exact.mkString(",")}")
+    // general inputs: per-dim error can't exceed the quantization step
+    // (range/255 + 1 micros), so total_sq_err <= dims * step^2
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val got = Similarity.scalarQuantize(e, "vec_id", "embedding").collect()
+    val comps = e.collect().map(r => r.getSeq[Float](1)
+      .map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong).toArray)
+    val steps = (0 until 64).map { d =>
+      val vals = comps.map(_(d)); (vals.max - vals.min) / 255 + 1
+    }
+    val bound = steps.map(s => s * s).sum
+    assert(got.forall(_.getLong(2) <= bound),
+      s"reconstruction error beyond the step bound $bound")
+  }
+
+  test("lateInteractionTopK: token-swapped content scores as a perfect match — the pooled-cosine blind spot") {
+    // query q = [t1 | t2]; a = [t2 | t1] (same tokens, swapped order);
+    // b shares no token. MaxSim finds each query token's twin wherever
+    // it sits, so a's score equals the self-match dot sum and a >> b.
+    val t1 = Seq(1.0f, 0.0f); val t2 = Seq(0.0f, 1.0f)
+    val df = Seq(
+      (0L, t1 ++ t2), (1L, t2 ++ t1), (2L, Seq(-1.0f, 0.0f, 0.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.lateInteractionTopK(df, df.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 2, nTok = 2, tokDim = 2)
+      .orderBy("rank").collect()
+    assert(got.head.getLong(1) === 1L, s"swapped twin must rank first: ${got.toSeq}")
+    // exact int64 maxsim of the twin = 2 tokens x (1e6)^2 self dots
+    assert(got.head.getLong(3) === 2L * 1000000L * 1000000L)
+  }
+
+  test("rrfFusePerQuery: a both-legs candidate outranks single-leg rank-1 candidates") {
+    // weights: 2 legs at rank 2 -> 2*(1e6 div 62) = 32258 beats one
+    // leg's rank 1 -> 1e6 div 61 = 16393
+    val legA = Seq((1L, 10L, 1L), (1L, 30L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val legB = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val fused = Similarity.rrfFusePerQuery(Seq(legA, legB), k = 3)
+      .orderBy("rank").collect()
+    assert(fused.head.getLong(1) === 30L, s"consensus must win: ${fused.toSeq}")
+    assert(fused.head.getLong(3) === 2L && fused.head.getLong(4) === 32258L)
+    assert(fused.map(_.getLong(1)).toSeq === Seq(30L, 10L, 20L))
+  }
+
+  test("lloydTrainingCurve: full assignment every round; training reduces distortion from the raw seeds") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val curve = Similarity.lloydTrainingCurve(e, "vec_id", "embedding", 16, 3)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(curve.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(curve.forall(_._2 === 500L), s"every vector assigned each round: ${curve.toSeq}")
+    // round 1 measures the first-16 RAW seeds; later rounds measure
+    // trained integer means — strictly better on this fixture
+    assert(curve(1)._3 < curve(0)._3 && curve(2)._3 <= curve(1)._3,
+      s"training must reduce distortion: ${curve.toSeq}")
+  }
+
   test("salted two-phase top-k equals the single-window ranking") {
     val e = graft.Tables.load(spark, sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 10)
