@@ -3227,6 +3227,105 @@ object Queries {
       |             * 1000000.0 + 0.5) / 1000000.0 AS iv_cum
       |FROM x""".stripMargin
 
+  /** q233: next-event prediction serving — the Markov model (q88's
+    * transition matrix) applied per user: each user's LAST event
+    * (exact argmax on (µs, event_id)) looks up its most likely next
+    * type (integer-count argmax over the attr-domain matrix, ties to
+    * the smaller type). Train + serve in one query; the probability is
+    * q88's single exact division, pround(6).
+    */
+  def nextEventQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events")
+    val tm = graft.transform.Temporal.transitionMatrix(
+      e, "user_id", "event_type", "ts", "event_id")
+    val wBest = Window.partitionBy(col("from_type"))
+      .orderBy(col("n").desc, col("to_type").asc)
+    val best = tm.withColumn("__r", row_number().over(wBest))
+      .filter(col("__r") === 1)
+      .select(col("from_type").as("last_type"),
+        col("to_type").as("predicted_next"),
+        graft.util.Rounding.pround(col("p_next"), 6).as("p_next"))
+    val last = e.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("us"), col("event_id"), col("event_type"))).as("__l"))
+      .select(col("user_id"), col("__l.event_type").as("last_type"))
+    last.join(broadcast(best), Seq("last_type"), "left")
+      .select(col("user_id"), col("last_type"), col("predicted_next"),
+        col("p_next"))
+  }
+
+  val nextEventSql: String =
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |           AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |best AS (
+      |  SELECT from_type, to_type, n,
+      |         CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+      |         row_number() OVER (PARTITION BY from_type
+      |                            ORDER BY n DESC, to_type ASC) AS r
+      |  FROM c),
+      |b1 AS (SELECT from_type AS last_type, to_type AS predicted_next,
+      |              floor(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE)
+      |                    * 1000000.0 + 0.5) / 1000000.0 AS p_next
+      |       FROM best WHERE r = 1),
+      |lst AS (
+      |  SELECT user_id, event_type AS last_type FROM (
+      |    SELECT user_id, event_type,
+      |           row_number() OVER (PARTITION BY user_id
+      |             ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |    FROM events)
+      |  WHERE rn = 1)
+      |SELECT l.user_id, l.last_type, b.predicted_next, b.p_next
+      |FROM lst l LEFT JOIN b1 b ON b.last_type = l.last_type""".stripMargin
+
+  /** q234: data-freshness SLA audit — per event type: last-seen µs,
+    * lag in whole hours behind the corpus watermark, 24h/7d recency
+    * counts and the 7-day share. The "is the pipeline alive" dashboard
+    * row; all integer epoch arithmetic, one division.
+    */
+  def freshnessQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val now = e.agg(max(col("us")).as("__now"))
+    e.crossJoin(broadcast(now))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("us")).as("last_us"),
+        max(col("__now")).as("__now"),
+        sum(when(col("us") > col("__now") - 86400000000L, 1L).otherwise(0L))
+          .as("n_last_24h"),
+        sum(when(col("us") > col("__now") - 604800000000L, 1L).otherwise(0L))
+          .as("n_last_7d"))
+      .select(col("event_type"), col("n_events"), col("last_us"),
+        expr("(__now - last_us) div 3600000000").as("lag_hours"),
+        col("n_last_24h"), col("n_last_7d"),
+        graft.util.Rounding.pround(col("n_last_7d").cast("double") /
+          col("n_events").cast("double"), 6).as("share_7d"))
+  }
+
+  val freshnessSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events),
+      |nw AS (SELECT max(us) AS nowus FROM e)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       max(us) AS last_us,
+      |       CAST((nw.nowus - max(us)) // 3600000000 AS BIGINT) AS lag_hours,
+      |       CAST(sum(CASE WHEN us > nw.nowus - 86400000000 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_last_24h,
+      |       CAST(sum(CASE WHEN us > nw.nowus - 604800000000 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_last_7d,
+      |       floor(CAST(sum(CASE WHEN us > nw.nowus - 604800000000
+      |                           THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+      |         AS share_7d
+      |FROM e, nw GROUP BY event_type, nw.nowus""".stripMargin
+
   /** Sample-ratio-mismatch check (q138) — the experiment-health gate
     * that must pass BEFORE q133's z-test is readable: under a 50/50
     * md5 split, `chi2 = (n1−n2)²/N` (one df). The squared difference
@@ -5397,6 +5496,8 @@ object Queries {
     "q177b_column_stats_sketch" -> columnStatsSketch _,
     "q228_incremental_rollup" -> incrementalRollupQ _,
     "q230_woe_iv" -> woeIvQ _,
+    "q233_next_event" -> nextEventQ _,
+    "q234_freshness" -> freshnessQ _,
     "q185_interval_overlap" -> intervalOverlap _,
     "q186_mann_whitney" -> mannWhitney _,
     "q187_kaplan_meier" -> kaplanMeierQ _,
@@ -5511,6 +5612,8 @@ object Queries {
     "q177b_column_stats_sketch" -> columnStatsSketchSql,
     "q228_incremental_rollup" -> incrementalRollupSql,
     "q230_woe_iv" -> woeIvSql,
+    "q233_next_event" -> nextEventSql,
+    "q234_freshness" -> freshnessSql,
     "q185_interval_overlap" -> intervalOverlapSql,
     "q186_mann_whitney" -> mannWhitneySql,
     "q187_kaplan_meier" -> kaplanMeierSql,

@@ -1546,6 +1546,22 @@ class PlanSpec extends SparkSpec {
     assert(unpartitionedWindows(p) == 0)
   }
 
+  test("next-event serving: matrix windows are type-keyed, last-event is an argmax agg, model broadcasts") {
+    val p = plan(Queries.nextEventQ(spark, sf0001))
+    assert(unpartitionedWindows(p) == 0,
+      s"transition windows partition on user/from_type:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the attr-domain model frame must broadcast onto users:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("freshness audit: one scan + broadcast watermark, join-free aggs") {
+    val p = plan(Queries.freshnessQ(spark, sf0001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length <= 2,
+      s"events + watermark passes only:\n$p")
+    assert(unpartitionedWindows(p) == 0 && !p.contains("CartesianProduct"))
+  }
+
   test("target encoding: two keyed aggs + broadcast totals — no window, no fold self-join") {
     val p = plan(Queries.targetEncoding(spark, sf0001))
     assert(unpartitionedWindows(p) == 0, s"no window belongs here:\n$p")
