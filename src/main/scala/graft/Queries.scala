@@ -3289,19 +3289,40 @@ object Queries {
     * lag in whole hours behind the corpus watermark, 24h/7d recency
     * counts and the 7-day share. The "is the pipeline alive" dashboard
     * row; all integer epoch arithmetic, one division.
+    *
+    * Scale: ONE corpus scan. Everything reduces through a per
+    * (event_type, hour) partial aggregate — metadata-scale (types ×
+    * hours), map-side combined — and the watermark is derived from
+    * that summary frame and broadcast back onto it, never onto the
+    * corpus. The recency windows are HOUR-ALIGNED to the watermark
+    * (us ≥ (watermark_hour − 23h)·3600e6 etc.): an exact sliding
+    * window off the µs watermark is provably not one-pass computable
+    * (a threshold-count with a threshold unknown at scan time needs an
+    * exact rank structure, i.e. a second pass over row data), and
+    * hour-aligned windows are the standard dashboard semantics anyway.
+    * `n_events` / `last_us` / `lag_hours` are exact and unchanged by
+    * the alignment.
     */
   def freshnessQ(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
       .select(col("event_type"), unix_micros(col("ts")).as("us"))
-    val now = e.agg(max(col("us")).as("__now"))
-    e.crossJoin(broadcast(now))
+    val hourly = e
+      .groupBy(col("event_type"), expr("us div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"), max(col("us")).as("mx"))
+    // watermark via ONE unpartitioned window over the metadata-scale
+    // summary (the q184 posture) — a separate .agg subtree would cost a
+    // second corpus scan (column pruning defeats ReuseExchange)
+    hourly
+      .withColumn("__now", max(col("mx")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("__nowhr", expr("__now div 3600000000"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"), max(col("us")).as("last_us"),
+      .agg(sum(col("cnt")).as("n_events"), max(col("mx")).as("last_us"),
         max(col("__now")).as("__now"),
-        sum(when(col("us") > col("__now") - 86400000000L, 1L).otherwise(0L))
-          .as("n_last_24h"),
-        sum(when(col("us") > col("__now") - 604800000000L, 1L).otherwise(0L))
-          .as("n_last_7d"))
+        sum(when(col("hr") >= col("__nowhr") - 23L, col("cnt"))
+          .otherwise(0L)).as("n_last_24h"),
+        sum(when(col("hr") >= col("__nowhr") - 167L, col("cnt"))
+          .otherwise(0L)).as("n_last_7d"))
       .select(col("event_type"), col("n_events"), col("last_us"),
         expr("(__now - last_us) div 3600000000").as("lag_hours"),
         col("n_last_24h"), col("n_last_7d"),
@@ -3312,19 +3333,22 @@ object Queries {
   val freshnessSql: String =
     """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
       |           FROM events),
-      |nw AS (SELECT max(us) AS nowus FROM e)
-      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-      |       max(us) AS last_us,
-      |       CAST((nw.nowus - max(us)) // 3600000000 AS BIGINT) AS lag_hours,
-      |       CAST(sum(CASE WHEN us > nw.nowus - 86400000000 THEN 1 ELSE 0 END)
+      |b AS (SELECT event_type, us // 3600000000 AS hr,
+      |             count(*) AS cnt, max(us) AS mx
+      |      FROM e GROUP BY 1, 2),
+      |nw AS (SELECT max(mx) AS nowus, max(mx) // 3600000000 AS nowhr FROM b)
+      |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events,
+      |       max(mx) AS last_us,
+      |       CAST((nw.nowus - max(mx)) // 3600000000 AS BIGINT) AS lag_hours,
+      |       CAST(sum(CASE WHEN hr >= nw.nowhr - 23 THEN cnt ELSE 0 END)
       |            AS BIGINT) AS n_last_24h,
-      |       CAST(sum(CASE WHEN us > nw.nowus - 604800000000 THEN 1 ELSE 0 END)
+      |       CAST(sum(CASE WHEN hr >= nw.nowhr - 167 THEN cnt ELSE 0 END)
       |            AS BIGINT) AS n_last_7d,
-      |       floor(CAST(sum(CASE WHEN us > nw.nowus - 604800000000
-      |                           THEN 1 ELSE 0 END) AS DOUBLE)
-      |             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+      |       floor(CAST(sum(CASE WHEN hr >= nw.nowhr - 167 THEN cnt ELSE 0 END)
+      |                  AS DOUBLE)
+      |             / CAST(sum(cnt) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
       |         AS share_7d
-      |FROM e, nw GROUP BY event_type, nw.nowus""".stripMargin
+      |FROM b, nw GROUP BY event_type, nw.nowus, nw.nowhr""".stripMargin
 
   /** Sample-ratio-mismatch check (q138) — the experiment-health gate
     * that must pass BEFORE q133's z-test is readable: under a 50/50

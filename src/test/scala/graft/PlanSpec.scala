@@ -1557,9 +1557,11 @@ class PlanSpec extends SparkSpec {
 
   test("freshness audit: one scan + broadcast watermark, join-free aggs") {
     val p = plan(Queries.freshnessQ(spark, sf0001))
-    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length <= 2,
-      s"events + watermark passes only:\n$p")
-    assert(unpartitionedWindows(p) == 0 && !p.contains("CartesianProduct"))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      s"ONE corpus pass — watermark derives from the hourly summary:\n$p")
+    // the one unpartitioned window runs over the metadata-scale
+    // (type × hour) summary frame, not the corpus — the q184 posture
+    assert(unpartitionedWindows(p) == 1 && !p.contains("CartesianProduct"))
   }
 
   test("target encoding: two keyed aggs + broadcast totals — no window, no fold self-join") {
