@@ -163,6 +163,43 @@ final class FeatureStore(
     }
   }
 
+  /** Train-and-persist an ANN codebook for a registered view's source
+    * ([[graft.core.CodebookStore]]) — the index-build analogue of
+    * [[analyze]]: at scale, codebook training (deterministic integer
+    * Lloyd's) runs ONCE at register/materialize time and serving reads
+    * the stored artifact. `kind` = "ivf" (full-vector centroids in the
+    * `ivfTopK` shape) or "pq" (per-subspace codebook in the
+    * `pqAdcTopK` shape). Returns the artifact path.
+    */
+  def trainCodebook(viewName: String, idCol: String, vecCol: String,
+      kind: String = "ivf", k: Int = 16, iters: Int = 3): String = {
+    val fv = getFeatureView(viewName)
+    val registryPath = config.registryPath.getOrElse(throw new IllegalStateException(
+      "trainCodebook() needs a file-backed registry (config.registryPath) to place codebooks next to"))
+    val src = graft.sources.SourceReader.readStatic(spark, fv.source)
+    val cb = kind match {
+      case "ivf" => graft.ops.Similarity.lloydCentroids(src, idCol, vecCol, k, iters)
+      case "pq" => graft.ops.Similarity.lloydPqCodebook(
+        src, idCol, vecCol, nCentroids = k, iters = iters)
+      case other => throw new IllegalArgumentException(
+        s"unknown codebook kind '$other' (expected ivf|pq)")
+    }
+    val path = CodebookStore.codebookPath(registryPath,
+      s"${fv.name}__${kind}${k}x$iters")
+    CodebookStore.save(cb, path)
+    path
+  }
+
+  /** Read a view's persisted codebook (None if never trained). */
+  def codebookFor(viewName: String, kind: String = "ivf", k: Int = 16,
+      iters: Int = 3): Option[DataFrame] = {
+    val fv = getFeatureView(viewName)
+    config.registryPath.flatMap { rp =>
+      CodebookStore.load(spark, CodebookStore.codebookPath(rp,
+        s"${fv.name}__${kind}${k}x$iters"))
+    }
+  }
+
   private def resolveJoinKeys(fv: FeatureView): Seq[String] =
     fv.entities.flatMap { e =>
       registry.getEntity(e)

@@ -14,12 +14,12 @@ import org.apache.spark.sql.functions._
   * magnitude below the table — the whole point of paying the scan ONCE
   * at register/materialize time.
   *
-  * Layout: `<registry dir>/stats/<name>__<keys>.parquet`, columns
-  * `keyCols* , n`. Writes go through the session's Hadoop conf, so any
-  * registry filesystem (file://, hdfs://, abfss://) works; the write is
-  * an overwrite of the stats dir for that (table, keys) pair —
-  * re-ANALYZE replaces, matching the registry's last-writer-wins
-  * semantics.
+  * Layout: `<registry dir>/stats/<name>__<keys>.parquet/` as an
+  * [[ArtifactStore]] versioned parquet (columns `keyCols*, n`):
+  * re-ANALYZE atomically repoints, matching the registry's
+  * last-writer-wins semantics, and a concurrent `statsFor` reader can
+  * never hit a half-replaced directory. Name/key components are
+  * sanitized — a '/' in user metadata must not change the layout.
   */
 object StatsStore {
 
@@ -30,7 +30,9 @@ object StatsStore {
       keyCols: Seq[String]): String = {
     val slash = registryPath.lastIndexOf('/')
     val dir = if (slash >= 0) registryPath.substring(0, slash) else "."
-    s"$dir/stats/${table}__${keyCols.mkString("_")}.parquet"
+    val name = ArtifactStore.sanitize(
+      s"${table}__${keyCols.mkString("_")}")
+    s"$dir/stats/$name.parquet"
   }
 
   /** The ANALYZE pass: exact per-key counts (one keyed shuffle with
@@ -43,12 +45,9 @@ object StatsStore {
   }
 
   def write(counts: DataFrame, path: String): Unit =
-    counts.write.mode("overwrite").parquet(path)
+    ArtifactStore.save(counts, path)
 
   /** Read a persisted histogram; None if never analyzed. */
-  def read(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
-  }
+  def read(spark: SparkSession, path: String): Option[DataFrame] =
+    ArtifactStore.load(spark, path)
 }

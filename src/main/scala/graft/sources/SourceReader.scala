@@ -28,6 +28,25 @@ object SourceReader {
   def read(spark: SparkSession, src: SparkSource): DataFrame =
     read(spark, src, None, None)
 
+  /** Read a source as a STATIC corpus — same format dispatch and
+    * nanos/NTZ normalization, but no `timestamp_field` requirement:
+    * index builds (codebook training, ANALYZE over non-temporal
+    * tables) consume the rows as a set, not as a time series.
+    */
+  def readStatic(spark: SparkSession, src: SparkSource): DataFrame = {
+    val reader = spark.read.options(src.options - NanosColumnsOption)
+    val raw = src.fileFormat.toLowerCase match {
+      case "parquet" => reader.parquet(src.path)
+      case "csv"     => reader.option("header", "true").csv(src.path)
+      case "json"    => reader.json(src.path)
+      case "avro"    => AvroReader.read(spark, src.path)
+      case other     => reader.format(other).load(src.path)
+    }
+    val nanosCols = src.options.get(NanosColumnsOption)
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
+    graft.Tables.nanosToTimestamp(raw, nanosCols)
+  }
+
   /** Read with optional bounds on the source's `timestamp_field`.
     *
     * Bounds MUST be applied here, not as a post-read `.filter`, when the

@@ -1,0 +1,102 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.api.{FeatureStore, RepoConfig}
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Registry-held trained ANN artifacts (VERDICT r10 #1): codebook
+  * training is an offline index build — store→load→serve must be
+  * BITWISE the train-in-query result, the swap must be atomic for
+  * readers, and the FeatureStore surface must round-trip it.
+  */
+class CodebookStoreSpec extends SparkSpec {
+
+  private def tmpBase(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).resolve("cb").toString
+
+  test("store -> load == train for IVF centroids (bitwise)") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val trained = Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3)
+    val base = tmpBase("cb_ivf")
+    CodebookStore.save(trained, base)
+    val loaded = CodebookStore.load(spark, base).get
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    val a = trained.collect().sortBy(key).map(_.toSeq.map {
+      case s: Seq[_] => s.toList
+      case x => x
+    }).toSeq
+    val b = loaded.collect().sortBy(key).map(_.toSeq.map {
+      case s: Seq[_] => s.toList
+      case x => x
+    }).toSeq
+    assert(a === b, "parquet round-trip must be bitwise for the codebook")
+  }
+
+  test("PQ-ADC served from the store == trained in-query (bitwise)") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") <= 103)
+    val cb = Similarity.lloydPqCodebook(e, "vec_id", "embedding")
+    val base = tmpBase("cb_pq")
+    val served = CodebookStore.getOrTrain(spark, base)(cb)
+    // second getOrTrain must NOT retrain: poison the thunk
+    val servedAgain = CodebookStore.getOrTrain(spark, base)(
+      throw new AssertionError("retrained despite stored artifact"))
+    val direct = Similarity.pqAdcTopK(e, queries, "vec_id", "embedding",
+      k = 5, codebook = Some(cb)).collect().map(_.toSeq).sortBy(_.toString)
+    val fromStore = Similarity.pqAdcTopK(e, queries, "vec_id", "embedding",
+      k = 5, codebook = Some(servedAgain)).collect().map(_.toSeq).sortBy(_.toString)
+    assert(direct === fromStore,
+      "ADC ranking from the stored codebook diverged from in-query training")
+    assert(served.count() == servedAgain.count())
+  }
+
+  test("re-save atomically repoints and keeps the previous version readable") {
+    import spark.implicits._
+    val base = tmpBase("cb_swap")
+    ArtifactStore.save(Seq((1L, "a")).toDF("id", "v"), base)
+    val firstVersionDf = ArtifactStore.load(spark, base).get
+    ArtifactStore.save(Seq((2L, "b")).toDF("id", "v"), base)
+    // new pointer serves the new artifact
+    assert(ArtifactStore.load(spark, base).get.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // a reader that resolved CURRENT before the swap can still finish:
+    // the previous version dir survives one swap
+    assert(firstVersionDf.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the version BEFORE that is garbage-collected on the next save
+    ArtifactStore.save(Seq((3L, "c")).toDF("id", "v"), base)
+    val fs = new java.io.File(base)
+    val versions = fs.listFiles().map(_.getName).filter(_.startsWith("v-"))
+    assert(versions.length == 2, s"expected {new, previous}, got ${versions.toSeq}")
+  }
+
+  test("sanitize keeps artifact names inside the layout") {
+    assert(ArtifactStore.sanitize("a/b:c d") == "a_b_c_d")
+    assert(ArtifactStore.sanitize("") == "_")
+    assert(CodebookStore.codebookPath("/tmp/reg/registry.json", "v/1")
+      == "/tmp/reg/codebooks/v_1")
+  }
+
+  test("FeatureStore trainCodebook/codebookFor round-trip beside the registry") {
+    val repo = java.nio.file.Files.createTempDirectory("cb_repo")
+    val regPath = repo.resolve("registry.json").toString
+    val fs = new FeatureStore(spark,
+      RepoConfig("cb_demo", Some(regPath)), new FileRegistry(regPath))
+    fs.applyObjects(Seq(
+      Entity("vec", Seq("vec_id"), ValueType.INT64),
+      FeatureView("emb_fv", Seq("vec"),
+        Seq(Feature("embedding", org.apache.spark.sql.types.DataType.fromDDL(
+          "array<double>"))),
+        SparkSource("emb_src", s"$sf0001/embeddings.parquet"))))
+    assert(fs.codebookFor("emb_fv").isEmpty, "untrained view must report None")
+    val path = fs.trainCodebook("emb_fv", "vec_id", "embedding")
+    assert(path.startsWith(repo.toString) && path.contains("/codebooks/"),
+      s"codebook must live beside the registry: $path")
+    val stored = fs.codebookFor("emb_fv").get
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val direct = Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3)
+    assert(stored.count() == direct.count())
+    val sIds = stored.select("centroid_id").collect().map(_.getLong(0)).sorted.toSeq
+    val dIds = direct.select("centroid_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sIds == dIds)
+  }
+}
