@@ -2081,8 +2081,13 @@ object OpsQueries {
     graft.pipelines.TrainingDataPipeline.curate(docs(s, dir),
       persistIntermediate = true)
 
-  val curationSql: String =
-    """WITH ann AS (
+  /** Shared annotate+gate CTE chain (`ann`, `gated`) replaying
+    * [[graft.pipelines.TrainingDataPipeline.annotateAndFilter]] with
+    * the default config — used by the full-curation oracle (q44) and
+    * the incremental-pipeline proof (q235).
+    */
+  private val annGatedCtes: String =
+    """ann AS (
       |  SELECT doc_id, text, lang, source, n_chars,
       |         CAST(len(toks) AS BIGINT) AS n_tokens,
       |         floor((0.5 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','in','to','it'], x))) AS DOUBLE) / len(toks))
@@ -2105,8 +2110,10 @@ object OpsQueries {
       |        FROM documents)),
       |gated AS (
       |  SELECT * FROM ann
-      |  WHERE n_tokens >= 10 AND quality >= 0.05 AND lang_pred IN ('en')),
-      |keepers AS (
+      |  WHERE n_tokens >= 10 AND quality >= 0.05 AND lang_pred IN ('en'))""".stripMargin
+
+  val curationSql: String = "WITH " + annGatedCtes + ",\n" +
+    """keepers AS (
       |  SELECT min(doc_id) AS doc_id FROM gated
       |  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))),
       |exact AS (SELECT g.* FROM gated g JOIN keepers k USING (doc_id)),
@@ -2150,6 +2157,47 @@ object OpsQueries {
       |  WHERE floor((CAST(cm.n_common AS DOUBLE) / (za.sz + zb.sz - cm.n_common)) * 1000000.0 + 0.5) / 1000000.0 >= 0.8)
       |SELECT doc_id, text, lang, source, n_chars, n_tokens, quality, lang_pred
       |FROM exact WHERE doc_id NOT IN (SELECT b FROM losers)""".stripMargin
+
+  /** q235: end-to-end INCREMENTAL pipeline proof (VERDICT r10 #2) —
+    * the composed daily-arrival workflow: the corpus arrives as 4
+    * contiguous-doc_id batches (ids are assigned at arrival, so
+    * id-ranges ARE arrival order); each batch runs annotate → gate →
+    * [[graft.ops.Dedup.incrementalExactDedup]] against the fingerprint
+    * history of all PRIOR batches, and each batch's survivors fold into
+    * a running [[graft.transform.Transforms.mergeableRollup]] state via
+    * [[graft.transform.Transforms.mergeRollups]] (per-source token
+    * stats). The ORACLE is the ONE-SHOT recompute (gate the whole
+    * corpus, global min-id keeper per fingerprint, aggregate once), so
+    * the hash gate is a machine-checked proof that the incremental
+    * composition loses nothing: with arrival-ordered batches the first
+    * batch containing a fingerprint holds its global min id, hence
+    * history-based keepers == one-shot keepers, and the rollup merge is
+    * exact associative integer arithmetic (q228's theorem, now proved
+    * at the composed-pipeline level, not per-operator).
+    *
+    * Scale: each batch is touched once (annotate is row-local; the
+    * dedup join is keyed on uniform md5 fingerprints; history enters as
+    * a fingerprint-only frame); the carried state is key-domain-sized.
+    * Per-batch eager checkpoints are the greedy-loop rule. The one
+    * `max(doc_id)` scalar that cuts the batches is a bounded driver
+    * valve (one long).
+    */
+  def incrementalPipelineQ(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.TrainingDataPipeline
+      .incrementalRollup(docs(s, dir), "doc_id", Seq("source"), "n_tokens")
+      .select(col("source"), col("n").as("n_docs"),
+        col("sum_cents").as("sum_tokens"), col("min_cents").as("min_tokens"),
+        col("max_cents").as("max_tokens"))
+
+  val incrementalPipelineSql: String = "WITH " + annGatedCtes + ",\n" +
+    """keepers AS (
+      |  SELECT min(doc_id) AS doc_id FROM gated
+      |  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))),
+      |exact AS (SELECT g.* FROM gated g JOIN keepers k USING (doc_id))
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+      |FROM exact GROUP BY source""".stripMargin
 
   /** Document fingerprints via the custom codegen expressions
     * (rolling_hash + simhash64). The mod-2⁶⁴ arithmetic IS replayable in
@@ -5699,6 +5747,7 @@ object OpsQueries {
     "q229_dedup_calibration" -> dedupCalibrationQ _,
     "q231_maxp_retrieval" -> maxPRetrievalQ _,
     "q232_simhash_calibration" -> simhashCalibrationQ _,
+    "q235_incremental_pipeline" -> incrementalPipelineQ _,
     "q226_dim_variance" -> dimVarianceQ _,
     "q26_rplsh_knn" -> rpLshKnn _,
     "q27_fingerprints" -> fingerprints _,
@@ -5850,6 +5899,7 @@ object OpsQueries {
     "q229_dedup_calibration" -> dedupCalibrationSql,
     "q231_maxp_retrieval" -> maxPRetrievalSql,
     "q232_simhash_calibration" -> simhashCalibrationSql,
+    "q235_incremental_pipeline" -> incrementalPipelineSql,
     "q226_dim_variance" -> dimVarianceSql,
     "q26_rplsh_knn" -> rpLshKnnSql,
     "q27_fingerprints" -> fingerprintsSql,

@@ -38,6 +38,44 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(near.select("doc_id").as[Long].collect().toSet === Set(1L, 4L))
   }
 
+  test("incremental rollup == one-shot recompute with planted cross-batch dups") {
+    // ids 0..11 → 4 batches of width 3; duplicates planted WITHIN a
+    // batch (0,1), ACROSS adjacent batches (2,3), and ACROSS distant
+    // batches (4,10); gated-out junk in the middle (8); distinct docs
+    // elsewhere. The incremental composition must drop every later
+    // arrival of a seen fingerprint and still match the one-shot
+    // global-min-keeper recompute per (source) group.
+    def t(suffix: String) = s"$goodText $suffix"
+    val arrivals = Seq(
+      (0L, goodText, "web"),
+      (1L, goodText, "web"),                 // dup in batch 0 → dropped
+      (2L, t("alpha words here now"), "web"),
+      (3L, t("alpha words here now"), "pdf"), // dup of 2, next batch → dropped
+      (4L, t("beta tokens flow fast"), "pdf"),
+      (5L, t("gamma rows sort well"), "web"),
+      (6L, t("delta keys merge fine"), "pdf"),
+      (7L, t("epsilon data joins up"), "web"),
+      (8L, "tiny", "web"),                    // gated out (too short)
+      (9L, t("zeta text reads long"), "pdf"),
+      (10L, t("beta tokens flow fast"), "web"), // dup of 4, batch 3 → dropped
+      (11L, t("eta docs pack tight"), "pdf")
+    ).toDF("doc_id", "text", "source")
+    val inc = TrainingDataPipeline
+      .incrementalRollup(arrivals, "doc_id", Seq("source"), "n_tokens")
+    // one-shot: gate, global min-id keeper per fingerprint, aggregate once
+    val gated = TrainingDataPipeline.annotateAndFilter(
+      arrivals, TrainingDataPipeline.Config())
+    val oneShot = graft.transform.Transforms.mergeableRollup(
+      TrainingDataPipeline.dropExactDuplicates(gated, "doc_id"),
+      Seq("source"), col("n_tokens"))
+    val key = (r: org.apache.spark.sql.Row) => r.getString(0)
+    assert(inc.collect().sortBy(key).map(_.toSeq).toSeq
+      === oneShot.collect().sortBy(key).map(_.toSeq).toSeq)
+    // the cross-batch drops actually happened: 12 arrivals, 1 gated out,
+    // 3 dropped as duplicates → 8 survivors
+    assert(inc.agg(sum("n")).head.getLong(0) === 8L)
+  }
+
   test("curate runs on the synthetic corpus without shrinking it to zero") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val out = TrainingDataPipeline.curate(docs)
