@@ -205,6 +205,88 @@ object Queries {
       |LEFT JOIN cleaned c
       |  ON c.user_id = e.user_id AND c.event_timestamp = e.event_timestamp""".stripMargin
 
+  /** q06c: MULTI-VIEW PIT retrieval (VERDICT r10 #4) — the flagship
+    * API in its reference shape (`CASE.MD:486-501`): ONE
+    * `getHistoricalFeatures` call retrieving from TWO registered views
+    * with DIFFERENT join keys and DIFFERENT TTLs — `events_fv` on
+    * `user_id` (7-day TTL, 2024 events) and `orders_fv` on `o_custkey`
+    * (9000-day TTL reaching back to the 1995-2001 order history). The
+    * entity grid carries both keys; each view folds in with its own
+    * as-of window and its own LEFT join, and the per-view column
+    * prefixes keep colliding feature names apart. Oracle: two
+    * independent ranked-CTE chains + two LEFT JOINs (the
+    * `CASE.MD:339-501` template).
+    */
+  def pitMultiView(s: SparkSession, dir: String): DataFrame = {
+    val fs = new FeatureStore(s, RepoConfig("graft_demo"), new InMemoryRegistry)
+    fs.applyObjects(Seq(
+      Entity("user", Seq("user_id"), ValueType.INT64),
+      Entity("customer", Seq("o_custkey"), ValueType.INT64),
+      FeatureView(
+        name = "events_fv",
+        entities = Seq("user"),
+        features = Seq(Feature("value", org.apache.spark.sql.types.DoubleType),
+          Feature("event_type", org.apache.spark.sql.types.StringType)),
+        source = eventsSource(dir),
+        ttl = Some(Duration.ofDays(7))),
+      FeatureView(
+        name = "orders_fv",
+        entities = Seq("customer"),
+        features = Seq(Feature("o_totalprice", org.apache.spark.sql.types.DoubleType),
+          Feature("o_orderstatus", org.apache.spark.sql.types.StringType)),
+        source = SparkSource("orders_src", s"$dir/orders.parquet",
+          timestampField = "o_orderdate"),
+        ttl = Some(Duration.ofDays(9000)))))
+    val entity = pitEntityGrid(s, dir)
+      .withColumn("o_custkey", col("user_id"))
+    fs.getHistoricalFeatures(entity,
+      Seq("events_fv:value", "events_fv:event_type",
+        "orders_fv:o_totalprice", "orders_fv:o_orderstatus")).toDf
+  }
+
+  val pitMultiViewSql: String =
+    """WITH entity AS (
+      |  SELECT user_id, user_id AS o_custkey, event_timestamp
+      |  FROM (SELECT DISTINCT user_id FROM events)
+      |  CROSS JOIN (VALUES (TIMESTAMP '2024-01-08 00:00:00'),
+      |                     (TIMESTAMP '2024-01-15 00:00:00'),
+      |                     (TIMESTAMP '2024-01-22 00:00:00'),
+      |                     (TIMESTAMP '2024-01-29 00:00:00')) g(event_timestamp)
+      |), ranked_e AS (
+      |  SELECT e.user_id, e.event_timestamp, f.value, f.event_type,
+      |         row_number() OVER (
+      |           PARTITION BY e.user_id, e.event_timestamp
+      |           ORDER BY CAST(f.ts AS TIMESTAMP) DESC, f.value DESC,
+      |                    f.event_type DESC) AS rn
+      |  FROM entity e
+      |  JOIN events f
+      |    ON f.user_id = e.user_id
+      |   AND CAST(f.ts AS TIMESTAMP) <= e.event_timestamp
+      |   AND CAST(f.ts AS TIMESTAMP) >= e.event_timestamp - INTERVAL 7 DAY
+      |), cleaned_e AS (SELECT * FROM ranked_e WHERE rn = 1),
+      |ranked_o AS (
+      |  SELECT e.o_custkey, e.event_timestamp, o.o_totalprice, o.o_orderstatus,
+      |         row_number() OVER (
+      |           PARTITION BY e.o_custkey, e.event_timestamp
+      |           ORDER BY o.o_orderdate DESC, o.o_totalprice DESC,
+      |                    o.o_orderstatus DESC) AS rn
+      |  FROM (SELECT DISTINCT o_custkey, event_timestamp FROM entity) e
+      |  JOIN orders o
+      |    ON o.o_custkey = e.o_custkey
+      |   AND o.o_orderdate <= e.event_timestamp
+      |   AND o.o_orderdate >= e.event_timestamp - INTERVAL 9000 DAY
+      |), cleaned_o AS (SELECT * FROM ranked_o WHERE rn = 1)
+      |SELECT e.user_id, e.o_custkey, e.event_timestamp,
+      |       ce.value AS events_fv__value,
+      |       ce.event_type AS events_fv__event_type,
+      |       co.o_totalprice AS orders_fv__o_totalprice,
+      |       co.o_orderstatus AS orders_fv__o_orderstatus
+      |FROM entity e
+      |LEFT JOIN cleaned_e ce
+      |  ON ce.user_id = e.user_id AND ce.event_timestamp = e.event_timestamp
+      |LEFT JOIN cleaned_o co
+      |  ON co.o_custkey = e.o_custkey AND co.event_timestamp = e.event_timestamp""".stripMargin
+
   /** Dense PIT: one entity row per event (self as-of enrichment, the
     * realistic retrieval shape — every training example asks for features
     * at its own timestamp). 100k entity rows at sf0.1 with a 3-day TTL —
@@ -5436,6 +5518,7 @@ object Queries {
     "q05_window_latest" -> windowLatest _,
     "q06_pit_join" -> pitJoin _,
     "q06b_pit_dense" -> pitDense _,
+    "q06c_pit_multiview" -> pitMultiView _,
     "q07_materialize_latest" -> materializeLatest _,
     "q08_distinct" -> distinctPairs _,
     "q09_collect_set" -> collectSet _,
@@ -5552,6 +5635,7 @@ object Queries {
     "q05_window_latest" -> windowLatestSql,
     "q06_pit_join" -> pitJoinSql,
     "q06b_pit_dense" -> pitDenseSql,
+    "q06c_pit_multiview" -> pitMultiViewSql,
     "q07_materialize_latest" -> materializeLatestSql,
     "q08_distinct" -> distinctPairsSql,
     "q09_collect_set" -> collectSetSql,
