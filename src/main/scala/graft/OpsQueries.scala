@@ -5503,10 +5503,17 @@ object OpsQueries {
     * the checkpoint is small.
     */
   private val recFramesCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-  def recommendFrames(s: SparkSession, dir: String): DataFrame =
-    recFramesCache.getOrElseUpdate((System.identityHashCode(s), dir),
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  def recommendFrames(s: SparkSession, dir: String): DataFrame = {
+    // keyed by the session OBJECT (reference equality — identityHashCode
+    // is not unique and a hash reuse by a later session would serve a
+    // frame bound to a dead one); entries for stopped sessions are
+    // dropped on every access so the map cannot pin checkpoints (or
+    // sessions) for the JVM lifetime
+    recFramesCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    recFramesCache.getOrElseUpdate((s, dir),
       recommendQ(s, dir).localCheckpoint(true))
+  }
 
   // ------------------------------------------------------ rec metrics
   /** q215: recommender quality metrics — catalog coverage and

@@ -73,13 +73,26 @@ object Tables {
       else {
         // the ANN stack's subspace constants (PQ 8×8, token 8×8,
         // Matryoshka 16) assume 64 dims — a regenerated fixture with a
-        // different width must fail HERE, not as 20 scattered gates
-        val d = try load(spark, dir, "embeddings")
-          .select(org.apache.spark.sql.functions.size(
-            org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
-        catch { case scala.util.control.NonFatal(_) => -1 }
-        if (d != 64)
-          problems += s"embeddings dim is $d — expected 64 (PQ/token subspace constants assume 8×8)"
+        // different width must fail HERE, not as 20 scattered gates.
+        // min/max over the whole column (not head) so RAGGED arrays are
+        // caught too; a read failure reports its own message instead of
+        // masquerading as a bad dimension.
+        import org.apache.spark.sql.functions.{col, min, max, size}
+        try {
+          val r = load(spark, dir, "embeddings")
+            .agg(min(size(col("embedding"))).as("mn"),
+              max(size(col("embedding"))).as("mx")).head()
+          (Option(r.get(0)), Option(r.get(1))) match {
+            case (Some(mn: Int), Some(mx: Int)) =>
+              if (mn != 64 || mx != 64)
+                problems += (s"embeddings dims span [$mn, $mx] — expected " +
+                  "uniform 64 (PQ/token subspace constants assume 8×8)")
+            case _ => problems += "embeddings table is empty — dim canary has nothing to check"
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            problems += s"embeddings dim canary failed to read the table: ${e.getMessage}"
+        }
       }
     }
     for (s <- schemas.get("documents"))

@@ -388,12 +388,18 @@ object Similarity {
         when(col("mx") === col("mn"), lit(0L))
           .otherwise(expr("((q - mn) * 255) div (mx - mn)")))
       .withColumn("recon", col("mn") + expr("(code * (mx - mn)) div 255"))
-    coded.groupBy(col("__id").as(idCol))
+    coded
+      // stringify BEFORE the aggregate: GetArrayStructFields (`.code_str`)
+      // is codegen'd, unlike an interpreted transform(...) lambda over
+      // every vector's array (the no-HOF-in-hot-paths rule); dim is
+      // unique per vector so the sort order is unchanged
+      .withColumn("code_str", col("code").cast("string"))
+      .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("n_dims"),
         sum((col("q") - col("recon")) * (col("q") - col("recon")))
           .as("total_sq_err"),
         md5(concat_ws(",",
-          expr("transform(array_sort(collect_list(struct(dim, code))), x -> CAST(x.code AS STRING))")))
+          expr("array_sort(collect_list(struct(dim, code_str))).code_str")))
           .as("code_md5"))
   }
 
@@ -892,12 +898,15 @@ object Similarity {
       // pre-reduced rows reach the exchange — the difference between
       // shuffling 16× the corpus and 1× at 100 TB. Tie-break matches
       // the window's (simc desc, centroid_id asc) via the negated id.
-      scored
+      val best = scored
         .groupBy(col(s"${side}_id"))
         .agg(max(struct(col("simc"), (-col("centroid_id")).as("negc"),
           col("__vec"), col("__norm"))).as("__best"))
         .select(col(s"${side}_id"), (-col("__best.negc")).as("centroid_id"),
           col("__best.__vec").as("__vec"), col("__best.__norm").as("__norm"))
+      // the argmax row IS rank 1 — a keepRank caller (probe sweep with
+      // max(nprobes) == 1) must still see crank
+      if (keepRank) best.withColumn("crank", lit(1)) else best
     } else {
       val w = Window.partitionBy(col(s"${side}_id"))
         .orderBy(col("simc").desc, col("centroid_id").asc)

@@ -469,6 +469,25 @@ class OpsSpec extends SparkSpec {
       s"ADC recall hits moved: stub=$stubHits trained=$trainedHits (was 32/45)")
   }
 
+  test("ivfProbeSweep degenerates cleanly to a single probe budget of 1") {
+    // the keep==1 argmax branch must still emit crank for keepRank
+    // callers (ADVICE r10) — nprobes=Seq(1) used to throw unresolved-
+    // column on crank
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val one = Similarity.ivfProbeSweep(e,
+      e.filter(col("vec_id") >= 100 && col("vec_id") < 110),
+      "vec_id", "embedding", k = 5, numCentroids = 16, nprobes = Seq(1))
+      .collect()
+    assert(one.length == 1 && one.head.getLong(0) == 1L)
+    // and the single-budget row must agree with the nprobe=1 row of the
+    // multi-budget sweep (shared-scoring-pass losslessness)
+    val multi = Similarity.ivfProbeSweep(e,
+      e.filter(col("vec_id") >= 100 && col("vec_id") < 110),
+      "vec_id", "embedding", k = 5, numCentroids = 16, nprobes = Seq(1, 4))
+      .filter(col("nprobe") === 1L).collect()
+    assert(one.map(_.toSeq).toSeq === multi.map(_.toSeq).toSeq)
+  }
+
   test("scalarQuantize: step-aligned components reconstruct exactly; error bounded by the step") {
     // per-dim micros spanning exactly [0, 255]: code == q - mn, so the
     // affine roundtrip is lossless and total_sq_err must be 0
