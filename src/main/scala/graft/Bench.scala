@@ -1,6 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Stable name-keyword query-family classifier (VERDICT r10 #6): the
+    * 240-query board makes per-query round-over-round diffs noise-bound,
+    * so the bench also emits six-ish family subtotals. Keep the rules
+    * ORDERED and append-only — reclassifying a query between rounds
+    * breaks the family diff it exists to enable.
+    */
+  private[graft] def family(name: String): String = {
+    val n = name.toLowerCase
+    def has(ss: String*) = ss.exists(n.contains)
+    if (has("stream")) "streaming"
+    else if (has("pit", "materialize", "online", "feature", "registry",
+      "freshness", "forecast", "lateness", "scd", "medallion")) "feature_store"
+    else if (has("dedup", "minhash", "simhash", "lsh", "jaccard",
+      "decontam", "dup_pass", "winnow", "containment", "fuzzy",
+      "edit_dist", "ppjoin", "golden")) "dedup"
+    else if (has("ivf", "pq_", "_adc", "brute", "knn", "embed", "cosine",
+      "mmr", "rrf", "maxsim", "matryoshka", "quant", "lloyd", "probe",
+      "semantic", "kcenter", "coreset", "anisotropy", "ann_",
+      "item_similarity")) "ann"
+    else if (has("pagerank", "kcore", "triangle", "component", "graph",
+      "markov", "attribution", "label_prop")) "graph"
+    else if (has("psi", "jsd", "emd", "cusum", "corr", "quantile", "hist",
+      "woe", "conformal", "ttest", "srm", "stats", "kendall", "bootstrap",
+      "mad_", "gini", "hll", "kmv", "cms", "sketch", "capture", "novelty",
+      "drift", "anomal", "benford", "funnel", "survival", "ab_")) "stats"
+    else if (has("token", "tfidf", "bm25", "lang", "text", "quality",
+      "bpe", "oov", "pii", "ngram", "zipf", "passage", "shard", "mixing",
+      "budget", "curation", "corpus", "sample", "pipeline", "doc",
+      "anonym", "diversity")) "text"
+    else "core"
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -65,8 +96,13 @@ object Bench {
     val probeAfter = probeMedian()
     val probe = (probeBefore + probeAfter) / 2
     val probeJson = f""""probe_s":$probe%.4f,"probe_before_s":$probeBefore%.4f,"probe_after_s":$probeAfter%.4f"""
+    // family subtotals: six-ish numbers future judges diff instead of 240
+    val famJson = passing.groupBy(r => family(r._1)).toSeq.sortBy(_._1)
+      .map { case (f, rs) =>
+        f""""$f":{"n":${rs.size},"sec":${rs.map(_._2(1)).sum}%.3f}"""
+      }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$probeJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$probeJson,"families":$famJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout but has truncated the tail of long
     // lines; persist the full per-query detail (min/median/max of the
@@ -78,7 +114,7 @@ object Bench {
     out.mkdirs()
     val w = new java.io.PrintWriter(new java.io.File(out, "bench.json"))
     try w.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$probeJson,"sf":"$sfDir","queries":$detail}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$probeJson,"families":$famJson,"sf":"$sfDir","queries":$detail}""")
     finally w.close()
     spark.stop()
   }
