@@ -18,17 +18,15 @@ import java.sql.Timestamp
   */
 object Materializer {
 
-  /** @return the materialized latest-vector DataFrame (keys, event ts,
-    *         features) — also written to `store`.
+  /** The window's latest-per-key reduction (shared by both write
+    * modes).
     */
-  def materialize(
+  private def latestInWindow(
       spark: SparkSession,
-      store: OnlineStore,
       view: FeatureView,
       joinKeys: Seq[String],
       start: Timestamp,
       end: Timestamp): DataFrame = {
-
     val tsField = view.source.timestampField
     val createdOpt = view.source.createdTimestampColumn
     val featNames = view.featureNames
@@ -49,12 +47,45 @@ object Materializer {
         inRange.groupBy(joinKeys.map(col): _*)
           .agg(max(struct(orderCols: _*)).as("__best"))
 
-    val out = latest.select(
+    latest.select(
       joinKeys.map(col) ++
         Seq(col("__best.__ts").as("event_timestamp")) ++
         featNames.zipWithIndex.map { case (f, i) => col(s"__best.__v$i").as(f) }: _*)
+  }
 
+  /** @return the materialized latest-vector DataFrame (keys, event ts,
+    *         features) — also written to `store`.
+    */
+  def materialize(
+      spark: SparkSession,
+      store: OnlineStore,
+      view: FeatureView,
+      joinKeys: Seq[String],
+      start: Timestamp,
+      end: Timestamp): DataFrame = {
+    val out = latestInWindow(spark, view, joinKeys, start, end)
     store.write(view.name, joinKeys, out)
+    out
+  }
+
+  /** Materialize with LAST-EVENT-TS-WINS against vectors already in the
+    * store — the guard for OVERLAPPING or interleaved materialize
+    * windows: plain [[materialize]] writes unconditionally, so a re-run
+    * of an OLDER window after a newer one regresses vectors; this mode
+    * routes through the same conditional merge the streaming path uses
+    * ([[StreamingMaterializer.mergeLatest]]), so the final store state
+    * depends only on the SET of windows materialized, not their order
+    * (LoopbackKVSpec pins the convergence on a real TCP store).
+    */
+  def materializeLatestWins(
+      spark: SparkSession,
+      store: OnlineStore,
+      view: FeatureView,
+      joinKeys: Seq[String],
+      start: Timestamp,
+      end: Timestamp): DataFrame = {
+    val out = latestInWindow(spark, view, joinKeys, start, end)
+    StreamingMaterializer.mergeLatest(store, view, joinKeys, out)
     out
   }
 }

@@ -80,6 +80,50 @@ class LoopbackKVSpec extends SparkSpec {
       }
     } finally server.close()
   }
+
+  test("interleaved materialize windows on the TCP store: last event ts wins, order-independent") {
+    val server = new LineKVServer()
+    try {
+      val port = server.port // closure must capture the port, not the server
+      val store = new KVClientOnlineStore(() => new TcpKVClient(port))
+      val featPath = {
+        val dir = java.nio.file.Files.createTempDirectory("graft_tcp_rw").toString + "/f"
+        Seq(
+          ("a", "2024-01-02 00:00:00", 1.0),
+          ("a", "2024-01-20 00:00:00", 7.0),
+          ("b", "2024-01-04 00:00:00", 2.0),
+          ("b", "2024-01-25 00:00:00", 9.0),
+          ("c", "2024-01-06 00:00:00", 3.0)
+        ).toDF("key", "s", "value")
+          .select(col("key"), to_timestamp(col("s")).as("event_ts"), col("value"))
+          .write.mode("overwrite").parquet(dir)
+        dir
+      }
+      def view(name: String) = FeatureView(name, Seq("key"),
+        Seq(Feature("value", DoubleType)),
+        SparkSource("s", featPath, timestampField = "event_ts"))
+      val full = (Timestamp.valueOf("2024-01-01 00:00:00"),
+        Timestamp.valueOf("2024-01-31 00:00:00"))
+      val oldWin = (Timestamp.valueOf("2024-01-01 00:00:00"),
+        Timestamp.valueOf("2024-01-10 00:00:00"))
+      def matLW(v: String, w: (Timestamp, Timestamp)): Unit =
+        Materializer.materializeLatestWins(spark, store, view(v), Seq("key"),
+          w._1, w._2)
+      // newer window first, older re-run second (the regression hazard)
+      matLW("fvA", full); matLW("fvA", oldWin)
+      // older first, newer second (the natural order)
+      matLW("fvB", oldWin); matLW("fvB", full)
+      for (v <- Seq("fvA", "fvB"); (k, want) <- Seq("a" -> 7.0, "b" -> 9.0, "c" -> 3.0)) {
+        assert(store.get(v, Seq(k)).map(_("value")) === Some(want),
+          s"$v/$k must serve the latest-event vector regardless of window order")
+      }
+      // contrast: UNGUARDED materialize of the older window regresses
+      // newer vectors — exactly why overlapping windows use latestWins
+      Materializer.materialize(spark, store, view("fvA"), Seq("key"),
+        oldWin._1, oldWin._2)
+      assert(store.get("fvA", Seq("a")).map(_("value")) === Some(1.0))
+    } finally server.close()
+  }
 }
 
 object LoopbackKVSpec {
