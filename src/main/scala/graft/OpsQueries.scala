@@ -2199,6 +2199,94 @@ object OpsQueries {
       |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
       |FROM exact GROUP BY source""".stripMargin
 
+  /** q236: incremental NEAR-dup dedup across arrival batches
+    * ([[graft.ops.Dedup.incrementalLshDedupBands]]) — q235's companion
+    * proof for the LSH path: the corpus arrives as 4 contiguous-id
+    * batches; each batch computes its band table ONCE (the artifact an
+    * increment persists), decides `dup_of_index` against the
+    * accumulated band index of ALL prior arrivals and `dup_in_batch`
+    * against smaller-id batch peers, and then its bands append to the
+    * index. The ORACLE is the ONE-SHOT global greedy prefix-survivor
+    * rule (a doc is a dup iff it shares a band with ANY smaller id;
+    * earlier-batch vs same-batch splits the two flags) — under
+    * arrival-ordered batches the incremental composition reproduces it
+    * EXACTLY, and the hash gate machine-checks that, including the
+    * subtlety that the index must carry DROPPED docs' bands too (a doc
+    * colliding only with an already-dropped doc is still a dup under
+    * the greedy rule).
+    *
+    * Scale: signatures are row-local codegen (one pass per batch);
+    * the index enters as a (band_idx, band_hash) table — 16-byte keys,
+    * uniformly distributed, the thing you bucket at 100 TB so daily
+    * increments join exchange-free; per-batch results are id-scale.
+    */
+  def incrementalLshQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+    val nBatches = 4
+    val width = maxId / nBatches + 1
+    var index: DataFrame =
+      Seq.empty[(Int, String)].toDF("band_idx", "band_hash")
+    val outs = (0L until nBatches.toLong).map { b =>
+      val batch = d.filter(
+        col("doc_id") >= b * width && col("doc_id") < (b + 1) * width)
+      val bands = Dedup.lshBands(
+        Dedup.minhashSignaturesFused(batch, "doc_id", "text"), "doc_id")
+        .localCheckpoint(true)
+      val res = Dedup.incrementalLshDedupBands(
+        bands, index, batch.select(col("doc_id")), "doc_id")
+        .localCheckpoint(true)
+      index = index
+        .unionByName(bands.select(col("band_idx"), col("band_hash")))
+        .localCheckpoint(true)
+      res
+    }
+    outs.reduce(_ unionByName _)
+  }
+
+  val incrementalLshSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+      |    FROM toks WHERE len(t) >= 3)),
+      |hx AS (SELECT doc_id, md5(s) AS h1, md5('~' || s) AS h2 FROM sh),
+      |mh AS (
+      |  SELECT doc_id,
+      |         min(substr(h1, 1, 8)) AS mh0, min(substr(h1, 9, 8)) AS mh1,
+      |         min(substr(h1, 17, 8)) AS mh2, min(substr(h1, 25, 8)) AS mh3,
+      |         min(substr(h2, 1, 8)) AS mh4, min(substr(h2, 9, 8)) AS mh5,
+      |         min(substr(h2, 17, 8)) AS mh6, min(substr(h2, 25, 8)) AS mh7
+      |  FROM hx GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS bh FROM mh
+      |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+      |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+      |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh),
+      |mx AS (SELECT max(doc_id) // 4 + 1 AS width FROM documents),
+      |coll AS (
+      |  SELECT DISTINCT y.doc_id, x.doc_id AS other
+      |  FROM bands x JOIN bands y
+      |    ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      |flags AS (
+      |  SELECT c.doc_id,
+      |         max(CASE WHEN c.other // mx.width < c.doc_id // mx.width
+      |                  THEN 1 ELSE 0 END) AS dup_of_index,
+      |         max(CASE WHEN c.other // mx.width = c.doc_id // mx.width
+      |                  THEN 1 ELSE 0 END) AS dup_in_batch
+      |  FROM coll c, mx GROUP BY c.doc_id)
+      |SELECT d.doc_id,
+      |       CAST(coalesce(f.dup_of_index, 0) AS BIGINT) AS dup_of_index,
+      |       CAST(coalesce(f.dup_in_batch, 0) AS BIGINT) AS dup_in_batch,
+      |       CAST(CASE WHEN coalesce(f.dup_of_index, 0) = 0
+      |                  AND coalesce(f.dup_in_batch, 0) = 0
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM documents d LEFT JOIN flags f USING (doc_id)""".stripMargin
+
   /** Document fingerprints via the custom codegen expressions
     * (rolling_hash + simhash64). The mod-2⁶⁴ arithmetic IS replayable in
     * DuckDB: HUGEINT (int128) carries the unsigned-64 domain, `%` takes
@@ -5755,6 +5843,7 @@ object OpsQueries {
     "q231_maxp_retrieval" -> maxPRetrievalQ _,
     "q232_simhash_calibration" -> simhashCalibrationQ _,
     "q235_incremental_pipeline" -> incrementalPipelineQ _,
+    "q236_incremental_lsh" -> incrementalLshQ _,
     "q226_dim_variance" -> dimVarianceQ _,
     "q26_rplsh_knn" -> rpLshKnn _,
     "q27_fingerprints" -> fingerprints _,
@@ -5907,6 +5996,7 @@ object OpsQueries {
     "q231_maxp_retrieval" -> maxPRetrievalSql,
     "q232_simhash_calibration" -> simhashCalibrationSql,
     "q235_incremental_pipeline" -> incrementalPipelineSql,
+    "q236_incremental_lsh" -> incrementalLshSql,
     "q226_dim_variance" -> dimVarianceSql,
     "q26_rplsh_knn" -> rpLshKnnSql,
     "q27_fingerprints" -> fingerprintsSql,

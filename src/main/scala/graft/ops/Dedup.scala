@@ -578,10 +578,21 @@ object Dedup {
   def incrementalLshDedup(batch: DataFrame, indexBands: DataFrame,
       idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8,
-      rowsPerBand: Int = 2): DataFrame = {
-    val newBands = lshBands(
-      minhashSignaturesFused(batch, idCol, textCol, shingleN, numHashes),
-      idCol, numHashes, rowsPerBand)
+      rowsPerBand: Int = 2): DataFrame =
+    incrementalLshDedupBands(
+      lshBands(
+        minhashSignaturesFused(batch, idCol, textCol, shingleN, numHashes),
+        idCol, numHashes, rowsPerBand),
+      indexBands, batch.select(col(idCol)), idCol)
+
+  /** [[incrementalLshDedup]] with the batch's band table precomputed —
+    * the production shape: bands are the thing an increment PERSISTS
+    * (they become the next increment's index side), so computing them
+    * once and feeding both the dedup decision and the index append
+    * avoids a second signature pass over the batch text.
+    */
+  def incrementalLshDedupBands(newBands: DataFrame, indexBands: DataFrame,
+      batchIds: DataFrame, idCol: String): DataFrame = {
     val idxHits = newBands
       .join(indexBands.select(col("band_idx"), col("band_hash")).distinct(),
         Seq("band_idx", "band_hash"))
@@ -590,7 +601,7 @@ object Dedup {
     val batchHits = candidatePairs(newBands, idCol)
       .select(col("b").as(idCol)).distinct()
       .withColumn("__bat", lit(1L))
-    batch.select(col(idCol))
+    batchIds
       .join(idxHits, Seq(idCol), "left")
       .join(batchHits, Seq(idCol), "left")
       .select(col(idCol),

@@ -56,6 +56,18 @@ class PlanSpec extends SparkSpec {
       s"entity-range prefilter not pushed to scan:\n$p")
   }
 
+  test("multi-view PIT: two equi-join legs, no cartesian, both range bounds pushed") {
+    val p = plan(Queries.pitMultiView(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"a PIT leg degenerated:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"PIT legs must be equi-joins:\n$p")
+    // each view's entity-range prefilter reaches ITS source scan
+    assert(p.contains("LessThan(ts,") || p.contains("LessThanOrEqual(ts,"),
+      s"events-range prefilter not pushed:\n$p")
+    assert(p.contains("LessThanOrEqual(o_orderdate,"),
+      s"orders-range prefilter not pushed:\n$p")
+  }
+
   test("hourly agg has exactly one exchange (partial -> final hash agg)") {
     val p = plan(Queries.hourlyAgg(spark, sf0001))
     val exchanges = "Exchange".r.findAllIn(p).length
