@@ -156,7 +156,13 @@ object ScaleSmoke {
       "q221_scalar_quant", "q223_late_interaction", "q227_ivf_probe_sweep",
       // the calibration harness doubles the 10x corpus with planted
       // near-dups — the detector's full signature+band chain at 1.1M docs
-      "q229_dedup_calibration")
+      "q229_dedup_calibration",
+      // round-11: the composed incremental proofs — four arrival
+      // batches of the 10x corpus through gate→dedup→rollup (exact) and
+      // through the accumulating band index (LSH); the per-batch
+      // checkpoint cadence and the growing index join are what 10x
+      // stresses
+      "q235_incremental_pipeline", "q236_incremental_lsh")
     // warm scans once
     (gen.keys ++ passthrough).foreach { t =>
       try graft.Tables.load(spark, out, t).count()
