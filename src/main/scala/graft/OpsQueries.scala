@@ -56,10 +56,26 @@ object OpsQueries {
     */
   private def servedCodebook(s: SparkSession, dir: String, tag: String)(
       train: => DataFrame): DataFrame = {
-    val base = sys.props("java.io.tmpdir") + "/graft_codebooks/" +
-      graft.core.ArtifactStore.sanitize(
-        s"${new java.io.File(dir).getName}_${embFingerprint(s, dir)}_$tag")
-    graft.core.CodebookStore.getOrTrain(s, base)(train)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_codebooks")
+    val fixture = new java.io.File(dir).getName
+    val name = graft.core.ArtifactStore.sanitize(
+      s"${fixture}_${embFingerprint(s, dir)}_$tag")
+    // prune superseded fingerprints of the SAME (fixture, tag): a
+    // testdata regeneration orphans the old entry; without this the
+    // append-only cache accumulates directories on a long-lived host
+    val pfx = graft.core.ArtifactStore.sanitize(fixture) + "_"
+    val sfx = "_" + graft.core.ArtifactStore.sanitize(tag)
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName != name && f.getName.startsWith(pfx) &&
+          f.getName.endsWith(sfx)) {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete(); ()
+        }
+        rm(f)
+      }
+    }
+    graft.core.CodebookStore.getOrTrain(s, root + "/" + name)(train)
   }
 
   /** Embedding dimension of the test fixture (TESTDATA embeddings table);
@@ -802,6 +818,80 @@ object OpsQueries {
       |SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
       |       CAST(l // 32 AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n
       |FROM lum GROUP BY media_id, w, h, l // 32""".stripMargin
+
+  /** q237: IMAGE near-dup dedup with the REAL codec in the loop — the
+    * LAION-style pipeline stage the multimodal family was missing:
+    * 600 synthetic PNGs with PLANTED perturbed variants
+    * ([[Multimodal.syntheticPngVariant]]: ids ≥ 200 are sparse
+    * red-channel perturbations of base `id % 200`, generation
+    * `id / 200` drifts further) are ImageIO-decoded, fingerprinted with
+    * the standard 64-bit difference hash over an integer 9×8
+    * nearest-neighbor luma grid ([[Multimodal.dHash64]]), and paired by
+    * the 4×16 pigeonhole Hamming band join
+    * ([[Dedup.hammingPairs64]], radius 3 — the simhash machinery reused
+    * verbatim on a pixel-space signature). The oracle replays pixels +
+    * hash arithmetically and pairs NAIVELY all-pairs, so the hash gate
+    * is simultaneously a losslessness proof of encode→decode→dHash and
+    * a completeness proof of the banding: generation-1 variants land at
+    * Hamming 0-3 (detected), generation-2 mostly drift out, and 6
+    * chance cross-base collisions ride along as the false-positive
+    * readout (`same_base = 0`).
+    *
+    * Scale: decode+hash is row-local mapPartitions (codec init
+    * amortizes per partition); only 8-byte signatures shuffle, never
+    * pixels — the posture that holds at billions of images.
+    */
+  def imageDedupQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nBases = 200
+    val sigs = s.range(600).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val png = Multimodal.syntheticPngVariant(id, nBases)
+        val img = Multimodal.decodeImage(png).getOrElse(
+          throw new IllegalStateException(s"synthetic png $id must decode"))
+        (id, Multimodal.dHash64(img))
+      }
+    }.toDF("media_id", "dhash")
+    Dedup.hammingPairs64(sigs, "media_id", "dhash", maxHamming = 3)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming").cast("long").as("hamming"),
+        (col("doc_a") % nBases === col("doc_b") % nBases)
+          .cast("long").as("same_base"))
+  }
+
+  // lazy: toSignedU64 reads the P64 val declared further down — a
+  // strict val here would render "null" at object init (the q151 trap)
+  lazy val imageDedupSql: String =
+    s"""WITH ids AS (SELECT unnest(range(0, 600)) AS id),
+       |im AS (SELECT id, id % 200 AS base, id // 200 AS mag FROM ids),
+       |dm AS (SELECT id, base, mag, base % 13 + 8 AS w, base % 11 + 6 AS h FROM im),
+       |grid AS (SELECT id, base, mag, w, h, unnest(range(0, 8)) AS j FROM dm),
+       |cell AS (SELECT id, base, mag, w, h, j, unnest(range(0, 9)) AS i FROM grid),
+       |pos AS (SELECT id, base, mag, w, j, i,
+       |               (i * w) // 9 AS x, (j * h) // 8 AS y
+       |        FROM cell),
+       |lum AS (
+       |  SELECT id, j, i,
+       |         ((CASE WHEN mag > 0 AND (x + y * w + id) % 7 = 0
+       |                THEN ((base * 7 + x * 13 + y * 31) % 256 + mag * 40) % 256
+       |                ELSE (base * 7 + x * 13 + y * 31) % 256 END) * 299
+       |          + ((base * 11 + x * 3 + y * 5) % 256) * 587
+       |          + ((base * 13 + x * 17 + y * 7) % 256) * 114) // 1000 AS l
+       |  FROM pos),
+       |bits AS (
+       |  SELECT a.id,
+       |         sum(CASE WHEN b.l > a.l
+       |                  THEN CAST(1 AS HUGEINT) << CAST(a.j * 8 + a.i AS INTEGER)
+       |                  ELSE CAST(0 AS HUGEINT) END) AS usig
+       |  FROM lum a JOIN lum b ON b.id = a.id AND b.j = a.j AND b.i = a.i + 1
+       |  GROUP BY a.id),
+       |sg AS (SELECT id, ${toSignedU64("usig")} AS dh FROM bits)
+       |SELECT a.id AS media_a, b.id AS media_b,
+       |       CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming,
+       |       CAST(CASE WHEN a.id % 200 = b.id % 200 THEN 1 ELSE 0 END
+       |            AS BIGINT) AS same_base
+       |FROM sg a JOIN sg b ON a.id < b.id
+       |WHERE bit_count(xor(a.dh, b.dh)) <= 3""".stripMargin
 
   /** BPE merge induction over the documents corpus
     * ([[Corpus.bpeMerges]], 3 rounds): learned merge table + post-
@@ -5844,6 +5934,7 @@ object OpsQueries {
     "q232_simhash_calibration" -> simhashCalibrationQ _,
     "q235_incremental_pipeline" -> incrementalPipelineQ _,
     "q236_incremental_lsh" -> incrementalLshQ _,
+    "q237_image_dedup" -> imageDedupQ _,
     "q226_dim_variance" -> dimVarianceQ _,
     "q26_rplsh_knn" -> rpLshKnn _,
     "q27_fingerprints" -> fingerprints _,
@@ -5997,6 +6088,7 @@ object OpsQueries {
     "q232_simhash_calibration" -> simhashCalibrationSql,
     "q235_incremental_pipeline" -> incrementalPipelineSql,
     "q236_incremental_lsh" -> incrementalLshSql,
+    "q237_image_dedup" -> imageDedupSql,
     "q226_dim_variance" -> dimVarianceSql,
     "q26_rplsh_knn" -> rpLshKnnSql,
     "q27_fingerprints" -> fingerprintsSql,

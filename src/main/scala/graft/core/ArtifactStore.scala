@@ -21,11 +21,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rename-OVERWRITE; readers retry the missing-but-tmp-present window).
   * Readers resolve CURRENT first and then read an immutable directory,
   * so a half-written artifact is never observable. After the pointer
-  * moves, versions other than {new, previous} are garbage-collected —
-  * the previous version survives one more swap so a reader that
-  * resolved CURRENT just before the repoint can still finish its scan.
+  * moves, stale versions are garbage-collected with BOTH a count gate
+  * ({new, previous} always survive) and an age gate (anything newer
+  * than [[gcHorizonMs]] survives regardless of position) — a reader
+  * that resolved CURRENT several swaps ago under a fast refresh cadence
+  * keeps its directory until the horizon passes, not just for one swap.
   */
 object ArtifactStore {
+
+  /** Minimum age before a superseded version directory is deletable.
+    * Bounds how long a straggling reader may hold a resolved version;
+    * refresh cadences faster than this horizon never strand a reader.
+    */
+  val gcHorizonMs: Long = 10L * 60 * 1000
 
   /** Path-component sanitizer: artifact names are derived from user
     * metadata (table names, key columns) — a '/' or other special
@@ -97,12 +105,15 @@ object ArtifactStore {
       fs.makeQualified(cur).toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(cur),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // GC: keep {new, previous}; delete older versions (best effort)
+    // GC: keep {new, previous} plus anything younger than the age
+    // horizon; delete the rest (best effort)
     val keep = Set(version) ++ prev
+    val cutoff = System.currentTimeMillis - gcHorizonMs
     try {
       fs.listStatus(new org.apache.hadoop.fs.Path(base)).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith("v-") && !keep.contains(n))
+        if (n.startsWith("v-") && !keep.contains(n) &&
+            st.getModificationTime < cutoff)
           fs.delete(st.getPath, true)
       }
     } catch { case scala.util.control.NonFatal(_) => () }

@@ -678,6 +678,21 @@ object Dedup {
     import graft.functions.{functions => gf}
     val sigs = df.select(col(idCol).as("id"),
       gf.simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
+    hammingPairs64(sigs, "id", "sh", maxHamming, blockCap)
+  }
+
+  /** Generic 64-bit Hamming near-dup join via 4×16 pigeonhole banding
+    * (Manku et al.): complete up to radius 3 — a pair within the radius
+    * differs in ≤ 3 of the 4 bands, so at least one band collides
+    * exactly. Works over ANY 64-bit signature column (simhash, image
+    * dHash, audio fingerprint); `blockCap` is the boilerplate valve for
+    * degenerate hot bands. Emits (doc_a, doc_b, hamming), doc_a < doc_b.
+    */
+  def hammingPairs64(sigFrame: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, blockCap: Option[Int] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16 pigeonhole banding is complete only up to Hamming radius 3")
+    val sigs = sigFrame.select(col(idCol).as("id"), col(sigCol).as("sh"))
     val banded0 = sigs.select(col("id"), col("sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

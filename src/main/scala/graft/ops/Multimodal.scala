@@ -164,6 +164,72 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** [[syntheticPng]] with PLANTED near-duplicates — the golden fixture
+    * for image near-dup detection: id's image is a perturbed copy of
+    * base `id % nBases` (ids below nBases are the unperturbed bases).
+    * Perturbation generation `mag = id / nBases` bumps the red channel
+    * by `mag·40` on a sparse deterministic pixel subset, so higher
+    * generations drift further from their base in hash space. Dims and
+    * every pixel are integer arithmetic on (base, mag, x, y) — a SQL
+    * oracle reproduces the pixel stream without any codec.
+    */
+  def syntheticPngVariant(id: Long, nBases: Int): Array[Byte] = {
+    val base = id % nBases
+    val mag = id / nBases
+    val w = (base % 13 + 8).toInt
+    val h = (base % 11 + 6).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r0 = (base * 7 + x * 13 + y * 31) % 256
+        val r = if (mag > 0 && (x + y * w + id) % 7 == 0)
+          (r0 + mag * 40) % 256 else r0
+        val g = (base * 11 + x * 3 + y * 5) % 256
+        val b = (base * 13 + x * 17 + y * 7) % 256
+        img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** 64-bit difference hash (dHash) over REAL decoded pixels — the
+    * standard perceptual near-dup fingerprint for images: integer
+    * nearest-neighbor resample to a 9×8 luma grid (sample (i,j) reads
+    * pixel (i·w/9, j·h/8), the [[fakeResize]] index map in 2-D), then
+    * bit j·8+i = luma(i+1,j) > luma(i,j). Every step is exact integer
+    * arithmetic on decoded pixel values, so a lossless codec round-trip
+    * makes the hash SQL-replayable from the pixel formula.
+    */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    def luma(x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 8) {
+      val sy = j * h / 8
+      var i = 0
+      var prev = luma(0, sy)
+      while (i < 8) {
+        val cur = luma((i + 1) * w / 9, sy)
+        if (cur > prev) sig |= 1L << (j * 8 + i)
+        prev = cur
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
   /** Feature extraction over media batches: one decoder pass per
     * partition (`mapPartitions`, the Scala analogue of `mapInPandas`
     * batching). Decodable blobs take the REAL `javax.imageio` path;

@@ -14,6 +14,7 @@ class BenchFamilySpec extends AnyFunSuite {
       "q234_freshness" -> "feature_store",
       "q15_exact_dedup" -> "dedup",
       "q17_minhash_lsh" -> "dedup",
+      "q237_image_dedup" -> "dedup",
       "q25b_ivf_trained" -> "ann",
       "q172b_pq_adc_trained" -> "ann",
       "q91_pagerank" -> "graph",

@@ -1585,4 +1585,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"cells×totals is dimension-scale — must not shuffle-join:\n$p")
   }
+
+  test("image dedup: banded equi join on 8-byte signatures — no cartesian, no window") {
+    val p = plan(OpsQueries.imageDedupQ(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"pairing must ride the (band, value) equi join, never all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pairing must ride the (band, value) equi join, never all-pairs:\n$p")
+    assert(unpartitionedWindows(p) == 0, s"no global window belongs here:\n$p")
+  }
 }

@@ -62,11 +62,19 @@ class CodebookStoreSpec extends SparkSpec {
     // a reader that resolved CURRENT before the swap can still finish:
     // the previous version dir survives one swap
     assert(firstVersionDf.collect().map(_.getLong(0)).toSeq == Seq(1L))
-    // the version BEFORE that is garbage-collected on the next save
+    // a YOUNG superseded version is age-protected even two swaps back —
+    // a straggling reader under a fast refresh cadence keeps its dir
     ArtifactStore.save(Seq((3L, "c")).toDF("id", "v"), base)
     val fs = new java.io.File(base)
-    val versions = fs.listFiles().map(_.getName).filter(_.startsWith("v-"))
-    assert(versions.length == 2, s"expected {new, previous}, got ${versions.toSeq}")
+    def versions() = fs.listFiles().map(_.getName).filter(_.startsWith("v-"))
+    assert(versions().length == 3,
+      s"young versions must survive the GC horizon, got ${versions().toSeq}")
+    // once past the horizon, versions outside {new, previous} collect
+    fs.listFiles().filter(_.getName.startsWith("v-")).foreach(
+      _.setLastModified(System.currentTimeMillis - ArtifactStore.gcHorizonMs - 60000))
+    ArtifactStore.save(Seq((4L, "d")).toDF("id", "v"), base)
+    assert(versions().length == 2,
+      s"expected {new, previous} after horizon, got ${versions().toSeq}")
   }
 
   test("sanitize keeps artifact names inside the layout") {

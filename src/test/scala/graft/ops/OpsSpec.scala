@@ -1058,6 +1058,61 @@ class OpsSpec extends SparkSpec {
       Seq(0.25f, 0f, 0.25f, 0f, 0.25f, 0f, 0f, 0.25f))
   }
 
+  test("image dHash dedup: planted variants detected; banding == naive all-pairs") {
+    val nBases = 200
+    // driver-side signatures straight from the real decode path
+    val sig = (0L until 600L).map { id =>
+      val img = Multimodal.decodeImage(
+        Multimodal.syntheticPngVariant(id, nBases)).get
+      id -> Multimodal.dHash64(img)
+    }.toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // bases (id < nBases) are unperturbed syntheticPng-style images;
+    // generation-1 variants must mostly land within the radius,
+    // generation-2 must mostly drift out — the graded planted structure
+    val gen1In = (nBases until 2 * nBases).count(
+      i => ham(sig(i.toLong), sig((i % nBases).toLong)) <= 3)
+    val gen2In = (2 * nBases until 3 * nBases).count(
+      i => ham(sig(i.toLong), sig((i % nBases).toLong)) <= 3)
+    assert(gen1In >= 50, s"generation-1 recall collapsed: $gen1In/200")
+    assert(gen2In < gen1In / 2,
+      s"generation-2 must drift out of radius: gen1=$gen1In gen2=$gen2In")
+    // distributed banded join loses NOTHING vs naive all-pairs at r=3
+    val sigDf = sig.toSeq.toDF("media_id", "dhash")
+    val banded = Dedup.hammingPairs64(sigDf, "media_id", "dhash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val naive = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      h = ham(sig(a), sig(b)) if h <= 3
+    } yield (a, b, h)).toSeq.sorted
+    assert(banded === naive, "pigeonhole banding must be complete at radius 3")
+  }
+
+  test("hammingPairs64 == naive on adversarial random signatures (property)") {
+    val rnd = new scala.util.Random(42)
+    // cluster structure: seeds + perturbed copies at controlled radii
+    val seeds = Seq.fill(12)(rnd.nextLong())
+    val sigs = seeds.zipWithIndex.flatMap { case (s0, i) =>
+      (0 until 5).map { k =>
+        var s = s0
+        (0 until k).foreach(_ => s ^= 1L << rnd.nextInt(64))
+        (i * 5L + k, s)
+      }
+    }
+    val df = sigs.toDF("id", "sig")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val m = sigs.toMap
+    for (r <- 0 to 3) {
+      val got = Dedup.hammingPairs64(df, "id", "sig", maxHamming = r)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).sorted.toSeq
+      val naive = (for {
+        a <- m.keys; b <- m.keys if a < b
+        h = ham(m(a), m(b)) if h <= r
+      } yield (a, b, h)).toSeq.sorted
+      assert(got === naive, s"radius $r mismatch")
+    }
+  }
+
   test("real resize: nearest-neighbor pixel mapping survives the PNG re-encode") {
     // 4x4 image, pixel value encodes its coordinates; resize to 2x2
     // picks in(0,0), in(2,0), in(0,2), in(2,2)
