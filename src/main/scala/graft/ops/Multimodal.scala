@@ -197,6 +197,91 @@ object Multimodal {
     encodePng(img)
   }
 
+  /** Deterministic synthetic WAV (PCM16 mono LE, RIFF) with PLANTED
+    * near-duplicates — the audio twin of [[syntheticPngVariant]]: id's
+    * clip perturbs base `id % nBases` (ids below nBases are the bases)
+    * by adding `mag²·500` on a sparse sample subset, generation
+    * `mag = id / nBases`. Every sample is integer arithmetic on
+    * (base, mag, t) and PCM is lossless, so a SQL oracle reproduces the
+    * decoded sample stream without any codec.
+    */
+  def syntheticWav(id: Long, nBases: Int): Array[Byte] = {
+    val base = id % nBases
+    val mag = id / nBases
+    val n = (1300 + (base % 7) * 130).toInt
+    val data = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s0 = ((base * 37 + t * 13 + (t % 19) * (base % 23) * 31) % 4096) - 2048
+      val s1 = s0 * ((t / 64 + base) % 4 + 1)
+      val s = (if (mag > 0 && (t + id) % 7 == 0) s1 + mag * mag * 500 else s1).toInt
+      data(2 * t) = (s & 0xff).toByte
+      data(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL WAV decode via the JDK's `javax.sound.sampled` — parses the
+    * RIFF header and yields signed PCM16 samples; None for bytes no
+    * audio reader recognizes (the [[decodeImage]] degrade contract).
+    */
+  def decodeWav(bytes: Array[Byte]): Option[Array[Int]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = in.getFormat
+      if (f.getSampleSizeInBits != 16 || f.getChannels != 1) None
+      else {
+        val raw = in.readAllBytes()
+        val out = new Array[Int](raw.length / 2)
+        var i = 0
+        while (i < out.length) {
+          val lo = raw(2 * i) & 0xff
+          val hi = raw(2 * i + 1).toInt
+          out(i) = if (f.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort.toInt
+                   else ((hi << 8) | lo).toShort.toInt
+          i += 1
+        }
+        Some(out)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 64-bit audio fingerprint (Haitsma/Kalker-style, integer form):
+    * split the clip into 65 equal frames (tail remainder ignored),
+    * E(f) = Σ|sample|, bit f−1 = E(f) > E(f−1). Exact integer
+    * arithmetic on decoded samples, SQL-replayable like [[dHash64]].
+    */
+  def audioFingerprint64(samples: Array[Int]): Long = {
+    val flen = samples.length / 65
+    require(flen > 0, "clip too short for a 65-frame fingerprint")
+    val e = new Array[Long](65)
+    var f = 0
+    while (f < 65) {
+      var k = 0
+      var acc = 0L
+      while (k < flen) {
+        acc += math.abs(samples(f * flen + k).toLong)
+        k += 1
+      }
+      e(f) = acc
+      f += 1
+    }
+    var sig = 0L
+    f = 1
+    while (f < 65) {
+      if (e(f) > e(f - 1)) sig |= 1L << (f - 1)
+      f += 1
+    }
+    sig
+  }
+
   /** 64-bit difference hash (dHash) over REAL decoded pixels — the
     * standard perceptual near-dup fingerprint for images: integer
     * nearest-neighbor resample to a 9×8 luma grid (sample (i,j) reads
