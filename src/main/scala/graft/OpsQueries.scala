@@ -893,6 +893,81 @@ object OpsQueries {
        |FROM sg a JOIN sg b ON a.id < b.id
        |WHERE bit_count(xor(a.dh, b.dh)) <= 3""".stripMargin
 
+  /** q238: AUDIO near-dup dedup with the REAL codec in the loop — the
+    * q237 image pipeline's missing leg: 600 synthetic PCM16 WAVs with
+    * PLANTED perturbed variants ([[Multimodal.syntheticWav]]: ids ≥ 200
+    * add `mag²·500` on a sparse 1-in-7 sample subset of base
+    * `id % 200`, generation `mag = id / 200` drifts further) are
+    * decoded through the JDK's real `javax.sound.sampled` RIFF parser
+    * ([[Multimodal.decodeWav]]) and fingerprinted with a
+    * Haitsma/Kalker-style 64-bit energy-gradient signature
+    * ([[Multimodal.audioFingerprint64]]: 65 equal frames, bit f−1 =
+    * E(f) > E(f−1), exact integer arithmetic), then paired by the same
+    * 4×16 pigeonhole Hamming band join ([[Dedup.hammingPairs64]],
+    * radius 3). The oracle replays the SAMPLE STREAM arithmetically
+    * (PCM is lossless, every sample is integer math on (base, mag, t))
+    * and pairs NAIVELY all-pairs — so the gate is simultaneously a
+    * WAV encode→decode roundtrip proof and a banding completeness
+    * proof. Generation-1 variants land at Hamming 0-3 (~167/200
+    * detected), generation-2 mostly drift out, and a handful of
+    * cross-base collisions ride along as the false-positive readout
+    * (`same_base = 0`).
+    *
+    * Scale: decode+fingerprint is row-local mapPartitions (codec init
+    * amortizes per partition); only 8-byte signatures shuffle, never
+    * waveforms — the posture that holds at billions of clips.
+    */
+  def audioDedupQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nBases = 200
+    val sigs = s.range(600).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val wav = Multimodal.syntheticWav(id, nBases)
+        val samples = Multimodal.decodeWav(wav).getOrElse(
+          throw new IllegalStateException(s"synthetic wav $id must decode"))
+        val afp = Multimodal.audioFingerprint64(samples).getOrElse(
+          throw new IllegalStateException(s"synthetic wav $id is >= 65 samples"))
+        (id, afp)
+      }
+    }.toDF("clip_id", "afp")
+    Dedup.hammingPairs64(sigs, "clip_id", "afp", maxHamming = 3)
+      .select(col("doc_a").as("clip_a"), col("doc_b").as("clip_b"),
+        col("hamming").cast("long").as("hamming"),
+        (col("doc_a") % nBases === col("doc_b") % nBases)
+          .cast("long").as("same_base"))
+  }
+
+  // lazy: toSignedU64 reads the P64 val declared further down (q151 trap)
+  lazy val audioDedupSql: String =
+    s"""WITH ids AS (SELECT unnest(range(0, 600)) AS id),
+       |cl AS (SELECT id, id % 200 AS base, id // 200 AS mag FROM ids),
+       |dm AS (SELECT id, base, mag,
+       |              (1300 + (base % 7) * 130) // 65 AS flen FROM cl),
+       |tt AS (SELECT id, base, mag, flen,
+       |              unnest(range(0, flen * 65)) AS t FROM dm),
+       |smp AS (
+       |  SELECT id, t // flen AS f,
+       |         ((base * 37 + t * 13 + (t % 19) * (base % 23) * 31) % 4096
+       |            - 2048) * ((t // 64 + base) % 4 + 1)
+       |         + CASE WHEN mag > 0 AND (t + id) % 7 = 0
+       |                THEN mag * mag * 500 ELSE 0 END AS s
+       |  FROM tt),
+       |en AS (SELECT id, f, sum(abs(s)) AS e FROM smp GROUP BY id, f),
+       |bits AS (
+       |  SELECT a.id,
+       |         sum(CASE WHEN a.e > b.e
+       |                  THEN CAST(1 AS HUGEINT) << CAST(a.f - 1 AS INTEGER)
+       |                  ELSE CAST(0 AS HUGEINT) END) AS usig
+       |  FROM en a JOIN en b ON b.id = a.id AND b.f = a.f - 1
+       |  GROUP BY a.id),
+       |sg AS (SELECT id, ${toSignedU64("usig")} AS afp FROM bits)
+       |SELECT a.id AS clip_a, b.id AS clip_b,
+       |       CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming,
+       |       CAST(CASE WHEN a.id % 200 = b.id % 200 THEN 1 ELSE 0 END
+       |            AS BIGINT) AS same_base
+       |FROM sg a JOIN sg b ON a.id < b.id
+       |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin
+
   /** BPE merge induction over the documents corpus
     * ([[Corpus.bpeMerges]], 3 rounds): learned merge table + post-
     * merge token frequencies. The oracle unrolls the identical rounds
@@ -2376,6 +2451,33 @@ object OpsQueries {
       |                  AND coalesce(f.dup_in_batch, 0) = 0
       |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
       |FROM documents d LEFT JOIN flags f USING (doc_id)""".stripMargin
+
+  /** q235b: end-to-end incremental FULL-curation proof (VERDICT r11
+    * #2) — the q235/q236 composition: 4 arrival batches through
+    * annotate → gate → incremental exact dedup → incremental
+    * LSH+Jaccard near-dedup (carried band index + shingle posting
+    * table, dropped docs' bands kept per the greedy rule) → rollup
+    * merge ([[graft.pipelines.TrainingDataPipeline.incrementalCurate]]).
+    * The ORACLE is the ONE-SHOT [[graft.pipelines.TrainingDataPipeline
+    * .curate]] chain (q34's full SQL embedded as a subquery) rolled up
+    * per source — so the hash gate machine-checks that running BOTH
+    * dedup stages incrementally, batch by batch, loses nothing vs
+    * recomputing the whole corpus from scratch.
+    */
+  def incrementalCurationQ(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.TrainingDataPipeline
+      .incrementalCurate(docs(s, dir), "doc_id", Seq("source"), "n_tokens")
+      .select(col("source"), col("n").as("n_docs"),
+        col("sum_cents").as("sum_tokens"), col("min_cents").as("min_tokens"),
+        col("max_cents").as("max_tokens"))
+
+  val incrementalCurationSql: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+       |FROM (
+       |${curationSql.linesIterator.map("  " + _).mkString("\n")}
+       |) q GROUP BY source""".stripMargin
 
   /** Document fingerprints via the custom codegen expressions
     * (rolling_hash + simhash64). The mod-2⁶⁴ arithmetic IS replayable in
@@ -5933,8 +6035,10 @@ object OpsQueries {
     "q231_maxp_retrieval" -> maxPRetrievalQ _,
     "q232_simhash_calibration" -> simhashCalibrationQ _,
     "q235_incremental_pipeline" -> incrementalPipelineQ _,
+    "q235b_incremental_curation" -> incrementalCurationQ _,
     "q236_incremental_lsh" -> incrementalLshQ _,
     "q237_image_dedup" -> imageDedupQ _,
+    "q238_audio_dedup" -> audioDedupQ _,
     "q226_dim_variance" -> dimVarianceQ _,
     "q26_rplsh_knn" -> rpLshKnn _,
     "q27_fingerprints" -> fingerprints _,
@@ -6087,8 +6191,10 @@ object OpsQueries {
     "q231_maxp_retrieval" -> maxPRetrievalSql,
     "q232_simhash_calibration" -> simhashCalibrationSql,
     "q235_incremental_pipeline" -> incrementalPipelineSql,
+    "q235b_incremental_curation" -> incrementalCurationSql,
     "q236_incremental_lsh" -> incrementalLshSql,
     "q237_image_dedup" -> imageDedupSql,
+    "q238_audio_dedup" -> audioDedupSql,
     "q226_dim_variance" -> dimVarianceSql,
     "q26_rplsh_knn" -> rpLshKnnSql,
     "q27_fingerprints" -> fingerprintsSql,

@@ -257,10 +257,12 @@ object Multimodal {
     * split the clip into 65 equal frames (tail remainder ignored),
     * E(f) = Σ|sample|, bit f−1 = E(f) > E(f−1). Exact integer
     * arithmetic on decoded samples, SQL-replayable like [[dHash64]].
+    * None for clips shorter than 65 samples (the [[decodeWav]] degrade
+    * contract — a corrupt-but-parseable stub must not kill the stage).
     */
-  def audioFingerprint64(samples: Array[Int]): Long = {
+  def audioFingerprint64(samples: Array[Int]): Option[Long] = {
     val flen = samples.length / 65
-    require(flen > 0, "clip too short for a 65-frame fingerprint")
+    if (flen <= 0) return None
     val e = new Array[Long](65)
     var f = 0
     while (f < 65) {
@@ -279,7 +281,7 @@ object Multimodal {
       if (e(f) > e(f - 1)) sig |= 1L << (f - 1)
       f += 1
     }
-    sig
+    Some(sig)
   }
 
   /** 64-bit difference hash (dHash) over REAL decoded pixels — the

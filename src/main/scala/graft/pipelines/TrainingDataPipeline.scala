@@ -138,4 +138,89 @@ object TrainingDataPipeline {
     }
     state.get
   }
+
+  /** Incremental FULL-curation composition (q235b, VERDICT r11 #2): the
+    * production chain with BOTH dedup stages — each arrival batch runs
+    * annotate → gate → [[graft.ops.Dedup.incrementalExactDedup]] →
+    * incremental LSH+Jaccard near-dedup against the carried index →
+    * rollup merge. The carried near-dup state is exactly what a crawl
+    * increment persists at 100 TB:
+    *
+    *  - `bandIndex` (doc_id, band_idx, band_hash): LSH bands of ALL
+    *    prior exact survivors — 16-byte uniform keys, the thing you
+    *    bucket so daily increments join exchange-free. Like q236, the
+    *    index carries near-dup-DROPPED docs too: under the one-shot
+    *    greedy rule a doc colliding only with an already-dropped doc is
+    *    still a loser.
+    *  - `postings` (doc_id, shingle): the verification posting table of
+    *    the same docs, joined per candidate pair to compute the exact
+    *    n-gram Jaccard. Corpus-scale but shingle-keyed and bucketable;
+    *    only candidate pairs' rows are ever touched per increment.
+    *
+    * EQUALS the one-shot [[curate]] + rollup: exact keepers match by
+    * the q235 arrival-order theorem; a near-dup loser `b` in the
+    * one-shot rule has a verified partner `a < b`, and id-ordered
+    * batching puts `a` either in the band index (earlier batch) or in
+    * `b`'s own batch — both candidate paths — while Jaccard is the same
+    * exact integer-count arithmetic on the same shingle sets. q235b's
+    * oracle is spelled in the one-shot form, so the hash gate is the
+    * machine-checked losslessness proof of the whole two-stage
+    * incremental composition.
+    */
+  def incrementalCurate(docsDf: DataFrame, idCol: String,
+      keyCols: Seq[String], valueCol: String,
+      nBatches: Int = 4, cfg: Config = Config()): DataFrame = {
+    require(nBatches >= 1, "incrementalCurate needs nBatches >= 1")
+    import graft.transform.Transforms
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val maxId = docsDf.agg(max(col(idCol))).head.getLong(0)
+    val width = maxId / nBatches + 1
+    var fpHistory: DataFrame = Seq.empty[String].toDF("fingerprint")
+    var bandIndex: DataFrame =
+      Seq.empty[(Long, Int, String)].toDF(idCol, "band_idx", "band_hash")
+    var postings: DataFrame = Seq.empty[(Long, String)].toDF(idCol, "shingle")
+    var state: Option[DataFrame] = None
+    for (b <- 0L until nBatches.toLong) {
+      val batch = annotateAndFilter(
+        docsDf.filter(col(idCol) >= b * width && col(idCol) < (b + 1) * width),
+        cfg).localCheckpoint(true)
+      val dd = Dedup
+        .incrementalExactDedup(batch, fpHistory, idCol, "text")
+        .localCheckpoint(true)
+      val ex = batch.join(
+        dd.filter(col("kept") === 1L).select(idCol), idCol)
+        .localCheckpoint(true)
+      // bands + postings computed ONCE per batch — they feed the dedup
+      // decision AND the index append (the q236 persisted-artifact shape)
+      val bands = Dedup.lshBands(
+        Dedup.minhashSignaturesFused(ex, idCol, "text", cfg.shingleN),
+        idCol).localCheckpoint(true)
+      val sh = Dedup.shingleSet(ex, idCol, "text", cfg.shingleN)
+        .localCheckpoint(true)
+      val cross = bands
+        .join(bandIndex.select(col(idCol).as("a"),
+          col("band_idx"), col("band_hash")), Seq("band_idx", "band_hash"))
+        .select(col("a"), col(idCol).as("b")).distinct()
+      val inBatch = Dedup.candidatePairs(bands, idCol)
+      val verified = Dedup.ngramJaccard(
+        cross.unionByName(inBatch), postings.unionByName(sh), idCol)
+        .filter(col("jaccard") >= cfg.jaccardThreshold)
+      val kept = ex.join(
+        verified.select(col("b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      val roll = Transforms.mergeableRollup(kept, keyCols, col(valueCol))
+      state = Some(state
+        .map(prev => Transforms.mergeRollups(prev, roll, keyCols))
+        .getOrElse(roll).localCheckpoint(true))
+      fpHistory = fpHistory
+        .unionByName(dd.filter(col("kept") === 1L).select("fingerprint"))
+        .localCheckpoint(true)
+      bandIndex = bandIndex.unionByName(
+        bands.select(col(idCol), col("band_idx"), col("band_hash")))
+        .localCheckpoint(true)
+      postings = postings.unionByName(sh).localCheckpoint(true)
+    }
+    state.get
+  }
 }

@@ -1594,4 +1594,13 @@ class PlanSpec extends SparkSpec {
       s"pairing must ride the (band, value) equi join, never all-pairs:\n$p")
     assert(unpartitionedWindows(p) == 0, s"no global window belongs here:\n$p")
   }
+
+  test("audio dedup: banded equi join on 8-byte signatures — no cartesian, no window") {
+    val p = plan(OpsQueries.audioDedupQ(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"pairing must ride the (band, value) equi join, never all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pairing must ride the (band, value) equi join, never all-pairs:\n$p")
+    assert(unpartitionedWindows(p) == 0, s"no global window belongs here:\n$p")
+  }
 }

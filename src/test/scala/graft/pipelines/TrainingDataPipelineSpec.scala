@@ -76,6 +76,61 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(inc.agg(sum("n")).head.getLong(0) === 8L)
   }
 
+  test("incremental curate == one-shot curate + rollup with cross-batch near-dups") {
+    // ids 0..11 → 4 batches of width 3. ~40-token bases so a single
+    // mid-token change costs 3 of ~37 shingles (jaccard ≈ 0.85 ≥ 0.8:
+    // near-dup) while TWO changes land ≈ 0.72 < 0.8 (kept apart).
+    // Planted: an exact dup ACROSS batches (0→3), a near dup WITHIN a
+    // batch (0→2), a near dup ACROSS batches (0→4, needs the band
+    // index), a chain where 10 is a near dup ONLY of the already-
+    // DROPPED 7 (needs dropped docs' bands kept in the index per the
+    // greedy rule), gated-out junk (6), distinct keepers elsewhere.
+    val baseA = "the quick brown fox jumps over the lazy dog and runs far " +
+      "into the deep woods while the old owl watches from a tall tree and " +
+      "the river flows past the quiet village under a bright morning sun today"
+    val baseB = "a small ship sails on the wide sea and the crew looks to " +
+      "the far shore where the light of the tower glows in the dark night " +
+      "and the waves roll under the cold wind as it drifts along slowly"
+    val cfg = TrainingDataPipeline.Config()
+    val arrivals = Seq(
+      (0L, baseA, "web"),
+      (1L, "it is a fine day to read the long book of maps and learn the " +
+        "names of all the distant lands", "web"),
+      (2L, baseA.replace("lazy", "sleepy"), "web"),   // near dup of 0
+      (3L, baseA, "pdf"),                             // exact dup of 0
+      (4L, baseA.replace("river", "creek"), "pdf"),   // near dup of 0
+      (5L, baseB, "web"),
+      (6L, "tiny", "web"),                            // gated out
+      (7L, baseB.replace("crew", "sailor"), "pdf"),   // near dup of 5
+      (8L, "the team built a fast engine to sort and merge all of the " +
+        "rows in the table with care", "web"),
+      (9L, "a good meal is made of fresh bread and soup and it warms the " +
+        "cold traveler in the winter", "pdf"),
+      (10L, baseB.replace("crew", "sailor").replace("waves", "tides"),
+        "web"),                                       // near dup ONLY of 7
+      (11L, "the students walk to the library in the morning and study " +
+        "the history of the ancient city together", "pdf")
+    ).toDF("doc_id", "text", "source")
+    val inc = TrainingDataPipeline
+      .incrementalCurate(arrivals, "doc_id", Seq("source"), "n_tokens", cfg = cfg)
+    val oneShotDocs = TrainingDataPipeline.curate(arrivals, cfg = cfg)
+    val oneShot = graft.transform.Transforms.mergeableRollup(
+      oneShotDocs, Seq("source"), col("n_tokens"))
+    val key = (r: org.apache.spark.sql.Row) => r.getString(0)
+    assert(inc.collect().sortBy(key).map(_.toSeq).toSeq
+      === oneShot.collect().sortBy(key).map(_.toSeq).toSeq)
+    // the planted structure actually exercised every drop path
+    val ids = oneShotDocs.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(3L), "cross-batch exact dup must drop")
+    assert(!ids.contains(2L), "in-batch near dup must drop")
+    assert(!ids.contains(4L), "cross-batch near dup must drop (band index)")
+    assert(!ids.contains(7L), "cross-batch near dup of 5 must drop")
+    assert(!ids.contains(10L),
+      "near dup of a DROPPED doc must drop (dropped bands stay indexed)")
+    assert(!ids.contains(6L), "junk must gate out")
+    assert(ids === Set(0L, 1L, 5L, 8L, 9L, 11L))
+  }
+
   test("curate runs on the synthetic corpus without shrinking it to zero") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val out = TrainingDataPipeline.curate(docs)
