@@ -2455,9 +2455,11 @@ object OpsQueries {
   /** q235b: end-to-end incremental FULL-curation proof (VERDICT r11
     * #2) — the q235/q236 composition: 4 arrival batches through
     * annotate → gate → incremental exact dedup → incremental
-    * LSH+Jaccard near-dedup (carried band index + shingle posting
-    * table, dropped docs' bands kept per the greedy rule) → rollup
-    * merge ([[graft.pipelines.TrainingDataPipeline.incrementalCurate]]).
+    * LSH+Jaccard near-dedup (PERSISTED arrival-partitioned band index
+    * + posting + per-doc-size tables, appended O(increment) per batch
+    * and candidate-pruned at read — VERDICT r12 #1; dropped docs'
+    * bands kept per the greedy rule) → rollup merge
+    * ([[graft.pipelines.TrainingDataPipeline.incrementalCurate]]).
     * The ORACLE is the ONE-SHOT [[graft.pipelines.TrainingDataPipeline
     * .curate]] chain (q34's full SQL embedded as a subquery) rolled up
     * per source — so the hash gate machine-checks that running BOTH

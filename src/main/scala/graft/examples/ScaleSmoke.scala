@@ -162,7 +162,12 @@ object ScaleSmoke {
       // through the accumulating band index (LSH); the per-batch
       // checkpoint cadence and the growing index join are what 10x
       // stresses
-      "q235_incremental_pipeline", "q236_incremental_lsh")
+      "q235_incremental_pipeline", "q236_incremental_lsh",
+      // round-13: the full two-stage incremental curation over
+      // persisted arrival-partitioned state — the heaviest composed
+      // pipeline on the board; 10x stresses the per-batch append +
+      // candidate-pruned Jaccard reads
+      "q235b_incremental_curation")
     // warm scans once
     (gen.keys ++ passthrough).foreach { t =>
       try graft.Tables.load(spark, out, t).count()

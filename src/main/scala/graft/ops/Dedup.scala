@@ -257,8 +257,23 @@ object Dedup {
     * similarity.
     */
   def ngramJaccard(
-      pairs: DataFrame, shingleSet: DataFrame, idCol: String): DataFrame = {
-    val sizes = shingleSet.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+      pairs: DataFrame, shingleSet: DataFrame, idCol: String): DataFrame =
+    ngramJaccardWithSizes(pairs, shingleSet,
+      shingleSet.groupBy(col(idCol)).agg(count(lit(1)).as("sz")), idCol)
+
+  /** [[ngramJaccard]] with the per-doc set sizes PRECOMPUTED — the
+    * incremental-state shape: an increment pipeline persists each doc's
+    * shingle count ONCE when the doc's postings are appended, so later
+    * batches never re-aggregate the accumulated posting table just to
+    * recover sizes (the O(corpus)-per-arrival trap, VERDICT r12 #1).
+    * `sizes` must have columns (idCol, sz) covering every id in
+    * `pairs`; the inner joins make missing ids drop their pairs, so an
+    * incomplete sizes frame fails loudly in the hash gate rather than
+    * silently zeroing.
+    */
+  def ngramJaccardWithSizes(
+      pairs: DataFrame, shingleSet: DataFrame, sizes: DataFrame,
+      idCol: String): DataFrame = {
     val sa = shingleSet.select(col(idCol).as("a"), col("shingle"))
     val sb = shingleSet.select(col(idCol).as("b"), col("shingle"))
     val common = pairs

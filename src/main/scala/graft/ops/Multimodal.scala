@@ -30,6 +30,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // JVM-once: ImageIO's default InputStream cache is DISK-backed — a
+  // temp file per decode, sensitive to tmpdir state (observed as a 13×
+  // q237 board swing on unchanged code). The blobs here are small
+  // in-memory byte arrays; the in-memory cache is strictly better.
+  // Lives in the object body so any executor that touches a decode
+  // path (module init is forced by the first call) flips it exactly
+  // once per JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(
       media_id: Long,
       media: Array[Byte],

@@ -1603,4 +1603,21 @@ class PlanSpec extends SparkSpec {
       s"pairing must ride the (band, value) equi join, never all-pairs:\n$p")
     assert(unpartitionedWindows(p) == 0, s"no global window belongs here:\n$p")
   }
+
+  test("incremental curate: Jaccard stage semi-prunes BOTH persisted tables to candidates") {
+    // the VERDICT r12 #1 posture: per increment the verification join
+    // must touch candidate rows of the persisted postings/sizes tables,
+    // never re-aggregate or fully scan the accumulated corpus state
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val postings = Seq((1L, "x y z"), (2L, "x y w"), (3L, "p q r"))
+      .toDF("doc_id", "shingle")
+    val sizes = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "sz")
+    val p = plan(graft.pipelines.TrainingDataPipeline
+      .prunedJaccardStage(pairs, postings, sizes, "doc_id"))
+    assert("LeftSemi".r.findAllIn(p).length >= 2,
+      s"postings AND sizes must each enter through a candidate-id semi-join prune:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"verification must stay keyed equi-joins:\n$p")
+  }
 }

@@ -76,41 +76,43 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(inc.agg(sum("n")).head.getLong(0) === 8L)
   }
 
+  // ids 0..11 → 4 batches of width 3. ~40-token bases so a single
+  // mid-token change costs 3 of ~37 shingles (jaccard ≈ 0.85 ≥ 0.8:
+  // near-dup) while TWO changes land ≈ 0.72 < 0.8 (kept apart).
+  // Planted: an exact dup ACROSS batches (0→3), a near dup WITHIN a
+  // batch (0→2), a near dup ACROSS batches (0→4, needs the band
+  // index), a chain where 10 is a near dup ONLY of the already-
+  // DROPPED 7 (needs dropped docs' bands kept in the index per the
+  // greedy rule), gated-out junk (6), distinct keepers elsewhere.
+  private val baseA = "the quick brown fox jumps over the lazy dog and runs far " +
+    "into the deep woods while the old owl watches from a tall tree and " +
+    "the river flows past the quiet village under a bright morning sun today"
+  private val baseB = "a small ship sails on the wide sea and the crew looks to " +
+    "the far shore where the light of the tower glows in the dark night " +
+    "and the waves roll under the cold wind as it drifts along slowly"
+  private lazy val curateArrivals = Seq(
+    (0L, baseA, "web"),
+    (1L, "it is a fine day to read the long book of maps and learn the " +
+      "names of all the distant lands", "web"),
+    (2L, baseA.replace("lazy", "sleepy"), "web"),   // near dup of 0
+    (3L, baseA, "pdf"),                             // exact dup of 0
+    (4L, baseA.replace("river", "creek"), "pdf"),   // near dup of 0
+    (5L, baseB, "web"),
+    (6L, "tiny", "web"),                            // gated out
+    (7L, baseB.replace("crew", "sailor"), "pdf"),   // near dup of 5
+    (8L, "the team built a fast engine to sort and merge all of the " +
+      "rows in the table with care", "web"),
+    (9L, "a good meal is made of fresh bread and soup and it warms the " +
+      "cold traveler in the winter", "pdf"),
+    (10L, baseB.replace("crew", "sailor").replace("waves", "tides"),
+      "web"),                                       // near dup ONLY of 7
+    (11L, "the students walk to the library in the morning and study " +
+      "the history of the ancient city together", "pdf")
+  ).toDF("doc_id", "text", "source")
+
   test("incremental curate == one-shot curate + rollup with cross-batch near-dups") {
-    // ids 0..11 → 4 batches of width 3. ~40-token bases so a single
-    // mid-token change costs 3 of ~37 shingles (jaccard ≈ 0.85 ≥ 0.8:
-    // near-dup) while TWO changes land ≈ 0.72 < 0.8 (kept apart).
-    // Planted: an exact dup ACROSS batches (0→3), a near dup WITHIN a
-    // batch (0→2), a near dup ACROSS batches (0→4, needs the band
-    // index), a chain where 10 is a near dup ONLY of the already-
-    // DROPPED 7 (needs dropped docs' bands kept in the index per the
-    // greedy rule), gated-out junk (6), distinct keepers elsewhere.
-    val baseA = "the quick brown fox jumps over the lazy dog and runs far " +
-      "into the deep woods while the old owl watches from a tall tree and " +
-      "the river flows past the quiet village under a bright morning sun today"
-    val baseB = "a small ship sails on the wide sea and the crew looks to " +
-      "the far shore where the light of the tower glows in the dark night " +
-      "and the waves roll under the cold wind as it drifts along slowly"
     val cfg = TrainingDataPipeline.Config()
-    val arrivals = Seq(
-      (0L, baseA, "web"),
-      (1L, "it is a fine day to read the long book of maps and learn the " +
-        "names of all the distant lands", "web"),
-      (2L, baseA.replace("lazy", "sleepy"), "web"),   // near dup of 0
-      (3L, baseA, "pdf"),                             // exact dup of 0
-      (4L, baseA.replace("river", "creek"), "pdf"),   // near dup of 0
-      (5L, baseB, "web"),
-      (6L, "tiny", "web"),                            // gated out
-      (7L, baseB.replace("crew", "sailor"), "pdf"),   // near dup of 5
-      (8L, "the team built a fast engine to sort and merge all of the " +
-        "rows in the table with care", "web"),
-      (9L, "a good meal is made of fresh bread and soup and it warms the " +
-        "cold traveler in the winter", "pdf"),
-      (10L, baseB.replace("crew", "sailor").replace("waves", "tides"),
-        "web"),                                       // near dup ONLY of 7
-      (11L, "the students walk to the library in the morning and study " +
-        "the history of the ancient city together", "pdf")
-    ).toDF("doc_id", "text", "source")
+    val arrivals = curateArrivals
     val inc = TrainingDataPipeline
       .incrementalCurate(arrivals, "doc_id", Seq("source"), "n_tokens", cfg = cfg)
     val oneShotDocs = TrainingDataPipeline.curate(arrivals, cfg = cfg)
@@ -129,6 +131,70 @@ class TrainingDataPipelineSpec extends SparkSpec {
       "near dup of a DROPPED doc must drop (dropped bands stay indexed)")
     assert(!ids.contains(6L), "junk must gate out")
     assert(ids === Set(0L, 1L, 5L, 8L, 9L, 11L))
+  }
+
+  test("incremental curate persists arrival-partitioned state, O(increment) appends") {
+    val root = java.nio.file.Files.createTempDirectory("inc-state-").toString
+    try {
+      val inc = TrainingDataPipeline.incrementalCurate(
+        curateArrivals, "doc_id", Seq("source"), "n_tokens",
+        stateDir = Some(root))
+      inc.collect() // drive all four batches
+      // every state table got exactly one new batch=N partition per arrival
+      for (t <- Seq("fp", "bands", "postings", "sizes")) {
+        val parts = new java.io.File(s"$root/$t").listFiles()
+          .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+        assert(parts.toSeq === Seq("batch=0", "batch=1", "batch=2", "batch=3"),
+          s"state table $t partitions: ${parts.toSeq}")
+      }
+      // the prior-index read partition-prunes: filtering batch < 2 must
+      // reach the scan as a PartitionFilter, not a post-scan filter
+      val idx = spark.read.parquet(s"$root/bands").filter(col("batch") < 2)
+      val p = idx.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("PartitionFilters") && p.contains("batch"),
+        s"band-index read does not partition-prune:\n$p")
+      // persisted per-doc sizes equal a re-aggregation of the postings
+      // (each doc's postings are written exactly once, by its own batch)
+      val szPersisted = spark.read.parquet(s"$root/sizes")
+        .select("doc_id", "sz")
+      val szRecomputed = spark.read.parquet(s"$root/postings")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      assert(szPersisted.exceptAll(szRecomputed).isEmpty
+        && szRecomputed.exceptAll(szPersisted).isEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("pruned Jaccard stage == unpruned ngramJaccard (candidate prune is lossless)") {
+    import graft.ops.Dedup
+    // postings carry EXTRA non-candidate docs (3, 4) the prune must drop
+    // without changing any pair's scores
+    val docs = Seq(
+      (1L, baseA), (2L, baseA.replace("lazy", "sleepy")),
+      (3L, baseB), (4L, "some other distinct text that is long enough here")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(docs, "doc_id", "text")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val pruned = TrainingDataPipeline
+      .prunedJaccardStage(pairs, sh, sizes, "doc_id").collect()
+    val full = Dedup.ngramJaccard(pairs, sh, "doc_id").collect()
+    assert(pruned.map(_.toSeq).toSeq === full.map(_.toSeq).toSeq)
+  }
+
+  test("incremental rollup and curate handle an empty corpus (NULL max id)") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(TrainingDataPipeline
+      .incrementalRollup(empty, "doc_id", Seq("source"), "n_tokens")
+      .count() === 0L)
+    assert(TrainingDataPipeline
+      .incrementalCurate(empty, "doc_id", Seq("source"), "n_tokens")
+      .count() === 0L)
   }
 
   test("curate runs on the synthetic corpus without shrinking it to zero") {
