@@ -172,7 +172,7 @@ object TrainingDataPipeline {
     * parquet under `stateDir` (the q236 persisted-artifact shape, now
     * actually persisted — VERDICT r12 #1):
     *
-    *   stateDir/fp/batch=N        (fingerprint)           exact-dedup history
+    *   stateDir/dd/batch=N        (id, fingerprint, kept) exact-dedup history
     *   stateDir/bands/batch=N     (id, band_idx, band_hash)  LSH band index
     *   stateDir/postings/batch=N  (id, shingle)           verification postings
     *   stateDir/sizes/batch=N     (id, sz)                per-doc set sizes
@@ -212,11 +212,19 @@ object TrainingDataPipeline {
     * @param stateDir durable state root. None (tests/demo) uses a fresh
     *   temp directory, deleted on exit; production passes the real
     *   path and each call appends the next arrival's partitions.
+    * @param loopShufflePartitions shuffle width INSIDE the per-batch
+    *   loop (the [[graft.ops.Dedup.clusterSafeSplit]] device): every
+    *   frame the loop materializes is increment- or candidate-scale,
+    *   so the session-wide width (sized for corpus scans) only adds
+    *   empty-task scheduling per round. All loop frames execute
+    *   eagerly inside the scope (checkpoints + state writes), so the
+    *   conf restore cannot leak (the lazy-checkpoint trap, CLAUDE.md).
     */
   def incrementalCurate(docsDf: DataFrame, idCol: String,
       keyCols: Seq[String], valueCol: String,
       nBatches: Int = 4, cfg: Config = Config(),
-      stateDir: Option[String] = None): DataFrame = {
+      stateDir: Option[String] = None,
+      loopShufflePartitions: Int = 8): DataFrame = {
     require(nBatches >= 1, "incrementalCurate needs nBatches >= 1")
     import graft.transform.Transforms
     val spark = docsDf.sparkSession
@@ -230,8 +238,10 @@ object TrainingDataPipeline {
     val ownState = stateDir.isEmpty
     val root = stateDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-inc-curate-").toString)
-    val (fpDir, bandsDir, postDir, sizesDir) =
-      (s"$root/fp", s"$root/bands", s"$root/postings", s"$root/sizes")
+    val (ddDir, bandsDir, postDir, sizesDir) =
+      (s"$root/dd", s"$root/bands", s"$root/postings", s"$root/sizes")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopShufflePartitions)
     try {
       var state: Option[DataFrame] = None
       for (b <- 0L until nBatches.toLong) {
@@ -240,24 +250,27 @@ object TrainingDataPipeline {
           cfg).localCheckpoint(true)
         val fpHistory =
           if (b == 0L) Seq.empty[String].toDF("fingerprint")
-          else spark.read.parquet(fpDir).select("fingerprint")
-        val dd = Dedup
-          .incrementalExactDedup(batch, fpHistory, idCol, "text")
-          .localCheckpoint(true)
+          else spark.read.parquet(ddDir)
+            .filter(col("kept") === 1L).select("fingerprint")
+        // the dedup decision IS state: persist it once (id, fingerprint,
+        // kept) — the parquet append doubles as the materialization a
+        // checkpoint would have paid for, and later batches read their
+        // fingerprint history straight off it
+        Dedup.incrementalExactDedup(batch, fpHistory, idCol, "text")
+          .write.parquet(s"$ddDir/batch=$b")
+        val dd = spark.read.parquet(s"$ddDir/batch=$b")
         val ex = batch.join(
           dd.filter(col("kept") === 1L).select(idCol), idCol)
           .localCheckpoint(true)
-        // append THIS increment's state — each write is a new batch=N
-        // directory; nothing already persisted is touched
-        dd.filter(col("kept") === 1L).select("fingerprint")
-          .write.parquet(s"$fpDir/batch=$b")
+        // append THIS increment's bands / postings / per-doc sizes —
+        // each write is a new batch=N directory; nothing already
+        // persisted is touched
         Dedup.lshBands(
           Dedup.minhashSignaturesFused(ex, idCol, "text", cfg.shingleN),
           idCol).write.parquet(s"$bandsDir/batch=$b")
-        Dedup.shingleSet(ex, idCol, "text", cfg.shingleN)
-          .write.parquet(s"$postDir/batch=$b")
-        spark.read.parquet(s"$postDir/batch=$b")
-          .groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+        val sh = Dedup.shingleSet(ex, idCol, "text", cfg.shingleN)
+        sh.write.parquet(s"$postDir/batch=$b")
+        sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
           .write.parquet(s"$sizesDir/batch=$b")
         // candidates: new bands vs the PRIOR index (partition-pruned)
         // plus within-batch collisions
@@ -283,6 +296,7 @@ object TrainingDataPipeline {
       }
       state.get // eagerly checkpointed — safe to GC internal state below
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       if (ownState)
         try {
           val p = new org.apache.hadoop.fs.Path(root)

@@ -141,7 +141,7 @@ class TrainingDataPipelineSpec extends SparkSpec {
         stateDir = Some(root))
       inc.collect() // drive all four batches
       // every state table got exactly one new batch=N partition per arrival
-      for (t <- Seq("fp", "bands", "postings", "sizes")) {
+      for (t <- Seq("dd", "bands", "postings", "sizes")) {
         val parts = new java.io.File(s"$root/$t").listFiles()
           .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
         assert(parts.toSeq === Seq("batch=0", "batch=1", "batch=2", "batch=3"),
