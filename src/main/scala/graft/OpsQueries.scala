@@ -55,19 +55,33 @@ object OpsQueries {
     * training unchanged.
     */
   private def servedCodebook(s: SparkSession, dir: String, tag: String)(
-      train: => DataFrame): DataFrame = {
+      train: => DataFrame): DataFrame = servedArtifact(s, dir, tag)(train)
+
+  /** Serve any train-once derived frame through the
+    * [[graft.core.ArtifactStore]] cache (codebooks, reference
+    * assignment histograms). The cache name keys on (fixture, data
+    * fingerprint, tag, [[graft.ops.Similarity.TrainingCodeVersion]]) —
+    * the version key is what keeps a long-lived host from serving
+    * artifacts trained by superseded training code (ADVICE r12).
+    */
+  private def servedArtifact(s: SparkSession, dir: String, tag: String)(
+      build: => DataFrame): DataFrame = {
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_codebooks")
     val fixture = new java.io.File(dir).getName
+    val ver = Similarity.TrainingCodeVersion
     val name = graft.core.ArtifactStore.sanitize(
-      s"${fixture}_${embFingerprint(s, dir)}_$tag")
-    // prune superseded fingerprints of the SAME (fixture, tag): a
-    // testdata regeneration orphans the old entry; without this the
-    // append-only cache accumulates directories on a long-lived host
+      s"${fixture}_${embFingerprint(s, dir)}_${tag}_$ver")
+    // prune superseded entries of the SAME (fixture, tag): a testdata
+    // regeneration (new fingerprint) or a training-code version bump
+    // orphans the old entry; without this the append-only cache
+    // accumulates directories on a long-lived host. Version-less names
+    // are the pre-versioning layout — prune those too.
     val pfx = graft.core.ArtifactStore.sanitize(fixture) + "_"
     val sfx = "_" + graft.core.ArtifactStore.sanitize(tag)
     Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val base = f.getName.replaceAll("_t\\d+$", "") // strip version key
       if (f.getName != name && f.getName.startsWith(pfx) &&
-          f.getName.endsWith(sfx)) {
+          base.endsWith(sfx)) {
         def rm(x: java.io.File): Unit = {
           Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
           x.delete(); ()
@@ -75,7 +89,7 @@ object OpsQueries {
         rm(f)
       }
     }
-    graft.core.CodebookStore.getOrTrain(s, root + "/" + name)(train)
+    graft.core.CodebookStore.getOrTrain(s, root + "/" + name)(build)
   }
 
   /** Embedding dimension of the test fixture (TESTDATA embeddings table);
@@ -1937,6 +1951,116 @@ object OpsQueries {
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
        |WHERE rank <= 10""".stripMargin
+
+  /** q240: codebook staleness / retrain trigger (VERDICT r11 #3, r12
+    * #2) — [[Similarity.codebookStaleness]] over the SERVED q25b
+    * codebook: the reference assignment histogram is persisted at
+    * train time ([[Similarity.assignmentCounts]] through
+    * [[servedArtifact]], the ANALYZE-at-register-time posture), and
+    * the monitor PSIs the current corpus's assignment distribution
+    * against it. Two scenarios in one readout: `control` (current ==
+    * training corpus — the trigger must NOT fire; PSI is exactly 0
+    * because every cell count matches) and `drifted` (a third of vectors
+    * deterministically perturbed by component-sorting — sorted vectors
+    * all point into the same orthant "cone", so mass CONCENTRATES into
+    * few cells, the distribution-shift signature PSI exists to catch —
+    * and the trigger must fire; a reversal perturbation was tried and
+    * measured PSI 0.009: per-vector scrambles that preserve the
+    * histogram are exactly what an assignment-distribution monitor is
+    * blind to, which is a property, not a bug — item-level drift is
+    * q174/q44's territory). The oracle replays the whole
+    * chain: 3-round integer-Lloyd's training, exact int64 argmin
+    * assignment of ref and both scenarios, Laplace-smoothed PSI with
+    * the q75 running-sum spelling, and the same post-pround threshold
+    * compare.
+    */
+  def codebookStalenessQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = servedCodebook(s, dir, "ivf16x3")(
+      Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3))
+    val refHist = servedArtifact(s, dir, "ivf16x3refh")(
+      Similarity.assignmentCounts(e, "vec_id", "embedding", cents))
+    val control = e.select(lit("control").as("scenario"),
+      col("vec_id"), col("embedding"))
+    val drifted = e.select(lit("drifted").as("scenario"), col("vec_id"),
+      when(col("vec_id") % 3 === 0, array_sort(col("embedding")))
+        .otherwise(col("embedding")).as("embedding"))
+    Similarity.codebookStaleness(refHist, control.unionByName(drifted),
+      "vec_id", "embedding", "scenario", cents, threshold = 0.2)
+  }
+
+  val codebookStalenessSql: String =
+    s"""WITH ${lloydCtes(3, 16, "0")},
+       |cellids AS (SELECT DISTINCT cid FROM lc3),
+       |refassign AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |           row_number() OVER (PARTITION BY id
+       |                              ORDER BY dist ASC, cid ASC) AS rn
+       |    FROM (SELECT a.id, c.cid,
+       |                 CAST(sum((a.qs - c.cq) * (a.qs - c.cq)) AS BIGINT)
+       |                   AS dist
+       |          FROM lcomp a JOIN lc3 c ON c.dim = a.dim
+       |          GROUP BY 1, 2))
+       |  WHERE rn = 1),
+       |refh AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_ref
+       |         FROM refassign GROUP BY 1),
+       |cur AS (
+       |  SELECT 'control' AS scenario, vec_id,
+       |         CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+       |  UNION ALL
+       |  SELECT 'drifted', vec_id,
+       |         CASE WHEN vec_id % 3 = 0
+       |              THEN list_sort(CAST(embedding AS DOUBLE[]))
+       |              ELSE CAST(embedding AS DOUBLE[]) END
+       |  FROM embeddings),
+       |curc AS (
+       |  SELECT scenario, vec_id AS id, CAST(dim AS BIGINT) AS dim,
+       |         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) + 2000000 AS qs
+       |  FROM (SELECT scenario, vec_id, unnest(vec) AS v,
+       |               unnest(range(0, len(vec))) AS dim
+       |        FROM cur)),
+       |curassign AS (
+       |  SELECT scenario, id, cid FROM (
+       |    SELECT scenario, id, cid,
+       |           row_number() OVER (PARTITION BY scenario, id
+       |                              ORDER BY dist ASC, cid ASC) AS rn
+       |    FROM (SELECT a.scenario, a.id, c.cid,
+       |                 CAST(sum((a.qs - c.cq) * (a.qs - c.cq)) AS BIGINT)
+       |                   AS dist
+       |          FROM curc a JOIN lc3 c ON c.dim = a.dim
+       |          GROUP BY 1, 2, 3))
+       |  WHERE rn = 1),
+       |curh AS (SELECT scenario, cid, CAST(count(*) AS BIGINT) AS n_cur
+       |         FROM curassign GROUP BY 1, 2),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS ncells FROM cellids),
+       |rt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nt_ref FROM refh),
+       |ct AS (SELECT scenario, CAST(sum(n_cur) AS BIGINT) AS nt_cur
+       |       FROM curh GROUP BY 1),
+       |grid AS (SELECT scenario, cid
+       |         FROM (SELECT DISTINCT scenario FROM cur) CROSS JOIN cellids),
+       |j AS (SELECT grid.scenario, grid.cid,
+       |             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
+       |             nt_ref, coalesce(nt_cur, 0) AS nt_cur, ncells
+       |      FROM grid LEFT JOIN refh USING (cid)
+       |                LEFT JOIN curh USING (scenario, cid)
+       |                LEFT JOIN ct USING (scenario), nc, rt),
+       |k AS (SELECT scenario, cid, n_ref, n_cur,
+       |             (CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + ncells AS DOUBLE)
+       |              - CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + ncells AS DOUBLE))
+       |             * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + ncells AS DOUBLE))
+       |                  / (CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + ncells AS DOUBLE)))
+       |               AS c
+       |      FROM j)
+       |SELECT scenario, cid, n_ref, n_cur,
+       |       floor(c * 1000000.0 + 0.5) / 1000000.0 AS contrib,
+       |       floor(sum(c) OVER (PARTITION BY scenario ORDER BY cid ASC
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |             * 1000000.0 + 0.5) / 1000000.0 AS psi_cum,
+       |       CAST(CASE WHEN floor(sum(c) OVER (PARTITION BY scenario)
+       |                        * 1000000.0 + 0.5) / 1000000.0 > 0.2
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS stale
+       |FROM k""".stripMargin
 
   /** MMR diversified re-ranking (q153, [[Similarity.mmrRerank]]) — the
     * RAG serving pass: each of 8 query vectors gets its brute top-8
@@ -6041,6 +6165,7 @@ object OpsQueries {
     "q236_incremental_lsh" -> incrementalLshQ _,
     "q237_image_dedup" -> imageDedupQ _,
     "q238_audio_dedup" -> audioDedupQ _,
+    "q240_codebook_psi_staleness" -> codebookStalenessQ _,
     "q226_dim_variance" -> dimVarianceQ _,
     "q26_rplsh_knn" -> rpLshKnn _,
     "q27_fingerprints" -> fingerprints _,
@@ -6197,6 +6322,7 @@ object OpsQueries {
     "q236_incremental_lsh" -> incrementalLshSql,
     "q237_image_dedup" -> imageDedupSql,
     "q238_audio_dedup" -> audioDedupSql,
+    "q240_codebook_psi_staleness" -> codebookStalenessSql,
     "q226_dim_variance" -> dimVarianceSql,
     "q26_rplsh_knn" -> rpLshKnnSql,
     "q27_fingerprints" -> fingerprintsSql,

@@ -35,6 +35,12 @@ object ArtifactStore {
     */
   val gcHorizonMs: Long = 10L * 60 * 1000
 
+  /** Age beyond which a `CURRENT.tmp` with NO final pointer is treated
+    * as a crashed writer's orphan rather than an in-flight swap (live
+    * swaps hold the tmp for milliseconds).
+    */
+  val orphanTmpHorizonMs: Long = 60L * 1000
+
   /** Path-component sanitizer: artifact names are derived from user
     * metadata (table names, key columns) — a '/' or other special
     * character must not change the directory layout.
@@ -76,8 +82,25 @@ object ArtifactStore {
         } catch {
           case _: java.io.FileNotFoundException => () // vanished mid-swap
         }
-      } else if (!fs.exists(currentTmpPath(base))) {
-        return None // neither pointer nor in-flight swap: no artifact
+      } else {
+        val tmp = currentTmpPath(base)
+        val tmpSt =
+          try Some(fs.getFileStatus(tmp))
+          catch { case _: java.io.FileNotFoundException => None }
+        tmpSt match {
+          case None =>
+            return None // neither pointer nor in-flight swap: no artifact
+          case Some(st)
+              if System.currentTimeMillis - st.getModificationTime >
+                orphanTmpHorizonMs =>
+            // a crashed writer left CURRENT.tmp behind with no final
+            // pointer: a live swap completes in milliseconds, so a
+            // minutes-old tmp with nothing to point at is an orphan —
+            // report "no artifact" instead of spinning out the retry
+            // deadline (the next save's fs.create(tmp, true) overwrites)
+            return None
+          case _ => () // fresh tmp: a writer is mid-swap, retry below
+        }
       }
       if (System.nanoTime >= deadline)
         throw new java.io.IOException(

@@ -47,7 +47,26 @@ object StatsStore {
   def write(counts: DataFrame, path: String): Unit =
     ArtifactStore.save(counts, path)
 
-  /** Read a persisted histogram; None if never analyzed. */
+  /** Read a persisted histogram; None if never analyzed. Falls back to
+    * a PLAIN parquet directory at `path` (the pre-[[ArtifactStore]]
+    * layout: `df.write.parquet(path)` with no CURRENT pointer) so
+    * registries analyzed by an older build stay readable — the next
+    * [[write]] migrates them to the versioned layout in place (version
+    * dirs and the pointer live inside `path` alongside the old part
+    * files, and the pointer then takes precedence on every read).
+    */
   def read(spark: SparkSession, path: String): Option[DataFrame] =
-    ArtifactStore.load(spark, path)
+    ArtifactStore.load(spark, path).orElse {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val legacyParts =
+        try fs.exists(p) && fs.listStatus(p)
+          .exists(_.getPath.getName.startsWith("part-"))
+        catch { case _: java.io.FileNotFoundException => false }
+      if (legacyParts)
+        // read ONLY the legacy part files: a half-migrated dir may also
+        // hold v-*/ subdirs that plain spark.read.parquet would merge in
+        Some(spark.read.parquet(s"$path/part-*"))
+      else None
+    }
 }

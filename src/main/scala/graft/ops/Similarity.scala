@@ -20,6 +20,17 @@ import graft.util.Rounding.pround
   */
 object Similarity {
 
+  /** Version key of the deterministic codebook-training code (the
+    * integer-Lloyd's family: [[lloydCentroids]], [[lloydPqCodebook]],
+    * [[lloydMicroCodebooks]] and their seeding/quantization). Served
+    * artifacts are cached under a name that includes this key, so a
+    * SEMANTIC change to training (different seeding, rounds,
+    * quantization) must bump it — otherwise a long-lived host keeps
+    * serving bitwise-stale artifacts trained by the old code and the
+    * train≡serve equivalence specs go silently vacuous.
+    */
+  val TrainingCodeVersion: String = "t1"
+
   /** Sequential-fold dot product of two double arrays — the native
     * codegen'd [[graft.functions.DotProduct]] expression (identical
     * left-fold order to the `zip_with`+`aggregate` HOF formulation it
@@ -847,6 +858,115 @@ object Similarity {
       .select(col("cid").as("centroid_id"),
         expr("transform(__a, x -> x.v)").as("centv"))
       .withColumn("centn", norm(col("centv")))
+  }
+
+  /** Exact nearest-centroid assignment HISTOGRAM of a corpus against a
+    * served codebook — the reference snapshot a staleness monitor
+    * persists at train time and the current-side readout it recomputes
+    * per run ([[codebookStaleness]]). Assignment is the exact int64
+    * squared-L2 argmin of [[lloydMicroCodebooks]]' own arithmetic
+    * (both sides micro-quantized; `centv` doubles round-trip back to
+    * the trained integer micros exactly), so the histogram hash-gates:
+    * no float ever enters the cell decision. `extraKeys` prepends
+    * grouping columns (the scenario axis in q240).
+    *
+    * Scale: one corpus scan, the ≤ k·dim-row codebook broadcast onto
+    * it, one map-side-combining keyed agg; output is k rows per key
+    * group — metadata scale.
+    */
+  def assignmentCounts(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = extraKeys.map(col)
+    val comps = corpus
+      .select(keys ++ Seq(col(idCol).as("__id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "v"))): _*)
+      .select(keys ++ Seq(col("__id"), col("dim"),
+        (floor(col("v") * 1e6 + 0.5).cast("long") + 2000000L).as("qs")): _*)
+    val ccomps = centroids
+      .select(col("centroid_id").cast("long").as("cid"),
+        posexplode(asDouble(col("centv"))).as(Seq("dim", "cv")))
+      .select(col("cid"), col("dim"),
+        (floor(col("cv") * 1e6 + 0.5).cast("long") + 2000000L).as("cq"))
+    comps.join(broadcast(ccomps), Seq("dim"))
+      .groupBy(keys ++ Seq(col("__id"), col("cid")): _*)
+      .agg(sum((col("qs") - col("cq")) * (col("qs") - col("cq"))).as("dist"))
+      .groupBy(keys :+ col("__id"): _*)
+      .agg(min(struct(col("dist"), col("cid"))).as("__b"))
+      .select(keys :+ col("__b.cid").as("cid"): _*)
+      .groupBy(keys :+ col("cid"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Codebook staleness monitor (VERDICT r11 #3 / r12 #2): PSI of the
+    * CURRENT corpus's nearest-centroid assignment distribution against
+    * the REFERENCE histogram persisted when the codebook was trained.
+    * A codebook is a frozen partition of embedding space; when the
+    * corpus drifts, mass moves between cells, and the assignment-
+    * distribution PSI is exactly the drift a retrain trigger should
+    * watch — it measures the partition the index actually serves, not
+    * raw component distributions.
+    *
+    * Arithmetic contract (what makes the flag gateable): cell counts
+    * are exact integers ([[assignmentCounts]]); smoothed Laplace
+    * p/q and the `(p−q)·ln(p/q)` contributions follow the pinned
+    * [[graft.transform.Stats.psiByKey]] spelling (ln budgeted on
+    * k-cell-bounded outputs with pround(6)); `psi_cum` is the running
+    * frame-ordered sum; `stale` compares the per-scenario TOTAL
+    * (a k-row bounded window sum) against the threshold AFTER
+    * pround(6) — with a planted-drift fixture the total sits far from
+    * the boundary on both sides.
+    *
+    * Scale: the only corpus-sized work is the current-side assignment
+    * scan; everything else joins k-row broadcast frames. The grid is
+    * cells × scenarios so a cell that lost ALL current mass (the
+    * strongest drift signal) still contributes.
+    *
+    * @param refHist (cid, n) — persisted at train time
+    * @param cur     current corpus, may carry several labeled
+    *                scenarios in `scenarioCol`
+    * @param threshold PSI action threshold (0.2 is the standard
+    *                "significant shift, act" line)
+    */
+  def codebookStaleness(refHist: DataFrame, cur: DataFrame, idCol: String,
+      vecCol: String, scenarioCol: String, centroids: DataFrame,
+      threshold: Double = 0.2): DataFrame = {
+    import graft.util.Rounding.pround
+    import org.apache.spark.sql.expressions.Window
+    val curHist = assignmentCounts(cur, idCol, vecCol, centroids,
+      Seq(scenarioCol)).withColumnRenamed("n", "n_cur")
+    val ref = refHist.select(col("cid").cast("long").as("cid"),
+      col("n").as("n_ref"))
+    val cellIds = centroids
+      .select(col("centroid_id").cast("long").as("cid")).distinct()
+    val cells = cellIds.agg(count(lit(1)).as("ncells"))
+    val refTot = ref.agg(sum(col("n_ref")).as("nt_ref"))
+    val curTot = curHist.groupBy(col(scenarioCol))
+      .agg(sum(col("n_cur")).as("nt_cur"))
+    val grid = cur.select(col(scenarioCol)).distinct().crossJoin(cellIds)
+    val p = (col("n_ref") + 1).cast("double") /
+      (col("nt_ref") + col("ncells")).cast("double")
+    val q = (col("n_cur") + 1).cast("double") /
+      (col("nt_cur") + col("ncells")).cast("double")
+    val contrib = (p - q) * log(p / q)
+    val wCum = Window.partitionBy(col(scenarioCol)).orderBy(col("cid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(scenarioCol))
+    grid
+      .join(broadcast(ref), Seq("cid"), "left")
+      .join(broadcast(curHist), Seq(scenarioCol, "cid"), "left")
+      .join(broadcast(curTot), Seq(scenarioCol), "left")
+      .crossJoin(broadcast(cells))
+      .crossJoin(broadcast(refTot))
+      .select(col(scenarioCol), col("cid"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        col("nt_ref"), coalesce(col("nt_cur"), lit(0L)).as("nt_cur"),
+        col("ncells"))
+      .select(col(scenarioCol), col("cid"), col("n_ref"), col("n_cur"),
+        pround(contrib, 6).as("contrib"),
+        pround(sum(contrib).over(wCum), 6).as("psi_cum"),
+        (pround(sum(contrib).over(wAll), 6) > threshold)
+          .cast("long").as("stale"))
   }
 
   /** Trained per-subspace PQ codebook via [[lloydMicroCodebooks]] —

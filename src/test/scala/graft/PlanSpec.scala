@@ -1604,6 +1604,16 @@ class PlanSpec extends SparkSpec {
     assert(unpartitionedWindows(p) == 0, s"no global window belongs here:\n$p")
   }
 
+  test("codebook staleness: broadcast codebook, keyed joins, no global window") {
+    val p = plan(OpsQueries.codebookStalenessQ(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k·dim codebook must broadcast onto the assignment scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"monitor joins must stay keyed (1-row scalar attaches excepted):\n$p")
+    assert(unpartitionedWindows(p) == 0,
+      s"PSI windows must partition by scenario:\n$p")
+  }
+
   test("incremental curate: Jaccard stage semi-prunes BOTH persisted tables to candidates") {
     // the VERDICT r12 #1 posture: per increment the verification join
     // must touch candidate rows of the persisted postings/sizes tables,

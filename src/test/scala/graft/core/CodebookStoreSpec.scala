@@ -107,4 +107,49 @@ class CodebookStoreSpec extends SparkSpec {
     val dIds = direct.select("centroid_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(sIds == dIds)
   }
+
+  test("a retrained codebook refresh swaps atomically under a serving reader") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val cents = Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3)
+    val base = tmpBase("cb_refresh")
+    CodebookStore.save(cents, base)
+    val serving = CodebookStore.load(spark, base).get // reader resolved v1
+    // the staleness trigger fired: retrain on the drifted corpus, refresh
+    val drifted = e.select(col("vec_id"),
+      when(col("vec_id") % 3 === 0, array_sort(col("embedding")))
+        .otherwise(col("embedding")).as("embedding"))
+    val cents2 = Similarity.lloydCentroids(drifted, "vec_id", "embedding", 16, 3)
+    CodebookStore.save(cents2, base)
+    // the in-flight reader still serves its resolved (immutable) version
+    assert(serving.count() === cents.count(),
+      "pre-swap reader must finish against its resolved version")
+    // a fresh resolve serves the retrained artifact
+    val v2 = CodebookStore.load(spark, base).get
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case s: Seq[_] => s.toList
+        case x => x
+      }).sortBy(_.toString).toSeq
+    assert(flat(v2) === flat(cents2))
+  }
+
+  test("an aged orphaned CURRENT.tmp reads as no-artifact, not a wedged retry") {
+    import spark.implicits._
+    val base = tmpBase("cb_orphan")
+    new java.io.File(base).mkdirs()
+    val tmp = new java.io.File(base, "CURRENT.tmp")
+    val w = new java.io.PrintWriter(tmp); w.print("v-dead"); w.close()
+    assert(tmp.setLastModified(
+      System.currentTimeMillis - ArtifactStore.orphanTmpHorizonMs - 5000))
+    val t0 = System.nanoTime()
+    assert(ArtifactStore.load(spark, base).isEmpty,
+      "orphaned tmp with no pointer must read as no-artifact")
+    assert((System.nanoTime() - t0) / 1e9 < 4.0,
+      "orphan path must not spin the 5s retry deadline")
+    // the next save overwrites the orphan and serves normally
+    ArtifactStore.save(Seq((1L, "a")).toDF("id", "v"), base)
+    assert(ArtifactStore.load(spark, base).get
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
 }

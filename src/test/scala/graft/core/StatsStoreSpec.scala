@@ -48,4 +48,21 @@ class StatsStoreSpec extends SparkSpec {
           timestampField = "ts"))))
     assert(fs.statsFor("docs_fv").isEmpty)
   }
+
+  test("legacy plain-parquet stats stay readable and migrate on next write") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ss_legacy")
+      .resolve("stats.parquet").toString
+    // the pre-ArtifactStore layout: a bare df.write.parquet(path)
+    Seq(("a", 3L)).toDF("k", "n").write.parquet(dir)
+    val legacy = StatsStore.read(spark, dir).get
+    assert(legacy.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("a", 3L)))
+    // re-ANALYZE migrates in place: versioned layout takes precedence
+    StatsStore.write(Seq(("a", 5L)).toDF("k", "n"), dir)
+    val migrated = StatsStore.read(spark, dir).get
+    assert(migrated.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("a", 5L)))
+  }
+
 }

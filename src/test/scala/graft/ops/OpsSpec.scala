@@ -1412,4 +1412,35 @@ class OpsSpec extends SparkSpec {
     // and the ties doc selects exactly the rightmost-of-each-window
     assert(got("ties")._2 === ref(texts("ties")).size.toLong)
   }
+
+  test("codebook staleness: control silent (PSI exactly 0), planted drift fires, retrain clears") {
+    import org.apache.spark.sql.DataFrame
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val cents = Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3)
+    val refHist = Similarity.assignmentCounts(e, "vec_id", "embedding", cents)
+    val drifted = e.select(col("vec_id"),
+      when(col("vec_id") % 3 === 0, array_sort(col("embedding")))
+        .otherwise(col("embedding")).as("embedding"))
+    def scen(name: String, df: DataFrame) =
+      df.select(lit(name).as("scenario"), col("vec_id"), col("embedding"))
+    val out = Similarity.codebookStaleness(refHist,
+      scen("control", e).unionByName(scen("drifted", drifted)),
+      "vec_id", "embedding", "scenario", cents)
+    val staleBy = out.groupBy("scenario").agg(max(col("stale")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(staleBy("control") === 0L, "trigger fired with zero drift")
+    assert(staleBy("drifted") === 1L, "trigger missed planted drift")
+    // the no-drift PSI is EXACTLY zero (identical cell counts => p == q)
+    assert(out.filter(col("scenario") === "control")
+      .agg(max(abs(col("psi_cum")))).head.getDouble(0) === 0.0)
+    // the retrain the trigger asks for: refit on the drifted corpus,
+    // refresh the reference histogram -> the monitor goes quiet
+    val cents2 = Similarity.lloydCentroids(drifted, "vec_id", "embedding", 16, 3)
+    val ref2 = Similarity.assignmentCounts(drifted, "vec_id", "embedding", cents2)
+    val out2 = Similarity.codebookStaleness(ref2,
+      scen("post_retrain", drifted), "vec_id", "embedding", "scenario", cents2)
+    assert(out2.agg(max(col("stale"))).head.getLong(0) === 0L,
+      "freshly retrained codebook must not report stale against its own reference")
+  }
+
 }
