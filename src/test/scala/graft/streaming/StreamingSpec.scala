@@ -520,4 +520,58 @@ class StreamingSpec extends SparkSpec {
       assert(rows().count(_._1 == 1L) === 1)
     } finally q.stop()
   }
+
+  test("streaming->online freshness loop: the audit sees the stream's watermark advance over the loopback KV") {
+    import graft.core.{Feature, FeatureView, SparkSource}
+    import graft.online.{KVClientOnlineStore, OnlineFreshness, StreamingMaterializer}
+    import graft.online.LoopbackKVSpec.{LineKVServer, TcpKVClient}
+    import org.apache.spark.sql.types.DoubleType
+    val server = new LineKVServer()
+    try {
+      val port = server.port // capture the PORT, not the server (CLAUDE.md)
+      val store = new KVClientOnlineStore(() => new TcpKVClient(port))
+      val view = FeatureView("fv", Seq("key"),
+        Seq(Feature("v", DoubleType)),
+        SparkSource("s", "unused", timestampField = "event_ts"))
+      val src = Files.createTempDirectory("ofresh_src").toString
+      val chk = Files.createTempDirectory("ofresh_chk").toString
+      def drop(rows: (String, String, Double)*): Unit =
+        rows.toSeq.toDF("key", "s", "v")
+          .select(col("key"), to_timestamp(col("s")).as("event_ts"), col("v"))
+          .write.mode("append").parquet(src)
+      drop(("a", "2024-01-01 10:00:00", 1.0), ("b", "2024-01-01 10:00:00", 2.0))
+      val schema = spark.read.parquet(src).schema
+      val q = StreamingMaterializer.stream(spark,
+        spark.readStream.schema(schema).parquet(src),
+        store, view, Seq("key"), chk).start()
+      try {
+        q.processAllAvailable()
+        val expected = Seq("a", "b", "c").toDF("key")
+        def auditMap() = OnlineFreshness
+          .audit(spark, store, "fv", Seq("key"), expected, slaHours = 24L)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+              Option(r.get(3)).map(_.asInstanceOf[Long]),
+              r.getLong(4))).toMap
+        val a1 = auditMap()
+        // delivered keys are at the watermark; the never-delivered key is
+        // the coverage hole only the point-lookup audit can see
+        assert(a1("a") === ((1L, a1("a")._2, Some(0L), 0L)))
+        assert(a1("b")._3 === Some(0L) && a1("b")._4 === 0L)
+        assert(a1("c") === ((0L, None, None, 1L)))
+        val wm1 = a1("a")._2.get
+        // 48h later the stream delivers a and (for the first time) c —
+        // the audit's watermark must ADVANCE and b must go stale
+        drop(("a", "2024-01-03 10:00:00", 10.0), ("c", "2024-01-03 10:00:00", 7.0))
+        q.processAllAvailable()
+        val a2 = auditMap()
+        val wm2 = a2("a")._2.get
+        assert(wm2 === wm1 + 48L * 3600L * 1000000L,
+          "audit must see the stream's watermark advance")
+        assert(a2("a")._4 === 0L && a2("c")._4 === 0L)
+        assert(a2("b") === ((1L, Some(wm1), Some(48L), 1L)),
+          "the undelivered key must lag the advanced watermark past the SLA")
+      } finally q.stop()
+    } finally server.close()
+  }
 }
