@@ -287,6 +287,93 @@ object Queries {
       |LEFT JOIN cleaned_o co
       |  ON co.o_custkey = e.o_custkey AND co.event_timestamp = e.event_timestamp""".stripMargin
 
+  /** q06d: multi-view PIT with the COARSE-BUCKET valve engaged
+    * (VERDICT r11 #7 / r12 #6) — the flagship's hardest shape in its
+    * scale posture: ONE `getHistoricalFeatures` call folding a
+    * TTL-LESS view (`events_fv`, unbounded history — the case whose
+    * naive join output is |history per key| × |cutoffs per key|)
+    * together with a TTL'd view (`orders_fv`, 9000 days). With
+    * `coarseBucketSeconds = 86400`, the TTL-less view's feature side
+    * PRE-REDUCES to latest-per-(key, day-bucket) BEFORE its join
+    * (full earlier buckets join reduced rows; only the cutoff's own
+    * partial bucket joins raw rows), while the TTL'd view rides the
+    * bounded path in the same fold. The ORACLE is the NAIVE
+    * formulation — no bucket anywhere, the events leg joining ALL
+    * eligible history — so the hash gate is the machine-checked proof
+    * that the bucketed full∪partial union loses nothing inside the
+    * composed multi-view fold (the q236-style losslessness
+    * convention); PlanSpec pins that the pre-reduce aggregate sits
+    * UNDER the join in the physical plan.
+    */
+  def pitMultiViewCoarse(s: SparkSession, dir: String): DataFrame = {
+    val fs = new FeatureStore(s, RepoConfig("graft_demo"), new InMemoryRegistry)
+    fs.applyObjects(Seq(
+      Entity("user", Seq("user_id"), ValueType.INT64),
+      Entity("customer", Seq("o_custkey"), ValueType.INT64),
+      FeatureView(
+        name = "events_fv",
+        entities = Seq("user"),
+        features = Seq(Feature("value", org.apache.spark.sql.types.DoubleType),
+          Feature("event_type", org.apache.spark.sql.types.StringType)),
+        source = eventsSource(dir)), // NO ttl: unbounded as-of history
+      FeatureView(
+        name = "orders_fv",
+        entities = Seq("customer"),
+        features = Seq(Feature("o_totalprice", org.apache.spark.sql.types.DoubleType),
+          Feature("o_orderstatus", org.apache.spark.sql.types.StringType)),
+        source = SparkSource("orders_src", s"$dir/orders.parquet",
+          timestampField = "o_orderdate"),
+        ttl = Some(Duration.ofDays(9000)))))
+    val entity = pitEntityGrid(s, dir)
+      .withColumn("o_custkey", col("user_id"))
+    fs.getHistoricalFeatures(entity,
+      Seq("events_fv:value", "events_fv:event_type",
+        "orders_fv:o_totalprice", "orders_fv:o_orderstatus"),
+      coarseBucketSeconds = Some(86400L)).toDf
+  }
+
+  val pitMultiViewCoarseSql: String =
+    """WITH entity AS (
+      |  SELECT user_id, user_id AS o_custkey, event_timestamp
+      |  FROM (SELECT DISTINCT user_id FROM events)
+      |  CROSS JOIN (VALUES (TIMESTAMP '2024-01-08 00:00:00'),
+      |                     (TIMESTAMP '2024-01-15 00:00:00'),
+      |                     (TIMESTAMP '2024-01-22 00:00:00'),
+      |                     (TIMESTAMP '2024-01-29 00:00:00')) g(event_timestamp)
+      |), ranked_e AS (
+      |  SELECT e.user_id, e.event_timestamp, f.value, f.event_type,
+      |         row_number() OVER (
+      |           PARTITION BY e.user_id, e.event_timestamp
+      |           ORDER BY CAST(f.ts AS TIMESTAMP) DESC, f.value DESC,
+      |                    f.event_type DESC) AS rn
+      |  FROM entity e
+      |  JOIN events f
+      |    ON f.user_id = e.user_id
+      |   AND CAST(f.ts AS TIMESTAMP) <= e.event_timestamp
+      |), cleaned_e AS (SELECT * FROM ranked_e WHERE rn = 1),
+      |ranked_o AS (
+      |  SELECT e.o_custkey, e.event_timestamp, o.o_totalprice, o.o_orderstatus,
+      |         row_number() OVER (
+      |           PARTITION BY e.o_custkey, e.event_timestamp
+      |           ORDER BY o.o_orderdate DESC, o.o_totalprice DESC,
+      |                    o.o_orderstatus DESC) AS rn
+      |  FROM (SELECT DISTINCT o_custkey, event_timestamp FROM entity) e
+      |  JOIN orders o
+      |    ON o.o_custkey = e.o_custkey
+      |   AND o.o_orderdate <= e.event_timestamp
+      |   AND o.o_orderdate >= e.event_timestamp - INTERVAL 9000 DAY
+      |), cleaned_o AS (SELECT * FROM ranked_o WHERE rn = 1)
+      |SELECT e.user_id, e.o_custkey, e.event_timestamp,
+      |       ce.value AS events_fv__value,
+      |       ce.event_type AS events_fv__event_type,
+      |       co.o_totalprice AS orders_fv__o_totalprice,
+      |       co.o_orderstatus AS orders_fv__o_orderstatus
+      |FROM entity e
+      |LEFT JOIN cleaned_e ce
+      |  ON ce.user_id = e.user_id AND ce.event_timestamp = e.event_timestamp
+      |LEFT JOIN cleaned_o co
+      |  ON co.o_custkey = e.o_custkey AND co.event_timestamp = e.event_timestamp""".stripMargin
+
   /** Dense PIT: one entity row per event (self as-of enrichment, the
     * realistic retrieval shape — every training example asks for features
     * at its own timestamp). 100k entity rows at sf0.1 with a 3-day TTL —
@@ -5519,6 +5606,7 @@ object Queries {
     "q06_pit_join" -> pitJoin _,
     "q06b_pit_dense" -> pitDense _,
     "q06c_pit_multiview" -> pitMultiView _,
+    "q06d_pit_multiview_coarse" -> pitMultiViewCoarse _,
     "q07_materialize_latest" -> materializeLatest _,
     "q08_distinct" -> distinctPairs _,
     "q09_collect_set" -> collectSet _,
@@ -5636,6 +5724,7 @@ object Queries {
     "q06_pit_join" -> pitJoinSql,
     "q06b_pit_dense" -> pitDenseSql,
     "q06c_pit_multiview" -> pitMultiViewSql,
+    "q06d_pit_multiview_coarse" -> pitMultiViewCoarseSql,
     "q07_materialize_latest" -> materializeLatestSql,
     "q08_distinct" -> distinctPairsSql,
     "q09_collect_set" -> collectSetSql,

@@ -1604,6 +1604,21 @@ class PlanSpec extends SparkSpec {
     assert(unpartitionedWindows(p) == 0, s"no global window belongs here:\n$p")
   }
 
+  test("multi-view coarse PIT: TTL-less feature side pre-reduces UNDER its join; full∪partial union; no window") {
+    val p = plan(Queries.pitMultiViewCoarse(spark, sf0001))
+    // the coarse valve engaged: the day-bucket pre-reduce aggregate
+    // (grouping on the __fb bucket) exists, and it feeds the as-of join
+    // rather than the raw history rows
+    assert(p.contains("__fb"),
+      s"TTL-less view must pre-reduce to latest-per-(key, bucket):\n$p")
+    // the lossless union of reduced-full-buckets and raw-partial-bucket
+    assert(p.contains("Union"), s"expected the full∪partial union:\n$p")
+    // the argmax formulation keeps the whole fold window-free, and the
+    // only non-equi operator is the 4-row entity-grid cross
+    assert(unpartitionedWindows(p) == 0, s"no window belongs in PIT:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("codebook staleness: broadcast codebook, keyed joins, no global window") {
     val p = plan(OpsQueries.codebookStalenessQ(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"),
