@@ -951,9 +951,13 @@ object OpsQueries {
           .cast("long").as("same_base"))
   }
 
-  // lazy: toSignedU64 reads the P64 val declared further down (q151 trap)
-  lazy val audioDedupSql: String =
-    s"""WITH ids AS (SELECT unnest(range(0, 600)) AS id),
+  /** DuckDB CTE chain replaying [[graft.ops.Multimodal.syntheticWav]]'s
+    * sample stream → [[graft.ops.Multimodal.audioFingerprint64]] for
+    * ids 0..nIds, ending in `sg(id, afp)` — shared by the q238 dedup
+    * oracle (600 clips) and the q239 calibration-sweep oracle (1000).
+    */
+  private def audioSigCtes(nIds: Int): String =
+    s"""ids AS (SELECT unnest(range(0, $nIds)) AS id),
        |cl AS (SELECT id, id % 200 AS base, id // 200 AS mag FROM ids),
        |dm AS (SELECT id, base, mag,
        |              (1300 + (base % 7) * 130) // 65 AS flen FROM cl),
@@ -974,13 +978,99 @@ object OpsQueries {
        |                  ELSE CAST(0 AS HUGEINT) END) AS usig
        |  FROM en a JOIN en b ON b.id = a.id AND b.f = a.f - 1
        |  GROUP BY a.id),
-       |sg AS (SELECT id, ${toSignedU64("usig")} AS afp FROM bits)
+       |sg AS (SELECT id, ${toSignedU64("usig")} AS afp FROM bits)""".stripMargin
+
+  // lazy: toSignedU64 reads the P64 val declared further down (q151 trap)
+  lazy val audioDedupSql: String =
+    s"""WITH ${audioSigCtes(600)}
        |SELECT a.id AS clip_a, b.id AS clip_b,
        |       CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming,
        |       CAST(CASE WHEN a.id % 200 = b.id % 200 THEN 1 ELSE 0 END
        |            AS BIGINT) AS same_base
        |FROM sg a JOIN sg b ON a.id < b.id
        |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin
+
+  /** q239: audio-detector calibration sweep (VERDICT r12 #7 stretch) —
+    * the q229/q232 planted-evidence harness pointed at the AUDIO
+    * fingerprint chain, as a perturbation-MAGNITUDE curve: 200 base
+    * clips plus four planted generations (magnitude m perturbs a
+    * 1-in-7 sample subset by m²·500), every clip through the real
+    * encode→decode→fingerprint chain. Per magnitude the readout pins
+    * the operating point BEFORE anyone trusts radius 3:
+    *
+    *  - `n_within_radius`: TRUE planted pairs at Hamming ≤ 3, from a
+    *    by-construction (base, variant) join — no banding in the loop;
+    *  - `n_detected`: the same pairs surfaced by the PRODUCTION
+    *    pigeonhole band join ([[graft.ops.Dedup.hammingPairs64]]);
+    *  - `banding_complete` = (the two agree) — the per-magnitude
+    *    completeness proof, trivially 1 in the oracle's naive replay
+    *    and a REAL check on the Spark side, so a banding loss fails
+    *    the hash gate;
+    *  - exact sum/max Hamming of the planted pairs (the drift curve)
+    *    and `recall` (one pround division).
+    */
+  def audioCalibrationQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nBases = 200
+    val gens = 4
+    val sigs = s.range((nBases * (gens + 1)).toLong).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val wav = Multimodal.syntheticWav(id, nBases)
+        val samples = Multimodal.decodeWav(wav).getOrElse(
+          throw new IllegalStateException(s"synthetic wav $id must decode"))
+        val afp = Multimodal.audioFingerprint64(samples).getOrElse(
+          throw new IllegalStateException(s"synthetic wav $id is >= 65 samples"))
+        (id, afp)
+      }
+    }.toDF("clip_id", "afp")
+    val base = sigs.filter(col("clip_id") < nBases)
+      .select(col("clip_id").as("a"), col("afp").as("afp_a"))
+    val variants = sigs.filter(col("clip_id") >= nBases)
+      .select((col("clip_id") % nBases).as("a"),
+        expr(s"clip_id div $nBases").as("mag"), col("afp").as("afp_b"))
+    val truth = variants.join(base, "a")
+      .select(col("mag"), col("a"),
+        expr("bit_count(afp_a ^ afp_b)").cast("long").as("hm"))
+    val detected = Dedup.hammingPairs64(sigs, "clip_id", "afp", maxHamming = 3)
+      .filter(col("doc_a") < nBases && col("doc_b") % nBases === col("doc_a"))
+      .select(expr(s"doc_b div $nBases").as("mag"), col("doc_a").as("a"),
+        lit(1L).as("det"))
+    truth.join(detected, Seq("mag", "a"), "left")
+      .groupBy(col("mag"))
+      .agg(count(lit(1)).as("n_planted"),
+        sum(coalesce(col("det"), lit(0L))).as("n_detected"),
+        sum(when(col("hm") <= 3L, 1L).otherwise(0L)).as("n_within_radius"),
+        sum(col("hm")).as("sum_hamming"),
+        max(col("hm")).as("max_hamming"))
+      .select(col("mag"), col("n_planted"), col("n_detected"),
+        col("n_within_radius"),
+        (col("n_detected") === col("n_within_radius")).cast("long")
+          .as("banding_complete"),
+        col("sum_hamming"), col("max_hamming"),
+        pround(col("n_detected").cast("double") /
+          col("n_planted").cast("double"), 6).as("recall"))
+  }
+
+  lazy val audioCalibrationSql: String =
+    s"""WITH ${audioSigCtes(1000)},
+       |truth AS (
+       |  SELECT v.mag, v.base AS a,
+       |         CAST(bit_count(xor(b.afp, v.afp)) AS BIGINT) AS hm
+       |  FROM (SELECT id % 200 AS base, id // 200 AS mag, afp
+       |        FROM sg WHERE id >= 200) v
+       |  JOIN (SELECT id AS base, afp FROM sg WHERE id < 200) b USING (base))
+       |SELECT mag, CAST(count(*) AS BIGINT) AS n_planted,
+       |       CAST(sum(CASE WHEN hm <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_detected,
+       |       CAST(sum(CASE WHEN hm <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_within_radius,
+       |       CAST(1 AS BIGINT) AS banding_complete,
+       |       CAST(sum(hm) AS BIGINT) AS sum_hamming,
+       |       max(hm) AS max_hamming,
+       |       floor(CAST(sum(CASE WHEN hm <= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       |         AS recall
+       |FROM truth GROUP BY mag""".stripMargin
 
   /** BPE merge induction over the documents corpus
     * ([[Corpus.bpeMerges]], 3 rounds): learned merge table + post-
@@ -6165,6 +6255,7 @@ object OpsQueries {
     "q236_incremental_lsh" -> incrementalLshQ _,
     "q237_image_dedup" -> imageDedupQ _,
     "q238_audio_dedup" -> audioDedupQ _,
+    "q239_audio_dedup_calibration" -> audioCalibrationQ _,
     "q240_codebook_psi_staleness" -> codebookStalenessQ _,
     "q226_dim_variance" -> dimVarianceQ _,
     "q26_rplsh_knn" -> rpLshKnn _,
@@ -6322,6 +6413,7 @@ object OpsQueries {
     "q236_incremental_lsh" -> incrementalLshSql,
     "q237_image_dedup" -> imageDedupSql,
     "q238_audio_dedup" -> audioDedupSql,
+    "q239_audio_dedup_calibration" -> audioCalibrationSql,
     "q240_codebook_psi_staleness" -> codebookStalenessSql,
     "q226_dim_variance" -> dimVarianceSql,
     "q26_rplsh_knn" -> rpLshKnnSql,

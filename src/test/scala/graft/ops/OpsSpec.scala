@@ -1166,6 +1166,24 @@ class OpsSpec extends SparkSpec {
     assert(banded === naive, "pigeonhole banding must be complete at radius 3")
   }
 
+  test("audio calibration sweep: recall monotone in perturbation magnitude, gen-1 operating point holds") {
+    val rows = graft.OpsQueries
+      .audioCalibrationQ(spark, sf0001)
+      .orderBy(col("mag"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getDouble(7)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    // the curve the detector's operating point is read from: stronger
+    // perturbations must never be EASIER to catch
+    val recalls = rows.map(_._4)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b },
+      s"recall must be monotone non-increasing in magnitude: ${recalls.toSeq}")
+    assert(recalls.head >= 0.7,
+      s"generation-1 operating point collapsed: ${recalls.head}")
+    assert(rows.forall(_._3 == 1L),
+      "banding must be complete at every magnitude")
+  }
+
   test("real resize: nearest-neighbor pixel mapping survives the PNG re-encode") {
     // 4x4 image, pixel value encodes its coordinates; resize to 2x2
     // picks in(0,0), in(2,0), in(0,2), in(2,2)
