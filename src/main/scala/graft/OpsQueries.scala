@@ -66,6 +66,11 @@ object OpsQueries {
     */
   private def servedArtifact(s: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame = {
+    // the superseded-entry prune strips a trailing version key of the
+    // form _t<digits>; a TAG ending in that shape would be normalized
+    // too and could prune a sibling tag's entries — forbid it outright
+    require(!tag.matches(".*_t\\d+$"),
+      s"artifact tag '$tag' collides with the version-key format _t<digits>")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_codebooks")
     val fixture = new java.io.File(dir).getName
     val ver = Similarity.TrainingCodeVersion

@@ -23,6 +23,15 @@ trait KVClient extends AutoCloseable {
     */
   def putBatch(entries: Iterator[(String, Map[String, Any])]): Unit =
     entries.foreach { case (k, v) => put(k, v) }
+
+  /** Bulk lookup. Default = per-key [[get]]s; networked implementations
+    * should override to pipeline (flush every GET, then drain the
+    * responses — the [[putBatch]] device on the read path): an audit
+    * enumerating thousands of expected keys pays one round-trip total,
+    * not one per key.
+    */
+  def getBatch(keys: Seq[String]): Seq[Option[Map[String, Any]]] =
+    keys.map(get)
 }
 
 /** Executor-parallel [[OnlineStore]] over any [[KVClient]]: `write`
@@ -62,4 +71,8 @@ final class KVClientOnlineStore(clientFactory: () => KVClient)
 
   override def get(view: String, keyValues: Seq[Any]): Option[Map[String, Any]] =
     driverClient.get(fullKey(view, keyValues))
+
+  override def getBatch(view: String,
+      keys: Seq[Seq[Any]]): Seq[Option[Map[String, Any]]] =
+    driverClient.getBatch(keys.map(fullKey(view, _)))
 }

@@ -40,15 +40,19 @@ object OnlineFreshness {
     require(joinKeys.nonEmpty, "audit needs join keys")
     val keyRows = expectedKeys
       .select(joinKeys.map(col): _*).distinct().collect()
-    val looked: Seq[(String, Long, Option[Long])] = keyRows.toSeq.map { r =>
-      val kv = joinKeys.map(k => r.get(r.fieldIndex(k)))
-      val us = store.get(view, kv)
-        .flatMap(v => Option(v.getOrElse("event_timestamp", null)))
-        .collect { case t: java.sql.Timestamp =>
-          t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-        }
-      (OnlineStore.encodeKey(kv), if (us.isDefined) 1L else 0L, us)
+    val keyValues = keyRows.toSeq.map { r =>
+      joinKeys.map(k => r.get(r.fieldIndex(k)))
     }
+    // one pipelined multi-GET, not one round-trip per key
+    val looked: Seq[(String, Long, Option[Long])] =
+      keyValues.zip(store.getBatch(view, keyValues)).map { case (kv, vec) =>
+        val us = vec
+          .flatMap(v => Option(v.getOrElse("event_timestamp", null)))
+          .collect { case t: java.sql.Timestamp =>
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          }
+        (OnlineStore.encodeKey(kv), if (us.isDefined) 1L else 0L, us)
+      }
     import spark.implicits._
     val base = looked.toDF("key", "present", "last_us")
     // serving watermark over the audited rows — one unpartitioned window

@@ -40,6 +40,16 @@ trait OnlineStore {
     */
   def upsert(view: String, keyColumns: Seq[String], df: DataFrame): Unit =
     write(view, keyColumns, df)
+
+  /** Bulk point lookup — the audit/backfill read path. Default = one
+    * [[get]] per key; networked stores override to pipeline
+    * ([[KVClientOnlineStore]] flushes every GET before draining), so an
+    * [[OnlineFreshness]]-style sweep over thousands of expected keys is
+    * one round-trip, not N.
+    */
+  def getBatch(view: String,
+      keys: Seq[Seq[Any]]): Seq[Option[Map[String, Any]]] =
+    keys.map(get(view, _))
 }
 
 object OnlineStore {

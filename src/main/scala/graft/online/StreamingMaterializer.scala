@@ -44,13 +44,19 @@ object StreamingMaterializer {
   def mergeLatest(
       store: OnlineStore, view: FeatureView, joinKeys: Seq[String],
       batchLatest: DataFrame): Unit = {
-    val fresh = batchLatest.collect().filter { row =>
-      val keyValues = joinKeys.map(k => row.get(row.fieldIndex(k)))
-      val newTs = row.getTimestamp(row.fieldIndex("event_timestamp"))
-      store.get(view.name, keyValues)
-        .flatMap(v => Option(v.get("event_timestamp").orNull
-          .asInstanceOf[java.sql.Timestamp]))
-        .forall(stored => !stored.after(newTs))
+    val rows = batchLatest.collect()
+    // one pipelined multi-GET for the whole batch's stored timestamps,
+    // not one round-trip per key (OnlineStore.getBatch)
+    val stored = store.getBatch(view.name,
+      rows.toSeq.map(row => joinKeys.map(k => row.get(row.fieldIndex(k)))))
+    val fresh = rows.zip(stored).collect {
+      case (row, vec)
+          if vec
+            .flatMap(v => Option(v.get("event_timestamp").orNull
+              .asInstanceOf[java.sql.Timestamp]))
+            .forall(!_.after(
+              row.getTimestamp(row.fieldIndex("event_timestamp")))) =>
+        row
     }
     if (fresh.nonEmpty) {
       val spark = batchLatest.sparkSession

@@ -936,8 +936,14 @@ object Similarity {
       Seq(scenarioCol)).withColumnRenamed("n", "n_cur")
     val ref = refHist.select(col("cid").cast("long").as("cid"),
       col("n").as("n_ref"))
+    // grid cells = centroid cids ∪ reference cids: a refHist trained
+    // against a DIFFERENT codebook generation (version skew) contributes
+    // orphaned cells whose current mass is necessarily zero — they
+    // surface as PSI drift instead of silently dropping from the grid
     val cellIds = centroids
-      .select(col("centroid_id").cast("long").as("cid")).distinct()
+      .select(col("centroid_id").cast("long").as("cid"))
+      .unionByName(ref.select(col("cid")))
+      .distinct()
     val cells = cellIds.agg(count(lit(1)).as("ncells"))
     val refTot = ref.agg(sum(col("n_ref")).as("nt_ref"))
     val curTot = curHist.groupBy(col(scenarioCol))

@@ -256,8 +256,11 @@ object TrainingDataPipeline {
         // kept) — the parquet append doubles as the materialization a
         // checkpoint would have paid for, and later batches read their
         // fingerprint history straight off it
+        // overwrite mode per batch dir: state content is deterministic,
+        // so a retry of a crashed arrival simply rewrites its own
+        // partitions — idempotent without completion markers
         Dedup.incrementalExactDedup(batch, fpHistory, idCol, "text")
-          .write.parquet(s"$ddDir/batch=$b")
+          .write.mode("overwrite").parquet(s"$ddDir/batch=$b")
         val dd = spark.read.parquet(s"$ddDir/batch=$b")
         val ex = batch.join(
           dd.filter(col("kept") === 1L).select(idCol), idCol)
@@ -267,11 +270,11 @@ object TrainingDataPipeline {
         // persisted is touched
         Dedup.lshBands(
           Dedup.minhashSignaturesFused(ex, idCol, "text", cfg.shingleN),
-          idCol).write.parquet(s"$bandsDir/batch=$b")
+          idCol).write.mode("overwrite").parquet(s"$bandsDir/batch=$b")
         val sh = Dedup.shingleSet(ex, idCol, "text", cfg.shingleN)
-        sh.write.parquet(s"$postDir/batch=$b")
+        sh.write.mode("overwrite").parquet(s"$postDir/batch=$b")
         sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-          .write.parquet(s"$sizesDir/batch=$b")
+          .write.mode("overwrite").parquet(s"$sizesDir/batch=$b")
         // candidates: new bands vs the PRIOR index (partition-pruned)
         // plus within-batch collisions
         val bandsB = spark.read.parquet(s"$bandsDir/batch=$b")

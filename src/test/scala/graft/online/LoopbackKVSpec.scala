@@ -124,6 +124,29 @@ class LoopbackKVSpec extends SparkSpec {
       assert(store.get("fvA", Seq("a")).map(_("value")) === Some(1.0))
     } finally server.close()
   }
+
+  test("pipelined multi-GET drains ordered responses with misses interleaved") {
+    val server = new LineKVServer()
+    try {
+      val port = server.port
+      val client = new TcpKVClient(port)
+      try {
+        client.put("k1", Map("v" -> 1.0))
+        client.put("k3", Map("v" -> 3.0))
+        // one flush of three GETs, three responses in request order —
+        // the middle miss must not desynchronize the stream
+        val got = client.getBatch(Seq("k1", "nope", "k3"))
+        assert(got.map(_.map(_("v"))) === Seq(Some(1.0), None, Some(3.0)))
+      } finally client.close()
+      // and the store-level surface rides the same pipeline
+      val store = new KVClientOnlineStore(() => new TcpKVClient(port))
+      import spark.implicits._
+      store.write("fv", Seq("key"),
+        Seq(("a", 1.5), ("b", 2.5)).toDF("key", "v"))
+      assert(store.getBatch("fv", Seq(Seq("a"), Seq("zz"), Seq("b")))
+        .map(_.map(_("v"))) === Seq(Some(1.5), None, Some(2.5)))
+    } finally server.close()
+  }
 }
 
 object LoopbackKVSpec {
@@ -215,6 +238,17 @@ object LoopbackKVSpec {
       in.readLine() match {
         case s if s != null && s.startsWith("VAL\t") => Some(dec(s.substring(4)))
         case _ => None
+      }
+    }
+    // pipelined multi-GET: flush every request, then drain the responses
+    // in order (the putBatch device on the read path)
+    override def getBatch(keys: Seq[String]): Seq[Option[Map[String, Any]]] = {
+      keys.foreach(k => out.println(s"GET\t$k"))
+      keys.map { _ =>
+        in.readLine() match {
+          case s if s != null && s.startsWith("VAL\t") => Some(dec(s.substring(4)))
+          case _ => None
+        }
       }
     }
     override def close(): Unit = sock.close()
