@@ -240,59 +240,21 @@ object TrainingDataPipeline {
       java.nio.file.Files.createTempDirectory("graft-inc-curate-").toString)
     val (ddDir, bandsDir, postDir, sizesDir) =
       (s"$root/dd", s"$root/bands", s"$root/postings", s"$root/sizes")
+    // outer width scope: the per-round state checkpoint (where each
+    // increment's LAZY rollup actually executes, see checkpointResult)
+    // must also run at loop width, not session width
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", loopShufflePartitions)
     try {
       var state: Option[DataFrame] = None
       for (b <- 0L until nBatches.toLong) {
-        val batch = annotateAndFilter(
+        // checkpointResult=false: the loop owns the one checkpoint per
+        // round (on the merged state), so the per-increment rollup does
+        // not pay a second materialization job
+        val roll = curateIncrement(
           docsDf.filter(col(idCol) >= b * width && col(idCol) < (b + 1) * width),
-          cfg).localCheckpoint(true)
-        val fpHistory =
-          if (b == 0L) Seq.empty[String].toDF("fingerprint")
-          else spark.read.parquet(ddDir)
-            .filter(col("kept") === 1L).select("fingerprint")
-        // the dedup decision IS state: persist it once (id, fingerprint,
-        // kept) — the parquet append doubles as the materialization a
-        // checkpoint would have paid for, and later batches read their
-        // fingerprint history straight off it
-        // overwrite mode per batch dir: state content is deterministic,
-        // so a retry of a crashed arrival simply rewrites its own
-        // partitions — idempotent without completion markers
-        Dedup.incrementalExactDedup(batch, fpHistory, idCol, "text")
-          .write.mode("overwrite").parquet(s"$ddDir/batch=$b")
-        val dd = spark.read.parquet(s"$ddDir/batch=$b")
-        val ex = batch.join(
-          dd.filter(col("kept") === 1L).select(idCol), idCol)
-          .localCheckpoint(true)
-        // append THIS increment's bands / postings / per-doc sizes —
-        // each write is a new batch=N directory; nothing already
-        // persisted is touched
-        Dedup.lshBands(
-          Dedup.minhashSignaturesFused(ex, idCol, "text", cfg.shingleN),
-          idCol).write.mode("overwrite").parquet(s"$bandsDir/batch=$b")
-        val sh = Dedup.shingleSet(ex, idCol, "text", cfg.shingleN)
-        sh.write.mode("overwrite").parquet(s"$postDir/batch=$b")
-        sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-          .write.mode("overwrite").parquet(s"$sizesDir/batch=$b")
-        // candidates: new bands vs the PRIOR index (partition-pruned)
-        // plus within-batch collisions
-        val bandsB = spark.read.parquet(s"$bandsDir/batch=$b")
-        val index = spark.read.parquet(bandsDir)
-          .filter(col("batch") < b)
-          .select(col(idCol).as("a"), col("band_idx"), col("band_hash"))
-        val cross = bandsB.join(index, Seq("band_idx", "band_hash"))
-          .select(col("a"), col(idCol).as("b")).distinct()
-        val inBatch = Dedup.candidatePairs(bandsB, idCol)
-        val pairs = cross.unionByName(inBatch).localCheckpoint(true)
-        val verified = prunedJaccardStage(pairs,
-          spark.read.parquet(postDir).drop("batch"),
-          spark.read.parquet(sizesDir).drop("batch"), idCol)
-          .filter(col("jaccard") >= cfg.jaccardThreshold)
-        val kept = ex.join(
-          verified.select(col("b").as(idCol)).distinct(),
-          Seq(idCol), "left_anti")
-        val roll = Transforms.mergeableRollup(kept, keyCols, col(valueCol))
+          idCol, keyCols, valueCol, root, b, cfg, loopShufflePartitions,
+          checkpointResult = false)
         state = Some(state
           .map(prev => Transforms.mergeRollups(prev, roll, keyCols))
           .getOrElse(roll).localCheckpoint(true))
@@ -306,6 +268,96 @@ object TrainingDataPipeline {
           p.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .delete(p, true)
         } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** ONE production arrival through the persisted-state curation — the
+    * serving shape a real crawl increment calls (the 4-batch
+    * [[incrementalCurate]] is this function in a loop, so the q235b
+    * hash gate proves the single-arrival API for free): gate →
+    * incremental exact dedup against `stateDir`'s fingerprint history →
+    * incremental LSH+Jaccard near-dedup against the persisted band
+    * index with candidate-pruned postings → append this increment's
+    * `batch=<batchId>` state partitions (overwrite-idempotent on
+    * retry) → return this increment's kept-doc rollup (mergeable into
+    * the caller's running state via
+    * [[graft.transform.Transforms.mergeRollups]]).
+    *
+    * `batchId` must be strictly increasing across arrivals and doc ids
+    * must not recede (the q235 arrival-order contract — ids are
+    * assigned at arrival); the prior-state reads partition-prune to
+    * `batch < batchId`. With `checkpointResult` (the default) the
+    * returned rollup is eagerly checkpointed inside the shuffle-width
+    * scope; a caller that immediately folds it into its own
+    * checkpointed state (the [[incrementalCurate]] loop) passes false
+    * and skips the second materialization — the remaining lazy step is
+    * the key-domain-sized rollup agg only (every corpus-scale frame was
+    * already forced by the state writes).
+    */
+  def curateIncrement(newDocs: DataFrame, idCol: String,
+      keyCols: Seq[String], valueCol: String,
+      stateDir: String, batchId: Long, cfg: Config = Config(),
+      loopShufflePartitions: Int = 8,
+      checkpointResult: Boolean = true): DataFrame = {
+    import graft.transform.Transforms
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val b = batchId
+    val (ddDir, bandsDir, postDir, sizesDir) =
+      (s"$stateDir/dd", s"$stateDir/bands", s"$stateDir/postings",
+        s"$stateDir/sizes")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopShufflePartitions)
+    try {
+      val batch = annotateAndFilter(newDocs, cfg).localCheckpoint(true)
+      val fpHistory =
+        if (b == 0L) Seq.empty[String].toDF("fingerprint")
+        else spark.read.parquet(ddDir).filter(col("batch") < b)
+          .filter(col("kept") === 1L).select("fingerprint")
+      // the dedup decision IS state: persist it once (id, fingerprint,
+      // kept) — the parquet append doubles as the materialization a
+      // checkpoint would have paid for, and later arrivals read their
+      // fingerprint history straight off it. Overwrite mode per batch
+      // dir: state content is deterministic, so a retry of a crashed
+      // arrival simply rewrites its own partitions — idempotent
+      // without completion markers
+      Dedup.incrementalExactDedup(batch, fpHistory, idCol, "text")
+        .write.mode("overwrite").parquet(s"$ddDir/batch=$b")
+      val dd = spark.read.parquet(s"$ddDir/batch=$b")
+      val ex = batch.join(
+        dd.filter(col("kept") === 1L).select(idCol), idCol)
+        .localCheckpoint(true)
+      // append THIS increment's bands / postings / per-doc sizes —
+      // each write is a new batch=N directory; nothing already
+      // persisted is touched
+      Dedup.lshBands(
+        Dedup.minhashSignaturesFused(ex, idCol, "text", cfg.shingleN),
+        idCol).write.mode("overwrite").parquet(s"$bandsDir/batch=$b")
+      val sh = Dedup.shingleSet(ex, idCol, "text", cfg.shingleN)
+      sh.write.mode("overwrite").parquet(s"$postDir/batch=$b")
+      sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+        .write.mode("overwrite").parquet(s"$sizesDir/batch=$b")
+      // candidates: new bands vs the PRIOR index (partition-pruned)
+      // plus within-batch collisions
+      val bandsB = spark.read.parquet(s"$bandsDir/batch=$b")
+      val index = spark.read.parquet(bandsDir)
+        .filter(col("batch") < b)
+        .select(col(idCol).as("a"), col("band_idx"), col("band_hash"))
+      val cross = bandsB.join(index, Seq("band_idx", "band_hash"))
+        .select(col("a"), col(idCol).as("b")).distinct()
+      val inBatch = Dedup.candidatePairs(bandsB, idCol)
+      val pairs = cross.unionByName(inBatch).localCheckpoint(true)
+      val verified = prunedJaccardStage(pairs,
+        spark.read.parquet(postDir).drop("batch"),
+        spark.read.parquet(sizesDir).drop("batch"), idCol)
+        .filter(col("jaccard") >= cfg.jaccardThreshold)
+      val kept = ex.join(
+        verified.select(col("b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      val roll = Transforms.mergeableRollup(kept, keyCols, col(valueCol))
+      if (checkpointResult) roll.localCheckpoint(true) else roll
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
   }
 }

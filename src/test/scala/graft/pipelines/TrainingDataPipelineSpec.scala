@@ -170,6 +170,44 @@ class TrainingDataPipelineSpec extends SparkSpec {
     }
   }
 
+  test("curateIncrement: a later production arrival dedups against persisted state") {
+    val root = java.nio.file.Files.createTempDirectory("inc-arrival-").toString
+    try {
+      // build durable state from the 4 proof batches
+      TrainingDataPipeline.incrementalCurate(curateArrivals, "doc_id",
+        Seq("source"), "n_tokens", stateDir = Some(root)).collect()
+      // a NEW arrival, called through the single-increment production
+      // API: an exact dup of doc 0 (must drop via the persisted
+      // fingerprint history), a near dup of surviving doc 5 (must drop
+      // via the persisted band index + pruned postings), a fresh keeper
+      val arrival = Seq(
+        (12L, baseA, "web"),
+        (13L, baseB.replace("wind", "breeze"), "pdf"),
+        (14L, "a brand new clean document with plenty of fresh tokens " +
+          "to pass the gate easily today", "web")
+      ).toDF("doc_id", "text", "source")
+      val roll = TrainingDataPipeline.curateIncrement(arrival, "doc_id",
+        Seq("source"), "n_tokens", root, batchId = 4L)
+      assert(roll.agg(sum(col("n"))).head.getLong(0) === 1L,
+        "only the fresh keeper may survive the arrival")
+      // the arrival appended exactly its own batch=4 partitions
+      for (t <- Seq("dd", "bands", "postings", "sizes"))
+        assert(new java.io.File(s"$root/$t/batch=4").exists,
+          s"state table $t missing the arrival's partition")
+      // retry idempotency: re-running the same arrival rewrites its own
+      // partitions and returns the same rollup
+      val retry = TrainingDataPipeline.curateIncrement(arrival, "doc_id",
+        Seq("source"), "n_tokens", root, batchId = 4L)
+      assert(retry.collect().map(_.toSeq).sortBy(_.toString).toSeq
+        === roll.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("pruned Jaccard stage == unpruned ngramJaccard (candidate prune is lossless)") {
     import graft.ops.Dedup
     // postings carry EXTRA non-candidate docs (3, 4) the prune must drop
