@@ -1962,18 +1962,25 @@ object OpsQueries {
     * `lcomp`, `lc0..lc$iters` (+ `la1..la$iters`); the final codebook
     * is `lc$iters` in (m, cid, dim, cq-shifted) shape.
     */
-  private def lloydCtes(iters: Int, k: Int, mExpr: String): String = {
+  /** [[lloydCtes]] generalized over the training corpus and a CTE-name
+    * prefix, so ONE oracle can replay TWO independent trainings (the
+    * q241 retrain lifecycle: v1 on the original corpus, v2 on the
+    * drifted one) without name collisions. `corpusSql` must yield
+    * (vec_id, embedding).
+    */
+  private def lloydCtesFrom(iters: Int, k: Int, mExpr: String,
+      corpusSql: String, p: String): String = {
     val init =
-      s"""lcomp AS (
+      s"""${p}lcomp AS (
          |  SELECT vec_id AS id, CAST(dim AS BIGINT) AS dim, $mExpr AS m,
          |         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) + 2000000 AS qs
          |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
          |               unnest(range(0, len(embedding))) AS dim
-         |        FROM embeddings)),
-         |lc0 AS (SELECT m, id AS cid, dim, qs AS cq FROM lcomp WHERE id < $k)""".stripMargin
+         |        FROM ($corpusSql) __c)),
+         |${p}lc0 AS (SELECT m, id AS cid, dim, qs AS cq FROM ${p}lcomp WHERE id < $k)""".stripMargin
     val steps = (1 to iters).map { t =>
       s""",
-         |la$t AS (
+         |${p}la$t AS (
          |  SELECT id, m, cid FROM (
          |    SELECT id, m, cid,
          |           row_number() OVER (PARTITION BY id, m
@@ -1981,17 +1988,20 @@ object OpsQueries {
          |    FROM (SELECT a.id, a.m, c.cid,
          |                 CAST(sum((a.qs - c.cq) * (a.qs - c.cq)) AS BIGINT)
          |                   AS dist
-         |          FROM lcomp a JOIN lc${t - 1} c ON c.dim = a.dim
+         |          FROM ${p}lcomp a JOIN ${p}lc${t - 1} c ON c.dim = a.dim
          |          GROUP BY 1, 2, 3))
          |  WHERE rn = 1),
-         |lc$t AS (
+         |${p}lc$t AS (
          |  SELECT x.m, a.cid, x.dim,
          |         CAST(sum(x.qs) // count(*) AS BIGINT) AS cq
-         |  FROM lcomp x JOIN la$t a ON a.id = x.id AND a.m = x.m
+         |  FROM ${p}lcomp x JOIN ${p}la$t a ON a.id = x.id AND a.m = x.m
          |  GROUP BY 1, 2, 3)""".stripMargin
     }.mkString
     init + steps
   }
+
+  private def lloydCtes(iters: Int, k: Int, mExpr: String): String =
+    lloydCtesFrom(iters, k, mExpr, "SELECT vec_id, embedding FROM embeddings", "")
 
   /** q25b: IVF top-k on TRAINED centroids
     * ([[graft.ops.Similarity.lloydCentroids]], 16 cells, 3 integer
@@ -2153,6 +2163,102 @@ object OpsQueries {
        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |             * 1000000.0 + 0.5) / 1000000.0 AS psi_cum,
        |       CAST(CASE WHEN floor(sum(c) OVER (PARTITION BY scenario)
+       |                        * 1000000.0 + 0.5) / 1000000.0 > 0.2
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS stale
+       |FROM k""".stripMargin
+
+  /** q241: the staleness trigger's full lifecycle, hash-gated — q240
+    * detects; q241 proves the RESPONSE: against the drifted corpus,
+    * PSI vs the v1 codebook's reference fires the trigger
+    * (`drifted_vs_v1`, stale=1), the retrain the trigger demands
+    * (integer-Lloyd's REFIT on the current corpus + a refreshed
+    * reference histogram, both served as new versioned artifacts)
+    * brings the monitor back to exact silence (`post_retrain_vs_v2`,
+    * PSI exactly 0, stale=0). The oracle replays BOTH trainings
+    * ([[lloydCtesFrom]] with independent CTE prefixes), all three
+    * assignment passes, and both PSI computations — so the
+    * detect→retrain→quiet loop is machine-checked end to end, not just
+    * spec-asserted (OpsSpec holds the same property at the operator
+    * level).
+    */
+  def codebookRetrainQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val drifted = e.select(col("vec_id"),
+      when(col("vec_id") % 3 === 0, array_sort(col("embedding")))
+        .otherwise(col("embedding")).as("embedding"))
+    def phased(name: String) =
+      drifted.select(lit(name).as("phase"), col("vec_id"), col("embedding"))
+    val cents1 = servedCodebook(s, dir, "ivf16x3")(
+      Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3))
+    val ref1 = servedArtifact(s, dir, "ivf16x3refh")(
+      Similarity.assignmentCounts(e, "vec_id", "embedding", cents1))
+    val before = Similarity.codebookStaleness(ref1,
+      phased("drifted_vs_v1"), "vec_id", "embedding", "phase", cents1)
+    val cents2 = servedArtifact(s, dir, "ivf16x3v2")(
+      Similarity.lloydCentroids(drifted, "vec_id", "embedding", 16, 3))
+    val ref2 = servedArtifact(s, dir, "ivf16x3v2refh")(
+      Similarity.assignmentCounts(drifted, "vec_id", "embedding", cents2))
+    val after = Similarity.codebookStaleness(ref2,
+      phased("post_retrain_vs_v2"), "vec_id", "embedding", "phase", cents2)
+    before.unionByName(after)
+  }
+
+  private val driftedCorpusSql: String =
+    """SELECT vec_id,
+      |       CASE WHEN vec_id % 3 = 0
+      |            THEN list_sort(CAST(embedding AS DOUBLE[]))
+      |            ELSE CAST(embedding AS DOUBLE[]) END AS embedding
+      |FROM embeddings""".stripMargin
+
+  // one argmin-assignment histogram: components CTE vs codebook CTE
+  private def assignHistSql(comps: String, cents: String): String =
+    s"""SELECT cid, CAST(count(*) AS BIGINT) AS n FROM (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |           row_number() OVER (PARTITION BY id
+       |                              ORDER BY dist ASC, cid ASC) AS rn
+       |    FROM (SELECT a.id, c.cid,
+       |                 CAST(sum((a.qs - c.cq) * (a.qs - c.cq)) AS BIGINT)
+       |                   AS dist
+       |          FROM $comps a JOIN $cents c ON c.dim = a.dim
+       |          GROUP BY 1, 2))
+       |  WHERE rn = 1) GROUP BY cid""".stripMargin
+
+  val codebookRetrainSql: String =
+    s"""WITH ${lloydCtes(3, 16, "0")},
+       |${lloydCtesFrom(3, 16, "0", driftedCorpusSql, "d")},
+       |h1 AS (${assignHistSql("lcomp", "lc3")}),
+       |h2 AS (${assignHistSql("dlcomp", "lc3")}),
+       |h3 AS (${assignHistSql("dlcomp", "dlc3")}),
+       |cell1 AS (SELECT DISTINCT cid FROM lc3),
+       |cell2 AS (SELECT DISTINCT cid FROM dlc3),
+       |j AS (
+       |  SELECT 'drifted_vs_v1' AS phase, cell1.cid,
+       |         coalesce(h1.n, 0) AS n_ref, coalesce(h2.n, 0) AS n_cur,
+       |         (SELECT CAST(sum(n) AS BIGINT) FROM h1) AS nt_ref,
+       |         (SELECT CAST(sum(n) AS BIGINT) FROM h2) AS nt_cur,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM cell1) AS ncells
+       |  FROM cell1 LEFT JOIN h1 USING (cid) LEFT JOIN h2 USING (cid)
+       |  UNION ALL
+       |  SELECT 'post_retrain_vs_v2', cell2.cid,
+       |         coalesce(h3.n, 0), coalesce(h3.n, 0),
+       |         (SELECT CAST(sum(n) AS BIGINT) FROM h3),
+       |         (SELECT CAST(sum(n) AS BIGINT) FROM h3),
+       |         (SELECT CAST(count(*) AS BIGINT) FROM cell2)
+       |  FROM cell2 LEFT JOIN h3 USING (cid)),
+       |k AS (SELECT phase, cid, n_ref, n_cur,
+       |             (CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + ncells AS DOUBLE)
+       |              - CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + ncells AS DOUBLE))
+       |             * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + ncells AS DOUBLE))
+       |                  / (CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + ncells AS DOUBLE)))
+       |               AS c
+       |      FROM j)
+       |SELECT phase, cid, n_ref, n_cur,
+       |       floor(c * 1000000.0 + 0.5) / 1000000.0 AS contrib,
+       |       floor(sum(c) OVER (PARTITION BY phase ORDER BY cid ASC
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |             * 1000000.0 + 0.5) / 1000000.0 AS psi_cum,
+       |       CAST(CASE WHEN floor(sum(c) OVER (PARTITION BY phase)
        |                        * 1000000.0 + 0.5) / 1000000.0 > 0.2
        |                 THEN 1 ELSE 0 END AS BIGINT) AS stale
        |FROM k""".stripMargin
@@ -6262,6 +6368,7 @@ object OpsQueries {
     "q238_audio_dedup" -> audioDedupQ _,
     "q239_audio_dedup_calibration" -> audioCalibrationQ _,
     "q240_codebook_psi_staleness" -> codebookStalenessQ _,
+    "q241_codebook_retrain_psi" -> codebookRetrainQ _,
     "q226_dim_variance" -> dimVarianceQ _,
     "q26_rplsh_knn" -> rpLshKnn _,
     "q27_fingerprints" -> fingerprints _,
@@ -6420,6 +6527,7 @@ object OpsQueries {
     "q238_audio_dedup" -> audioDedupSql,
     "q239_audio_dedup_calibration" -> audioCalibrationSql,
     "q240_codebook_psi_staleness" -> codebookStalenessSql,
+    "q241_codebook_retrain_psi" -> codebookRetrainSql,
     "q226_dim_variance" -> dimVarianceSql,
     "q26_rplsh_knn" -> rpLshKnnSql,
     "q27_fingerprints" -> fingerprintsSql,

@@ -1629,6 +1629,21 @@ class PlanSpec extends SparkSpec {
       s"PSI windows must partition by scenario:\n$p")
   }
 
+  test("codebook retrain lifecycle: both phases broadcast, keyed joins, windows stay k-row") {
+    val p = plan(OpsQueries.codebookRetrainQ(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"both codebooks must broadcast onto their assignment scans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // each phase is a single-codebook staleness frame, so its LITERAL
+    // phase key constant-folds out of the window spec: the plan shows
+    // exactly 4 partition-free windows (psi_cum + total, × 2 phases),
+    // every one over a ≤ k-row cell summary — the intentional
+    // metadata-scale exception (q184 posture), pinned here so a real
+    // corpus-sized global window cannot hide behind it
+    assert(unpartitionedWindows(p) == 4,
+      s"expected exactly the 4 k-row PSI windows:\n$p")
+  }
+
   test("incremental curate: Jaccard stage semi-prunes BOTH persisted tables to candidates") {
     // the VERDICT r12 #1 posture: per increment the verification join
     // must touch candidate rows of the persisted postings/sizes tables,
