@@ -1077,6 +1077,132 @@ object OpsQueries {
        |         AS recall
        |FROM truth GROUP BY mag""".stripMargin
 
+  /** q242: VIDEO near-dup dedup — the leg completing the multimodal
+    * triad (q237 images, q238 audio): 240 synthetic videos
+    * ([[graft.ops.Multimodal.syntheticVideo]]: 60 bases × 4
+    * generations, 8 real PNG frames each in a length-prefixed
+    * container) are demuxed row-locally
+    * ([[graft.ops.Multimodal.demuxVideo]]), every frame decoded with
+    * the REAL ImageIO codec and fingerprinted with
+    * [[graft.ops.Multimodal.dHash64]], then paired at the FRAME level
+    * by the 4×16 pigeonhole Hamming band join
+    * ([[graft.ops.Dedup.hammingPairs64]] on composite ids
+    * video·8+frame, radius 3) with ±1 TEMPORAL TOLERANCE
+    * (|frame_a − frame_b| ≤ 1), and rolled up per video pair:
+    * `n_frames_matched` = distinct matched frames of the lower video,
+    * `detected` = matched ≥ 6 of 8. The tolerance is the point —
+    * generation 2 is a one-frame temporal shift that an
+    * exact-alignment matcher detects at recall 0 (OpsSpec pins it)
+    * while this matcher recovers 54/60; generation 1 (sparse pixel
+    * bump) lands 57/60 and generation 3 (dense 3× bump) is the
+    * must-miss control at 0/60. The oracle replays pixels → dHash
+    * arithmetically (PNG is lossless) and pairs NAIVELY all-pairs, so
+    * the green gate is simultaneously a demux→decode→dHash
+    * losslessness proof and a banding completeness proof.
+    *
+    * Scale: demux+decode+hash is row-local mapPartitions (codec init
+    * amortizes per partition); only 8-byte per-frame signatures
+    * shuffle, never frames — the q237/q238 posture, ×frames.
+    */
+  def videoDedupQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nBases = 60
+    val k = Multimodal.VideoFrames
+    val frames = s.range((nBases * 4).toLong).as[Long].mapPartitions { ids =>
+      ids.flatMap { id =>
+        val blob = Multimodal.syntheticVideo(id, nBases)
+        val fs = Multimodal.demuxVideo(blob).getOrElse(
+          throw new IllegalStateException(s"synthetic video $id must demux"))
+        fs.iterator.zipWithIndex.map { case (png, f) =>
+          val img = Multimodal.decodeImage(png).getOrElse(
+            throw new IllegalStateException(s"frame $f of video $id must decode"))
+          (id * k + f, Multimodal.dHash64(img))
+        }
+      }
+    }.toDF("fid", "dhash")
+    Dedup.hammingPairs64(frames, "fid", "dhash", maxHamming = 3)
+      .select(expr(s"doc_a div $k").as("video_a"), (col("doc_a") % k).as("fa"),
+        expr(s"doc_b div $k").as("video_b"), (col("doc_b") % k).as("fb"),
+        col("hamming").cast("long").as("hm"))
+      .filter(col("video_a") < col("video_b") &&
+        abs(col("fa") - col("fb")) <= 1)
+      .groupBy(col("video_a"), col("video_b"))
+      .agg(countDistinct(col("fa")).as("n_frames_matched"),
+        count(lit(1)).as("n_frame_pairs"),
+        sum(col("hm")).as("sum_hamming"),
+        min(col("hm")).as("min_hamming"))
+      .select(col("video_a"), col("video_b"), col("n_frames_matched"),
+        col("n_frame_pairs"), col("sum_hamming"), col("min_hamming"),
+        (col("n_frames_matched") >= 6).cast("long").as("detected"),
+        (col("video_a") % nBases === col("video_b") % nBases)
+          .cast("long").as("same_base"),
+        expr(s"video_b div $nBases").as("gen"))
+  }
+
+  /** DuckDB replay of [[graft.ops.Multimodal.syntheticVideo]]'s pixel
+    * arithmetic → per-frame dHash → NAIVE all-pairs frame matching
+    * with the same ±1 temporal tolerance and per-video-pair rollup. */
+  lazy val videoDedupSql: String =
+    s"""WITH ids AS (SELECT unnest(range(0, 240)) AS id),
+       |vm AS (SELECT id, id % 60 AS base, id // 60 AS mag FROM ids),
+       |pv AS (SELECT id, base, mag,
+       |              CASE WHEN mag = 2 THEN 1 ELSE 0 END AS shft,
+       |              CASE WHEN mag = 0 THEN 0 WHEN mag = 3 THEN 5 ELSE 29 END AS step,
+       |              CASE WHEN mag = 0 THEN 0 WHEN mag = 3 THEN 3 ELSE 1 END AS pmag,
+       |              base % 5 + 8 AS w, base % 4 + 6 AS h
+       |       FROM vm),
+       |fr AS (SELECT id, base, shft, step, pmag, w, h,
+       |              unnest(range(0, 8)) AS f
+       |       FROM pv),
+       |fc AS (SELECT id, base, step, pmag, w, h, f,
+       |              greatest(f - shft, 0) AS c
+       |       FROM fr),
+       |grid AS (SELECT id, base, step, pmag, w, h, f, c,
+       |                unnest(range(0, 8)) AS j
+       |         FROM fc),
+       |cell AS (SELECT id, base, step, pmag, w, h, f, c, j,
+       |                unnest(range(0, 9)) AS i
+       |         FROM grid),
+       |pos AS (SELECT id, base, step, pmag, w, f, c, j, i,
+       |               CASE WHEN i = 0 THEN 0 ELSE (i * w) // 9 END AS x,
+       |               (j * h) // 8 AS y
+       |        FROM cell),
+       |lum AS (
+       |  SELECT id, f, j, i,
+       |         ((CASE WHEN step > 0 AND (x + y * w + id + c) % step = 0
+       |                THEN ((base * 7 + c * 53 + x * 13 + y * 31) % 256
+       |                      + pmag * 40) % 256
+       |                ELSE (base * 7 + c * 53 + x * 13 + y * 31) % 256 END) * 299
+       |          + ((base * 11 + c * 71 + x * 3 + y * 5) % 256) * 587
+       |          + ((base * 13 + c * 89 + x * 17 + y * 7) % 256) * 114) // 1000 AS l
+       |  FROM pos),
+       |bits AS (
+       |  SELECT a.id, a.f,
+       |         sum(CASE WHEN b.l > a.l
+       |                  THEN CAST(1 AS HUGEINT) << CAST(a.j * 8 + a.i AS INTEGER)
+       |                  ELSE CAST(0 AS HUGEINT) END) AS usig
+       |  FROM lum a JOIN lum b ON b.id = a.id AND b.f = a.f AND b.j = a.j
+       |                       AND b.i = a.i + 1
+       |  GROUP BY a.id, a.f),
+       |sg AS (SELECT id, f, ${toSignedU64("usig")} AS dh FROM bits),
+       |mp AS (
+       |  SELECT a.id AS video_a, a.f AS fa, b.id AS video_b,
+       |         CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hm
+       |  FROM sg a JOIN sg b
+       |    ON a.id < b.id AND abs(a.f - b.f) <= 1
+       |  WHERE bit_count(xor(a.dh, b.dh)) <= 3)
+       |SELECT video_a, video_b,
+       |       CAST(count(DISTINCT fa) AS BIGINT) AS n_frames_matched,
+       |       CAST(count(*) AS BIGINT) AS n_frame_pairs,
+       |       CAST(sum(hm) AS BIGINT) AS sum_hamming,
+       |       min(hm) AS min_hamming,
+       |       CAST(CASE WHEN count(DISTINCT fa) >= 6 THEN 1 ELSE 0 END
+       |            AS BIGINT) AS detected,
+       |       CAST(CASE WHEN video_a % 60 = video_b % 60 THEN 1 ELSE 0 END
+       |            AS BIGINT) AS same_base,
+       |       video_b // 60 AS gen
+       |FROM mp GROUP BY video_a, video_b""".stripMargin
+
   /** BPE merge induction over the documents corpus
     * ([[Corpus.bpeMerges]], 3 rounds): learned merge table + post-
     * merge token frequencies. The oracle unrolls the identical rounds
@@ -6367,6 +6493,7 @@ object OpsQueries {
     "q237_image_dedup" -> imageDedupQ _,
     "q238_audio_dedup" -> audioDedupQ _,
     "q239_audio_dedup_calibration" -> audioCalibrationQ _,
+    "q242_video_dedup" -> videoDedupQ _,
     "q240_codebook_psi_staleness" -> codebookStalenessQ _,
     "q241_codebook_retrain_psi" -> codebookRetrainQ _,
     "q226_dim_variance" -> dimVarianceQ _,
@@ -6526,6 +6653,7 @@ object OpsQueries {
     "q237_image_dedup" -> imageDedupSql,
     "q238_audio_dedup" -> audioDedupSql,
     "q239_audio_dedup_calibration" -> audioCalibrationSql,
+    "q242_video_dedup" -> videoDedupSql,
     "q240_codebook_psi_staleness" -> codebookStalenessSql,
     "q241_codebook_retrain_psi" -> codebookRetrainSql,
     "q226_dim_variance" -> dimVarianceSql,

@@ -415,6 +415,101 @@ object Multimodal {
       }
   }
 
+  /** Frames per synthetic video ([[syntheticVideo]]). */
+  val VideoFrames = 8
+
+  /** Container magic for the synthetic video format ("GVID"). */
+  val VideoMagic = 0x47564944
+
+  /** Deterministic synthetic "video" with PLANTED near-duplicates —
+    * the video leg completing the multimodal near-dup triad
+    * ([[syntheticPngVariant]] images / [[syntheticWav]] audio): a
+    * length-prefixed container (int32 magic, int32 frame count, then
+    * per frame int32 length + a REAL PNG) of [[VideoFrames]] frames
+    * whose dims and every pixel are integer arithmetic on
+    * (base, generation, frame content c, x, y). id's video perturbs
+    * base `id % nBases` (ids below nBases are the bases), generation
+    * `mag = id / nBases`:
+    *
+    *  - mag 1 — sparse 1-in-29 pixel red bump of +40: a near-dup that
+    *    a per-frame Hamming-3 matcher must detect;
+    *  - mag 2 — the SAME sparse bump plus a TEMPORAL SHIFT of one
+    *    frame (frame f displays content max(f−1, 0)) — invisible to an
+    *    exact-alignment matcher, detectable only with ±1 frame
+    *    tolerance (OpsSpec pins exact-alignment recall = 0 on it);
+    *  - mag 3 — a dense (1-in-5) 3×-magnitude bump (+120) that drifts
+    *    every video out of radius (the must-miss control).
+    *
+    * PNG is lossless, so a SQL oracle reproduces every frame's pixel
+    * stream — and therefore every dHash bit — with no codec.
+    */
+  def syntheticVideo(id: Long, nBases: Int): Array[Byte] = {
+    val base = id % nBases
+    val mag = id / nBases
+    val shift = if (mag == 2) 1 else 0
+    val (step, pmag) =
+      if (mag == 0) (0L, 0L) else if (mag == 3) (5L, 3L) else (29L, 1L)
+    val w = (base % 5 + 8).toInt
+    val h = (base % 4 + 6).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(VideoMagic)
+    out.writeInt(VideoFrames)
+    var f = 0
+    while (f < VideoFrames) {
+      val c = math.max(f - shift, 0).toLong
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r0 = (base * 7 + c * 53 + x * 13 + y * 31) % 256
+          val r = if (step > 0 && (x + y * w + id + c) % step == 0)
+            (r0 + pmag * 40) % 256 else r0
+          val g = (base * 11 + c * 71 + x * 3 + y * 5) % 256
+          val b = (base * 13 + c * 89 + x * 17 + y * 7) % 256
+          img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b.toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val png = encodePng(img)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Demux the [[syntheticVideo]] container: magic + frame count +
+    * length-prefixed frames, every length bounds-checked against the
+    * remaining bytes. None for anything that doesn't parse — the
+    * [[decodeImage]] degrade contract (a corrupt container downgrades
+    * its row, never kills the stage).
+    */
+  def demuxVideo(bytes: Array[Byte]): Option[Array[Array[Byte]]] =
+    try {
+      if (bytes == null || bytes.length < 8) return None
+      val in = java.nio.ByteBuffer.wrap(bytes)
+      if (in.getInt() != VideoMagic) return None
+      val n = in.getInt()
+      if (n < 0 || n > 4096) return None
+      val out = new Array[Array[Byte]](n)
+      var f = 0
+      while (f < n) {
+        if (in.remaining() < 4) return None
+        val len = in.getInt()
+        if (len < 0 || len > in.remaining()) return None
+        val buf = new Array[Byte](len)
+        in.get(buf)
+        out(f) = buf
+        f += 1
+      }
+      if (in.remaining() != 0) None else Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Frame sampling for "video" rows: split the blob into `n_frames`
     * chunks and emit (media_id, frame_idx, frame_bytes) — the
     * explode-shaped generator a real frame sampler produces.

@@ -1604,6 +1604,15 @@ class PlanSpec extends SparkSpec {
     assert(unpartitionedWindows(p) == 0, s"no global window belongs here:\n$p")
   }
 
+  test("video dedup: banded equi join on per-frame 8-byte signatures — no cartesian, no window") {
+    val p = plan(OpsQueries.videoDedupQ(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"frame pairing must ride the (band, value) equi join, never all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"frame pairing must ride the (band, value) equi join, never all-pairs:\n$p")
+    assert(unpartitionedWindows(p) == 0, s"no global window belongs here:\n$p")
+  }
+
   test("multi-view coarse PIT: TTL-less feature side pre-reduces UNDER its join; full∪partial union; no window") {
     val p = plan(Queries.pitMultiViewCoarse(spark, sf0001))
     // the coarse valve engaged: the day-bucket pre-reduce aggregate

@@ -1184,6 +1184,83 @@ class OpsSpec extends SparkSpec {
       "banding must be complete at every magnitude")
   }
 
+  test("video container: demux recovers every PNG frame exactly; garbage degrades to None") {
+    val nBases = 60
+    for (id <- Seq(0L, 59L, 60L, 137L, 239L)) {
+      val blob = Multimodal.syntheticVideo(id, nBases)
+      val frames = Multimodal.demuxVideo(blob)
+      assert(frames.isDefined, s"video $id must demux")
+      assert(frames.get.length === Multimodal.VideoFrames)
+      val base = id % nBases
+      frames.get.zipWithIndex.foreach { case (png, f) =>
+        val img = Multimodal.decodeImage(png)
+        assert(img.isDefined, s"frame $f of video $id must decode")
+        assert(img.get.getWidth === (base % 5 + 8).toInt &&
+          img.get.getHeight === (base % 4 + 6).toInt,
+          s"frame $f of video $id has wrong dims")
+      }
+    }
+    // degrade contracts: junk, truncation, and a lying frame length all
+    // parse to None (downgrade the row), never throw
+    assert(Multimodal.demuxVideo(null).isEmpty)
+    assert(Multimodal.demuxVideo("not a video".getBytes).isEmpty)
+    val good = Multimodal.syntheticVideo(0L, nBases)
+    assert(Multimodal.demuxVideo(good.take(good.length / 2)).isEmpty,
+      "truncated container must degrade, not throw")
+    val lying = good.clone()
+    lying(8) = 0x7f.toByte // first frame length prefix -> absurd
+    assert(Multimodal.demuxVideo(lying).isEmpty,
+      "frame length beyond remaining bytes must degrade, not throw")
+  }
+
+  test("video near-dup: ±1 temporal tolerance recovers shifted variants exact alignment misses") {
+    val nBases = 60
+    val k = Multimodal.VideoFrames
+    // driver-side per-frame signatures straight from the real
+    // demux -> decode -> dHash chain
+    val sig: Map[(Long, Int), Long] = (0L until 240L).flatMap { id =>
+      Multimodal.demuxVideo(Multimodal.syntheticVideo(id, nBases)).get
+        .zipWithIndex.map { case (png, f) =>
+          (id, f) -> Multimodal.dHash64(Multimodal.decodeImage(png).get)
+        }
+    }.toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // per generation: videos whose planted variant matches >= 6 of the
+    // base's 8 frames, under exact alignment vs ±1 tolerance
+    def detected(gen: Int, tol: Int): Int = (0 until nBases).count { b =>
+      val v = b + gen * nBases
+      (0 until k).count { fa =>
+        (math.max(fa - tol, 0) to math.min(fa + tol, k - 1)).exists { fb =>
+          ham(sig((b.toLong, fa)), sig((v.toLong, fb))) <= 3
+        }
+      } >= 6
+    }
+    // the graded planted structure (sim-derived, integer-exact):
+    // gen 1 (sparse pixel bump): in-radius frame-wise — detected both ways
+    assert(detected(1, 1) >= 55, s"gen-1 recall collapsed: ${detected(1, 1)}/60")
+    // gen 2 (same bump + one-frame temporal shift): the tolerance IS the
+    // detector — exact alignment sees nothing
+    assert(detected(2, 0) === 0,
+      s"exact alignment must miss the shifted generation: ${detected(2, 0)}")
+    assert(detected(2, 1) >= 50,
+      s"±1 tolerance must recover the shifted generation: ${detected(2, 1)}/60")
+    // gen 3 (dense 3x bump): the must-miss control
+    assert(detected(3, 1) === 0,
+      s"heavy drift must stay out of radius: ${detected(3, 1)}")
+    // the distributed rollup agrees with the driver-side count per gen
+    // (video_a < nBases anchors each pair at the unperturbed base —
+    // same_base also covers variant↔variant pairs of one base)
+    val q = graft.OpsQueries.videoDedupQ(spark, sf0001)
+      .filter(col("same_base") === 1L && col("detected") === 1L &&
+        col("video_a") < nBases.toLong)
+      .groupBy(col("gen")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q.getOrElse(1L, 0L) === detected(1, 1).toLong &&
+      q.getOrElse(2L, 0L) === detected(2, 1).toLong &&
+      q.getOrElse(3L, 0L) === 0L,
+      s"distributed rollup disagrees with driver-side truth: $q")
+  }
+
   test("real resize: nearest-neighbor pixel mapping survives the PNG re-encode") {
     // 4x4 image, pixel value encodes its coordinates; resize to 2x2
     // picks in(0,0), in(2,0), in(0,2), in(2,2)
