@@ -415,6 +415,17 @@ object Multimodal {
       }
   }
 
+  /** Version key for the media fingerprint chain (syntheticWav →
+    * decodeWav → audioFingerprint64, syntheticPng* → dHash64). Bump the
+    * digit on ANY change to those functions: cached signature artifacts
+    * (OpsQueries.servedArtifact) embed this in their name, so a bump
+    * orphans-and-prunes artifacts computed by superseded fingerprint
+    * code instead of serving them to a hash gate that will fail. The
+    * "t<digits>" shape is the ArtifactStore prune format (the same
+    * contract as [[graft.ops.Similarity.TrainingCodeVersion]]).
+    */
+  val FingerprintCodeVersion: String = "t1"
+
   /** Frames per synthetic video ([[syntheticVideo]]). */
   val VideoFrames = 8
 
