@@ -571,6 +571,25 @@ class StreamingSpec extends SparkSpec {
         assert(a2("a")._4 === 0L && a2("c")._4 === 0L)
         assert(a2("b") === ((1L, Some(wm1), Some(48L), 1L)),
           "the undelivered key must lag the advanced watermark past the SLA")
+        // sub-hour cadence: a 59-minute drop advances the watermark to a
+        // non-hour-aligned instant — lag_hours is FLOOR division, so c
+        // (59 min behind) must read 0 and b must still read 48 (48h59m)
+        drop(("a", "2024-01-03 10:59:00", 11.0))
+        q.processAllAvailable()
+        val a3 = auditMap()
+        assert(a3("a")._2 === Some(wm2 + 59L * 60L * 1000000L),
+          "watermark must advance by the sub-hour drop")
+        assert(a3("c") === ((1L, Some(wm2), Some(0L), 0L)),
+          "a 59-minute lag must truncate to 0 hours, not round up")
+        assert(a3("b")._3 === Some(48L) && a3("b")._4 === 1L,
+          "48h59m must floor to 48, not round to 49")
+        // and two minutes later the same key crosses the hour boundary
+        drop(("a", "2024-01-03 11:01:00", 12.0))
+        q.processAllAvailable()
+        val a4 = auditMap()
+        assert(a4("c")._3 === Some(1L),
+          "a 61-minute lag must truncate to exactly 1 hour")
+        assert(a4("b")._3 === Some(49L))
       } finally q.stop()
     } finally server.close()
   }
