@@ -2949,6 +2949,90 @@ object OpsQueries {
        |${curationSql.linesIterator.map("  " + _).mkString("\n")}
        |) q GROUP BY source""".stripMargin
 
+  /** q243: ingest-side distribution drift monitor over arrival batches
+    * ([[graft.pipelines.TrainingDataPipeline.driftIncrement]]) — the
+    * q240 staleness posture applied to the CURATION INGEST, closing the
+    * lifecycle loop from the other side: q235b proves arrivals curate
+    * incrementally; this watches whether an arrival is distributionally
+    * unlike everything already curated. Four natural arrival slices
+    * (the q235 id-range contract) plus a PLANTED DEGRADED arrival
+    * (batch 0's docs truncated to 64 chars — the classic broken-crawl
+    * signature: mass collapses into the first length buckets) run
+    * through the persisted-histogram monitor; per batch the Laplace-
+    * smoothed PSI of the increment vs the SUM of prior arrivals'
+    * persisted histograms is emitted as a per-bucket curve with the
+    * running psi_cum and the > 0.25 alarm flag. Natural arrivals stay
+    * quiet; the degraded arrival fires (OpsSpec pins the contrast).
+    *
+    * Scale: each arrival is scanned ONCE row-locally for its
+    * histogram; the carried state is ~16 rows per arrival; the PSI
+    * stage is O(batches·buckets) joins of broadcast metadata frames —
+    * O(increment), never O(corpus), per arrival (the VERDICT r12 #1
+    * contract). The one window is partitioned by batch (16-row
+    * frames), never global.
+    */
+  def ingestDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    // bounded driver valve: one max() scalar cuts the arrival ranges
+    // (the q235 posture; ids are assigned at arrival)
+    val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+    val width = maxId / 4 + 1
+    val natural = (0L until 4L).map(b =>
+      d.filter(col("doc_id") >= b * width && col("doc_id") < (b + 1) * width))
+    val degraded = natural.head.select(
+      (col("doc_id") + maxId + 1L).as("doc_id"),
+      substring(col("text"), 1, 64).as("text"))
+    graft.pipelines.TrainingDataPipeline
+      .ingestDriftAudit(natural :+ degraded, "text")
+  }
+
+  val ingestDriftSql: String =
+    s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+       |sl AS (SELECT text, CAST(doc_id // (m // 4 + 1) AS BIGINT) AS b
+       |       FROM documents, mx),
+       |al AS (SELECT text, b FROM sl
+       |       UNION ALL
+       |       SELECT substr(text, 1, 64) AS text, CAST(4 AS BIGINT) AS b
+       |       FROM sl WHERE b = 0),
+       |h AS (SELECT b, least(15, length(text) // 64) AS bucket,
+       |             CAST(count(*) AS BIGINT) AS n
+       |      FROM al GROUP BY b, least(15, length(text) // 64)),
+       |t AS (SELECT unnest(range(1, 5)) AS batch),
+       |grid AS (SELECT batch, unnest(range(0, 16)) AS bucket FROM t),
+       |ref AS (SELECT t.batch, h.bucket, CAST(sum(h.n) AS BIGINT) AS n_ref
+       |        FROM t JOIN h ON h.b < t.batch GROUP BY t.batch, h.bucket),
+       |reft AS (SELECT batch, CAST(sum(n_ref) AS BIGINT) AS nt_ref
+       |         FROM ref GROUP BY batch),
+       |cur AS (SELECT b AS batch, bucket, n AS n_cur FROM h WHERE b >= 1),
+       |curt AS (SELECT batch, CAST(sum(n_cur) AS BIGINT) AS nt_cur
+       |         FROM cur GROUP BY batch),
+       |j AS (SELECT g.batch, g.bucket,
+       |             COALESCE(r.n_ref, 0) AS n_ref,
+       |             COALESCE(c.n_cur, 0) AS n_cur,
+       |             rt.nt_ref, ct.nt_cur
+       |      FROM grid g
+       |      LEFT JOIN ref r ON r.batch = g.batch AND r.bucket = g.bucket
+       |      LEFT JOIN cur c ON c.batch = g.batch AND c.bucket = g.bucket
+       |      JOIN reft rt ON rt.batch = g.batch
+       |      JOIN curt ct ON ct.batch = g.batch),
+       |k AS (SELECT batch, bucket, n_ref, n_cur,
+       |             (CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + 16 AS DOUBLE)
+       |              - CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + 16 AS DOUBLE))
+       |             * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + 16 AS DOUBLE))
+       |                  / (CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + 16 AS DOUBLE)))
+       |               AS raw
+       |      FROM j),
+       |w AS (SELECT batch, bucket, n_ref, n_cur,
+       |             floor(raw * 1000000.0 + 0.5) / 1000000.0 AS contrib,
+       |             floor(sum(raw) OVER (PARTITION BY batch ORDER BY bucket
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |               * 1000000.0 + 0.5) / 1000000.0 AS psi_cum
+       |      FROM k)
+       |SELECT batch, bucket, n_ref, n_cur, contrib, psi_cum,
+       |       CAST(CASE WHEN max(psi_cum) OVER (PARTITION BY batch) > 0.25
+       |            THEN 1 ELSE 0 END AS BIGINT) AS drift
+       |FROM w""".stripMargin
+
   /** Document fingerprints via the custom codegen expressions
     * (rolling_hash + simhash64). The mod-2⁶⁴ arithmetic IS replayable in
     * DuckDB: HUGEINT (int128) carries the unsigned-64 domain, `%` takes
@@ -6511,6 +6595,7 @@ object OpsQueries {
     "q238_audio_dedup" -> audioDedupQ _,
     "q239_audio_dedup_calibration" -> audioCalibrationQ _,
     "q242_video_dedup" -> videoDedupQ _,
+    "q243_ingest_drift" -> ingestDriftQ _,
     "q240_codebook_psi_staleness" -> codebookStalenessQ _,
     "q241_codebook_retrain_psi" -> codebookRetrainQ _,
     "q226_dim_variance" -> dimVarianceQ _,
@@ -6671,6 +6756,7 @@ object OpsQueries {
     "q238_audio_dedup" -> audioDedupSql,
     "q239_audio_dedup_calibration" -> audioCalibrationSql,
     "q242_video_dedup" -> videoDedupSql,
+    "q243_ingest_drift" -> ingestDriftSql,
     "q240_codebook_psi_staleness" -> codebookStalenessSql,
     "q241_codebook_retrain_psi" -> codebookRetrainSql,
     "q226_dim_variance" -> dimVarianceSql,

@@ -360,4 +360,111 @@ object TrainingDataPipeline {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
   }
+
+  /** ONE arrival through the ingest-side distribution drift monitor —
+    * the codebook-staleness posture (q240) applied to the CURATION
+    * INGEST: is this crawl slice distributionally unlike everything
+    * already curated? Each arrival pays ONE row-local pass over the
+    * increment to build a fixed-width text-length histogram
+    * (`bucket = least(nBuckets−1, length div bucketWidth)` — exact
+    * integer arithmetic), persists it as a new `lenhist/batch=N`
+    * partition (bucket-domain-sized: the state is ~nBuckets rows per
+    * arrival, never documents), and computes the Laplace-smoothed PSI
+    * of this arrival against the SUM of all prior arrivals' persisted
+    * histograms — O(increment) scan + O(batches·buckets) state math,
+    * the [[curateIncrement]] scale contract. Returns the per-bucket
+    * drift curve: (batch, bucket, n_ref, n_cur, contrib, psi_cum,
+    * drift), empty for batch 0 (no reference yet; its histogram is
+    * still persisted). `drift` = total PSI (psi_cum at the last
+    * bucket — contributions are non-negative, so the running sum's max
+    * IS the total) > 0.25, the standard PSI alarm line.
+    *
+    * Gate discipline ([[graft.transform.Stats.psiByKey]]): every
+    * probability is one division of exact integers, `ln` is the one
+    * ±1-ulp step absorbed by pround(6) on a batches×buckets-bounded
+    * output, and the headline PSI rides a RUNNING window sum in pinned
+    * bucket order (partitioned by batch — never a global window).
+    * Retry-idempotent like the dedup state: a re-run of the same
+    * batchId overwrites its own partition and reads the same prior
+    * state.
+    */
+  def driftIncrement(newDocs: DataFrame, textCol: String, stateDir: String,
+      batchId: Long, nBuckets: Int = 16, bucketWidth: Long = 64L): DataFrame = {
+    require(nBuckets >= 2 && bucketWidth >= 1L,
+      "driftIncrement needs >= 2 buckets of positive width")
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    import graft.util.Rounding.pround
+    val histDir = s"$stateDir/lenhist"
+    newDocs
+      .select(expr(s"least(cast(${nBuckets - 1} as bigint), " +
+        s"cast(length($textCol) as bigint) div $bucketWidth)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$histDir/batch=$batchId")
+    if (batchId == 0L)
+      return Seq.empty[(Long, Long, Long, Long, Double, Double, Long)]
+        .toDF("batch", "bucket", "n_ref", "n_cur", "contrib", "psi_cum",
+          "drift")
+    val ref = spark.read.parquet(histDir).filter(col("batch") < batchId)
+      .groupBy(col("bucket")).agg(sum(col("n")).as("n_ref"))
+    val cur = spark.read.parquet(s"$histDir/batch=$batchId")
+      .withColumnRenamed("n", "n_cur")
+    val refTot = ref.agg(sum(col("n_ref")).as("nt_ref"))
+    val curTot = cur.agg(sum(col("n_cur")).as("nt_cur"))
+    val p = (col("n_ref") + 1).cast("double") /
+      (col("nt_ref") + nBuckets).cast("double")
+    val q = (col("n_cur") + 1).cast("double") /
+      (col("nt_cur") + nBuckets).cast("double")
+    val contrib = (p - q) * log(p / q)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("batch")).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = Window.partitionBy(col("batch"))
+    spark.range(nBuckets).toDF("bucket")
+      .join(broadcast(ref), Seq("bucket"), "left")
+      .join(broadcast(cur), Seq("bucket"), "left")
+      .crossJoin(broadcast(refTot))
+      .crossJoin(broadcast(curTot))
+      .select(lit(batchId).as("batch"), col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        col("nt_ref"), col("nt_cur"))
+      .select(col("batch"), col("bucket"), col("n_ref"), col("n_cur"),
+        pround(contrib, 6).as("contrib"),
+        pround(sum(contrib).over(w), 6).as("psi_cum"))
+      .withColumn("drift",
+        (max(col("psi_cum")).over(wb) > 0.25).cast("long"))
+  }
+
+  /** Arrival-loop composition of [[driftIncrement]] (the
+    * [[incrementalCurate]]-to-[[curateIncrement]] relationship): run
+    * each arrival through the persisted-histogram monitor in order and
+    * return the concatenated drift curves (batches 1..n — batch 0 has
+    * no reference). The result is eagerly checkpointed before any
+    * owned temp state is deleted.
+    */
+  def ingestDriftAudit(arrivals: Seq[DataFrame], textCol: String,
+      stateDir: Option[String] = None, nBuckets: Int = 16,
+      bucketWidth: Long = 64L): DataFrame = {
+    require(arrivals.nonEmpty, "ingestDriftAudit needs at least one arrival")
+    val spark = arrivals.head.sparkSession
+    val ownState = stateDir.isEmpty
+    val root = stateDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-drift-").toString)
+    try {
+      val curves = arrivals.zipWithIndex.map { case (a, b) =>
+        driftIncrement(a, textCol, root, b.toLong, nBuckets, bucketWidth)
+      }
+      // batches×buckets rows: eager checkpoint so the frame survives
+      // the owned-state cleanup below
+      curves.reduce(_ unionByName _).localCheckpoint(true)
+    } finally {
+      if (ownState)
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 }

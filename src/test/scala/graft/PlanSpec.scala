@@ -1613,6 +1613,37 @@ class PlanSpec extends SparkSpec {
     assert(unpartitionedWindows(p) == 0, s"no global window belongs here:\n$p")
   }
 
+  test("ingest drift increment: broadcast metadata joins, batch-partitioned windows only") {
+    // pin the PRE-checkpoint stage (the audit loop checkpoints its
+    // union, truncating explain at LogicalRDD — CLAUDE.md rule)
+    val root = java.nio.file.Files.createTempDirectory("drift-plan-").toString
+    try {
+      import graft.pipelines.TrainingDataPipeline
+      import spark.implicits._
+      def arrival(b: Int) =
+        Seq((b * 10L, "z" * 100), (b * 10L + 1, "z" * 300))
+          .toDF("doc_id", "text")
+      TrainingDataPipeline.driftIncrement(arrival(0), "text", root, 0L).collect()
+      val p = plan(TrainingDataPipeline.driftIncrement(arrival(1), "text", root, 1L))
+      assert(!p.contains("CartesianProduct"),
+        s"only 1-row broadcast scalar attaches belong here:\n$p")
+      // within ONE increment `batch` is a literal, so Catalyst
+      // constant-folds it out of the two window specs (psi_cum + the
+      // drift max — the q241 fold pattern): exactly 2 single-partition
+      // windows over the 16-row bucket grid, metadata scale by
+      // construction. A third would mean someone widened the frame.
+      assert(unpartitionedWindows(p) == 2,
+        s"expected exactly the 2 bucket-grid windows:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the bucket-grid joins against 16-row histograms must broadcast:\n$p")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("multi-view coarse PIT: TTL-less feature side pre-reduces UNDER its join; full∪partial union; no window") {
     val p = plan(Queries.pitMultiViewCoarse(spark, sf0001))
     // the coarse valve engaged: the day-bucket pre-reduce aggregate

@@ -225,6 +225,74 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(pruned.map(_.toSeq).toSeq === full.map(_.toSeq).toSeq)
   }
 
+  test("ingest drift monitor: degraded arrival fires, natural stays quiet, state is bucket-domain-sized") {
+    val root = java.nio.file.Files.createTempDirectory("drift-").toString
+    try {
+      // three natural arrivals with the same length mix, then a
+      // degraded one (all short — the broken-crawl signature)
+      val mix = Seq(50, 130, 200, 260, 350)
+      def arrival(b: Int, lens: Seq[Int]) =
+        lens.zipWithIndex.map { case (l, i) =>
+          (b * 100L + i, "x" * l)
+        }.toDF("doc_id", "text")
+      val natural = (0 until 3).map(b => arrival(b, mix ++ mix))
+      val degraded = arrival(3, Seq.fill(10)(10))
+      val curve = TrainingDataPipeline.ingestDriftAudit(
+        natural :+ degraded, "text", stateDir = Some(root))
+      val byBatch = curve.groupBy(col("batch"))
+        .agg(max(col("psi_cum")).as("psi"), max(col("drift")).as("drift"))
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+        .toMap
+      assert(byBatch.keySet === Set(1L, 2L, 3L), "batch 0 has no reference")
+      // identical length mixes: natural arrivals are quiet
+      assert(byBatch(1L)._2 === 0L && byBatch(2L)._2 === 0L,
+        s"natural arrivals must not alarm: $byBatch")
+      // the degraded arrival fires, and by a wide margin
+      assert(byBatch(3L)._2 === 1L, s"degraded arrival must alarm: $byBatch")
+      assert(byBatch(3L)._1 > 4 * math.max(byBatch(1L)._1, byBatch(2L)._1),
+        s"degraded PSI must dominate the natural ones: $byBatch")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("driftIncrement: persisted histogram state, retry-idempotent, O(increment) reads") {
+    val root = java.nio.file.Files.createTempDirectory("drift-inc-").toString
+    try {
+      def arrival(b: Int, lens: Seq[Int]) =
+        lens.zipWithIndex.map { case (l, i) =>
+          (b * 100L + i, "y" * l)
+        }.toDF("doc_id", "text")
+      TrainingDataPipeline.driftIncrement(
+        arrival(0, Seq(40, 90, 150)), "text", root, 0L).collect()
+      val first = TrainingDataPipeline.driftIncrement(
+        arrival(1, Seq(45, 95, 155)), "text", root, 1L)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      // persisted state is the bucket histogram only — never documents
+      for (b <- Seq(0L, 1L)) {
+        val dir = s"$root/lenhist/batch=$b"
+        assert(new java.io.File(dir).exists, s"missing $dir")
+        val rows = spark.read.parquet(dir)
+        assert(rows.count() <= 16L, "state must be bucket-domain-sized")
+        assert(rows.columns.toSet === Set("bucket", "n"))
+      }
+      // retry of the same arrival overwrites its own partition and
+      // returns the identical curve
+      val retry = TrainingDataPipeline.driftIncrement(
+        arrival(1, Seq(45, 95, 155)), "text", root, 1L)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(retry === first)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("incremental rollup and curate handle an empty corpus (NULL max id)") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
     assert(TrainingDataPipeline
