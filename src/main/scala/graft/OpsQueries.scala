@@ -3033,6 +3033,97 @@ object OpsQueries {
        |            THEN 1 ELSE 0 END AS BIGINT) AS drift
        |FROM w""".stripMargin
 
+  /** q244: the per-arrival PRODUCTION REPORT — the composed lifecycle
+    * readout a crawl operator actually consumes, one row per
+    * (arrival batch, source): how many docs and tokens this arrival
+    * contributed to the curated corpus
+    * ([[graft.pipelines.TrainingDataPipeline.arrivalReports]] — the
+    * incremental curation WITHOUT the merge), joined with the arrival's
+    * ingest-drift readout (psi, alarm flag —
+    * [[graft.pipelines.TrainingDataPipeline.ingestDriftAudit]] over the
+    * same slices; batch 0 has no reference, its psi/drift are NULL).
+    *
+    * The gate is STRONGER than q235b's: the oracle is the ONE-SHOT
+    * curation SQL grouped per batch, so the hash match proves the
+    * per-batch SPLIT of the incremental composition — every arrival's
+    * individual contribution, not just the merged total — equals the
+    * from-scratch recompute (exact-dedup keepers hold their global min
+    * id in their first batch; near-dup losers always lose to a lower
+    * id in an earlier-or-same batch), with the drift columns replayed
+    * per the q243 arithmetic.
+    */
+  def arrivalReportQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.TrainingDataPipeline
+    val d = docs(s, dir)
+    val reports = TrainingDataPipeline.arrivalReports(
+      d, "doc_id", Seq("source"), "n_tokens")
+    val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+    val width = maxId / 4 + 1
+    val slices = (0L until 4L).map(b =>
+      d.filter(col("doc_id") >= b * width && col("doc_id") < (b + 1) * width)
+        .select(col("doc_id"), col("text")))
+    val psum = TrainingDataPipeline.ingestDriftAudit(slices, "text")
+      .groupBy(col("batch"))
+      .agg(max(col("psi_cum")).as("psi"), max(col("drift")).as("drift"))
+    reports.select(col("batch"), col("source"), col("n").as("n_docs"),
+        col("sum_cents").as("sum_tokens"))
+      .join(broadcast(psum), Seq("batch"), "left")
+  }
+
+  lazy val arrivalReportSql: String =
+    s"""WITH cur AS (
+       |  SELECT * FROM (
+       |${curationSql.linesIterator.map("    " + _).mkString("\n")}
+       |  ) q),
+       |mx AS (SELECT max(doc_id) AS m FROM documents),
+       |ka AS (SELECT CAST(c.doc_id // (x.m // 4 + 1) AS BIGINT) AS batch,
+       |              c.source, c.n_tokens
+       |       FROM cur c, mx x),
+       |agg AS (SELECT batch, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |        FROM ka GROUP BY batch, source),
+       |sl AS (SELECT text, CAST(doc_id // (m // 4 + 1) AS BIGINT) AS b
+       |       FROM documents, mx),
+       |hh AS (SELECT b, least(15, length(text) // 64) AS bucket,
+       |              CAST(count(*) AS BIGINT) AS n
+       |       FROM sl GROUP BY b, least(15, length(text) // 64)),
+       |tt AS (SELECT unnest(range(1, 4)) AS batch),
+       |grid AS (SELECT batch, unnest(range(0, 16)) AS bucket FROM tt),
+       |ref AS (SELECT tt.batch, hh.bucket, CAST(sum(hh.n) AS BIGINT) AS n_ref
+       |        FROM tt JOIN hh ON hh.b < tt.batch GROUP BY tt.batch, hh.bucket),
+       |reft AS (SELECT batch, CAST(sum(n_ref) AS BIGINT) AS nt_ref
+       |         FROM ref GROUP BY batch),
+       |cb AS (SELECT b AS batch, bucket, n AS n_cur FROM hh WHERE b >= 1),
+       |cbt AS (SELECT batch, CAST(sum(n_cur) AS BIGINT) AS nt_cur
+       |        FROM cb GROUP BY batch),
+       |jj AS (SELECT g.batch, g.bucket,
+       |              COALESCE(r.n_ref, 0) AS n_ref,
+       |              COALESCE(c.n_cur, 0) AS n_cur,
+       |              rt.nt_ref, ct.nt_cur
+       |       FROM grid g
+       |       LEFT JOIN ref r ON r.batch = g.batch AND r.bucket = g.bucket
+       |       LEFT JOIN cb c ON c.batch = g.batch AND c.bucket = g.bucket
+       |       JOIN reft rt ON rt.batch = g.batch
+       |       JOIN cbt ct ON ct.batch = g.batch),
+       |kk AS (SELECT batch, bucket,
+       |              (CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + 16 AS DOUBLE)
+       |               - CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + 16 AS DOUBLE))
+       |              * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + 16 AS DOUBLE))
+       |                   / (CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + 16 AS DOUBLE)))
+       |                AS raw
+       |       FROM jj),
+       |ww AS (SELECT batch, bucket,
+       |              floor(sum(raw) OVER (PARTITION BY batch ORDER BY bucket
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                * 1000000.0 + 0.5) / 1000000.0 AS psi_cum
+       |       FROM kk),
+       |psum AS (SELECT batch, max(psi_cum) AS psi,
+       |                CAST(CASE WHEN max(psi_cum) > 0.25 THEN 1 ELSE 0 END
+       |                     AS BIGINT) AS drift
+       |         FROM ww GROUP BY batch)
+       |SELECT a.batch, a.source, a.n_docs, a.sum_tokens, p.psi, p.drift
+       |FROM agg a LEFT JOIN psum p ON p.batch = a.batch""".stripMargin
+
   /** Document fingerprints via the custom codegen expressions
     * (rolling_hash + simhash64). The mod-2⁶⁴ arithmetic IS replayable in
     * DuckDB: HUGEINT (int128) carries the unsigned-64 domain, `%` takes
@@ -6596,6 +6687,7 @@ object OpsQueries {
     "q239_audio_dedup_calibration" -> audioCalibrationQ _,
     "q242_video_dedup" -> videoDedupQ _,
     "q243_ingest_drift" -> ingestDriftQ _,
+    "q244_arrival_report" -> arrivalReportQ _,
     "q240_codebook_psi_staleness" -> codebookStalenessQ _,
     "q241_codebook_retrain_psi" -> codebookRetrainQ _,
     "q226_dim_variance" -> dimVarianceQ _,
@@ -6757,6 +6849,7 @@ object OpsQueries {
     "q239_audio_dedup_calibration" -> audioCalibrationSql,
     "q242_video_dedup" -> videoDedupSql,
     "q243_ingest_drift" -> ingestDriftSql,
+    "q244_arrival_report" -> arrivalReportSql,
     "q240_codebook_psi_staleness" -> codebookStalenessSql,
     "q241_codebook_retrain_psi" -> codebookRetrainSql,
     "q226_dim_variance" -> dimVarianceSql,

@@ -225,6 +225,34 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(pruned.map(_.toSeq).toSeq === full.map(_.toSeq).toSeq)
   }
 
+  test("arrival reports: every batch's report == one-shot curation restricted to that batch") {
+    val cfg = TrainingDataPipeline.Config()
+    val got = TrainingDataPipeline
+      .arrivalReports(curateArrivals, "doc_id", Seq("source"), "n_tokens",
+        cfg = cfg)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("batch")), r.getString(0)) ->
+        (r.getLong(r.fieldIndex("n")), r.getLong(r.fieldIndex("sum_cents"))))
+      .toMap
+    // the one-shot recompute, split by the same id-range batching
+    val width = 11L / 4 + 1 // max id 11, 4 batches
+    val oneShot = TrainingDataPipeline.curate(curateArrivals, cfg = cfg)
+      .select(expr(s"doc_id div $width").as("batch"), col("source"),
+        col("n_tokens"))
+      .groupBy(col("batch"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === oneShot,
+      s"per-batch incremental reports must match the one-shot split:\n$got\nvs\n$oneShot")
+    // empty corpus degrades to an empty report with the schema
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val er = TrainingDataPipeline
+      .arrivalReports(empty, "doc_id", Seq("source"), "n_tokens")
+    assert(er.count() === 0L && er.columns.contains("batch"))
+  }
+
   test("ingest drift monitor: degraded arrival fires, natural stays quiet, state is bucket-domain-sized") {
     val root = java.nio.file.Files.createTempDirectory("drift-").toString
     try {
