@@ -3124,6 +3124,29 @@ object OpsQueries {
        |SELECT a.batch, a.source, a.n_docs, a.sum_tokens, p.psi, p.drift
        |FROM agg a LEFT JOIN psum p ON p.batch = a.batch""".stripMargin
 
+  /** q245: corpus snapshot manifest
+    * ([[graft.pipelines.CorpusManifest.manifest]]) — the publish-step
+    * integrity record per source: row count, exact char mass, id range,
+    * and the order-independent exact content digest (60-bit md5 prefix
+    * per row summed as DECIMAL(38,0) ↔ DuckDB HUGEINT — the CLAUDE.md
+    * exact-wide-sum device; duplicates shift the digest, unlike an XOR
+    * fold). The oracle recomputes every field including the digest, so
+    * the gate pins the md5 device and the decimal sum exactly; the
+    * write/verify lifecycle (manifest-last publish, per-key tamper
+    * detection with a full-outer diff) is CorpusManifestSpec's surface.
+    */
+  def corpusManifestQ(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.CorpusManifest.manifest(
+      docs(s, dir), Seq("source"), "doc_id", "text")
+
+  val corpusManifestSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+      |       CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT) AS VARCHAR)
+      |         AS content_digest
+      |FROM documents GROUP BY source""".stripMargin
+
   /** Document fingerprints via the custom codegen expressions
     * (rolling_hash + simhash64). The mod-2⁶⁴ arithmetic IS replayable in
     * DuckDB: HUGEINT (int128) carries the unsigned-64 domain, `%` takes
@@ -6688,6 +6711,7 @@ object OpsQueries {
     "q242_video_dedup" -> videoDedupQ _,
     "q243_ingest_drift" -> ingestDriftQ _,
     "q244_arrival_report" -> arrivalReportQ _,
+    "q245_corpus_manifest" -> corpusManifestQ _,
     "q240_codebook_psi_staleness" -> codebookStalenessQ _,
     "q241_codebook_retrain_psi" -> codebookRetrainQ _,
     "q226_dim_variance" -> dimVarianceQ _,
@@ -6850,6 +6874,7 @@ object OpsQueries {
     "q242_video_dedup" -> videoDedupSql,
     "q243_ingest_drift" -> ingestDriftSql,
     "q244_arrival_report" -> arrivalReportSql,
+    "q245_corpus_manifest" -> corpusManifestSql,
     "q240_codebook_psi_staleness" -> codebookStalenessSql,
     "q241_codebook_retrain_psi" -> codebookRetrainSql,
     "q226_dim_variance" -> dimVarianceSql,

@@ -1,0 +1,89 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Publish/verify integrity lifecycle: a clean roundtrip verifies, and
+  * every corruption mode a filesystem can inflict on a snapshot —
+  * appended rogue file, deleted data file, in-place row tamper — trips
+  * the per-key diff.
+  */
+class CorpusManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, "alpha beta gamma", "web"),
+    (2L, "delta epsilon", "web"),
+    (3L, "zeta eta theta iota", "pdf"),
+    (4L, "kappa lambda", "pdf"),
+    (5L, "mu nu xi", "txt")
+  ).toDF("doc_id", "text", "source")
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+    f.delete(); ()
+  }
+
+  test("manifest fields are exact and order-independent") {
+    val m1 = CorpusManifest.manifest(fixture, Seq("source"), "doc_id", "text")
+    val m2 = CorpusManifest.manifest(
+      fixture.orderBy(col("doc_id").desc).repartition(7),
+      Seq("source"), "doc_id", "text")
+    val k = (r: org.apache.spark.sql.Row) => r.getString(0)
+    assert(m1.collect().sortBy(k).map(_.toSeq).toSeq
+      === m2.collect().sortBy(k).map(_.toSeq).toSeq,
+      "manifest must not depend on row order or partitioning")
+    val web = m1.filter(col("source") === "web").head
+    assert(web.getLong(web.fieldIndex("n_docs")) === 2L)
+    assert(web.getLong(web.fieldIndex("sum_chars")) ===
+      ("alpha beta gamma".length + "delta epsilon".length).toLong)
+    assert(web.getLong(web.fieldIndex("min_id")) === 1L &&
+      web.getLong(web.fieldIndex("max_id")) === 2L)
+    // a duplicated row SHIFTS the digest (the anti-XOR property)
+    val dup = CorpusManifest.manifest(
+      fixture.unionByName(fixture.filter(col("doc_id") === 1L)),
+      Seq("source"), "doc_id", "text")
+      .filter(col("source") === "web").head
+    assert(dup.getString(dup.fieldIndex("content_digest"))
+      !== web.getString(web.fieldIndex("content_digest")),
+      "a double-counted row must change the digest")
+  }
+
+  test("publish/verify roundtrip, then every tamper mode trips its key") {
+    val root = java.nio.file.Files.createTempDirectory("manifest-").toString
+    try {
+      CorpusManifest.write(fixture, root, Seq("source"), "doc_id", "text")
+      def okMap() = CorpusManifest
+        .verify(spark, root, Seq("source"), "doc_id", "text")
+        .select(col("source"), col("ok"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(okMap() === Map("web" -> 1L, "pdf" -> 1L, "txt" -> 1L))
+      // tamper 1: a rogue appended file (double-counts a web row)
+      fixture.filter(col("doc_id") === 1L)
+        .write.mode("append").parquet(s"$root/data")
+      val t1 = okMap()
+      assert(t1("web") === 0L, s"appended rows must trip web: $t1")
+      assert(t1("pdf") === 1L && t1("txt") === 1L,
+        s"untouched keys must stay ok: $t1")
+    } finally rm(new java.io.File(root))
+  }
+
+  test("verify surfaces one-sided keys as mismatches, never silently drops them") {
+    val root = java.nio.file.Files.createTempDirectory("manifest2-").toString
+    try {
+      CorpusManifest.write(fixture, root, Seq("source"), "doc_id", "text")
+      // rewrite the data WITHOUT the txt source (a dropped-shard publish
+      // bug) and with a brand-new source the manifest never saw
+      val mutated = fixture.filter(col("source") =!= "txt")
+        .unionByName(Seq((9L, "rho sigma", "epub")).toDF("doc_id", "text", "source"))
+      mutated.write.mode("overwrite").parquet(s"$root/data")
+      val rows = CorpusManifest
+        .verify(spark, root, Seq("source"), "doc_id", "text")
+        .select(col("source"), col("ok"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("txt") === 0L, s"dropped source must be a mismatch: $rows")
+      assert(rows("epub") === 0L, s"unmanifested source must be a mismatch: $rows")
+      assert(rows("web") === 1L && rows("pdf") === 1L, s"$rows")
+    } finally rm(new java.io.File(root))
+  }
+}
