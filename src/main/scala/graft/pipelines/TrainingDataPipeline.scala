@@ -528,7 +528,11 @@ object TrainingDataPipeline {
         driftIncrement(a, textCol, root, b.toLong, nBuckets, bucketWidth)
       }
       // batches×buckets rows: eager checkpoint so the frame survives
-      // the owned-state cleanup below
+      // the owned-state cleanup below. Co-planning these lazy curves is
+      // SAFE from the [[arrivalReports]] ReuseExchange listing
+      // conflation only because every curve's state scan carries a
+      // DISTINCT `batch < b` literal — the canonical plans differ, so
+      // nothing conflates. Don't refactor that filter away.
       curves.reduce(_ unionByName _).localCheckpoint(true)
     } finally {
       if (ownState)

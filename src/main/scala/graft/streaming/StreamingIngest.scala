@@ -92,6 +92,32 @@ object StreamingIngest {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** CONTINUOUS ingest-drift monitoring — the streaming face of
+    * [[graft.pipelines.TrainingDataPipeline.driftIncrement]]: each
+    * micro-batch of arriving documents runs the EXACT batch operator
+    * (histogram persisted to `stateDir/lenhist/batch=<id>`, PSI vs the
+    * summed prior histograms) keyed by the micro-batch id, and its
+    * drift curve lands in `outDir/batch=<id>`. `foreachBatch` + the
+    * operator's overwrite-idempotent per-batch state writes make the
+    * whole monitor micro-batch-transactional for free: a replayed
+    * micro-batch (failure recovery re-runs the same batchId) rewrites
+    * its own partitions and recomputes the identical curve — the
+    * q235b/q243 retry contract, now load-bearing for exactly-once.
+    * Batch ≡ streaming is spec-pinned (StreamingSpec runs the same
+    * arrival slices both ways and diffs the frames).
+    */
+  def driftMonitor(stream: DataFrame, textCol: String, stateDir: String,
+      outDir: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        graft.pipelines.TrainingDataPipeline
+          .driftIncrement(df, textCol, stateDir, batchId)
+          // mb=, not batch=: the curve already carries a `batch` data
+          // column; a same-named partition dir would collide on read
+          .write.mode("overwrite").parquet(s"$outDir/mb=$batchId")
+      }
+
   /** Stream-static enrichment — join a live entity stream against a
     * feature snapshot (e.g. [[graft.online.Materializer]]'s
     * latest-per-key output): the streaming counterpart of the PIT

@@ -521,6 +521,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor == batch driftIncrement on the same arrivals; degraded batch alarms") {
+    import graft.pipelines.TrainingDataPipeline
+    val src = Files.createTempDirectory("driftm_src").toString
+    val chk = Files.createTempDirectory("driftm_chk").toString
+    val state = Files.createTempDirectory("driftm_state").toString
+    val out = Files.createTempDirectory("driftm_out").toString
+    val mix = Seq(50, 130, 200, 260, 350)
+    def arrival(b: Int, lens: Seq[Int]) =
+      lens.zipWithIndex.map { case (l, i) => (b * 100L + i, "x" * l) }
+        .toDF("doc_id", "text")
+    val arrivals = Seq(
+      arrival(0, mix ++ mix), arrival(1, mix ++ mix),
+      arrival(2, Seq.fill(10)(10))) // degraded: the broken-crawl drop
+    // drop batch 0 BEFORE starting so micro-batch ids match arrival ids
+    arrivals.head.write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingIngest.driftMonitor(
+      StreamingIngest.readStream(spark, src, schema),
+      "text", state, out, chk).start()
+    try {
+      q.processAllAvailable()
+      arrivals(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      arrivals(2).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out).drop("mb")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // the batch reference: same arrivals through ingestDriftAudit
+    val batch = TrainingDataPipeline.ingestDriftAudit(arrivals, "text")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(streamed === batch,
+      "the streaming monitor must equal the batch operator on the same arrivals")
+    // and the degraded micro-batch alarms
+    val alarms = spark.read.parquet(out)
+      .groupBy(col("batch")).agg(max(col("drift")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alarms === Map(1L -> 0L, 2L -> 1L), s"alarm map: $alarms")
+  }
+
   test("streaming->online freshness loop: the audit sees the stream's watermark advance over the loopback KV") {
     import graft.core.{Feature, FeatureView, SparkSource}
     import graft.online.{KVClientOnlineStore, OnlineFreshness, StreamingMaterializer}
