@@ -1220,6 +1220,136 @@ object OpsQueries {
        |       video_b // 60 AS gen
        |FROM mp GROUP BY video_a, video_b""".stripMargin
 
+  /** q246: video-detector calibration sweep — the q239 discipline
+    * (q229 MinHash / q232 SimHash / q239 audio) pointed at the VIDEO
+    * chain, completing the calibration family: 100 base videos plus
+    * four planted generations of graded perturbation DENSITY
+    * ([[graft.ops.Multimodal.syntheticVideoSweep]]: 1-in-47/31/19/13
+    * pixels bumped +40 — density is what moves a dHash; magnitude
+    * mostly wraps mod 256, measured flat in the fixture sim), every
+    * frame through the real demux → ImageIO decode → dHash64 chain.
+    * Per magnitude: `n_within_radius` (videos whose true matched-frame
+    * count ≥ 6 of 8, from by-construction pairs), `n_detected` (the
+    * same videos surfaced by the PRODUCTION pigeonhole band join —
+    * [[graft.ops.Dedup.hammingPairs64]]), `banding_complete` (their
+    * equality — a real Spark-side check, constant 1 in the naive
+    * oracle, so any banding loss fails the hash gate), the matched-
+    * frame mass, and the recall curve (1.0 / 0.95 / 0.58 / 0.02) that
+    * pins the detector's operating point before anyone trusts
+    * radius 3 at ±1 tolerance on video.
+    */
+  def videoCalibrationQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nBases = 100
+    val k = Multimodal.VideoFrames
+    val sigs = s.range((nBases * 5).toLong).as[Long].mapPartitions { ids =>
+      ids.flatMap { id =>
+        val fs = Multimodal.demuxVideo(
+          Multimodal.syntheticVideoSweep(id, nBases)).getOrElse(
+          throw new IllegalStateException(s"sweep video $id must demux"))
+        fs.iterator.zipWithIndex.map { case (png, f) =>
+          (id * k + f, Multimodal.dHash64(Multimodal.decodeImage(png)
+            .getOrElse(throw new IllegalStateException(
+              s"frame $f of sweep video $id must decode"))))
+        }
+      }
+    }.toDF("fid", "dhash")
+    val withVid = sigs.select(expr(s"fid div $k").as("vid"),
+      (col("fid") % k).as("f"), col("dhash"))
+    val base = withVid.filter(col("vid") < nBases)
+      .select(col("vid").as("a"), col("f").as("fa"), col("dhash").as("ha"))
+    val vars = withVid.filter(col("vid") >= nBases)
+      .select((col("vid") % nBases).as("a"),
+        expr(s"vid div $nBases").as("mag"),
+        col("f").as("fb"), col("dhash").as("hb"))
+    val truth = vars.join(base, Seq("a"))
+      .filter(abs(col("fa") - col("fb")) <= 1 &&
+        expr("bit_count(ha ^ hb)") <= 3)
+      .groupBy(col("mag"), col("a"))
+      .agg(countDistinct(col("fa")).as("m"))
+    val det = Dedup.hammingPairs64(sigs, "fid", "dhash", maxHamming = 3)
+      .select(expr(s"doc_a div $k").as("va"), (col("doc_a") % k).as("fa"),
+        expr(s"doc_b div $k").as("vb"), (col("doc_b") % k).as("fb"))
+      .filter(col("va") < nBases && col("vb") >= nBases &&
+        col("vb") % nBases === col("va") &&
+        abs(col("fa") - col("fb")) <= 1)
+      .groupBy(expr(s"vb div $nBases").as("mag"), col("va").as("a"))
+      .agg(countDistinct(col("fa")).as("md"))
+    val truthAgg = truth.groupBy(col("mag")).agg(
+      sum(when(col("m") >= 6, 1L).otherwise(0L)).as("nw"),
+      sum(col("m")).as("sf"))
+    val detAgg = det.groupBy(col("mag")).agg(
+      sum(when(col("md") >= 6, 1L).otherwise(0L)).as("nd"))
+    s.range(1, 5).toDF("mag")
+      .join(truthAgg, Seq("mag"), "left")
+      .join(detAgg, Seq("mag"), "left")
+      .select(col("mag"), lit(nBases.toLong).as("n_planted"),
+        coalesce(col("nd"), lit(0L)).as("n_detected"),
+        coalesce(col("nw"), lit(0L)).as("n_within_radius"),
+        (coalesce(col("nd"), lit(0L)) === coalesce(col("nw"), lit(0L)))
+          .cast("long").as("banding_complete"),
+        coalesce(col("sf"), lit(0L)).as("sum_frames_matched"),
+        pround(coalesce(col("nd"), lit(0L)).cast("double") /
+          lit(nBases.toDouble), 6).as("recall"))
+  }
+
+  /** Naive oracle for the sweep: pixels → dHash arithmetically (the
+    * q242 replay minus shift, with the density ladder), by-construction
+    * pairing, `banding_complete` trivially 1. */
+  lazy val videoCalibrationSql: String =
+    s"""WITH ids AS (SELECT unnest(range(0, 500)) AS id),
+       |vm AS (SELECT id, id % 100 AS base, id // 100 AS mag FROM ids),
+       |pv AS (SELECT id, base, mag,
+       |              CASE mag WHEN 0 THEN 0 WHEN 1 THEN 47 WHEN 2 THEN 31
+       |                       WHEN 3 THEN 19 ELSE 13 END AS step,
+       |              base % 5 + 8 AS w, base % 4 + 6 AS h
+       |       FROM vm),
+       |fr AS (SELECT id, base, step, w, h, unnest(range(0, 8)) AS f FROM pv),
+       |grid AS (SELECT id, base, step, w, h, f, unnest(range(0, 8)) AS j FROM fr),
+       |cell AS (SELECT id, base, step, w, h, f, j, unnest(range(0, 9)) AS i
+       |         FROM grid),
+       |pos AS (SELECT id, base, step, w, f, j, i,
+       |               (i * w) // 9 AS x, (j * h) // 8 AS y
+       |        FROM cell),
+       |lum AS (
+       |  SELECT id, f, j, i,
+       |         ((CASE WHEN step > 0 AND (x + y * w + id + f) % step = 0
+       |                THEN ((base * 7 + f * 53 + x * 13 + y * 31) % 256
+       |                      + 40) % 256
+       |                ELSE (base * 7 + f * 53 + x * 13 + y * 31) % 256 END) * 299
+       |          + ((base * 11 + f * 71 + x * 3 + y * 5) % 256) * 587
+       |          + ((base * 13 + f * 89 + x * 17 + y * 7) % 256) * 114) // 1000 AS l
+       |  FROM pos),
+       |bits AS (
+       |  SELECT a.id, a.f,
+       |         sum(CASE WHEN b.l > a.l
+       |                  THEN CAST(1 AS HUGEINT) << CAST(a.j * 8 + a.i AS INTEGER)
+       |                  ELSE CAST(0 AS HUGEINT) END) AS usig
+       |  FROM lum a JOIN lum b ON b.id = a.id AND b.f = a.f AND b.j = a.j
+       |                       AND b.i = a.i + 1
+       |  GROUP BY a.id, a.f),
+       |sg AS (SELECT id, f, ${toSignedU64("usig")} AS dh FROM bits),
+       |tp AS (
+       |  SELECT b.id // 100 AS mag, a.id AS base, a.f AS fa
+       |  FROM sg a JOIN sg b
+       |    ON a.id < 100 AND b.id >= 100 AND b.id % 100 = a.id
+       |       AND abs(a.f - b.f) <= 1
+       |  WHERE bit_count(xor(a.dh, b.dh)) <= 3),
+       |pm AS (SELECT mag, base, CAST(count(DISTINCT fa) AS BIGINT) AS m
+       |       FROM tp GROUP BY mag, base),
+       |mg AS (SELECT unnest(range(1, 5)) AS mag)
+       |SELECT mg.mag, CAST(100 AS BIGINT) AS n_planted,
+       |       CAST(COALESCE(sum(CASE WHEN m >= 6 THEN 1 ELSE 0 END), 0)
+       |            AS BIGINT) AS n_detected,
+       |       CAST(COALESCE(sum(CASE WHEN m >= 6 THEN 1 ELSE 0 END), 0)
+       |            AS BIGINT) AS n_within_radius,
+       |       CAST(1 AS BIGINT) AS banding_complete,
+       |       CAST(COALESCE(sum(m), 0) AS BIGINT) AS sum_frames_matched,
+       |       floor(CAST(COALESCE(sum(CASE WHEN m >= 6 THEN 1 ELSE 0 END), 0)
+       |                  AS DOUBLE) / 100.0 * 1000000.0 + 0.5) / 1000000.0
+       |         AS recall
+       |FROM mg LEFT JOIN pm ON pm.mag = mg.mag GROUP BY mg.mag""".stripMargin
+
   /** BPE merge induction over the documents corpus
     * ([[Corpus.bpeMerges]], 3 rounds): learned merge table + post-
     * merge token frequencies. The oracle unrolls the identical rounds
@@ -6709,6 +6839,7 @@ object OpsQueries {
     "q238_audio_dedup" -> audioDedupQ _,
     "q239_audio_dedup_calibration" -> audioCalibrationQ _,
     "q242_video_dedup" -> videoDedupQ _,
+    "q246_video_dedup_calibration" -> videoCalibrationQ _,
     "q243_ingest_drift" -> ingestDriftQ _,
     "q244_arrival_report" -> arrivalReportQ _,
     "q245_corpus_manifest" -> corpusManifestQ _,
@@ -6872,6 +7003,7 @@ object OpsQueries {
     "q238_audio_dedup" -> audioDedupSql,
     "q239_audio_dedup_calibration" -> audioCalibrationSql,
     "q242_video_dedup" -> videoDedupSql,
+    "q246_video_dedup_calibration" -> videoCalibrationSql,
     "q243_ingest_drift" -> ingestDriftSql,
     "q244_arrival_report" -> arrivalReportSql,
     "q245_corpus_manifest" -> corpusManifestSql,

@@ -460,6 +460,29 @@ object Multimodal {
     val shift = if (mag == 2) 1 else 0
     val (step, pmag) =
       if (mag == 0) (0L, 0L) else if (mag == 3) (5L, 3L) else (29L, 1L)
+    videoContainer(id, base, shift, step, pmag)
+  }
+
+  /** [[syntheticVideo]]'s sweep twin for the q246 calibration curve:
+    * no temporal shift, fixed +40 bump, perturbation DENSITY graded by
+    * generation (`step` ladder 47/31/19/13 — sparser to denser; density
+    * is what moves a dHash, a bump magnitude mostly wraps mod 256).
+    * Detected curve on the fixture: 100/95/58/2 of 100 per generation.
+    */
+  def syntheticVideoSweep(id: Long, nBases: Int): Array[Byte] = {
+    val base = id % nBases
+    val mag = (id / nBases).toInt
+    val step = Seq(0L, 47L, 31L, 19L, 13L)(mag)
+    videoContainer(id, base, shift = 0, step = step,
+      pmag = if (mag == 0) 0L else 1L)
+  }
+
+  /** Shared container builder: [[VideoFrames]] frames of arithmetic
+    * pixels, perturbed on the sparse `(x + y·w + id + c) % step == 0`
+    * subset by `pmag·40` red, frame f displaying content
+    * `max(f − shift, 0)`. */
+  private def videoContainer(id: Long, base: Long, shift: Int, step: Long,
+      pmag: Long): Array[Byte] = {
     val w = (base % 5 + 8).toInt
     val h = (base % 4 + 6).toInt
     val bos = new java.io.ByteArrayOutputStream()

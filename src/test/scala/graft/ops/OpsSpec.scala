@@ -1184,6 +1184,23 @@ class OpsSpec extends SparkSpec {
       "banding must be complete at every magnitude")
   }
 
+  test("video calibration sweep: recall monotone in perturbation density, banding complete per magnitude") {
+    val rows = graft.OpsQueries.videoCalibrationQ(spark, sf0001)
+      .orderBy(col("mag"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    val recalls = rows.map(_._4)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b },
+      s"recall must be monotone non-increasing in density: ${recalls.toSeq}")
+    assert(recalls.head >= 0.9,
+      s"sparse-perturbation operating point collapsed: ${recalls.head}")
+    assert(recalls.last <= 0.2,
+      s"densest perturbation must mostly escape radius 3: ${recalls.last}")
+    assert(rows.forall(_._3 == 1L),
+      "banding must be complete at every magnitude")
+  }
+
   test("video container: demux recovers every PNG frame exactly; garbage degrades to None") {
     val nBases = 60
     for (id <- Seq(0L, 59L, 60L, 137L, 239L)) {
