@@ -105,9 +105,15 @@ object StreamingIngest {
     * q235b/q243 retry contract, now load-bearing for exactly-once.
     * Batch ≡ streaming is spec-pinned (StreamingSpec runs the same
     * arrival slices both ways and diffs the frames).
+    *
+    * `keepBatches` bounds the OUTPUT curves on a long-running stream
+    * (the per-batch HISTOGRAM state stays — it is the reference and is
+    * only ~16 rows per arrival): after each micro-batch, curve dirs
+    * older than the last `keepBatches` are deleted. 0 keeps everything.
     */
   def driftMonitor(stream: DataFrame, textCol: String, stateDir: String,
-      outDir: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      outDir: String, checkpoint: String,
+      keepBatches: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
@@ -116,6 +122,15 @@ object StreamingIngest {
           // mb=, not batch=: the curve already carries a `batch` data
           // column; a same-named partition dir would collide on read
           .write.mode("overwrite").parquet(s"$outDir/mb=$batchId")
+        if (keepBatches > 0) {
+          val root = new org.apache.hadoop.fs.Path(outDir)
+          val fs = root.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.listStatus(root)
+            .filter(_.getPath.getName.startsWith("mb="))
+            .filter(_.getPath.getName.drop(3).toLong <= batchId - keepBatches)
+            .foreach(s => fs.delete(s.getPath, true))
+        }
       }
 
   /** Stream-static enrichment — join a live entity stream against a

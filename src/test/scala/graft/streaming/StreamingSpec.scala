@@ -539,7 +539,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(src).schema
     val q = StreamingIngest.driftMonitor(
       StreamingIngest.readStream(spark, src, schema),
-      "text", state, out, chk).start()
+      "text", state, out, chk, keepBatches = 2).start()
     try {
       q.processAllAvailable()
       arrivals(1).write.mode("append").parquet(src)
@@ -547,6 +547,15 @@ class StreamingSpec extends SparkSpec {
       arrivals(2).write.mode("append").parquet(src)
       q.processAllAvailable()
     } finally q.stop()
+    // retention: keepBatches=2 pruned mb=0 (the empty batch-0 curve);
+    // the HISTOGRAM state keeps all three (it is the PSI reference)
+    val outDirs = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("mb=")).sorted.toSeq
+    assert(outDirs === Seq("mb=1", "mb=2"), s"curve retention: $outDirs")
+    val histDirs = new java.io.File(s"$state/lenhist").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(histDirs === Seq("batch=0", "batch=1", "batch=2"),
+      s"histogram state must be retained: $histDirs")
     val streamed = spark.read.parquet(out).drop("mb")
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     // the batch reference: same arrivals through ingestDriftAudit
