@@ -167,7 +167,17 @@ object ScaleSmoke {
       // persisted arrival-partitioned state — the heaviest composed
       // pipeline on the board; 10x stresses the per-batch append +
       // candidate-pruned Jaccard reads
-      "q235b_incremental_curation")
+      "q235b_incremental_curation",
+      // round-13 lifecycle additions: the ingest drift monitor's
+      // per-arrival histogram scan meets 10x docs (state stays 16 rows
+      // per arrival — the point), the per-arrival report re-runs the
+      // curation loop with per-batch eager checkpoints at 10x, and the
+      // manifest digest is one map-side-combinable agg over 10x text
+      "q243_ingest_drift", "q244_arrival_report", "q245_corpus_manifest",
+      // the video chain at 10x is fixture-independent (synthetic
+      // clips), so q242/q246 are NOT here — their scale posture is the
+      // banded join already smoked via q237's family
+      )
     // warm scans once
     (gen.keys ++ passthrough).foreach { t =>
       try graft.Tables.load(spark, out, t).count()

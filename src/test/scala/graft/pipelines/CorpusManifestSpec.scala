@@ -58,13 +58,47 @@ class CorpusManifestSpec extends SparkSpec {
         .select(col("source"), col("ok"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(okMap() === Map("web" -> 1L, "pdf" -> 1L, "txt" -> 1L))
-      // tamper 1: a rogue appended file (double-counts a web row)
-      fixture.filter(col("doc_id") === 1L)
-        .write.mode("append").parquet(s"$root/data")
+      // tamper 1: a rogue file appended INSIDE web's partition dir
+      // (double-counts a web row)
+      fixture.filter(col("doc_id") === 1L).drop("source")
+        .write.mode("append").parquet(s"$root/data/source=web")
       val t1 = okMap()
       assert(t1("web") === 0L, s"appended rows must trip web: $t1")
       assert(t1("pdf") === 1L && t1("txt") === 1L,
         s"untouched keys must stay ok: $t1")
+    } finally rm(new java.io.File(root))
+  }
+
+  test("sampled verify: partition-pruned spot check catches a sampled-key tamper") {
+    val root = java.nio.file.Files.createTempDirectory("manifest3-").toString
+    try {
+      CorpusManifest.write(fixture, root, Seq("source"), "doc_id", "text")
+      // the deterministic sample: first 2 of 3 keys in md5 order
+      val sampled = CorpusManifest
+        .verify(spark, root, Seq("source"), "doc_id", "text", sampleKeys = 2)
+      val rows = sampled.select(col("source"), col("ok"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.size === 2 && rows.values.forall(_ == 1L),
+        s"clean sampled verify must pass its 2 keys: $rows")
+      // the key filter must reach the scan as a PartitionFilter — the
+      // O(sample) claim, not a post-scan filter over the whole snapshot
+      val p = spark.read.parquet(s"$root/data")
+        .filter(col("source") === rows.keySet.head)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("PartitionFilters") &&
+        p.matches("(?s).*PartitionFilters: \\[[^\\]]*source[^\\]]*\\].*"),
+        s"sampled keys must partition-prune:\n$p")
+      // tamper every partition: whichever keys the sample picks, it
+      // must flag them
+      for (src <- Seq("web", "pdf", "txt"))
+        fixture.filter(col("source") === src).limit(1).drop("source")
+          .write.mode("append").parquet(s"$root/data/source=$src")
+      val tampered = CorpusManifest
+        .verify(spark, root, Seq("source"), "doc_id", "text", sampleKeys = 2)
+        .select(col("ok")).collect().map(_.getLong(0)).toSeq
+      assert(tampered === Seq(0L, 0L),
+        s"sampled verify must flag tampered sampled keys: $tampered")
     } finally rm(new java.io.File(root))
   }
 
@@ -76,7 +110,8 @@ class CorpusManifestSpec extends SparkSpec {
       // bug) and with a brand-new source the manifest never saw
       val mutated = fixture.filter(col("source") =!= "txt")
         .unionByName(Seq((9L, "rho sigma", "epub")).toDF("doc_id", "text", "source"))
-      mutated.write.mode("overwrite").parquet(s"$root/data")
+      mutated.write.mode("overwrite").partitionBy("source")
+        .parquet(s"$root/data")
       val rows = CorpusManifest
         .verify(spark, root, Seq("source"), "doc_id", "text")
         .select(col("source"), col("ok"))
