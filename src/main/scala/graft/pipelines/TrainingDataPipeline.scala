@@ -459,18 +459,34 @@ object TrainingDataPipeline {
     * Retry-idempotent like the dedup state: a re-run of the same
     * batchId overwrites its own partition and reads the same prior
     * state.
+    *
+    * `logBuckets` switches to scale-free bucketing:
+    * `bucket = floor(log2(length))` spelled as the exact integer
+    * `strlen(bin(length)) − 1`, no float log near a boundary. Fixed
+    * width saturates its last bucket on corpora much longer than
+    * `nBuckets·bucketWidth` chars and goes blind to drift WITHIN that
+    * tail; the log mode keeps per-octave resolution at any document
+    * scale (spec pins the blind-vs-sighted contrast). State from the
+    * two modes is incompatible — pick one per stateDir.
     */
   def driftIncrement(newDocs: DataFrame, textCol: String, stateDir: String,
-      batchId: Long, nBuckets: Int = 16, bucketWidth: Long = 64L): DataFrame = {
+      batchId: Long, nBuckets: Int = 16, bucketWidth: Long = 64L,
+      logBuckets: Boolean = false): DataFrame = {
     require(nBuckets >= 2 && bucketWidth >= 1L,
       "driftIncrement needs >= 2 buckets of positive width")
     val spark = newDocs.sparkSession
     import spark.implicits._
     import graft.util.Rounding.pround
     val histDir = s"$stateDir/lenhist"
+    val bucketExpr =
+      if (logBuckets)
+        s"least(cast(${nBuckets - 1} as bigint), " +
+          s"cast(length(bin(cast(length($textCol) as bigint))) as bigint) - 1)"
+      else
+        s"least(cast(${nBuckets - 1} as bigint), " +
+          s"cast(length($textCol) as bigint) div $bucketWidth)"
     newDocs
-      .select(expr(s"least(cast(${nBuckets - 1} as bigint), " +
-        s"cast(length($textCol) as bigint) div $bucketWidth)").as("bucket"))
+      .select(expr(bucketExpr).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$histDir/batch=$batchId")
     if (batchId == 0L)

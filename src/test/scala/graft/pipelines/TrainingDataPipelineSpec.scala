@@ -287,6 +287,36 @@ class TrainingDataPipelineSpec extends SparkSpec {
     }
   }
 
+  test("log-bucket drift mode: per-octave resolution where fixed-width saturates blind") {
+    def docs(b: Int, exp: Int) =
+      (0 until 20).map(i => (b * 100L + i, "z" * ((1 << exp) + i)))
+        .toDF("doc_id", "text")
+    def psi(logB: Boolean): Double = {
+      val root = java.nio.file.Files.createTempDirectory("drift-log-").toString
+      try {
+        // reference arrival ~2^10 chars, drifted arrival ~2^13 chars —
+        // BOTH beyond fixed-width's 16×64 = 1024-char ceiling
+        TrainingDataPipeline.driftIncrement(
+          docs(0, 10), "text", root, 0L, logBuckets = logB).collect()
+        TrainingDataPipeline.driftIncrement(
+          docs(1, 13), "text", root, 1L, logBuckets = logB)
+          .agg(max(col("psi_cum"))).head.getDouble(0)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(new java.io.File(root))
+      }
+    }
+    val fixedPsi = psi(logB = false)
+    val logPsi = psi(logB = true)
+    // fixed width: every doc lands in the saturated tail bucket on both
+    // sides — the histograms are identical and the monitor is BLIND
+    assert(fixedPsi <= 0.001, s"fixed-width should be blind here: $fixedPsi")
+    // log buckets: octave 10 vs octave 13 — the same drift alarms
+    assert(logPsi > 0.25, s"log mode must see the octave shift: $logPsi")
+  }
+
   test("driftIncrement: persisted histogram state, retry-idempotent, O(increment) reads") {
     val root = java.nio.file.Files.createTempDirectory("drift-inc-").toString
     try {
