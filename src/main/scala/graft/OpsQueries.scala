@@ -3277,6 +3277,30 @@ object OpsQueries {
       |         AS content_digest
       |FROM documents GROUP BY source""".stripMargin
 
+  /** q247: INCREMENTAL manifest maintenance
+    * ([[graft.pipelines.CorpusManifest.mergeManifests]]) — the
+    * publish step at arrival cadence: derive each of 4 arrival slices'
+    * manifests from the INCREMENT alone (one O(increment) scan each)
+    * and fold them with the pure mergeable-aggregate combine (counts
+    * and char masses add, id ranges min/max, content digests ADD as
+    * decimal(38,0)). The ORACLE is the one-shot q245 manifest of the
+    * whole corpus, so the green hash gate is the machine-checked
+    * losslessness proof that manifest maintenance never needs a full
+    * rescan — the sketch-merge discipline (KMV q189, HLL q196) applied
+    * to the integrity record.
+    */
+  def incrementalManifestQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.CorpusManifest
+    val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+    val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+    val width = maxId / 4 + 1
+    (0L until 4L).map { b =>
+      CorpusManifest.manifest(
+        d.filter(col("doc_id") >= b * width && col("doc_id") < (b + 1) * width),
+        Seq("source"), "doc_id", "text")
+    }.reduce(CorpusManifest.mergeManifests(_, _, Seq("source")))
+  }
+
   /** Document fingerprints via the custom codegen expressions
     * (rolling_hash + simhash64). The mod-2⁶⁴ arithmetic IS replayable in
     * DuckDB: HUGEINT (int128) carries the unsigned-64 domain, `%` takes
@@ -6843,6 +6867,7 @@ object OpsQueries {
     "q243_ingest_drift" -> ingestDriftQ _,
     "q244_arrival_report" -> arrivalReportQ _,
     "q245_corpus_manifest" -> corpusManifestQ _,
+    "q247_incremental_manifest" -> incrementalManifestQ _,
     "q240_codebook_psi_staleness" -> codebookStalenessQ _,
     "q241_codebook_retrain_psi" -> codebookRetrainQ _,
     "q226_dim_variance" -> dimVarianceQ _,
@@ -7007,6 +7032,7 @@ object OpsQueries {
     "q243_ingest_drift" -> ingestDriftSql,
     "q244_arrival_report" -> arrivalReportSql,
     "q245_corpus_manifest" -> corpusManifestSql,
+    "q247_incremental_manifest" -> corpusManifestSql,
     "q240_codebook_psi_staleness" -> codebookStalenessSql,
     "q241_codebook_retrain_psi" -> codebookRetrainSql,
     "q226_dim_variance" -> dimVarianceSql,

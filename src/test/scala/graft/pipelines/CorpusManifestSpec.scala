@@ -49,6 +49,22 @@ class CorpusManifestSpec extends SparkSpec {
       "a double-counted row must change the digest")
   }
 
+  test("mergeManifests: fold of disjoint-slice manifests == one-shot manifest") {
+    // slices split web across both sides, keep pdf on one side only,
+    // and txt on the other — exercising add-merge AND one-sided keys
+    val m1 = CorpusManifest.manifest(
+      fixture.filter(col("doc_id") <= 2), Seq("source"), "doc_id", "text")
+    val m2 = CorpusManifest.manifest(
+      fixture.filter(col("doc_id") > 2), Seq("source"), "doc_id", "text")
+    val k = (r: org.apache.spark.sql.Row) => r.getString(0)
+    val merged = CorpusManifest.mergeManifests(m1, m2, Seq("source"))
+      .collect().sortBy(k).map(_.toSeq).toSeq
+    val whole = CorpusManifest.manifest(fixture, Seq("source"), "doc_id", "text")
+      .collect().sortBy(k).map(_.toSeq).toSeq
+    assert(merged === whole,
+      "merging per-slice manifests must equal the one-shot manifest")
+  }
+
   test("publish/verify roundtrip, then every tamper mode trips its key") {
     val root = java.nio.file.Files.createTempDirectory("manifest-").toString
     try {
