@@ -1,0 +1,80 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property tests for the round-13 lifecycle surfaces: the video
+  * demuxer's degrade contract under arbitrary corruption, and the
+  * manifest merge law under arbitrary slicings.
+  */
+class LifecyclePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("demuxVideo never throws: arbitrary bytes and corrupted containers degrade to None or parse") {
+    val genGarbage: Gen[Array[Byte]] =
+      Gen.choose(0, 64).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    val genCorrupted: Gen[Array[Byte]] = for {
+      id <- Gen.choose(0L, 239L)
+      mode <- Gen.choose(0, 2)
+      pos <- Gen.choose(0, 200)
+      flip <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+    } yield {
+      val good = Multimodal.syntheticVideo(id, 60)
+      mode match {
+        case 0 => good.take(math.min(pos, good.length)) // truncate
+        case 1 => // flip one byte somewhere in the header/frame table
+          val b = good.clone(); b(pos % good.length) = flip; b
+        case _ => good ++ Array.fill(pos % 7 + 1)(flip) // trailing junk
+      }
+    }
+    val prop = Prop.forAllNoShrink(Gen.oneOf(genGarbage, genCorrupted)) { bytes =>
+      // the contract: parse fully or degrade to None — NEVER throw.
+      // (A flipped byte inside a PNG payload may still demux — the
+      // per-frame decode degrades downstream — but the container walk
+      // itself must be total.)
+      Multimodal.demuxVideo(bytes) match {
+        case None => true
+        case Some(frames) => frames.forall(_ != null)
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("manifest merge law: any 2-slicing of any corpus folds to the one-shot manifest") {
+    val genDoc = for {
+      id <- Gen.choose(0L, 500L)
+      len <- Gen.choose(0, 40)
+      text <- Gen.listOfN(len, Gen.alphaNumChar).map(_.mkString)
+      src <- Gen.oneOf("web", "pdf", "txt")
+    } yield (id, text, src)
+    val genCase = for {
+      n <- Gen.choose(1, 30)
+      docs0 <- Gen.listOfN(n, genDoc)
+      cut <- Gen.choose(0, n)
+    } yield {
+      // distinct ids (manifest ids are identities, duplicates are a
+      // SEPARATE tamper story); arbitrary split point after a shuffle
+      val docs = docs0.distinctBy(_._1)
+      (docs, docs.splitAt(math.min(cut, docs.size)))
+    }
+    val prop = Prop.forAllNoShrink(genCase) { case (all, (s1, s2)) =>
+      val whole = CorpusManifest.manifest(
+        all.toDF("doc_id", "text", "source"), Seq("source"), "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+      def m(s: Seq[(Long, String, String)]) = CorpusManifest.manifest(
+        s.toDF("doc_id", "text", "source"), Seq("source"), "doc_id", "text")
+      val merged =
+        CorpusManifest.mergeManifests(m(s1), m(s2), Seq("source"))
+          .collect().map(_.toSeq).toSet
+      merged == whole
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
+}
