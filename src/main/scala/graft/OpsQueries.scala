@@ -3301,6 +3301,116 @@ object OpsQueries {
     }.reduce(CorpusManifest.mergeManifests(_, _, Seq("source")))
   }
 
+  /** q248: CROSS-MODAL paired dedup — the (caption, image) curation
+    * join an image-text training set needs and no single-modality
+    * screen can produce: 200 synthetic pairs (50 concepts × base /
+    * same-caption-perturbed-image / same-image-reworded-caption /
+    * same-caption-different-image planted variants) run BOTH signals —
+    * exact caption identity (md5-keyed self-join) and perceptual image
+    * nearness ([[graft.ops.Multimodal.dHash64]] through the real
+    * ImageIO decode + [[graft.ops.Dedup.hammingPairs64]] banding) —
+    * and FUSE them with a full-outer pair join classified as
+    * `duplicate` (both signals: drop), `caption_reuse` (same text,
+    * different image: a caption-template signal), or `image_reuse`
+    * (same/near image, different text: a stock-image signal). Fixture
+    * readout: 19 / 131 / 161 pairs. The oracle replays captions as
+    * string formulas and pixels→dHash arithmetically, pairing naively,
+    * so the gate covers both signal paths AND the fusion join.
+    *
+    * Scale: caption join is keyed on uniform md5; image pairing is the
+    * banded 8-byte-signature join; the fusion is a pair-id equi join —
+    * nothing all-pairs, nothing wider than the signals' own outputs.
+    */
+  def crossModalDedupQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nC = 50
+    val sigs = s.range(200).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val pngId =
+          if (id < 100) id else if (id < 150) id - 50 else (id % nC + 7) % nC
+        val img = Multimodal.decodeImage(
+          Multimodal.syntheticPngVariant(pngId, nC)).getOrElse(
+          throw new IllegalStateException(s"png $pngId must decode"))
+        (id, Multimodal.dHash64(img))
+      }
+    }.toDF("item_id", "dhash")
+    val items = sigs.withColumn("caption",
+      concat(lit("concept "), (col("item_id") % nC).cast("string"),
+        lit(" caption text"),
+        when(expr(s"item_id div $nC") === 2, lit(" alt")).otherwise(lit(""))))
+    val caps = items.select(col("item_id"), md5(col("caption")).as("cfp"))
+    val capPairs = caps.as("x").join(caps.as("y"),
+        col("x.cfp") === col("y.cfp") && col("x.item_id") < col("y.item_id"))
+      .select(col("x.item_id").as("a"), col("y.item_id").as("b"),
+        lit(1L).as("sc"))
+    val imgPairs = Dedup.hammingPairs64(sigs, "item_id", "dhash", maxHamming = 3)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"),
+        col("hamming").cast("long").as("image_hamming"))
+    capPairs.join(imgPairs, Seq("a", "b"), "full_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("sc"), lit(0L)).as("same_caption"),
+        col("image_hamming"),
+        when(col("sc").isNotNull && col("image_hamming").isNotNull,
+          "duplicate")
+          .when(col("sc").isNotNull, "caption_reuse")
+          .otherwise("image_reuse").as("kind"),
+        (col("a") % nC === col("b") % nC).cast("long").as("same_concept"))
+  }
+
+  lazy val crossModalDedupSql: String =
+    s"""WITH ids AS (SELECT unnest(range(0, 200)) AS id),
+       |it AS (SELECT id,
+       |              CASE WHEN id < 100 THEN id
+       |                   WHEN id < 150 THEN id - 50
+       |                   ELSE (id % 50 + 7) % 50 END AS pid,
+       |              'concept ' || CAST(id % 50 AS VARCHAR) || ' caption text'
+       |              || CASE WHEN id // 50 = 2 THEN ' alt' ELSE '' END AS caption
+       |       FROM ids),
+       |pp AS (SELECT DISTINCT pid FROM it),
+       |dm AS (SELECT pid, pid % 50 AS base, pid // 50 AS mag,
+       |              (pid % 50) % 13 + 8 AS w, (pid % 50) % 11 + 6 AS h
+       |       FROM pp),
+       |grid AS (SELECT pid, base, mag, w, h, unnest(range(0, 8)) AS j FROM dm),
+       |cell AS (SELECT pid, base, mag, w, h, j, unnest(range(0, 9)) AS i
+       |         FROM grid),
+       |pos AS (SELECT pid, base, mag, w, j, i,
+       |               (i * w) // 9 AS x, (j * h) // 8 AS y
+       |        FROM cell),
+       |lum AS (
+       |  SELECT pid, j, i,
+       |         ((CASE WHEN mag > 0 AND (x + y * w + pid) % 7 = 0
+       |                THEN ((base * 7 + x * 13 + y * 31) % 256 + mag * 40) % 256
+       |                ELSE (base * 7 + x * 13 + y * 31) % 256 END) * 299
+       |          + ((base * 11 + x * 3 + y * 5) % 256) * 587
+       |          + ((base * 13 + x * 17 + y * 7) % 256) * 114) // 1000 AS l
+       |  FROM pos),
+       |bits AS (
+       |  SELECT a.pid,
+       |         sum(CASE WHEN b.l > a.l
+       |                  THEN CAST(1 AS HUGEINT) << CAST(a.j * 8 + a.i AS INTEGER)
+       |                  ELSE CAST(0 AS HUGEINT) END) AS usig
+       |  FROM lum a JOIN lum b ON b.pid = a.pid AND b.j = a.j AND b.i = a.i + 1
+       |  GROUP BY a.pid),
+       |sg AS (SELECT pid, ${toSignedU64("usig")} AS dh FROM bits),
+       |sig AS (SELECT it.id, it.caption, sg.dh FROM it JOIN sg USING (pid)),
+       |cp AS (SELECT x.id AS a, y.id AS b
+       |       FROM sig x JOIN sig y
+       |         ON x.caption = y.caption AND x.id < y.id),
+       |ip AS (SELECT x.id AS a, y.id AS b,
+       |              CAST(bit_count(xor(x.dh, y.dh)) AS BIGINT) AS hm
+       |       FROM sig x JOIN sig y ON x.id < y.id
+       |       WHERE bit_count(xor(x.dh, y.dh)) <= 3)
+       |SELECT COALESCE(cp.a, ip.a) AS a, COALESCE(cp.b, ip.b) AS b,
+       |       CAST(CASE WHEN cp.a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |         AS same_caption,
+       |       ip.hm AS image_hamming,
+       |       CASE WHEN cp.a IS NOT NULL AND ip.a IS NOT NULL THEN 'duplicate'
+       |            WHEN cp.a IS NOT NULL THEN 'caption_reuse'
+       |            ELSE 'image_reuse' END AS kind,
+       |       CAST(CASE WHEN COALESCE(cp.a, ip.a) % 50 = COALESCE(cp.b, ip.b) % 50
+       |            THEN 1 ELSE 0 END AS BIGINT) AS same_concept
+       |FROM cp FULL OUTER JOIN ip ON ip.a = cp.a AND ip.b = cp.b""".stripMargin
+
   /** Document fingerprints via the custom codegen expressions
     * (rolling_hash + simhash64). The mod-2⁶⁴ arithmetic IS replayable in
     * DuckDB: HUGEINT (int128) carries the unsigned-64 domain, `%` takes
@@ -6868,6 +6978,7 @@ object OpsQueries {
     "q244_arrival_report" -> arrivalReportQ _,
     "q245_corpus_manifest" -> corpusManifestQ _,
     "q247_incremental_manifest" -> incrementalManifestQ _,
+    "q248_crossmodal_dedup" -> crossModalDedupQ _,
     "q240_codebook_psi_staleness" -> codebookStalenessQ _,
     "q241_codebook_retrain_psi" -> codebookRetrainQ _,
     "q226_dim_variance" -> dimVarianceQ _,
@@ -7033,6 +7144,7 @@ object OpsQueries {
     "q244_arrival_report" -> arrivalReportSql,
     "q245_corpus_manifest" -> corpusManifestSql,
     "q247_incremental_manifest" -> corpusManifestSql,
+    "q248_crossmodal_dedup" -> crossModalDedupSql,
     "q240_codebook_psi_staleness" -> codebookStalenessSql,
     "q241_codebook_retrain_psi" -> codebookRetrainSql,
     "q226_dim_variance" -> dimVarianceSql,

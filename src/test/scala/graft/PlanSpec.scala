@@ -1613,6 +1613,15 @@ class PlanSpec extends SparkSpec {
     assert(unpartitionedWindows(p) == 0, s"no global window belongs here:\n$p")
   }
 
+  test("cross-modal dedup: both signal joins keyed, fusion equi join — no cartesian, no window") {
+    val p = plan(OpsQueries.crossModalDedupQ(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"caption md5 join + banded image join + pair-id fusion only:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"caption md5 join + banded image join + pair-id fusion only:\n$p")
+    assert(unpartitionedWindows(p) == 0, s"no global window belongs here:\n$p")
+  }
+
   test("ingest drift increment: broadcast metadata joins, batch-partitioned windows only") {
     // pin the PRE-checkpoint stage (the audit loop checkpoints its
     // union, truncating explain at LogicalRDD — CLAUDE.md rule)

@@ -1201,6 +1201,26 @@ class OpsSpec extends SparkSpec {
       "banding must be complete at every magnitude")
   }
 
+  test("cross-modal dedup: signal fusion classifies planted duplicate/caption-reuse/image-reuse") {
+    val rows = graft.OpsQueries.crossModalDedupQ(spark, sf0001).collect()
+    val byKind = rows.groupBy(_.getString(4)).view.mapValues(_.length).toMap
+    // fixture-exact (integer-deterministic end to end): 19 pairs where
+    // BOTH signals fire, 131 caption-only, 161 image-only
+    assert(byKind === Map(
+      "duplicate" -> 19, "caption_reuse" -> 131, "image_reuse" -> 161),
+      s"kind histogram: $byKind")
+    // every 'duplicate' must be a planted same-concept pair with both
+    // signals present
+    rows.filter(_.getString(4) == "duplicate").foreach { r =>
+      assert(r.getLong(2) === 1L && !r.isNullAt(3) &&
+        r.getLong(5) === 1L, s"bad duplicate row: $r")
+    }
+    // caption_reuse rows carry NO image hamming (the fusion's outer
+    // side), image_reuse rows carry no caption match
+    assert(rows.filter(_.getString(4) == "caption_reuse").forall(_.isNullAt(3)))
+    assert(rows.filter(_.getString(4) == "image_reuse").forall(_.getLong(2) == 0L))
+  }
+
   test("video container: demux recovers every PNG frame exactly; garbage degrades to None") {
     val nBases = 60
     for (id <- Seq(0L, 59L, 60L, 137L, 239L)) {
