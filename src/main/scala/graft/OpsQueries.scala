@@ -2875,7 +2875,10 @@ object OpsQueries {
       |  SELECT * FROM ann
       |  WHERE n_tokens >= 10 AND quality >= 0.05 AND lang_pred IN ('en'))""".stripMargin
 
-  val curationSql: String = "WITH " + annGatedCtes + ",\n" +
+  /** The one-shot dedup chain over `gated` (exact keepers → LSH
+    * candidates → Jaccard losers) — shared by the q34 curation oracle
+    * and the q249 ledger-classification oracle. */
+  private val dedupChainCtes: String =
     """keepers AS (
       |  SELECT min(doc_id) AS doc_id FROM gated
       |  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))),
@@ -2917,7 +2920,10 @@ object OpsQueries {
       |  JOIN common cm ON cm.a = c.a AND cm.b = c.b
       |  JOIN sizes za ON za.doc_id = c.a
       |  JOIN sizes zb ON zb.doc_id = c.b
-      |  WHERE floor((CAST(cm.n_common AS DOUBLE) / (za.sz + zb.sz - cm.n_common)) * 1000000.0 + 0.5) / 1000000.0 >= 0.8)
+      |  WHERE floor((CAST(cm.n_common AS DOUBLE) / (za.sz + zb.sz - cm.n_common)) * 1000000.0 + 0.5) / 1000000.0 >= 0.8)""".stripMargin
+
+  val curationSql: String = "WITH " + annGatedCtes + ",\n" + dedupChainCtes +
+    """
       |SELECT doc_id, text, lang, source, n_chars, n_tokens, quality, lang_pred
       |FROM exact WHERE doc_id NOT IN (SELECT b FROM losers)""".stripMargin
 
@@ -3410,6 +3416,72 @@ object OpsQueries {
        |       CAST(CASE WHEN COALESCE(cp.a, ip.a) % 50 = COALESCE(cp.b, ip.b) % 50
        |            THEN 1 ELSE 0 END AS BIGINT) AS same_concept
        |FROM cp FULL OUTER JOIN ip ON ip.a = cp.a AND ip.b = cp.b""".stripMargin
+
+  /** q249: the CURATION DROP LEDGER — the audit trail a data-governance
+    * review demands from a training-set build: every rejected doc is
+    * persisted with its reason (`gate` / `exact_dup` / `near_dup`) as
+    * arrival-partitioned state inside
+    * [[graft.pipelines.TrainingDataPipeline.curateIncrement]], so "why
+    * is doc X not in the training set" is a state lookup, never a
+    * recompute. The query runs 2 arrival batches through the persisted-
+    * state pipeline and reads the per-(batch, reason) counts back from
+    * the LEDGER (plus the derived `kept`); the ORACLE classifies every
+    * doc from the ONE-SHOT chain (gate complement from `ann`, exact
+    * losers from the keepers complement, near losers from the Jaccard
+    * chain) grouped by the same id-range batching — so the hash gate
+    * proves the incremental ledger assigns every single doc the same
+    * fate as a from-scratch classification (the q244 per-batch-split
+    * argument extended from kept counts to DROP REASONS).
+    */
+  def curationLedgerQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.TrainingDataPipeline
+    val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+    val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+    val width = maxId / 2 + 1
+    val root = java.nio.file.Files.createTempDirectory("graft-ledger-").toString
+    try {
+      for (b <- 0L until 2L)
+        TrainingDataPipeline.curateIncrement(
+          d.filter(col("doc_id") >= b * width && col("doc_id") < (b + 1) * width),
+          "doc_id", Seq("source"), "n_tokens", root, b).collect()
+      val led = s.read.parquet(s"$root/ledger")
+        .select(col("batch").cast("long").as("batch"), col("doc_id"),
+          col("reason"))
+      val keptRows = s.read.parquet(s"$root/dd")
+        .filter(col("kept") === 1L)
+        .join(led.filter(col("reason") === "near_dup").select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .select(col("batch").cast("long").as("batch"),
+          lit("kept").as("reason"))
+      led.select(col("batch"), col("reason")).unionByName(keptRows)
+        .groupBy(col("batch"), col("reason"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // owned state is deleted below
+    } finally {
+      try {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  lazy val curationLedgerSql: String =
+    "WITH " + annGatedCtes + ",\n" + dedupChainCtes + ",\n" +
+    """mx AS (SELECT max(doc_id) AS m FROM documents),
+      |cls AS (
+      |  SELECT a.doc_id,
+      |         CASE WHEN g.doc_id IS NULL THEN 'gate'
+      |              WHEN k.doc_id IS NULL THEN 'exact_dup'
+      |              WHEN l.b IS NOT NULL THEN 'near_dup'
+      |              ELSE 'kept' END AS reason
+      |  FROM ann a
+      |  LEFT JOIN gated g ON g.doc_id = a.doc_id
+      |  LEFT JOIN keepers k ON k.doc_id = a.doc_id
+      |  LEFT JOIN losers l ON l.b = a.doc_id)
+      |SELECT CAST(c.doc_id // (x.m // 2 + 1) AS BIGINT) AS batch, c.reason,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM cls c, mx x
+      |GROUP BY CAST(c.doc_id // (x.m // 2 + 1) AS BIGINT), c.reason""".stripMargin
 
   /** Document fingerprints via the custom codegen expressions
     * (rolling_hash + simhash64). The mod-2⁶⁴ arithmetic IS replayable in
@@ -6979,6 +7051,7 @@ object OpsQueries {
     "q245_corpus_manifest" -> corpusManifestQ _,
     "q247_incremental_manifest" -> incrementalManifestQ _,
     "q248_crossmodal_dedup" -> crossModalDedupQ _,
+    "q249_curation_ledger" -> curationLedgerQ _,
     "q240_codebook_psi_staleness" -> codebookStalenessQ _,
     "q241_codebook_retrain_psi" -> codebookRetrainQ _,
     "q226_dim_variance" -> dimVarianceQ _,
@@ -7145,6 +7218,7 @@ object OpsQueries {
     "q245_corpus_manifest" -> corpusManifestSql,
     "q247_incremental_manifest" -> corpusManifestSql,
     "q248_crossmodal_dedup" -> crossModalDedupSql,
+    "q249_curation_ledger" -> curationLedgerSql,
     "q240_codebook_psi_staleness" -> codebookStalenessSql,
     "q241_codebook_retrain_psi" -> codebookRetrainSql,
     "q226_dim_variance" -> dimVarianceSql,

@@ -1,0 +1,83 @@
+package graft.examples
+
+import graft.pipelines.{CorpusManifest, TrainingDataPipeline}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end example of the TRAINING-DATA lifecycle on sf0.001 — the
+  * curation twin of [[FullLoop]]'s feature-store loop, stringing the
+  * production arrival APIs together the way a daily crawl job would:
+  *
+  *  1. per arrival: [[TrainingDataPipeline.curateIncrement]] (gate →
+  *     incremental exact dedup → incremental LSH near-dedup against
+  *     persisted state) + [[TrainingDataPipeline.driftIncrement]] (the
+  *     persisted-histogram PSI monitor) — one O(increment) pass each;
+  *  2. a PLANTED degraded arrival (truncated docs) trips the monitor;
+  *  3. publish: [[CorpusManifest.write]] (key-partitioned data,
+  *     manifest last) and both verify tiers (full + sampled).
+  *
+  * Run: `sbt "runMain graft.examples.LifecycleDemo"`.
+  */
+object LifecycleDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val width = maxId / 3 + 1
+    val natural = (0L until 3L).map(b =>
+      docs.filter(col("doc_id") >= b * width && col("doc_id") < (b + 1) * width))
+    // the broken-crawl arrival: batch 0's docs truncated to 64 chars
+    val degraded = natural.head.select(
+      (col("doc_id") + maxId + 1L).as("doc_id"),
+      substring(col("text"), 1, 64).as("text"), col("source"))
+    val arrivals = natural :+ degraded
+
+    val state = java.nio.file.Files.createTempDirectory("lifecycle_state").toString
+    var curated: Option[org.apache.spark.sql.DataFrame] = None
+    arrivals.zipWithIndex.foreach { case (arrival, b) =>
+      val report = TrainingDataPipeline.curateIncrement(
+        arrival, "doc_id", Seq("source"), "n_tokens", state, b.toLong)
+      val drift = TrainingDataPipeline.driftIncrement(
+        arrival, "text", state, b.toLong)
+      val kept = report.agg(sum(col("n"))).head.getLong(0)
+      val psiRow = drift.agg(max(col("psi_cum")), max(col("drift"))).head
+      val psi = if (b == 0) "   (no reference)"
+        else f"psi=${psiRow.getDouble(0)}%7.4f drift=${psiRow.getLong(1)}"
+      println(f"arrival $b%d: in=${arrival.count()}%4d kept=$kept%4d  $psi")
+    }
+
+    // the curated corpus = every arrival's kept docs, rebuilt purely
+    // from persisted decisions (dd keepers minus ledger near-dup
+    // losers) — the state IS the source of truth, no recompute
+    val keptIds = spark.read.parquet(s"$state/dd")
+      .filter(col("kept") === 1L).select("doc_id")
+      .join(spark.read.parquet(s"$state/ledger")
+        .filter(col("reason") === "near_dup").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    val union = arrivals.reduce(_ unionByName _)
+    val keptDocs = union.join(keptIds, "doc_id")
+    curated = Some(keptDocs)
+
+    val pub = java.nio.file.Files.createTempDirectory("lifecycle_pub").toString
+    CorpusManifest.write(curated.get, pub, Seq("source"), "doc_id", "text")
+    val full = CorpusManifest.verify(spark, pub, Seq("source"), "doc_id", "text")
+    val nOk = full.filter(col("ok") === 1L).count()
+    val nAll = full.count()
+    println(s"published to $pub: manifest verify $nOk/$nAll keys ok")
+    val sampled = CorpusManifest.verify(spark, pub, Seq("source"),
+      "doc_id", "text", sampleKeys = 3)
+    println(s"sampled verify (3 keys, partition-pruned): " +
+      s"${sampled.filter(col("ok") === 1L).count()}/3 ok")
+    spark.stop()
+  }
+}

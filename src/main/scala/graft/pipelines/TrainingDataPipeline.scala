@@ -30,15 +30,24 @@ object TrainingDataPipeline {
       jaccardThreshold: Double = 0.8,
       shingleN: Int = 3)
 
-  /** Stage 1+2: annotate and gate (no shuffle). */
-  def annotateAndFilter(docs: DataFrame, cfg: Config): DataFrame =
+  /** Stage 1: annotate only (row-local, no shuffle) — split from the
+    * gate so callers that need the REJECTS (the drop ledger) see them.
+    */
+  def annotate(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .withColumn("lang_pred", TextAnalysis.langId(col("text")))
-      .filter(col("n_tokens") >= cfg.minTokens
-        && col("quality") >= cfg.minQuality
-        && col("lang_pred").isin(cfg.keepLangs.map(l => l: Any): _*))
+
+  /** Stage 2's predicate over [[annotate]]'s columns. */
+  def gatePredicate(cfg: Config): org.apache.spark.sql.Column =
+    col("n_tokens") >= cfg.minTokens &&
+      col("quality") >= cfg.minQuality &&
+      col("lang_pred").isin(cfg.keepLangs.map(l => l: Any): _*)
+
+  /** Stage 1+2: annotate and gate (no shuffle). */
+  def annotateAndFilter(docs: DataFrame, cfg: Config): DataFrame =
+    annotate(docs).filter(gatePredicate(cfg))
 
   /** Stage 3: exact dedup — keep the minimum doc_id per fingerprint. */
   def dropExactDuplicates(docs: DataFrame, idCol: String): DataFrame = {
@@ -314,10 +323,12 @@ object TrainingDataPipeline {
     val (ddDir, bandsDir, postDir, sizesDir) =
       (s"$stateDir/dd", s"$stateDir/bands", s"$stateDir/postings",
         s"$stateDir/sizes")
+    val ledgerDir = s"$stateDir/ledger"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", loopShufflePartitions)
     try {
-      val batch = annotateAndFilter(newDocs, cfg).localCheckpoint(true)
+      val ann = annotate(newDocs).localCheckpoint(true)
+      val batch = ann.filter(gatePredicate(cfg))
       val fpHistory =
         if (b == 0L) Seq.empty[String].toDF("fingerprint")
         else spark.read.parquet(ddDir).filter(col("batch") < b)
@@ -359,8 +370,24 @@ object TrainingDataPipeline {
         spark.read.parquet(postDir).drop("batch"),
         spark.read.parquet(sizesDir).drop("batch"), idCol)
         .filter(col("jaccard") >= cfg.jaccardThreshold)
+      val losers = verified.select(col("b").as(idCol)).distinct()
+      // the DROP LEDGER: every rejected doc with its reason — gate
+      // (annotate-stage predicate), exact_dup (fingerprint history),
+      // near_dup (verified Jaccard loser). Kept ids are derivable
+      // (dd.kept==1 minus near_dup), so the persisted state answers
+      // "why is doc X not in the training set" without any recompute —
+      // the curation audit trail (q249 gates the per-batch counts
+      // against a one-shot classification replay).
+      ann.filter(!gatePredicate(cfg)).select(col(idCol), lit("gate").as("reason"))
+        .unionByName(dd.filter(col("kept") === 0L)
+          .select(col(idCol), lit("exact_dup").as("reason")))
+        .unionByName(losers.select(col(idCol), lit("near_dup").as("reason")))
+        .write.mode("overwrite").parquet(s"$ledgerDir/batch=$b")
+      // consume the PERSISTED decision (the write above already paid the
+      // Jaccard stage once; re-deriving `losers` here would pay it twice)
       val kept = ex.join(
-        verified.select(col("b").as(idCol)).distinct(),
+        spark.read.parquet(s"$ledgerDir/batch=$b")
+          .filter(col("reason") === "near_dup").select(idCol),
         Seq(idCol), "left_anti")
       val roll = Transforms.mergeableRollup(kept, keyCols, col(valueCol))
       if (checkpointResult) roll.localCheckpoint(true) else roll

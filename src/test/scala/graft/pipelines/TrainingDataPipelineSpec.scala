@@ -225,6 +225,42 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(pruned.map(_.toSeq).toSeq === full.map(_.toSeq).toSeq)
   }
 
+  test("drop ledger: every rejected doc persisted with its reason; kept derivable from state alone") {
+    val root = java.nio.file.Files.createTempDirectory("ledger-").toString
+    try {
+      // arrivals with one planted case per drop reason
+      val a0 = Seq((0L, baseA, "web"), (1L, baseB, "web")).toDF("doc_id", "text", "source")
+      val a1 = Seq(
+        (2L, baseA, "pdf"),                            // exact dup of 0
+        (3L, baseB.replace("crew", "sailor"), "pdf"),  // near dup of 1
+        (4L, "tiny", "web"),                           // gate reject
+        (5L, "a brand new clean document with plenty of fresh tokens " +
+          "to pass the gate easily today", "web")      // keeper
+      ).toDF("doc_id", "text", "source")
+      TrainingDataPipeline.curateIncrement(a0, "doc_id", Seq("source"),
+        "n_tokens", root, 0L).collect()
+      TrainingDataPipeline.curateIncrement(a1, "doc_id", Seq("source"),
+        "n_tokens", root, 1L).collect()
+      val led = spark.read.parquet(s"$root/ledger")
+        .select(col("doc_id"), col("reason"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(led === Map(2L -> "exact_dup", 3L -> "near_dup", 4L -> "gate"),
+        s"ledger: $led")
+      // kept ids from STATE alone: dd keepers minus near-dup losers
+      val kept = spark.read.parquet(s"$root/dd").filter(col("kept") === 1L)
+        .join(spark.read.parquet(s"$root/ledger")
+          .filter(col("reason") === "near_dup").select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(0L, 1L, 5L), s"kept from state: $kept")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("arrival reports: every batch's report == one-shot curation restricted to that batch") {
     val cfg = TrainingDataPipeline.Config()
     val got = TrainingDataPipeline
