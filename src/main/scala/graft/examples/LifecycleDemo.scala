@@ -29,7 +29,14 @@ object LifecycleDemo {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, dir) finally spark.stop()
+  }
 
+  /** The demo body, session-agnostic so the spec suite can smoke it
+    * (ExamplesSmokeSpec) without owning the session lifecycle. Returns
+    * (per-arrival (kept, drift), full-verify ok count, key count).
+    */
+  def run(spark: SparkSession, dir: String): (Seq[(Long, Long)], Long, Long) = {
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
     val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
@@ -43,17 +50,18 @@ object LifecycleDemo {
     val arrivals = natural :+ degraded
 
     val state = java.nio.file.Files.createTempDirectory("lifecycle_state").toString
-    var curated: Option[org.apache.spark.sql.DataFrame] = None
-    arrivals.zipWithIndex.foreach { case (arrival, b) =>
+    val perArrival = arrivals.zipWithIndex.map { case (arrival, b) =>
       val report = TrainingDataPipeline.curateIncrement(
         arrival, "doc_id", Seq("source"), "n_tokens", state, b.toLong)
       val drift = TrainingDataPipeline.driftIncrement(
         arrival, "text", state, b.toLong)
       val kept = report.agg(sum(col("n"))).head.getLong(0)
       val psiRow = drift.agg(max(col("psi_cum")), max(col("drift"))).head
+      val driftFlag = if (b == 0 || psiRow.isNullAt(1)) 0L else psiRow.getLong(1)
       val psi = if (b == 0) "   (no reference)"
-        else f"psi=${psiRow.getDouble(0)}%7.4f drift=${psiRow.getLong(1)}"
+        else f"psi=${psiRow.getDouble(0)}%7.4f drift=$driftFlag"
       println(f"arrival $b%d: in=${arrival.count()}%4d kept=$kept%4d  $psi")
+      (kept, driftFlag)
     }
 
     // the curated corpus = every arrival's kept docs, rebuilt purely
@@ -66,10 +74,9 @@ object LifecycleDemo {
         Seq("doc_id"), "left_anti")
     val union = arrivals.reduce(_ unionByName _)
     val keptDocs = union.join(keptIds, "doc_id")
-    curated = Some(keptDocs)
 
     val pub = java.nio.file.Files.createTempDirectory("lifecycle_pub").toString
-    CorpusManifest.write(curated.get, pub, Seq("source"), "doc_id", "text")
+    CorpusManifest.write(keptDocs, pub, Seq("source"), "doc_id", "text")
     val full = CorpusManifest.verify(spark, pub, Seq("source"), "doc_id", "text")
     val nOk = full.filter(col("ok") === 1L).count()
     val nAll = full.count()
@@ -78,6 +85,6 @@ object LifecycleDemo {
       "doc_id", "text", sampleKeys = 3)
     println(s"sampled verify (3 keys, partition-pruned): " +
       s"${sampled.filter(col("ok") === 1L).count()}/3 ok")
-    spark.stop()
+    (perArrival, nOk, nAll)
   }
 }

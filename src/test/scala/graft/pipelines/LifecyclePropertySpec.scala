@@ -45,6 +45,36 @@ class LifecyclePropertySpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("drift monitor degrades on an EMPTY arrival: NULL psi, no crash, state still written") {
+    val root = java.nio.file.Files.createTempDirectory("drift-empty-").toString
+    try {
+      TrainingDataPipeline.driftIncrement(
+        Seq((0L, "x" * 100), (1L, "x" * 200)).toDF("doc_id", "text"),
+        "text", root, 0L).collect()
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val curve = TrainingDataPipeline.driftIncrement(empty, "text", root, 1L)
+        .collect()
+      // an empty increment has no distribution: psi degrades to NULL
+      // (the documented NULL short-circuit), the monitor does not crash,
+      // and the batch's (empty) histogram partition still lands so
+      // later arrivals' `batch < b` reads stay consistent
+      assert(curve.length === 16)
+      assert(curve.forall(_.isNullAt(5)), "psi_cum must be NULL, not fabricated")
+      assert(new java.io.File(s"$root/lenhist/batch=1").exists)
+      // and the NEXT arrival still computes a real PSI against batch 0
+      val next = TrainingDataPipeline.driftIncrement(
+        Seq((2L, "x" * 100), (3L, "x" * 200)).toDF("doc_id", "text"),
+        "text", root, 2L)
+        .agg(max(col("psi_cum"))).head
+      assert(!next.isNullAt(0), "recovery arrival must see a real reference")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("manifest merge law: any 2-slicing of any corpus folds to the one-shot manifest") {
     val genDoc = for {
       id <- Gen.choose(0L, 500L)
