@@ -60,6 +60,31 @@ object ArtifactStore {
   private def currentTmpPath(base: String) =
     new org.apache.hadoop.fs.Path(s"$base/CURRENT.tmp")
 
+  /** The filesystem's OWN current time, sampled by touching a hidden
+    * probe file and reading its mtime. Judging a tmp's age against the
+    * CLIENT's wall clock misclassifies a live in-flight swap as an
+    * orphan when client and namenode clocks skew past the horizon
+    * (remote HDFS); the probe's mtime and the tmp's mtime come from the
+    * same clock, so their difference is skew-free. Hidden name (leading
+    * dot) keeps it out of Spark's file listing; falls back to client
+    * time if the probe can't be written (read-only mount — there a
+    * crashed writer can't have left a tmp anyway).
+    */
+  private def fsNow(fs: org.apache.hadoop.fs.FileSystem,
+      base: String): Long = {
+    val probe = new org.apache.hadoop.fs.Path(s"$base/.clock-probe")
+    try {
+      val out = fs.create(probe, true)
+      out.close()
+      val t = fs.getFileStatus(probe).getModificationTime
+      try fs.delete(probe, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      t
+    } catch {
+      case scala.util.control.NonFatal(_) => System.currentTimeMillis
+    }
+  }
+
   /** Read the CURRENT pointer; retries the transient rename window
     * (final missing, .tmp present) like [[HadoopRegistry]] — on a
     * filesystem where the pointer swap degrades to delete+rename a
@@ -91,13 +116,16 @@ object ArtifactStore {
           case None =>
             return None // neither pointer nor in-flight swap: no artifact
           case Some(st)
-              if System.currentTimeMillis - st.getModificationTime >
+              if fsNow(fs, base) - st.getModificationTime >
                 orphanTmpHorizonMs =>
             // a crashed writer left CURRENT.tmp behind with no final
             // pointer: a live swap completes in milliseconds, so a
             // minutes-old tmp with nothing to point at is an orphan —
             // report "no artifact" instead of spinning out the retry
-            // deadline (the next save's fs.create(tmp, true) overwrites)
+            // deadline (the next save's fs.create(tmp, true) overwrites).
+            // Age is judged against the FS's own clock ([[fsNow]]), not
+            // the client's — client/namenode skew must not turn a live
+            // swap into a false orphan
             return None
           case _ => () // fresh tmp: a writer is mid-swap, retry below
         }

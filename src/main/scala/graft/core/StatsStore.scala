@@ -60,13 +60,24 @@ object StatsStore {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val legacyParts =
-        try fs.exists(p) && fs.listStatus(p)
-          .exists(_.getPath.getName.startsWith("part-"))
-        catch { case _: java.io.FileNotFoundException => false }
-      if (legacyParts)
+        try {
+          if (!fs.exists(p)) Array.empty[String]
+          else fs.listStatus(p).map(_.getPath)
+            .filter(_.getName.startsWith("part-")).map(_.toString)
+        } catch { case _: java.io.FileNotFoundException =>
+          Array.empty[String]
+        }
+      if (legacyParts.nonEmpty)
         // read ONLY the legacy part files: a half-migrated dir may also
-        // hold v-*/ subdirs that plain spark.read.parquet would merge in
-        Some(spark.read.parquet(s"$path/part-*"))
+        // hold v-*/ subdirs that plain spark.read.parquet would merge
+        // in. Pass the EXPLICIT listed paths, not a "$path/part-*" glob
+        // string — a path containing glob metacharacters (brackets,
+        // braces; registry paths derive from user table names) would
+        // mis-resolve or throw as a glob pattern. Spark still runs each
+        // path through Hadoop's glob resolution, so metacharacters in
+        // the listed paths are backslash-escaped to read as literals.
+        Some(spark.read.parquet(legacyParts.toIndexedSeq
+          .map(_.replaceAll("([*?\\[\\]{}\\\\])", "\\\\$1")): _*))
       else None
     }
 }

@@ -378,7 +378,12 @@ object TrainingDataPipeline {
       // "why is doc X not in the training set" without any recompute —
       // the curation audit trail (q249 gates the per-batch counts
       // against a one-shot classification replay).
-      ann.filter(!gatePredicate(cfg)).select(col(idCol), lit("gate").as("reason"))
+      // NULL-annotated rows (e.g. null text) fail BOTH gatePredicate and
+      // !gatePredicate under three-valued logic — coalesce to false so
+      // every doc lands in exactly one of {kept, ledger} (the audit
+      // contract; the q249 oracle classifies every ann row)
+      ann.filter(not(coalesce(gatePredicate(cfg), lit(false))))
+        .select(col(idCol), lit("gate").as("reason"))
         .unionByName(dd.filter(col("kept") === 0L)
           .select(col(idCol), lit("exact_dup").as("reason")))
         .unionByName(losers.select(col(idCol), lit("near_dup").as("reason")))

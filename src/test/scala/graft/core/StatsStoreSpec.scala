@@ -65,4 +65,16 @@ class StatsStoreSpec extends SparkSpec {
       === Seq(("a", 5L)))
   }
 
+  test("legacy fallback reads paths containing glob metacharacters literally") {
+    import spark.implicits._
+    // registry paths derive from user table names — brackets/braces are
+    // possible and must not be glob-interpreted by the fallback read
+    val dir = java.nio.file.Files.createTempDirectory("ss_glob")
+      .resolve("stats[v2]{x}.parquet").toString
+    Seq(("g", 7L)).toDF("k", "n").write.parquet(dir)
+    val legacy = StatsStore.read(spark, dir).get
+    assert(legacy.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("g", 7L)))
+  }
+
 }

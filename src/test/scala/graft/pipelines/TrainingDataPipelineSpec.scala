@@ -261,6 +261,33 @@ class TrainingDataPipelineSpec extends SparkSpec {
     }
   }
 
+  test("drop ledger: NULL-annotated docs are recorded as gate rejects, not lost") {
+    val root = java.nio.file.Files.createTempDirectory("ledger-null-").toString
+    try {
+      // a null text annotates to NULL n_tokens/quality/lang — under
+      // three-valued logic it fails BOTH gatePredicate and its negation,
+      // so without the coalesce it would land in neither kept nor ledger
+      val a0 = Seq(
+        (0L, null.asInstanceOf[String], "web"),
+        (1L, baseA, "web")
+      ).toDF("doc_id", "text", "source")
+      val roll = TrainingDataPipeline.curateIncrement(a0, "doc_id",
+        Seq("source"), "n_tokens", root, 0L)
+      assert(roll.agg(sum(col("n"))).head.getLong(0) === 1L)
+      val led = spark.read.parquet(s"$root/ledger")
+        .collect().map(r =>
+          r.getLong(r.fieldIndex("doc_id")) ->
+            r.getString(r.fieldIndex("reason"))).toMap
+      assert(led === Map(0L -> "gate"),
+        s"null-annotated doc must have a recorded fate: $led")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("arrival reports: every batch's report == one-shot curation restricted to that batch") {
     val cfg = TrainingDataPipeline.Config()
     val got = TrainingDataPipeline
