@@ -3056,23 +3056,36 @@ object OpsQueries {
       |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
       |FROM documents d LEFT JOIN flags f USING (doc_id)""".stripMargin
 
-  /** q235b: end-to-end incremental FULL-curation proof (VERDICT r11
-    * #2) — the q235/q236 composition: 4 arrival batches through
-    * annotate → gate → incremental exact dedup → incremental
-    * LSH+Jaccard near-dedup (PERSISTED arrival-partitioned band index
-    * + posting + per-doc-size tables, appended O(increment) per batch
-    * and candidate-pruned at read — VERDICT r12 #1; dropped docs'
-    * bands kept per the greedy rule) → rollup merge
-    * ([[graft.pipelines.TrainingDataPipeline.incrementalCurate]]).
-    * The ORACLE is the ONE-SHOT [[graft.pipelines.TrainingDataPipeline
-    * .curate]] chain (q34's full SQL embedded as a subquery) rolled up
-    * per source — so the hash gate machine-checks that running BOTH
-    * dedup stages incrementally, batch by batch, loses nothing vs
-    * recomputing the whole corpus from scratch.
+  /** q250: the STATE-LIFECYCLE curation proof (VERDICT r13 #2 + #5),
+    * succeeding q235b (retired to spec-only per VERDICT r13 #6 — its
+    * merged-total claim is strictly subsumed by q244's per-batch
+    * split): 3 arrival batches through the persisted-state incremental
+    * curation ([[graft.pipelines.TrainingDataPipeline
+    * .incrementalCurate]]) with BOTH maintenance ops fired mid-stream —
+    * after batch 1 the arrival-partitioned state is COMPACTED
+    * (batches {0,1} fold into one partition per table,
+    * [[graft.pipelines.CurationState.compactState]]) and then the
+    * outright-rejected docs (gate / exact-dup, read off the compacted
+    * ledger) are PURGED from every state table
+    * ([[graft.pipelines.CurationState.purgeDocs]] — the
+    * right-to-forget / data-minimization sweep). Batch 2 then curates
+    * against the compacted-and-purged state.
+    *
+    * The ORACLE is the plain ONE-SHOT [[graft.pipelines
+    * .TrainingDataPipeline.curate]] chain rolled up per source —
+    * UNCHANGED from q235b's. The hash gate therefore machine-checks
+    * two laws at once: compaction is a pure re-partitioning (every
+    * read sees the same multiset of rows), and purging
+    * outright-rejected docs influences no later decision (their only
+    * state rows are ledger entries and `kept = 0` dd rows that every
+    * history read filters out). CurationStateSpec pins each mechanism
+    * in isolation (idempotence, crash recovery, forget semantics on
+    * KEPT docs).
     */
-  def incrementalCurationQ(s: SparkSession, dir: String): DataFrame =
+  def lifecycleCurationQ(s: SparkSession, dir: String): DataFrame =
     graft.pipelines.TrainingDataPipeline
-      .incrementalCurate(docs(s, dir), "doc_id", Seq("source"), "n_tokens")
+      .incrementalCurate(docs(s, dir), "doc_id", Seq("source"), "n_tokens",
+        nBatches = 3, compactAfter = Some(1L), purgeRejectedAfter = Some(1L))
       .select(col("source"), col("n").as("n_docs"),
         col("sum_cents").as("sum_tokens"), col("min_cents").as("min_tokens"),
         col("max_cents").as("max_tokens"))
@@ -3088,7 +3101,7 @@ object OpsQueries {
   /** q243: ingest-side distribution drift monitor over arrival batches
     * ([[graft.pipelines.TrainingDataPipeline.driftIncrement]]) — the
     * q240 staleness posture applied to the CURATION INGEST, closing the
-    * lifecycle loop from the other side: q235b proves arrivals curate
+    * lifecycle loop from the other side: q250 proves arrivals curate
     * incrementally; this watches whether an arrival is distributionally
     * unlike everything already curated. Four natural arrival slices
     * (the q235 id-range contract) plus a PLANTED DEGRADED arrival
@@ -3179,7 +3192,7 @@ object OpsQueries {
     * [[graft.pipelines.TrainingDataPipeline.ingestDriftAudit]] over the
     * same slices; batch 0 has no reference, its psi/drift are NULL).
     *
-    * The gate is STRONGER than q235b's: the oracle is the ONE-SHOT
+    * The gate is STRONGER than q250's merged total: the oracle is the ONE-SHOT
     * curation SQL grouped per batch, so the hash match proves the
     * per-batch SPLIT of the incremental composition — every arrival's
     * individual contribution, not just the merged total — equals the
@@ -7039,7 +7052,7 @@ object OpsQueries {
     "q231_maxp_retrieval" -> maxPRetrievalQ _,
     "q232_simhash_calibration" -> simhashCalibrationQ _,
     "q235_incremental_pipeline" -> incrementalPipelineQ _,
-    "q235b_incremental_curation" -> incrementalCurationQ _,
+    "q250_lifecycle_curation" -> lifecycleCurationQ _,
     "q236_incremental_lsh" -> incrementalLshQ _,
     "q237_image_dedup" -> imageDedupQ _,
     "q238_audio_dedup" -> audioDedupQ _,
@@ -7206,7 +7219,7 @@ object OpsQueries {
     "q231_maxp_retrieval" -> maxPRetrievalSql,
     "q232_simhash_calibration" -> simhashCalibrationSql,
     "q235_incremental_pipeline" -> incrementalPipelineSql,
-    "q235b_incremental_curation" -> incrementalCurationSql,
+    "q250_lifecycle_curation" -> incrementalCurationSql,
     "q236_incremental_lsh" -> incrementalLshSql,
     "q237_image_dedup" -> imageDedupSql,
     "q238_audio_dedup" -> audioDedupSql,

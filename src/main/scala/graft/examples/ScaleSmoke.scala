@@ -163,11 +163,12 @@ object ScaleSmoke {
       // checkpoint cadence and the growing index join are what 10x
       // stresses
       "q235_incremental_pipeline", "q236_incremental_lsh",
-      // round-13: the full two-stage incremental curation over
-      // persisted arrival-partitioned state — the heaviest composed
-      // pipeline on the board; 10x stresses the per-batch append +
-      // candidate-pruned Jaccard reads
-      "q235b_incremental_curation",
+      // round-14: the full two-stage incremental curation over
+      // persisted arrival-partitioned state with mid-stream compaction
+      // + reject purge — the heaviest composed pipeline on the board;
+      // 10x stresses the per-batch append, the candidate-BATCH
+      // partition-pruned Jaccard reads, and both maintenance sweeps
+      "q250_lifecycle_curation",
       // round-13 lifecycle additions: the ingest drift monitor's
       // per-arrival histogram scan meets 10x docs (state stays 16 rows
       // per arrival — the point), the per-arrival report re-runs the

@@ -173,7 +173,28 @@ object TrainingDataPipeline {
       idCol)
   }
 
-  /** Incremental FULL-curation composition (q235b, VERDICT r11 #2): the
+  /** Candidate-batch-pruned read of one arrival-partitioned state table
+    * (VERDICT r13 #1): the semi-join prune in [[prunedJaccardStage]]
+    * bounds the verification SHUFFLE to candidate volume, but a bare
+    * `spark.read.parquet(dir)` still SCANS the whole accumulated state
+    * per increment — at thousands of arrivals every increment re-reads
+    * the full posting table to keep a few thousand candidate rows. The
+    * candidate ids map to a bounded set of `batch=N` values (each cross
+    * pair carries its prior side's batch off the band index; in-batch
+    * pairs live in the current batch), so the read filters
+    * `batch IN (...)` FIRST and Spark's partition pruning drops every
+    * non-candidate arrival's files before a row is decoded (PlanSpec
+    * pins PartitionFilters on this exact path). At true scale the same
+    * layout additionally buckets postings by id so the pruned read is
+    * also exchange-free into the verification join.
+    */
+  private[graft] def prunedStateRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batches: Seq[Long]): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("batch").isin(batches: _*))
+      .drop("batch")
+
+  /** Incremental FULL-curation composition (q250, VERDICT r11 #2): the
     * production chain with BOTH dedup stages — each arrival batch runs
     * annotate → gate → [[graft.ops.Dedup.incrementalExactDedup]] →
     * incremental LSH+Jaccard near-dedup against PERSISTED carried state
@@ -192,8 +213,11 @@ object TrainingDataPipeline {
     * union every batch: O(nBatches × corpus) on the widest
     * intermediate). Per-doc shingle sizes are computed once, at append
     * time, from the increment only; the Jaccard stage reads postings
-    * through a candidate-id semi-join prune ([[prunedJaccardStage]]),
-    * so per increment it touches candidate rows, not the corpus. The
+    * and sizes through a candidate-BATCH partition prune
+    * ([[prunedStateRead]] — the scan lists only the arrivals candidates
+    * live in) and then a candidate-id semi-join prune
+    * ([[prunedJaccardStage]]), so per increment both the scan and the
+    * shuffle touch candidate volume, not the accumulated corpus. The
     * band index enters as its 16-byte keys only — one
     * hash-table-sized scan per increment; `batch=N` partitioning means
     * the prior-index read partition-prunes the current batch away. At
@@ -213,8 +237,9 @@ object TrainingDataPipeline {
     * exact integer-count arithmetic on the same shingle sets (the
     * candidate-id prune removes only rows no pair joins to, and the
     * persisted sizes equal re-aggregated sizes because each doc's
-    * postings are written exactly once, by its own batch). q235b's
-    * oracle is spelled in the one-shot form, so the hash gate is the
+    * postings are written exactly once, by its own batch). q250's
+    * oracle is spelled in the one-shot form (with the mid-stream
+    * compaction + reject-purge hooks engaged), so the hash gate is the
     * machine-checked losslessness proof of the whole two-stage
     * incremental composition INCLUDING the persisted-state plumbing.
     *
@@ -228,12 +253,26 @@ object TrainingDataPipeline {
     *   empty-task scheduling per round. All loop frames execute
     *   eagerly inside the scope (checkpoints + state writes), so the
     *   conf restore cannot leak (the lazy-checkpoint trap, CLAUDE.md).
+    * @param compactAfter after the arrival with this batchId, fold all
+    *   state partitions `batch <= it` into one per table
+    *   ([[CurationState.compactState]]). Pure re-partitioning — the
+    *   q250 gate proves the final curation is bit-identical with or
+    *   without it.
+    * @param purgeRejectedAfter after the arrival with this batchId,
+    *   delete every doc the ledger rejected outright (gate/exact-dup)
+    *   in batches `<= it` from ALL state tables
+    *   ([[CurationState.purgeDocs]] over
+    *   [[CurationState.rejectedIds]]) — the data-minimization sweep;
+    *   provably decision-free, so the q250 oracle stays the plain
+    *   one-shot recompute.
     */
   def incrementalCurate(docsDf: DataFrame, idCol: String,
       keyCols: Seq[String], valueCol: String,
       nBatches: Int = 4, cfg: Config = Config(),
       stateDir: Option[String] = None,
-      loopShufflePartitions: Int = 8): DataFrame = {
+      loopShufflePartitions: Int = 8,
+      compactAfter: Option[Long] = None,
+      purgeRejectedAfter: Option[Long] = None): DataFrame = {
     require(nBatches >= 1, "incrementalCurate needs nBatches >= 1")
     import graft.transform.Transforms
     val spark = docsDf.sparkSession
@@ -267,6 +306,14 @@ object TrainingDataPipeline {
         state = Some(state
           .map(prev => Transforms.mergeRollups(prev, roll, keyCols))
           .getOrElse(roll).localCheckpoint(true))
+        // mid-stream state maintenance (the lifecycle hooks q250
+        // hash-gates): both run AFTER this arrival's rollup is eagerly
+        // checkpointed, so nothing lazy spans a state rewrite
+        if (compactAfter.contains(b))
+          CurationState.compactState(spark, root, b)
+        if (purgeRejectedAfter.contains(b))
+          CurationState.purgeDocs(spark, root,
+            CurationState.rejectedIds(spark, root, idCol, b), idCol)
       }
       state.get // eagerly checkpointed — safe to GC internal state below
     } finally {
@@ -282,8 +329,8 @@ object TrainingDataPipeline {
 
   /** ONE production arrival through the persisted-state curation — the
     * serving shape a real crawl increment calls (the 4-batch
-    * [[incrementalCurate]] is this function in a loop, so the q235b
-    * hash gate proves the single-arrival API for free): gate →
+    * [[incrementalCurate]] is this function in a loop, so the q250 and
+    * q244 hash gates prove the single-arrival API for free): gate →
     * incremental exact dedup against `stateDir`'s fingerprint history →
     * incremental LSH+Jaccard near-dedup against the persisted band
     * index with candidate-pruned postings → append this increment's
@@ -357,18 +404,32 @@ object TrainingDataPipeline {
       sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
         .write.mode("overwrite").parquet(s"$sizesDir/batch=$b")
       // candidates: new bands vs the PRIOR index (partition-pruned)
-      // plus within-batch collisions
+      // plus within-batch collisions. Each cross pair keeps the prior
+      // side's arrival batch (`a_batch`, functionally determined by a)
+      // so the verification reads below can partition-prune to the
+      // batches that actually hold candidates.
       val bandsB = spark.read.parquet(s"$bandsDir/batch=$b")
       val index = spark.read.parquet(bandsDir)
         .filter(col("batch") < b)
-        .select(col(idCol).as("a"), col("band_idx"), col("band_hash"))
+        .select(col(idCol).as("a"), col("band_idx"), col("band_hash"),
+          col("batch").cast("long").as("a_batch"))
       val cross = bandsB.join(index, Seq("band_idx", "band_hash"))
-        .select(col("a"), col(idCol).as("b")).distinct()
+        .select(col("a"), col(idCol).as("b"), col("a_batch")).distinct()
       val inBatch = Dedup.candidatePairs(bandsB, idCol)
-      val pairs = cross.unionByName(inBatch).localCheckpoint(true)
+        .withColumn("a_batch", lit(b))
+      val pairsAll = cross.unionByName(inBatch).localCheckpoint(true)
+      val pairs = pairsAll.select(col("a"), col("b"))
+      // bounded driver valve: the distinct prior batches candidates
+      // touch — ≤ batchId values off an already-materialized
+      // candidate-scale frame (the VERDICT r13 #1 contract: the
+      // per-increment state SCAN is candidate-batch-sized, not
+      // O(accumulated corpus))
+      val candBatches: Seq[Long] =
+        (pairsAll.select(col("a_batch")).distinct()
+          .collect().map(_.getLong(0)).toSeq :+ b).distinct
       val verified = prunedJaccardStage(pairs,
-        spark.read.parquet(postDir).drop("batch"),
-        spark.read.parquet(sizesDir).drop("batch"), idCol)
+        prunedStateRead(spark, postDir, candBatches),
+        prunedStateRead(spark, sizesDir, candBatches), idCol)
         .filter(col("jaccard") >= cfg.jaccardThreshold)
       val losers = verified.select(col("b").as(idCol)).distinct()
       // the DROP LEDGER: every rejected doc with its reason — gate
@@ -506,10 +567,6 @@ object TrainingDataPipeline {
       logBuckets: Boolean = false): DataFrame = {
     require(nBuckets >= 2 && bucketWidth >= 1L,
       "driftIncrement needs >= 2 buckets of positive width")
-    val spark = newDocs.sparkSession
-    import spark.implicits._
-    import graft.util.Rounding.pround
-    val histDir = s"$stateDir/lenhist"
     val bucketExpr =
       if (logBuckets)
         s"least(cast(${nBuckets - 1} as bigint), " +
@@ -517,8 +574,40 @@ object TrainingDataPipeline {
       else
         s"least(cast(${nBuckets - 1} as bigint), " +
           s"cast(length($textCol) as bigint) div $bucketWidth)"
+    driftIncrementBy(newDocs, expr(bucketExpr), stateDir, batchId, nBuckets,
+      histSubdir = "lenhist")
+  }
+
+  /** ONE arrival through the drift monitor over an ARBITRARY keyed
+    * histogram (VERDICT r13 #4 — [[driftIncrement]] generalized): the
+    * text-length monitor is blind to a drifted source MIX or a
+    * token-entropy shift, so the bucketing is now a parameter — any
+    * EXACT-INTEGER expression with domain `[0, nBuckets)` (exactness is
+    * the gate discipline: a float bucket boundary could flip a row
+    * between engines; a categorical key enters through a replayable
+    * integer hash, e.g. the md5-parity spelling
+    * `conv(substring(md5(src),1,8),16,10) % k` ↔ DuckDB
+    * `('0x'||substr(md5(src),1,8))::BIGINT % k`). Everything else is
+    * the [[driftIncrement]] contract verbatim: one row-local pass per
+    * arrival, bucket-domain persisted state under
+    * `stateDir/<histSubdir>/batch=N`, Laplace-smoothed PSI vs the sum
+    * of all prior arrivals, retry-idempotent overwrites.
+    *
+    * Distinct monitors on one corpus = distinct `histSubdir`s (or
+    * stateDirs): each monitor's state is its own table and compacts
+    * with [[CurationState.compactState]] unchanged (reads re-aggregate
+    * per bucket, so folded partitions sum identically).
+    */
+  def driftIncrementBy(newDocs: DataFrame, bucket: org.apache.spark.sql.Column,
+      stateDir: String, batchId: Long, nBuckets: Int = 16,
+      histSubdir: String = "hist"): DataFrame = {
+    require(nBuckets >= 2, "driftIncrementBy needs >= 2 buckets")
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    import graft.util.Rounding.pround
+    val histDir = s"$stateDir/$histSubdir"
     newDocs
-      .select(expr(bucketExpr).as("bucket"))
+      .select(bucket.as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$histDir/batch=$batchId")
     if (batchId == 0L)
@@ -582,6 +671,34 @@ object TrainingDataPipeline {
       // DISTINCT `batch < b` literal — the canonical plans differ, so
       // nothing conflates. Don't refactor that filter away.
       curves.reduce(_ unionByName _).localCheckpoint(true)
+    } finally {
+      if (ownState)
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** Arrival-loop composition of [[driftIncrementBy]] — the
+    * [[ingestDriftAudit]] shape for an arbitrary keyed-histogram
+    * monitor (q251 runs it over the source mix). Same co-planning
+    * safety argument: each curve's state scan carries a distinct
+    * `batch < b` literal, so ReuseExchange cannot conflate listings.
+    */
+  def keyedDriftAudit(arrivals: Seq[DataFrame],
+      bucket: org.apache.spark.sql.Column,
+      stateDir: Option[String] = None, nBuckets: Int = 16): DataFrame = {
+    require(arrivals.nonEmpty, "keyedDriftAudit needs at least one arrival")
+    val spark = arrivals.head.sparkSession
+    val ownState = stateDir.isEmpty
+    val root = stateDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-kdrift-").toString)
+    try {
+      arrivals.zipWithIndex.map { case (a, b) =>
+        driftIncrementBy(a, bucket, root, b.toLong, nBuckets)
+      }.reduce(_ unionByName _).localCheckpoint(true)
     } finally {
       if (ownState)
         try {

@@ -102,7 +102,7 @@ object StreamingIngest {
     * whole monitor micro-batch-transactional for free: a replayed
     * micro-batch (failure recovery re-runs the same batchId) rewrites
     * its own partitions and recomputes the identical curve — the
-    * q235b/q243 retry contract, now load-bearing for exactly-once.
+    * q250/q243 retry contract, now load-bearing for exactly-once.
     * Batch ≡ streaming is spec-pinned (StreamingSpec runs the same
     * arrival slices both ways and diffs the frames).
     *

@@ -1,0 +1,223 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** State maintenance over the arrival-partitioned curation store
+  * (VERDICT r13 #2 compaction, #5 retention): both ops preserve every
+  * curation decision bit-for-bit (q250 gates the composition at sf
+  * scale; these specs pin each mechanism in isolation plus the crash /
+  * idempotence / forget-semantics corners the gate can't see).
+  */
+class CurationStateSpec extends SparkSpec {
+  import spark.implicits._
+  import TrainingDataPipeline.{curateIncrement, incrementalCurate}
+
+  private val baseA = "the quick brown fox jumps over the lazy dog and runs far " +
+    "into the deep woods while the old owl watches from a tall tree and " +
+    "the river flows past the quiet village under a bright morning sun today"
+  private val baseB = "a small ship sails on the wide sea and the crew looks to " +
+    "the far shore where the light of the tower glows in the dark night " +
+    "and the waves roll under the cold wind as it drifts along slowly"
+  // the TrainingDataPipelineSpec planted structure: exact + near dups
+  // that cross the 4-batch id-range slicing (width 3: {0..2}{3..5}…)
+  private lazy val corpus = Seq(
+    (0L, baseA, "web"),
+    (1L, "it is a fine day to read the long book of maps and learn the " +
+      "names of all the distant lands", "web"),
+    (2L, baseA.replace("lazy", "sleepy"), "web"),   // near dup of 0
+    (3L, baseA, "pdf"),                             // exact dup of 0
+    (4L, baseA.replace("river", "creek"), "pdf"),   // near dup of 0
+    (5L, baseB, "web"),
+    (6L, "tiny", "web"),                            // gated out
+    (7L, baseB.replace("crew", "sailor"), "pdf"),   // near dup of 5
+    (8L, "the team built a fast engine to sort and merge all of the " +
+      "rows in the table with care", "web"),
+    (9L, "a good meal is made of fresh bread and soup and it warms the " +
+      "cold traveler in the winter", "pdf"),
+    (10L, baseB.replace("crew", "sailor").replace("waves", "tides"),
+      "web"),                                       // near dup ONLY of 7
+    (11L, "the students walk to the library in the morning and study " +
+      "the history of the ancient city together", "pdf")
+  ).toDF("doc_id", "text", "source")
+
+  private def withRoot[A](f: String => A): A = {
+    val root = java.nio.file.Files.createTempDirectory("cstate-").toString
+    try f(root) finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+  test("curation with mid-stream compaction + reject purge == plain incremental == one-shot") {
+    val plain = incrementalCurate(corpus, "doc_id", Seq("source"), "n_tokens")
+    val lifed = incrementalCurate(corpus, "doc_id", Seq("source"), "n_tokens",
+      compactAfter = Some(1L), purgeRejectedAfter = Some(2L))
+    assert(sortedRows(lifed) === sortedRows(plain),
+      "compaction + reject purge must not move any curation decision")
+  }
+
+  test("sf0.001 fixture: post-compaction-and-purge arrivals still drop cross-state near dups") {
+    // the q250 gate proves equality; this pins that the fixture
+    // actually EXERCISES the interesting path — batch 2 (curated
+    // against compacted + purged state) must still see near-dup
+    // evidence that lives in the folded batches
+    withRoot { root => withRoot { root2 =>
+      val d = graft.Tables.load(spark, sf0001, "documents")
+      val plain = TrainingDataPipeline.incrementalCurate(
+        d, "doc_id", Seq("source"), "n_tokens", nBatches = 3,
+        stateDir = Some(root2))
+      val lifed = TrainingDataPipeline.incrementalCurate(
+        d, "doc_id", Seq("source"), "n_tokens", nBatches = 3,
+        stateDir = Some(root),
+        compactAfter = Some(1L), purgeRejectedAfter = Some(1L))
+      assert(sortedRows(lifed) === sortedRows(plain))
+      val lastLedger = spark.read.parquet(s"$root/ledger")
+        .filter(col("batch") === 2L)
+        .groupBy(col("reason")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(lastLedger.getOrElse("near_dup", 0L) > 0L,
+        s"batch 2 must drop near dups against folded state: $lastLedger")
+      // the purge deleted every gate/exact-dup reject of batches <= 1
+      // from the lifecycle state (the sf0.001 corpus has no
+      // identical-text pairs — exact-dup mechanics are pinned by the
+      // planted-fixture tests below; PLAIN state keeps its gate rows)
+      val plainGates = spark.read.parquet(s"$root2/ledger")
+        .filter(col("batch") < 2L && col("reason") === "gate").count()
+      assert(plainGates > 0L, "plain state must retain early gate rejects")
+      val purgedLeft = spark.read.parquet(s"$root/ledger")
+        .filter(col("batch") < 2L && col("reason") =!= "near_dup").count()
+      assert(purgedLeft === 0L,
+        "gate/exact-dup rejects of folded batches must be forgotten")
+      // compaction actually folded: tables hold {batch=1, batch=2} only
+      val parts = new java.io.File(s"$root/postings").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+      assert(parts === Seq("batch=1", "batch=2"), s"postings: $parts")
+    } }
+  }
+
+  test("compaction folds batches into one partition; reads see identical rows; re-run idempotent") {
+    withRoot { root =>
+      for (b <- 0L until 2L) {
+        val lo = b * 6; val hi = lo + 6
+        curateIncrement(
+          corpus.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          "doc_id", Seq("source"), "n_tokens", root, b).collect()
+      }
+      val before = CurationState.CurationTables.map { t =>
+        t -> sortedRows(spark.read.parquet(s"$root/$t").drop("batch"))
+      }.toMap
+      CurationState.compactState(spark, root, upTo = 1L)
+      for (t <- CurationState.CurationTables) {
+        val parts = new java.io.File(s"$root/$t").listFiles()
+          .map(_.getName).filter(_.startsWith("batch=")).toSeq
+        assert(parts === Seq("batch=1"), s"$t partitions after compact: $parts")
+        assert(sortedRows(spark.read.parquet(s"$root/$t").drop("batch"))
+          === before(t), s"$t rows changed across compaction")
+        // the merged rows live at the HIGHEST folded batch value, so
+        // the next arrival's `batch < b` prior-state read still sees them
+        assert(spark.read.parquet(s"$root/$t")
+          .filter(col("batch") < 2L).count() ===
+          spark.read.parquet(s"$root/$t").count())
+      }
+      CurationState.compactState(spark, root, upTo = 1L) // re-run
+      for (t <- CurationState.CurationTables)
+        assert(sortedRows(spark.read.parquet(s"$root/$t").drop("batch"))
+          === before(t), s"$t not idempotent under repeated compaction")
+    }
+  }
+
+  test("crashed compaction (complete tmp, originals partially deleted) recovers by re-run") {
+    withRoot { root =>
+      for (b <- 0L until 2L) {
+        val lo = b * 6; val hi = lo + 6
+        curateIncrement(
+          corpus.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          "doc_id", Seq("source"), "n_tokens", root, b).collect()
+      }
+      val t = "postings"
+      val before = sortedRows(spark.read.parquet(s"$root/$t").drop("batch"))
+      // simulate the crash window: replacement fully written (_SUCCESS
+      // committed), batch=0 already deleted, batch=1 not yet, no rename
+      spark.read.parquet(s"$root/$t").filter(col("batch") <= 1L)
+        .drop("batch")
+        .write.mode("overwrite").parquet(s"$root/$t/.compact-tmp-1")
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
+      }
+      rm(new java.io.File(s"$root/$t/batch=0"))
+      CurationState.compactState(spark, root, upTo = 1L, tables = Seq(t))
+      assert(sortedRows(spark.read.parquet(s"$root/$t").drop("batch"))
+        === before, "recovery must restore the full pre-crash row set")
+      assert(!new java.io.File(s"$root/$t/.compact-tmp-1").exists)
+    }
+  }
+
+  test("purged ids appear in no state read, survive later arrivals, and forgetting un-suppresses") {
+    withRoot { root =>
+      val a0 = Seq((0L, baseA, "web"), (1L, baseB, "web")).toDF("doc_id", "text", "source")
+      curateIncrement(a0, "doc_id", Seq("source"), "n_tokens", root, 0L).collect()
+      // forget KEPT doc 1 (exercises postings/sizes/bands/dd deletion)
+      CurationState.purgeDocs(spark, root, Seq(1L).toDF("doc_id"), "doc_id")
+      for (t <- CurationState.CurationTables) {
+        val hit = spark.read.parquet(s"$root/$t")
+          .filter(col("doc_id") === 1L).count()
+        assert(hit === 0L, s"purged id still present in $t")
+      }
+      // a later arrival: near dup of the FORGOTTEN doc must now be
+      // judged fresh (the forget semantics), while a near dup of the
+      // still-remembered doc 0 must still drop
+      val a1 = Seq(
+        (2L, baseB.replace("crew", "sailor"), "pdf"), // near dup of purged 1
+        (3L, baseA.replace("lazy", "sleepy"), "pdf")  // near dup of kept 0
+      ).toDF("doc_id", "text", "source")
+      curateIncrement(a1, "doc_id", Seq("source"), "n_tokens", root, 1L).collect()
+      val led = spark.read.parquet(s"$root/ledger")
+        .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+          r.getString(r.fieldIndex("reason"))).toMap
+      assert(!led.contains(2L), s"near dup of a forgotten doc must be kept: $led")
+      assert(led.get(3L).contains("near_dup"),
+        s"near dup of a remembered doc must still drop: $led")
+      // and the purged id never reappears in any state read
+      for (t <- CurationState.CurationTables)
+        assert(spark.read.parquet(s"$root/$t")
+          .filter(col("doc_id") === 1L).count() === 0L,
+          s"purged id reappeared in $t after a later arrival")
+    }
+  }
+
+  test("purge sweep is idempotent and recovers a crashed per-partition swap") {
+    withRoot { root =>
+      val a0 = Seq((0L, baseA, "web"), (1L, baseB, "web"),
+        (2L, "tiny", "web")).toDF("doc_id", "text", "source")
+      curateIncrement(a0, "doc_id", Seq("source"), "n_tokens", root, 0L).collect()
+      val optOut = Seq(2L).toDF("doc_id") // the gate reject
+      CurationState.purgeDocs(spark, root, optOut, "doc_id")
+      val after = CurationState.CurationTables.map { t =>
+        t -> sortedRows(spark.read.parquet(s"$root/$t"))
+      }.toMap
+      CurationState.purgeDocs(spark, root, optOut, "doc_id") // re-run
+      for (t <- CurationState.CurationTables)
+        assert(sortedRows(spark.read.parquet(s"$root/$t")) === after(t),
+          s"$t not idempotent under repeated purge")
+      // crash window: completed replacement tmp, original deleted, no
+      // rename — the next sweep must finish the swap, not lose the rows
+      val t = "ledger"
+      val rows = sortedRows(spark.read.parquet(s"$root/$t"))
+      spark.read.parquet(s"$root/$t/batch=0")
+        .write.mode("overwrite").parquet(s"$root/$t/.purge-tmp-0")
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
+      }
+      rm(new java.io.File(s"$root/$t/batch=0"))
+      CurationState.purgeDocs(spark, root, optOut, "doc_id", tables = Seq(t))
+      assert(sortedRows(spark.read.parquet(s"$root/$t")) === rows,
+        "crashed swap must be completed by the next sweep")
+    }
+  }
+}
