@@ -3182,6 +3182,86 @@ object OpsQueries {
        |            THEN 1 ELSE 0 END AS BIGINT) AS drift
        |FROM w""".stripMargin
 
+  /** q251: source-MIX ingest drift (VERDICT r13 #4) — the
+    * [[graft.pipelines.TrainingDataPipeline.driftIncrementBy]] keyed
+    * generalization of q243's monitor, watching a distribution the
+    * text-length histogram is provably blind to: WHICH sources an
+    * arrival draws from. The bucket is the exact-integer md5-parity of
+    * the source label (`conv(substring(md5(source),1,8),16,10) % 16` —
+    * the CLAUDE.md replay spelling, so the categorical key enters the
+    * persisted histogram deterministically in both engines). Four
+    * natural arrival slices stay quiet (simulated PSI ≤ 0.03 at every
+    * SF); a PLANTED batch whose docs all claim a brand-new source
+    * ("wildcrawl" — the broken-upstream-labeling signature: mass
+    * collapses into one hash bucket) fires at PSI ≈ 4–6.4. Same gate
+    * discipline and scale posture as q243: O(increment) scan per
+    * arrival, ~16-row persisted state per arrival per monitor, PSI over
+    * broadcast metadata frames, batch-partitioned windows only.
+    */
+  def sourceMixDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"))
+    // bounded driver valve: one max() scalar cuts the arrival ranges
+    val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+    val width = maxId / 4 + 1
+    val natural = (0L until 4L).map(b =>
+      d.filter(col("doc_id") >= b * width && col("doc_id") < (b + 1) * width))
+    val planted = natural.head.select(
+      (col("doc_id") + maxId + 1L).as("doc_id"),
+      lit("wildcrawl").as("source"))
+    graft.pipelines.TrainingDataPipeline.keyedDriftAudit(
+      natural :+ planted,
+      expr("cast(conv(substring(md5(source),1,8),16,10) as bigint) % 16"))
+  }
+
+  val sourceMixDriftSql: String =
+    s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+       |sl AS (SELECT source, CAST(doc_id // (m // 4 + 1) AS BIGINT) AS b
+       |       FROM documents, mx),
+       |al AS (SELECT source, b FROM sl
+       |       UNION ALL
+       |       SELECT 'wildcrawl' AS source, CAST(4 AS BIGINT) AS b
+       |       FROM sl WHERE b = 0),
+       |h AS (SELECT b,
+       |             ('0x' || substr(md5(source), 1, 8))::BIGINT % 16 AS bucket,
+       |             CAST(count(*) AS BIGINT) AS n
+       |      FROM al
+       |      GROUP BY b, ('0x' || substr(md5(source), 1, 8))::BIGINT % 16),
+       |t AS (SELECT unnest(range(1, 5)) AS batch),
+       |grid AS (SELECT batch, unnest(range(0, 16)) AS bucket FROM t),
+       |ref AS (SELECT t.batch, h.bucket, CAST(sum(h.n) AS BIGINT) AS n_ref
+       |        FROM t JOIN h ON h.b < t.batch GROUP BY t.batch, h.bucket),
+       |reft AS (SELECT batch, CAST(sum(n_ref) AS BIGINT) AS nt_ref
+       |         FROM ref GROUP BY batch),
+       |cur AS (SELECT b AS batch, bucket, n AS n_cur FROM h WHERE b >= 1),
+       |curt AS (SELECT batch, CAST(sum(n_cur) AS BIGINT) AS nt_cur
+       |         FROM cur GROUP BY batch),
+       |j AS (SELECT g.batch, g.bucket,
+       |             COALESCE(r.n_ref, 0) AS n_ref,
+       |             COALESCE(c.n_cur, 0) AS n_cur,
+       |             rt.nt_ref, ct.nt_cur
+       |      FROM grid g
+       |      LEFT JOIN ref r ON r.batch = g.batch AND r.bucket = g.bucket
+       |      LEFT JOIN cur c ON c.batch = g.batch AND c.bucket = g.bucket
+       |      JOIN reft rt ON rt.batch = g.batch
+       |      JOIN curt ct ON ct.batch = g.batch),
+       |k AS (SELECT batch, bucket, n_ref, n_cur,
+       |             (CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + 16 AS DOUBLE)
+       |              - CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + 16 AS DOUBLE))
+       |             * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + 16 AS DOUBLE))
+       |                  / (CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + 16 AS DOUBLE)))
+       |               AS raw
+       |      FROM j),
+       |w AS (SELECT batch, bucket, n_ref, n_cur,
+       |             floor(raw * 1000000.0 + 0.5) / 1000000.0 AS contrib,
+       |             floor(sum(raw) OVER (PARTITION BY batch ORDER BY bucket
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |               * 1000000.0 + 0.5) / 1000000.0 AS psi_cum
+       |      FROM k)
+       |SELECT batch, bucket, n_ref, n_cur, contrib, psi_cum,
+       |       CAST(CASE WHEN max(psi_cum) OVER (PARTITION BY batch) > 0.25
+       |            THEN 1 ELSE 0 END AS BIGINT) AS drift
+       |FROM w""".stripMargin
+
   /** q244: the per-arrival PRODUCTION REPORT — the composed lifecycle
     * readout a crawl operator actually consumes, one row per
     * (arrival batch, source): how many docs and tokens this arrival
@@ -7053,6 +7133,7 @@ object OpsQueries {
     "q232_simhash_calibration" -> simhashCalibrationQ _,
     "q235_incremental_pipeline" -> incrementalPipelineQ _,
     "q250_lifecycle_curation" -> lifecycleCurationQ _,
+    "q251_source_mix_drift" -> sourceMixDriftQ _,
     "q236_incremental_lsh" -> incrementalLshQ _,
     "q237_image_dedup" -> imageDedupQ _,
     "q238_audio_dedup" -> audioDedupQ _,
@@ -7220,6 +7301,7 @@ object OpsQueries {
     "q232_simhash_calibration" -> simhashCalibrationSql,
     "q235_incremental_pipeline" -> incrementalPipelineSql,
     "q250_lifecycle_curation" -> incrementalCurationSql,
+    "q251_source_mix_drift" -> sourceMixDriftSql,
     "q236_incremental_lsh" -> incrementalLshSql,
     "q237_image_dedup" -> imageDedupSql,
     "q238_audio_dedup" -> audioDedupSql,

@@ -1653,6 +1653,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("keyed drift increment (q251 path): same metadata-scale posture as the length monitor") {
+    val root = java.nio.file.Files.createTempDirectory("kdrift-plan-").toString
+    try {
+      import graft.pipelines.TrainingDataPipeline
+      import spark.implicits._
+      def arrival(b: Int) =
+        Seq((b * 10L, "src1"), (b * 10L + 1, "src2")).toDF("doc_id", "source")
+      val bucket = expr(
+        "cast(conv(substring(md5(source),1,8),16,10) as bigint) % 16")
+      TrainingDataPipeline
+        .driftIncrementBy(arrival(0), bucket, root, 0L).collect()
+      val p = plan(TrainingDataPipeline
+        .driftIncrementBy(arrival(1), bucket, root, 1L))
+      assert(!p.contains("CartesianProduct"),
+        s"only 1-row broadcast scalar attaches belong here:\n$p")
+      assert(unpartitionedWindows(p) == 2,
+        s"expected exactly the 2 bucket-grid windows:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the bucket-grid joins against 16-row histograms must broadcast:\n$p")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("multi-view coarse PIT: TTL-less feature side pre-reduces UNDER its join; full∪partial union; no window") {
     val p = plan(Queries.pitMultiViewCoarse(spark, sf0001))
     // the coarse valve engaged: the day-bucket pre-reduce aggregate

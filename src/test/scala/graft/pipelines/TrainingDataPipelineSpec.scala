@@ -350,6 +350,32 @@ class TrainingDataPipelineSpec extends SparkSpec {
     }
   }
 
+  test("keyed drift monitor: source-mix remap fires where the length monitor is provably blind") {
+    // q251's motivating blindness contrast: a batch whose TEXTS are
+    // identical but whose source labels all collapse to a new value
+    // moves no length mass at all — only the keyed source-mix monitor
+    // can see it
+    def arrival(b: Int, src: Int => String) =
+      (0 until 12).map(i =>
+        (b * 100L + i, "w" * (40 + 17 * (i % 5)), src(i)))
+        .toDF("doc_id", "text", "source")
+    val natural = (0 until 3).map(b => arrival(b, i => s"src${i % 4}"))
+    val remapped = arrival(3, _ => "wildcrawl")
+    val arrivals = natural :+ remapped
+    val srcBucket = expr(
+      "cast(conv(substring(md5(source),1,8),16,10) as bigint) % 16")
+    val keyed = TrainingDataPipeline.keyedDriftAudit(arrivals, srcBucket)
+      .groupBy(col("batch")).agg(max(col("drift")).as("drift"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keyed === Map(1L -> 0L, 2L -> 0L, 3L -> 1L),
+      s"keyed monitor must fire ONLY on the remapped batch: $keyed")
+    val lenBlind = TrainingDataPipeline.ingestDriftAudit(arrivals, "text")
+      .groupBy(col("batch")).agg(max(col("drift")).as("drift"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lenBlind.values.forall(_ === 0L),
+      s"the length monitor must be blind to a pure source remap: $lenBlind")
+  }
+
   test("log-bucket drift mode: per-octave resolution where fixed-width saturates blind") {
     def docs(b: Int, exp: Int) =
       (0 until 20).map(i => (b * 100L + i, "z" * ((1 << exp) + i)))
