@@ -2536,6 +2536,72 @@ object OpsQueries {
        |                 THEN 1 ELSE 0 END AS BIGINT) AS stale
        |FROM k""".stripMargin
 
+  /** q252: incremental ANN index maintenance (VERDICT r13 #8) — the
+    * lifecycle step between q240 (staleness decides WHEN to retrain)
+    * and q241 (the retrain): new vectors arriving BETWEEN retrains are
+    * absorbed by assigning them to the SERVED codebook and appending
+    * `assign/batch=N` partitions
+    * ([[graft.ops.Similarity.assignIncrement]] — the curation-state
+    * pattern on the index side). Three arrival slices (the q235
+    * id-range contract) stream through the frozen trained codebook;
+    * the readout aggregates the ACCUMULATED persisted state per
+    * (arrival batch, cell) with id-range witnesses. The ORACLE replays
+    * training (3-round integer Lloyd's) plus the exact int64 argmin
+    * assignment of the WHOLE corpus from scratch and splits it by the
+    * same id ranges — assignment is per-vector independent, so the
+    * hash gate proves the increment path (literal-inlined codebook,
+    * row-local argmin, tie-breaks, persistence) loses nothing vs the
+    * from-scratch build. PlanSpec pins the scale posture: the
+    * assignment plan has NO Exchange and no join — a pure codegen
+    * projection over the increment scan.
+    */
+  def annAppendAssignQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = servedCodebook(s, dir, "ivf16x3")(
+      Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3))
+    // bounded driver valve: one max() scalar cuts the arrival ranges
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val width = maxId / 3 + 1
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ann-append-").toString
+    try {
+      for (b <- 0L until 3L)
+        Similarity.assignIncrement(
+          e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
+          "vec_id", "embedding", cents, root, b)
+      s.read.parquet(s"$root/assign")
+        .groupBy(col("batch").cast("long").as("batch"), col("cid"))
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"),
+          max(col("vec_id")).as("max_id"))
+        .localCheckpoint(true)
+    } finally {
+      try {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  val annAppendAssignSql: String =
+    s"""WITH ${lloydCtes(3, 16, "0")},
+       |mx AS (SELECT max(vec_id) AS m FROM embeddings),
+       |assign AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |           row_number() OVER (PARTITION BY id
+       |                              ORDER BY dist ASC, cid ASC) AS rn
+       |    FROM (SELECT a.id, c.cid,
+       |                 CAST(sum((a.qs - c.cq) * (a.qs - c.cq)) AS BIGINT)
+       |                   AS dist
+       |          FROM lcomp a JOIN lc3 c ON c.dim = a.dim
+       |          GROUP BY 1, 2))
+       |  WHERE rn = 1)
+       |SELECT CAST(id // (m // 3 + 1) AS BIGINT) AS batch, cid,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       min(id) AS min_id, max(id) AS max_id
+       |FROM assign, mx
+       |GROUP BY 1, 2""".stripMargin
+
   /** MMR diversified re-ranking (q153, [[Similarity.mmrRerank]]) — the
     * RAG serving pass: each of 8 query vectors gets its brute top-8
     * candidates re-ranked into 4 greedy picks trading relevance (0.7)
@@ -7134,6 +7200,7 @@ object OpsQueries {
     "q235_incremental_pipeline" -> incrementalPipelineQ _,
     "q250_lifecycle_curation" -> lifecycleCurationQ _,
     "q251_source_mix_drift" -> sourceMixDriftQ _,
+    "q252_ann_append_assign" -> annAppendAssignQ _,
     "q236_incremental_lsh" -> incrementalLshQ _,
     "q237_image_dedup" -> imageDedupQ _,
     "q238_audio_dedup" -> audioDedupQ _,
@@ -7302,6 +7369,7 @@ object OpsQueries {
     "q235_incremental_pipeline" -> incrementalPipelineSql,
     "q250_lifecycle_curation" -> incrementalCurationSql,
     "q251_source_mix_drift" -> sourceMixDriftSql,
+    "q252_ann_append_assign" -> annAppendAssignSql,
     "q236_incremental_lsh" -> incrementalLshSql,
     "q237_image_dedup" -> imageDedupSql,
     "q238_audio_dedup" -> audioDedupSql,

@@ -501,6 +501,105 @@ object InterleaveBits {
   }
 }
 
+/** Exact nearest-centroid assignment against a LITERAL codebook — the
+  * ANN append-assign hot path ([[graft.ops.Similarity.assignToCodebook]]).
+  * The input vector's components are micro-quantized
+  * (`floor(v·1e6 + 0.5) + 2e6`, the integer-Lloyd's spelling) and the
+  * exact int64 squared-L2 argmin over the embedded k×dim quantized
+  * codebook is computed in ONE tight loop; ties break to the SMALLEST
+  * centroid id (`cids` must be ascending — the row_number
+  * (dist ASC, cid ASC) spelling the oracles replay). A composition of
+  * built-in expressions (k per-centroid sum trees + least-of-structs)
+  * computes the same thing but explodes generated code past Janino's
+  * method limit at k=16 × dims=8 and silently falls back to interpreted
+  * evaluation — this expression replaces it, and SimilaritySpec pins
+  * byte-equivalence against that composition (the CLAUDE.md rule).
+  * Null in → null out; missing/short components read as 0.0 before
+  * quantization.
+  */
+case class CodebookArgmin(child: Expression, cids: Array[Long],
+    codebook: Array[Array[Long]]) extends UnaryExpression {
+  require(cids.length == codebook.length && cids.nonEmpty,
+    "codebook_argmin needs one id per centroid row")
+  require(cids.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+    "codebook_argmin cids must be strictly ascending (tie-break contract)")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"codebook_argmin needs array<double>, got ${t.catalogString}")
+    }
+
+  private def quantize(a: ArrayData, d: Int): Long = {
+    val v = if (d < a.numElements() && !a.isNullAt(d)) a.getDouble(d) else 0.0
+    java.lang.Math.floor(v * 1e6 + 0.5).toLong + 2000000L
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val dims = codebook(0).length
+    val qs = new Array[Long](dims)
+    var d = 0
+    while (d < dims) { qs(d) = quantize(a, d); d += 1 }
+    var best = Long.MaxValue
+    var bestCid = cids(0)
+    var c = 0
+    while (c < codebook.length) {
+      val row = codebook(c)
+      var dist = 0L
+      var i = 0
+      while (i < dims) { val df = qs(i) - row(i); dist += df * df; i += 1 }
+      if (dist < best) { best = dist; bestCid = cids(c) }
+      c += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("codebook", codebook, "long[][]")
+      val ids = ctx.addReferenceObj("cids", cids, "long[]")
+      val dims = codebook(0).length
+      val qs = ctx.freshName("qs")
+      val d = ctx.freshName("d")
+      val v = ctx.freshName("v")
+      val best = ctx.freshName("best")
+      val bestCid = ctx.freshName("bestCid")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val dist = ctx.freshName("dist")
+      val df = ctx.freshName("df")
+      s"""
+         |long[] $qs = new long[$dims];
+         |for (int $d = 0; $d < $dims; $d++) {
+         |  double $v = ($d < $a.numElements() && !$a.isNullAt($d))
+         |    ? $a.getDouble($d) : 0.0;
+         |  $qs[$d] = (long) java.lang.Math.floor($v * 1e6 + 0.5) + 2000000L;
+         |}
+         |long $best = Long.MAX_VALUE;
+         |long $bestCid = $ids[0];
+         |for (int $c = 0; $c < $cb.length; $c++) {
+         |  long $dist = 0L;
+         |  for (int $i = 0; $i < $dims; $i++) {
+         |    long $df = $qs[$i] - $cb[$c][$i];
+         |    $dist += $df * $df;
+         |  }
+         |  if ($dist < $best) { $best = $dist; $bestCid = $ids[$c]; }
+         |}
+         |${ev.value} = $bestCid;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CodebookArgmin =
+    copy(child = newChild)
+  override def prettyName: String = "codebook_argmin"
+}
+
 /** Column-level API + SQL registration for the custom expressions. */
 object functions {
   def rolling_hash(c: Column): Column =
@@ -527,6 +626,10 @@ object functions {
     GraftSqlBridge.column(QGramsWithOcc(GraftSqlBridge.expression(c), q))
   def quantize_i8(c: Column): Column =
     GraftSqlBridge.column(QuantizeI8(GraftSqlBridge.expression(c)))
+  def codebook_argmin(c: Column, cids: Array[Long],
+      codebook: Array[Array[Long]]): Column =
+    GraftSqlBridge.column(
+      CodebookArgmin(GraftSqlBridge.expression(c), cids, codebook))
 
   /** Register the custom expressions for SQL use in a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

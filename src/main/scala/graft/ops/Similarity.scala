@@ -897,6 +897,64 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Row-local exact nearest-centroid assignment — one (id, cid) row
+    * per vector. The codebook is COLLECTED and embedded into a single
+    * custom codegen expression
+    * ([[graft.functions.CodebookArgmin]] — a bounded driver valve:
+    * k·dim values by construction, 16×8 here; the limit case of
+    * broadcasting it), so assignment is ONE tight generated loop per
+    * row: scan → codegen'd project, ZERO shuffle and zero join of the
+    * increment. A composition of built-in expressions (per-centroid
+    * sum trees + least-of-structs) computes the same argmin but blows
+    * Janino's method limit at this k×dim and silently degrades to
+    * interpreted evaluation — SimilaritySpec pins byte-equivalence of
+    * the expression against exactly that composition, and against
+    * [[assignmentCounts]]' join-formulated histogram. The (dist ASC,
+    * cid ASC) tie-break matches the oracles' row_number spelling. That
+    * plan shape is what makes per-arrival index maintenance
+    * O(increment) scan-only ([[assignIncrement]]); PlanSpec pins the
+    * no-Exchange plan.
+    */
+  def assignToCodebook(newVecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cents: Array[(Long, Array[Long])] = centroids
+      .select(col("centroid_id").cast("long"), asDouble(col("centv")))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).map(v =>
+          math.floor(v * 1e6 + 0.5).toLong + 2000000L).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assignToCodebook needs a non-empty codebook")
+    newVecs.select(col(idCol),
+      graft.functions.functions.codebook_argmin(
+        asDouble(col(vecCol)), cents.map(_._1), cents.map(_._2)).as("cid"))
+  }
+
+  /** Incremental ANN index maintenance (VERDICT r13 #8): assign ONE
+    * arrival of new vectors to the SERVED codebook and append the
+    * assignments as `stateDir/assign/batch=<batchId>` — the
+    * arrival-partitioned curation-state pattern on the index side.
+    * Between retrains (q240 decides WHEN; q241 is the retrain) the
+    * accumulated partitions ARE the incrementally-maintained index
+    * metadata: summing them per cid yields the staleness monitor's
+    * current-side histogram with no corpus rescan, and per-cell posting
+    * lists for IVF probing are exactly these rows grouped by cid.
+    * Assignment is per-vector independent, so accumulated increments
+    * equal the from-scratch assignment of the union — q252 hash-gates
+    * that INCLUDING the persistence plumbing (the oracle replays
+    * training + assignment from scratch in SQL). Same contracts as the
+    * curation state: monotone batchIds, overwrite-idempotent retries,
+    * `batch`-pruned reads, [[graft.pipelines.CurationState]] compaction
+    * applies unchanged (pass `tables = Seq("assign")`).
+    */
+  def assignIncrement(newVecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, stateDir: String, batchId: Long): DataFrame = {
+    val spark = newVecs.sparkSession
+    assignToCodebook(newVecs, idCol, vecCol, centroids)
+      .write.mode("overwrite").parquet(s"$stateDir/assign/batch=$batchId")
+    spark.read.parquet(s"$stateDir/assign/batch=$batchId")
+  }
+
   /** Codebook staleness monitor (VERDICT r11 #3 / r12 #2): PSI of the
     * CURRENT corpus's nearest-centroid assignment distribution against
     * the REFERENCE histogram persisted when the codebook was trained.

@@ -1720,6 +1720,25 @@ class PlanSpec extends SparkSpec {
       s"expected exactly the 4 k-row PSI windows:\n$p")
   }
 
+  test("ANN append-assign: no Exchange, no join — one codegen'd projection over the increment scan") {
+    // VERDICT r13 #8's scale posture: absorbing new vectors between
+    // retrains must be O(increment) scan-only. The codebook enters as a
+    // literal inside one custom expression (the broadcast's limit
+    // case), so the plan is scan → project — any Exchange or join here
+    // means the increment started shuffling
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val cents = graft.ops.Similarity
+      .lloydCentroids(e, "vec_id", "embedding", 16, 3)
+    val p = plan(graft.ops.Similarity
+      .assignToCodebook(e, "vec_id", "embedding", cents))
+    assert(!p.contains("Exchange"),
+      s"assignment must not shuffle the increment:\n$p")
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    assert("""\(\d+\) Project \[codegen id""".r.findFirstIn(p).isDefined ||
+      p.contains("codebook_argmin"),
+      s"assignment must be a codegen'd projection:\n$p")
+  }
+
   test("incremental curate: persisted-state reads partition-prune to candidate batches") {
     // VERDICT r13 #1: the per-increment postings/sizes scan must be
     // candidate-batch-sized, not O(accumulated corpus) — the batch IN

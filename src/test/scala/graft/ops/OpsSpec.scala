@@ -1545,6 +1545,80 @@ class OpsSpec extends SparkSpec {
     assert(got("ties")._2 === ref(texts("ties")).size.toLong)
   }
 
+  test("codebook_argmin == least-of-structs composition == assignmentCounts histogram (byte equivalence)") {
+    // the CLAUDE.md rule: a custom codegen Expression replacing a
+    // built-in composition ships a byte-equivalence spec vs that
+    // composition — here the per-vector argmin vs (a) the explicit
+    // quantize → per-centroid distance → least(struct) pipeline and
+    // (b) the join-formulated assignment histogram
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val cents = Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3)
+    val fast = Similarity.assignToCodebook(e, "vec_id", "embedding", cents)
+    // (a) the composition, built inline (interpreted fallback is fine
+    // in a spec — that inefficiency is WHY the expression exists)
+    val cl: Array[(Long, Array[Long])] = cents
+      .select(col("centroid_id").cast("long"),
+        col("centv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).map(v =>
+        math.floor(v * 1e6 + 0.5).toLong + 2000000L).toArray))
+      .sortBy(_._1)
+    val dims = cl.head._2.length
+    val vd = col("embedding").cast("array<double>")
+    val qd = e.select(col("vec_id") +: (0 until dims).map(d =>
+      (floor(element_at(vd, d + 1) * 1e6 + 0.5).cast("long") + 2000000L)
+        .as(s"q$d")): _*)
+    val slow = qd.select(col("vec_id"), least(cl.map { case (cid, cq) =>
+      struct((0 until dims).map { d =>
+        val diff = col(s"q$d") - lit(cq(d)); diff * diff
+      }.reduce(_ + _).as("dist"), lit(cid).as("cid"))
+    }: _*).getField("cid").as("cid"))
+    val f = fast.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val s2 = slow.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(f === s2, "custom expression diverged from the composition")
+    // (b) grouped counts equal the join-formulated histogram
+    val viaExpr = fast.groupBy(col("cid")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaJoin = Similarity.assignmentCounts(e, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr === viaJoin,
+      "expression-assigned histogram diverged from assignmentCounts")
+  }
+
+  test("assignIncrement: accumulated arrival assignments == from-scratch; retry idempotent") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val cents = Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3)
+    val root = java.nio.file.Files.createTempDirectory("annapp-").toString
+    try {
+      val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+      val width = maxId / 3 + 1
+      for (b <- 0L until 3L)
+        Similarity.assignIncrement(
+          e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
+          "vec_id", "embedding", cents, root, b)
+      val acc = spark.read.parquet(s"$root/assign")
+        .select("vec_id", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val scratch = Similarity.assignToCodebook(e, "vec_id", "embedding", cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(acc === scratch,
+        "accumulated increments must equal the from-scratch assignment")
+      // a replayed arrival rewrites its own partition, state unchanged
+      Similarity.assignIncrement(
+        e.filter(col("vec_id") >= 0L && col("vec_id") < width),
+        "vec_id", "embedding", cents, root, 0L)
+      val retry = spark.read.parquet(s"$root/assign")
+        .select("vec_id", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(retry === scratch, "retry must be idempotent")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("codebook staleness: control silent (PSI exactly 0), planted drift fires, retrain clears") {
     import org.apache.spark.sql.DataFrame
     val e = graft.Tables.load(spark, sf0001, "embeddings")

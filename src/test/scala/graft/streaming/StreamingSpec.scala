@@ -570,6 +570,73 @@ class StreamingSpec extends SparkSpec {
     assert(alarms === Map(1L -> 0L, 2L -> 1L), s"alarm map: $alarms")
   }
 
+  test("streaming-driven curation == batch-driven curateIncrement on planted cross-micro-batch near-dups") {
+    import graft.pipelines.TrainingDataPipeline
+    val baseA = "the quick brown fox jumps over the lazy dog and runs far " +
+      "into the deep woods while the old owl watches from a tall tree and " +
+      "the river flows past the quiet village under a bright morning sun today"
+    val baseB = "a small ship sails on the wide sea and the crew looks to " +
+      "the far shore where the light of the tower glows in the dark night " +
+      "and the waves roll under the cold wind as it drifts along slowly"
+    // three arrival drops; near/exact dups deliberately CROSS drops so
+    // the streaming state (band index + fingerprint history) is load-
+    // bearing, plus a gate reject and an in-drop near dup
+    val drops = Seq(
+      Seq((0L, baseA, "web"), (1L, baseB, "web")),
+      Seq((2L, baseA, "pdf"),                            // exact dup of 0
+        (3L, baseB.replace("crew", "sailor"), "pdf"),    // near dup of 1
+        (4L, "tiny", "web")),                            // gate reject
+      Seq((5L, baseA.replace("lazy", "sleepy"), "web"),  // near dup of 0
+        (6L, "a brand new clean document with plenty of fresh tokens " +
+          "to pass the gate easily today", "web"),
+        (7L, "a brand new clean document with plenty of fresh tokens " +
+          "to pass the gate easily herein", "web"))      // in-drop near dup
+    ).map(_.toDF("doc_id", "text", "source"))
+    val src = Files.createTempDirectory("cur_src").toString
+    val chk = Files.createTempDirectory("cur_chk").toString
+    val state = Files.createTempDirectory("cur_state").toString
+    val out = Files.createTempDirectory("cur_out").toString
+    // drop 0 lands BEFORE start so micro-batch ids match arrival ids
+    drops.head.write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingIngest.curationStream(
+      StreamingIngest.readStream(spark, src, schema),
+      "doc_id", Seq("source"), "n_tokens", state, out, chk).start()
+    try {
+      q.processAllAvailable()
+      drops(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      drops(2).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the batch reference: the same slices through curateIncrement
+    val bState = Files.createTempDirectory("cur_bstate").toString
+    val batchRolls = drops.zipWithIndex.map { case (d, b) =>
+      TrainingDataPipeline.curateIncrement(d, "doc_id", Seq("source"),
+        "n_tokens", bState, b.toLong).withColumn("mb", lit(b.toLong))
+    }.reduce(_ unionByName _).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val streamed = spark.read.parquet(out)
+      .withColumn("mb", col("mb").cast("long"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(streamed === batchRolls,
+      "streaming-driven rollups must equal batch-driven per-arrival rollups")
+    // the persisted STATE matches table-for-table (decisions included)
+    for (t <- graft.pipelines.CurationState.CurationTables) {
+      val sRows = spark.read.parquet(s"$state/$t")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val bRows = spark.read.parquet(s"$bState/$t")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(sRows === bRows, s"state table $t diverged under streaming")
+    }
+    // and the cross-micro-batch evidence actually fired: exact dup of a
+    // drop-0 doc, near dups of drop-0/1 docs, in-drop near dup, gate
+    val led = spark.read.parquet(s"$state/ledger")
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getString(r.fieldIndex("reason"))).toMap
+    assert(led === Map(2L -> "exact_dup", 3L -> "near_dup",
+      4L -> "gate", 5L -> "near_dup", 7L -> "near_dup"), s"ledger: $led")
+  }
+
   test("streaming->online freshness loop: the audit sees the stream's watermark advance over the loopback KV") {
     import graft.core.{Feature, FeatureView, SparkSource}
     import graft.online.{KVClientOnlineStore, OnlineFreshness, StreamingMaterializer}
