@@ -72,7 +72,11 @@ object ArtifactStore {
     */
   private def fsNow(fs: org.apache.hadoop.fs.FileSystem,
       base: String): Long = {
-    val probe = new org.apache.hadoop.fs.Path(s"$base/.clock-probe")
+    // unique name per probe: two readers racing the same orphan window
+    // must not create/delete each other's probe (a shared name makes
+    // the loser silently fall back to the client clock)
+    val probe = new org.apache.hadoop.fs.Path(
+      s"$base/.clock-probe-${java.util.UUID.randomUUID()}")
     try {
       val out = fs.create(probe, true)
       out.close()

@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   *     incremental exact dedup → incremental LSH near-dedup against
   *     persisted state) + [[TrainingDataPipeline.driftIncrement]] (the
   *     persisted-histogram PSI monitor) — one O(increment) pass each;
-  *  2. a PLANTED degraded arrival (truncated docs) trips the monitor;
-  *  3. publish: [[CorpusManifest.write]] (key-partitioned data,
+  *  2. mid-stream state maintenance: [[graft.pipelines.CurationState
+  *     .compactState]] folds the old arrival partitions and
+  *     [[graft.pipelines.CurationState.purgeDocs]] forgets the
+  *     outright rejects (both decision-free — q250's hash gate);
+  *  3. a PLANTED degraded arrival (truncated docs) trips the monitor;
+  *  4. publish: [[CorpusManifest.write]] (key-partitioned data,
   *     manifest last) and both verify tiers (full + sampled).
   *
   * Run: `sbt "runMain graft.examples.LifecycleDemo"`.
@@ -61,6 +65,18 @@ object LifecycleDemo {
       val psi = if (b == 0) "   (no reference)"
         else f"psi=${psiRow.getDouble(0)}%7.4f drift=$driftFlag"
       println(f"arrival $b%d: in=${arrival.count()}%4d kept=$kept%4d  $psi")
+      // state maintenance mid-stream (round-14): after arrival 1, fold
+      // the old partitions into one per table and forget the outright
+      // rejects (gate/exact-dup) — q250 hash-proves neither moves any
+      // later decision, so the demo's downstream readout is unchanged
+      if (b == 1) {
+        import graft.pipelines.CurationState
+        CurationState.compactState(spark, state, 1L,
+          tables = CurationState.CurationTables :+ "lenhist")
+        CurationState.purgeDocs(spark, state,
+          CurationState.rejectedIds(spark, state, "doc_id", 1L), "doc_id")
+        println("maintenance: compacted batches {0,1}; purged outright rejects")
+      }
       (kept, driftFlag)
     }
 

@@ -517,12 +517,19 @@ object InterleaveBits {
   * Null in → null out; missing/short components read as 0.0 before
   * quantization.
   */
-case class CodebookArgmin(child: Expression, cids: Array[Long],
-    codebook: Array[Array[Long]]) extends UnaryExpression {
+case class CodebookArgmin(child: Expression, cids: IndexedSeq[Long],
+    codebook: IndexedSeq[IndexedSeq[Long]]) extends UnaryExpression {
   require(cids.length == codebook.length && cids.nonEmpty,
     "codebook_argmin needs one id per centroid row")
   require(cids.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
     "codebook_argmin cids must be strictly ascending (tie-break contract)")
+  // params are Seqs (STRUCTURAL equality — Catalyst canonicalization
+  // and subexpression elimination compare expressions with equals, and
+  // Array fields would compare by reference); the hot loops run on
+  // these converted arrays
+  @transient private lazy val cidsArr: Array[Long] = cids.toArray
+  @transient private lazy val cbArr: Array[Array[Long]] =
+    codebook.map(_.toArray).toArray
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
@@ -542,19 +549,19 @@ case class CodebookArgmin(child: Expression, cids: Array[Long],
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    val dims = codebook(0).length
+    val dims = cbArr(0).length
     val qs = new Array[Long](dims)
     var d = 0
     while (d < dims) { qs(d) = quantize(a, d); d += 1 }
     var best = Long.MaxValue
-    var bestCid = cids(0)
+    var bestCid = cidsArr(0)
     var c = 0
-    while (c < codebook.length) {
-      val row = codebook(c)
+    while (c < cbArr.length) {
+      val row = cbArr(c)
       var dist = 0L
       var i = 0
       while (i < dims) { val df = qs(i) - row(i); dist += df * df; i += 1 }
-      if (dist < best) { best = dist; bestCid = cids(c) }
+      if (dist < best) { best = dist; bestCid = cidsArr(c) }
       c += 1
     }
     bestCid
@@ -562,8 +569,8 @@ case class CodebookArgmin(child: Expression, cids: Array[Long],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val cb = ctx.addReferenceObj("codebook", codebook, "long[][]")
-      val ids = ctx.addReferenceObj("cids", cids, "long[]")
+      val cb = ctx.addReferenceObj("codebook", cbArr, "long[][]")
+      val ids = ctx.addReferenceObj("cids", cidsArr, "long[]")
       val dims = codebook(0).length
       val qs = ctx.freshName("qs")
       val d = ctx.freshName("d")
@@ -626,8 +633,8 @@ object functions {
     GraftSqlBridge.column(QGramsWithOcc(GraftSqlBridge.expression(c), q))
   def quantize_i8(c: Column): Column =
     GraftSqlBridge.column(QuantizeI8(GraftSqlBridge.expression(c)))
-  def codebook_argmin(c: Column, cids: Array[Long],
-      codebook: Array[Array[Long]]): Column =
+  def codebook_argmin(c: Column, cids: IndexedSeq[Long],
+      codebook: IndexedSeq[IndexedSeq[Long]]): Column =
     GraftSqlBridge.column(
       CodebookArgmin(GraftSqlBridge.expression(c), cids, codebook))
 

@@ -927,7 +927,8 @@ object Similarity {
     require(cents.nonEmpty, "assignToCodebook needs a non-empty codebook")
     newVecs.select(col(idCol),
       graft.functions.functions.codebook_argmin(
-        asDouble(col(vecCol)), cents.map(_._1), cents.map(_._2)).as("cid"))
+        asDouble(col(vecCol)), cents.map(_._1).toIndexedSeq,
+        cents.map(_._2.toIndexedSeq).toIndexedSeq).as("cid"))
   }
 
   /** Incremental ANN index maintenance (VERDICT r13 #8): assign ONE

@@ -102,7 +102,14 @@ object CurationState {
           batchesOf(fs, table).filter(_ <= upTo).foreach { n =>
             fs.delete(new org.apache.hadoop.fs.Path(table, s"batch=$n"), true)
           }
-          fs.rename(tmp, new org.apache.hadoop.fs.Path(table, s"batch=$upTo"))
+          // a silently-false rename here would lose the folded rows
+          // (originals are already gone) — fail loudly; the complete
+          // tmp is still on disk and a re-run recovers
+          if (!fs.rename(tmp,
+              new org.apache.hadoop.fs.Path(table, s"batch=$upTo")))
+            throw new java.io.IOException(
+              s"compaction swap rename failed for $tmp — re-run " +
+                "compactState($upTo) to recover (tmp is complete)")
         }
       }
     }
@@ -149,7 +156,13 @@ object CurationState {
             .join(ids, Seq(idCol), "left_anti")
             .write.mode("overwrite").parquet(tmp.toString)
           fs.delete(part, true)
-          fs.rename(tmp, part)
+          // see compactState: a false rename after the delete is data
+          // loss unless surfaced — the complete tmp survives for the
+          // re-run's finishOrphanSwaps
+          if (!fs.rename(tmp, part))
+            throw new java.io.IOException(
+              s"purge swap rename failed for $tmp — re-run purgeDocs " +
+                "to recover (tmp is complete)")
         }
       }
     }
@@ -168,8 +181,11 @@ object CurationState {
       .filter(_.getName.startsWith(".purge-tmp-")).foreach { tmp =>
         val n = tmp.getName.stripPrefix(".purge-tmp-")
         val part = new org.apache.hadoop.fs.Path(table, s"batch=$n")
-        if (hasSuccess(fs, tmp) && !fs.exists(part)) fs.rename(tmp, part)
-        else fs.delete(tmp, true)
+        if (hasSuccess(fs, tmp) && !fs.exists(part)) {
+          if (!fs.rename(tmp, part))
+            throw new java.io.IOException(
+              s"orphan-swap completion rename failed for $tmp")
+        } else fs.delete(tmp, true)
       }
   }
 

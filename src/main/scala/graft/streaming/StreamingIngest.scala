@@ -152,11 +152,17 @@ object StreamingIngest {
     * Batch ≡ streaming is spec-pinned on planted CROSS-micro-batch
     * near-dups (StreamingSpec), and the per-mb rollups are the q244
     * arrival reports, now produced by a live stream.
+    *
+    * `keepBatches` bounds the OUTPUT report dirs on a long-running
+    * stream (the [[driftMonitor]] retention device; the curation STATE
+    * is never touched here — [[graft.pipelines.CurationState]] owns its
+    * compaction/retention). 0 keeps everything.
     */
   def curationStream(stream: DataFrame, idCol: String, keyCols: Seq[String],
       valueCol: String, stateDir: String, outDir: String, checkpoint: String,
       cfg: graft.pipelines.TrainingDataPipeline.Config =
-        graft.pipelines.TrainingDataPipeline.Config())
+        graft.pipelines.TrainingDataPipeline.Config(),
+      keepBatches: Int = 0)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -169,6 +175,15 @@ object StreamingIngest {
             // extra checkpoint materialization is skipped
             checkpointResult = false)
           .write.mode("overwrite").parquet(s"$outDir/mb=$batchId")
+        if (keepBatches > 0) {
+          val root = new org.apache.hadoop.fs.Path(outDir)
+          val fs = root.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.listStatus(root)
+            .filter(_.getPath.getName.startsWith("mb="))
+            .filter(_.getPath.getName.drop(3).toLong <= batchId - keepBatches)
+            .foreach(s => fs.delete(s.getPath, true))
+        }
       }
 
   /** Stream-static enrichment — join a live entity stream against a

@@ -23,7 +23,12 @@ class BenchFamilySpec extends AnyFunSuite {
       "q34_curation" -> "text",
       "q235_incremental_pipeline" -> "text",
       "q01_hourly_agg" -> "core",
-      "q03_join_agg" -> "core")
+      "q03_join_agg" -> "core",
+      // round-14 additions (append-only — the classifier rules are
+      // frozen, these pin where the new names landed)
+      "q250_lifecycle_curation" -> "text",
+      "q251_source_mix_drift" -> "stats",
+      "q252_ann_append_assign" -> "ann")
     expected.foreach { case (q, f) =>
       assert(Bench.family(q) == f, s"$q moved family")
     }

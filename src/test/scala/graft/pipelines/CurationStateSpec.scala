@@ -191,6 +191,54 @@ class CurationStateSpec extends SparkSpec {
     }
   }
 
+  test("compaction applies unchanged to ANN assign state and drift histograms (doc'd claims)") {
+    import graft.ops.Similarity
+    withRoot { root =>
+      val e = graft.Tables.load(spark, sf0001, "embeddings")
+      val cents = Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3)
+      val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+      val width = maxId / 3 + 1
+      for (b <- 0L until 3L)
+        Similarity.assignIncrement(
+          e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
+          "vec_id", "embedding", cents, root, b)
+      val before = sortedRows(
+        spark.read.parquet(s"$root/assign").select("vec_id", "cid"))
+      CurationState.compactState(spark, root, upTo = 1L,
+        tables = Seq("assign"))
+      val parts = new java.io.File(s"$root/assign").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+      assert(parts === Seq("batch=1", "batch=2"), s"assign: $parts")
+      assert(sortedRows(
+        spark.read.parquet(s"$root/assign").select("vec_id", "cid"))
+        === before, "assign rows changed across compaction")
+    }
+    withRoot { root =>
+      // drift histogram state: folded per-batch rows re-aggregate to
+      // the same reference sums, so the NEXT increment's curve is
+      // bit-identical with or without compaction
+      def arrival(b: Int) =
+        (0 until 10).map(i => (b * 100L + i, "x" * (40 + 30 * (i % 3))))
+          .toDF("doc_id", "text")
+      withRoot { root2 =>
+        for (b <- 0 until 3)
+          TrainingDataPipeline.driftIncrement(
+            arrival(b), "text", root2, b.toLong).collect()
+        val plainCurve = TrainingDataPipeline.driftIncrement(
+          arrival(3), "text", root2, 3L)
+        for (b <- 0 until 3)
+          TrainingDataPipeline.driftIncrement(
+            arrival(b), "text", root, b.toLong).collect()
+        CurationState.compactState(spark, root, upTo = 2L,
+          tables = Seq("lenhist"))
+        val compCurve = TrainingDataPipeline.driftIncrement(
+          arrival(3), "text", root, 3L)
+        assert(sortedRows(compCurve) === sortedRows(plainCurve),
+          "drift curve must be identical against compacted histograms")
+      }
+    }
+  }
+
   test("purge sweep is idempotent and recovers a crashed per-partition swap") {
     withRoot { root =>
       val a0 = Seq((0L, baseA, "web"), (1L, baseB, "web"),
