@@ -949,12 +949,43 @@ object Similarity {
     * applies unchanged (pass `tables = Seq("assign")`).
     */
   def assignIncrement(newVecs: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, stateDir: String, batchId: Long): DataFrame = {
+      centroids: DataFrame, stateDir: String, batchId: Long,
+      codebookVersion: String = TrainingCodeVersion): DataFrame = {
     val spark = newVecs.sparkSession
     assignToCodebook(newVecs, idCol, vecCol, centroids)
+      // the assignment is only meaningful relative to the codebook that
+      // made it: stamp the version so a retrain (q241) between arrivals
+      // cannot silently blend assignments from different codebooks —
+      // readers filter/assert via [[currentAssignments]] /
+      // [[assignStateVersions]]
+      .withColumn("codebook_version", lit(codebookVersion))
       .write.mode("overwrite").parquet(s"$stateDir/assign/batch=$batchId")
     spark.read.parquet(s"$stateDir/assign/batch=$batchId")
   }
+
+  /** Distinct codebook versions present in the persisted assign state,
+    * sorted — more than one means arrivals were assigned under
+    * different codebooks (a retrain happened without re-assigning or
+    * purging the stale partitions): the accumulated histogram is a
+    * cross-version blend and must not feed the staleness monitor.
+    */
+  def assignStateVersions(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Seq[String] =
+    spark.read.parquet(s"$stateDir/assign")
+      .select(col("codebook_version")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+
+  /** The assign state restricted to ONE codebook version (default: the
+    * current training code) — the safe readout after a retrain, until
+    * stale partitions are re-assigned or purged
+    * ([[graft.pipelines.CurationState.purgeDocs]] /
+    * `compactState(tables = Seq("assign"))` apply unchanged).
+    */
+  def currentAssignments(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      codebookVersion: String = TrainingCodeVersion): DataFrame =
+    spark.read.parquet(s"$stateDir/assign")
+      .filter(col("codebook_version") === codebookVersion)
 
   /** Codebook staleness monitor (VERDICT r11 #3 / r12 #2): PSI of the
     * CURRENT corpus's nearest-centroid assignment distribution against

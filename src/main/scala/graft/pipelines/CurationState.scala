@@ -128,14 +128,19 @@ object CurationState {
     * and `kept = 0` dd rows that every history read already filters
     * out), proving decisions for unaffected docs are bit-identical.
     *
-    * Cost: one anti-join rewrite per existing partition — O(state), a
-    * retention-cadence job, not a per-arrival one (arrivals stay
-    * O(increment)). At 100 TB the same sweep partition-prunes first if
-    * the opt-out ids' arrival ranges are known, and each partition
-    * rewrite is a distributed anti-join. Re-running with the same
-    * opt-out set is idempotent; a crashed sweep is recovered by
-    * re-running it (completed per-partition swaps are detected and
-    * finished, see [[finishOrphanSwaps]]).
+    * Cost: the sweep REWRITES only the partitions that can hold an
+    * opt-out id — ids are arrival-ranged (the q235 contract), so each
+    * partition's (min, max) id range is probed with a column-pruned
+    * two-value aggregate and an exact touched-set is derived by ONE
+    * range join of the opt-out ids against the ≤ nBatches-row range
+    * frame (driver-bounded); disjoint partitions are skipped with
+    * their files untouched (spec-pinned via unchanged part-file
+    * listings). A retention-cadence job, not a per-arrival one
+    * (arrivals stay O(increment)); each touched-partition rewrite is a
+    * distributed anti-join. Re-running with the same opt-out set is
+    * idempotent; a crashed sweep is recovered by re-running it
+    * (completed per-partition swaps are detected and finished, see
+    * [[finishOrphanSwaps]]).
     */
   def purgeDocs(spark: SparkSession, stateDir: String, optOut: DataFrame,
       idCol: String, tables: Seq[String] = CurationTables): Unit = {
@@ -149,7 +154,27 @@ object CurationState {
       val fs = hfs(spark, table)
       if (fs.exists(table)) {
         finishOrphanSwaps(fs, table)
-        for (n <- batchesOf(fs, table)) {
+        val batches = batchesOf(fs, table)
+        val ranges = batches.flatMap { n =>
+          val r = spark.read
+            .parquet(new org.apache.hadoop.fs.Path(table, s"batch=$n").toString)
+            .agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long"))
+            .head
+          if (r.isNullAt(0)) None // empty partition: nothing to purge
+          else Some((n, r.getLong(0), r.getLong(1)))
+        }
+        val touched: Set[Long] =
+          if (ranges.isEmpty) Set.empty
+          else {
+            import spark.implicits._
+            val rdf = ranges.toDF("__batch", "__pmin", "__pmax")
+            // bounded driver valve: ≤ one value per existing partition
+            ids.join(broadcast(rdf),
+                col(idCol) >= col("__pmin") && col(idCol) <= col("__pmax"))
+              .select(col("__batch")).distinct()
+              .collect().map(_.getLong(0)).toSet
+          }
+        for (n <- batches if touched(n)) {
           val part = new org.apache.hadoop.fs.Path(table, s"batch=$n")
           val tmp = new org.apache.hadoop.fs.Path(table, s".purge-tmp-$n")
           spark.read.parquet(part.toString)

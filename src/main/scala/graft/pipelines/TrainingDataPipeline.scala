@@ -606,10 +606,25 @@ object TrainingDataPipeline {
     import spark.implicits._
     import graft.util.Rounding.pround
     val histDir = s"$stateDir/$histSubdir"
-    newDocs
+    // fail fast on an out-of-domain bucket (caller bug, e.g. a missing
+    // `% k`): the readout's bucket grid would silently DROP that row's
+    // mass from both p and q, understating exactly the drift the
+    // monitor was pointed at. Validated on the AGGREGATED histogram
+    // (bucket-domain rows), not per row — a per-row raise_error guard
+    // measurably slowed the one corpus pass the arrival pays; this
+    // costs one metadata-scale job and nothing per row.
+    val hist = newDocs
       .select(bucket.as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$histDir/batch=$batchId")
+      .localCheckpoint(true)
+    val bad = hist
+      .filter(col("bucket").isNull || col("bucket") < 0 ||
+        col("bucket") >= nBuckets)
+      .select(col("bucket")).limit(5).collect().map(r => r.get(0)).toSeq
+    require(bad.isEmpty,
+      s"driftIncrementBy: bucket out of [0, $nBuckets): " +
+        bad.map(v => if (v == null) "NULL" else v.toString).mkString(", "))
+    hist.write.mode("overwrite").parquet(s"$histDir/batch=$batchId")
     if (batchId == 0L)
       return Seq.empty[(Long, Long, Long, Long, Double, Double, Long)]
         .toDF("batch", "bucket", "n_ref", "n_cur", "contrib", "psi_cum",

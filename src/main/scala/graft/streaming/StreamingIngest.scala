@@ -156,7 +156,13 @@ object StreamingIngest {
     * `keepBatches` bounds the OUTPUT report dirs on a long-running
     * stream (the [[driftMonitor]] retention device; the curation STATE
     * is never touched here — [[graft.pipelines.CurationState]] owns its
-    * compaction/retention). 0 keeps everything.
+    * compaction/retention). 0 keeps everything. `outDir` is
+    * eventually-consistent under failure replay: if the micro-batch
+    * dies between the state appends and the report write (or the
+    * retention sweep), a concurrent outDir reader can observe a
+    * missing/stale `mb=` dir until the replayed micro-batch rewrites
+    * it — the STATE is never in that window (its appends are the first
+    * effect and are overwrite-idempotent).
     */
   def curationStream(stream: DataFrame, idCol: String, keyCols: Seq[String],
       valueCol: String, stateDir: String, outDir: String, checkpoint: String,

@@ -1611,6 +1611,21 @@ class OpsSpec extends SparkSpec {
         .select("vec_id", "cid")
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(retry === scratch, "retry must be idempotent")
+      // version stamping: a retrain between arrivals must be visible —
+      // mixed-version state is detectable, and the current-version
+      // readout excludes the stale partitions
+      assert(Similarity.assignStateVersions(spark, root)
+        === Seq(Similarity.TrainingCodeVersion))
+      Similarity.assignIncrement(
+        e.filter(col("vec_id") >= 0L && col("vec_id") < width),
+        "vec_id", "embedding", cents, root, 0L, codebookVersion = "t999")
+      assert(Similarity.assignStateVersions(spark, root)
+        === Seq(Similarity.TrainingCodeVersion, "t999").sorted,
+        "a mixed-version assign state must be detectable")
+      val cur = Similarity.currentAssignments(spark, root, "t999")
+      assert(cur.select("batch").distinct().collect()
+        .map(_.get(0).toString.toLong).toSeq === Seq(0L),
+        "current-version readout must see only the re-assigned partition")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()

@@ -239,6 +239,31 @@ class CurationStateSpec extends SparkSpec {
     }
   }
 
+  test("purge sweep skips partitions disjoint from the opt-out ids — files untouched") {
+    withRoot { root =>
+      val a0 = Seq((0L, baseA, "web"), (1L, baseB, "web"))
+        .toDF("doc_id", "text", "source")
+      val a1 = Seq(
+        (2L, "the team built a fast engine to sort and merge all of the " +
+          "rows in the table with care", "web"),
+        (3L, "tiny", "web")).toDF("doc_id", "text", "source")
+      curateIncrement(a0, "doc_id", Seq("source"), "n_tokens", root, 0L).collect()
+      curateIncrement(a1, "doc_id", Seq("source"), "n_tokens", root, 1L).collect()
+      def listing(t: String, b: Long) =
+        Option(new java.io.File(s"$root/$t/batch=$b").listFiles())
+          .getOrElse(Array.empty)
+          .map(f => (f.getName, f.lastModified, f.length)).sorted.toSeq
+      val before = CurationState.CurationTables.map(t => t -> listing(t, 0L))
+      // the opt-out id lives only in batch 1 (the gate reject 3)
+      CurationState.purgeDocs(spark, root, Seq(3L).toDF("doc_id"), "doc_id")
+      for ((t, b) <- before)
+        assert(listing(t, 0L) === b,
+          s"$t/batch=0 is id-disjoint from the opt-out set and must not be rewritten")
+      assert(spark.read.parquet(s"$root/ledger")
+        .filter(col("doc_id") === 3L).count() === 0L)
+    }
+  }
+
   test("purge sweep is idempotent and recovers a crashed per-partition swap") {
     withRoot { root =>
       val a0 = Seq((0L, baseA, "web"), (1L, baseB, "web"),

@@ -376,6 +376,35 @@ class TrainingDataPipelineSpec extends SparkSpec {
       s"the length monitor must be blind to a pure source remap: $lenBlind")
   }
 
+  test("keyed drift monitor fails fast on an out-of-domain bucket instead of dropping its mass") {
+    val root = java.nio.file.Files.createTempDirectory("drift-oob-").toString
+    try {
+      val docs = Seq((0L, "src1")).toDF("doc_id", "source")
+      // a forgotten `% k` (bucket 99 of 16) must error loudly — the
+      // readout grid would otherwise silently drop the row's mass and
+      // understate the drift
+      val e = intercept[Exception] {
+        TrainingDataPipeline.driftIncrementBy(
+          docs, lit(99L), root, 0L, nBuckets = 16).collect()
+      }
+      def rootCause(t: Throwable): Throwable =
+        if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+      assert((e.getMessage + rootCause(e).getMessage)
+        .contains("bucket out of"), s"unexpected error: $e")
+      val eNull = intercept[Exception] {
+        TrainingDataPipeline.driftIncrementBy(
+          docs, lit(null).cast("long"), root, 0L, nBuckets = 16).collect()
+      }
+      assert((eNull.getMessage + rootCause(eNull).getMessage)
+        .contains("bucket out of"), s"unexpected error: $eNull")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("log-bucket drift mode: per-octave resolution where fixed-width saturates blind") {
     def docs(b: Int, exp: Int) =
       (0 until 20).map(i => (b * 100L + i, "z" * ((1 << exp) + i)))
