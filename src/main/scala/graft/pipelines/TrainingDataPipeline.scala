@@ -609,22 +609,29 @@ object TrainingDataPipeline {
     // fail fast on an out-of-domain bucket (caller bug, e.g. a missing
     // `% k`): the readout's bucket grid would silently DROP that row's
     // mass from both p and q, understating exactly the drift the
-    // monitor was pointed at. Validated on the AGGREGATED histogram
-    // (bucket-domain rows), not per row — a per-row raise_error guard
-    // measurably slowed the one corpus pass the arrival pays; this
-    // costs one metadata-scale job and nothing per row.
-    val hist = newDocs
+    // monitor was pointed at. Validated on the WRITTEN histogram — the
+    // bucket-domain read-back is metadata-scale, so the guard costs
+    // nothing per row and no extra corpus pass (a per-row raise_error
+    // was measured +10-15% on the arrival's one scan; a pre-write
+    // checkpoint pays an extra job). An invalid partition is deleted
+    // before throwing, so retry-idempotence sees no bad state.
+    newDocs
       .select(bucket.as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
-    val bad = hist
+      .write.mode("overwrite").parquet(s"$histDir/batch=$batchId")
+    val bad = spark.read.parquet(s"$histDir/batch=$batchId")
       .filter(col("bucket").isNull || col("bucket") < 0 ||
         col("bucket") >= nBuckets)
       .select(col("bucket")).limit(5).collect().map(r => r.get(0)).toSeq
-    require(bad.isEmpty,
-      s"driftIncrementBy: bucket out of [0, $nBuckets): " +
-        bad.map(v => if (v == null) "NULL" else v.toString).mkString(", "))
-    hist.write.mode("overwrite").parquet(s"$histDir/batch=$batchId")
+    if (bad.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(s"$histDir/batch=$batchId")
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw new IllegalArgumentException(
+        s"driftIncrementBy: bucket out of [0, $nBuckets): " +
+          bad.map(v => if (v == null) "NULL" else v.toString).mkString(", "))
+    }
     if (batchId == 0L)
       return Seq.empty[(Long, Long, Long, Long, Double, Double, Long)]
         .toDF("batch", "bucket", "n_ref", "n_cur", "contrib", "psi_cum",
