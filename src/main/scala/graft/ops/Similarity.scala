@@ -957,7 +957,12 @@ object Similarity {
       // made it: stamp the version so a retrain (q241) between arrivals
       // cannot silently blend assignments from different codebooks —
       // readers filter/assert via [[currentAssignments]] /
-      // [[assignStateVersions]]
+      // [[assignStateVersions]]. Pass the codebook ARTIFACT's identity
+      // (e.g. the CodebookStore version id): the TrainingCodeVersion
+      // default identifies only the training CODE and suffices only
+      // while one codebook serves per stateDir lifetime — a retrain
+      // under unchanged code must supply a fresh version or
+      // [[reassignStale]] cannot tell old from new
       .withColumn("codebook_version", lit(codebookVersion))
       .write.mode("overwrite").parquet(s"$stateDir/assign/batch=$batchId")
     spark.read.parquet(s"$stateDir/assign/batch=$batchId")
@@ -977,7 +982,7 @@ object Similarity {
 
   /** The assign state restricted to ONE codebook version (default: the
     * current training code) — the safe readout after a retrain, until
-    * stale partitions are re-assigned or purged
+    * stale partitions are repaired ([[reassignStale]]) or purged
     * ([[graft.pipelines.CurationState.purgeDocs]] /
     * `compactState(tables = Seq("assign"))` apply unchanged).
     */
@@ -986,6 +991,46 @@ object Similarity {
       codebookVersion: String = TrainingCodeVersion): DataFrame =
     spark.read.parquet(s"$stateDir/assign")
       .filter(col("codebook_version") === codebookVersion)
+
+  /** REPAIR after a retrain — the missing third verb of the index
+    * lifecycle (q240 detects staleness, q241 retrains, this re-absorbs
+    * the history): every assign partition written under a codebook
+    * version OTHER than the serving one is rewritten in place by
+    * re-assigning its ids' vectors (looked up in `corpus` by semi-join)
+    * under the serving `centroids`. Partitions are version-uniform by
+    * construction (one [[assignIncrement]] call writes one partition
+    * under one version), so staleness is a per-PARTITION property and
+    * the repair touches exactly the stale partitions — current ones
+    * keep their files. Ids no longer in `corpus` (purged docs) simply
+    * drop out of the rewritten partition: a forgotten doc leaves the
+    * index on the next repair. Same retry contract as
+    * [[assignIncrement]] (overwrite-idempotent per partition); after a
+    * successful repair [[assignStateVersions]] returns exactly the
+    * serving version and [[currentAssignments]] equals the full state.
+    * Returns the repaired batch ids (bounded driver valve — one value
+    * per stale partition).
+    */
+  def reassignStale(stateDir: String, corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame,
+      codebookVersion: String = TrainingCodeVersion): Seq[Long] = {
+    val spark = corpus.sparkSession
+    val staleBatches = spark.read.parquet(s"$stateDir/assign")
+      .filter(col("codebook_version") =!= codebookVersion)
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    for (b <- staleBatches) {
+      // EAGER: the id list reads the very partition the write below
+      // overwrites — a lazy frame would re-list it mid-rewrite (the
+      // purgeDocs FAILED_READ_FILE trap)
+      val vecs = corpus.join(
+        spark.read.parquet(s"$stateDir/assign/batch=$b")
+          .select(col(idCol)),
+        Seq(idCol), "left_semi").localCheckpoint(true)
+      assignIncrement(vecs, idCol, vecCol, centroids, stateDir, b,
+        codebookVersion)
+    }
+    staleBatches
+  }
 
   /** Codebook staleness monitor (VERDICT r11 #3 / r12 #2): PSI of the
     * CURRENT corpus's nearest-centroid assignment distribution against

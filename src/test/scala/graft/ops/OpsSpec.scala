@@ -1626,6 +1626,30 @@ class OpsSpec extends SparkSpec {
       assert(cur.select("batch").distinct().collect()
         .map(_.get(0).toString.toLong).toSeq === Seq(0L),
         "current-version readout must see only the re-assigned partition")
+      // REPAIR: retrain on a perturbed corpus, then reassignStale —
+      // every stale partition is rewritten under the new codebook and
+      // the state equals the from-scratch assignment of its ids
+      val drifted = e.select(col("vec_id"),
+        when(col("vec_id") % 3 === 0, array_sort(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+      val cents2 = Similarity.lloydCentroids(
+        drifted, "vec_id", "embedding", 16, 3)
+      // the stamp identifies the codebook ARTIFACT: the retrained
+      // codebook gets its own version, and EVERY prior partition
+      // (trained-code default and t999 alike) is stale relative to it
+      val repaired = Similarity.reassignStale(
+        root, e, "vec_id", "embedding", cents2, codebookVersion = "t1000")
+      assert(repaired === Seq(0L, 1L, 2L), s"stale set: $repaired")
+      assert(Similarity.assignStateVersions(spark, root) === Seq("t1000"),
+        "repair must leave a single-version state")
+      val after = spark.read.parquet(s"$root/assign")
+        .select("vec_id", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val scratch2 = Similarity
+        .assignToCodebook(e, "vec_id", "embedding", cents2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(after === scratch2,
+        "repaired state must equal from-scratch assignment under the new codebook")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
