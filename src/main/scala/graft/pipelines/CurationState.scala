@@ -21,19 +21,45 @@ import org.apache.spark.sql.functions._
   *      HDFS, and on local FS a one-shot move of an already-complete
   *      directory).
   *
-  * Crash recovery is RE-RUN THE SAME OP: a tmp without `_SUCCESS` is
-  * rebuilt from the still-intact originals; a tmp WITH `_SUCCESS` is
-  * trusted (the originals may be partially deleted — exactly why the
-  * tmp is built before anything is removed) and the op skips straight
-  * to steps 2–3. Ops must not run concurrently with arrivals or each
-  * other on one stateDir (the same single-writer contract arrivals
-  * already carry via monotone batchIds).
+  * Crash recovery: EVERY maintenance op first recovers ALL orphan
+  * swaps — its own kind AND the other op's ([[recoverOrphanSwaps]]) —
+  * before listing partitions. Recovery order matters and is pinned:
+  * a tmp WITH `_SUCCESS` is the completed replacement (the originals
+  * may be partially deleted — exactly why the tmp is built before
+  * anything is removed), so it is swapped into place; a tmp WITHOUT
+  * `_SUCCESS` is an incomplete write over intact originals and is
+  * discarded. Without the cross-op recovery, op ordering after a crash
+  * could lose or resurrect rows: a purge running over a crashed
+  * compaction's visible partitions would let the later compaction
+  * re-run trust its stale pre-purge tmp and resurrect forgotten ids
+  * (a right-to-forget violation), and a crashed purge's completed tmp
+  * would be invisible to a compaction's fold (ADVICE r14 medium;
+  * CurationStateSpec pins both orderings).
+  *
+  * Ops must not run concurrently with arrivals or each other on one
+  * stateDir (the same single-writer contract arrivals already carry
+  * via monotone batchIds).
   */
 object CurationState {
 
   /** The state tables [[TrainingDataPipeline.curateIncrement]] writes. */
   val CurationTables: Seq[String] =
     Seq("dd", "bands", "postings", "sizes", "ledger")
+
+  /** The per-arrival id-range manifest table (VERDICT r14 #2): ONE row
+    * per arrival, `(id_min, id_max, n_rows)` under `ranges/batch=N`,
+    * written at append time from aggregates the arrival was already
+    * materializing (an `observe` on the increment scan — zero extra
+    * jobs). The row is a CONSERVATIVE id cover for every state table
+    * of that arrival (each table's ids are a subset of the arrival's),
+    * so by-id maintenance derives its touched-partition set from
+    * nBatches metadata rows instead of probing every partition with a
+    * Spark job ([[purgeDocs]]); purges never narrow a recorded range
+    * (conservative stays conservative). Compaction folds the manifest
+    * in lockstep with the data tables (see [[compactState]]), so a
+    * folded partition's cover is the union of its arrivals' rows.
+    */
+  val RangesTable: String = "ranges"
 
   private def hfs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -48,6 +74,20 @@ object CurationState {
     fs.listStatus(table).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").toLong).sorted
+
+  /** Append one arrival's id-range manifest row (`batch=<batchId>`,
+    * overwrite-idempotent like every other state write). `idMin`/`idMax`
+    * are None for an EMPTY arrival — the row is still written so the
+    * batch counts as manifest-covered (an empty partition can never
+    * hold a purgeable id; null bounds match no range probe).
+    */
+  def writeRange(spark: SparkSession, stateDir: String, batchId: Long,
+      idMin: Option[Long], idMax: Option[Long], nRows: Long): Unit = {
+    import spark.implicits._
+    Seq((idMin, idMax, nRows)).toDF("id_min", "id_max", "n_rows")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/$RangesTable/batch=$batchId")
+  }
 
   /** Merge every `batch <= upTo` partition of each state table into the
     * single partition `batch=upTo` (VERDICT r13 #2). The arrival store
@@ -77,29 +117,38 @@ object CurationState {
     * re-aggregate per bucket, so multiple per-batch rows folding into
     * one partition are summed identically.
     *
+    * The [[RangesTable]] manifest, when present, is ALWAYS folded
+    * alongside whatever `tables` were named (same `upTo`): the manifest
+    * partition must keep tracking where its arrivals' data rows live,
+    * or the purge prune would consult a stale cover. Folding preserves
+    * one row per original arrival, each with its own bounds — the
+    * folded partition's cover is their union, read row-by-row.
+    *
     * Re-running a crashed or repeated compaction is idempotent (see the
     * object doc); a compaction re-run AFTER later arrivals appended
     * `batch > upTo` partitions only touches `batch <= upTo`.
     */
   def compactState(spark: SparkSession, stateDir: String, upTo: Long,
       tables: Seq[String] = CurationTables): Unit = {
-    for (t <- tables) {
+    val withRanges =
+      if (tables.contains(RangesTable)) tables else tables :+ RangesTable
+    for (t <- withRanges) {
       val table = new org.apache.hadoop.fs.Path(s"$stateDir/$t")
       val fs = hfs(spark, table)
       if (fs.exists(table)) {
-        val tmp = new org.apache.hadoop.fs.Path(
-          s"$stateDir/$t/.compact-tmp-$upTo")
+        recoverOrphanSwaps(spark, fs, table)
         val toMerge = batchesOf(fs, table).filter(_ <= upTo)
-        if (toMerge.nonEmpty || hasSuccess(fs, tmp)) {
-          if (!hasSuccess(fs, tmp))
-            // originals intact: build the replacement FIRST. The tmp is
-            // hidden from Spark listings, so concurrent readers (none,
-            // by contract) and a crashed re-run both still see only the
-            // original partitions until the swap below.
-            spark.read.parquet(table.toString)
-              .filter(col("batch") <= upTo).drop("batch")
-              .write.mode("overwrite").parquet(tmp.toString)
-          batchesOf(fs, table).filter(_ <= upTo).foreach { n =>
+        if (toMerge.nonEmpty) {
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$stateDir/$t/.compact-tmp-$upTo")
+          // originals intact (recovery above cleared any orphan tmp):
+          // build the replacement FIRST. The tmp is hidden from Spark
+          // listings, so a crashed re-run still sees only the original
+          // partitions until the swap below.
+          spark.read.parquet(table.toString)
+            .filter(col("batch") <= upTo).drop("batch")
+            .write.mode("overwrite").parquet(tmp.toString)
+          toMerge.foreach { n =>
             fs.delete(new org.apache.hadoop.fs.Path(table, s"batch=$n"), true)
           }
           // a silently-false rename here would lose the folded rows
@@ -129,18 +178,23 @@ object CurationState {
     * out), proving decisions for unaffected docs are bit-identical.
     *
     * Cost: the sweep REWRITES only the partitions that can hold an
-    * opt-out id — ids are arrival-ranged (the q235 contract), so each
-    * partition's (min, max) id range is probed with a column-pruned
-    * two-value aggregate and an exact touched-set is derived by ONE
-    * range join of the opt-out ids against the ≤ nBatches-row range
-    * frame (driver-bounded); disjoint partitions are skipped with
-    * their files untouched (spec-pinned via unchanged part-file
-    * listings). A retention-cadence job, not a per-arrival one
-    * (arrivals stay O(increment)); each touched-partition rewrite is a
-    * distributed anti-join. Re-running with the same opt-out set is
-    * idempotent; a crashed sweep is recovered by re-running it
-    * (completed per-partition swaps are detected and finished, see
-    * [[finishOrphanSwaps]]).
+    * opt-out id — ids are arrival-ranged (the q235 contract), so the
+    * touched-partition set comes from the [[RangesTable]] manifest
+    * where present (ONE bounded range join of the opt-out ids against
+    * the ≤ nBatches-row manifest, shared by every table — zero
+    * per-partition jobs), falling back to a column-pruned per-partition
+    * (min, max) probe only for partitions written before the manifest
+    * existed. The probe FAILS FAST when `idCol` does not cast to long
+    * on a non-empty partition (ADVICE r14 low: a non-numeric or
+    * all-null id column would otherwise classify every partition
+    * disjoint and silently no-op a compliance sweep). Disjoint
+    * partitions are skipped with their files untouched (spec-pinned via
+    * unchanged part-file listings). A retention-cadence job, not a
+    * per-arrival one (arrivals stay O(increment)); each
+    * touched-partition rewrite is a distributed anti-join. Re-running
+    * with the same opt-out set is idempotent; a crashed sweep is
+    * recovered by re-running it (completed swaps of EITHER op are
+    * detected and finished first, see [[recoverOrphanSwaps]]).
     */
   def purgeDocs(spark: SparkSession, stateDir: String, optOut: DataFrame,
       idCol: String, tables: Seq[String] = CurationTables): Unit = {
@@ -149,31 +203,68 @@ object CurationState {
     // partition mid-rewrite (FAILED_READ_FILE on the deleted files).
     // Opt-out sets are id-scale, so the checkpoint is cheap.
     val ids = optOut.select(col(idCol)).distinct().localCheckpoint(true)
+    // manifest-driven prune, computed ONCE for all tables: which
+    // arrivals' id covers intersect the opt-out set. Bounded driver
+    // valve — ≤ one batch value per manifest row.
+    val rangesPath = new org.apache.hadoop.fs.Path(s"$stateDir/$RangesTable")
+    val rangesFs = hfs(spark, rangesPath)
+    val (manifestBatches: Set[Long], manifestTouched: Set[Long]) =
+      if (!rangesFs.exists(rangesPath)) (Set.empty[Long], Set.empty[Long])
+      else {
+        recoverOrphanSwaps(spark, rangesFs, rangesPath)
+        val man = spark.read.parquet(rangesPath.toString)
+          .select(col("batch").cast("long").as("__batch"),
+            col("id_min").as("__pmin"), col("id_max").as("__pmax"))
+          .localCheckpoint(true) // eager: optOut may read this stateDir
+        val covered = man.select(col("__batch")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        val touched = ids.join(broadcast(man),
+            col(idCol) >= col("__pmin") && col(idCol) <= col("__pmax"))
+          .select(col("__batch")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        (covered, touched)
+      }
     for (t <- tables) {
       val table = new org.apache.hadoop.fs.Path(s"$stateDir/$t")
       val fs = hfs(spark, table)
       if (fs.exists(table)) {
-        finishOrphanSwaps(fs, table)
+        recoverOrphanSwaps(spark, fs, table)
         val batches = batchesOf(fs, table)
-        val ranges = batches.flatMap { n =>
+        // pre-manifest partitions only: probe each for its id range
+        val ranges = batches.filterNot(manifestBatches).flatMap { n =>
           val r = spark.read
             .parquet(new org.apache.hadoop.fs.Path(table, s"batch=$n").toString)
-            .agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long"))
+            // try_cast: under ANSI mode a plain cast THROWS on a
+            // non-numeric id mid-probe; the null-check below turns that
+            // into the intended diagnostic instead
+            .agg(count(lit(1)), expr(s"try_cast(min(`$idCol`) as long)"),
+              expr(s"try_cast(max(`$idCol`) as long)"))
             .head
-          if (r.isNullAt(0)) None // empty partition: nothing to purge
-          else Some((n, r.getLong(0), r.getLong(1)))
+          if (r.getLong(0) == 0L) None // empty partition: nothing to purge
+          else if (r.isNullAt(1))
+            // ADVICE r14 low: a null min over a NON-empty partition means
+            // idCol is non-numeric or all-null — range pruning is
+            // impossible and treating it as disjoint would silently
+            // no-op a right-to-forget sweep. Fail loudly instead.
+            throw new IllegalArgumentException(
+              s"purgeDocs: $t/batch=$n has ${r.getLong(0)} rows but " +
+                s"min($idCol) does not cast to a long — non-numeric or " +
+                "all-null ids cannot be range-pruned; fix the id column " +
+                "or purge with an exact rewrite")
+          else Some((n, r.getLong(1), r.getLong(2)))
         }
-        val touched: Set[Long] =
+        val probedTouched: Set[Long] =
           if (ranges.isEmpty) Set.empty
           else {
             import spark.implicits._
             val rdf = ranges.toDF("__batch", "__pmin", "__pmax")
-            // bounded driver valve: ≤ one value per existing partition
+            // bounded driver valve: ≤ one value per probed partition
             ids.join(broadcast(rdf),
                 col(idCol) >= col("__pmin") && col(idCol) <= col("__pmax"))
               .select(col("__batch")).distinct()
               .collect().map(_.getLong(0)).toSet
           }
+        val touched = manifestTouched ++ probedTouched
         for (n <- batches if touched(n)) {
           val part = new org.apache.hadoop.fs.Path(table, s"batch=$n")
           val tmp = new org.apache.hadoop.fs.Path(table, s".purge-tmp-$n")
@@ -183,7 +274,7 @@ object CurationState {
           fs.delete(part, true)
           // see compactState: a false rename after the delete is data
           // loss unless surfaced — the complete tmp survives for the
-          // re-run's finishOrphanSwaps
+          // re-run's recoverOrphanSwaps
           if (!fs.rename(tmp, part))
             throw new java.io.IOException(
               s"purge swap rename failed for $tmp — re-run purgeDocs " +
@@ -193,25 +284,55 @@ object CurationState {
     }
   }
 
-  /** Complete (or discard) per-partition purge swaps a crashed sweep
-    * left behind: a `.purge-tmp-N` WITH `_SUCCESS` whose `batch=N` was
-    * already deleted is the finished replacement — move it into place;
-    * one whose `batch=N` still exists crashed before the delete — the
-    * re-run rebuilds it, so drop it; one WITHOUT `_SUCCESS` is an
-    * incomplete write — drop it (its original is intact).
+  /** Complete (or discard) EVERY orphan swap a crashed maintenance op
+    * left behind on one table — both `.purge-tmp-*` and
+    * `.compact-tmp-*`, regardless of which op is about to run (the
+    * cross-op recovery contract from the object doc):
+    *
+    *   - `.purge-tmp-N` WITH `_SUCCESS` whose `batch=N` was already
+    *     deleted is the finished replacement — move it into place; one
+    *     whose `batch=N` still exists crashed before the delete — the
+    *     re-run rebuilds it, so drop it; one WITHOUT `_SUCCESS` is an
+    *     incomplete write — drop it (its original is intact).
+    *   - `.compact-tmp-U` WITH `_SUCCESS` is a complete fold of every
+    *     `batch <= U` partition, some of which may already be deleted —
+    *     finishing it (delete the rest, rename to `batch=U`) is the
+    *     ONLY row-preserving option, and it must happen before any
+    *     other op lists partitions (a purge over the half-deleted
+    *     originals plus a later compaction re-run trusting the stale
+    *     tmp would resurrect purged rows). One WITHOUT `_SUCCESS` is an
+    *     incomplete write over intact originals — drop it.
+    *
+    * Purge tmps are recovered FIRST: a completed purge swap restores
+    * its partition before a completed compaction fold counts partitions
+    * to delete. (By the single-writer contract at most one crashed op
+    * can exist per table; the ordering makes recovery correct even if
+    * that contract was violated.)
     */
-  private def finishOrphanSwaps(fs: org.apache.hadoop.fs.FileSystem,
+  private def recoverOrphanSwaps(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path): Unit = {
-    fs.listStatus(table).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith(".purge-tmp-")).foreach { tmp =>
-        val n = tmp.getName.stripPrefix(".purge-tmp-")
-        val part = new org.apache.hadoop.fs.Path(table, s"batch=$n")
-        if (hasSuccess(fs, tmp) && !fs.exists(part)) {
-          if (!fs.rename(tmp, part))
-            throw new java.io.IOException(
-              s"orphan-swap completion rename failed for $tmp")
-        } else fs.delete(tmp, true)
-      }
+    val tmps = fs.listStatus(table).toSeq.map(_.getPath)
+    tmps.filter(_.getName.startsWith(".purge-tmp-")).foreach { tmp =>
+      val n = tmp.getName.stripPrefix(".purge-tmp-")
+      val part = new org.apache.hadoop.fs.Path(table, s"batch=$n")
+      if (hasSuccess(fs, tmp) && !fs.exists(part)) {
+        if (!fs.rename(tmp, part))
+          throw new java.io.IOException(
+            s"orphan-swap completion rename failed for $tmp")
+      } else fs.delete(tmp, true)
+    }
+    tmps.filter(_.getName.startsWith(".compact-tmp-")).foreach { tmp =>
+      val u = tmp.getName.stripPrefix(".compact-tmp-").toLong
+      if (hasSuccess(fs, tmp)) {
+        batchesOf(fs, table).filter(_ <= u).foreach { n =>
+          fs.delete(new org.apache.hadoop.fs.Path(table, s"batch=$n"), true)
+        }
+        if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(table, s"batch=$u")))
+          throw new java.io.IOException(
+            s"orphan-compaction completion rename failed for $tmp")
+      } else fs.delete(tmp, true)
+    }
   }
 
   /** Ids of docs rejected OUTRIGHT (gate / exact-dup) in batches

@@ -264,6 +264,122 @@ class CurationStateSpec extends SparkSpec {
     }
   }
 
+  test("cross-op recovery: purge after a crashed compaction cannot resurrect purged ids") {
+    // the ADVICE r14 medium ordering: compactState crashes after
+    // committing its tmp (_SUCCESS written, originals partially
+    // deleted); purgeDocs runs NEXT; a later compactState re-run must
+    // not rename the stale pre-purge tmp over the purge's work
+    withRoot { root =>
+      val a0 = Seq((0L, baseA, "web"), (1L, baseB, "web"),
+        (2L, "tiny", "web")).toDF("doc_id", "text", "source")
+      val a1 = Seq((6L, "the team built a fast engine to sort and merge " +
+        "all of the rows in the table with care", "web"))
+        .toDF("doc_id", "text", "source")
+      curateIncrement(a0, "doc_id", Seq("source"), "n_tokens", root, 0L).collect()
+      curateIncrement(a1, "doc_id", Seq("source"), "n_tokens", root, 1L).collect()
+      val t = "ledger"
+      // simulate the crashed-compaction window on the ledger table
+      spark.read.parquet(s"$root/$t").filter(col("batch") <= 1L)
+        .drop("batch")
+        .write.mode("overwrite").parquet(s"$root/$t/.compact-tmp-1")
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
+      }
+      rm(new java.io.File(s"$root/$t/batch=0"))
+      // purge doc 2 (the gate reject) — recovery must FIRST finish the
+      // compaction, then the purge rewrites the folded partition
+      CurationState.purgeDocs(spark, root, Seq(2L).toDF("doc_id"),
+        "doc_id", tables = Seq(t))
+      assert(spark.read.parquet(s"$root/$t")
+        .filter(col("doc_id") === 2L).count() === 0L,
+        "purge must see the recovered fold, not half-deleted originals")
+      // the later compaction re-run must not resurrect the purged id
+      CurationState.compactState(spark, root, upTo = 1L, tables = Seq(t))
+      assert(spark.read.parquet(s"$root/$t")
+        .filter(col("doc_id") === 2L).count() === 0L,
+        "compaction re-run resurrected a forgotten id (stale tmp trusted)")
+      assert(!new java.io.File(s"$root/$t/.compact-tmp-1").exists)
+    }
+  }
+
+  test("cross-op recovery: compaction folds a crashed purge's completed swap, losing no rows") {
+    withRoot { root =>
+      val a0 = Seq((0L, baseA, "web"), (1L, baseB, "web"))
+        .toDF("doc_id", "text", "source")
+      val a1 = Seq((6L, "the students walk to the library in the morning " +
+        "and study the history of the ancient city together", "pdf"))
+        .toDF("doc_id", "text", "source")
+      curateIncrement(a0, "doc_id", Seq("source"), "n_tokens", root, 0L).collect()
+      curateIncrement(a1, "doc_id", Seq("source"), "n_tokens", root, 1L).collect()
+      val t = "dd"
+      val rows = sortedRows(spark.read.parquet(s"$root/$t").drop("batch"))
+      // crash window: completed purge tmp (no rows removed — pure
+      // rewrite), original deleted, no rename
+      spark.read.parquet(s"$root/$t/batch=0")
+        .write.mode("overwrite").parquet(s"$root/$t/.purge-tmp-0")
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
+      }
+      rm(new java.io.File(s"$root/$t/batch=0"))
+      // without cross-op recovery the fold would silently drop batch 0
+      CurationState.compactState(spark, root, upTo = 1L, tables = Seq(t))
+      assert(sortedRows(spark.read.parquet(s"$root/$t").drop("batch"))
+        === rows, "fold must include the crashed purge's completed swap")
+    }
+  }
+
+  test("purge fails fast on a non-long id column instead of silently no-opping") {
+    withRoot { root =>
+      Seq(("a", 1L), ("b", 2L)).toDF("doc_id", "v")
+        .write.mode("overwrite").parquet(s"$root/custom/batch=0")
+      val ex = intercept[IllegalArgumentException] {
+        CurationState.purgeDocs(spark, root, Seq("a").toDF("doc_id"),
+          "doc_id", tables = Seq("custom"))
+      }
+      assert(ex.getMessage.contains("cannot be range-pruned"))
+    }
+  }
+
+  test("ranges manifest drives the purge prune; compaction folds it in lockstep") {
+    withRoot { root =>
+      val a0 = Seq((0L, baseA, "web"), (1L, baseB, "web"))
+        .toDF("doc_id", "text", "source")
+      val a1 = Seq(
+        (6L, "the team built a fast engine to sort and merge all of the " +
+          "rows in the table with care", "web"),
+        (7L, "tiny", "web")).toDF("doc_id", "text", "source")
+      curateIncrement(a0, "doc_id", Seq("source"), "n_tokens", root, 0L).collect()
+      curateIncrement(a1, "doc_id", Seq("source"), "n_tokens", root, 1L).collect()
+      // manifest rows (the writers add these at append time; written
+      // explicitly here so the spec pins the consumer in isolation)
+      CurationState.writeRange(spark, root, 0L, Some(0L), Some(1L), 2L)
+      CurationState.writeRange(spark, root, 1L, Some(6L), Some(7L), 2L)
+      def listing(t: String, b: Long) =
+        Option(new java.io.File(s"$root/$t/batch=$b").listFiles())
+          .getOrElse(Array.empty)
+          .map(f => (f.getName, f.lastModified, f.length)).sorted.toSeq
+      val before = CurationState.CurationTables.map(t => t -> listing(t, 0L))
+      CurationState.purgeDocs(spark, root, Seq(7L).toDF("doc_id"), "doc_id")
+      for ((t, b) <- before)
+        assert(listing(t, 0L) === b,
+          s"$t/batch=0 is manifest-disjoint from the opt-out and must not be rewritten")
+      assert(spark.read.parquet(s"$root/ledger")
+        .filter(col("doc_id") === 7L).count() === 0L)
+      // compaction folds ranges ALONGSIDE the data tables even when not
+      // named, so a post-compaction purge of an arrival-0 id still
+      // rewrites the folded partition (a stale manifest would skip it)
+      CurationState.compactState(spark, root, upTo = 1L)
+      val rparts = new java.io.File(s"$root/${CurationState.RangesTable}")
+        .listFiles().map(_.getName).filter(_.startsWith("batch=")).toSeq
+      assert(rparts === Seq("batch=1"), s"ranges partitions: $rparts")
+      CurationState.purgeDocs(spark, root, Seq(0L).toDF("doc_id"), "doc_id")
+      for (t <- CurationState.CurationTables)
+        assert(spark.read.parquet(s"$root/$t")
+          .filter(col("doc_id") === 0L).count() === 0L,
+          s"post-compaction manifest prune missed the folded partition in $t")
+    }
+  }
+
   test("purge sweep is idempotent and recovers a crashed per-partition swap") {
     withRoot { root =>
       val a0 = Seq((0L, baseA, "web"), (1L, baseB, "web"),
