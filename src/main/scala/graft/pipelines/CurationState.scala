@@ -47,17 +47,29 @@ object CurationState {
     Seq("dd", "bands", "postings", "sizes", "ledger")
 
   /** The per-arrival id-range manifest table (VERDICT r14 #2): ONE row
-    * per arrival, `(id_min, id_max, n_rows)` under `ranges/batch=N`,
-    * written at append time from aggregates the arrival was already
-    * materializing (an `observe` on the increment scan — zero extra
-    * jobs). The row is a CONSERVATIVE id cover for every state table
-    * of that arrival (each table's ids are a subset of the arrival's),
-    * so by-id maintenance derives its touched-partition set from
-    * nBatches metadata rows instead of probing every partition with a
-    * Spark job ([[purgeDocs]]); purges never narrow a recorded range
-    * (conservative stays conservative). Compaction folds the manifest
-    * in lockstep with the data tables (see [[compactState]]), so a
-    * folded partition's cover is the union of its arrivals' rows.
+    * per arrival, `(arrival, id_min, id_max, n_rows)` under
+    * `ranges/batch=N`, written at append time from aggregates the
+    * arrival was already materializing (an `observe` on the increment
+    * scan — zero extra jobs). The row is a CONSERVATIVE id cover for
+    * every state table of that arrival (each table's ids are a subset
+    * of the arrival's), so by-id maintenance derives its
+    * touched-partition set from nBatches metadata rows instead of
+    * probing every partition with a Spark job ([[purgeDocs]]); purges
+    * never narrow a recorded range (conservative stays conservative).
+    *
+    * The arrival id is a ROW COLUMN, not just the partition value:
+    * compaction folds a prefix of arrivals into one `batch=upTo`
+    * partition (of the data tables, of this manifest, or of both —
+    * crash recovery can complete one table's fold before another's),
+    * so a consumer maps an arrival to the DATA partition that holds it
+    * by the prefix-fold rule `min{B ∈ partitions : B >= arrival}` —
+    * correct whether or not the manifest's own partitions were folded
+    * in the same sweep. Arrivals written before the manifest existed
+    * (pre-r15 state) simply have no row; their partitions keep the
+    * probe path. A state mixing pre-manifest arrivals WITH manifested
+    * ones must not be compacted before backfilling rows (the folded
+    * partition would be half-covered — documented contract, not
+    * checked).
     */
   val RangesTable: String = "ranges"
 
@@ -83,10 +95,66 @@ object CurationState {
     */
   def writeRange(spark: SparkSession, stateDir: String, batchId: Long,
       idMin: Option[Long], idMax: Option[Long], nRows: Long): Unit = {
-    import spark.implicits._
-    Seq((idMin, idMax, nRows)).toDF("id_min", "id_max", "n_rows")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$stateDir/$RangesTable/batch=$batchId")
+    val dir = new org.apache.hadoop.fs.Path(
+      s"$stateDir/$RangesTable/batch=$batchId")
+    val fs = hfs(spark, dir)
+    fs.mkdirs(dir)
+    writeLines(fs, dir, Seq(
+      s"$batchId,${idMin.getOrElse("")},${idMax.getOrElse("")},$nRows"))
+  }
+
+  /** One parsed manifest row: (arrival, id_min, id_max, n_rows). */
+  type RangeRow = (Long, Option[Long], Option[Long], Long)
+
+  /** Driver-side read of the whole [[RangesTable]] manifest — the
+    * manifest is metadata (≤ one row per arrival) and every consumer
+    * collects it, so it is stored as plain text lines and read with
+    * filesystem calls only: NO Spark job on either side of the
+    * manifest (the point of VERDICT r14 #2 — a sweep's touched set
+    * from footer-scale metadata, not per-partition jobs). Orphan swaps
+    * are recovered first, like every other state read path.
+    */
+  def readRanges(spark: SparkSession, stateDir: String): Seq[RangeRow] = {
+    val table = new org.apache.hadoop.fs.Path(s"$stateDir/$RangesTable")
+    val fs = hfs(spark, table)
+    if (!fs.exists(table)) Seq.empty
+    else {
+      recoverOrphanSwaps(spark, fs, table)
+      batchesOf(fs, table).flatMap { n =>
+        val dir = new org.apache.hadoop.fs.Path(table, s"batch=$n")
+        readLines(fs, dir).map { line =>
+          val f = line.split(",", -1)
+          (f(0).toLong,
+            if (f(1).isEmpty) None else Some(f(1).toLong),
+            if (f(2).isEmpty) None else Some(f(2).toLong),
+            f(3).toLong)
+        }
+      }.sortBy(_._1)
+    }
+  }
+
+  /** Write manifest lines to `dir/ranges.csv` plus the `_SUCCESS`
+    * marker the swap/recovery protocol keys on. Overwrite-idempotent.
+    */
+  private def writeLines(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, lines: Seq[String]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "ranges.csv"), true)
+    try out.write((lines.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
+  }
+
+  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val f = new org.apache.hadoop.fs.Path(dir, "ranges.csv")
+    if (!fs.exists(f)) Seq.empty
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
   }
 
   /** Merge every `batch <= upTo` partition of each state table into the
@@ -130,9 +198,7 @@ object CurationState {
     */
   def compactState(spark: SparkSession, stateDir: String, upTo: Long,
       tables: Seq[String] = CurationTables): Unit = {
-    val withRanges =
-      if (tables.contains(RangesTable)) tables else tables :+ RangesTable
-    for (t <- withRanges) {
+    for (t <- tables if t != RangesTable) {
       val table = new org.apache.hadoop.fs.Path(s"$stateDir/$t")
       val fs = hfs(spark, table)
       if (fs.exists(table)) {
@@ -160,6 +226,43 @@ object CurationState {
               s"compaction swap rename failed for $tmp — re-run " +
                 "compactState($upTo) to recover (tmp is complete)")
         }
+      }
+    }
+    compactRanges(spark, stateDir, upTo)
+  }
+
+  /** Fold the manifest's `batch <= upTo` partitions into one — the
+    * [[compactState]] partition-count hygiene applied to the
+    * metadata-only [[RangesTable]]: pure driver-side line
+    * concatenation under the same hidden-tmp + `_SUCCESS` + rename
+    * swap (and the same [[recoverOrphanSwaps]] coverage), preserving
+    * one line per original arrival. Consumers never depend on WHERE a
+    * manifest row lives (the arrival id is in the row), so this fold
+    * is free to lag or lead the data tables' folds.
+    */
+  private def compactRanges(spark: SparkSession, stateDir: String,
+      upTo: Long): Unit = {
+    val table = new org.apache.hadoop.fs.Path(s"$stateDir/$RangesTable")
+    val fs = hfs(spark, table)
+    if (fs.exists(table)) {
+      recoverOrphanSwaps(spark, fs, table)
+      val toMerge = batchesOf(fs, table).filter(_ <= upTo)
+      if (toMerge.nonEmpty) {
+        val lines = toMerge.flatMap(n =>
+          readLines(fs, new org.apache.hadoop.fs.Path(table, s"batch=$n")))
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$stateDir/$RangesTable/.compact-tmp-$upTo")
+        fs.delete(tmp, true)
+        fs.mkdirs(tmp)
+        writeLines(fs, tmp, lines)
+        toMerge.foreach { n =>
+          fs.delete(new org.apache.hadoop.fs.Path(table, s"batch=$n"), true)
+        }
+        if (!fs.rename(tmp,
+            new org.apache.hadoop.fs.Path(table, s"batch=$upTo")))
+          throw new java.io.IOException(
+            s"manifest compaction swap rename failed for $tmp — re-run " +
+              "compactState to recover (tmp is complete)")
       }
     }
   }
@@ -204,23 +307,23 @@ object CurationState {
     // Opt-out sets are id-scale, so the checkpoint is cheap.
     val ids = optOut.select(col(idCol)).distinct().localCheckpoint(true)
     // manifest-driven prune, computed ONCE for all tables: which
-    // arrivals' id covers intersect the opt-out set. Bounded driver
-    // valve — ≤ one batch value per manifest row.
+    // ARRIVALS' id covers intersect the opt-out set. Bounded driver
+    // valve — ≤ one arrival value per manifest row.
     val rangesPath = new org.apache.hadoop.fs.Path(s"$stateDir/$RangesTable")
     val rangesFs = hfs(spark, rangesPath)
-    val (manifestBatches: Set[Long], manifestTouched: Set[Long]) =
+    val (manifestArrivals: Set[Long], touchedArrivals: Set[Long]) =
       if (!rangesFs.exists(rangesPath)) (Set.empty[Long], Set.empty[Long])
       else {
         recoverOrphanSwaps(spark, rangesFs, rangesPath)
         val man = spark.read.parquet(rangesPath.toString)
-          .select(col("batch").cast("long").as("__batch"),
+          .select(col("arrival").cast("long").as("__arrival"),
             col("id_min").as("__pmin"), col("id_max").as("__pmax"))
           .localCheckpoint(true) // eager: optOut may read this stateDir
-        val covered = man.select(col("__batch")).distinct()
+        val covered = man.select(col("__arrival")).distinct()
           .collect().map(_.getLong(0)).toSet
         val touched = ids.join(broadcast(man),
             col(idCol) >= col("__pmin") && col(idCol) <= col("__pmax"))
-          .select(col("__batch")).distinct()
+          .select(col("__arrival")).distinct()
           .collect().map(_.getLong(0)).toSet
         (covered, touched)
       }
@@ -230,8 +333,15 @@ object CurationState {
       if (fs.exists(table)) {
         recoverOrphanSwaps(spark, fs, table)
         val batches = batchesOf(fs, table)
+        // an arrival's rows live in the LOWEST partition value >= its
+        // id (the prefix-fold rule — see [[RangesTable]]); partitions
+        // no manifest arrival maps to keep the probe path
+        def partitionOf(arrival: Long): Option[Long] =
+          batches.find(_ >= arrival)
+        val mappedParts = manifestArrivals.flatMap(partitionOf)
+        val manifestTouched = touchedArrivals.flatMap(partitionOf)
         // pre-manifest partitions only: probe each for its id range
-        val ranges = batches.filterNot(manifestBatches).flatMap { n =>
+        val ranges = batches.filterNot(mappedParts).flatMap { n =>
           val r = spark.read
             .parquet(new org.apache.hadoop.fs.Path(table, s"batch=$n").toString)
             // try_cast: under ANSI mode a plain cast THROWS on a
