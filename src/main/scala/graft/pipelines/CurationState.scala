@@ -307,25 +307,26 @@ object CurationState {
     // Opt-out sets are id-scale, so the checkpoint is cheap.
     val ids = optOut.select(col(idCol)).distinct().localCheckpoint(true)
     // manifest-driven prune, computed ONCE for all tables: which
-    // ARRIVALS' id covers intersect the opt-out set. Bounded driver
-    // valve — ≤ one arrival value per manifest row.
-    val rangesPath = new org.apache.hadoop.fs.Path(s"$stateDir/$RangesTable")
-    val rangesFs = hfs(spark, rangesPath)
+    // ARRIVALS' id covers intersect the opt-out set. The manifest is
+    // driver-side metadata ([[readRanges]] — filesystem calls only, no
+    // Spark job, orphan swaps recovered inside), so the only job here
+    // is ONE bounded broadcast range join of the opt-out ids against
+    // the ≤ nBatches-row cover. Bounded driver valve — ≤ one arrival
+    // value per manifest row.
+    val manRows = readRanges(spark, stateDir)
     val (manifestArrivals: Set[Long], touchedArrivals: Set[Long]) =
-      if (!rangesFs.exists(rangesPath)) (Set.empty[Long], Set.empty[Long])
+      if (manRows.isEmpty) (Set.empty[Long], Set.empty[Long])
       else {
-        recoverOrphanSwaps(spark, rangesFs, rangesPath)
-        val man = spark.read.parquet(rangesPath.toString)
-          .select(col("arrival").cast("long").as("__arrival"),
-            col("id_min").as("__pmin"), col("id_max").as("__pmax"))
-          .localCheckpoint(true) // eager: optOut may read this stateDir
-        val covered = man.select(col("__arrival")).distinct()
-          .collect().map(_.getLong(0)).toSet
+        import spark.implicits._
+        // null bounds (empty arrival) satisfy no range predicate — an
+        // empty partition can never hold a purgeable id
+        val man = manRows.map { case (a, mn, mx, _) => (a, mn, mx) }
+          .toDF("__arrival", "__pmin", "__pmax")
         val touched = ids.join(broadcast(man),
             col(idCol) >= col("__pmin") && col(idCol) <= col("__pmax"))
           .select(col("__arrival")).distinct()
           .collect().map(_.getLong(0)).toSet
-        (covered, touched)
+        (manRows.map(_._1).toSet, touched)
       }
     for (t <- tables) {
       val table = new org.apache.hadoop.fs.Path(s"$stateDir/$t")
