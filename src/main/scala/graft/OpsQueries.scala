@@ -3436,11 +3436,14 @@ object OpsQueries {
   def arrivalReportQ(s: SparkSession, dir: String): DataFrame = {
     import graft.pipelines.TrainingDataPipeline
     val d = docs(s, dir)
+    // 3 arrival batches (VERDICT r14 #4 board economics: the per-batch
+    // SPLIT proof is batch-count-independent, and q250 already runs the
+    // 3-arrival lifecycle — 4 batches bought no extra claim)
     val reports = TrainingDataPipeline.arrivalReports(
-      d, "doc_id", Seq("source"), "n_tokens")
+      d, "doc_id", Seq("source"), "n_tokens", nBatches = 3)
     val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
-    val width = maxId / 4 + 1
-    val slices = (0L until 4L).map(b =>
+    val width = maxId / 3 + 1
+    val slices = (0L until 3L).map(b =>
       d.filter(col("doc_id") >= b * width && col("doc_id") < (b + 1) * width)
         .select(col("doc_id"), col("text")))
     val psum = TrainingDataPipeline.ingestDriftAudit(slices, "text")
@@ -3457,18 +3460,18 @@ object OpsQueries {
        |${curationSql.linesIterator.map("    " + _).mkString("\n")}
        |  ) q),
        |mx AS (SELECT max(doc_id) AS m FROM documents),
-       |ka AS (SELECT CAST(c.doc_id // (x.m // 4 + 1) AS BIGINT) AS batch,
+       |ka AS (SELECT CAST(c.doc_id // (x.m // 3 + 1) AS BIGINT) AS batch,
        |              c.source, c.n_tokens
        |       FROM cur c, mx x),
        |agg AS (SELECT batch, source, CAST(count(*) AS BIGINT) AS n_docs,
        |               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
        |        FROM ka GROUP BY batch, source),
-       |sl AS (SELECT text, CAST(doc_id // (m // 4 + 1) AS BIGINT) AS b
+       |sl AS (SELECT text, CAST(doc_id // (m // 3 + 1) AS BIGINT) AS b
        |       FROM documents, mx),
        |hh AS (SELECT b, least(15, length(text) // 64) AS bucket,
        |              CAST(count(*) AS BIGINT) AS n
        |       FROM sl GROUP BY b, least(15, length(text) // 64)),
-       |tt AS (SELECT unnest(range(1, 4)) AS batch),
+       |tt AS (SELECT unnest(range(1, 3)) AS batch),
        |grid AS (SELECT batch, unnest(range(0, 16)) AS bucket FROM tt),
        |ref AS (SELECT tt.batch, hh.bucket, CAST(sum(hh.n) AS BIGINT) AS n_ref
        |        FROM tt JOIN hh ON hh.b < tt.batch GROUP BY tt.batch, hh.bucket),
@@ -3677,6 +3680,15 @@ object OpsQueries {
     * proves the incremental ledger assigns every single doc the same
     * fate as a from-scratch classification (the q244 per-batch-split
     * argument extended from kept counts to DROP REASONS).
+    *
+    * Composed in (VERDICT r14 #6): a post-build TARGETED REDACTION of
+    * the audit trail — the lowest near-dup loser opts out and is
+    * purged from every state table including the ledger via the
+    * manifest-pruned sweep; the oracle excludes exactly that
+    * deterministically-chosen id from its classification, so the hash
+    * gate proves the redaction changed no OTHER doc's recorded fate
+    * (CurationStateSpec pins the file-level half: partitions disjoint
+    * from the opt-out id keep byte-identical listings).
     */
   def curationLedgerQ(s: SparkSession, dir: String): DataFrame = {
     import graft.pipelines.TrainingDataPipeline
@@ -3689,6 +3701,24 @@ object OpsQueries {
         TrainingDataPipeline.curateIncrement(
           d.filter(col("doc_id") >= b * width && col("doc_id") < (b + 1) * width),
           "doc_id", Seq("source"), "n_tokens", root, b).collect()
+      // VERDICT r14 #6: right-to-forget the AUDIT TRAIL itself. The
+      // lowest near-dup loser opts out after the build; the
+      // manifest-pruned sweep ([[graft.pipelines.CurationState
+      // .purgeDocs]] over the ranges written at append time — zero
+      // per-partition probe jobs) removes its rows from EVERY state
+      // table INCLUDING the drop ledger, so the audit retains no
+      // personal identifier of the opted-out doc. The readout below
+      // then classifies everything still in state: the hash match
+      // against the oracle's "one-shot classification minus that one
+      // id" proves the redaction moved NO other doc's fate — the
+      // decisions gate VERDICT r14 #6 asks for. (Ledger rows are never
+      // a decision input for other docs, and the sweep runs after the
+      // last arrival, so nothing can un-suppress.)
+      val optOut = s.read.parquet(s"$root/ledger")
+        .filter(col("reason") === "near_dup")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .filter(col("doc_id").isNotNull)
+      graft.pipelines.CurationState.purgeDocs(s, root, optOut, "doc_id")
       val led = s.read.parquet(s"$root/ledger")
         .select(col("batch").cast("long").as("batch"), col("doc_id"),
           col("reason"))
@@ -3722,10 +3752,12 @@ object OpsQueries {
       |  FROM ann a
       |  LEFT JOIN gated g ON g.doc_id = a.doc_id
       |  LEFT JOIN keepers k ON k.doc_id = a.doc_id
-      |  LEFT JOIN losers l ON l.b = a.doc_id)
+      |  LEFT JOIN losers l ON l.b = a.doc_id),
+      |rid AS (SELECT min(doc_id) AS rmin FROM cls WHERE reason = 'near_dup')
       |SELECT CAST(c.doc_id // (x.m // 2 + 1) AS BIGINT) AS batch, c.reason,
       |       CAST(count(*) AS BIGINT) AS n
-      |FROM cls c, mx x
+      |FROM cls c, mx x, rid r
+      |WHERE r.rmin IS NULL OR c.doc_id <> r.rmin
       |GROUP BY CAST(c.doc_id // (x.m // 2 + 1) AS BIGINT), c.reason""".stripMargin
 
   /** Document fingerprints via the custom codegen expressions
