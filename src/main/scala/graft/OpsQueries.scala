@@ -2688,6 +2688,111 @@ object OpsQueries {
        |        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
        |WHERE rank <= 10""".stripMargin
 
+  /** q254: STATE-TABLE INTEGRITY MANIFESTS (VERDICT r14 #7) — the q245
+    * publish/verify digest discipline extended from the corpus to the
+    * persisted state itself: one arrival builds the full curation state
+    * (dd, bands, postings, sizes, ledger) plus an ANN assign increment,
+    * and the readout is [[graft.pipelines.CorpusManifest.stateManifest]]
+    * over all six tables — per table the row count and the
+    * order-independent DECIMAL(38,0) digest of the canonical row
+    * rendering (name-sorted columns, '|'-joined). The ORACLE recomputes
+    * every table's exact CONTENT from scratch (gate/exact-dedup
+    * classification, fingerprints, text shingles, minhash band hashes,
+    * set sizes, drop reasons, integer-Lloyd assignment) and digests it
+    * with the same device — so the hash gate proves byte-level that the
+    * persisted state equals its from-scratch recompute, table by table,
+    * and pins the canonical rendering + digest arithmetic cross-engine.
+    * Tamper/lost-partition detection over these manifests is
+    * CorpusManifestSpec's surface ([[graft.pipelines.CorpusManifest
+    * .verifyState]]).
+    */
+  def stateManifestQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.{CorpusManifest, TrainingDataPipeline}
+    val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+    val e = emb(s, dir)
+    val cents = servedCodebook(s, dir, "ivf16x3")(
+      Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-statemanifest-").toString
+    try {
+      TrainingDataPipeline.curateIncrement(
+        d, "doc_id", Seq("source"), "n_tokens", root, 0L).collect()
+      // explicit registry-style stamp: the oracle replays the literal
+      // (the content-derived default is driver-side md5 of the collected
+      // codebook — exact but pointlessly replayed; the stamp's IDENTITY
+      // claims are q252/OpsSpec surface, not this digest gate's)
+      Similarity.assignIncrement(e, "vec_id", "embedding", cents, root, 0L,
+        codebookVersion = "t1")
+      CorpusManifest.stateManifest(s, root,
+        Seq("dd", "bands", "postings", "sizes", "ledger", "assign"))
+        .localCheckpoint(true) // owned state is deleted below
+    } finally {
+      try {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  // lazy: references annGatedCtes/dedupChainCtes declared LATER in this
+  // object — a plain val would silently read null at init (the q151 rule)
+  lazy val stateManifestSql: String = {
+    def dig(canon: String): String =
+      s"CAST(sum(('0x' || substr(md5($canon), 1, 15))::BIGINT) AS VARCHAR)"
+    "WITH " + annGatedCtes + ",\n" + dedupChainCtes + ",\n" +
+    s"""${lloydCtes(3, 16, "0")},
+       |cls AS (
+       |  SELECT a.doc_id,
+       |         CASE WHEN g.doc_id IS NULL THEN 'gate'
+       |              WHEN k.doc_id IS NULL THEN 'exact_dup'
+       |              WHEN l.b IS NOT NULL THEN 'near_dup'
+       |              ELSE 'kept' END AS reason
+       |  FROM ann a
+       |  LEFT JOIN gated g ON g.doc_id = a.doc_id
+       |  LEFT JOIN keepers k ON k.doc_id = a.doc_id
+       |  LEFT JOIN losers l ON l.b = a.doc_id),
+       |ddrows AS (
+       |  SELECT g.doc_id,
+       |         md5(lower(regexp_replace(trim(g.text), '\\s+', ' ', 'g'))) AS fp,
+       |         CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END AS kept
+       |  FROM gated g LEFT JOIN keepers k ON k.doc_id = g.doc_id),
+       |asg AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |           row_number() OVER (PARTITION BY id
+       |                              ORDER BY dist ASC, cid ASC) AS rn
+       |    FROM (SELECT a.id, c.cid,
+       |                 CAST(sum((a.qs - c.cq) * (a.qs - c.cq)) AS BIGINT)
+       |                   AS dist
+       |          FROM lcomp a JOIN lc3 c ON c.dim = a.dim
+       |          GROUP BY 1, 2))
+       |  WHERE rn = 1)
+       |SELECT 'dd' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+       |       ${dig("doc_id::VARCHAR || '|' || fp || '|' || kept::VARCHAR")}
+       |         AS content_digest
+       |FROM ddrows
+       |UNION ALL
+       |SELECT 'bands', CAST(count(*) AS BIGINT),
+       |       ${dig("bh || '|' || band_idx::VARCHAR || '|' || doc_id::VARCHAR")}
+       |FROM bands
+       |UNION ALL
+       |SELECT 'postings', CAST(count(*) AS BIGINT),
+       |       ${dig("doc_id::VARCHAR || '|' || s")}
+       |FROM sh
+       |UNION ALL
+       |SELECT 'sizes', CAST(count(*) AS BIGINT),
+       |       ${dig("doc_id::VARCHAR || '|' || sz::VARCHAR")}
+       |FROM sizes
+       |UNION ALL
+       |SELECT 'ledger', CAST(count(*) AS BIGINT),
+       |       ${dig("doc_id::VARCHAR || '|' || reason")}
+       |FROM cls WHERE reason <> 'kept'
+       |UNION ALL
+       |SELECT 'assign', CAST(count(*) AS BIGINT),
+       |       ${dig("cid::VARCHAR || '|t1|' || id::VARCHAR")}
+       |FROM asg""".stripMargin
+  }
+
   /** MMR diversified re-ranking (q153, [[Similarity.mmrRerank]]) — the
     * RAG serving pass: each of 8 query vectors gets its brute top-8
     * candidates re-ranked into 4 greedy picks trading relevance (0.7)
@@ -7320,6 +7425,7 @@ object OpsQueries {
     "q251_source_mix_drift" -> sourceMixDriftQ _,
     "q252_ann_append_assign" -> annAppendAssignQ _,
     "q253_ivf_state_serve" -> ivfStateServeQ _,
+    "q254_state_manifest" -> stateManifestQ _,
     "q236_incremental_lsh" -> incrementalLshQ _,
     "q237_image_dedup" -> imageDedupQ _,
     "q238_audio_dedup" -> audioDedupQ _,
@@ -7490,6 +7596,7 @@ object OpsQueries {
     "q251_source_mix_drift" -> sourceMixDriftSql,
     "q252_ann_append_assign" -> annAppendAssignSql,
     "q253_ivf_state_serve" -> ivfStateServeSql,
+    "q254_state_manifest" -> stateManifestSql,
     "q236_incremental_lsh" -> incrementalLshSql,
     "q237_image_dedup" -> imageDedupSql,
     "q238_audio_dedup" -> audioDedupSql,

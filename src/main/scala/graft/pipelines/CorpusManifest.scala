@@ -72,6 +72,83 @@ object CorpusManifest {
           .cast("decimal(38,0)").cast("string").as("content_digest")): _*)
   }
 
+  /** Integrity manifest over PERSISTED state tables (VERDICT r14 #7 —
+    * the [[manifest]] discipline extended from the corpus to the
+    * curation/index state itself): one row per state table under
+    * `stateDir/<table>/batch=N`, carrying the row count and the
+    * order-independent content digest of the CANONICAL row rendering —
+    * every column except the `batch` partition (and `dropCols`),
+    * name-sorted, cast to string, '|'-joined. Same digest device and
+    * merge law as [[manifest]] (60-bit md5 prefix summed as
+    * DECIMAL(38,0)): digests of disjoint row sets ADD, so per-arrival
+    * publishing stays O(increment). A tampered row, a lost or
+    * double-counted partition, or a swap that moved a decision all
+    * shift the digest ([[verifyState]] diffs per table).
+    *
+    * Canonical-rendering contract: remaining columns must be
+    * string/integer/boolean — floating-point or array payloads render
+    * engine- and locale-fragile strings, so they must be named in
+    * `dropCols` (they are derivable payloads, not decisions; the q253
+    * assign payload is the motivating case). Enforced, not assumed:
+    * a non-atomic column not dropped is an error, never a silently
+    * weaker digest.
+    */
+  def stateManifest(spark: SparkSession, stateDir: String,
+      tables: Seq[String], dropCols: Seq[String] = Nil): DataFrame = {
+    require(tables.nonEmpty, "stateManifest needs at least one table")
+    tables.map { t =>
+      val df0 = spark.read.parquet(s"$stateDir/$t")
+      val df = (dropCols :+ "batch").foldLeft(df0)(_ drop _)
+      val bad = df.schema.fields.filterNot(f => f.dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BooleanType |
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      })
+      require(bad.isEmpty,
+        s"stateManifest($t): non-atomic column(s) ${bad.map(_.name).mkString(", ")} " +
+          "must be listed in dropCols — fractional/array renderings are " +
+          "not canonical across engines")
+      val canon = concat_ws("|",
+        df.columns.sorted.map(c => col(c).cast("string")): _*)
+      df.select(canon.as("__c"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(
+            sum(expr("cast(conv(substring(md5(__c), 1, 15), 16, 10)" +
+              " as decimal(38,0))")),
+            lit(0).cast("decimal(38,0)"))
+            .cast("string").as("content_digest"))
+        .select(lit(t).as("tbl"), col("n_rows"), col("content_digest"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Verify persisted state against a stored state manifest: re-derive
+    * [[stateManifest]] for the stored tables and diff per table
+    * (`ok = 1` iff row count AND digest match; a table present on one
+    * side only surfaces with NULLs on the other — a lost table is a
+    * mismatch, not an absence). The stored manifest is
+    * tables-domain-sized, so it broadcasts.
+    */
+  def verifyState(spark: SparkSession, stateDir: String,
+      stored: DataFrame, dropCols: Seq[String] = Nil): DataFrame = {
+    val tables = stored.select(col("tbl")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // bounded: table names
+    val actual = stateManifest(spark, stateDir, tables, dropCols)
+      .withColumnRenamed("n_rows", "n_rows_actual")
+      .withColumnRenamed("content_digest", "content_digest_actual")
+    val s = stored
+      .withColumnRenamed("n_rows", "n_rows_stored")
+      .withColumnRenamed("content_digest", "content_digest_stored")
+    actual.join(broadcast(s), Seq("tbl"), "full_outer")
+      .withColumn("ok",
+        (col("n_rows_actual") <=> col("n_rows_stored") &&
+          col("content_digest_actual") <=> col("content_digest_stored"))
+          .cast("long"))
+  }
+
   /** Publish: write the corpus PARTITIONED BY the manifest keys and the
     * manifest beside it. The manifest goes last — a crashed publish
     * leaves data without a manifest (visibly unpublished), never a

@@ -137,4 +137,55 @@ class CorpusManifestSpec extends SparkSpec {
       assert(rows("web") === 1L && rows("pdf") === 1L, s"$rows")
     } finally rm(new java.io.File(root))
   }
+
+  test("stateManifest/verifyState: clean roundtrip, per-table tamper + lost-partition detection") {
+    val root = java.nio.file.Files.createTempDirectory("statemani-").toString
+    try {
+      // arrival-partitioned state in the curation layout: two tables,
+      // two batches each (the shapes dd/ledger actually carry)
+      Seq((1L, "aa", 1L), (2L, "bb", 1L)).toDF("doc_id", "fingerprint", "kept")
+        .write.parquet(s"$root/dd/batch=0")
+      Seq((3L, "cc", 0L)).toDF("doc_id", "fingerprint", "kept")
+        .write.parquet(s"$root/dd/batch=1")
+      Seq((3L, "gate")).toDF("doc_id", "reason")
+        .write.parquet(s"$root/ledger/batch=1")
+      val tables = Seq("dd", "ledger")
+      val stored = CorpusManifest.stateManifest(spark, root, tables)
+        .localCheckpoint(true)
+      def okMap(st: org.apache.spark.sql.DataFrame) = CorpusManifest
+        .verifyState(spark, root, st)
+        .select(col("tbl"), col("ok"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(okMap(stored) === Map("dd" -> 1L, "ledger" -> 1L))
+      // order/partitioning independence: digests come from a SUM, so a
+      // pure re-partitioning (compaction) verifies unchanged
+      CurationState.compactState(spark, root, upTo = 1L, tables = tables)
+      assert(okMap(stored) === Map("dd" -> 1L, "ledger" -> 1L),
+        "compaction is a pure re-partitioning — the manifest must still verify")
+      // tamper: flip one dd row's kept flag in place — only dd trips
+      spark.read.parquet(s"$root/dd/batch=1")
+        .withColumn("kept", lit(1L) - col("kept"))
+        .write.mode("append").parquet(s"$root/dd/batch=1")
+      val t = okMap(stored)
+      assert(t("dd") === 0L, s"tampered dd must trip: $t")
+      assert(t("ledger") === 1L, s"untouched ledger must stay ok: $t")
+      // lost table: remove ledger entirely — a missing table must be a
+      // loud error (never an ok=1 over absent state)
+      rm(new java.io.File(s"$root/ledger"))
+      val ex = intercept[Exception] { okMap(stored) }
+      assert(ex.getMessage != null)
+      // non-atomic columns must be named in dropCols, never silently
+      // excluded from the digest
+      Seq((1L, Array(0.5, 0.25))).toDF("vec_id", "embedding")
+        .write.parquet(s"$root/assign/batch=0")
+      val bad = intercept[IllegalArgumentException] {
+        CorpusManifest.stateManifest(spark, root, Seq("assign"))
+      }
+      assert(bad.getMessage.contains("dropCols"))
+      val withDrop = CorpusManifest
+        .stateManifest(spark, root, Seq("assign"), dropCols = Seq("embedding"))
+        .collect()
+      assert(withDrop.length === 1 && withDrop.head.getLong(1) === 1L)
+    } finally rm(new java.io.File(root))
+  }
 }
