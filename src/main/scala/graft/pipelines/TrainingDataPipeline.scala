@@ -420,9 +420,14 @@ object TrainingDataPipeline {
       Dedup.lshBands(
         Dedup.minhashSignaturesFused(ex, idCol, "text", cfg.shingleN),
         idCol).write.mode("overwrite").parquet(s"$bandsDir/batch=$b")
-      val sh = Dedup.shingleSet(ex, idCol, "text", cfg.shingleN)
-      sh.write.mode("overwrite").parquet(s"$postDir/batch=$b")
-      sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+      Dedup.shingleSet(ex, idCol, "text", cfg.shingleN)
+        .write.mode("overwrite").parquet(s"$postDir/batch=$b")
+      // sizes aggregate off the JUST-WRITTEN postings partition (the
+      // state append doubles as the materialization, the dd pattern
+      // above): re-deriving from `ex` would re-pay the explode +
+      // distinct shuffle of the widest intermediate a second time
+      spark.read.parquet(s"$postDir/batch=$b")
+        .groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
         .write.mode("overwrite").parquet(s"$sizesDir/batch=$b")
       // candidates: new bands vs the PRIOR index (partition-pruned)
       // plus within-batch collisions. Each cross pair keeps the prior
