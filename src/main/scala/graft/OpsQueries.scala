@@ -2793,6 +2793,47 @@ object OpsQueries {
        |FROM asg""".stripMargin
   }
 
+  /** q255: PQ-ADC retrieval SERVED from the persisted code state — the
+    * q253 claim on the COMPRESSED index: three arrivals encode the
+    * corpus against the served per-subspace codebook
+    * ([[graft.ops.Similarity.pqCodesIncrement]] — the 4-byte/vector
+    * wide-code rows are what is persisted), and the query path
+    * ([[graft.ops.Similarity.pqAdcFromState]]) answers top-k from the
+    * ACCUMULATED codes alone: no original vectors, no re-encoding —
+    * the broadcast query↔codebook distance table against the unpivoted
+    * persisted codes. Encoding is per-vector independent, so the
+    * served result equals the from-scratch trained ADC retrieval —
+    * the ORACLE is q172b's verbatim (training replay + exact int64 ADC
+    * chain), which is precisely the losslessness claim: persistence,
+    * accumulation, unpivot, and lookup lose nothing. Query ids
+    * 100..107, disjoint from the Lloyd seeds (recall pinned in OpsSpec
+    * via the q172b equivalence).
+    */
+  def pqStateServeQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cb = servedCodebook(s, dir, "pq8x8x16x3")(
+      Similarity.lloydPqCodebook(e, "vec_id", "embedding"))
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val width = maxId / 3 + 1
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pq-serve-").toString
+    try {
+      for (b <- 0L until 3L)
+        Similarity.pqCodesIncrement(
+          e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
+          "vec_id", "embedding", cb, root, b)
+      Similarity.pqAdcFromState(s, root,
+        e.filter(col("vec_id") >= 100 && col("vec_id") <= 107),
+        "vec_id", "embedding", cb, k = 10)
+        .localCheckpoint(true) // owned state is deleted below
+    } finally {
+      try {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** MMR diversified re-ranking (q153, [[Similarity.mmrRerank]]) — the
     * RAG serving pass: each of 8 query vectors gets its brute top-8
     * candidates re-ranked into 4 greedy picks trading relevance (0.7)
@@ -7426,6 +7467,7 @@ object OpsQueries {
     "q252_ann_append_assign" -> annAppendAssignQ _,
     "q253_ivf_state_serve" -> ivfStateServeQ _,
     "q254_state_manifest" -> stateManifestQ _,
+    "q255_pq_state_serve" -> pqStateServeQ _,
     "q236_incremental_lsh" -> incrementalLshQ _,
     "q237_image_dedup" -> imageDedupQ _,
     "q238_audio_dedup" -> audioDedupQ _,
@@ -7597,6 +7639,9 @@ object OpsQueries {
     "q252_ann_append_assign" -> annAppendAssignSql,
     "q253_ivf_state_serve" -> ivfStateServeSql,
     "q254_state_manifest" -> stateManifestSql,
+    // q255's served retrieval equals the from-scratch trained ADC —
+    // the q172b oracle verbatim IS the losslessness claim
+    "q255_pq_state_serve" -> pqAdcTrainedSql,
     "q236_incremental_lsh" -> incrementalLshSql,
     "q237_image_dedup" -> imageDedupSql,
     "q238_audio_dedup" -> audioDedupSql,

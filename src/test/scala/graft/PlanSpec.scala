@@ -1781,6 +1781,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("PQ state serve: code scan version-pinned, distance table broadcasts, no corpus re-encode") {
+    // the q255 posture: ADC from persisted codes must read the code
+    // state (version filter pushed), broadcast the query-side distance
+    // table, and never re-encode the corpus (the only wide-dim
+    // posexplode in the plan is the QUERY side, which carries its id
+    // pushdown into the embeddings scan)
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val cb = graft.ops.Similarity.lloydPqCodebook(e, "vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("pqserveplan-").toString
+    try {
+      graft.ops.Similarity.pqCodesIncrement(
+        e, "vec_id", "embedding", cb, root, 0L)
+      val served = graft.ops.Similarity.pqAdcFromState(spark, root,
+        e.filter(col("vec_id") >= 100 && col("vec_id") <= 107),
+        "vec_id", "embedding", cb, k = 10)
+      val p = plan(served)
+      assert(p.contains("BroadcastHashJoin"),
+        s"the distance table must broadcast onto the code scan:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      val pushed = """PushedFilters: \[[^\]]*EqualTo\(codebook_version""".r
+      assert(pushed.findFirstIn(p).isDefined,
+        s"codebook_version equality must push into the code scan:\n$p")
+      // every embeddings scan is the query side — its vec_id range must
+      // reach PushedFilters (an unfiltered embeddings scan would mean
+      // the corpus is being re-encoded at query time)
+      val anyUnfiltered = p.linesIterator.sliding(8).exists { w =>
+        w.exists(_.contains("embeddings.parquet")) &&
+          w.exists(_.matches(".*PushedFilters: \\[\\].*"))
+      }
+      assert(!anyUnfiltered,
+        s"an unfiltered embeddings scan means a corpus re-encode:\n$p")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("incremental curate: persisted-state reads partition-prune to candidate batches") {
     // VERDICT r13 #1: the per-increment postings/sizes scan must be
     // candidate-batch-sized, not O(accumulated corpus) — the batch IN

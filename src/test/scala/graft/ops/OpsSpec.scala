@@ -1716,6 +1716,54 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pqCodesIncrement/pqAdcFromState: accumulated codes == from-scratch; served == direct ADC; version-pinned") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val cb = Similarity.lloydPqCodebook(e, "vec_id", "embedding")
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") <= 107)
+    val root = java.nio.file.Files.createTempDirectory("pqserve-").toString
+    try {
+      val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+      val width = maxId / 3 + 1
+      for (b <- 0L until 3L)
+        Similarity.pqCodesIncrement(
+          e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
+          "vec_id", "embedding", cb, root, b)
+      // accumulated increments == from-scratch encoding of the union
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.head.toString.toLong).toSeq
+      val acc = rows(spark.read.parquet(s"$root/codes")
+        .drop("batch", "codebook_version"))
+      val scratch = rows(Similarity.pqCodes(e, "vec_id", "embedding",
+        codebook = Some(cb)))
+      assert(acc === scratch,
+        "accumulated code increments must equal the from-scratch encoding")
+      // served retrieval == the direct trained-ADC retrieval, row for row
+      val served = rows(Similarity.pqAdcFromState(
+        spark, root, queries, "vec_id", "embedding", cb, k = 10))
+      val direct = rows(Similarity.pqAdcTopK(e, queries, "vec_id",
+        "embedding", k = 10, codebook = Some(cb)))
+      assert(served === direct,
+        "state-served ADC must equal the from-scratch retrieval")
+      // version pinning: a retrained codebook derives a fresh stamp, so
+      // serving under it sees no stale codes until re-encoding
+      val drifted = e.select(col("vec_id"),
+        when(col("vec_id") % 3 === 0, array_sort(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+      val cb2 = Similarity.lloydPqCodebook(drifted, "vec_id", "embedding")
+      assert(Similarity.pqCodebookVersionOf(cb2)
+        !== Similarity.pqCodebookVersionOf(cb),
+        "a retrained PQ codebook must derive a fresh content stamp")
+      assert(Similarity.pqAdcFromState(spark, root, queries, "vec_id",
+        "embedding", cb2, k = 10).isEmpty,
+        "stale-codebook serve must see no current codes")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("codebook staleness: control silent (PSI exactly 0), planted drift fires, retrain clears") {
     import org.apache.spark.sql.DataFrame
     val e = graft.Tables.load(spark, sf0001, "embeddings")
