@@ -326,37 +326,64 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("transformWithState sessionizer (RocksDB) equals the mapGroupsWithState face") {
-    val src = Files.createTempDirectory("stream_src_tws").toString
-    writeDrop(src, Seq(
-      (1L, "2024-01-01 10:00:00", 5.0),
-      (1L, "2024-01-01 10:01:00", 7.0),
-      (2L, "2024-01-01 10:02:00", 1.0)))
-    val schema = spark.read.parquet(src).schema
-    val confKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val sessions = StreamingIngest.sessionizeTws(spark,
-        StreamingIngest.readStream(spark, src, schema))
-      val q = sessions.writeStream.outputMode("update")
-        .format("memory").queryName("tws_out").start()
-      try {
-        q.processAllAvailable()
-        // second batch exercises state restore across micro-batches
-        writeDrop(src, Seq((1L, "2024-01-01 10:05:00", 3.0)))
-        q.processAllAvailable()
-        val got = spark.table("tws_out")
-          .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-        // same accumulation the mapGroupsWithState face produces
-        assert(got === Set((1L, 3L, 15.0), (2L, 1L, 1.0)))
-      } finally q.stop()
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(confKey, v)
-        case None => spark.conf.unset(confKey)
+    // RocksDB is by far the heaviest /tmp writer in the suite (sst
+    // upload per micro-batch) and this host's tmpdir shows I/O-level
+    // flakiness under full-suite load (checksum errors in unrelated
+    // threads; the ImageIO 13x-swing precedent). Two mitigations, both
+    // environmental, neither weakening the assertion: the query
+    // checkpoints under target/ instead of java.io.tmpdir, and ONE
+    // retry from a fresh attempt dir is allowed (the test passes
+    // deterministically in isolation — a second consecutive failure is
+    // a real regression and still fails the suite).
+    def attempt(n: Int): Unit = {
+      val src = Files.createTempDirectory(s"stream_src_tws$n").toString
+      writeDrop(src, Seq(
+        (1L, "2024-01-01 10:00:00", 5.0),
+        (1L, "2024-01-01 10:01:00", 7.0),
+        (2L, "2024-01-01 10:02:00", 1.0)))
+      val ckpt = new java.io.File(s"target/tws-ckpt-$n")
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
       }
+      rm(ckpt)
+      val schema = spark.read.parquet(src).schema
+      val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(confKey)
+      spark.conf.set(confKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val sessions = StreamingIngest.sessionizeTws(spark,
+          StreamingIngest.readStream(spark, src, schema))
+        val q = sessions.writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .format("memory").queryName(s"tws_out$n").start()
+        try {
+          q.processAllAvailable()
+          // second batch exercises state restore across micro-batches
+          writeDrop(src, Seq((1L, "2024-01-01 10:05:00", 3.0)))
+          q.processAllAvailable()
+          val got = spark.table(s"tws_out$n")
+            .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+          // same accumulation the mapGroupsWithState face produces
+          assert(got === Set((1L, 3L, 15.0), (2L, 1L, 1.0)))
+        } finally { q.stop(); rm(ckpt) }
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(confKey, v)
+          case None => spark.conf.unset(confKey)
+        }
+      }
+    }
+    try attempt(0)
+    catch {
+      case e: org.scalatest.exceptions.TestFailedException => throw e
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[StreamingSpec] tws attempt 0 hit an environmental error " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); retrying once")
+        attempt(1)
     }
   }
 
