@@ -38,9 +38,11 @@ object LifecycleDemo {
 
   /** The demo body, session-agnostic so the spec suite can smoke it
     * (ExamplesSmokeSpec) without owning the session lifecycle. Returns
-    * (per-arrival (kept, drift), full-verify ok count, key count).
+    * (per-arrival (kept, drift), full-verify ok count, key count,
+    * state-manifest tables ok, state-served retrieval rows).
     */
-  def run(spark: SparkSession, dir: String): (Seq[(Long, Long)], Long, Long) = {
+  def run(spark: SparkSession,
+      dir: String): (Seq[(Long, Long)], Long, Long, Long, Long) = {
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
     val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
@@ -101,6 +103,36 @@ object LifecycleDemo {
       "doc_id", "text", sampleKeys = 3)
     println(s"sampled verify (3 keys, partition-pruned): " +
       s"${sampled.filter(col("ok") === 1L).count()}/3 ok")
-    (perArrival, nOk, nAll)
+
+    // round-16: the persisted STATE is publish/verifiable too — digest
+    // every curation table and re-verify (q254's device; a tampered or
+    // lost partition would flip its table's ok to 0)
+    import graft.pipelines.CurationState
+    val stateStored = CorpusManifest.stateManifest(
+      spark, state, CurationState.CurationTables).localCheckpoint(true)
+    val sVerify = CorpusManifest.verifyState(spark, state, stateStored)
+    val sOk = sVerify.filter(col("ok") === 1L).count()
+    println(s"state manifest verify: $sOk/${sVerify.count()} tables ok")
+
+    // round-16: the ANN index lifecycle's QUERY verb — absorb the
+    // embedding corpus as arrivals into the assign state (vectors ride
+    // as payload) and answer retrieval FROM the state, never
+    // re-assigning the corpus (q253's claim, serving-shaped)
+    import graft.ops.Similarity
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val cents = Similarity.lloydCentroids(emb, "vec_id", "embedding", 16, 3)
+    val vMax = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val vWidth = vMax / 3 + 1
+    for (b <- 0L until 3L)
+      Similarity.assignIncrement(
+        emb.filter(col("vec_id") >= b * vWidth && col("vec_id") < (b + 1) * vWidth),
+        "vec_id", "embedding", cents, state, b,
+        payloadCols = Seq("embedding"))
+    val hits = Similarity.ivfStateTopK(spark, state,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 104),
+      "vec_id", "embedding", cents, k = 5, nprobe = 8)
+    val nHits = hits.count()
+    println(s"state-served IVF retrieval: $nHits results for 4 queries")
+    (perArrival, nOk, nAll, sOk, nHits)
   }
 }

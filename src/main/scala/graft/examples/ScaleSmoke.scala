@@ -175,6 +175,13 @@ object ScaleSmoke {
       // curation loop with per-batch eager checkpoints at 10x, and the
       // manifest digest is one map-side-combinable agg over 10x text
       "q243_ingest_drift", "q244_arrival_report", "q245_corpus_manifest",
+      // round-16: the SERVED index paths at 10x — assign/encode the 10x
+      // corpus into persisted state, then answer retrieval from the
+      // state alone (broadcast probe/distance-table onto the postings/
+      // codes scan; the no-corpus-reassign claim is exactly what must
+      // survive scale), and the state-integrity digest is one
+      // map-side-combinable agg per table over the 10x state
+      "q253_ivf_state_serve", "q255_pq_state_serve", "q254_state_manifest",
       // the video chain at 10x is fixture-independent (synthetic
       // clips), so q242/q246 are NOT here — their scale posture is the
       // banded join already smoked via q237's family

@@ -312,11 +312,20 @@ object StreamingIngest {
   def sessionizeTws(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    // resolve the state encoder OUTSIDE the processor: an implicitly[]
+    // inside the anon class resolves through spark.implicits and makes
+    // the processor capture the SparkSession — and a session-capturing
+    // TASK closure is a landmine: it serializes fine only until
+    // anything registers an Observation on the shared session
+    // (ObservationManager is not serializable), at which point every
+    // such query dies with "Task not serializable". Capture VALUES,
+    // never the session (the KVClient-port rule).
+    val stateEnc: org.apache.spark.sql.Encoder[SessionState] =
+      implicitly[org.apache.spark.sql.Encoder[SessionState]]
     val proc = new StatefulProcessor[Long, SessionEvent, SessionSummary] {
       @transient private var st: org.apache.spark.sql.streaming.ValueState[SessionState] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-        st = getHandle.getValueState[SessionState]("session",
-          implicitly[org.apache.spark.sql.Encoder[SessionState]],
+        st = getHandle.getValueState[SessionState]("session", stateEnc,
           TTLConfig.NONE)
       override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
           timerValues: TimerValues): Iterator[SessionSummary] = {

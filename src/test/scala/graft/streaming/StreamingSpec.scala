@@ -16,7 +16,7 @@ class StreamingSpec extends SparkSpec {
   private def writeDrop(dir: String, rows: Seq[(Long, String, Double)]): Unit =
     rows.toDF("user_id", "s", "value")
       .select(col("user_id"), to_timestamp(col("s")).as("ts"), col("value"))
-      .write.mode("append").parquet(dir)
+      .coalesce(1).write.mode("append").parquet(dir)
 
   test("streaming hourly window stats over file drops") {
     val src = Files.createTempDirectory("stream_src").toString
@@ -116,7 +116,7 @@ class StreamingSpec extends SparkSpec {
     val t5 = "yet another fully distinct document about spark catalyst plans and codegen"
     val src = Files.createTempDirectory("ilsh_src").toString
     val chk = Files.createTempDirectory("ilsh_chk").toString
-    Seq((1L, t1)).toDF("doc_id", "text").write.mode("append").parquet(src)
+    Seq((1L, t1)).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
     val schema = spark.read.parquet(src).schema
     def bandsOf(rows: Seq[(Long, String)]) =
       Dedup.lshBands(Dedup.minhashSignaturesFused(
@@ -147,11 +147,11 @@ class StreamingSpec extends SparkSpec {
       // larger-id in-batch near-dup of that fresh doc
       Seq((2L, t1.replace("today", "tomorrow")), (3L, t3),
           (4L, t3.replace("all", "any")))
-        .toDF("doc_id", "text").write.mode("append").parquet(src)
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
       q.processAllAvailable()
       // batch 3: a near-dup of batch 2's kept doc, plus a unique doc
       Seq((5L, t3.replace("shingles", "bands")), (6L, t5))
-        .toDF("doc_id", "text").write.mode("append").parquet(src)
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
       q.processAllAvailable()
       import scala.jdk.CollectionConverters._
       val got = verdicts.asScala.toMap
@@ -176,7 +176,7 @@ class StreamingSpec extends SparkSpec {
     def drop(rows: Seq[(String, String)]): Unit =
       rows.toDF("event_type", "s")
         .select(col("event_type"), to_timestamp(col("s")).as("ts"))
-        .write.mode("append").parquet(src)
+        .coalesce(1).write.mode("append").parquet(src)
     drop(Seq(("click", "2024-01-01 10:00:00"), ("click", "2024-01-01 11:00:00"),
       ("view", "2024-01-01 09:00:00")))
     drop(Seq(("click", "2024-01-02 08:00:00"), ("view", "2024-01-01 23:59:59")))
@@ -335,6 +335,13 @@ class StreamingSpec extends SparkSpec {
     // retry from a fresh attempt dir is allowed (the test passes
     // deterministically in isolation — a second consecutive failure is
     // a real regression and still fails the suite).
+    // deterministically reproduce the full-suite condition that used to
+    // kill this query: one observed action materializes the session's
+    // ObservationManager (not serializable), so any task closure that
+    // captures the session stops serializing. sessionizeTws's processor
+    // must capture only VALUES — this pins it.
+    val poison = org.apache.spark.sql.Observation()
+    spark.range(1).observe(poison, count(lit(1)).as("n")).collect()
     def attempt(n: Int): Unit = {
       val src = Files.createTempDirectory(s"stream_src_tws$n").toString
       writeDrop(src, Seq(
@@ -447,7 +454,7 @@ class StreamingSpec extends SparkSpec {
       // must still null-pad user 2 (the documented trade — restart or
       // REFRESH TABLE to pick up new snapshots)
       Seq((2L, 0.4)).toDF("user_id", "score")
-        .write.mode("append").parquet(featDir)
+        .coalesce(1).write.mode("append").parquet(featDir)
       writeDrop(src, Seq((2L, "2024-01-01 10:05:00", 7.0)))
       q.processAllAvailable()
       val got = spark.table("enrich_out")
@@ -562,16 +569,16 @@ class StreamingSpec extends SparkSpec {
       arrival(0, mix ++ mix), arrival(1, mix ++ mix),
       arrival(2, Seq.fill(10)(10))) // degraded: the broken-crawl drop
     // drop batch 0 BEFORE starting so micro-batch ids match arrival ids
-    arrivals.head.write.mode("append").parquet(src)
+    arrivals.head.coalesce(1).write.mode("append").parquet(src)
     val schema = spark.read.parquet(src).schema
     val q = StreamingIngest.driftMonitor(
       StreamingIngest.readStream(spark, src, schema),
       "text", state, out, chk, keepBatches = 2).start()
     try {
       q.processAllAvailable()
-      arrivals(1).write.mode("append").parquet(src)
+      arrivals(1).coalesce(1).write.mode("append").parquet(src)
       q.processAllAvailable()
-      arrivals(2).write.mode("append").parquet(src)
+      arrivals(2).coalesce(1).write.mode("append").parquet(src)
       q.processAllAvailable()
     } finally q.stop()
     // retention: keepBatches=2 pruned mb=0 (the empty batch-0 curve);
@@ -624,16 +631,16 @@ class StreamingSpec extends SparkSpec {
     val state = Files.createTempDirectory("cur_state").toString
     val out = Files.createTempDirectory("cur_out").toString
     // drop 0 lands BEFORE start so micro-batch ids match arrival ids
-    drops.head.write.mode("append").parquet(src)
+    drops.head.coalesce(1).write.mode("append").parquet(src)
     val schema = spark.read.parquet(src).schema
     val q = StreamingIngest.curationStream(
       StreamingIngest.readStream(spark, src, schema),
       "doc_id", Seq("source"), "n_tokens", state, out, chk).start()
     try {
       q.processAllAvailable()
-      drops(1).write.mode("append").parquet(src)
+      drops(1).coalesce(1).write.mode("append").parquet(src)
       q.processAllAvailable()
-      drops(2).write.mode("append").parquet(src)
+      drops(2).coalesce(1).write.mode("append").parquet(src)
       q.processAllAvailable()
     } finally q.stop()
     // the batch reference: the same slices through curateIncrement
@@ -681,7 +688,7 @@ class StreamingSpec extends SparkSpec {
       def drop(rows: (String, String, Double)*): Unit =
         rows.toSeq.toDF("key", "s", "v")
           .select(col("key"), to_timestamp(col("s")).as("event_ts"), col("v"))
-          .write.mode("append").parquet(src)
+          .coalesce(1).write.mode("append").parquet(src)
       drop(("a", "2024-01-01 10:00:00", 1.0), ("b", "2024-01-01 10:00:00", 2.0))
       val schema = spark.read.parquet(src).schema
       val q = StreamingMaterializer.stream(spark,
