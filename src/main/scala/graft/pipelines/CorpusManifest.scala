@@ -125,6 +125,68 @@ object CorpusManifest {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-arrival state-manifest increment — [[stateManifest]]
+    * restricted to ONE `batch=<batchId>` partition per table, so
+    * publishing a state manifest at arrival cadence costs O(increment)
+    * (the ADVICE r16 low): every field is a mergeable sum, so folding
+    * per-arrival increments ([[mergeStateManifests]]) equals the
+    * whole-state [[stateManifest]] EXACTLY — CorpusManifestSpec pins
+    * the equality, the q247 merge-losslessness discipline applied to
+    * state. A table with no partition for this arrival contributes an
+    * explicit zero row (n_rows 0, digest 0), never a missing one — the
+    * fold's table set must not depend on which arrivals touched what.
+    */
+  def stateManifestIncrement(spark: SparkSession, stateDir: String,
+      tables: Seq[String], batchId: Long,
+      dropCols: Seq[String] = Nil): DataFrame = {
+    require(tables.nonEmpty, "stateManifestIncrement needs >= 1 table")
+    import spark.implicits._
+    tables.map { t =>
+      val part = new org.apache.hadoop.fs.Path(
+        s"$stateDir/$t/batch=$batchId")
+      val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(part))
+        Seq((t, 0L, "0")).toDF("tbl", "n_rows", "content_digest")
+      else {
+        val df0 = spark.read.parquet(part.toString)
+        val df = dropCols.foldLeft(df0)(_ drop _)
+        val bad = df.schema.fields.filterNot(f => f.dataType match {
+          case org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.BooleanType |
+               org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        })
+        require(bad.isEmpty,
+          s"stateManifestIncrement($t): non-atomic column(s) " +
+            s"${bad.map(_.name).mkString(", ")} must be listed in dropCols")
+        val canon = concat_ws("|",
+          df.columns.sorted.map(c => col(c).cast("string")): _*)
+        df.select(canon.as("__c"))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(
+              sum(expr("cast(conv(substring(md5(__c), 1, 15), 16, 10)" +
+                " as decimal(38,0))")),
+              lit(0).cast("decimal(38,0)"))
+              .cast("string").as("content_digest"))
+          .select(lit(t).as("tbl"), col("n_rows"), col("content_digest"))
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  /** Fold two state manifests over the same table set: counts and
+    * digests ADD (decimal(38,0) sums — the [[mergeManifests]] law on
+    * the state side), so fold(per-arrival increments) ==
+    * [[stateManifest]] of the whole accumulated state.
+    */
+  def mergeStateManifests(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("tbl"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("content_digest").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").cast("string").as("content_digest"))
+
   /** Verify persisted state against a stored state manifest: re-derive
     * [[stateManifest]] for the stored tables and diff per table
     * (`ok = 1` iff row count AND digest match; a table present on one

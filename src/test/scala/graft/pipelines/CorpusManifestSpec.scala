@@ -188,4 +188,32 @@ class CorpusManifestSpec extends SparkSpec {
       assert(withDrop.length === 1 && withDrop.head.getLong(1) === 1L)
     } finally rm(new java.io.File(root))
   }
+
+  test("stateManifestIncrement: per-arrival folds == whole-state manifest; absent partitions are zero rows") {
+    val root = java.nio.file.Files.createTempDirectory("statemani2-").toString
+    try {
+      Seq((1L, "aa", 1L), (2L, "bb", 1L)).toDF("doc_id", "fingerprint", "kept")
+        .write.parquet(s"$root/dd/batch=0")
+      Seq((3L, "cc", 0L)).toDF("doc_id", "fingerprint", "kept")
+        .write.parquet(s"$root/dd/batch=1")
+      // ledger only exists for arrival 1 — arrival 0's increment must
+      // still carry an explicit zero row for it
+      Seq((3L, "gate")).toDF("doc_id", "reason")
+        .write.parquet(s"$root/ledger/batch=1")
+      val tables = Seq("dd", "ledger")
+      val incs = Seq(0L, 1L).map(b =>
+        CorpusManifest.stateManifestIncrement(spark, root, tables, b))
+      val i0 = incs.head.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+      assert(i0("ledger") === ((0L, "0")),
+        s"absent partition must contribute an explicit zero row: $i0")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.head.toString).toSeq
+      val folded = rows(incs.reduce(CorpusManifest.mergeStateManifests))
+      val whole = rows(CorpusManifest.stateManifest(spark, root, tables))
+      assert(folded === whole,
+        "fold of per-arrival state-manifest increments must equal the " +
+          "whole-state manifest")
+    } finally rm(new java.io.File(root))
+  }
 }
