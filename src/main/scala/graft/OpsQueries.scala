@@ -2570,7 +2570,10 @@ object OpsQueries {
           e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
           "vec_id", "embedding", cents, root, b)
       s.read.parquet(s"$root/assign")
-        .groupBy(col("batch").cast("long").as("batch"), col("cid"))
+        // batch and cid are both inferred partition columns now (the
+        // r17 cell-pruned cid=K layout) — cast back to the gate's longs
+        .groupBy(col("batch").cast("long").as("batch"),
+          col("cid").cast("long").as("cid"))
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"),
           max(col("vec_id")).as("max_id"))
         .localCheckpoint(true)

@@ -916,8 +916,18 @@ object Similarity {
     * no-Exchange plan.
     */
   def assignToCodebook(newVecs: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, keep: Seq[String] = Nil): DataFrame = {
-    val cents = collectCodebook(centroids)
+      centroids: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    assignCollected(newVecs, idCol, vecCol, collectCodebook(centroids), keep)
+
+  /** [[assignToCodebook]] from an ALREADY-collected codebook — what lets
+    * one collect drive both the version stamp and every partition
+    * write of a maintenance verb (ADVICE r16: with a LAZY centroids
+    * plan each collect re-executes the whole training job, so
+    * [[assignIncrement]]/[[reassignStale]] must collect exactly once).
+    */
+  private def assignCollected(newVecs: DataFrame, idCol: String,
+      vecCol: String, cents: Array[(Long, Array[Long])],
+      keep: Seq[String] = Nil): DataFrame = {
     require(cents.nonEmpty, "assignToCodebook needs a non-empty codebook")
     newVecs.select((col(idCol) +: keep.map(col)) :+
       graft.functions.functions.codebook_argmin(
@@ -949,7 +959,14 @@ object Similarity {
     * [[TrainingCodeVersion]] stamp could not catch.
     */
   def codebookVersionOf(centroids: DataFrame): String =
-    "cb-" + md5Hex16(collectCodebook(centroids)
+    versionOfCollected(collectCodebook(centroids))
+
+  /** [[codebookVersionOf]] from an already-collected codebook — see
+    * [[assignCollected]] for why maintenance verbs collect once and
+    * derive both the stamp and the argmin literals from the same array.
+    */
+  private def versionOfCollected(cents: Array[(Long, Array[Long])]): String =
+    "cb-" + md5Hex16(cents
       .map { case (cid, qs) => s"$cid:${qs.mkString(",")}" }
       .mkString(";"))
 
@@ -984,12 +1001,27 @@ object Similarity {
     * training + assignment from scratch in SQL). Same contracts as the
     * curation state: monotone batchIds, overwrite-idempotent retries,
     * `batch`-pruned reads, [[graft.pipelines.CurationState]] compaction
-    * applies unchanged (pass `tables = Seq("assign")`).
+    * applies unchanged (pass `tables = Seq("assign")` — its rewrites
+    * preserve the nested layout below).
+    *
+    * Layout (VERDICT r16 #1): each arrival writes
+    * `assign/batch=N/cid=K` — the cell is a PARTITION DIRECTORY, not
+    * just a column, so [[ivfStateTopK]]'s probed-cell union reaches the
+    * scan's PartitionFilters and a serve touches ~nprobe/cells of the
+    * state files. `cid` therefore surfaces on read as an inferred
+    * partition column (IntegerType); readers here cast it back to
+    * long. Arrivals must be non-empty (a zero-row partitioned write
+    * leaves no readable footer — skip empty micro-batches upstream,
+    * [[graft.streaming.StreamingIngest]] does).
     */
   def assignIncrement(newVecs: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, stateDir: String, batchId: Long,
       codebookVersion: String = "", payloadCols: Seq[String] = Nil): DataFrame = {
     val spark = newVecs.sparkSession
+    // ONE collect drives both the stamp and the argmin literals — with
+    // a lazy centroids plan a second collect would re-run the whole
+    // training job (ADVICE r16)
+    val cents = collectCodebook(centroids)
     // the assignment is only meaningful relative to the codebook that
     // made it: stamp the version so a retrain (q241) between arrivals
     // cannot silently blend assignments from different codebooks —
@@ -1000,16 +1032,30 @@ object Similarity {
     // stale stamp (ADVICE r14); pass an explicit registry version id
     // to pin the stamp to an external artifact catalog instead.
     val ver =
-      if (codebookVersion.isEmpty) codebookVersionOf(centroids)
+      if (codebookVersion.isEmpty) versionOfCollected(cents)
       else codebookVersion
+    writeAssignBatch(newVecs, idCol, vecCol, cents, ver, stateDir,
+      batchId, payloadCols)
+    spark.read.parquet(s"$stateDir/assign/batch=$batchId")
+      .withColumn("cid", col("cid").cast("long"))
+  }
+
+  /** One arrival's partition write — shared by [[assignIncrement]] and
+    * [[reassignStale]] so each verb collects the codebook exactly once
+    * (ADVICE r16). `partitionBy("cid")` is the cell-pruned layout
+    * (VERDICT r16 #1); mode overwrite truncates the whole `batch=N`
+    * dir first, so a retried arrival leaves no orphan cell dirs.
+    */
+  private def writeAssignBatch(newVecs: DataFrame, idCol: String,
+      vecCol: String, cents: Array[(Long, Array[Long])], ver: String,
+      stateDir: String, batchId: Long, payloadCols: Seq[String]): Unit =
     // payloadCols ride along into the persisted postings (typically the
     // vector itself) so the index can SERVE searches without joining
     // back to the corpus ([[ivfStateTopK]])
-    assignToCodebook(newVecs, idCol, vecCol, centroids, keep = payloadCols)
+    assignCollected(newVecs, idCol, vecCol, cents, keep = payloadCols)
       .withColumn("codebook_version", lit(ver))
-      .write.mode("overwrite").parquet(s"$stateDir/assign/batch=$batchId")
-    spark.read.parquet(s"$stateDir/assign/batch=$batchId")
-  }
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$stateDir/assign/batch=$batchId")
 
   /** Distinct codebook versions present in the persisted assign state,
     * sorted — more than one means arrivals were assigned under
@@ -1030,11 +1076,23 @@ object Similarity {
     * ([[reassignStale]]) or purged
     * ([[graft.pipelines.CurationState.purgeDocs]] /
     * `compactState(tables = Seq("assign"))` apply unchanged).
+    *
+    * `cells`, when non-empty, restricts the read to those cell ids as a
+    * LITERAL predicate on the `cid` partition directories — it reaches
+    * the scan's PartitionFilters, so a probe-bounded serve lists and
+    * opens only ~nprobe/cells of the state files (the cast back to
+    * long sits above the scan and does not block pruning).
     */
   def currentAssignments(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String, codebookVersion: String): DataFrame =
-    spark.read.parquet(s"$stateDir/assign")
+      stateDir: String, codebookVersion: String,
+      cells: Seq[Long] = Nil): DataFrame = {
+    val st = spark.read.parquet(s"$stateDir/assign")
+    val pruned =
+      if (cells.isEmpty) st else st.filter(col("cid").isin(cells: _*))
+    pruned
       .filter(col("codebook_version") === codebookVersion)
+      .withColumn("cid", col("cid").cast("long"))
+  }
 
   /** REPAIR after a retrain — the missing third verb of the index
     * lifecycle (q240 detects staleness, q241 retrains, this re-absorbs
@@ -1058,8 +1116,13 @@ object Similarity {
       vecCol: String, centroids: DataFrame, codebookVersion: String = "",
       payloadCols: Seq[String] = Nil): Seq[Long] = {
     val spark = corpus.sparkSession
+    // ONE collect for the whole repair — the stamp and every stale
+    // partition's rewrite derive from the same array (ADVICE r16: a
+    // per-batch collect of a lazy centroids plan would re-run training
+    // once per stale partition)
+    val cents = collectCodebook(centroids)
     val ver =
-      if (codebookVersion.isEmpty) codebookVersionOf(centroids)
+      if (codebookVersion.isEmpty) versionOfCollected(cents)
       else codebookVersion
     val staleBatches = spark.read.parquet(s"$stateDir/assign")
       .filter(col("codebook_version") =!= ver)
@@ -1073,8 +1136,8 @@ object Similarity {
         spark.read.parquet(s"$stateDir/assign/batch=$b")
           .select(col(idCol)),
         Seq(idCol), "left_semi").localCheckpoint(true)
-      assignIncrement(vecs, idCol, vecCol, centroids, stateDir, b,
-        ver, payloadCols)
+      writeAssignBatch(vecs, idCol, vecCol, cents, ver, stateDir, b,
+        payloadCols)
     }
     staleBatches
   }
@@ -1094,11 +1157,14 @@ object Similarity {
     * the accumulated state — the q252-proven property), the probe
     * ranking, and the cosine top-k.
     *
-    * Scale: the index scan is the ONLY corpus-sized input — it never
-    * shuffles (the probe frame, queries × nprobe rows, BROADCASTS onto
-    * it; cosine is a codegen'd projection) until the salted top-k cut,
-    * which moves k·numSalts survivors per query. Version pinning keeps
-    * a mid-retrain mixed state out of results ([[currentAssignments]]).
+    * Scale: the index scan is the ONLY corpus-sized input — it is
+    * CELL-PRUNED (the probed-cell union becomes a literal predicate on
+    * the `cid` partition dirs, so the scan lists/opens ~nprobe/cells of
+    * the state files — VERDICT r16 #1) and never shuffles (the probe
+    * frame, queries × nprobe rows, BROADCASTS onto it; cosine is a
+    * codegen'd projection) until the salted top-k cut, which moves
+    * k·numSalts survivors per query. Version pinning keeps a mid-retrain
+    * mixed state out of results ([[currentAssignments]]).
     */
   def ivfStateTopK(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, queries: DataFrame, idCol: String, vecCol: String,
@@ -1108,12 +1174,6 @@ object Similarity {
     val ver =
       if (codebookVersion.isEmpty) codebookVersionOf(centroids)
       else codebookVersion
-    // the persisted postings: (cell, neighbor id, vector payload). The
-    // norm is computed once per posting row, in the same scan.
-    val postings = currentAssignments(spark, stateDir, ver)
-      .select(col("cid"), col(idCol).as("neighbor_id"),
-        asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
     // probe: rank cells per query by the index's own exact int64
     // squared-L2 (the assignment geometry — probing by a different
     // metric would scan cells the index never routes to)
@@ -1129,12 +1189,28 @@ object Similarity {
         (floor(col("cv0") * 1e6 + 0.5).cast("long") + 2000000L).as("cq"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("cid").asc)
-    val probed = qcomps.join(broadcast(ccomps), Seq("dim"))
+    // bounded driver valve (the same order as the broadcast it feeds):
+    // the probed (query, cell) pairs are queries × nprobe rows — collect
+    // them ONCE, so the distinct cells become a LITERAL partition filter
+    // on the postings scan and the probe frame rebuilds as a local
+    // relation instead of being computed twice in the big plan
+    val probedRows = qcomps.join(broadcast(ccomps), Seq("dim"))
       .groupBy(col("query_id"), col("cid"))
       .agg(sum((col("qs") - col("cq")) * (col("qs") - col("cq"))).as("dist"))
       .withColumn("__r", row_number().over(wProbe))
       .filter(col("__r") <= nprobe)
       .select(col("query_id"), col("cid"))
+    val collected = probedRows.collect().toIndexedSeq
+    val cells = collected.map(_.getLong(1)).distinct.sorted
+    import scala.jdk.CollectionConverters._
+    val probed = spark.createDataFrame(collected.asJava, probedRows.schema)
+    // the persisted postings: (cell, neighbor id, vector payload),
+    // restricted to the probed cells at the PARTITION level. The norm
+    // is computed once per posting row, in the same scan.
+    val postings = currentAssignments(spark, stateDir, ver, cells = cells)
+      .select(col("cid"), col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val qvecs = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv")).withColumn("qn", norm(col("qv")))
     val probe = probed.join(qvecs, "query_id")

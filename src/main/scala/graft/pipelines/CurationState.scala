@@ -87,6 +87,31 @@ object CurationState {
       .filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").toLong).sorted
 
+  /** Partition columns NESTED below a table's `batch=N` level (the
+    * assign state's `batch=N/cid=K` cell layout,
+    * [[graft.ops.Similarity.assignIncrement]]): the first non-empty
+    * batch partition's chain of `col=value` directory levels. Every
+    * rewrite here (compaction fold, purge partition rewrite) must
+    * re-emit these via `partitionBy`, or the rewritten partition would
+    * flatten the layout — mixing flat and nested partitions under one
+    * table poisons partition inference for every later read.
+    */
+  private def nestedPartitionCols(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path,
+      batches: Seq[Long]): Seq[String] = {
+    def levels(dir: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+        .map(_.getPath)
+        .find(_.getName.contains("=")) match {
+          case Some(p) => p.getName.split("=")(0) +: levels(p)
+          case None => Nil
+        }
+    batches.iterator
+      .map(n => levels(new org.apache.hadoop.fs.Path(table, s"batch=$n")))
+      .find(_.nonEmpty).getOrElse(Nil)
+  }
+
   /** Append one arrival's id-range manifest row (`batch=<batchId>`,
     * overwrite-idempotent like every other state write). `idMin`/`idMax`
     * are None for an EMPTY arrival — the row is still written so the
@@ -203,17 +228,21 @@ object CurationState {
       val fs = hfs(spark, table)
       if (fs.exists(table)) {
         recoverOrphanSwaps(spark, fs, table)
-        val toMerge = batchesOf(fs, table).filter(_ <= upTo)
+        val all = batchesOf(fs, table)
+        val toMerge = all.filter(_ <= upTo)
         if (toMerge.nonEmpty) {
+          val sub = nestedPartitionCols(fs, table, all)
           val tmp = new org.apache.hadoop.fs.Path(
             s"$stateDir/$t/.compact-tmp-$upTo")
           // originals intact (recovery above cleared any orphan tmp):
           // build the replacement FIRST. The tmp is hidden from Spark
           // listings, so a crashed re-run still sees only the original
-          // partitions until the swap below.
+          // partitions until the swap below. Nested partition levels
+          // (the assign state's cid=K cells) are re-emitted as written.
           spark.read.parquet(table.toString)
             .filter(col("batch") <= upTo).drop("batch")
-            .write.mode("overwrite").parquet(tmp.toString)
+            .write.mode("overwrite").partitionBy(sub: _*)
+            .parquet(tmp.toString)
           toMerge.foreach { n =>
             fs.delete(new org.apache.hadoop.fs.Path(table, s"batch=$n"), true)
           }
@@ -376,12 +405,14 @@ object CurationState {
               .collect().map(_.getLong(0)).toSet
           }
         val touched = manifestTouched ++ probedTouched
+        val sub = nestedPartitionCols(fs, table, batches)
         for (n <- batches if touched(n)) {
           val part = new org.apache.hadoop.fs.Path(table, s"batch=$n")
           val tmp = new org.apache.hadoop.fs.Path(table, s".purge-tmp-$n")
           spark.read.parquet(part.toString)
             .join(ids, Seq(idCol), "left_anti")
-            .write.mode("overwrite").parquet(tmp.toString)
+            .write.mode("overwrite").partitionBy(sub: _*)
+            .parquet(tmp.toString)
           fs.delete(part, true)
           // see compactState: a false rename after the delete is data
           // loss unless surfaced — the complete tmp survives for the

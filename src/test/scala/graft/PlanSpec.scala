@@ -1769,6 +1769,13 @@ class PlanSpec extends SparkSpec {
       val pushed = """PushedFilters: \[[^\]]*EqualTo\(codebook_version""".r
       assert(pushed.findFirstIn(p).isDefined,
         s"codebook_version equality must push into the postings scan:\n$p")
+      // r17 (VERDICT r16 #1): the probed-cell union must reach the
+      // postings scan as a PARTITION filter on the cid=K cell dirs —
+      // at production cell counts this is the ~nprobe/cells scan cut
+      // that makes state-served retrieval real
+      val cellPruned = """PartitionFilters: \[[^\]]*cid""".r
+      assert(cellPruned.findFirstIn(p).isDefined,
+        s"probed cells must prune cid=K partitions at the scan:\n$p")
       // only per-query windows (probe rank + final rank) — nothing
       // corpus-sized funnels through one reducer
       assert(unpartitionedWindows(p) == 0,

@@ -1597,7 +1597,7 @@ class OpsSpec extends SparkSpec {
           e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
           "vec_id", "embedding", cents, root, b)
       val acc = spark.read.parquet(s"$root/assign")
-        .select("vec_id", "cid")
+        .select(col("vec_id"), col("cid").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       val scratch = Similarity.assignToCodebook(e, "vec_id", "embedding", cents)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
@@ -1608,7 +1608,7 @@ class OpsSpec extends SparkSpec {
         e.filter(col("vec_id") >= 0L && col("vec_id") < width),
         "vec_id", "embedding", cents, root, 0L)
       val retry = spark.read.parquet(s"$root/assign")
-        .select("vec_id", "cid")
+        .select(col("vec_id"), col("cid").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(retry === scratch, "retry must be idempotent")
       // version stamping: a retrain between arrivals must be visible —
@@ -1650,7 +1650,7 @@ class OpsSpec extends SparkSpec {
       assert(Similarity.assignStateVersions(spark, root) === Seq("t1000"),
         "repair must leave a single-version state")
       val after = spark.read.parquet(s"$root/assign")
-        .select("vec_id", "cid")
+        .select(col("vec_id"), col("cid").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       val scratch2 = Similarity
         .assignToCodebook(e, "vec_id", "embedding", cents2)

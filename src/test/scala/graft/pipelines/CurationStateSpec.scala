@@ -212,6 +212,13 @@ class CurationStateSpec extends SparkSpec {
       assert(sortedRows(
         spark.read.parquet(s"$root/assign").select("vec_id", "cid"))
         === before, "assign rows changed across compaction")
+      // the fold must preserve the nested cid=K cell layout (r17's
+      // cell-pruned serving) — a flattened folded partition would mix
+      // layouts under one table and poison partition inference
+      val foldedCells = new java.io.File(s"$root/assign/batch=1")
+        .listFiles().map(_.getName).filter(_.startsWith("cid=")).toSeq
+      assert(foldedCells.nonEmpty,
+        s"compaction flattened the cid=K layout: $foldedCells")
     }
     withRoot { root =>
       // drift histogram state: folded per-batch rows re-aggregate to
