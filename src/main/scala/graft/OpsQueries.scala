@@ -2837,6 +2837,55 @@ object OpsQueries {
     }
   }
 
+  /** q256: PQ index LIFECYCLE — the retrain→repair claim on the
+    * compressed index (VERDICT r16 #2, the q252-style losslessness gate
+    * the code state was missing): three arrivals encode under a STALE
+    * 1-round codebook v1
+    * ([[graft.ops.Similarity.pqCodesIncrement]]), a retrain produces
+    * the served 3-round codebook v2 (mixed-version state —
+    * [[graft.ops.Similarity.pqStateVersions]] sees both; OpsSpec pins
+    * the detection and retry idempotence), and
+    * [[graft.ops.Similarity.reencodeStale]] rewrites every stale
+    * partition in place before
+    * [[graft.ops.Similarity.pqAdcFromState]] serves under v2 alone.
+    * Encoding is per-vector independent and the repair re-encodes
+    * exactly the persisted ids, so the served result equals the
+    * from-scratch trained ADC retrieval — the ORACLE is q172b's
+    * verbatim (training replay + exact int64 ADC): the stale v1
+    * generation drops out of the answer entirely, which IS the
+    * repair's losslessness claim.
+    */
+  def pqLifecycleServeQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // the stale generation: a 1-round codebook — cheap and genuinely
+    // different codewords from the 3-round retrain. EAGER (128 rows):
+    // a lazy plan would re-run its training round per increment stamp
+    val cb1 = Similarity.lloydPqCodebook(e, "vec_id", "embedding",
+      iters = 1).localCheckpoint(true)
+    val cb2 = servedCodebook(s, dir, "pq8x8x16x3")(
+      Similarity.lloydPqCodebook(e, "vec_id", "embedding"))
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val width = maxId / 3 + 1
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pq-lifecycle-").toString
+    try {
+      for (b <- 0L until 3L)
+        Similarity.pqCodesIncrement(
+          e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
+          "vec_id", "embedding", cb1, root, b)
+      Similarity.reencodeStale(root, e, "vec_id", "embedding", cb2)
+      Similarity.pqAdcFromState(s, root,
+        e.filter(col("vec_id") >= 100 && col("vec_id") <= 107),
+        "vec_id", "embedding", cb2, k = 10)
+        .localCheckpoint(true) // owned state is deleted below
+    } finally {
+      try {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** MMR diversified re-ranking (q153, [[Similarity.mmrRerank]]) — the
     * RAG serving pass: each of 8 query vectors gets its brute top-8
     * candidates re-ranked into 4 greedy picks trading relevance (0.7)
@@ -7471,6 +7520,7 @@ object OpsQueries {
     "q253_ivf_state_serve" -> ivfStateServeQ _,
     "q254_state_manifest" -> stateManifestQ _,
     "q255_pq_state_serve" -> pqStateServeQ _,
+    "q256_pq_lifecycle_serve" -> pqLifecycleServeQ _,
     "q236_incremental_lsh" -> incrementalLshQ _,
     "q237_image_dedup" -> imageDedupQ _,
     "q238_audio_dedup" -> audioDedupQ _,
@@ -7645,6 +7695,9 @@ object OpsQueries {
     // q255's served retrieval equals the from-scratch trained ADC —
     // the q172b oracle verbatim IS the losslessness claim
     "q255_pq_state_serve" -> pqAdcTrainedSql,
+    // q256's retrain→repair→serve equals the from-scratch trained ADC —
+    // the stale v1 generation must drop out of the answer entirely
+    "q256_pq_lifecycle_serve" -> pqAdcTrainedSql,
     "q236_incremental_lsh" -> incrementalLshSql,
     "q237_image_dedup" -> imageDedupSql,
     "q238_audio_dedup" -> audioDedupSql,

@@ -182,6 +182,10 @@ object ScaleSmoke {
       // survive scale), and the state-integrity digest is one
       // map-side-combinable agg per table over the 10x state
       "q253_ivf_state_serve", "q255_pq_state_serve", "q254_state_manifest",
+      // round-17: the PQ retrain→repair lifecycle at 10x — stale-
+      // partition re-encode is per-partition in-place rewrites, so the
+      // repair is O(stale state), never O(corpus × versions)
+      "q256_pq_lifecycle_serve",
       // the video chain at 10x is fixture-independent (synthetic
       // clips), so q242/q246 are NOT here — their scale posture is the
       // banded join already smoked via q237's family

@@ -1764,6 +1764,102 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("reencodeStale: mixed-version detection, in-place repair == from-scratch, retry idempotent") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    // stale generation: 1-round codebook; serving generation: 3-round.
+    // EAGER — a lazy codebook plan re-runs training per derived stamp
+    val cb1 = Similarity.lloydPqCodebook(e, "vec_id", "embedding",
+      iters = 1).localCheckpoint(true)
+    val cb2 = Similarity.lloydPqCodebook(e, "vec_id", "embedding")
+      .localCheckpoint(true)
+    val v2 = Similarity.pqCodebookVersionOf(cb2)
+    val root = java.nio.file.Files.createTempDirectory("pqrepair-").toString
+    try {
+      val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+      val width = maxId / 3 + 1
+      for (b <- 0L until 2L)
+        Similarity.pqCodesIncrement(
+          e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
+          "vec_id", "embedding", cb1, root, b)
+      // the third arrival already encodes under the retrained codebook:
+      // a mid-retrain mixed state — the probe must see BOTH versions
+      Similarity.pqCodesIncrement(
+        e.filter(col("vec_id") >= 2 * width && col("vec_id") < 3 * width),
+        "vec_id", "embedding", cb2, root, 2L)
+      val mixed = Similarity.pqStateVersions(spark, root)
+      assert(mixed.size == 2 && mixed.contains(v2),
+        s"mixed-version code state must be detectable: $mixed")
+      // repair touches exactly the stale partitions (0, 1); batch 2 is
+      // already current and keeps its files
+      def listing(b: Long) =
+        new java.io.File(s"$root/codes/batch=$b").listFiles()
+          .map(f => (f.getName, f.lastModified, f.length)).sorted.toSeq
+      val before2 = listing(2L)
+      val repaired = Similarity.reencodeStale(
+        root, e, "vec_id", "embedding", cb2)
+      assert(repaired === Seq(0L, 1L), s"stale set: $repaired")
+      assert(listing(2L) === before2,
+        "a current partition must keep its files across a repair")
+      assert(Similarity.pqStateVersions(spark, root) === Seq(v2),
+        "repair must leave a single-version state")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.head.toString.toLong).toSeq
+      val after = rows(spark.read.parquet(s"$root/codes")
+        .drop("batch", "codebook_version"))
+      val scratch = rows(Similarity.pqCodes(e, "vec_id", "embedding",
+        codebook = Some(cb2)))
+      assert(after === scratch,
+        "repaired code state must equal the from-scratch encoding under v2")
+      // a repeated repair is a no-op (nothing stale) and state-stable
+      assert(Similarity.reencodeStale(root, e, "vec_id", "embedding", cb2)
+        === Seq.empty, "re-running a completed repair must find no stale")
+      assert(rows(spark.read.parquet(s"$root/codes")
+        .drop("batch", "codebook_version")) === scratch,
+        "retry must be idempotent")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("pqCodeHistogram/pqCodeStaleness: histogram from state == from-scratch; PSI flags planted drift only") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val cb = Similarity.lloydPqCodebook(e, "vec_id", "embedding")
+      .localCheckpoint(true)
+    val codes = Similarity.pqCodes(e, "vec_id", "embedding",
+      codebook = Some(cb))
+    def hrows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val ref = Similarity.pqCodeHistogram(codes)
+    // the histogram really is the per-(m, code) count of the codes
+    val direct = codes.selectExpr(
+      "stack(8, 0, code_0, 1, code_1, 2, code_2, 3, code_3, 4, code_4," +
+        " 5, code_5, 6, code_6, 7, code_7) as (m, code)")
+      .groupBy(col("m").cast("long"), col("code").cast("long"))
+      .agg(count(lit(1)))
+    assert(hrows(ref) === hrows(direct), "pqCodeHistogram diverged")
+    // identical distributions: every contribution is exactly 0 (p == q
+    // bitwise), nothing flags
+    val same = Similarity.pqCodeStaleness(ref, ref, cb)
+    assert(same.filter(col("stale") === 1L).count() === 0L,
+      "identical code distributions must not flag")
+    assert(same.agg(max(abs(col("contrib")))).head.getDouble(0) === 0.0,
+      "identical distributions must contribute exactly zero PSI")
+    // planted drift MOVES MASS (array_sort concentrates each subspace
+    // slice — the q240 fixture rule): the monitor must flag it
+    val drifted = e.select(col("vec_id"),
+      array_sort(col("embedding")).as("embedding"))
+    val cur = Similarity.pqCodeHistogram(
+      Similarity.pqCodes(drifted, "vec_id", "embedding",
+        codebook = Some(cb)))
+    val flagged = Similarity.pqCodeStaleness(ref, cur, cb)
+    assert(flagged.filter(col("stale") === 1L).count() > 0L,
+      "sorted-vector drift must flag at least one subspace stale")
+  }
+
   test("codebook staleness: control silent (PSI exactly 0), planted drift fires, retrain clears") {
     import org.apache.spark.sql.DataFrame
     val e = graft.Tables.load(spark, sf0001, "embeddings")
