@@ -220,9 +220,27 @@ object CurationState {
     * Re-running a crashed or repeated compaction is idempotent (see the
     * object doc); a compaction re-run AFTER later arrivals appended
     * `batch > upTo` partitions only touches `batch <= upTo`.
+    *
+    * `keepVersions` (opt-in, VERDICT r16 #3) is the DEAD-VERSION GC:
+    * after a retrain repair ([[graft.ops.Similarity.reassignStale]] /
+    * `reencodeStale`) rewrites every stale partition, rows stamped with
+    * superseded `codebook_version`s can still survive (a crash between
+    * repair and re-run, or an operator purging by policy instead of
+    * repairing) and are filter-pruned on every serve forever. With
+    * `keepVersions = Some(set)`, tables that CARRY a
+    * `codebook_version` column drop rows of other versions during the
+    * fold — the only compaction mode that is not a pure
+    * re-partitioning, which is why it is opt-in and never the default.
+    * Tables without the column fold unchanged. GC only reaches rows in
+    * `batch <= upTo` (the fold's scope); run it after repairs with
+    * `upTo` = the newest batch to sweep the whole state. The swap
+    * protocol (hidden tmp + `_SUCCESS` + rename, cross-op recovery)
+    * applies unchanged, so a crashed GC is recovered like any
+    * compaction.
     */
   def compactState(spark: SparkSession, stateDir: String, upTo: Long,
-      tables: Seq[String] = CurationTables): Unit = {
+      tables: Seq[String] = CurationTables,
+      keepVersions: Option[Set[String]] = None): Unit = {
     for (t <- tables if t != RangesTable) {
       val table = new org.apache.hadoop.fs.Path(s"$stateDir/$t")
       val fs = hfs(spark, table)
@@ -239,8 +257,15 @@ object CurationState {
           // listings, so a crashed re-run still sees only the original
           // partitions until the swap below. Nested partition levels
           // (the assign state's cid=K cells) are re-emitted as written.
-          spark.read.parquet(table.toString)
+          val folded0 = spark.read.parquet(table.toString)
             .filter(col("batch") <= upTo).drop("batch")
+          val folded = keepVersions match {
+            case Some(keep) if folded0.columns.contains("codebook_version") =>
+              folded0.filter(
+                col("codebook_version").isin(keep.toSeq.sorted: _*))
+            case _ => folded0
+          }
+          folded
             .write.mode("overwrite").partitionBy(sub: _*)
             .parquet(tmp.toString)
           toMerge.foreach { n =>

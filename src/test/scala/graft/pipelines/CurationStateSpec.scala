@@ -221,6 +221,50 @@ class CurationStateSpec extends SparkSpec {
         s"compaction flattened the cid=K layout: $foldedCells")
     }
     withRoot { root =>
+      // dead-version GC (r17, opt-in keepVersions): superseded-version
+      // rows drop during the fold; the served current version is
+      // bit-identical before and after, and a re-run is idempotent
+      val e = graft.Tables.load(spark, sf0001, "embeddings")
+      val cents = Similarity
+        .lloydCentroids(e, "vec_id", "embedding", 16, 3)
+        .localCheckpoint(true)
+      val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+      val width = maxId / 3 + 1
+      // batches 0-1 stamped with a superseded version, batch 2 current:
+      // the shape a crashed repair (or a purge-by-policy) leaves behind
+      for (b <- 0L until 2L)
+        Similarity.assignIncrement(
+          e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
+          "vec_id", "embedding", cents, root, b,
+          codebookVersion = "dead", payloadCols = Seq("embedding"))
+      Similarity.assignIncrement(
+        e.filter(col("vec_id") >= 2 * width && col("vec_id") < 3 * width),
+        "vec_id", "embedding", cents, root, 2L,
+        codebookVersion = "live", payloadCols = Seq("embedding"))
+      val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      def serve() = sortedRows(Similarity.ivfStateTopK(spark, root,
+        queries, "vec_id", "embedding", cents, k = 5, nprobe = 8,
+        codebookVersion = "live"))
+      def liveRows() = sortedRows(Similarity
+        .currentAssignments(spark, root, "live").select("vec_id", "cid"))
+      val (serveBefore, liveBefore) = (serve(), liveRows())
+      assert(spark.read.parquet(s"$root/assign")
+        .filter(col("codebook_version") === "dead").count() > 0L)
+      CurationState.compactState(spark, root, upTo = 2L,
+        tables = Seq("assign"), keepVersions = Some(Set("live")))
+      assert(spark.read.parquet(s"$root/assign")
+        .filter(col("codebook_version") === "dead").count() === 0L,
+        "GC must drop every superseded-version row in the fold's scope")
+      assert(Similarity.assignStateVersions(spark, root) === Seq("live"))
+      assert(liveRows() === liveBefore,
+        "GC changed the current-version rows")
+      assert(serve() === serveBefore, "GC changed the served results")
+      // idempotent: re-running the same GC fold is a no-op
+      CurationState.compactState(spark, root, upTo = 2L,
+        tables = Seq("assign"), keepVersions = Some(Set("live")))
+      assert(liveRows() === liveBefore, "GC re-run must be idempotent")
+    }
+    withRoot { root =>
       // drift histogram state: folded per-batch rows re-aggregate to
       // the same reference sums, so the NEXT increment's curve is
       // bit-identical with or without compaction
