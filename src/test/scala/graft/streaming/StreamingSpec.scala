@@ -671,6 +671,65 @@ class StreamingSpec extends SparkSpec {
       4L -> "gate", 5L -> "near_dup", 7L -> "near_dup"), s"ledger: $led")
   }
 
+  test("streaming-driven index maintenance == batch increments table-for-table; state serves retrieval") {
+    import graft.ops.Similarity
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    // MATERIALIZED codebooks (the indexStream contract): lazy training
+    // plans would re-run per micro-batch stamp
+    val cents = Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3)
+      .localCheckpoint(true)
+    val cb = Similarity.lloydPqCodebook(e, "vec_id", "embedding")
+      .localCheckpoint(true)
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val width = maxId / 3 + 1
+    val slices = (0L until 3L).map(b =>
+      e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width))
+    val src = Files.createTempDirectory("idx_src").toString
+    val chk = Files.createTempDirectory("idx_chk").toString
+    val state = Files.createTempDirectory("idx_state").toString
+    // slice 0 lands BEFORE start so micro-batch ids match arrival ids;
+    // drips coalesce(1) — multi-part drops race a running source
+    slices.head.coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingIngest.indexStream(
+      StreamingIngest.readStream(spark, src, schema),
+      "vec_id", "embedding", cents, state, chk,
+      payloadCols = Seq("embedding"), pqCodebook = Some(cb)).start()
+    try {
+      q.processAllAvailable()
+      slices(1).coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      slices(2).coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch reference: the same slices through the batch verbs
+    val bState = Files.createTempDirectory("idx_bstate").toString
+    slices.zipWithIndex.foreach { case (s, b) =>
+      Similarity.assignIncrement(s, "vec_id", "embedding", cents,
+        bState, b.toLong, payloadCols = Seq("embedding"))
+      Similarity.pqCodesIncrement(s, "vec_id", "embedding", cb,
+        bState, b.toLong)
+    }
+    for (t <- Seq("assign", "codes")) {
+      def rows(d: String) = spark.read.parquet(s"$d/$t")
+        .withColumn("batch", col("batch").cast("long"))
+        .collect().map(_.toSeq.map {
+          case s: Seq[_] => s.toString
+          case x => x
+        }).sortBy(_.toString).toSeq
+      assert(rows(state) === rows(bState),
+        s"index state table $t diverged under streaming")
+    }
+    // the stream-maintained state is immediately servable, and equals
+    // a serve off the batch-maintained state
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    def serve(d: String) = Similarity.ivfStateTopK(spark, d, queries,
+      "vec_id", "embedding", cents, k = 5, nprobe = 8)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(serve(state).nonEmpty && serve(state) === serve(bState),
+      "serving off the stream-maintained state diverged")
+  }
+
   test("streaming->online freshness loop: the audit sees the stream's watermark advance over the loopback KV") {
     import graft.core.{Feature, FeatureView, SparkSource}
     import graft.online.{KVClientOnlineStore, OnlineFreshness, StreamingMaterializer}
