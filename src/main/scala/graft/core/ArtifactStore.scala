@@ -201,6 +201,21 @@ object CodebookStore {
     s"$dir/codebooks/${ArtifactStore.sanitize(name)}"
   }
 
+  /** Deterministic MAINTAINED-INDEX state location beside the registry
+    * — [[codebookPath]]'s sibling for the arrival-partitioned index
+    * state (`assign/batch=N/cid=K` postings, `codes/batch=N`). NOT an
+    * [[ArtifactStore]] versioned artifact: increments append,
+    * maintenance rewrites partitions crash-safely
+    * ([[graft.pipelines.CurationState]]'s swap protocol), and serving
+    * reads version-filter on the codebook stamp instead of a CURRENT
+    * pointer.
+    */
+  def indexStatePath(registryPath: String, name: String): String = {
+    val slash = registryPath.lastIndexOf('/')
+    val dir = if (slash >= 0) registryPath.substring(0, slash) else "."
+    s"$dir/indexstate/${ArtifactStore.sanitize(name)}"
+  }
+
   def save(codebook: DataFrame, base: String): Unit =
     ArtifactStore.save(codebook, base)
 

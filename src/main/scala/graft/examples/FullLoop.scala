@@ -89,6 +89,31 @@ object FullLoop {
       Seq("events_fv:value", "events_fv:event_type"))
     online.foreach(println)
 
+    // 5. the ANN index lifecycle THROUGH the facade (r17): register an
+    // embedding view, train-and-persist its codebook beside the
+    // registry, absorb the corpus as arrivals into the maintained
+    // cell-partitioned index state, and serve retrieval from it — no
+    // hand-wired stateDir or centroids anywhere.
+    fs.applyObjects(Seq(
+      Entity("vec", Seq("vec_id"), ValueType.INT64),
+      FeatureView("emb_fv", Seq("vec"),
+        Seq(Feature("embedding",
+          org.apache.spark.sql.types.DataType.fromDDL("array<double>"))),
+        SparkSource("emb_src", s"$dir/embeddings.parquet"))))
+    fs.trainCodebook("emb_fv", "vec_id", "embedding")
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val vMax = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val vWidth = vMax / 2 + 1
+    for (b <- 0L until 2L)
+      fs.indexIncrement("emb_fv",
+        emb.filter(col("vec_id") >= b * vWidth && col("vec_id") < (b + 1) * vWidth),
+        "vec_id", "embedding", b)
+    val hits = fs.searchIndex("emb_fv",
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 104),
+      "vec_id", "embedding", topK = 5, nprobe = 8)
+    println(s"facade-served IVF retrieval: ${hits.count()} results " +
+      s"for 4 queries from ${fs.indexStatePath("emb_fv")}")
+
     spark.stop()
   }
 }

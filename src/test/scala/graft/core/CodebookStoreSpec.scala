@@ -108,6 +108,59 @@ class CodebookStoreSpec extends SparkSpec {
     assert(sIds == dIds)
   }
 
+  test("facade train -> maintain -> serve == hand-wired serve (bitwise), both kinds") {
+    val repo = java.nio.file.Files.createTempDirectory("idx_repo")
+    val regPath = repo.resolve("registry.json").toString
+    val fs = new FeatureStore(spark,
+      RepoConfig("idx_demo", Some(regPath)), new FileRegistry(regPath))
+    fs.applyObjects(Seq(
+      Entity("vec", Seq("vec_id"), ValueType.INT64),
+      FeatureView("emb_fv", Seq("vec"),
+        Seq(Feature("embedding", org.apache.spark.sql.types.DataType.fromDDL(
+          "array<double>"))),
+        SparkSource("emb_src", s"$sf0001/embeddings.parquet"))))
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // maintaining an untrained index is a bug, never a fallback
+    intercept[IllegalStateException] {
+      fs.indexIncrement("emb_fv", e, "vec_id", "embedding", 0L)
+    }
+    fs.trainCodebook("emb_fv", "vec_id", "embedding")
+    fs.trainCodebook("emb_fv", "vec_id", "embedding", kind = "pq")
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val width = maxId / 2 + 1
+    for (b <- 0L until 2L) {
+      val slice = e.filter(
+        col("vec_id") >= b * width && col("vec_id") < (b + 1) * width)
+      fs.indexIncrement("emb_fv", slice, "vec_id", "embedding", b)
+      fs.indexIncrement("emb_fv", slice, "vec_id", "embedding", b,
+        kind = "pq")
+    }
+    // the state lives beside the registry, per kind
+    val ivfState = fs.indexStatePath("emb_fv")
+    assert(ivfState.startsWith(repo.toString) &&
+      ivfState.contains("/indexstate/"), ivfState)
+    assert(ivfState !== fs.indexStatePath("emb_fv", kind = "pq"),
+      "ivf and pq states must not share a directory")
+    // facade serve == hand-wired serve off the same state + stored
+    // codebook, bitwise — the facade adds resolution, never arithmetic
+    val cbIvf = fs.codebookFor("emb_fv").get
+    val direct = Similarity.ivfStateTopK(spark, ivfState, queries,
+      "vec_id", "embedding", cbIvf, k = 5, nprobe = 8)
+    assert(rows(fs.searchIndex("emb_fv", queries, "vec_id", "embedding",
+      topK = 5, nprobe = 8)) === rows(direct),
+      "facade IVF serve diverged from the hand-wired serve")
+    val cbPq = fs.codebookFor("emb_fv", kind = "pq").get
+    val directPq = Similarity.pqAdcFromState(spark,
+      fs.indexStatePath("emb_fv", kind = "pq"), queries,
+      "vec_id", "embedding", cbPq, k = 5)
+    assert(rows(fs.searchIndex("emb_fv", queries, "vec_id", "embedding",
+      topK = 5, kind = "pq")) === rows(directPq),
+      "facade PQ serve diverged from the hand-wired serve")
+  }
+
   test("a retrained codebook refresh swaps atomically under a serving reader") {
     val e = graft.Tables.load(spark, sf0001, "embeddings")
     val cents = Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3)
