@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus snapshot manifest — the PUBLISH/VERIFY integrity step a
@@ -72,18 +72,76 @@ object CorpusManifest {
           .cast("decimal(38,0)").cast("string").as("content_digest")): _*)
   }
 
+  /** One table frame's (n_rows, digest) row — the shared digest block
+    * under [[stateManifest]] and [[stateManifestIncrement]]. The
+    * canonical row rendering name-sorts the remaining columns, renders
+    * each as `coalesce(cast(c as string), '<NULL>')`, and '|'-joins:
+    * the EXPLICIT null token (ADVICE r16) is what keeps two rows that
+    * differ only in WHICH column is null from rendering identically —
+    * `concat_ws` would silently skip the null and collapse them into
+    * one digest (an undetectable tamper), and a cross-engine oracle
+    * using `||` would nullify the whole row out of its sum. Oracles
+    * digesting a null-BEARING table must mirror the coalesce; the
+    * current state tables are non-null, so their existing `||` oracles
+    * render identically.
+    */
+  private def digestFrame(df0: DataFrame, dropCols: Seq[String],
+      table: String, ctx: String): DataFrame = {
+    val df = dropCols.foldLeft(df0)(_ drop _)
+    val bad = df.schema.fields.filterNot(f => f.dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    require(bad.isEmpty,
+      s"$ctx($table): non-atomic column(s) ${bad.map(_.name).mkString(", ")} " +
+        "must be listed in dropCols — fractional/array renderings are " +
+        "not canonical across engines")
+    val parts = df.columns.sorted.map(c =>
+      coalesce(col(c).cast("string"), lit("<NULL>")))
+    val canon = parts.drop(1).foldLeft(parts.head: Column)(
+      (acc, p) => concat(acc, lit("|"), p))
+    df.select(canon.as("__c"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(
+          sum(expr("cast(conv(substring(md5(__c), 1, 15), 16, 10)" +
+            " as decimal(38,0))")),
+          lit(0).cast("decimal(38,0)"))
+          .cast("string").as("content_digest"))
+      .select(lit(table).as("tbl"), col("n_rows"), col("content_digest"))
+  }
+
+  /** The explicit (table, 0, "0") row an absent table/partition
+    * contributes — identical to what an existing-but-empty frame
+    * digests to, so fold laws stay total (ADVICE r16): a table no
+    * arrival ever wrote folds to the same zero the whole-state side
+    * derives, and [[verifyState]] surfaces a LOST table as a loud
+    * `0 ≠ stored` mismatch row instead of a read error.
+    */
+  private def zeroRow(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    Seq((table, 0L, "0")).toDF("tbl", "n_rows", "content_digest")
+  }
+
   /** Integrity manifest over PERSISTED state tables (VERDICT r14 #7 —
     * the [[manifest]] discipline extended from the corpus to the
     * curation/index state itself): one row per state table under
     * `stateDir/<table>/batch=N`, carrying the row count and the
     * order-independent content digest of the CANONICAL row rendering —
     * every column except the `batch` partition (and `dropCols`),
-    * name-sorted, cast to string, '|'-joined. Same digest device and
-    * merge law as [[manifest]] (60-bit md5 prefix summed as
-    * DECIMAL(38,0)): digests of disjoint row sets ADD, so per-arrival
-    * publishing stays O(increment). A tampered row, a lost or
-    * double-counted partition, or a swap that moved a decision all
-    * shift the digest ([[verifyState]] diffs per table).
+    * name-sorted, null-safe cast to string ([[digestFrame]]),
+    * '|'-joined. Same digest device and merge law as [[manifest]]
+    * (60-bit md5 prefix summed as DECIMAL(38,0)): digests of disjoint
+    * row sets ADD, so per-arrival publishing stays O(increment). A
+    * tampered row, a lost or double-counted partition, or a swap that
+    * moved a decision all shift the digest ([[verifyState]] diffs per
+    * table). A table whose directory does not exist contributes the
+    * explicit zero row — the same value the per-arrival fold derives
+    * for it, keeping fold(increments) == whole-state TOTAL.
     *
     * Canonical-rendering contract: remaining columns must be
     * string/integer/boolean — floating-point or array payloads render
@@ -97,31 +155,11 @@ object CorpusManifest {
       tables: Seq[String], dropCols: Seq[String] = Nil): DataFrame = {
     require(tables.nonEmpty, "stateManifest needs at least one table")
     tables.map { t =>
-      val df0 = spark.read.parquet(s"$stateDir/$t")
-      val df = (dropCols :+ "batch").foldLeft(df0)(_ drop _)
-      val bad = df.schema.fields.filterNot(f => f.dataType match {
-        case org.apache.spark.sql.types.StringType |
-             org.apache.spark.sql.types.BooleanType |
-             org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => true
-        case _ => false
-      })
-      require(bad.isEmpty,
-        s"stateManifest($t): non-atomic column(s) ${bad.map(_.name).mkString(", ")} " +
-          "must be listed in dropCols — fractional/array renderings are " +
-          "not canonical across engines")
-      val canon = concat_ws("|",
-        df.columns.sorted.map(c => col(c).cast("string")): _*)
-      df.select(canon.as("__c"))
-        .agg(count(lit(1)).as("n_rows"),
-          coalesce(
-            sum(expr("cast(conv(substring(md5(__c), 1, 15), 16, 10)" +
-              " as decimal(38,0))")),
-            lit(0).cast("decimal(38,0)"))
-            .cast("string").as("content_digest"))
-        .select(lit(t).as("tbl"), col("n_rows"), col("content_digest"))
+      val dir = new org.apache.hadoop.fs.Path(s"$stateDir/$t")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) zeroRow(spark, t)
+      else digestFrame(spark.read.parquet(dir.toString),
+        dropCols :+ "batch", t, "stateManifest")
     }.reduce(_ unionByName _)
   }
 
@@ -140,39 +178,13 @@ object CorpusManifest {
       tables: Seq[String], batchId: Long,
       dropCols: Seq[String] = Nil): DataFrame = {
     require(tables.nonEmpty, "stateManifestIncrement needs >= 1 table")
-    import spark.implicits._
     tables.map { t =>
       val part = new org.apache.hadoop.fs.Path(
         s"$stateDir/$t/batch=$batchId")
       val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(part))
-        Seq((t, 0L, "0")).toDF("tbl", "n_rows", "content_digest")
-      else {
-        val df0 = spark.read.parquet(part.toString)
-        val df = dropCols.foldLeft(df0)(_ drop _)
-        val bad = df.schema.fields.filterNot(f => f.dataType match {
-          case org.apache.spark.sql.types.StringType |
-               org.apache.spark.sql.types.BooleanType |
-               org.apache.spark.sql.types.ByteType |
-               org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.LongType => true
-          case _ => false
-        })
-        require(bad.isEmpty,
-          s"stateManifestIncrement($t): non-atomic column(s) " +
-            s"${bad.map(_.name).mkString(", ")} must be listed in dropCols")
-        val canon = concat_ws("|",
-          df.columns.sorted.map(c => col(c).cast("string")): _*)
-        df.select(canon.as("__c"))
-          .agg(count(lit(1)).as("n_rows"),
-            coalesce(
-              sum(expr("cast(conv(substring(md5(__c), 1, 15), 16, 10)" +
-                " as decimal(38,0))")),
-              lit(0).cast("decimal(38,0)"))
-              .cast("string").as("content_digest"))
-          .select(lit(t).as("tbl"), col("n_rows"), col("content_digest"))
-      }
+      if (!fs.exists(part)) zeroRow(spark, t)
+      else digestFrame(spark.read.parquet(part.toString), dropCols, t,
+        "stateManifestIncrement")
     }.reduce(_ unionByName _)
   }
 
@@ -188,16 +200,31 @@ object CorpusManifest {
           .cast("decimal(38,0)").cast("string").as("content_digest"))
 
   /** Verify persisted state against a stored state manifest: re-derive
-    * [[stateManifest]] for the stored tables and diff per table
-    * (`ok = 1` iff row count AND digest match; a table present on one
-    * side only surfaces with NULLs on the other — a lost table is a
-    * mismatch, not an absence). The stored manifest is
-    * tables-domain-sized, so it broadcasts.
+    * [[stateManifest]] for the stored tables UNION the tables actually
+    * on disk, and diff per table (`ok = 1` iff row count AND digest
+    * match). Both absence directions are loud mismatches, never read
+    * errors or silent skips (ADVICE r16): a LOST table re-derives to
+    * the explicit zero row (0 ≠ its stored count → `ok = 0`), and an
+    * UNEXPECTED on-disk table the manifest never saw surfaces with the
+    * stored side NULL (`ok = 0`) instead of being silently unaudited.
+    * Dot-prefixed dirs (in-flight maintenance swaps) and the
+    * [[graft.pipelines.CurationState.RangesTable]] text manifest are
+    * not parquet state tables and stay out of the disk-side listing.
+    * The stored manifest is tables-domain-sized, so it broadcasts.
     */
   def verifyState(spark: SparkSession, stateDir: String,
       stored: DataFrame, dropCols: Seq[String] = Nil): DataFrame = {
-    val tables = stored.select(col("tbl")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted // bounded: table names
+    val storedTables = stored.select(col("tbl")).distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: table names
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk =
+      if (!fs.exists(root)) Seq.empty[String]
+      else fs.listStatus(root).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(_.startsWith("."))
+        .filterNot(_ == graft.pipelines.CurationState.RangesTable)
+    val tables = (storedTables ++ onDisk).distinct.sorted
     val actual = stateManifest(spark, stateDir, tables, dropCols)
       .withColumnRenamed("n_rows", "n_rows_actual")
       .withColumnRenamed("content_digest", "content_digest_actual")

@@ -169,11 +169,20 @@ class CorpusManifestSpec extends SparkSpec {
       val t = okMap(stored)
       assert(t("dd") === 0L, s"tampered dd must trip: $t")
       assert(t("ledger") === 1L, s"untouched ledger must stay ok: $t")
-      // lost table: remove ledger entirely — a missing table must be a
-      // loud error (never an ok=1 over absent state)
+      // lost table: remove ledger entirely — it must surface as a loud
+      // ok=0 mismatch row (stored count vs the explicit zero re-derive),
+      // never a read error and never a silent absence (ADVICE r16)
       rm(new java.io.File(s"$root/ledger"))
-      val ex = intercept[Exception] { okMap(stored) }
-      assert(ex.getMessage != null)
+      val lost = okMap(stored)
+      assert(lost("ledger") === 0L, s"lost table must trip ok=0: $lost")
+      // unexpected EXTRA on-disk table: the manifest never saw it, so it
+      // must surface as ok=0 with the stored side null — not go unaudited
+      Seq((9L, "zz", 1L)).toDF("doc_id", "fingerprint", "kept")
+        .write.parquet(s"$root/extra/batch=0")
+      val extra = okMap(stored)
+      assert(extra.contains("extra") && extra("extra") === 0L,
+        s"an unaudited extra table must surface: $extra")
+      rm(new java.io.File(s"$root/extra"))
       // non-atomic columns must be named in dropCols, never silently
       // excluded from the digest
       Seq((1L, Array(0.5, 0.25))).toDF("vec_id", "embedding")
@@ -186,6 +195,27 @@ class CorpusManifestSpec extends SparkSpec {
         .stateManifest(spark, root, Seq("assign"), dropCols = Seq("embedding"))
         .collect()
       assert(withDrop.length === 1 && withDrop.head.getLong(1) === 1L)
+      // null-safe canonical rendering (ADVICE r16): two rows differing
+      // only in WHICH column is null must digest DIFFERENTLY — concat_ws
+      // would skip the null and collapse them into one rendering
+      Seq((Some("a"), None: Option[String]), (None: Option[String], Some("a")))
+        .toDF("x", "y").write.parquet(s"$root/nulls/batch=0")
+      val d2 = CorpusManifest.stateManifest(spark, root, Seq("nulls"))
+        .collect().head
+      Seq((Some("a"), None: Option[String]), (Some("a"), None: Option[String]))
+        .toDF("x", "y").write.mode("overwrite")
+        .parquet(s"$root/nulls/batch=0")
+      val d2b = CorpusManifest.stateManifest(spark, root, Seq("nulls"))
+        .collect().head
+      assert(d2.getString(2) !== d2b.getString(2),
+        "null-position swaps must shift the digest")
+      // fold-law totality (ADVICE r16): a table NO arrival ever wrote
+      // folds to the same explicit zero the whole-state side derives
+      val never = CorpusManifest.stateManifest(spark, root, Seq("ghost"))
+        .collect().head
+      assert((never.getString(0), never.getLong(1), never.getString(2))
+        === (("ghost", 0L, "0")),
+        "an absent table must derive the explicit zero row")
     } finally rm(new java.io.File(root))
   }
 
