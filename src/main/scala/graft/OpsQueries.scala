@@ -2691,111 +2691,6 @@ object OpsQueries {
        |        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
        |WHERE rank <= 10""".stripMargin
 
-  /** q254: STATE-TABLE INTEGRITY MANIFESTS (VERDICT r14 #7) — the q245
-    * publish/verify digest discipline extended from the corpus to the
-    * persisted state itself: one arrival builds the full curation state
-    * (dd, bands, postings, sizes, ledger) plus an ANN assign increment,
-    * and the readout is [[graft.pipelines.CorpusManifest.stateManifest]]
-    * over all six tables — per table the row count and the
-    * order-independent DECIMAL(38,0) digest of the canonical row
-    * rendering (name-sorted columns, '|'-joined). The ORACLE recomputes
-    * every table's exact CONTENT from scratch (gate/exact-dedup
-    * classification, fingerprints, text shingles, minhash band hashes,
-    * set sizes, drop reasons, integer-Lloyd assignment) and digests it
-    * with the same device — so the hash gate proves byte-level that the
-    * persisted state equals its from-scratch recompute, table by table,
-    * and pins the canonical rendering + digest arithmetic cross-engine.
-    * Tamper/lost-partition detection over these manifests is
-    * CorpusManifestSpec's surface ([[graft.pipelines.CorpusManifest
-    * .verifyState]]).
-    */
-  def stateManifestQ(s: SparkSession, dir: String): DataFrame = {
-    import graft.pipelines.{CorpusManifest, TrainingDataPipeline}
-    val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
-    val e = emb(s, dir)
-    val cents = servedCodebook(s, dir, "ivf16x3")(
-      Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-statemanifest-").toString
-    try {
-      TrainingDataPipeline.curateIncrement(
-        d, "doc_id", Seq("source"), "n_tokens", root, 0L).collect()
-      // explicit registry-style stamp: the oracle replays the literal
-      // (the content-derived default is driver-side md5 of the collected
-      // codebook — exact but pointlessly replayed; the stamp's IDENTITY
-      // claims are q252/OpsSpec surface, not this digest gate's)
-      Similarity.assignIncrement(e, "vec_id", "embedding", cents, root, 0L,
-        codebookVersion = "t1")
-      CorpusManifest.stateManifest(s, root,
-        Seq("dd", "bands", "postings", "sizes", "ledger", "assign"))
-        .localCheckpoint(true) // owned state is deleted below
-    } finally {
-      try {
-        val p = new org.apache.hadoop.fs.Path(root)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
-  }
-
-  // lazy: references annGatedCtes/dedupChainCtes declared LATER in this
-  // object — a plain val would silently read null at init (the q151 rule)
-  lazy val stateManifestSql: String = {
-    def dig(canon: String): String =
-      s"CAST(sum(('0x' || substr(md5($canon), 1, 15))::BIGINT) AS VARCHAR)"
-    "WITH " + annGatedCtes + ",\n" + dedupChainCtes + ",\n" +
-    s"""${lloydCtes(3, 16, "0")},
-       |cls AS (
-       |  SELECT a.doc_id,
-       |         CASE WHEN g.doc_id IS NULL THEN 'gate'
-       |              WHEN k.doc_id IS NULL THEN 'exact_dup'
-       |              WHEN l.b IS NOT NULL THEN 'near_dup'
-       |              ELSE 'kept' END AS reason
-       |  FROM ann a
-       |  LEFT JOIN gated g ON g.doc_id = a.doc_id
-       |  LEFT JOIN keepers k ON k.doc_id = a.doc_id
-       |  LEFT JOIN losers l ON l.b = a.doc_id),
-       |ddrows AS (
-       |  SELECT g.doc_id,
-       |         md5(lower(regexp_replace(trim(g.text), '\\s+', ' ', 'g'))) AS fp,
-       |         CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END AS kept
-       |  FROM gated g LEFT JOIN keepers k ON k.doc_id = g.doc_id),
-       |asg AS (
-       |  SELECT id, cid FROM (
-       |    SELECT id, cid,
-       |           row_number() OVER (PARTITION BY id
-       |                              ORDER BY dist ASC, cid ASC) AS rn
-       |    FROM (SELECT a.id, c.cid,
-       |                 CAST(sum((a.qs - c.cq) * (a.qs - c.cq)) AS BIGINT)
-       |                   AS dist
-       |          FROM lcomp a JOIN lc3 c ON c.dim = a.dim
-       |          GROUP BY 1, 2))
-       |  WHERE rn = 1)
-       |SELECT 'dd' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
-       |       ${dig("doc_id::VARCHAR || '|' || fp || '|' || kept::VARCHAR")}
-       |         AS content_digest
-       |FROM ddrows
-       |UNION ALL
-       |SELECT 'bands', CAST(count(*) AS BIGINT),
-       |       ${dig("bh || '|' || band_idx::VARCHAR || '|' || doc_id::VARCHAR")}
-       |FROM bands
-       |UNION ALL
-       |SELECT 'postings', CAST(count(*) AS BIGINT),
-       |       ${dig("doc_id::VARCHAR || '|' || s")}
-       |FROM sh
-       |UNION ALL
-       |SELECT 'sizes', CAST(count(*) AS BIGINT),
-       |       ${dig("doc_id::VARCHAR || '|' || sz::VARCHAR")}
-       |FROM sizes
-       |UNION ALL
-       |SELECT 'ledger', CAST(count(*) AS BIGINT),
-       |       ${dig("doc_id::VARCHAR || '|' || reason")}
-       |FROM cls WHERE reason <> 'kept'
-       |UNION ALL
-       |SELECT 'assign', CAST(count(*) AS BIGINT),
-       |       ${dig("cid::VARCHAR || '|t1|' || id::VARCHAR")}
-       |FROM asg""".stripMargin
-  }
-
   /** q255: PQ-ADC retrieval SERVED from the persisted code state — the
     * q253 claim on the COMPRESSED index: three arrivals encode the
     * corpus against the served per-subspace codebook
@@ -3227,7 +3122,7 @@ object OpsQueries {
 
   /** The one-shot dedup chain over `gated` (exact keepers → LSH
     * candidates → Jaccard losers) — shared by the q34 curation oracle
-    * and the q249 ledger-classification oracle. */
+    * and the q250 lifecycle-digest oracle. */
   private val dedupChainCtes: String =
     """keepers AS (
       |  SELECT min(doc_id) AS doc_id FROM gated
@@ -3406,47 +3301,169 @@ object OpsQueries {
       |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
       |FROM documents d LEFT JOIN flags f USING (doc_id)""".stripMargin
 
-  /** q250: the STATE-LIFECYCLE curation proof (VERDICT r13 #2 + #5),
-    * succeeding q235b (retired to spec-only per VERDICT r13 #6 — its
-    * merged-total claim is strictly subsumed by q244's per-batch
-    * split): 3 arrival batches through the persisted-state incremental
+  /** q250: the COMBINED state-lifecycle proof (VERDICT r13 #2 + #5;
+    * r16 #6 folded q249's redaction claim and q254's state-digest
+    * discipline into this one build — same claims, one lifecycle
+    * instead of three). Succeeds q235b (retired per VERDICT r13 #6).
+    * 3 arrival batches run through the persisted-state incremental
     * curation ([[graft.pipelines.TrainingDataPipeline
     * .incrementalCurate]]) with BOTH maintenance ops fired mid-stream —
     * after batch 1 the arrival-partitioned state is COMPACTED
     * (batches {0,1} fold into one partition per table,
-    * [[graft.pipelines.CurationState.compactState]]) and then the
+    * [[graft.pipelines.CurationState.compactState]]) and the
     * outright-rejected docs (gate / exact-dup, read off the compacted
-    * ledger) are PURGED from every state table
-    * ([[graft.pipelines.CurationState.purgeDocs]] — the
-    * right-to-forget / data-minimization sweep). Batch 2 then curates
-    * against the compacted-and-purged state.
+    * ledger) are PURGED ([[graft.pipelines.CurationState.purgeDocs]]).
+    * Batch 2 curates against the compacted-and-purged state. Post-build,
+    * the TARGETED REDACTION leg (ex-q249, VERDICT r14 #6): the lowest
+    * near-dup loser opts out and the manifest-pruned sweep removes its
+    * rows from every state table INCLUDING the drop ledger — the audit
+    * retains no identifier of the opted-out doc. Finally one ANN assign
+    * increment ([[graft.ops.Similarity.assignIncrement]]) lands in the
+    * same state root (ex-q254's sixth table).
     *
-    * The ORACLE is the plain ONE-SHOT [[graft.pipelines
-    * .TrainingDataPipeline.curate]] chain rolled up per source —
-    * UNCHANGED from q235b's. The hash gate therefore machine-checks
-    * two laws at once: compaction is a pure re-partitioning (every
-    * read sees the same multiset of rows), and purging
-    * outright-rejected docs influences no later decision (their only
-    * state rows are ledger entries and `kept = 0` dd rows that every
-    * history read filters out). CurationStateSpec pins each mechanism
-    * in isolation (idempotence, crash recovery, forget semantics on
-    * KEPT docs).
+    * The readout is the state-digest discipline
+    * ([[graft.pipelines.CorpusManifest.stateManifest]] over all six
+    * tables + [[graft.pipelines.CorpusManifest.frameDigest]] of the
+    * merged curation rollup): per table the row count and the
+    * order-independent DECIMAL(38,0) digest of the canonical row
+    * rendering. The ORACLE recomputes every table's exact CONTENT from
+    * scratch (one-shot classification, fingerprints, shingles, band
+    * hashes, set sizes, integer-Lloyd assignment, per-source rollup)
+    * and digests it the same way, excluding exactly the purged set
+    * (gate/exact-dup of batches ≤ 1) and the deterministically-chosen
+    * redacted id. One hash gate therefore machine-checks, byte-level:
+    * (1) the incremental composition equals the one-shot recompute,
+    * through compaction (a pure re-partitioning — the digest drops the
+    * `batch` partition column) and mid-stream purging (rejected docs
+    * influence no later decision); (2) every doc's PERSISTED fate
+    * (per-row ledger digest — strictly stronger than ex-q249's
+    * per-(batch, reason) counts; batch ATTRIBUTION of drops is the one
+    * claim not carried, and compaction destroys it by design) equals
+    * the from-scratch classification; (3) the redaction removed exactly
+    * the opt-out rows and moved no other doc's fate or state row;
+    * (4) the persisted state equals its from-scratch recompute table by
+    * table (ex-q254). CurationStateSpec pins each mechanism in
+    * isolation; CorpusManifestSpec pins tamper/lost-partition detection
+    * over these manifests.
     */
-  def lifecycleCurationQ(s: SparkSession, dir: String): DataFrame =
-    graft.pipelines.TrainingDataPipeline
-      .incrementalCurate(docs(s, dir), "doc_id", Seq("source"), "n_tokens",
-        nBatches = 3, compactAfter = Some(1L), purgeRejectedAfter = Some(1L))
-      .select(col("source"), col("n").as("n_docs"),
-        col("sum_cents").as("sum_tokens"), col("min_cents").as("min_tokens"),
-        col("max_cents").as("max_tokens"))
+  def lifecycleCurationQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.{CorpusManifest, CurationState, TrainingDataPipeline}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lifecycle-").toString
+    try {
+      val roll = TrainingDataPipeline
+        .incrementalCurate(docs(s, dir), "doc_id", Seq("source"), "n_tokens",
+          nBatches = 3, stateDir = Some(root),
+          compactAfter = Some(1L), purgeRejectedAfter = Some(1L))
+        .select(col("source"), col("n").as("n_docs"),
+          col("sum_cents").as("sum_tokens"),
+          col("min_cents").as("min_tokens"),
+          col("max_cents").as("max_tokens"))
+      // targeted audit-trail redaction (the ex-q249 leg): the lowest
+      // near-dup loser opts out AFTER the build; the sweep prunes via
+      // the ranges manifest — zero per-partition probe jobs. Near-dup
+      // losers are never in the rollup, so `roll` is unaffected.
+      val optOut = s.read.parquet(s"$root/ledger")
+        .filter(col("reason") === "near_dup")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .filter(col("doc_id").isNotNull)
+      CurationState.purgeDocs(s, root, optOut, "doc_id")
+      // ANN leg (the ex-q254 sixth table): one assign increment into the
+      // same state root. Explicit registry-style stamp — the oracle
+      // replays the literal; stamp IDENTITY is q252/OpsSpec surface.
+      val cents = servedCodebook(s, dir, "ivf16x3")(
+        Similarity.lloydCentroids(emb(s, dir), "vec_id", "embedding", 16, 3))
+      Similarity.assignIncrement(emb(s, dir), "vec_id", "embedding", cents,
+        root, 0L, codebookVersion = "t1")
+      CorpusManifest.stateManifest(s, root,
+        Seq("dd", "bands", "postings", "sizes", "ledger", "assign"))
+        .unionByName(CorpusManifest.frameDigest(roll, "rollup"))
+        .localCheckpoint(true) // owned state is deleted below
+    } finally {
+      try {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
-  val incrementalCurationSql: String =
-    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-       |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
-       |FROM (
-       |${curationSql.linesIterator.map("  " + _).mkString("\n")}
-       |) q GROUP BY source""".stripMargin
+  // lazy: references annGatedCtes/dedupChainCtes/lloydCtes declared
+  // LATER in this object — a plain val would silently read null at
+  // init (the q151 rule)
+  lazy val lifecycleCurationSql: String = {
+    def dig(canon: String): String =
+      s"CAST(COALESCE(sum(('0x' || substr(md5($canon), 1, 15))::BIGINT), 0) AS VARCHAR)"
+    "WITH " + annGatedCtes + ",\n" + dedupChainCtes + ",\n" +
+    s"""${lloydCtes(3, 16, "0")},
+       |mx AS (SELECT max(doc_id) AS m FROM documents),
+       |cls AS (
+       |  SELECT a.doc_id,
+       |         CASE WHEN g.doc_id IS NULL THEN 'gate'
+       |              WHEN k.doc_id IS NULL THEN 'exact_dup'
+       |              WHEN l.b IS NOT NULL THEN 'near_dup'
+       |              ELSE 'kept' END AS reason
+       |  FROM ann a
+       |  LEFT JOIN gated g ON g.doc_id = a.doc_id
+       |  LEFT JOIN keepers k ON k.doc_id = a.doc_id
+       |  LEFT JOIN losers l ON l.b = a.doc_id),
+       |rid AS (SELECT min(doc_id) AS rmin FROM cls WHERE reason = 'near_dup'),
+       |ddrows AS (
+       |  SELECT g.doc_id,
+       |         md5(lower(regexp_replace(trim(g.text), '\\s+', ' ', 'g'))) AS fp,
+       |         CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END AS kept
+       |  FROM gated g LEFT JOIN keepers k ON k.doc_id = g.doc_id),
+       |asg AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |           row_number() OVER (PARTITION BY id
+       |                              ORDER BY dist ASC, cid ASC) AS rn
+       |    FROM (SELECT a.id, c.cid,
+       |                 CAST(sum((a.qs - c.cq) * (a.qs - c.cq)) AS BIGINT)
+       |                   AS dist
+       |          FROM lcomp a JOIN lc3 c ON c.dim = a.dim
+       |          GROUP BY 1, 2))
+       |  WHERE rn = 1),
+       |rollup AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |         min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+       |  FROM exact WHERE doc_id NOT IN (SELECT b FROM losers)
+       |  GROUP BY source)
+       |SELECT 'dd' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+       |       ${dig("d.doc_id::VARCHAR || '|' || d.fp || '|' || d.kept::VARCHAR")}
+       |         AS content_digest
+       |FROM ddrows d, mx x, rid r
+       |WHERE NOT (d.kept = 0 AND d.doc_id // (x.m // 3 + 1) <= 1)
+       |  AND (r.rmin IS NULL OR d.doc_id <> r.rmin)
+       |UNION ALL
+       |SELECT 'bands', CAST(count(*) AS BIGINT),
+       |       ${dig("b.bh || '|' || b.band_idx::VARCHAR || '|' || b.doc_id::VARCHAR")}
+       |FROM bands b, rid r WHERE r.rmin IS NULL OR b.doc_id <> r.rmin
+       |UNION ALL
+       |SELECT 'postings', CAST(count(*) AS BIGINT),
+       |       ${dig("p.doc_id::VARCHAR || '|' || p.s")}
+       |FROM sh p, rid r WHERE r.rmin IS NULL OR p.doc_id <> r.rmin
+       |UNION ALL
+       |SELECT 'sizes', CAST(count(*) AS BIGINT),
+       |       ${dig("z.doc_id::VARCHAR || '|' || z.sz::VARCHAR")}
+       |FROM sizes z, rid r WHERE r.rmin IS NULL OR z.doc_id <> r.rmin
+       |UNION ALL
+       |SELECT 'ledger', CAST(count(*) AS BIGINT),
+       |       ${dig("c.doc_id::VARCHAR || '|' || c.reason")}
+       |FROM cls c, mx x, rid r
+       |WHERE c.reason <> 'kept'
+       |  AND NOT (c.reason IN ('gate', 'exact_dup')
+       |           AND c.doc_id // (x.m // 3 + 1) <= 1)
+       |  AND (r.rmin IS NULL OR c.doc_id <> r.rmin)
+       |UNION ALL
+       |SELECT 'assign', CAST(count(*) AS BIGINT),
+       |       ${dig("cid::VARCHAR || '|t1|' || id::VARCHAR")}
+       |FROM asg
+       |UNION ALL
+       |SELECT 'rollup', CAST(count(*) AS BIGINT),
+       |       ${dig("max_tokens::VARCHAR || '|' || min_tokens::VARCHAR || '|' || n_docs::VARCHAR || '|' || source || '|' || sum_tokens::VARCHAR")}
+       |FROM rollup""".stripMargin
+  }
 
   /** q243: ingest-side distribution drift monitor over arrival batches
     * ([[graft.pipelines.TrainingDataPipeline.driftIncrement]]) — the
@@ -3862,101 +3879,6 @@ object OpsQueries {
        |       CAST(CASE WHEN COALESCE(cp.a, ip.a) % 50 = COALESCE(cp.b, ip.b) % 50
        |            THEN 1 ELSE 0 END AS BIGINT) AS same_concept
        |FROM cp FULL OUTER JOIN ip ON ip.a = cp.a AND ip.b = cp.b""".stripMargin
-
-  /** q249: the CURATION DROP LEDGER — the audit trail a data-governance
-    * review demands from a training-set build: every rejected doc is
-    * persisted with its reason (`gate` / `exact_dup` / `near_dup`) as
-    * arrival-partitioned state inside
-    * [[graft.pipelines.TrainingDataPipeline.curateIncrement]], so "why
-    * is doc X not in the training set" is a state lookup, never a
-    * recompute. The query runs 2 arrival batches through the persisted-
-    * state pipeline and reads the per-(batch, reason) counts back from
-    * the LEDGER (plus the derived `kept`); the ORACLE classifies every
-    * doc from the ONE-SHOT chain (gate complement from `ann`, exact
-    * losers from the keepers complement, near losers from the Jaccard
-    * chain) grouped by the same id-range batching — so the hash gate
-    * proves the incremental ledger assigns every single doc the same
-    * fate as a from-scratch classification (the q244 per-batch-split
-    * argument extended from kept counts to DROP REASONS).
-    *
-    * Composed in (VERDICT r14 #6): a post-build TARGETED REDACTION of
-    * the audit trail — the lowest near-dup loser opts out and is
-    * purged from every state table including the ledger via the
-    * manifest-pruned sweep; the oracle excludes exactly that
-    * deterministically-chosen id from its classification, so the hash
-    * gate proves the redaction changed no OTHER doc's recorded fate
-    * (CurationStateSpec pins the file-level half: partitions disjoint
-    * from the opt-out id keep byte-identical listings).
-    */
-  def curationLedgerQ(s: SparkSession, dir: String): DataFrame = {
-    import graft.pipelines.TrainingDataPipeline
-    val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
-    val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
-    val width = maxId / 2 + 1
-    val root = java.nio.file.Files.createTempDirectory("graft-ledger-").toString
-    try {
-      for (b <- 0L until 2L)
-        TrainingDataPipeline.curateIncrement(
-          d.filter(col("doc_id") >= b * width && col("doc_id") < (b + 1) * width),
-          "doc_id", Seq("source"), "n_tokens", root, b).collect()
-      // VERDICT r14 #6: right-to-forget the AUDIT TRAIL itself. The
-      // lowest near-dup loser opts out after the build; the
-      // manifest-pruned sweep ([[graft.pipelines.CurationState
-      // .purgeDocs]] over the ranges written at append time — zero
-      // per-partition probe jobs) removes its rows from EVERY state
-      // table INCLUDING the drop ledger, so the audit retains no
-      // personal identifier of the opted-out doc. The readout below
-      // then classifies everything still in state: the hash match
-      // against the oracle's "one-shot classification minus that one
-      // id" proves the redaction moved NO other doc's fate — the
-      // decisions gate VERDICT r14 #6 asks for. (Ledger rows are never
-      // a decision input for other docs, and the sweep runs after the
-      // last arrival, so nothing can un-suppress.)
-      val optOut = s.read.parquet(s"$root/ledger")
-        .filter(col("reason") === "near_dup")
-        .agg(min(col("doc_id")).as("doc_id"))
-        .filter(col("doc_id").isNotNull)
-      graft.pipelines.CurationState.purgeDocs(s, root, optOut, "doc_id")
-      val led = s.read.parquet(s"$root/ledger")
-        .select(col("batch").cast("long").as("batch"), col("doc_id"),
-          col("reason"))
-      val keptRows = s.read.parquet(s"$root/dd")
-        .filter(col("kept") === 1L)
-        .join(led.filter(col("reason") === "near_dup").select("doc_id"),
-          Seq("doc_id"), "left_anti")
-        .select(col("batch").cast("long").as("batch"),
-          lit("kept").as("reason"))
-      led.select(col("batch"), col("reason")).unionByName(keptRows)
-        .groupBy(col("batch"), col("reason"))
-        .agg(count(lit(1)).as("n"))
-        .localCheckpoint(true) // owned state is deleted below
-    } finally {
-      try {
-        val p = new org.apache.hadoop.fs.Path(root)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
-  }
-
-  lazy val curationLedgerSql: String =
-    "WITH " + annGatedCtes + ",\n" + dedupChainCtes + ",\n" +
-    """mx AS (SELECT max(doc_id) AS m FROM documents),
-      |cls AS (
-      |  SELECT a.doc_id,
-      |         CASE WHEN g.doc_id IS NULL THEN 'gate'
-      |              WHEN k.doc_id IS NULL THEN 'exact_dup'
-      |              WHEN l.b IS NOT NULL THEN 'near_dup'
-      |              ELSE 'kept' END AS reason
-      |  FROM ann a
-      |  LEFT JOIN gated g ON g.doc_id = a.doc_id
-      |  LEFT JOIN keepers k ON k.doc_id = a.doc_id
-      |  LEFT JOIN losers l ON l.b = a.doc_id),
-      |rid AS (SELECT min(doc_id) AS rmin FROM cls WHERE reason = 'near_dup')
-      |SELECT CAST(c.doc_id // (x.m // 2 + 1) AS BIGINT) AS batch, c.reason,
-      |       CAST(count(*) AS BIGINT) AS n
-      |FROM cls c, mx x, rid r
-      |WHERE r.rmin IS NULL OR c.doc_id <> r.rmin
-      |GROUP BY CAST(c.doc_id // (x.m // 2 + 1) AS BIGINT), c.reason""".stripMargin
 
   /** Document fingerprints via the custom codegen expressions
     * (rolling_hash + simhash64). The mod-2⁶⁴ arithmetic IS replayable in
@@ -7518,7 +7440,6 @@ object OpsQueries {
     "q251_source_mix_drift" -> sourceMixDriftQ _,
     "q252_ann_append_assign" -> annAppendAssignQ _,
     "q253_ivf_state_serve" -> ivfStateServeQ _,
-    "q254_state_manifest" -> stateManifestQ _,
     "q255_pq_state_serve" -> pqStateServeQ _,
     "q256_pq_lifecycle_serve" -> pqLifecycleServeQ _,
     "q236_incremental_lsh" -> incrementalLshQ _,
@@ -7532,7 +7453,6 @@ object OpsQueries {
     "q245_corpus_manifest" -> corpusManifestQ _,
     "q247_incremental_manifest" -> incrementalManifestQ _,
     "q248_crossmodal_dedup" -> crossModalDedupQ _,
-    "q249_curation_ledger" -> curationLedgerQ _,
     "q240_codebook_psi_staleness" -> codebookStalenessQ _,
     "q241_codebook_retrain_psi" -> codebookRetrainQ _,
     "q226_dim_variance" -> dimVarianceQ _,
@@ -7687,11 +7607,10 @@ object OpsQueries {
     "q231_maxp_retrieval" -> maxPRetrievalSql,
     "q232_simhash_calibration" -> simhashCalibrationSql,
     "q235_incremental_pipeline" -> incrementalPipelineSql,
-    "q250_lifecycle_curation" -> incrementalCurationSql,
+    "q250_lifecycle_curation" -> lifecycleCurationSql,
     "q251_source_mix_drift" -> sourceMixDriftSql,
     "q252_ann_append_assign" -> annAppendAssignSql,
     "q253_ivf_state_serve" -> ivfStateServeSql,
-    "q254_state_manifest" -> stateManifestSql,
     // q255's served retrieval equals the from-scratch trained ADC —
     // the q172b oracle verbatim IS the losslessness claim
     "q255_pq_state_serve" -> pqAdcTrainedSql,
@@ -7709,7 +7628,6 @@ object OpsQueries {
     "q245_corpus_manifest" -> corpusManifestSql,
     "q247_incremental_manifest" -> corpusManifestSql,
     "q248_crossmodal_dedup" -> crossModalDedupSql,
-    "q249_curation_ledger" -> curationLedgerSql,
     "q240_codebook_psi_staleness" -> codebookStalenessSql,
     "q241_codebook_retrain_psi" -> codebookRetrainSql,
     "q226_dim_variance" -> dimVarianceSql,

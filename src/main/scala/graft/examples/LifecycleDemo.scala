@@ -105,7 +105,7 @@ object LifecycleDemo {
       s"${sampled.filter(col("ok") === 1L).count()}/3 ok")
 
     // round-16: the persisted STATE is publish/verifiable too — digest
-    // every curation table and re-verify (q254's device; a tampered or
+    // every curation table and re-verify (q250's digest device; a tampered or
     // lost partition would flip its table's ok to 0)
     import graft.pipelines.CurationState
     val stateStored = CorpusManifest.stateManifest(

@@ -179,9 +179,9 @@ object ScaleSmoke {
       // corpus into persisted state, then answer retrieval from the
       // state alone (broadcast probe/distance-table onto the postings/
       // codes scan; the no-corpus-reassign claim is exactly what must
-      // survive scale), and the state-integrity digest is one
-      // map-side-combinable agg per table over the 10x state
-      "q253_ivf_state_serve", "q255_pq_state_serve", "q254_state_manifest",
+      // survive scale). The state-integrity digest (one map-side-
+      // combinable agg per table over the 10x state) now rides q250.
+      "q253_ivf_state_serve", "q255_pq_state_serve",
       // round-17: the PQ retrain→repair lifecycle at 10x — stale-
       // partition re-encode is per-partition in-place rewrites, so the
       // repair is O(stale state), never O(corpus × versions)

@@ -1171,8 +1171,15 @@ object Similarity {
       centroids: DataFrame, k: Int = 10, nprobe: Int = 4,
       codebookVersion: String = "", numSalts: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // ONE collect drives BOTH the version stamp and the probe's
+    // centroid components (ADVICE r16): with a lazy centroids plan,
+    // codebookVersionOf plus a separate ccomps subtree would each
+    // silently re-run the whole training job per serve. The collected
+    // array is the bounded k·dim driver valve assignment already uses.
+    val cents = collectCodebook(centroids)
     val ver =
-      if (codebookVersion.isEmpty) codebookVersionOf(centroids)
+      if (codebookVersion.isEmpty) versionOfCollected(cents)
       else codebookVersion
     // probe: rank cells per query by the index's own exact int64
     // squared-L2 (the assignment geometry — probing by a different
@@ -1182,11 +1189,10 @@ object Similarity {
         posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
       .select(col("query_id"), col("dim"),
         (floor(col("v") * 1e6 + 0.5).cast("long") + 2000000L).as("qs"))
-    val ccomps = centroids
-      .select(col("centroid_id").cast("long").as("cid"),
-        posexplode(asDouble(col("centv"))).as(Seq("dim", "cv0")))
-      .select(col("cid"), col("dim"),
-        (floor(col("cv0") * 1e6 + 0.5).cast("long") + 2000000L).as("cq"))
+    val ccomps = cents.toSeq
+      .flatMap { case (cid, qs) =>
+        qs.zipWithIndex.map { case (q, d) => (cid, d, q) } }
+      .toDF("cid", "dim", "cq")
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("cid").asc)
     // bounded driver valve (the same order as the broadcast it feeds):

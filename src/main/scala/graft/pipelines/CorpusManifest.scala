@@ -115,6 +115,17 @@ object CorpusManifest {
       .select(lit(table).as("tbl"), col("n_rows"), col("content_digest"))
   }
 
+  /** Digest ONE in-memory frame with the state-table canonical
+    * rendering ([[digestFrame]]) — the (tbl, n_rows, content_digest)
+    * row a derived readout (e.g. a curation rollup) contributes when it
+    * is audited alongside persisted state under one digest discipline
+    * (the q250 combined lifecycle gate). Same contract as
+    * [[stateManifest]]: non-atomic columns must be dropped explicitly.
+    */
+  def frameDigest(df: DataFrame, table: String,
+      dropCols: Seq[String] = Nil): DataFrame =
+    digestFrame(df, dropCols, table, "frameDigest")
+
   /** The explicit (table, 0, "0") row an absent table/partition
     * contributes — identical to what an existing-but-empty frame
     * digests to, so fold laws stay total (ADVICE r16): a table no

@@ -475,12 +475,12 @@ object TrainingDataPipeline {
       // near_dup (verified Jaccard loser). Kept ids are derivable
       // (dd.kept==1 minus near_dup), so the persisted state answers
       // "why is doc X not in the training set" without any recompute —
-      // the curation audit trail (q249 gates the per-batch counts
+      // the curation audit trail (q250 digests the persisted fates
       // against a one-shot classification replay).
       // NULL-annotated rows (e.g. null text) fail BOTH gatePredicate and
       // !gatePredicate under three-valued logic — coalesce to false so
       // every doc lands in exactly one of {kept, ledger} (the audit
-      // contract; the q249 oracle classifies every ann row)
+      // contract; the q250 ledger-digest oracle classifies every ann row)
       ann.filter(not(coalesce(gatePredicate(cfg), lit(false))))
         .select(col(idCol), lit("gate").as("reason"))
         .unionByName(dd.filter(col("kept") === 0L)
