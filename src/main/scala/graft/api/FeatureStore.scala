@@ -272,6 +272,45 @@ final class FeatureStore(
     }
   }
 
+  /** Health probe of the view's maintained index state — the serving-
+    * safety readout: one row per codebook version present in the state
+    * with its row count, batch count, and whether it is the SERVING
+    * version (the stored codebook's content-identity stamp,
+    * [[graft.ops.Similarity.codebookVersionOf]] /
+    * `pqCodebookVersionOf`). Every serve version-filters SILENTLY
+    * ([[graft.ops.Similarity.currentAssignments]] /
+    * `currentPqCodes`), so after a retrain without repair the served
+    * index shrinks with no error anywhere — this readout makes that
+    * state loud: a row with `is_serving = 0` is stale state awaiting
+    * repair ([[graft.ops.Similarity.reassignStale]] /
+    * `reencodeStale`) or dead-version GC
+    * ([[graft.pipelines.CurationState.compactState]] with
+    * `keepVersions`), and NO `is_serving = 1` row means the state
+    * serves nothing under the current codebook. Output is
+    * version-domain-sized (one map-side-combining agg over the state).
+    */
+  def indexHealth(viewName: String, kind: String = "ivf", k: Int = 16,
+      iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cb = codebookFor(viewName, kind, k, iters).getOrElse(
+      throw new IllegalStateException(s"no $kind codebook trained for " +
+        s"view '$viewName' — run trainCodebook() first"))
+    val serving = kind match {
+      case "ivf" => graft.ops.Similarity.codebookVersionOf(cb)
+      case "pq" => graft.ops.Similarity.pqCodebookVersionOf(cb)
+      case other => throw new IllegalArgumentException(
+        s"unknown index kind '$other' (expected ivf|pq)")
+    }
+    val table = if (kind == "ivf") "assign" else "codes"
+    spark.read
+      .parquet(s"${indexStatePath(viewName, kind, k, iters)}/$table")
+      .groupBy(col("codebook_version").as("version"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("batch")).as("n_batches"))
+      .withColumn("is_serving",
+        (col("version") === lit(serving)).cast("long"))
+  }
+
   private def resolveJoinKeys(fv: FeatureView): Seq[String] =
     fv.entities.flatMap { e =>
       registry.getEntity(e)

@@ -161,6 +161,62 @@ class CodebookStoreSpec extends SparkSpec {
       "facade PQ serve diverged from the hand-wired serve")
   }
 
+  test("indexHealth surfaces the silently-version-filtered stale state") {
+    val repo = java.nio.file.Files.createTempDirectory("health_repo")
+    val regPath = repo.resolve("registry.json").toString
+    val fs = new FeatureStore(spark,
+      RepoConfig("health_demo", Some(regPath)), new FileRegistry(regPath))
+    fs.applyObjects(Seq(
+      Entity("vec", Seq("vec_id"), ValueType.INT64),
+      FeatureView("emb_fv", Seq("vec"),
+        Seq(Feature("embedding", org.apache.spark.sql.types.DataType.fromDDL(
+          "array<double>"))),
+        SparkSource("emb_src", s"$sf0001/embeddings.parquet"))))
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val n = e.count()
+    fs.trainCodebook("emb_fv", "vec_id", "embedding")
+    fs.trainCodebook("emb_fv", "vec_id", "embedding", kind = "pq")
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val width = maxId / 2 + 1
+    for (b <- 0L until 2L) {
+      val slice = e.filter(
+        col("vec_id") >= b * width && col("vec_id") < (b + 1) * width)
+      fs.indexIncrement("emb_fv", slice, "vec_id", "embedding", b)
+      fs.indexIncrement("emb_fv", slice, "vec_id", "embedding", b,
+        kind = "pq")
+    }
+    // healthy state, both kinds: ONE version, serving, full coverage
+    for (kind <- Seq("ivf", "pq")) {
+      val h = fs.indexHealth("emb_fv", kind = kind).collect()
+      assert(h.length == 1 && h.head.getAs[Long]("is_serving") == 1L,
+        s"$kind: fresh state must be a single serving version: ${h.toSeq}")
+      assert(h.head.getAs[Long]("n_batches") == 2L, s"$kind: ${h.toSeq}")
+      if (kind == "ivf")
+        assert(h.head.getAs[Long]("n_rows") == n, h.toSeq.toString)
+    }
+    // a RETRAIN (different content, same artifact slot) without repair:
+    // every serve now silently filters the whole state out — exactly
+    // the shrink-with-no-error hazard the readout exists to make loud
+    val retrained = Similarity.lloydCentroids(e, "vec_id", "embedding",
+      16, 1).localCheckpoint(true)
+    CodebookStore.save(retrained,
+      CodebookStore.codebookPath(regPath, "emb_fv__ivf16x3"))
+    val stale = fs.indexHealth("emb_fv").collect()
+    assert(stale.length == 1 && stale.head.getAs[Long]("is_serving") == 0L,
+      s"post-retrain state must read as stale: ${stale.toSeq}")
+    // repair under the STORED serving codebook → healthy again, same
+    // coverage (facade resolution == hand-wired repair)
+    graft.ops.Similarity.reassignStale(fs.indexStatePath("emb_fv"), e,
+      "vec_id", "embedding", fs.codebookFor("emb_fv").get,
+      payloadCols = Seq("embedding"))
+    val repaired = fs.indexHealth("emb_fv").collect()
+    assert(repaired.length == 1 &&
+      repaired.head.getAs[Long]("is_serving") == 1L &&
+      repaired.head.getAs[Long]("n_rows") == n &&
+      repaired.head.getAs[Long]("n_batches") == 2L,
+      s"repaired state must be one serving version: ${repaired.toSeq}")
+  }
+
   test("a retrained codebook refresh swaps atomically under a serving reader") {
     val e = graft.Tables.load(spark, sf0001, "embeddings")
     val cents = Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3)
