@@ -83,9 +83,13 @@ object Bench {
         .selectExpr("id", "xxhash64(id) AS h",
           "repeat(cast(id % 97 as string), 8) AS s")
         .write.mode("overwrite").parquet(ioDir.toString)
+      // .head forces the aggregate — .count() on an agg frame lets Spark
+      // prune the hash AND the columns, degenerating the "read" to a
+      // footer-only scan; bit_xor is the overflow-safe fold (summing
+      // 1.5M uniform xxhash64 longs overflows under ANSI)
       spark.read.parquet(ioDir.toString)
         .selectExpr("xxhash64(id, h, s) AS x")
-        .agg(org.apache.spark.sql.functions.sum("x")).count()
+        .agg(org.apache.spark.sql.functions.expr("bit_xor(x)")).head()
       (System.nanoTime() - t0) / 1e9
     }
     def probeIoMedian(): Double =

@@ -228,21 +228,39 @@ final class FeatureStore(
     * Same contracts as the underlying verbs: monotone batchIds,
     * overwrite-idempotent retries, non-empty arrivals.
     */
-  def indexIncrement(viewName: String, newVecs: DataFrame, idCol: String,
-      vecCol: String, batchId: Long, kind: String = "ivf", k: Int = 16,
-      iters: Int = 3): DataFrame = {
+  /** Shared resolution for the index verbs: validate the kind, load
+    * the stored codebook (maintaining/serving an untrained index is
+    * always a bug, never a fallback), resolve the state dir beside the
+    * registry. One definition keeps the three verbs' error behavior
+    * identical.
+    */
+  private def resolveIndex(viewName: String, kind: String, k: Int,
+      iters: Int): (DataFrame, String) = {
+    require(kind == "ivf" || kind == "pq",
+      s"unknown index kind '$kind' (expected ivf|pq)")
     val cb = codebookFor(viewName, kind, k, iters).getOrElse(
       throw new IllegalStateException(s"no $kind codebook trained for " +
         s"view '$viewName' — run trainCodebook() first"))
-    val state = indexStatePath(viewName, kind, k, iters)
+    (cb, indexStatePath(viewName, kind, k, iters))
+  }
+
+  def indexIncrement(viewName: String, newVecs: DataFrame, idCol: String,
+      vecCol: String, batchId: Long, kind: String = "ivf", k: Int = 16,
+      iters: Int = 3): DataFrame = {
+    val (cb, state) = resolveIndex(viewName, kind, k, iters)
+    // fail loudly BEFORE any state write: a zero-row partitioned write
+    // leaves no readable footer (the assignIncrement contract — skip
+    // empty micro-batches upstream, as StreamingIngest.indexStream
+    // does), and the torn batch dir would then break every later read
+    require(!newVecs.isEmpty,
+      s"indexIncrement: empty arrival for view '$viewName' batch " +
+        s"$batchId — skip empty arrivals upstream")
     kind match {
       case "ivf" => graft.ops.Similarity.assignIncrement(
         newVecs, idCol, vecCol, cb, state, batchId,
         payloadCols = Seq(vecCol))
-      case "pq" => graft.ops.Similarity.pqCodesIncrement(
+      case _ => graft.ops.Similarity.pqCodesIncrement(
         newVecs, idCol, vecCol, cb, state, batchId)
-      case other => throw new IllegalArgumentException(
-        s"unknown index kind '$other' (expected ivf|pq)")
     }
   }
 
@@ -257,18 +275,18 @@ final class FeatureStore(
   def searchIndex(viewName: String, queries: DataFrame, idCol: String,
       vecCol: String, topK: Int = 10, kind: String = "ivf", k: Int = 16,
       iters: Int = 3, nprobe: Int = 4): DataFrame = {
-    val cb = codebookFor(viewName, kind, k, iters).getOrElse(
-      throw new IllegalStateException(s"no $kind codebook trained for " +
-        s"view '$viewName' — run trainCodebook() first"))
-    val state = indexStatePath(viewName, kind, k, iters)
+    val (cb, state) = resolveIndex(viewName, kind, k, iters)
+    // a pq ADC serve has no cell probe — silently dropping a tuned
+    // nprobe would let a caller believe they narrowed the scan
+    require(kind == "ivf" || nprobe == 4,
+      "nprobe applies to the ivf kind only (the pq ADC scan has no " +
+        "cell probe)")
     kind match {
       case "ivf" => graft.ops.Similarity.ivfStateTopK(
         spark, state, queries, idCol, vecCol, cb, k = topK,
         nprobe = nprobe)
-      case "pq" => graft.ops.Similarity.pqAdcFromState(
+      case _ => graft.ops.Similarity.pqAdcFromState(
         spark, state, queries, idCol, vecCol, cb, k = topK)
-      case other => throw new IllegalArgumentException(
-        s"unknown index kind '$other' (expected ivf|pq)")
     }
   }
 
@@ -292,18 +310,21 @@ final class FeatureStore(
   def indexHealth(viewName: String, kind: String = "ivf", k: Int = 16,
       iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions._
-    val cb = codebookFor(viewName, kind, k, iters).getOrElse(
-      throw new IllegalStateException(s"no $kind codebook trained for " +
-        s"view '$viewName' — run trainCodebook() first"))
-    val serving = kind match {
-      case "ivf" => graft.ops.Similarity.codebookVersionOf(cb)
-      case "pq" => graft.ops.Similarity.pqCodebookVersionOf(cb)
-      case other => throw new IllegalArgumentException(
-        s"unknown index kind '$other' (expected ivf|pq)")
-    }
+    import spark.implicits._
+    val (cb, state) = resolveIndex(viewName, kind, k, iters)
+    val serving =
+      if (kind == "ivf") graft.ops.Similarity.codebookVersionOf(cb)
+      else graft.ops.Similarity.pqCodebookVersionOf(cb)
     val table = if (kind == "ivf") "assign" else "codes"
-    spark.read
-      .parquet(s"${indexStatePath(viewName, kind, k, iters)}/$table")
+    val dir = new org.apache.hadoop.fs.Path(s"$state/$table")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // trained-but-never-incremented is a legitimate time to probe
+    // health: the "state serves nothing" readout is zero ROWS, never a
+    // PATH_NOT_FOUND throw
+    if (!fs.exists(dir))
+      Seq.empty[(String, Long, Long, Long)]
+        .toDF("version", "n_rows", "n_batches", "is_serving")
+    else spark.read.parquet(dir.toString)
       .groupBy(col("codebook_version").as("version"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("batch")).as("n_batches"))

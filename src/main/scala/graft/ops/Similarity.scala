@@ -1057,6 +1057,37 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$stateDir/assign/batch=$batchId")
 
+  /** Crash-safe in-place rewrite of one state partition — the
+    * [[graft.pipelines.CurationState]] hidden-tmp + `_SUCCESS` + rename
+    * protocol shared by the repair verbs ([[reassignStale]] /
+    * [[reencodeStale]]). The repair CANNOT use a bare in-place
+    * overwrite the way an increment retry can: an increment retry is
+    * re-driven by the caller with the original arrival data, but the
+    * repair's worklist is derived from the very partition being
+    * rewritten — a crash between SaveMode.Overwrite's delete and its
+    * commit would leave the partition footerless AND remove it from
+    * the next run's stale listing, silently losing the arrival
+    * forever. Here the replacement is built in a dot-dir invisible to
+    * Spark listings, the original is deleted only after `_SUCCESS`
+    * certifies it, and a crash at any point is recovered by
+    * [[graft.pipelines.CurationState.recoverOrphanSwaps]] on the next
+    * maintenance op (the repair verbs run it on entry).
+    */
+  private def swapRepairedPartition(
+      fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, batchId: Long)(
+      writeTo: String => Unit): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(table, s".repair-tmp-$batchId")
+    fs.delete(tmp, true)
+    writeTo(tmp.toString)
+    val part = new org.apache.hadoop.fs.Path(table, s"batch=$batchId")
+    fs.delete(part, true)
+    if (!fs.rename(tmp, part))
+      throw new java.io.IOException(
+        s"repair swap rename failed for $tmp — re-run the repair to " +
+          "recover (tmp is complete)")
+  }
+
   /** Distinct codebook versions present in the persisted assign state,
     * sorted — more than one means arrivals were assigned under
     * different codebooks (a retrain happened without re-assigning or
@@ -1105,12 +1136,16 @@ object Similarity {
     * the repair touches exactly the stale partitions — current ones
     * keep their files. Ids no longer in `corpus` (purged docs) simply
     * drop out of the rewritten partition: a forgotten doc leaves the
-    * index on the next repair. Same retry contract as
-    * [[assignIncrement]] (overwrite-idempotent per partition); after a
-    * successful repair [[assignStateVersions]] returns exactly the
-    * serving version and [[currentAssignments]] equals the full state.
-    * Returns the repaired batch ids (bounded driver valve — one value
-    * per stale partition).
+    * index on the next repair. Each partition rewrite goes through the
+    * crash-safe swap ([[swapRepairedPartition]] — hidden tmp +
+    * `_SUCCESS` + rename, orphans recovered on entry): unlike an
+    * increment retry, the repair's worklist lives in the rows being
+    * rewritten, so a torn in-place overwrite would lose the partition
+    * AND its worklist entry at once. After a successful repair
+    * [[assignStateVersions]] returns exactly the serving version and
+    * [[currentAssignments]] equals the full state. Returns the
+    * repaired batch ids (bounded driver valve — one value per stale
+    * partition).
     */
   def reassignStale(stateDir: String, corpus: DataFrame, idCol: String,
       vecCol: String, centroids: DataFrame, codebookVersion: String = "",
@@ -1124,20 +1159,27 @@ object Similarity {
     val ver =
       if (codebookVersion.isEmpty) versionOfCollected(cents)
       else codebookVersion
+    val table = new org.apache.hadoop.fs.Path(s"$stateDir/assign")
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(table))
+      graft.pipelines.CurationState.recoverOrphanSwaps(spark, fs, table)
     val staleBatches = spark.read.parquet(s"$stateDir/assign")
       .filter(col("codebook_version") =!= ver)
       .select(col("batch").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     for (b <- staleBatches) {
-      // EAGER: the id list reads the very partition the write below
-      // overwrites — a lazy frame would re-list it mid-rewrite (the
+      // EAGER: the id list reads the very partition the swap below
+      // replaces — a lazy frame would re-list it mid-rewrite (the
       // purgeDocs FAILED_READ_FILE trap)
       val vecs = corpus.join(
         spark.read.parquet(s"$stateDir/assign/batch=$b")
           .select(col(idCol)),
         Seq(idCol), "left_semi").localCheckpoint(true)
-      writeAssignBatch(vecs, idCol, vecCol, cents, ver, stateDir, b,
-        payloadCols)
+      swapRepairedPartition(fs, table, b) { tmp =>
+        assignCollected(vecs, idCol, vecCol, cents, keep = payloadCols)
+          .withColumn("codebook_version", lit(ver))
+          .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+      }
     }
     staleBatches
   }
@@ -1295,14 +1337,18 @@ object Similarity {
     * against the serving `codebook`. Partitions are version-uniform by
     * construction (one [[pqCodesIncrement]] call, one version), so
     * staleness is per-partition and the repair touches exactly the
-    * stale partitions; purged ids drop out of the rewrite. Same retry
-    * contract as the increments (overwrite-idempotent per partition).
-    * After a successful repair [[pqStateVersions]] returns exactly the
-    * serving version and [[currentPqCodes]] equals the full state.
-    * Returns the repaired batch ids (bounded driver valve — one value
-    * per stale partition). Callers on hot paths should pass a
-    * MATERIALIZED codebook (or an explicit version): the default stamp
-    * collects `codebook` once, and the encode joins it per partition.
+    * stale partitions; purged ids drop out of the rewrite. Each
+    * partition rewrite goes through the crash-safe swap
+    * ([[swapRepairedPartition]] — the repair's worklist lives in the
+    * rows being rewritten, so a torn in-place overwrite would lose the
+    * partition AND its worklist entry at once; orphans recovered on
+    * entry). After a successful repair [[pqStateVersions]] returns
+    * exactly the serving version and [[currentPqCodes]] equals the
+    * full state. Returns the repaired batch ids (bounded driver
+    * valve — one value per stale partition). Callers on hot paths
+    * should pass a MATERIALIZED codebook (or an explicit version): the
+    * default stamp collects `codebook` once, and the encode joins it
+    * per partition.
     */
   def reencodeStale(stateDir: String, corpus: DataFrame, idCol: String,
       vecCol: String, codebook: DataFrame, codebookVersion: String = "",
@@ -1311,20 +1357,28 @@ object Similarity {
     val ver =
       if (codebookVersion.isEmpty) pqCodebookVersionOf(codebook)
       else codebookVersion
+    val table = new org.apache.hadoop.fs.Path(s"$stateDir/codes")
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(table))
+      graft.pipelines.CurationState.recoverOrphanSwaps(spark, fs, table)
     val staleBatches = spark.read.parquet(s"$stateDir/codes")
       .filter(col("codebook_version") =!= ver)
       .select(col("batch").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     for (b <- staleBatches) {
-      // EAGER: the id list reads the very partition the write below
-      // overwrites — a lazy frame would re-list it mid-rewrite (the
+      // EAGER: the id list reads the very partition the swap below
+      // replaces — a lazy frame would re-list it mid-rewrite (the
       // purgeDocs FAILED_READ_FILE trap)
       val vecs = corpus.join(
         spark.read.parquet(s"$stateDir/codes/batch=$b")
           .select(col(idCol)),
         Seq(idCol), "left_semi").localCheckpoint(true)
-      writeCodesBatch(vecs, idCol, vecCol, codebook, ver, stateDir, b,
-        nSub, subDim)
+      swapRepairedPartition(fs, table, b) { tmp =>
+        pqCodes(vecs, idCol, vecCol, nSub, subDim,
+          codebook = Some(codebook))
+          .withColumn("codebook_version", lit(ver))
+          .write.mode("overwrite").parquet(tmp)
+      }
     }
     staleBatches
   }

@@ -217,8 +217,12 @@ object CorpusManifest {
     * errors or silent skips (ADVICE r16): a LOST table re-derives to
     * the explicit zero row (0 ≠ its stored count → `ok = 0`), and an
     * UNEXPECTED on-disk table the manifest never saw surfaces with the
-    * stored side NULL (`ok = 0`) instead of being silently unaudited.
-    * Dot-prefixed dirs (in-flight maintenance swaps) and the
+    * stored side NULL (`ok = 0`) instead of being silently unaudited —
+    * including one this audit cannot even digest (payload columns with
+    * no dropCols entry, a non-parquet dir): it contributes the
+    * `(-1, "<undigestable>")` sentinel row rather than aborting the
+    * whole verification. Dot-prefixed dirs (in-flight maintenance
+    * swaps) and the
     * [[graft.pipelines.CurationState.RangesTable]] text manifest are
     * not parquet state tables and stay out of the disk-side listing.
     * The stored manifest is tables-domain-sized, so it broadcasts.
@@ -236,7 +240,23 @@ object CorpusManifest {
         .filterNot(_.startsWith("."))
         .filterNot(_ == graft.pipelines.CurationState.RangesTable)
     val tables = (storedTables ++ onDisk).distinct.sorted
-    val actual = stateManifest(spark, stateDir, tables, dropCols)
+    // per-table, with an UNDIGESTABLE fallback row: an unexpected
+    // on-disk directory this audit cannot digest (non-atomic payload
+    // columns it has no dropCols for, a non-parquet dir, a corrupt
+    // footer) must surface as a loud ok=0 row like every other
+    // absence/mismatch — aborting the whole verification on the first
+    // such table would leave the REST of the state unaudited. The
+    // sentinel (-1, "<undigestable>") can never equal a stored row
+    // (counts are >= 0).
+    val actual = tables.map { t =>
+      try stateManifest(spark, stateDir, Seq(t), dropCols)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          import spark.implicits._
+          Seq((t, -1L, "<undigestable>"))
+            .toDF("tbl", "n_rows", "content_digest")
+      }
+    }.reduce(_ unionByName _)
       .withColumnRenamed("n_rows", "n_rows_actual")
       .withColumnRenamed("content_digest", "content_digest_actual")
     val s = stored

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * therefore goes through the same three-step swap:
   *
   *   1. write the replacement rows to a HIDDEN sibling dir
-  *      (`.compact-tmp-*` / `.purge-tmp-*` — dot-prefixed, so Spark's
-  *      file listing never sees it) and let the committed `_SUCCESS`
-  *      marker certify completeness;
+  *      (`.compact-tmp-*` / `.purge-tmp-*` / the index repair verbs'
+  *      `.repair-tmp-*` — dot-prefixed, so Spark's file listing never
+  *      sees it) and let the committed `_SUCCESS` marker certify
+  *      completeness;
   *   2. delete the partitions being replaced;
   *   3. rename the tmp into place (single-directory rename — atomic on
   *      HDFS, and on local FS a one-shot move of an already-complete
@@ -261,8 +262,20 @@ object CurationState {
             .filter(col("batch") <= upTo).drop("batch")
           val folded = keepVersions match {
             case Some(keep) if folded0.columns.contains("codebook_version") =>
-              folded0.filter(
+              val kept = folded0.filter(
                 col("codebook_version").isin(keep.toSeq.sorted: _*))
+              // a GC that empties the fold would swap in a footerless
+              // dir (a zero-row partitioned write emits only _SUCCESS)
+              // and poison every later read of the table — refuse
+              // LOUDLY before anything is written or deleted; an
+              // operator whose whole state is dead wants to delete the
+              // table, not compact it
+              if (kept.isEmpty) throw new IllegalArgumentException(
+                s"compactState($t, keepVersions=$keep): no row in " +
+                  s"batch <= $upTo survives the version GC — refusing " +
+                  "to swap in an empty (unreadable) partition; delete " +
+                  "the table instead, or keep at least one live version")
+              kept
             case _ => folded0
           }
           folded
@@ -452,15 +465,18 @@ object CurationState {
   }
 
   /** Complete (or discard) EVERY orphan swap a crashed maintenance op
-    * left behind on one table — both `.purge-tmp-*` and
-    * `.compact-tmp-*`, regardless of which op is about to run (the
-    * cross-op recovery contract from the object doc):
+    * left behind on one table — `.purge-tmp-*`, `.repair-tmp-*` (the
+    * index repair verbs [[graft.ops.Similarity.reassignStale]] /
+    * `reencodeStale` share this protocol), and `.compact-tmp-*`,
+    * regardless of which op is about to run (the cross-op recovery
+    * contract from the object doc):
     *
-    *   - `.purge-tmp-N` WITH `_SUCCESS` whose `batch=N` was already
-    *     deleted is the finished replacement — move it into place; one
-    *     whose `batch=N` still exists crashed before the delete — the
-    *     re-run rebuilds it, so drop it; one WITHOUT `_SUCCESS` is an
-    *     incomplete write — drop it (its original is intact).
+    *   - `.purge-tmp-N` / `.repair-tmp-N` WITH `_SUCCESS` whose
+    *     `batch=N` was already deleted is the finished replacement —
+    *     move it into place; one whose `batch=N` still exists crashed
+    *     before the delete — the re-run rebuilds it, so drop it; one
+    *     WITHOUT `_SUCCESS` is an incomplete write — drop it (its
+    *     original is intact).
     *   - `.compact-tmp-U` WITH `_SUCCESS` is a complete fold of every
     *     `batch <= U` partition, some of which may already be deleted —
     *     finishing it (delete the rest, rename to `batch=U`) is the
@@ -470,18 +486,20 @@ object CurationState {
     *     tmp would resurrect purged rows). One WITHOUT `_SUCCESS` is an
     *     incomplete write over intact originals — drop it.
     *
-    * Purge tmps are recovered FIRST: a completed purge swap restores
-    * its partition before a completed compaction fold counts partitions
-    * to delete. (By the single-writer contract at most one crashed op
-    * can exist per table; the ordering makes recovery correct even if
-    * that contract was violated.)
+    * Single-partition tmps (purge/repair) are recovered FIRST: a
+    * completed swap restores its partition before a completed
+    * compaction fold counts partitions to delete. (By the
+    * single-writer contract at most one crashed op can exist per
+    * table; the ordering makes recovery correct even if that contract
+    * was violated.)
     */
-  private def recoverOrphanSwaps(spark: SparkSession,
+  private[graft] def recoverOrphanSwaps(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path): Unit = {
     val tmps = fs.listStatus(table).toSeq.map(_.getPath)
-    tmps.filter(_.getName.startsWith(".purge-tmp-")).foreach { tmp =>
-      val n = tmp.getName.stripPrefix(".purge-tmp-")
+    tmps.filter(p => p.getName.startsWith(".purge-tmp-") ||
+        p.getName.startsWith(".repair-tmp-")).foreach { tmp =>
+      val n = tmp.getName.replaceFirst("^\\.(purge|repair)-tmp-", "")
       val part = new org.apache.hadoop.fs.Path(table, s"batch=$n")
       if (hasSuccess(fs, tmp) && !fs.exists(part)) {
         if (!fs.rename(tmp, part))

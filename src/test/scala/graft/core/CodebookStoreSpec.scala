@@ -176,6 +176,22 @@ class CodebookStoreSpec extends SparkSpec {
     val n = e.count()
     fs.trainCodebook("emb_fv", "vec_id", "embedding")
     fs.trainCodebook("emb_fv", "vec_id", "embedding", kind = "pq")
+    // trained but never incremented: "serves nothing" is zero ROWS,
+    // never a PATH_NOT_FOUND throw
+    assert(fs.indexHealth("emb_fv").collect().isEmpty,
+      "health of an empty index state must be an empty readout")
+    // an empty arrival would leave a footerless partitioned batch dir —
+    // the facade fails loudly before any state write
+    intercept[IllegalArgumentException] {
+      fs.indexIncrement("emb_fv", e.filter(col("vec_id") < 0),
+        "vec_id", "embedding", 0L)
+    }
+    // nprobe is an ivf knob — silently dropping it on a pq serve would
+    // let a caller believe they narrowed the scan
+    intercept[IllegalArgumentException] {
+      fs.searchIndex("emb_fv", e.limit(1), "vec_id", "embedding",
+        kind = "pq", nprobe = 8)
+    }
     val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
     val width = maxId / 2 + 1
     for (b <- 0L until 2L) {

@@ -1824,6 +1824,72 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("repair swaps are crash-safe: a torn partition rewrite is recovered, not lost") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val cb1 = Similarity.lloydPqCodebook(e, "vec_id", "embedding",
+      iters = 1).localCheckpoint(true)
+    val cb2 = Similarity.lloydPqCodebook(e, "vec_id", "embedding")
+      .localCheckpoint(true)
+    val v2 = Similarity.pqCodebookVersionOf(cb2)
+    val root = java.nio.file.Files.createTempDirectory("pqcrash-").toString
+    try {
+      val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+      val width = maxId / 2 + 1
+      for (b <- 0L until 2L)
+        Similarity.pqCodesIncrement(
+          e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
+          "vec_id", "embedding", cb1, root, b)
+      // simulate a repair of batch 0 that crashed AFTER completing its
+      // hidden tmp (with _SUCCESS) and deleting the original, BEFORE
+      // the rename — the torn state a bare in-place overwrite would
+      // turn into permanent silent loss (the partition vanishes from
+      // the next run's stale listing too)
+      val vecs0 = e.join(
+        spark.read.parquet(s"$root/codes/batch=0").select(col("vec_id")),
+        Seq("vec_id"), "left_semi").localCheckpoint(true)
+      Similarity.pqCodes(vecs0, "vec_id", "embedding",
+        codebook = Some(cb2))
+        .withColumn("codebook_version", lit(v2))
+        .write.mode("overwrite").parquet(s"$root/codes/.repair-tmp-0")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(s"$root/codes/batch=0"))
+      // the table now lists only batch 1 — a re-run must FIRST finish
+      // the completed swap, then repair the remaining stale partition
+      val repaired = Similarity.reencodeStale(
+        root, e, "vec_id", "embedding", cb2)
+      assert(repaired === Seq(1L),
+        s"recovery should restore batch 0, leaving only 1 stale: $repaired")
+      assert(Similarity.pqStateVersions(spark, root) === Seq(v2))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.head.toString.toLong).toSeq
+      assert(rows(spark.read.parquet(s"$root/codes")
+          .drop("batch", "codebook_version"))
+        === rows(Similarity.pqCodes(e, "vec_id", "embedding",
+          codebook = Some(cb2))),
+        "recovered + repaired state must equal the from-scratch encode")
+      // an INCOMPLETE tmp (no _SUCCESS) over an intact original is an
+      // abandoned write: discarded on the next run, original untouched
+      val junk = new java.io.File(s"$root/codes/.repair-tmp-1")
+      junk.mkdirs()
+      java.nio.file.Files.writeString(
+        junk.toPath.resolve("part-junk.parquet"), "not parquet")
+      assert(Similarity.reencodeStale(root, e, "vec_id", "embedding", cb2)
+        === Seq.empty, "nothing stale after the repair above")
+      assert(!junk.exists(), "incomplete repair tmp must be discarded")
+      assert(rows(spark.read.parquet(s"$root/codes")
+          .drop("batch", "codebook_version"))
+        === rows(Similarity.pqCodes(e, "vec_id", "embedding",
+          codebook = Some(cb2))), "state stable across tmp cleanup")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("pqCodeHistogram/pqCodeStaleness: histogram from state == from-scratch; PSI flags planted drift only") {
     val e = graft.Tables.load(spark, sf0001, "embeddings")
     val cb = Similarity.lloydPqCodebook(e, "vec_id", "embedding")

@@ -183,6 +183,18 @@ class CorpusManifestSpec extends SparkSpec {
       assert(extra.contains("extra") && extra("extra") === 0L,
         s"an unaudited extra table must surface: $extra")
       rm(new java.io.File(s"$root/extra"))
+      // an extra table the audit cannot even DIGEST (payload column
+      // with no dropCols entry) still surfaces as ok=0 via the
+      // (-1, "<undigestable>") sentinel — never an abort that leaves
+      // the REST of the state unaudited
+      Seq((1L, Array(0.5, 0.25))).toDF("vec_id", "embedding")
+        .write.parquet(s"$root/undig/batch=0")
+      val undig = okMap(stored)
+      assert(undig.contains("undig") && undig("undig") === 0L,
+        s"undigestable extra table must trip ok=0: $undig")
+      assert(undig.contains("dd") && undig.contains("ledger"),
+        s"the rest of the audit must still run: $undig")
+      rm(new java.io.File(s"$root/undig"))
       // non-atomic columns must be named in dropCols, never silently
       // excluded from the digest
       Seq((1L, Array(0.5, 0.25))).toDF("vec_id", "embedding")

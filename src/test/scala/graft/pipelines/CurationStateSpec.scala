@@ -263,6 +263,18 @@ class CurationStateSpec extends SparkSpec {
       CurationState.compactState(spark, root, upTo = 2L,
         tables = Seq("assign"), keepVersions = Some(Set("live")))
       assert(liveRows() === liveBefore, "GC re-run must be idempotent")
+      // zero-survivor GC REFUSES: an empty fold would swap in a
+      // footerless partition (a zero-row partitionBy write emits only
+      // _SUCCESS) and poison every later read of the table — the op
+      // must throw before anything is written or deleted
+      val ex = intercept[IllegalArgumentException] {
+        CurationState.compactState(spark, root, upTo = 2L,
+          tables = Seq("assign"), keepVersions = Some(Set("ghost")))
+      }
+      assert(ex.getMessage.contains("survives"), ex.getMessage)
+      assert(liveRows() === liveBefore,
+        "a refused GC must leave the state untouched")
+      assert(Similarity.assignStateVersions(spark, root) === Seq("live"))
     }
     withRoot { root =>
       // drift histogram state: folded per-batch rows re-aggregate to
