@@ -69,8 +69,8 @@ object CurationState {
     * (pre-r15 state) simply have no row; their partitions keep the
     * probe path. A state mixing pre-manifest arrivals WITH manifested
     * ones must not be compacted before backfilling rows (the folded
-    * partition would be half-covered — documented contract, not
-    * checked).
+    * partition would be half-covered) — [[compactState]] CHECKS this
+    * and refuses the fold.
     */
   val RangesTable: String = "ranges"
 
@@ -118,19 +118,35 @@ object CurationState {
     * are None for an EMPTY arrival — the row is still written so the
     * batch counts as manifest-covered (an empty partition can never
     * hold a purgeable id; null bounds match no range probe).
+    *
+    * `idCol` records WHICH id column the cover describes: a range is a
+    * fact about one id SPACE, and a purge keyed on a different column
+    * (the index tables' vec ids vs the curation tables' doc ids in a
+    * shared state root) must not trust it — [[purgeDocs]] consults only
+    * rows recorded under its own id column and probes everything else.
+    * Without the field, a doc-id cover numerically disjoint from the
+    * vec-id space would classify every index partition untouched and
+    * silently no-op a compliance sweep.
     */
   def writeRange(spark: SparkSession, stateDir: String, batchId: Long,
-      idMin: Option[Long], idMax: Option[Long], nRows: Long): Unit = {
+      idMin: Option[Long], idMax: Option[Long], nRows: Long,
+      idCol: String): Unit = {
+    require(!idCol.contains(","), s"idCol '$idCol' breaks the line format")
     val dir = new org.apache.hadoop.fs.Path(
       s"$stateDir/$RangesTable/batch=$batchId")
     val fs = hfs(spark, dir)
     fs.mkdirs(dir)
     writeLines(fs, dir, Seq(
-      s"$batchId,${idMin.getOrElse("")},${idMax.getOrElse("")},$nRows"))
+      s"$batchId,${idMin.getOrElse("")},${idMax.getOrElse("")},$nRows," +
+        idCol))
   }
 
-  /** One parsed manifest row: (arrival, id_min, id_max, n_rows). */
-  type RangeRow = (Long, Option[Long], Option[Long], Long)
+  /** One parsed manifest row: (arrival, id_min, id_max, n_rows,
+    * recorded id column). The id column is None for rows written before
+    * the field existed — consumers treat those as matching (they
+    * predate multi-id-space state roots).
+    */
+  type RangeRow = (Long, Option[Long], Option[Long], Long, Option[String])
 
   /** Driver-side read of the whole [[RangesTable]] manifest — the
     * manifest is metadata (≤ one row per arrival) and every consumer
@@ -153,7 +169,8 @@ object CurationState {
           (f(0).toLong,
             if (f(1).isEmpty) None else Some(f(1).toLong),
             if (f(2).isEmpty) None else Some(f(2).toLong),
-            f(3).toLong)
+            f(3).toLong,
+            f.lift(4).filter(_.nonEmpty))
         }
       }.sortBy(_._1)
     }
@@ -242,6 +259,16 @@ object CurationState {
   def compactState(spark: SparkSession, stateDir: String, upTo: Long,
       tables: Seq[String] = CurationTables,
       keepVersions: Option[Set[String]] = None): Unit = {
+    // the mixing contract, CHECKED (previously documentation-only): when
+    // a manifest exists, every partition being folded must be covered by
+    // some manifest arrival (prefix-fold rule). Folding an unmanifested
+    // arrival together with manifested ones would create a HALF-COVERED
+    // partition: the purge prune maps the manifested arrivals to it,
+    // classifies it handled, and the unmanifested rows inside are never
+    // probed — a silently incomplete right-to-forget sweep. The remedy
+    // is backfilling writeRange rows for the pre-manifest arrivals
+    // before the first fold.
+    val manifestedArrivals = readRanges(spark, stateDir).map(_._1)
     for (t <- tables if t != RangesTable) {
       val table = new org.apache.hadoop.fs.Path(s"$stateDir/$t")
       val fs = hfs(spark, table)
@@ -249,6 +276,17 @@ object CurationState {
         recoverOrphanSwaps(spark, fs, table)
         val all = batchesOf(fs, table)
         val toMerge = all.filter(_ <= upTo)
+        if (toMerge.nonEmpty && manifestedArrivals.nonEmpty) {
+          val covered = manifestedArrivals.flatMap(a => all.find(_ >= a)).toSet
+          val uncovered = toMerge.filterNot(covered)
+          if (uncovered.nonEmpty) throw new IllegalStateException(
+            s"compactState($t): partitions batch=" +
+              s"${uncovered.mkString(",")} are covered by no manifest " +
+              "arrival — folding them with manifested ones would leave " +
+              "a half-covered partition the purge prune silently " +
+              "skips. Backfill writeRange rows for the pre-manifest " +
+              "arrivals first")
+        }
         if (toMerge.nonEmpty) {
           val sub = nestedPartitionCols(fs, table, all)
           val tmp = new org.apache.hadoop.fs.Path(
@@ -380,14 +418,22 @@ object CurationState {
     // is ONE bounded broadcast range join of the opt-out ids against
     // the ≤ nBatches-row cover. Bounded driver valve — ≤ one arrival
     // value per manifest row.
+    // a manifest row is a fact about ONE id space: only rows recorded
+    // under THIS purge's id column may prune (legacy rows without the
+    // field predate multi-id-space roots and are treated as matching).
+    // Rows recorded under a different column (the curation tables' doc
+    // ids vs the index tables' vec ids in a shared root) are ignored
+    // entirely, so their partitions fall to the probe path instead of
+    // being silently classified untouched.
     val manRows = readRanges(spark, stateDir)
+      .filter(_._5.forall(_ == idCol))
     val (manifestArrivals: Set[Long], touchedArrivals: Set[Long]) =
       if (manRows.isEmpty) (Set.empty[Long], Set.empty[Long])
       else {
         import spark.implicits._
         // null bounds (empty arrival) satisfy no range predicate — an
         // empty partition can never hold a purgeable id
-        val man = manRows.map { case (a, mn, mx, _) => (a, mn, mx) }
+        val man = manRows.map { case (a, mn, mx, _, _) => (a, mn, mx) }
           .toDF("__arrival", "__pmin", "__pmax")
         val touched = ids.join(broadcast(man),
             col(idCol) >= col("__pmin") && col(idCol) <= col("__pmax"))

@@ -395,7 +395,7 @@ object TrainingDataPipeline {
       val annM = annObs.get
       CurationState.writeRange(spark, stateDir, b,
         obsLong(annM, "mn"), obsLong(annM, "mx"),
-        obsLong(annM, "n").getOrElse(0L))
+        obsLong(annM, "n").getOrElse(0L), idCol)
       val batch = ann.filter(gatePredicate(cfg))
       val fpHistory =
         if (b == 0L) Seq.empty[String].toDF("fingerprint")

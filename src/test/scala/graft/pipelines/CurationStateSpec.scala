@@ -415,8 +415,8 @@ class CurationStateSpec extends SparkSpec {
       curateIncrement(a1, "doc_id", Seq("source"), "n_tokens", root, 1L).collect()
       // manifest rows (the writers add these at append time; written
       // explicitly here so the spec pins the consumer in isolation)
-      CurationState.writeRange(spark, root, 0L, Some(0L), Some(1L), 2L)
-      CurationState.writeRange(spark, root, 1L, Some(6L), Some(7L), 2L)
+      CurationState.writeRange(spark, root, 0L, Some(0L), Some(1L), 2L, "doc_id")
+      CurationState.writeRange(spark, root, 1L, Some(6L), Some(7L), 2L, "doc_id")
       def listing(t: String, b: Long) =
         Option(new java.io.File(s"$root/$t/batch=$b").listFiles())
           .getOrElse(Array.empty)
@@ -470,6 +470,62 @@ class CurationStateSpec extends SparkSpec {
       CurationState.purgeDocs(spark, root, optOut, "doc_id", tables = Seq(t))
       assert(sortedRows(spark.read.parquet(s"$root/$t")) === rows,
         "crashed swap must be completed by the next sweep")
+    }
+  }
+
+  test("manifest prune is id-space-aware: a purge keyed on a different id column probes instead") {
+    withRoot { root =>
+      // a curation-era manifest row whose doc-id cover is numerically
+      // DISJOINT from the index table's vec-id space — the shared-root
+      // shape (curation + index state in one dir). Without the recorded
+      // id column, the range join would classify every partition
+      // untouched and silently no-op the sweep.
+      CurationState.writeRange(spark, root, 0L,
+        Some(100000L), Some(100010L), 11L, "doc_id")
+      Seq((1L, "v1"), (2L, "v1")).toDF("vec_id", "codebook_version")
+        .write.parquet(s"$root/codes/batch=0")
+      CurationState.purgeDocs(spark, root,
+        Seq(1L).toDF("vec_id"), "vec_id", tables = Seq("codes"))
+      val left = spark.read.parquet(s"$root/codes")
+        .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(left === Seq(2L),
+        s"cross-id-space purge must fall back to the probe path: $left")
+      // and a matching-column purge still rides the manifest: the
+      // disjoint cover proves no doc partition can hold the id, so the
+      // (nonexistent) doc tables are untouched and the sweep is a no-op
+      CurationState.purgeDocs(spark, root, Seq(5L).toDF("doc_id"), "doc_id")
+      assert(spark.read.parquet(s"$root/codes").count() === 1L)
+    }
+  }
+
+  test("compaction refuses to fold unmanifested arrivals into a manifested state") {
+    withRoot { root =>
+      // batch 0 predates the manifest; batch 1 is covered. Folding them
+      // together would leave a half-covered partition the purge prune
+      // silently skips — the fold must refuse until rows are backfilled
+      Seq((0L, "aa", 1L)).toDF("doc_id", "fingerprint", "kept")
+        .write.parquet(s"$root/dd/batch=0")
+      Seq((6L, "bb", 1L)).toDF("doc_id", "fingerprint", "kept")
+        .write.parquet(s"$root/dd/batch=1")
+      CurationState.writeRange(spark, root, 1L, Some(6L), Some(6L), 1L,
+        "doc_id")
+      val ex = intercept[IllegalStateException] {
+        CurationState.compactState(spark, root, upTo = 1L,
+          tables = Seq("dd"))
+      }
+      assert(ex.getMessage.contains("batch=0"), ex.getMessage)
+      val parts = new java.io.File(s"$root/dd").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+      assert(parts === Seq("batch=0", "batch=1"),
+        s"a refused fold must leave the state untouched: $parts")
+      // backfilling the pre-manifest arrival's cover unblocks the fold
+      CurationState.writeRange(spark, root, 0L, Some(0L), Some(0L), 1L,
+        "doc_id")
+      CurationState.compactState(spark, root, upTo = 1L, tables = Seq("dd"))
+      val folded = new java.io.File(s"$root/dd").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSeq
+      assert(folded === Seq("batch=1"), s"backfilled fold: $folded")
+      assert(spark.read.parquet(s"$root/dd").count() === 2L)
     }
   }
 }
