@@ -53,8 +53,12 @@ final class KVClientOnlineStore(clientFactory: () => KVClient)
 
   @transient private lazy val driverClient: KVClient = clientFactory()
 
+  // the view rides through the same escaped encoding as the key values:
+  // a bare `view + "/" + encoded` separator is not injective (view "a"
+  // with key "b/c" collides with view "a/b" with key "c" — one view's
+  // write could silently clobber another's vector)
   private def fullKey(view: String, keyValues: Seq[Any]): String =
-    view + "/" + OnlineStore.encodeKey(keyValues)
+    OnlineStore.encodeKey(view +: keyValues)
 
   override def write(view: String, keyColumns: Seq[String], df: DataFrame): Unit = {
     val featureCols = df.columns.filterNot(keyColumns.contains)
@@ -62,10 +66,43 @@ final class KVClientOnlineStore(clientFactory: () => KVClient)
     df.foreachPartition { rows: Iterator[Row] =>
       val client = factory()
       try client.putBatch(rows.map { row =>
-        val key = view + "/" + OnlineStore.encodeKey(
-          keyColumns.map(k => row.get(row.fieldIndex(k))))
+        val key = OnlineStore.encodeKey(
+          view +: keyColumns.map(k => row.get(row.fieldIndex(k))))
         key -> featureCols.map(c => c -> row.get(row.fieldIndex(c))).toMap
       }) finally client.close()
+    }
+  }
+
+  /** Executor-parallel conditional merge: each partition opens its own
+    * client, pipelines ONE bulk GET of the chunk's stored vectors,
+    * filters to the rows that win ([[OnlineStore.incomingWins]]), and
+    * pipelines the PUTs — the materialize-window path stays
+    * executor→store with NO driver collect, which is the
+    * billions-of-keys contract of this store (the trait's driver-side
+    * default would cap the window at driver memory). Chunked so each
+    * partition's GET/PUT pipeline depth stays bounded.
+    */
+  override def upsertIfNewer(view: String, keyColumns: Seq[String],
+      df: DataFrame, tsCol: String = "event_timestamp"): Unit = {
+    val featureCols = df.columns.filterNot(keyColumns.contains)
+    val factory = clientFactory // avoid serializing `this`
+    df.foreachPartition { rows: Iterator[Row] =>
+      val client = factory()
+      try rows.grouped(1024).foreach { chunk =>
+        val keys = chunk.map(row => OnlineStore.encodeKey(
+          view +: keyColumns.map(k => row.get(row.fieldIndex(k)))))
+        val stored = client.getBatch(keys)
+        client.putBatch(
+          chunk.zip(keys).zip(stored).iterator.collect {
+            case ((row, key), vec) if OnlineStore.incomingWins(
+                Option(row.getAs[java.sql.Timestamp](tsCol)),
+                vec.flatMap(v => Option(v.getOrElse(tsCol, null))).collect {
+                  case t: java.sql.Timestamp => t
+                }) =>
+              key -> featureCols.map(c =>
+                c -> row.get(row.fieldIndex(c))).toMap
+          })
+      } finally client.close()
     }
   }
 

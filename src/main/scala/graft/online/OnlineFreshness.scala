@@ -31,8 +31,10 @@ object OnlineFreshness {
   /** Per-key freshness rows: (key, present, last_us, lag_hours, stale).
     * `last_us` is the stored event time in µs (null when absent);
     * `lag_hours` the whole-hour lag behind the serving watermark;
-    * `stale` fires for missing keys and keys lagging more than
-    * `slaHours` — coverage and freshness in one flag.
+    * `stale` fires for missing keys, for present keys with no usable
+    * stored timestamp (null `last_us`), and for keys lagging more than
+    * `slaHours` — coverage and freshness in one flag, separable via
+    * `present`.
     */
   def audit(spark: SparkSession, store: OnlineStore, view: String,
       joinKeys: Seq[String], expectedKeys: DataFrame,
@@ -51,7 +53,12 @@ object OnlineFreshness {
           .collect { case t: java.sql.Timestamp =>
             t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
           }
-        (OnlineStore.encodeKey(kv), if (us.isDefined) 1L else 0L, us)
+        // present = the KEY is in the store — a vector whose stored
+        // event_timestamp is null (or not a Timestamp) is a FRESHNESS
+        // failure (null last_us → stale below), not a coverage one;
+        // conflating them would fire a false missing-key alarm for a
+        // key the stream actually delivered
+        (OnlineStore.encodeKey(kv), if (vec.isDefined) 1L else 0L, us)
       }
     import spark.implicits._
     val base = looked.toDF("key", "present", "last_us")
@@ -63,7 +70,7 @@ object OnlineFreshness {
       .withColumn("__wm", wm)
       .select(col("key"), col("present"), col("last_us"),
         expr("(__wm - last_us) div 3600000000").as("lag_hours"),
-        (col("present") === 0L ||
+        (col("present") === 0L || col("last_us").isNull ||
           expr("(__wm - last_us) div 3600000000") > slaHours)
           .cast("long").as("stale"))
   }

@@ -50,6 +50,36 @@ trait OnlineStore {
   def getBatch(view: String,
       keys: Seq[Seq[Any]]): Seq[Option[Map[String, Any]]] =
     keys.map(get(view, _))
+
+  /** Conditional partial upsert: a key's vector is written only when
+    * its `tsCol` value is not older than the stored vector's — the
+    * out-of-order protection streaming materialization needs across
+    * micro-batches ([[StreamingMaterializer.mergeLatest]]). A null
+    * incoming timestamp never beats a stored one
+    * ([[OnlineStore.incomingWins]] — and never NPEs the stream).
+    *
+    * Default compares via a driver-side collect + [[getBatch]] —
+    * matching the in-memory/parquet stores, whose serving reads are
+    * driver-resident by design. [[KVClientOnlineStore]] overrides with
+    * an executor-parallel per-partition merge: a materialization window
+    * covering billions of keys must never collect to the driver.
+    */
+  def upsertIfNewer(view: String, keyColumns: Seq[String], df: DataFrame,
+      tsCol: String = "event_timestamp"): Unit = {
+    val rows = df.collect()
+    val stored = getBatch(view,
+      rows.toSeq.map(r => keyColumns.map(k => r.get(r.fieldIndex(k)))))
+    val fresh = rows.zip(stored).collect {
+      case (row, vec) if OnlineStore.incomingWins(
+          Option(row.getAs[java.sql.Timestamp](tsCol)),
+          vec.flatMap(v => Option(v.getOrElse(tsCol, null))).collect {
+            case t: java.sql.Timestamp => t
+          }) => row
+    }
+    if (fresh.nonEmpty)
+      upsert(view, keyColumns, df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(fresh: _*), df.schema))
+  }
 }
 
 object OnlineStore {
@@ -68,6 +98,16 @@ object OnlineStore {
         .replace("\\", "\\\\")
         .replace("\u0001", "\\u0001")
     }.mkString("\u0001")
+
+  /** Freshness rule shared by every conditional-upsert path: the
+    * incoming row wins iff no stored timestamp is strictly newer. A
+    * null/absent incoming timestamp never beats a stored one — and the
+    * null must be decided here, not fed to `Timestamp.after` (an NPE
+    * inside foreachBatch kills the streaming query).
+    */
+  private[online] def incomingWins(incoming: Option[java.sql.Timestamp],
+      stored: Option[java.sql.Timestamp]): Boolean =
+    stored.forall(s => incoming.exists(i => !s.after(i)))
 }
 
 /** Volatile KV for tests and single-process serving.
@@ -141,15 +181,29 @@ final class ParquetOnlineStore(spark: SparkSession, root: String,
     * written executor-parallel to a sibling path and swapped in (we
     * cannot overwrite the path we are reading from mid-plan, and a
     * driver-side collect would cap the table at driver memory). Swap
-    * order is rename-aside → rename-in → delete-aside, so a crash at
-    * any point leaves either the old or the new table at the live path
-    * — never nothing (a missing live path would make the next upsert
-    * silently rebuild the view from one micro-batch).
+    * order is rename-aside → rename-in → delete-aside; a crash BETWEEN
+    * the renames leaves the table at `__preupsert` with the live path
+    * empty, so the next upsert runs the recovery preamble (restore the
+    * moved-aside table) before anything else — without it the
+    * missing-path branch would silently rebuild the view from one
+    * micro-batch and a later upsert would delete the real table as a
+    * crash leftover.
     */
   override def upsert(view: String, keyColumns: Seq[String], df: DataFrame): Unit = {
     val p = path(view)
     val fsPath = new org.apache.hadoop.fs.Path(p)
     val hfs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery (the Transforms.upsertByKey preamble): a leftover
+    // __preupsert with the live path MISSING means a prior upsert died
+    // between rename-aside and rename-in — restore it, or the
+    // !exists branch below would silently rebuild the whole view from
+    // this one micro-batch (and a later upsert would then delete the
+    // real table as a "leftover"). Both present = prior swap completed
+    // and only missed cleanup — the live path is the merged table.
+    val old0 = new org.apache.hadoop.fs.Path(p + "__preupsert")
+    if (hfs.exists(old0) && !hfs.exists(fsPath))
+      require(hfs.rename(old0, fsPath),
+        s"upsert: failed to restore interrupted view from $old0")
     if (!hfs.exists(fsPath)) { write(view, keyColumns, df); return }
     val merged = spark.read.parquet(p)
       .join(df.select(keyColumns.map(org.apache.spark.sql.functions.col): _*),

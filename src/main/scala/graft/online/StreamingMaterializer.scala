@@ -39,32 +39,17 @@ object StreamingMaterializer {
   }
 
   /** Upsert batch-latest vectors, keeping the stored vector when it is
-    * newer (out-of-order protection across micro-batches).
+    * newer (out-of-order protection across micro-batches) — delegates
+    * to [[OnlineStore.upsertIfNewer]], so the in-memory/parquet stores
+    * compare driver-side while [[KVClientOnlineStore]] merges
+    * executor-parallel (a wide materialization window must never
+    * collect to the driver). A null incoming timestamp never beats a
+    * stored vector ([[OnlineStore.incomingWins]]).
     */
   def mergeLatest(
       store: OnlineStore, view: FeatureView, joinKeys: Seq[String],
-      batchLatest: DataFrame): Unit = {
-    val rows = batchLatest.collect()
-    // one pipelined multi-GET for the whole batch's stored timestamps,
-    // not one round-trip per key (OnlineStore.getBatch)
-    val stored = store.getBatch(view.name,
-      rows.toSeq.map(row => joinKeys.map(k => row.get(row.fieldIndex(k)))))
-    val fresh = rows.zip(stored).collect {
-      case (row, vec)
-          if vec
-            .flatMap(v => Option(v.get("event_timestamp").orNull
-              .asInstanceOf[java.sql.Timestamp]))
-            .forall(!_.after(
-              row.getTimestamp(row.fieldIndex("event_timestamp")))) =>
-        row
-    }
-    if (fresh.nonEmpty) {
-      val spark = batchLatest.sparkSession
-      val freshDf = spark.createDataFrame(
-        java.util.Arrays.asList(fresh: _*), batchLatest.schema)
-      store.upsert(view.name, joinKeys, freshDf)
-    }
-  }
+      batchLatest: DataFrame): Unit =
+    store.upsertIfNewer(view.name, joinKeys, batchLatest)
 
   /** Wire a streaming source to continuous online-store upserts. Caller
     * starts/stops the returned query writer.

@@ -122,16 +122,25 @@ object StreamingIngest {
           // mb=, not batch=: the curve already carries a `batch` data
           // column; a same-named partition dir would collide on read
           .write.mode("overwrite").parquet(s"$outDir/mb=$batchId")
-        if (keepBatches > 0) {
-          val root = new org.apache.hadoop.fs.Path(outDir)
-          val fs = root.getFileSystem(
-            df.sparkSession.sparkContext.hadoopConfiguration)
-          fs.listStatus(root)
-            .filter(_.getPath.getName.startsWith("mb="))
-            .filter(_.getPath.getName.drop(3).toLong <= batchId - keepBatches)
-            .foreach(s => fs.delete(s.getPath, true))
-        }
+        pruneOldBatches(df.sparkSession, outDir, batchId, keepBatches)
       }
+
+  /** Retention sweep shared by the foreachBatch streams: delete `mb=N`
+    * output dirs older than the last `keepBatches`. Strict `mb=<digits>`
+    * match — a scratch dir like `mb=5.tmp` or `mb=5_bak` must be
+    * ignored, never crash the whole streaming query with a
+    * NumberFormatException from inside foreachBatch.
+    */
+  private def pruneOldBatches(spark: SparkSession, outDir: String,
+      batchId: Long, keepBatches: Int): Unit =
+    if (keepBatches > 0) {
+      val root = new org.apache.hadoop.fs.Path(outDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root)
+        .filter(_.getPath.getName.matches("mb=\\d+"))
+        .filter(_.getPath.getName.drop(3).toLong <= batchId - keepBatches)
+        .foreach(s => fs.delete(s.getPath, true))
+    }
 
   /** STREAMING-DRIVEN curation (VERDICT r13 #3) — the production
     * arrival API at micro-batch cadence: each micro-batch of arriving
@@ -181,15 +190,7 @@ object StreamingIngest {
             // extra checkpoint materialization is skipped
             checkpointResult = false)
           .write.mode("overwrite").parquet(s"$outDir/mb=$batchId")
-        if (keepBatches > 0) {
-          val root = new org.apache.hadoop.fs.Path(outDir)
-          val fs = root.getFileSystem(
-            df.sparkSession.sparkContext.hadoopConfiguration)
-          fs.listStatus(root)
-            .filter(_.getPath.getName.startsWith("mb="))
-            .filter(_.getPath.getName.drop(3).toLong <= batchId - keepBatches)
-            .foreach(s => fs.delete(s.getPath, true))
-        }
+        pruneOldBatches(df.sparkSession, outDir, batchId, keepBatches)
       }
 
   /** STREAMING-DRIVEN index maintenance (VERDICT r16 #4) — the
@@ -317,28 +318,53 @@ object StreamingIngest {
   final case class SessionState(n: Long, total: Double, lastTs: Long)
   final case class SessionSummary(user_id: Long, n: Long, total: Double)
 
-  /** Custom per-key state: running session aggregates with a processing-
-    * time timeout — the `mapGroupsWithState` surface for logic windows
-    * can't express (reference has none; this is the scale-path extension).
+  /** Custom per-key state: running session aggregates with an idle
+    * timeout — the `mapGroupsWithState` surface for logic windows can't
+    * express (reference has none; this is the scale-path extension).
+    *
+    * The timeout is REAL state lifecycle, not a pass-through: each
+    * update re-arms the key's timeout (`idleGapMs` of idleness —
+    * processing-time duration or event-time watermark target, per
+    * `timeout`), and a fired timeout emits the key's final summary and
+    * REMOVES its state. Without the re-arm + timed-out branch the
+    * timeout parameter would be a silent no-op (Spark only schedules a
+    * timeout for keys that call setTimeout* inside the function) and
+    * per-key state would grow forever on a high-cardinality stream.
+    * `EventTimeTimeout` requires a watermark on `events`; a key already
+    * trailing the watermark by more than the gap times out at the next
+    * trigger (a timeout target must exceed the current watermark).
     */
   def sessionize(
       spark: SparkSession, events: DataFrame,
-      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): DataFrame = {
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      idleGapMs: Long = 30L * 60L * 1000L): DataFrame = {
     import spark.implicits._
+    val procTime = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    val eventTime = timeout == GroupStateTimeout.EventTimeTimeout
     events.as[SessionEvent]
       .groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, SessionSummary](timeout) {
         case (user, it, state: GroupState[SessionState]) =>
-          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-          var n = prev.n
-          var total = prev.total
-          var last = prev.lastTs
-          it.foreach { e =>
-            n += 1; total += e.value
-            last = math.max(last, e.ts.getTime)
+          if (state.hasTimedOut) {
+            // idle session closes: final summary out, state DROPPED
+            val prev = state.get
+            state.remove()
+            SessionSummary(user, prev.n, prev.total)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            var n = prev.n
+            var total = prev.total
+            var last = prev.lastTs
+            it.foreach { e =>
+              n += 1; total += e.value
+              last = math.max(last, e.ts.getTime)
+            }
+            state.update(SessionState(n, total, last))
+            if (procTime) state.setTimeoutDuration(idleGapMs)
+            else if (eventTime) state.setTimeoutTimestamp(
+              math.max(last + idleGapMs, state.getCurrentWatermarkMs() + 1L))
+            SessionSummary(user, n, total)
           }
-          state.update(SessionState(n, total, last))
-          SessionSummary(user, n, total)
       }.toDF()
   }
 

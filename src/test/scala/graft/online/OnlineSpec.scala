@@ -156,7 +156,8 @@ class OnlineSpec extends SparkSpec {
     val reader = new Thread(() => {
       val c = new OnlineSpec.FileKVClient(dir)
       while (!stop.get()) keys.foreach { k =>
-        c.get("fv/" + k).foreach(v => seen.add(v("value").asInstanceOf[Double]))
+        c.get(OnlineStore.encodeKey(Seq("fv", k)))
+          .foreach(v => seen.add(v("value").asInstanceOf[Double]))
       }
     })
     reader.start()
@@ -207,6 +208,42 @@ class OnlineSpec extends SparkSpec {
       assert(store.get("cv", Seq(k1.orNull, k2.orNull)).map(_("v")) === Some(v),
         s"lookup ($k1, $k2)")
     }
+  }
+
+  test("kv key namespace: view and key content cannot collide across views") {
+    val dir = OnlineSpec.newKvDir()
+    val store = new KVClientOnlineStore(() => new OnlineSpec.FileKVClient(dir))
+    // an unescaped `view + "/" + key` renders BOTH of these as "a/b/c" —
+    // one view's write would silently clobber the other's vector
+    store.write("a", Seq("key"), Seq(("b/c", 1.0)).toDF("key", "value"))
+    store.write("a/b", Seq("key"), Seq(("c", 2.0)).toDF("key", "value"))
+    assert(store.get("a", Seq("b/c")).map(_("value")) === Some(1.0),
+      "view 'a' lost its vector to view 'a/b'")
+    assert(store.get("a/b", Seq("c")).map(_("value")) === Some(2.0))
+  }
+
+  test("parquet store upsert recovers a crash between rename-aside and rename-in") {
+    val root = Files.createTempDirectory("graft_kv_crash").toString
+    val store = new ParquetOnlineStore(spark, root)
+    store.write("fv", Seq("key"), Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("b", Timestamp.valueOf("2024-01-01 00:00:00"), 2.0))
+      .toDF("key", "event_timestamp", "v"))
+    // the torn window: live table moved aside, replacement never landed
+    val live = new org.apache.hadoop.fs.Path(s"$root/fv")
+    val hfs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.rename(live,
+      new org.apache.hadoop.fs.Path(s"$root/fv__preupsert")))
+    // the next upsert must RESTORE the table before merging — without
+    // recovery it would rebuild the view from this one batch (losing b)
+    // and a later upsert would delete the real table as a "leftover"
+    store.upsert("fv", Seq("key"), Seq(
+      ("a", Timestamp.valueOf("2024-01-02 00:00:00"), 10.0))
+      .toDF("key", "event_timestamp", "v"))
+    val fresh = new ParquetOnlineStore(spark, root)
+    assert(fresh.get("fv", Seq("a")).map(_("v")) === Some(10.0))
+    assert(fresh.get("fv", Seq("b")).map(_("v")) === Some(2.0),
+      "the moved-aside table must be restored, not discarded")
   }
 
   test("float32 narrowing applies only to declared-FLOAT features") {

@@ -41,6 +41,26 @@ class StreamingMaterializerSpec extends SparkSpec {
     assert(store.get("fv", Seq("a")).get("v") === 10.0)
   }
 
+  test("a null incoming event_timestamp never beats a stored vector (and never NPEs)") {
+    val store = new InMemoryOnlineStore
+    def push(b: org.apache.spark.sql.DataFrame): Unit =
+      StreamingMaterializer.mergeLatest(store, view, Seq("key"),
+        StreamingMaterializer.latestPerKey(b, view, Seq("key")))
+    push(batch(("a", "2024-01-01 10:00:00", 1.0)))
+    // dirty source: the key's whole micro-batch arrives with null ts —
+    // Timestamp.after(null) used to NPE inside foreachBatch and kill
+    // the streaming query; the null row must simply lose to the stored
+    // vector
+    val nullTs = Seq(("a", 7.0), ("c", 9.0)).toDF("key", "v")
+      .select(col("key"), lit(null).cast("timestamp").as("event_ts"),
+        col("v"))
+    push(nullTs)
+    assert(store.get("fv", Seq("a")).get("v") === 1.0,
+      "a null-ts row must not replace a stored vector")
+    // a key with no stored vector still lands (nothing to lose to)
+    assert(store.get("fv", Seq("c")).map(_("v")) === Some(9.0))
+  }
+
   test("parquet store upsert keeps untouched keys (whole-table override)") {
     val root = Files.createTempDirectory("kvup").toString
     val store = new ParquetOnlineStore(spark, root)

@@ -325,6 +325,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize event-time timeout closes the idle session and drops its state") {
+    val src = Files.createTempDirectory("stream_src_to").toString
+    writeDrop(src, Seq(
+      (1L, "2024-01-01 10:00:00", 5.0),
+      (2L, "2024-01-01 10:00:30", 1.0)))
+    val schema = spark.read.parquet(src).schema
+    val stream = StreamingIngest.readStream(spark, src, schema)
+      .withWatermark("ts", "0 seconds")
+    val sessions = StreamingIngest.sessionize(spark, stream,
+      GroupStateTimeout.EventTimeTimeout, idleGapMs = 10L * 60L * 1000L)
+    val q = sessions.writeStream.outputMode("update")
+      .format("memory").queryName("sessions_to").start()
+    try {
+      q.processAllAvailable()
+      // key 1 goes idle; key 2 keeps talking far past the gap, which
+      // advances the watermark beyond key 1's timeout target...
+      writeDrop(src, Seq((2L, "2024-01-01 11:00:00", 2.0)))
+      q.processAllAvailable()
+      // ...and the NEXT trigger fires the timeout (timeouts are
+      // evaluated against the watermark set by the PRIOR micro-batch)
+      writeDrop(src, Seq((2L, "2024-01-01 11:01:00", 3.0)))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sessions_to")
+        .filter(col("user_id") === 1L).count()
+      assert(afterTimeout === 2L,
+        "the timed-out key must emit its final summary (initial row + " +
+          s"timeout row): $afterTimeout")
+      // state was REMOVED: the key's next event starts a FRESH session
+      // (n=1, its own value) instead of accumulating onto the old one
+      writeDrop(src, Seq((1L, "2024-01-01 11:30:00", 9.0)))
+      q.processAllAvailable()
+      val fresh = spark.table("sessions_to")
+        .filter(col("user_id") === 1L)
+        .orderBy(col("n")).collect()
+        .map(r => (r.getLong(r.fieldIndex("n")),
+          r.getDouble(r.fieldIndex("total")))).toSeq
+      assert(fresh.contains((1L, 9.0)) && !fresh.contains((2L, 14.0)),
+        s"timeout must have dropped the state (fresh session expected): $fresh")
+    } finally q.stop()
+  }
+
   test("transformWithState sessionizer (RocksDB) equals the mapGroupsWithState face") {
     // RocksDB is by far the heaviest /tmp writer in the suite (sst
     // upload per micro-batch) and this host's tmpdir shows I/O-level
