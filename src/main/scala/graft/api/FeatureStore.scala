@@ -149,8 +149,12 @@ final class FeatureStore(
     val registryPath = config.registryPath.getOrElse(throw new IllegalStateException(
       "analyze() needs a file-backed registry (config.registryPath) to place stats next to"))
     val path = StatsStore.statsPath(registryPath, fv.name, keys)
+    // readStatic, not read: ANALYZE of a non-temporal dimension table
+    // must not demand a timestamp_field (SourceReader.readStatic's own
+    // documented consumer)
     StatsStore.write(
-      StatsStore.analyze(graft.sources.SourceReader.read(spark, fv.source), keys),
+      StatsStore.analyze(
+        graft.sources.SourceReader.readStatic(spark, fv.source), keys),
       path)
     path
   }
@@ -274,17 +278,19 @@ final class FeatureStore(
     */
   def searchIndex(viewName: String, queries: DataFrame, idCol: String,
       vecCol: String, topK: Int = 10, kind: String = "ivf", k: Int = 16,
-      iters: Int = 3, nprobe: Int = 4): DataFrame = {
+      iters: Int = 3, nprobe: Int = -1): DataFrame = {
     val (cb, state) = resolveIndex(viewName, kind, k, iters)
     // a pq ADC serve has no cell probe — silently dropping a tuned
-    // nprobe would let a caller believe they narrowed the scan
-    require(kind == "ivf" || nprobe == 4,
+    // nprobe would let a caller believe they narrowed the scan. The
+    // default is the -1 sentinel (resolved to 4 for ivf below) so an
+    // EXPLICIT pq nprobe is always rejected, including nprobe = 4
+    require(kind == "ivf" || nprobe < 0,
       "nprobe applies to the ivf kind only (the pq ADC scan has no " +
         "cell probe)")
     kind match {
       case "ivf" => graft.ops.Similarity.ivfStateTopK(
         spark, state, queries, idCol, vecCol, cb, k = topK,
-        nprobe = nprobe)
+        nprobe = if (nprobe < 0) 4 else nprobe)
       case _ => graft.ops.Similarity.pqAdcFromState(
         spark, state, queries, idCol, vecCol, cb, k = topK)
     }
@@ -319,17 +325,21 @@ final class FeatureStore(
     val dir = new org.apache.hadoop.fs.Path(s"$state/$table")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // trained-but-never-incremented is a legitimate time to probe
-    // health: the "state serves nothing" readout is zero ROWS, never a
-    // PATH_NOT_FOUND throw
-    if (!fs.exists(dir))
-      Seq.empty[(String, Long, Long, Long)]
-        .toDF("version", "n_rows", "n_batches", "is_serving")
-    else spark.read.parquet(dir.toString)
+    // health — in fact the probe an operator runs right after a crash:
+    // the "state serves nothing" readout is zero ROWS, never a
+    // PATH_NOT_FOUND or UNABLE_TO_INFER_SCHEMA throw (the latter is
+    // what a dir holding no committed footers produces — a crashed
+    // first increment's _temporary leftovers, or a fully GC'd table)
+    def empty() = Seq.empty[(String, Long, Long, Long)]
+      .toDF("version", "n_rows", "n_batches", "is_serving")
+    if (!fs.exists(dir)) empty()
+    else try spark.read.parquet(dir.toString)
       .groupBy(col("codebook_version").as("version"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("batch")).as("n_batches"))
       .withColumn("is_serving",
         (col("version") === lit(serving)).cast("long"))
+    catch { case _: org.apache.spark.sql.AnalysisException => empty() }
   }
 
   private def resolveJoinKeys(fv: FeatureView): Seq[String] =

@@ -52,6 +52,27 @@ object ArtifactStore {
     if (cleaned.isEmpty) "_" else cleaned
   }
 
+  /** Directory of the registry document — the one derivation every
+    * registry-sited artifact family ([[CodebookStore]], [[StatsStore]])
+    * shares.
+    */
+  private[core] def registryDir(registryPath: String): String = {
+    val slash = registryPath.lastIndexOf('/')
+    if (slash >= 0) registryPath.substring(0, slash) else "."
+  }
+
+  /** UNAMBIGUOUS path component for a user-derived artifact name:
+    * [[sanitize]] is lossy ('a b' and 'a/b' both sanitize to 'a_b'), so
+    * two distinct views/tables could share one artifact path and
+    * silently serve each other's codebook, index state, or statistics.
+    * An 8-hex md5 of the RAW name disambiguates while keeping the
+    * readable sanitized prefix.
+    */
+  private[core] def artifactComponent(name: String): String =
+    sanitize(name) + "-" + java.security.MessageDigest
+      .getInstance("MD5").digest(name.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+
   private def hfs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -161,9 +182,13 @@ object ArtifactStore {
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(cur),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // GC: keep {new, previous} plus anything younger than the age
-    // horizon; delete the rest (best effort)
+    // horizon; delete the rest (best effort). The cutoff derives from
+    // the FILESYSTEM's clock ([[fsNow]]), like the orphan gate — a
+    // client clock ahead of the namenode by more than the horizon
+    // would otherwise age-qualify versions written seconds ago and
+    // delete a straggling reader's resolved dir out from under it
     val keep = Set(version) ++ prev
-    val cutoff = System.currentTimeMillis - gcHorizonMs
+    val cutoff = fsNow(fs, base) - gcHorizonMs
     try {
       fs.listStatus(new org.apache.hadoop.fs.Path(base)).foreach { st =>
         val n = st.getPath.getName
@@ -194,12 +219,13 @@ object ArtifactStore {
   */
 object CodebookStore {
 
-  /** Deterministic codebook location beside the registry document. */
-  def codebookPath(registryPath: String, name: String): String = {
-    val slash = registryPath.lastIndexOf('/')
-    val dir = if (slash >= 0) registryPath.substring(0, slash) else "."
-    s"$dir/codebooks/${ArtifactStore.sanitize(name)}"
-  }
+  /** Deterministic codebook location beside the registry document
+    * ([[ArtifactStore.artifactComponent]]: distinct view names can
+    * never share a path, even when they sanitize identically).
+    */
+  def codebookPath(registryPath: String, name: String): String =
+    s"${ArtifactStore.registryDir(registryPath)}/codebooks/" +
+      ArtifactStore.artifactComponent(name)
 
   /** Deterministic MAINTAINED-INDEX state location beside the registry
     * — [[codebookPath]]'s sibling for the arrival-partitioned index
@@ -210,11 +236,9 @@ object CodebookStore {
     * reads version-filter on the codebook stamp instead of a CURRENT
     * pointer.
     */
-  def indexStatePath(registryPath: String, name: String): String = {
-    val slash = registryPath.lastIndexOf('/')
-    val dir = if (slash >= 0) registryPath.substring(0, slash) else "."
-    s"$dir/indexstate/${ArtifactStore.sanitize(name)}"
-  }
+  def indexStatePath(registryPath: String, name: String): String =
+    s"${ArtifactStore.registryDir(registryPath)}/indexstate/" +
+      ArtifactStore.artifactComponent(name)
 
   def save(codebook: DataFrame, base: String): Unit =
     ArtifactStore.save(codebook, base)

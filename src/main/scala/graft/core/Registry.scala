@@ -129,18 +129,36 @@ final class HadoopRegistry(
     */
   private def load(): State = loadInternal()._1
 
+  /** Stale-tmp horizon: a live swap completes in milliseconds, so a
+    * tmp this much older than the FS clock with no final file is a
+    * crashed writer (the [[ArtifactStore.orphanTmpHorizonMs]] posture;
+    * shorter here because the registry write is one small JSON file,
+    * not a parquet artifact).
+    */
+  private val staleTmpHorizonMs = 10000L
+
   /** FS-clock "now": the modification time of a freshly written probe
     * file next to the registry. Staleness must be judged on the
     * filesystem's clock — local `System.currentTimeMillis` vs a remote
     * FS's modtime can skew by more than the whole staleness threshold.
     * Only called on the rare final-missing-but-tmp-present branch.
+    * Falls back to the client clock when the probe can't be written
+    * (read-only mount — a crashed writer can't have left a tmp on a
+    * mount nobody can write to), and a failed probe DELETE never masks
+    * the computed time.
     */
   private def fsNow(f: FileSystem): Long = {
     val probe = new Path(pathStr + ".probe-" + java.util.UUID.randomUUID)
-    val out = f.create(probe, true)
-    try out.write('p') finally out.close()
-    try f.getFileStatus(probe).getModificationTime
-    finally f.delete(probe, false)
+    try {
+      val out = f.create(probe, true)
+      try out.write('p') finally out.close()
+      val t = f.getFileStatus(probe).getModificationTime
+      try f.delete(probe, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      t
+    } catch {
+      case scala.util.control.NonFatal(_) => System.currentTimeMillis
+    }
   }
 
   /** @return (state, resolvedViaStaleTmp). The second component is true
@@ -168,15 +186,18 @@ final class HadoopRegistry(
           case _: java.io.FileNotFoundException => () // vanished mid-swap; retry
         }
       } else {
-        val tmpAge =
-          try Some(fsNow(f) - f.getFileStatus(tmpPath).getModificationTime)
+        // stat the tmp FIRST: the common missing-registry read (fresh
+        // repo, pre-first-apply) must not pay — or crash on — a probe
+        // write just to compute an age nothing needs
+        val tmpSt =
+          try Some(f.getFileStatus(tmpPath))
           catch { case _: java.io.FileNotFoundException => None }
-        tmpAge match {
+        tmpSt.map(st => fsNow(f) - st.getModificationTime) match {
           case None =>
             // neither final nor in-progress temp: genuinely empty (the
             // re-check of the final path closes the tmp→final rename race)
             if (!f.exists(path)) return (State(Map.empty, Map.empty, Map.empty), false)
-          case Some(age) if age > 10000 =>
+          case Some(age) if age > staleTmpHorizonMs =>
             // stale .tmp from a crashed writer, not an in-flight swap:
             // the registry was never (re)written — readable as empty, but
             // flagged so apply() won't rewrite the registry from empty

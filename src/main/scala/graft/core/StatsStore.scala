@@ -28,11 +28,12 @@ object StatsStore {
     */
   def statsPath(registryPath: String, table: String,
       keyCols: Seq[String]): String = {
-    val slash = registryPath.lastIndexOf('/')
-    val dir = if (slash >= 0) registryPath.substring(0, slash) else "."
-    val name = ArtifactStore.sanitize(
-      s"${table}__${keyCols.mkString("_")}")
-    s"$dir/stats/$name.parquet"
+    // keys join on an unprintable separator in the RAW name so the
+    // disambiguating hash ([[ArtifactStore.artifactComponent]]) tells
+    // ("a", "b") from ("a_b") even though both sanitize identically
+    val name = ArtifactStore.artifactComponent(
+      s"${table}__${keyCols.mkString("\u0000")}")
+    s"${ArtifactStore.registryDir(registryPath)}/stats/$name.parquet"
   }
 
   /** The ANALYZE pass: exact per-key counts (one keyed shuffle with

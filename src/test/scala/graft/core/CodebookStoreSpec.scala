@@ -77,11 +77,14 @@ class CodebookStoreSpec extends SparkSpec {
       s"expected {new, previous} after horizon, got ${versions().toSeq}")
   }
 
-  test("sanitize keeps artifact names inside the layout") {
+  test("sanitize keeps artifact names inside the layout, hash-disambiguated") {
     assert(ArtifactStore.sanitize("a/b:c d") == "a_b_c_d")
     assert(ArtifactStore.sanitize("") == "_")
-    assert(CodebookStore.codebookPath("/tmp/reg/registry.json", "v/1")
-      == "/tmp/reg/codebooks/v_1")
+    // readable sanitized prefix + an 8-hex md5 of the RAW name: 'v/1'
+    // and 'v 1' sanitize identically but must not share a path
+    val p = CodebookStore.codebookPath("/tmp/reg/registry.json", "v/1")
+    assert(p.matches("/tmp/reg/codebooks/v_1-[0-9a-f]{8}"), p)
+    assert(p !== CodebookStore.codebookPath("/tmp/reg/registry.json", "v 1"))
   }
 
   test("FeatureStore trainCodebook/codebookFor round-trip beside the registry") {
@@ -180,6 +183,21 @@ class CodebookStoreSpec extends SparkSpec {
     // never a PATH_NOT_FOUND throw
     assert(fs.indexHealth("emb_fv").collect().isEmpty,
       "health of an empty index state must be an empty readout")
+    // ...and a state dir holding NO committed footers (a crashed first
+    // increment's _temporary leftovers) is the same empty readout, not
+    // an UNABLE_TO_INFER_SCHEMA throw — health is exactly the probe an
+    // operator runs after such a crash
+    val torn = new java.io.File(
+      s"${fs.indexStatePath("emb_fv")}/assign/batch=0/_temporary")
+    assert(torn.mkdirs())
+    assert(fs.indexHealth("emb_fv").collect().isEmpty,
+      "a footerless state dir must read as the empty health readout")
+    def rmr(x: java.io.File): Unit = {
+      if (x.isDirectory)
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rmr)
+      x.delete(); ()
+    }
+    rmr(new java.io.File(s"${fs.indexStatePath("emb_fv")}/assign"))
     // an empty arrival would leave a footerless partitioned batch dir —
     // the facade fails loudly before any state write
     intercept[IllegalArgumentException] {
@@ -187,10 +205,15 @@ class CodebookStoreSpec extends SparkSpec {
         "vec_id", "embedding", 0L)
     }
     // nprobe is an ivf knob — silently dropping it on a pq serve would
-    // let a caller believe they narrowed the scan
+    // let a caller believe they narrowed the scan; an EXPLICIT pq
+    // nprobe is rejected even at the ivf default value
     intercept[IllegalArgumentException] {
       fs.searchIndex("emb_fv", e.limit(1), "vec_id", "embedding",
         kind = "pq", nprobe = 8)
+    }
+    intercept[IllegalArgumentException] {
+      fs.searchIndex("emb_fv", e.limit(1), "vec_id", "embedding",
+        kind = "pq", nprobe = 4)
     }
     val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
     val width = maxId / 2 + 1

@@ -49,6 +49,32 @@ class StatsStoreSpec extends SparkSpec {
     assert(fs.statsFor("docs_fv").isEmpty)
   }
 
+  test("artifact paths are unambiguous; ANALYZE works on non-temporal tables") {
+    // distinct identities must never share an artifact path even when
+    // the lossy sanitizer renders them identically — a collision would
+    // silently serve one view's stats/codebook/index to the other
+    assert(StatsStore.statsPath("/r/registry.json", "t", Seq("a", "b"))
+      !== StatsStore.statsPath("/r/registry.json", "t", Seq("a_b")))
+    assert(CodebookStore.codebookPath("/r/registry.json", "a b")
+      !== CodebookStore.codebookPath("/r/registry.json", "a/b"))
+    assert(CodebookStore.indexStatePath("/r/registry.json", "a b")
+      !== CodebookStore.indexStatePath("/r/registry.json", "a/b"))
+    // ANALYZE of a non-temporal dimension table must not demand a
+    // timestamp_field (readStatic's documented consumer) — region has
+    // no event_timestamp column
+    val repo = java.nio.file.Files.createTempDirectory("stats_repo_dim")
+    val regPath = repo.resolve("registry.json").toString
+    val fs = new FeatureStore(spark,
+      RepoConfig("dim_demo", Some(regPath)), new FileRegistry(regPath))
+    fs.applyObjects(Seq(
+      Entity("reg", Seq("r_regionkey"), ValueType.INT64),
+      FeatureView("region_fv", Seq("reg"),
+        Seq(Feature("r_name", org.apache.spark.sql.types.StringType)),
+        SparkSource("region_src", s"$sf0001/region.parquet"))))
+    fs.analyze("region_fv")
+    assert(fs.statsFor("region_fv").get.count() === 5L)
+  }
+
   test("legacy plain-parquet stats stay readable and migrate on next write") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ss_legacy")
