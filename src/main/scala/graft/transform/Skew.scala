@@ -108,12 +108,6 @@ object Skew {
       .filter(col(rankCol) <= k)
   }
 
-  /** Salted join of a skewed fact side against a dimension: the fact
-    * side gets a random salt in [0, numSalts); the dimension is
-    * replicated once per salt value; the join key becomes (key, salt).
-    * Use when the dimension is too big to broadcast but the fact side
-    * has hot keys. Replication factor = numSalts × |dim|.
-    */
   /** Pre-flight join-size and skew forecast — compute the EXACT output
     * cardinality of `a ⋈ b` on `keyCols` and its hottest keys WITHOUT
     * running the join: per-key counts on each side (map-side
@@ -156,16 +150,30 @@ object Skew {
     val per = ca.join(cb, keyCols)
       .withColumn("pairs",
         (dec(col("n_a")) * dec(col("n_b"))).cast("decimal(38,0)").cast("long"))
-    val total = per.agg(sum(col("pairs").cast("decimal(38,0)"))
-      .cast("decimal(38,0)").cast("long").as("total_pairs"))
-    per.orderBy(col("pairs").desc +: keys.map(_.asc): _*).limit(topK)
-      .crossJoin(broadcast(total))
+    // total_pairs as an unpartitioned window over the KEY-DOMAIN-sized
+    // `per` frame, not a separate .agg subtree: the separate subtree
+    // co-plans the whole `per` lineage twice (through
+    // [[joinSizeForecast]], both input tables' scans+groupBys — two
+    // scans per 100 TB side), and ReuseExchange never fires because
+    // column pruning specializes the copies. The window is safe for
+    // the same reason the forecast is: `per` is key-domain rows.
+    per.withColumn("total_pairs",
+        sum(col("pairs").cast("decimal(38,0)"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy())
+          .cast("decimal(38,0)").cast("long"))
+      .orderBy(col("pairs").desc +: keys.map(_.asc): _*).limit(topK)
       .select(keys ++ Seq(col("n_a"), col("n_b"), col("pairs"),
         col("total_pairs"),
         (col("pairs").cast("double") / col("total_pairs").cast("double"))
           .as("share")): _*)
   }
 
+  /** Salted join of a skewed fact side against a dimension: the fact
+    * side gets a random salt in [0, numSalts); the dimension is
+    * replicated once per salt value; the join key becomes (key, salt).
+    * Use when the dimension is too big to broadcast but the fact side
+    * has hot keys. Replication factor = numSalts × |dim|.
+    */
   def saltedJoin(
       skewed: DataFrame,
       dim: DataFrame,

@@ -593,7 +593,17 @@ object Stats {
     * partials apply to both shuffles.
     */
   def modeByKey(df: DataFrame, keyCols: Seq[String],
-      valueCol: String): DataFrame =
+      valueCol: String): DataFrame = {
+    // the smallest-value tie-break is spelled as max(struct(n, -v)):
+    // a non-numeric value column would fail UnaryMinus analysis under
+    // ANSI (or silently null out the tie-break without it) — reject it
+    // with a named error instead
+    require(df.schema(valueCol).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      s"modeByKey: value column '$valueCol' is " +
+        s"${df.schema(valueCol).dataType.simpleString} — the smallest-" +
+        "value tie-break negates the column, so it must be numeric " +
+        "(encode categorical values to codes first)")
     df.groupBy(keyCols.map(col) :+ col(valueCol): _*)
       .agg(count(lit(1)).as("n"))
       .groupBy(keyCols.map(col): _*)
@@ -602,6 +612,7 @@ object Stats {
       .select(keyCols.map(col) ++ Seq(
         (-col("__best.__negv")).as("mode_value"),
         col("__best.__n").as("mode_n")): _*)
+  }
 
   /** Rounded-cents helper shared by the catalog queries: `floor(v*100
     * + 0.5)` as long — the one rounding spelling that matches DuckDB's

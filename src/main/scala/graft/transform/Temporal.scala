@@ -328,30 +328,6 @@ object Temporal {
           (lit(24.0) * col("n_windows").cast("double"))))
   }
 
-  /** Watermark-delay planning: the event-time LATENESS profile of a log
-    * under its arrival order. Lateness of an event is how far the
-    * high-watermark (max event-time seen so far, in arrival order =
-    * `seqCol`) has already advanced past the event's own timestamp —
-    * exactly the quantity Structured Streaming's `withWatermark` delay
-    * must exceed for the event NOT to be dropped. The profile (late
-    * counts at 0 / 1 min / 1 h, max, exact µs sum per `byCol`) is how
-    * one picks the delay before turning on a streaming aggregation.
-    *
-    * Scale: the naive formulation is a running max over the GLOBAL
-    * arrival order — an unpartitioned window, the canonical single-
-    * reducer scale-killer. This implementation is the classic two-level
-    * distributed prefix scan instead: (1) events bucket into contiguous
-    * arrival chunks of `chunkSize` (`seqCol div chunkSize`); (2) a keyed
-    * agg reduces each chunk to its max timestamp — the summary frame is
-    * 1/chunkSize the input (12k rows per 100M events) and the ONLY
-    * unpartitioned window runs over that metadata-scale frame to form
-    * exclusive prefix maxima (recurse the same construction if even that
-    * frame ever outgrows one reducer); (3) the prefix max broadcasts
-    * back onto the events, where a CHUNK-PARTITIONED running max
-    * finishes the scan locally. The oracle is spelled as the naive
-    * global window, so the hash gate doubles as a machine-checked proof
-    * that the chunked scan is lossless.
-    */
   /** CUSUM changepoint scan over per-hour event counts — the classic
     * Page (1954) cumulative-sum detector a pipeline runs on every
     * ingestion stream to catch level shifts (a source going quiet, a
@@ -418,6 +394,30 @@ object Temporal {
       .drop("__cp")
   }
 
+  /** Watermark-delay planning: the event-time LATENESS profile of a log
+    * under its arrival order. Lateness of an event is how far the
+    * high-watermark (max event-time seen so far, in arrival order =
+    * `seqCol`) has already advanced past the event's own timestamp —
+    * exactly the quantity Structured Streaming's `withWatermark` delay
+    * must exceed for the event NOT to be dropped. The profile (late
+    * counts at 0 / 1 min / 1 h, max, exact µs sum per `byCol`) is how
+    * one picks the delay before turning on a streaming aggregation.
+    *
+    * Scale: the naive formulation is a running max over the GLOBAL
+    * arrival order — an unpartitioned window, the canonical single-
+    * reducer scale-killer. This implementation is the classic two-level
+    * distributed prefix scan instead: (1) events bucket into contiguous
+    * arrival chunks of `chunkSize` (`seqCol div chunkSize`); (2) a keyed
+    * agg reduces each chunk to its max timestamp — the summary frame is
+    * 1/chunkSize the input (12k rows per 100M events) and the ONLY
+    * unpartitioned window runs over that metadata-scale frame to form
+    * exclusive prefix maxima (recurse the same construction if even that
+    * frame ever outgrows one reducer); (3) the prefix max broadcasts
+    * back onto the events, where a CHUNK-PARTITIONED running max
+    * finishes the scan locally. The oracle is spelled as the naive
+    * global window, so the hash gate doubles as a machine-checked proof
+    * that the chunked scan is lossless.
+    */
   def latenessProfile(events: DataFrame, seqCol: String, tsCol: String,
       byCol: String, chunkSize: Long = 8192L): DataFrame = {
     require(chunkSize >= 2, "latenessProfile needs chunkSize >= 2")
@@ -448,30 +448,6 @@ object Temporal {
         sum(col("__late")).as("sum_late_us"))
   }
 
-  /** Kaplan-Meier survival estimator — the retention/churn curve with
-    * right-censoring done honestly: subjects still active at the
-    * observation cutoff aren't counted as churned, they leave the risk
-    * set at their censoring time. Input is one row per SUBJECT with an
-    * integer duration (`durCol`, e.g. hours from first to last event)
-    * and `observedCol` ∈ {0,1} (1 = the terminal event happened, 0 =
-    * censored). Emits, per distinct duration t (ascending): the risk
-    * set `n_risk` (subjects with duration ≥ t), events `d_events`,
-    * censored `c_censored`, and `s_hat = Π_{s≤t, d_s>0}(1 − d_s/n_s)`.
-    *
-    * Scale: one keyed aggregation collapses subjects to the
-    * DISTINCT-duration frame (bounded by the time domain — hours in a
-    * month: ≤744 — not the subject count), and the product runs as a
-    * single unpartitioned window over that metadata-scale frame (the
-    * q184 posture). `n_risk` derives from `N − Σ prior counts` — no
-    * per-subject window, no self-join.
-    *
-    * Exactness: `n/d/c` are exact longs; `ln(1 − d/n)` terms accumulate
-    * on the frame-order-pinned running sum (≤ domain-size terms × 1 ulp,
-    * inside the pround(6) budget — the PMI/PSI ln rule); a step where
-    * EVERYONE at risk dies (d = n) sends the product exactly to 0 from
-    * that step on (flagged via a running max, since ln(0) can't ride
-    * the sum).
-    */
   /** k-step Markov absorption probability — "what's the chance this
     * state reaches `target` within `steps` transitions?" on the
     * empirical transition matrix (the forward-looking companion to the
@@ -525,6 +501,30 @@ object Temporal {
       (col("p").cast("double") / lit(scale.toDouble)).as("prob"))
   }
 
+  /** Kaplan-Meier survival estimator — the retention/churn curve with
+    * right-censoring done honestly: subjects still active at the
+    * observation cutoff aren't counted as churned, they leave the risk
+    * set at their censoring time. Input is one row per SUBJECT with an
+    * integer duration (`durCol`, e.g. hours from first to last event)
+    * and `observedCol` ∈ {0,1} (1 = the terminal event happened, 0 =
+    * censored). Emits, per distinct duration t (ascending): the risk
+    * set `n_risk` (subjects with duration ≥ t), events `d_events`,
+    * censored `c_censored`, and `s_hat = Π_{s≤t, d_s>0}(1 − d_s/n_s)`.
+    *
+    * Scale: one keyed aggregation collapses subjects to the
+    * DISTINCT-duration frame (bounded by the time domain — hours in a
+    * month: ≤744 — not the subject count), and the product runs as a
+    * single unpartitioned window over that metadata-scale frame (the
+    * q184 posture). `n_risk` derives from `N − Σ prior counts` — no
+    * per-subject window, no self-join.
+    *
+    * Exactness: `n/d/c` are exact longs; `ln(1 − d/n)` terms accumulate
+    * on the frame-order-pinned running sum (≤ domain-size terms × 1 ulp,
+    * inside the pround(6) budget — the PMI/PSI ln rule); a step where
+    * EVERYONE at risk dies (d = n) sends the product exactly to 0 from
+    * that step on (flagged via a running max, since ln(0) can't ride
+    * the sum).
+    */
   def kaplanMeier(subjects: DataFrame, durCol: String,
       observedCol: String): DataFrame = {
     val byDur = subjects

@@ -59,7 +59,13 @@ object Transforms {
       mapCol: String,
       keep: Seq[String] = Seq.empty,
       keySampleFraction: Double = 1.0): DataFrame = {
-    val base = if (keySampleFraction < 1.0) df.sample(keySampleFraction) else df
+    // fixed seed: an unseeded sample draws a different key set per
+    // invocation, so a rare map key could appear in one run's output
+    // schema and vanish in the next — breaking unionByName/append
+    // consumers of what must be a deterministic projection
+    val base =
+      if (keySampleFraction < 1.0) df.sample(keySampleFraction, 20240101L)
+      else df
     val keys = base
       .select(explode(map_keys(col(mapCol))).as("key"))
       .distinct()
@@ -308,6 +314,20 @@ object Transforms {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path.stripSuffix("/") + "__compacting")
+    val old = new Path(path.stripSuffix("/") + "__precompact")
+    // Crash recovery (the upsertByKey preamble): a leftover
+    // __precompact with the table path MISSING means a prior compact
+    // died between rename-aside and rename-in — restore it, or every
+    // reader (and this re-run's getContentSummary) fails with a
+    // missing table until manual intervention. Both present = prior
+    // swap completed and only missed cleanup.
+    if (fs.exists(old)) {
+      if (fs.exists(p)) fs.delete(old, true)
+      else require(fs.rename(old, p),
+        s"compact: failed to restore interrupted table from $old")
+      fs.delete(tmp, true)
+    }
     if (partitionCols.isEmpty) {
       val partitionDirs = fs.listStatus(p).filter(_.isDirectory)
         .map(_.getPath.getName).filter(_.contains("="))
@@ -319,9 +339,16 @@ object Transforms {
     val target = targetFileSizeMB.toLong << 20
     val nFiles = math.max(1, ((bytes + target - 1) / target).toInt)
     val df = spark.read.parquet(path)
-    val tmp = new Path(path.stripSuffix("/") + "__compacting")
-    val old = new Path(path.stripSuffix("/") + "__precompact")
-    val writer = df.repartition(nFiles).write.mode("overwrite")
+    // Partitioned tables repartition BY the partition columns: a
+    // round-robin repartition(nFiles) would hand every task a slice of
+    // every partition value, and partitionBy then emits one file per
+    // (task, value) — up to nFiles x |values| files, MORE small files
+    // than the compaction started with. Hashing by the partition cols
+    // co-locates each value in one task: exactly one file per value.
+    val writer =
+      (if (partitionCols.nonEmpty)
+        df.repartition(nFiles, partitionCols.map(col): _*)
+      else df.repartition(nFiles)).write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp.toString)
     require(fs.rename(p, old), s"compact: failed to move $p aside")
@@ -410,20 +437,6 @@ object Transforms {
     }
   }
 
-  /** Z-order layout write — the multi-dimensional pruning layout
-    * ("OPTIMIZE ZORDER BY"): each layout column is scaled to a
-    * `bits`-bit integer against its own min/max with pure-integer
-    * arithmetic (the [[graft.transform.Stats.histogramFixedWidth]]
-    * bucket form), the two scaled values Morton-interleave into a
-    * z-value via the codegen [[graft.functions.InterleaveBits]], and
-    * the data is range-partitioned + sorted by that z-value before
-    * writing. Rows close in BOTH dimensions land in the same files/row
-    * groups, so parquet min/max pruning cuts scans for predicates on
-    * EITHER column — a lexicographic sort only serves its leading
-    * column. The bounds row is a 1-row broadcast; the range partitioner
-    * samples the z-value; locality (per-file spread ≤ half the global
-    * spread on both dims) is spec-pinned, not assumed.
-    */
   /** Mergeable per-key rollup state — the partial-aggregate shape an
     * incremental ETL persists per batch: (n, sum, min, max) over exact
     * integer cents, every component associative and commutative, so
@@ -457,6 +470,20 @@ object Transforms {
         greatest(col("max_cents"), col("__bmx")).as("max_cents")): _*)
   }
 
+  /** Z-order layout write — the multi-dimensional pruning layout
+    * ("OPTIMIZE ZORDER BY"): each layout column is scaled to a
+    * `bits`-bit integer against its own min/max with pure-integer
+    * arithmetic (the [[graft.transform.Stats.histogramFixedWidth]]
+    * bucket form), the two scaled values Morton-interleave into a
+    * z-value via the codegen [[graft.functions.InterleaveBits]], and
+    * the data is range-partitioned + sorted by that z-value before
+    * writing. Rows close in BOTH dimensions land in the same files/row
+    * groups, so parquet min/max pruning cuts scans for predicates on
+    * EITHER column — a lexicographic sort only serves its leading
+    * column. The bounds row is a 1-row broadcast; the range partitioner
+    * samples the z-value; locality (per-file spread ≤ half the global
+    * spread on both dims) is spec-pinned, not assumed.
+    */
   def zOrderWrite(
       df: DataFrame,
       path: String,

@@ -513,8 +513,20 @@ class PlanSpec extends SparkSpec {
   test("join forecast: counts-only plan with TakeOrdered cut — never the joined rows") {
     val p = plan(Queries.joinForecast(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"), s"top-K must TakeOrdered:\n$p")
-    assert(unpartitionedWindows(p) == 0)
+    // exactly ONE unpartitioned window — total_pairs over the
+    // KEY-DOMAIN-sized per-key frame (the q184 one-scan posture): the
+    // previous separate-.agg-subtree form co-planned both sides' full
+    // scans+groupBys twice (ReuseExchange never fires across the
+    // column-pruned copies). A second one appearing means the scalar
+    // leaked onto a corpus-scale frame.
+    assert(unpartitionedWindows(p) == 1, s"total must ride the summary:\n$p")
     assert(!p.contains("CartesianProduct"))
+    // the input scan must appear ONCE per side, not twice (the
+    // double-scan this rewrite removed); events feeds both sides of
+    // the self-forecast, so exactly 2 scans... collapse to 1 via
+    // ReuseExchange-eligible identical subtrees is also acceptable
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"forecast must not rescan its inputs:\n$p")
   }
 
   test("seasonal profile: only the tiny grid joins; trend window rides the hourly agg") {
