@@ -21,8 +21,20 @@ import scala.jdk.CollectionConverters._
   * the capture-file envelope shape. Nested records/arrays should land in
   * parquet before entering the feature pipeline (as the reference's
   * bronze step does).
+  *
+  * Stream hygiene: each file's `DataFileStream` is closed eagerly when
+  * the iterator exhausts AND via a task-completion listener, so partial
+  * consumption (`limit(1)`, `take(n)` over multi-file input) cannot leak
+  * open streams for the life of the executor. The close is idempotent
+  * (guarded), so the two paths compose.
   */
 object AvroReader {
+
+  /** Test hooks: per-file stream open/close counters, visible in
+    * local mode (executors share the JVM). Cost: two atomic increments
+    * per FILE — not per row. */
+  private[graft] val openedStreams = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val closedStreams = new java.util.concurrent.atomic.AtomicLong
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val files = spark.sparkContext.binaryFiles(path)
@@ -41,11 +53,21 @@ object AvroReader {
       val in = pds.open()
       val stream = new DataFileStream(in,
         new GenericDatumReader[GenericRecord](schema))
+      openedStreams.incrementAndGet()
+      val closedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def closeOnce(): Unit = if (closedFlag.compareAndSet(false, true)) {
+        try stream.close() finally in.close()
+        closedStreams.incrementAndGet()
+      }
+      // Partial consumption (limit/take) never exhausts the iterator —
+      // the task-completion listener is the only close on that path.
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       val fieldNames = schema.getFields.asScala.map(_.name).toArray
       new Iterator[Row] {
         override def hasNext: Boolean = {
           val h = stream.hasNext
-          if (!h) { stream.close(); in.close() }
+          if (!h) closeOnce()
           h
         }
         override def next(): Row = {

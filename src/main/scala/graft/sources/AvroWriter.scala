@@ -14,6 +14,15 @@ import scala.jdk.CollectionConverters._
   * write is executor-parallel and works against any Hadoop URI; no
   * driver collect. Same supported shape as the reader: records of
   * primitive fields, nullable via unions.
+  *
+  * Task-attempt isolation: each attempt writes a HIDDEN attempt-unique
+  * tmp (`.part-NNNNN-ATTEMPT.avro.tmp` — dot-prefixed so Hadoop's
+  * hidden-file filter keeps it out of every listing/glob) and renames
+  * into the final name only once complete. A speculative or retried
+  * attempt of the same partition therefore can never truncate a
+  * committed part file: rename-to-existing returns false on both HDFS
+  * and the local FS, and the loser deletes its own tmp. Whichever
+  * attempt wins, the final file is one complete container.
   */
 object AvroWriter {
 
@@ -32,23 +41,48 @@ object AvroWriter {
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
-        val schema = new Schema.Parser().parse(schemaJson)
-        val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
-        val out = file.getFileSystem(conf.value).create(file, true)
-        val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-        writer.create(schema, out)
-        try rows.foreach { row =>
-          val rec = new GenericData.Record(schema)
-          var i = 0
-          while (i < sparkSchema.length) {
-            rec.put(sparkSchema(i).name, toAvro(row.get(i)))
-            i += 1
-          }
-          writer.append(rec)
-        } finally writer.close()
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        writePartition(conf.value, path, schemaJson, sparkSchema, pid, attempt, rows)
         Iterator.single(pid)
       }
     }.count() // force the write
+  }
+
+  /** One task attempt's write of partition `pid`: attempt-unique hidden
+    * tmp, then rename into `part-NNNNN.avro`. Losing the rename (another
+    * attempt already committed) is success — delete the tmp and return.
+    * Factored out so a spec can simulate two attempts of one partition.
+    */
+  private[sources] def writePartition(
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      path: String,
+      schemaJson: String,
+      sparkSchema: StructType,
+      pid: Int,
+      attemptId: Long,
+      rows: Iterator[org.apache.spark.sql.Row]): Unit = {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val finalFile = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
+    val tmpFile = new org.apache.hadoop.fs.Path(path, f".part-$pid%05d-$attemptId.avro.tmp")
+    val fs = finalFile.getFileSystem(hadoopConf)
+    val out = fs.create(tmpFile, true)
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    writer.create(schema, out)
+    try rows.foreach { row =>
+      val rec = new GenericData.Record(schema)
+      var i = 0
+      while (i < sparkSchema.length) {
+        rec.put(sparkSchema(i).name, toAvro(row.get(i)))
+        i += 1
+      }
+      writer.append(rec)
+    } finally writer.close()
+    // Commit: first attempt to rename wins; rename onto an existing final
+    // returns false (HDFS and local FS alike) — the loser cleans up.
+    if (fs.exists(finalFile) || !fs.rename(tmpFile, finalFile)) {
+      fs.delete(tmpFile, false)
+    }
   }
 
   private def toAvro(v: Any): Any = v match {

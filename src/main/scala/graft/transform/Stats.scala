@@ -1193,9 +1193,21 @@ object Stats {
     // runtime precondition: a series shorter than one block makes the
     // start modulus (n − L + 1) zero or negative — fail fast with a
     // real message instead of ANSI DIVIDE_BY_ZERO (or silent row drops)
-    val nf = s.agg(count(lit(1)).as("__n"), sum(col("__v")).as("__tot"))
+    val nf = s.agg(count(lit(1)).as("__n"), sum(col("__v")).as("__tot"),
+        min(col("__i")).as("__imin"), max(col("__i")).as("__imax"),
+        count_distinct(col("__i")).as("__nd"))
       .filter(assert_true(col("__n") >= lit(blockLen.toLong),
         lit(s"movingBlockBootstrap needs series length >= blockLen ($blockLen)")).isNull)
+      // the block sampler's modular start arithmetic assumes idxCol is a
+      // dense 0-based sequence; gaps, duplicates, or a 1-based index would
+      // silently sample a WRONG distribution — fail fast instead
+      .filter(assert_true(
+        col("__imin") === lit(0L) && col("__imax") === col("__n") - lit(1L) &&
+          col("__nd") === col("__n"),
+        lit(s"movingBlockBootstrap requires '$idxCol' to be a dense 0-based " +
+          "index (exactly 0..n-1, no gaps or duplicates); re-index the series " +
+          "with row_number()-1 over the time order first")).isNull)
+      .select(col("__n"), col("__tot"))
     val spark = series.sparkSession
     val grid = spark.range(reps).select(col("id").as("b"))
       .crossJoin(broadcast(nf))

@@ -823,6 +823,30 @@ class StatsSpec extends SparkSpec {
       s"wrong failure: $e")
   }
 
+  test("movingBlockBootstrap: non-dense index fails fast instead of biasing the sampler") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    def expectDenseFailure(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val e = intercept[Exception] {
+        Stats.movingBlockBootstrap(df, "i", "v", blockLen = 4, reps = 40).head()
+      }
+      assert(messages(e).exists(_.contains("dense 0-based")),
+        s"$what should hit the dense-index guard, got: $e")
+    }
+    // 1-based index — the modular start arithmetic would silently skip index 0
+    expectDenseFailure((1L to 24L).map(i => (i, 1L)).toDF("i", "v"), "1-based")
+    // gapped index — missing buckets silently shrink every block
+    expectDenseFailure((0L until 24L).filter(_ != 7L).map(i => (i, 1L)).toDF("i", "v"), "gapped")
+    // duplicate index hidden inside a 0..n-1 min/max span ({0,1,1,3,...})
+    expectDenseFailure(((0L until 24L).map(i => (i, 1L)) :+ (1L, 1L))
+      .filter(_._1 != 2L).toDF("i", "v"), "duplicated")
+    // and the happy path still runs after the guard
+    val ok = Stats.movingBlockBootstrap(
+      (0L until 24L).map(i => (i, 1L)).toDF("i", "v"), "i", "v",
+      blockLen = 4, reps = 40).head()
+    assert(ok.getLong(0) === 24L && ok.getDouble(2) === 1.0)
+  }
+
   test("targetEncodeOOF: independent md5 recompute — own fold excluded, smoothing applied") {
     val rows = (0L until 400L).map(i => (if (i % 3 == 0) "a" else "b", i, i % 7))
     val df = rows.toDF("cat", "id", "v")
