@@ -2691,6 +2691,127 @@ object OpsQueries {
        |        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
        |WHERE rank <= 10""".stripMargin
 
+  /** q257: the IVF staleness monitor fed FROM the maintained index
+    * state (VERDICT r17 #4) — the monitor you run most often, now at
+    * O(index metadata) cost: three arrivals absorb the corpus through
+    * [[graft.ops.Similarity.assignIncrement]] (the third arrival
+    * DRIFTED by component-sorting, the q240 mass-moving perturbation),
+    * the current-side histogram is
+    * [[graft.ops.Similarity.assignHistogram]] — a per-cid sum of the
+    * persisted `assign/batch=N/cid=K` partitions, NO corpus rescan —
+    * and [[graft.ops.Similarity.codebookStalenessFromHist]] PSIs it
+    * against the train-time reference. The ORACLE replays training,
+    * assigns the drifted union from scratch, histograms per cid, and
+    * runs the pinned PSI spelling — so the hash gate proves the
+    * state-read histogram loses nothing vs a from-scratch corpus
+    * assignment, through the persistence plumbing. With 1/3 of the
+    * corpus concentrated into few cells the PSI total sits far above
+    * the 0.2 line (q240 measured 0.38–0.64 for this perturbation), so
+    * the stale flag is boundary-safe.
+    */
+  def ivfStalenessFromStateQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = servedCodebook(s, dir, "ivf16x3")(
+      Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3))
+    val refHist = servedArtifact(s, dir, "ivf16x3refh")(
+      Similarity.assignmentCounts(e, "vec_id", "embedding", cents))
+    // bounded driver valve: one max() scalar cuts the arrival ranges
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val width = maxId / 3 + 1
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ann-staleness-").toString
+    try {
+      for (b <- 0L until 3L) {
+        val slice = e.filter(
+          col("vec_id") >= b * width && col("vec_id") < (b + 1) * width)
+        val arrival =
+          if (b == 2L) slice.select(col("vec_id"),
+            array_sort(col("embedding")).as("embedding"))
+          else slice
+        Similarity.assignIncrement(arrival, "vec_id", "embedding",
+          cents, root, b)
+      }
+      val curHist = Similarity
+        .assignHistogram(s, root, Similarity.codebookVersionOf(cents))
+        .select(lit("state").as("scenario"), col("cid"), col("n"))
+      Similarity.codebookStalenessFromHist(refHist, curHist,
+        "scenario", cents, threshold = 0.2)
+        .localCheckpoint(true)
+    } finally {
+      try {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  val ivfStalenessFromStateSql: String =
+    s"""WITH ${lloydCtes(3, 16, "0")},
+       |mx AS (SELECT max(vec_id) AS m FROM embeddings),
+       |cellids AS (SELECT DISTINCT cid FROM lc3),
+       |refassign AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |           row_number() OVER (PARTITION BY id
+       |                              ORDER BY dist ASC, cid ASC) AS rn
+       |    FROM (SELECT a.id, c.cid,
+       |                 CAST(sum((a.qs - c.cq) * (a.qs - c.cq)) AS BIGINT)
+       |                   AS dist
+       |          FROM lcomp a JOIN lc3 c ON c.dim = a.dim
+       |          GROUP BY 1, 2))
+       |  WHERE rn = 1),
+       |refh AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_ref
+       |         FROM refassign GROUP BY 1),
+       |cur AS (
+       |  SELECT vec_id,
+       |         CASE WHEN vec_id >= 2 * (m // 3 + 1)
+       |              THEN list_sort(CAST(embedding AS DOUBLE[]))
+       |              ELSE CAST(embedding AS DOUBLE[]) END AS vec
+       |  FROM embeddings, mx),
+       |curc AS (
+       |  SELECT vec_id AS id, CAST(dim AS BIGINT) AS dim,
+       |         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) + 2000000 AS qs
+       |  FROM (SELECT vec_id, unnest(vec) AS v,
+       |               unnest(range(0, len(vec))) AS dim
+       |        FROM cur)),
+       |curassign AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |           row_number() OVER (PARTITION BY id
+       |                              ORDER BY dist ASC, cid ASC) AS rn
+       |    FROM (SELECT a.id, c.cid,
+       |                 CAST(sum((a.qs - c.cq) * (a.qs - c.cq)) AS BIGINT)
+       |                   AS dist
+       |          FROM curc a JOIN lc3 c ON c.dim = a.dim
+       |          GROUP BY 1, 2))
+       |  WHERE rn = 1),
+       |curh AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_cur
+       |         FROM curassign GROUP BY 1),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS ncells FROM cellids),
+       |rt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nt_ref FROM refh),
+       |ct AS (SELECT CAST(sum(n_cur) AS BIGINT) AS nt_cur FROM curh),
+       |j AS (SELECT cellids.cid,
+       |             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
+       |             nt_ref, coalesce(nt_cur, 0) AS nt_cur, ncells
+       |      FROM cellids LEFT JOIN refh USING (cid)
+       |                   LEFT JOIN curh USING (cid), nc, rt, ct),
+       |k AS (SELECT cid, n_ref, n_cur,
+       |             (CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + ncells AS DOUBLE)
+       |              - CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + ncells AS DOUBLE))
+       |             * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + ncells AS DOUBLE))
+       |                  / (CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + ncells AS DOUBLE)))
+       |               AS c
+       |      FROM j)
+       |SELECT 'state' AS scenario, cid, n_ref, n_cur,
+       |       floor(c * 1000000.0 + 0.5) / 1000000.0 AS contrib,
+       |       floor(sum(c) OVER (ORDER BY cid ASC
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |             * 1000000.0 + 0.5) / 1000000.0 AS psi_cum,
+       |       CAST(CASE WHEN floor(sum(c) OVER ()
+       |                        * 1000000.0 + 0.5) / 1000000.0 > 0.2
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS stale
+       |FROM k""".stripMargin
+
   /** q255: PQ-ADC retrieval SERVED from the persisted code state — the
     * q253 claim on the COMPRESSED index: three arrivals encode the
     * corpus against the served per-subspace codebook
@@ -7440,6 +7561,7 @@ object OpsQueries {
     "q251_source_mix_drift" -> sourceMixDriftQ _,
     "q252_ann_append_assign" -> annAppendAssignQ _,
     "q253_ivf_state_serve" -> ivfStateServeQ _,
+    "q257_ivf_staleness_from_state" -> ivfStalenessFromStateQ _,
     "q255_pq_state_serve" -> pqStateServeQ _,
     "q256_pq_lifecycle_serve" -> pqLifecycleServeQ _,
     "q236_incremental_lsh" -> incrementalLshQ _,
@@ -7611,6 +7733,7 @@ object OpsQueries {
     "q251_source_mix_drift" -> sourceMixDriftSql,
     "q252_ann_append_assign" -> annAppendAssignSql,
     "q253_ivf_state_serve" -> ivfStateServeSql,
+    "q257_ivf_staleness_from_state" -> ivfStalenessFromStateSql,
     // q255's served retrieval equals the from-scratch trained ADC —
     // the q172b oracle verbatim IS the losslessness claim
     "q255_pq_state_serve" -> pqAdcTrainedSql,

@@ -186,6 +186,10 @@ object ScaleSmoke {
       // partition re-encode is per-partition in-place rewrites, so the
       // repair is O(stale state), never O(corpus × versions)
       "q256_pq_lifecycle_serve",
+      // round-18: the state-fed staleness monitor at 10x — the monitor
+      // you run most often; its current leg must stay O(index state)
+      // (one per-cid sum of the assign partitions, no corpus rescan)
+      "q257_ivf_staleness_from_state",
       // the video chain at 10x is fixture-independent (synthetic
       // clips), so q242/q246 are NOT here — their scale posture is the
       // banded join already smoked via q237's family

@@ -1125,6 +1125,23 @@ object Similarity {
       .withColumn("cid", col("cid").cast("long"))
   }
 
+  /** The staleness monitor's current-side histogram read FROM the
+    * maintained assign state — O(state scan), NO corpus rescan
+    * (VERDICT r17 #4; the claim [[assignIncrement]]'s docstring made,
+    * now a verb — the IVF mirror of [[pqCodeHistogram]]). Summing the
+    * accumulated `assign/batch=N/cid=K` partitions per cid IS the
+    * [[assignmentCounts]] histogram of everything absorbed so far,
+    * because assignment is per-vector independent and each arrival was
+    * assigned under the version being read. At 100 TB the monitor is
+    * the verb you run most often; this makes its cost proportional to
+    * the index metadata, not the corpus.
+    */
+  def assignHistogram(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, codebookVersion: String,
+      cells: Seq[Long] = Nil): DataFrame =
+    currentAssignments(spark, stateDir, codebookVersion, cells)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+
   /** REPAIR after a retrain — the missing third verb of the index
     * lifecycle (q240 detects staleness, q241 retrains, this re-absorbs
     * the history): every assign partition written under a codebook
@@ -1534,11 +1551,32 @@ object Similarity {
     */
   def codebookStaleness(refHist: DataFrame, cur: DataFrame, idCol: String,
       vecCol: String, scenarioCol: String, centroids: DataFrame,
+      threshold: Double = 0.2): DataFrame =
+    codebookStalenessFromHist(refHist,
+      assignmentCounts(cur, idCol, vecCol, centroids, Seq(scenarioCol)),
+      scenarioCol, centroids, threshold)
+
+  /** [[codebookStaleness]] from a PRE-COMPUTED current-side histogram —
+    * the state-fed monitor (VERDICT r17 #4, the IVF mirror of
+    * [[pqCodeStaleness]]'s histogram-in signature): feed it
+    * [[assignHistogram]] (plus a literal scenario column) and the
+    * monitor costs O(index state), never a corpus rescan. Identical
+    * arithmetic to the corpus-fed form — [[codebookStaleness]] is now a
+    * one-line delegation, and q257 hash-gates this path end to end
+    * (state-accumulated counts vs a from-scratch SQL replay).
+    *
+    * @param curHist (scenarioCol, cid, n) — [[assignmentCounts]] of the
+    *                current corpus, or [[assignHistogram]] of the
+    *                maintained state with a `lit(...)` scenario
+    */
+  def codebookStalenessFromHist(refHist: DataFrame, curHistIn: DataFrame,
+      scenarioCol: String, centroids: DataFrame,
       threshold: Double = 0.2): DataFrame = {
     import graft.util.Rounding.pround
     import org.apache.spark.sql.expressions.Window
-    val curHist = assignmentCounts(cur, idCol, vecCol, centroids,
-      Seq(scenarioCol)).withColumnRenamed("n", "n_cur")
+    val curHist = curHistIn
+      .select(col(scenarioCol), col("cid").cast("long").as("cid"),
+        col("n").as("n_cur"))
     val ref = refHist.select(col("cid").cast("long").as("cid"),
       col("n").as("n_ref"))
     // grid cells = centroid cids ∪ reference cids: a refHist trained
@@ -1553,7 +1591,7 @@ object Similarity {
     val refTot = ref.agg(sum(col("n_ref")).as("nt_ref"))
     val curTot = curHist.groupBy(col(scenarioCol))
       .agg(sum(col("n_cur")).as("nt_cur"))
-    val grid = cur.select(col(scenarioCol)).distinct().crossJoin(cellIds)
+    val grid = curHist.select(col(scenarioCol)).distinct().crossJoin(cellIds)
     val p = (col("n_ref") + 1).cast("double") /
       (col("nt_ref") + col("ncells")).cast("double")
     val q = (col("n_cur") + 1).cast("double") /

@@ -1665,6 +1665,51 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("assignHistogram: monitor's current leg from state == corpus assignmentCounts; quiet without drift") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val cents = Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3)
+    val root = java.nio.file.Files.createTempDirectory("annhist-").toString
+    try {
+      val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+      val width = maxId / 3 + 1
+      for (b <- 0L until 3L)
+        Similarity.assignIncrement(
+          e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
+          "vec_id", "embedding", cents, root, b)
+      val ver = Similarity.codebookVersionOf(cents)
+      // the state sum IS the corpus histogram — O(state), no rescan
+      val fromState = Similarity.assignHistogram(spark, root, ver)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val fromCorpus = Similarity
+        .assignmentCounts(e, "vec_id", "embedding", cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(fromState === fromCorpus,
+        "state-read histogram must equal the from-scratch corpus histogram")
+      // cell pruning reaches the same counts for the probed subset
+      val someCells = fromCorpus.take(3).map(_._1)
+      val prunedHist = Similarity.assignHistogram(spark, root, ver, someCells)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(prunedHist === fromCorpus.filter(p => someCells.contains(p._1)))
+      // state-fed monitor with reference == absorbed corpus: every cell
+      // count matches, so PSI is EXACTLY zero and the trigger is silent
+      val refHist = Similarity.assignmentCounts(e, "vec_id", "embedding", cents)
+      val curHist = Similarity.assignHistogram(spark, root, ver)
+        .select(lit("state").as("scenario"), col("cid"), col("n"))
+      val out = Similarity
+        .codebookStalenessFromHist(refHist, curHist, "scenario", cents)
+        .collect()
+      assert(out.length === 16)
+      assert(out.forall(r => r.getDouble(r.fieldIndex("contrib")) === 0.0),
+        "undrifted state must read PSI exactly 0 per cell")
+      assert(out.forall(r => r.getLong(r.fieldIndex("stale")) === 0L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("ivfStateTopK: served-from-state retrieval — recall, version pinning, serve-after-repair") {
     val e = graft.Tables.load(spark, sf0001, "embeddings")
     val cents = Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3)
