@@ -176,15 +176,30 @@ final class FeatureStore(
     * `pqAdcTopK` shape). Returns the artifact path.
     */
   def trainCodebook(viewName: String, idCol: String, vecCol: String,
-      kind: String = "ivf", k: Int = 16, iters: Int = 3): String = {
+      kind: String = "ivf", k: Int = 16, iters: Int = 3,
+      nSub: Int = 8, subDim: Int = 8): String = {
     val fv = getFeatureView(viewName)
     val registryPath = config.registryPath.getOrElse(throw new IllegalStateException(
       "trainCodebook() needs a file-backed registry (config.registryPath) to place codebooks next to"))
+    require(kind == "pq" || (nSub == 8 && subDim == 8),
+      "nSub/subDim apply to the pq kind only (ivf codebooks are full-vector)")
+    require(nSub >= 1 && subDim >= 1, "pq geometry needs nSub, subDim >= 1")
     val src = graft.sources.SourceReader.readStatic(spark, fv.source)
     val cb = kind match {
       case "ivf" => graft.ops.Similarity.lloydCentroids(src, idCol, vecCol, k, iters)
-      case "pq" => graft.ops.Similarity.lloydPqCodebook(
-        src, idCol, vecCol, nCentroids = k, iters = iters)
+      case "pq" =>
+        // persist the GEOMETRY in the artifact itself (VERDICT r17 #6):
+        // nSub/subDim as constant columns on every codebook row — the
+        // maintain/serve verbs derive them from the artifact instead of
+        // assuming defaults, so a non-8×8 index is buildable through the
+        // facade and a geometry mismatch can never mis-serve silently.
+        // The stamp (pqCodebookVersionOf) selects (cid, dim, cq) only,
+        // so the ride-along columns change no version identity.
+        graft.ops.Similarity.lloydPqCodebook(
+          src, idCol, vecCol, nSub = nSub, subDim = subDim,
+          nCentroids = k, iters = iters)
+          .withColumn("n_sub", org.apache.spark.sql.functions.lit(nSub))
+          .withColumn("sub_dim", org.apache.spark.sql.functions.lit(subDim))
       case other => throw new IllegalArgumentException(
         s"unknown codebook kind '$other' (expected ivf|pq)")
     }
@@ -238,33 +253,64 @@ final class FeatureStore(
     * registry. One definition keeps the three verbs' error behavior
     * identical.
     */
+  private case class ResolvedIndex(cb: DataFrame, state: String,
+      nSub: Int, subDim: Int)
+
   private def resolveIndex(viewName: String, kind: String, k: Int,
-      iters: Int): (DataFrame, String) = {
+      iters: Int): ResolvedIndex = {
     require(kind == "ivf" || kind == "pq",
       s"unknown index kind '$kind' (expected ivf|pq)")
-    val cb = codebookFor(viewName, kind, k, iters).getOrElse(
+    val stored = codebookFor(viewName, kind, k, iters).getOrElse(
       throw new IllegalStateException(s"no $kind codebook trained for " +
         s"view '$viewName' — run trainCodebook() first"))
-    (cb, indexStatePath(viewName, kind, k, iters))
+    val state = indexStatePath(viewName, kind, k, iters)
+    if (kind == "ivf") ResolvedIndex(stored, state, 0, 0)
+    else {
+      import org.apache.spark.sql.functions._
+      // derive the pq geometry from the artifact (VERDICT r17 #6);
+      // artifacts from before geometry persistence carry no columns —
+      // they were only ever built at the frozen 8×8 default
+      val hasGeom = stored.columns.contains("n_sub")
+      val (nSub, subDim) =
+        if (hasGeom) {
+          val r = stored.select(col("n_sub"), col("sub_dim")).head()
+          (r.getInt(0), r.getInt(1))
+        } else (8, 8)
+      // mismatch guard: the codebook's dim span must equal the declared
+      // geometry — serving with a wrong-geometry codebook must THROW,
+      // never silently mis-slice vectors (k·dim-row scan, bounded)
+      val dims = stored.agg(countDistinct(col("dim"))).head().getLong(0)
+      require(dims == nSub.toLong * subDim,
+        s"stored pq codebook for view '$viewName' spans $dims dims but " +
+          s"declares geometry ${nSub}x$subDim — the artifact is " +
+          "corrupt or predates its declared geometry; retrain it")
+      ResolvedIndex(stored.drop("n_sub", "sub_dim"), state, nSub, subDim)
+    }
   }
 
   def indexIncrement(viewName: String, newVecs: DataFrame, idCol: String,
       vecCol: String, batchId: Long, kind: String = "ivf", k: Int = 16,
       iters: Int = 3): DataFrame = {
-    val (cb, state) = resolveIndex(viewName, kind, k, iters)
+    val r = resolveIndex(viewName, kind, k, iters)
+    // materialize the arrival ONCE (ADVICE r17): the emptiness check
+    // below runs a job, and the assignment write re-executes the frame —
+    // for a lazily derived arrival (join/filter lineage) that doubled
+    // the per-increment planning/scan cost on the hot maintenance path
+    val arrival = newVecs.localCheckpoint(true)
     // fail loudly BEFORE any state write: a zero-row partitioned write
     // leaves no readable footer (the assignIncrement contract — skip
     // empty micro-batches upstream, as StreamingIngest.indexStream
     // does), and the torn batch dir would then break every later read
-    require(!newVecs.isEmpty,
+    require(!arrival.isEmpty,
       s"indexIncrement: empty arrival for view '$viewName' batch " +
         s"$batchId — skip empty arrivals upstream")
     kind match {
       case "ivf" => graft.ops.Similarity.assignIncrement(
-        newVecs, idCol, vecCol, cb, state, batchId,
+        arrival, idCol, vecCol, r.cb, r.state, batchId,
         payloadCols = Seq(vecCol))
       case _ => graft.ops.Similarity.pqCodesIncrement(
-        newVecs, idCol, vecCol, cb, state, batchId)
+        arrival, idCol, vecCol, r.cb, r.state, batchId,
+        nSub = r.nSub, subDim = r.subDim)
     }
   }
 
@@ -279,7 +325,7 @@ final class FeatureStore(
   def searchIndex(viewName: String, queries: DataFrame, idCol: String,
       vecCol: String, topK: Int = 10, kind: String = "ivf", k: Int = 16,
       iters: Int = 3, nprobe: Int = -1): DataFrame = {
-    val (cb, state) = resolveIndex(viewName, kind, k, iters)
+    val r = resolveIndex(viewName, kind, k, iters)
     // a pq ADC serve has no cell probe — silently dropping a tuned
     // nprobe would let a caller believe they narrowed the scan. The
     // default is the -1 sentinel (resolved to 4 for ivf below) so an
@@ -289,11 +335,61 @@ final class FeatureStore(
         "cell probe)")
     kind match {
       case "ivf" => graft.ops.Similarity.ivfStateTopK(
-        spark, state, queries, idCol, vecCol, cb, k = topK,
+        spark, r.state, queries, idCol, vecCol, r.cb, k = topK,
         nprobe = if (nprobe < 0) 4 else nprobe)
       case _ => graft.ops.Similarity.pqAdcFromState(
-        spark, state, queries, idCol, vecCol, cb, k = topK)
+        spark, r.state, queries, idCol, vecCol, r.cb, k = topK,
+        nSub = r.nSub, subDim = r.subDim)
     }
+  }
+
+  /** REPAIR through the facade (VERDICT r17 #5): rewrite every state
+    * partition stamped under a codebook version other than the stored
+    * (serving) one — [[graft.ops.Similarity.reassignStale]] (kind
+    * "ivf"; the vector payload is re-carried so the repaired state
+    * still serves retrieval) or [[graft.ops.Similarity.reencodeStale]]
+    * (kind "pq", geometry derived from the artifact) — against the
+    * registry-resolved state, so [[indexHealth]]'s "stale state
+    * awaiting repair" readout finally has a same-API remedy. `corpus`
+    * supplies the vectors to re-absorb (ids no longer present simply
+    * drop out — the forget path). Returns the repaired batch ids
+    * (bounded: one per stale partition). Crash-safe per-partition swaps
+    * with orphan recovery on entry, same as the hand-wired verbs.
+    */
+  def repairIndex(viewName: String, corpus: DataFrame, idCol: String,
+      vecCol: String, kind: String = "ivf", k: Int = 16,
+      iters: Int = 3): Seq[Long] = {
+    val r = resolveIndex(viewName, kind, k, iters)
+    kind match {
+      case "ivf" => graft.ops.Similarity.reassignStale(
+        r.state, corpus, idCol, vecCol, r.cb, payloadCols = Seq(vecCol))
+      case _ => graft.ops.Similarity.reencodeStale(
+        r.state, corpus, idCol, vecCol, r.cb,
+        nSub = r.nSub, subDim = r.subDim)
+    }
+  }
+
+  /** Dead-version GC through the facade (VERDICT r17 #5): fold the
+    * view's accumulated index-state partitions and DROP every row not
+    * stamped with the stored codebook's serving version —
+    * [[graft.pipelines.CurationState.compactState]] with
+    * `keepVersions`, scoped to the index table of `kind`. Run it AFTER
+    * [[repairIndex]] (repair preserves history under the new version;
+    * GC deletes what a repair chose to abandon). Refuses a
+    * zero-survivor fold — GC'ing a state that serves nothing under the
+    * current codebook would swap in a footerless dir; that state needs
+    * repair or fresh increments, not GC. `upTo` bounds the fold to
+    * batch ids ≤ it (default: everything).
+    */
+  def gcIndex(viewName: String, kind: String = "ivf", k: Int = 16,
+      iters: Int = 3, upTo: Long = Long.MaxValue): Unit = {
+    val r = resolveIndex(viewName, kind, k, iters)
+    val serving =
+      if (kind == "ivf") graft.ops.Similarity.codebookVersionOf(r.cb)
+      else graft.ops.Similarity.pqCodebookVersionOf(r.cb)
+    graft.pipelines.CurationState.compactState(spark, r.state, upTo,
+      tables = Seq(if (kind == "ivf") "assign" else "codes"),
+      keepVersions = Some(Set(serving)))
   }
 
   /** Health probe of the view's maintained index state — the serving-
@@ -317,12 +413,12 @@ final class FeatureStore(
       iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val (cb, state) = resolveIndex(viewName, kind, k, iters)
+    val r = resolveIndex(viewName, kind, k, iters)
     val serving =
-      if (kind == "ivf") graft.ops.Similarity.codebookVersionOf(cb)
-      else graft.ops.Similarity.pqCodebookVersionOf(cb)
+      if (kind == "ivf") graft.ops.Similarity.codebookVersionOf(r.cb)
+      else graft.ops.Similarity.pqCodebookVersionOf(r.cb)
     val table = if (kind == "ivf") "assign" else "codes"
-    val dir = new org.apache.hadoop.fs.Path(s"$state/$table")
+    val dir = new org.apache.hadoop.fs.Path(s"${r.state}/$table")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // trained-but-never-incremented is a legitimate time to probe
     // health — in fact the probe an operator runs right after a crash:

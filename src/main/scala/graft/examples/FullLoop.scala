@@ -114,6 +114,25 @@ object FullLoop {
     println(s"facade-served IVF retrieval: ${hits.count()} results " +
       s"for 4 queries from ${fs.indexStatePath("emb_fv")}")
 
+    // 6. the MAINTENANCE half of the lifecycle, same API (r18): a
+    // retrain strands the accumulated state (every serve silently
+    // version-filters it out — indexHealth makes that loud), repair
+    // re-absorbs the history under the stored codebook, and GC folds
+    // the partitions, dropping anything a repair chose to abandon.
+    def servingRows() = fs.indexHealth("emb_fv").collect()
+      .filter(_.getAs[Long]("is_serving") == 1L)
+      .map(_.getAs[Long]("n_rows")).sum
+    graft.core.CodebookStore.save( // a retrain under new settings
+      graft.ops.Similarity.lloydCentroids(emb, "vec_id", "embedding", 16, 1),
+      graft.core.CodebookStore.codebookPath(
+        fs.config.registryPath.get, "emb_fv__ivf16x3"))
+    val stale = servingRows()
+    val repairedBatches = fs.repairIndex("emb_fv", emb, "vec_id", "embedding")
+    fs.gcIndex("emb_fv")
+    println(s"index maintenance: post-retrain serving rows $stale -> " +
+      s"${servingRows()} after repairing batches " +
+      s"${repairedBatches.mkString(",")} + GC")
+
     spark.stop()
   }
 }

@@ -256,6 +256,147 @@ class CodebookStoreSpec extends SparkSpec {
       s"repaired state must be one serving version: ${repaired.toSeq}")
   }
 
+  test("facade lifecycle: fresh -> stale-on-retrain -> repairIndex -> gcIndex, both kinds") {
+    val repo = java.nio.file.Files.createTempDirectory("lifecycle_repo")
+    val regPath = repo.resolve("registry.json").toString
+    val fs = new FeatureStore(spark,
+      RepoConfig("lc_demo", Some(regPath)), new FileRegistry(regPath))
+    fs.applyObjects(Seq(
+      Entity("vec", Seq("vec_id"), ValueType.INT64),
+      FeatureView("emb_fv", Seq("vec"),
+        Seq(Feature("embedding", org.apache.spark.sql.types.DataType.fromDDL(
+          "array<double>"))),
+        SparkSource("emb_src", s"$sf0001/embeddings.parquet"))))
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val n = e.count()
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val width = maxId / 2 + 1
+    def slice(b: Long) = e.filter(
+      col("vec_id") >= b * width && col("vec_id") < (b + 1) * width)
+    for (kind <- Seq("ivf", "pq")) {
+      fs.trainCodebook("emb_fv", "vec_id", "embedding", kind = kind)
+      for (b <- 0L until 2L)
+        fs.indexIncrement("emb_fv", slice(b), "vec_id", "embedding", b,
+          kind = kind)
+      // FRESH: one serving version; repair on a fresh state is a no-op
+      assert(fs.indexHealth("emb_fv", kind = kind).collect()
+        .map(_.getAs[Long]("is_serving")).toSeq === Seq(1L))
+      assert(fs.repairIndex("emb_fv", e, "vec_id", "embedding",
+        kind = kind) === Seq.empty,
+        s"$kind: repairing a fresh state must touch nothing")
+      // RETRAIN (different content, same slot) -> whole state stale
+      val retrained = (if (kind == "ivf")
+        Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 1)
+      else Similarity.lloydPqCodebook(e, "vec_id", "embedding", iters = 1)
+        .withColumn("n_sub", lit(8)).withColumn("sub_dim", lit(8)))
+        .localCheckpoint(true)
+      CodebookStore.save(retrained,
+        CodebookStore.codebookPath(regPath, s"emb_fv__${kind}16x3"))
+      assert(fs.indexHealth("emb_fv", kind = kind).collect()
+        .map(_.getAs[Long]("is_serving")).toSeq === Seq(0L),
+        s"$kind: post-retrain state must read stale")
+      // GC before repair would fold ZERO serving survivors — refused,
+      // because the swap-in would be a footerless dir
+      intercept[IllegalArgumentException] {
+        fs.gcIndex("emb_fv", kind = kind)
+      }
+      // REPAIR through the facade: both stale partitions rewritten;
+      // health returns to a single serving version at full coverage
+      assert(fs.repairIndex("emb_fv", e, "vec_id", "embedding",
+        kind = kind) === Seq(0L, 1L))
+      val h = fs.indexHealth("emb_fv", kind = kind).collect()
+      assert(h.length == 1 && h.head.getAs[Long]("is_serving") == 1L &&
+        h.head.getAs[Long]("n_batches") == 2L,
+        s"$kind: repaired health: ${h.toSeq}")
+      if (kind == "ivf") {
+        assert(h.head.getAs[Long]("n_rows") == n)
+        // facade repair == from-scratch assignment under the stored
+        // codebook (the hand-wired verb's own proven equivalence)
+        val after = spark.read.parquet(s"${fs.indexStatePath("emb_fv")}/assign")
+          .select(col("vec_id"), col("cid").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val scratch = Similarity.assignToCodebook(e, "vec_id", "embedding",
+            fs.codebookFor("emb_fv").get)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(after === scratch,
+          "facade repair must equal the from-scratch assignment")
+      }
+      // a third increment under the NEW codebook, then GC: the fold
+      // keeps every serving-version row and the state stays whole
+      // (nothing here is non-serving after the repair — GC must be
+      // a pure fold, never a row loss)
+      fs.indexIncrement("emb_fv", slice(0L).limit(7), "vec_id",
+        "embedding", 2L, kind = kind)
+      fs.gcIndex("emb_fv", kind = kind)
+      val g = fs.indexHealth("emb_fv", kind = kind).collect()
+      assert(g.length == 1 && g.head.getAs[Long]("is_serving") == 1L,
+        s"$kind: post-GC health: ${g.toSeq}")
+      if (kind == "ivf")
+        assert(g.head.getAs[Long]("n_rows") == n + 7,
+          s"GC must not lose serving rows: ${g.toSeq}")
+    }
+  }
+
+  test("pq geometry persists in the artifact: non-8x8 round trip; mismatch throws") {
+    val repo = java.nio.file.Files.createTempDirectory("geom_repo")
+    val regPath = repo.resolve("registry.json").toString
+    val fs = new FeatureStore(spark,
+      RepoConfig("geom_demo", Some(regPath)), new FileRegistry(regPath))
+    fs.applyObjects(Seq(
+      Entity("vec", Seq("vec_id"), ValueType.INT64),
+      FeatureView("emb_fv", Seq("vec"),
+        Seq(Feature("embedding", org.apache.spark.sql.types.DataType.fromDDL(
+          "array<double>"))),
+        SparkSource("emb_src", s"$sf0001/embeddings.parquet"))))
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // geometry is a pq concept — the ivf kind rejects it loudly
+    intercept[IllegalArgumentException] {
+      fs.trainCodebook("emb_fv", "vec_id", "embedding", nSub = 4, subDim = 16)
+    }
+    // non-default 4x16 geometry: train -> maintain -> serve through the
+    // facade, each verb deriving the geometry from the artifact
+    fs.trainCodebook("emb_fv", "vec_id", "embedding", kind = "pq",
+      nSub = 4, subDim = 16)
+    val stored = fs.codebookFor("emb_fv", kind = "pq").get
+    assert(stored.select("n_sub", "sub_dim").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((4, 16)),
+      "geometry must persist inside the artifact")
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val width = maxId / 2 + 1
+    for (b <- 0L until 2L)
+      fs.indexIncrement("emb_fv",
+        e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
+        "vec_id", "embedding", b, kind = "pq")
+    val direct = Similarity.pqAdcFromState(spark,
+      fs.indexStatePath("emb_fv", kind = "pq"), queries,
+      "vec_id", "embedding", stored.drop("n_sub", "sub_dim"), k = 5,
+      nSub = 4, subDim = 16)
+    assert(rows(fs.searchIndex("emb_fv", queries, "vec_id", "embedding",
+      topK = 5, kind = "pq")) === rows(direct),
+      "facade 4x16 serve diverged from the hand-wired serve")
+    // the persisted codes must really be 4-subspace rows
+    val codeCols = spark.read
+      .parquet(s"${fs.indexStatePath("emb_fv", kind = "pq")}/codes")
+      .columns.filter(_.startsWith("code_")).sorted.toSeq
+    assert(codeCols === (0 until 4).map(i => s"code_$i"),
+      s"4x16 state must carry exactly code_0..code_3: $codeCols")
+    // MISMATCH GUARD: an artifact whose declared geometry disagrees
+    // with its own dim span must throw at resolve time, never mis-serve
+    val lying = Similarity.lloydPqCodebook(e, "vec_id", "embedding",
+        nSub = 4, subDim = 8, iters = 1) // spans 32 dims...
+      .withColumn("n_sub", lit(8)).withColumn("sub_dim", lit(8)) // ...claims 64
+      .localCheckpoint(true)
+    CodebookStore.save(lying,
+      CodebookStore.codebookPath(regPath, "emb_fv__pq16x3"))
+    val ex = intercept[IllegalArgumentException] {
+      fs.searchIndex("emb_fv", queries, "vec_id", "embedding", kind = "pq")
+    }
+    assert(ex.getMessage.contains("geometry"), ex.getMessage)
+  }
+
   test("a retrained codebook refresh swaps atomically under a serving reader") {
     val e = graft.Tables.load(spark, sf0001, "embeddings")
     val cents = Similarity.lloydCentroids(e, "vec_id", "embedding", 16, 3)
