@@ -258,7 +258,8 @@ object CurationState {
     */
   def compactState(spark: SparkSession, stateDir: String, upTo: Long,
       tables: Seq[String] = CurationTables,
-      keepVersions: Option[Set[String]] = None): Unit = {
+      keepVersions: Option[Set[String]] = None,
+      idCol: Option[String] = None): Unit = {
     // the mixing contract, CHECKED (previously documentation-only): when
     // a manifest exists, every partition being folded must be covered by
     // some manifest arrival (prefix-fold rule). Folding an unmanifested
@@ -268,7 +269,24 @@ object CurationState {
     // probed — a silently incomplete right-to-forget sweep. The remedy
     // is backfilling writeRange rows for the pre-manifest arrivals
     // before the first fold.
-    val manifestedArrivals = readRanges(spark, stateDir).map(_._1)
+    //
+    // Id-space discipline (ADVICE r17): a manifest row is a fact about
+    // ONE id space, and [[purgeDocs]] consults only rows recorded under
+    // its own id column — so the check must apply the SAME filter.
+    // `idCol = Some(c)` restricts the cover to rows recorded under `c`
+    // (legacy rows without the field match, as in the purge); in a
+    // shared state root (curation doc-id tables beside index vec-id
+    // tables, the q250 layout) that closes both failure modes: a
+    // different-space row can no longer mark a folded partition
+    // "covered" that its own-space purge will probe-skip, and
+    // compacting index tables whose increments never write manifest
+    // rows no longer spuriously throws against the doc-space cover
+    // (no same-space rows -> check skipped; those partitions fall to
+    // the purge's probe path). `idCol = None` means a single-id-space
+    // root: every manifest row applies, the original behavior.
+    val manifestedArrivals = readRanges(spark, stateDir)
+      .filter(r => idCol.forall(c => r._5.forall(_ == c)))
+      .map(_._1)
     for (t <- tables if t != RangesTable) {
       val table = new org.apache.hadoop.fs.Path(s"$stateDir/$t")
       val fs = hfs(spark, table)

@@ -528,4 +528,52 @@ class CurationStateSpec extends SparkSpec {
       assert(spark.read.parquet(s"$root/dd").count() === 2L)
     }
   }
+
+  test("compaction mixing check is id-space-aware in a shared state root (ADVICE r17)") {
+    withRoot { root =>
+      // the q250 shared-root shape: curation doc-id tables manifested,
+      // index vec-id tables whose increments never write manifest rows
+      Seq((0L, "aa", 1L)).toDF("doc_id", "fingerprint", "kept")
+        .write.parquet(s"$root/dd/batch=0")
+      CurationState.writeRange(spark, root, 0L, Some(0L), Some(0L), 1L,
+        "doc_id")
+      Seq((1L, 3L, "v1"), (2L, 5L, "v1"))
+        .toDF("vec_id", "cid", "codebook_version")
+        .write.parquet(s"$root/codes/batch=0")
+      Seq((7L, 4L, "v1")).toDF("vec_id", "cid", "codebook_version")
+        .write.parquet(s"$root/codes/batch=1")
+      // (b) folding the INDEX tables against the doc-space cover used
+      // to spuriously throw (codes batch=1 is covered by no doc-space
+      // arrival — nor should it need to be): scoped to its own id
+      // space, no vec_id manifest rows exist, the check skips, and the
+      // fold proceeds (those partitions fall to the purge probe path)
+      CurationState.compactState(spark, root, upTo = 1L,
+        tables = Seq("codes"), idCol = Some("vec_id"))
+      val parts = new java.io.File(s"$root/codes").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSeq
+      assert(parts === Seq("batch=1"), s"index fold must proceed: $parts")
+      assert(spark.read.parquet(s"$root/codes").count() === 3L)
+      // (a) the converse: a DIFFERENT-space manifest row must not mark
+      // a doc partition covered. The vec-space row at arrival 4 maps to
+      // doc batch=5 under the prefix-fold rule; the doc-space purge
+      // ignores that row, so the doc-space fold must refuse the
+      // unmanifested batch instead of trusting the cross-space cover
+      Seq((9L, "cc", 1L)).toDF("doc_id", "fingerprint", "kept")
+        .write.parquet(s"$root/dd/batch=5")
+      CurationState.writeRange(spark, root, 4L, Some(1L), Some(7L), 3L,
+        "vec_id")
+      val ex = intercept[IllegalStateException] {
+        CurationState.compactState(spark, root, upTo = 5L,
+          tables = Seq("dd"), idCol = Some("doc_id"))
+      }
+      assert(ex.getMessage.contains("batch=5"),
+        s"a cross-space cover must not unblock the doc fold: $ex")
+      // backfill under the RIGHT column unblocks it
+      CurationState.writeRange(spark, root, 5L, Some(9L), Some(9L), 1L,
+        "doc_id")
+      CurationState.compactState(spark, root, upTo = 5L,
+        tables = Seq("dd"), idCol = Some("doc_id"))
+      assert(spark.read.parquet(s"$root/dd").count() === 2L)
+    }
+  }
 }
