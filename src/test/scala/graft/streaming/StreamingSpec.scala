@@ -728,6 +728,20 @@ class StreamingSpec extends SparkSpec {
     val src = Files.createTempDirectory("idx_src").toString
     val chk = Files.createTempDirectory("idx_chk").toString
     val state = Files.createTempDirectory("idx_state").toString
+    val mon = Files.createTempDirectory("idx_mon").toString
+    // streaming staleness monitor references, persisted at train time
+    val refHist = Similarity.assignmentCounts(e, "vec_id", "embedding",
+      cents).localCheckpoint(true)
+    val pqRefHist = Similarity.pqCodeHistogram(
+      Similarity.pqCodes(e, "vec_id", "embedding", codebook = Some(cb)))
+      .localCheckpoint(true)
+    // a fourth, DRIFTED drop (fresh ids, component-sorted vectors — the
+    // q240 mass-moving perturbation): the monitor must flip exactly here
+    val drifted = e.select((col("vec_id") + maxId + 1000L).as("vec_id"),
+      array_sort(col("embedding")).as("embedding"))
+      .filter(col("vec_id") < maxId + 1000L + width)
+      .localCheckpoint(true)
+    val allDrops = slices :+ drifted
     // slice 0 lands BEFORE start so micro-batch ids match arrival ids;
     // drips coalesce(1) — multi-part drops race a running source
     slices.head.coalesce(1).write.mode("append").parquet(src)
@@ -735,17 +749,21 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingIngest.indexStream(
       StreamingIngest.readStream(spark, src, schema),
       "vec_id", "embedding", cents, state, chk,
-      payloadCols = Seq("embedding"), pqCodebook = Some(cb)).start()
+      payloadCols = Seq("embedding"), pqCodebook = Some(cb),
+      refHist = Some(refHist), pqRefHist = Some(pqRefHist),
+      monitorDir = mon).start()
     try {
       q.processAllAvailable()
       slices(1).coalesce(1).write.mode("append").parquet(src)
       q.processAllAvailable()
       slices(2).coalesce(1).write.mode("append").parquet(src)
       q.processAllAvailable()
+      drifted.coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
     } finally q.stop()
     // batch reference: the same slices through the batch verbs
     val bState = Files.createTempDirectory("idx_bstate").toString
-    slices.zipWithIndex.foreach { case (s, b) =>
+    allDrops.zipWithIndex.foreach { case (s, b) =>
       Similarity.assignIncrement(s, "vec_id", "embedding", cents,
         bState, b.toLong, payloadCols = Seq("embedding"))
       Similarity.pqCodesIncrement(s, "vec_id", "embedding", cb,
@@ -769,6 +787,43 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(serve(state).nonEmpty && serve(state) === serve(bState),
       "serving off the stream-maintained state diverged")
+    // STREAMING STALENESS MONITOR (VERDICT r17 #8): one readout per
+    // non-empty micro-batch, nothing else (a quiet stream is silent)
+    for (side <- Seq("ivf", "pq")) {
+      val mbs = new java.io.File(s"$mon/$side").listFiles()
+        .map(_.getName).filter(_.startsWith("mb=")).sorted.toSeq
+      assert(mbs === (0 to 3).map(i => s"mb=$i"),
+        s"$side monitor must emit exactly one readout per micro-batch: $mbs")
+    }
+    // after the three undrifted drops the state IS the reference corpus:
+    // PSI exactly 0 on every cell, trigger silent...
+    val quietIvf = spark.read.parquet(s"$mon/ivf/mb=2").collect()
+    assert(quietIvf.nonEmpty && quietIvf.forall(r =>
+      r.getDouble(r.fieldIndex("contrib")) == 0.0 &&
+        r.getLong(r.fieldIndex("stale")) == 0L),
+      "undrifted stream must read PSI exactly 0")
+    val quietPq = spark.read.parquet(s"$mon/pq/mb=2").collect()
+    assert(quietPq.nonEmpty && quietPq.forall(r =>
+      r.getLong(r.fieldIndex("stale")) == 0L),
+      "undrifted stream must leave the pq monitor silent")
+    // ...and the planted drift flips the flag at EXACTLY its micro-batch
+    def stale(p: String) = spark.read.parquet(p).collect()
+      .map(r => r.getLong(r.fieldIndex("stale"))).max
+    assert(stale(s"$mon/ivf/mb=3") === 1L,
+      "drifted drop must flip the ivf staleness flag at its micro-batch")
+    assert(stale(s"$mon/pq/mb=3") === 1L,
+      "drifted drop must flip the pq staleness flag at its micro-batch")
+    // the streamed readout equals the batch monitor computed from the
+    // batch-maintained state — monitor ≡ batch, like the state itself
+    val ver = Similarity.codebookVersionOf(cents)
+    val batchIvf = Similarity.codebookStalenessFromHist(refHist,
+        Similarity.assignHistogram(spark, bState, ver)
+          .select(lit("stream").as("scenario"), col("cid"), col("n")),
+        "scenario", cents)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(spark.read.parquet(s"$mon/ivf/mb=3")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq === batchIvf,
+      "streamed staleness readout diverged from the batch monitor")
   }
 
   test("streaming->online freshness loop: the audit sees the stream's watermark advance over the loopback KV") {
