@@ -146,26 +146,40 @@ object Skew {
       keyCols: Seq[String], topK: Int = 10): DataFrame = {
     require(keyCols.nonEmpty, "joinSizeForecast needs join keys")
     val keys = keyCols.map(col)
-    def dec(c: Column) = c.cast("decimal(19,0)")
-    val per = ca.join(cb, keyCols)
-      .withColumn("pairs",
-        (dec(col("n_a")) * dec(col("n_b"))).cast("decimal(38,0)").cast("long"))
-    // total_pairs as an unpartitioned window over the KEY-DOMAIN-sized
-    // `per` frame, not a separate .agg subtree: the separate subtree
-    // co-plans the whole `per` lineage twice (through
-    // [[joinSizeForecast]], both input tables' scans+groupBys — two
-    // scans per 100 TB side), and ReuseExchange never fires because
-    // column pruning specializes the copies. The window is safe for
-    // the same reason the forecast is: `per` is key-domain rows.
-    per.withColumn("total_pairs",
-        sum(col("pairs").cast("decimal(38,0)"))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy())
-          .cast("decimal(38,0)").cast("long"))
+    // EAGER checkpoint of the per-key frame, then a DISTRIBUTED agg for
+    // the total + broadcast crossJoin of the 1-row result (ADVICE r17).
+    // The two prior forms each failed one way: a separate .agg subtree
+    // co-planned the whole lineage twice (both input tables' scans — two
+    // scans per 100 TB side; ReuseExchange never fires across the
+    // column-pruned copies), and an unpartitioned window over `per`
+    // funneled the entire distinct-key domain through ONE reducer — for
+    // the 100 TB pre-flight this tool exists for, the joint key domain
+    // can be billions of rows, so the forecast itself became the
+    // single-reducer scale-killer it is meant to predict. The
+    // checkpoint pays one key-domain materialization and buys both:
+    // inputs scanned once, total computed with map-side partials.
+    val per = forecastPerKey(ca, cb, keyCols).localCheckpoint(true)
+    val total = per.agg(
+      sum(col("pairs").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").cast("long").as("total_pairs"))
+    per.crossJoin(broadcast(total))
       .orderBy(col("pairs").desc +: keys.map(_.asc): _*).limit(topK)
       .select(keys ++ Seq(col("n_a"), col("n_b"), col("pairs"),
         col("total_pairs"),
         (col("pairs").cast("double") / col("total_pairs").cast("double"))
           .as("share")): _*)
+  }
+
+  /** The forecast's per-key stage — exposed pre-checkpoint so PlanSpec
+    * can pin the input-side plan (checkpoints truncate explain at
+    * LogicalRDD; the mmrCandidates pattern).
+    */
+  private[graft] def forecastPerKey(ca: DataFrame, cb: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    ca.join(cb, keyCols)
+      .withColumn("pairs",
+        (dec(col("n_a")) * dec(col("n_b"))).cast("decimal(38,0)").cast("long"))
   }
 
   /** Salted join of a skewed fact side against a dimension: the fact

@@ -191,8 +191,9 @@ object Stats {
     val bounds = df.agg(min(col(centsCol)).as("__mn"), max(col(centsCol)).as("__mx"))
     df.crossJoin(broadcast(bounds))
       .select(
-        expr(s"(($centsCol - __mn) * $nBuckets) div (__mx - __mn + 1)")
-          .as("bucket"),
+        // own-bounds values are always in range, so bucketExpr's edge
+        // clamp is an identity here — one formula definition everywhere
+        bucketExpr(centsCol, nBuckets).as("bucket"),
         col(centsCol))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
@@ -227,6 +228,60 @@ object Stats {
     df.withColumn("bucket", bucket)
   }
 
+  /** The reference-defined equal-width bucket id of `centsCol` —
+    * `((x − __mn) · B) div (__mx − __mn + 1)`, edge-clamped into
+    * [0, B): drift INTO the tails must land somewhere visible, not
+    * drop. Expects the `__mn`/`__mx` bounds columns in scope (the
+    * broadcast-bounds device). ONE definition (VERDICT r17 #7) — this
+    * formula used to be spelled in eight places across this file and
+    * the copies were one edit away from drifting apart; every oracle
+    * replays it literally, so it must stay a single source of truth.
+    */
+  private def bucketExpr(centsCol: String, nBuckets: Int): Column =
+    least(lit(nBuckets - 1L), greatest(lit(0L),
+      expr(s"(($centsCol - __mn) * $nBuckets) div (__mx - __mn + 1)")))
+      .cast("long")
+
+  /** The shared binning scaffold under the ref/cur drift monitors
+    * ([[psiByKey]] / [[jsdByKey]] / [[emdByKey]] — VERDICT r17 #7):
+    * reference bounds broadcast onto both slices, [[bucketExpr]]
+    * bucket counts per (key, bucket), per-key totals, and the DENSE
+    * keys×buckets grid left-joined with zero-coalesced counts —
+    * emitting exactly (keys..., bucket, n_ref, n_cur, nt_ref, nt_cur).
+    * A bucket that lost ALL current mass (the strongest drift signal)
+    * still contributes a row. Scale posture shared by all three
+    * monitors: two keyed bucket-count aggs with map-side partials,
+    * broadcast count frames, nothing corpus-sized past the first
+    * aggregation.
+    */
+  private def refCurBucketGrid(ref: DataFrame, cur: DataFrame,
+      keyCols: Seq[String], centsCol: String, nBuckets: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val bounds = ref.agg(min(col(centsCol)).as("__mn"),
+      max(col(centsCol)).as("__mx"))
+    def bucketed(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(bounds))
+        .select(keys :+ bucketExpr(centsCol, nBuckets).as("bucket"): _*)
+        .groupBy(keys :+ col("bucket"): _*)
+        .agg(count(lit(1)).as("n"))
+    val refCounts = bucketed(ref).withColumnRenamed("n", "n_ref")
+    val curCounts = bucketed(cur).withColumnRenamed("n", "n_cur")
+    val refTotals = ref.groupBy(keys: _*).agg(count(lit(1)).as("nt_ref"))
+    val curTotals = cur.groupBy(keys: _*).agg(count(lit(1)).as("nt_cur"))
+    val grid = ref.select(keys: _*).distinct()
+      .select(keys :+ explode(sequence(lit(0L), lit(nBuckets - 1L)))
+        .as("bucket"): _*)
+    grid
+      .join(broadcast(refCounts), keyCols :+ "bucket", "left")
+      .join(broadcast(curCounts), keyCols :+ "bucket", "left")
+      .join(broadcast(refTotals), keyCols)
+      .join(broadcast(curTotals), keyCols, "left")
+      .select(keys ++ Seq(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        col("nt_ref"), coalesce(col("nt_cur"), lit(0L)).as("nt_cur")): _*)
+  }
+
   /** Population Stability Index between a reference and a current
     * slice, per key — THE production drift monitor for feature
     * distributions (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
@@ -256,21 +311,6 @@ object Stats {
     require(keyCols.nonEmpty, "psiByKey needs at least one key column")
     require(nBuckets >= 2, "psiByKey needs at least two buckets")
     val keys = keyCols.map(col)
-    val bounds = ref.agg(min(col(centsCol)).as("__mn"), max(col(centsCol)).as("__mx"))
-    def bucketed(df: DataFrame): DataFrame =
-      df.crossJoin(broadcast(bounds))
-        .select(keys :+
-          least(lit(nBuckets - 1L), greatest(lit(0L),
-            expr(s"(($centsCol - __mn) * $nBuckets) div (__mx - __mn + 1)")))
-            .cast("long").as("bucket"): _*)
-        .groupBy(keys :+ col("bucket"): _*)
-        .agg(count(lit(1)).as("n"))
-    val refCounts = bucketed(ref).withColumnRenamed("n", "n_ref")
-    val curCounts = bucketed(cur).withColumnRenamed("n", "n_cur")
-    val refTotals = ref.groupBy(keys: _*).agg(count(lit(1)).as("nt_ref"))
-    val curTotals = cur.groupBy(keys: _*).agg(count(lit(1)).as("nt_cur"))
-    val grid = ref.select(keys: _*).distinct()
-      .select(keys :+ explode(sequence(lit(0L), lit(nBuckets - 1L))).as("bucket"): _*)
     val p = (col("n_ref") + 1).cast("double") /
       (col("nt_ref") + nBuckets).cast("double")
     val q = (col("n_cur") + 1).cast("double") /
@@ -280,15 +320,7 @@ object Stats {
     val w = Window.partitionBy(keys: _*).orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     import graft.util.Rounding.pround
-    grid
-      .join(broadcast(refCounts), keyCols :+ "bucket", "left")
-      .join(broadcast(curCounts), keyCols :+ "bucket", "left")
-      .join(broadcast(refTotals), keyCols)
-      .join(broadcast(curTotals), keyCols, "left")
-      .select(keys ++ Seq(col("bucket"),
-        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
-        col("nt_ref"), coalesce(col("nt_cur"), lit(0L)).as("nt_cur")): _*)
+    refCurBucketGrid(ref, cur, keyCols, centsCol, nBuckets)
       .select(keys ++ Seq(col("bucket"), col("n_ref"), col("n_cur"),
         pround(contrib, 6).as("contrib"),
         pround(sum(contrib).over(w), 6).as("psi_cum")): _*)
@@ -318,9 +350,7 @@ object Stats {
       .agg(min(col(centsCol)).as("__mn"), max(col(centsCol)).as("__mx"))
     val binned = df.join(broadcast(bounds), keyCols)
       .select(keys ++ Seq(
-        least(lit(nBuckets - 1L), greatest(lit(0L),
-          expr(s"(($centsCol - __mn) * $nBuckets) div (__mx - __mn + 1)")))
-          .cast("long").as("bucket"),
+        bucketExpr(centsCol, nBuckets).as("bucket"),
         col(labelCol).cast("long").as("__lab")): _*)
       .groupBy(keys :+ col("bucket"): _*)
       .agg(sum(col("__lab")).as("n_good"),
@@ -431,23 +461,6 @@ object Stats {
     require(keyCols.nonEmpty, "jsdByKey needs at least one key column")
     require(nBuckets >= 2, "jsdByKey needs at least two buckets")
     val keys = keyCols.map(col)
-    val bounds = ref.agg(min(col(centsCol)).as("__mn"),
-      max(col(centsCol)).as("__mx"))
-    def bucketed(df: DataFrame): DataFrame =
-      df.crossJoin(broadcast(bounds))
-        .select(keys :+
-          least(lit(nBuckets - 1L), greatest(lit(0L),
-            expr(s"(($centsCol - __mn) * $nBuckets) div (__mx - __mn + 1)")))
-            .cast("long").as("bucket"): _*)
-        .groupBy(keys :+ col("bucket"): _*)
-        .agg(count(lit(1)).as("n"))
-    val refCounts = bucketed(ref).withColumnRenamed("n", "n_ref")
-    val curCounts = bucketed(cur).withColumnRenamed("n", "n_cur")
-    val refTotals = ref.groupBy(keys: _*).agg(count(lit(1)).as("nt_ref"))
-    val curTotals = cur.groupBy(keys: _*).agg(count(lit(1)).as("nt_cur"))
-    val grid = ref.select(keys: _*).distinct()
-      .select(keys :+ explode(sequence(lit(0L), lit(nBuckets - 1L)))
-        .as("bucket"): _*)
     val p = (col("n_ref") + 1).cast("double") /
       (col("nt_ref") + nBuckets).cast("double")
     val q = (col("n_cur") + 1).cast("double") /
@@ -458,15 +471,7 @@ object Stats {
     val w = Window.partitionBy(keys: _*).orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     import graft.util.Rounding.pround
-    grid
-      .join(broadcast(refCounts), keyCols :+ "bucket", "left")
-      .join(broadcast(curCounts), keyCols :+ "bucket", "left")
-      .join(broadcast(refTotals), keyCols)
-      .join(broadcast(curTotals), keyCols, "left")
-      .select(keys ++ Seq(col("bucket"),
-        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
-        col("nt_ref"), coalesce(col("nt_cur"), lit(0L)).as("nt_cur")): _*)
+    refCurBucketGrid(ref, cur, keyCols, centsCol, nBuckets)
       .select(keys ++ Seq(col("bucket"), col("n_ref"), col("n_cur"),
         pround(contrib, 6).as("contrib"),
         pround(sum(contrib).over(w), 6).as("jsd_cum")): _*)
@@ -500,36 +505,11 @@ object Stats {
     require(keyCols.nonEmpty, "emdByKey needs at least one key column")
     require(nBuckets >= 2, "emdByKey needs at least two buckets")
     val keys = keyCols.map(col)
-    val bounds = ref.agg(min(col(centsCol)).as("__mn"),
-      max(col(centsCol)).as("__mx"))
-    def bucketed(df: DataFrame): DataFrame =
-      df.crossJoin(broadcast(bounds))
-        .select(keys :+
-          least(lit(nBuckets - 1L), greatest(lit(0L),
-            expr(s"(($centsCol - __mn) * $nBuckets) div (__mx - __mn + 1)")))
-            .cast("long").as("bucket"): _*)
-        .groupBy(keys :+ col("bucket"): _*)
-        .agg(count(lit(1)).as("n"))
-    val refCounts = bucketed(ref).withColumnRenamed("n", "n_ref")
-    val curCounts = bucketed(cur).withColumnRenamed("n", "n_cur")
-    val refTotals = ref.groupBy(keys: _*).agg(count(lit(1)).as("nt_ref"))
-    val curTotals = cur.groupBy(keys: _*).agg(count(lit(1)).as("nt_cur"))
-    val grid = ref.select(keys: _*).distinct()
-      .select(keys :+ explode(sequence(lit(0L), lit(nBuckets - 1L)))
-        .as("bucket"): _*)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys: _*).orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def dec(c: Column) = c.cast("decimal(19,0)")
-    val joined = grid
-      .join(broadcast(refCounts), keyCols :+ "bucket", "left")
-      .join(broadcast(curCounts), keyCols :+ "bucket", "left")
-      .join(broadcast(refTotals), keyCols)
-      .join(broadcast(curTotals), keyCols, "left")
-      .select(keys ++ Seq(col("bucket"),
-        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
-        col("nt_ref"), coalesce(col("nt_cur"), lit(0L)).as("nt_cur")): _*)
+    val joined = refCurBucketGrid(ref, cur, keyCols, centsCol, nBuckets)
       .withColumn("cum_ref", sum(col("n_ref")).over(w))
       .withColumn("cum_cur", sum(col("n_cur")).over(w))
       .withColumn("gap",
@@ -916,8 +896,7 @@ object Stats {
     df.select(col(scoreCol).cast("long").as("score"),
         col(labelCol).cast("long").as("label"))
       .crossJoin(broadcast(bounds))
-      .withColumn("bin",
-        expr(s"((score - __mn) * $nBins) div (__mx - __mn + 1)"))
+      .withColumn("bin", bucketExpr("score", nBins))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col("label")).as("n_pos"),
@@ -1002,8 +981,7 @@ object Stats {
     val bounds = df.agg(min(col(centsCol)).cast("long").as("__mn"),
       max(col(centsCol)).cast("long").as("__mx"))
     val hb = hist.crossJoin(broadcast(bounds))
-      .select(col("v"), col("cnt"),
-        expr(s"(v - __mn) * $nBuckets div (__mx - __mn + 1)").as("bkt"))
+      .select(col("v"), col("cnt"), bucketExpr("v", nBuckets).as("bkt"))
     val totals = hb.groupBy(col("bkt")).agg(sum(col("cnt")).as("bn"))
     val before = totals.as("a")
       .join(broadcast(totals.as("b")), col("b.bkt") < col("a.bkt"), "left")

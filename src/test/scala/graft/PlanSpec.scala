@@ -511,22 +511,33 @@ class PlanSpec extends SparkSpec {
   }
 
   test("join forecast: counts-only plan with TakeOrdered cut — never the joined rows") {
+    // post-checkpoint stage: the checkpointed key-domain frame feeds a
+    // distributed agg (broadcast back as a 1-row crossJoin) and the
+    // TakeOrdered cut — NO unpartitioned window anywhere (ADVICE r17:
+    // the prior global-window total funneled the whole key domain
+    // through one reducer), and no input rescans (the checkpoint is
+    // the one materialization)
     val p = plan(Queries.joinForecast(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"), s"top-K must TakeOrdered:\n$p")
-    // exactly ONE unpartitioned window — total_pairs over the
-    // KEY-DOMAIN-sized per-key frame (the q184 one-scan posture): the
-    // previous separate-.agg-subtree form co-planned both sides' full
-    // scans+groupBys twice (ReuseExchange never fires across the
-    // column-pruned copies). A second one appearing means the scalar
-    // leaked onto a corpus-scale frame.
-    assert(unpartitionedWindows(p) == 1, s"total must ride the summary:\n$p")
+    assert(unpartitionedWindows(p) == 0,
+      s"the total must be a distributed agg, not a global window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
-    // the input scan must appear ONCE per side, not twice (the
-    // double-scan this rewrite removed); events feeds both sides of
-    // the self-forecast, so exactly 2 scans... collapse to 1 via
-    // ReuseExchange-eligible identical subtrees is also acceptable
-    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
-    assert(scans <= 2, s"forecast must not rescan its inputs:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"post-checkpoint forecast must not rescan inputs:\n$p")
+    // pre-checkpoint stage (the input side): each input scanned ONCE —
+    // events feeds both sides of the self-forecast, so exactly 2
+    // scans; collapse to 1 via ReuseExchange is also acceptable — and
+    // only count joins of count frames, never the joined rows
+    val e = graft.Tables.load(spark, sf0001, "events").select(col("user_id"))
+    val per = plan(graft.transform.Skew.forecastPerKey(
+      e.groupBy(col("user_id")).agg(count(lit(1)).as("n_a")),
+      e.groupBy(col("user_id")).agg(count(lit(1)).as("n_b")),
+      Seq("user_id")))
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(per).size
+    assert(scans <= 2, s"forecast must not rescan its inputs:\n$per")
+    assert(unpartitionedWindows(per) == 0 && !per.contains("CartesianProduct"))
   }
 
   test("seasonal profile: only the tiny grid joins; trend window rides the hourly agg") {
@@ -1792,6 +1803,47 @@ class PlanSpec extends SparkSpec {
       // corpus-sized funnels through one reducer
       assert(unpartitionedWindows(p) == 0,
         s"serve windows must partition per query:\n$p")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("state-fed staleness monitor: O(index state) — no corpus scan, no re-assignment") {
+    // the q257 posture (VERDICT r17 #4): the monitor's current leg is
+    // a per-cid sum of the persisted assign partitions — the plan must
+    // never touch the corpus (no embeddings scan, no codebook_argmin)
+    // and the version filter must push into the state scan
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val cents = graft.ops.Similarity
+      .lloydCentroids(e, "vec_id", "embedding", 16, 3).localCheckpoint(true)
+    val refHist = graft.ops.Similarity
+      .assignmentCounts(e, "vec_id", "embedding", cents).localCheckpoint(true)
+    val root = java.nio.file.Files.createTempDirectory("annhistplan-").toString
+    try {
+      graft.ops.Similarity.assignIncrement(e, "vec_id", "embedding",
+        cents, root, 0L)
+      val ver = graft.ops.Similarity.codebookVersionOf(cents)
+      val curHist = graft.ops.Similarity.assignHistogram(spark, root, ver)
+        .select(lit("state").as("scenario"), col("cid"), col("n"))
+      val p = plan(graft.ops.Similarity.codebookStalenessFromHist(
+        refHist, curHist, "scenario", cents))
+      assert(!p.contains("embeddings.parquet"),
+        s"the state-fed monitor must never rescan the corpus:\n$p")
+      assert(!p.contains("codebook_argmin"),
+        s"the state-fed monitor must never re-assign:\n$p")
+      val pushed = """PushedFilters: \[[^\]]*EqualTo\(codebook_version""".r
+      assert(pushed.findFirstIn(p).isDefined,
+        s"version equality must push into the state scan:\n$p")
+      // a LITERAL scenario folds out of the window partition spec, so
+      // the two PSI windows render unpartitioned — fine: they ride the
+      // ncells×scenarios grid (16 rows here), never anything
+      // corpus-sized. Pin the count so a third window (a scalar leaking
+      // onto a big frame) still trips.
+      assert(unpartitionedWindows(p) <= 2,
+        s"only the two bounded-grid PSI windows may appear:\n$p")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
