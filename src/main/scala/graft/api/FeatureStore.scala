@@ -269,17 +269,23 @@ final class FeatureStore(
       import org.apache.spark.sql.functions._
       // derive the pq geometry from the artifact (VERDICT r17 #6);
       // artifacts from before geometry persistence carry no columns —
-      // they were only ever built at the frozen 8×8 default
+      // they were only ever built at the frozen 8×8 default. ONE agg
+      // job reads geometry AND the dim span (this runs on every index
+      // verb, including the per-query serve path — two driver jobs
+      // here would double the fixed scheduling cost per lookup)
       val hasGeom = stored.columns.contains("n_sub")
+      val aggCols =
+        countDistinct(col("dim")).as("dims") +:
+          (if (hasGeom) Seq(first(col("n_sub")).as("ns"),
+            first(col("sub_dim")).as("sd"))
+          else Nil)
+      val r = stored.agg(aggCols.head, aggCols.tail: _*).head()
       val (nSub, subDim) =
-        if (hasGeom) {
-          val r = stored.select(col("n_sub"), col("sub_dim")).head()
-          (r.getInt(0), r.getInt(1))
-        } else (8, 8)
+        if (hasGeom) (r.getInt(1), r.getInt(2)) else (8, 8)
       // mismatch guard: the codebook's dim span must equal the declared
       // geometry — serving with a wrong-geometry codebook must THROW,
       // never silently mis-slice vectors (k·dim-row scan, bounded)
-      val dims = stored.agg(countDistinct(col("dim"))).head().getLong(0)
+      val dims = r.getLong(0)
       require(dims == nSub.toLong * subDim,
         s"stored pq codebook for view '$viewName' spans $dims dims but " +
           s"declares geometry ${nSub}x$subDim — the artifact is " +

@@ -1554,7 +1554,16 @@ object Similarity {
       threshold: Double = 0.2): DataFrame =
     codebookStalenessFromHist(refHist,
       assignmentCounts(cur, idCol, vecCol, centroids, Seq(scenarioCol)),
-      scenarioCol, centroids, threshold)
+      scenarioCol, centroids, threshold,
+      // scenario domain from the RAW corpus, not the histogram: a
+      // scenario whose vectors all fail assignment (null/empty arrays —
+      // posexplode emits nothing) has NO histogram rows, and deriving
+      // the grid from the histogram would silently drop the
+      // most-broken scenario from the readout; from the corpus it
+      // surfaces with its full cell grid and all-zero current mass
+      // (nt_cur = 0 — the operator signal; smoothing reads an empty
+      // slice as uniform, so the PSI flag alone would not fire)
+      scenarios = Some(cur.select(col(scenarioCol)).distinct()))
 
   /** [[codebookStaleness]] from a PRE-COMPUTED current-side histogram —
     * the state-fed monitor (VERDICT r17 #4, the IVF mirror of
@@ -1571,7 +1580,8 @@ object Similarity {
     */
   def codebookStalenessFromHist(refHist: DataFrame, curHistIn: DataFrame,
       scenarioCol: String, centroids: DataFrame,
-      threshold: Double = 0.2): DataFrame = {
+      threshold: Double = 0.2,
+      scenarios: Option[DataFrame] = None): DataFrame = {
     import graft.util.Rounding.pround
     import org.apache.spark.sql.expressions.Window
     val curHist = curHistIn
@@ -1591,7 +1601,14 @@ object Similarity {
     val refTot = ref.agg(sum(col("n_ref")).as("nt_ref"))
     val curTot = curHist.groupBy(col(scenarioCol))
       .agg(sum(col("n_cur")).as("nt_cur"))
-    val grid = curHist.select(col(scenarioCol)).distinct().crossJoin(cellIds)
+    // the scenario domain defaults to the histogram's own (the state
+    // path, where the scenario is a literal); pass `scenarios`
+    // explicitly when a scenario could have ZERO histogram rows (all
+    // assignments failed) and must still surface — see
+    // [[codebookStaleness]]
+    val grid = scenarios
+      .getOrElse(curHist.select(col(scenarioCol)).distinct())
+      .select(col(scenarioCol)).distinct().crossJoin(cellIds)
     val p = (col("n_ref") + 1).cast("double") /
       (col("nt_ref") + col("ncells")).cast("double")
     val q = (col("n_cur") + 1).cast("double") /

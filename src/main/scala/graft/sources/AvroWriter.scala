@@ -47,7 +47,21 @@ object AvroWriter {
         Iterator.single(pid)
       }
     }.count() // force the write
+    sweepOrphanTmps(fsRoot, root)
   }
+
+  /** Sweep orphaned attempt tmps after all partitions committed: an
+    * attempt killed mid-write never reaches its own cleanup, and a
+    * RETRY cleans only its own attempt-id tmp — anything still matching
+    * the hidden tmp pattern is dead weight (invisible to readers, but
+    * it would leak disk across job failures). Best-effort.
+    */
+  private[sources] def sweepOrphanTmps(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit =
+    try fs.globStatus(new org.apache.hadoop.fs.Path(root, ".part-*.avro.tmp"))
+      .foreach(st => fs.delete(st.getPath, false))
+    catch { case scala.util.control.NonFatal(_) => () }
 
   /** One task attempt's write of partition `pid`: attempt-unique hidden
     * tmp, then rename into `part-NNNNN.avro`. Losing the rename (another
@@ -78,10 +92,22 @@ object AvroWriter {
       }
       writer.append(rec)
     } finally writer.close()
-    // Commit: first attempt to rename wins; rename onto an existing final
-    // returns false (HDFS and local FS alike) — the loser cleans up.
-    if (fs.exists(finalFile) || !fs.rename(tmpFile, finalFile)) {
-      fs.delete(tmpFile, false)
+    // Commit: first attempt to rename wins. On HDFS rename-to-existing
+    // returns false; on the local FS rename(2) REPLACES the destination
+    // atomically (still a complete container either way, readers with an
+    // open fd keep the old inode) — the exists() pre-check narrows the
+    // window, and the postcondition below is the real guarantee: after
+    // this method returns, a committed final file EXISTS. A rename that
+    // returns false with no committed final (transient FS condition)
+    // must throw, never silently drop the partition — the tmp is
+    // complete, so a task retry recovers.
+    val renamed = !fs.exists(finalFile) && fs.rename(tmpFile, finalFile)
+    if (!renamed) {
+      if (!fs.exists(finalFile))
+        throw new java.io.IOException(
+          s"avro commit rename failed for $tmpFile with no committed " +
+            s"$finalFile — retry the task (tmp is complete)")
+      fs.delete(tmpFile, false) // another attempt won; drop our copy
     }
   }
 

@@ -250,8 +250,15 @@ object StreamingIngest {
     require(pqRefHist.isEmpty || pqCodebook.nonEmpty,
       "indexStream: pqRefHist monitors the pq code state — pass " +
         "pqCodebook too")
-    // ONE stamp derivation per query, not per micro-batch: the codebook
-    // artifacts are fixed for the stream's lifetime
+    // Monitor-side stamps, derived once at stream construction (the
+    // artifacts are fixed for the query's lifetime by contract). The
+    // INCREMENTS keep deriving their stamp per micro-batch from the
+    // very collect they assign/encode with (pass codebookVersion
+    // through unchanged) — that is the invariant that makes a stamp
+    // trustworthy: it can never diverge from the geometry that wrote
+    // the partition, even if a non-materialized codebook plan shifted
+    // mid-stream (in which case the monitor reads an empty current
+    // histogram rather than a silently mixed one).
     val ivfVer =
       if (codebookVersion.isEmpty)
         graft.ops.Similarity.codebookVersionOf(centroids)
@@ -267,10 +274,10 @@ object StreamingIngest {
         if (!df.isEmpty) {
           val spark = df.sparkSession
           graft.ops.Similarity.assignIncrement(df, idCol, vecCol,
-            centroids, stateDir, batchId, ivfVer, payloadCols)
+            centroids, stateDir, batchId, codebookVersion, payloadCols)
           pqCodebook.foreach { cb =>
             graft.ops.Similarity.pqCodesIncrement(df, idCol, vecCol,
-              cb, stateDir, batchId, pqVer.get, nSub, subDim)
+              cb, stateDir, batchId, pqCodebookVersion, nSub, subDim)
           }
           refHist.foreach { rh =>
             val curHist = graft.ops.Similarity

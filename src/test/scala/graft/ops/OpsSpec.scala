@@ -1999,6 +1999,24 @@ class OpsSpec extends SparkSpec {
       scen("post_retrain", drifted), "vec_id", "embedding", "scenario", cents2)
     assert(out2.agg(max(col("stale"))).head.getLong(0) === 0L,
       "freshly retrained codebook must not report stale against its own reference")
+    // the most-broken scenario of all — every vector unassignable
+    // (null embeddings; posexplode emits nothing, so the assignment
+    // histogram has ZERO rows for it) — must still SURFACE with its
+    // full cell grid and all-zero current mass, never silently drop
+    // from the readout. (Laplace smoothing reads an EMPTY slice as the
+    // uniform distribution, so PSI itself stays small against a
+    // near-uniform reference — the signal an operator acts on here is
+    // nt_cur = 0 across the grid, not the stale flag.)
+    val broken = e.select(lit("broken").as("scenario"), col("vec_id"),
+      lit(null).cast("array<double>").as("embedding"))
+    val out3 = Similarity.codebookStaleness(refHist,
+      scen("control", e).unionByName(broken),
+      "vec_id", "embedding", "scenario", cents)
+    val brokenRows = out3.filter(col("scenario") === "broken").collect()
+    assert(brokenRows.length === 16,
+      "an all-unassignable scenario must keep its full cell grid")
+    assert(brokenRows.forall(r => r.getLong(r.fieldIndex("n_cur")) == 0L),
+      "an all-unassignable scenario must read as zero current mass")
   }
 
 }

@@ -69,6 +69,25 @@ class AvroWriterSpec extends SparkSpec {
     assert(back.count() === 10L, "hidden tmp must not reach the reader")
   }
 
+  test("orphaned attempt tmps are swept after commit; committed parts untouched") {
+    // an attempt killed mid-write leaves its hidden tmp with no owner
+    // (a RETRY cleans only its own attempt id); the end-of-write sweep
+    // must remove exactly the orphans — invisible-to-readers is not a
+    // license to leak disk across job failures
+    val dir = Files.createTempDirectory("avro_sweep").toString
+    val df = (0L until 20L).map(i => (i, s"d$i")).toDF("id", "text")
+    AvroWriter.write(df, dir)
+    val orphan = new java.io.File(dir, ".part-00007-12345.avro.tmp")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](9, 9))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    AvroWriter.sweepOrphanTmps(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro.tmp"))
+    assert(leftovers.isEmpty, s"sweep missed: ${leftovers.mkString(", ")}")
+    assert(AvroReader.read(spark, s"$dir/*.avro").count() === 20L)
+  }
+
   test("reader closes every stream under partial consumption (limit over multi-file input)") {
     val dir = Files.createTempDirectory("avro_leak").toString
     val df = (0L until 400L).map(i => (i, s"doc$i")).toDF("id", "text")
