@@ -31,7 +31,10 @@ trait Registry {
     parsed.map(_.view).distinct.map { viewName =>
       val fv = getFeatureView(viewName).getOrElse(
         throw new NoSuchElementException(s"feature view '$viewName' not registered"))
-      val wanted = parsed.filter(_.view == viewName).map(_.feature)
+      // duplicate refs (easy when concatenating ref lists) would emit
+      // duplicate identically-named output columns downstream —
+      // AMBIGUOUS_REFERENCE far from the cause; first occurrence wins
+      val wanted = parsed.filter(_.view == viewName).map(_.feature).distinct
       val feats = wanted.map { f =>
         fv.features.find(_.name == f).getOrElse(
           throw new NoSuchElementException(s"feature '$f' not in view '$viewName'"))
@@ -68,7 +71,12 @@ final class FileRegistry(val path: Path) extends Registry {
     else State(Map.empty, Map.empty, Map.empty)
 
   private def save(s: State): Unit = {
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    // WRITER-UNIQUE tmp: a fixed shared tmp lets two concurrent writers
+    // in different JVMs (synchronized covers one JVM only; the class
+    // contract is last-writer-wins across sessions) publish a torn
+    // document — A renames B's half-written tmp into the final path
+    val tmp = path.resolveSibling(
+      path.getFileName.toString + ".tmp-" + java.util.UUID.randomUUID)
     if (path.getParent != null) Files.createDirectories(path.getParent)
     Files.write(tmp, toJson(s).getBytes("UTF-8"))
     Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
@@ -116,7 +124,17 @@ final class HadoopRegistry(
     this(path, spark.sparkContext.hadoopConfiguration)
 
   private val path = new Path(pathStr)
-  private val tmpPath = new Path(pathStr + ".tmp")
+
+  /** All in-flight or crashed writer tmps next to the registry —
+    * writer-unique `.tmp-<uuid>` names (a FIXED shared tmp let two
+    * concurrent writers in different JVMs publish a torn document: A's
+    * rename could move B's half-written bytes into the final path);
+    * the legacy fixed `.tmp` still matches the glob.
+    */
+  private def tmpStatuses(f: FileSystem): Seq[org.apache.hadoop.fs.FileStatus] =
+    (try Option(f.globStatus(new Path(pathStr + ".tmp*")))
+    catch { case scala.util.control.NonFatal(_) => None })
+      .map(_.toSeq).getOrElse(Seq.empty)
   private def fs: FileSystem = path.getFileSystem(hadoopConf)
 
   /** Read the registry document. A concurrent [[save]] may transiently
@@ -173,6 +191,16 @@ final class HadoopRegistry(
     val deadline = System.nanoTime + 15L * 1000 * 1000 * 1000
     var sleepMs = 1L
     var attempts = 0
+    // fsNow is a probe WRITE — sample it at most once per load and age
+    // it with the local monotonic-ish clock, instead of one probe
+    // create/stat/delete round trip per retry pass against an FS that
+    // is busy with the very swap being waited out
+    var fsNowBase = -1L
+    var fsNowAtMs = 0L
+    def fsAgeOf(mtime: Long): Long = {
+      if (fsNowBase < 0) { fsNowBase = fsNow(f); fsNowAtMs = System.currentTimeMillis }
+      fsNowBase + (System.currentTimeMillis - fsNowAtMs) - mtime
+    }
     while (System.nanoTime < deadline) {
       if (f.exists(path)) {
         try {
@@ -186,24 +214,44 @@ final class HadoopRegistry(
           case _: java.io.FileNotFoundException => () // vanished mid-swap; retry
         }
       } else {
-        // stat the tmp FIRST: the common missing-registry read (fresh
+        // glob the tmps FIRST: the common missing-registry read (fresh
         // repo, pre-first-apply) must not pay — or crash on — a probe
         // write just to compute an age nothing needs
-        val tmpSt =
-          try Some(f.getFileStatus(tmpPath))
-          catch { case _: java.io.FileNotFoundException => None }
-        tmpSt.map(st => fsNow(f) - st.getModificationTime) match {
-          case None =>
-            // neither final nor in-progress temp: genuinely empty (the
-            // re-check of the final path closes the tmp→final rename race)
-            if (!f.exists(path)) return (State(Map.empty, Map.empty, Map.empty), false)
-          case Some(age) if age > staleTmpHorizonMs =>
-            // stale .tmp from a crashed writer, not an in-flight swap:
-            // the registry was never (re)written — readable as empty, but
-            // flagged so apply() won't rewrite the registry from empty
-            return (State(Map.empty, Map.empty, Map.empty), true)
-          case _ => () // fresh tmp: a swap is in flight, retry with backoff
+        val tmps = tmpStatuses(f)
+        if (tmps.isEmpty) {
+          // neither final nor in-progress temp: genuinely empty (the
+          // re-check of the final path closes the tmp→final rename race)
+          if (!f.exists(path)) return (State(Map.empty, Map.empty, Map.empty), false)
+        } else if (fsAgeOf(tmps.map(_.getModificationTime).max) > staleTmpHorizonMs) {
+          // stale tmp(s) from a crashed writer, not an in-flight swap.
+          // If a tmp holds a COMPLETE non-empty document, the crash was
+          // mid-swap of REAL content (delete+rename FS: final deleted,
+          // rename never ran) — reading "empty" here would let every
+          // pipeline silently no-op with green status. Fail loudly with
+          // the recovery path instead.
+          val recoverable = tmps.filter { st =>
+            try {
+              val in = f.open(st.getPath)
+              try {
+                val bytes = new java.io.ByteArrayOutputStream()
+                org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+                val s = fromJson(new String(bytes.toByteArray, "UTF-8"))
+                s.entities.nonEmpty || s.views.nonEmpty
+              } finally in.close()
+            } catch { case scala.util.control.NonFatal(_) => false }
+          }
+          if (recoverable.nonEmpty) throw new IllegalStateException(
+            s"registry at $path is missing but a crashed writer left a " +
+              s"COMPLETE document at ${recoverable.map(_.getPath).mkString(", ")} " +
+              "— the registry was being replaced when the writer died. " +
+              "Rename the newest tmp into place to recover it, or delete " +
+              "the tmp(s) to accept an empty registry")
+          // torn/empty tmp: the registry was never (re)written with
+          // content — readable as empty, but flagged so apply() won't
+          // rewrite the registry from the empty fallback
+          return (State(Map.empty, Map.empty, Map.empty), true)
         }
+        // fresh tmp: a swap is in flight, retry with backoff
       }
       attempts += 1
       Thread.sleep(sleepMs)
@@ -216,23 +264,39 @@ final class HadoopRegistry(
   private def loadForUpdate(): State = {
     val (s, staleTmp) = loadInternal()
     if (staleTmp) throw new IllegalStateException(
-      s"registry at $path has a stale in-progress write ($tmpPath); refusing a " +
-        "read-modify-write from the empty fallback state (it would drop the " +
-        "crashed writer's registry) — inspect/remove the .tmp file first")
+      s"registry at $path has a stale in-progress write ($pathStr.tmp*); " +
+        "refusing a read-modify-write from the empty fallback state (it " +
+        "would drop the crashed writer's registry) — inspect/remove the " +
+        "tmp file(s) first")
     s
   }
 
   private def save(s: State): Unit = {
     val f = fs
-    val out = f.create(tmpPath, true)
+    // writer-unique tmp — see [[tmpStatuses]] for why a fixed name is a
+    // torn-document hazard under concurrent cross-JVM writers
+    val tmp = new Path(pathStr + ".tmp-" + java.util.UUID.randomUUID)
+    val out = f.create(tmp, true)
     try out.write(toJson(s).getBytes("UTF-8")) finally out.close()
     // Replace via FileContext rename-OVERWRITE (atomic on HDFS; on FSes
     // where it degrades to delete+rename, load()'s tmp-aware retry keeps
     // readers from ever observing an empty registry).
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       f.makeQualified(path).toUri, hadoopConf)
-    fc.rename(f.makeQualified(tmpPath), f.makeQualified(path),
+    fc.rename(f.makeQualified(tmp), f.makeQualified(path),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // best-effort sweep of STALE tmps (crashed writers): live concurrent
+    // writers' tmps are younger than the horizon and survive. Without
+    // this, unique-named orphans would accumulate next to the registry.
+    try {
+      val leftovers = tmpStatuses(f)
+      if (leftovers.nonEmpty) {
+        val now = fsNow(f)
+        leftovers
+          .filter(st => now - st.getModificationTime > staleTmpHorizonMs)
+          .foreach(st => f.delete(st.getPath, false))
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   override def applyEntity(e: Entity): Unit = synchronized {

@@ -314,13 +314,6 @@ object MinHashSigs {
   }
 }
 
-/** Sequential-fold dot product over two `array<double>` columns — the
-  * codegen'd replacement for the interpreted `zip_with` + `aggregate`
-  * higher-order-function pair in the similarity hot path. Identical
-  * summation order (left fold, index 0..n-1) so results match the HOF
-  * formulation and the DuckDB oracle bitwise. Null arrays → null; null
-  * elements are treated as 0 (embeddings are dense).
-  */
 /** Int8 scalar quantization of an embedding vector — the standard
   * 4-8× vector-store compression: `scale = maxabs/127`, `code_i =
   * clamp(floor(v_i/scale + 0.5), ±127)`. One codegen pass per row (two
@@ -335,8 +328,14 @@ object MinHashSigs {
   */
 case class QuantizeI8(child: Expression) extends UnaryExpression {
 
-  override def dataType: DataType =
-    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType,
+    // null elements pass through as null (the transform() composition's
+    // semantics) — so the result is nullable exactly when the input is
+    containsNull = child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -366,20 +365,32 @@ object QuantizeI8 {
     var maxabs = 0.0
     var i = 0
     while (i < n) {
-      val a = math.abs(arr.getDouble(i))
-      if (a > maxabs) maxabs = a
+      // null components: skipped for the scale (array_max semantics)
+      // and emitted as null codes (transform semantics) — silently
+      // reading a null slot as 0.0 would diverge from the composition
+      // this expression is byte-equivalence-pinned against
+      if (!arr.isNullAt(i)) {
+        val a = math.abs(arr.getDouble(i))
+        if (a > maxabs) maxabs = a
+      }
       i += 1
     }
     val out = new Array[Any](n)
     if (maxabs == 0.0) {
-      java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], Integer.valueOf(0))
+      i = 0
+      while (i < n) {
+        out(i) = if (arr.isNullAt(i)) null else Integer.valueOf(0)
+        i += 1
+      }
     } else {
       val scale = maxabs / 127.0
       i = 0
       while (i < n) {
-        val q = math.floor(arr.getDouble(i) / scale + 0.5)
-        val clamped = if (q > 127.0) 127 else if (q < -127.0) -127 else q.toInt
-        out(i) = clamped
+        if (arr.isNullAt(i)) out(i) = null
+        else {
+          val q = math.floor(arr.getDouble(i) / scale + 0.5)
+          out(i) = if (q > 127.0) 127 else if (q < -127.0) -127 else q.toInt
+        }
         i += 1
       }
     }
@@ -387,6 +398,18 @@ object QuantizeI8 {
   }
 }
 
+/** Sequential-fold dot product over two `array<double>` columns — the
+  * codegen'd replacement for the interpreted `zip_with` + `aggregate`
+  * higher-order-function pair in the similarity hot path. Identical
+  * summation order (left fold, index 0..n-1), so on DENSE arrays the
+  * result matches the HOF formulation and the DuckDB oracle BITWISE
+  * (FunctionsSpec pins the equivalence). Null arrays → null. Null
+  * ELEMENTS are deliberately different from the HOF: a null component
+  * pair is skipped (contributes 0 — the sparse-dot-product reading)
+  * where zip_with+aggregate would null-propagate the whole sum;
+  * embeddings are dense so no gated path sees the divergence, and
+  * FunctionsSpec pins the skip semantics so it can't drift silently.
+  */
 case class DotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 

@@ -92,7 +92,16 @@ object PointInTimeJoin {
     // as a temp view (without its driver round-trip). NOTE: a caller
     // passing cacheEntity=true owns the unpersist; the FeatureStore
     // facade instead persists caller-side and releases via
-    // RetrievalJob.release().
+    // RetrievalJob.release(). That ownership contract is only
+    // honorable when the frame we persist IS the caller's frame: the
+    // string-timestamp normalization above builds a NEW plan the
+    // caller holds no reference to, so caching it would pin blocks no
+    // unpersist can ever reach — refuse loudly instead of leaking.
+    require(!cacheEntity || (entityDf1 eq entityDf0),
+      s"cacheEntity=true with a string-typed '$entityTsCol' would persist " +
+        "an internal normalized frame the caller can never unpersist — " +
+        "cast the column to timestamp caller-side first (to_timestamp), " +
+        "or use FeatureStore.getHistoricalFeatures, which owns its cache")
     val entityDf =
       if (cacheEntity)
         entityDf1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -165,14 +174,24 @@ object PointInTimeJoin {
           // TTL-less scale path: pre-reduce to latest-per-(key, bucket),
           // then full-earlier-buckets (reduced) ∪ own-partial-bucket (raw).
           val gMicros = g * 1000000L
-          def bucketOf(c: Column): Column =
-            ((unix_micros(c) - pmod(unix_micros(c), lit(gMicros))) / lit(gMicros))
-              .cast("long")
-          val bucketed = featP.withColumn("__fb", bucketOf(featP(p + tsField)))
+          // integral division spelled `div`, never `/` (DOUBLE division
+          // rounds for |micros| ≥ 2^53 — far-future sentinel timestamps
+          // in dirty feeds; the full/partial split only stayed correct
+          // because both sides shared the same monotone rounding — an
+          // invariant nothing pinned). The numerator is pmod-floored to
+          // an EXACT multiple of gMicros, so `div` is exact either sign;
+          // spelled through a named projection because `div` exists only
+          // in SQL-expression space (CLAUDE.md rule).
+          def withBucket(df: DataFrame, src: Column, out: String): DataFrame =
+            df.withColumn("__bsrc",
+                unix_micros(src) - pmod(unix_micros(src), lit(gMicros)))
+              .withColumn(out, expr(s"__bsrc div ${gMicros}L"))
+              .drop("__bsrc")
+          val bucketed = withBucket(featP, featP(p + tsField), "__fb")
           val reduced = bucketed
             .groupBy((joinKeys.map(k => col(p + k)) :+ col("__fb")): _*)
             .agg(max(struct(orderCols: _*)).as("__cand"))
-          val keyed = keySpace.withColumn("__eb", bucketOf(col(entityTsCol)))
+          val keyed = withBucket(keySpace, col(entityTsCol), "__eb")
           val equiR = joinKeys.map(k => reduced(p + k) === keyed(k))
           val full = reduced
             .join(keyed, (equiR :+ (reduced("__fb") < keyed("__eb"))).reduce(_ && _))

@@ -40,7 +40,13 @@ object Medallion {
     val df = spark.sparkContext.parallelize(records, slices)
       .toDF("created_raw", "Body")
       .select(to_date(col("created_raw")).as("created"), col("Body"))
-    df.write.mode("append").partitionBy("created").parquet(path)
+    // through writePartitioned (repartition on the partition column
+    // first): a direct partitionBy write from `slices` tasks emits up
+    // to slices FILES per date dir per ingest — daily appends would
+    // accumulate hundreds of small files per partition, the exact
+    // problem the module doc claims is controlled
+    graft.transform.Transforms.writePartitioned(
+      df, path, "created", mode = "append")
   }
 
   // ------------------------------------------------------------- taxi

@@ -86,7 +86,10 @@ class RegistrySpec extends AnyFunSuite {
     // the write (incl. FileContext rename-OVERWRITE) really went through
     // the non-local scheme and landed where the URI pointed
     assert(Files.exists(dir.resolve("registry.json")))
-    assert(!Files.exists(dir.resolve("registry.json.tmp")), "tmp not cleaned up")
+    // writer-unique tmps are renamed away (and stale ones swept)
+    val tmpLeft = new java.io.File(dir.toString).listFiles()
+      .map(_.getName).filter(_.contains(".tmp"))
+    assert(tmpLeft.isEmpty, s"tmp not cleaned up: ${tmpLeft.mkString(", ")}")
   }
 
   test("hadoop-fs registry save never exposes a missing/empty registry to readers") {
@@ -132,5 +135,42 @@ class RegistrySpec extends AnyFunSuite {
     java.nio.file.Files.delete(tmp)
     reg.applyEntity(entity)
     assert(reg.getEntity("driver") === Some(entity))
+  }
+
+  test("hadoop-fs registry: a crashed swap of REAL content fails loudly, never reads empty") {
+    // delete+rename FS crash window: the final file is gone but the
+    // crashed writer's tmp holds a COMPLETE non-empty document. Reading
+    // "empty" here would let every pipeline (listFeatureViews loops,
+    // scheduled materializations) silently no-op with green status —
+    // the reader must throw with the recovery path instead.
+    val dir = java.nio.file.Files.createTempDirectory("hreg4")
+    val path = dir.toString + "/registry.json"
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // build a real document, then simulate the crash: move the final
+    // into a stale writer-unique tmp
+    val reg = new HadoopRegistry(path, conf)
+    reg.applyEntity(entity)
+    val tmp = dir.resolve("registry.json.tmp-dead-writer")
+    java.nio.file.Files.move(dir.resolve("registry.json"), tmp)
+    java.nio.file.Files.setLastModifiedTime(tmp,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis - 60000))
+    val reader = new HadoopRegistry(path, conf)
+    val ex = intercept[IllegalStateException](reader.listEntities())
+    assert(ex.getMessage.contains("COMPLETE document"), ex.getMessage)
+    // recovery: rename the tmp into place — reads work again
+    java.nio.file.Files.move(tmp, dir.resolve("registry.json"))
+    assert(reader.getEntity("driver") === Some(entity))
+  }
+
+  test("registry resolve dedups repeated feature refs (first occurrence wins)") {
+    val reg = new InMemoryRegistry
+    reg.applyEntity(entity)
+    reg.applyFeatureView(view)
+    val resolved = reg.resolve(Seq(
+      s"${view.name}:${view.features.head.name}",
+      s"${view.name}:${view.features.head.name}"))
+    assert(resolved.map(_._2.map(_.name)) === Seq(Seq(view.features.head.name)),
+      "duplicate refs must resolve once — duplicate output columns are " +
+        "AMBIGUOUS_REFERENCE bait downstream")
   }
 }

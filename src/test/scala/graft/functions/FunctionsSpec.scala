@@ -157,10 +157,15 @@ class FunctionsSpec extends SparkSpec {
     val maxabs = greatest(array_max(col("v")), -array_min(col("v")))
     val scale = maxabs / lit(127.0)
     val refCodes = when(maxabs === 0.0,
-      transform(col("v"), _ => lit(0)))
+      // when() with no otherwise: null components stay null codes
+      transform(col("v"), x => when(x.isNotNull, lit(0))))
       .otherwise(transform(col("v"), x =>
-        greatest(lit(-127), least(lit(127),
-          floor(x / scale + 0.5).cast("int")))))
+        // the null guard is part of the reference spelling: least/
+        // greatest SKIP nulls, so an unguarded clamp would resurrect a
+        // null code into ±127 — garbage, not a semantic to match
+        when(x.isNotNull,
+          greatest(lit(-127), least(lit(127),
+            floor(x / scale + 0.5).cast("int"))))))
     val edge = Seq(
       Seq(0.0, 0.0, 0.0),                  // zero vector -> zero codes
       Seq(1.0, -1.0, 0.5),
@@ -176,10 +181,55 @@ class FunctionsSpec extends SparkSpec {
         .filter(!(col("fast") <=> col("ref")))
       assert(bad.count() === 0, bad.collect().take(3).mkString("\n"))
     }
+    // sparse arrays: null components skip the scale (array_max
+    // semantics) and pass through as null codes (transform semantics) —
+    // previously they were silently read as 0.0, diverging from the
+    // composition this expression claims byte-equivalence with
+    val sparse = spark.range(1).select(
+        array(lit(1.0), lit(null).cast("double"), lit(0.5)).as("v"))
+      .unionAll(spark.range(1).select(
+        array(lit(0.0), lit(null).cast("double")).as("v")))
+    val badSparse = sparse.select(
+        graft.functions.functions.quantize_i8(col("v")).as("fast"),
+        refCodes.as("ref"))
+      .filter(!(col("fast") <=> col("ref")))
+    assert(badSparse.count() === 0, badSparse.collect().mkString("\n"))
+    val sparseGot = sparse
+      .select(graft.functions.functions.quantize_i8(col("v")).as("c"))
+      .collect().map(_.getSeq[Any](0).toSeq).toSeq
+    assert(sparseGot === Seq(Seq(127, null, 64), Seq(0, null)),
+      s"sparse codes: $sparseGot")
     // null propagates
     val n = Seq[Option[Seq[Double]]](None).toDF("v")
       .select(graft.functions.functions.quantize_i8(col("v")).as("c"))
     assert(n.filter(col("c").isNull).count() === 1)
+  }
+
+  test("dot_product == zip_with+aggregate composition (bitwise, dense); skip-null semantics pinned") {
+    // the CLAUDE.md contract: a custom codegen expression replacing a
+    // built-in composition ships a byte-equivalence spec vs that
+    // composition — this was the one expression missing its pin
+    val gfn = graft.functions.functions
+    val hof = aggregate(
+      zip_with(col("v"), col("w"), (x, y) => x * y),
+      lit(0.0), (a, x) => a + x)
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val pairs = emb.crossJoin(
+      broadcast(emb.limit(3).select(col("v").as("w"))))
+    val bad = pairs.select(gfn.dot_product(col("v"), col("w")).as("fast"),
+        hof.as("ref"))
+      .filter(!(col("fast") <=> col("ref")))
+    assert(bad.count() === 0, bad.collect().take(3).mkString("\n"))
+    // sparse inputs: the DOCUMENTED divergence — a null component pair
+    // is skipped (contributes 0, the sparse-dot reading) where the HOF
+    // null-propagates the whole sum; pinned so it cannot drift silently
+    val sp = spark.range(1).select(
+      array(lit(2.0), lit(null).cast("double")).as("v"),
+      array(lit(3.0), lit(4.0)).as("w"))
+    assert(sp.select(gfn.dot_product(col("v"), col("w"))).head.getDouble(0) === 6.0)
+    assert(sp.select(hof.as("h")).head.isNullAt(0),
+      "composition should null-propagate — if this changed, revisit the doc")
   }
 
   test("all custom expressions compile under CODEGEN_ONLY (no interpreted fallback)") {
@@ -213,6 +263,18 @@ class FunctionsSpec extends SparkSpec {
       val dot = emb.crossJoin(broadcast(emb.select(col("v").as("v2")).limit(1)))
         .select(gf.dot_product(col("v"), col("v2")).as("d"))
       assert(dot.filter(col("d").isNull).count() === 0)
+      // codebook_argmin: the expression that exists PRECISELY because
+      // its built-in composition blows Janino's method limit and
+      // silently degrades to interpreted — a compile failure in ITS
+      // generated code must be fatal here, not a silent q252-class
+      // hot-path crawl (the one custom expression this pin was missing)
+      val cents = (0L until 16L).map(c =>
+        (c, (0 until 8).map(d => (c * 8 + d) * 1000L)))
+      val argmin = Tables.load(spark, sf0001, "embeddings").limit(10)
+        .select(gf.codebook_argmin(
+          col("embedding").cast("array<double>"),
+          cents.map(_._1), cents.map(_._2)).as("cid"))
+      assert(argmin.filter(col("cid").isNull).count() === 0)
     } finally {
       prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
         spark.conf.set("spark.sql.codegen.fallback", _))
