@@ -81,7 +81,9 @@ object Quality {
     val rowLocal = rules.collect {
       case r: NotNull => r.name -> col(r.column).isNull
       case r: InRangeCents =>
-        val cents = floor(col(r.column) * 100 + 0.5).cast("long")
+        // the ONE cents spelling (Stats.cents) — a second inline copy
+        // of the rounding formula would drift from every Stats operator
+        val cents = graft.transform.Stats.cents(col(r.column))
         r.name -> (col(r.column).isNotNull &&
           (cents < r.loCents || cents > r.hiCents))
       case r: AcceptedValues =>
@@ -92,7 +94,11 @@ object Quality {
       if (rowLocal.isEmpty) None
       else {
         val aggs = rowLocal.zipWithIndex.map { case ((_, viol), i) =>
-          sum(viol.cast("long")).as(s"v_$i")
+          // coalesce: sum over ZERO rows is NULL — an empty table must
+          // read 0 violations like the structural rules already do,
+          // or the natural "all rules clean" gate fails on a
+          // legitimately empty partition
+          coalesce(sum(viol.cast("long")), lit(0L)).as(s"v_$i")
         }
         val one = df.agg(count(lit(1)).as("n"), aggs: _*)
         val stackArgs = rowLocal.zipWithIndex
@@ -232,15 +238,19 @@ object Quality {
       buckets: Int = 10): DataFrame = {
     require(buckets >= 2, "tCloseness needs >= 2 buckets")
     import org.apache.spark.sql.expressions.Window
-    val idiv = (a: Column, b: Column) => call_function("div", a, b)
     val base = df.select(col(qiCol).as("__qi"), cents.as("__c"))
     val bounds = base.agg(min(col("__c")).as("__mn"), max(col("__c")).as("__mx"))
     val classCnt = base.crossJoin(broadcast(bounds))
-      .select(col("__qi"), least(lit(buckets - 1L), greatest(lit(0L),
-        idiv((col("__c") - col("__mn")) * buckets,
-          col("__mx") - col("__mn") + 1L))).as("__b"))
+      // the ONE bucket-formula definition (Stats.bucketExpr) — this was
+      // the ninth inline copy of the equal-width spelling
+      .select(col("__qi"),
+        graft.transform.Stats.bucketExpr("__c", buckets).as("__b"))
       .groupBy(col("__qi"), col("__b")).agg(count(lit(1)).as("__cnt"))
-      .persist()
+      // eager localCheckpoint, not persist(): the repo idiom for a
+      // tiny multi-consumer intermediate — a persist with no reachable
+      // unpersist leaked one cache entry per invocation for the life
+      // of the session
+      .localCheckpoint(true)
     val spark = df.sparkSession
     val bucketIds = spark.range(buckets).select(col("id").as("__b"))
     val grid = classCnt.select(col("__qi")).distinct()
@@ -326,15 +336,23 @@ object Quality {
     val alphas = alphasPct.toDF("alpha_pct")
     val ranks = alphas.crossJoin(broadcast(nCal))
       .withColumn("__k", expr("((__ncal + 1) * (100 - alpha_pct) + 99) div 100"))
-    val thresholds = cum.crossJoin(broadcast(ranks))
+    val found = cum.crossJoin(broadcast(ranks))
       .filter(col("__cum") >= col("__k"))
       .groupBy(col("alpha_pct"), col("__ncal"), col("__k"))
       .agg(min(col("__s")).as("threshold_ppm"))
+    // an alpha whose rank k exceeds n_cal (calibration set too small
+    // for that level) has NO histogram row reaching k — it must still
+    // SURFACE, with the conformal convention threshold = +infinity
+    // (every test point conforms), reported as a NULL threshold_ppm
+    // rather than silently vanishing from the requested-alphas output
+    val thresholds = ranks
+      .join(found, Seq("alpha_pct", "__ncal", "__k"), "left")
     val test = base.filter(!col("__cal"))
     test.crossJoin(broadcast(thresholds))
       .groupBy(col("alpha_pct"), col("__ncal"), col("threshold_ppm"))
       .agg(count(lit(1)).as("n_test"),
-        sum(when(col("__s") <= col("threshold_ppm"), 1L).otherwise(0L))
+        sum(when(col("threshold_ppm").isNull ||
+            col("__s") <= col("threshold_ppm"), 1L).otherwise(0L))
           .as("n_covered"))
       .select(col("alpha_pct"), col("__ncal").as("n_cal"), col("n_test"),
         col("threshold_ppm"), col("n_covered"),

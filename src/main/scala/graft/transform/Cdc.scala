@@ -43,12 +43,20 @@ object Cdc {
       compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && compareCols.nonEmpty)
     val cols = keyCols ++ compareCols
-    val o = oldDf.select(cols.map(c => col(c).as(s"_old_$c")): _*)
-    val n = newDf.select(cols.map(c => col(c).as(s"_new_$c")): _*)
+    // explicit presence markers, never key-null-ness: a row whose head
+    // key is NULL is still a real row (null keys never match the equi
+    // join, so each side's null-key rows surface independently as D/I —
+    // the only truthful reading), and inferring presence from
+    // `key.isNotNull` silently flipped an old-side null-key row into an
+    // INSERT
+    val o = oldDf.select(cols.map(c => col(c).as(s"_old_$c")) :+
+      lit(1).as("_old_present"): _*)
+    val n = newDf.select(cols.map(c => col(c).as(s"_new_$c")) :+
+      lit(1).as("_new_present"): _*)
     val cond = keyCols.map(k => col(s"_old_$k") === col(s"_new_$k"))
       .reduce(_ && _)
-    val oldPresent = col(s"_old_${keyCols.head}").isNotNull
-    val newPresent = col(s"_new_${keyCols.head}").isNotNull
+    val oldPresent = col("_old_present").isNotNull
+    val newPresent = col("_new_present").isNotNull
     def differs(c: String): Column = !(col(s"_old_$c") <=> col(s"_new_$c"))
     val changeType = when(!oldPresent, lit("I"))
       .when(!newPresent, lit("D"))
@@ -76,9 +84,17 @@ object Cdc {
   def partitionDigests(df: DataFrame, partitionCols: Seq[String],
       hashCols: Seq[String]): DataFrame = {
     require(partitionCols.nonEmpty && hashCols.nonEmpty)
+    // each column is hashed as (isnull flag, value): Spark hash
+    // expressions SKIP null children (the accumulator is unchanged), so
+    // a bare xxhash64(cols...) digests ('x', NULL) and (NULL, 'x')
+    // identically — a whole class of real updates (values moving across
+    // null columns) would leave the digest unchanged and the partition
+    // pruned. The never-null flag pins each value to its position.
+    val hashArgs = hashCols
+      .map(c => s"cast(isnull($c) as int), $c").mkString(", ")
     df.groupBy(partitionCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        expr(s"bit_xor(xxhash64(${hashCols.mkString(", ")}))").as("digest"))
+        expr(s"bit_xor(xxhash64($hashArgs))").as("digest"))
   }
 
   /** The scale valve for [[snapshotDiff]]: digest both snapshots per

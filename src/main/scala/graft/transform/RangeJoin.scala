@@ -120,48 +120,16 @@ object AsOfJoin {
   def asofJoin(
       left: DataFrame, right: DataFrame, on: Seq[String],
       leftTsCol: String, rightTsCol: String,
-      ttl: Option[java.time.Duration] = None): DataFrame = {
-    require(on.nonEmpty, "as-of join needs at least one equi key")
-    val p = "__asof_r_"
-    val rightP = right.select(right.columns.toIndexedSeq.map(c => col(c).as(p + c)): _*)
-    val valueCols = right.columns.filterNot(c => on.contains(c)).toSeq
-    // output naming: every right value column whose name collides with a
-    // left column (timestamp or otherwise) gets a `_right` suffix, so the
-    // final using-join emits no duplicate names / ambiguous references
-    val leftCols = left.columns.toSet
-    def outName(c: String): String = if (leftCols.contains(c)) s"${c}_right" else c
-    val rightTsOut = outName(rightTsCol)
-    val rightOutNames = rightTsOut +: valueCols.filterNot(_ == rightTsCol).map(outName)
-    val residual = rightOutNames.filter(leftCols.contains) ++
-      rightOutNames.diff(rightOutNames.distinct)
-    require(residual.isEmpty,
-      s"as-of join output names collide even after _right suffixing: " +
-        residual.distinct.mkString(", "))
-
-    // keyspace dedup: the as-of result depends only on (keys, left ts)
-    val keySpace = left.select((on :+ leftTsCol).distinct.map(col): _*).distinct()
-    val equi = on.map(k => rightP(p + k) === keySpace(k))
-    val asOf = rightP(p + rightTsCol) <= keySpace(leftTsCol)
-    val bound = ttl.map { d =>
-      rightP(p + rightTsCol) >=
-        keySpace(leftTsCol) - expr(s"INTERVAL ${d.toMillis} MILLISECOND")
-    }
-    val cond = (equi :+ asOf) ++ bound
-    val orderCols = rightP(p + rightTsCol).as("__ts") +:
-      valueCols.filterNot(_ == rightTsCol).zipWithIndex.map { case (c, i) =>
-        rightP(p + c).as(s"__v$i")
-      }
-    val best = rightP.join(keySpace, cond.reduce(_ && _), "inner")
-      .groupBy((on.map(keySpace(_)) :+ keySpace(leftTsCol)): _*)
-      .agg(max(struct(orderCols: _*)).as("__best"))
-    val cleaned = best.select(
-      (on :+ leftTsCol).map(col) ++
-        (col("__best.__ts").as(rightTsOut) +:
-          valueCols.filterNot(_ == rightTsCol).zipWithIndex.map { case (c, i) =>
-            col(s"__best.__v$i").as(outName(c))
-          }): _*)
-    left.join(cleaned, (on :+ leftTsCol).distinct, "left")
-  }
+      ttl: Option[java.time.Duration] = None): DataFrame =
+    AsOfJoinImpl.argOptJoin(left, right, on, leftTsCol, rightTsCol,
+      label = "as-of join",
+      timeCond = (rightP, keySpace, p) =>
+        (rightP(p + rightTsCol) <= keySpace(leftTsCol)) +:
+          ttl.map(d => rightP(p + rightTsCol) >=
+            keySpace(leftTsCol) -
+              expr(s"INTERVAL ${d.toMillis} MILLISECOND")).toSeq,
+      extraOrder = (_, _, _) => Seq.empty,
+      useMax = true)
 
   /** Forward-as-of join — pandas `merge_asof(direction='forward')`: for
     * each left row, attach the single EARLIEST right row with
@@ -175,44 +143,16 @@ object AsOfJoin {
   def forwardJoin(
       left: DataFrame, right: DataFrame, on: Seq[String],
       leftTsCol: String, rightTsCol: String,
-      horizon: Option[java.time.Duration] = None): DataFrame = {
-    require(on.nonEmpty, "forward as-of join needs at least one equi key")
-    val p = "__fwd_r_"
-    val rightP = right.select(right.columns.toIndexedSeq.map(c => col(c).as(p + c)): _*)
-    val valueCols = right.columns.filterNot(c => on.contains(c)).toSeq
-    val leftCols = left.columns.toSet
-    def outName(c: String): String = if (leftCols.contains(c)) s"${c}_right" else c
-    val rightTsOut = outName(rightTsCol)
-    val rightOutNames = rightTsOut +: valueCols.filterNot(_ == rightTsCol).map(outName)
-    val residual = rightOutNames.filter(leftCols.contains) ++
-      rightOutNames.diff(rightOutNames.distinct)
-    require(residual.isEmpty,
-      s"forward as-of join output names collide even after _right suffixing: " +
-        residual.distinct.mkString(", "))
-
-    val keySpace = left.select((on :+ leftTsCol).distinct.map(col): _*).distinct()
-    val equi = on.map(k => rightP(p + k) === keySpace(k))
-    val fwd = rightP(p + rightTsCol) >= keySpace(leftTsCol)
-    val bound = horizon.map { d =>
-      rightP(p + rightTsCol) <=
-        keySpace(leftTsCol) + expr(s"INTERVAL ${d.toMillis} MILLISECOND")
-    }
-    val cond = (equi :+ fwd) ++ bound
-    val orderCols = rightP(p + rightTsCol).as("__ts") +:
-      valueCols.filterNot(_ == rightTsCol).zipWithIndex.map { case (c, i) =>
-        rightP(p + c).as(s"__v$i")
-      }
-    val best = rightP.join(keySpace, cond.reduce(_ && _), "inner")
-      .groupBy((on.map(keySpace(_)) :+ keySpace(leftTsCol)): _*)
-      .agg(min(struct(orderCols: _*)).as("__best"))
-    val cleaned = best.select(
-      (on :+ leftTsCol).map(col) ++
-        (col("__best.__ts").as(rightTsOut) +:
-          valueCols.filterNot(_ == rightTsCol).zipWithIndex.map { case (c, i) =>
-            col(s"__best.__v$i").as(outName(c))
-          }): _*)
-    left.join(cleaned, (on :+ leftTsCol).distinct, "left")
-  }
+      horizon: Option[java.time.Duration] = None): DataFrame =
+    AsOfJoinImpl.argOptJoin(left, right, on, leftTsCol, rightTsCol,
+      label = "forward as-of join",
+      timeCond = (rightP, keySpace, p) =>
+        (rightP(p + rightTsCol) >= keySpace(leftTsCol)) +:
+          horizon.map(d => rightP(p + rightTsCol) <=
+            keySpace(leftTsCol) +
+              expr(s"INTERVAL ${d.toMillis} MILLISECOND")).toSeq,
+      extraOrder = (_, _, _) => Seq.empty,
+      useMax = false)
 
   /** Nearest-as-of join — pandas `merge_asof(direction='nearest')`
     * semantics: for each left row, attach the single right row on
@@ -237,44 +177,19 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame, on: Seq[String],
       leftTsCol: String, rightTsCol: String,
       tolerance: java.time.Duration): DataFrame = {
-    require(on.nonEmpty, "nearest join needs at least one equi key")
     require(!tolerance.isNegative && !tolerance.isZero,
       "tolerance must be positive")
-    val p = "__near_r_"
-    val rightP = right.select(right.columns.toIndexedSeq.map(c => col(c).as(p + c)): _*)
-    val valueCols = right.columns.filterNot(c => on.contains(c)).toSeq
-    val leftCols = left.columns.toSet
-    def outName(c: String): String = if (leftCols.contains(c)) s"${c}_right" else c
-    val rightTsOut = outName(rightTsCol)
-    val rightOutNames = rightTsOut +: valueCols.filterNot(_ == rightTsCol).map(outName)
-    val residual = rightOutNames.filter(leftCols.contains) ++
-      rightOutNames.diff(rightOutNames.distinct)
-    require(residual.isEmpty,
-      s"nearest join output names collide even after _right suffixing: " +
-        residual.distinct.mkString(", "))
-
-    val keySpace = left.select((on :+ leftTsCol).distinct.map(col): _*).distinct()
     val tolMs = tolerance.toMillis
-    val lo = keySpace(leftTsCol) - expr(s"INTERVAL $tolMs MILLISECOND")
-    val hi = keySpace(leftTsCol) + expr(s"INTERVAL $tolMs MILLISECOND")
-    val cond = on.map(k => rightP(p + k) === keySpace(k)) ++
-      Seq(rightP(p + rightTsCol) >= lo, rightP(p + rightTsCol) <= hi)
-    val absDelta = abs(unix_micros(rightP(p + rightTsCol)) -
-      unix_micros(keySpace(leftTsCol)))
-    val orderCols = absDelta.as("__adx") +:
-      rightP(p + rightTsCol).as("__ts") +:
-      valueCols.filterNot(_ == rightTsCol).zipWithIndex.map { case (c, i) =>
-        rightP(p + c).as(s"__v$i")
-      }
-    val best = rightP.join(keySpace, cond.reduce(_ && _), "inner")
-      .groupBy((on.map(keySpace(_)) :+ keySpace(leftTsCol)): _*)
-      .agg(min(struct(orderCols: _*)).as("__best"))
-    val cleaned = best.select(
-      (on :+ leftTsCol).map(col) ++
-        (col("__best.__ts").as(rightTsOut) +:
-          valueCols.filterNot(_ == rightTsCol).zipWithIndex.map { case (c, i) =>
-            col(s"__best.__v$i").as(outName(c))
-          }): _*)
-    left.join(cleaned, (on :+ leftTsCol).distinct, "left")
+    AsOfJoinImpl.argOptJoin(left, right, on, leftTsCol, rightTsCol,
+      label = "nearest join",
+      timeCond = (rightP, keySpace, p) => Seq(
+        rightP(p + rightTsCol) >=
+          keySpace(leftTsCol) - expr(s"INTERVAL $tolMs MILLISECOND"),
+        rightP(p + rightTsCol) <=
+          keySpace(leftTsCol) + expr(s"INTERVAL $tolMs MILLISECOND")),
+      extraOrder = (rightP, keySpace, p) => Seq(
+        abs(unix_micros(rightP(p + rightTsCol)) -
+          unix_micros(keySpace(leftTsCol))).as("__adx")),
+      useMax = false)
   }
 }

@@ -237,7 +237,7 @@ object Stats {
     * the copies were one edit away from drifting apart; every oracle
     * replays it literally, so it must stay a single source of truth.
     */
-  private def bucketExpr(centsCol: String, nBuckets: Int): Column =
+  private[graft] def bucketExpr(centsCol: String, nBuckets: Int): Column =
     least(lit(nBuckets - 1L), greatest(lit(0L),
       expr(s"(($centsCol - __mn) * $nBuckets) div (__mx - __mn + 1)")))
       .cast("long")

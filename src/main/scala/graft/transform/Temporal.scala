@@ -243,7 +243,12 @@ object Temporal {
       .withColumn("fold", idiv((col("t") - col("mn")) * k, col("span")))
     val valCounts = assigned.groupBy(col("fold"))
       .agg(count(lit(1)).as("n_val"))
-    val total = df.agg(count(lit(1)).as("n_total"))
+    // every row is provably assigned a fold in [0, k-1], so the total
+    // is the k-row summary's own sum — a separate df.agg would pay a
+    // THIRD full input scan for a number already computed (the q184
+    // derive-scalars-from-the-summary posture)
+    val total = valCounts.agg(
+      coalesce(sum(col("n_val")), lit(0L)).as("n_total"))
     val folds = bounds.select(
       expr(s"explode(sequence(cast(0 as bigint), cast(${k - 1} as bigint)))")
         .as("fold"),
@@ -292,7 +297,13 @@ object Temporal {
     val keys = keyCols.map(col)
     import org.apache.spark.sql.expressions.Window
     val hourly = df
-      .select(keys :+ expr(s"unix_timestamp($tsCol) div 3600").as("__hr") :+
+      // FLOOR division into hour buckets: bare `div` truncates toward
+      // zero, which would make bucket 0 two hours wide around the epoch
+      // for pre-1970 data (the oracle's date_trunc('hour') spelling
+      // floors); subtracting the pmod remainder first makes div exact
+      // and floor-consistent for either sign
+      .select(keys :+ expr(s"(unix_timestamp($tsCol) - " +
+        s"pmod(unix_timestamp($tsCol), 3600)) div 3600").as("__hr") :+
         graft.transform.Stats.cents(col(valueCol)).as("__cents"): _*)
       .groupBy(keys :+ col("__hr"): _*)
       .agg(sum(col("__cents")).as("__c"))
@@ -307,7 +318,10 @@ object Temporal {
       // (max−min = 23) rejects spliced frames exactly
       .withColumn("__hspan", max(col("__hr")).over(w) - min(col("__hr")).over(w))
       .filter(col("__tn") === 24L && col("__hspan") === 23L)
-      .select(keys :+ (col("__hr") % 24).as("hour_of_day") :+
+      // pmod, never %: Spark % takes the dividend's sign, so pre-1970
+      // hours (negative __hr) would land in [-23, 0] and silently miss
+      // the 0..23 grid join — zero coverage reported on full data
+      .select(keys :+ pmod(col("__hr"), lit(24L)).as("hour_of_day") :+
         (col("__c") * 24L - col("__tsum")).as("__r24"): _*)
       .groupBy(keys :+ col("hour_of_day"): _*)
       .agg(count(lit(1)).as("n_windows"),

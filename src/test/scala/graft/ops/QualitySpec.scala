@@ -153,4 +153,43 @@ class QualitySpec extends SparkSpec {
       assert(cov >= (100 - alpha) / 100.0 - 0.1, s"alpha $alpha coverage $cov")
     }
   }
+
+  test("conformalCoverage: an alpha the calibration set is too small for still surfaces") {
+    // k = ceil((n_cal+1)(1-α)) > n_cal has no reachable order statistic;
+    // the conformal convention is threshold = +infinity (every test
+    // point conforms). The row used to silently VANISH from the output —
+    // a caller iterating requested alphas got no signal at all.
+    val tiny = (0L until 8L).map(i => i -> i).toDF("doc_id", "s")
+    val got = Quality.conformalCoverage(tiny, "doc_id", col("s"),
+        alphasPct = Seq(1, 50)).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got.keySet === Set(1, 50), s"every requested alpha must surface")
+    val a1 = got(1)
+    assert(a1.isNullAt(a1.fieldIndex("threshold_ppm")),
+      "insufficient calibration must read as the +inf threshold (NULL)")
+    assert(a1.getAs[Long]("n_covered") === a1.getAs[Long]("n_test"),
+      "+inf threshold means every test point conforms")
+    assert(!got(50).isNullAt(got(50).fieldIndex("threshold_ppm")),
+      "a reachable alpha keeps its exact order-statistic threshold")
+  }
+
+  test("audit: an empty table reads 0 violations on every rule kind, never NULL") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("x", DoubleType), StructField("k", LongType))))
+    val out = Quality.audit(empty, Seq(
+        Quality.NotNull("x"), Quality.InRangeCents("x", 0L, 100L),
+        Quality.UniqueKey(Seq("k"))))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_checked"), r.get(r.fieldIndex("n_violations"))))
+      .toMap
+    assert(out.size === 3)
+    out.foreach { case (rule, (checked, viol)) =>
+      assert(checked === 0L, rule)
+      assert(viol === 0L,
+        s"$rule must read 0 violations on empty input, got $viol — " +
+          "the natural all-rules-clean gate fails on NULL")
+    }
+  }
 }

@@ -106,4 +106,39 @@ class CdcSpec extends SparkSpec {
     assert(full.toSeq === pruned.toSeq)
     assert(pruned.map(_.head).toSeq === Seq(2L))
   }
+
+  test("digest sees values moving across NULL columns (hash null-skip closed)") {
+    // Spark hash expressions SKIP null children, so a bare
+    // xxhash64(cols...) digested ('x', NULL) and (NULL, 'x')
+    // identically — this exact update used to leave the digest AND the
+    // row count unchanged and the partition pruned out of the diff
+    val o = Seq((1L, 1L, Some("x"), Option.empty[String]))
+      .toDF("p", "id", "a", "b")
+    val n = Seq((1L, 1L, Option.empty[String], Some("x")))
+      .toDF("p", "id", "a", "b")
+    val got = Cdc.prunedSnapshotDiff(o, n, Seq("p"), Seq("id"), Seq("a", "b"))
+      .collect()
+    assert(got.length === 1 &&
+      got.head.getAs[String]("change_type") === "U" &&
+      got.head.getAs[String]("changed_cols") === "a,b",
+      s"null-adjacent column move must survive pruning: ${got.toSeq}")
+    // and it still equals the unpruned diff
+    val full = Cdc.snapshotDiff(o, n, Seq("id"), Seq("a", "b")).collect()
+    assert(full.map(_.toSeq).toSeq === got.map(r =>
+      Seq(r.getAs[Long]("id"), r.getAs[String]("change_type"),
+        r.getAs[String]("changed_cols"))).toSeq)
+  }
+
+  test("a NULL-key old-only row reads as a DELETE, never an INSERT") {
+    // presence used to be inferred from key.isNotNull: an old-side row
+    // with a NULL head key was silently emitted as an INSERT —
+    // downstream incremental materialization re-pushed a deleted row
+    val o = Seq((Option.empty[Long], "v1"), (Some(2L), "keep"))
+      .toDF("k", "v")
+    val n = Seq((Some(2L), "keep")).toDF("k", "v")
+    val got = Cdc.snapshotDiff(o, n, Seq("k"), Seq("v"))
+      .collect().map(r => (Option(r.get(0)), r.getString(1)))
+    assert(got.toSeq === Seq((None, "D")),
+      s"old-side null-key row must read as D: ${got.toSeq}")
+  }
 }
