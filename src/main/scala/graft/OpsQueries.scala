@@ -3514,6 +3514,13 @@ object OpsQueries {
   lazy val lifecycleCurationSql: String = {
     def dig(canon: String): String =
       s"CAST(COALESCE(sum(('0x' || substr(md5($canon), 1, 15))::BIGINT), 0) AS VARCHAR)"
+    // the digestFrame canonical rendering: each field length-prefixed
+    // (`len:value`, the injective prefix-free code — a '|' inside a
+    // value can no longer straddle column boundaries), '|'-joined in
+    // name-sorted column order. Both engines' length() counts
+    // codepoints. Keep in lockstep with CorpusManifest.digestFrame.
+    def lp(v: String): String = s"(length($v)::VARCHAR || ':' || $v)"
+    def canon(vs: String*): String = vs.map(lp).mkString(" || '|' || ")
     "WITH " + annGatedCtes + ",\n" + dedupChainCtes + ",\n" +
     s"""${lloydCtes(3, 16, "0")},
        |mx AS (SELECT max(doc_id) AS m FROM documents),
@@ -3551,26 +3558,26 @@ object OpsQueries {
        |  FROM exact WHERE doc_id NOT IN (SELECT b FROM losers)
        |  GROUP BY source)
        |SELECT 'dd' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
-       |       ${dig("d.doc_id::VARCHAR || '|' || d.fp || '|' || d.kept::VARCHAR")}
+       |       ${dig(canon("d.doc_id::VARCHAR", "d.fp", "d.kept::VARCHAR"))}
        |         AS content_digest
        |FROM ddrows d, mx x, rid r
        |WHERE NOT (d.kept = 0 AND d.doc_id // (x.m // 3 + 1) <= 1)
        |  AND (r.rmin IS NULL OR d.doc_id <> r.rmin)
        |UNION ALL
        |SELECT 'bands', CAST(count(*) AS BIGINT),
-       |       ${dig("b.bh || '|' || b.band_idx::VARCHAR || '|' || b.doc_id::VARCHAR")}
+       |       ${dig(canon("b.bh", "b.band_idx::VARCHAR", "b.doc_id::VARCHAR"))}
        |FROM bands b, rid r WHERE r.rmin IS NULL OR b.doc_id <> r.rmin
        |UNION ALL
        |SELECT 'postings', CAST(count(*) AS BIGINT),
-       |       ${dig("p.doc_id::VARCHAR || '|' || p.s")}
+       |       ${dig(canon("p.doc_id::VARCHAR", "p.s"))}
        |FROM sh p, rid r WHERE r.rmin IS NULL OR p.doc_id <> r.rmin
        |UNION ALL
        |SELECT 'sizes', CAST(count(*) AS BIGINT),
-       |       ${dig("z.doc_id::VARCHAR || '|' || z.sz::VARCHAR")}
+       |       ${dig(canon("z.doc_id::VARCHAR", "z.sz::VARCHAR"))}
        |FROM sizes z, rid r WHERE r.rmin IS NULL OR z.doc_id <> r.rmin
        |UNION ALL
        |SELECT 'ledger', CAST(count(*) AS BIGINT),
-       |       ${dig("c.doc_id::VARCHAR || '|' || c.reason")}
+       |       ${dig(canon("c.doc_id::VARCHAR", "c.reason"))}
        |FROM cls c, mx x, rid r
        |WHERE c.reason <> 'kept'
        |  AND NOT (c.reason IN ('gate', 'exact_dup')
@@ -3578,11 +3585,11 @@ object OpsQueries {
        |  AND (r.rmin IS NULL OR c.doc_id <> r.rmin)
        |UNION ALL
        |SELECT 'assign', CAST(count(*) AS BIGINT),
-       |       ${dig("cid::VARCHAR || '|t1|' || id::VARCHAR")}
+       |       ${dig(canon("cid::VARCHAR", "'t1'", "id::VARCHAR"))}
        |FROM asg
        |UNION ALL
        |SELECT 'rollup', CAST(count(*) AS BIGINT),
-       |       ${dig("max_tokens::VARCHAR || '|' || min_tokens::VARCHAR || '|' || n_docs::VARCHAR || '|' || source || '|' || sum_tokens::VARCHAR")}
+       |       ${dig(canon("max_tokens::VARCHAR", "min_tokens::VARCHAR", "n_docs::VARCHAR", "source", "sum_tokens::VARCHAR"))}
        |FROM rollup""".stripMargin
   }
 

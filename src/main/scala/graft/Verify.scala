@@ -33,6 +33,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // drop any PRIOR run's dump of this query: when outDir is
+        // reused locally, a stale artifact would let the oracle compare
+        // PASS a query that just failed
+        try {
+          val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

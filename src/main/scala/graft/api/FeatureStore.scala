@@ -280,6 +280,14 @@ final class FeatureStore(
             first(col("sub_dim")).as("sd"))
           else Nil)
       val r = stored.agg(aggCols.head, aggCols.tail: _*).head()
+      // a ZERO-ROW stored codebook aggregates to NULL geometry —
+      // r.getInt would NPE on unboxing, handing the operator an opaque
+      // NullPointerException instead of the crafted corrupt-artifact
+      // message below (and the dims guard never runs on 0 == 0·0)
+      if (hasGeom && (r.isNullAt(1) || r.isNullAt(2)))
+        throw new IllegalStateException(
+          s"stored pq codebook for view '$viewName' is EMPTY (zero " +
+            "rows) — the artifact is corrupt; retrain it")
       val (nSub, subDim) =
         if (hasGeom) (r.getInt(1), r.getInt(2)) else (8, 8)
       // mismatch guard: the codebook's dim span must equal the declared

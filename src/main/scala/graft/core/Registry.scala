@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DataType
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.time.Instant
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 
 /** Central metadata registry: the rebuild of the reference's
   * `registry.db` blob (`CASE.MD:30,131-134`;
@@ -81,6 +82,22 @@ final class FileRegistry(val path: Path) extends Registry {
     Files.write(tmp, toJson(s).getBytes("UTF-8"))
     Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+    // best-effort sweep of STALE tmps (crashed writers), mirroring
+    // HadoopRegistry.save: unique-named orphans would otherwise
+    // accumulate next to the registry forever. Age-filtered so a live
+    // concurrent writer's in-flight tmp survives.
+    try {
+      val dir = Option(path.getParent).getOrElse(Paths.get("."))
+      val prefix = path.getFileName.toString + ".tmp-"
+      val horizonMs = 10000L
+      val now = System.currentTimeMillis()
+      val st = Files.list(dir)
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(prefix))
+        .filter(p => now - Files.getLastModifiedTime(p).toMillis > horizonMs)
+        .foreach(p => Files.deleteIfExists(p))
+      finally st.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   override def applyEntity(e: Entity): Unit = synchronized {

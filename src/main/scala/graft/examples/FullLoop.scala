@@ -22,7 +22,18 @@ object FullLoop {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, dir) finally spark.stop()
+  }
 
+  /** The demo body, session-agnostic so the spec suite can smoke it
+    * (ExamplesSmokeSpec) without owning the session lifecycle. Returns
+    * (historical PIT rows, online lookup rows, facade-served retrieval
+    * rows, post-retrain serving rows, post-repair-and-GC serving rows,
+    * corpus size) — the flagship facade demo carries retrain → health →
+    * repair → GC and must not silently rot.
+    */
+  def run(spark: SparkSession, dir: String)
+      : (Long, Seq[Map[String, Any]], Long, Long, Long, Long) = {
     // M1: the loop starts the way the reference's does — a repo dir with
     // a feature_store.yaml describing registry + online store.
     val repo = java.nio.file.Files.createTempDirectory("graft_repo")
@@ -75,6 +86,7 @@ object FullLoop {
     val job = fs.getHistoricalFeatures(entityDf,
       Seq("events_fv:value", "events_fv:event_type"))
     job.toDf.show(false)
+    val histRows = job.toDf.count()
     job.release() // free the entity cache after the terminal action
 
     // 3. materialize latest vectors to the online store (M5)
@@ -108,10 +120,13 @@ object FullLoop {
       fs.indexIncrement("emb_fv",
         emb.filter(col("vec_id") >= b * vWidth && col("vec_id") < (b + 1) * vWidth),
         "vec_id", "embedding", b)
-    val hits = fs.searchIndex("emb_fv",
+    // count NOW: the retrieval frame's captured file listing dies when
+    // the maintenance below rewrites the assign partitions (the
+    // repo-wide stale-listing rule) — never re-execute it post-GC
+    val hitRows = fs.searchIndex("emb_fv",
       emb.filter(col("vec_id") >= 100 && col("vec_id") < 104),
-      "vec_id", "embedding", topK = 5, nprobe = 8)
-    println(s"facade-served IVF retrieval: ${hits.count()} results " +
+      "vec_id", "embedding", topK = 5, nprobe = 8).count()
+    println(s"facade-served IVF retrieval: $hitRows results " +
       s"for 4 queries from ${fs.indexStatePath("emb_fv")}")
 
     // 6. the MAINTENANCE half of the lifecycle, same API (r18): a
@@ -129,10 +144,11 @@ object FullLoop {
     val stale = servingRows()
     val repairedBatches = fs.repairIndex("emb_fv", emb, "vec_id", "embedding")
     fs.gcIndex("emb_fv")
+    val repaired = servingRows()
     println(s"index maintenance: post-retrain serving rows $stale -> " +
-      s"${servingRows()} after repairing batches " +
+      s"$repaired after repairing batches " +
       s"${repairedBatches.mkString(",")} + GC")
 
-    spark.stop()
+    (histRows, online, hitRows, stale, repaired, emb.count())
   }
 }

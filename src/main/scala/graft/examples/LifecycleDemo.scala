@@ -108,8 +108,13 @@ object LifecycleDemo {
     // every curation table and re-verify (q250's digest device; a tampered or
     // lost partition would flip its table's ok to 0)
     import graft.pipelines.CurationState
+    // CurationTables :+ lenhist — the drift monitor's histogram is a
+    // state table this demo wrote (and already compacts above); a
+    // manifest that omits it prints "5/6 tables ok" on a HEALTHY state
+    // (verifyState surfaces the on-disk-but-unstored table as ok=0)
     val stateStored = CorpusManifest.stateManifest(
-      spark, state, CurationState.CurationTables).localCheckpoint(true)
+      spark, state, CurationState.CurationTables :+ "lenhist")
+      .localCheckpoint(true)
     val sVerify = CorpusManifest.verifyState(spark, state, stateStored)
     val sOk = sVerify.filter(col("ok") === 1L).count()
     println(s"state manifest verify: $sOk/${sVerify.count()} tables ok")

@@ -93,11 +93,26 @@ object ScaleSmoke {
       new java.io.FileOutputStream(new java.io.File(fsDir, "_SCALE_READY")).close()
     }
 
+    // the listener bus is async: onTaskEnd events for a just-finished
+    // action can still be in flight when the action returns, so reading
+    // stageTasks immediately under-reports (or bleeds a query's tail
+    // into the NEXT query's cleared map). listenerBus/waitUntilEmpty
+    // are private[spark] — public in bytecode, so reflection reaches
+    // them; fall back to a bounded sleep if the internals ever move.
+    def drainListenerBus(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case scala.util.control.NonFatal(_) => Thread.sleep(500) }
+
     def run(tag: String)(f: => Long): Unit = {
+      drainListenerBus() // a PRIOR query's stragglers must not bleed in
       stageTasks.clear()
       val t0 = System.nanoTime()
       val rows = f
       val secs = (System.nanoTime() - t0) / 1e9
+      drainListenerBus()
       val stages = stageTasks.values.map(_.sorted.toIndexedSeq).toSeq
       val nTasks = stages.map(_.size).sum
       // worst WITHIN-stage skew among stages whose max task is > 1 s

@@ -406,6 +406,11 @@ object Multimodal {
       spark: SparkSession, media: DataFrame, tw: Int, th: Int): Dataset[ResizedMedia] = {
     import spark.implicits._
     require(tw > 0 && th > 0, "target dimensions must be positive")
+    // tw·th is an Int pixel count downstream (fakeResize tabulates an
+    // array of that length, BufferedImage allocates tw·th ints) — an
+    // overflowing target would throw NegativeArraySize deep in a task
+    require(tw.toLong * th <= Int.MaxValue,
+      s"target $tw x $th overflows the per-image pixel count")
     media.select("media_id", "media", "format").as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         // per-partition codec init would go here

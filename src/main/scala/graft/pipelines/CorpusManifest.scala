@@ -75,15 +75,17 @@ object CorpusManifest {
   /** One table frame's (n_rows, digest) row — the shared digest block
     * under [[stateManifest]] and [[stateManifestIncrement]]. The
     * canonical row rendering name-sorts the remaining columns, renders
-    * each as `coalesce(cast(c as string), '<NULL>')`, and '|'-joins:
-    * the EXPLICIT null token (ADVICE r16) is what keeps two rows that
-    * differ only in WHICH column is null from rendering identically —
-    * `concat_ws` would silently skip the null and collapse them into
-    * one digest (an undetectable tamper), and a cross-engine oracle
-    * using `||` would nullify the whole row out of its sum. Oracles
-    * digesting a null-BEARING table must mirror the coalesce; the
-    * current state tables are non-null, so their existing `||` oracles
-    * render identically.
+    * each non-null value LENGTH-PREFIXED (`<len>:<value>`), nulls as
+    * the bare `<NULL>` token, and '|'-joins. The length prefix makes
+    * the rendering INJECTIVE (a prefix-free code): without it a value
+    * containing the separator straddles column boundaries invisibly —
+    * `('a|b','c')` and `('a','b|c')` rendered identically — and a
+    * literal `'<NULL>'` string was indistinguishable from NULL (it now
+    * renders `6:<NULL>`). A token starting with a digit is always
+    * `len:value` (consume exactly len chars); otherwise it is the null
+    * token — decoding is unambiguous, so distinct rows ALWAYS digest
+    * distinct canonical strings. Oracles replay the prefix as
+    * `length(v)::VARCHAR || ':' || v` (both engines count codepoints).
     */
   private def digestFrame(df0: DataFrame, dropCols: Seq[String],
       table: String, ctx: String): DataFrame = {
@@ -101,8 +103,10 @@ object CorpusManifest {
       s"$ctx($table): non-atomic column(s) ${bad.map(_.name).mkString(", ")} " +
         "must be listed in dropCols — fractional/array renderings are " +
         "not canonical across engines")
-    val parts = df.columns.sorted.map(c =>
-      coalesce(col(c).cast("string"), lit("<NULL>")))
+    val parts = df.columns.sorted.map { c =>
+      val v = col(c).cast("string")
+      coalesce(concat(length(v).cast("string"), lit(":"), v), lit("<NULL>"))
+    }
     val canon = parts.drop(1).foldLeft(parts.head: Column)(
       (acc, p) => concat(acc, lit("|"), p))
     df.select(canon.as("__c"))
@@ -169,8 +173,15 @@ object CorpusManifest {
       val dir = new org.apache.hadoop.fs.Path(s"$stateDir/$t")
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(dir)) zeroRow(spark, t)
-      else digestFrame(spark.read.parquet(dir.toString),
-        dropCols :+ "batch", t, "stateManifest")
+      else {
+        // existing-but-footerless table dir (crashed writer's empty
+        // commit): zero rows, same contract as the increment side
+        val df =
+          try Some(spark.read.parquet(dir.toString))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        df.map(digestFrame(_, dropCols :+ "batch", t, "stateManifest"))
+          .getOrElse(zeroRow(spark, t))
+      }
     }.reduce(_ unionByName _)
   }
 
@@ -194,8 +205,16 @@ object CorpusManifest {
         s"$stateDir/$t/batch=$batchId")
       val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(part)) zeroRow(spark, t)
-      else digestFrame(spark.read.parquet(part.toString), dropCols, t,
-        "stateManifestIncrement")
+      else {
+        // an existing-but-footerless partition dir (a crashed writer's
+        // empty commit, a bare _SUCCESS) carries no rows — that is the
+        // documented zero-row case, not a schema-inference error
+        val df =
+          try Some(spark.read.parquet(part.toString))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        df.map(digestFrame(_, dropCols, t, "stateManifestIncrement"))
+          .getOrElse(zeroRow(spark, t))
+      }
     }.reduce(_ unionByName _)
   }
 
@@ -310,11 +329,17 @@ object CorpusManifest {
         val keys = stored0
           .orderBy(md5(concat_ws("\u0000", keyCols.map(col): _*)))
           .limit(sampleKeys).select(keyCols.map(col): _*).collect()
-        val keep = keys.map { r =>
-          keyCols.zipWithIndex.map { case (c, i) =>
-            col(c) === lit(r.get(i))
-          }.reduce(_ && _)
-        }.reduce(_ || _)
+        // an EMPTY stored manifest (publish of a fully-gated-away
+        // snapshot) has no keys to sample — `reduce` on the empty key
+        // set would throw; the sampled verify of nothing is the empty
+        // diff, not a crash
+        val keep =
+          if (keys.isEmpty) lit(false)
+          else keys.map { r =>
+            keyCols.zipWithIndex.map { case (c, i) =>
+              col(c) === lit(r.get(i))
+            }.reduce(_ && _)
+          }.reduce(_ || _)
         (stored0.filter(keep),
           spark.read.parquet(s"$dir/data").filter(keep))
       }

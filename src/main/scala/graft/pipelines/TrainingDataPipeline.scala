@@ -49,6 +49,28 @@ object TrainingDataPipeline {
   def annotateAndFilter(docs: DataFrame, cfg: Config): DataFrame =
     annotate(docs).filter(gatePredicate(cfg))
 
+  /** The batch slicers' id-span read: `None` on an empty corpus,
+    * otherwise `(minId, maxId)` as longs regardless of the physical id
+    * type (an IntegerType id would ClassCast a raw `getLong`).
+    * Negative ids THROW — the `[b·width, (b+1)·width)` range slicing
+    * starts at 0, so a negative id would fall outside every batch and
+    * be dropped SILENTLY from the curation (the worst failure mode a
+    * data-loss-sensitive pipeline can have).
+    */
+  private def idSpan(docs: DataFrame, idCol: String): Option[(Long, Long)] = {
+    val r = docs.agg(min(col(idCol).cast("long")).as("mn"),
+      max(col(idCol).cast("long")).as("mx")).head
+    if (r.isNullAt(1)) None
+    else {
+      val mn = r.getLong(0)
+      require(mn >= 0L,
+        s"TrainingDataPipeline: id column '$idCol' has negative values " +
+          s"(min = $mn); range-sliced batching starts at 0 and would " +
+          "silently drop them — remap ids to [0, maxId] first")
+      Some((mn, r.getLong(1)))
+    }
+  }
+
   /** Stage 3: exact dedup — keep the minimum doc_id per fingerprint. */
   def dropExactDuplicates(docs: DataFrame, idCol: String): DataFrame = {
     val keepers = Dedup.exactDuplicates(docs, idCol, "text")
@@ -124,11 +146,11 @@ object TrainingDataPipeline {
     import graft.transform.Transforms
     val spark = docs.sparkSession
     import spark.implicits._
-    val maxIdRow = docs.agg(max(col(idCol))).head
-    if (maxIdRow.isNullAt(0)) // empty corpus: max is NULL, not a row to slice
+    val span = idSpan(docs, idCol)
+    if (span.isEmpty) // empty corpus: max is NULL, not a row to slice
       return Transforms.mergeableRollup(
         annotateAndFilter(docs, cfg), keyCols, col(valueCol))
-    val maxId = maxIdRow.getLong(0)
+    val maxId = span.get._2
     val width = maxId / nBatches + 1
     var history: DataFrame = Seq.empty[String].toDF("fingerprint")
     var state: Option[DataFrame] = None
@@ -145,9 +167,15 @@ object TrainingDataPipeline {
       state = Some(state
         .map(prev => Transforms.mergeRollups(prev, roll, keyCols))
         .getOrElse(roll).localCheckpoint(true))
-      history = history
-        .unionByName(dd.filter(col("kept") === 1L).select("fingerprint"))
-        .localCheckpoint(true)
+      // checkpoint ONLY the new batch's fingerprints and union lazily:
+      // re-checkpointing the accumulated union is the O(nBatches ×
+      // corpus) shape this file bans (each arrival would re-materialize
+      // all prior history). Checkpointed frames carry no file listings,
+      // so the arrivalReports ReuseExchange conflation cannot apply to
+      // this lazy union.
+      history = history.unionByName(
+        dd.filter(col("kept") === 1L).select("fingerprint")
+          .localCheckpoint(true))
     }
     state.get
   }
@@ -280,17 +308,15 @@ object TrainingDataPipeline {
     import graft.transform.Transforms
     val spark = docsDf.sparkSession
     import spark.implicits._
-    val maxIdRow = docsDf.agg(max(col(idCol))).head
-    if (maxIdRow.isNullAt(0)) // empty corpus: max is NULL, not a row to slice
+    val span = idSpan(docsDf, idCol)
+    if (span.isEmpty) // empty corpus: max is NULL, not a row to slice
       return Transforms.mergeableRollup(
         annotateAndFilter(docsDf, cfg), keyCols, col(valueCol))
-    val maxId = maxIdRow.getLong(0)
+    val maxId = span.get._2
     val width = maxId / nBatches + 1
     val ownState = stateDir.isEmpty
     val root = stateDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-inc-curate-").toString)
-    val (ddDir, bandsDir, postDir, sizesDir) =
-      (s"$root/dd", s"$root/bands", s"$root/postings", s"$root/sizes")
     // outer width scope: the per-round state checkpoint (where each
     // increment's LAZY rollup actually executes, see checkpointResult)
     // must also run at loop width, not session width
@@ -526,12 +552,12 @@ object TrainingDataPipeline {
     require(nBatches >= 1, "arrivalReports needs nBatches >= 1")
     import graft.transform.Transforms
     val spark = docsDf.sparkSession
-    val maxIdRow = docsDf.agg(max(col(idCol))).head
-    if (maxIdRow.isNullAt(0)) // empty corpus: empty report with the schema
+    val span = idSpan(docsDf, idCol)
+    if (span.isEmpty) // empty corpus: empty report with the schema
       return Transforms.mergeableRollup(
         annotateAndFilter(docsDf, cfg), keyCols, col(valueCol))
         .withColumn("batch", lit(0L)).filter(lit(false))
-    val maxId = maxIdRow.getLong(0)
+    val maxId = span.get._2
     val width = maxId / nBatches + 1
     val ownState = stateDir.isEmpty
     val root = stateDir.getOrElse(
@@ -605,13 +631,17 @@ object TrainingDataPipeline {
       logBuckets: Boolean = false): DataFrame = {
     require(nBuckets >= 2 && bucketWidth >= 1L,
       "driftIncrement needs >= 2 buckets of positive width")
+    // coalesce(length, 0): a NULL text must land in bucket 0 with the
+    // empty strings, NOT bucket nBuckets-1 — least() SKIPS nulls, so
+    // without it `least(15, NULL)` = 15 and a crawler bug nulling texts
+    // reads as LONG-document drift (the exact inversion of the truth).
+    val len = s"coalesce(cast(length($textCol) as bigint), cast(0 as bigint))"
     val bucketExpr =
       if (logBuckets)
         s"least(cast(${nBuckets - 1} as bigint), " +
-          s"cast(length(bin(cast(length($textCol) as bigint))) as bigint) - 1)"
+          s"cast(length(bin($len)) as bigint) - 1)"
       else
-        s"least(cast(${nBuckets - 1} as bigint), " +
-          s"cast(length($textCol) as bigint) div $bucketWidth)"
+        s"least(cast(${nBuckets - 1} as bigint), $len div $bucketWidth)"
     driftIncrementBy(newDocs, expr(bucketExpr), stateDir, batchId, nBuckets,
       histSubdir = "lenhist")
   }
@@ -691,8 +721,13 @@ object TrainingDataPipeline {
       .groupBy(col("bucket")).agg(sum(col("n")).as("n_ref"))
     val cur = spark.read.parquet(s"$histDir/batch=$batchId")
       .withColumnRenamed("n", "n_cur")
-    val refTot = ref.agg(sum(col("n_ref")).as("nt_ref"))
-    val curTot = cur.agg(sum(col("n_cur")).as("nt_cur"))
+    // coalesce the totals to 0: an EMPTY arrival (or an empty prior
+    // state read) makes sum() a single NULL row, which would propagate
+    // NULL through p/q/contrib/psi_cum/drift — but Laplace smoothing
+    // makes the PSI perfectly well-defined at nt = 0 (every probability
+    // is 1/nBuckets), so the monitor must emit the real number.
+    val refTot = ref.agg(coalesce(sum(col("n_ref")), lit(0L)).as("nt_ref"))
+    val curTot = cur.agg(coalesce(sum(col("n_cur")), lit(0L)).as("nt_cur"))
     val p = (col("n_ref") + 1).cast("double") /
       (col("nt_ref") + nBuckets).cast("double")
     val q = (col("n_cur") + 1).cast("double") /

@@ -26,6 +26,14 @@ import scala.jdk.CollectionConverters._
   */
 object AvroWriter {
 
+  /** SINGLE WRITER PER DIRECTORY: write() clears `path` up front
+    * (mode = overwrite) and its post-job orphan sweep deletes every
+    * leftover attempt tmp under it, so two concurrent write() calls
+    * into one directory are mutually destructive BY CONTRACT — the
+    * second clears the first's committed parts and the sweep would eat
+    * its in-flight tmps. Concurrent jobs each get their own path;
+    * within one job, task attempts are isolated (see above).
+    */
   def write(df: DataFrame, path: String): Unit = {
     val schema = toAvroSchema(df.schema, "spark_record")
     val schemaJson = schema.toString

@@ -49,14 +49,24 @@ object Cdc {
     // the only truthful reading), and inferring presence from
     // `key.isNotNull` silently flipped an old-side null-key row into an
     // INSERT
+    // reserved marker names: a key/compare column literally named
+    // "present" already renders `_old_present` through the prefix map,
+    // so a marker of that spelling would duplicate the name and fail
+    // with an ambiguous reference far from the cause. The require
+    // closes the one residual spelling that could still collide.
+    val (oldMark, newMark) = ("__cdc_old_present", "__cdc_new_present")
+    require(!cols.contains("_cdc_old_present") &&
+      !cols.contains("_cdc_new_present"),
+      "snapshotDiff: column names _cdc_old_present/_cdc_new_present " +
+        "collide with the diff's reserved presence markers — rename them")
     val o = oldDf.select(cols.map(c => col(c).as(s"_old_$c")) :+
-      lit(1).as("_old_present"): _*)
+      lit(1).as(oldMark): _*)
     val n = newDf.select(cols.map(c => col(c).as(s"_new_$c")) :+
-      lit(1).as("_new_present"): _*)
+      lit(1).as(newMark): _*)
     val cond = keyCols.map(k => col(s"_old_$k") === col(s"_new_$k"))
       .reduce(_ && _)
-    val oldPresent = col("_old_present").isNotNull
-    val newPresent = col("_new_present").isNotNull
+    val oldPresent = col(oldMark).isNotNull
+    val newPresent = col(newMark).isNotNull
     def differs(c: String): Column = !(col(s"_old_$c") <=> col(s"_new_$c"))
     val changeType = when(!oldPresent, lit("I"))
       .when(!newPresent, lit("D"))

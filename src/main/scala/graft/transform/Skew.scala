@@ -126,13 +126,13 @@ object Skew {
     * division.
     */
   def joinSizeForecast(a: DataFrame, b: DataFrame, keyCols: Seq[String],
-      topK: Int = 10): DataFrame = {
+      topK: Int = 10, reliable: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "joinSizeForecast needs join keys")
     val keys = keyCols.map(col)
     joinSizeForecastFromCounts(
       a.groupBy(keys: _*).agg(count(lit(1)).as("n_a")),
       b.groupBy(keys: _*).agg(count(lit(1)).as("n_b")),
-      keyCols, topK)
+      keyCols, topK, reliable)
   }
 
   /** [[joinSizeForecast]] from PRE-HARVESTED per-key count frames
@@ -143,7 +143,8 @@ object Skew {
     * form by construction (the scan form delegates here).
     */
   def joinSizeForecastFromCounts(ca: DataFrame, cb: DataFrame,
-      keyCols: Seq[String], topK: Int = 10): DataFrame = {
+      keyCols: Seq[String], topK: Int = 10,
+      reliable: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "joinSizeForecast needs join keys")
     val keys = keyCols.map(col)
     // EAGER checkpoint of the per-key frame, then a DISTRIBUTED agg for
@@ -158,7 +159,24 @@ object Skew {
     // single-reducer scale-killer it is meant to predict. The
     // checkpoint pays one key-domain materialization and buys both:
     // inputs scanned once, total computed with map-side partials.
-    val per = forecastPerKey(ca, cb, keyCols).localCheckpoint(true)
+    //
+    // CALL-TIME EXECUTION + durability (ADVICE r18): the checkpoint
+    // makes this method EAGER — the key-domain materialization runs at
+    // call time, not first action. The default localCheckpoint stores
+    // NON-REPLICATED executor-local blocks: on executor loss the
+    // forecast job fails outright instead of recomputing (acceptable
+    // for a pre-flight — rerun it), but a very-large-domain run that
+    // must survive preemption should pass `reliable = true` to use a
+    // fault-tolerant checkpoint into sc.setCheckpointDir's HDFS dir.
+    val perStage = forecastPerKey(ca, cb, keyCols)
+    val per =
+      if (reliable) {
+        require(ca.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "joinSizeForecast(reliable = true) needs " +
+            "SparkContext.setCheckpointDir — a reliable checkpoint " +
+            "writes the key-domain frame to fault-tolerant storage")
+        perStage.checkpoint(eager = true)
+      } else perStage.localCheckpoint(true)
     val total = per.agg(
       sum(col("pairs").cast("decimal(38,0)"))
         .cast("decimal(38,0)").cast("long").as("total_pairs"))

@@ -395,6 +395,15 @@ class CodebookStoreSpec extends SparkSpec {
       fs.searchIndex("emb_fv", queries, "vec_id", "embedding", kind = "pq")
     }
     assert(ex.getMessage.contains("geometry"), ex.getMessage)
+    // EMPTY artifact: a zero-row stored codebook aggregates to NULL
+    // geometry — the operator must get the crafted corrupt-artifact
+    // message, never an opaque NPE at Int unboxing (ADVICE r18)
+    CodebookStore.save(lying.filter(lit(false)).localCheckpoint(true),
+      CodebookStore.codebookPath(regPath, "emb_fv__pq16x3"))
+    val exEmpty = intercept[IllegalStateException] {
+      fs.searchIndex("emb_fv", queries, "vec_id", "embedding", kind = "pq")
+    }
+    assert(exEmpty.getMessage.contains("EMPTY"), exEmpty.getMessage)
   }
 
   test("a retrained codebook refresh swaps atomically under a serving reader") {

@@ -29,6 +29,25 @@ class RegistrySpec extends AnyFunSuite {
     assert(reloaded.listDataSources() === Seq(view.source))
   }
 
+  test("file registry save sweeps STALE writer tmps but spares live ones") {
+    // crashed writers leave unique-named `.tmp-<uuid>` orphans that
+    // would otherwise accumulate next to the registry forever; a LIVE
+    // concurrent writer's young tmp must survive the sweep
+    val dir = Files.createTempDirectory("regsweep")
+    val path = dir.resolve("registry.json")
+    val stale = dir.resolve("registry.json.tmp-dead-writer")
+    val live = dir.resolve("registry.json.tmp-live-writer")
+    Files.writeString(stale, "{}")
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000L))
+    Files.writeString(live, "{}")
+    new FileRegistry(path).applyEntity(entity)
+    assert(!Files.exists(stale), "stale orphan tmp must be swept")
+    assert(Files.exists(live), "a live writer's young tmp must survive")
+    assert(Files.exists(path))
+  }
+
   test("apply is idempotent and preserves created while bumping lastUpdated") {
     val path = Files.createTempDirectory("reg").resolve("registry.json")
     val reg = new FileRegistry(path)

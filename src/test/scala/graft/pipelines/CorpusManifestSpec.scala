@@ -258,4 +258,62 @@ class CorpusManifestSpec extends SparkSpec {
           "whole-state manifest")
     } finally rm(new java.io.File(root))
   }
+
+  test("frameDigest canonical rendering is injective: separator straddles and literal-<NULL> tampers flip the digest") {
+    def dig(df: org.apache.spark.sql.DataFrame): String =
+      CorpusManifest.frameDigest(df, "t").head.getString(2)
+    // a '|' inside a value must not straddle the column boundary: the
+    // unescaped rendering digested ('a|b','c') and ('a','b|c')
+    // identically — an invisible tamper that moves content across
+    // columns. The length prefix (prefix-free code) separates them.
+    assert(dig(Seq(("a|b", "c")).toDF("x", "y"))
+      !== dig(Seq(("a", "b|c")).toDF("x", "y")),
+      "a separator-straddling tamper must flip the digest")
+    // ... and the same for a value that IS the old multi-column
+    // rendering of its neighbors
+    assert(dig(Seq(("a|b|c", "")).toDF("x", "y"))
+      !== dig(Seq(("a", "b|c|")).toDF("x", "y")))
+    // a literal '<NULL>' string must be distinguishable from NULL
+    // (it renders length-prefixed, `6:<NULL>`; NULL renders bare)
+    assert(dig(Seq(("<NULL>", 1L)).toDF("x", "n"))
+      !== dig(Seq((Option.empty[String], 1L)).toDF("x", "n")),
+      "a literal '<NULL>' value must not collide with a real NULL")
+    // nulls in DIFFERENT columns still digest differently (the r16
+    // property, preserved through the rendering change)
+    assert(dig(Seq((Option.empty[String], Some("v"))).toDF("x", "y"))
+      !== dig(Seq((Some("v"), Option.empty[String])).toDF("x", "y")))
+  }
+
+  test("verify(sampleKeys > 0) on an empty stored manifest is the empty diff, not a crash") {
+    // publish of a fully-gated-away snapshot: zero keys to sample —
+    // the key-predicate fold must not reduce an empty collection
+    val dir = java.nio.file.Files.createTempDirectory("emptypub-").toString
+    try {
+      val empty = fixture.filter(lit(false))
+      empty.write.parquet(s"$dir/data")
+      CorpusManifest.manifest(empty, Seq("source"), "doc_id", "text")
+        .write.parquet(s"$dir/manifest")
+      val out = CorpusManifest.verify(spark, dir, Seq("source"),
+        "doc_id", "text", sampleKeys = 3)
+      assert(out.count() === 0L)
+    } finally rm(new java.io.File(dir))
+  }
+
+  test("existing-but-footerless state dirs contribute the zero row, not a schema error") {
+    // a crashed writer's empty commit (bare dir, or _SUCCESS only) is
+    // the documented zero-row case for both manifest verbs
+    val root = java.nio.file.Files.createTempDirectory("footerless-").toString
+    try {
+      assert(new java.io.File(s"$root/dd/batch=0").mkdirs())
+      new java.io.FileOutputStream(
+        new java.io.File(s"$root/dd/batch=0/_SUCCESS")).close()
+      val inc = CorpusManifest.stateManifestIncrement(
+        spark, root, Seq("dd"), 0L).head
+      assert((inc.getString(0), inc.getLong(1), inc.getString(2))
+        === (("dd", 0L, "0")))
+      val whole = CorpusManifest.stateManifest(spark, root, Seq("dd")).head
+      assert((whole.getString(0), whole.getLong(1), whole.getString(2))
+        === (("dd", 0L, "0")))
+    } finally rm(new java.io.File(root))
+  }
 }

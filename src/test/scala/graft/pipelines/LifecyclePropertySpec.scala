@@ -45,7 +45,7 @@ class LifecyclePropertySpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
-  test("drift monitor degrades on an EMPTY arrival: NULL psi, no crash, state still written") {
+  test("drift monitor on an EMPTY arrival: well-defined Laplace PSI, no crash, state still written") {
     val root = java.nio.file.Files.createTempDirectory("drift-empty-").toString
     try {
       TrainingDataPipeline.driftIncrement(
@@ -54,12 +54,15 @@ class LifecyclePropertySpec extends SparkSpec {
       val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
       val curve = TrainingDataPipeline.driftIncrement(empty, "text", root, 1L)
         .collect()
-      // an empty increment has no distribution: psi degrades to NULL
-      // (the documented NULL short-circuit), the monitor does not crash,
-      // and the batch's (empty) histogram partition still lands so
-      // later arrivals' `batch < b` reads stay consistent
+      // an empty increment's smoothed distribution is exactly uniform
+      // (Laplace: every q_i = 1/nBuckets), so the PSI is a well-defined
+      // REAL number — NULLs would NPE any consumer reading the drift
+      // flag (r18 deferred #2). The monitor does not crash, and the
+      // batch's (empty) histogram partition still lands so later
+      // arrivals' `batch < b` reads stay consistent
       assert(curve.length === 16)
-      assert(curve.forall(_.isNullAt(5)), "psi_cum must be NULL, not fabricated")
+      assert(curve.forall(r => !r.isNullAt(5) && !r.isNullAt(6)),
+        "psi_cum/drift must be well-defined on an empty arrival")
       assert(new java.io.File(s"$root/lenhist/batch=1").exists)
       // and the NEXT arrival still computes a real PSI against batch 0
       val next = TrainingDataPipeline.driftIncrement(

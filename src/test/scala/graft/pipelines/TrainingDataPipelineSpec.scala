@@ -479,6 +479,143 @@ class TrainingDataPipelineSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("batch slicers fail fast on negative ids instead of silently dropping them") {
+    // a negative id falls outside every [b·width, (b+1)·width) range —
+    // without the guard the doc would vanish from the curation with no
+    // error, the worst failure mode a data-loss-sensitive pipeline has
+    val neg = Seq(
+      (-1L, goodText, "web"),
+      (5L, goodText + " plus some extra distinct words", "web")
+    ).toDF("doc_id", "text", "source")
+    val e = intercept[IllegalArgumentException] {
+      TrainingDataPipeline.incrementalRollup(neg, "doc_id",
+        Seq("source"), "n_tokens")
+    }
+    assert(e.getMessage.contains("negative"))
+    intercept[IllegalArgumentException] {
+      TrainingDataPipeline.incrementalCurate(neg, "doc_id",
+        Seq("source"), "n_tokens")
+    }
+    intercept[IllegalArgumentException] {
+      TrainingDataPipeline.arrivalReports(neg, "doc_id",
+        Seq("source"), "n_tokens")
+    }
+  }
+
+  test("batch slicers accept IntegerType ids (no ClassCast at the span read)") {
+    def docs = Seq(
+      (0, goodText, "web"),
+      (1, goodText, "web"), // exact dup → dropped
+      (2, goodText.replace("woods", "fields loudly"), "pdf"),
+      (3, goodText.replace("dog", "cat") + " entirely different tail", "web")
+    )
+    val intIds = docs.toDF("doc_id", "text", "source")
+    val longIds = docs.map { case (i, t, s) => (i.toLong, t, s) }
+      .toDF("doc_id", "text", "source")
+    val key = (r: org.apache.spark.sql.Row) => r.getString(0)
+    assert(TrainingDataPipeline
+      .incrementalRollup(intIds, "doc_id", Seq("source"), "n_tokens")
+      .collect().sortBy(key).map(_.toSeq).toSeq
+      === TrainingDataPipeline
+      .incrementalRollup(longIds, "doc_id", Seq("source"), "n_tokens")
+      .collect().sortBy(key).map(_.toSeq).toSeq)
+  }
+
+  test("driftIncrement: NULL text lands in bucket 0 with the empty strings, never the tail bucket") {
+    // least() SKIPS nulls, so least(15, NULL) = 15: without the
+    // coalesce a crawler bug nulling texts read as LONG-document drift
+    for (logB <- Seq(false, true)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("drift-null-").toString
+      try {
+        val docs = Seq((0L, null: String), (1L, "x" * 40), (2L, "y" * 500))
+          .toDF("doc_id", "text")
+        TrainingDataPipeline.driftIncrement(docs, "text", root, 0L,
+          logBuckets = logB).collect()
+        val hist = spark.read.parquet(s"$root/lenhist/batch=0")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(hist.getOrElse(0L, 0L) >= 1L,
+          s"null text must land in bucket 0 (logBuckets=$logB): $hist")
+        assert(hist.getOrElse(15L, 0L) === 0L,
+          s"null text must not read as a max-length doc (logBuckets=$logB): $hist")
+        assert(hist.values.sum === 3L, s"every doc must be counted: $hist")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(new java.io.File(root))
+      }
+    }
+  }
+
+  test("driftIncrementBy: empty arrivals and empty references emit a well-defined PSI, never NULLs") {
+    val root = java.nio.file.Files.createTempDirectory("drift-empty-").toString
+    try {
+      val bucket = expr("cast(doc_id % 16 as bigint)")
+      def arrival(ids: Seq[Long]) = ids.map(i => (i, s"doc $i"))
+        .toDF("doc_id", "text")
+      // real batch 0, EMPTY batch 1: Laplace smoothing makes the PSI of
+      // an empty increment exact (every q_i = 1/nBuckets) — all-NULL
+      // output would NPE any consumer reading the drift flag
+      TrainingDataPipeline.driftIncrementBy(
+        arrival(0L until 20L), bucket, root, 0L).collect()
+      val emptyArr = TrainingDataPipeline.driftIncrementBy(
+        arrival(Nil), bucket, root, 1L).collect()
+      assert(emptyArr.length === 16)
+      assert(emptyArr.forall(r => !r.isNullAt(r.fieldIndex("contrib")) &&
+        !r.isNullAt(r.fieldIndex("psi_cum")) &&
+        !r.isNullAt(r.fieldIndex("drift"))),
+        "empty arrival must emit a well-defined curve")
+      // empty REFERENCE (batch 0 had no docs): same contract
+      val root2 = java.nio.file.Files
+        .createTempDirectory("drift-empty2-").toString
+      try {
+        TrainingDataPipeline.driftIncrementBy(
+          arrival(Nil), bucket, root2, 0L).collect()
+        val emptyRef = TrainingDataPipeline.driftIncrementBy(
+          arrival(0L until 20L), bucket, root2, 1L).collect()
+        assert(emptyRef.length === 16 &&
+          emptyRef.forall(r => !r.isNullAt(r.fieldIndex("psi_cum"))),
+          "empty reference must emit a well-defined curve")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(new java.io.File(root2))
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("incrementalRollup: each arrival checkpoints O(batch), never the accumulated history") {
+    // the history fold must checkpoint only the NEW batch's
+    // fingerprints and union lazily — re-materializing the accumulated
+    // union each round is the O(nBatches × corpus) block-storage shape
+    // the repo bans (every round caches a FULL COPY of all history
+    // so far). Observable: the accumulated form caches a history RDD
+    // whose partition count GROWS ~4 per round (union partitions add,
+    // localCheckpoint preserves them — ~36 at nBatches=8); the O(batch)
+    // form caches only batch-shaped frames (≤ ~8 partitions each,
+    // shuffle.partitions = 4 here).
+    val corpus = (0 until 24).map(i =>
+      (i.toLong, s"$goodText unique tail number $i marker", "web"))
+      .toDF("doc_id", "text", "source")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    TrainingDataPipeline.incrementalRollup(corpus, "doc_id",
+      Seq("source"), "n_tokens", nBatches = 8).collect()
+    val grown = spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }
+      .map { case (id, rdd) => id -> rdd.partitions.length }
+      .filter(_._2 > 12)
+    assert(grown.isEmpty,
+      s"an accumulated-history-sized frame was checkpointed (RDD id -> " +
+        s"partitions: $grown) — per-arrival state must be O(batch)")
+  }
+
   test("curate runs on the synthetic corpus without shrinking it to zero") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val out = TrainingDataPipeline.curate(docs)

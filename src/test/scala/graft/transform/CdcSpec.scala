@@ -141,4 +141,25 @@ class CdcSpec extends SparkSpec {
     assert(got.toSeq === Seq((None, "D")),
       s"old-side null-key row must read as D: ${got.toSeq}")
   }
+
+  test("a compare column literally named 'present' does not collide with the markers") {
+    // the prefix map already emits `_old_present` for a column named
+    // `present` — a marker with that spelling duplicated the name and
+    // failed with an ambiguous reference far from the cause
+    val o = Seq((1L, "yes"), (2L, "no")).toDF("id", "present")
+    val n = Seq((1L, "no"), (3L, "yes")).toDF("id", "present")
+    val out = Cdc.snapshotDiff(o, n, Seq("id"), Seq("present"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(out.toSeq === Seq(
+      (1L, "U", Some("present")),
+      (2L, "D", None),
+      (3L, "I", None)))
+    // the one residual reserved spelling fails loudly, not ambiguously
+    val bad = Seq((1L, "x")).toDF("id", "_cdc_old_present")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(bad, bad, Seq("id"), Seq("_cdc_old_present"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
 }

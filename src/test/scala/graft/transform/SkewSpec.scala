@@ -102,4 +102,26 @@ class SkewSpec extends SparkSpec {
     val actual = a.join(b, "k").count()
     assert(actual === 14L)
   }
+
+  test("joinSizeForecast reliable=true needs a checkpoint dir, then matches the default path") {
+    import spark.implicits._
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y")).toDF("k")
+    val b = (Seq.fill(2)("x") ++ Seq("z")).toDF("k")
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      // without a checkpoint dir the reliable variant must fail fast
+      // with guidance, not at job time deep inside the checkpoint
+      val e = intercept[IllegalArgumentException] {
+        Skew.joinSizeForecast(a, b, Seq("k"), reliable = true)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+    sc.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("skew-ckpt-").toString)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(Skew.joinSizeForecast(a, b, Seq("k"), reliable = true))
+      === rows(Skew.joinSizeForecast(a, b, Seq("k"))),
+      "the fault-tolerant checkpoint path must not change the forecast")
+  }
 }
