@@ -43,7 +43,15 @@ object PitStrategies {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, dir) finally spark.stop()
+  }
 
+  /** The A/B body, session-agnostic so the spec suite can smoke it at
+    * sf0.001 (ExamplesSmokeSpec) — the equivalence requires inside are
+    * the pin; returns (strategy diff rows, coarse-vs-direct diff rows),
+    * both 0 on success.
+    */
+  def run(spark: SparkSession, dir: String): (Long, Long) = {
     def time(name: String)(f: => DataFrame): DataFrame = {
       val df = f
       df.count() // warm plan
@@ -87,6 +95,6 @@ object PitStrategies {
     require(cdiff == 0, "coarse path disagrees!")
     directJob.release()
     coarseJob.release()
-    spark.stop()
+    (diff, cdiff)
   }
 }
