@@ -153,6 +153,30 @@ class TransformsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 20)
   }
 
+  test("compact recovers a table stranded mid-swap instead of failing on a missing path") {
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("cmpcrash").toString + "/t"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1 to 12).map(i => (i, s"row$i")).toDF("id", "s")
+      .repartition(6).write.parquet(path)
+    // simulate a crash between rename(p -> __precompact) and
+    // rename(tmp -> p): the table sits at __precompact, p is gone —
+    // the next compact must restore it, then compact normally
+    assert(fs.rename(new Path(path), new Path(path + "__precompact")))
+    Transforms.compact(spark, path, targetFileSizeMB = 128)
+    assert(spark.read.parquet(path).count() === 12L,
+      "interrupted table must be restored, not lost")
+    assert(!fs.exists(new Path(path + "__precompact")))
+    // crash AFTER swap-in but before cleanup: stale __precompact beside
+    // a healthy table is deleted, the healthy table is kept
+    (13 to 14).map(i => (i, s"row$i")).toDF("id", "s")
+      .write.mode("overwrite").parquet(path + "__precompact")
+    Transforms.compact(spark, path, targetFileSizeMB = 128)
+    assert(spark.read.parquet(path).count() === 12L,
+      "healthy table must win over a stale pre-swap copy")
+    assert(!fs.exists(new Path(path + "__precompact")))
+  }
+
   test("PIT retrieval accepts string-typed entity timestamps") {
     val featDir = java.nio.file.Files.createTempDirectory("strts").toString + "/f"
     Seq(("a", "2024-01-01 00:00:00", 1.0), ("a", "2024-01-03 00:00:00", 3.0))
