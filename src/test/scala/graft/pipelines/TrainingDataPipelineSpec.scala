@@ -519,6 +519,13 @@ class TrainingDataPipelineSpec extends SparkSpec {
       === TrainingDataPipeline
       .incrementalRollup(longIds, "doc_id", Seq("source"), "n_tokens")
       .collect().sortBy(key).map(_.toSeq).toSeq)
+    // the STATEFUL path too (persisted dedup state, partition writes)
+    assert(TrainingDataPipeline
+      .incrementalCurate(intIds, "doc_id", Seq("source"), "n_tokens")
+      .collect().sortBy(key).map(_.toSeq).toSeq
+      === TrainingDataPipeline
+      .incrementalCurate(longIds, "doc_id", Seq("source"), "n_tokens")
+      .collect().sortBy(key).map(_.toSeq).toSeq)
   }
 
   test("driftIncrement: NULL text lands in bucket 0 with the empty strings, never the tail bucket") {
