@@ -78,6 +78,32 @@ class LifecyclePropertySpec extends SparkSpec {
     }
   }
 
+  test("digest canonical rendering is injective over adversarial alphabets (property)") {
+    // the r19 length-prefix fix, generalized: for ANY two distinct
+    // 2-column rows drawn from an alphabet stacked with the rendering's
+    // own metacharacters ('|' separator, ':' prefix delimiter, '<NULL>'
+    // token, digits) — including NULLs — the digests differ. A
+    // rendering collision would be an md5-input collision, so equal
+    // digests ⇔ the canonical strings collided (md5 collisions are not
+    // constructible from these tiny strings).
+    val token: Gen[String] = Gen.oneOf(
+      Gen.const("<NULL>"), Gen.const(""), Gen.const("|"), Gen.const(":"),
+      Gen.choose(0, 99).map(_.toString),
+      Gen.listOfN(3, Gen.oneOf('a', 'b', '|', ':', '1')).map(_.mkString))
+    val cell: Gen[Option[String]] =
+      Gen.option(Gen.listOf(token).map(_.mkString))
+    val row: Gen[(Option[String], Option[String])] = Gen.zip(cell, cell)
+    def dig(r: (Option[String], Option[String])): String =
+      CorpusManifest.frameDigest(Seq(r).toDF("x", "y"), "t")
+        .head.getString(2)
+    val prop = Prop.forAllNoShrink(row, row) { (a, b) =>
+      a == b || dig(a) != dig(b)
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("manifest merge law: any 2-slicing of any corpus folds to the one-shot manifest") {
     val genDoc = for {
       id <- Gen.choose(0L, 500L)
