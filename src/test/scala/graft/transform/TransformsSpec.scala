@@ -228,6 +228,19 @@ class TransformsSpec extends SparkSpec {
     }
     assert(e.getClass.getSimpleName == "SparkDateTimeException"
       || e.getMessage.contains("null/unparseable"))
+    // the guard must hold even with the range prefilter DISABLED: the
+    // bounds agg that carries it is lazy, and to_timestamp-minted nulls
+    // would otherwise silently null-pad every feature (ANSI-off mode)
+    val e2 = intercept[Exception] {
+      graft.offline.PointInTimeJoin.retrieve(spark, ent,
+        Seq(graft.offline.PointInTimeJoin.ViewRequest(
+          fs.getFeatureView("fv"),
+          Seq(graft.core.Feature("v", org.apache.spark.sql.types.DoubleType)),
+          Seq("key"))),
+        prefilterByEntityRange = false).count()
+    }
+    assert(e2.getClass.getSimpleName == "SparkDateTimeException"
+      || e2.getMessage.contains("null/unparseable"))
   }
 
   test("zscoreNormalize matches a driver-side reference and is group-local") {
