@@ -275,25 +275,33 @@ final class FeatureStore(
       // here would double the fixed scheduling cost per lookup)
       val hasGeom = stored.columns.contains("n_sub")
       val aggCols =
-        countDistinct(col("dim")).as("dims") +:
+        count(lit(1)).as("n") +: countDistinct(col("dim")).as("dims") +:
           (if (hasGeom) Seq(first(col("n_sub")).as("ns"),
             first(col("sub_dim")).as("sd"))
           else Nil)
       val r = stored.agg(aggCols.head, aggCols.tail: _*).head()
-      // a ZERO-ROW stored codebook aggregates to NULL geometry —
-      // r.getInt would NPE on unboxing, handing the operator an opaque
-      // NullPointerException instead of the crafted corrupt-artifact
-      // message below (and the dims guard never runs on 0 == 0·0)
-      if (hasGeom && (r.isNullAt(1) || r.isNullAt(2)))
+      // a ZERO-ROW stored codebook must get the crafted EMPTY-artifact
+      // message on BOTH artifact shapes (ADVICE r19): with persisted
+      // geometry the NULL aggregates would NPE at Int unboxing; a
+      // legacy no-geometry artifact would fall through to the (8,8)
+      // default and fail the dims guard with a misleading "spans 0
+      // dims" mismatch message instead
+      if (r.getLong(0) == 0L)
         throw new IllegalStateException(
           s"stored pq codebook for view '$viewName' is EMPTY (zero " +
             "rows) — the artifact is corrupt; retrain it")
+      // non-empty but NULL-valued geometry columns are a distinct
+      // corruption — still throw crafted, never NPE at unboxing
+      if (hasGeom && (r.isNullAt(2) || r.isNullAt(3)))
+        throw new IllegalStateException(
+          s"stored pq codebook for view '$viewName' carries NULL " +
+            "geometry (n_sub/sub_dim) — the artifact is corrupt; retrain it")
       val (nSub, subDim) =
-        if (hasGeom) (r.getInt(1), r.getInt(2)) else (8, 8)
+        if (hasGeom) (r.getInt(2), r.getInt(3)) else (8, 8)
       // mismatch guard: the codebook's dim span must equal the declared
       // geometry — serving with a wrong-geometry codebook must THROW,
       // never silently mis-slice vectors (k·dim-row scan, bounded)
-      val dims = r.getLong(0)
+      val dims = r.getLong(1)
       require(dims == nSub.toLong * subDim,
         s"stored pq codebook for view '$viewName' spans $dims dims but " +
           s"declares geometry ${nSub}x$subDim — the artifact is " +

@@ -85,11 +85,15 @@ final class FileRegistry(val path: Path) extends Registry {
     // best-effort sweep of STALE tmps (crashed writers), mirroring
     // HadoopRegistry.save: unique-named orphans would otherwise
     // accumulate next to the registry forever. Age-filtered so a live
-    // concurrent writer's in-flight tmp survives.
+    // concurrent writer's in-flight tmp survives — the horizon is
+    // MINUTES, not seconds: deleting a slow live writer's tmp
+    // mid-Files.write (slow NFS, large registry) would fail its
+    // ATOMIC_MOVE with NoSuchFileException, and orphan accumulation is
+    // not latency-sensitive (ADVICE r19).
     try {
       val dir = Option(path.getParent).getOrElse(Paths.get("."))
       val prefix = path.getFileName.toString + ".tmp-"
-      val horizonMs = 10000L
+      val horizonMs = FileRegistry.sweepHorizonMs
       val now = System.currentTimeMillis()
       val st = Files.list(dir)
       try st.iterator().asScala
@@ -305,12 +309,17 @@ final class HadoopRegistry(
     // best-effort sweep of STALE tmps (crashed writers): live concurrent
     // writers' tmps are younger than the horizon and survive. Without
     // this, unique-named orphans would accumulate next to the registry.
+    // Deliberately a LONGER horizon than [[staleTmpHorizonMs]]: the
+    // load-side horizon only classifies (throw/flag, never deletes),
+    // while deleting a slow live writer's in-flight tmp here would fail
+    // its rename — minutes-scale is safe because orphan accumulation is
+    // not latency-sensitive (ADVICE r19).
     try {
       val leftovers = tmpStatuses(f)
       if (leftovers.nonEmpty) {
         val now = fsNow(f)
         leftovers
-          .filter(st => now - st.getModificationTime > staleTmpHorizonMs)
+          .filter(st => now - st.getModificationTime > FileRegistry.sweepHorizonMs)
           .foreach(st => f.delete(st.getPath, false))
       }
     } catch { case scala.util.control.NonFatal(_) => () }
@@ -339,6 +348,15 @@ final class HadoopRegistry(
 }
 
 object FileRegistry {
+  /** Age beyond which an orphan writer tmp is deleted by the save-time
+    * sweep. Minutes, not seconds: a live concurrent writer's in-flight
+    * tmp must survive even a pathologically slow write (slow NFS, very
+    * large registry) — deleting it would fail that writer's atomic
+    * rename. Distinct from the read-side staleness horizon, which only
+    * classifies and never deletes.
+    */
+  val sweepHorizonMs: Long = 10L * 60 * 1000
+
   final case class Meta(created: String, lastUpdated: String)
   final case class State(
       entities: Map[String, Entity],

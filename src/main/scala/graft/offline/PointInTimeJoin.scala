@@ -126,14 +126,17 @@ object PointInTimeJoin {
           "'yyyy-MM-dd HH:mm:ss'-parseable)")
       (row.getTimestamp(0), row.getTimestamp(1))
     }
-    // the bounds agg doubles as the unparseable-string guard, but it is
+    // the bounds agg doubles as the null/unparseable guard, but it is
     // lazy and prefilterByEntityRange=false never forces it — when the
     // string normalization above ran, to_timestamp may have minted
-    // nulls, and skipping the guard would silently null-pad every
-    // feature for those rows. Force the guard whenever normalization
-    // happened; a caller that opted out of the prefilter scan with an
-    // already-typed column keeps the lazy behavior.
-    if (!(entityDf1 eq entityDf0)) { val _ = minEntityTs }
+    // nulls, and an already-TIMESTAMP-typed column whose schema admits
+    // nulls can carry them too (ADVICE r19); either way, skipping the
+    // guard would silently null-pad every feature for those rows.
+    // Force it whenever normalization happened OR the typed column is
+    // nullable — the cost is one tiny agg job; only a provably
+    // non-nullable typed column keeps the fully lazy behavior.
+    if (!(entityDf1 eq entityDf0) ||
+      entityDf1.schema(entityTsCol).nullable) { val _ = minEntityTs }
 
     requests.foldLeft(entityDf) { case (acc, ViewRequest(fv, feats, joinKeys)) =>
       joinKeys.foreach { k =>

@@ -42,23 +42,25 @@ object Cdc {
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && compareCols.nonEmpty)
-    val cols = keyCols ++ compareCols
+    // distinct: a column listed as BOTH key and compare would otherwise
+    // render duplicate `_old_$c`/`_new_$c` names and die with an
+    // ambiguous reference at the join cond; projected once, it behaves
+    // correctly (matched rows joined on key equality never differ on it)
+    val cols = (keyCols ++ compareCols).distinct
     // explicit presence markers, never key-null-ness: a row whose head
     // key is NULL is still a real row (null keys never match the equi
     // join, so each side's null-key rows surface independently as D/I —
     // the only truthful reading), and inferring presence from
     // `key.isNotNull` silently flipped an old-side null-key row into an
     // INSERT
-    // reserved marker names: a key/compare column literally named
-    // "present" already renders `_old_present` through the prefix map,
-    // so a marker of that spelling would duplicate the name and fail
-    // with an ambiguous reference far from the cause. The require
-    // closes the one residual spelling that could still collide.
+    // marker names are collision-proof BY CONSTRUCTION: every original
+    // column renders through the `_old_`/`_new_` prefix map, and no
+    // `_old_$c`/`_new_$c` can spell a `__cdc_`-prefixed marker (the
+    // marker starts `__cdc`, the prefixes start `_old`/`_new`) — a
+    // column literally named "present" renders `_old_present`, one
+    // named "_cdc_old_present" renders `_old__cdc_old_present`; both
+    // are legitimate inputs, so no name restriction is needed
     val (oldMark, newMark) = ("__cdc_old_present", "__cdc_new_present")
-    require(!cols.contains("_cdc_old_present") &&
-      !cols.contains("_cdc_new_present"),
-      "snapshotDiff: column names _cdc_old_present/_cdc_new_present " +
-        "collide with the diff's reserved presence markers — rename them")
     val o = oldDf.select(cols.map(c => col(c).as(s"_old_$c")) :+
       lit(1).as(oldMark): _*)
     val n = newDf.select(cols.map(c => col(c).as(s"_new_$c")) :+

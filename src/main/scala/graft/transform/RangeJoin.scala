@@ -91,7 +91,18 @@ object RangeJoin {
     require(left.columns.intersect(right.columns).isEmpty,
       "left/right column names must be disjoint (alias before joining)")
     // exact long bucket index (Spark's `/` on longs is double division;
-    // `div` is integer floor-division for the non-negative domains here)
+    // `div` is TRUNCATED integer division). Truncation — not floor — is
+    // fine on ALL of ℤ: the only property the bucket-containment and
+    // `greatest()`-residual-dedup invariants use is that bucketOf is
+    // MONOTONE non-decreasing (lo <= x <= hi ⇒ bucketOf(lo) <=
+    // bucketOf(x) <= bucketOf(hi), and overlap ⇒ the max(lo)-bucket
+    // lies in both sides' exploded ranges), which truncated division
+    // satisfies over negative domains too. What WOULD break dedup is
+    // changing the rounding at SOME of bucketOf's call sites but not
+    // others (the explode below and the `greatest()` residual must
+    // agree on which bucket holds max(lo)) — every call site shares
+    // this one definition for that reason (negative-domain equality
+    // pinned in RangeJoinSpec).
     def bucketOf(c: String): org.apache.spark.sql.Column =
       expr(s"CAST(`$c` AS BIGINT) div ${bucketWidth}L")
     def exploded(df: DataFrame, lo: String, hi: String): DataFrame =

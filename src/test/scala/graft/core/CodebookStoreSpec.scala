@@ -404,6 +404,17 @@ class CodebookStoreSpec extends SparkSpec {
       fs.searchIndex("emb_fv", queries, "vec_id", "embedding", kind = "pq")
     }
     assert(exEmpty.getMessage.contains("EMPTY"), exEmpty.getMessage)
+    // same EMPTY message for a zero-row LEGACY artifact WITHOUT
+    // geometry columns (ADVICE r19): it previously fell through to the
+    // (8,8) default and failed the dims guard with a misleading
+    // "spans 0 dims" mismatch message
+    CodebookStore.save(
+      lying.drop("n_sub", "sub_dim").filter(lit(false)).localCheckpoint(true),
+      CodebookStore.codebookPath(regPath, "emb_fv__pq16x3"))
+    val exEmptyLegacy = intercept[IllegalStateException] {
+      fs.searchIndex("emb_fv", queries, "vec_id", "embedding", kind = "pq")
+    }
+    assert(exEmptyLegacy.getMessage.contains("EMPTY"), exEmptyLegacy.getMessage)
   }
 
   test("a retrained codebook refresh swaps atomically under a serving reader") {

@@ -40,11 +40,21 @@ class RegistrySpec extends AnyFunSuite {
     Files.writeString(stale, "{}")
     Files.setLastModifiedTime(stale,
       java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 60000L))
+        System.currentTimeMillis() - FileRegistry.sweepHorizonMs - 60000L))
     Files.writeString(live, "{}")
+    // "live" includes SLOW: a tmp older than the read-side staleness
+    // horizon but younger than the sweep horizon is a writer that is
+    // merely slow (NFS, big registry) — deleting it would fail its
+    // upcoming atomic rename (ADVICE r19)
+    val slow = dir.resolve("registry.json.tmp-slow-writer")
+    Files.writeString(slow, "{}")
+    Files.setLastModifiedTime(slow,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000L))
     new FileRegistry(path).applyEntity(entity)
     assert(!Files.exists(stale), "stale orphan tmp must be swept")
     assert(Files.exists(live), "a live writer's young tmp must survive")
+    assert(Files.exists(slow), "a slow live writer's tmp must survive the sweep")
     assert(Files.exists(path))
   }
 

@@ -155,11 +155,29 @@ class CdcSpec extends SparkSpec {
       (1L, "U", Some("present")),
       (2L, "D", None),
       (3L, "I", None)))
-    // the one residual reserved spelling fails loudly, not ambiguously
-    val bad = Seq((1L, "x")).toDF("id", "_cdc_old_present")
-    val e = intercept[IllegalArgumentException] {
-      Cdc.snapshotDiff(bad, bad, Seq("id"), Seq("_cdc_old_present"))
-    }
-    assert(e.getMessage.contains("reserved"))
+    // even the marker-adjacent spelling is a legitimate input: the
+    // prefix map renders `_old__cdc_old_present`, which can never equal
+    // the `__cdc_`-prefixed markers — identical snapshots diff to empty
+    val markerish = Seq((1L, "x"), (2L, "y")).toDF("id", "_cdc_old_present")
+    assert(Cdc.snapshotDiff(markerish, markerish,
+      Seq("id"), Seq("_cdc_old_present")).isEmpty)
+    val changed = Cdc.snapshotDiff(markerish,
+      Seq((1L, "x"), (2L, "z")).toDF("id", "_cdc_old_present"),
+      Seq("id"), Seq("_cdc_old_present")).collect()
+    assert(changed.map(r => (r.getLong(0), r.getString(1),
+      r.getString(2))).toSeq === Seq((2L, "U", "_cdc_old_present")))
+  }
+
+  test("a column listed as both key and compare is projected once, not ambiguous") {
+    // keyCols ++ compareCols used to render duplicate `_old_id` names
+    // and die with AMBIGUOUS_REFERENCE at the join cond; deduped, the
+    // key participates in compare harmlessly (matched rows joined on
+    // key equality never differ on it — changed_cols never lists it)
+    val o = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val n = Seq((1L, "x"), (2L, "z"), (3L, "w")).toDF("id", "v")
+    val out = Cdc.snapshotDiff(o, n, Seq("id"), Seq("id", "v"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(out.toSeq === Seq((2L, "U", Some("v")), (3L, "I", None)))
   }
 }

@@ -202,4 +202,37 @@ class RangeJoinSpec extends SparkSpec {
         s"interval overlap degenerated to all-pairs:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("intervalOverlapJoin is exact on NEGATIVE and zero-straddling domains") {
+    // bucketOf uses Spark's TRUNCATED `div`, whose buckets are wider
+    // around zero than floor-division's — correctness rests only on
+    // monotonicity, which holds on all of ℤ. This pins match-set
+    // equality with the naive theta join on negative/straddling
+    // intervals so a future one-sided "fix" to floor semantics (which
+    // WOULD silently drop or duplicate pairs) fails loudly.
+    val a = Seq(
+      (1L, -500L, -400L), (2L, -64L, -1L), (3L, -10L, 10L),
+      (4L, -128L, -65L), (5L, -1L, 0L), (6L, -300L, 300L))
+      .toDF("aid", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, -450L, -430L), (11L, -63L, -63L), (12L, 0L, 0L),
+      (13L, -129L, -128L), (14L, -1000L, 1000L), (15L, -2L, -2L),
+      (16L, 64L, 128L))
+      .toDF("bid", "b_lo", "b_hi")
+    val theta = a.join(b,
+        col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(theta.contains((2L, 11L)) && theta.contains((4L, 13L)),
+      "fixture must exercise fully-negative matches")
+    for (w <- Seq(7L, 64L, 100L)) {
+      val got = RangeJoin.intervalOverlapJoin(
+          a, "a_lo", "a_hi", b, "b_lo", "b_hi", w)
+        .select("aid", "bid")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size,
+        s"pair emitted from more than one bucket at width $w (negative domain)")
+      assert(got.toSet === theta, s"width $w (negative domain)")
+    }
+  }
 }

@@ -241,6 +241,22 @@ class TransformsSpec extends SparkSpec {
     }
     assert(e2.getClass.getSimpleName == "SparkDateTimeException"
       || e2.getMessage.contains("null/unparseable"))
+    // an already-TIMESTAMP-typed column carrying NULLs must hit the
+    // same guard even with the prefilter disabled (ADVICE r19): no
+    // string normalization runs, but the nullable schema forces the
+    // bounds agg — without it, those rows silently null-padded
+    val entTyped = Seq(("a", Some("2024-01-02 00:00:00")), ("b", None))
+      .toDF("key", "raw")
+      .select(col("key"), to_timestamp(col("raw")).as("event_timestamp"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.offline.PointInTimeJoin.retrieve(spark, entTyped,
+        Seq(graft.offline.PointInTimeJoin.ViewRequest(
+          fs.getFeatureView("fv"),
+          Seq(graft.core.Feature("v", org.apache.spark.sql.types.DoubleType)),
+          Seq("key"))),
+        prefilterByEntityRange = false).count()
+    }
+    assert(e3.getMessage.contains("null/unparseable"), e3.getMessage)
   }
 
   test("zscoreNormalize matches a driver-side reference and is group-local") {
