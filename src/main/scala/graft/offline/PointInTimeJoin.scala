@@ -135,6 +135,12 @@ object PointInTimeJoin {
     // Force it whenever normalization happened OR the typed column is
     // nullable — the cost is one tiny agg job; only a provably
     // non-nullable typed column keeps the fully lazy behavior.
+    // INTENDED side effect (ADVICE r20): since typed columns are
+    // nullable in almost all real sources, an EMPTY entity df now
+    // fails fast here ("entity dataframe is empty") even with
+    // prefilterByEntityRange=false — matching the prefilter=true path
+    // rather than lazily returning an empty result. An empty entity df
+    // in a PIT retrieval is a caller bug, not a degenerate input.
     if (!(entityDf1 eq entityDf0) ||
       entityDf1.schema(entityTsCol).nullable) { val _ = minEntityTs }
 

@@ -1184,7 +1184,10 @@ object Similarity {
       .filter(col("codebook_version") =!= ver)
       .select(col("batch").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
-    for (b <- staleBatches) {
+    // per-PARTITION repairs are independent (each reads and swaps only
+    // its own batch=N dir) — overlap them so one repair's scheduling
+    // tail back-fills with the next partition's work (guide §2.6)
+    graft.util.Par.run(staleBatches.map(b => () => {
       // EAGER: the id list reads the very partition the swap below
       // replaces — a lazy frame would re-list it mid-rewrite (the
       // purgeDocs FAILED_READ_FILE trap)
@@ -1197,7 +1200,7 @@ object Similarity {
           .withColumn("codebook_version", lit(ver))
           .write.mode("overwrite").partitionBy("cid").parquet(tmp)
       }
-    }
+    }))
     staleBatches
   }
 
@@ -1382,7 +1385,9 @@ object Similarity {
       .filter(col("codebook_version") =!= ver)
       .select(col("batch").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
-    for (b <- staleBatches) {
+    // independent per-partition repairs, overlapped (guide §2.6 — see
+    // [[reassignStale]])
+    graft.util.Par.run(staleBatches.map(b => () => {
       // EAGER: the id list reads the very partition the swap below
       // replaces — a lazy frame would re-list it mid-rewrite (the
       // purgeDocs FAILED_READ_FILE trap)
@@ -1396,7 +1401,7 @@ object Similarity {
           .withColumn("codebook_version", lit(ver))
           .write.mode("overwrite").parquet(tmp)
       }
-    }
+    }))
     staleBatches
   }
 

@@ -287,7 +287,12 @@ object CurationState {
     val manifestedArrivals = readRanges(spark, stateDir)
       .filter(r => idCol.forall(c => r._5.forall(_ == c)))
       .map(_._1)
-    for (t <- tables if t != RangesTable) {
+    // per-TABLE folds are independent (disjoint directories, each with
+    // its own swap) — overlap them so the next table's fold back-fills
+    // the current one's scheduling tail (guide §2.6; at increment scale
+    // the per-fold fixed cost dominates, and the sequential loop paid
+    // it once per table end-to-end)
+    graft.util.Par.run(tables.filter(_ != RangesTable).map(t => () => {
       val table = new org.apache.hadoop.fs.Path(s"$stateDir/$t")
       val fs = hfs(spark, table)
       if (fs.exists(table)) {
@@ -350,7 +355,7 @@ object CurationState {
                 "compactState($upTo) to recover (tmp is complete)")
         }
       }
-    }
+    }))
     compactRanges(spark, stateDir, upTo)
   }
 
@@ -459,7 +464,11 @@ object CurationState {
           .collect().map(_.getLong(0)).toSet
         (manRows.map(_._1).toSet, touched)
       }
-    for (t <- tables) {
+    // per-TABLE sweeps are independent (disjoint directories; the
+    // manifest prune above was computed once, read-only here) — overlap
+    // them like the compaction folds (guide §2.6). Probe jobs and
+    // touched-partition rewrites WITHIN a table keep their order.
+    graft.util.Par.run(tables.map(t => () => {
       val table = new org.apache.hadoop.fs.Path(s"$stateDir/$t")
       val fs = hfs(spark, table)
       if (fs.exists(table)) {
@@ -525,7 +534,8 @@ object CurationState {
                 "to recover (tmp is complete)")
         }
       }
-    }
+    }))
+    ()
   }
 
   /** Complete (or discard) EVERY orphan swap a crashed maintenance op

@@ -442,19 +442,26 @@ object TrainingDataPipeline {
         .localCheckpoint(true)
       // append THIS increment's bands / postings / per-doc sizes —
       // each write is a new batch=N directory; nothing already
-      // persisted is touched
-      Dedup.lshBands(
-        Dedup.minhashSignaturesFused(ex, idCol, "text", cfg.shingleN),
-        idCol).write.mode("overwrite").parquet(s"$bandsDir/batch=$b")
-      Dedup.shingleSet(ex, idCol, "text", cfg.shingleN)
-        .write.mode("overwrite").parquet(s"$postDir/batch=$b")
-      // sizes aggregate off the JUST-WRITTEN postings partition (the
-      // state append doubles as the materialization, the dd pattern
-      // above): re-deriving from `ex` would re-pay the explode +
-      // distinct shuffle of the widest intermediate a second time
-      spark.read.parquet(s"$postDir/batch=$b")
-        .groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-        .write.mode("overwrite").parquet(s"$sizesDir/batch=$b")
+      // persisted is touched. The bands chain and the postings→sizes
+      // chain both hang off the CHECKPOINTED `ex` and write disjoint
+      // tables, so the two chains overlap (guide §2.6) instead of
+      // paying their fixed job costs end-to-end; sizes stays ordered
+      // AFTER postings within its chain (it reads the written files).
+      graft.util.Par.run(Seq(
+        () => Dedup.lshBands(
+          Dedup.minhashSignaturesFused(ex, idCol, "text", cfg.shingleN),
+          idCol).write.mode("overwrite").parquet(s"$bandsDir/batch=$b"),
+        () => {
+          Dedup.shingleSet(ex, idCol, "text", cfg.shingleN)
+            .write.mode("overwrite").parquet(s"$postDir/batch=$b")
+          // sizes aggregate off the JUST-WRITTEN postings partition (the
+          // state append doubles as the materialization, the dd pattern
+          // above): re-deriving from `ex` would re-pay the explode +
+          // distinct shuffle of the widest intermediate a second time
+          spark.read.parquet(s"$postDir/batch=$b")
+            .groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+            .write.mode("overwrite").parquet(s"$sizesDir/batch=$b")
+        }))
       // candidates: new bands vs the PRIOR index (partition-pruned)
       // plus within-batch collisions. Each cross pair keeps the prior
       // side's arrival batch (`a_batch`, functionally determined by a)
@@ -628,7 +635,17 @@ object TrainingDataPipeline {
     */
   def driftIncrement(newDocs: DataFrame, textCol: String, stateDir: String,
       batchId: Long, nBuckets: Int = 16, bucketWidth: Long = 64L,
-      logBuckets: Boolean = false): DataFrame = {
+      logBuckets: Boolean = false): DataFrame =
+    driftIncrementBy(newDocs,
+      lenBucketExpr(textCol, nBuckets, bucketWidth, logBuckets),
+      stateDir, batchId, nBuckets, histSubdir = "lenhist")
+
+  /** [[driftIncrement]]'s text-length bucketing expression, factored so
+    * the arrival-loop audit can hand the same bucketing to the
+    * write-phase fan-out.
+    */
+  private def lenBucketExpr(textCol: String, nBuckets: Int,
+      bucketWidth: Long, logBuckets: Boolean): org.apache.spark.sql.Column = {
     require(nBuckets >= 2 && bucketWidth >= 1L,
       "driftIncrement needs >= 2 buckets of positive width")
     // coalesce(length, 0): a NULL text must land in bucket 0 with the
@@ -636,14 +653,12 @@ object TrainingDataPipeline {
     // without it `least(15, NULL)` = 15 and a crawler bug nulling texts
     // reads as LONG-document drift (the exact inversion of the truth).
     val len = s"coalesce(cast(length($textCol) as bigint), cast(0 as bigint))"
-    val bucketExpr =
+    expr(
       if (logBuckets)
         s"least(cast(${nBuckets - 1} as bigint), " +
           s"cast(length(bin($len)) as bigint) - 1)"
       else
-        s"least(cast(${nBuckets - 1} as bigint), $len div $bucketWidth)"
-    driftIncrementBy(newDocs, expr(bucketExpr), stateDir, batchId, nBuckets,
-      histSubdir = "lenhist")
+        s"least(cast(${nBuckets - 1} as bigint), $len div $bucketWidth)")
   }
 
   /** ONE arrival through the drift monitor over an ARBITRARY keyed
@@ -669,11 +684,26 @@ object TrainingDataPipeline {
   def driftIncrementBy(newDocs: DataFrame, bucket: org.apache.spark.sql.Column,
       stateDir: String, batchId: Long, nBuckets: Int = 16,
       histSubdir: String = "hist"): DataFrame = {
+    writeHistIncrement(newDocs, bucket, s"$stateDir/$histSubdir", batchId,
+      nBuckets)
+    readoutDrift(newDocs.sparkSession, s"$stateDir/$histSubdir", batchId,
+      nBuckets)
+  }
+
+  /** [[driftIncrementBy]]'s WRITE phase: one row-local pass over the
+    * arrival, persisted as `histDir/batch=<batchId>` with the
+    * out-of-domain guard riding the write as an observe. Split from the
+    * readout so the arrival-loop audits can fan the per-arrival writes
+    * out concurrently (they are mutually independent — each scans only
+    * its own arrival and overwrites only its own partition; the
+    * cross-arrival coupling lives entirely in [[readoutDrift]], which
+    * must run after every write it reads).
+    */
+  private def writeHistIncrement(newDocs: DataFrame,
+      bucket: org.apache.spark.sql.Column, histDir: String, batchId: Long,
+      nBuckets: Int): Unit = {
     require(nBuckets >= 2, "driftIncrementBy needs >= 2 buckets")
     val spark = newDocs.sparkSession
-    import spark.implicits._
-    import graft.util.Rounding.pround
-    val histDir = s"$stateDir/$histSubdir"
     // fail fast on an out-of-domain bucket (caller bug, e.g. a missing
     // `% k`): the readout's bucket grid would silently DROP that row's
     // mass from both p and q, understating exactly the drift the
@@ -713,6 +743,19 @@ object TrainingDataPipeline {
           s"non-null range ${dom.get("mn_bad").orNull}.." +
           s"${dom.get("mx_bad").orNull}")
     }
+  }
+
+  /** [[driftIncrementBy]]'s READOUT phase: the drift curve of batch
+    * `batchId` against the SUM of all persisted `batch < batchId`
+    * histograms. The state scan's file listing is captured when this
+    * frame is BUILT, so it must be called only after every
+    * `batch < batchId` write has completed (the sequential API does;
+    * the audit fan-out builds all readouts after its write barrier).
+    */
+  private def readoutDrift(spark: org.apache.spark.sql.SparkSession,
+      histDir: String, batchId: Long, nBuckets: Int): DataFrame = {
+    import spark.implicits._
+    import graft.util.Rounding.pround
     if (batchId == 0L)
       return Seq.empty[(Long, Long, Long, Long, Double, Double, Long)]
         .toDF("batch", "bucket", "n_ref", "n_cur", "contrib", "psi_cum",
@@ -769,9 +812,21 @@ object TrainingDataPipeline {
     val root = stateDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-drift-").toString)
     try {
-      val curves = arrivals.zipWithIndex.map { case (a, b) =>
-        driftIncrement(a, textCol, root, b.toLong, nBuckets, bucketWidth)
-      }
+      // WRITE phase, fanned out (guide §2.6): each arrival's histogram
+      // write scans only its own slice and overwrites only its own
+      // partition — mutually independent jobs whose fixed cost dominated
+      // the sequential loop. The readouts below are the only
+      // cross-arrival consumers, and they are built strictly after this
+      // barrier so every captured state listing already holds all
+      // batches (the `batch < b` filter restores each curve's reference
+      // window — same rows as the sequential API).
+      val bucketCol = lenBucketExpr(textCol, nBuckets, bucketWidth,
+        logBuckets = false)
+      graft.util.Par.run(arrivals.zipWithIndex.map { case (a, b) => () =>
+        writeHistIncrement(a, bucketCol, s"$root/lenhist", b.toLong, nBuckets)
+      })
+      val curves = arrivals.indices.map(b =>
+        readoutDrift(spark, s"$root/lenhist", b.toLong, nBuckets))
       // batches×buckets rows: eager checkpoint so the frame survives
       // the owned-state cleanup below. Co-planning these lazy curves is
       // SAFE from the [[arrivalReports]] ReuseExchange listing
@@ -804,9 +859,14 @@ object TrainingDataPipeline {
     val root = stateDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-kdrift-").toString)
     try {
-      arrivals.zipWithIndex.map { case (a, b) =>
-        driftIncrementBy(a, bucket, root, b.toLong, nBuckets)
-      }.reduce(_ unionByName _).localCheckpoint(true)
+      // same two-phase shape as [[ingestDriftAudit]]: independent
+      // per-arrival writes fan out, readouts build after the barrier
+      graft.util.Par.run(arrivals.zipWithIndex.map { case (a, b) => () =>
+        writeHistIncrement(a, bucket, s"$root/hist", b.toLong, nBuckets)
+      })
+      arrivals.indices.map(b =>
+        readoutDrift(spark, s"$root/hist", b.toLong, nBuckets))
+        .reduce(_ unionByName _).localCheckpoint(true)
     } finally {
       if (ownState)
         try {

@@ -70,11 +70,17 @@ object Cdc {
     val oldPresent = col(oldMark).isNotNull
     val newPresent = col(newMark).isNotNull
     def differs(c: String): Column = !(col(s"_old_$c") <=> col(s"_new_$c"))
+    // declared-order dedup (ADVICE r20): a column repeated within
+    // compareCols previously died with an ambiguous reference; after the
+    // key∩compare dedup above it instead rendered twice in changed_cols
+    // ("v,v") — dedup here keeps the documented declared-order contract
+    // and each changed column listed exactly once
+    val cmp = compareCols.distinct
     val changeType = when(!oldPresent, lit("I"))
       .when(!newPresent, lit("D"))
-      .when(compareCols.map(differs).reduce(_ || _), lit("U"))
+      .when(cmp.map(differs).reduce(_ || _), lit("U"))
     val changedCols = when(changeType === "U",
-      concat_ws(",", compareCols.map(c => when(differs(c), lit(c))): _*))
+      concat_ws(",", cmp.map(c => when(differs(c), lit(c))): _*))
     o.join(n, cond, "full_outer")
       .filter(changeType.isNotNull)
       .select(

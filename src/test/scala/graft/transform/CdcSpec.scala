@@ -180,4 +180,16 @@ class CdcSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
     assert(out.toSeq === Seq((2L, "U", Some("v")), (3L, "I", None)))
   }
+
+  test("a column duplicated within compareCols lists once in changed_cols") {
+    // ADVICE r20: after the key∩compare dedup, Seq("v","v") no longer
+    // failed loudly — it silently rendered "v,v". Declared-order dedup
+    // keeps each changed column listed exactly once.
+    val o = Seq((1L, "x", 1L), (2L, "y", 2L)).toDF("id", "v", "w")
+    val n = Seq((1L, "x", 9L), (2L, "z", 2L)).toDF("id", "v", "w")
+    val out = Cdc.snapshotDiff(o, n, Seq("id"), Seq("v", "v", "w"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq === Seq((1L, "U", "w"), (2L, "U", "v")))
+  }
 }
