@@ -393,7 +393,7 @@ object OpsQueries {
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val capped = Dedup.capBlocks(
+    val capped = Dedup.capBlocksDistinct(
       d.select(col("source"), col("doc_id")), "source", "doc_id",
       NgramJaccardBlockCap)
     val a = capped.select(col("source"), col("doc_id").as("a"))
@@ -1707,7 +1707,7 @@ object OpsQueries {
     */
   def ngramContainmentQ(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val capped = Dedup.capBlocks(
+    val capped = Dedup.capBlocksDistinct(
       d.select(col("source"), col("doc_id")), "source", "doc_id",
       NgramJaccardBlockCap)
     val a = capped.select(col("source"), col("doc_id").as("a"))
@@ -5659,7 +5659,8 @@ object OpsQueries {
   private def coSupplierEdges(s: SparkSession, dir: String): DataFrame = {
     val ps = Tables.load(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val capped = Dedup.capBlocks(ps, "l_partkey", "l_suppkey", TriangleBlockCap)
+    val capped = Dedup.capBlocksDistinct(ps, "l_partkey", "l_suppkey",
+      TriangleBlockCap)
     val a = capped.select(col("l_partkey").as("pk"), col("l_suppkey").as("src"))
     val b = capped.select(col("l_partkey").as("pk"), col("l_suppkey").as("dst"))
     a.join(b, Seq("pk"))
@@ -7001,7 +7002,7 @@ object OpsQueries {
     */
   def dedupSweep(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val capped = Dedup.capBlocks(
+    val capped = Dedup.capBlocksDistinct(
       d.select(col("source"), col("doc_id")), "source", "doc_id",
       NgramJaccardBlockCap)
     val a = capped.select(col("source"), col("doc_id").as("a"))
@@ -7339,8 +7340,8 @@ object OpsQueries {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("l_partkey"))
     val recs = recommendFrames(s, dir)
-    val pop = Dedup.capBlocks(baskets.distinct(), "o_custkey", "l_partkey",
-        BasketCap)
+    val pop = Dedup.capBlocksDistinct(baskets.distinct(),
+        "o_custkey", "l_partkey", BasketCap)
       .groupBy(col("l_partkey").as("rec_item"))
       .agg(count(lit(1)).as("__pop"))
       .localCheckpoint(true)

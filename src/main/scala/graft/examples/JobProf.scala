@@ -63,9 +63,11 @@ object JobProf {
       val jobSum = jobs.map(_._2).sum / 1e3
       val execSum = execs.map(_._2).sum / 1e9
       println(f"== $q wall=$wall%.2f s, ${jobs.size} jobs, job-sum=$jobSum%.2f s, ${execs.size} actions, action-sum=$execSum%.2f s")
-      execs.sortBy(-_._2).take(60).foreach { case (fn, ns, head) =>
-        println(f"  act ${ns / 1e9}%7.3f s  $fn%-18s $head")
-      }
+      execs.sortBy(-_._2)
+        .take(sys.env.getOrElse("JOBPROF_TOP", "60").toInt)
+        .foreach { case (fn, ns, head) =>
+          println(f"  act ${ns / 1e9}%7.3f s  $fn%-18s $head")
+        }
     }
     spark.stop()
   }

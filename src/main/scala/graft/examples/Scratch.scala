@@ -11,7 +11,7 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    val o = graft.Tables.load(spark, dir, "orders")
+    import graft.ops.Similarity
 
     def time(tag: String)(f: => DataFrame): Unit = {
       f.write.format("noop").mode("overwrite").save() // warm
@@ -20,33 +20,44 @@ object Scratch {
         f.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"$tag%-12s median=${ts.sorted.apply(1)}%.3f  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+      println(f"$tag%-14s median=${ts.sorted.apply(1)}%.3f  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
 
-    // current: one agg, multi-distinct Expand
-    time("expand")(graft.Queries.relational("q177_column_stats")(spark, dir))
+    def emb: DataFrame = graft.Tables.load(spark, dir, "embeddings")
+    def scored: DataFrame = {
+      val c = Similarity.withNorm(emb, "vec_id", "embedding")
+        .select(col("vec_id").as("neighbor_id"), col("__vec").as("cv"), col("__norm").as("cn"))
+      val q = Similarity.withNorm(emb, "vec_id", "embedding")
+        .select(col("vec_id").as("query_id"), col("__vec").as("qv"), col("__norm").as("qn"))
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          graft.functions.functions.dot_product(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .select("query_id", "neighbor_id", "cos")
+    }
 
-    // alternative: one branch per column, single-distinct each, union
-    val specs: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = Seq(
-      ("o_orderkey", col("o_orderkey"), col("o_orderkey")),
-      ("o_custkey", col("o_custkey"), col("o_custkey")),
-      ("o_orderstatus", col("o_orderstatus"), col("o_orderstatus")),
-      ("o_totalprice", col("o_totalprice"),
-        floor(col("o_totalprice") * 100 + 0.5).cast("long")),
-      ("o_orderdate", col("o_orderdate"),
-        unix_micros(col("o_orderdate").cast("timestamp"))),
-      ("o_orderpriority", col("o_orderpriority"), col("o_orderpriority")))
-    def unionForm: DataFrame = specs.map { case (name, raw, canon) =>
-      o.agg(
-        lit(name).as("col_name"),
-        count(lit(1)).as("n_total"),
-        count(raw).as("n_nonnull"),
-        countDistinct(raw).as("n_distinct"),
-        min(canon).cast("string").as("min_val"),
-        max(canon).cast("string").as("max_val"))
-        .select("col_name", "n_total", "n_nonnull", "n_distinct", "min_val", "max_val")
-    }.reduce(_ unionByName _)
-    time("union6")(unionForm)
+    def aggCut(rev: Boolean): DataFrame = {
+      import org.apache.spark.sql.GraftSqlBridge
+      val e = struct((-col("cos")).as("nc"), col("neighbor_id").as("id"))
+      val tk = GraftSqlBridge.collectTopK(e, 5, rev)
+      scored.groupBy(col("query_id"))
+        .agg(array_sort(tk).as("__tk"))
+        .select(col("query_id"), posexplode(col("__tk")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).as("rank"),
+          graft.util.Rounding.pround(-col("col.nc"), 6).as("cosine"))
+    }
+    // correctness vs current salted window form
+    val cur = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
+    for (rev <- Seq(false, true)) {
+      try {
+        val got = aggCut(rev)
+        val d1 = cur.exceptAll(got).count()
+        val d2 = got.exceptAll(cur).count()
+        println(s"rev=$rev diff cur-got=$d1 got-cur=$d2 rows=${got.count()}")
+      } catch { case e: Throwable => println(s"rev=$rev FAILED ${e.getMessage.take(120)}") }
+    }
+    time("agg-cut-false")(aggCut(false))
+    time("salted-cur")(cur)
     spark.stop()
   }
 }

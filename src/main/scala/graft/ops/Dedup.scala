@@ -250,6 +250,26 @@ object Dedup {
     capped
   }
 
+  /** [[capBlocks]] for the common DISTINCT two-column shape (rows
+    * unique per (block, id) — every co-occurrence/edge-build call
+    * site): the ≤`cap` lowest ids per block via the mergeable
+    * bounded-heap cut ([[graft.transform.Skew.aggTopK]], r21) instead
+    * of the two-phase salted windows — one aggregation whose map-side
+    * heaps never let a hot block's rows reach a reducer at all, and
+    * ~half the shuffle passes. Same min-id convention, byte-identical
+    * output (DedupSpec pins equality with [[capBlocks]]); inputs with
+    * duplicate (block, id) rows or payload columns must keep using
+    * [[capBlocks]] (this one dedups by construction).
+    */
+  def capBlocksDistinct(df: DataFrame, blockCol: String, idCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 1, "cap must be > 1 (a block of one generates no pairs)")
+    graft.transform.Skew.aggTopK(df.select(col(blockCol), col(idCol)),
+      Seq(col(blockCol)), org.apache.spark.sql.functions.struct(
+        col(idCol).as(idCol)), cap, rankCol = "__rn", castRankTo = None)
+      .select(col(blockCol), col(idCol))
+  }
+
   // -------------------------------------------------------------- jaccard
   /** Exact n-gram Jaccard for a given set of pairs (blocked upstream —
     * never call on an unblocked cross product at scale). `pairs` has

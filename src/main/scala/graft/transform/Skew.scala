@@ -108,6 +108,48 @@ object Skew {
       .filter(col(rankCol) <= k)
   }
 
+  /** Exact top-k per key as a MERGEABLE AGGREGATE (r21, guide §2.3
+    * "aggregate before you shuffle"): one bounded heap of k entries per
+    * key, built map-side and merged — so the shuffle carries k entries
+    * per key per map partition instead of EVERY candidate row reaching
+    * a rank window. This is the 100 TB shape for pair-scale scored
+    * frames (brute-force kNN scores |queries|·|corpus| rows; the salted
+    * two-phase window still shuffles all of them once): the map-side
+    * cut is also strictly more skew-proof than salting — a single
+    * giant key reduces to (#map partitions)·k heap entries at one
+    * reducer.
+    *
+    * `entry` must be a STRUCT whose leading fields are the ASCENDING
+    * total order (spell a descending field by negating it — exact for
+    * longs below Long.MaxValue magnitudes and for doubles, where ±0.0
+    * compare equal in Spark's ordering anyway) and whose order prefix
+    * is UNIQUE per key (score + tiebreak id); later fields are payload
+    * the comparison never reaches. NULL orderings differ from a rank
+    * window (nulls-first structs vs desc-nulls-last windows) — callers
+    * guarantee non-null order fields, which every ANN scorer here does
+    * (ANSI division throws on zero norms long before a null cosine).
+    *
+    * Output: `partitionCols`, `rankCol` (1..k in `entry`'s ascending
+    * order), and the entry's fields expanded — the caller re-projects
+    * (and un-negates) as needed. SkewSpec pins byte-equivalence with
+    * the [[saltedTopK]] window formulation.
+    */
+  def aggTopK(df: DataFrame, partitionCols: Seq[Column], entry: Column,
+      k: Int, rankCol: String = "rn",
+      castRankTo: Option[String] = Some("long")): DataFrame = {
+    require(k >= 1, "aggTopK needs k >= 1")
+    val tk = org.apache.spark.sql.GraftSqlBridge
+      .collectTopK(entry, k, reverse = true)
+    val rn0 = col("__pos") + 1
+    df.groupBy(partitionCols: _*)
+      .agg(array_sort(tk).as("__tk"))
+      .select(partitionCols :+
+        posexplode(col("__tk")).as(Seq("__pos", "__e")): _*)
+      .select(partitionCols ++ Seq(
+        castRankTo.map(rn0.cast).getOrElse(rn0).as(rankCol),
+        col("__e.*")): _*)
+  }
+
   /** Pre-flight join-size and skew forecast — compute the EXACT output
     * cardinality of `a ⋈ b` on `keyCols` and its hottest keys WITHOUT
     * running the join: per-key counts on each side (map-side

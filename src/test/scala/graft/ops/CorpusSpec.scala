@@ -99,6 +99,23 @@ class CorpusSpec extends SparkSpec {
     assert(pairsPerBlock.forall(_ <= 45L), pairsPerBlock.mkString(","))
   }
 
+  test("capBlocksDistinct equals capBlocks on unique (block, id) inputs") {
+    // r21: the distinct-shape call sites cut through the mergeable
+    // bounded-heap aggregate instead of the two-phase salted windows —
+    // the min-id selection must be byte-identical
+    val rnd = new scala.util.Random(42)
+    val df = (1L to 400L).map(i => (s"b${rnd.nextInt(7)}", i))
+      .toDF("source", "doc_id")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("source", "doc_id").collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(Dedup.capBlocksDistinct(df, "source", "doc_id", 10))
+      === rows(Dedup.capBlocks(df, "source", "doc_id", 10)))
+    // cap larger than every block: identity either way
+    assert(rows(Dedup.capBlocksDistinct(df, "source", "doc_id", 500))
+      === rows(df))
+  }
+
   test("connected components converges on a long chain and rejects exhausted budgets") {
     val chain = (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
     val got = Dedup.connectedComponents(chain)

@@ -103,6 +103,51 @@ class SkewSpec extends SparkSpec {
     assert(actual === 14L)
   }
 
+  test("aggTopK equals the saltedTopK window formulation byte-for-byte") {
+    // seeded random scored frame with duplicate scores, sub-k groups,
+    // negative scores, and long scores — the shapes the ANN cuts feed
+    val rnd = new scala.util.Random(20260819)
+    val rows = (0L until 40L).flatMap { q =>
+      val n = if (q % 7 == 0) 2 else 30 // some groups smaller than k
+      (0L until n).map { i =>
+        // duplicate scores on purpose (i % 5) so ties exercise the id pin
+        (q, q * 100 + i, (rnd.nextInt(5) - 2).toDouble / 4.0, rnd.nextInt(9).toLong - 4L)
+      }
+    }
+    val df = rows.toDF("query_id", "neighbor_id", "cos", "lscore")
+      .repartition(8)
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // double score, descending with asc id tiebreak (the cosine cuts)
+    val win = Skew.saltedTopK(df.select("query_id", "neighbor_id", "cos"),
+      Seq(col("query_id")), Seq(col("cos").desc, col("neighbor_id").asc),
+      col("neighbor_id"), k = 5, numSalts = 4, rankCol = "rank",
+      castRankTo = None)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    val agg = Skew.aggTopK(df,
+      Seq(col("query_id")),
+      struct((-col("cos")).as("__nc"), col("neighbor_id").as("neighbor_id")),
+      k = 5, rankCol = "rank", castRankTo = None)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("__nc")).as("cos"))
+    assert(sorted(agg) === sorted(win),
+      "aggTopK (min-k of (-score, id)) must replay the desc window order")
+    // long score, ascending (the ADC-distance cuts), payload rides along
+    val winL = Skew.saltedTopK(df, Seq(col("query_id")),
+      Seq(col("lscore").asc, col("neighbor_id").asc),
+      col("neighbor_id"), k = 3, numSalts = 4, rankCol = "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("lscore"), col("cos"))
+    val aggL = Skew.aggTopK(df, Seq(col("query_id")),
+      struct(col("lscore"), col("neighbor_id").as("neighbor_id"),
+        col("cos").as("cos")),
+      k = 3, rankCol = "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("lscore"), col("cos"))
+    assert(sorted(aggL) === sorted(winL),
+      "aggTopK must replay the asc window order and carry payload fields")
+  }
+
   test("joinSizeForecast reliable=true needs a checkpoint dir, then matches the default path") {
     import spark.implicits._
     val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y")).toDF("k")
