@@ -3092,14 +3092,16 @@ object OpsQueries {
     * source-mix control; one keyed window, no global shuffle.
     */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    // two-phase salted top-k: a source's quota winners are ranked
-    // without funneling the whole source through one reducer
-    graft.transform.Skew.saltedTopK(
+    // mergeable bounded-heap top-k (r22): a source's quota winners are
+    // cut map-side — the shuffle carries k entries per source per map
+    // partition, and no reducer ever sees a whole source
+    graft.transform.Skew.aggTopK(
       docs(s, dir).select(col("doc_id"), col("source")),
       partitionCols = Seq(col("source")),
-      orderCols = Seq(md5(col("doc_id").cast("string")).asc, col("doc_id").asc),
-      saltCol = col("doc_id"),
-      k = 20, numSalts = 16)
+      entry = struct(md5(col("doc_id").cast("string")).as("__m"),
+        col("doc_id").as("doc_id")),
+      k = 20)
+      .select(col("doc_id"), col("source"), col("rn"))
   }
 
   val stratifiedSampleSql: String =

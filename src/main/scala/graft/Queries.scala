@@ -2708,13 +2708,15 @@ object Queries {
     * estimates distinct count as `(k−1)·2⁶⁰ / h₍ₖ₎` (uniform order
     * statistics), and sketches MERGE by keeping the k smallest of a
     * union — the map-side-combinable property that matters at 100 TB.
-    * The min-k runs through [[graft.transform.Skew.saltedTopK]] (no
-    * reducer sees a whole key); the ORACLE takes the k smallest via
-    * the naive single window, so the gate is a losslessness proof of
-    * the salted two-phase prune. Keys with fewer than k members
-    * estimate exactly. `63·2⁶⁰` is bit-exact in binary64; h₍ₖ₎
-    * converts once (identical round-to-nearest both engines); one
-    * division.
+    * The min-k runs through the mergeable bounded-heap aggregate
+    * ([[graft.transform.Skew.aggTopKArray]], r22 — map-side heaps bound
+    * every key at k hashes before the shuffle; no reducer sees a whole
+    * key, and the sketch row count/max read straight off the array with
+    * no rank window or second groupBy); the ORACLE takes the k smallest
+    * via the naive single window, so the gate is a losslessness proof
+    * of the heap cut. Keys with fewer than k members estimate exactly.
+    * `63·2⁶⁰` is bit-exact in binary64; h₍ₖ₎ converts once (identical
+    * round-to-nearest both engines); one division.
     */
   def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
     val h = t(s, dir, "events")
@@ -2722,11 +2724,11 @@ object Queries {
       .select(col("event_type"),
         conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
           .cast("long").as("h"))
-    val mins = graft.transform.Skew.saltedTopK(
-      h, Seq(col("event_type")), Seq(col("h").asc), col("h"),
-      k = 64, numSalts = 8)
-    val kth = mins.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
+    val kth = graft.transform.Skew.aggTopKArray(
+      h, Seq(col("event_type")), col("h"), k = 64, outCol = "__mins")
+      .select(col("event_type"),
+        size(col("__mins")).cast("long").as("n_kept"),
+        array_max(col("__mins")).as("kth_hash"))
     val exact = h.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
     exact.join(kth, Seq("event_type"))
       .select(col("event_type"), col("n_exact"), col("n_kept"), col("kth_hash"),
@@ -3247,9 +3249,11 @@ object Queries {
     * high-card columns pay the estimator's ±1/√(k−2) noise.
     *
     * One stack() pass (6× rows, fixed agg state), per-column distinct
-    * hash dedupe (map-side combining), min-64 via the salted two-phase
-    * top-k. Deterministic integer state (n_kept, kth_hash) gates
-    * bitwise; est_ndv is one double division (the q150 budget).
+    * hash dedupe (map-side combining), min-64 via the mergeable
+    * bounded-heap aggregate ([[graft.transform.Skew.aggTopKArray]],
+    * r22 — the q150 spelling: one aggregation, no rank window).
+    * Deterministic integer state (n_kept, kth_hash) gates bitwise;
+    * est_ndv is one double division (the q150 budget).
     * QueriesSpec pins est vs exact rel-error on the high-card columns.
     */
   def columnStatsSketch(s: SparkSession, dir: String): DataFrame = {
@@ -3265,11 +3269,11 @@ object Queries {
         conv(substring(md5(col("sval")), 1, 15), 16, 10)
           .cast("long").as("h"))
       .distinct()
-    val mins = graft.transform.Skew.saltedTopK(
-      h, Seq(col("col_name")), Seq(col("h").asc), col("h"),
-      k = 64, numSalts = 8)
-    val kth = mins.groupBy(col("col_name"))
-      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
+    val kth = graft.transform.Skew.aggTopKArray(
+      h, Seq(col("col_name")), col("h"), k = 64, outCol = "__mins")
+      .select(col("col_name"),
+        size(col("__mins")).cast("long").as("n_kept"),
+        array_max(col("__mins")).as("kth_hash"))
     cnt.join(kth, Seq("col_name"))
       .select(col("col_name"), col("n_total"), col("n_nonnull"),
         col("n_kept"), col("kth_hash"),

@@ -206,11 +206,16 @@ object Corpus {
     * reruns, data growth, and partitioning). `quotas` is a config-sized
     * (source, quota) table.
     *
-    * Scale: ranking is the salted two-phase top-k with k = max quota (a
-    * per-source window would funnel each whole source through one
-    * reducer); the quota table broadcasts for the final per-source
-    * cutoff. Output: (id, source, rn) with rn ≤ quota — rn is the mix
-    * order, so downstream can trim further without re-ranking.
+    * Scale: ranking is the mergeable bounded-heap top-k with k = max
+    * quota ([[graft.transform.Skew.aggTopK]], r22 — a per-source window
+    * would funnel each whole source through one reducer; the heap cut
+    * shuffles maxQ entries per source per map partition instead of every
+    * row); the quota table broadcasts for the final per-source cutoff.
+    * Output: (id, source, rn) with rn ≤ quota — rn is the mix order, so
+    * downstream can trim further without re-ranking.
+    *
+    * @param numSalts retained for API stability; unused since the r22
+    *   aggTopK migration (the heap cut needs no salting).
     */
   def sampleToQuotas(df: DataFrame, sourceCol: String, idCol: String,
       quotas: DataFrame, quotaCol: String = "quota",
@@ -223,11 +228,12 @@ object Corpus {
     if (maxQ <= 0)
       return df.select(col(idCol), col(sourceCol), lit(1L).as("rn")).limit(0)
     require(maxQ <= Int.MaxValue, "quota exceeds rank range")
-    val ranked = graft.transform.Skew.saltedTopK(
+    val ranked = graft.transform.Skew.aggTopK(
       df.select(col(idCol), col(sourceCol)),
       partitionCols = Seq(col(sourceCol)),
-      orderCols = Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc),
-      saltCol = col(idCol), k = maxQ.toInt, numSalts = numSalts)
+      entry = struct(md5(col(idCol).cast("string")).as("__m"),
+        col(idCol).as(idCol)),
+      k = maxQ.toInt)
     ranked.join(
       broadcast(quotas.select(col(sourceCol),
         col(quotaCol).cast("long").as(quotaCol))), sourceCol)
@@ -547,16 +553,21 @@ object Corpus {
     * frequency, corpus frequency, and a CAPPED posting list (the
     * `postingCap` lowest doc ids, ascending). Postings are the only
     * unbounded-per-key state in an index build — a stopword's full
-    * list is corpus-sized — so the cap rides
-    * [[graft.transform.Skew.saltedTopK]]: a salted pre-rank bounds
-    * every window partition at `postingCap` rows before the per-term
-    * merge sees at most `numSalts * postingCap` candidates. df/cf are
+    * list is corpus-sized — so the cap rides the mergeable bounded-heap
+    * min-k ([[graft.transform.Skew.aggTopKArray]], r22): one aggregation
+    * whose map-side heaps bound every term at `postingCap` doc ids
+    * BEFORE the shuffle, and whose sorted output array IS the posting
+    * list — the salted two-phase window + re-collect it replaces paid
+    * two extra shuffles of the full (term, doc_id) stream. df/cf are
     * plain counters with map-side partial aggregation (hot terms cost
     * one partial per task, never a fat reducer), and the final
     * stats↔postings join is term-keyed on two already-aggregated
     * frames. The cap is the valve: serving-size postings are what
     * downstream retrieval consumes; full lists are a different
     * operator (and a different storage layout) at 100 TB.
+    *
+    * @param numSalts retained for API stability; unused since the r22
+    *   aggTopKArray migration (the heap cut needs no salting).
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
       postingCap: Int = 32, numSalts: Int = 16): DataFrame = {
@@ -568,12 +579,9 @@ object Corpus {
       .agg(count(lit(1)).as("tf"))
     val stats = td.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-    val postings = graft.transform.Skew.saltedTopK(
-        td.select(col("term"), col("doc_id")),
-        Seq(col("term")), Seq(col("doc_id").asc),
-        saltCol = col("doc_id"), k = postingCap, numSalts = numSalts)
-      .groupBy(col("term"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    val postings = graft.transform.Skew.aggTopKArray(
+      td.select(col("term"), col("doc_id")),
+      Seq(col("term")), col("doc_id"), k = postingCap, outCol = "postings")
     stats.join(postings, Seq("term"))
   }
 

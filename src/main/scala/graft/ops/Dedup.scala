@@ -257,9 +257,12 @@ object Dedup {
     * of the two-phase salted windows — one aggregation whose map-side
     * heaps never let a hot block's rows reach a reducer at all, and
     * ~half the shuffle passes. Same min-id convention, byte-identical
-    * output (DedupSpec pins equality with [[capBlocks]]); inputs with
+    * output (CorpusSpec pins equality with [[capBlocks]]); inputs with
     * duplicate (block, id) rows or payload columns must keep using
-    * [[capBlocks]] (this one dedups by construction).
+    * [[capBlocks]] — duplicates are NOT collapsed here (the bounded heap
+    * keeps equal entries, so duplicate (block, id) rows would consume
+    * cap slots and emit duplicate ranked rows); the contract simply
+    * requires unique (block, id) inputs.
     */
   def capBlocksDistinct(df: DataFrame, blockCol: String, idCol: String,
       cap: Int): DataFrame = {

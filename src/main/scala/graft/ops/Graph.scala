@@ -333,8 +333,8 @@ object Graph {
     * build five times; the similarity model is output-bounded
     * (items × simTopK) and checkpointed too; candidate fan-out is
     * bounded by cap·simTopK per owner; seen items drop via a keyed
-    * LEFT ANTI join; the final cut is the salted top-k, never a
-    * corpus window.
+    * LEFT ANTI join; the neighbor and final cuts are mergeable
+    * bounded-heap top-k aggregates, never a corpus window.
     *
     * Determinism: the score is a sum of DOUBLES — accumulated as a
     * running window sum in pinned contributing-item order (the
@@ -362,10 +362,14 @@ object Graph {
       .join(broadcast(ni.select(col("i").as("j"), col("n").as("__nj"))), Seq("j"))
       .withColumn("cos", col("n_ij").cast("double") /
         sqrt(col("n").cast("double") * col("__nj").cast("double")))
-    val wSim = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j").asc)
-    val sims = scored.withColumn("__r", row_number().over(wSim))
-      .filter(col("__r") <= simTopK)
-      .select(col("i"), col("j"), col("cos"))
+    // per-item neighbor cut via the bounded heap (r22): (-cos, j) min-k
+    // == (cos desc, j asc) window rank; un-negation restores identical
+    // double bits for the downstream running sum
+    val sims = graft.transform.Skew.aggTopK(
+        scored, Seq(col("i")),
+        entry = struct((-col("cos")).as("__nc"), col("j").as("j")),
+        k = simTopK)
+      .select(col("i"), col("j"), (-col("__nc")).as("cos"))
       .localCheckpoint(true)
     val cand = capped.select(col("bk"), col("item").as("i"))
       .join(sims, Seq("i"))
@@ -380,12 +384,17 @@ object Graph {
         max(struct(col("i"), col("__cum"))).as("__last"))
       .select(col("bk"), col("j"), col("n_contrib"),
         col("__last.__cum").as("__score"))
-    graft.transform.Skew.saltedTopK(
-        pinned, Seq(col("bk")), Seq(col("__score").desc, col("j").asc),
-        col("j"), k = recTopK, numSalts = 8, rankCol = "rank")
+    // final cut via the mergeable bounded-heap top-k (r22): (-score, j)
+    // min-k replays the (score desc, j asc) window order exactly (double
+    // negation is exact; ±0.0 compare equal); n_contrib rides as payload
+    graft.transform.Skew.aggTopK(
+        pinned, Seq(col("bk")),
+        entry = struct((-col("__score")).as("__ns"), col("j").as("j"),
+          col("n_contrib").as("n_contrib")),
+        k = recTopK, rankCol = "rank")
       .select(col("bk").as(basketCol), col("j").as("rec_item"),
         col("n_contrib"), col("rank"),
-        graft.util.Rounding.pround(col("__score"), 6).as("score"))
+        graft.util.Rounding.pround(-col("__ns"), 6).as("score"))
   }
 
   /** Per-node triangle counts via DEGREE-ORDERED wedge closing (the

@@ -802,6 +802,13 @@ object TrainingDataPipeline {
     * return the concatenated drift curves (batches 1..n — batch 0 has
     * no reference). The result is eagerly checkpointed before any
     * owned temp state is deleted.
+    *
+    * Failure-state contract (changed by the r21 write fan-out): with a
+    * caller-supplied `stateDir`, an out-of-domain-bucket failure in ANY
+    * arrival may leave LATER arrivals' `batch=N` histogram partitions
+    * already written (the sequential loop stopped at the first bad
+    * arrival). Recovery is unchanged — writes are overwrite-idempotent
+    * per batch, so re-running after the fix rewrites every partition.
     */
   def ingestDriftAudit(arrivals: Seq[DataFrame], textCol: String,
       stateDir: Option[String] = None, nBuckets: Int = 16,
@@ -849,6 +856,10 @@ object TrainingDataPipeline {
     * monitor (q251 runs it over the source mix). Same co-planning
     * safety argument: each curve's state scan carries a distinct
     * `batch < b` literal, so ReuseExchange cannot conflate listings.
+    * Same failure-state contract as [[ingestDriftAudit]]: with a
+    * caller-supplied `stateDir`, later batches' histogram partitions
+    * may already be written when the out-of-domain guard throws
+    * (overwrite-idempotent — re-run after the fix).
     */
   def keyedDriftAudit(arrivals: Seq[DataFrame],
       bucket: org.apache.spark.sql.Column,

@@ -138,16 +138,31 @@ object Skew {
       k: Int, rankCol: String = "rn",
       castRankTo: Option[String] = Some("long")): DataFrame = {
     require(k >= 1, "aggTopK needs k >= 1")
-    val tk = org.apache.spark.sql.GraftSqlBridge
-      .collectTopK(entry, k, reverse = true)
     val rn0 = col("__pos") + 1
-    df.groupBy(partitionCols: _*)
-      .agg(array_sort(tk).as("__tk"))
+    aggTopKArray(df, partitionCols, entry, k, outCol = "__tk")
       .select(partitionCols :+
         posexplode(col("__tk")).as(Seq("__pos", "__e")): _*)
       .select(partitionCols ++ Seq(
         castRankTo.map(rn0.cast).getOrElse(rn0).as(rankCol),
         col("__e.*")): _*)
+  }
+
+  /** [[aggTopK]]'s aggregation stage, returning the per-key minimal-k
+    * entries as ONE ascending-sorted ARRAY column instead of exploded
+    * ranked rows — for consumers that want the list itself (inverted-
+    * index postings, KMV min-k sketches), this removes aggTopK's
+    * posexplode + the re-collect a list consumer would pay on top.
+    * `entry` may be any orderable column (a bare long/string works —
+    * no struct wrapper needed when there is no payload); same non-null
+    * ordering contract as [[aggTopK]]. Keys with fewer than k rows keep
+    * them all.
+    */
+  def aggTopKArray(df: DataFrame, partitionCols: Seq[Column], entry: Column,
+      k: Int, outCol: String = "topk"): DataFrame = {
+    require(k >= 1, "aggTopKArray needs k >= 1")
+    val tk = org.apache.spark.sql.GraftSqlBridge
+      .collectTopK(entry, k, reverse = true)
+    df.groupBy(partitionCols: _*).agg(array_sort(tk).as(outCol))
   }
 
   /** Pre-flight join-size and skew forecast — compute the EXACT output

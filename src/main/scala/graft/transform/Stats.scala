@@ -1377,27 +1377,28 @@ object Stats {
     * touching raw id sets twice.
     *
     * Scale: the corpus is touched ONCE (distinct + per-group min-k via
-    * the salted two-phase prune); everything pairwise happens on the
-    * groups×k sketch frame — groups²·2k rows of metadata, never data.
-    * Groups whose merged union holds < k hashes are EXACT (est = the
-    * count); k a power of two makes `shared/k` dyadic-exact.
+    * the mergeable bounded-heap aggregate — map-side heaps bound every
+    * group at k hashes before the shuffle); everything pairwise happens
+    * on the groups×k sketch frame — groups²·2k rows of metadata, never
+    * data. Groups whose merged union holds < k hashes are EXACT (est =
+    * the count); k a power of two makes `shared/k` dyadic-exact.
     *
     * Fully hash-gateable: sketches are integer hashes, the merge is
     * min-k (replayed as a row_number window), and the estimates are
     * single divisions of exact operands (pround 6).
     */
   /** The corpus-touching stage of [[kmvSetOps]]: distinct (group, hash)
-    * → per-group k smallest via the salted two-phase prune. Public so
-    * PlanSpec pins THIS stage's plan (one scan, keyed windows) — the
-    * pairwise stage runs on its checkpointed output, whose explain
-    * truncates at LogicalRDD. */
+    * → per-group k smallest via [[graft.transform.Skew.aggTopK]] (r22 —
+    * was the salted two-phase window prune). Public so PlanSpec pins
+    * THIS stage's plan (one scan, no rank window) — the pairwise stage
+    * runs on its checkpointed output, whose explain truncates at
+    * LogicalRDD. */
   def kmvSketch(hashes: DataFrame, groupCol: String, hashCol: String,
       k: Int): DataFrame = {
     val distinctH = hashes.select(col(groupCol).as("__g"), col(hashCol).as("__h"))
       .distinct()
-    graft.transform.Skew.saltedTopK(
-      distinctH, Seq(col("__g")), Seq(col("__h").asc), col("__h"),
-      k = k, numSalts = 8)
+    graft.transform.Skew.aggTopK(
+      distinctH, Seq(col("__g")), struct(col("__h").as("__h")), k = k)
   }
 
   def kmvSetOps(hashes: DataFrame, groupCol: String, hashCol: String,

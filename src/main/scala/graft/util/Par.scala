@@ -19,8 +19,15 @@ package graft.util
   * plenty: enough to hide the fixed costs, not so many that they fight
   * for executors. Tasks must be mutually independent (the caller's
   * contract — nothing here orders them). Spark job-scoped thread-local
-  * properties (job description/group) are NOT inherited by pool
-  * threads; none of the callers rely on them.
+  * properties (job description/group) ARE inherited: the pool is
+  * created fresh per call and `newFixedThreadPool` constructs its
+  * threads inside `submit` on the CALLER's thread, so SparkContext's
+  * InheritableThreadLocal properties copy over — `cancelJobGroup` from
+  * the caller's group still reaches every fanned-out job. What DOES
+  * change vs a sequential loop is failure behavior: a failing task no
+  * longer stops later siblings from running to completion (drain-all
+  * before rethrow) — callers needing stop-at-first-failure state
+  * semantics must not fan out.
   */
 object Par {
   def run[T](tasks: Seq[() => T], maxParallel: Int = 4): Seq[T] = {

@@ -14,13 +14,15 @@ object GraftSqlBridge {
 
   /** Spark's `private[sql]` bounded-heap top-k collector
     * ([[org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK]])
-    * as a Column aggregate: keeps the `num` MINIMAL values of `e` under
-    * the type's total order (`reverse = false`; true keeps the maximal
-    * ones), merging map-side — the partial-aggregating replacement for
-    * a per-key rank window whose input is pair-scale (r21, guide §2.3
-    * "aggregate before you shuffle"). Output array order is the heap's
-    * (unspecified) — callers sort it (`array_sort`) before relying on
-    * positions.
+    * as a Column aggregate: CollectTopK's BoundedPriorityQueue keeps the
+    * `num` LARGEST values under its ordering, so `reverse = false` keeps
+    * the num MAXIMAL values of `e` and `reverse = true` keeps the
+    * MINIMAL ones (what [[graft.transform.Skew.aggTopK]] passes —
+    * SkewSpec pins it), merging map-side — the partial-aggregating
+    * replacement for a per-key rank window whose input is pair-scale
+    * (r21, guide §2.3 "aggregate before you shuffle"). Output array
+    * order is the heap's (unspecified) — callers sort it (`array_sort`)
+    * before relying on positions.
     */
   def collectTopK(e: Column, num: Int, reverse: Boolean): Column =
     column(org.apache.spark.sql.catalyst.expressions.aggregate

@@ -255,10 +255,14 @@ class PlanSpec extends SparkSpec {
       s"pivot re-scanned the source to discover values:\n$pp")
   }
 
-  test("source-mix quota table broadcasts; ranking stays salted two-phase") {
+  test("source-mix quota table broadcasts; ranking is the heap aggregate") {
     val p = plan(OpsQueries.sourceMix(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"),
       s"the config-sized quota table must broadcast:\n$p")
+    assert(p.contains("collect_top_k"),
+      s"per-source ranking must cut through the bounded-heap aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"the aggTopK migration must leave no rank window:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -476,11 +480,12 @@ class PlanSpec extends SparkSpec {
     assert(unpartitionedWindows(p) == 0)
   }
 
-  test("kmv: salted prune engages rank-limit pushdown; windows key-partitioned") {
+  test("kmv: min-k is a mergeable heap aggregate — no rank window at all") {
     val p = plan(Queries.kmvDistinct(spark, sf0001))
-    assert(p.contains("WindowGroupLimit"),
-      s"bucket top-k must push the rank limit:\n$p")
-    assert(unpartitionedWindows(p) == 0)
+    assert(p.contains("collect_top_k"),
+      s"min-64 must cut through the bounded-heap aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"the aggTopKArray migration must leave no rank window:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -649,10 +654,12 @@ class PlanSpec extends SparkSpec {
       s"transition matrix should be window+agg+tiny-window:\n$p")
   }
 
-  test("inverted index: salted pre-rank bounds posting windows (WindowGroupLimit)") {
+  test("inverted index: posting cap is a mergeable heap aggregate, no window") {
     val p = plan(OpsQueries.invertedIndexQ(spark, sf0001))
-    assert(p.contains("WindowGroupLimit"),
-      s"the salted top-k prune must push a rank limit below the window:\n$p")
+    assert(p.contains("collect_top_k"),
+      s"the posting cap must cut through the bounded-heap aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"the aggTopKArray migration must leave no rank window:\n$p")
     assert(!p.contains("CartesianProduct"))
     // stats and postings meet in a term-keyed join, never a loop join
     assert(!p.contains("BroadcastNestedLoopJoin"), s"loop join appeared:\n$p")
@@ -1335,7 +1342,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("2024-01-24"), s"cutoff literal missing:\n$p")
   }
 
-  test("recommendations: checkpointed baskets + output-bounded sims; anti join drops seen; salted top-k") {
+  test("recommendations: checkpointed baskets + output-bounded sims; anti join drops seen; heap top-k") {
     val p = plan(OpsQueries.recommendQ(spark, sf0001))
     // everything downstream of the two checkpoints: no parquet re-read
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).isEmpty,

@@ -148,6 +148,48 @@ class SkewSpec extends SparkSpec {
       "aggTopK must replay the asc window order and carry payload fields")
   }
 
+  test("aggTopKArray equals sort_array(collect_list) of the window top-k") {
+    val rnd = new scala.util.Random(20260820)
+    val rows = (0L until 25L).flatMap { g =>
+      val n = if (g % 6 == 0) 3 else 40 // some groups smaller than k
+      (0 until n).map(i => (g, rnd.nextLong().abs))
+    }.distinct
+    val df = rows.toDF("g", "h").repartition(7)
+    // window formulation: rank asc, keep k, collect sorted
+    val win = Skew.saltedTopK(df, Seq(col("g")), Seq(col("h").asc),
+        col("h"), k = 8, numSalts = 4)
+      .groupBy(col("g")).agg(sort_array(collect_list(col("h"))).as("mins"))
+    val agg = Skew.aggTopKArray(df, Seq(col("g")), col("h"), k = 8,
+      outCol = "mins")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(m(agg) === m(win),
+      "aggTopKArray's sorted array must equal the window min-k list")
+  }
+
+  test("aggTopK null ordering DIVERGES from a desc window (documented contract)") {
+    // A rank window ordered `score desc` puts NULL scores LAST (they
+    // only surface when a group has < k non-null rows); aggTopK's
+    // struct min-k is nulls-FIRST, so a NULL score WINS a heap slot.
+    // This is the documented divergence behind aggTopK's non-null
+    // order-field contract (every caller guarantees non-null scores) —
+    // this row pins the divergence so a future nullable-score caller
+    // trips here instead of silently shipping window-inequivalent cuts.
+    val df = Seq[(Long, Long, java.lang.Double)](
+      (1L, 10L, 0.9), (1L, 11L, null), (1L, 12L, 0.5), (1L, 13L, 0.7))
+      .toDF("g", "id", "score")
+    val win = Skew.saltedTopK(df, Seq(col("g")),
+      Seq(col("score").desc, col("id").asc), col("id"), k = 2, numSalts = 2)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val agg = Skew.aggTopK(df, Seq(col("g")),
+      struct((-col("score")).as("__ns"), col("id").as("id")), k = 2)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(win === Seq(10L, 13L), "desc window ranks non-null scores first")
+    assert(agg === Seq(10L, 11L),
+      "aggTopK's struct min-k is nulls-first — NULL beats every score; " +
+        "callers MUST keep order-prefix fields non-null")
+  }
+
   test("joinSizeForecast reliable=true needs a checkpoint dir, then matches the default path") {
     import spark.implicits._
     val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y")).toDF("k")
