@@ -3781,16 +3781,22 @@ object OpsQueries {
   def arrivalReportQ(s: SparkSession, dir: String): DataFrame = {
     import graft.pipelines.TrainingDataPipeline
     val d = docs(s, dir)
-    // 3 arrival batches (VERDICT r14 #4 board economics: the per-batch
-    // SPLIT proof is batch-count-independent, and q250 already runs the
-    // 3-arrival lifecycle — 4 batches bought no extra claim)
-    val reports = TrainingDataPipeline.arrivalReports(
-      d, "doc_id", Seq("source"), "n_tokens", nBatches = 3)
     val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
     val width = maxId / 3 + 1
     val slices = (0L until 3L).map(b =>
       d.filter(col("doc_id") >= b * width && col("doc_id") < (b + 1) * width)
         .select(col("doc_id"), col("text")))
+    // NOT overlapped (measured, r22): the curation reports and the
+    // drift audit are independent pipelines (disjoint temp state), but
+    // running them concurrently inflated every constituent action
+    // ~2.5× (lenhist writes 0.37→1.9 s, postings 0.5→2.6 s) and the
+    // WALL went 16.4→23.2 s — the loop's memory-hungry explode/distinct
+    // stages and the audit's scans contend; sequential is faster here.
+    // 3 arrival batches (VERDICT r14 #4 board economics: the per-batch
+    // SPLIT proof is batch-count-independent, and q250 already runs the
+    // 3-arrival lifecycle — 4 batches bought no extra claim).
+    val reports = TrainingDataPipeline.arrivalReports(
+      d, "doc_id", Seq("source"), "n_tokens", nBatches = 3)
     val psum = TrainingDataPipeline.ingestDriftAudit(slices, "text")
       .groupBy(col("batch"))
       .agg(max(col("psi_cum")).as("psi"), max(col("drift")).as("drift"))

@@ -313,6 +313,45 @@ object Dedup {
       .select("a", "b", "n_common", "sz_a", "sz_b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard over per-doc shingle ARRAYS — the
+    * CANDIDATE-SCALE verification formulation (r22): aggregate the
+    * (candidate-pruned) posting rows into one array + size per doc,
+    * attach both sides' arrays to the pairs through two id-keyed joins,
+    * and compute `n_common = size(array_intersect(...))` ROW-LOCALLY.
+    * Versus [[ngramJaccardWithSizes]]'s explode-intersection join this
+    * removes the (id, shingle)-keyed shuffle of the posting stream, the
+    * (a,b) re-aggregation, and the two sizes joins (~10 stages → ~3 at
+    * increment scale, where fixed per-stage cost dominates), and it has
+    * no shingle join key at all — a stopword shingle shared by every
+    * candidate can't create a hot reducer. Identical output by
+    * construction: inputs are distinct per (id, shingle), so
+    * array_intersect's set semantics give the same n_common; sizes come
+    * from the same aggregation; pairs with no common shingles emit
+    * jaccard 0 through the same inner-join survival rule (a doc with no
+    * postings row drops its pairs, exactly as a missing sizes row did).
+    *
+    * Scale contract: `shingleSet` must be CANDIDATE-pruned (or
+    * otherwise bounded) — per-doc arrays are doc-length-bounded, but
+    * collecting arrays for a full 100 TB corpus is the wrong shape;
+    * corpus-scale verification keeps [[ngramJaccardWithSizes]].
+    */
+  def ngramJaccardArrays(
+      pairs: DataFrame, shingleSet: DataFrame, idCol: String): DataFrame = {
+    val pp = shingleSet.groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("__sh"), count(lit(1)).as("__sz"))
+    pairs
+      .join(pp.select(col(idCol).as("a"), col("__sh").as("__sha"),
+        col("__sz").as("sz_a")), "a")
+      .join(pp.select(col(idCol).as("b"), col("__sh").as("__shb"),
+        col("__sz").as("sz_b")), "b")
+      .withColumn("n_common",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("long"))
+      .withColumn("jaccard",
+        graft.util.Rounding.pround(col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")), 6))
+      .select("a", "b", "n_common", "sz_a", "sz_b", "jaccard")
+  }
+
   /** Shingle-set CONTAINMENT verify — the asymmetric companion to
     * [[ngramJaccard]]: `cont_a = |A∩B|/|A|` and `cont_b = |A∩B|/|B|`.
     * Jaccard misses the crawl pathology where one document IS another

@@ -183,21 +183,42 @@ object TrainingDataPipeline {
   /** The per-batch Jaccard verification stage over PERSISTED state,
     * pruned to the rows a single increment actually needs: candidate
     * ids (both sides of the candidate pairs) semi-join-prune the
-    * posting table before any shingle row enters the intersection
-    * join, and per-doc set sizes come from the persisted sizes table
-    * ([[graft.ops.Dedup.ngramJaccardWithSizes]]) — never from a
-    * re-aggregation of the accumulated postings. Exposed separately so
-    * PlanSpec can pin the shape: two left-semi prunes, no full-corpus
-    * groupBy upstream of the verification join.
+    * posting table, then the verification runs in the candidate-scale
+    * ARRAY formulation ([[graft.ops.Dedup.ngramJaccardArrays]], r22):
+    * per-candidate shingle arrays + sizes from ONE aggregation of the
+    * pruned postings, pair scores row-local — no shingle-keyed shuffle,
+    * no (a,b) re-aggregation, ~3 stages instead of ~10 (the fixed
+    * per-stage cost dominated the increment's ledger write). The sizes
+    * derived here provably equal the persisted sizes table (each doc's
+    * postings are written exactly once, by its own batch, and every
+    * candidate's own batch is in the pruned read —
+    * TrainingDataPipelineSpec pins sizes ≡ re-aggregated postings), so
+    * nothing is re-aggregated at corpus scale: the aggregation input is
+    * candidate volume by construction. Exposed separately so PlanSpec
+    * can pin the shape: a left-semi prune into one candidate-scale
+    * aggregation, no full-corpus groupBy, no shingle join key.
+    *
+    * @param sizes retained for API stability; unused since r22 (sizes
+    *   ride the pruned-posting aggregation — see equality argument
+    *   above). The sizes table stays persisted state: by-id readouts
+    *   (doc length profiles, purge audits) consume it without paying a
+    *   posting scan.
     */
   def prunedJaccardStage(pairs: DataFrame, postings: DataFrame,
-      sizes: DataFrame, idCol: String): DataFrame = {
+      sizes: DataFrame, idCol: String): DataFrame =
+    prunedJaccardStage(pairs, postings, idCol)
+
+  /** [[prunedJaccardStage]] without the legacy sizes frame — callers
+    * that would otherwise pay a file listing just to build the unused
+    * sizes read (the increment loop) come here.
+    */
+  def prunedJaccardStage(pairs: DataFrame, postings: DataFrame,
+      idCol: String): DataFrame = {
     val candIds = pairs.select(col("a").as(idCol))
       .unionByName(pairs.select(col("b").as(idCol))).distinct()
-    Dedup.ngramJaccardWithSizes(
+    Dedup.ngramJaccardArrays(
       pairs,
       postings.join(candIds, Seq(idCol), "left_semi"),
-      sizes.join(candIds, Seq(idCol), "left_semi"),
       idCol)
   }
 
@@ -442,15 +463,62 @@ object TrainingDataPipeline {
         .localCheckpoint(true)
       // append THIS increment's bands / postings / per-doc sizes —
       // each write is a new batch=N directory; nothing already
-      // persisted is touched. The bands chain and the postings→sizes
-      // chain both hang off the CHECKPOINTED `ex` and write disjoint
-      // tables, so the two chains overlap (guide §2.6) instead of
-      // paying their fixed job costs end-to-end; sizes stays ordered
-      // AFTER postings within its chain (it reads the written files).
-      graft.util.Par.run(Seq(
-        () => Dedup.lshBands(
-          Dedup.minhashSignaturesFused(ex, idCol, "text", cfg.shingleN),
-          idCol).write.mode("overwrite").parquet(s"$bandsDir/batch=$b"),
+      // persisted is touched. The bands→candidates chain and the
+      // postings→sizes chain both hang off the CHECKPOINTED `ex` and
+      // write disjoint tables, so the two chains overlap (guide §2.6)
+      // instead of paying their fixed job costs end-to-end; within
+      // each chain order is preserved (candidates read the written
+      // bands, sizes read the written postings). r22 moved the
+      // candidate generation INTO the bands chain — it depends only on
+      // bands state, so it overlaps the postings explode+distinct (the
+      // increment's widest write) instead of waiting for it.
+      @volatile var pairsOut: (DataFrame, Seq[Long]) = null
+      graft.util.Par.run[Unit](Seq(
+        () => {
+          Dedup.lshBands(
+            Dedup.minhashSignaturesFused(ex, idCol, "text", cfg.shingleN),
+            idCol).write.mode("overwrite").parquet(s"$bandsDir/batch=$b")
+          // candidates: new bands vs the PRIOR index (partition-pruned)
+          // plus within-batch collisions. Each cross pair keeps the
+          // prior side's arrival batch (`a_batch`, functionally
+          // determined by a) so the verification reads below can
+          // partition-prune to the batches that actually hold
+          // candidates.
+          val bandsB = spark.read.parquet(s"$bandsDir/batch=$b")
+          val index = spark.read.parquet(bandsDir)
+            .filter(col("batch") < b)
+            .select(col(idCol).as("a"), col("band_idx"), col("band_hash"),
+              col("batch").cast("long").as("a_batch"))
+          val cross = bandsB.join(index, Seq("band_idx", "band_hash"))
+            .select(col("a"), col(idCol).as("b"), col("a_batch"))
+          val inBatch = Dedup.candidatePairs(bandsB, idCol)
+            .withColumn("a_batch", lit(b))
+          // bounded driver valve: the distinct prior batches candidates
+          // touch — ≤ batchId values, harvested as an OBSERVE riding the
+          // candidate checkpoint itself (VERDICT r14 #3: the r14 shape
+          // paid a separate distinct+collect job per arrival AND widened
+          // the dedup to (a, b, a_batch); now the distinct stays
+          // two-column and the batch set costs zero extra jobs).
+          // a_batch is functionally determined by a, so the narrower
+          // distinct keeps the same pair set (the VERDICT r13 #1
+          // contract: the per-increment state SCAN is
+          // candidate-batch-sized, not O(accumulated corpus))
+          val pairsObs = org.apache.spark.sql.Observation()
+          val pairs = cross.unionByName(inBatch)
+            .observe(pairsObs, collect_set(col("a_batch")).as("cb"))
+            .select(col("a"), col("b")).distinct()
+            .localCheckpoint(true)
+          // AQE's empty-relation propagation ELIMINATES a CollectMetrics
+          // node whose observed subtree is runtime-empty below a shuffle
+          // — the observation then completes with an EMPTY metrics map.
+          // That case is precisely "no candidate pairs", so missing ==
+          // empty
+          val candBatches: Seq[Long] =
+            (pairsObs.get.get("cb").toSeq
+              .flatMap(_.asInstanceOf[scala.collection.Seq[Any]])
+              .map(_.asInstanceOf[Number].longValue) :+ b).distinct
+          pairsOut = (pairs, candBatches)
+        },
         () => {
           Dedup.shingleSet(ex, idCol, "text", cfg.shingleN)
             .write.mode("overwrite").parquet(s"$postDir/batch=$b")
@@ -462,45 +530,9 @@ object TrainingDataPipeline {
             .groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
             .write.mode("overwrite").parquet(s"$sizesDir/batch=$b")
         }))
-      // candidates: new bands vs the PRIOR index (partition-pruned)
-      // plus within-batch collisions. Each cross pair keeps the prior
-      // side's arrival batch (`a_batch`, functionally determined by a)
-      // so the verification reads below can partition-prune to the
-      // batches that actually hold candidates.
-      val bandsB = spark.read.parquet(s"$bandsDir/batch=$b")
-      val index = spark.read.parquet(bandsDir)
-        .filter(col("batch") < b)
-        .select(col(idCol).as("a"), col("band_idx"), col("band_hash"),
-          col("batch").cast("long").as("a_batch"))
-      val cross = bandsB.join(index, Seq("band_idx", "band_hash"))
-        .select(col("a"), col(idCol).as("b"), col("a_batch"))
-      val inBatch = Dedup.candidatePairs(bandsB, idCol)
-        .withColumn("a_batch", lit(b))
-      // bounded driver valve: the distinct prior batches candidates
-      // touch — ≤ batchId values, harvested as an OBSERVE riding the
-      // candidate checkpoint itself (VERDICT r14 #3: the r14 shape paid
-      // a separate distinct+collect job per arrival AND widened the
-      // dedup to (a, b, a_batch); now the distinct stays two-column and
-      // the batch set costs zero extra jobs). a_batch is functionally
-      // determined by a, so the narrower distinct keeps the same pair
-      // set (the VERDICT r13 #1 contract: the per-increment state SCAN
-      // is candidate-batch-sized, not O(accumulated corpus))
-      val pairsObs = org.apache.spark.sql.Observation()
-      val pairs = cross.unionByName(inBatch)
-        .observe(pairsObs, collect_set(col("a_batch")).as("cb"))
-        .select(col("a"), col("b")).distinct()
-        .localCheckpoint(true)
-      // AQE's empty-relation propagation ELIMINATES a CollectMetrics
-      // node whose observed subtree is runtime-empty below a shuffle —
-      // the observation then completes with an EMPTY metrics map. That
-      // case is precisely "no candidate pairs", so missing == empty
-      val candBatches: Seq[Long] =
-        (pairsObs.get.get("cb").toSeq
-          .flatMap(_.asInstanceOf[scala.collection.Seq[Any]])
-          .map(_.asInstanceOf[Number].longValue) :+ b).distinct
+      val (pairs, candBatches) = pairsOut
       val verified = prunedJaccardStage(pairs,
-        prunedStateRead(spark, postDir, candBatches),
-        prunedStateRead(spark, sizesDir, candBatches), idCol)
+        prunedStateRead(spark, postDir, candBatches), idCol)
         .filter(col("jaccard") >= cfg.jaccardThreshold)
       val losers = verified.select(col("b").as(idCol)).distinct()
       // the DROP LEDGER: every rejected doc with its reason — gate

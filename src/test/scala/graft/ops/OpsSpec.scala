@@ -138,6 +138,28 @@ class OpsSpec extends SparkSpec {
     assert(got === Seq(1.0, 0.0))
   }
 
+  test("ngramJaccardArrays equals ngramJaccardWithSizes byte-for-byte") {
+    // the r22 candidate-scale formulation must replay the explode-join
+    // verification exactly: overlapping, identical, disjoint (jaccard
+    // 0 via the zero-common survival rule), and a pair whose side has
+    // NO shingles (dropped by both formulations)
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d x y"), (3L, "p q r s t u"),
+      (4L, "a b c d e f"), (5L, "ab")) // doc 5: no 3-gram shingles
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val sh = Dedup.shingleSet(df, "doc_id", "text")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val oldForm = Dedup.ngramJaccardWithSizes(pairs, sh, sizes, "doc_id")
+    val newForm = Dedup.ngramJaccardArrays(pairs, sh, "doc_id")
+    assert(m(newForm) === m(oldForm),
+      "array formulation must equal the explode-join verification")
+    assert(oldForm.columns.toSeq === newForm.columns.toSeq)
+    assert(newForm.count() === 3L, "pair with a shingle-less side drops")
+  }
+
   test("centroid drift: identical halves cos 1, orthogonal halves cos 0, empty half NULL") {
     val df = Seq(
       (0L, Seq(1.0f, 2.0f, 3.0f), 1),
