@@ -5667,12 +5667,11 @@ object OpsQueries {
   private def coSupplierEdges(s: SparkSession, dir: String): DataFrame = {
     val ps = Tables.load(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val capped = Dedup.capBlocksDistinct(ps, "l_partkey", "l_suppkey",
-      TriangleBlockCap)
-    val a = capped.select(col("l_partkey").as("pk"), col("l_suppkey").as("src"))
-    val b = capped.select(col("l_partkey").as("pk"), col("l_suppkey").as("dst"))
-    a.join(b, Seq("pk"))
-      .filter(col("src") < col("dst"))
+    // join-free capped pair generation (r22): the block cap aggregates
+    // each part straight into its sorted supplier array and pairs emit
+    // row-locally — see Dedup.cappedBlockPairs; equality with the
+    // capped self-join is what the q93/q96/q204 oracles replay
+    Dedup.cappedBlockPairs(ps, "l_partkey", "l_suppkey", TriangleBlockCap)
       .select(col("src"), col("dst")).distinct()
   }
 

@@ -273,6 +273,37 @@ object Dedup {
       .select(col(blockCol), col(idCol))
   }
 
+  /** Within-block pair generation over CAPPED blocks, join-free (r22):
+    * instead of materializing the ≤`cap` lowest ids per block as rows
+    * and self-joining on the block key (two shuffles of the capped
+    * stream + the pair distinct), aggregate each block straight into
+    * its sorted id ARRAY via the bounded heap
+    * ([[graft.transform.Skew.aggTopKArray]]) and emit every i<j pair
+    * ROW-LOCALLY: posexplode picks the lower element, `slice(arr,
+    * pos+2, size(arr))` explodes exactly the elements AFTER it — the
+    * ascending sort makes that precisely the `a < b` convention of the
+    * capped self-join, with no join key and no shuffle between the cap
+    * and the pairs. (`slice` is a codegen expression — no interpreted
+    * higher-order lambda, the r21-rejected variant's flaw.) Output:
+    * (blockCol, src, dst) with src < dst, one row per (block, pair) —
+    * callers `.distinct()` across blocks or `groupBy(src, dst).count`
+    * exactly as they did after the self-join. Equality with
+    * capBlocksDistinct + self-join is pinned by OpsSpec and by the
+    * q93/q95/q96/q204/q212 oracle hashes (spelled as the naive window
+    * cap + self-join).
+    */
+  def cappedBlockPairs(df: DataFrame, blockCol: String, idCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 1, "cap must be > 1 (a block of one generates no pairs)")
+    graft.transform.Skew.aggTopKArray(df.select(col(blockCol), col(idCol)),
+        Seq(col(blockCol)), col(idCol), cap, outCol = "__blk")
+      .select(col(blockCol), posexplode(col("__blk")).as(Seq("__pos", "src")),
+        col("__blk"))
+      .select(col(blockCol), col("src"),
+        explode(slice(col("__blk"), col("__pos") + lit(2),
+          size(col("__blk")))).as("dst"))
+  }
+
   // -------------------------------------------------------------- jaccard
   /** Exact n-gram Jaccard for a given set of pairs (blocked upstream —
     * never call on an unblocked cross product at scale). `pairs` has

@@ -290,21 +290,24 @@ object Graph {
     */
   def cooccurrenceSimilarity(baskets: DataFrame, basketCol: String,
       itemCol: String, basketCap: Int = 6, topK: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // eager checkpoints (r21, the [[recommendItems]] posture applied
-    // here too): `capped` has three consumers (n_i counts + both pair
-    // legs) and `pairs` two (both orientations of the symmetrization) —
-    // un-cut, each re-ran the caller's basket build and the cap's
-    // salted ranking per consumer. capped is baskets-scale, pairs is
-    // ≤C(cap,2)·baskets. Measured 2.74 s → 2.40 s at sf0.1 on q95.
-    val capped = Dedup.capBlocksDistinct(
+    // eager checkpoint of the capped baskets in ARRAY form (r22): the
+    // bounded heap aggregates each basket straight into its sorted item
+    // array (the same aggregation the row cap paid), the checkpoint cuts
+    // the basket-build lineage for all consumers, the n_i counts explode
+    // it row-locally, and the pair leg emits every i<j pair with the
+    // slice device (Dedup.cappedBlockPairs) — the capped self-join and
+    // its two shuffles are gone. pairs stays checkpointed (two
+    // symmetrization consumers).
+    val cappedArr = graft.transform.Skew.aggTopKArray(
       baskets.select(col(basketCol), col(itemCol)).distinct(),
-      basketCol, itemCol, basketCap).localCheckpoint(true)
-    val ni = capped.groupBy(col(itemCol).as("item"))
-      .agg(count(lit(1)).as("n"))
-    val a = capped.select(col(basketCol).as("bk"), col(itemCol).as("i"))
-    val b = capped.select(col(basketCol).as("bk"), col(itemCol).as("j"))
-    val pairs = a.join(b, Seq("bk")).filter(col("i") < col("j"))
+      Seq(col(basketCol)), col(itemCol), basketCap, outCol = "__items")
+      .localCheckpoint(true)
+    val ni = cappedArr.select(explode(col("__items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val pairs = cappedArr
+      .select(posexplode(col("__items")).as(Seq("__pos", "i")), col("__items"))
+      .select(col("i"), explode(slice(col("__items"), col("__pos") + lit(2),
+        size(col("__items")))).as("j"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_ij"))
       .localCheckpoint(true)
     val sym = pairs.unionByName(
@@ -314,11 +317,15 @@ object Graph {
       .join(broadcast(ni.select(col("item").as("j"), col("n").as("n_j"))), Seq("j"))
       .withColumn("cos", col("n_ij").cast("double")
         / sqrt(col("n_i").cast("double") * col("n_j").cast("double")))
-    val w = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
+    // per-item neighbor cut via the bounded heap (r22): (-cos, j) min-k
+    // == (cos desc, j asc) window rank; double negation restores
+    // identical bits
+    graft.transform.Skew.aggTopK(scored, Seq(col("i")),
+        entry = struct((-col("cos")).as("__nc"), col("j").as("j"),
+          col("n_ij").as("n_ij"), col("n_i").as("n_i"), col("n_j").as("n_j")),
+        k = topK, rankCol = "rank")
       .select(col("i"), col("j"), col("n_ij"), col("n_i"), col("n_j"),
-        col("rank"), col("cos"))
+        col("rank"), (-col("__nc")).as("cos"))
   }
 
   /** Batch recommendation GENERATION — the serving job on top of
@@ -345,15 +352,22 @@ object Graph {
   def recommendItems(baskets: DataFrame, basketCol: String, itemCol: String,
       basketCap: Int = 6, simTopK: Int = 3, recTopK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val capped = Dedup.capBlocksDistinct(
+    // capped baskets checkpointed in ARRAY form (r22): one bounded-heap
+    // aggregation, row views explode it row-locally, and the pair leg
+    // uses the slice device — no capped self-join (see
+    // cooccurrenceSimilarity's note)
+    val cappedArr = graft.transform.Skew.aggTopKArray(
       baskets.select(col(basketCol), col(itemCol)).distinct(),
-      basketCol, itemCol, basketCap)
-      .select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      Seq(col(basketCol)), col(itemCol), basketCap, outCol = "__items")
+      .select(col(basketCol).as("bk"), col("__items"))
       .localCheckpoint(true)
+    val capped = cappedArr.select(col("bk"),
+      explode(col("__items")).as("item"))
     val ni = capped.groupBy(col("item").as("i")).agg(count(lit(1)).as("n"))
-    val a = capped.select(col("bk"), col("item").as("i"))
-    val b = capped.select(col("bk"), col("item").as("j"))
-    val pairs = a.join(b, Seq("bk")).filter(col("i") < col("j"))
+    val pairs = cappedArr
+      .select(posexplode(col("__items")).as(Seq("__pos", "i")), col("__items"))
+      .select(col("i"), explode(slice(col("__items"), col("__pos") + lit(2),
+        size(col("__items")))).as("j"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_ij"))
     val sym = pairs.unionByName(
       pairs.select(col("j").as("i"), col("i").as("j"), col("n_ij")))
