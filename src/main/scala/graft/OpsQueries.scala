@@ -2565,10 +2565,14 @@ object OpsQueries {
     val root = java.nio.file.Files
       .createTempDirectory("graft-ann-append-").toString
     try {
-      for (b <- 0L until 3L)
+      // the three arrival writes touch disjoint batch=N partitions and
+      // read no prior state — fan them out (guide §2.6, r22)
+      graft.util.Par.run((0L until 3L).map(b => () => {
         Similarity.assignIncrement(
           e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
           "vec_id", "embedding", cents, root, b)
+        ()
+      }))
       s.read.parquet(s"$root/assign")
         // batch and cid are both inferred partition columns now (the
         // r17 cell-pruned cid=K layout) — cast back to the gate's longs
@@ -2633,11 +2637,14 @@ object OpsQueries {
     val root = java.nio.file.Files
       .createTempDirectory("graft-ann-serve-").toString
     try {
-      for (b <- 0L until 3L)
+      // independent per-arrival writes — fanned out (guide §2.6, r22)
+      graft.util.Par.run((0L until 3L).map(b => () => {
         Similarity.assignIncrement(
           e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
           "vec_id", "embedding", cents, root, b,
           payloadCols = Seq("embedding"))
+        ()
+      }))
       Similarity.ivfStateTopK(s, root,
         e.filter(col("vec_id") >= 100 && col("vec_id") < 120),
         "vec_id", "embedding", cents, k = 10, nprobe = 8)
@@ -2721,7 +2728,8 @@ object OpsQueries {
     val root = java.nio.file.Files
       .createTempDirectory("graft-ann-staleness-").toString
     try {
-      for (b <- 0L until 3L) {
+      // independent per-arrival writes — fanned out (guide §2.6, r22)
+      graft.util.Par.run((0L until 3L).map(b => () => {
         val slice = e.filter(
           col("vec_id") >= b * width && col("vec_id") < (b + 1) * width)
         val arrival =
@@ -2730,7 +2738,8 @@ object OpsQueries {
           else slice
         Similarity.assignIncrement(arrival, "vec_id", "embedding",
           cents, root, b)
-      }
+        ()
+      }))
       val curHist = Similarity
         .assignHistogram(s, root, Similarity.codebookVersionOf(cents))
         .select(lit("state").as("scenario"), col("cid"), col("n"))
@@ -2837,10 +2846,13 @@ object OpsQueries {
     val root = java.nio.file.Files
       .createTempDirectory("graft-pq-serve-").toString
     try {
-      for (b <- 0L until 3L)
+      // independent per-arrival writes — fanned out (guide §2.6, r22)
+      graft.util.Par.run((0L until 3L).map(b => () => {
         Similarity.pqCodesIncrement(
           e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
           "vec_id", "embedding", cb, root, b)
+        ()
+      }))
       Similarity.pqAdcFromState(s, root,
         e.filter(col("vec_id") >= 100 && col("vec_id") <= 107),
         "vec_id", "embedding", cb, k = 10)
@@ -2885,10 +2897,13 @@ object OpsQueries {
     val root = java.nio.file.Files
       .createTempDirectory("graft-pq-lifecycle-").toString
     try {
-      for (b <- 0L until 3L)
+      // independent per-arrival writes — fanned out (guide §2.6, r22)
+      graft.util.Par.run((0L until 3L).map(b => () => {
         Similarity.pqCodesIncrement(
           e.filter(col("vec_id") >= b * width && col("vec_id") < (b + 1) * width),
           "vec_id", "embedding", cb1, root, b)
+        ()
+      }))
       Similarity.reencodeStale(root, e, "vec_id", "embedding", cb2)
       Similarity.pqAdcFromState(s, root,
         e.filter(col("vec_id") >= 100 && col("vec_id") <= 107),
@@ -6077,10 +6092,14 @@ object OpsQueries {
     */
   def maxPRetrievalQ(s: SparkSession, dir: String): DataFrame = {
     val chunks = TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text")
+    // eager checkpoint (r22): tf has THREE consumers (dl, dfreq, the
+    // scored join) — un-cut, each re-ran the chunk explode + tokenize +
+    // groupBy lineage per consumer (the multi-consumer rule)
     val tf = chunks.select(col("doc_id"), col("chunk_id"),
         explode(TextAnalysis.tokens(col("chunk_text"))).as("term"))
       .groupBy(col("doc_id"), col("chunk_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dl = tf.groupBy(col("doc_id"), col("chunk_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val top8 = dfreq.orderBy(col("df").desc, col("term").asc).limit(8)

@@ -630,6 +630,130 @@ case class CodebookArgmin(child: Expression, cids: IndexedSeq[Long],
   override def prettyName: String = "codebook_argmin"
 }
 
+/** ColBERT-style MaxSim over integer-micros token components, fused
+  * into ONE row-local codegen pass (r22): the vectors are read as
+  * `nTok` contiguous `tokDim`-wide tokens, every component quantizes to
+  * `floor(v·1e6 + 0.5)` (the [[graft.ops.Similarity]] pqComponents
+  * spelling), and the result is
+  * `Σ_qtok max_ctok Σ_k q[qtok·d+k]·c[ctok·d+k]` — exact int64.
+  *
+  * This replaces the exploded composition (per-component rows joined on
+  * the offset, two aggregations) whose intermediate was |corpus comps| ×
+  * |query comps per offset| rows; the fused loop does the identical
+  * integer arithmetic per (query, corpus) PAIR row with no join key and
+  * no aggregation state. Byte-equivalence with the composition is
+  * pinned by FunctionsSpec (including short arrays and null elements).
+  *
+  * Null/absence semantics mirror the composition exactly: a component
+  * beyond either array's length or NULL on either side simply does not
+  * contribute (the join row would not exist / the null product is
+  * skipped by sum); a (qtok, ctok) with no contributing component has
+  * no dot (it is absent from the max); a query token with no dots adds
+  * nothing; if NO query token contributes the result is NULL (the pair
+  * would be absent from the composition's output).
+  */
+case class MaxSimMicros(left: Expression, right: Expression,
+    nTok: Int, tokDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(nTok >= 1 && tokDim >= 1, "max_sim_micros needs nTok, tokDim >= 1")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.DoubleType, _),
+            ArrayType(org.apache.spark.sql.types.DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"max_sim_micros needs two array<double>, got " +
+            s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val qa = l.asInstanceOf[ArrayData]
+    val ca = r.asInstanceOf[ArrayData]
+    var total = 0L
+    var any = false
+    var qt = 0
+    while (qt < nTok) {
+      var best = 0L
+      var bestSet = false
+      var ct = 0
+      while (ct < nTok) {
+        var dot = 0L
+        var contrib = false
+        var k = 0
+        while (k < tokDim) {
+          val qd = qt * tokDim + k
+          val cd = ct * tokDim + k
+          if (qd < qa.numElements() && cd < ca.numElements() &&
+              !qa.isNullAt(qd) && !ca.isNullAt(cd)) {
+            dot += java.lang.Math.floor(qa.getDouble(qd) * 1e6 + 0.5).toLong *
+              java.lang.Math.floor(ca.getDouble(cd) * 1e6 + 0.5).toLong
+            contrib = true
+          }
+          k += 1
+        }
+        if (contrib && (!bestSet || dot > best)) { best = dot; bestSet = true }
+        ct += 1
+      }
+      if (bestSet) { total += best; any = true }
+      qt += 1
+    }
+    if (any) total else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (qa, ca) => {
+      val total = ctx.freshName("total")
+      val any = ctx.freshName("any")
+      val qt = ctx.freshName("qt")
+      val ct = ctx.freshName("ct")
+      val k = ctx.freshName("k")
+      val qd = ctx.freshName("qd")
+      val cd = ctx.freshName("cd")
+      val dot = ctx.freshName("dot")
+      val contrib = ctx.freshName("contrib")
+      val best = ctx.freshName("best")
+      val bestSet = ctx.freshName("bestSet")
+      s"""
+         |long $total = 0L;
+         |boolean $any = false;
+         |for (int $qt = 0; $qt < $nTok; $qt++) {
+         |  long $best = 0L;
+         |  boolean $bestSet = false;
+         |  for (int $ct = 0; $ct < $nTok; $ct++) {
+         |    long $dot = 0L;
+         |    boolean $contrib = false;
+         |    for (int $k = 0; $k < $tokDim; $k++) {
+         |      int $qd = $qt * $tokDim + $k;
+         |      int $cd = $ct * $tokDim + $k;
+         |      if ($qd < $qa.numElements() && $cd < $ca.numElements() &&
+         |          !$qa.isNullAt($qd) && !$ca.isNullAt($cd)) {
+         |        $dot += (long) java.lang.Math.floor($qa.getDouble($qd) * 1e6 + 0.5)
+         |          * (long) java.lang.Math.floor($ca.getDouble($cd) * 1e6 + 0.5);
+         |        $contrib = true;
+         |      }
+         |    }
+         |    if ($contrib && (!$bestSet || $dot > $best)) {
+         |      $best = $dot; $bestSet = true;
+         |    }
+         |  }
+         |  if ($bestSet) { $total += $best; $any = true; }
+         |}
+         |${ev.isNull} = !$any;
+         |${ev.value} = $total;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MaxSimMicros =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "max_sim_micros"
+}
+
 /** Column-level API + SQL registration for the custom expressions. */
 object functions {
   def rolling_hash(c: Column): Column =
@@ -660,6 +784,9 @@ object functions {
       codebook: IndexedSeq[IndexedSeq[Long]]): Column =
     GraftSqlBridge.column(
       CodebookArgmin(GraftSqlBridge.expression(c), cids, codebook))
+  def max_sim_micros(q: Column, c: Column, nTok: Int, tokDim: Int): Column =
+    GraftSqlBridge.column(MaxSimMicros(
+      GraftSqlBridge.expression(q), GraftSqlBridge.expression(c), nTok, tokDim))
 
   /** Register the custom expressions for SQL use in a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -929,10 +929,16 @@ object Dedup {
       n: Int = 3, window: Int = 4, maxDocsPerFp: Int = 8,
       minSpanTokens: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // eager checkpoint (r22): fps otherwise re-runs the winnowing pass
+    // (the most CPU-expensive stage) once per consumer — the docsPerFp
+    // cap chain plus BOTH sides of the diagonal self-join = 3 runs
     val fps = winnowingSelections(df, idCol, textCol, n, window)
       .select(col(idCol).as("__id"), col("fp_h"), col("fp_pos"))
+      .localCheckpoint(true)
     val docsPerFp = fps.select(col("fp_h"), col("__id")).distinct()
-    val allowed = capBlocks(docsPerFp, "fp_h", "__id", maxDocsPerFp)
+    // distinct (block, id) shape — the heap cut applies (r22; the
+    // PAYLOAD-carrying winnowing frame below still joins by key)
+    val allowed = capBlocksDistinct(docsPerFp, "fp_h", "__id", maxDocsPerFp)
     val capped = fps.join(allowed, Seq("fp_h", "__id"))
     val a = capped.select(col("fp_h"), col("__id").as("doc_a"),
       col("fp_pos").as("pos_a"))

@@ -346,23 +346,28 @@ object Similarity {
       tokDim: Int = 8, numSalts: Int = 16): DataFrame = {
     require(k >= 1 && nTok >= 1 && tokDim >= 1,
       "lateInteractionTopK needs k, nTok, tokDim >= 1")
-    def comps(df: DataFrame, side: String): DataFrame =
-      pqComponents(df, idCol, vecCol, tokDim)
-        .filter(col("m") < nTok)
-        .select(col("__id").as(s"${side}_id"), col("m").as(s"${side}_tok"),
-          (col("dim") % tokDim).as("off"), col("q").as(s"${side}_q"))
-    val c = comps(corpus, "neighbor")
-    val q = comps(queries, "query")
-    val tokenDots = c.join(broadcast(q), Seq("off"))
-      .groupBy(col("query_id"), col("neighbor_id"), col("query_tok"),
-        col("neighbor_tok"))
-      .agg(sum(col("query_q") * col("neighbor_q")).as("dot"))
-    val maxSim = tokenDots
-      .groupBy(col("query_id"), col("neighbor_id"), col("query_tok"))
-      .agg(max(col("dot")).as("best"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("best")).as("maxsim"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    // fused row-local MaxSim (r22): the exploded composition (per-
+    // component rows joined on the offset, two aggregations) pushed
+    // |corpus comps| × |query comps per offset| rows through the first
+    // aggregation; the [[graft.functions.MaxSimMicros]] codegen loop
+    // does the identical exact-int64 arithmetic once per (query,
+    // corpus) PAIR row — no join key, no aggregation state, and the
+    // query side broadcasts onto one corpus stream exactly like
+    // [[bruteForceTopK]] (BroadcastNestedLoopJoin under the non-equi
+    // id guard). FunctionsSpec pins byte-equivalence with the
+    // composition; the q223/q224 oracles replay the composition in SQL,
+    // so the hash gates are the end-to-end proof. The isNotNull filter
+    // mirrors the composition exactly: a pair with no contributing
+    // component never produced a maxSim row at all.
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val maxSim = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.functions
+          .max_sim_micros(col("__qv"), col("__cv"), nTok, tokDim).as("maxsim"))
+      .filter(col("maxsim").isNotNull)
     graft.transform.Skew.aggTopK(maxSim,
       partitionCols = Seq(col("query_id")),
       entry = struct((-col("maxsim")).as("__nm"),

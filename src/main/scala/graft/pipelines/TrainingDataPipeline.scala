@@ -154,10 +154,18 @@ object TrainingDataPipeline {
     val width = maxId / nBatches + 1
     var history: DataFrame = Seq.empty[String].toDF("fingerprint")
     var state: Option[DataFrame] = None
+    // the per-batch annotate+gate checkpoints are mutually independent
+    // (row-local functions of disjoint id slices, no state) and were
+    // the loop's dominant actions (~0.7-0.9 s each at sf0.1) — fan them
+    // out (guide §2.6, r22); the dedup/rollup chain below stays
+    // strictly sequential (it IS the cross-batch coupling).
+    val batches = graft.util.Par.run(
+      (0L until nBatches.toLong).map(b => () =>
+        annotateAndFilter(
+          docs.filter(col(idCol) >= b * width && col(idCol) < (b + 1) * width),
+          cfg).localCheckpoint(true)))
     for (b <- 0L until nBatches.toLong) {
-      val batch = annotateAndFilter(
-        docs.filter(col(idCol) >= b * width && col(idCol) < (b + 1) * width),
-        cfg).localCheckpoint(true)
+      val batch = batches(b.toInt)
       val dd = graft.ops.Dedup
         .incrementalExactDedup(batch, history, idCol, "text")
         .localCheckpoint(true)
@@ -796,13 +804,16 @@ object TrainingDataPipeline {
       .groupBy(col("bucket")).agg(sum(col("n")).as("n_ref"))
     val cur = spark.read.parquet(s"$histDir/batch=$batchId")
       .withColumnRenamed("n", "n_cur")
-    // coalesce the totals to 0: an EMPTY arrival (or an empty prior
-    // state read) makes sum() a single NULL row, which would propagate
-    // NULL through p/q/contrib/psi_cum/drift — but Laplace smoothing
-    // makes the PSI perfectly well-defined at nt = 0 (every probability
-    // is 1/nBuckets), so the monitor must emit the real number.
-    val refTot = ref.agg(coalesce(sum(col("n_ref")), lit(0L)).as("nt_ref"))
-    val curTot = cur.agg(coalesce(sum(col("n_cur")), lit(0L)).as("nt_cur"))
+    // totals as WINDOW sums over the zero-filled bucket grid (r22): the
+    // grid always holds exactly nBuckets rows covering every bucket, so
+    // Σ n_ref over the grid IS the state total — the previous separate
+    // 1-row total aggregates re-ran the ref/cur scans a second time each
+    // and cost two broadcast exchanges per curve (the per-curve fixed
+    // cost dominated the audits' readout union). Empty arrivals stay
+    // well-defined: the grid rows exist with coalesced 0s, so the window
+    // sum is 0, exactly the old coalesce(sum, 0) — Laplace smoothing
+    // keeps every probability 1/nBuckets. All-integer window sums, so
+    // the totals are bit-identical to the aggregate form.
     val p = (col("n_ref") + 1).cast("double") /
       (col("nt_ref") + nBuckets).cast("double")
     val q = (col("n_cur") + 1).cast("double") /
@@ -815,12 +826,11 @@ object TrainingDataPipeline {
     spark.range(nBuckets).toDF("bucket")
       .join(broadcast(ref), Seq("bucket"), "left")
       .join(broadcast(cur), Seq("bucket"), "left")
-      .crossJoin(broadcast(refTot))
-      .crossJoin(broadcast(curTot))
       .select(lit(batchId).as("batch"), col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
-        col("nt_ref"), col("nt_cur"))
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .withColumn("nt_ref", sum(col("n_ref")).over(wb))
+      .withColumn("nt_cur", sum(col("n_cur")).over(wb))
       .select(col("batch"), col("bucket"), col("n_ref"), col("n_cur"),
         pround(contrib, 6).as("contrib"),
         pround(sum(contrib).over(w), 6).as("psi_cum"))

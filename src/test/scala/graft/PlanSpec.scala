@@ -1495,13 +1495,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), s"expected per-key ∪ merged union:\n$p")
   }
 
-  test("late interaction: query components broadcast onto one corpus stream; keyed aggs; salted cut") {
+  test("late interaction: queries broadcast onto one corpus stream; fused row-local MaxSim; heap cut") {
     val p = plan(OpsQueries.lateInteractionQ(spark, sf0001))
-    assert(p.contains("BroadcastHashJoin"),
-      s"query token components must broadcast:\n$p")
+    // the non-equi id guard plans the query broadcast as a nested-loop
+    // join — the bruteForceTopK posture (and the right operator name to
+    // pin, per CLAUDE.md)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast onto the corpus stream:\n$p")
+    assert(p.contains("max_sim_micros"),
+      s"scoring must be the fused codegen MaxSim expression:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"token dots must not shuffle-join:\n$p")
-    assert(unpartitionedWindows(p) == 0, s"topK windows are query-keyed:\n$p")
+    assert(unpartitionedWindows(p) == 0, s"topK cut is query-keyed:\n$p")
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length <= 2,
       s"corpus + query sides only:\n$p")
   }

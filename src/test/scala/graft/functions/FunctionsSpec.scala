@@ -232,6 +232,59 @@ class FunctionsSpec extends SparkSpec {
       "composition should null-propagate — if this changed, revisit the doc")
   }
 
+  test("max_sim_micros == exploded join+two-agg composition (exact int64)") {
+    // the CLAUDE.md contract: byte-equivalence vs the composition the
+    // fused expression replaced (lateInteractionTopK's r21 shape) —
+    // including negative components, a SHORT array (missing trailing
+    // components are absent from the dots, not zero), and a NULL
+    // element (the null product is skipped by sum)
+    val gfn = graft.functions.functions
+    val nTok = 2
+    val tokDim = 3
+    val rnd = new scala.util.Random(20260821)
+    val dense = (0L until 12L).map(i =>
+      (i, Seq.fill(nTok * tokDim)(rnd.nextDouble() * 4.0 - 2.0)))
+    val short = Seq((100L, Seq(0.5, -1.5, 2.5, 0.25))) // 2nd token partial
+    val withNull = Seq((101L,
+      Seq[java.lang.Double](1.0, null, -2.0, 3.0, 0.5, -0.5)))
+    val corpus = (dense.map { case (i, v) => (i, v.map(x => x: java.lang.Double)) }
+      ++ short.map { case (i, v) => (i, v.map(x => x: java.lang.Double)) }
+      ++ withNull)
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+    val queries = corpus.filter(col("vec_id").isin(0L, 1L, 100L, 101L))
+    // composition (the replaced r21 formulation), spelled inline
+    def comps(df: org.apache.spark.sql.DataFrame, side: String) =
+      df.select(col("vec_id").as(s"${side}_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .filter(col("dim") < nTok * tokDim)
+        .select(col(s"${side}_id"), expr(s"dim div $tokDim").as(s"${side}_tok"),
+          (col("dim") % tokDim).as("off"),
+          floor(col("v") * 1e6 + 0.5).cast("long").as(s"${side}_q"))
+    val ref = comps(corpus, "neighbor").join(
+        broadcast(comps(queries, "query")), Seq("off"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("query_tok"),
+        col("neighbor_tok"))
+      .agg(sum(col("query_q") * col("neighbor_q")).as("dot"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("query_tok"))
+      .agg(max(col("dot")).as("best"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("best")).as("maxsim"))
+    val fused = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))))
+      .select(col("query_id"), col("neighbor_id"),
+        gfn.max_sim_micros(col("qv"), col("cv"), nTok, tokDim).as("maxsim"))
+      .filter(col("maxsim").isNotNull)
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id", "maxsim").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (got, want) = (m(fused), m(ref))
+    assert(got === want, s"fused=$got\nref=$want")
+    assert(got.nonEmpty && got.keys.exists(_._1 == 100L))
+  }
+
   test("all custom expressions compile under CODEGEN_ONLY (no interpreted fallback)") {
     // Explain output keeps its '*' markers even when Janino fails at runtime
     // and Spark silently falls back to interpreted execution — so this test
@@ -275,6 +328,11 @@ class FunctionsSpec extends SparkSpec {
           col("embedding").cast("array<double>"),
           cents.map(_._1), cents.map(_._2)).as("cid"))
       assert(argmin.filter(col("cid").isNull).count() === 0)
+      val ms = Tables.load(spark, sf0001, "embeddings").limit(10)
+        .select(col("embedding").cast("array<double>").as("v"))
+      val maxsim = ms.crossJoin(broadcast(ms.select(col("v").as("v2")).limit(1)))
+        .select(gf.max_sim_micros(col("v"), col("v2"), 8, 8).as("s"))
+      assert(maxsim.filter(col("s").isNull).count() === 0)
     } finally {
       prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
         spark.conf.set("spark.sql.codegen.fallback", _))
